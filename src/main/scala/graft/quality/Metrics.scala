@@ -1,0 +1,95 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-pass expectation metric computation.
+  *
+  * The reference (dc43 `spark/data_quality.py:98-196`) issues one Spark job
+  * per expectation (`df.filter(NOT pred).count()` each, plus
+  * `distinct().count()` per unique column, plus a bare `count()`): at N
+  * expectations that is N+1 full scans of the dataset. Here every predicate
+  * violation count is a conditional sum and every uniqueness check a
+  * `count - count_distinct - has_null` delta inside ONE `agg`, so the whole
+  * metric set costs a single scan regardless of contract size — the
+  * difference between 1 and 40 passes at 100 TB.
+  */
+object Metrics {
+
+  /** Aggregate expressions for the metric set: `row_count` plus one
+    * `violations.<key>` per countable spec. Usable in both `df.agg` (batch)
+    * and `Dataset.observe` (streaming, zero extra jobs). */
+  def aggregateExprs(specs: Seq[ExpectationSpec], columns: Set[String]): Seq[Column] = {
+    val rowCount = count(lit(1)).as("row_count")
+    val violationCols = specs.flatMap { spec =>
+      val metricName = s"violations.${spec.key}"
+      spec.rule match {
+        case "query" => None
+        case "unique" =>
+          spec.column.map { c =>
+            if (!columns.contains(c)) count(lit(1)).as(metricName) // column absent: all rows violate (reference semantics)
+            else {
+              // total - distinct, where NULL counts as one distinct value
+              // (matches reference `total - df.select(c).distinct().count()`)
+              (count(lit(1)) - countDistinct(col(c))
+                - max(when(col(c).isNull, 1L).otherwise(0L))).as(metricName)
+            }
+          }
+        case _ =>
+          Expectations.passPredicate(spec).map { pred =>
+            spec.column match {
+              case Some(c) if !columns.contains(c) => count(lit(1)).as(metricName)
+              // when(!pred) is NULL for NULL inputs → otherwise(0): null values
+              // do not count as threshold/enum/regex violations, matching the
+              // reference's `filter(NOT (pred)).count()` semantics.
+              case _ => sum(when(!pred, 1L).otherwise(0L)).as(metricName)
+            }
+          }
+      }
+    }
+    rowCount +: violationCols
+  }
+
+  /** Compute `row_count` + all violation counts in one aggregation pass.
+    * Specs whose column is missing from `df` count every row as violating,
+    * mirroring the reference. */
+  def compute(df: DataFrame, specs: Seq[ExpectationSpec]): Map[String, Long] = {
+    val columns = df.columns.toSet
+    val exprs = aggregateExprs(specs, columns)
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    row.schema.fieldNames.zipWithIndex.map { case (name, i) =>
+      name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
+  }
+
+  /** Compute standard metrics plus object-level `query` rules (custom SQL
+    * against a `_graft_dq_tmp` temp view, scalar result recorded under the
+    * rule key — reference `data_quality.py:161-196`). */
+  def computeWithQueries(
+      df: DataFrame,
+      specs: Seq[ExpectationSpec],
+      spark: SparkSession
+  ): Map[String, Any] = {
+    val base: Map[String, Any] = compute(df, specs)
+    val queryMetrics = specs.filter(s => s.rule == "query" && s.query.isDefined).flatMap { s =>
+      df.createOrReplaceTempView("_graft_dq_tmp")
+      try {
+        val rows = spark.sql(s.query.get).collect()
+        rows.headOption.flatMap(r => Option(r.get(0))).collect {
+          case n: Number => s.key -> (n: Any)
+        }
+      } finally spark.catalog.dropTempView("_graft_dq_tmp")
+    }
+    base ++ queryMetrics
+  }
+
+  /** The same violation metrics as a one-row DataFrame (distributed end to
+    * end; nothing but the verdict row reaches the driver). Metric column
+    * names use `_` instead of `.` so results stay SQL-addressable. */
+  def computeAsDataFrame(df: DataFrame, specs: Seq[ExpectationSpec]): DataFrame = {
+    val columns = df.columns.toSet
+    val exprs = aggregateExprs(specs, columns)
+    val out = df.agg(exprs.head, exprs.tail: _*)
+    out.columns.foldLeft(out)((acc, c) => acc.withColumnRenamed(c, c.replace(".", "_")))
+  }
+}
