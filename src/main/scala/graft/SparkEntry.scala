@@ -1,13 +1,330 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.align.ApplyContract
+import graft.analytics.Analytics
+import graft.draft.Drafter
+import graft.ops.{Multimodal, NearDup, TextOps, VectorOps}
+import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
+import graft.strategies.{FlagStrategy, SplitStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry + DuckDB oracle per operator in
+  * SURVEY.md §2. Column names are aligned between the Spark result and the
+  * oracle SQL because the driver's compare hashes values under sorted
+  * column names. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    T.load(s, dir, name)
+
+  private val lineitemSpecs = Expectations.fromContract(DemoContracts.lineitem)
+
+  private def splitPart(s: SparkSession, dir: String, suffix: String): DataFrame = {
+    val df = t(s, dir, "lineitem")
+    val validation = Evaluator.validate(df, DemoContracts.lineitem)
+    SplitStrategy().plan(df, lineitemSpecs, validation)
+      .additional.find(_.pathSuffix.contains(suffix)).map(_.df)
+      .getOrElse(df.limit(0))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1Pricing(t(spark, "/root/testdata/sf0.001", "lineitem"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- contract validation engine ------------------------------------
+    "q_metrics" -> ((s, d) =>
+      Metrics.computeAsDataFrame(t(s, d, "lineitem"), lineitemSpecs)),
+    "q_metrics_unique" -> ((s, d) =>
+      Metrics.computeAsDataFrame(t(s, d, "orders"),
+        Expectations.fromContract(DemoContracts.orders))),
+    "q_apply_contract" -> ((s, d) =>
+      ApplyContract.align(t(s, d, "lineitem"), DemoContracts.lineitemAlign)),
+    "q_split_valid" -> ((s, d) => splitPart(s, d, "valid")),
+    "q_split_reject" -> ((s, d) => splitPart(s, d, "reject")),
+    "q_flag_rows" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+      val vr = ValidationResult(ok = false, Nil, Nil, Map.empty, Map.empty)
+      FlagStrategy().plan(df, lineitemSpecs, vr).primary.get.df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(col("_corrupted_data")).as("failed_expectation"))
+    }),
+    "q_validate" -> ((s, d) => {
+      import s.implicits._
+      val res = Evaluator.validate(t(s, d, "lineitem"), DemoContracts.lineitemBroken)
+      (res.errors.map(("error", _)) ++ res.warnings.map(("warning", _)))
+        .toDF("severity", "message")
+    }),
+    "q_expectation_plan" -> ((s, _) => {
+      import s.implicits._
+      lineitemSpecs.map(sp => (sp.key, sp.rule, sp.column.getOrElse(""),
+        Expectations.sqlPredicate(sp).getOrElse("")))
+        .toDF("key", "rule", "column", "predicate")
+    }),
+    "q_schema_snapshot" -> ((s, d) => {
+      import s.implicits._
+      SchemaSnapshot.of(t(s, d, "lineitem")).toSeq
+        .map { case (n, i) => (n, i.backendType, i.odcsType, i.nullable) }
+        .toDF("column", "backend_type", "odcs_type", "nullable")
+    }),
+    "q_draft_contract" -> ((s, d) => {
+      import s.implicits._
+      val draft = Drafter.fromDataFrame(t(s, d, "documents"), "docs.documents")
+      draft.properties.map(f => (draft.id, draft.version,
+        draft.status.getOrElse(""), f.name, f.odcsType, f.required))
+        .toDF("contract_id", "version", "status", "field", "field_type", "required")
+    }),
+    "q_quality_query" -> ((s, d) => {
+      import s.implicits._
+      val specs = Expectations.fromContract(DemoContracts.lineitemWithQuery)
+      val m = Metrics.computeWithQueries(t(s, d, "lineitem"), specs, s)
+      Seq(m("high_discount_count").asInstanceOf[Number].longValue)
+        .toDF("high_discount_count")
+    }),
+    // ---- analytic query surface ----------------------------------------
+    "q1_pricing" -> ((s, d) => Analytics.q1Pricing(t(s, d, "lineitem"))),
+    "q3_topn_join" -> ((s, d) => Analytics.q3TopN(
+      t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q5_join5" -> ((s, d) => Analytics.q5Join5(
+      t(s, d, "region"), t(s, d, "nation"), t(s, d, "customer"),
+      t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q_window_latest" -> ((s, d) => Analytics.windowLatest(t(s, d, "lineitem"))),
+    "q_events_window" -> ((s, d) => Analytics.eventsWindow(t(s, d, "events"))),
+    "q_events_dedup" -> ((s, d) => Analytics.eventsDedup(t(s, d, "events"))),
+    // ---- training-data pipeline operators ------------------------------
+    "q_text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
+    "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
+    "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
+    "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
+    "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
+    "q_dedup_minhash" -> ((s, d) => NearDup.minhashPairs(t(s, d, "documents"))),
+    "q_dedup_simhash" -> ((s, d) => NearDup.simhashPairs(t(s, d, "documents"))),
+    "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
+    "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
+    "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(t(s, d, "embeddings"))),
+    "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(t(s, d, "documents")))
+  )
+
+  // -- DuckDB oracle SQL ------------------------------------------------
+  // Shared fragments keep Spark-vs-oracle expressions in lockstep.
+
+  private val punct = "[!-/:-@\\[-`{-~]"
+  private val ntok = """len(regexp_extract_all(text, '\S+'))"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q_metrics" ->
+      """SELECT
+        |  CAST(count(*) AS BIGINT) AS row_count,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_l_orderkey",
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_l_partkey",
+        |  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_l_suppkey",
+        |  CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_l_linenumber",
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_l_quantity",
+        |  CAST(sum(CASE WHEN NOT (l_quantity > 5) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_gt_l_quantity",
+        |  CAST(sum(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_le_l_quantity",
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_l_extendedprice",
+        |  CAST(sum(CASE WHEN NOT (l_extendedprice < 95000) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_lt_l_extendedprice",
+        |  CAST(sum(CASE WHEN NOT (l_discount >= 0.02) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_ge_l_discount",
+        |  CAST(sum(CASE WHEN NOT (l_tax <= 0.07) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_le_l_tax",
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_l_returnflag",
+        |  CAST(sum(CASE WHEN NOT (l_returnflag IN ('A','N')) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_enum_l_returnflag",
+        |  CAST(sum(CASE WHEN NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS BIGINT) AS "violations_regex_l_linestatus",
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_l_shipdate"
+        |FROM lineitem""".stripMargin,
+    "q_metrics_unique" ->
+      """SELECT
+        |  CAST(count(*) AS BIGINT) AS row_count,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_o_orderkey",
+        |  CAST(count(*) - count(DISTINCT o_orderkey) - (CASE WHEN count(o_orderkey) < count(*) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_unique_o_orderkey",
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_o_custkey",
+        |  CAST(count(*) - count(DISTINCT o_custkey) - (CASE WHEN count(o_custkey) < count(*) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_unique_o_custkey",
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_o_orderstatus",
+        |  CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_enum_o_orderstatus",
+        |  CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS "violations_gt_o_totalprice",
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "violations_not_null_o_orderdate"
+        |FROM orders""".stripMargin,
+    "q_apply_contract" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(trunc(l_quantity) AS BIGINT) AS l_quantity, l_returnflag,
+        |  CAST(l_shipdate AS DATE) AS l_shipdate, CAST(NULL AS VARCHAR) AS l_shipmode
+        |FROM lineitem""".stripMargin,
+    "q_split_valid" ->
+      s"SELECT * FROM lineitem WHERE $splitPassSql",
+    "q_split_reject" ->
+      s"SELECT * FROM lineitem WHERE NOT ($splitPassSql)",
+    "q_flag_rows" -> flagRowsSql,
+    "q_quality_query" ->
+      "SELECT CAST(count(*) AS BIGINT) AS high_discount_count FROM lineitem WHERE l_discount > 0.06",
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topn_join" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-15'
+        |  AND l_shipdate > TIMESTAMP '1997-06-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_join5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_window_latest" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        |FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_events_dedup" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts ASC, event_id ASC) = 1""".stripMargin,
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST($ntok AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '$punct')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '$punct')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) / greatest($ntok, 1) AS avg_token_len
+         |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio, score, score >= 0.5 AS keep
+         |FROM (
+         |  SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+         |    0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * least(stop_ratio * 5.0, 1.0) AS score
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST($ntok AS BIGINT) AS n_tokens,
+         |      CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|of|to|and|in|is|it|that|for|on|with|as)\\b')) AS DOUBLE) / greatest($ntok, 1) AS stop_ratio,
+         |      CAST(len(regexp_extract_all(text, '$punct')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
+         |    FROM documents))""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS correct
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN zh > 0 THEN 'zh'
+        |         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |         WHEN de >= fr AND de >= es THEN 'de'
+        |         WHEN fr >= es THEN 'fr'
+        |         ELSE 'es' END AS predicted_lang
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS zh,
+        |      len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|it|you|that|for)\b')) AS en,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|ich|mit)\b')) AS de,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une|des|que|pour)\b')) AS fr,
+        |      len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|un|una|que|por|para)\b')) AS es
+        |    FROM documents))""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  CAST(count(*) AS BIGINT) AS group_size, min(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, fingerprint FROM (
+        |  SELECT doc_id, lang, source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents)
+        |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
+    "q_ann_brute" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 10),
+        |s AS (
+        |  SELECT probe_id, n.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, v) / (pn * nrm), 6) AS cosine
+        |  FROM n CROSS JOIN p WHERE n.vec_id <> probe_id)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS "rank",
+        |  cosine
+        |FROM s
+        |QUALIFY "rank" <= 5""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum,
+        |  CASE WHEN octet_length(CAST(text AS BLOB)) % 3 = 0 THEN 'image'
+        |       WHEN octet_length(CAST(text AS BLOB)) % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS format,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 1280 + 64 AS BIGINT) AS width,
+        |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 720 + 64 AS BIGINT) AS height,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+
+  /** The composite pass predicate of the lineitem demo contract, in spec
+    * order — must stay in lockstep with `Expectations.fromContract`. */
+  private def splitPassSql: String = Seq(
+    "l_orderkey IS NOT NULL", "l_partkey IS NOT NULL", "l_suppkey IS NOT NULL",
+    "l_linenumber IS NOT NULL", "l_quantity IS NOT NULL",
+    "l_quantity > 5", "l_quantity <= 45",
+    "l_extendedprice IS NOT NULL", "l_extendedprice < 95000",
+    "l_discount >= 0.02", "l_tax <= 0.07",
+    "l_returnflag IS NOT NULL", "l_returnflag IN ('A','N')",
+    "regexp_matches(l_linestatus, '^[OF]$')",
+    "l_shipdate IS NOT NULL").mkString(" AND ")
+
+  private def flagRowsSql: String = Seq(
+    "l_orderkey IS NULL"      -> "not_null_l_orderkey",
+    "l_partkey IS NULL"       -> "not_null_l_partkey",
+    "l_suppkey IS NULL"       -> "not_null_l_suppkey",
+    "l_linenumber IS NULL"    -> "not_null_l_linenumber",
+    "l_quantity IS NULL"      -> "not_null_l_quantity",
+    "NOT (l_quantity > 5)"    -> "gt_l_quantity",
+    "NOT (l_quantity <= 45)"  -> "le_l_quantity",
+    "l_extendedprice IS NULL" -> "not_null_l_extendedprice",
+    "NOT (l_extendedprice < 95000)" -> "lt_l_extendedprice",
+    "NOT (l_discount >= 0.02)" -> "ge_l_discount",
+    "NOT (l_tax <= 0.07)"     -> "le_l_tax",
+    "l_returnflag IS NULL"    -> "not_null_l_returnflag",
+    "NOT (l_returnflag IN ('A','N'))" -> "enum_l_returnflag",
+    "NOT regexp_matches(l_linestatus, '^[OF]$')" -> "regex_l_linestatus",
+    "l_shipdate IS NULL"      -> "not_null_l_shipdate"
+  ).map { case (pred, key) =>
+    s"SELECT l_orderkey, l_linenumber, '$key' AS failed_expectation FROM lineitem WHERE $pred"
+  }.mkString("\nUNION ALL\n")
 }

@@ -1,0 +1,124 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytic query surface: the engine must run arbitrary SQL-shaped
+  * workloads (the reference routes custom SQL `query` expectations through
+  * Spark — dc43 `spark/data_quality.py:161-196`), so these exercise joins,
+  * aggregation, windows, and event-time grouping at TPC-H shape.
+  *
+  * Determinism note: double sums are order-dependent under shuffle, so every
+  * money aggregate goes through an exact decimal accumulation
+  * (`dsum`) and is only cast back to double at the end — bit-stable across
+  * partitionings and bit-equal to the DuckDB oracle computing the same way.
+  */
+object Analytics {
+
+  /** Exact decimal sum of a double expression, returned as double.
+    * Scale 4 keeps the unscaled sum < 2^53 through ~sf10 money totals, so
+    * the decimal→double conversion is exact in both Spark and DuckDB (an
+    * unscaled value beyond 2^53 rounds differently between engines). */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(25, scale))).cast(DoubleType)
+
+  /** Exact decimal sum at `accScale`, rounded to `outScale` in decimal
+    * space before the double cast. Use when the addend has more true
+    * decimal digits than `dsum`'s scale 4 (e.g. price×disc×tax = 6 dp):
+    * per-row rounding below the addend's true scale is engine-ambiguous,
+    * while rounding the final sum is exact in both. */
+  def dsumRound(c: Column, accScale: Int = 6, outScale: Int = 2): Column =
+    round(sum(c.cast(DecimalType(25, accScale))), outScale).cast(DoubleType)
+
+  /** TPC-H Q1-style pricing summary. One scan, partial aggregation
+    * map-side; the shipdate filter pushes down to the parquet scan. */
+  def q1Pricing(lineitem: DataFrame): DataFrame = {
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge    = discPrice * (lit(1) + col("l_tax"))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(discPrice).as("sum_disc_price"),
+        dsumRound(charge).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style: 3-way join, aggregate, top-N. Segment/date filters
+    * push to the scans; AQE broadcast-joins the filtered dims at small SF
+    * while the plan stays shuffle-join-correct at 100 TB. */
+  def q3TopN(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cutoff = lit("1997-06-15").cast(TimestampType)
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style star join. region/nation are tiny at any scale →
+    * explicit broadcast; the customer⨝orders⨝lineitem spine shuffles on
+    * its join keys. */
+  def q5Join5(region: DataFrame, nation: DataFrame, customer: DataFrame,
+              supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    region.filter(col("r_name") === "ASIA")
+      .join(broadcast(nation), col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit("1998-01-01").cast(TimestampType))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+                      col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Latest lineitem per supplier — row_number window with a total
+    * deterministic ordering (shipdate, orderkey, linenumber). */
+  def windowLatest(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    lineitem
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              col("l_shipdate"), col("l_extendedprice"))
+  }
+
+  /** Tumbling 1-hour window aggregation over events — the batch twin of
+    * the watermarked streaming aggregation in graft.stream. */
+  def eventsWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value"), 6).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+
+  /** Earliest event per (user_id, event_type) — the batch twin of
+    * streaming `dropDuplicatesWithinWatermark`. */
+  def eventsDedup(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+  }
+}

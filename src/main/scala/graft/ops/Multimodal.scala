@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata extracted alongside.
+  *
+  * The decode step is a clearly-marked deterministic STUB (this container
+  * has no image/audio codecs): the Spark-side shape — binary column, typed
+  * metadata schema, per-partition batched decode — is real, and a real
+  * decoder (JNI codec or `mapInPandas`-style batch UDF in PySpark) drops in
+  * behind [[decodeStubPartition]] without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Typed metadata schema every decoder must produce. */
+  val MetadataSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  /** Expression-only metadata extraction over an opaque binary payload —
+    * codegen'd, one scan, used by the correctness gate. The payload here is
+    * the UTF-8 bytes of `text` standing in for real media bytes; the
+    * "decode" derives deterministic fake dimensions from the byte length. */
+  def extractMeta(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast(BinaryType)
+    val byteLen = length(payload).cast(LongType)
+    docs.select(
+      col("doc_id"),
+      byteLen.as("byte_len"),
+      md5(payload).as("checksum"),
+      when(pmod(byteLen, lit(3L)) === 0L, lit("image"))
+        .when(pmod(byteLen, lit(3L)) === 1L, lit("audio"))
+        .otherwise(lit("video")).as("format"),
+      (pmod(byteLen, lit(1280L)) + 64L).as("width"),
+      (pmod(byteLen * 7L, lit(720L)) + 64L).as("height"),
+      (pmod(byteLen, lit(30L)) + 1L).as("n_frames"))
+  }
+
+  /** STUB decode: where a real codec would parse media bytes. Deterministic
+    * fake so tests are stable; signature and batch shape (iterator of rows
+    * per partition, no driver collect) match what a real decoder needs. */
+  def decodeStubPartition(rows: Iterator[(Long, Array[Byte])]): Iterator[Row] =
+    rows.map { case (docId, bytes) =>
+      val len = bytes.length.toLong
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+      val format = (len % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      Row(docId, len, checksum, format, (len % 1280) + 64, ((len * 7) % 720) + 64, (len % 30) + 1)
+    }
+
+  /** Per-partition batched decode over (doc_id, payload) — the
+    * `mapPartitions` seam a real decoder plugs into. Distributed: each
+    * partition decodes its own batch, nothing reaches the driver. */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id").cast(LongType), col("text").cast(BinaryType))
+    val rdd = src.rdd.mapPartitions(it =>
+      decodeStubPartition(it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))))
+    spark.createDataFrame(rdd, MetadataSchema)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection: n-gram Jaccard (exact, blocked), MinHash+LSH,
+  * and SimHash. All candidate generation is *blocked* — by shared shingle,
+  * LSH band bucket, or simhash band — never an unblocked cross join, so the
+  * pair space stays near-linear in corpus size at 100 TB (SURVEY §4/§5).
+  */
+object NearDup {
+
+  /** Distinct overlapping word k-shingles of the normalised text.
+    * Documents shorter than k tokens collapse to one whole-text shingle. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(TextOps.normText(text), " ")
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** (doc_id, nsh, shingle) exploded view of the distinct shingle sets. */
+  def explodedShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs.
+    *
+    * Candidates are blocked two ways: pairs must share at least one shingle
+    * (the join key) and pass the size filter `min(|A|,|B|) ≥ τ·max(|A|,|B|)`
+    * — a necessary condition for J(A,B) ≥ τ that prunes skewed matches
+    * before the aggregation. The common-shingle count then gives the exact
+    * Jaccard in one groupBy. */
+  def ngramPairs(docs: DataFrame, threshold: Double = 0.7, k: Int = 3): DataFrame = {
+    val e = explodedShingles(docs, k)
+    val a = e.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle"))
+    val b = e.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+              least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) /
+              (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val MinHashK = 16
+  val MinHashBands = 8 // 8 bands × 2 rows: P(candidate) ≈ 1-(1-j²)⁸
+
+  /** Per-doc MinHash signature: one groupBy over exploded shingles with K
+    * `min(xxhash64(i, shingle))` aggregates — a single shuffle keyed by
+    * doc_id regardless of K. */
+  def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
+    val e = explodedShingles(docs, k)
+    val sigs = (0 until MinHashK).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    e.groupBy(col("doc_id"))
+      .agg(first(col("nsh")).as("nsh"), sigs: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs with exact Jaccard verification:
+    * shingle → signature → band-bucket join (candidates) → exact verify.
+    * Only same-bucket pairs are ever materialised. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.7, k: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, k)
+    val rows = MinHashK / MinHashBands
+    val bandCols = (0 until MinHashBands).map { bnd =>
+      xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh$i")): _*)
+    }
+    val banded = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+    val cand = banded.alias("x")
+      .join(banded.alias("y"), Seq("band", "band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on the candidate set only
+    val e = explodedShingles(docs, k)
+    val ea = e.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle"))
+    val eb = e.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("shingle"))
+    cand.join(ea, Seq("doc_a")).join(eb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) /
+              (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit term-frequency SimHash per document: explode tokens, hash each,
+    * and accumulate a ±1 vote per bit in one aggregation (64 conditional
+    * sums), then fold the sign vector back into a single long. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(TextOps.normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
+    val voted = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sh = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    voted.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxHamming. Candidate
+    * blocking: split the 64-bit hash into four 16-bit bands; any pair
+    * within distance 3·16 must agree on ≥1 band (pigeonhole), so the join
+    * key (band index, band value) finds all close pairs without a cross
+    * join. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(docs)
+    val bands = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(bands: _*)).as(Seq("band", "band_val")))
+    banded.alias("x").join(banded.alias("y"), Seq("band", "band_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, heuristic quality scoring, language ID, document
+  * fingerprinting and exact deduplication.
+  *
+  * Everything is a native expression projection (regexp_count / md5 /
+  * window) — no UDFs, fully codegen'd, scan-parallel: at 100 TB each of
+  * these is a single pass with no shuffle except the fingerprint groupBy.
+  */
+object TextOps {
+
+  /** ASCII punctuation character class, expressed with ranges so the same
+    * pattern means the same thing in Java regex (Spark) and RE2 (oracle). */
+  val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  /** Whitespace-collapsed lower-cased text — the canonical form used for
+    * fingerprints and shingles. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast(LongType)
+
+  /** doc_id, n_tokens, n_chars, n_punct, punct_ratio, avg_token_len. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val nTokens = tokenCount(col("text"))
+    val nChars  = length(col("text")).cast(LongType)
+    val nPunct  = regexp_count(col("text"), lit(PunctClass)).cast(LongType)
+    val nNonWs  = regexp_count(col("text"), lit("\\S")).cast(LongType)
+    docs.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars"),
+      nPunct.as("n_punct"),
+      (nPunct.cast(DoubleType) / greatest(nChars, lit(1L))).as("punct_ratio"),
+      (nNonWs.cast(DoubleType) / greatest(nTokens, lit(1L))).as("avg_token_len"))
+  }
+
+  val StopwordsPattern = "\\b(the|a|an|of|to|and|in|is|it|that|for|on|with|as)\\b"
+
+  /** Heuristic quality score in [0,1] from length, punctuation and
+    * stopword-density signals, plus a keep/drop flag. */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val nTokens = tokenCount(col("text"))
+    val nChars  = length(col("text")).cast(LongType)
+    val nPunct  = regexp_count(col("text"), lit(PunctClass)).cast(LongType)
+    val nStop   = regexp_count(lower(col("text")), lit(StopwordsPattern)).cast(LongType)
+    val punctRatio = nPunct.cast(DoubleType) / greatest(nChars, lit(1L))
+    val stopRatio  = nStop.cast(DoubleType) / greatest(nTokens, lit(1L))
+    val score =
+      lit(0.4) * least(nTokens / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(stopRatio * lit(5.0), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"),
+      score.as("score"),
+      (score >= lit(0.5)).as("keep"))
+  }
+
+  /** Distinctive-stopword patterns per candidate language. The `\x{...}`
+    * escape form is shared by Java regex and RE2. */
+  val LangPatterns: Seq[(String, String)] = Seq(
+    "zh" -> "[\\x{4e00}-\\x{9fff}]",
+    "en" -> "\\b(the|and|is|of|to|in|it|you|that|for)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu|ich|mit)\\b",
+    "fr" -> "\\b(le|la|les|et|est|un|une|des|que|pour)\\b",
+    "es" -> "\\b(el|los|las|y|es|un|una|que|por|para)\\b")
+
+  /** n-gram-heuristic language ID: count hits per language pattern over
+    * the lowered text, pick by fixed priority order (zh by script, then
+    * best stopword score with en>de>fr>es tie order). */
+  def langId(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val n = LangPatterns.toMap.view.mapValues(p => regexp_count(lowered, lit(p))).toMap
+    val predicted =
+      when(n("zh") > 0, lit("zh"))
+        .when(n("en") >= n("de") && n("en") >= n("fr") && n("en") >= n("es"), lit("en"))
+        .when(n("de") >= n("fr") && n("de") >= n("es"), lit("de"))
+        .when(n("fr") >= n("es"), lit("fr"))
+        .otherwise(lit("es"))
+    docs.select(
+      col("doc_id"), col("lang"),
+      predicted.as("predicted_lang"),
+      (predicted === col("lang")).as("correct"))
+  }
+
+  def fingerprintCol(text: Column): Column = md5(normText(text))
+
+  /** Duplicate-group summary: fingerprint, group size, canonical doc. */
+  def fingerprintGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_doc_id"))
+
+  /** Exact dedup: keep the minimum doc_id per fingerprint group. One
+    * shuffle on the fingerprint (window), no join. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint"))
+    docs.withColumn("fingerprint", fingerprintCol(col("text")))
+      .withColumn("min_doc", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("min_doc"))
+      .select(col("doc_id"), col("lang"), col("source"), col("fingerprint"))
+  }
+}

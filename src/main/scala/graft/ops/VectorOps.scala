@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity operators: cosine near-dup pairs, brute-force ANN,
+  * and IVF-style clustered ANN.
+  *
+  * Dot products are `zip_with`+`aggregate` folds in double precision —
+  * codegen-friendly, no UDF. Norms are precomputed once per row as a
+  * projection so pair scoring is one multiply-divide per candidate.
+  * Scale shape: near-dup is label-blocked (join key), brute-force ANN is
+  * broadcast(probes) × one corpus scan (no shuffle of the corpus), IVF
+  * prunes the corpus to the probed clusters.
+  */
+object VectorOps {
+
+  /** array<float> → array<double>, so all scoring runs in double. */
+  def vecD(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Corpus with vector cast to double and norm precomputed. */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** cosine rounded to 6 dp — rounding makes the value stable across
+    * engines/evaluation orders for oracle comparison. */
+  private def cosR(va: Column, na: Column, vb: Column, nb: Column): Column =
+    round(dot(va, vb) / (na * nb), 6)
+
+  /** Embedding-cosine near-dup pairs, blocked by label (the join key):
+    * only same-label pairs are ever scored. */
+  def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val e = prepared(embeddings)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosR(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+  }
+
+  /** Brute-force cosine top-k: broadcast the probe set against a single
+    * corpus scan, rank per probe. Linear in corpus size, zero corpus
+    * shuffle — the right baseline at any scale. */
+  def annBrute(embeddings: DataFrame, nProbes: Int = 10, topK: Int = 5): DataFrame = {
+    val e = prepared(embeddings)
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** IVF-style ANN: deterministic centroid sample (lowest vec_ids), assign
+    * every vector to its nearest centroid (broadcast centroids × one corpus
+    * scan), then search only the `nProbeClusters` closest clusters per
+    * probe. At scale the cluster assignment is the partition key, so a
+    * probe touches ~nProbe/nCentroids of the corpus. */
+  def annIvf(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
+             nProbeClusters: Int = 2, topK: Int = 5): DataFrame = {
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
+    def nearestClusters(points: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      points.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosR(col("v"), col("nrm"), col("cv"), col("cn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+    }
+
+    val assigned = nearestClusters(e, "vec_id", 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
+    val probes = e.filter(col("vec_id") < nProbes)
+    val probeClusters = nearestClusters(probes, "vec_id", nProbeClusters)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"), col("cid"))
+
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probeClusters.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+}
