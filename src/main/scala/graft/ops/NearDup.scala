@@ -11,19 +11,26 @@ import org.apache.spark.sql.types._
   */
 object NearDup {
 
-  /** Distinct overlapping word k-shingles of the normalised text.
-    * Documents shorter than k tokens collapse to one whole-text shingle. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(TextOps.normText(text), " ")
+  /** Distinct overlapping word k-shingles over a *materialised* token
+    * array column. The caller must pass an attribute (not an expression):
+    * referencing an expression here would inline it into every
+    * `element_at` of the lambda — Catalyst duplicates, not CSEs, subtrees
+    * inside higher-order functions, turning tokenisation O(n²). */
+  def shinglesOf(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array(concat_ws(" ", toks)))
-  }
 
-  /** (doc_id, nsh, shingle) exploded view of the distinct shingle sets. */
+  /** (doc_id, nsh, shingle) exploded view of the distinct shingle sets.
+    * The token array is materialised through a Generate barrier
+    * (`explode(array(...))`) so CollapseProject cannot inline the
+    * tokenisation into the shingle lambda (see [[shinglesOf]]). */
   def explodedShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    docs
+      .select(col("doc_id"),
+        explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
+      .select(col("doc_id"), explode(array(shinglesOf(col("toks"), k))).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs.
@@ -49,8 +56,10 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  val MinHashK = 16
-  val MinHashBands = 8 // 8 bands × 2 rows: P(candidate) ≈ 1-(1-j²)⁸
+  val MinHashK = 32
+  val MinHashBands = 8 // 8 bands × 4 rows: P(candidate) ≈ 1-(1-j⁴)⁸ —
+  // ≈0.89 recall at j=0.7 while random low-j pairs (common with a small
+  // shared vocabulary) collide at ~8j⁴, keeping the verify join tiny.
 
   /** Per-doc MinHash signature: one groupBy over exploded shingles with K
     * `min(xxhash64(i, shingle))` aggregates — a single shuffle keyed by
@@ -64,19 +73,22 @@ object NearDup {
   }
 
   /** MinHash+LSH near-dup pairs with exact Jaccard verification:
-    * shingle → signature → band-bucket join (candidates) → exact verify.
-    * Only same-bucket pairs are ever materialised. */
+    * shingle → signature → band-bucket join (candidates, size-ratio
+    * blocked) → exact verify. Only same-bucket pairs are ever
+    * materialised. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7, k: Int = 3): DataFrame = {
     val sig = minhashSignatures(docs, k)
     val rows = MinHashK / MinHashBands
     val bandCols = (0 until MinHashBands).map { bnd =>
       xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh$i")): _*)
     }
-    val banded = sig.select(col("doc_id"),
+    val banded = sig.select(col("doc_id"), col("nsh"),
         posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
     val cand = banded.alias("x")
       .join(banded.alias("y"), Seq("band", "band_hash"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.nsh"), col("y.nsh")) >=
+          lit(threshold) * greatest(col("x.nsh"), col("y.nsh")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact verification on the candidate set only
