@@ -101,4 +101,17 @@ object OdcsTypes {
   /** Spark SQL type name for an ODCS primitive (identity for canonical
     * names; ODCS aliases resolved first). */
   def sparkTypeName(odcs: String): String = canonical(odcs)
+
+  /** Whether `observed` can be losslessly widened to `expected` (an
+    * explicit whitelist). Deliberate deviation from the reference's
+    * `expected in observed_backend` substring quirk, which silently
+    * accepts e.g. expected `int` vs observed `bigint` — a narrowing. */
+  def losslesslyWidensTo(observed: String, expected: String): Boolean =
+    widening.get(observed).exists(_.contains(expected))
+
+  private val widening: Map[String, Set[String]] = Map(
+    "tinyint"  -> Set("smallint", "int", "bigint"),
+    "smallint" -> Set("int", "bigint"),
+    "int"      -> Set("bigint"),
+    "float"    -> Set("double"))
 }

@@ -71,15 +71,19 @@ final class FsContractStore(rootDir: String) extends ContractStore {
     val dir = root.resolve(safe(id))
     if (!Files.isDirectory(dir)) Nil
     else
-      Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json"))
-        .toSeq.sorted
+      scala.util.Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json"))
+          .toSeq.sorted
+      }
   }
 
   override def listContractIds(): Seq[String] =
     if (!Files.isDirectory(root)) Nil
-    else Files.list(root).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
 }

@@ -4,7 +4,7 @@ import graft.align.ApplyContract
 import graft.contracts.Contract
 import graft.quality._
 import graft.strategies._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 
 /** Outcome of a governed read: the aligned frame plus its verdict. */
 final case class ReadResult(df: DataFrame, validation: ValidationResult)
@@ -15,15 +15,27 @@ final case class WriteResult(validation: ValidationResult, writtenPaths: Seq[Str
 /** Contract-governed IO — the Spark-native core of dc43's
   * `read_with_governance` / `write_with_governance`
   * (`spark/io/read.py`, `spark/io/write.py`, `spark/io/base.py:459-535`):
-  * load → observe (one-pass metrics) → evaluate → align, and on write
-  * validate → plan via a violation strategy → execute the plan.
+  * load → metrics (one pass) → evaluate → align; and on write
+  * observe-the-input → evaluate → plan via a violation strategy → write.
   *
-  * Scale notes: metrics are a single aggregation pass (see [[Metrics]]);
-  * alignment is a projection so column pruning reaches the scan; the Split
-  * strategy caches the aligned frame so valid/reject subsets don't re-read
-  * the source.
+  * Scale notes (100 TB posture):
+  *   - Observations are collected on the *input* frame, before alignment
+  *     auto-casts can mask type mismatches (reference order,
+  *     `spark/io/base.py:782,801`).
+  *   - When the strategy does not gate on the verdict, metrics ride the
+  *     primary write via `Dataset.observe` — zero extra scans, zero cache.
+  *   - When it does (Split/Strict), or the contract carries unique/query
+  *     rules (not expressible in observe), exactly one metrics pre-scan
+  *     runs. Nothing is ever persisted: Split's valid/reject subsets are
+  *     two pushed-down filter scans of the source, not a cached
+  *     materialisation of the whole input.
   */
 object ContractIO {
+
+  private def metricsOf(df: DataFrame, specs: Seq[ExpectationSpec]): Map[String, Any] =
+    if (specs.exists(s => s.rule == "query" && s.query.isDefined))
+      Metrics.computeWithQueries(df, specs, df.sparkSession)
+    else Metrics.compute(df, specs)
 
   def read(
       spark: SparkSession,
@@ -38,7 +50,7 @@ object ContractIO {
     val raw = spark.read.format(format).options(options).load(path)
     val specs = Expectations.fromContract(contract)
     val metrics: Map[String, Any] =
-      if (collectMetrics) Metrics.compute(raw, specs) else Map.empty
+      if (collectMetrics) metricsOf(raw, specs) else Map.empty
     val validation = Evaluator.evaluate(contract, SchemaSnapshot.of(raw).toMap, metrics)
     if (enforce && !validation.ok)
       throw new IllegalStateException(
@@ -56,28 +68,51 @@ object ContractIO {
       strategy: ViolationStrategy = NoOpStrategy,
       autoCast: Boolean = true
   ): WriteResult = {
-    val aligned = ApplyContract.align(df, contract, autoCast)
     val specs = Expectations.fromContract(contract)
-    // cache: metrics pass + up to two strategy subsets reuse one materialisation
-    aligned.persist()
-    try {
-      val metrics: Map[String, Any] = Metrics.compute(aligned, specs)
-      val validation = Evaluator.evaluate(contract, SchemaSnapshot.of(aligned).toMap, metrics)
-      val plan = strategy.plan(aligned, specs, validation)
-      val written = Seq.newBuilder[String]
-      val warnings = Seq.newBuilder[String]
-      def execute(req: WriteRequest): Unit = {
-        val target = req.pathSuffix.map(s => s"${path.stripSuffix("/")}/$s").getOrElse(path)
-        req.df.write.format(format).options(options).mode(mode).save(target)
-        written += target
-        warnings ++= req.warnings
+    val schema = SchemaSnapshot.of(df).toMap
+    // observe can't express count_distinct (unique) or custom SQL (query)
+    val observable = !strategy.gatesOnVerdict &&
+      !specs.exists(s => s.rule == "unique" || s.rule == "query")
+
+    val written = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    def execute(req: WriteRequest): Unit = {
+      val target = req.pathSuffix.map(s => s"${path.stripSuffix("/")}/$s").getOrElse(path)
+      req.df.write.format(format).options(options).mode(mode).save(target)
+      written += target
+      warnings ++= req.warnings
+    }
+
+    val validation =
+      if (observable) {
+        // metrics ride the primary write: one scan total
+        val obs = Observation("graft_dq_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+        val exprs = Metrics.aggregateExprs(specs, df.columns.toSet)
+        val observed = df.observe(obs, exprs.head, exprs.tail: _*)
+        val aligned = ApplyContract.align(observed, contract, autoCast)
+        val plan = strategy.plan(aligned, specs,
+          ValidationResult(ok = true, Nil, Nil, Map.empty, schema))
+        plan.primary.foreach(execute)
+        plan.additional.foreach(execute)
+        val metrics: Map[String, Any] = obs.get.map {
+          case (k, v: Number) => k -> (v.longValue: Any)
+          case (k, v)         => k -> v
+        }
+        Evaluator.evaluate(contract, schema, metrics)
+      } else {
+        // one metrics pre-scan on the input, then plan against the verdict
+        val metrics = metricsOf(df, specs)
+        val v = Evaluator.evaluate(contract, schema, metrics)
+        val aligned = ApplyContract.align(df, contract, autoCast)
+        val plan = strategy.plan(aligned, specs, v)
+        // strict strategies abort before anything is written
+        plan.failWith.foreach { msg =>
+          throw new IllegalStateException(s"$msg: ${v.errors.mkString("; ")}")
+        }
+        plan.primary.foreach(execute)
+        plan.additional.foreach(execute)
+        v
       }
-      plan.primary.foreach(execute)
-      plan.additional.foreach(execute)
-      plan.failWith.foreach { msg =>
-        throw new IllegalStateException(s"$msg: ${validation.errors.mkString("; ")}")
-      }
-      WriteResult(validation, written.result(), validation.warnings ++ warnings.result())
-    } finally aligned.unpersist()
+    WriteResult(validation, written.result(), validation.warnings ++ warnings.result())
   }
 }

@@ -91,7 +91,7 @@ object Evaluator {
           val expected = OdcsTypes.canonical(f.physicalType.orElse(f.logicalType).getOrElse(""))
           val observed = OdcsTypes.canonical(info.odcsType)
           if (strictTypes && expected.nonEmpty && observed != expected &&
-              !info.backendType.contains(expected))
+              !OdcsTypes.losslesslyWidensTo(observed, expected))
             errors += s"type mismatch for ${f.name}: expected $expected, observed $observed"
           if (f.required && info.nullable &&
               !metrics.contains(s"violations.not_null_${f.name}") &&

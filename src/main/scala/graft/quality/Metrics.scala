@@ -62,25 +62,33 @@ object Metrics {
     }.toMap
   }
 
-  /** Compute standard metrics plus object-level `query` rules (custom SQL
-    * against a `_graft_dq_tmp` temp view, scalar result recorded under the
-    * rule key — reference `data_quality.py:161-196`). */
+  /** Canonical dataset alias that `query` rules reference in their SQL. */
+  val QueryViewAlias = "_graft_dq_tmp"
+
+  /** Compute standard metrics plus object-level `query` rules: custom SQL
+    * referencing [[QueryViewAlias]], scalar result recorded under the rule
+    * key (reference `data_quality.py:161-196`). The alias is rewritten to
+    * a per-call unique temp view so concurrent validations on one
+    * SparkSession cannot collide. */
   def computeWithQueries(
       df: DataFrame,
       specs: Seq[ExpectationSpec],
       spark: SparkSession
   ): Map[String, Any] = {
     val base: Map[String, Any] = compute(df, specs)
-    val queryMetrics = specs.filter(s => s.rule == "query" && s.query.isDefined).flatMap { s =>
-      df.createOrReplaceTempView("_graft_dq_tmp")
-      try {
-        val rows = spark.sql(s.query.get).collect()
+    val querySpecs = specs.filter(s => s.rule == "query" && s.query.isDefined)
+    if (querySpecs.isEmpty) return base
+    val view = "graft_dq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceTempView(view)
+    try {
+      val queryMetrics = querySpecs.flatMap { s =>
+        val rows = spark.sql(s.query.get.replace(QueryViewAlias, view)).collect()
         rows.headOption.flatMap(r => Option(r.get(0))).collect {
           case n: Number => s.key -> (n: Any)
         }
-      } finally spark.catalog.dropTempView("_graft_dq_tmp")
-    }
-    base ++ queryMetrics
+      }
+      base ++ queryMetrics
+    } finally spark.catalog.dropTempView(view)
   }
 
   /** The same violation metrics as a one-row DataFrame (distributed end to

@@ -57,6 +57,12 @@ object Strategies {
 /** Plans how a validated write proceeds when violations are present. */
 sealed trait ViolationStrategy {
   def plan(df: DataFrame, specs: Seq[ExpectationSpec], validation: ValidationResult): WritePlan
+
+  /** Whether the plan's shape depends on the validation verdict. When
+    * false, governed writes collect metrics via `Dataset.observe` on the
+    * write pass itself (zero extra scans); when true, one metrics
+    * pre-scan runs before the write. */
+  def gatesOnVerdict: Boolean = false
 }
 
 /** Write the aligned frame as-is regardless of violations. */
@@ -76,6 +82,7 @@ final case class SplitStrategy(
     includeReject: Boolean = true,
     writePrimaryOnViolation: Boolean = false
 ) extends ViolationStrategy {
+  override def gatesOnVerdict: Boolean = true
   def plan(df: DataFrame, specs: Seq[ExpectationSpec], validation: ValidationResult): WritePlan = {
     if (!Strategies.hasViolations(validation)) return WritePlan(Some(WriteRequest(df, None)))
     val pass = Strategies.passAll(specs)
@@ -105,6 +112,7 @@ final case class StrictStrategy(
     failureMessage: String = "Validation recorded contract violations",
     failOnWarnings: Boolean = false
 ) extends ViolationStrategy {
+  override def gatesOnVerdict: Boolean = true
   def plan(df: DataFrame, specs: Seq[ExpectationSpec], validation: ValidationResult): WritePlan = {
     val basePlan = base.plan(df, specs, validation)
     val violated = Strategies.hasViolations(validation) ||

@@ -1,0 +1,42 @@
+package graft.draft
+
+import graft.SparkSpec
+import graft.contracts._
+
+class DrafterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fromDataFrame drafts typed properties from the observed schema") {
+    val df = Seq((1L, "x", 2.5)).toDF("id", "name", "score")
+    val draft = Drafter.fromDataFrame(df, "t.draft")
+    assert(draft.id == "t.draft")
+    assert(draft.status.contains("draft"))
+    assert(draft.version == "0.1.1-draft")
+    val props = draft.properties.map(f => f.name -> f.odcsType).toMap
+    assert(props == Map("id" -> "bigint", "name" -> "string", "score" -> "double"))
+    // primitives are non-nullable in the source schema -> required; string is nullable
+    assert(draft.properties.filter(_.name != "name").forall(_.required))
+    assert(!draft.properties.find(_.name == "name").get.required)
+  }
+
+  test("base contract: version patch-bumps, declared quality rules survive") {
+    val base = Contract(id = "t.base", version = "2.3.4",
+      schema = Seq(SchemaObjectDef("t", Seq(
+        FieldDef("id", Some("int"), required = true,
+          quality = Seq(QualityRule(mustBeGreaterThan = Some(BigDecimal(0)))))))))
+    val df = Seq((5L, "new")).toDF("id", "extra")
+    val draft = Drafter.fromDataFrame(df, "t.base", baseContract = Some(base))
+    assert(draft.version == "2.3.5-draft")
+    val id = draft.properties.find(_.name == "id").get
+    assert(id.physicalType.contains("bigint")) // refreshed from observation
+    assert(id.quality.nonEmpty)                // declared rule kept
+    assert(draft.properties.exists(_.name == "extra"))
+  }
+
+  test("draft context switches the version suffix and lands in customProperties") {
+    val df = Seq(1).toDF("a")
+    val draft = Drafter.fromDataFrame(df, "t.ctx", draftContext = Map("reason" -> "drift"))
+    assert(draft.version.endsWith("-ctx-draft"))
+    assert(draft.customProperties("reason") == "drift")
+  }
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The quick brown fox, it jumps!", "en", "s1"),
+    (2L, "the  QUICK   brown fox, it jumps!", "en", "s2"), // same normalised text
+    (3L, "", "en", "s3"),
+    (4L, "word", "en", "s4")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("textStats: token/char/punct counts with empty-text safety") {
+    val rows = TextOps.textStats(docs).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("n_tokens") == 6L)
+    assert(rows(0).getAs[Long]("n_punct") == 2L) // comma + bang
+    assert(rows(2).getAs[Long]("n_tokens") == 0L)
+    assert(rows(2).getAs[Double]("punct_ratio") == 0.0)
+    assert(rows(3).getAs[Double]("avg_token_len") == 4.0)
+  }
+
+  test("fingerprint groups whitespace/case variants together") {
+    val g = TextOps.fingerprintGroups(docs).collect()
+    assert(g.length == 4 - 1) // docs 1 and 2 share a fingerprint
+    val dup = g.find(_.getAs[Long]("group_size") == 2L).get
+    assert(dup.getAs[Long]("canonical_doc_id") == 1L)
+  }
+
+  test("dedupExact keeps the min doc_id per group") {
+    val kept = TextOps.dedupExact(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("langId falls back deterministically and flags correctness") {
+    val out = TextOps.langId(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("predicted_lang") == "en")
+    assert(out(0).getAs[Boolean]("correct"))
+  }
+
+  test("textQuality score is bounded and keep-flag consistent") {
+    val out = TextOps.textQuality(docs).collect()
+    assert(out.forall(r => r.getAs[Double]("score") >= 0.0 && r.getAs[Double]("score") <= 1.0))
+    assert(out.forall(r => r.getAs[Boolean]("keep") == (r.getAs[Double]("score") >= 0.5)))
+  }
+}
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a/b near-identical (1 word changed), c unrelated, d == a exactly
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+  ).toDF("doc_id", "text")
+
+  test("ngramPairs: exact jaccard, identical docs at 1.0, unrelated absent") {
+    val pairs = NearDup.ngramPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    // 8 shingles each, 7 common -> j = 7/9
+    assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-6)
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.keys.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
+  test("minhashPairs finds the same high-similarity pairs as exact ngram") {
+    val mh = NearDup.minhashPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 4L)) && mh.contains((1L, 2L)))
+    assert(!mh.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val sh = NearDup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val pairs = NearDup.simhashPairs(docs, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 4L)) == 0L)
+    assert(pairs.get((1L, 2L)).exists(_ <= 16L))
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),   // identical to 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),   // orthogonal
+    (3L, Array(0.6f, 0.8f, 0.0f), 1),   // other label
+    (4L, Array(0.6f, 0.8f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("embeddingPairs: label-blocked cosine with exact values") {
+    val pairs = VectorOps.embeddingPairs(emb, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((3L, 4L)) == 1.0)
+    assert(!pairs.contains((0L, 2L)))   // cosine 0 below threshold
+    assert(!pairs.contains((0L, 3L)))   // different label: never scored
+  }
+
+  test("annBrute: correct ranking with deterministic tiebreaks") {
+    val out = VectorOps.annBrute(emb, nProbes = 1, topK = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 4L, 2L))
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("annIvf recall matches brute force on the sf0.001 embeddings") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = VectorOps.annBrute(e, nProbes = 5, topK = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.annIvf(e, nCentroids = 8, nProbes = 5, nProbeClusters = 4, topK = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // approximate: demand >=50% recall of the true top-3 with half the clusters probed
+    assert(ivf.intersect(brute).size >= brute.size / 2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq((1L, "abc"), (2L, "hello world"), (3L, "")).toDF("doc_id", "text")
+
+  test("extractMeta: deterministic typed metadata from opaque bytes") {
+    val m = Multimodal.extractMeta(docs).orderBy("doc_id").collect()
+    assert(m(0).getAs[Long]("byte_len") == 3L)
+    assert(m(0).getAs[String]("format") == "image") // 3 % 3 == 0
+    assert(m(0).getAs[String]("checksum") == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(m(1).getAs[Long]("byte_len") == 11L)
+    assert(m(1).getAs[String]("format") == "video") // 11 % 3 == 2
+    assert(m(0).getAs[Long]("width") == 67L && m(0).getAs[Long]("n_frames") == 4L)
+  }
+
+  test("decodeMeta (mapPartitions stub) agrees with the expression path") {
+    val expr = Multimodal.extractMeta(docs).orderBy("doc_id").collect().toSeq
+    val mp = Multimodal.decodeMeta(spark, docs).orderBy("doc_id").collect().toSeq
+    assert(expr == mp)
+  }
+}
