@@ -11,6 +11,73 @@ import org.apache.spark.sql.DataFrame
   */
 object Drafter {
 
+  /** Draft a revised contract from validation feedback — the twin of the
+    * reference's `draft_from_validation_result`
+    * (`contracts/backend/drafting.py:204-365`): only produced when the
+    * validation carried errors or warnings; the base is minor-bumped with
+    * a draft suffix, observed field types/nullability overwrite the
+    * declared ones, and quality rules the data violated are dropped. A
+    * change log lands in customProperties.
+    *
+    * Deviation: the reference extends enum rules with newly-observed
+    * values (it carries observed value sets); graft's one-pass metrics
+    * don't, so violated enums are dropped like other violated rules. */
+  def fromValidation(
+      validation: graft.quality.ValidationResult,
+      baseContract: Contract,
+      bump: String = "minor",
+      draftContext: Map[String, String] = Map.empty
+  ): Option[Contract] = {
+    if (validation.errors.isEmpty && validation.warnings.isEmpty) return None
+    val bumped = SemVer.tryParse(baseContract.version).getOrElse(SemVer(0, 1, 0)).bump(bump)
+    val suffix = if (draftContext.nonEmpty) "ctx-draft" else "draft"
+    val log = Seq.newBuilder[String]
+
+    val newSchema = baseContract.schema.map { obj =>
+      obj.copy(properties = obj.properties.map { f =>
+        val observed = validation.schema.get(f.name)
+        val newType = observed.map(_.odcsType).orElse(f.physicalType.orElse(f.logicalType))
+        if (observed.exists(o => f.odcsType != OdcsTypes.canonical(o.odcsType)))
+          log += s"${f.name}: type ${f.odcsType} -> ${observed.get.odcsType}"
+        val nowRequired = observed.map(o => !o.nullable).getOrElse(f.required)
+        if (f.required && !nowRequired) log += s"${f.name}: relaxed required"
+        val keptQuality = f.quality.filter { dq =>
+          val violated = ruleKeyOf(dq, f.name).exists(k =>
+            validation.metrics.get(s"violations.$k").exists {
+              case n: Number => n.longValue > 0
+              case _         => false
+            })
+          if (violated) log += s"${f.name}: dropped violated rule ${ruleKeyOf(dq, f.name).getOrElse("?")}"
+          !violated
+        }
+        f.copy(physicalType = newType, required = nowRequired, quality = keptQuality)
+      })
+    }
+
+    Some(baseContract.copy(
+      version = s"$bumped-$suffix",
+      status = Some("draft"),
+      schema = newSchema,
+      customProperties = baseContract.customProperties ++ draftContext ++ Map(
+        "base_contract" -> s"${baseContract.id}:${baseContract.version}",
+        "validation_errors" -> validation.errors.mkString("; "),
+        "draft_change_log" -> log.result().mkString("; "))))
+  }
+
+  /** Metric key a per-field quality rule reports under, if countable. */
+  private def ruleKeyOf(dq: QualityRule, field: String): Option[String] = {
+    if (dq.mustBeGreaterThan.isDefined) Some(s"gt_$field")
+    else if (dq.mustBeGreaterOrEqualTo.isDefined) Some(s"ge_$field")
+    else if (dq.mustBeLessThan.isDefined) Some(s"lt_$field")
+    else if (dq.mustBeLessOrEqualTo.isDefined) Some(s"le_$field")
+    else dq.rule.map(_.toLowerCase) match {
+      case Some("enum")   => Some(s"enum_$field")
+      case Some("regex")  => Some(s"regex_$field")
+      case Some("unique") => Some(s"unique_$field")
+      case _              => None
+    }
+  }
+
   /** Draft version string: patch-bumped base with a `draft` suffix. */
   def draftVersion(baseVersion: String, hasContext: Boolean = false): String = {
     val bumped = SemVer.tryParse(baseVersion).getOrElse(SemVer(0, 1, 0)).bump("patch")

@@ -1,0 +1,70 @@
+package graft.io
+
+import graft.align.ApplyContract
+import graft.contracts.Contract
+import graft.quality._
+import graft.strategies.{NoOpStrategy, ViolationStrategy}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Governed merge/upsert writes — the Spark-native counterpart of the
+  * reference's Delta `merge_with_governance` (`spark/io/merge.py:127`).
+  *
+  * Without a transactional table format, an upsert is a snapshot rewrite:
+  * keep target rows whose key is absent from the source (left_anti), union
+  * the validated+aligned source, write to a staging directory, then swap
+  * directories. The join is key-partitioned (one shuffle each side); at
+  * 100 TB the same code runs against a partitioned layout where only the
+  * touched partitions need rewriting — or against Delta's MERGE, which
+  * this call-shape maps onto 1:1.
+  */
+object MergeIO {
+
+  def upsert(
+      df: DataFrame,
+      path: String,
+      contract: Contract,
+      keys: Seq[String],
+      format: String = "parquet",
+      strategy: ViolationStrategy = NoOpStrategy,
+      autoCast: Boolean = true
+  ): WriteResult = {
+    require(keys.nonEmpty, "merge keys must not be empty")
+    val spark = df.sparkSession
+    val specs = Expectations.fromContract(contract)
+
+    // validate the input frame (pre-align) — one metrics pass, as in write()
+    val metrics: Map[String, Any] =
+      if (specs.exists(s => s.rule == "query" && s.query.isDefined))
+        Metrics.computeWithQueries(df, specs, spark)
+      else Metrics.compute(df, specs)
+    val validation = Evaluator.evaluate(contract, SchemaSnapshot.of(df).toMap, metrics)
+    val aligned = ApplyContract.align(df, contract, autoCast)
+    val plan = strategy.plan(aligned, specs, validation)
+    plan.failWith.foreach { msg =>
+      throw new IllegalStateException(s"$msg: ${validation.errors.mkString("; ")}")
+    }
+    val source = plan.primary.map(_.df).getOrElse(aligned)
+
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(target)) {
+        val existing = spark.read.format(format).load(path)
+        existing.join(source.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+            keys, "left_anti")
+          .unionByName(source)
+      } else source
+
+    // snapshot swap: write staging, move old aside, promote, drop old
+    val staging = new Path(path.stripSuffix("/") + "__staging")
+    val retired = new Path(path.stripSuffix("/") + "__old")
+    merged.write.format(format).mode("overwrite").save(staging.toString)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(target)) fs.rename(target, retired)
+    fs.rename(staging, target)
+    if (fs.exists(retired)) fs.delete(retired, true)
+
+    WriteResult(validation, Seq(path), validation.warnings ++ plan.primary.toSeq.flatMap(_.warnings))
+  }
+}

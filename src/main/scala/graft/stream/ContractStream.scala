@@ -85,7 +85,9 @@ object ContractStream {
   /** Governed streaming write: align, observe, and write each micro-batch
     * through the batch governance path (`foreachBatch` → [[ContractIO]]),
     * mirroring the reference's per-batch validation attach
-    * (`streaming.py:236`). Violation strategies apply per batch. */
+    * (`streaming.py:236`). Violation strategies apply per batch; the
+    * intervention strategy can stop the stream (`streaming.py:82-93`),
+    * and every batch verdict is published to the observation sink. */
   def write(
       df: DataFrame,
       path: String,
@@ -94,6 +96,8 @@ object ContractStream {
       format: String = "parquet",
       strategy: ViolationStrategy = NoOpStrategy,
       autoCast: Boolean = true,
+      intervention: StreamingInterventionStrategy = NoOpStreamingInterventionStrategy,
+      sink: graft.obs.ObservationSink = graft.obs.LogObservationSink,
       onBatch: (Long, graft.io.WriteResult) => Unit = (_, _) => ()
   ): StreamingQuery =
     df.writeStream
@@ -101,7 +105,12 @@ object ContractStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val result = ContractIO.write(batch, path, contract,
           format = format, mode = "append", strategy = strategy, autoCast = autoCast)
+        sink.record(contract.id, Some(batchId), result.validation.metrics, result.validation)
         onBatch(batchId, result)
+        intervention.decide(StreamingInterventionContext(
+          batchId, result.validation, contract.id, contract.version)).foreach { reason =>
+          throw new StreamingInterventionException(reason)
+        }
       }
       .start()
 
