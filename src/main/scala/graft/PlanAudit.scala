@@ -1,0 +1,22 @@
+package graft
+// Per-round plan audit: dumps formatted physical plans of the headline
+// queries so pushdown/broadcast/shuffle regressions are visible in review.
+// Findings are summarised in PERF.md.
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    for (q <- Bench.headline ++ Seq("q_apply_contract", "q_dedup_embedding")) {
+      println(s"\n================ $q ================")
+      val df = SparkEntry.queries(q)(spark, sf)
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

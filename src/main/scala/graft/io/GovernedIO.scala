@@ -1,0 +1,57 @@
+package graft.io
+
+import graft.contracts.{Contract, ContractStore}
+import graft.strategies.{NoOpStrategy, ViolationStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dataset-id-level governed IO: contract resolution (store) + location
+  * resolution (locator) + validated read/write — the top of the
+  * reference's pipeline API (`spark/io/read.py:241`, `write.py:107`),
+  * where callers speak dataset ids, not paths.
+  *
+  * {{{
+  * val gov = GovernedIO(store, ContractVersionLocator(spark, "/lake"))
+  * val ReadResult(df, v) = gov.read(spark, "sales.orders")
+  * gov.write(df2, "sales.orders", strategy = SplitStrategy())
+  * }}}
+  */
+final case class GovernedIO(store: ContractStore, locator: DatasetLocator) {
+
+  /** Resolve the contract for a dataset id: pinned version or SemVer-latest. */
+  def contractFor(datasetId: String, version: Option[String] = None): Contract =
+    version.flatMap(v => store.get(datasetId, v)).orElse(store.latest(datasetId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no contract for dataset $datasetId${version.fold("")(" @ " + _)}"))
+
+  def read(
+      spark: SparkSession,
+      datasetId: String,
+      contractVersion: Option[String] = None,
+      datasetVersion: Option[String] = None,
+      enforce: Boolean = false
+  ): ReadResult = {
+    val contract = contractFor(datasetId, contractVersion)
+    val res = locator.forRead(datasetId, Some(contract), datasetVersion)
+    val path = res.path.getOrElse(throw new IllegalArgumentException(
+      s"locator resolved no path for dataset $datasetId"))
+    ContractIO.read(spark, path, contract,
+      format = res.format.getOrElse("parquet"), options = res.options, enforce = enforce)
+  }
+
+  def write(
+      df: DataFrame,
+      datasetId: String,
+      contractVersion: Option[String] = None,
+      datasetVersion: Option[String] = None,
+      mode: String = "overwrite",
+      strategy: ViolationStrategy = NoOpStrategy
+  ): WriteResult = {
+    val contract = contractFor(datasetId, contractVersion)
+    val res = locator.forWrite(datasetId, Some(contract), datasetVersion)
+    val path = res.path.getOrElse(throw new IllegalArgumentException(
+      s"locator resolved no path for dataset $datasetId"))
+    ContractIO.write(df, path, contract,
+      format = res.format.getOrElse("parquet"), mode = mode,
+      options = res.options, strategy = strategy)
+  }
+}

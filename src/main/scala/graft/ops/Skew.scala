@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for shuffle joins whose key distribution is
+  * heavy-tailed (the classic 100 TB failure mode AQE's skew-join split
+  * doesn't always catch, e.g. aggregation-free joins or stateful stages).
+  *
+  * `saltedJoin` spreads each hot left-side key over `salts` shuffle
+  * partitions by appending a salt to the join key and replicating the
+  * right side once per salt value. Right-side replication costs
+  * `salts ×` that side, so use it with a modest factor on the smaller
+  * input — or pre-filter to only the known-hot keys. */
+object Skew {
+
+  /** Inner-join `left` with `right` on `keys`, salting the shuffle.
+    *
+    * The left side gets a uniform random-ish salt derived from a stable
+    * row hash (deterministic per row content, no `rand()` so retries and
+    * speculative tasks agree); the right side is exploded across all
+    * salt values. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      salts: Int = 8
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltCol = pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts))
+    val saltedLeft = left.withColumn("_graft_salt", saltCol)
+    val saltedRight = right.withColumn("_graft_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedLeft.join(saltedRight, keys :+ "_graft_salt")
+      .drop("_graft_salt")
+  }
+
+  /** Keys whose frequency exceeds `threshold` rows — the candidates for
+    * salting or separate broadcast handling. One aggregation pass. */
+  def hotKeys(df: DataFrame, keys: Seq[String], threshold: Long): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") >= threshold)
+
+  /** Two-path skew join: hot keys (from a one-pass frequency count)
+    * broadcast-join, the long tail shuffle-joins, results unioned.
+    * The standard plan for star joins with a handful of mega-keys. */
+  def hotColdJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      hotThreshold: Long
+  ): DataFrame = {
+    val hot = hotKeys(left, keys, hotThreshold).select(keys.map(col): _*)
+    val leftHot = left.join(broadcast(hot), keys, "left_semi")
+    val leftCold = left.join(broadcast(hot), keys, "left_anti")
+    val rightHot = right.join(broadcast(hot), keys, "left_semi")
+    leftHot.join(broadcast(rightHot), keys)
+      .unionByName(leftCold.join(right, keys))
+  }
+}

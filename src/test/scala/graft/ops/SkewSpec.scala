@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = (Seq.fill(100)(1L) ++ Seq(2L, 3L)).zipWithIndex
+    .map { case (k, i) => (k, i) }.toDF("k", "lv")
+  private def right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "rv")
+
+  test("saltedJoin matches the plain join exactly") {
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv").collect().toSet
+    val salted = Skew.saltedJoin(left, right, Seq("k"), salts = 4)
+      .select("k", "lv", "rv").collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 101) // 100 hot matches + 1
+  }
+
+  test("hotKeys finds only the heavy key; hotColdJoin matches plain join") {
+    val hot = Skew.hotKeys(left, Seq("k"), threshold = 50).collect()
+    assert(hot.map(_.getLong(0)).toSeq == Seq(1L))
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv").collect().toSet
+    val hc = Skew.hotColdJoin(left, right, Seq("k"), hotThreshold = 50)
+      .select("k", "lv", "rv").collect().toSet
+    assert(hc == plain)
+  }
+}
+
+class GovernedIOSpec extends SparkSpec {
+  import graft.DemoContracts
+  import graft.contracts.FsContractStore
+  import graft.io._
+
+  test("dataset-id round trip: store + version locator + governed read/write") {
+    val root = tmpDir("graft_gov")
+    val store = new FsContractStore(s"$root/contracts")
+    store.put(DemoContracts.lineitemAlign)
+    val gov = GovernedIO(store, ContractVersionLocator(spark, s"$root/lake"))
+    val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val w = gov.write(li, "sales.lineitem_slim")
+    assert(w.writtenPaths.head.endsWith("/sales.lineitem_slim/0.3.0"))
+    val r = gov.read(spark, "sales.lineitem_slim")
+    assert(r.df.columns.toSeq == DemoContracts.lineitemAlign.properties.map(_.name))
+    assert(r.df.count() == li.count())
+    assert(r.validation.ok)
+    intercept[IllegalArgumentException](gov.read(spark, "no.such.dataset"))
+  }
+}
