@@ -8,19 +8,27 @@ import org.apache.spark.sql.types._
 /** Embedding similarity operators: cosine near-dup pairs, brute-force ANN,
   * and IVF-style clustered ANN.
   *
-  * Dot products are `zip_with`+`aggregate` folds in double precision —
-  * codegen-friendly, no UDF. Norms are precomputed once per row as a
-  * projection so pair scoring is one multiply-divide per candidate.
-  * Scale shape: near-dup is label-blocked (join key), brute-force ANN is
-  * broadcast(probes) × one corpus scan (no shuffle of the corpus), IVF
-  * prunes the corpus to the probed clusters.
+  * Dot products go through the codegen'd [[graft.functions.DotProduct]]
+  * expression (sessions must install [[graft.functions.GraftExtensions]];
+  * [[dotFold]] is the extension-free composable equivalent, bit-identical
+  * results). Norms are precomputed once per row as a projection so pair
+  * scoring is one multiply-divide per candidate. Scale shape: near-dup is
+  * label-blocked (join key), brute-force ANN is broadcast(probes) × one
+  * corpus scan (no shuffle of the corpus), IVF prunes the corpus to the
+  * probed clusters.
   */
 object VectorOps {
 
   /** array<float> → array<double>, so all scoring runs in double. */
   def vecD(c: Column): Column = transform(c, _.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
+  /** Native allocation-free dot product (requires GraftExtensions). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Composable fallback: same ascending-order accumulation, so results
+    * are bit-identical to [[dot]] — usable on sessions without the
+    * extension, at the cost of a zipped intermediate array per row. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))

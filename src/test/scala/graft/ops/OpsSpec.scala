@@ -146,3 +146,26 @@ class MultimodalSpec extends SparkSpec {
     assert(expr == mp)
   }
 }
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("graft_dot: codegen expression matches the fold bit-for-bit incl. nulls") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0, 2.0, 3.0))),
+      (Some(Seq(0.1, 0.2, 0.3)), Some(Seq(0.9, 0.8, 0.7)))
+    ).toDF("a", "b")
+    val out = df.select(
+      VectorOps.dot(col("a"), col("b")).as("fast"),
+      VectorOps.dotFold(col("a"), col("b")).as("fold")).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1)) // null-intolerant
+    assert(out.filter(r => !r.isNullAt(0)).forall(r => r.getDouble(0) == r.getDouble(1)))
+    intercept[Exception] {
+      Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+        .select(VectorOps.dot(col("a"), col("b"))).collect()
+    }
+  }
+}
