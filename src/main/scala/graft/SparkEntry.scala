@@ -101,6 +101,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
     "q_dedup_minhash" -> ((s, d) => NearDup.minhashPairs(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => NearDup.simhashPairs(t(s, d, "documents"))),
+    "q_winnow_pairs" -> ((s, d) => NearDup.winnowPairs(t(s, d, "documents"))),
     "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
     "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(t(s, d, "embeddings"))),
@@ -216,6 +217,7 @@ object SparkEntry {
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  CAST($ntok AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe,
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len(regexp_extract_all(text, '$punct')) AS BIGINT) AS n_punct,
          |  CAST(len(regexp_extract_all(text, '$punct')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,

@@ -16,11 +16,12 @@ object NearDup {
     * referencing an expression here would inline it into every
     * `element_at` of the lambda — Catalyst duplicates, not CSEs, subtrees
     * inside higher-order functions, turning tokenisation O(n²). */
-  def shinglesOf(toks: Column, k: Int = 3): Column =
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+  def shinglesOf(toks: Column, k: Int = 3, distinct: Boolean = true): Column = {
+    val positional = transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= k, if (distinct) array_distinct(positional) else positional)
       .otherwise(array(concat_ws(" ", toks)))
+  }
 
   /** (doc_id, nsh, shingle) exploded view of the distinct shingle sets.
     * The token array is materialised through a Generate barrier
@@ -103,6 +104,42 @@ object NearDup {
               (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken-style):
+    * hash every k-shingle, slide a window of `w` hashes, keep each
+    * window's minimum — a deterministic ~1/w sample of the shingle hashes
+    * that any sufficiently long match must share. Pure projections behind
+    * Generate barriers, exploded to (doc_id, fingerprint) rows; matching
+    * fingerprints are join keys for plagiarism-style overlap detection. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, window: Int = 4): DataFrame = {
+    val withSh = docs
+      .select(col("doc_id"),
+        explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
+      .select(col("doc_id"),
+        explode(array(shinglesOf(col("toks"), k, distinct = false))).as("sh"))
+    val hashes = transform(col("sh"), s => xxhash64(s))
+    val withH = withSh.select(col("doc_id"), explode(array(hashes)).as("h"))
+    val mins = when(size(col("h")) >= window,
+        transform(sequence(lit(0), size(col("h")) - window),
+          i => array_min(slice(col("h"), i + 1, lit(window)))))
+      .otherwise(array(array_min(col("h"))))
+    withH
+      .select(col("doc_id"), explode(array_distinct(mins)).as("fingerprint"))
+  }
+
+  /** Overlapping-fingerprint pairs from winnowed fingerprints: documents
+    * sharing ≥ minCommon winnowed hashes. The fingerprint IS the blocking
+    * key, so only genuinely overlapping pairs are ever grouped. */
+  def winnowPairs(docs: DataFrame, k: Int = 3, window: Int = 4, minCommon: Int = 3): DataFrame = {
+    val fp = winnowFingerprints(docs, k, window)
+    val a = fp.select(col("doc_id").as("doc_a"), col("fingerprint"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("fingerprint"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common_fingerprints"))
+      .filter(col("common_fingerprints") >= minCommon)
   }
 
   /** 64-bit term-frequency SimHash per document: explode tokens, hash each,

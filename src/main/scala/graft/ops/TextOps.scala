@@ -27,6 +27,17 @@ object TextOps {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("\\S+")).cast(LongType)
 
+  /** BPE-ish subword pattern: greedy ≤4-char word-character chunks plus
+    * one token per non-word symbol — a cheap, deterministic proxy for BPE
+    * vocabulary token counts (both Java regex and RE2 match `\w` as ASCII
+    * word chars with leftmost-greedy semantics, so the count is
+    * engine-stable). */
+  val BpeIshPattern = "\\w{1,4}|[^\\w\\s]"
+
+  /** Approximate LLM token count of `text` under [[BpeIshPattern]]. */
+  def tokenCountBpeIsh(text: Column): Column =
+    regexp_count(text, lit(BpeIshPattern)).cast(LongType)
+
   /** doc_id, n_tokens, n_chars, n_punct, punct_ratio, avg_token_len. */
   def textStats(docs: DataFrame): DataFrame = {
     val nTokens = tokenCount(col("text"))
@@ -36,6 +47,7 @@ object TextOps {
     docs.select(
       col("doc_id"),
       nTokens.as("n_tokens"),
+      tokenCountBpeIsh(col("text")).as("n_tokens_bpe"),
       nChars.as("n_chars"),
       nPunct.as("n_punct"),
       (nPunct.cast(DoubleType) / greatest(nChars, lit(1L))).as("punct_ratio"),

@@ -73,16 +73,48 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** IVF-style ANN: deterministic centroid sample (lowest vec_ids), assign
-    * every vector to its nearest centroid (broadcast centroids × one corpus
-    * scan), then search only the `nProbeClusters` closest clusters per
-    * probe. At scale the cluster assignment is the partition key, so a
-    * probe touches ~nProbe/nCentroids of the corpus. */
-  def annIvf(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
-             nProbeClusters: Int = 2, topK: Int = 5): DataFrame = {
-    val e = prepared(embeddings)
-    val cents = e.filter(col("vec_id") < nCentroids)
+  /** Lloyd k-means over the corpus, expressed as DataFrame ops: assign via
+    * broadcast(centroids) × corpus scan + argmax-cosine row_number, then
+    * recompute centroids as element-wise means (posexplode → groupBy
+    * (cluster, dim) → rebuild arrays with order restored by sort_array).
+    * Deterministic: seeds are the lowest vec_ids, ties break on cid.
+    * Each iteration is one corpus scan + one (cluster, dim)-keyed shuffle
+    * whose size is k × dim — independent of corpus size. */
+  def kmeansCentroids(e: DataFrame, k: Int, iterations: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 0 until iterations) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("cid"), col("v"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .withColumn("cn", l2norm(col("cv")))
+    }
+    cents
+  }
+
+  /** IVF-style ANN: deterministic centroid seed (lowest vec_ids), optional
+    * Lloyd refinement, assign every vector to its nearest centroid
+    * (broadcast centroids × one corpus scan), then search only the
+    * `nProbeClusters` closest clusters per probe. At scale the cluster
+    * assignment is the partition key, so a probe touches
+    * ~nProbeClusters/nCentroids of the corpus. */
+  def annIvf(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
+             nProbeClusters: Int = 2, topK: Int = 5, kmeansIters: Int = 0): DataFrame = {
+    val e = prepared(embeddings)
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(e, nCentroids, kmeansIters)
+      else e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
 
     def nearestClusters(points: DataFrame, idCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))

@@ -44,8 +44,14 @@ object ContractStream {
     df.observe(ObservationName, exprs.head, exprs.tail: _*)
   }
 
-  /** Governed streaming read: `readStream` → observe → align. Alignment is
-    * a projection, so column pruning still reaches the streaming source. */
+  /** Governed streaming read: `readStream` → observe → align. File-based
+    * streams need an explicit schema: for self-describing formats
+    * (parquet/orc) it is inferred once from the files present at start —
+    * the contract then applies through the align *cast*, since parquet
+    * scans cannot coerce physical types — while text formats (csv/json)
+    * read contract-first, so drifted files surface as nulls/violations
+    * instead of inference surprises. Alignment is a projection, so column
+    * pruning still reaches the streaming source. */
   def read(
       spark: SparkSession,
       path: String,
@@ -54,7 +60,15 @@ object ContractStream {
       options: Map[String, String] = Map.empty,
       autoCast: Boolean = true
   ): DataFrame = {
-    val raw = spark.readStream.format(format).options(options).load(path)
+    val sourceSchema = format match {
+      case "parquet" | "orc" =>
+        scala.util.Try(spark.read.format(format).options(options).load(path).schema)
+          .getOrElse(ApplyContract.toStructType(contract))
+      case _ => ApplyContract.toStructType(contract)
+    }
+    val raw = spark.readStream
+      .schema(sourceSchema)
+      .format(format).options(options).load(path)
     ApplyContract.align(observed(raw, contract), contract, autoCast)
   }
 

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeIshSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BPE-ish token count: 4-char chunks + symbols, more tokens than words") {
+    val df = Seq((1L, "internationalization rocks!"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.tokenCountBpeIsh(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    // "internationalization"(20) -> 5 chunks, "rocks" -> 2, "!" -> 1
+    assert(out(0) == 8L)
+    assert(out(1) == 0L)
+    assert(out(2) == 2L)
+  }
+}
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (3L, "PREFIX alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (4L, "one two three four five six seven eight nine ten eleven twelve")
+  ).toDF("doc_id", "text")
+
+  test("identical docs share all winnowed fingerprints; shifted docs share most") {
+    val fp = NearDup.winnowFingerprints(docs)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fp(1L) == fp(2L))
+    // a one-token prefix shifts windows but winnowing still shares minima
+    assert(fp(1L).intersect(fp(3L)).size >= fp(1L).size / 2)
+    assert(fp(1L).intersect(fp(4L)).isEmpty)
+  }
+
+  test("winnowPairs blocks on fingerprints and finds the overlapping pairs") {
+    val pairs = NearDup.winnowPairs(docs, minCommon = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
+
+class KMeansIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans centroids converge to the two obvious clusters") {
+    val e = VectorOps.prepared(Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0), (2L, Array(0.95f, 0.05f), 0),
+      (10L, Array(0.0f, 1.0f), 1), (3L, Array(0.1f, 0.9f), 1), (4L, Array(0.05f, 0.95f), 1)
+    ).toDF("vec_id", "embedding", "label"))
+    val cents = VectorOps.kmeansCentroids(e, k = 2, iterations = 3).collect()
+    assert(cents.length == 2)
+    val vecs = cents.map(_.getSeq[Double](1))
+    // one centroid dominated by dim0, the other by dim1
+    assert(vecs.exists(v => v.head > v(1) * 5))
+    assert(vecs.exists(v => v(1) > v.head * 5))
+  }
+
+  test("annIvf with kmeans refinement keeps or improves brute-force recall") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = VectorOps.annBrute(e, nProbes = 5, topK = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.annIvf(e, nCentroids = 8, nProbes = 5,
+      nProbeClusters = 4, topK = 3, kmeansIters = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.intersect(brute).size >= brute.size / 2)
+  }
+}
+
+class StreamReadSpec extends SparkSpec {
+
+  test("contract-first streaming read: contract supplies the file-stream schema") {
+    import graft.DemoContracts
+    val src = tmpDir("graft_sread_src")
+    graft.T.load(spark, "/root/testdata/sf0.001", "lineitem").write
+      .mode("overwrite").parquet(src)
+    val stream = graft.stream.ContractStream.read(spark, src, DemoContracts.lineitemAlign)
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == DemoContracts.lineitemAlign.properties.map(_.name))
+    val q = stream.writeStream.format("memory").queryName("sread_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sread_out")
+      assert(out.count() == 6000)
+      assert(out.schema("l_quantity").dataType == org.apache.spark.sql.types.LongType)
+    } finally q.stop()
+  }
+}
