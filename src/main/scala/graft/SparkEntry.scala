@@ -261,6 +261,27 @@ object SparkEntry {
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |  FROM documents)
         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |sh AS (
+        |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |  FROM e a
+        |  JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |n AS (SELECT doc_id, count(*) AS nsh FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM d x JOIN d y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) AS jaccard
+        |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+        |WHERE round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) >= 0.7""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -45,8 +45,13 @@ object ContractIO {
       options: Map[String, String] = Map.empty,
       autoCast: Boolean = true,
       collectMetrics: Boolean = true,
-      enforce: Boolean = false
+      enforce: Boolean = false,
+      interceptors: Seq[GovernanceInterceptor] = Nil,
+      statusPolicy: Option[ReadStatusPolicy] = None
   ): ReadResult = {
+    statusPolicy.foreach(_.check(contract))
+    val ctx = InterceptorContext("read", None, Some(path), Some(contract))
+    interceptors.foreach(_.preRead(ctx))
     val raw = spark.read.format(format).options(options).load(path)
     val specs = Expectations.fromContract(contract)
     val metrics: Map[String, Any] =
@@ -55,7 +60,8 @@ object ContractIO {
     if (enforce && !validation.ok)
       throw new IllegalStateException(
         s"contract ${contract.id}:${contract.version} violated on read: ${validation.errors.mkString("; ")}")
-    ReadResult(ApplyContract.align(raw, contract, autoCast), validation)
+    val aligned = ApplyContract.align(raw, contract, autoCast)
+    ReadResult(interceptors.foldLeft(aligned)((df, i) => i.postRead(ctx, df)), validation)
   }
 
   def write(
@@ -66,10 +72,13 @@ object ContractIO {
       mode: String = "error",
       options: Map[String, String] = Map.empty,
       strategy: ViolationStrategy = NoOpStrategy,
-      autoCast: Boolean = true
+      autoCast: Boolean = true,
+      interceptors: Seq[GovernanceInterceptor] = Nil
   ): WriteResult = {
+    val ctx = InterceptorContext("write", None, Some(path), Some(contract))
+    val df0 = interceptors.foldLeft(df)((d, i) => i.preWrite(ctx, d))
     val specs = Expectations.fromContract(contract)
-    val schema = SchemaSnapshot.of(df).toMap
+    val schema = SchemaSnapshot.of(df0).toMap
     // observe can't express count_distinct (unique) or custom SQL (query)
     val observable = !strategy.gatesOnVerdict &&
       !specs.exists(s => s.rule == "unique" || s.rule == "query")
@@ -87,8 +96,8 @@ object ContractIO {
       if (observable) {
         // metrics ride the primary write: one scan total
         val obs = Observation("graft_dq_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-        val exprs = Metrics.aggregateExprs(specs, df.columns.toSet)
-        val observed = df.observe(obs, exprs.head, exprs.tail: _*)
+        val exprs = Metrics.aggregateExprs(specs, df0.columns.toSet)
+        val observed = df0.observe(obs, exprs.head, exprs.tail: _*)
         val aligned = ApplyContract.align(observed, contract, autoCast)
         val plan = strategy.plan(aligned, specs,
           ValidationResult(ok = true, Nil, Nil, Map.empty, schema))
@@ -101,9 +110,9 @@ object ContractIO {
         Evaluator.evaluate(contract, schema, metrics)
       } else {
         // one metrics pre-scan on the input, then plan against the verdict
-        val metrics = metricsOf(df, specs)
+        val metrics = metricsOf(df0, specs)
         val v = Evaluator.evaluate(contract, schema, metrics)
-        val aligned = ApplyContract.align(df, contract, autoCast)
+        val aligned = ApplyContract.align(df0, contract, autoCast)
         val plan = strategy.plan(aligned, specs, v)
         // strict strategies abort before anything is written
         plan.failWith.foreach { msg =>
@@ -113,6 +122,8 @@ object ContractIO {
         plan.additional.foreach(execute)
         v
       }
-    WriteResult(validation, written.result(), validation.warnings ++ warnings.result())
+    val result = WriteResult(validation, written.result(), validation.warnings ++ warnings.result())
+    interceptors.foreach(_.postWrite(ctx, result))
+    result
   }
 }
