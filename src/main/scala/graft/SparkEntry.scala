@@ -306,6 +306,30 @@ object SparkEntry {
         |  cosine
         |FROM s
         |QUALIFY "rank" <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cid FROM n CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1),
+        |p AS (SELECT vec_id AS pid, v AS pv, nrm AS pn FROM n WHERE vec_id < 10),
+        |pc AS (
+        |  SELECT pid, pv, pn, cid FROM p CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY pid
+        |    ORDER BY round(list_dot_product(pv, cv) / (pn * cn), 6) DESC, cid ASC) <= 2),
+        |s AS (
+        |  SELECT pid AS probe_id, a.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, a.v) / (pn * a.nrm), 6) AS cosine
+        |  FROM pc JOIN assign a USING (cid) WHERE a.vec_id <> pid)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS "rank",
+        |  cosine
+        |FROM s
+        |QUALIFY "rank" <= 5""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
