@@ -75,11 +75,14 @@ final case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Session extension registering graft's native functions. */
+/** Session extension registering graft's native functions and the
+  * fold→native optimizer rewrite. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectOptimizerRule(_ => RewriteDotFold)
+  }
 }

@@ -71,3 +71,27 @@ class ContractIOSpec extends SparkSpec {
     }
   }
 }
+
+class FormatsSpec extends SparkSpec {
+  import graft.{DemoContracts, T}
+
+  test("governed IO round-trips csv and json with contract-driven casts") {
+    val li = T.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+    for (fmt <- Seq("csv", "json")) {
+      val out = tmpDir(s"graft_fmt_$fmt")
+      ContractIO.write(li, out, DemoContracts.lineitemAlign, format = fmt,
+        mode = "overwrite", options = if (fmt == "csv") Map("header" -> "true") else Map.empty)
+      val r = ContractIO.read(spark, out, DemoContracts.lineitemAlign, format = fmt,
+        options = if (fmt == "csv") Map("header" -> "true") else Map.empty)
+      assert(r.df.count() == li.count(), s"$fmt row count")
+      assert(r.df.columns.toSeq == DemoContracts.lineitemAlign.properties.map(_.name), s"$fmt columns")
+      // text formats come back as strings; the align cast restores types
+      assert(r.df.schema("l_quantity").dataType == org.apache.spark.sql.types.LongType, s"$fmt cast")
+      val q = r.df.agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0).getLong(0)
+      val expected = li.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("l_quantity").cast("long"))).collect()(0).getLong(0)
+      assert(q == expected, s"$fmt values")
+    }
+  }
+}
