@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed top-k-per-key aggregation.
+  *
+  * The window formulation (`row_number over (partition by k order by s)
+  * <= n`) shuffles EVERY row and fully sorts each partition — O(n log n)
+  * per key and no map-side reduction. This `Aggregator` keeps a bounded
+  * k-sized buffer, so Spark runs it with partial aggregation: each input
+  * partition reduces to ≤ k rows per key before the shuffle, the exchange
+  * carries O(keys × k) rows, and total work is O(n log k). At 100 TB of
+  * scored candidates that is the difference between shuffling the
+  * candidate set and shuffling the answer.
+  *
+  * Results are deterministic: ties on score break on the smaller id
+  * (matching the `cosine DESC, id ASC` ordering the query surface uses).
+  */
+object TopK {
+
+  /** (id, score) pair ordered by score desc, then id asc. */
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  /** Insert into a descending-sorted bounded buffer. */
+  private def insert(buf: List[(Long, Double)], x: (Long, Double), k: Int): List[(Long, Double)] = {
+    val (pre, post) = buf.span(better(_, x))
+    val merged = pre ::: (x :: post)
+    if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+  }
+
+  /** Aggregator over (key, id, score) tuples keeping the k best
+    * (id, score) pairs. */
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Long, Long, Double), List[(Long, Double)], Seq[(Long, Double)]] {
+    override def zero: List[(Long, Double)] = Nil
+    override def reduce(b: List[(Long, Double)], a: (Long, Long, Double)): List[(Long, Double)] =
+      insert(b, (a._2, a._3), k)
+    override def merge(x: List[(Long, Double)], y: List[(Long, Double)]): List[(Long, Double)] =
+      y.foldLeft(x)((acc, e) => insert(acc, e, k))
+    override def finish(r: List[(Long, Double)]): Seq[(Long, Double)] = r
+    override def bufferEncoder: Encoder[List[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Double)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  def topK(k: Int): TypedColumn[(Long, Long, Double), Seq[(Long, Double)]] =
+    new TopKByScore(k).toColumn
+
+  /** Top-k rows per key of `(key, id, score)`, returned flat with ranks —
+    * same shape and tiebreaks as the row_number window formulation, but
+    * partial-aggregated before the shuffle. */
+  def topKPerKey(df: DataFrame, keyCol: String, idCol: String,
+                 scoreCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(idCol).cast("long"), col(scoreCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(topK(k))
+      .toDF("key", "top")
+      .select(col("key").as(keyCol),
+        posexplode(col("top")).as(Seq("rank0", "entry")))
+      .select(col(keyCol),
+        col("entry._1").as(idCol),
+        (col("rank0") + 1).cast("long").as("rank"),
+        col("entry._2").as(scoreCol))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerKey matches the row_number window formulation exactly") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val scored = VectorOps.prepared(e).crossJoin(
+        broadcast(VectorOps.prepared(e).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
+      .select("probe_id", "vec_id", "cosine")
+    val viaWindow = VectorOps.annBrute(e, nProbes = 5, topK = 3)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaAgg = TopK.topKPerKey(scored, "probe_id", "vec_id", "cosine", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("bounded buffer keeps deterministic order under merge") {
+    val df = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9), (1L, 13L, 0.1),
+      (2L, 20L, 0.3)
+    ).toDF("k", "id", "s")
+    val out = TopK.topKPerKey(df, "k", "id", "s", 2)
+      .orderBy("k", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // ties on 0.9 break on smaller id
+    assert(out == Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L)))
+  }
+}
