@@ -58,6 +58,23 @@ object Multimodal {
       Row(docId, len, checksum, format, (len % 1280) + 64, ((len * 7) % 720) + 64, (len % 30) + 1)
     }
 
+  /** Frame-sampling plumbing over decoded metadata: one row per sampled
+    * frame index (`0, everyN, 2·everyN, …` up to `n_frames`), with a
+    * deterministic per-frame feature stub derived from (checksum, frame).
+    * The explode is the real Spark shape — a decoder swaps the stub for
+    * actual frame bytes/features without touching the query structure.
+    * Scale: pure Generate + projection, no shuffle; frames scale the row
+    * count, never the driver. */
+  def sampleFrames(meta: DataFrame, everyN: Int = 2): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    meta.select(
+        col("doc_id"), col("checksum"), col("format"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong))).as("frame_idx"))
+      .withColumn("frame_feature",
+        // STUB: deterministic stand-in for a decoded frame embedding/hash
+        md5(concat_ws(":", col("checksum"), col("frame_idx"))))
+  }
+
   /** Per-partition batched decode over (doc_id, payload) — the
     * `mapPartitions` seam a real decoder plugs into. Distributed: each
     * partition decodes its own batch, nothing reaches the driver. */

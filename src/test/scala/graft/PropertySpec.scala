@@ -1,0 +1,93 @@
+package graft
+
+import graft.contracts._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests over ScalaCheck generators with fixed seeds
+  * (scalatestplus bridge is not on the offline classpath, so sampling is
+  * driven manually — deterministic across runs). */
+object ContractGen {
+  private val genType = Gen.oneOf("string", "bigint", "int", "double", "boolean",
+    "date", "timestamp", "decimal", "binary", "float")
+
+  private val genRule: Gen[QualityRule] = for {
+    kind <- Gen.oneOf("gt", "ge", "lt", "le", "enum", "regex", "unique")
+    t <- Gen.chooseNum(-1000000.0, 1000000.0).map(v => BigDecimal(math.round(v * 100) / 100.0))
+    vals <- Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.take(4))
+  } yield kind match {
+    case "gt"    => QualityRule(mustBeGreaterThan = Some(t))
+    case "ge"    => QualityRule(mustBeGreaterOrEqualTo = Some(t))
+    case "lt"    => QualityRule(mustBeLessThan = Some(t))
+    case "le"    => QualityRule(mustBeLessOrEqualTo = Some(t))
+    case "enum"  => QualityRule(rule = Some("enum"), values = vals)
+    case "regex" => QualityRule(rule = Some("regex"), pattern = Some("^[a-z]+$"))
+    case _       => QualityRule(rule = Some("unique"))
+  }
+
+  private val genField: Gen[FieldDef] = for {
+    name <- Gen.identifier.suchThat(_.nonEmpty).map(_.take(20))
+    tpe <- genType
+    req <- Gen.oneOf(true, false)
+    uniq <- Gen.oneOf(true, false)
+    rules <- Gen.listOf(genRule).map(_.take(3))
+  } yield FieldDef(name, Some(tpe), required = req, unique = uniq, quality = rules)
+
+  val genContract: Gen[Contract] = for {
+    id <- Gen.identifier.suchThat(_.nonEmpty).map("c." + _.take(16))
+    ma <- Gen.chooseNum(0, 20); mi <- Gen.chooseNum(0, 20); pa <- Gen.chooseNum(0, 20)
+    fields <- Gen.nonEmptyListOf(genField).map(_.take(8))
+    props <- Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(8)), Gen.alphaNumStr.map(_.take(12)))).map(_.take(3))
+  } yield Contract(id, s"$ma.$mi.$pa", schema = Seq(SchemaObjectDef("t", fields)),
+    customProperties = props)
+
+  def sample[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
+}
+
+class ContractJsonPropertySpec extends AnyFunSuite {
+
+  test("generated contracts survive a JSON round-trip exactly (100 cases)") {
+    val cases = ContractGen.sample(ContractGen.genContract, 100, seed = 42L)
+    assert(cases.size > 80) // generators rarely discard, but don't run vacuously
+    cases.foreach { c =>
+      assert(ContractJson.fromJson(ContractJson.toJson(c)) == c, ContractJson.toJson(c))
+    }
+  }
+
+  test("expectation derivation is deterministic with unique keys (100 cases)") {
+    ContractGen.sample(ContractGen.genContract, 100, seed = 7L).foreach { c =>
+      val s1 = graft.quality.Expectations.fromContract(c)
+      val s2 = graft.quality.Expectations.fromContract(c)
+      assert(s1 == s2)
+      assert(s1.map(_.key).distinct.size == s1.size)
+    }
+  }
+}
+
+class SemVerPropertySpec extends AnyFunSuite {
+  private val genVer = for {
+    a <- Gen.chooseNum(0, 99); b <- Gen.chooseNum(0, 99); c <- Gen.chooseNum(0, 99)
+    suf <- Gen.option(Gen.oneOf("draft", "rc1", "alpha"))
+  } yield SemVer(a, b, c, suf)
+
+  test("ordering is antisymmetric and parse-stable (200 pairs)") {
+    val vs = ContractGen.sample(genVer, 400, seed = 13L)
+    vs.foreach(v => assert(SemVer.parse(v.toString) == v))
+    vs.grouped(2).collect { case Seq(x, y) => (x, y) }.foreach { case (x, y) =>
+      assert(x.compare(y).sign == -y.compare(x).sign)
+      if (x.compare(y) == 0) assert(x == y)
+    }
+  }
+
+  test("bump strictly increases and clears the suffix") {
+    ContractGen.sample(genVer, 100, seed = 99L).foreach { v =>
+      for (level <- Seq("major", "minor", "patch")) {
+        val bumped = v.bump(level)
+        assert(bumped > v, s"$v bump $level -> $bumped")
+        assert(bumped.suffix.isEmpty)
+      }
+    }
+  }
+}

@@ -169,3 +169,21 @@ class DotProductSpec extends SparkSpec {
     }
   }
 }
+
+class FrameSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sampleFrames explodes deterministic frame rows from metadata") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "xy")).toDF("doc_id", "text") // 8 and 2 bytes
+    val meta = Multimodal.extractMeta(docs)
+    val frames = Multimodal.sampleFrames(meta, everyN = 3).collect()
+    // doc 1: n_frames = 8 % 30 + 1 = 9 -> idx 0,3,6; doc 2: n_frames = 3 -> idx 0
+    val byDoc = frames.groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[Long]("frame_idx")).sorted.toSeq).toMap
+    assert(byDoc(1L) == Seq(0L, 3L, 6L))
+    assert(byDoc(2L) == Seq(0L))
+    // features deterministic per (checksum, frame)
+    val f2 = Multimodal.sampleFrames(meta, everyN = 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("frame_idx"), r.getAs[String]("frame_feature"))).toSet
+    assert(frames.map(r => (r.getLong(0), r.getAs[Long]("frame_idx"), r.getAs[String]("frame_feature"))).toSet == f2)
+  }
+}
