@@ -15,7 +15,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gov.write(df2, "sales.orders", strategy = SplitStrategy())
   * }}}
   */
-final case class GovernedIO(store: ContractStore, locator: DatasetLocator) {
+final case class GovernedIO(
+    store: ContractStore,
+    locator: DatasetLocator,
+    products: Option[graft.products.DataProductBackend] = None) {
+
+  /** Read through a data product's input port: the port binding names the
+    * contract (and pins its version), the locator resolves the data —
+    * reference `read_with_governance` input-binding resolution. */
+  def readPort(
+      spark: SparkSession,
+      productId: String,
+      portName: String,
+      enforce: Boolean = false
+  ): ReadResult = {
+    val backend = products.getOrElse(
+      throw new IllegalStateException("GovernedIO has no DataProductBackend configured"))
+    val port = backend.latest(productId).flatMap(_.findInputPort(portName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"data product $productId has no input port '$portName'"))
+    read(spark, port.contractId, contractVersion = Some(port.version).filter(_.nonEmpty),
+      enforce = enforce)
+  }
+
+  /** Governed write that registers (or refreshes) the product's output
+    * port binding to the contract version written — reference
+    * `write_with_governance` output-binding registration. */
+  def writePort(
+      df: DataFrame,
+      productId: String,
+      portName: String,
+      datasetId: String,
+      mode: String = "overwrite",
+      strategy: ViolationStrategy = NoOpStrategy
+  ): WriteResult = {
+    val backend = products.getOrElse(
+      throw new IllegalStateException("GovernedIO has no DataProductBackend configured"))
+    val contract = contractFor(datasetId)
+    val result = write(df, datasetId, mode = mode, strategy = strategy)
+    backend.registerOutputPort(productId,
+      graft.products.OutputPort(portName, contract.version, contract.id))
+    result
+  }
 
   /** Resolve the contract for a dataset id: pinned version or SemVer-latest. */
   def contractFor(datasetId: String, version: Option[String] = None): Contract =

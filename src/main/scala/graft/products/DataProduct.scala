@@ -1,0 +1,198 @@
+package graft.products
+
+import graft.contracts.SemVer
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** ODPS-lite data-product model — the slice of the Open Data Product
+  * Standard the reference's runtime reads (dc43 `dc43_core/odps.py:62-186`):
+  * input/output ports binding dataset roles to contract versions, plus
+  * lifecycle status and versioning. */
+final case class InputPort(
+    name: String,
+    version: String,
+    contractId: String,
+    customProperties: Map[String, String] = Map.empty)
+
+final case class OutputPort(
+    name: String,
+    version: String,
+    contractId: String,
+    description: Option[String] = None,
+    customProperties: Map[String, String] = Map.empty)
+
+final case class DataProduct(
+    id: String,
+    status: String = "draft",
+    version: Option[String] = None,
+    name: Option[String] = None,
+    inputPorts: Seq[InputPort] = Nil,
+    outputPorts: Seq[OutputPort] = Nil,
+    customProperties: Map[String, String] = Map.empty) {
+
+  def findOutputPort(portName: String): Option[OutputPort] =
+    outputPorts.find(_.name == portName)
+
+  def findInputPort(portName: String): Option[InputPort] =
+    inputPorts.find(_.name == portName)
+
+  /** Add/replace an input port; false when an identical binding exists
+    * (reference `ensure_input_port`). */
+  def ensureInputPort(port: InputPort): (DataProduct, Boolean) =
+    findInputPort(port.name) match {
+      case Some(p) if p.contractId == port.contractId && p.version == port.version => (this, false)
+      case Some(_) => (copy(inputPorts = inputPorts.filterNot(_.name == port.name) :+ port), true)
+      case None    => (copy(inputPorts = inputPorts :+ port), true)
+    }
+
+  def ensureOutputPort(port: OutputPort): (DataProduct, Boolean) =
+    findOutputPort(port.name) match {
+      case Some(p) if p.contractId == port.contractId && p.version == port.version => (this, false)
+      case Some(_) => (copy(outputPorts = outputPorts.filterNot(_.name == port.name) :+ port), true)
+      case None    => (copy(outputPorts = outputPorts :+ port), true)
+    }
+}
+
+object DataProductJson {
+
+  private def props(m: Map[String, String]): List[(String, JValue)] =
+    if (m.isEmpty) Nil
+    else List("customProperties" -> JArray(m.toList.map { case (k, v) =>
+      JObject("property" -> JString(k), "value" -> JString(v))
+    }))
+
+  private def readProps(fields: Map[String, JValue]): Map[String, String] =
+    fields.get("customProperties") match {
+      case Some(JArray(items)) => items.flatMap {
+        case JObject(kv) =>
+          val m = kv.toMap
+          for (JString(k) <- m.get("property"); JString(v) <- m.get("value")) yield k -> v
+        case _ => None
+      }.toMap
+      case _ => Map.empty
+    }
+
+  def toJson(p: DataProduct): String = {
+    def inPort(ip: InputPort): JValue = JObject(List[(String, JValue)](
+      "name" -> JString(ip.name), "version" -> JString(ip.version),
+      "contractId" -> JString(ip.contractId)) ++ props(ip.customProperties): _*)
+    def outPort(op: OutputPort): JValue = JObject(List[(String, JValue)](
+      "name" -> JString(op.name), "version" -> JString(op.version),
+      "contractId" -> JString(op.contractId)) ++
+      op.description.map(d => "description" -> (JString(d): JValue)).toList ++
+      props(op.customProperties): _*)
+    JsonMethods.pretty(JsonMethods.render(JObject(List[(String, JValue)](
+      "apiVersion" -> JString("v1.0.0"),
+      "kind" -> JString("DataProduct"),
+      "id" -> JString(p.id),
+      "status" -> JString(p.status)) ++
+      p.version.map(v => "version" -> (JString(v): JValue)).toList ++
+      p.name.map(n => "name" -> (JString(n): JValue)).toList ++
+      List("inputPorts" -> (JArray(p.inputPorts.toList.map(inPort)): JValue),
+           "outputPorts" -> (JArray(p.outputPorts.toList.map(outPort)): JValue)) ++
+      props(p.customProperties): _*)))
+  }
+
+  def fromJson(s: String): DataProduct = {
+    val fields = JsonMethods.parse(s) match {
+      case JObject(fs) => fs.toMap
+      case _ => Map.empty[String, JValue]
+    }
+    def str(k: String, m: Map[String, JValue]): Option[String] =
+      m.get(k).collect { case JString(v) => v }
+    def portFields(j: JValue): Map[String, JValue] =
+      j match { case JObject(fs) => fs.toMap; case _ => Map.empty }
+    val ins = fields.get("inputPorts") match {
+      case Some(JArray(ps)) => ps.map { j =>
+        val m = portFields(j)
+        InputPort(str("name", m).getOrElse(""), str("version", m).getOrElse(""),
+          str("contractId", m).getOrElse(""), readProps(m))
+      }
+      case _ => Nil
+    }
+    val outs = fields.get("outputPorts") match {
+      case Some(JArray(ps)) => ps.map { j =>
+        val m = portFields(j)
+        OutputPort(str("name", m).getOrElse(""), str("version", m).getOrElse(""),
+          str("contractId", m).getOrElse(""), str("description", m), readProps(m))
+      }
+      case _ => Nil
+    }
+    DataProduct(
+      id = str("id", fields).getOrElse(""),
+      status = str("status", fields).getOrElse("draft"),
+      version = str("version", fields),
+      name = str("name", fields),
+      inputPorts = ins, outputPorts = outs,
+      customProperties = readProps(fields))
+  }
+}
+
+/** Versioned data-product persistence + port-registration semantics of the
+  * reference backend (`data_products/backend/_shared.py:44-155`). */
+final case class RegistrationResult(product: DataProduct, changed: Boolean)
+
+class DataProductBackend(rootDir: String) {
+  import java.nio.file.{Files, Paths}
+
+  private val root = Paths.get(rootDir)
+  Files.createDirectories(root)
+  private def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def dir(id: String) = root.resolve(safe(id))
+
+  def put(p: DataProduct): Unit = {
+    val d = dir(p.id)
+    Files.createDirectories(d)
+    Files.writeString(d.resolve(safe(p.version.getOrElse("0.0.0")) + ".json"),
+      DataProductJson.toJson(p))
+  }
+
+  def listVersions(id: String): Seq[String] = {
+    val d = dir(id)
+    if (!Files.isDirectory(d)) Nil
+    else scala.util.Using.resource(Files.list(d)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).toSeq.sorted
+    }
+  }
+
+  def get(id: String, version: String): Option[DataProduct] = {
+    val f = dir(id).resolve(safe(version) + ".json")
+    if (Files.exists(f)) Some(DataProductJson.fromJson(Files.readString(f))) else None
+  }
+
+  def latest(id: String): Option[DataProduct] =
+    listVersions(id).flatMap(v => SemVer.tryParse(v).map(_ -> v))
+      .sortBy(_._1).lastOption.flatMap { case (_, v) => get(id, v) }
+
+  /** Minor-bump (by default) past every existing version and store as a
+    * draft (reference `evolve_to_draft` + `_store_updated`). */
+  private def storeUpdated(p: DataProduct, bump: String): DataProduct = {
+    val base = listVersions(p.id).flatMap(SemVer.tryParse)
+      .sorted.lastOption.getOrElse(SemVer(0, 0, 0))
+    val updated = p.copy(version = Some(base.bump(bump).toString), status = "draft")
+    put(updated)
+    updated
+  }
+
+  private def ensureProduct(id: String): DataProduct =
+    latest(id).getOrElse(DataProduct(id = id))
+
+  def registerInputPort(id: String, port: InputPort, bump: String = "minor"): RegistrationResult = {
+    val (p, changed) = ensureProduct(id).ensureInputPort(port)
+    if (!changed) RegistrationResult(p, changed = false)
+    else RegistrationResult(storeUpdated(p, bump), changed = true)
+  }
+
+  def registerOutputPort(id: String, port: OutputPort, bump: String = "minor"): RegistrationResult = {
+    val (p, changed) = ensureProduct(id).ensureOutputPort(port)
+    if (!changed) RegistrationResult(p, changed = false)
+    else RegistrationResult(storeUpdated(p, bump), changed = true)
+  }
+
+  /** (contractId, contractVersion) an output port serves, if bound. */
+  def resolveOutputContract(id: String, portName: String): Option[(String, String)] =
+    latest(id).flatMap(_.findOutputPort(portName))
+      .filter(_.contractId.nonEmpty).map(p => (p.contractId, p.version))
+}

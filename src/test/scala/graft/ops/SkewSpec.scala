@@ -47,3 +47,29 @@ class GovernedIOSpec extends SparkSpec {
     intercept[IllegalArgumentException](gov.read(spark, "no.such.dataset"))
   }
 }
+
+class GovernedPortsSpec extends SparkSpec {
+  import graft.DemoContracts
+  import graft.contracts.FsContractStore
+  import graft.io._
+  import graft.products._
+
+  test("data-product ports: write registers the output binding, read follows the input binding") {
+    val root = tmpDir("graft_ports")
+    val store = new FsContractStore(s"$root/contracts")
+    store.put(DemoContracts.lineitemAlign)
+    val backend = new DataProductBackend(s"$root/products")
+    val gov = GovernedIO(store, ContractVersionLocator(spark, s"$root/lake"), Some(backend))
+    val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem")
+
+    gov.writePort(li, "dp.sales", "slim_out", "sales.lineitem_slim")
+    assert(backend.resolveOutputContract("dp.sales", "slim_out")
+      .contains(("sales.lineitem_slim", "0.3.0")))
+
+    // bind a consumer product's input port to the same contract and read through it
+    backend.registerInputPort("dp.consumer", InputPort("slim_in", "0.3.0", "sales.lineitem_slim"))
+    val r = gov.readPort(spark, "dp.consumer", "slim_in")
+    assert(r.df.count() == li.count())
+    intercept[IllegalArgumentException](gov.readPort(spark, "dp.consumer", "nope"))
+  }
+}
