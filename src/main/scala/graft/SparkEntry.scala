@@ -102,6 +102,11 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => NearDup.minhashPairs(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => NearDup.simhashPairs(t(s, d, "documents"))),
     "q_winnow_pairs" -> ((s, d) => NearDup.winnowPairs(t(s, d, "documents"))),
+    "q_dedup_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      NearDup.canonicalDocs(docs, NearDup.minhashPairs(docs))
+        .select(col("doc_id"), col("cluster"), col("is_canonical"))
+    }),
     "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
     "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(t(s, d, "embeddings"))),

@@ -106,6 +106,49 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs via min-label propagation:
+    * every document converges to the smallest doc_id reachable through
+    * the pair graph — the cluster id used to pick canonical documents.
+    * Each iteration is one join + one min-aggregate (both key-partitioned
+    * shuffles); rounds needed = graph diameter, which for dedup graphs
+    * (dense cliques of copies) is small. Iteration stops at fixpoint via
+    * a driver-side changed-count (a scalar per round, not data). */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "n_cluster"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_cluster")).as("neighbor_cluster"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"),
+          (coalesce(col("neighbor_cluster"), col("cluster")) < col("cluster")).as("chg"))
+      // one pass computes both the new labels and the convergence scalar
+      updated.persist()
+      changed = updated.filter(col("chg")).count()
+      labels.unpersist()
+      labels = updated.drop("chg")
+      iter += 1
+    }
+    val out = labels
+    out
+  }
+
+  /** Canonical selection: every document mapped to its cluster's minimum
+    * doc_id; documents with no near-dup pair are their own canonical. */
+  def canonicalDocs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken-style):
     * hash every k-shingle, slide a window of `w` hashes, keep each
     * window's minimum — a deterministic ~1/w sample of the shingle hashes

@@ -105,6 +105,21 @@ object TextOps {
       (predicted === col("lang")).as("correct"))
   }
 
+  /** Corpus vocabulary: term frequency, document frequency, and corpus
+    * coverage share per token. One explode + one groupBy (map-side
+    * combined); at 100 TB the shuffle carries one row per distinct token
+    * per partition, not per occurrence. */
+  def vocabulary(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(normText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"),
+           countDistinct(col("doc_id")).as("doc_freq"))
+    val total = sum(col("term_freq")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    counts.withColumn("corpus_share", col("term_freq").cast(DoubleType) / total)
+  }
+
   def fingerprintCol(text: Column): Column = md5(normText(text))
 
   /** Duplicate-group summary: fingerprint, group size, canonical doc. */

@@ -90,3 +90,44 @@ class StreamReadSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class ClustersVocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateClusters: min-label propagation over chained pairs") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: clusters {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = NearDup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("canonicalDocs marks one canonical per cluster, singletons canonical") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "x")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = NearDup.canonicalDocs(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
+    assert(out(7L) == (7L, true))
+  }
+
+  test("end-to-end: minhash pairs -> clusters collapse the planted near-dups") {
+    val docs = graft.T.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = NearDup.minhashPairs(docs)
+    val canon = NearDup.canonicalDocs(docs, pairs)
+    val kept = canon.filter(org.apache.spark.sql.functions.col("is_canonical")).count()
+    val dropped = canon.count() - kept
+    assert(dropped > 0, "planted near-dups should collapse")
+    assert(kept + dropped == docs.count())
+  }
+
+  test("vocabulary: frequencies and coverage sum to one") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(v("a") == (2L, 1L, 0.4))
+    assert(v("b") == (2L, 2L, 0.4))
+    assert(v("c") == (1L, 1L, 0.2))
+    assert(math.abs(v.values.map(_._3).sum - 1.0) < 1e-12)
+  }
+}
