@@ -75,6 +75,28 @@ object Multimodal {
         md5(concat_ws(":", col("checksum"), col("frame_idx"))))
   }
 
+  /** Resize plumbing: aspect-preserving fit of (width, height) into a
+    * target box, emitting the scaled dimensions and a deterministic
+    * payload-reference stub for the resized artifact. Integer math only
+    * (floor scaling), so Spark and any re-implementation agree exactly.
+    * A real resizer consumes the same (doc_id, width, height → new_w,
+    * new_h) contract and replaces `resized_ref` with actual bytes. */
+  def resizeStub(meta: DataFrame, targetW: Long, targetH: Long): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target box must be positive")
+    // pick the binding edge, derive the other by exact integer ratio
+    // (w·tH ≥ h·tW ⇔ width/height ≥ targetW/targetH, no FP involved)
+    val wider = col("width") * targetH >= col("height") * targetW
+    val fitW = when(wider, lit(targetW))
+      .otherwise(greatest(lit(1L), ((col("width") * targetH) / col("height")).cast(LongType)))
+    val fitH = when(wider, greatest(lit(1L), ((col("height") * targetW) / col("width")).cast(LongType)))
+      .otherwise(lit(targetH))
+    meta.select(
+      col("doc_id"), col("checksum"), col("width"), col("height"),
+      fitW.as("resized_w"), fitH.as("resized_h"))
+      .withColumn("resized_ref",
+        md5(concat_ws("x", col("checksum"), col("resized_w"), col("resized_h"))))
+  }
+
   /** Per-partition batched decode over (doc_id, payload) — the
     * `mapPartitions` seam a real decoder plugs into. Distributed: each
     * partition decodes its own batch, nothing reaches the driver. */

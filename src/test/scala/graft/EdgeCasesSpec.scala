@@ -1,0 +1,77 @@
+package graft
+
+import graft.contracts._
+import graft.ops._
+import graft.quality._
+import org.apache.spark.sql.functions._
+
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String, String, String)]
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("metrics on an empty frame: zero counts, no nulls leaking") {
+    val m = Metrics.compute(emptyDocs.withColumnRenamed("doc_id", "id"),
+      Seq(ExpectationSpec("not_null_id", "not_null", Some("id")),
+          ExpectationSpec("unique_id", "unique", Some("id"))))
+    assert(m("row_count") == 0L)
+    assert(m("violations.not_null_id") == 0L)
+    assert(m("violations.unique_id") == 0L)
+  }
+
+  test("text/dedup ops are total on empty corpora") {
+    assert(TextOps.textStats(emptyDocs).count() == 0)
+    assert(TextOps.dedupExact(emptyDocs).count() == 0)
+    assert(NearDup.ngramPairs(emptyDocs).count() == 0)
+    assert(NearDup.minhashPairs(emptyDocs).count() == 0)
+    assert(NearDup.simhashPairs(emptyDocs).count() == 0)
+    assert(NearDup.duplicateClusters(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
+  test("unicode text: counts are codepoint-based and fingerprints stable") {
+    val docs = Seq((1L, "héllo wörld 你好 世界"), (2L, "HÉLLO  WÖRLD 你好 世界"))
+      .toDF("doc_id", "text")
+    val stats = TextOps.textStats(docs.withColumn("lang", lit("x")).withColumn("source", lit("s")))
+      .orderBy("doc_id").collect()
+    assert(stats(0).getAs[Long]("n_tokens") == 4L)
+    // lower+whitespace normalisation folds the two variants together
+    val groups = TextOps.fingerprintGroups(
+      docs.withColumn("lang", lit("x")).withColumn("source", lit("s")))
+    assert(groups.count() == 1)
+  }
+
+  test("contract with empty schema aligns as identity and validates ok") {
+    val c = Contract(id = "t.empty", version = "1.0.0")
+    val df = Seq((1, "a")).toDF("x", "y")
+    assert(graft.align.ApplyContract.align(df, c).columns.toSeq == Seq("x", "y"))
+    assert(Evaluator.validate(df, c).ok)
+  }
+
+  test("resize stub preserves aspect ratio with integer determinism") {
+    val meta = Seq((1L, "c1", 1920L, 1080L), (2L, "c2", 100L, 400L), (3L, "c3", 1L, 1L))
+      .toDF("doc_id", "checksum", "width", "height")
+    val out = Multimodal.resizeStub(meta, 640, 360).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("resized_w") == 640L && out(0).getAs[Long]("resized_h") == 360L)
+    assert(out(1).getAs[Long]("resized_w") == 90L && out(1).getAs[Long]("resized_h") == 360L)
+    assert(out(2).getAs[Long]("resized_w") >= 1L && out(2).getAs[Long]("resized_h") >= 1L)
+    assert(out.forall(_.getAs[String]("resized_ref").length == 32))
+  }
+
+  test("text ops compose with structured streaming unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = TextOps.textQuality(docs).writeStream
+      .format("memory").queryName("tq_stream").outputMode("append").start()
+    try {
+      mem.addData((1L, "the quick brown fox and the lazy dog"), (2L, ""))
+      q.processAllAvailable()
+      val out = spark.table("tq_stream").orderBy("doc_id").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("n_tokens") == 8L)
+      assert(out(1).getAs[Double]("score") >= 0.0)
+    } finally q.stop()
+  }
+}
