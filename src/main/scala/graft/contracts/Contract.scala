@@ -88,7 +88,7 @@ object OdcsTypes {
     "decimal" -> "decimal", "numeric" -> "decimal",
     "boolean" -> "boolean", "bool" -> "boolean",
     "date" -> "date",
-    "timestamp" -> "timestamp",
+    "timestamp" -> "timestamp", "timestamp_ntz" -> "timestamp",
     "binary" -> "binary"
   )
 

@@ -1,0 +1,139 @@
+package graft.governance
+
+import graft.contracts.{Contract, ContractStore}
+import graft.draft.Drafter
+import graft.quality.ValidationResult
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.nio.file.{Files, Paths}
+
+/** One dataset version's recorded governance verdict. */
+final case class DatasetStatus(
+    datasetId: String,
+    datasetVersion: String,
+    contractId: String,
+    contractVersion: String,
+    status: String, // "ok" | "warn" | "block"
+    errors: Seq[String],
+    warnings: Seq[String],
+    metrics: Map[String, Double],
+    recordedAt: Long)
+
+/** Local governance coordinator — the data-relevant core of the
+  * reference's `LocalGovernanceServiceBackend`
+  * (`governance/backend/local.py:129`): persist per-(dataset, version)
+  * validation outcomes, maintain dataset↔contract links, answer status
+  * queries, and propose draft contracts from violation feedback. All
+  * records are driver-side metadata (verdicts and links, never data). */
+final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] = None) {
+
+  private val root = Paths.get(rootDir)
+  Files.createDirectories(root.resolve("status"))
+  Files.createDirectories(root.resolve("links"))
+  private def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** ok (clean) / warn (warnings only) / block (errors). Matches the
+    * reference's record-status normalisation (`local.py:68`). */
+  def statusOf(validation: ValidationResult): String =
+    if (validation.errors.nonEmpty) "block"
+    else if (validation.warnings.nonEmpty) "warn"
+    else "ok"
+
+  /** Record a validation outcome; when feedback exists and a contract
+    * store is attached, a draft revision is proposed into it
+    * (reference `propose_draft`, `local.py:378`). Returns the status. */
+  def recordValidation(
+      datasetId: String,
+      datasetVersion: String,
+      contract: Contract,
+      validation: ValidationResult,
+      proposeDraftOnFeedback: Boolean = true
+  ): DatasetStatus = {
+    val record = DatasetStatus(datasetId, datasetVersion, contract.id, contract.version,
+      statusOf(validation), validation.errors, validation.warnings,
+      validation.metrics.collect { case (k, v: Number) => k -> v.doubleValue },
+      System.currentTimeMillis())
+    val json = JObject(
+      "datasetId" -> JString(record.datasetId),
+      "datasetVersion" -> JString(record.datasetVersion),
+      "contractId" -> JString(record.contractId),
+      "contractVersion" -> JString(record.contractVersion),
+      "status" -> JString(record.status),
+      "errors" -> JArray(record.errors.toList.map(JString(_))),
+      "warnings" -> JArray(record.warnings.toList.map(JString(_))),
+      "metrics" -> JObject(record.metrics.toList.map { case (k, v) => k -> (JDouble(v): JValue) }),
+      "recordedAt" -> JLong(record.recordedAt))
+    Files.writeString(
+      root.resolve("status").resolve(safe(s"$datasetId@$datasetVersion") + ".json"),
+      JsonMethods.pretty(JsonMethods.render(json)))
+    if (proposeDraftOnFeedback)
+      for (store <- contracts; draft <- Drafter.fromValidation(validation, contract,
+             draftContext = Map("dataset_id" -> datasetId, "dataset_version" -> datasetVersion)))
+        store.put(draft)
+    record
+  }
+
+  def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] = {
+    val f = root.resolve("status").resolve(safe(s"$datasetId@$datasetVersion") + ".json")
+    if (!Files.exists(f)) None
+    else {
+      val fields = JsonMethods.parse(Files.readString(f)) match {
+        case JObject(fs) => fs.toMap
+        case _ => Map.empty[String, JValue]
+      }
+      def str(k: String) = fields.get(k).collect { case JString(v) => v }.getOrElse("")
+      def strs(k: String) = fields.get(k) match {
+        case Some(JArray(vs)) => vs.collect { case JString(v) => v }
+        case _ => Nil
+      }
+      val metrics = fields.get("metrics") match {
+        case Some(JObject(ms)) => ms.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      val at = fields.get("recordedAt") match {
+        case Some(JLong(v)) => v
+        case Some(JInt(v)) => v.toLong
+        case _ => 0L
+      }
+      Some(DatasetStatus(str("datasetId"), str("datasetVersion"), str("contractId"),
+        str("contractVersion"), str("status"), strs("errors"), strs("warnings"), metrics, at))
+    }
+  }
+
+  def linkDatasetContract(datasetId: String, contractId: String, contractVersion: String): Unit =
+    Files.writeString(root.resolve("links").resolve(safe(datasetId) + ".txt"),
+      s"$contractId:$contractVersion")
+
+  def linkedContract(datasetId: String): Option[(String, String)] = {
+    val f = root.resolve("links").resolve(safe(datasetId) + ".txt")
+    if (!Files.exists(f)) None
+    else Files.readString(f).split(":", 2) match {
+      case Array(id, v) => Some((id, v))
+      case _ => None
+    }
+  }
+
+  /** All recorded (dataset, version) statuses — the status-matrix view
+    * (authoritative ids live inside each payload, filenames are
+    * sanitised). */
+  def statusMatrix(): Seq[DatasetStatus] = {
+    val files = scala.util.Using.resource(Files.list(root.resolve("status"))) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+    }
+    files.flatMap { f =>
+      val fields = JsonMethods.parse(Files.readString(f)) match {
+        case JObject(fs) => fs.toMap
+        case _ => Map.empty[String, JValue]
+      }
+      for {
+        id <- fields.get("datasetId").collect { case JString(v) => v }
+        ver <- fields.get("datasetVersion").collect { case JString(v) => v }
+        st <- getStatus(id, ver)
+      } yield st
+    }
+  }
+}

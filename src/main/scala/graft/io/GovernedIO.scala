@@ -18,7 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class GovernedIO(
     store: ContractStore,
     locator: DatasetLocator,
-    products: Option[graft.products.DataProductBackend] = None) {
+    products: Option[graft.products.DataProductBackend] = None,
+    governance: Option[graft.governance.GovernanceBackend] = None) {
+
+  /** Whether the recorded status of (datasetId, datasetVersion) blocks
+    * consumption — the reference's dq-status gate on reads. */
+  def assertReadable(datasetId: String, datasetVersion: String): Unit =
+    for (g <- governance; st <- g.getStatus(datasetId, datasetVersion)
+         if st.status == "block")
+      throw new IllegalStateException(
+        s"dataset $datasetId@$datasetVersion is blocked by governance: " +
+          st.errors.mkString("; "))
 
   /** Read through a data product's input port: the port binding names the
     * contract (and pins its version), the locator resolves the data —
@@ -58,11 +68,23 @@ final case class GovernedIO(
     result
   }
 
-  /** Resolve the contract for a dataset id: pinned version or SemVer-latest. */
-  def contractFor(datasetId: String, version: Option[String] = None): Contract =
-    version.flatMap(v => store.get(datasetId, v)).orElse(store.latest(datasetId))
+  /** Resolve the contract for a dataset id: pinned version, else the
+    * SemVer-latest *released* contract — draft revisions (including
+    * governance-proposed ones) never serve consumers implicitly. Falls
+    * back to the absolute latest only when every version is a draft. */
+  def contractFor(datasetId: String, version: Option[String] = None): Contract = {
+    def latestReleased: Option[Contract] = {
+      val byVersion = store.listVersions(datasetId)
+        .flatMap(v => graft.contracts.SemVer.tryParse(v).map(_ -> v))
+        .sortBy(_._1).reverse.map(_._2)
+      byVersion.iterator.flatMap(v => store.get(datasetId, v))
+        .find(!_.status.map(_.toLowerCase).contains("draft"))
+        .orElse(store.latest(datasetId))
+    }
+    version.flatMap(v => store.get(datasetId, v)).orElse(latestReleased)
       .getOrElse(throw new IllegalArgumentException(
         s"no contract for dataset $datasetId${version.fold("")(" @ " + _)}"))
+  }
 
   def read(
       spark: SparkSession,
@@ -75,6 +97,7 @@ final case class GovernedIO(
     val res = locator.forRead(datasetId, Some(contract), datasetVersion)
     val path = res.path.getOrElse(throw new IllegalArgumentException(
       s"locator resolved no path for dataset $datasetId"))
+    assertReadable(datasetId, datasetVersion.getOrElse(contract.version))
     ContractIO.read(spark, path, contract,
       format = res.format.getOrElse("parquet"), options = res.options, enforce = enforce)
   }
@@ -91,8 +114,15 @@ final case class GovernedIO(
     val res = locator.forWrite(datasetId, Some(contract), datasetVersion)
     val path = res.path.getOrElse(throw new IllegalArgumentException(
       s"locator resolved no path for dataset $datasetId"))
-    ContractIO.write(df, path, contract,
+    val result = ContractIO.write(df, path, contract,
       format = res.format.getOrElse("parquet"), mode = mode,
       options = res.options, strategy = strategy)
+    // record the verdict + link for downstream status gating / drafting
+    governance.foreach { g =>
+      g.recordValidation(datasetId, datasetVersion.getOrElse(contract.version),
+        contract, result.validation)
+      g.linkDatasetContract(datasetId, contract.id, contract.version)
+    }
+    result
   }
 }

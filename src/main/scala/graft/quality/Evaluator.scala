@@ -23,6 +23,9 @@ object SchemaSnapshot {
     case BooleanType      => "boolean"
     case DateType         => "date"
     case _: TimestampType => "timestamp"
+    // Spark 4 surfaces parquet timestamps without zone as TIMESTAMP_NTZ;
+    // ODCS has one timestamp primitive, so both canonicalise together
+    case TimestampNTZType => "timestamp"
     case BinaryType       => "binary"
     case other            => other.typeName
   }

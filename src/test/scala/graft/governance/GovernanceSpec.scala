@@ -1,0 +1,60 @@
+package graft.governance
+
+import graft.{DemoContracts, SparkSpec, T}
+import graft.contracts.FsContractStore
+import graft.io._
+
+class GovernanceSpec extends SparkSpec {
+
+  test("recordValidation persists status records and proposes drafts on feedback") {
+    val root = tmpDir("graft_govb")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val li = T.load(spark, "/root/testdata/sf0.001", "lineitem")
+
+    // violated contract -> block + auto-draft into the contract store
+    val bad = graft.quality.Evaluator.validate(li, DemoContracts.lineitem)
+    val st = gov.recordValidation("sales.lineitem", "v1", DemoContracts.lineitem, bad)
+    assert(st.status == "block")
+    val fetched = gov.getStatus("sales.lineitem", "v1").get
+    assert(fetched.status == "block" && fetched.errors.nonEmpty)
+    assert(fetched.metrics("row_count") == 6000.0)
+    val draft = store.latest("sales.lineitem").get
+    assert(draft.status.contains("draft"))
+    assert(draft.customProperties("dataset_id") == "sales.lineitem")
+
+    // clean validation (of the aligned frame) -> ok, no draft proposed
+    val aligned = graft.align.ApplyContract.align(li, DemoContracts.lineitemAlign)
+    val ok = graft.quality.Evaluator.validate(aligned, DemoContracts.lineitemAlign)
+    assert(gov.recordValidation("sales.lineitem_slim", "v1",
+      DemoContracts.lineitemAlign, ok).status == "ok")
+    assert(store.listVersions("sales.lineitem_slim").isEmpty)
+
+    gov.linkDatasetContract("sales.lineitem", "sales.lineitem", "1.2.0")
+    assert(gov.linkedContract("sales.lineitem").contains(("sales.lineitem", "1.2.0")))
+    assert(gov.statusMatrix().map(_.status).sorted == Seq("block", "ok"))
+  }
+
+  test("governed IO records verdicts on write and blocks reads of blocked versions") {
+    val root = tmpDir("graft_govio")
+    val store = new FsContractStore(s"$root/contracts")
+    store.put(DemoContracts.lineitem)
+    store.put(DemoContracts.lineitemAlign)
+    val backend = new GovernanceBackend(s"$root/governance", Some(store))
+    val io = GovernedIO(store, ContractVersionLocator(spark, s"$root/lake"),
+      governance = Some(backend))
+    val li = T.load(spark, "/root/testdata/sf0.001", "lineitem")
+
+    // violated write records "block"; the read gate then refuses the version
+    io.write(li, "sales.lineitem")
+    assert(backend.getStatus("sales.lineitem", "1.2.0").exists(_.status == "block"))
+    assert(backend.linkedContract("sales.lineitem").contains(("sales.lineitem", "1.2.0")))
+    intercept[IllegalStateException] { io.read(spark, "sales.lineitem") }
+
+    // clean write (conforming frame) records "ok" and reads pass
+    io.write(graft.align.ApplyContract.align(li, DemoContracts.lineitemAlign),
+      "sales.lineitem_slim")
+    assert(backend.getStatus("sales.lineitem_slim", "0.3.0").exists(_.status == "ok"))
+    assert(io.read(spark, "sales.lineitem_slim").df.count() == li.count())
+  }
+}

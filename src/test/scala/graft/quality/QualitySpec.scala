@@ -109,3 +109,14 @@ class ExpectationsSpec extends SparkSpec {
     assert(Expectations.sqlPredicate(ge).contains("`c` >= 0.5"))
   }
 }
+
+class TimestampNtzSpec extends SparkSpec {
+  test("parquet timestamp_ntz satisfies a 'timestamp' contract declaration") {
+    val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(li.schema("l_shipdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType) // the Spark 4 read shape
+    val res = Evaluator.validate(li, graft.DemoContracts.lineitem)
+    assert(!res.errors.exists(_.contains("type mismatch")),
+      res.errors.mkString("; ")) // threshold violations only, no type noise
+  }
+}
