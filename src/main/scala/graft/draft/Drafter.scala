@@ -64,6 +64,41 @@ object Drafter {
         "draft_change_log" -> log.result().mkString("; "))))
   }
 
+  /** Data-driven draft (graft extension beyond the reference's
+    * schema-only drafting): profile the frame in one pass and propose
+    * range quality rules from the observed envelope, widened by
+    * `margin` (relative) so natural drift doesn't instantly violate the
+    * draft. Required flags come from observed null counts, not just
+    * schema nullability. */
+  def fromDataFrameWithStats(
+      df: org.apache.spark.sql.DataFrame,
+      contractId: String,
+      margin: Double = 0.1,
+      baseVersion: String = "0.1.0"
+  ): Contract = {
+    val profiles = graft.quality.Profiler.profile(df)
+    def widen(v: Double, up: Boolean): BigDecimal = {
+      val delta = math.max(math.abs(v) * margin, 1e-9)
+      BigDecimal(math.round((if (up) v + delta else v - delta) * 1e6) / 1e6)
+    }
+    val fields = profiles.map { p =>
+      val rules = (p.min, p.max) match {
+        case (Some(lo), Some(hi)) => Seq(
+          QualityRule(mustBeGreaterOrEqualTo = Some(widen(lo, up = false))),
+          QualityRule(mustBeLessOrEqualTo = Some(widen(hi, up = true))))
+        case _ => Nil
+      }
+      FieldDef(p.name, Some(p.odcsType), required = p.nullCount == 0, quality = rules)
+    }
+    Contract(
+      id = contractId,
+      version = draftVersion(baseVersion),
+      status = Some("draft"),
+      schema = Seq(SchemaObjectDef(contractId, fields)),
+      customProperties = Map("draft_source" -> "profile",
+        "profile_margin" -> margin.toString))
+  }
+
   /** Metric key a per-field quality rule reports under, if countable. */
   private def ruleKeyOf(dq: QualityRule, field: String): Option[String] = {
     if (dq.mustBeGreaterThan.isDefined) Some(s"gt_$field")

@@ -1,0 +1,51 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One numeric/string column's observed profile. */
+final case class ColumnProfile(
+    name: String,
+    odcsType: String,
+    nullCount: Long,
+    approxDistinct: Long,
+    min: Option[Double],
+    max: Option[Double])
+
+/** One-pass column profiler: null counts, approximate distincts, and
+  * numeric min/max for every column in a single `agg` — the observation
+  * side of data-driven contract drafting. Approximate distinct uses
+  * HyperLogLog (`approx_count_distinct`), so the pass stays
+  * streaming/observe-compatible and never shuffles per column. */
+object Profiler {
+
+  def profile(df: DataFrame): Seq[ColumnProfile] = {
+    val fields = df.schema.fields.toSeq
+    if (fields.isEmpty) return Nil
+    val exprs = fields.flatMap { f =>
+      val c = col(f.name)
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}!nulls"),
+        approx_count_distinct(c).as(s"${f.name}!distinct")) ++
+        (if (numeric) Seq(min(c).cast(DoubleType).as(s"${f.name}!min"),
+                          max(c).cast(DoubleType).as(s"${f.name}!max"))
+         else Nil)
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    def get(name: String): Option[Double] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.getDouble(i))
+    }
+    fields.map { f =>
+      ColumnProfile(
+        name = f.name,
+        odcsType = SchemaSnapshot.odcsTypeName(f.dataType),
+        nullCount = row.getLong(row.fieldIndex(s"${f.name}!nulls")),
+        approxDistinct = row.getLong(row.fieldIndex(s"${f.name}!distinct")),
+        min = if (f.dataType.isInstanceOf[NumericType]) get(s"${f.name}!min") else None,
+        max = if (f.dataType.isInstanceOf[NumericType]) get(s"${f.name}!max") else None)
+    }
+  }
+}

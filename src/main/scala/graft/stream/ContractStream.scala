@@ -151,4 +151,19 @@ object ContractStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Streaming exact document dedup: fingerprint each document
+    * (`TextOps.fingerprintCol`) and keep the first arrival per
+    * fingerprint within the watermark — the streaming twin of
+    * `TextOps.dedupExact`, with state bounded to one fingerprint hash
+    * per distinct document seen inside the watermark window. */
+  def dedupByFingerprint(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.ops.TextOps.fingerprintCol(org.apache.spark.sql.functions.col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }

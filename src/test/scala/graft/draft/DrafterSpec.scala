@@ -40,3 +40,30 @@ class DrafterSpec extends SparkSpec {
     assert(draft.customProperties("reason") == "drift")
   }
 }
+
+class ProfilerDraftSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.quality.{Evaluator, Profiler}
+
+  test("profiler: one-pass nulls/distincts/ranges") {
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "a"), (2L, -5.0, "b"), (null, 20.0, "a")
+    ).toDF("id", "v", "tag")
+    val p = Profiler.profile(df).map(c => c.name -> c).toMap
+    assert(p("id").nullCount == 1 && p("id").min.contains(1.0) && p("id").max.contains(2.0))
+    assert(p("v").min.contains(-5.0) && p("v").max.contains(20.0))
+    assert(p("tag").nullCount == 0 && p("tag").min.isEmpty)
+    assert(p("tag").approxDistinct >= 2)
+  }
+
+  test("stats-draft proposes range rules the data itself satisfies") {
+    val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val draft = graft.draft.Drafter.fromDataFrameWithStats(li, "sales.lineitem_profiled")
+    val qty = draft.properties.find(_.name == "l_quantity").get
+    assert(qty.quality.exists(_.mustBeGreaterOrEqualTo.isDefined))
+    assert(qty.quality.exists(_.mustBeLessOrEqualTo.isDefined))
+    // the drafted contract validates clean against the very data it profiled
+    val res = Evaluator.validate(li, draft)
+    assert(res.ok, res.errors.mkString("; "))
+  }
+}

@@ -97,3 +97,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 }
+
+final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+class StreamFingerprintDedupSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+  import spark.implicits._
+
+  test("streaming fingerprint dedup keeps one arrival per normalised text") {
+    val mem = MemoryStream[Doc](spark)
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = ContractStream.dedupByFingerprint(docs).writeStream
+      .format("memory").queryName("fp_dedup").outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData(Doc(1L, t, "Hello  World"), Doc(2L, t, "hello world"), Doc(3L, t, "other"))
+      q.processAllAvailable()
+      mem.addData(Doc(4L, t, "HELLO WORLD")) // later batch, same fingerprint
+      q.processAllAvailable()
+      val kept = spark.table("fp_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.contains(3L))
+      assert(kept.intersect(Set(1L, 2L, 4L)).size == 1) // one survivor of the dup group
+    } finally q.stop()
+  }
+}
