@@ -24,12 +24,16 @@ final class SparkTableContractStore(spark: SparkSession, path: String) extends C
     spark.read.parquet(path)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("contract_id", "version").orderBy(col("written_at").desc)))
+          .partitionBy("contract_id", "version")
+          .orderBy(col("written_at").desc, col("seq").desc)))
       .filter(col("rn") === 1)
 
   override def put(contract: Contract): Unit =
-    Seq((contract.id, contract.version, ContractJson.toJson(contract), System.currentTimeMillis()))
-      .toDF("contract_id", "version", "body", "written_at")
+    // seq (per-JVM monotonic) breaks same-millisecond written_at ties so
+    // supersession is deterministic under rapid re-puts
+    Seq((contract.id, contract.version, ContractJson.toJson(contract),
+        System.currentTimeMillis(), System.nanoTime()))
+      .toDF("contract_id", "version", "body", "written_at", "seq")
       .coalesce(1).write.mode(SaveMode.Append).parquet(path)
 
   override def get(id: String, version: String): Option[Contract] =

@@ -39,7 +39,14 @@ object Drafter {
         val newType = observed.map(_.odcsType).orElse(f.physicalType.orElse(f.logicalType))
         if (observed.exists(o => f.odcsType != OdcsTypes.canonical(o.odcsType)))
           log += s"${f.name}: type ${f.odcsType} -> ${observed.get.odcsType}"
-        val nowRequired = observed.map(o => !o.nullable).getOrElse(f.required)
+        // relax `required` only on observed null VIOLATIONS — runtime
+        // nullability flags are true for every parquet/csv column and
+        // prove nothing about the data (metrics do)
+        val nullViolations = validation.metrics
+          .get(s"violations.not_null_${f.name}")
+          .orElse(validation.metrics.get(s"violations.required_${f.name}"))
+          .collect { case n: Number => n.longValue }
+        val nowRequired = if (f.required) nullViolations.forall(_ == 0L) else f.required
         if (f.required && !nowRequired) log += s"${f.name}: relaxed required"
         val keptQuality = f.quality.filter { dq =>
           val violated = ruleKeyOf(dq, f.name).exists(k =>

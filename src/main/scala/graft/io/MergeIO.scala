@@ -44,7 +44,22 @@ object MergeIO {
     plan.failWith.foreach { msg =>
       throw new IllegalStateException(s"$msg: ${validation.errors.mkString("; ")}")
     }
-    val source = plan.primary.map(_.df).getOrElse(aligned)
+    // Split-style plans route the valid subset into the merge; the other
+    // subsets (reject, ...) land as SIBLINGS of the target (`<path>_<suffix>`)
+    // — never inside it, which the snapshot swap would destroy
+    val validReq = plan.additional.find(_.pathSuffix.contains("valid"))
+    val source = plan.primary.map(_.df)
+      .orElse(validReq.map(_.df))
+      .getOrElse(aligned)
+    val sideWrites = Seq.newBuilder[String]
+    val sideWarnings = Seq.newBuilder[String]
+    plan.additional.filterNot(r => validReq.exists(_ eq r)).foreach { req =>
+      val target = path.stripSuffix("/") + "_" + req.pathSuffix.getOrElse("additional")
+      req.df.write.format(format).mode("overwrite").save(target)
+      sideWrites += target
+      sideWarnings ++= req.warnings
+    }
+    sideWarnings ++= validReq.toSeq.flatMap(_.warnings)
 
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -65,6 +80,7 @@ object MergeIO {
     fs.rename(staging, target)
     if (fs.exists(retired)) fs.delete(retired, true)
 
-    WriteResult(validation, Seq(path), validation.warnings ++ plan.primary.toSeq.flatMap(_.warnings))
+    WriteResult(validation, path +: sideWrites.result(),
+      validation.warnings ++ plan.primary.toSeq.flatMap(_.warnings) ++ sideWarnings.result())
   }
 }

@@ -31,18 +31,18 @@ object AsofJoin {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val leftCols = left.columns.toSeq
 
+    // the right payload travels as ONE struct so the carry-forward is
+    // row-atomic: a newer right row with null payload fields must not
+    // resurrect older values column-by-column (no torn composite rows)
+    val payloadStruct = struct(col(rightTime).as("_rt") +:
+      payloadCols.map(c => col(c).as(s"_p_$c")): _*)
     val taggedLeft = left
-      .withColumn("_ts", col(leftTime))
-      .withColumn("_is_left", lit(1))
-      .withColumn("_rt", lit(null).cast(right.schema(rightTime).dataType))
-    val taggedRight = payloadCols.foldLeft(
-        right
-          .withColumn("_ts", col(rightTime))
-          .withColumn("_is_left", lit(0))
-          .withColumn("_rt", col(rightTime))
-      )((df, c) => df.withColumnRenamed(c, s"_p_$c"))
+      .select(col("*"), col(leftTime).as("_ts"), lit(1).as("_is_left"))
+    val taggedRight = right
+      .select(keys.map(col) :+ col(rightTime).as("_ts") :+ lit(0).as("_is_left")
+        :+ payloadStruct.as("_payload"): _*)
 
-    val unioned = taggedLeft.unionByName(taggedRight.drop(rightTime), allowMissingColumns = true)
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
     // right rows (0) sort before left rows (1) at equal timestamps, so a
     // right row AT the left timestamp is visible to it
@@ -50,20 +50,21 @@ object AsofJoin {
       .orderBy(col("_ts").asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (payloadCols.map(c => s"_p_$c") :+ "_rt").foldLeft(unioned)(
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("_payload",
+      last(col("_payload"), ignoreNulls = true).over(w))
 
+    val matchedRt = col("_payload").getField("_rt")
     val inTolerance: Column = tolerance match {
       case Some(secs) =>
-        col("_rt").isNotNull &&
-          col("_ts").cast("long") - col("_rt").cast("long") <= secs
-      case None => col("_rt").isNotNull
+        matchedRt.isNotNull &&
+          col("_ts").cast("long") - matchedRt.cast("long") <= secs
+      case None => matchedRt.isNotNull
     }
 
     val out = payloadCols.foldLeft(carried.filter(col("_is_left") === 1))(
       (df, c) => df.withColumn(s"$rightPrefix$c",
-        when(inTolerance, col(s"_p_$c")).otherwise(lit(null))))
-      .withColumn(s"${rightPrefix}time", when(inTolerance, col("_rt")).otherwise(lit(null)))
+        when(inTolerance, col("_payload").getField(s"_p_$c")).otherwise(lit(null))))
+      .withColumn(s"${rightPrefix}time", when(inTolerance, matchedRt).otherwise(lit(null)))
 
     out.select((leftCols.map(col) ++ payloadCols.map(c => col(s"$rightPrefix$c"))
       :+ col(s"${rightPrefix}time")): _*)

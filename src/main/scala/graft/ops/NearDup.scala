@@ -125,19 +125,19 @@ object NearDup {
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "n_cluster"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_cluster")).as("neighbor_cluster"))
+      // localCheckpoint materialises the round AND truncates the lineage,
+      // so plans don't grow by one join per iteration; blocks are
+      // released by the context cleaner once the frame is unreferenced
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"),
           (coalesce(col("neighbor_cluster"), col("cluster")) < col("cluster")).as("chg"))
-      // one pass computes both the new labels and the convergence scalar
-      updated.persist()
+        .localCheckpoint(true)
       changed = updated.filter(col("chg")).count()
-      labels.unpersist()
       labels = updated.drop("chg")
       iter += 1
     }
-    val out = labels
-    out
+    labels
   }
 
   /** Canonical selection: every document mapped to its cluster's minimum
@@ -202,14 +202,25 @@ object NearDup {
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming. Candidate
-    * blocking: split the 64-bit hash into four 16-bit bands; any pair
-    * within distance 3·16 must agree on ≥1 band (pigeonhole), so the join
-    * key (band index, band value) finds all close pairs without a cross
-    * join. */
+    * blocking: split the 64-bit hash into `maxHamming + 1` bands — by
+    * pigeonhole a pair with ≤ maxHamming differing bits must agree
+    * exactly on ≥ 1 band, so the (band index, band value) join finds
+    * every qualifying pair without a cross join and with zero recall
+    * loss. More bands ⇒ shorter bands ⇒ more random collisions, which
+    * the Hamming filter then discards: the usual precision/recall trade
+    * is shifted entirely onto filter work, never onto recall. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val sh = simhash(docs)
-    val bands = (0 until 4).map(b =>
-      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val numBands = maxHamming + 1
+    val base = 64 / numBands
+    val extra = 64 % numBands // first `extra` bands get one more bit
+    val starts = (0 until numBands).scanLeft(0)((s, b) => s + base + (if (b < extra) 1 else 0))
+    val bands = (0 until numBands).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      val mask = if (width >= 63) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit(mask))
+    }
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(bands: _*)).as(Seq("band", "band_val")))
     banded.alias("x").join(banded.alias("y"), Seq("band", "band_val"))

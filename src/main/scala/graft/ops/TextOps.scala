@@ -116,8 +116,12 @@ object TextOps {
     val counts = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("term_freq"),
            countDistinct(col("doc_id")).as("doc_freq"))
-    val total = sum(col("term_freq")).over(org.apache.spark.sql.expressions.Window.partitionBy())
-    counts.withColumn("corpus_share", col("term_freq").cast(DoubleType) / total)
+    // global total via broadcast scalar — an empty-partition window would
+    // funnel the whole vocabulary through one task
+    val total = counts.agg(sum(col("term_freq")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("corpus_share", col("term_freq").cast(DoubleType) / col("_total"))
+      .drop("_total")
   }
 
   def fingerprintCol(text: Column): Column = md5(normText(text))

@@ -38,12 +38,17 @@ object Profiler {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(row.getDouble(i))
     }
+    // sums are NULL (not 0) on an empty frame
+    def getLong(name: String): Long = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) 0L else row.getLong(i)
+    }
     fields.map { f =>
       ColumnProfile(
         name = f.name,
         odcsType = SchemaSnapshot.odcsTypeName(f.dataType),
-        nullCount = row.getLong(row.fieldIndex(s"${f.name}!nulls")),
-        approxDistinct = row.getLong(row.fieldIndex(s"${f.name}!distinct")),
+        nullCount = getLong(s"${f.name}!nulls"),
+        approxDistinct = getLong(s"${f.name}!distinct"),
         min = if (f.dataType.isInstanceOf[NumericType]) get(s"${f.name}!min") else None,
         max = if (f.dataType.isInstanceOf[NumericType]) get(s"${f.name}!max") else None)
     }

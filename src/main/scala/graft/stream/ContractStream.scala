@@ -37,11 +37,14 @@ object ContractStream {
       .filterNot(s => s.rule == "unique" || s.rule == "query")
 
   /** Attach the contract's one-pass metric observation to a (streaming or
-    * batch) frame. */
-  def observed(df: DataFrame, contract: Contract): DataFrame = {
+    * batch) frame. Pass a distinct `observationName` per stream when
+    * several governed streams share a SparkSession — listeners match on
+    * this name, and a shared name would cross-deliver metrics. */
+  def observed(df: DataFrame, contract: Contract,
+               observationName: String = ObservationName): DataFrame = {
     val specs = observableSpecs(contract)
     val exprs = Metrics.aggregateExprs(specs, df.columns.toSet)
-    df.observe(ObservationName, exprs.head, exprs.tail: _*)
+    df.observe(observationName, exprs.head, exprs.tail: _*)
   }
 
   /** Governed streaming read: `readStream` → observe → align. File-based
@@ -74,18 +77,22 @@ object ContractStream {
 
   /** Listener that turns every micro-batch's observed metrics into a
     * [[BatchObservation]] with a full contract verdict. Register on
-    * `spark.streams.addListener`. */
+    * `spark.streams.addListener`. Listeners are session-global: give
+    * each governed stream its own `observationName` (matching what was
+    * passed to [[observed]]) so concurrent streams on one session don't
+    * deliver metrics to each other's listeners. */
   final class ValidationListener(
       contract: Contract,
       schema: Map[String, FieldSnapshot],
-      onBatch: BatchObservation => Unit
+      onBatch: BatchObservation => Unit,
+      observationName: String = ObservationName
   ) extends StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val observed = e.progress.observedMetrics
-      if (observed.containsKey(ObservationName)) {
-        val row: Row = observed.get(ObservationName)
+      if (observed.containsKey(observationName)) {
+        val row: Row = observed.get(observationName)
         val metrics = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
           n -> (if (row.isNullAt(i)) 0L else row.getLong(i))
         }.toMap

@@ -67,3 +67,27 @@ class ProfilerDraftSpec extends graft.SparkSpec {
     assert(res.ok, res.errors.mkString("; "))
   }
 }
+
+class DraftRelaxationSpec extends graft.SparkSpec {
+  import graft.quality.Evaluator
+  import graft.contracts._
+
+  test("required is NOT relaxed for parquet columns with zero observed nulls") {
+    val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem") // all columns nullable-by-schema
+    val res = Evaluator.validate(li, graft.DemoContracts.lineitem)
+    assert(!res.ok) // threshold violations force a draft
+    val draft = Drafter.fromValidation(res, graft.DemoContracts.lineitem).get
+    // data has no nulls: every required flag survives despite nullable schema
+    val requiredBefore = graft.DemoContracts.lineitem.properties.filter(_.required).map(_.name)
+    val requiredAfter = draft.properties.filter(_.required).map(_.name)
+    assert(requiredAfter == requiredBefore)
+    assert(!draft.customProperties("draft_change_log").contains("relaxed required"))
+  }
+
+  test("profiler handles an empty frame without NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val p = graft.quality.Profiler.profile(empty)
+    assert(p.forall(c => c.nullCount == 0 && c.min.isEmpty))
+  }
+}

@@ -85,3 +85,27 @@ class StoresSpec extends SparkSpec {
     roundtrip(new SparkTableContractStore(spark, tmpDir("graft_tbl_store") + "/contracts"))
   }
 }
+
+class MergeSplitSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.contracts.{Contract, FieldDef, QualityRule, SchemaObjectDef}
+  import graft.strategies.SplitStrategy
+
+  test("upsert with SplitStrategy merges only valid rows and quarantines the rest") {
+    val c = Contract(id = "t.msplit", version = "1.0.0",
+      schema = Seq(SchemaObjectDef("t", Seq(
+        FieldDef("id", Some("bigint"), required = true),
+        FieldDef("v", Some("double"),
+          quality = Seq(QualityRule(mustBeGreaterThan = Some(BigDecimal(0)))))))))
+    val path = tmpDir("graft_merge_split") + "/data"
+    MergeIO.upsert(Seq((1L, 5.0)).toDF("id", "v"), path, c, Seq("id"))
+    val res = MergeIO.upsert(Seq((2L, 3.0), (3L, -7.0)).toDF("id", "v"), path, c,
+      Seq("id"), strategy = SplitStrategy())
+    val merged = spark.read.parquet(path).as[(Long, Double)].collect().toMap
+    assert(merged == Map(1L -> 5.0, 2L -> 3.0)) // invalid row 3 NOT merged
+    assert(res.writtenPaths.exists(_.endsWith("_reject")))
+    val rejected = spark.read.parquet(res.writtenPaths.find(_.endsWith("_reject")).get)
+      .as[(Long, Double)].collect().toSeq
+    assert(rejected == Seq((3L, -7.0)))
+  }
+}

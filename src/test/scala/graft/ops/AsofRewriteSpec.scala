@@ -64,3 +64,43 @@ class RewriteDotFoldSpec extends SparkSpec {
     assert(!rewritten)
   }
 }
+
+class AsofNullPayloadSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("newer right row with null fields does not resurrect older values (atomic carry)") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:35"), 1.0)).toDF("key", "trade_ts", "qty")
+    val quotes = Seq[(Long, Timestamp, java.lang.Double, java.lang.Long)](
+      (1L, ts("2024-01-01 10:00:00"), 99.5, 10L),
+      (1L, ts("2024-01-01 10:00:30"), null, 20L) // latest quote has null px
+    ).toDF("key", "quote_ts", "px", "sz")
+    val out = AsofJoin.asofBackward(trades, quotes, Seq("key"), "trade_ts", "quote_ts").collect()(0)
+    assert(out.isNullAt(out.fieldIndex("asof_px"))) // NOT 99.5 from the stale row
+    assert(out.getAs[Long]("asof_sz") == 20L)
+    assert(out.getAs[Timestamp]("asof_time") == ts("2024-01-01 10:00:30"))
+  }
+}
+
+class SimhashRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("banded candidate generation loses no pairs vs exhaustive 1-bit banding") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta mu lambda"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    def pairsAt(h: Int) = NearDup.simhashPairs(docs, maxHamming = h)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    val exhaustive = pairsAt(63) // 64 one-bit bands: misses nothing below 64
+    for (h <- Seq(4, 8, 16)) {
+      val banded = pairsAt(h)
+      val expected = exhaustive.filter(_._2 <= h)
+      assert(banded == expected, s"maxHamming=$h: $banded vs $expected")
+    }
+  }
+}
