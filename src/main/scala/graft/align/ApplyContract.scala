@@ -52,15 +52,16 @@ object ApplyContract {
     val present = df.columns.toSet
     val fields = contract.properties
     if (fields.isEmpty) return df
+    val q = graft.quality.Expectations.qcol _
     val contractCols: Seq[Column] = fields.map { f =>
       val target = sparkType(f)
       if (present.contains(f.name)) {
-        if (autoCast) col(f.name).cast(target).alias(f.name) else col(f.name)
+        if (autoCast) q(f.name).cast(target).alias(f.name) else q(f.name)
       } else lit(null).cast(target).alias(f.name)
     }
     if (keepExtraColumns) {
       val names = fields.map(_.name).toSet
-      val extras = df.columns.filterNot(names.contains).map(col(_)).toSeq
+      val extras = df.columns.filterNot(names.contains).map(q).toSeq
       df.select(contractCols ++ extras: _*)
     } else df.select(contractCols: _*)
   }

@@ -20,13 +20,17 @@ final class SparkTableContractStore(spark: SparkSession, path: String) extends C
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def all =
-    spark.read.parquet(path)
+  private def all = {
+    val base = spark.read.parquet(path)
+    // stores written before the tiebreak column existed lack `seq`
+    val withSeq = if (base.columns.contains("seq")) base else base.withColumn("seq", lit(0L))
+    withSeq
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("contract_id", "version")
           .orderBy(col("written_at").desc, col("seq").desc)))
       .filter(col("rn") === 1)
+  }
 
   override def put(contract: Contract): Unit =
     // seq (per-JVM monotonic) breaks same-millisecond written_at ties so

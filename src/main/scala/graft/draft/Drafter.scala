@@ -84,13 +84,18 @@ object Drafter {
       baseVersion: String = "0.1.0"
   ): Contract = {
     val profiles = graft.quality.Profiler.profile(df)
+    // exact BigDecimal arithmetic — a math.round path would clamp at
+    // Long.MaxValue and invert bounds for epoch-micros-sized values
     def widen(v: Double, up: Boolean): BigDecimal = {
-      val delta = math.max(math.abs(v) * margin, 1e-9)
-      BigDecimal(math.round((if (up) v + delta else v - delta) * 1e6) / 1e6)
+      val bd = BigDecimal(v)
+      val delta = (bd.abs * BigDecimal(margin)).max(BigDecimal("1e-9"))
+      (if (up) bd + delta else bd - delta)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     }
     val fields = profiles.map { p =>
       val rules = (p.min, p.max) match {
-        case (Some(lo), Some(hi)) => Seq(
+        case (Some(lo), Some(hi)) if !lo.isNaN && !hi.isNaN
+            && !lo.isInfinity && !hi.isInfinity => Seq(
           QualityRule(mustBeGreaterOrEqualTo = Some(widen(lo, up = false))),
           QualityRule(mustBeLessOrEqualTo = Some(widen(hi, up = true))))
         case _ => Nil

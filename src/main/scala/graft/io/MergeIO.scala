@@ -44,18 +44,26 @@ object MergeIO {
     plan.failWith.foreach { msg =>
       throw new IllegalStateException(s"$msg: ${validation.errors.mkString("; ")}")
     }
-    // Split-style plans route the valid subset into the merge; the other
-    // subsets (reject, ...) land as SIBLINGS of the target (`<path>_<suffix>`)
-    // — never inside it, which the snapshot swap would destroy
-    val validReq = plan.additional.find(_.pathSuffix.contains("valid"))
+    // Split-style plans route their valid subset (by the strategy's OWN
+    // suffix) into the merge; when no mergeable subset exists (e.g.
+    // includeValid=false) nothing reaches the target. Other subsets land
+    // as SIBLINGS of the target (`<path>_<suffix>`, append so quarantine
+    // accumulates across upserts) — never inside it, which the snapshot
+    // swap would destroy. Note: the plain write path uses `<path>/<suffix>`;
+    // merge cannot, because the target directory is fully rewritten.
+    val validSuffix = strategy match {
+      case s: graft.strategies.SplitStrategy => s.validSuffix
+      case _ => "valid"
+    }
+    val validReq = plan.additional.find(_.pathSuffix.contains(validSuffix))
     val source = plan.primary.map(_.df)
       .orElse(validReq.map(_.df))
-      .getOrElse(aligned)
+      .getOrElse(if (plan.additional.nonEmpty) aligned.limit(0) else aligned)
     val sideWrites = Seq.newBuilder[String]
     val sideWarnings = Seq.newBuilder[String]
     plan.additional.filterNot(r => validReq.exists(_ eq r)).foreach { req =>
       val target = path.stripSuffix("/") + "_" + req.pathSuffix.getOrElse("additional")
-      req.df.write.format(format).mode("overwrite").save(target)
+      req.df.write.format(format).mode("append").save(target)
       sideWrites += target
       sideWarnings ++= req.warnings
     }

@@ -127,7 +127,12 @@ object NearDup {
         .agg(min(col("n_cluster")).as("neighbor_cluster"))
       // localCheckpoint materialises the round AND truncates the lineage,
       // so plans don't grow by one join per iteration; blocks are
-      // released by the context cleaner once the frame is unreferenced
+      // released by the context cleaner once the frame is unreferenced.
+      // Trade-off vs persist(): checkpoint blocks are executor-local and
+      // non-recomputable, so an executor loss fails (and restarts) the
+      // clustering job — on clusters where that matters, swap in
+      // reliable `checkpoint()` with a checkpoint dir; persist() would
+      // instead re-grow the logical plan each round
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"),

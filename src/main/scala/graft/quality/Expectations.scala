@@ -20,6 +20,10 @@ final case class ExpectationSpec(
 
 object Expectations {
 
+  /** Backtick-quoted top-level column reference: contract field names may
+    * contain dots, which bare `col(name)` would parse as nested access. */
+  def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
   /** Expectation specs derived from a contract: `not_null` for required
     * fields, `unique` for unique fields, threshold/enum/regex rules from
     * per-field quality entries, and object-level `query` rules. First
@@ -70,7 +74,7 @@ object Expectations {
   /** Native Catalyst pass-predicate for a spec (codegen'd, push-down-able).
     * None for `unique` (aggregate-level) and `query` (object-level) rules. */
   def passPredicate(spec: ExpectationSpec): Option[Column] = {
-    val c = spec.column.map(col)
+    val c = spec.column.map(qcol)
     spec.rule match {
       case "not_null" | "required" => c.map(_.isNotNull)
       case "gt" => for (cc <- c; t <- spec.threshold) yield cc > literal(spec, t)

@@ -31,8 +31,8 @@ object Metrics {
             else {
               // total - distinct, where NULL counts as one distinct value
               // (matches reference `total - df.select(c).distinct().count()`)
-              (count(lit(1)) - countDistinct(col(c))
-                - max(when(col(c).isNull, 1L).otherwise(0L))).as(metricName)
+              (count(lit(1)) - countDistinct(Expectations.qcol(c))
+                - max(when(Expectations.qcol(c).isNull, 1L).otherwise(0L))).as(metricName)
             }
           }
         case _ =>

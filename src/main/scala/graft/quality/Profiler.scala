@@ -20,11 +20,16 @@ final case class ColumnProfile(
   * streaming/observe-compatible and never shuffles per column. */
 object Profiler {
 
+  /** Backtick-quoted column reference — plain `col(name)` would parse a
+    * dotted column name as nested-field access. */
+  private def qcol(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
   def profile(df: DataFrame): Seq[ColumnProfile] = {
     val fields = df.schema.fields.toSeq
     if (fields.isEmpty) return Nil
     val exprs = fields.flatMap { f =>
-      val c = col(f.name)
+      val c = qcol(f.name)
       val numeric = f.dataType.isInstanceOf[NumericType]
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}!nulls"),

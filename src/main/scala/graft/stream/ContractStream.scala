@@ -61,7 +61,8 @@ object ContractStream {
       contract: Contract,
       format: String = "parquet",
       options: Map[String, String] = Map.empty,
-      autoCast: Boolean = true
+      autoCast: Boolean = true,
+      observationName: String = ObservationName
   ): DataFrame = {
     val sourceSchema = format match {
       case "parquet" | "orc" =>
@@ -72,7 +73,7 @@ object ContractStream {
     val raw = spark.readStream
       .schema(sourceSchema)
       .format(format).options(options).load(path)
-    ApplyContract.align(observed(raw, contract), contract, autoCast)
+    ApplyContract.align(observed(raw, contract, observationName), contract, autoCast)
   }
 
   /** Listener that turns every micro-batch's observed metrics into a
@@ -160,17 +161,23 @@ object ContractStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Streaming exact document dedup: fingerprint each document
-    * (`TextOps.fingerprintCol`) and keep the first arrival per
-    * fingerprint within the watermark — the streaming twin of
+    * (`TextOps.fingerprintCol` of `textCol`) and keep the first arrival
+    * per fingerprint within the watermark — the streaming twin of
     * `TextOps.dedupExact`, with state bounded to one fingerprint hash
-    * per distinct document seen inside the watermark window. */
+    * per distinct document seen inside the watermark window. The
+    * fingerprint lives in an internal column dropped before returning,
+    * so the output schema equals the input schema (a user `fingerprint`
+    * column is untouched). */
   def dedupByFingerprint(
       docs: DataFrame,
       tsCol: String = "ts",
+      textCol: String = "text",
       watermark: String = "1 hour"
   ): DataFrame =
     docs
-      .withColumn("fingerprint", graft.ops.TextOps.fingerprintCol(org.apache.spark.sql.functions.col("text")))
+      .withColumn("_graft_fp",
+        graft.ops.TextOps.fingerprintCol(org.apache.spark.sql.functions.col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
+      .dropDuplicatesWithinWatermark("_graft_fp")
+      .drop("_graft_fp")
 }

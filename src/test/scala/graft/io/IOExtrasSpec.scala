@@ -109,3 +109,49 @@ class MergeSplitSpec extends SparkSpec {
     assert(rejected == Seq((3L, -7.0)))
   }
 }
+
+class MergeSplitEdgeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.contracts.{Contract, FieldDef, QualityRule, SchemaObjectDef}
+  import graft.strategies.SplitStrategy
+
+  private val c = Contract(id = "t.msplit2", version = "1.0.0",
+    schema = Seq(SchemaObjectDef("t", Seq(
+      FieldDef("id", Some("bigint"), required = true),
+      FieldDef("v", Some("double"),
+        quality = Seq(QualityRule(mustBeGreaterThan = Some(BigDecimal(0)))))))))
+
+  test("custom validSuffix still routes only the valid subset into the merge") {
+    val path = tmpDir("graft_ms_suffix") + "/data"
+    MergeIO.upsert(Seq((1L, 5.0)).toDF("id", "v"), path, c, Seq("id"))
+    MergeIO.upsert(Seq((2L, 3.0), (3L, -7.0)).toDF("id", "v"), path, c,
+      Seq("id"), strategy = SplitStrategy(validSuffix = "clean", rejectSuffix = "bad"))
+    val merged = spark.read.parquet(path).as[(Long, Double)].collect().toMap
+    assert(merged == Map(1L -> 5.0, 2L -> 3.0))
+    assert(spark.read.parquet(path + "_bad").count() == 1)
+  }
+
+  test("includeValid=false quarantines without touching the target; rejects accumulate") {
+    val path = tmpDir("graft_ms_noval") + "/data"
+    MergeIO.upsert(Seq((1L, 5.0)).toDF("id", "v"), path, c, Seq("id"))
+    val strat = SplitStrategy(includeValid = false)
+    MergeIO.upsert(Seq((2L, -1.0)).toDF("id", "v"), path, c, Seq("id"), strategy = strat)
+    MergeIO.upsert(Seq((3L, -2.0)).toDF("id", "v"), path, c, Seq("id"), strategy = strat)
+    assert(spark.read.parquet(path).as[(Long, Double)].collect().toMap == Map(1L -> 5.0))
+    assert(spark.read.parquet(path + "_reject").count() == 2) // append across upserts
+  }
+}
+
+class ProfilerLargeValuesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats-draft bounds survive epoch-micros magnitudes and dotted names") {
+    val df = Seq((1.7e15, 2.0), (1.5e15, 3.0)).toDF("event.ts_us", "v")
+    val draft = graft.draft.Drafter.fromDataFrameWithStats(df, "t.big")
+    val res = graft.quality.Evaluator.validate(df, draft)
+    assert(res.ok, res.errors.mkString("; ")) // bounds not clamped/inverted
+    val ub = draft.properties.find(_.name == "event.ts_us").get
+      .quality.flatMap(_.mustBeLessOrEqualTo).head
+    assert(ub > BigDecimal(1.7e15))
+  }
+}
