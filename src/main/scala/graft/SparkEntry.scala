@@ -96,6 +96,7 @@ object SparkEntry {
     "q_text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "q_text_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
@@ -256,6 +257,23 @@ object SparkEntry {
         |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une|des|que|pour)\b')) AS fr,
         |      len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|un|una|que|por|para)\b')) AS es
         |    FROM documents))""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b AS (
+        |  SELECT a.doc_id, a.tok || ' ' || c.tok AS bg
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS nd FROM b GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct_bigrams,
+        |  CASE WHEN coalesce(nb, 0) > 0
+        |       THEN 1.0 - CAST(nd AS DOUBLE) / nb ELSE 0.0 END AS repetition_ratio
+        |FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  CAST(count(*) AS BIGINT) AS group_size, min(doc_id) AS canonical_doc_id

@@ -124,6 +124,28 @@ object TextOps {
       .drop("_total")
   }
 
+  /** Within-document repetition: share of word bigrams that are repeats
+    * (`1 - distinct/total`), the classic boilerplate/spam signal for
+    * training-data filtering. Token array goes through a Generate
+    * barrier (see NearDup.shinglesOf) so tokenisation stays O(n). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(col("doc_id"), explode(array(bigrams)).as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast(LongType).as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast(LongType).as("n_distinct_bigrams"))
+      .withColumn("repetition_ratio",
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+  }
+
   def fingerprintCol(text: Column): Column = md5(normText(text))
 
   /** Duplicate-group summary: fingerprint, group size, canonical doc. */

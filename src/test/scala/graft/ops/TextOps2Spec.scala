@@ -131,3 +131,23 @@ class ClustersVocabSpec extends SparkSpec {
     assert(math.abs(v.values.map(_._3).sum - 1.0) < 1e-12)
   }
 }
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition ratio: repeats counted, edge docs at zero") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+      (2L, "x y z"),          // 2 distinct of 2
+      (3L, "solo"),           // no bigrams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetition(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_bigrams") == 5L)
+    assert(out(0).getAs[Long]("n_distinct_bigrams") == 2L)
+    assert(math.abs(out(0).getAs[Double]("repetition_ratio") - 0.6) < 1e-12)
+    assert(out(1).getAs[Double]("repetition_ratio") == 0.0)
+    assert(out(2).getAs[Double]("repetition_ratio") == 0.0)
+    assert(out(3).getAs[Long]("n_bigrams") == 0L)
+  }
+}
