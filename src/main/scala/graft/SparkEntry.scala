@@ -92,6 +92,18 @@ object SparkEntry {
     "q_window_latest" -> ((s, d) => Analytics.windowLatest(t(s, d, "lineitem"))),
     "q_events_window" -> ((s, d) => Analytics.eventsWindow(t(s, d, "events"))),
     "q_events_dedup" -> ((s, d) => Analytics.eventsDedup(t(s, d, "events"))),
+    "q_sessions" -> ((s, d) => Analytics.sessionsBatch(t(s, d, "events"))),
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+      graft.ops.AsofJoin.asofBackward(purchases, views, Seq("user_id"),
+        "purchase_ts", "view_ts")
+    }),
+    "q_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
     // ---- training-data pipeline operators ------------------------------
     "q_text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
@@ -220,6 +232,47 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |  ORDER BY ts ASC, event_id ASC) = 1""".stripMargin,
+    "q_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |    event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_ts, p.purchase_id, p.purchase_value,
+        |  v.view_value AS asof_view_value, v.view_ts AS asof_time
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.view_ts <= p.purchase_ts""".stripMargin,
+    "q_vocabulary" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT tok AS token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+        |  FROM t GROUP BY 1)
+        |SELECT token, CAST(term_freq AS BIGINT) AS term_freq,
+        |  CAST(doc_freq AS BIGINT) AS doc_freq,
+        |  CAST(term_freq AS DOUBLE) / (SELECT CAST(sum(term_freq) AS DOUBLE) FROM c) AS corpus_share
+        |FROM c""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  CAST($ntok AS BIGINT) AS n_tokens,

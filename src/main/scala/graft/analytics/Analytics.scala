@@ -111,6 +111,28 @@ object Analytics {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
 
+  /** Gap-based sessionization, batch formulation — the lag-window twin of
+    * the streaming `Sessionize` operator: a session breaks where the gap
+    * to the previous event exceeds `gapMinutes`; a running sum of breaks
+    * numbers the sessions per user. Two window passes + one aggregation,
+    * all partitioned by user. */
+  def sessionsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val prev = lag(unix_micros(col("ts")), 1).over(w)
+    val brk = when(prev.isNull || unix_micros(col("ts")) - prev > gapUs, 1L).otherwise(0L)
+    events
+      .withColumn("brk", brk)
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 6).as("sum_value"))
+  }
+
   /** Earliest event per (user_id, event_type) — the batch twin of
     * streaming `dropDuplicatesWithinWatermark`. */
   def eventsDedup(events: DataFrame): DataFrame = {
