@@ -176,6 +176,47 @@ object SparkEntry {
     "q_flag_rows" -> flagRowsSql,
     "q_quality_query" ->
       "SELECT CAST(count(*) AS BIGINT) AS high_discount_count FROM lineitem WHERE l_discount > 0.06",
+    // golden VALUES oracles: these outputs are fully determined by the
+    // demo contracts / table schemas, so the oracle pins them exactly
+    "q_schema_snapshot" ->
+      """SELECT * FROM (VALUES
+        |  ('l_orderkey', 'bigint', 'bigint', true),
+        |  ('l_partkey', 'bigint', 'bigint', true),
+        |  ('l_suppkey', 'bigint', 'bigint', true),
+        |  ('l_linenumber', 'int', 'int', true),
+        |  ('l_quantity', 'double', 'double', true),
+        |  ('l_extendedprice', 'double', 'double', true),
+        |  ('l_discount', 'double', 'double', true),
+        |  ('l_tax', 'double', 'double', true),
+        |  ('l_returnflag', 'string', 'string', true),
+        |  ('l_linestatus', 'string', 'string', true),
+        |  ('l_shipdate', 'timestamp_ntz', 'timestamp', true)
+        |) AS t("column", backend_type, odcs_type, nullable)""".stripMargin,
+    "q_expectation_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('not_null_l_orderkey', 'not_null', 'l_orderkey', '`l_orderkey` IS NOT NULL'),
+        |  ('not_null_l_partkey', 'not_null', 'l_partkey', '`l_partkey` IS NOT NULL'),
+        |  ('not_null_l_suppkey', 'not_null', 'l_suppkey', '`l_suppkey` IS NOT NULL'),
+        |  ('not_null_l_linenumber', 'not_null', 'l_linenumber', '`l_linenumber` IS NOT NULL'),
+        |  ('not_null_l_quantity', 'not_null', 'l_quantity', '`l_quantity` IS NOT NULL'),
+        |  ('gt_l_quantity', 'gt', 'l_quantity', '`l_quantity` > 5'),
+        |  ('le_l_quantity', 'le', 'l_quantity', '`l_quantity` <= 45'),
+        |  ('not_null_l_extendedprice', 'not_null', 'l_extendedprice', '`l_extendedprice` IS NOT NULL'),
+        |  ('lt_l_extendedprice', 'lt', 'l_extendedprice', '`l_extendedprice` < 95000'),
+        |  ('ge_l_discount', 'ge', 'l_discount', '`l_discount` >= 0.02'),
+        |  ('le_l_tax', 'le', 'l_tax', '`l_tax` <= 0.07'),
+        |  ('not_null_l_returnflag', 'not_null', 'l_returnflag', '`l_returnflag` IS NOT NULL'),
+        |  ('enum_l_returnflag', 'enum', 'l_returnflag', '`l_returnflag` IN (''A'', ''N'')'),
+        |  ('regex_l_linestatus', 'regex', 'l_linestatus', '`l_linestatus` RLIKE ''^[OF]$'''),
+        |  ('not_null_l_shipdate', 'not_null', 'l_shipdate', '`l_shipdate` IS NOT NULL')
+        |) AS t("key", rule, "column", predicate)""".stripMargin,
+    "q_draft_contract" ->
+      """SELECT 'docs.documents' AS contract_id, '0.1.1-draft' AS version,
+        |  'draft' AS status, t.field, t.field_type, false AS required
+        |FROM (VALUES
+        |  ('doc_id', 'bigint'), ('text', 'string'), ('lang', 'string'),
+        |  ('source', 'string'), ('n_chars', 'bigint')
+        |) AS t(field, field_type)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
