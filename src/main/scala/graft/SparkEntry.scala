@@ -98,8 +98,11 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("purchase_ts"),
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      // one view per (user, ts): equal-timestamp right rows would make
+      // the matched payload engine-arbitrary
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("value")).as("view_value"))
       graft.ops.AsofJoin.asofBackward(purchases, views, Seq("user_id"),
         "purchase_ts", "view_ts")
     }),
@@ -275,7 +278,8 @@ object SparkEntry {
         |  ORDER BY ts ASC, event_id ASC) = 1""".stripMargin,
     "q_sessions" ->
       """WITH o AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+        |  FROM events WHERE ts IS NOT NULL),
         |m AS (
         |  SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -296,8 +300,8 @@ object SparkEntry {
         |    event_id AS purchase_id, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase'),
         |v AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value
-        |  FROM events WHERE event_type = 'view')
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT p.user_id, p.purchase_ts, p.purchase_id, p.purchase_value,
         |  v.view_value AS asof_view_value, v.view_ts AS asof_time
         |FROM p ASOF LEFT JOIN v

@@ -115,13 +115,16 @@ object Analytics {
     * the streaming `Sessionize` operator: a session breaks where the gap
     * to the previous event exceeds `gapMinutes`; a running sum of breaks
     * numbers the sessions per user. Two window passes + one aggregation,
-    * all partitioned by user. */
+    * all partitioned by user. Unstamped (null ts) events are dropped —
+    * they have no place on a session timeline, and engines disagree on
+    * NULL ordering inside windows. */
   def sessionsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val gapUs = gapMinutes * 60L * 1000000L
     val prev = lag(unix_micros(col("ts")), 1).over(w)
     val brk = when(prev.isNull || unix_micros(col("ts")) - prev > gapUs, 1L).otherwise(0L)
     events
+      .filter(col("ts").isNotNull)
       .withColumn("brk", brk)
       .withColumn("session_id",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

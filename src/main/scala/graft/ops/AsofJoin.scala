@@ -45,9 +45,12 @@ object AsofJoin {
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
     // right rows (0) sort before left rows (1) at equal timestamps, so a
-    // right row AT the left timestamp is visible to it
+    // right row AT the left timestamp is visible to it; the payload
+    // struct is the final tiebreak so two right rows with identical
+    // (key, ts) resolve deterministically (largest payload wins) rather
+    // than by shuffle order
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_is_left").asc)
+      .orderBy(col("_ts").asc, col("_is_left").asc, col("_payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = unioned.withColumn("_payload",

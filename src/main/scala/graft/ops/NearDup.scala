@@ -16,11 +16,15 @@ object NearDup {
     * referencing an expression here would inline it into every
     * `element_at` of the lambda — Catalyst duplicates, not CSEs, subtrees
     * inside higher-order functions, turning tokenisation O(n²). */
-  def shinglesOf(toks: Column, k: Int = 3, distinct: Boolean = true): Column = {
+  def shinglesOf(toks: Column, k: Int = 3, distinct: Boolean = true,
+                 wholeDocFallback: Boolean = true): Column = {
     val positional = transform(sequence(lit(0), size(toks) - k),
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    val short: Column =
+      if (wholeDocFallback) array(concat_ws(" ", toks))
+      else array().cast("array<string>")
     when(size(toks) >= k, if (distinct) array_distinct(positional) else positional)
-      .otherwise(array(concat_ws(" ", toks)))
+      .otherwise(short)
   }
 
   /** (doc_id, nsh, shingle) exploded view of the distinct shingle sets.

@@ -129,11 +129,8 @@ object TextOps {
     * training-data filtering. Token array goes through a Generate
     * barrier (see NearDup.shinglesOf) so tokenisation stays O(n). */
   def repetition(docs: DataFrame): DataFrame = {
-    val toks = col("toks")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
     docs
       .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(col("doc_id"), explode(array(bigrams)).as("bg"))
