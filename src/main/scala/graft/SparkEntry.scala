@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{Multimodal, NearDup, TextOps, VectorOps}
+import graft.ops.{HashMode, Multimodal, NearDup, TextOps, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -115,12 +115,18 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
-    "q_dedup_minhash" -> ((s, d) => NearDup.minhashPairs(t(s, d, "documents"))),
-    "q_dedup_simhash" -> ((s, d) => NearDup.simhashPairs(t(s, d, "documents"))),
-    "q_winnow_pairs" -> ((s, d) => NearDup.winnowPairs(t(s, d, "documents"))),
+    // hash-based dedup ops run in HashMode.Portable here so the DuckDB
+    // oracle can recompute identical signatures; production default stays
+    // xxhash64 (and Bench times that path)
+    "q_dedup_minhash" -> ((s, d) =>
+      NearDup.minhashPairs(t(s, d, "documents"), mode = HashMode.Portable)),
+    "q_dedup_simhash" -> ((s, d) =>
+      NearDup.simhashPairs(t(s, d, "documents"), mode = HashMode.Portable)),
+    "q_winnow_pairs" -> ((s, d) =>
+      NearDup.winnowPairs(t(s, d, "documents"), mode = HashMode.Portable)),
     "q_dedup_cluster" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      NearDup.canonicalDocs(docs, NearDup.minhashPairs(docs))
+      NearDup.canonicalDocs(docs, NearDup.minhashPairs(docs, mode = HashMode.Portable))
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
     "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
@@ -383,18 +389,7 @@ object SparkEntry {
         |  FROM documents)
         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)""".stripMargin,
     "q_dedup_ngram" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
-        |  FROM documents),
-        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
-        |sh AS (
-        |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
-        |  FROM e a
-        |  JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
-        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |n AS (SELECT doc_id, count(*) AS nsh FROM d GROUP BY 1),
+      s"""WITH $shingleCtes,
         |p AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
         |  FROM d x JOIN d y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -403,6 +398,122 @@ object SparkEntry {
         |  round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) AS jaccard
         |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
         |WHERE round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) >= 0.7""".stripMargin,
+    // portable-hash twins of the LSH pipelines: DuckDB recomputes the exact
+    // 60-bit md5-derived signatures NearDup produces under HashMode.Portable,
+    // so banding/candidate selection is replicated bit-for-bit
+    "q_dedup_minhash" ->
+      s"""WITH $shingleCtes,
+        |sig AS (
+        |  SELECT doc_id,
+        |$minhashSigSql
+        |  FROM d GROUP BY 1),
+        |banded AS (
+        |$minhashBandsSql),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x
+        |  JOIN banded y ON y.band = x.band AND y.band_hash = x.band_hash
+        |    AND x.doc_id < y.doc_id
+        |  JOIN n nx ON nx.doc_id = x.doc_id
+        |  JOIN n ny ON ny.doc_id = y.doc_id
+        |  WHERE least(nx.nsh, ny.nsh) >= 0.7 * greatest(nx.nsh, ny.nsh)),
+        |p AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN d x ON x.doc_id = c.doc_a
+        |  JOIN d y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) AS jaccard
+        |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+        |WHERE round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) >= 0.7""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+')) AS tok
+        |  FROM documents),
+        |hh AS (SELECT doc_id, ${h60("tok")} AS h FROM tk),
+        |v AS (
+        |  SELECT doc_id,
+        |$simhashVoteSql
+        |  FROM hh GROUP BY 1),
+        |s AS (SELECT doc_id, $simhashFoldSql AS simhash FROM v)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""WITH $shingleCtes,
+        |hh AS (
+        |  SELECT doc_id, pos, ${h60("shingle")} AS h,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM shf),
+        |wins AS (
+        |  SELECT doc_id, pos, nh,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        |  FROM hh),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fingerprint FROM (
+        |    SELECT doc_id, m AS fingerprint FROM wins WHERE nh >= 4 AND pos <= nh - 3
+        |    UNION ALL
+        |    SELECT doc_id, min(h) AS fingerprint FROM hh WHERE nh < 4 GROUP BY doc_id))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS common_fingerprints
+        |FROM fp x JOIN fp y ON y.fingerprint = x.fingerprint AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $shingleCtes,
+        |sig AS (
+        |  SELECT doc_id,
+        |$minhashSigSql
+        |  FROM d GROUP BY 1),
+        |banded AS (
+        |$minhashBandsSql),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x
+        |  JOIN banded y ON y.band = x.band AND y.band_hash = x.band_hash
+        |    AND x.doc_id < y.doc_id
+        |  JOIN n nx ON nx.doc_id = x.doc_id
+        |  JOIN n ny ON ny.doc_id = y.doc_id
+        |  WHERE least(nx.nsh, ny.nsh) >= 0.7 * greatest(nx.nsh, ny.nsh)),
+        |p AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN d x ON x.doc_id = c.doc_a
+        |  JOIN d y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT doc_a, doc_b
+        |  FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+        |  WHERE round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pr
+        |  UNION SELECT doc_b, doc_a FROM pr),
+        |reach AS (
+        |  SELECT src AS doc_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+        |cl AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1)
+        |SELECT doc.doc_id, coalesce(cl.cluster, doc.doc_id) AS cluster,
+        |  doc.doc_id = coalesce(cl.cluster, doc.doc_id) AS is_canonical
+        |FROM documents doc LEFT JOIN cl ON cl.doc_id = doc.doc_id""".stripMargin,
+    // golden oracle: the verdict is fully determined by lineitemBroken vs the
+    // lineitem schema; the only data-dependent part is the null count for the
+    // missing-but-required column, which the oracle computes from the table
+    "q_validate" ->
+      """SELECT * FROM (VALUES
+        |  ('error', 'type mismatch for l_quantity: expected int, observed double'),
+        |  ('error', 'missing required column: l_shipmode'),
+        |  ('warning', 'missing optional column: l_comment')
+        |) AS t(severity, message)
+        |UNION ALL
+        |SELECT 'error',
+        |  'column l_shipmode contains ' || count(*) ||
+        |  ' null value(s) but is required in the contract'
+        |FROM lineitem""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -463,6 +574,63 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin
   )
+
+  /** DuckDB twin of [[graft.ops.HashMode.Portable]]: low 60 bits of md5 as a
+    * non-negative BIGINT — bit-identical to the Spark side, so min()/banding
+    * order agrees across engines. */
+  private def h60(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Shared shingle prologue mirroring `NearDup.explodedShingles` including
+    * the whole-doc fallback for documents with < 3 tokens (`shinglesOf`'s
+    * `wholeDocFallback`); `shf` keeps positional order for winnowing, `d`
+    * is the distinct set, `n` the per-doc distinct-shingle counts. */
+  private def shingleCtes: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+      |sh AS (
+      |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle, a.pos
+      |  FROM e a
+      |  JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |shf AS (
+      |  SELECT doc_id, shingle, pos FROM sh
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(toks, ' ') AS shingle, 1 AS pos
+      |  FROM t WHERE len(toks) < 3),
+      |d AS (SELECT DISTINCT doc_id, shingle FROM shf),
+      |n AS (SELECT doc_id, count(*) AS nsh FROM d GROUP BY 1)""".stripMargin
+
+  /** The 32 seeded minhash aggregates — `min(h60('i:' || shingle))`, the
+    * DuckDB spelling of `min(Portable.hash(lit(i), shingle))`. */
+  private def minhashSigSql: String =
+    (0 until NearDup.MinHashK)
+      .map(i => s"    min(${h60(s"'$i:' || shingle")}) AS mh$i")
+      .mkString(",\n")
+
+  /** The 8 LSH band hashes over 4-signature slices, as a UNION ALL. */
+  private def minhashBandsSql: String = {
+    val rows = NearDup.MinHashK / NearDup.MinHashBands
+    (0 until NearDup.MinHashBands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"mh$i").mkString(", ")
+      s"  SELECT doc_id, $b AS band, ${h60(s"concat_ws(':', $cols)")} AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n")
+  }
+
+  /** ±1 vote per bit of the 60-bit portable hash (simhash twin). */
+  private def simhashVoteSql: String =
+    (0 until 60)
+      .map(j => s"    sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n")
+
+  /** Fold the 60 vote signs back into one BIGINT. */
+  private def simhashFoldSql: String =
+    (0 until 60)
+      .map(j => s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
 
   /** The composite pass predicate of the lineitem demo contract, in spec
     * order — must stay in lockstep with `Expectations.fromContract`. */

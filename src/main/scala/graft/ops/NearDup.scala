@@ -4,6 +4,27 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** 64-bit hash strategy for the hash-based dedup operators. [[HashMode.Default]]
+  * is the production path (codegen'd xxhash64). [[HashMode.Portable]] derives a
+  * 60-bit non-negative value from md5 so a DuckDB oracle can reproduce every
+  * signature bit-for-bit (`CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`);
+  * staying below 2^63 sidesteps signed-vs-unsigned ordering differences, which
+  * matters because MinHash takes `min()` over these values. */
+sealed abstract class HashMode(val bits: Int) {
+  /** Hash of the ':'-joined string forms of `cols` (single col = itself). */
+  def hash(cols: Column*): Column
+}
+object HashMode {
+  case object Default extends HashMode(64) {
+    def hash(cols: Column*): Column = xxhash64(cols: _*)
+  }
+  case object Portable extends HashMode(60) {
+    def hash(cols: Column*): Column =
+      conv(substring(md5(concat_ws(":", cols: _*).cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType)
+  }
+}
+
 /** Near-duplicate detection: n-gram Jaccard (exact, blocked), MinHash+LSH,
   * and SimHash. All candidate generation is *blocked* — by shared shingle,
   * LSH band bucket, or simhash band — never an unblocked cross join, so the
@@ -67,12 +88,13 @@ object NearDup {
   // shared vocabulary) collide at ~8j⁴, keeping the verify join tiny.
 
   /** Per-doc MinHash signature: one groupBy over exploded shingles with K
-    * `min(xxhash64(i, shingle))` aggregates — a single shuffle keyed by
+    * `min(hash(i, shingle))` aggregates — a single shuffle keyed by
     * doc_id regardless of K. */
-  def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int = 3,
+                        mode: HashMode = HashMode.Default): DataFrame = {
     val e = explodedShingles(docs, k)
     val sigs = (0 until MinHashK).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+      min(mode.hash(lit(i), col("shingle"))).as(s"mh$i"))
     e.groupBy(col("doc_id"))
       .agg(first(col("nsh")).as("nsh"), sigs: _*)
   }
@@ -81,11 +103,12 @@ object NearDup {
     * shingle → signature → band-bucket join (candidates, size-ratio
     * blocked) → exact verify. Only same-bucket pairs are ever
     * materialised. */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.7, k: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, k)
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.7, k: Int = 3,
+                   mode: HashMode = HashMode.Default): DataFrame = {
+    val sig = minhashSignatures(docs, k, mode)
     val rows = MinHashK / MinHashBands
     val bandCols = (0 until MinHashBands).map { bnd =>
-      xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh$i")): _*)
+      mode.hash((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh$i")): _*)
     }
     val banded = sig.select(col("doc_id"), col("nsh"),
         posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
@@ -164,13 +187,14 @@ object NearDup {
     * that any sufficiently long match must share. Pure projections behind
     * Generate barriers, exploded to (doc_id, fingerprint) rows; matching
     * fingerprints are join keys for plagiarism-style overlap detection. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 3, window: Int = 4): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, window: Int = 4,
+                         mode: HashMode = HashMode.Default): DataFrame = {
     val withSh = docs
       .select(col("doc_id"),
         explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
       .select(col("doc_id"),
         explode(array(shinglesOf(col("toks"), k, distinct = false))).as("sh"))
-    val hashes = transform(col("sh"), s => xxhash64(s))
+    val hashes = transform(col("sh"), s => mode.hash(s))
     val withH = withSh.select(col("doc_id"), explode(array(hashes)).as("h"))
     val mins = when(size(col("h")) >= window,
         transform(sequence(lit(0), size(col("h")) - window),
@@ -183,8 +207,9 @@ object NearDup {
   /** Overlapping-fingerprint pairs from winnowed fingerprints: documents
     * sharing ≥ minCommon winnowed hashes. The fingerprint IS the blocking
     * key, so only genuinely overlapping pairs are ever grouped. */
-  def winnowPairs(docs: DataFrame, k: Int = 3, window: Int = 4, minCommon: Int = 3): DataFrame = {
-    val fp = winnowFingerprints(docs, k, window)
+  def winnowPairs(docs: DataFrame, k: Int = 3, window: Int = 4, minCommon: Int = 3,
+                  mode: HashMode = HashMode.Default): DataFrame = {
+    val fp = winnowFingerprints(docs, k, window, mode)
     val a = fp.select(col("doc_id").as("doc_a"), col("fingerprint"))
     val b = fp.select(col("doc_id").as("doc_b"), col("fingerprint"))
     a.join(b, Seq("fingerprint"))
@@ -194,36 +219,46 @@ object NearDup {
       .filter(col("common_fingerprints") >= minCommon)
   }
 
-  /** 64-bit term-frequency SimHash per document: explode tokens, hash each,
-    * and accumulate a ±1 vote per bit in one aggregation (64 conditional
-    * sums), then fold the sign vector back into a single long. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Term-frequency SimHash per document (bit width = `mode.bits`): explode
+    * tokens, hash each, and accumulate a ±1 vote per bit in one aggregation
+    * (one conditional sum per bit), then fold the sign vector back into a
+    * single long. */
+  def simhash(docs: DataFrame, mode: HashMode = HashMode.Default): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(TextOps.normText(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map(j =>
+      .withColumn("h", mode.hash(col("tok")))
+    val bitVotes = (0 until mode.bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
     val voted = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sh = (0 until 64).map(j =>
+    val sh = (0 until mode.bits).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
     voted.select(col("doc_id"), sh.as("simhash"))
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming. Candidate
-    * blocking: split the 64-bit hash into `maxHamming + 1` bands — by
+    * blocking: split the hash into `maxHamming + 1` bands — by
     * pigeonhole a pair with ≤ maxHamming differing bits must agree
     * exactly on ≥ 1 band, so the (band index, band value) join finds
     * every qualifying pair without a cross join and with zero recall
     * loss. More bands ⇒ shorter bands ⇒ more random collisions, which
     * the Hamming filter then discards: the usual precision/recall trade
-    * is shifted entirely onto filter work, never onto recall. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
-    val sh = simhash(docs)
+    * is shifted entirely onto filter work, never onto recall.
+    *
+    * The default maxHamming = 3 keeps bands wide: 4 bands × 16 bits ⇒ 65k
+    * distinct values per band, so bucket sizes stay ~n/262k and the
+    * within-bucket join is far from quadratic. Higher maxHamming narrows
+    * bands fast (8 ⇒ 9 bands × ~7 bits ⇒ ≤128 values/band ⇒ quadratic
+    * buckets at corpus scale) — callers that raise it should add a second
+    * blocking key. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   mode: HashMode = HashMode.Default): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < mode.bits,
+      s"maxHamming must be in [0, ${mode.bits - 1}]")
+    val sh = simhash(docs, mode)
     val numBands = maxHamming + 1
-    val base = 64 / numBands
-    val extra = 64 % numBands // first `extra` bands get one more bit
+    val base = mode.bits / numBands
+    val extra = mode.bits % numBands // first `extra` bands get one more bit
     val starts = (0 until numBands).scanLeft(0)((s, b) => s + base + (if (b < extra) 1 else 0))
     val bands = (0 until numBands).map { b =>
       val width = base + (if (b < extra) 1 else 0)
