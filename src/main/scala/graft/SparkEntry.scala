@@ -403,10 +403,11 @@ object SparkEntry {
     // so banding/candidate selection is replicated bit-for-bit
     "q_dedup_minhash" ->
       s"""WITH $shingleCtes,
+        |$minhashPrepCte,
         |sig AS (
         |  SELECT doc_id,
         |$minhashSigSql
-        |  FROM d GROUP BY 1),
+        |  FROM prep GROUP BY 1),
         |banded AS (
         |$minhashBandsSql),
         |cand AS (
@@ -465,10 +466,11 @@ object SparkEntry {
         |HAVING count(*) >= 3""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $shingleCtes,
+        |$minhashPrepCte,
         |sig AS (
         |  SELECT doc_id,
         |$minhashSigSql
-        |  FROM d GROUP BY 1),
+        |  FROM prep GROUP BY 1),
         |banded AS (
         |$minhashBandsSql),
         |cand AS (
@@ -604,12 +606,22 @@ object SparkEntry {
       |d AS (SELECT DISTINCT doc_id, shingle FROM shf),
       |n AS (SELECT doc_id, count(*) AS nsh FROM d GROUP BY 1)""".stripMargin
 
-  /** The 32 seeded minhash aggregates — `min(h60('i:' || shingle))`, the
-    * DuckDB spelling of `min(Portable.hash(lit(i), shingle))`. */
+  /** The 32 seeded minhash aggregates — double hashing `min(h1 + i*h2)`
+    * over the per-shingle digest halves, the DuckDB spelling of
+    * `HashMode.Portable.seededHash(i)` (requires a `prep` CTE providing
+    * h1/h2). */
   private def minhashSigSql: String =
     (0 until NearDup.MinHashK)
-      .map(i => s"    min(${h60(s"'$i:' || shingle")}) AS mh$i")
+      .map(i => s"    min(h1 + $i * h2) AS mh$i")
       .mkString(",\n")
+
+  /** Per-shingle digest halves matching `HashMode.Portable.minhashPrep`. */
+  private def minhashPrepCte: String =
+    """prep AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(shingle), 17, 13)) AS BIGINT) AS h2
+      |  FROM d)""".stripMargin
 
   /** The 8 LSH band hashes over 4-signature slices, as a UNION ALL. */
   private def minhashBandsSql: String = {

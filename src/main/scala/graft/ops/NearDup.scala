@@ -13,15 +13,36 @@ import org.apache.spark.sql.types._
 sealed abstract class HashMode(val bits: Int) {
   /** Hash of the ':'-joined string forms of `cols` (single col = itself). */
   def hash(cols: Column*): Column
+
+  /** Per-row precursor columns for the seeded minhash family — computed once
+    * per shingle in a projection BEFORE the signature aggregation, so the K
+    * seeded values never re-hash the shingle K times. */
+  def minhashPrep(shingle: Column): Seq[(String, Column)]
+
+  /** Seed-i minhash aggregate input, referencing the prep columns. */
+  def seededHash(i: Int): Column
 }
 object HashMode {
   case object Default extends HashMode(64) {
     def hash(cols: Column*): Column = xxhash64(cols: _*)
+    def minhashPrep(shingle: Column): Seq[(String, Column)] = Nil
+    def seededHash(i: Int): Column = xxhash64(lit(i), col("shingle"))
   }
   case object Portable extends HashMode(60) {
     def hash(cols: Column*): Column =
       conv(substring(md5(concat_ws(":", cols: _*).cast(BinaryType)), 1, 15), 16, 10)
         .cast(LongType)
+    // Double hashing (Kirsch-Mitzenmacher): seed-i value = h1 + i*h2 with
+    // h1 = md5 bits as 60-bit value, h2 = a further 52 bits of the same
+    // digest. ONE md5 per shingle instead of K; max value 2^60 + 31*2^52
+    // fits signed 64-bit exactly in both engines (no overflow, no wrap).
+    def minhashPrep(shingle: Column): Seq[(String, Column)] = {
+      val digest = md5(shingle.cast(BinaryType))
+      Seq(
+        "_mh_h1" -> conv(substring(digest, 1, 15), 16, 10).cast(LongType),
+        "_mh_h2" -> conv(substring(digest, 17, 13), 16, 10).cast(LongType))
+    }
+    def seededHash(i: Int): Column = col("_mh_h1") + lit(i.toLong) * col("_mh_h2")
   }
 }
 
@@ -92,9 +113,9 @@ object NearDup {
     * doc_id regardless of K. */
   def minhashSignatures(docs: DataFrame, k: Int = 3,
                         mode: HashMode = HashMode.Default): DataFrame = {
-    val e = explodedShingles(docs, k)
-    val sigs = (0 until MinHashK).map(i =>
-      min(mode.hash(lit(i), col("shingle"))).as(s"mh$i"))
+    val e = mode.minhashPrep(col("shingle"))
+      .foldLeft(explodedShingles(docs, k)) { case (df, (n, c)) => df.withColumn(n, c) }
+    val sigs = (0 until MinHashK).map(i => min(mode.seededHash(i)).as(s"mh$i"))
     e.groupBy(col("doc_id"))
       .agg(first(col("nsh")).as("nsh"), sigs: _*)
   }
