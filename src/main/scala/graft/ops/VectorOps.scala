@@ -73,23 +73,46 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Lloyd k-means over the corpus, expressed as DataFrame ops: assign via
-    * broadcast(centroids) × corpus scan + argmax-cosine row_number, then
-    * recompute centroids as element-wise means (posexplode → groupBy
-    * (cluster, dim) → rebuild arrays with order restored by sort_array).
-    * Deterministic: seeds are the lowest vec_ids, ties break on cid.
-    * Each iteration is one corpus scan + one (cluster, dim)-keyed shuffle
-    * whose size is k × dim — independent of corpus size. */
+  /** Centroids collected to the driver (k rows of k×dim scalars —
+    * legitimately tiny, never corpus data) and re-emitted as a literal
+    * `array<struct<cid, cv, cn>>`, sorted by cid for a deterministic
+    * expression. This is what lets cluster assignment be a pure projection:
+    * no crossJoin row expansion, no window, zero exchange. */
+  private def centroidLiteral(cents: DataFrame): Column = {
+    val rows = cents.select(col("cid"), col("cv"), col("cn")).collect()
+      .sortBy(_.getLong(0))
+    array(rows.map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        array(r.getSeq[Double](1).map(lit): _*).as("cv"),
+        lit(r.getDouble(2)).as("cn"))
+    }: _*)
+  }
+
+  /** The `keep` nearest centroids of each row's `v`/`nrm`, as a sorted
+    * array of `struct<negcos, cid>` — ascending (negcos, cid) is exactly
+    * "cosine desc, cid asc". A pure projection over the centroid literal:
+    * the argmax that previously forced a full shuffle of the k×-expanded
+    * corpus (row_number over partitionBy(vec_id)) is now zero-exchange. */
+  private def nearestClusterArray(centsLit: Column, keep: Int): Column =
+    slice(array_sort(transform(centsLit, c =>
+      struct((-cosR(col("v"), col("nrm"), c.getField("cv"), c.getField("cn"))).as("negcos"),
+        c.getField("cid").as("cid")))), 1, keep)
+
+  /** Lloyd k-means over the corpus, expressed as DataFrame ops: assign each
+    * vector via an expression-level argmax over the centroid literal (one
+    * corpus scan, no shuffle), then recompute centroids as element-wise
+    * means (posexplode → groupBy (cluster, dim) → rebuild arrays with order
+    * restored by sort_array). Deterministic: seeds are the lowest vec_ids,
+    * ties break on cid. Each iteration is one corpus scan + one
+    * (cluster, dim)-keyed shuffle whose size is k × dim — independent of
+    * corpus size. */
   def kmeansCentroids(e: DataFrame, k: Int, iterations: Int): DataFrame = {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     for (_ <- 0 until iterations) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .select(col("cid"), col("v"))
+      val best = element_at(nearestClusterArray(centroidLiteral(cents), 1), 1)
+      val assigned = e
+        .select(best.getField("cid").as("cid"), col("v"))
       cents = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
@@ -103,10 +126,11 @@ object VectorOps {
   }
 
   /** IVF-style ANN: deterministic centroid seed (lowest vec_ids), optional
-    * Lloyd refinement, assign every vector to its nearest centroid
-    * (broadcast centroids × one corpus scan), then search only the
-    * `nProbeClusters` closest clusters per probe. At scale the cluster
-    * assignment is the partition key, so a probe touches
+    * Lloyd refinement, assign every vector to its nearest centroid via an
+    * expression-level argmax over the centroid literal (one corpus scan,
+    * ZERO exchange — the assignment column is born in the scan's projection),
+    * then search only the `nProbeClusters` closest clusters per probe. At
+    * scale the cluster assignment is the partition key, so a probe touches
     * ~nProbeClusters/nCentroids of the corpus. */
   def annIvf(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
              nProbeClusters: Int = 2, topK: Int = 5, kmeansIters: Int = 0): DataFrame = {
@@ -115,21 +139,18 @@ object VectorOps {
       if (kmeansIters > 0) kmeansCentroids(e, nCentroids, kmeansIters)
       else e.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val centsLit = centroidLiteral(cents)
 
-    def nearestClusters(points: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      points.crossJoin(broadcast(cents))
-        .withColumn("ccos", cosR(col("v"), col("nrm"), col("cv"), col("cn")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-    }
-
-    val assigned = nearestClusters(e, "vec_id", 1)
+    val assigned = e
+      .withColumn("cid",
+        element_at(nearestClusterArray(centsLit, 1), 1).getField("cid"))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
     val probes = e.filter(col("vec_id") < nProbes)
-    val probeClusters = nearestClusters(probes, "vec_id", nProbeClusters)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"), col("cid"))
+    val probeClusters = probes
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+        explode(nearestClusterArray(centsLit, nProbeClusters)).as("_sc"))
+      .withColumn("cid", col("_sc").getField("cid"))
+      .drop("_sc")
 
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
