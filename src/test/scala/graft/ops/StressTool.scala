@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evidence tool behind PERF.md's scale-stress numbers (not a test — run
+  * with `Test/runMain graft.ops.StressTool`). Measures candidate-pair
+  * volume and wall time for the dedup paths whose round-3 defaults changed:
+  * simhash band cardinality (maxHamming 8 vs 3) and embedding pair mining
+  * under label skew (plain vs triangle-grid vs hyperplane LSH). */
+object StressTool {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Banded candidate-pair count for simhash at a given maxHamming —
+    * replicates the banding in NearDup.simhashPairs to expose the
+    * pre-Hamming-filter volume the join must process. */
+  private def simhashCandidates(docs: DataFrame, maxHamming: Int): Long = {
+    val sh = NearDup.simhash(docs)
+    val bits = 64
+    val numBands = maxHamming + 1
+    val base = bits / numBands
+    val extra = bits % numBands
+    val starts = (0 until numBands).scanLeft(0)((s, b) => s + base + (if (b < extra) 1 else 0))
+    val bands = (0 until numBands).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      val mask = if (width >= 63) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit(mask))
+    }
+    val banded = sh.select(col("doc_id"),
+      posexplode(array(bands: _*)).as(Seq("band", "band_val")))
+    banded.alias("x").join(banded.alias("y"), Seq("band", "band_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = graft.T.load(spark, "/root/testdata/sf0.1", "documents")
+    println(s"== simhash band cardinality (sf0.1, ${docs.count()} docs) ==")
+    for (mh <- Seq(8, 3)) {
+      val (cand, tc) = timed(simhashCandidates(docs, mh))
+      val (pairs, tp) = timed(NearDup.simhashPairs(docs, maxHamming = mh).count())
+      println(f"maxHamming=$mh%d: banded candidates=$cand%,d (${tc}%.1fs), final pairs<=$mh=$pairs%,d (${tp}%.1fs)")
+    }
+
+    val e = graft.T.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val hot = e.withColumn("label", lit(0)) // worst case: one label holds all vectors
+    println(s"\n== embedding pair mining under total label skew (${hot.count()} vectors, 1 label) ==")
+    val (nPlain, t1) = timed(VectorOps.embeddingPairs(hot).count())
+    println(f"plain label join (g=1, 1 cell):     $nPlain%,d pairs in ${t1}%.1fs")
+    val (nGrid, t2) = timed(VectorOps.embeddingPairs(hot, targetBlock = 256).count())
+    println(f"triangle grid (g=8, 36 cells):      $nGrid%,d pairs in ${t2}%.1fs (identical output: ${nGrid == nPlain})")
+    val (nLsh, t3) = timed(VectorOps.embeddingPairsLsh(hot, threshold = 0.35, nBits = 30, bandBits = 2).count())
+    println(f"hyperplane LSH tau=0.35 (no prune): $nLsh%,d pairs in ${t3}%.1fs")
+    val (nLshHi, t4) = timed(VectorOps.embeddingPairsLsh(hot, threshold = 0.8).count())
+    println(f"hyperplane LSH tau=0.8 defaults:    $nLshHi%,d pairs in ${t4}%.1fs")
+    val total = hot.count()
+    println(f"all-pairs upper bound: ${total * (total - 1) / 2}%,d")
+    spark.stop()
+  }
+}
