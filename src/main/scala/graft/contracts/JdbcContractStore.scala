@@ -30,14 +30,25 @@ final class JdbcContractStore(url: String, table: String = "contracts") extends 
     }
   }
 
+  // delete+insert as ONE transaction: a concurrent reader can never observe
+  // the version missing mid-replace, and a crash between the statements
+  // rolls back instead of losing the previous body
   override def put(contract: Contract): Unit = withConn { c =>
-    val del = c.prepareStatement(s"DELETE FROM $table WHERE contract_id = ? AND version = ?")
-    del.setString(1, contract.id); del.setString(2, contract.version)
-    del.executeUpdate()
-    val ins = c.prepareStatement(s"INSERT INTO $table (contract_id, version, body) VALUES (?, ?, ?)")
-    ins.setString(1, contract.id); ins.setString(2, contract.version)
-    ins.setString(3, ContractJson.toJson(contract))
-    ins.executeUpdate()
+    c.setAutoCommit(false)
+    try {
+      val del = c.prepareStatement(s"DELETE FROM $table WHERE contract_id = ? AND version = ?")
+      del.setString(1, contract.id); del.setString(2, contract.version)
+      del.executeUpdate()
+      val ins = c.prepareStatement(s"INSERT INTO $table (contract_id, version, body) VALUES (?, ?, ?)")
+      ins.setString(1, contract.id); ins.setString(2, contract.version)
+      ins.setString(3, ContractJson.toJson(contract))
+      ins.executeUpdate()
+      c.commit()
+    } catch {
+      case e: Throwable =>
+        try c.rollback() catch { case _: java.sql.SQLException => }
+        throw e
+    }
   }
 
   override def get(id: String, version: String): Option[Contract] = withConn { c =>

@@ -59,18 +59,17 @@ object MergeIO {
     val source = plan.primary.map(_.df)
       .orElse(validReq.map(_.df))
       .getOrElse(if (plan.additional.nonEmpty) aligned.limit(0) else aligned)
-    val sideWrites = Seq.newBuilder[String]
-    val sideWarnings = Seq.newBuilder[String]
-    plan.additional.filterNot(r => validReq.exists(_ eq r)).foreach { req =>
-      val target = path.stripSuffix("/") + "_" + req.pathSuffix.getOrElse("additional")
-      req.df.write.format(format).mode("append").save(target)
-      sideWrites += target
-      sideWarnings ++= req.warnings
-    }
-    sideWarnings ++= validReq.toSeq.flatMap(_.warnings)
 
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path.stripSuffix("/") + "__staging")
+    val retired = new Path(path.stripSuffix("/") + "__old")
+    // crash recovery: a previous upsert that died between rename(target →
+    // __old) and rename(__staging → target) left the dataset only under
+    // __old — restore it before reading, so readers (and this merge) see
+    // the last complete snapshot instead of nothing
+    if (fs.exists(retired) && !fs.exists(target)) fs.rename(retired, target)
+
     val merged =
       if (fs.exists(target)) {
         val existing = spark.read.format(format).load(path)
@@ -80,13 +79,23 @@ object MergeIO {
       } else source
 
     // snapshot swap: write staging, move old aside, promote, drop old
-    val staging = new Path(path.stripSuffix("/") + "__staging")
-    val retired = new Path(path.stripSuffix("/") + "__old")
     merged.write.format(format).mode("overwrite").save(staging.toString)
     if (fs.exists(retired)) fs.delete(retired, true)
     if (fs.exists(target)) fs.rename(target, retired)
     fs.rename(staging, target)
     if (fs.exists(retired)) fs.delete(retired, true)
+
+    // side-writes (quarantine etc.) run AFTER the swap succeeds: a failed
+    // merge must not have already appended to the reject datasets
+    val sideWrites = Seq.newBuilder[String]
+    val sideWarnings = Seq.newBuilder[String]
+    plan.additional.filterNot(r => validReq.exists(_ eq r)).foreach { req =>
+      val side = path.stripSuffix("/") + "_" + req.pathSuffix.getOrElse("additional")
+      req.df.write.format(format).mode("append").save(side)
+      sideWrites += side
+      sideWarnings ++= req.warnings
+    }
+    sideWarnings ++= validReq.toSeq.flatMap(_.warnings)
 
     WriteResult(validation, path +: sideWrites.result(),
       validation.warnings ++ plan.primary.toSeq.flatMap(_.warnings) ++ sideWarnings.result())

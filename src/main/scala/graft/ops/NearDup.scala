@@ -154,16 +154,23 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Connected components over near-dup pairs via min-label propagation:
-    * every document converges to the smallest doc_id reachable through
-    * the pair graph — the cluster id used to pick canonical documents.
-    * Each iteration is one join + one min-aggregate (both key-partitioned
-    * shuffles); rounds needed = graph diameter, which for dedup graphs
-    * (dense cliques of copies) is small. Iteration stops at fixpoint via
-    * a driver-side changed-count (a scalar per round, not data). */
+  /** Connected components over near-dup pairs via min-label propagation
+    * with pointer jumping: every document converges to the smallest doc_id
+    * reachable through the pair graph — the cluster id used to pick
+    * canonical documents. Each iteration takes the min over neighbours'
+    * labels AND then follows its own label's label (pointer jump), which
+    * halves the remaining distance to the component minimum — rounds
+    * needed = O(log diameter), so maxIter = 20 covers diameters up to
+    * ~2^20 (a >20-long chain of near-dups no longer silently returns
+    * unconverged labels). Iteration stops at fixpoint via a driver-side
+    * changed-count (a scalar per round, not data); hitting maxIter without
+    * converging logs a warning instead of passing off partial labels. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialise the edge list once: every round joins against it, and the
+    // upstream pair pipeline (LSH + verify) must not be re-run per round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     var changed = 1L
@@ -173,23 +180,35 @@ object NearDup {
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "n_cluster"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_cluster")).as("neighbor_cluster"))
+      // checkpointed because it feeds both the jump lookup and the final
+      // merge — without it the neighbour aggregation would run twice
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("old_cluster"),
+          least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("c1"))
+        .localCheckpoint(true)
+      // pointer jump: c2 = label(label(doc)); cluster ids are doc ids, so
+      // the lookup is a self-join keyed by the candidate label
+      val jump = stepped.select(col("doc_id").as("c1"), col("c1").as("c2"))
       // localCheckpoint materialises the round AND truncates the lineage,
-      // so plans don't grow by one join per iteration; blocks are
+      // so plans don't grow by two joins per iteration; blocks are
       // released by the context cleaner once the frame is unreferenced.
       // Trade-off vs persist(): checkpoint blocks are executor-local and
       // non-recomputable, so an executor loss fails (and restarts) the
       // clustering job — on clusters where that matters, swap in
       // reliable `checkpoint()` with a checkpoint dir; persist() would
       // instead re-grow the logical plan each round
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val updated = stepped.join(jump, Seq("c1"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"),
-          (coalesce(col("neighbor_cluster"), col("cluster")) < col("cluster")).as("chg"))
+          least(col("c1"), coalesce(col("c2"), col("c1"))).as("cluster"),
+          (least(col("c1"), coalesce(col("c2"), col("c1"))) < col("old_cluster")).as("chg"))
         .localCheckpoint(true)
       changed = updated.filter(col("chg")).count()
       labels = updated.drop("chg")
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"duplicateClusters did not converge in $maxIter rounds; labels may span split clusters")
     labels
   }
 

@@ -54,8 +54,18 @@ object Sessionize {
             var cur = state.getOption
             evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
               cur match {
+                // merge keeps end = max and start = min so a late event from
+                // a later micro-batch (still within the watermark) can never
+                // rewind the session window or pull the event-time timeout
+                // (end+gap) earlier than the true last event. A late event
+                // more than `gap` BEFORE the session start also merges here
+                // (single-session state cannot retro-open an earlier
+                // session) — the documented trade-off of O(1) state.
                 case Some(s) if e.ts.getTime - s.end <= gapMs =>
-                  cur = Some(s.copy(end = e.ts.getTime, n = s.n + 1, sum = s.sum + e.value))
+                  cur = Some(SessionState(
+                    start = math.min(s.start, e.ts.getTime),
+                    end = math.max(s.end, e.ts.getTime),
+                    n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   out += toSession(user, s)
                   cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))

@@ -50,6 +50,19 @@ class MergeIOSpec extends SparkSpec {
     assert(!new java.io.File(path + "__old").exists())
   }
 
+  test("upsert recovers a crash between the two swap renames") {
+    val path = tmpDir("graft_merge_crash") + "/data"
+    MergeIO.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path, contract, Seq("id"))
+    // simulate dying after rename(target -> __old): dataset only under __old
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "__old")))
+    assert(!new java.io.File(path).exists())
+    // next upsert must first restore __old -> target, then merge against it
+    MergeIO.upsert(Seq((2L, "B")).toDF("id", "v"), path, contract, Seq("id"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B"), s"recovered merge lost rows: $out")
+    assert(!new java.io.File(path + "__old").exists())
+  }
+
   test("upsert with Strict aborts and leaves the target untouched") {
     val path = tmpDir("graft_merge_strict") + "/data"
     MergeIO.upsert(Seq((1L, "a")).toDF("id", "v"), path, contract, Seq("id"))

@@ -102,6 +102,16 @@ class ClustersVocabSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters converges on a 60-long chain within O(log d) rounds") {
+    // diameter 60 would exceed a 20-round plain propagation; pointer
+    // jumping needs ~log2(60) rounds — maxIter = 10 must suffice
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = NearDup.duplicateClusters(pairs, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 61 && out.values.forall(_ == 0L),
+      s"chain did not fully converge: ${out.filterNot(_._2 == 0L).take(5)}")
+  }
+
   test("canonicalDocs marks one canonical per cluster, singletons canonical") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "x")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")

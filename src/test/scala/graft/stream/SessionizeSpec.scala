@@ -39,6 +39,37 @@ class SessionizeSpec extends SparkSpec {
       assert(out.contains((2L, "2024-01-01 10:00:00.0", 1L, 5.0))) // flushed by timeout
     } finally q.stop()
   }
+
+  test("late in-watermark event from a later batch cannot rewind the session") {
+    val mem = MemoryStream[Ev](spark)
+    val sessions = Sessionize.sessionize(
+      mem.toDF().selectExpr("user_id", "ts", "value"), gapMinutes = 30, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ev(1, 1, "2024-01-01 10:00:00", 1.0),
+        ev(2, 1, "2024-01-01 10:20:00", 2.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event (10:10, within the 1h watermark) arrives after
+      // the 10:20 end. Before the max/min merge fix this rewound end to
+      // 10:10, so the 10:45 event (25m after the true end) would wrongly
+      // split the session AND the timeout would fire from the rewound end.
+      mem.addData(ev(3, 1, "2024-01-01 10:10:00", 4.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, 1, "2024-01-01 10:45:00", 8.0)) // 25m gap from true end
+      q.processAllAvailable()
+      // push the watermark far ahead so the (single) session times out
+      mem.addData(ev(99, 9, "2024-01-02 20:00:00", 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sess_late").as[UserSession].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.toString, s.session_end.toString, s.n_events, s.sum_value))
+      assert(out.toSeq == Seq(("2024-01-01 10:00:00.0", "2024-01-01 10:45:00.0", 4L, 15.0)),
+        s"expected one un-rewound session, got ${out.toSeq}")
+    } finally q.stop()
+  }
 }
 
 class BucketingSpec extends SparkSpec {
