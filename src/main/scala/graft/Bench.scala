@@ -19,6 +19,16 @@ object Bench {
     "q1_pricing", "q3_topn_join", "q5_join5", "q_metrics",
     "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_quality")
 
+  /** Round-over-round regression budgets: BENCH_r02 per-query seconds
+    * + 20%, plus a 0.3 s absolute jitter floor (20% of a 0.3 s query is
+    * inside scheduler noise). Breaching any budget fails the process —
+    * a regression must not ride along silently. */
+  val budgetSecs: Map[String, Double] = Map(
+    "q1_pricing" -> 1.52, "q3_topn_join" -> 1.17, "q5_join5" -> 1.30,
+    "q_metrics" -> 0.51, "q_dedup_exact" -> 0.29, "q_dedup_minhash" -> 1.56,
+    "q_ann_brute" -> 0.43, "q_text_quality" -> 0.31
+  ).map { case (k, v) => k -> (v * 1.2 + 0.3) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -52,10 +62,15 @@ object Bench {
         }
       name -> secs
     }
+    val breaches = results.collect {
+      case (name, secs) if secs >= 0 && budgetSecs.get(name).exists(secs > _) =>
+        f"$name ${secs}%.2f>${budgetSecs(name)}%.2f"
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    breaches.foreach(b => System.err.println(s"[bench] BUDGET BREACH: $b"))
     spark.stop()
-    if (failed) sys.exit(1)
+    if (failed || breaches.nonEmpty) sys.exit(1)
   }
 }
