@@ -7,6 +7,18 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import java.nio.file.{Files, Paths}
 
+/** One pipeline run's recorded read/write against a dataset version —
+  * the reference's pipeline-activity record
+  * (`governance/backend/local.py:832,1034-1055`). */
+final case class PipelineActivity(
+    pipeline: String,
+    operation: String, // "read" | "write"
+    datasetId: String,
+    datasetVersion: String,
+    contractId: String,
+    contractVersion: String,
+    recordedAt: Long)
+
 /** One dataset version's recorded governance verdict. */
 final case class DatasetStatus(
     datasetId: String,
@@ -30,6 +42,7 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
   private val root = Paths.get(rootDir)
   Files.createDirectories(root.resolve("status"))
   Files.createDirectories(root.resolve("links"))
+  Files.createDirectories(root.resolve("activity"))
   private def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** ok (clean) / warn (warnings only) / block (errors). Matches the
@@ -114,6 +127,86 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       case Array(id, v) => Some((id, v))
       case _ => None
     }
+  }
+
+  /** Append one pipeline-activity record (reference
+    * `register_read_activity`/`register_write_activity`,
+    * `local.py:1034-1055`): which pipeline touched which dataset version
+    * under which contract. One JSON line per run, per-dataset log file. */
+  def recordActivity(
+      pipeline: String,
+      operation: String,
+      datasetId: String,
+      datasetVersion: String,
+      contract: Contract): PipelineActivity = {
+    val rec = PipelineActivity(pipeline, operation, datasetId, datasetVersion,
+      contract.id, contract.version, System.currentTimeMillis())
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "pipeline" -> JString(rec.pipeline),
+      "operation" -> JString(rec.operation),
+      "datasetId" -> JString(rec.datasetId),
+      "datasetVersion" -> JString(rec.datasetVersion),
+      "contractId" -> JString(rec.contractId),
+      "contractVersion" -> JString(rec.contractVersion),
+      "recordedAt" -> JLong(rec.recordedAt))))
+    Files.writeString(
+      root.resolve("activity").resolve(safe(datasetId) + ".jsonl"),
+      json + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    rec
+  }
+
+  /** Activity log of a dataset (optionally one version), each record
+    * joined to its validation status when available — the reference's
+    * `get_pipeline_activity(include_status = true)` (`local.py:832`). */
+  def pipelineActivity(
+      datasetId: String,
+      datasetVersion: Option[String] = None
+  ): Seq[(PipelineActivity, Option[DatasetStatus])] = {
+    val f = root.resolve("activity").resolve(safe(datasetId) + ".jsonl")
+    if (!Files.exists(f)) Nil
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).toSeq.flatMap { line =>
+      val fields = JsonMethods.parse(line) match {
+        case JObject(fs) => fs.toMap
+        case _ => Map.empty[String, JValue]
+      }
+      def str(k: String) = fields.get(k).collect { case JString(v) => v }.getOrElse("")
+      val at = fields.get("recordedAt") match {
+        case Some(JLong(v)) => v
+        case Some(JInt(v)) => v.toLong
+        case _ => 0L
+      }
+      val rec = PipelineActivity(str("pipeline"), str("operation"), str("datasetId"),
+        str("datasetVersion"), str("contractId"), str("contractVersion"), at)
+      if (datasetVersion.forall(_ == rec.datasetVersion))
+        Some(rec -> getStatus(rec.datasetId, rec.datasetVersion))
+      else None
+    }
+  }
+
+  /** Draft lifecycle (reference `review_validation_outcome`/draft
+    * handling, `local.py:333-409`): drafts proposed into the attached
+    * store carry status "draft"; a review either promotes the draft to
+    * "active" or marks it "rejected", re-putting it so the store's
+    * latest-wins log records the transition. */
+  def listDrafts(contractId: String): Seq[Contract] =
+    contracts.toSeq.flatMap { store =>
+      store.listVersions(contractId)
+        .flatMap(v => store.get(contractId, v))
+        .filter(_.status.contains("draft"))
+    }
+
+  def reviewDraft(contractId: String, version: String, approve: Boolean): Contract = {
+    val store = contracts.getOrElse(
+      throw new IllegalStateException("no contract store attached to governance backend"))
+    val draft = store.get(contractId, version).getOrElse(
+      throw new IllegalArgumentException(s"draft $contractId:$version not found"))
+    if (!draft.status.contains("draft"))
+      throw new IllegalArgumentException(
+        s"$contractId:$version has status ${draft.status.getOrElse("none")}, not draft")
+    val reviewed = draft.copy(status = Some(if (approve) "active" else "rejected"))
+    store.put(reviewed)
+    reviewed
   }
 
   /** All recorded (dataset, version) statuses — the status-matrix view

@@ -64,6 +64,29 @@ object ContractIO {
     ReadResult(interceptors.foldLeft(aligned)((df, i) => i.postRead(ctx, df)), validation)
   }
 
+  /** Governed read resolving the contract from a store by version spec
+    * (`None` = latest, `"==v"`/bare = exact, `">=v"` = highest satisfying)
+    * — the reference's `contract_id` + `expected_contract_version` read
+    * surface (`spark/io/validation.py:83-127`). */
+  def readResolved(
+      spark: SparkSession,
+      path: String,
+      store: graft.contracts.ContractStore,
+      contractId: String,
+      versionSpec: Option[String] = None,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      autoCast: Boolean = true,
+      collectMetrics: Boolean = true,
+      enforce: Boolean = false,
+      interceptors: Seq[GovernanceInterceptor] = Nil,
+      statusPolicy: Option[ReadStatusPolicy] = None
+  ): ReadResult = {
+    val contract = graft.contracts.VersionPolicy.resolve(store, contractId, versionSpec)
+    read(spark, path, contract, format, options, autoCast, collectMetrics,
+      enforce, interceptors, statusPolicy)
+  }
+
   def write(
       df: DataFrame,
       path: String,

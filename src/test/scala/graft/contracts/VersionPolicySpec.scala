@@ -55,6 +55,26 @@ class VersionPolicySpec extends SparkSpec {
     assert(store.get("sales.orders", "1.1.0").map(_.version).contains("1.1.0"))
   }
 
+  test("readResolved pins the governed read to the store-resolved contract") {
+    import spark.implicits._
+    val dir = tmpDir("graft_readres")
+    Seq((1L, 10L), (2L, 20L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/data")
+    val slim = graft.DemoContracts.orders.copy(schema =
+      graft.DemoContracts.orders.schema.map(o => o.copy(properties =
+        o.properties.filter(f => Set("o_orderkey", "o_custkey").contains(f.name)))))
+    val store = new SparkTableContractStore(spark, s"$dir/contracts")
+    store.put(slim.copy(version = "1.0.0"))
+    store.put(slim.copy(version = "1.4.0"))
+    val res = graft.io.ContractIO.readResolved(spark, s"$dir/data", store,
+      "sales.orders", Some(">=1.1.0"))
+    assert(res.df.columns.toSeq == Seq("o_orderkey", "o_custkey"))
+    assert(res.df.count() == 2)
+    intercept[IllegalArgumentException] {
+      graft.io.ContractIO.readResolved(spark, s"$dir/data", store, "sales.orders", Some(">=2.0.0"))
+    }
+  }
+
   test("DeltaContractStore is constructible without delta jars; empty reads are graceful") {
     val store = new DeltaContractStore(spark, tmpDir("graft_delta") + "/contracts")
     assert(store.get("x", "1.0.0").isEmpty)

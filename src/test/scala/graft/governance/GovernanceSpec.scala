@@ -35,6 +35,48 @@ class GovernanceSpec extends SparkSpec {
     assert(gov.statusMatrix().map(_.status).sorted == Seq("block", "ok"))
   }
 
+  test("pipeline activity log joins runs to their validation statuses") {
+    val root = tmpDir("graft_govact")
+    val gov = new GovernanceBackend(s"$root/governance")
+    val li = T.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val bad = graft.quality.Evaluator.validate(li, DemoContracts.lineitem)
+    gov.recordValidation("sales.lineitem", "v1", DemoContracts.lineitem, bad)
+
+    gov.recordActivity("nightly-etl", "write", "sales.lineitem", "v1", DemoContracts.lineitem)
+    gov.recordActivity("ml-train", "read", "sales.lineitem", "v1", DemoContracts.lineitem)
+    gov.recordActivity("nightly-etl", "write", "sales.lineitem", "v2", DemoContracts.lineitem)
+
+    val all = gov.pipelineActivity("sales.lineitem")
+    assert(all.map(_._1.pipeline) == Seq("nightly-etl", "ml-train", "nightly-etl"))
+    // v1 runs resolve the recorded block status; v2 has none yet
+    val v1 = gov.pipelineActivity("sales.lineitem", Some("v1"))
+    assert(v1.size == 2 && v1.forall(_._2.exists(_.status == "block")))
+    val v2 = gov.pipelineActivity("sales.lineitem", Some("v2"))
+    assert(v2.size == 1 && v2.head._2.isEmpty)
+    assert(gov.pipelineActivity("unknown").isEmpty)
+  }
+
+  test("draft lifecycle: proposed drafts are listed, review promotes or rejects") {
+    val root = tmpDir("graft_govdraft")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val li = T.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val bad = graft.quality.Evaluator.validate(li, DemoContracts.lineitem)
+    gov.recordValidation("sales.lineitem", "v1", DemoContracts.lineitem, bad)
+
+    val drafts = gov.listDrafts("sales.lineitem")
+    assert(drafts.nonEmpty && drafts.forall(_.status.contains("draft")))
+    val dv = drafts.head.version
+
+    val approved = gov.reviewDraft("sales.lineitem", dv, approve = true)
+    assert(approved.status.contains("active"))
+    assert(store.get("sales.lineitem", dv).exists(_.status.contains("active")))
+    assert(gov.listDrafts("sales.lineitem").isEmpty) // no longer a draft
+    // a reviewed contract cannot be re-reviewed
+    intercept[IllegalArgumentException](gov.reviewDraft("sales.lineitem", dv, approve = false))
+    intercept[IllegalArgumentException](gov.reviewDraft("sales.lineitem", "9.9.9", approve = true))
+  }
+
   test("governed IO records verdicts on write and blocks reads of blocked versions") {
     val root = tmpDir("graft_govio")
     val store = new FsContractStore(s"$root/contracts")
