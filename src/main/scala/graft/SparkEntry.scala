@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{HashMode, Multimodal, NearDup, TextOps, VectorOps}
+import graft.ops.{HashMode, Multimodal, NearDup, Skew, TextOps, TopK, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -107,6 +107,32 @@ object SparkEntry {
         "purchase_ts", "view_ts")
     }),
     "q_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
+    "q_topk_groups" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      // line_id = orderkey*10+linenumber is unique (linenumber <= 7), so
+      // the score-desc/id-asc tiebreak is total and engine-independent
+      TopK.topKPerKey(
+        li.select(col("l_suppkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+          col("l_extendedprice")),
+        "l_suppkey", "line_id", "l_extendedprice", 3)
+    }),
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag").isNotNull && col("l_linestatus").isNotNull)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Analytics.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ord = t(s, d, "orders").select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      // the salt must be invisible in the result: same aggregate as the
+      // plain-join oracle
+      Skew.saltedJoin(li, ord, Seq("okey"), salts = 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(Analytics.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
     // ---- training-data pipeline operators ------------------------------
     "q_text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
@@ -324,6 +350,29 @@ object SparkEntry {
         |  CAST(doc_freq AS BIGINT) AS doc_freq,
         |  CAST(term_freq AS DOUBLE) / (SELECT CAST(sum(term_freq) AS DOUBLE) FROM c) AS corpus_share
         |FROM c""".stripMargin,
+    "q_topk_groups" ->
+      """SELECT l_suppkey, line_id,
+        |  CAST(rank AS BIGINT) AS "rank", l_extendedprice
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS line_id,
+        |    l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber ASC) AS rank
+        |  FROM lineitem)
+        |WHERE rank <= 3""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  CAST($ntok AS BIGINT) AS n_tokens,
