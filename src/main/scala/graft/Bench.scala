@@ -17,16 +17,19 @@ object Bench {
 
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_topn_join", "q5_join5", "q_metrics",
-    "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_quality")
+    "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_quality",
+    "q_topk_groups", "q_ann_ivf")
 
   /** Round-over-round regression budgets: BENCH_r02 per-query seconds
+    * (round-3 local best-of-2 for the two queries first benched in r3)
     * + 20%, plus a 0.3 s absolute jitter floor (20% of a 0.3 s query is
     * inside scheduler noise). Breaching any budget fails the process —
     * a regression must not ride along silently. */
   val budgetSecs: Map[String, Double] = Map(
     "q1_pricing" -> 1.52, "q3_topn_join" -> 1.17, "q5_join5" -> 1.30,
     "q_metrics" -> 0.51, "q_dedup_exact" -> 0.29, "q_dedup_minhash" -> 1.56,
-    "q_ann_brute" -> 0.43, "q_text_quality" -> 0.31
+    "q_ann_brute" -> 0.43, "q_text_quality" -> 0.31,
+    "q_topk_groups" -> 1.01, "q_ann_ivf" -> 1.05
   ).map { case (k, v) => k -> (v * 1.2 + 0.3) }
 
   def main(args: Array[String]): Unit = {
