@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product-quantization ANN (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", IEEE TPAMI 2011) — the memory-compression
+  * scale path for vector search: each dim-D vector becomes M codes of
+  * log2(K) bits (64 floats → 8 bytes at the defaults), and probe scoring
+  * replaces the D-multiply dot product with M table lookups.
+  *
+  * Spark shape (the part that matters at 100 TB):
+  *  - Codebook training is per-iteration ONE corpus scan + a
+  *    (block, code, dim)-keyed aggregation of M×K×D/M scalars —
+  *    corpus-size-independent shuffle, like the IVF k-means.
+  *  - Encoding is a pure projection against the codebook literal
+  *    (argmin via `array_sort` over `struct(dist, code)`, no shuffle).
+  *  - Scoring: the probe set is collected (probes are few by definition),
+  *    per-probe lookup tables `T[m][k] = dot(probe_m, c[m][k])` become one
+  *    literal, and the approximate dot of every (row, probe) pair is M
+  *    `element_at`s + adds inside the scan's projection — zero corpus
+  *    shuffle, then a bounded [[TopK]] aggregation (O(probes × k') rows
+  *    through the exchange).
+  *  - Optional exact re-rank of the top `rerank × topK` candidates
+  *    restores exact cosine ordering on the survivors.
+  *
+  * The direction is quantized, the norm is kept exact per row, so the
+  * approximate score is `Σ_m T[m][code_m] / (|p| |v|)` — a cosine whose
+  * numerator is PQ-approximated. */
+object PQ {
+
+  /** [m][k][dsub] codebooks. Deterministic: seeded from the lowest
+    * `k` vec_ids' subvectors, optionally refined by Lloyd iterations
+    * (empty codes keep their previous centroid). */
+  def train(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+            iterations: Int = 2): Array[Array[Array[Double]]] = {
+    val e = VectorOps.prepared(embeddings)
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      e.filter(col("vec_id") < k).select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray.grouped(dsub).toArray) match {
+          case seeds => Array.tabulate(m, k)((b, c) => seeds(c)(b))
+        }
+    for (_ <- 0 until iterations) {
+      val lit2 = booksLiteral(books)
+      val codes = encodeExpr(lit2, m, dsub)
+      // one corpus scan: explode dims, key by (block, code, dim) — the
+      // aggregation output is m*k*dsub scalars, independent of corpus size
+      val means = e.select(col("v"), codes.as("codes"))
+        .select(col("codes"), posexplode(col("v")).as(Seq("i", "x")))
+        .withColumn("block", (col("i") / dsub).cast(IntegerType))
+        .withColumn("dim", col("i") % dsub)
+        .withColumn("code", element_at(col("codes"), col("block") + 1))
+        .groupBy(col("block"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("c"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Codebooks as a literal `array<array<array<double>>>` [m][k][dsub]. */
+  private def booksLiteral(books: Array[Array[Array[Double]]]): Column =
+    array(books.map(blk => array(blk.map(c => array(c.map(lit): _*)): _*)): _*)
+
+  /** `array<int>` of per-block argmin-L2 codes for column `v` — a pure
+    * projection (ascending `struct(dist, code)` sort per block). */
+  private def encodeExpr(booksLit: Column, m: Int, dsub: Int): Column =
+    array((0 until m).map { b =>
+      val sub = slice(col("v"), b * dsub + 1, dsub)
+      val scored = transform(element_at(booksLit, b + 1),
+        (c, ci) => struct(
+          aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d).as("dist"),
+          ci.as("code")))
+      element_at(array_sort(scored), 1).getField("code")
+    }: _*)
+
+  /** Corpus encoded to `(vec_id, label, nrm, codes)`. */
+  def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head.length
+    VectorOps.prepared(embeddings)
+      .select(col("vec_id"), col("label"), col("nrm"),
+        encodeExpr(booksLiteral(books), m, dsub).as("codes"))
+  }
+
+  /** ANN over the encoded corpus: approximate-dot table scoring + bounded
+    * top-k, then exact cosine re-rank of the `rerank × topK` survivors.
+    * Output schema matches [[VectorOps.annBrute]]. */
+  def annPq(embeddings: DataFrame, nProbes: Int = 10, topK: Int = 5,
+            m: Int = 8, k: Int = 64, iterations: Int = 2,
+            rerank: Int = 4): DataFrame = {
+    val e = VectorOps.prepared(embeddings)
+    val books = train(embeddings, m, k, iterations)
+    val dsub = books.head.head.length
+    val encoded = encode(embeddings, books)
+
+    val probeRows = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("v"), col("nrm")).collect().sortBy(_.getLong(0))
+    // T[p][m][k]: dot of probe p's block m with codebook entry k
+    val tables = probeRows.map { pr =>
+      val pv = pr.getSeq[Double](1).toArray
+      Array.tabulate(books.length, k) { (b, c) =>
+        val sub = pv.slice(b * dsub, (b + 1) * dsub)
+        sub.zip(books(b)(c)).map { case (x, y) => x * y }.sum
+      }
+    }
+    val tLit = array(tables.map(t =>
+      array(t.map(row => array(row.map(lit): _*)): _*)): _*)
+    val probeMeta = probeRows.zipWithIndex.map { case (pr, i) =>
+      (i, pr.getLong(0), pr.getDouble(2))
+    }
+
+    // per-row array of struct(probe, approx): M element_ats + adds per
+    // probe, all inside the scan's projection — zero corpus shuffle
+    val perProbe = array(probeMeta.map { case (i, pid, pn) =>
+      val tP = element_at(tLit, i + 1)
+      val approxDot = (0 until books.length).map { b =>
+        element_at(element_at(tP, b + 1), element_at(col("codes"), b + 1) + 1)
+      }.reduce(_ + _)
+      struct(lit(pid).as("probe_id"),
+        (approxDot / (lit(pn) * col("nrm"))).as("approx"))
+    }: _*)
+
+    val scored = encoded
+      .select(col("vec_id"), explode(perProbe).as("s"))
+      .select(col("s.probe_id").as("probe_id"), col("vec_id"), col("s.approx").as("approx"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val cands = TopK.topKPerKey(scored, "probe_id", "vec_id", "approx", topK * rerank)
+
+    // exact re-rank of the survivors (candidates are O(probes × topK ×
+    // rerank) rows — the corpus never reappears)
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumnRenamed("vec_id", "neighbor_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

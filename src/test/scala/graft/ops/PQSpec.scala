@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PQSpec extends SparkSpec {
+
+  private def e = graft.T.load(spark, "/root/testdata/sf0.01", "embeddings")
+
+  test("codebooks are deterministic and correctly shaped") {
+    val b1 = PQ.train(e, m = 8, k = 16, iterations = 1)
+    val b2 = PQ.train(e, m = 8, k = 16, iterations = 1)
+    assert(b1.length == 8 && b1.forall(_.length == 16) && b1.forall(_.forall(_.length == 8)))
+    assert(b1.flatten.flatten.toSeq == b2.flatten.flatten.toSeq)
+  }
+
+  test("encoding assigns every vector a full code array in range") {
+    val books = PQ.train(e, iterations = 0)
+    val codes = PQ.encode(e, books).collect()
+    assert(codes.length == e.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](3)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+    }
+  }
+
+  test("annPq with exact re-rank recalls most brute-force neighbours") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorOps.annBrute(e))
+    val found = pairs(PQ.annPq(e))
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"PQ recall@5 $recall < 0.5 (truth=${truth.size})")
+    // survivors are exactly ranked: cosine must be the true cosine
+    val brute = VectorOps.annBrute(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    PQ.annPq(e).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c == r.getDouble(3),
+        s"re-ranked cosine for $key diverged"))
+    }
+  }
+
+  test("larger rerank pools improve (or keep) recall") {
+    def recallAt(rr: Int): Double = {
+      val truth = VectorOps.annBrute(e).select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = PQ.annPq(e, rerank = rr).select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (found & truth).size.toDouble / truth.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 >= r2, s"recall must not degrade with a larger pool: rr2=$r2 rr8=$r8")
+  }
+}
