@@ -65,7 +65,11 @@ object Bench {
         }
       name -> secs
     }
-    val breaches = results.collect {
+    // budgets are wall-clock numbers from the round driver's machine;
+    // SPARK_GRAFT_BENCH_BUDGETS=off keeps the timings but drops the gate
+    // when running on different hardware
+    val budgetsOn = !sys.env.get("SPARK_GRAFT_BENCH_BUDGETS").exists(_.equalsIgnoreCase("off"))
+    val breaches = if (!budgetsOn) Nil else results.collect {
       case (name, secs) if secs >= 0 && budgetSecs.get(name).exists(secs > _) =>
         f"$name ${secs}%.2f>${budgetSecs(name)}%.2f"
     }

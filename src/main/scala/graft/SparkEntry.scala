@@ -142,8 +142,10 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
     // hash-based dedup ops run in HashMode.Portable here so the DuckDB
-    // oracle can recompute identical signatures; production default stays
-    // xxhash64 (and Bench times that path)
+    // oracle can recompute identical signatures; the library default stays
+    // xxhash64. Bench resolves THIS map, so it times the Portable path —
+    // deliberately: the benched code is exactly the hash-gated code
+    // (within ~6% of xxhash64 after the double-hashing rewrite, PERF.md)
     "q_dedup_minhash" -> ((s, d) =>
       NearDup.minhashPairs(t(s, d, "documents"), mode = HashMode.Portable)),
     "q_dedup_simhash" -> ((s, d) =>
@@ -564,7 +566,8 @@ object SparkEntry {
         |SELECT 'error',
         |  'column l_shipmode contains ' || count(*) ||
         |  ' null value(s) but is required in the contract'
-        |FROM lineitem""".stripMargin,
+        |FROM lineitem
+        |HAVING count(*) > 0""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

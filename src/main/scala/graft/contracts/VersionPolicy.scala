@@ -4,28 +4,25 @@ package graft.contracts
   * reference's `spark/io/validation.py:54-127,214-259`: a version spec is
   * either empty (latest), `"==x.y.z"` (exact), `">=x.y.z"` (minimum —
   * resolve to the HIGHEST stored version satisfying it), or a bare version
-  * string (exact). Non-semver store entries are skipped during `>=`
-  * selection unless they match the bound exactly, as in the reference's
+  * string (exact). Ordering is [[SemVer]]'s (numeric triples, release >
+  * pre-release — the same ordering `ContractStore.latest` uses, so pinned
+  * and unpinned resolution can never disagree about which of two versions
+  * is newer). Non-semver store entries are skipped during `>=` selection
+  * unless they match the bound exactly, as in the reference's
   * `_select_version`. */
 object VersionPolicy {
 
-  private val Sem = """(\d+)\.(\d+)\.(\d+).*""".r
-
-  /** Numeric (major, minor, patch) key, or None for non-semver strings. */
-  def semverKey(v: String): Option[(Int, Int, Int)] = v.trim match {
-    case Sem(a, b, c) => Some((a.toInt, b.toInt, c.toInt))
-    case _ => None
-  }
-
-  /** Does `actual` satisfy `spec` (`==v`, `>=v`, or exact string)? */
+  /** Does `actual` satisfy `spec` (`==v`, `>=v`, or exact string)?
+    * `>=` compares with SemVer ordering (so 1.2.0-rc1 does NOT satisfy
+    * >=1.2.0); non-semver operands fall back to exact equality. */
   def satisfies(actual: String, spec: String): Boolean = {
     val s = spec.trim
     if (s.startsWith("==")) actual == s.drop(2).trim
     else if (s.startsWith(">=")) {
       val bound = s.drop(2).trim
       if (bound.isEmpty) true
-      else (semverKey(actual), semverKey(bound)) match {
-        case (Some(a), Some(b)) => implicitly[Ordering[(Int, Int, Int)]].gteq(a, b)
+      else (SemVer.tryParse(actual), SemVer.tryParse(bound)) match {
+        case (Some(a), Some(b)) => a >= b
         case _ => actual == bound
       }
     } else actual == s
@@ -43,7 +40,7 @@ object VersionPolicy {
   /** Resolve a version spec against a store: latest when unset, exact for
     * `==`/bare specs, highest-satisfying for `>=` (reference
     * `_resolve_contract`/`_select_version`). Throws when nothing
-    * satisfies. */
+    * satisfies or the `>=` bound is not a version. */
   def resolve(store: ContractStore, contractId: String, spec: Option[String] = None): Contract = {
     val normalized = spec.map(_.trim).filter(_.nonEmpty)
     normalized match {
@@ -52,15 +49,15 @@ object VersionPolicy {
           throw new IllegalArgumentException(s"no versions available for contract $contractId"))
       case Some(s) if s.startsWith(">=") =>
         val bound = s.drop(2).trim
-        val boundKey = semverKey(bound).getOrElse(
+        val boundVer = SemVer.tryParse(bound).getOrElse(
           throw new IllegalArgumentException(s"invalid minimum version: $bound"))
         val versions = store.listVersions(contractId)
         // reference `_select_version`: an unparseable candidate is eligible
         // only when it equals the bound exactly (early return there)
-        val version = versions.find(v => semverKey(v).isEmpty && v == bound).getOrElse {
+        val version = versions.find(v => SemVer.tryParse(v).isEmpty && v == bound).getOrElse {
           versions
-            .flatMap(v => semverKey(v).map(_ -> v))
-            .filter { case (k, _) => implicitly[Ordering[(Int, Int, Int)]].gteq(k, boundKey) }
+            .flatMap(v => SemVer.tryParse(v).map(_ -> v))
+            .filter { case (ver, _) => ver >= boundVer }
             .sortBy(_._1)
             .lastOption.map(_._2)
             .getOrElse(throw new IllegalArgumentException(

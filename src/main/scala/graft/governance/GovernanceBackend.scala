@@ -166,21 +166,24 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     val f = root.resolve("activity").resolve(safe(datasetId) + ".jsonl")
     if (!Files.exists(f)) Nil
     else Files.readString(f).linesIterator.filter(_.nonEmpty).toSeq.flatMap { line =>
-      val fields = JsonMethods.parse(line) match {
-        case JObject(fs) => fs.toMap
-        case _ => Map.empty[String, JValue]
+      // a torn line (concurrent cross-process appends are not atomic) must
+      // not poison the whole log — skip anything that doesn't parse to an
+      // activity object
+      scala.util.Try(JsonMethods.parse(line)).toOption.collect {
+        case JObject(fs) if fs.nonEmpty => fs.toMap
+      }.flatMap { fields =>
+        def str(k: String) = fields.get(k).collect { case JString(v) => v }.getOrElse("")
+        val at = fields.get("recordedAt") match {
+          case Some(JLong(v)) => v
+          case Some(JInt(v)) => v.toLong
+          case _ => 0L
+        }
+        val rec = PipelineActivity(str("pipeline"), str("operation"), str("datasetId"),
+          str("datasetVersion"), str("contractId"), str("contractVersion"), at)
+        if (datasetVersion.forall(_ == rec.datasetVersion))
+          Some(rec -> getStatus(rec.datasetId, rec.datasetVersion))
+        else None
       }
-      def str(k: String) = fields.get(k).collect { case JString(v) => v }.getOrElse("")
-      val at = fields.get("recordedAt") match {
-        case Some(JLong(v)) => v
-        case Some(JInt(v)) => v.toLong
-        case _ => 0L
-      }
-      val rec = PipelineActivity(str("pipeline"), str("operation"), str("datasetId"),
-        str("datasetVersion"), str("contractId"), str("contractVersion"), at)
-      if (datasetVersion.forall(_ == rec.datasetVersion))
-        Some(rec -> getStatus(rec.datasetId, rec.datasetVersion))
-      else None
     }
   }
 

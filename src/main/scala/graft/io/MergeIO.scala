@@ -64,11 +64,20 @@ object MergeIO {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path.stripSuffix("/") + "__staging")
     val retired = new Path(path.stripSuffix("/") + "__old")
+    // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not by
+    // throwing — every rename in the swap must be checked or a failed
+    // promote could fall through to the __old cleanup and delete the only
+    // remaining copy of the previous snapshot
+    def renameOrFail(from: Path, to: Path, what: String): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"$what failed: rename($from -> $to) returned false")
+
     // crash recovery: a previous upsert that died between rename(target →
     // __old) and rename(__staging → target) left the dataset only under
     // __old — restore it before reading, so readers (and this merge) see
     // the last complete snapshot instead of nothing
-    if (fs.exists(retired) && !fs.exists(target)) fs.rename(retired, target)
+    if (fs.exists(retired) && !fs.exists(target))
+      renameOrFail(retired, target, "crash recovery")
 
     val merged =
       if (fs.exists(target)) {
@@ -81,8 +90,8 @@ object MergeIO {
     // snapshot swap: write staging, move old aside, promote, drop old
     merged.write.format(format).mode("overwrite").save(staging.toString)
     if (fs.exists(retired)) fs.delete(retired, true)
-    if (fs.exists(target)) fs.rename(target, retired)
-    fs.rename(staging, target)
+    if (fs.exists(target)) renameOrFail(target, retired, "retiring current snapshot")
+    renameOrFail(staging, target, "promoting staged snapshot") // __old still intact on failure
     if (fs.exists(retired)) fs.delete(retired, true)
 
     // side-writes (quarantine etc.) run AFTER the swap succeeds: a failed

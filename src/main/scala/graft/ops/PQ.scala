@@ -37,15 +37,19 @@ object PQ {
   def train(embeddings: DataFrame, m: Int = 8, k: Int = 16,
             iterations: Int = 2): Array[Array[Array[Double]]] = {
     val e = VectorOps.prepared(embeddings)
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val firstDim = embeddings.select(size(col("embedding"))).limit(1).collect()
+    require(firstDim.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = firstDim.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
     val dsub = dim / m
+    // seed from the first k vectors in vec_id order (NOT `vec_id < k`:
+    // sparse or offset id spaces would under-fill the codebook and crash)
+    val seeds = e.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray.grouped(dsub).toArray)
+    require(seeds.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val kEff = seeds.length // corpora smaller than k get a smaller codebook
     var books: Array[Array[Array[Double]]] =
-      e.filter(col("vec_id") < k).select(col("vec_id"), col("v")).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toArray.grouped(dsub).toArray) match {
-          case seeds => Array.tabulate(m, k)((b, c) => seeds(c)(b))
-        }
+      Array.tabulate(m, kEff)((b, c) => seeds(c)(b))
     for (_ <- 0 until iterations) {
       val lit2 = booksLiteral(books)
       val codes = encodeExpr(lit2, m, dsub)
@@ -107,10 +111,12 @@ object PQ {
 
     val probeRows = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id"), col("v"), col("nrm")).collect().sortBy(_.getLong(0))
-    // T[p][m][k]: dot of probe p's block m with codebook entry k
+    // T[p][m][k]: dot of probe p's block m with codebook entry k (the
+    // trained codebook may be smaller than k on small corpora)
+    val kEff = books.head.length
     val tables = probeRows.map { pr =>
       val pv = pr.getSeq[Double](1).toArray
-      Array.tabulate(books.length, k) { (b, c) =>
+      Array.tabulate(books.length, kEff) { (b, c) =>
         val sub = pv.slice(b * dsub, (b + 1) * dsub)
         sub.zip(books(b)(c)).map { case (x, y) => x * y }.sum
       }

@@ -155,14 +155,18 @@ object VectorOps {
     * `array<struct<cid, cv, cn>>`, sorted by cid for a deterministic
     * expression. This is what lets cluster assignment be a pure projection:
     * no crossJoin row expansion, no window, zero exchange. */
-  private def centroidLiteral(cents: DataFrame): Column = {
+  private def centroidLiteral(cents: DataFrame): Option[Column] = {
     val rows = cents.select(col("cid"), col("cv"), col("cn")).collect()
       .sortBy(_.getLong(0))
-    array(rows.map { r =>
+    // an empty `array()` literal is ArrayType(NullType) — getField on its
+    // elements fails analysis, so the no-centroids case must be handled by
+    // the caller (empty corpus / no vec_id below the seed bound)
+    if (rows.isEmpty) None
+    else Some(array(rows.map { r =>
       struct(lit(r.getLong(0)).as("cid"),
         array(r.getSeq[Double](1).map(lit): _*).as("cv"),
         lit(r.getDouble(2)).as("cn"))
-    }: _*)
+    }: _*))
   }
 
   /** The `keep` nearest centroids of each row's `v`/`nrm`, as a sorted
@@ -187,7 +191,9 @@ object VectorOps {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     for (_ <- 0 until iterations) {
-      val best = element_at(nearestClusterArray(centroidLiteral(cents), 1), 1)
+      val cLit = centroidLiteral(cents).getOrElse(
+        return cents.limit(0)) // empty corpus: nothing to refine
+      val best = element_at(nearestClusterArray(cLit, 1), 1)
       val assigned = e
         .select(best.getField("cid").as("cid"), col("v"))
       cents = assigned
@@ -216,7 +222,12 @@ object VectorOps {
       if (kmeansIters > 0) kmeansCentroids(e, nCentroids, kmeansIters)
       else e.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val centsLit = centroidLiteral(cents)
+    val centsLit = centroidLiteral(cents).getOrElse(
+      // no centroids (empty corpus or no vec_id below the seed bound):
+      // graceful empty result, as the pre-literal crossJoin formulation gave
+      return e.limit(0).select(col("vec_id").as("probe_id"),
+        col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
+        col("nrm").as("cosine")))
 
     val assigned = e
       .withColumn("cid",

@@ -30,6 +30,32 @@ class EdgeCasesSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 
+  test("vector ops are total on empty and offset-id corpora") {
+    val emptyVecs = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorOps.annIvf(emptyVecs).count() == 0)
+    assert(VectorOps.kmeansCentroids(
+      VectorOps.prepared(emptyVecs), k = 4, iterations = 2).count() == 0)
+    // ids all above the seed bound: no centroid seeds — graceful empty,
+    // not an AnalysisException from a zero-element array literal
+    val offset = Seq((1000L, Seq.fill(8)(1.0f), 0), (1001L, Seq.fill(8)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorOps.annIvf(offset, nCentroids = 16, nProbes = 10).count() == 0)
+  }
+
+  test("PQ clamps the codebook to the corpus and survives offset ids") {
+    val tiny = Seq((1000L, Seq.tabulate(8)(i => i.toFloat), 0),
+                   (1001L, Seq.tabulate(8)(i => (8 - i).toFloat), 0),
+                   (1002L, Seq.tabulate(8)(i => (i * 2).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val books = PQ.train(tiny, m = 2, k = 16, iterations = 1)
+    assert(books.forall(_.length == 3), "codebook must clamp to corpus size")
+    assert(PQ.encode(tiny, books).count() == 3)
+    intercept[IllegalArgumentException] {
+      PQ.train(Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"))
+    }
+  }
+
   test("unicode text: counts are codepoint-based and fingerprints stable") {
     val docs = Seq((1L, "héllo wörld 你好 世界"), (2L, "HÉLLO  WÖRLD 你好 世界"))
       .toDF("doc_id", "text")

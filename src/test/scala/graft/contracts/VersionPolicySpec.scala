@@ -38,6 +38,17 @@ class VersionPolicySpec extends SparkSpec {
       VersionPolicy.resolve(store, "sales.orders", Some(">=draft-x")))
   }
 
+  test("pre-releases order below their release, consistent with store.latest") {
+    val store = storeWith("1.2.0-rc1", "1.2.0", "1.1.0")
+    // SemVer ordering: 1.2.0-rc1 < 1.2.0, so >= picks the release and a
+    // pre-release does not satisfy a release bound
+    assert(VersionPolicy.resolve(store, "sales.orders", Some(">=1.1.0")).version == "1.2.0")
+    assert(!VersionPolicy.satisfies("1.2.0-rc1", ">=1.2.0"))
+    assert(VersionPolicy.satisfies("1.2.0-rc1", ">=1.1.0"))
+    // unpinned latest agrees
+    assert(VersionPolicy.resolve(store, "sales.orders").version == "1.2.0")
+  }
+
   test("check honours ==, >= and bare specs") {
     VersionPolicy.check(None, "1.0.0")
     VersionPolicy.check(Some("==1.0.0"), "1.0.0")

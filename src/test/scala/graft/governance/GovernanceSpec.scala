@@ -54,6 +54,13 @@ class GovernanceSpec extends SparkSpec {
     val v2 = gov.pipelineActivity("sales.lineitem", Some("v2"))
     assert(v2.size == 1 && v2.head._2.isEmpty)
     assert(gov.pipelineActivity("unknown").isEmpty)
+
+    // a torn/corrupt line (cross-process append interleaving) must be
+    // skipped, not poison the whole log
+    val logFile = java.nio.file.Paths.get(s"$root/governance/activity/sales.lineitem.jsonl")
+    java.nio.file.Files.writeString(logFile, "{\"pipel",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(gov.pipelineActivity("sales.lineitem").size == 3)
   }
 
   test("draft lifecycle: proposed drafts are listed, review promotes or rejects") {
