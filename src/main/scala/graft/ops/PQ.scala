@@ -159,4 +159,84 @@ object PQ {
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** IVF × PQ (the FAISS-IVFPQ composition, on raw vectors rather than
+    * residuals): the coarse IVF assignment prunes the corpus to the
+    * probed clusters — a zero-shuffle projection + a broadcast semi-join —
+    * and PQ table lookups score only the survivors, so per-probe work is
+    * ~`nProbeClusters/nCentroids` of the corpus at M lookups per row.
+    * Same bounded top-k + exact re-rank tail as [[annPq]]. */
+  def annIvfPq(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
+               nProbeClusters: Int = 2, topK: Int = 5,
+               m: Int = 8, k: Int = 64, iterations: Int = 2,
+               rerank: Int = 4): DataFrame = {
+    val e = VectorOps.prepared(embeddings)
+    val coarse = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val coarseLit = VectorOps.centroidLiteral(coarse).getOrElse(
+      return e.limit(0).select(col("vec_id").as("probe_id"),
+        col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
+        col("nrm").as("cosine")))
+
+    val books = train(embeddings, m, k, iterations)
+    val dsub = books.head.head.length
+    val kEff = books.head.length
+    // one projection: coarse cluster + PQ codes, both expression-level
+    val indexed = e.select(col("vec_id"), col("nrm"),
+      element_at(VectorOps.nearestClusterArray(coarseLit, 1), 1).getField("cid").as("cid"),
+      encodeExpr(booksLiteral(books), m, dsub).as("codes"))
+
+    val probeRows = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("v"), col("nrm")).collect().sortBy(_.getLong(0))
+    val tables = probeRows.map { pr =>
+      val pv = pr.getSeq[Double](1).toArray
+      Array.tabulate(books.length, kEff) { (b, c) =>
+        val sub = pv.slice(b * dsub, (b + 1) * dsub)
+        sub.zip(books(b)(c)).map { case (x, y) => x * y }.sum
+      }
+    }
+    val tLit = array(tables.map(t =>
+      array(t.map(row => array(row.map(lit): _*)): _*)): _*)
+
+    // probe → probed coarse clusters, computed on the driver (probes are
+    // already collected); broadcast the (probe_id, cid, table-idx) rows
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val coarseRows = coarse.collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val probeClusters = probeRows.zipWithIndex.flatMap { case (pr, i) =>
+      val pv = pr.getSeq[Double](1).toArray
+      val pn = pr.getDouble(2)
+      coarseRows.map { case (cid, cv, cn) =>
+        val cos = math.round(pv.zip(cv).map { case (x, y) => x * y }.sum / (pn * cn) * 1e6) / 1e6
+        (pr.getLong(0), i, pn, cid, cos)
+      }.sortBy { case (_, _, _, cid, cos) => (-cos, cid) }
+        .take(nProbeClusters)
+    }.toSeq.toDF("probe_id", "t_idx", "pn", "cid", "ccos")
+
+    val scored = indexed
+      .join(broadcast(probeClusters.select("probe_id", "t_idx", "pn", "cid")), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("approx", {
+        val tP = element_at(tLit, col("t_idx") + 1)
+        (0 until books.length).map { b =>
+          element_at(element_at(tP, b + 1), element_at(col("codes"), b + 1) + 1)
+        }.reduce(_ + _) / (col("pn") * col("nrm"))
+      })
+      .select(col("probe_id"), col("vec_id"), col("approx"))
+    val cands = TopK.topKPerKey(scored, "probe_id", "vec_id", "approx", topK * rerank)
+
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumnRenamed("vec_id", "neighbor_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
 }

@@ -155,7 +155,7 @@ object VectorOps {
     * `array<struct<cid, cv, cn>>`, sorted by cid for a deterministic
     * expression. This is what lets cluster assignment be a pure projection:
     * no crossJoin row expansion, no window, zero exchange. */
-  private def centroidLiteral(cents: DataFrame): Option[Column] = {
+  private[ops] def centroidLiteral(cents: DataFrame): Option[Column] = {
     val rows = cents.select(col("cid"), col("cv"), col("cn")).collect()
       .sortBy(_.getLong(0))
     // an empty `array()` literal is ArrayType(NullType) — getField on its
@@ -174,7 +174,7 @@ object VectorOps {
     * "cosine desc, cid asc". A pure projection over the centroid literal:
     * the argmax that previously forced a full shuffle of the k×-expanded
     * corpus (row_number over partitionBy(vec_id)) is now zero-exchange. */
-  private def nearestClusterArray(centsLit: Column, keep: Int): Column =
+  private[ops] def nearestClusterArray(centsLit: Column, keep: Int): Column =
     slice(array_sort(transform(centsLit, c =>
       struct((-cosR(col("v"), col("nrm"), c.getField("cv"), c.getField("cn"))).as("negcos"),
         c.getField("cid").as("cid")))), 1, keep)

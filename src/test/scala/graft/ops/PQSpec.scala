@@ -41,6 +41,23 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("annIvfPq prunes to probed clusters and still recalls IVF's neighbours") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // compare against annIvf at the SAME coarse pruning (nProbeClusters=2):
+    // the additional loss should come only from PQ quantization, which the
+    // exact re-rank largely recovers
+    val ivf = pairs(VectorOps.annIvf(e, nProbeClusters = 4))
+    val ivfpq = pairs(PQ.annIvfPq(e, nProbeClusters = 4, rerank = 8))
+    val recall = (ivfpq & ivf).size.toDouble / ivf.size
+    assert(recall >= 0.5, s"IVFPQ recall vs IVF $recall < 0.5")
+    // empty corpus is graceful
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(PQ.annIvfPq(empty).count() == 0)
+  }
+
   test("larger rerank pools improve (or keep) recall") {
     def recallAt(rr: Int): Double = {
       val truth = VectorOps.annBrute(e).select("probe_id", "neighbor_id").collect()
