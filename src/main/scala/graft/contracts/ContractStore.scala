@@ -14,7 +14,7 @@ final case class SemVer(major: Int, minor: Int, patch: Int, suffix: Option[Strin
       case (None, None)       => 0
       case (None, Some(_))    => 1
       case (Some(_), None)    => -1
-      case (Some(a), Some(b)) => a.compare(b)
+      case (Some(a), Some(b)) => SemVer.comparePreRelease(a, b)
     }
   }
   def bump(level: String): SemVer = level match {
@@ -33,6 +33,32 @@ object SemVer {
     case _ => throw new IllegalArgumentException(s"not a semver: $s")
   }
   def tryParse(s: String): Option[SemVer] = scala.util.Try(parse(s)).toOption
+
+  /** semver.org §11.4 pre-release precedence: dot-separated identifiers,
+    * all-digit identifiers compare numerically (rc.10 > rc.2) and rank
+    * below alphanumeric ones; a longer identifier list wins a tie. Plain
+    * lexicographic comparison would order "rc10" < "rc2". */
+  private[contracts] def comparePreRelease(a: String, b: String): Int = {
+    val (as, bs) = (a.split('.'), b.split('.'))
+    as.zip(bs).foreach { case (x, y) =>
+      val c = (x.forall(_.isDigit), y.forall(_.isDigit)) match {
+        case (true, true)   => x.toLong.compare(y.toLong)
+        case (true, false)  => -1
+        case (false, true)  => 1
+        case (false, false) =>
+          // alphanumeric identifiers with a shared non-digit stem and
+          // numeric tails (rc10 vs rc2) still order numerically
+          val stem = (s: String) => s.takeWhile(!_.isDigit)
+          val tail = (s: String) => s.dropWhile(!_.isDigit)
+          if (stem(x) == stem(y) && tail(x).nonEmpty && tail(y).nonEmpty &&
+              tail(x).forall(_.isDigit) && tail(y).forall(_.isDigit))
+            tail(x).toLong.compare(tail(y).toLong)
+          else x.compare(y)
+      }
+      if (c != 0) return c
+    }
+    as.length.compare(bs.length)
+  }
 }
 
 /** Versioned contract persistence. */

@@ -52,17 +52,17 @@ object VersionPolicy {
         val boundVer = SemVer.tryParse(bound).getOrElse(
           throw new IllegalArgumentException(s"invalid minimum version: $bound"))
         val versions = store.listVersions(contractId)
-        // reference `_select_version`: an unparseable candidate is eligible
-        // only when it equals the bound exactly (early return there)
-        val version = versions.find(v => SemVer.tryParse(v).isEmpty && v == bound).getOrElse {
-          versions
-            .flatMap(v => SemVer.tryParse(v).map(_ -> v))
-            .filter { case (ver, _) => ver >= boundVer }
-            .sortBy(_._1)
-            .lastOption.map(_._2)
-            .getOrElse(throw new IllegalArgumentException(
-              s"no versions of $contractId satisfy >= $bound (have: ${versions.mkString(", ")})"))
-        }
+        // reference `_select_version` semantics: non-semver store entries
+        // (e.g. "1.2.3.4", "draft-x") cannot satisfy a `>=` bound — they
+        // are skipped, matching SemVer.parse/ValueError there. Pin such
+        // versions with an exact (`==`/bare) spec instead.
+        val version = versions
+          .flatMap(v => SemVer.tryParse(v).map(_ -> v))
+          .filter { case (ver, _) => ver >= boundVer }
+          .sortBy(_._1)
+          .lastOption.map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no versions of $contractId satisfy >= $bound (have: ${versions.mkString(", ")})"))
         store.get(contractId, version).getOrElse(
           throw new IllegalArgumentException(s"contract $contractId:$version vanished from the store"))
       case Some(s) =>

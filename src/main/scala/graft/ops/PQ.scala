@@ -98,21 +98,24 @@ object PQ {
         encodeExpr(booksLiteral(books), m, dsub).as("codes"))
   }
 
-  /** ANN over the encoded corpus: approximate-dot table scoring + bounded
-    * top-k, then exact cosine re-rank of the `rerank × topK` survivors.
-    * Output schema matches [[VectorOps.annBrute]]. */
-  def annPq(embeddings: DataFrame, nProbes: Int = 10, topK: Int = 5,
-            m: Int = 8, k: Int = 64, iterations: Int = 2,
-            rerank: Int = 4): DataFrame = {
-    val e = VectorOps.prepared(embeddings)
-    val books = train(embeddings, m, k, iterations)
-    val dsub = books.head.head.length
-    val encoded = encode(embeddings, books)
+  /** Empty result in [[VectorOps.annBrute]]'s output schema — the graceful
+    * degenerate for no-probe / no-centroid corpora (a zero-element literal
+    * would fail analysis instead). */
+  private def emptyAnnResult(e: DataFrame): DataFrame =
+    e.limit(0).select(col("vec_id").as("probe_id"), col("vec_id").as("neighbor_id"),
+      col("vec_id").as("rank"), col("nrm").as("cosine"))
 
-    val probeRows = e.filter(col("vec_id") < nProbes)
+  /** Collected probe rows (vec_id, v, nrm), id-sorted. */
+  private def collectProbes(e: DataFrame, nProbes: Int): Array[org.apache.spark.sql.Row] =
+    e.filter(col("vec_id") < nProbes)
       .select(col("vec_id"), col("v"), col("nrm")).collect().sortBy(_.getLong(0))
-    // T[p][m][k]: dot of probe p's block m with codebook entry k (the
-    // trained codebook may be smaller than k on small corpora)
+
+  /** `T[p][m][k]` lookup-table literal: dot of probe p's block m with
+    * codebook entry k (the trained codebook may be smaller than the
+    * requested k on small corpora). */
+  private def probeTablesLit(probeRows: Array[org.apache.spark.sql.Row],
+                             books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books.head.head.length
     val kEff = books.head.length
     val tables = probeRows.map { pr =>
       val pv = pr.getSeq[Double](1).toArray
@@ -121,31 +124,20 @@ object PQ {
         sub.zip(books(b)(c)).map { case (x, y) => x * y }.sum
       }
     }
-    val tLit = array(tables.map(t =>
-      array(t.map(row => array(row.map(lit): _*)): _*)): _*)
-    val probeMeta = probeRows.zipWithIndex.map { case (pr, i) =>
-      (i, pr.getLong(0), pr.getDouble(2))
-    }
+    array(tables.map(t => array(t.map(row => array(row.map(lit): _*)): _*)): _*)
+  }
 
-    // per-row array of struct(probe, approx): M element_ats + adds per
-    // probe, all inside the scan's projection — zero corpus shuffle
-    val perProbe = array(probeMeta.map { case (i, pid, pn) =>
-      val tP = element_at(tLit, i + 1)
-      val approxDot = (0 until books.length).map { b =>
-        element_at(element_at(tP, b + 1), element_at(col("codes"), b + 1) + 1)
-      }.reduce(_ + _)
-      struct(lit(pid).as("probe_id"),
-        (approxDot / (lit(pn) * col("nrm"))).as("approx"))
-    }: _*)
+  /** Approximate dot of the row's `codes` against table `tP` — M
+    * element_at lookups + adds. */
+  private def approxDot(tP: Column, m: Int): Column =
+    (0 until m).map { b =>
+      element_at(element_at(tP, b + 1), element_at(col("codes"), b + 1) + 1)
+    }.reduce(_ + _)
 
-    val scored = encoded
-      .select(col("vec_id"), explode(perProbe).as("s"))
-      .select(col("s.probe_id").as("probe_id"), col("vec_id"), col("s.approx").as("approx"))
-      .filter(col("vec_id") =!= col("probe_id"))
-    val cands = TopK.topKPerKey(scored, "probe_id", "vec_id", "approx", topK * rerank)
-
-    // exact re-rank of the survivors (candidates are O(probes × topK ×
-    // rerank) rows — the corpus never reappears)
+  /** Exact cosine re-rank of the candidate survivors (O(probes × pool)
+    * rows — the corpus never reappears). Shared tail of the ANN paths. */
+  private def exactRerank(cands: DataFrame, e: DataFrame,
+                          nProbes: Int, topK: Int): DataFrame = {
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val w = Window.partitionBy(col("probe_id"))
@@ -160,6 +152,37 @@ object PQ {
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** ANN over the encoded corpus: approximate-dot table scoring + bounded
+    * top-k, then exact cosine re-rank of the `rerank × topK` survivors.
+    * Output schema matches [[VectorOps.annBrute]]. */
+  def annPq(embeddings: DataFrame, nProbes: Int = 10, topK: Int = 5,
+            m: Int = 8, k: Int = 64, iterations: Int = 2,
+            rerank: Int = 4): DataFrame = {
+    val e = VectorOps.prepared(embeddings)
+    if (e.isEmpty) return emptyAnnResult(e)
+    val books = train(embeddings, m, k, iterations)
+    val encoded = encode(embeddings, books)
+    val probeRows = collectProbes(e, nProbes)
+    if (probeRows.isEmpty) return emptyAnnResult(e)
+    val tLit = probeTablesLit(probeRows, books)
+
+    // per-row array of struct(probe, approx): M element_ats + adds per
+    // probe, all inside the scan's projection — zero corpus shuffle
+    val perProbe = array(probeRows.zipWithIndex.map { case (pr, i) =>
+      struct(lit(pr.getLong(0)).as("probe_id"),
+        (approxDot(element_at(tLit, i + 1), books.length) /
+          (lit(pr.getDouble(2)) * col("nrm"))).as("approx"))
+    }: _*)
+
+    val scored = encoded
+      .select(col("vec_id"), col("codes"), col("nrm"))
+      .select(col("vec_id"), explode(perProbe).as("s"))
+      .select(col("s.probe_id").as("probe_id"), col("vec_id"), col("s.approx").as("approx"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val cands = TopK.topKPerKey(scored, "probe_id", "vec_id", "approx", topK * rerank)
+    exactRerank(cands, e, nProbes, topK)
+  }
+
   /** IVF × PQ (the FAISS-IVFPQ composition, on raw vectors rather than
     * residuals): the coarse IVF assignment prunes the corpus to the
     * probed clusters — a zero-shuffle projection + a broadcast semi-join —
@@ -171,44 +194,39 @@ object PQ {
                m: Int = 8, k: Int = 64, iterations: Int = 2,
                rerank: Int = 4): DataFrame = {
     val e = VectorOps.prepared(embeddings)
-    val coarse = e.filter(col("vec_id") < nCentroids)
+    // centroids collected ONCE: the same rows feed the assignment literal
+    // and the driver-side probe-cluster selection
+    val coarseRaw = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val coarseLit = VectorOps.centroidLiteral(coarse).getOrElse(
-      return e.limit(0).select(col("vec_id").as("probe_id"),
-        col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
-        col("nrm").as("cosine")))
+      .collect()
+    val coarseLit = VectorOps.centroidLiteralOf(coarseRaw).getOrElse(
+      return emptyAnnResult(e))
+    val probeRows = collectProbes(e, nProbes)
+    if (probeRows.isEmpty) return emptyAnnResult(e)
 
     val books = train(embeddings, m, k, iterations)
     val dsub = books.head.head.length
-    val kEff = books.head.length
     // one projection: coarse cluster + PQ codes, both expression-level
     val indexed = e.select(col("vec_id"), col("nrm"),
       element_at(VectorOps.nearestClusterArray(coarseLit, 1), 1).getField("cid").as("cid"),
       encodeExpr(booksLiteral(books), m, dsub).as("codes"))
+    val tLit = probeTablesLit(probeRows, books)
 
-    val probeRows = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("v"), col("nrm")).collect().sortBy(_.getLong(0))
-    val tables = probeRows.map { pr =>
-      val pv = pr.getSeq[Double](1).toArray
-      Array.tabulate(books.length, kEff) { (b, c) =>
-        val sub = pv.slice(b * dsub, (b + 1) * dsub)
-        sub.zip(books(b)(c)).map { case (x, y) => x * y }.sum
-      }
-    }
-    val tLit = array(tables.map(t =>
-      array(t.map(row => array(row.map(lit): _*)): _*)): _*)
-
-    // probe → probed coarse clusters, computed on the driver (probes are
-    // already collected); broadcast the (probe_id, cid, table-idx) rows
+    // probe → probed coarse clusters, computed on the driver from the
+    // already-collected rows; rounding is BigDecimal HALF_UP at 6 dp —
+    // bit-identical to the `cosR`/Spark `round` the cluster-assignment
+    // expression uses, so probe- and corpus-side ranking can never
+    // tie-break differently
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val coarseRows = coarse.collect().sortBy(_.getLong(0))
+    val coarseRows = coarseRaw.sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     val probeClusters = probeRows.zipWithIndex.flatMap { case (pr, i) =>
       val pv = pr.getSeq[Double](1).toArray
       val pn = pr.getDouble(2)
       coarseRows.map { case (cid, cv, cn) =>
-        val cos = math.round(pv.zip(cv).map { case (x, y) => x * y }.sum / (pn * cn) * 1e6) / 1e6
+        val raw = pv.zip(cv).map { case (x, y) => x * y }.sum / (pn * cn)
+        val cos = BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         (pr.getLong(0), i, pn, cid, cos)
       }.sortBy { case (_, _, _, cid, cos) => (-cos, cid) }
         .take(nProbeClusters)
@@ -217,26 +235,11 @@ object PQ {
     val scored = indexed
       .join(broadcast(probeClusters.select("probe_id", "t_idx", "pn", "cid")), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("approx", {
-        val tP = element_at(tLit, col("t_idx") + 1)
-        (0 until books.length).map { b =>
-          element_at(element_at(tP, b + 1), element_at(col("codes"), b + 1) + 1)
-        }.reduce(_ + _) / (col("pn") * col("nrm"))
-      })
+      .withColumn("approx",
+        approxDot(element_at(tLit, col("t_idx") + 1), books.length) /
+          (col("pn") * col("nrm")))
       .select(col("probe_id"), col("vec_id"), col("approx"))
     val cands = TopK.topKPerKey(scored, "probe_id", "vec_id", "approx", topK * rerank)
-
-    val probes = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands.withColumnRenamed("vec_id", "neighbor_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-      .withColumn("cosine",
-        round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= topK)
-      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    exactRerank(cands, e, nProbes, topK)
   }
 }

@@ -155,14 +155,18 @@ object VectorOps {
     * `array<struct<cid, cv, cn>>`, sorted by cid for a deterministic
     * expression. This is what lets cluster assignment be a pure projection:
     * no crossJoin row expansion, no window, zero exchange. */
-  private[ops] def centroidLiteral(cents: DataFrame): Option[Column] = {
-    val rows = cents.select(col("cid"), col("cv"), col("cn")).collect()
-      .sortBy(_.getLong(0))
+  private[ops] def centroidLiteral(cents: DataFrame): Option[Column] =
+    centroidLiteralOf(cents.select(col("cid"), col("cv"), col("cn")).collect())
+
+  /** Same, from already-collected (cid, cv, cn) rows — callers that also
+    * need the rows driver-side collect once and build both from it. */
+  private[ops] def centroidLiteralOf(rows: Array[org.apache.spark.sql.Row]): Option[Column] = {
+    val sorted = rows.sortBy(_.getLong(0))
     // an empty `array()` literal is ArrayType(NullType) — getField on its
     // elements fails analysis, so the no-centroids case must be handled by
     // the caller (empty corpus / no vec_id below the seed bound)
-    if (rows.isEmpty) None
-    else Some(array(rows.map { r =>
+    if (sorted.isEmpty) None
+    else Some(array(sorted.map { r =>
       struct(lit(r.getLong(0)).as("cid"),
         array(r.getSeq[Double](1).map(lit): _*).as("cv"),
         lit(r.getDouble(2)).as("cn"))

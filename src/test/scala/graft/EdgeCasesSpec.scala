@@ -54,6 +54,10 @@ class EdgeCasesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PQ.train(Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"))
     }
+    // no vec_id below nProbes: empty probe set must degrade to an empty
+    // result, not an AnalysisException from a zero-element table literal
+    assert(PQ.annPq(tiny, m = 2).count() == 0)
+    assert(PQ.annIvfPq(tiny, m = 2, nCentroids = 2000).count() == 0)
   }
 
   test("unicode text: counts are codepoint-based and fingerprints stable") {
