@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{HashMode, Multimodal, NearDup, Skew, TextOps, TopK, VectorOps}
+import graft.ops.{Curate, HashMode, Multimodal, NearDup, Skew, TextOps, TopK, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -160,7 +160,27 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
     "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(t(s, d, "embeddings"))),
-    "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(t(s, d, "documents")))
+    "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(t(s, d, "documents"))),
+    // ---- corpus curation ------------------------------------------------
+    "q_sample_hash" -> ((s, d) =>
+      Curate.sampleByHash(t(s, d, "documents"), "doc_id", 10, HashMode.Portable)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "q_source_cap" -> ((s, d) =>
+      Curate.capPerSource(t(s, d, "documents"), cap = 10)
+        .select(col("doc_id"), col("source"))),
+    "q_redact" -> ((s, d) =>
+      // blocklist terms chosen to actually fire on this corpus; the op's
+      // default patterns are the classic PII scrubs (no digits/emails in
+      // the synthetic documents, so those would gate a no-op)
+      Curate.redact(t(s, d, "documents"),
+        Seq("\\b(customer|key)\\b" -> "[TERM]",
+          Curate.PiiPatterns.head._1 -> "[EMAIL]"))
+        .select(col("doc_id"), col("text"), col("n_redactions"))),
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curate.contamination(docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50))
+    })
   )
 
   // -- DuckDB oracle SQL ------------------------------------------------
@@ -352,6 +372,35 @@ object SparkEntry {
         |  CAST(doc_freq AS BIGINT) AS doc_freq,
         |  CAST(term_freq AS DOUBLE) / (SELECT CAST(sum(term_freq) AS DOUBLE) FROM c) AS corpus_share
         |FROM c""".stripMargin,
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) <= 10""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '\b(customer|key)\b', '[TERM]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS text,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|key)\b'))
+        |     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_redactions
+        |FROM documents""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, toks FROM t),
+        |g13 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[pos:pos+12], ' ') AS gram
+        |  FROM p WHERE pos + 12 <= len(toks)),
+        |ev AS (SELECT DISTINCT gram FROM g13 WHERE doc_id < 50)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g13 s JOIN ev ON ev.gram = s.gram
+        |WHERE s.doc_id >= 50
+        |GROUP BY 1""".stripMargin,
     "q_topk_groups" ->
       """SELECT l_suppkey, line_id,
         |  CAST(rank AS BIGINT) AS "rank", l_extendedprice
