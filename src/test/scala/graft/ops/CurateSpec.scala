@@ -42,6 +42,23 @@ class CurateSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_redactions") == 0L)
   }
 
+  test("redact and sampleByHash compose with Structured Streaming (stateless projections)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)](spark)
+    val src = mem.toDF().toDF("doc_id", "text")
+    val out = Curate.sampleByHash(Curate.redact(src), "doc_id", 100)
+    val q = out.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "mail bob@example.com now"), (2L, "clean"))
+      q.processAllAvailable()
+      val rows = spark.table("curate_stream").orderBy("doc_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("text") == "mail [EMAIL] now")
+      assert(rows(0).getAs[Long]("n_redactions") == 1L)
+    } finally q.stop()
+  }
+
   test("contamination flags k-gram overlap with the eval set only") {
     val evalDocs = Seq((100L, "the customer sent a key", "en", "e")).toDF("doc_id", "text", "lang", "source")
     val out = Curate.contamination(docs, evalDocs, k = 5).collect()
