@@ -180,7 +180,20 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Curate.contamination(docs.filter(col("doc_id") >= 50),
         docs.filter(col("doc_id") < 50))
-    })
+    }),
+    "q_mixture" -> ((s, d) =>
+      Curate.mixBySource(t(s, d, "documents"),
+        Map("src0" -> 0, "src1" -> 25, "src2" -> 50), defaultPercent = 75,
+        mode = HashMode.Portable)
+        .select(col("doc_id"), col("source"))),
+    "q_pack_chunks" -> ((s, d) =>
+      // tokenCount (regexp_count of \S+) rather than size(split(...)):
+      // the latter counts 1 for empty text, diverging from the oracle
+      Curate.packChunks(
+        t(s, d, "documents").withColumn("n_tokens",
+          TextOps.tokenCount(col("text"))),
+        budget = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("chunk_id")))
   )
 
   // -- DuckDB oracle SQL ------------------------------------------------
@@ -401,6 +414,20 @@ object SparkEntry {
         |FROM g13 s JOIN ev ON ev.gram = s.gram
         |WHERE s.doc_id >= 50
         |GROUP BY 1""".stripMargin,
+    "q_mixture" ->
+      s"""SELECT doc_id, source FROM documents
+        |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 <
+        |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 25
+        |              WHEN 'src2' THEN 50 ELSE 75 END""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+        |FROM t""".stripMargin,
     "q_topk_groups" ->
       """SELECT l_suppkey, line_id,
         |  CAST(rank AS BIGINT) AS "rank", l_extendedprice

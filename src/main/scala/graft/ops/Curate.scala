@@ -58,6 +58,33 @@ object Curate {
       .withColumn(textCol, redacted)
   }
 
+  /** Weighted source mixture: per-source keep rates (percent of 100),
+    * applied with the same deterministic id-hash as [[sampleByHash]] —
+    * the reproducible way to mix corpora at fixed ratios. Sources absent
+    * from `rates` keep `defaultPercent`. */
+  def mixBySource(docs: DataFrame, rates: Map[String, Int], defaultPercent: Int = 100,
+                  sourceCol: String = "source", idCol: String = "doc_id",
+                  mode: HashMode = HashMode.Default): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPercent)) { case (c, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(c)
+    }
+    docs.filter(pmod(mode.hash(col(idCol)), lit(100L)) < rate)
+  }
+
+  /** Concat-and-chunk sequence packing: within each source (the
+    * parallelism key — a global ordering would funnel into one task),
+    * documents are laid out in id order and cut into `budget`-token
+    * chunks; a document's chunk is where its first token lands. One
+    * key-partitioned window, deterministic. */
+  def packChunks(docs: DataFrame, budget: Int, tokenCol: String = "n_tokens",
+                 sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("_cum", sum(col(tokenCol)).over(w))
+      .withColumn("chunk_id", ((col("_cum") - col(tokenCol)) / budget).cast(LongType))
+      .drop("_cum")
+  }
+
   /** Distinct k-gram set per doc over normalised text (no short-doc
     * fallback: a doc shorter than k tokens has no k-grams). */
   private def kgrams(docs: DataFrame, k: Int): DataFrame =

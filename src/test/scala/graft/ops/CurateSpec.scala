@@ -59,6 +59,34 @@ class CurateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixBySource applies per-source rates with the id-stable hash") {
+    val big = (0L until 400L).map(i => (i, s"t$i", "en", s"src${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val mixed = Curate.mixBySource(big, Map("src0" -> 0, "src1" -> 100), defaultPercent = 50)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"))
+    assert(bySrc("src1") == 100L)
+    assert(bySrc("src2") + bySrc("src3") > 50 && bySrc("src2") + bySrc("src3") < 150)
+    // a kept id stays kept when its source's rate rises (same hash buckets)
+    val kept25 = Curate.mixBySource(big, Map.empty, defaultPercent = 25)
+      .select("doc_id").as[Long].collect().toSet
+    val kept75 = Curate.mixBySource(big, Map.empty, defaultPercent = 75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept25.subsetOf(kept75))
+  }
+
+  test("packChunks cuts contiguous id-ordered runs at the token budget per source") {
+    val d = Seq(
+      (1L, 300L, "s1"), (2L, 300L, "s1"), (3L, 300L, "s1"), (4L, 50L, "s1"),
+      (10L, 600L, "s2")
+    ).toDF("doc_id", "n_tokens", "source")
+    val out = Curate.packChunks(d, budget = 512).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("chunk_id")).toMap
+    // s1 cumulative starts: 0, 300, 600, 900 -> chunks 0, 0, 1, 1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L))
+  }
+
   test("contamination flags k-gram overlap with the eval set only") {
     val evalDocs = Seq((100L, "the customer sent a key", "en", "e")).toDF("doc_id", "text", "lang", "source")
     val out = Curate.contamination(docs, evalDocs, k = 5).collect()
