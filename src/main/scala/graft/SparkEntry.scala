@@ -174,7 +174,7 @@ object SparkEntry {
       // the synthetic documents, so those would gate a no-op)
       Curate.redact(t(s, d, "documents"),
         Seq("\\b(customer|key)\\b" -> "[TERM]",
-          Curate.PiiPatterns.head._1 -> "[EMAIL]"))
+          Curate.EmailPattern -> "[EMAIL]"))
         .select(col("doc_id"), col("text"), col("n_redactions"))),
     "q_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -387,7 +387,7 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
-        |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+        |WHERE ${h60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
     "q_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) <= 10""".stripMargin,
@@ -416,7 +416,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_mixture" ->
       s"""SELECT doc_id, source FROM documents
-        |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 <
+        |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 <
         |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 25
         |              WHEN 'src2' THEN 50 ELSE 75 END""".stripMargin,
     "q_pack_chunks" ->

@@ -13,15 +13,19 @@ import org.apache.spark.sql.types.LongType
   * driver-side data movement. */
 object Curate {
 
-  /** Deterministic hash sample: keeps rows whose id hashes into
+  /** Deterministic hash sample: keeps rows whose salted id hash lands in
     * `[0, percent)` of 100 buckets. Unlike `rand()`-based sampling this is
     * reproducible across runs/retries and consistent for the same id
-    * across datasets (a row's fate is a pure function of its id), which is
-    * what makes sampled pipelines debuggable at 100 TB. */
+    * across datasets (a row's fate is a pure function of salt + id), which
+    * is what makes sampled pipelines debuggable at 100 TB. The `salt`
+    * decorrelates different sampling decisions over the same ids —
+    * without it, composing two hash-based filters keeps min(rateA, rateB)
+    * instead of rateA × rateB. */
   def sampleByHash(df: DataFrame, idCol: String, percent: Int,
-                   mode: HashMode = HashMode.Default): DataFrame = {
+                   mode: HashMode = HashMode.Default,
+                   salt: String = "sample"): DataFrame = {
     require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
-    df.filter(pmod(mode.hash(col(idCol)), lit(100L)) < percent)
+    df.filter(pmod(mode.hash(lit(salt), col(idCol)), lit(100L)) < percent)
   }
 
   /** Per-source quota: keep the `cap` lowest-id documents of each source —
@@ -35,40 +39,52 @@ object Curate {
       .drop("_rn")
   }
 
-  /** Default scrub patterns: email, IPv4, US-phone, SSN shapes. RE2-safe
-    * (no backrefs/lookaround), so the same patterns run on engines using
-    * either regex dialect. */
+  /** RE2-safe (no backrefs/lookaround) scrub patterns, so the same
+    * strings run on engines using either regex dialect. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Default scrub set: email, IPv4, US-phone, SSN shapes. */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
-    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]",
-    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "[PHONE]",
-    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "[SSN]")
+    EmailPattern -> "[EMAIL]",
+    Ipv4Pattern -> "[IP]",
+    PhonePattern -> "[PHONE]",
+    SsnPattern -> "[SSN]")
 
   /** Blocklist / PII redaction: applies each (pattern → replacement) in
     * order and counts matches per pattern against the ORIGINAL text (so
-    * counts are order-independent). Pure projection. */
+    * counts are order-independent). Pure projection; an empty pattern
+    * list is the identity with n_redactions = 0. */
   def redact(docs: DataFrame, patterns: Seq[(String, String)] = PiiPatterns,
              textCol: String = "text"): DataFrame = {
     val redacted = patterns.foldLeft(col(textCol)) {
       case (c, (p, r)) => regexp_replace(c, p, r)
     }
     val n = patterns.map { case (p, _) => regexp_count(col(textCol), lit(p)) }
-      .reduce(_ + _)
+      .foldLeft(lit(0L).cast(LongType))(_ + _)
     docs.withColumn("n_redactions", n.cast(LongType))
       .withColumn(textCol, redacted)
   }
 
   /** Weighted source mixture: per-source keep rates (percent of 100),
-    * applied with the same deterministic id-hash as [[sampleByHash]] —
+    * applied with a deterministic salted id-hash like [[sampleByHash]] —
     * the reproducible way to mix corpora at fixed ratios. Sources absent
-    * from `rates` keep `defaultPercent`. */
+    * from `rates` keep `defaultPercent`. The distinct default salt keeps
+    * mixing independent of sampling: with a shared hash the two filters
+    * would fully correlate (composition keeps min of the rates, not the
+    * product). */
   def mixBySource(docs: DataFrame, rates: Map[String, Int], defaultPercent: Int = 100,
                   sourceCol: String = "source", idCol: String = "doc_id",
-                  mode: HashMode = HashMode.Default): DataFrame = {
+                  mode: HashMode = HashMode.Default,
+                  salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultPercent)).forall(p => p >= 0 && p <= 100),
+      "rates must be in [0, 100]")
     val rate = rates.foldLeft(lit(defaultPercent)) { case (c, (s, p)) =>
       when(col(sourceCol) === s, lit(p)).otherwise(c)
     }
-    docs.filter(pmod(mode.hash(col(idCol)), lit(100L)) < rate)
+    docs.filter(pmod(mode.hash(lit(salt), col(idCol)), lit(100L)) < rate)
   }
 
   /** Concat-and-chunk sequence packing: within each source (the
@@ -78,6 +94,7 @@ object Curate {
     * key-partitioned window, deterministic. */
   def packChunks(docs: DataFrame, budget: Int, tokenCol: String = "n_tokens",
                  sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("_cum", sum(col(tokenCol)).over(w))
@@ -86,15 +103,11 @@ object Curate {
   }
 
   /** Distinct k-gram set per doc over normalised text (no short-doc
-    * fallback: a doc shorter than k tokens has no k-grams). */
+    * fallback: a doc shorter than k tokens has no k-grams). Reuses
+    * [[NearDup.explodedShingles]]' Generate-barrier tokenisation. */
   private def kgrams(docs: DataFrame, k: Int): DataFrame =
-    docs
-      .select(col("doc_id"),
-        explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
-      .select(col("doc_id"),
-        explode(array(NearDup.shinglesOf(col("toks"), k, distinct = true,
-          wholeDocFallback = false))).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    NearDup.explodedShingles(docs, k, distinct = true, wholeDocFallback = false)
+      .select(col("doc_id"), col("shingle").as("gram"))
 
   /** Eval-set decontamination (the 13-gram overlap rule of GPT-3-style
     * training hygiene): returns `(doc_id, n_shared)` for every corpus doc

@@ -69,15 +69,19 @@ object NearDup {
       .otherwise(short)
   }
 
-  /** (doc_id, nsh, shingle) exploded view of the distinct shingle sets.
+  /** (doc_id, nsh, shingle) exploded view of the shingle sets.
     * The token array is materialised through a Generate barrier
     * (`explode(array(...))`) so CollapseProject cannot inline the
-    * tokenisation into the shingle lambda (see [[shinglesOf]]). */
-  def explodedShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    * tokenisation into the shingle lambda (see [[shinglesOf]]) — any
+    * caller producing shingle rows must go through here rather than
+    * re-deriving the barrier. */
+  def explodedShingles(docs: DataFrame, k: Int = 3, distinct: Boolean = true,
+                       wholeDocFallback: Boolean = true): DataFrame =
     docs
       .select(col("doc_id"),
         explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
-      .select(col("doc_id"), explode(array(shinglesOf(col("toks"), k))).as("sh"))
+      .select(col("doc_id"),
+        explode(array(shinglesOf(col("toks"), k, distinct, wholeDocFallback))).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs.

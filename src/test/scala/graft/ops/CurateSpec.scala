@@ -74,6 +74,11 @@ class CurateSpec extends SparkSpec {
     val kept75 = Curate.mixBySource(big, Map.empty, defaultPercent = 75)
       .select("doc_id").as[Long].collect().toSet
     assert(kept25.subsetOf(kept75))
+    // distinct salts decorrelate sampling from mixing: composing 50% x 50%
+    // keeps ~25%, not min(50%, 50%)
+    val composed = Curate.mixBySource(
+      Curate.sampleByHash(big, "doc_id", 50), Map.empty, defaultPercent = 50).count()
+    assert(composed > 50 && composed < 150, s"expected ~100 of 400, got $composed")
   }
 
   test("packChunks cuts contiguous id-ordered runs at the token budget per source") {
