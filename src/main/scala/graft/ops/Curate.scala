@@ -30,13 +30,30 @@ object Curate {
 
   /** Per-source quota: keep the `cap` lowest-id documents of each source —
     * the Common-Crawl-style dominance guard that stops one source from
-    * flooding the corpus. One key-partitioned shuffle. */
+    * flooding the corpus.
+    *
+    * Scale shape: a `row_number` window would shuffle and sort the WHOLE
+    * corpus just to discard everything past the cap. Instead a bounded
+    * [[TopK.MinKIds]] aggregation reduces each input partition to ≤ cap
+    * ids per source before its (tiny) exchange, and the kept
+    * (source, id) set — O(sources × cap) rows — broadcast-semi-joins back
+    * against the corpus: the corpus itself is never shuffled. Assumes ids
+    * are unique within a source (duplicated ids would all survive the
+    * semi-join where the window kept one). */
   def capPerSource(docs: DataFrame, cap: Int, sourceCol: String = "source",
                    idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
-    docs.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= cap)
-      .drop("_rn")
+    require(cap > 0, "cap must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kept = docs
+      .select(col(sourceCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopK.minKIds(cap))
+      .flatMap { case (src, ids) => ids.map(src -> _) }
+      .toDF(sourceCol, idCol)
+    docs.join(broadcast(kept), Seq(sourceCol, idCol), "left_semi")
   }
 
   /** RE2-safe (no backrefs/lookaround) scrub patterns, so the same

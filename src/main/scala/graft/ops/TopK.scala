@@ -50,6 +50,30 @@ object TopK {
   def topK(k: Int): TypedColumn[(Long, Long, Double), Seq[(Long, Double)]] =
     new TopKByScore(k).toColumn
 
+  /** Bounded-buffer aggregator keeping the k SMALLEST ids — the
+    * partial-aggregated replacement for `row_number over (partition by
+    * key order by id) <= k`: each input partition reduces to ≤ k ids per
+    * key before the exchange. Key-type agnostic (pair it with any
+    * `groupByKey`). */
+  final class MinKIds(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    private def ins(b: List[Long], x: Long): List[Long] = {
+      val (pre, post) = b.span(_ < x)
+      val merged = pre ::: (x :: post)
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+    }
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], a: Long): List[Long] = ins(b, a)
+    override def merge(x: List[Long], y: List[Long]): List[Long] =
+      y.foldLeft(x)(ins)
+    override def finish(r: List[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def minKIds(k: Int): TypedColumn[Long, Seq[Long]] = new MinKIds(k).toColumn
+
   /** Top-k rows per key of `(key, id, score)`, returned flat with ranks —
     * same shape and tiebreaks as the row_number window formulation, but
     * partial-aggregated before the shuffle. */
