@@ -13,7 +13,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
-    for (q <- Bench.headline ++ Seq("q_apply_contract", "q_dedup_embedding")) {
+    for (q <- Bench.headline ++ Seq("q_apply_contract", "q_dedup_embedding",
+        "q_source_cap", "q_sample_hash", "q_decontaminate", "q_pack_chunks",
+        "q_salted_join", "q_rollup")) {
       println(s"\n================ $q ================")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
