@@ -81,9 +81,18 @@ final case class GovernedIO(
         .find(!_.status.map(_.toLowerCase).contains("draft"))
         .orElse(store.latest(datasetId))
     }
-    version.flatMap(v => store.get(datasetId, v)).orElse(latestReleased)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no contract for dataset $datasetId${version.fold("")(" @ " + _)}"))
+    version.map(_.trim).filter(_.nonEmpty) match {
+      // `==v` / `>=v` version specs (reference input-binding pins,
+      // `io/validation.py:214`) resolve through VersionPolicy; bare
+      // versions stay exact gets and the unset case prefers the latest
+      // NON-DRAFT version (VersionPolicy's latest would accept drafts)
+      case Some(v) if v.startsWith(">=") || v.startsWith("==") =>
+        graft.contracts.VersionPolicy.resolve(store, datasetId, Some(v))
+      case other =>
+        other.flatMap(v => store.get(datasetId, v)).orElse(latestReleased)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no contract for dataset $datasetId${version.fold("")(" @ " + _)}"))
+    }
   }
 
   def read(

@@ -71,5 +71,13 @@ class GovernedPortsSpec extends SparkSpec {
     val r = gov.readPort(spark, "dp.consumer", "slim_in")
     assert(r.df.count() == li.count())
     intercept[IllegalArgumentException](gov.readPort(spark, "dp.consumer", "nope"))
+
+    // input bindings may pin with a version SPEC (reference
+    // `_check_data_product_version`): >= resolves the best satisfying
+    // stored version through VersionPolicy
+    backend.registerInputPort("dp.consumer2", InputPort("slim_in", ">=0.2.0", "sales.lineitem_slim"))
+    assert(gov.readPort(spark, "dp.consumer2", "slim_in").df.count() == li.count())
+    backend.registerInputPort("dp.consumer3", InputPort("slim_in", ">=9.0.0", "sales.lineitem_slim"))
+    intercept[IllegalArgumentException](gov.readPort(spark, "dp.consumer3", "slim_in"))
   }
 }
