@@ -52,8 +52,12 @@ object Curate {
       .mapValues(_._2)
       .agg(TopK.minKIds(cap))
       .flatMap { case (src, ids) => ids.map(src -> _) }
-      .toDF(sourceCol, idCol)
-    docs.join(broadcast(kept), Seq(sourceCol, idCol), "left_semi")
+      .toDF("_cap_src", "_cap_id")
+    // null-safe on the source key: a null source is a group like any other
+    // (a plain === join would silently drop it)
+    docs.join(broadcast(kept),
+      col(sourceCol) <=> col("_cap_src") && col(idCol) === col("_cap_id"),
+      "left_semi")
   }
 
   /** RE2-safe (no backrefs/lookaround) scrub patterns, so the same

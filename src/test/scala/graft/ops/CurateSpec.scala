@@ -26,10 +26,16 @@ class CurateSpec extends SparkSpec {
     assert(Curate.sampleByHash(big, "doc_id", 100).count() == 1000)
   }
 
-  test("capPerSource keeps the lowest ids per source") {
+  test("capPerSource keeps the lowest ids per source, including a null source group") {
     val capped = Curate.capPerSource(docs, cap = 1)
     assert(capped.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
     assert(Curate.capPerSource(docs, cap = 10).count() == 4)
+    val withNull = docs.unionByName(
+      Seq((8L, "x", "en"), (9L, "y", "en")).toDF("doc_id", "text", "lang")
+        .withColumn("source", org.apache.spark.sql.functions.lit(null: String)))
+    val kept = Curate.capPerSource(withNull, cap = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 8L), s"null source must be capped as a group: $kept")
   }
 
   test("redact scrubs PII defaults and counts matches on the original text") {
