@@ -392,12 +392,12 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) <= 10""".stripMargin,
     "q_redact" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  regexp_replace(
-        |    regexp_replace(text, '\b(customer|key)\b', '[TERM]', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS text,
-        |  CAST(len(regexp_extract_all(text, '\b(customer|key)\b'))
-        |     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    regexp_replace(text, '\\b(customer|key)\\b', '[TERM]', 'g'),
+        |    '${graft.ops.Curate.EmailPattern}', '[EMAIL]', 'g') AS text,
+        |  CAST(len(regexp_extract_all(text, '\\b(customer|key)\\b'))
+        |     + len(regexp_extract_all(text, '${graft.ops.Curate.EmailPattern}'))
         |    AS BIGINT) AS n_redactions
         |FROM documents""".stripMargin,
     "q_decontaminate" ->
