@@ -91,3 +91,58 @@ class SemVerPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+class VersionPolicyPropertySpec extends AnyFunSuite {
+  private val genVer = for {
+    a <- Gen.chooseNum(0, 30); b <- Gen.chooseNum(0, 30); c <- Gen.chooseNum(0, 30)
+    suf <- Gen.option(Gen.oneOf("rc.1", "rc.2", "rc.10", "alpha", "alpha.3", "beta10"))
+  } yield SemVer(a, b, c, suf)
+
+  test("pre-release comparison is transitive and consistent with satisfies (200 triples)") {
+    val vs = ContractGen.sample(genVer, 600, seed = 21L)
+    vs.grouped(3).collect { case Seq(x, y, z) => (x, y, z) }.foreach { case (x, y, z) =>
+      // transitivity on the SemVer ordering
+      if (x <= y && y <= z) assert(x <= z, s"$x <= $y <= $z")
+      // satisfies(a, >=b) must agree with the ordering for semver operands
+      assert(VersionPolicy.satisfies(x.toString, s">=${y.toString}") == (x >= y),
+        s"satisfies(${x}, >=${y})")
+    }
+  }
+
+  test("semver 11.4: numeric identifiers order numerically, numeric < alphanumeric") {
+    assert(SemVer.parse("1.0.0-rc.10") > SemVer.parse("1.0.0-rc.9"))
+    assert(SemVer.parse("1.0.0-1") < SemVer.parse("1.0.0-alpha"))
+    assert(SemVer.parse("1.0.0-alpha") < SemVer.parse("1.0.0-alpha.1"))
+    assert(SemVer.parse("1.0.0-alpha.1") < SemVer.parse("1.0.0-beta"))
+  }
+}
+
+class HashModePropertySpec extends AnyFunSuite {
+
+  test("portable minhash double-hash values stay within signed-64 bounds by construction") {
+    // h1 < 2^60, h2 < 2^52, seed <= 31: max = 2^60 + 31*2^52 < 2^63.
+    // Pure arithmetic check over the extreme corners (no Spark needed).
+    val h1Max = (1L << 60) - 1
+    val h2Max = (1L << 52) - 1
+    val worst = h1Max + 31L * h2Max
+    assert(worst > 0, "no signed overflow at the corner")
+    assert(worst < Long.MaxValue)
+  }
+
+  test("packChunks chunk ids are non-decreasing within a source and start at 0 (arithmetic model)") {
+    // model of the window expression over sampled token lengths
+    val gen = Gen.listOfN(50, Gen.chooseNum(0, 700))
+    ContractGen.sample(gen, 50, seed = 33L).foreach { toks =>
+      val budget = 512
+      var cum = 0L
+      var prev = 0L
+      toks.zipWithIndex.foreach { case (n, i) =>
+        val chunk = (cum / budget)
+        if (i == 0) assert(chunk == 0L)
+        assert(chunk >= prev, "chunk ids must be non-decreasing")
+        prev = chunk
+        cum += n
+      }
+    }
+  }
+}
