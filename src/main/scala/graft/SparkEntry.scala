@@ -186,6 +186,16 @@ object SparkEntry {
         Map("src0" -> 0, "src1" -> 25, "src2" -> 50), defaultPercent = 75,
         mode = HashMode.Portable)
         .select(col("doc_id"), col("source"))),
+    "q_hotcold_join" -> ((s, d) => {
+      // two-path skew join (hot keys broadcast, cold tail shuffles) must
+      // be aggregate-identical to the plain join it replaces
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ord = t(s, d, "orders").select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      Skew.hotColdJoin(li, ord, Seq("okey"), hotThreshold = 5)
+        .groupBy(col("o_orderpriority"))
+        .agg(Analytics.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
     "q_pack_chunks" -> ((s, d) =>
       // tokenCount (regexp_count of \S+) rather than size(split(...)):
       // the latter counts 1 for empty text, diverging from the oracle
@@ -446,6 +456,12 @@ object SparkEntry {
         |WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_hotcold_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
