@@ -546,31 +546,8 @@ object SparkEntry {
     // so banding/candidate selection is replicated bit-for-bit
     "q_dedup_minhash" ->
       s"""WITH $shingleCtes,
-        |$minhashPrepCte,
-        |sig AS (
-        |  SELECT doc_id,
-        |$minhashSigSql
-        |  FROM prep GROUP BY 1),
-        |banded AS (
-        |$minhashBandsSql),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM banded x
-        |  JOIN banded y ON y.band = x.band AND y.band_hash = x.band_hash
-        |    AND x.doc_id < y.doc_id
-        |  JOIN n nx ON nx.doc_id = x.doc_id
-        |  JOIN n ny ON ny.doc_id = y.doc_id
-        |  WHERE least(nx.nsh, ny.nsh) >= 0.7 * greatest(nx.nsh, ny.nsh)),
-        |p AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS common
-        |  FROM cand c
-        |  JOIN d x ON x.doc_id = c.doc_a
-        |  JOIN d y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) AS jaccard
-        |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-        |WHERE round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) >= 0.7""".stripMargin,
+        |$minhashPairCtes
+        |SELECT doc_a, doc_b, jaccard FROM pr""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tk AS (
         |  SELECT doc_id,
@@ -609,31 +586,7 @@ object SparkEntry {
         |HAVING count(*) >= 3""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $shingleCtes,
-        |$minhashPrepCte,
-        |sig AS (
-        |  SELECT doc_id,
-        |$minhashSigSql
-        |  FROM prep GROUP BY 1),
-        |banded AS (
-        |$minhashBandsSql),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM banded x
-        |  JOIN banded y ON y.band = x.band AND y.band_hash = x.band_hash
-        |    AND x.doc_id < y.doc_id
-        |  JOIN n nx ON nx.doc_id = x.doc_id
-        |  JOIN n ny ON ny.doc_id = y.doc_id
-        |  WHERE least(nx.nsh, ny.nsh) >= 0.7 * greatest(nx.nsh, ny.nsh)),
-        |p AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS common
-        |  FROM cand c
-        |  JOIN d x ON x.doc_id = c.doc_a
-        |  JOIN d y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-        |  GROUP BY 1, 2),
-        |pr AS (
-        |  SELECT doc_a, doc_b
-        |  FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-        |  WHERE round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) >= 0.7),
+        |$minhashPairCtes,
         |edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pr
         |  UNION SELECT doc_b, doc_a FROM pr),
@@ -766,6 +719,39 @@ object SparkEntry {
       |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
       |    CAST(('0x' || substr(md5(shingle), 17, 13)) AS BIGINT) AS h2
       |  FROM d)""".stripMargin
+
+  /** The full MinHash-LSH pair pipeline as CTEs (after [[shingleCtes]]):
+    * signatures → bands → size-blocked candidates → exact verify →
+    * `pr(doc_a, doc_b, jaccard)`. ONE definition — q_dedup_minhash reads
+    * `pr` directly and q_dedup_cluster builds components over it, so the
+    * two gated queries can never drift apart. */
+  private def minhashPairCtes: String =
+    s"""$minhashPrepCte,
+      |sig AS (
+      |  SELECT doc_id,
+      |$minhashSigSql
+      |  FROM prep GROUP BY 1),
+      |banded AS (
+      |$minhashBandsSql),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM banded x
+      |  JOIN banded y ON y.band = x.band AND y.band_hash = x.band_hash
+      |    AND x.doc_id < y.doc_id
+      |  JOIN n nx ON nx.doc_id = x.doc_id
+      |  JOIN n ny ON ny.doc_id = y.doc_id
+      |  WHERE least(nx.nsh, ny.nsh) >= 0.7 * greatest(nx.nsh, ny.nsh)),
+      |p AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS common
+      |  FROM cand c
+      |  JOIN d x ON x.doc_id = c.doc_a
+      |  JOIN d y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) AS jaccard
+      |  FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+      |  WHERE round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) >= 0.7)""".stripMargin
 
   /** The 8 LSH band hashes over 4-signature slices, as a UNION ALL. */
   private def minhashBandsSql: String = {

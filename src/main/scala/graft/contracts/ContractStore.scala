@@ -34,26 +34,28 @@ object SemVer {
   }
   def tryParse(s: String): Option[SemVer] = scala.util.Try(parse(s)).toOption
 
-  /** semver.org §11.4 pre-release precedence: dot-separated identifiers,
-    * all-digit identifiers compare numerically (rc.10 > rc.2) and rank
-    * below alphanumeric ones; a longer identifier list wins a tie. Plain
-    * lexicographic comparison would order "rc10" < "rc2". */
+  /** semver.org §11.4 pre-release precedence, exactly: dot-separated
+    * identifiers; all-digit identifiers compare numerically (`rc.10` >
+    * `rc.2`) and rank below alphanumeric ones; alphanumeric identifiers
+    * compare lexically (so `rc10` < `rc2` — use dotted numerics for
+    * numbered candidates); a longer identifier list wins a tie. No
+    * stem/tail heuristics: they made the ordering intransitive
+    * (rc10 < rc1x < rc2 < rc10), which can blow up TimSort. Numeric
+    * comparison is overflow-safe (leading-zero-stripped length+lex, not
+    * toLong). */
   private[contracts] def comparePreRelease(a: String, b: String): Int = {
+    def numCmp(x: String, y: String): Int = {
+      val (nx, ny) = (x.dropWhile(_ == '0'), y.dropWhile(_ == '0'))
+      val c = nx.length.compare(ny.length)
+      if (c != 0) c else nx.compare(ny)
+    }
     val (as, bs) = (a.split('.'), b.split('.'))
     as.zip(bs).foreach { case (x, y) =>
       val c = (x.forall(_.isDigit), y.forall(_.isDigit)) match {
-        case (true, true)   => x.toLong.compare(y.toLong)
+        case (true, true)   => numCmp(x, y)
         case (true, false)  => -1
         case (false, true)  => 1
-        case (false, false) =>
-          // alphanumeric identifiers with a shared non-digit stem and
-          // numeric tails (rc10 vs rc2) still order numerically
-          val stem = (s: String) => s.takeWhile(!_.isDigit)
-          val tail = (s: String) => s.dropWhile(!_.isDigit)
-          if (stem(x) == stem(y) && tail(x).nonEmpty && tail(y).nonEmpty &&
-              tail(x).forall(_.isDigit) && tail(y).forall(_.isDigit))
-            tail(x).toLong.compare(tail(y).toLong)
-          else x.compare(y)
+        case (false, false) => x.compare(y)
       }
       if (c != 0) return c
     }

@@ -192,11 +192,17 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     * store carry status "draft"; a review either promotes the draft to
     * "active" or marks it "rejected", re-putting it so the store's
     * latest-wins log records the transition. */
+  // same case-insensitive draft test GovernedIO's serving gate uses — a
+  // "Draft"-status contract must not be excluded from serving yet
+  // invisible to the review lifecycle
+  private def isDraft(c: Contract): Boolean =
+    c.status.map(_.toLowerCase).contains("draft")
+
   def listDrafts(contractId: String): Seq[Contract] =
     contracts.toSeq.flatMap { store =>
       store.listVersions(contractId)
         .flatMap(v => store.get(contractId, v))
-        .filter(_.status.contains("draft"))
+        .filter(isDraft)
     }
 
   def reviewDraft(contractId: String, version: String, approve: Boolean): Contract = {
@@ -204,7 +210,7 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       throw new IllegalStateException("no contract store attached to governance backend"))
     val draft = store.get(contractId, version).getOrElse(
       throw new IllegalArgumentException(s"draft $contractId:$version not found"))
-    if (!draft.status.contains("draft"))
+    if (!isDraft(draft))
       throw new IllegalArgumentException(
         s"$contractId:$version has status ${draft.status.getOrElse("none")}, not draft")
     val reviewed = draft.copy(status = Some(if (approve) "active" else "rejected"))

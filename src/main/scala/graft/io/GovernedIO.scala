@@ -81,17 +81,30 @@ final case class GovernedIO(
         .find(!_.status.map(_.toLowerCase).contains("draft"))
         .orElse(store.latest(datasetId))
     }
+    def isDraft(c: Contract): Boolean = c.status.map(_.toLowerCase).contains("draft")
     version.map(_.trim).filter(_.nonEmpty) match {
-      // `==v` / `>=v` version specs (reference input-binding pins,
-      // `io/validation.py:214`) resolve through VersionPolicy; bare
-      // versions stay exact gets and the unset case prefers the latest
-      // NON-DRAFT version (VersionPolicy's latest would accept drafts)
-      case Some(v) if v.startsWith(">=") || v.startsWith("==") =>
-        graft.contracts.VersionPolicy.resolve(store, datasetId, Some(v))
-      case other =>
-        other.flatMap(v => store.get(datasetId, v)).orElse(latestReleased)
+      // `>=v` specs (reference input-binding pins, `io/validation.py:214`)
+      // pick the HIGHEST satisfying NON-DRAFT version: governance
+      // auto-drafts land in the same store, and an unreviewed draft must
+      // never serve a pinned consumer implicitly
+      case Some(v) if v.startsWith(">=") =>
+        val candidates = store.listVersions(datasetId)
+          .filter(ver => graft.contracts.SemVer.tryParse(ver).isDefined &&
+            graft.contracts.VersionPolicy.satisfies(ver, v))
+          .flatMap(ver => graft.contracts.SemVer.tryParse(ver).map(_ -> ver))
+          .sortBy(_._1).reverse.map(_._2)
+        candidates.iterator.flatMap(ver => store.get(datasetId, ver))
+          .find(!isDraft(_))
           .getOrElse(throw new IllegalArgumentException(
-            s"no contract for dataset $datasetId${version.fold("")(" @ " + _)}"))
+            s"no released versions of $datasetId satisfy $v (have: ${store.listVersions(datasetId).mkString(", ")})"))
+      // `==v` and bare versions are BOTH exact pins: a missing pinned
+      // version is an error, never a silent fallback to some other
+      // version's schema
+      case Some(v) =>
+        graft.contracts.VersionPolicy.resolve(store, datasetId, Some(v))
+      case None =>
+        latestReleased.getOrElse(throw new IllegalArgumentException(
+          s"no contract for dataset $datasetId"))
     }
   }
 

@@ -159,11 +159,12 @@ object PQ {
             m: Int = 8, k: Int = 64, iterations: Int = 2,
             rerank: Int = 4): DataFrame = {
     val e = VectorOps.prepared(embeddings)
-    if (e.isEmpty) return emptyAnnResult(e)
-    val books = train(embeddings, m, k, iterations)
-    val encoded = encode(embeddings, books)
+    // probe check BEFORE training: the degenerate no-probe case must not
+    // pay `iterations` corpus scans for a discarded result
     val probeRows = collectProbes(e, nProbes)
     if (probeRows.isEmpty) return emptyAnnResult(e)
+    val books = train(embeddings, m, k, iterations)
+    val encoded = encode(embeddings, books)
     val tLit = probeTablesLit(probeRows, books)
 
     // per-row array of struct(probe, approx): M element_ats + adds per

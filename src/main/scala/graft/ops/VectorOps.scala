@@ -109,7 +109,11 @@ object VectorOps {
                         seed: Long = 42): DataFrame = {
     require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
     val e = prepared(embeddings)
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val firstDim = embeddings.select(size(col("embedding"))).limit(1).collect()
+    if (firstDim.isEmpty) // empty corpus: no hyperplanes to build, no pairs
+      return e.limit(0).select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+        col("label"), col("nrm").as("cosine"))
+    val dim = firstDim.head.getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
     val bits = (0 until nBits).map { i =>

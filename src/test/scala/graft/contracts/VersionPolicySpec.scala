@@ -47,12 +47,17 @@ class VersionPolicySpec extends SparkSpec {
     assert(VersionPolicy.satisfies("1.2.0-rc1", ">=1.1.0"))
     // unpinned latest agrees
     assert(VersionPolicy.resolve(store, "sales.orders").version == "1.2.0")
-    // numeric pre-release identifiers order numerically (semver §11.4):
-    // lexicographic comparison would put rc10 < rc2
-    assert(VersionPolicy.satisfies("1.2.0-rc10", ">=1.2.0-rc2"))
-    assert(!VersionPolicy.satisfies("1.2.0-rc2", ">=1.2.0-rc10"))
+    // dotted numeric pre-release identifiers order numerically
+    // (semver §11.4); undotted alphanumerics are lexical per spec —
+    // strict spec ordering keeps the comparator transitive
+    assert(VersionPolicy.satisfies("1.2.0-rc.10", ">=1.2.0-rc.2"))
+    assert(!VersionPolicy.satisfies("1.2.0-rc.2", ">=1.2.0-rc.10"))
+    assert(SemVer.parse("1.2.0-rc10") < SemVer.parse("1.2.0-rc2")) // lexical, per spec
     assert(SemVer.parse("1.2.0-rc.10") > SemVer.parse("1.2.0-rc.2"))
     assert(SemVer.parse("1.2.0-alpha") < SemVer.parse("1.2.0-alpha.1"))
+    // overflow-safe numeric identifiers (timestamp-style snapshot tags)
+    assert(SemVer.parse("1.0.0-20260812093000123456789") >
+           SemVer.parse("1.0.0-20260812093000123456788"))
   }
 
   test("check honours ==, >= and bare specs") {

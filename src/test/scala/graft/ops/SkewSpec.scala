@@ -45,6 +45,15 @@ class GovernedIOSpec extends SparkSpec {
     assert(r.df.count() == li.count())
     assert(r.validation.ok)
     intercept[IllegalArgumentException](gov.read(spark, "no.such.dataset"))
+
+    // a bare pinned version that is missing must FAIL, not silently fall
+    // back to another version's schema
+    intercept[IllegalArgumentException](gov.contractFor("sales.lineitem_slim", Some("9.9.9")))
+    // >= pins skip drafts: an unreviewed auto-draft must not serve
+    store.put(DemoContracts.lineitemAlign.copy(version = "9.0.0", status = Some("draft")))
+    assert(gov.contractFor("sales.lineitem_slim", Some(">=0.1.0")).version == "0.3.0")
+    store.put(DemoContracts.lineitemAlign.copy(version = "9.1.0", status = Some("active")))
+    assert(gov.contractFor("sales.lineitem_slim", Some(">=0.1.0")).version == "9.1.0")
   }
 }
 
