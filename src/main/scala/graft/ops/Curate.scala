@@ -108,19 +108,58 @@ object Curate {
     docs.filter(pmod(mode.hash(lit(salt), col(idCol)), lit(100L)) < rate)
   }
 
-  /** Concat-and-chunk sequence packing: within each source (the
-    * parallelism key — a global ordering would funnel into one task),
-    * documents are laid out in id order and cut into `budget`-token
-    * chunks; a document's chunk is where its first token lands. One
-    * key-partitioned window, deterministic. */
+  /** Concat-and-chunk sequence packing: within each source, documents are
+    * laid out in a deterministic order and cut into `budget`-token chunks;
+    * a document's chunk is where its first token lands.
+    *
+    * Scale shape: a plain per-source running sum funnels EVERY row of a
+    * source through one window task — on a Common-Crawl-shaped corpus
+    * (one source = 60-80% of rows) that is most of 100 TB in a single
+    * task. With `shards > 1` each source is cut into `pmod(id, shards)`
+    * shards, the running sum is per (source, shard) — bounded tasks —
+    * and a tiny per-shard token-total aggregate (O(sources × shards)
+    * rows, broadcast back) turns the within-shard sums into globally
+    * consistent offsets, so chunk ids are still contiguous 0..n per
+    * source and every chunk except per-shard boundary stubs is full.
+    *
+    * Layout order is (shard, id) for `shards > 1` — a different (but
+    * deterministic) document order than `shards = 1`, which keeps the
+    * exact id-ordered layout. Chunk ids are a pure function of
+    * (corpus, budget, shards); retries and re-runs agree. */
   def packChunks(docs: DataFrame, budget: Int, tokenCol: String = "n_tokens",
-                 sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+                 sourceCol: String = "source", idCol: String = "doc_id",
+                 shards: Int = 1): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("_cum", sum(col(tokenCol)).over(w))
-      .withColumn("chunk_id", ((col("_cum") - col(tokenCol)) / budget).cast(LongType))
-      .drop("_cum")
+    require(shards > 0, "shards must be positive")
+    if (shards == 1) {
+      val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("_cum", sum(col(tokenCol)).over(w))
+        .withColumn("chunk_id", ((col("_cum") - col(tokenCol)) / budget).cast(LongType))
+        .drop("_cum")
+    } else {
+      val sharded = docs.withColumn("_shard",
+        pmod(col(idCol), lit(shards)).cast("int"))
+      val w = Window.partitionBy(col(sourceCol), col("_shard"))
+        .orderBy(col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-(source, shard) token totals → prefix offset of each shard in
+      // its source's global layout; O(sources × shards) rows, broadcast
+      val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_shard").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sharded.groupBy(col(sourceCol), col("_shard"))
+        .agg(sum(col(tokenCol)).as("_tot"))
+        .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+        .select(col(sourceCol).as("_off_src"), col("_shard").as("_off_shard"),
+          col("_off"))
+      // null-safe source match: a null source is a group like any other
+      sharded.withColumn("_cum", sum(col(tokenCol)).over(w))
+        .join(broadcast(offsets),
+          col(sourceCol) <=> col("_off_src") && col("_shard") === col("_off_shard"))
+        .withColumn("chunk_id",
+          ((col("_cum") + col("_off") - col(tokenCol)) / budget).cast(LongType))
+        .drop("_cum", "_off", "_off_src", "_off_shard", "_shard")
+    }
   }
 
   /** Distinct k-gram set per doc over normalised text (no short-doc

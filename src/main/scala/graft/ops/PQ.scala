@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -135,20 +134,20 @@ object PQ {
     }.reduce(_ + _)
 
   /** Exact cosine re-rank of the candidate survivors (O(probes × pool)
-    * rows — the corpus never reappears). Shared tail of the ANN paths. */
+    * rows — the corpus never reappears). Shared tail of the ANN paths.
+    * Ranking via the bounded [[TopK.topKPerKey]] aggregation — harmless on
+    * today's bounded pools, but it keeps the one-task-per-probe window
+    * pattern out of the codebase entirely. */
   private def exactRerank(cands: DataFrame, e: DataFrame,
                           nProbes: Int, topK: Int): DataFrame = {
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands.withColumnRenamed("vec_id", "neighbor_id")
+    val rescored = cands.withColumnRenamed("vec_id", "neighbor_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .withColumn("cosine",
         round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= topK)
+    TopK.topKPerKey(rescored, "probe_id", "neighbor_id", "cosine", topK)
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -139,7 +138,15 @@ object VectorOps {
 
   /** Brute-force cosine top-k: broadcast the probe set against a single
     * corpus scan, rank per probe. Linear in corpus size, zero corpus
-    * shuffle — the right baseline at any scale. */
+    * shuffle — the right baseline at any scale.
+    *
+    * Ranking is the bounded [[TopK.topKPerKey]] aggregation (same
+    * `cosine DESC, id ASC` tiebreak as a row_number window, but
+    * partial-aggregated): each scan partition reduces to ≤ topK rows per
+    * probe before the exchange, so the shuffle carries O(probes × topK)
+    * rows instead of funnelling the whole scored corpus into one task per
+    * probe — the difference between shuffling the candidate set and
+    * shuffling the answer at 100 TB. */
   def annBrute(embeddings: DataFrame, nProbes: Int = 10, topK: Int = 5): DataFrame = {
     val e = prepared(embeddings)
     val probes = e.filter(col("vec_id") < nProbes)
@@ -147,10 +154,7 @@ object VectorOps {
     val scored = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= topK)
+    TopK.topKPerKey(scored, "probe_id", "vec_id", "cosine", topK)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
@@ -248,13 +252,13 @@ object VectorOps {
       .withColumn("cid", col("_sc").getField("cid"))
       .drop("_sc")
 
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probeClusters.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))
+    // bounded ranking: partial-aggregated top-k, O(probes × topK) through
+    // the exchange — never one corpus-sized task per probe
+    val scored = probeClusters
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= topK)
+    TopK.topKPerKey(scored, "probe_id", "neighbor_id", "cosine", topK)
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 }

@@ -98,6 +98,40 @@ class CurateSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L))
   }
 
+  test("sharded packChunks matches the naive (shard, id)-ordered layout and stays globally consistent") {
+    // dominant source: s0 holds 80% of rows — the shape that makes the
+    // unsharded window a single-task bottleneck
+    val rows = (0L until 400L).map(i => (i, 37L + (i % 13) * 7, "s0")) ++
+      (1000L until 1100L).map(i => (i, 53L + (i % 5) * 11, "s1"))
+    val d = rows.toDF("doc_id", "n_tokens", "source")
+    for (s <- Seq(2, 3, 16)) {
+      val got = Curate.packChunks(d, budget = 512, shards = s).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+      // naive reference: per source, lay docs out in (id % s, id) order,
+      // chunk = floor(token-prefix / budget)
+      val expected = rows.groupBy(_._3).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy(r => (r._1 % s, r._1)).map { r =>
+          val c = cum / 512; cum += r._2; r._1 -> c
+        }
+      }
+      assert(got == expected, s"shards=$s")
+      // chunk ids contiguous from 0 per source (docs are all < budget)
+      val bySrc = rows.groupBy(_._3).view.mapValues(_.map(r => got(r._1)).toSet)
+      bySrc.foreach { case (src, chunks) =>
+        assert(chunks == (0L until (chunks.max + 1)).toSet, s"source $src gaps")
+      }
+    }
+    // shards=1 keeps the exact id-ordered layout of the unsharded path
+    val one = Curate.packChunks(d, budget = 512, shards = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    val naive1 = rows.groupBy(_._3).flatMap { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).map { r => val c = cum / 512; cum += r._2; r._1 -> c }
+    }
+    assert(one == naive1)
+  }
+
   test("contamination flags k-gram overlap with the eval set only") {
     val evalDocs = Seq((100L, "the customer sent a key", "en", "e")).toDF("doc_id", "text", "lang", "source")
     val out = Curate.contamination(docs, evalDocs, k = 5).collect()
