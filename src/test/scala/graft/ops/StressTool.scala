@@ -67,6 +67,28 @@ object StressTool {
     println(f"hyperplane LSH tau=0.8 defaults:    $nLshHi%,d pairs in ${t4}%.1fs")
     val total = hot.count()
     println(f"all-pairs upper bound: ${total * (total - 1) / 2}%,d")
+
+    // packChunks under Common-Crawl-shaped source dominance: one source
+    // holds 85% of rows, so the unsharded per-source window funnels 85%
+    // of the corpus through ONE task; sharding bounds every task.
+    val n = 4_000_000L
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      (lit(37) + pmod(col("id"), lit(13)) * 7).cast("long").as("n_tokens"),
+      when(pmod(col("id"), lit(100)) < 85, lit("common_crawl"))
+        .otherwise(concat(lit("src"), pmod(col("id"), lit(7)))).as("source"))
+      .cache()
+    corpus.count()
+    println(f"\n== packChunks under source dominance ($n%,d docs, 85%% one source) ==")
+    for (s <- Seq(1, 32)) {
+      val packed = Curate.packChunks(corpus, budget = 2048, shards = s)
+      val (_, t) = timed(packed.write.format("noop").mode("overwrite").save())
+      val maxTask =
+        if (s == 1) corpus.groupBy("source").count()
+        else corpus.groupBy(col("source"), pmod(col("doc_id"), lit(s))).count()
+      val biggest = maxTask.agg(max("count")).head().getLong(0)
+      println(f"shards=$s%2d: ${t}%.1fs, largest window partition=$biggest%,d rows")
+    }
+    corpus.unpersist()
     spark.stop()
   }
 }
