@@ -160,6 +160,10 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
     "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(t(s, d, "embeddings"))),
+    // exercises the Lloyd refinement path end-to-end: the oracle replicates
+    // one k-means iteration bit-for-bit (decimal-accumulated per-dim means)
+    "q_ann_ivf_refined" -> ((s, d) =>
+      VectorOps.annIvf(t(s, d, "embeddings"), kmeansIters = 1)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(t(s, d, "documents"))),
     // ---- corpus curation ------------------------------------------------
     "q_sample_hash" -> ((s, d) =>
@@ -643,6 +647,45 @@ object SparkEntry {
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
         |  FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cid FROM n CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1),
+        |p AS (SELECT vec_id AS pid, v AS pv, nrm AS pn FROM n WHERE vec_id < 10),
+        |pc AS (
+        |  SELECT pid, pv, pn, cid FROM p CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY pid
+        |    ORDER BY round(list_dot_product(pv, cv) / (pn * cn), 6) DESC, cid ASC) <= 2),
+        |s AS (
+        |  SELECT pid AS probe_id, a.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, a.v) / (pn * a.nrm), 6) AS cosine
+        |  FROM pc JOIN assign a USING (cid) WHERE a.vec_id <> pid)
+        |SELECT probe_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS "rank",
+        |  cosine
+        |FROM s
+        |QUALIFY "rank" <= 5""".stripMargin,
+    // one Lloyd iteration replicated in SQL: seed centroids (vec_id < 16),
+    // rounded-cosine argmax assignment, per-dim DECIMAL(25,6) means (the
+    // kmeansCentroids determinism contract), then the same IVF search as
+    // q_ann_ivf against the refined centroids
+    "q_ann_ivf_refined" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT n.vec_id, n.v, cid FROM n CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1),
+        |xd AS (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a0),
+        |m AS (
+        |  SELECT cid, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+        |  FROM xd GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(m ORDER BY dim ASC) AS cv FROM m GROUP BY 1),
+        |c AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1),
         |assign AS (
         |  SELECT n.vec_id, n.v, n.nrm, cid FROM n CROSS JOIN c
         |  QUALIFY row_number() OVER (PARTITION BY n.vec_id

@@ -195,10 +195,20 @@ object VectorOps {
     * vector via an expression-level argmax over the centroid literal (one
     * corpus scan, no shuffle), then recompute centroids as element-wise
     * means (posexplode → groupBy (cluster, dim) → rebuild arrays with order
-    * restored by sort_array). Deterministic: seeds are the lowest vec_ids,
-    * ties break on cid. Each iteration is one corpus scan + one
+    * restored by sort_array). Each iteration is one corpus scan + one
     * (cluster, dim)-keyed shuffle whose size is k × dim — independent of
-    * corpus size. */
+    * corpus size.
+    *
+    * Fully deterministic, the `dsum` way: seeds are the lowest vec_ids,
+    * assignment ties break on cid, and the per-dim mean accumulates as
+    * DECIMAL(25,6) — a double `avg` is shuffle-order-dependent in its last
+    * ulp, which would make refined centroids (and every ranking computed
+    * from them) flap between runs and diverge from an external oracle.
+    * Rounding each component at scale 6 is engine-unambiguous: a binary
+    * fraction can't terminate exactly halfway at a decimal digit, so
+    * Spark's and DuckDB's double→decimal casts agree, and the unscaled
+    * per-(cid, dim) sum stays far below 2^53 (|x| ≲ 10, so exactness holds
+    * to ~10^8 vectors per cluster; beyond that raise the guard). */
   def kmeansCentroids(e: DataFrame, k: Int, iterations: Int): DataFrame = {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
@@ -211,7 +221,8 @@ object VectorOps {
       cents = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(col("x").cast(DecimalType(25, 6))).cast(DoubleType) /
+          count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cv"))
