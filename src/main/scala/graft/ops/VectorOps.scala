@@ -191,6 +191,33 @@ object VectorOps {
       struct((-cosR(col("v"), col("nrm"), c.getField("cv"), c.getField("cn"))).as("negcos"),
         c.getField("cid").as("cid")))), 1, keep)
 
+  /** Above this many centroids the assignment switches from the
+    * zero-exchange centroid-literal argmax to a broadcast-join argmax.
+    * The literal embeds k × dim scalar literals into one expression —
+    * ideal while small (assignment is born in the scan's projection, no
+    * exchange at all), but thousands of embedded literals blow past JVM
+    * method/constant-pool limits and fall out of codegen. The join path
+    * broadcasts the centroid FRAME instead (k × dim doubles of data, not
+    * code), expands each row k ways inside its task, and partial-aggregates
+    * the argmax back to one row per vector before the single corpus-keyed
+    * exchange. Both paths are argmax over the same rounded cosine with
+    * ties on the lower cid — output-identical (StressTool proves it at
+    * k = 1024; `KMeansIvfSpec` pins equivalence in tests). */
+  val CentroidLiteralMax = 128
+
+  /** Broadcast-join argmax assignment: rows (needing `vec_id`, `v`, `nrm`)
+    * × broadcast(cents) → per-vector best cid via `max_by` partial
+    * aggregation, carrying `carry` columns through (valid because vec_id
+    * is unique, so every row of a group agrees on them). */
+  private[ops] def assignByJoin(rows: DataFrame, cents: DataFrame,
+                                carry: Seq[String]): DataFrame =
+    rows.crossJoin(broadcast(cents))
+      .withColumn("_acos", cosR(col("v"), col("nrm"), col("cv"), col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("_acos"), (-col("cid")).as("nc"))).as("cid"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select((Seq("vec_id") ++ carry ++ Seq("cid")).map(col): _*)
+
   /** Lloyd k-means over the corpus, expressed as DataFrame ops: assign each
     * vector via an expression-level argmax over the centroid literal (one
     * corpus scan, no shuffle), then recompute centroids as element-wise
@@ -209,15 +236,19 @@ object VectorOps {
     * Spark's and DuckDB's double→decimal casts agree, and the unscaled
     * per-(cid, dim) sum stays far below 2^53 (|x| ≲ 10, so exactness holds
     * to ~10^8 vectors per cluster; beyond that raise the guard). */
-  def kmeansCentroids(e: DataFrame, k: Int, iterations: Int): DataFrame = {
+  def kmeansCentroids(e: DataFrame, k: Int, iterations: Int,
+                      literalMax: Int = CentroidLiteralMax): DataFrame = {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     for (_ <- 0 until iterations) {
-      val cLit = centroidLiteral(cents).getOrElse(
-        return cents.limit(0)) // empty corpus: nothing to refine
-      val best = element_at(nearestClusterArray(cLit, 1), 1)
-      val assigned = e
-        .select(best.getField("cid").as("cid"), col("v"))
+      val assigned =
+        if (k > literalMax) assignByJoin(e, cents, Seq("v")).select(col("cid"), col("v"))
+        else {
+          val cLit = centroidLiteral(cents).getOrElse(
+            return cents.limit(0)) // empty corpus: nothing to refine
+          val best = element_at(nearestClusterArray(cLit, 1), 1)
+          e.select(best.getField("cid").as("cid"), col("v"))
+        }
       cents = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
@@ -239,29 +270,45 @@ object VectorOps {
     * scale the cluster assignment is the partition key, so a probe touches
     * ~nProbeClusters/nCentroids of the corpus. */
   def annIvf(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
-             nProbeClusters: Int = 2, topK: Int = 5, kmeansIters: Int = 0): DataFrame = {
+             nProbeClusters: Int = 2, topK: Int = 5, kmeansIters: Int = 0,
+             literalMax: Int = CentroidLiteralMax): DataFrame = {
     val e = prepared(embeddings)
     val cents =
-      if (kmeansIters > 0) kmeansCentroids(e, nCentroids, kmeansIters)
+      if (kmeansIters > 0) kmeansCentroids(e, nCentroids, kmeansIters, literalMax)
       else e.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val centsLit = centroidLiteral(cents).getOrElse(
-      // no centroids (empty corpus or no vec_id below the seed bound):
-      // graceful empty result, as the pre-literal crossJoin formulation gave
-      return e.limit(0).select(col("vec_id").as("probe_id"),
-        col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
-        col("nrm").as("cosine")))
-
-    val assigned = e
-      .withColumn("cid",
-        element_at(nearestClusterArray(centsLit, 1), 1).getField("cid"))
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
     val probes = e.filter(col("vec_id") < nProbes)
-    val probeClusters = probes
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
-        explode(nearestClusterArray(centsLit, nProbeClusters)).as("_sc"))
-      .withColumn("cid", col("_sc").getField("cid"))
-      .drop("_sc")
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val (assigned, probeClusters) =
+      if (nCentroids > literalMax) {
+        // large-k cutover (see CentroidLiteralMax): broadcast-join argmax
+        // for the corpus, bounded top-nProbeClusters for the probes
+        val asg = assignByJoin(e, cents, Seq("label", "v", "nrm"))
+        val pScored = probes.crossJoin(broadcast(cents))
+          .withColumn("_pcos", cosR(col("pv"), col("pn"), col("cv"), col("cn")))
+          .select(col("probe_id"), col("cid"), col("_pcos"))
+        val pc = TopK.topKPerKey(pScored, "probe_id", "cid", "_pcos", nProbeClusters)
+          .select(col("probe_id"), col("cid"))
+          .join(probes, Seq("probe_id"))
+        (asg, pc)
+      } else {
+        val centsLit = centroidLiteral(cents).getOrElse(
+          // no centroids (empty corpus or no vec_id below the seed bound):
+          // graceful empty result, as the pre-literal crossJoin formulation gave
+          return e.limit(0).select(col("vec_id").as("probe_id"),
+            col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
+            col("nrm").as("cosine")))
+        val asg = e
+          .withColumn("cid",
+            element_at(nearestClusterArray(centsLit, 1), 1).getField("cid"))
+          .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
+        val pc = e.filter(col("vec_id") < nProbes)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+            explode(nearestClusterArray(centsLit, nProbeClusters)).as("_sc"))
+          .withColumn("cid", col("_sc").getField("cid"))
+          .drop("_sc")
+        (asg, pc)
+      }
 
     // bounded ranking: partial-aggregated top-k, O(probes × topK) through
     // the exchange — never one corpus-sized task per probe

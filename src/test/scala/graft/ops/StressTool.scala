@@ -89,6 +89,23 @@ object StressTool {
       println(f"shards=$s%2d: ${t}%.1fs, largest window partition=$biggest%,d rows")
     }
     corpus.unpersist()
+
+    // IVF assignment at large k: the centroid LITERAL embeds k×dim scalar
+    // literals in one expression (codegen-hostile above ~hundreds); the
+    // broadcast-JOIN argmax ships the same scalars as data. Outputs must be
+    // identical; the cutover (VectorOps.CentroidLiteralMax) picks per k.
+    println(s"\n== IVF assignment cutover at k=1024 (sf0.1, ${e.count()} vectors, 64 dims) ==")
+    def ivfAt(litMax: Int): Seq[(Long, Long, Long, Double)] = {
+      import spark.implicits._
+      VectorOps.annIvf(e, nCentroids = 1024, nProbes = 10, nProbeClusters = 8,
+        topK = 5, literalMax = litMax)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    }
+    val (litRes, tLit) = timed(ivfAt(2048))
+    println(f"centroid-literal path:   ${tLit}%.1fs (${litRes.size} result rows)")
+    val (joinRes, tJoin) = timed(ivfAt(0))
+    println(f"broadcast-join argmax:   ${tJoin}%.1fs (identical output: ${joinRes == litRes})")
     spark.stop()
   }
 }

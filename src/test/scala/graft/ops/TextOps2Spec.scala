@@ -69,6 +69,18 @@ class KMeansIvfSpec extends SparkSpec {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf.intersect(brute).size >= brute.size / 2)
   }
+
+  test("broadcast-join argmax assignment is output-identical to the centroid literal") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(literalMax: Int, iters: Int) =
+      VectorOps.annIvf(e, nCentroids = 16, nProbes = 8, nProbeClusters = 3,
+        topK = 4, kmeansIters = iters, literalMax = literalMax)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    // literalMax = 0 forces the large-k cutover path on the same centroids
+    assert(run(literalMax = 128, iters = 0) == run(literalMax = 0, iters = 0))
+    assert(run(literalMax = 128, iters = 2) == run(literalMax = 0, iters = 2))
+  }
 }
 
 class StreamReadSpec extends SparkSpec {
