@@ -30,18 +30,32 @@ final case class GovernedIO(
         s"dataset $datasetId@$datasetVersion is blocked by governance: " +
           st.errors.mkString("; "))
 
-  /** Read through a data product's input port: the port binding names the
-    * contract (and pins its version), the locator resolves the data —
-    * reference `read_with_governance` input-binding resolution. */
+  /** Read through a data product's input port: the product revision is
+    * resolved under the status/version policy ([[graft.products
+    * .ProductPolicy.select]] — pinned / `>=` / latest, disallowed-status
+    * revisions skipped or warned per `enforce`), then the port binding
+    * names the contract (and pins its version) and the locator resolves
+    * the data — reference `read_with_governance` input-binding resolution
+    * plus the `_select_data_product` orchestration of
+    * `io/validation.py:261-533`. */
   def readPort(
       spark: SparkSession,
       productId: String,
       portName: String,
-      enforce: Boolean = false
+      enforce: Boolean = false,
+      productVersion: Option[String] = None,
+      productStatusPolicy: graft.products.ProductStatusPolicy =
+        graft.products.ProductStatusPolicy()
   ): ReadResult = {
     val backend = products.getOrElse(
       throw new IllegalStateException("GovernedIO has no DataProductBackend configured"))
-    val port = backend.latest(productId).flatMap(_.findInputPort(portName))
+    val product = graft.products.ProductPolicy.select(
+      backend, productId, productVersion, productStatusPolicy, enforce,
+      operation = "read")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no revision of data product $productId is readable" +
+          productVersion.fold("")(v => s" under version spec '$v'")))
+    val port = product.findInputPort(portName)
       .getOrElse(throw new IllegalArgumentException(
         s"data product $productId has no input port '$portName'"))
     read(spark, port.contractId, contractVersion = Some(port.version).filter(_.nonEmpty),
@@ -57,10 +71,17 @@ final case class GovernedIO(
       portName: String,
       datasetId: String,
       mode: String = "overwrite",
-      strategy: ViolationStrategy = NoOpStrategy
+      strategy: ViolationStrategy = NoOpStrategy,
+      productStatusPolicy: Option[graft.products.ProductStatusPolicy] = None,
+      enforce: Boolean = false
   ): WriteResult = {
     val backend = products.getOrElse(
       throw new IllegalStateException("GovernedIO has no DataProductBackend configured"))
+    // optional write-side status gate (reference applies the same handler
+    // on both operations); opt-in because port registration itself evolves
+    // the product to a new draft revision
+    for (policy <- productStatusPolicy; p <- backend.latest(productId))
+      policy.validate(p, enforce, operation = "write")
     val contract = contractFor(datasetId)
     val result = write(df, datasetId, mode = mode, strategy = strategy)
     backend.registerOutputPort(productId,

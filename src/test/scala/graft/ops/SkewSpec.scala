@@ -89,4 +89,40 @@ class GovernedPortsSpec extends SparkSpec {
     backend.registerInputPort("dp.consumer3", InputPort("slim_in", ">=9.0.0", "sales.lineitem_slim"))
     intercept[IllegalArgumentException](gov.readPort(spark, "dp.consumer3", "slim_in"))
   }
+
+  test("readPort honours product-side status/version policies (accept/reject matrix)") {
+    val root = tmpDir("graft_ports_policy")
+    val store = new FsContractStore(s"$root/contracts")
+    store.put(DemoContracts.lineitemAlign) // sales.lineitem_slim 0.3.0, active
+    val backend = new DataProductBackend(s"$root/products")
+    val gov = GovernedIO(store, ContractVersionLocator(spark, s"$root/lake"), Some(backend))
+    val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem")
+    gov.write(li, "sales.lineitem_slim")
+
+    // two product revisions: the released one binds "in", the newer draft
+    // renames the port — which revision serves decides which ports exist
+    backend.put(DataProduct("dp.c", status = "active", version = Some("1.0.0"),
+      inputPorts = Seq(InputPort("in", "0.3.0", "sales.lineitem_slim"))))
+    backend.put(DataProduct("dp.c", status = "draft", version = Some("1.1.0"),
+      inputPorts = Seq(InputPort("renamed_in", "0.3.0", "sales.lineitem_slim"))))
+
+    // enforcing read skips the draft revision: 1.0.0's port serves
+    assert(gov.readPort(spark, "dp.c", "in", enforce = true).df.count() == li.count())
+    // warn-only read resolves the newest (draft) revision, which lacks "in"
+    intercept[IllegalArgumentException](gov.readPort(spark, "dp.c", "in"))
+    assert(gov.readPort(spark, "dp.c", "renamed_in").df.count() == li.count())
+    // explicit product-version pins select the binding set
+    assert(gov.readPort(spark, "dp.c", "in",
+      productVersion = Some("==1.0.0")).df.count() == li.count())
+    // pinning the draft while enforcing rejects on status before any IO
+    intercept[IllegalStateException](gov.readPort(spark, "dp.c", "renamed_in",
+      enforce = true, productVersion = Some("1.1.0")))
+    // a policy admitting drafts lets the same pin through
+    assert(gov.readPort(spark, "dp.c", "renamed_in", enforce = true,
+      productVersion = Some("1.1.0"),
+      productStatusPolicy = graft.products.ProductStatusPolicy(Seq("active", "draft")))
+      .df.count() == li.count())
+    // unknown product: nothing resolvable
+    intercept[IllegalArgumentException](gov.readPort(spark, "dp.missing", "in"))
+  }
 }
