@@ -18,7 +18,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_topn_join", "q5_join5", "q_metrics",
     "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_quality",
-    "q_topk_groups", "q_ann_ivf")
+    "q_topk_groups", "q_ann_ivf", "q_source_cap", "q_pack_chunks")
 
   /** Round-over-round regression budgets: BENCH_r02 per-query seconds
     * (round-3 local best-of-2 for the two queries first benched in r3)
@@ -29,7 +29,9 @@ object Bench {
     "q1_pricing" -> 1.52, "q3_topn_join" -> 1.17, "q5_join5" -> 1.30,
     "q_metrics" -> 0.51, "q_dedup_exact" -> 0.29, "q_dedup_minhash" -> 1.56,
     "q_ann_brute" -> 0.43, "q_text_quality" -> 0.31,
-    "q_topk_groups" -> 1.01, "q_ann_ivf" -> 1.05
+    "q_topk_groups" -> 1.01, "q_ann_ivf" -> 1.05,
+    // round-4 local best-of-2 for the curation entries first benched in r4
+    "q_source_cap" -> 0.59, "q_pack_chunks" -> 0.25
   ).map { case (k, v) => k -> (v * 1.2 + 0.3) }
 
   def main(args: Array[String]): Unit = {
@@ -76,7 +78,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    breaches.foreach(b => System.err.println(s"[bench] BUDGET BREACH: $b"))
+    breaches.foreach(b => System.err.println(s"[bench] BUDGET BREACH: $b " +
+      "(budgets are wall-clock numbers from the round driver's machine; " +
+      "set SPARK_GRAFT_BENCH_BUDGETS=off on other hardware)"))
     spark.stop()
     if (failed || breaches.nonEmpty) sys.exit(1)
   }

@@ -149,7 +149,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) =>
       NearDup.minhashPairs(t(s, d, "documents"), mode = HashMode.Portable)),
     "q_dedup_simhash" -> ((s, d) =>
-      NearDup.simhashPairs(t(s, d, "documents"), mode = HashMode.Portable)),
+      NearDup.simhashPairs(t(s, d, "documents"), maxHamming = 3, mode = HashMode.Portable)),
     "q_winnow_pairs" -> ((s, d) =>
       NearDup.winnowPairs(t(s, d, "documents"), mode = HashMode.Portable)),
     "q_dedup_cluster" -> ((s, d) => {

@@ -41,7 +41,8 @@ object Curate {
     * are unique within a source (duplicated ids would all survive the
     * semi-join where the window kept one). */
   def capPerSource(docs: DataFrame, cap: Int, sourceCol: String = "source",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   broadcastMaxRows: Long = 4L << 20): DataFrame = {
     require(cap > 0, "cap must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -53,9 +54,17 @@ object Curate {
       .agg(TopK.minKIds(cap))
       .flatMap { case (src, ids) => ids.map(src -> _) }
       .toDF("_cap_src", "_cap_id")
+    // broadcast guard: the kept set is O(sources × cap) rows — fine for
+    // corpus-shaped source cardinalities, but a near-unique source column
+    // would OOM the driver. Bound it with a cheap column-pruned
+    // approx-distinct pass (2% error; the 25% headroom on the threshold
+    // dwarfs it) and fall back to a shuffle semi-join when too big.
+    val sourcesBound = docs
+      .select(approx_count_distinct(col(sourceCol), 0.02)).head.getLong(0)
+    val keptSmall = sourcesBound * cap.toLong <= broadcastMaxRows - broadcastMaxRows / 4
     // null-safe on the source key: a null source is a group like any other
     // (a plain === join would silently drop it)
-    docs.join(broadcast(kept),
+    docs.join(if (keptSmall) broadcast(kept) else kept,
       col(sourceCol) <=> col("_cap_src") && col(idCol) === col("_cap_id"),
       "left_semi")
   }

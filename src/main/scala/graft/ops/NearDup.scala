@@ -11,8 +11,19 @@ import org.apache.spark.sql.types._
   * staying below 2^63 sidesteps signed-vs-unsigned ordering differences, which
   * matters because MinHash takes `min()` over these values. */
 sealed abstract class HashMode(val bits: Int) {
-  /** Hash of the ':'-joined string forms of `cols` (single col = itself). */
+  /** Hash of `cols`. CAVEAT for [[HashMode.Portable]]: multi-column input
+    * is ':'-joined as strings, so free-form tuples like ("a:b","c") and
+    * ("a","b:c") collide — every internal call site feeds fixed-count
+    * digit strings (no ':' possible) and the DuckDB oracles replicate
+    * that exact composition. For free-form string tuples use
+    * [[hashTuple]]. */
   def hash(cols: Column*): Column
+
+  /** Injective multi-column hash for FREE-FORM string tuples: components
+    * are length-prefixed before joining, so no separator collision is
+    * possible. [[HashMode.Default]]'s xxhash64 is structurally typed and
+    * already injective per column boundary — it passes through. */
+  def hashTuple(cols: Column*): Column = hash(cols: _*)
 
   /** Per-row precursor columns for the seeded minhash family — computed once
     * per shingle in a projection BEFORE the signature aggregation, so the K
@@ -32,6 +43,10 @@ object HashMode {
     def hash(cols: Column*): Column =
       conv(substring(md5(concat_ws(":", cols: _*).cast(BinaryType)), 1, 15), 16, 10)
         .cast(LongType)
+    override def hashTuple(cols: Column*): Column =
+      hash(concat_ws(":", cols.map(c =>
+        concat(length(c.cast(StringType)).cast(StringType), lit("|"),
+          c.cast(StringType))): _*))
     // Double hashing (Kirsch-Mitzenmacher): seed-i value = h1 + i*h2 with
     // h1 = md5 bits as 60-bit value, h2 = a further 52 bits of the same
     // digest. ONE md5 per shingle instead of K; max value 2^60 + 31*2^52
@@ -289,13 +304,15 @@ object NearDup {
     * the Hamming filter then discards: the usual precision/recall trade
     * is shifted entirely onto filter work, never onto recall.
     *
-    * The default maxHamming = 3 keeps bands wide: 4 bands × 16 bits ⇒ 65k
-    * distinct values per band, so bucket sizes stay ~n/262k and the
-    * within-bucket join is far from quadratic. Higher maxHamming narrows
-    * bands fast (8 ⇒ 9 bands × ~7 bits ⇒ ≤128 values/band ⇒ quadratic
-    * buckets at corpus scale) — callers that raise it should add a second
-    * blocking key. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+    * maxHamming is REQUIRED (no default): the r2→r3 default change 8 → 3
+    * silently shrank existing callers' pair sets, so the radius is now an
+    * explicit call-site decision. maxHamming = 3 is the scale-safe pick —
+    * wide bands: 4 bands × 16 bits ⇒ 65k distinct values per band, bucket
+    * sizes ~n/262k, within-bucket join far from quadratic. Higher values
+    * narrow bands fast (8 ⇒ 9 bands × ~7 bits ⇒ ≤128 values/band ⇒
+    * quadratic buckets at corpus scale) — callers that raise it should
+    * add a second blocking key. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
                    mode: HashMode = HashMode.Default): DataFrame = {
     require(maxHamming >= 0 && maxHamming < mode.bits,
       s"maxHamming must be in [0, ${mode.bits - 1}]")

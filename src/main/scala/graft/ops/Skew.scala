@@ -44,18 +44,30 @@ object Skew {
 
   /** Two-path skew join: hot keys (from a one-pass frequency count)
     * broadcast-join, the long tail shuffle-joins, results unioned.
-    * The standard plan for star joins with a handful of mega-keys. */
+    * The standard plan for star joins with a handful of mega-keys.
+    *
+    * Broadcasting `rightHot` assumes dimension-shaped hot rows on the
+    * right; a hot key with high RIGHT-side multiplicity would blow the
+    * broadcast. The guard counts the right's hot rows (one semi-join
+    * pass, pruned to the key columns) and falls back to [[saltedJoin]]
+    * — same output, skew handled by salting instead of broadcast — when
+    * they exceed `broadcastMaxRows`. */
   def hotColdJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
-      hotThreshold: Long
+      hotThreshold: Long,
+      broadcastMaxRows: Long = 4L << 20
   ): DataFrame = {
     val hot = hotKeys(left, keys, hotThreshold).select(keys.map(col): _*)
-    val leftHot = left.join(broadcast(hot), keys, "left_semi")
-    val leftCold = left.join(broadcast(hot), keys, "left_anti")
     val rightHot = right.join(broadcast(hot), keys, "left_semi")
-    leftHot.join(broadcast(rightHot), keys)
-      .unionByName(leftCold.join(right, keys))
+    val rightHotRows = rightHot.select(keys.map(col): _*).count()
+    if (rightHotRows > broadcastMaxRows) saltedJoin(left, right, keys)
+    else {
+      val leftHot = left.join(broadcast(hot), keys, "left_semi")
+      val leftCold = left.join(broadcast(hot), keys, "left_anti")
+      leftHot.join(broadcast(rightHot), keys)
+        .unionByName(leftCold.join(right, keys))
+    }
   }
 }

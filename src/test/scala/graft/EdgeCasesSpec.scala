@@ -25,7 +25,7 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TextOps.dedupExact(emptyDocs).count() == 0)
     assert(NearDup.ngramPairs(emptyDocs).count() == 0)
     assert(NearDup.minhashPairs(emptyDocs).count() == 0)
-    assert(NearDup.simhashPairs(emptyDocs).count() == 0)
+    assert(NearDup.simhashPairs(emptyDocs, maxHamming = 3).count() == 0)
     assert(NearDup.duplicateClusters(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }

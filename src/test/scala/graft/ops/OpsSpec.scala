@@ -75,6 +75,21 @@ class NearDupSpec extends SparkSpec {
     assert(!mh.exists { case (x, y) => x == 3L || y == 3L })
   }
 
+  test("hashTuple is separator-collision-free where the raw portable hash is not") {
+    val rows = Seq(("a:b", "c"), ("a", "b:c")).toDF("x", "y")
+    def vals(c: org.apache.spark.sql.Column) =
+      rows.select(c).as[Long].collect().toSeq
+    // the raw ':'-join collides the two tuples (the documented caveat)...
+    val raw = vals(HashMode.Portable.hash(col("x"), col("y")))
+    assert(raw.head == raw(1))
+    // ...the length-prefixed tuple hash does not
+    val tup = vals(HashMode.Portable.hashTuple(col("x"), col("y")))
+    assert(tup.head != tup(1))
+    // Default (xxhash64) is structurally typed: injective either way
+    val xx = vals(HashMode.Default.hashTuple(col("x"), col("y")))
+    assert(xx.head != xx(1))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val sh = NearDup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -25,6 +25,25 @@ class SkewSpec extends SparkSpec {
       .select("k", "lv", "rv").collect().toSet
     assert(hc == plain)
   }
+
+  test("hotColdJoin falls back to salting when the hot key has high right-side multiplicity") {
+    // key 1 is hot on BOTH sides: 100 left rows x 50 right rows — the
+    // rightHot broadcast the two-path plan assumes dimension-shaped is
+    // exactly what must not happen here
+    val fatRight = ((1 to 50).map(i => (1L, s"r$i")) ++ Seq((2L, "b"), (4L, "d")))
+      .toDF("k", "rv")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "lv", "rv").count().collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val plain = multiset(left.join(fatRight, Seq("k")))
+    val guarded = Skew.hotColdJoin(left, fatRight, Seq("k"),
+      hotThreshold = 50, broadcastMaxRows = 10)
+    assert(multiset(guarded) == plain)
+    assert(plain.size == 5001) // 100 x 50 hot pairs + 1 cold match
+    // generous bound keeps the two-path plan; output identical either way
+    val twoPath = Skew.hotColdJoin(left, fatRight, Seq("k"), hotThreshold = 50)
+    assert(multiset(twoPath) == plain)
+  }
 }
 
 class GovernedIOSpec extends SparkSpec {
