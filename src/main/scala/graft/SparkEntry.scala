@@ -207,6 +207,16 @@ object SparkEntry {
         t(s, d, "documents").withColumn("n_tokens",
           TextOps.tokenCount(col("text"))),
         budget = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("chunk_id"))),
+    // the sharded (bounded-task) path: per-(source, shard) running sums +
+    // broadcast prefix offsets are provably equal to ONE running sum in
+    // shard-major (shard, id) order — which is exactly what the oracle
+    // computes, so the distributed construction is gated end-to-end
+    "q_pack_chunks_sharded" -> ((s, d) =>
+      Curate.packChunks(
+        t(s, d, "documents").withColumn("n_tokens",
+          TextOps.tokenCount(col("text"))),
+        budget = 512, shards = 4)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("chunk_id")))
   )
 
@@ -440,6 +450,16 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+        |FROM t""".stripMargin,
+    "q_pack_chunks_sharded" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id % 4 ASC, doc_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
         |FROM t""".stripMargin,
     "q_topk_groups" ->
