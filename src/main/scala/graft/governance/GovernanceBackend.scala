@@ -17,7 +17,24 @@ final case class PipelineActivity(
     datasetVersion: String,
     contractId: String,
     contractVersion: String,
-    recordedAt: Long)
+    recordedAt: Long,
+    context: Map[String, String] = Map.empty)
+
+/** One (dataset version, contract) entry of a dataset's version chain:
+  * every pipeline touch of that combination plus its recorded verdict —
+  * the reference's merged dataset-record view
+  * (`governance/backend/local.py:630-830`). */
+final case class DatasetRecord(
+    datasetId: String,
+    datasetVersion: String,
+    contractId: String,
+    contractVersion: String,
+    status: Option[DatasetStatus],
+    activity: Seq[PipelineActivity]) {
+  /** Most recent touch/verdict time — the chain's ordering key. */
+  def lastSeenAt: Long =
+    (activity.map(_.recordedAt) ++ status.map(_.recordedAt)).maxOption.getOrElse(0L)
+}
 
 /** One dataset version's recorded governance verdict. */
 final case class DatasetStatus(
@@ -60,7 +77,8 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       datasetVersion: String,
       contract: Contract,
       validation: ValidationResult,
-      proposeDraftOnFeedback: Boolean = true
+      proposeDraftOnFeedback: Boolean = true,
+      draftContext: Map[String, String] = Map.empty
   ): DatasetStatus = {
     val record = DatasetStatus(datasetId, datasetVersion, contract.id, contract.version,
       statusOf(validation), validation.errors, validation.warnings,
@@ -80,8 +98,11 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       root.resolve("status").resolve(safe(s"$datasetId@$datasetVersion") + ".json"),
       JsonMethods.pretty(JsonMethods.render(json)))
     if (proposeDraftOnFeedback)
+      // caller-supplied draft context (pipeline name, run id, ...) rides
+      // along with the provenance pair — the reference's draft_context
       for (store <- contracts; draft <- Drafter.fromValidation(validation, contract,
-             draftContext = Map("dataset_id" -> datasetId, "dataset_version" -> datasetVersion)))
+             draftContext = draftContext ++
+               Map("dataset_id" -> datasetId, "dataset_version" -> datasetVersion)))
         store.put(draft)
     record
   }
@@ -116,17 +137,17 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     }
   }
 
+  // line 1: contractId:version; line 2: the raw dataset id (filenames are
+  // sanitised, so the id must be recoverable from the payload)
   def linkDatasetContract(datasetId: String, contractId: String, contractVersion: String): Unit =
     Files.writeString(root.resolve("links").resolve(safe(datasetId) + ".txt"),
-      s"$contractId:$contractVersion")
+      s"$contractId:$contractVersion\n$datasetId")
 
   def linkedContract(datasetId: String): Option[(String, String)] = {
     val f = root.resolve("links").resolve(safe(datasetId) + ".txt")
     if (!Files.exists(f)) None
-    else Files.readString(f).split(":", 2) match {
-      case Array(id, v) => Some((id, v))
-      case _ => None
-    }
+    else Files.readString(f).linesIterator.toSeq.headOption
+      .map(_.split(":", 2)).collect { case Array(id, v) => (id, v) }
   }
 
   /** Append one pipeline-activity record (reference
@@ -138,9 +159,10 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       operation: String,
       datasetId: String,
       datasetVersion: String,
-      contract: Contract): PipelineActivity = {
+      contract: Contract,
+      context: Map[String, String] = Map.empty): PipelineActivity = {
     val rec = PipelineActivity(pipeline, operation, datasetId, datasetVersion,
-      contract.id, contract.version, System.currentTimeMillis())
+      contract.id, contract.version, System.currentTimeMillis(), context)
     val json = JsonMethods.compact(JsonMethods.render(JObject(
       "pipeline" -> JString(rec.pipeline),
       "operation" -> JString(rec.operation),
@@ -148,7 +170,10 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       "datasetVersion" -> JString(rec.datasetVersion),
       "contractId" -> JString(rec.contractId),
       "contractVersion" -> JString(rec.contractVersion),
-      "recordedAt" -> JLong(rec.recordedAt))))
+      "recordedAt" -> JLong(rec.recordedAt),
+      "context" -> JObject(rec.context.toList.sortBy(_._1).map {
+        case (k, v) => k -> (JString(v): JValue)
+      }))))
     Files.writeString(
       root.resolve("activity").resolve(safe(datasetId) + ".jsonl"),
       json + "\n",
@@ -178,8 +203,12 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
           case Some(JInt(v)) => v.toLong
           case _ => 0L
         }
+        val ctx = fields.get("context") match {
+          case Some(JObject(cs)) => cs.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }
         val rec = PipelineActivity(str("pipeline"), str("operation"), str("datasetId"),
-          str("datasetVersion"), str("contractId"), str("contractVersion"), at)
+          str("datasetVersion"), str("contractId"), str("contractVersion"), at, ctx)
         if (datasetVersion.forall(_ == rec.datasetVersion))
           Some(rec -> getStatus(rec.datasetId, rec.datasetVersion))
         else None
@@ -216,6 +245,56 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     val reviewed = draft.copy(status = Some(if (approve) "active" else "rejected"))
     store.put(reviewed)
     reviewed
+  }
+
+  /** Every dataset id with any status, activity, or link record — the
+    * reference's `list_datasets` (`local.py:627`). Authoritative ids live
+    * inside each payload (filenames are sanitised). */
+  def listDatasets(): Seq[String] = {
+    def listDir(sub: String): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(Files.list(root.resolve(sub))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+      }
+    val fromStatus = statusMatrix().map(_.datasetId)
+    val fromLinks = listDir("links").flatMap(f =>
+      Files.readString(f).linesIterator.toSeq.drop(1).headOption)
+    val fromActivity = listDir("activity").flatMap { f =>
+      Files.readString(f).linesIterator.find(_.nonEmpty).flatMap { line =>
+        scala.util.Try(JsonMethods.parse(line)).toOption.collect {
+          case JObject(fs) => fs.toMap
+        }.flatMap(_.get("datasetId").collect { case JString(v) => v })
+      }
+    }
+    (fromStatus ++ fromLinks ++ fromActivity).distinct.sorted
+  }
+
+  /** Per-dataset version chains — the reference's merged dataset-record
+    * view (`get_dataset_records`, `local.py:630`): one record per
+    * (dataset version, contract id, contract version) combination seen in
+    * the activity log or the status store, each carrying its pipeline
+    * touches and verdict, newest-first. With no filters, chains for every
+    * known dataset. */
+  def datasetRecords(
+      datasetId: Option[String] = None,
+      datasetVersion: Option[String] = None
+  ): Seq[DatasetRecord] = {
+    val ids = datasetId.map(Seq(_)).getOrElse(listDatasets())
+    ids.flatMap { id =>
+      val acts = pipelineActivity(id, datasetVersion).map(_._1)
+      val statuses = statusMatrix()
+        .filter(s => s.datasetId == id && datasetVersion.forall(_ == s.datasetVersion))
+      val keys =
+        acts.map(a => (a.datasetVersion, a.contractId, a.contractVersion)) ++
+          statuses.map(s => (s.datasetVersion, s.contractId, s.contractVersion))
+      keys.distinct.map { case (dv, cid, cver) =>
+        DatasetRecord(id, dv, cid, cver,
+          status = statuses.find(s =>
+            s.datasetVersion == dv && s.contractId == cid && s.contractVersion == cver),
+          activity = acts.filter(a =>
+            a.datasetVersion == dv && a.contractId == cid && a.contractVersion == cver))
+      }
+    }.sortBy(-_.lastSeenAt)
   }
 
   /** All recorded (dataset, version) statuses — the status-matrix view

@@ -63,6 +63,41 @@ class GovernanceSpec extends SparkSpec {
     assert(gov.pipelineActivity("sales.lineitem").size == 3)
   }
 
+  test("dataset records merge activity with verdicts into newest-first version chains") {
+    val root = tmpDir("graft_govchain")
+    val gov = new GovernanceBackend(s"$root/governance")
+    val li = T.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val bad = graft.quality.Evaluator.validate(li, DemoContracts.lineitem)
+
+    gov.recordValidation("sales.lineitem", "v1", DemoContracts.lineitem, bad)
+    gov.recordActivity("etl", "write", "sales.lineitem", "v1", DemoContracts.lineitem,
+      context = Map("run_id" -> "r-1"))
+    gov.recordActivity("train", "read", "sales.lineitem", "v1", DemoContracts.lineitem)
+    Thread.sleep(5) // recordedAt orders the chain
+    gov.recordActivity("etl", "write", "sales.lineitem", "v2", DemoContracts.lineitem)
+    gov.recordActivity("etl", "write", "other.events", "e1", DemoContracts.orders)
+    gov.linkDatasetContract("linked.only", "sales.lineitem", "1.0.0")
+
+    // every id with any record is enumerable (raw ids, not filenames)
+    assert(gov.listDatasets() == Seq("linked.only", "other.events", "sales.lineitem"))
+
+    // the chain: one record per (version, contract) combo, newest first,
+    // activity attached, verdict joined where recorded
+    val chain = gov.datasetRecords(Some("sales.lineitem"))
+    assert(chain.map(_.datasetVersion) == Seq("v2", "v1"))
+    val v1 = chain.find(_.datasetVersion == "v1").get
+    assert(v1.activity.map(_.pipeline) == Seq("etl", "train"))
+    assert(v1.activity.head.context == Map("run_id" -> "r-1"))
+    assert(v1.status.exists(_.status == "block"))
+    assert(chain.head.status.isEmpty) // v2: touched but never validated
+    // version filter narrows the chain; unknown ids are empty
+    assert(gov.datasetRecords(Some("sales.lineitem"), Some("v1")).size == 1)
+    assert(gov.datasetRecords(Some("nope")).isEmpty)
+    // the unfiltered view covers every dataset
+    assert(gov.datasetRecords().map(_.datasetId).distinct.sorted ==
+      Seq("other.events", "sales.lineitem"))
+  }
+
   test("draft lifecycle: proposed drafts are listed, review promotes or rejects") {
     val root = tmpDir("graft_govdraft")
     val store = new FsContractStore(s"$root/contracts")
