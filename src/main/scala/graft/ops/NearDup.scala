@@ -185,11 +185,18 @@ object NearDup {
     * changed-count (a scalar per round, not data); hitting maxIter without
     * converging logs a warning instead of passing off partial labels. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // per-round materialisation: reliable checkpoint when the session has a
+    // checkpoint dir configured (recomputable across executor loss — the
+    // right mode on a real cluster), executor-local localCheckpoint
+    // otherwise (fine in local mode, where executor loss is process death)
+    def materialise(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // materialise the edge list once: every round joins against it, and the
     // upstream pair pipeline (LSH + verify) must not be re-run per round
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+    val edges = materialise(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     var changed = 1L
@@ -201,26 +208,22 @@ object NearDup {
         .agg(min(col("n_cluster")).as("neighbor_cluster"))
       // checkpointed because it feeds both the jump lookup and the final
       // merge — without it the neighbour aggregation would run twice
-      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster").as("old_cluster"),
-          least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("c1"))
-        .localCheckpoint(true)
+      val stepped = materialise(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster").as("old_cluster"),
+            least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("c1")))
       // pointer jump: c2 = label(label(doc)); cluster ids are doc ids, so
       // the lookup is a self-join keyed by the candidate label
       val jump = stepped.select(col("doc_id").as("c1"), col("c1").as("c2"))
-      // localCheckpoint materialises the round AND truncates the lineage,
-      // so plans don't grow by two joins per iteration; blocks are
-      // released by the context cleaner once the frame is unreferenced.
-      // Trade-off vs persist(): checkpoint blocks are executor-local and
-      // non-recomputable, so an executor loss fails (and restarts) the
-      // clustering job — on clusters where that matters, swap in
-      // reliable `checkpoint()` with a checkpoint dir; persist() would
-      // instead re-grow the logical plan each round
-      val updated = stepped.join(jump, Seq("c1"), "left")
-        .select(col("doc_id"),
-          least(col("c1"), coalesce(col("c2"), col("c1"))).as("cluster"),
-          (least(col("c1"), coalesce(col("c2"), col("c1"))) < col("old_cluster")).as("chg"))
-        .localCheckpoint(true)
+      // checkpointing materialises the round AND truncates the lineage,
+      // so plans don't grow by two joins per iteration (persist() would
+      // re-grow the logical plan each round); local blocks are released
+      // by the context cleaner once the frame is unreferenced
+      val updated = materialise(
+        stepped.join(jump, Seq("c1"), "left")
+          .select(col("doc_id"),
+            least(col("c1"), coalesce(col("c2"), col("c1"))).as("cluster"),
+            (least(col("c1"), coalesce(col("c2"), col("c1"))) < col("old_cluster")).as("chg")))
       changed = updated.filter(col("chg")).count()
       labels = updated.drop("chg")
       iter += 1

@@ -124,6 +124,21 @@ class ClustersVocabSpec extends SparkSpec {
       s"chain did not fully converge: ${out.filterNot(_._2 == 0L).take(5)}")
   }
 
+  test("duplicateClusters uses reliable checkpoints when a checkpoint dir is set") {
+    val dir = tmpDir("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val out = NearDup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the checkpoint dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("canonicalDocs marks one canonical per cluster, singletons canonical") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "x")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
