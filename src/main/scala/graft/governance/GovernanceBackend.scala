@@ -62,12 +62,9 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
   Files.createDirectories(root.resolve("activity"))
   private def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** ok (clean) / warn (warnings only) / block (errors). Matches the
-    * reference's record-status normalisation (`local.py:68`). */
-  def statusOf(validation: ValidationResult): String =
-    if (validation.errors.nonEmpty) "block"
-    else if (validation.warnings.nonEmpty) "warn"
-    else "ok"
+  /** ok (clean) / warn (warnings only) / block (errors) — delegates to
+    * the canonical [[ValidationResult.recordStatus]]. */
+  def statusOf(validation: ValidationResult): String = validation.recordStatus
 
   /** Record a validation outcome; when feedback exists and a contract
     * store is attached, a draft revision is proposed into it
@@ -107,14 +104,13 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     record
   }
 
-  def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] = {
-    val f = root.resolve("status").resolve(safe(s"$datasetId@$datasetVersion") + ".json")
-    if (!Files.exists(f)) None
+  private def parseStatus(json: String): Option[DatasetStatus] = {
+    val fields = JsonMethods.parse(json) match {
+      case JObject(fs) => fs.toMap
+      case _ => Map.empty[String, JValue]
+    }
+    if (fields.isEmpty) None
     else {
-      val fields = JsonMethods.parse(Files.readString(f)) match {
-        case JObject(fs) => fs.toMap
-        case _ => Map.empty[String, JValue]
-      }
       def str(k: String) = fields.get(k).collect { case JString(v) => v }.getOrElse("")
       def strs(k: String) = fields.get(k) match {
         case Some(JArray(vs)) => vs.collect { case JString(v) => v }
@@ -135,6 +131,11 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       Some(DatasetStatus(str("datasetId"), str("datasetVersion"), str("contractId"),
         str("contractVersion"), str("status"), strs("errors"), strs("warnings"), metrics, at))
     }
+  }
+
+  def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] = {
+    val f = root.resolve("status").resolve(safe(s"$datasetId@$datasetVersion") + ".json")
+    if (!Files.exists(f)) None else parseStatus(Files.readString(f))
   }
 
   // line 1: contractId:version; line 2: the raw dataset id (filenames are
@@ -257,6 +258,9 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
         s.iterator().asScala.toSeq
       }
     val fromStatus = statusMatrix().map(_.datasetId)
+    // pre-r4 one-line link files carry no recoverable id (the filename is
+    // sanitised) — such datasets appear here only once they also have a
+    // status or activity record
     val fromLinks = listDir("links").flatMap(f =>
       Files.readString(f).linesIterator.toSeq.drop(1).headOption)
     val fromActivity = listDir("activity").flatMap { f =>
@@ -280,9 +284,10 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       datasetVersion: Option[String] = None
   ): Seq[DatasetRecord] = {
     val ids = datasetId.map(Seq(_)).getOrElse(listDatasets())
+    val matrix = statusMatrix() // one store read, shared across the chains
     ids.flatMap { id =>
       val acts = pipelineActivity(id, datasetVersion).map(_._1)
-      val statuses = statusMatrix()
+      val statuses = matrix
         .filter(s => s.datasetId == id && datasetVersion.forall(_ == s.datasetVersion))
       val keys =
         acts.map(a => (a.datasetVersion, a.contractId, a.contractVersion)) ++
@@ -305,16 +310,6 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
     }
-    files.flatMap { f =>
-      val fields = JsonMethods.parse(Files.readString(f)) match {
-        case JObject(fs) => fs.toMap
-        case _ => Map.empty[String, JValue]
-      }
-      for {
-        id <- fields.get("datasetId").collect { case JString(v) => v }
-        ver <- fields.get("datasetVersion").collect { case JString(v) => v }
-        st <- getStatus(id, ver)
-      } yield st
-    }
+    files.flatMap(f => parseStatus(Files.readString(f)))
   }
 }

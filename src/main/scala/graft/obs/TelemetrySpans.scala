@@ -25,13 +25,10 @@ object TelemetrySpans {
   val ValidationEvent = "dc43.validation"
   val ExpectationEvent = "dc43.expectations"
 
-  /** Reference status vocabulary ("ok" | "warn" | "block" | "unknown"),
-    * derived from the verdict the way `ValidationResult.from_status`
-    * relates them: errors block, warnings warn. */
-  def statusOf(v: ValidationResult): String =
-    if (v.errors.nonEmpty) "block"
-    else if (v.warnings.nonEmpty) "warn"
-    else "ok"
+  /** Reference status vocabulary ("ok" | "warn" | "block") — delegates
+    * to the canonical [[ValidationResult.recordStatus]] so spans and
+    * governance records can never disagree about a verdict. */
+  def statusOf(v: ValidationResult): String = v.recordStatus
 
   private def jStr(s: String): JValue = JString(s)
 

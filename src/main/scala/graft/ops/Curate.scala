@@ -56,12 +56,11 @@ object Curate {
       .toDF("_cap_src", "_cap_id")
     // broadcast guard: the kept set is O(sources × cap) rows — fine for
     // corpus-shaped source cardinalities, but a near-unique source column
-    // would OOM the driver. Bound it with a cheap column-pruned
-    // approx-distinct pass (2% error; the 25% headroom on the threshold
-    // dwarfs it) and fall back to a shuffle semi-join when too big.
-    val sourcesBound = docs
-      .select(approx_count_distinct(col(sourceCol), 0.02)).head.getLong(0)
-    val keptSmall = sourcesBound * cap.toLong <= broadcastMaxRows - broadcastMaxRows / 4
+    // would OOM the driver. The kept frame is persisted and counted (an
+    // eager guard job whose aggregation work the semi-join below then
+    // reuses — no extra corpus scan), and the broadcast hint is dropped
+    // when the exact count exceeds the bound.
+    val keptSmall = { kept.persist(); kept.count() <= broadcastMaxRows }
     // null-safe on the source key: a null source is a group like any other
     // (a plain === join would silently drop it)
     docs.join(if (keptSmall) broadcast(kept) else kept,
@@ -147,8 +146,12 @@ object Curate {
         .withColumn("chunk_id", ((col("_cum") - col(tokenCol)) / budget).cast(LongType))
         .drop("_cum")
     } else {
+      // null ids land in shard 0 (they sort first within the shard, the
+      // same relative position the shards=1 window gives them) — a plain
+      // pmod would yield a null shard and the offsets equi-join would
+      // silently drop the row
       val sharded = docs.withColumn("_shard",
-        pmod(col(idCol), lit(shards)).cast("int"))
+        coalesce(pmod(col(idCol), lit(shards)), lit(0)).cast("int"))
       val w = Window.partitionBy(col(sourceCol), col("_shard"))
         .orderBy(col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -43,10 +43,15 @@ object HashMode {
     def hash(cols: Column*): Column =
       conv(substring(md5(concat_ws(":", cols: _*).cast(BinaryType)), 1, 15), 16, 10)
         .cast(LongType)
+    // null components encode as "-|" — distinct from the empty string's
+    // "0|" and never dropped the way concat_ws skips nulls, so ("a", null)
+    // and (null, "a") cannot collide either
     override def hashTuple(cols: Column*): Column =
-      hash(concat_ws(":", cols.map(c =>
-        concat(length(c.cast(StringType)).cast(StringType), lit("|"),
-          c.cast(StringType))): _*))
+      hash(concat_ws(":", cols.map { c =>
+        val s = c.cast(StringType)
+        concat(coalesce(length(s).cast(StringType), lit("-")), lit("|"),
+          coalesce(s, lit("")))
+      }: _*))
     // Double hashing (Kirsch-Mitzenmacher): seed-i value = h1 + i*h2 with
     // h1 = md5 bits as 60-bit value, h2 = a further 52 bits of the same
     // digest. ONE md5 per shingle instead of K; max value 2^60 + 31*2^52
@@ -188,7 +193,11 @@ object NearDup {
     // per-round materialisation: reliable checkpoint when the session has a
     // checkpoint dir configured (recomputable across executor loss — the
     // right mode on a real cluster), executor-local localCheckpoint
-    // otherwise (fine in local mode, where executor loss is process death)
+    // otherwise (fine in local mode, where executor loss is process death).
+    // Reliable checkpoint FILES are only garbage-collected when
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — set it (or
+    // point the checkpoint dir at job-scoped storage) on deployments that
+    // run this repeatedly, or ~2 files per round accumulate per call.
     def materialise(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
@@ -217,8 +226,9 @@ object NearDup {
       val jump = stepped.select(col("doc_id").as("c1"), col("c1").as("c2"))
       // checkpointing materialises the round AND truncates the lineage,
       // so plans don't grow by two joins per iteration (persist() would
-      // re-grow the logical plan each round); local blocks are released
-      // by the context cleaner once the frame is unreferenced
+      // re-grow the logical plan each round); LOCAL blocks are released
+      // by the context cleaner once the frame is unreferenced, reliable
+      // files per the cleanCheckpoints note on materialise() above
       val updated = materialise(
         stepped.join(jump, Seq("c1"), "left")
           .select(col("doc_id"),

@@ -51,7 +51,13 @@ object Skew {
     * broadcast. The guard counts the right's hot rows (one semi-join
     * pass, pruned to the key columns) and falls back to [[saltedJoin]]
     * — same output, skew handled by salting instead of broadcast — when
-    * they exceed `broadcastMaxRows`. */
+    * they exceed `broadcastMaxRows`.
+    *
+    * The guard makes this an EAGER call: it runs one Spark job before
+    * returning the plan. `hot` and `rightHot` are persisted so the guard
+    * job's work is reused by the returned join instead of recomputed
+    * (they are hot-key-sized frames, evicted by the block manager's LRU
+    * once unreferenced). */
   def hotColdJoin(
       left: DataFrame,
       right: DataFrame,
@@ -59,11 +65,13 @@ object Skew {
       hotThreshold: Long,
       broadcastMaxRows: Long = 4L << 20
   ): DataFrame = {
-    val hot = hotKeys(left, keys, hotThreshold).select(keys.map(col): _*)
-    val rightHot = right.join(broadcast(hot), keys, "left_semi")
-    val rightHotRows = rightHot.select(keys.map(col): _*).count()
-    if (rightHotRows > broadcastMaxRows) saltedJoin(left, right, keys)
-    else {
+    val hot = hotKeys(left, keys, hotThreshold).select(keys.map(col): _*).persist()
+    val rightHot = right.join(broadcast(hot), keys, "left_semi").persist()
+    val rightHotRows = rightHot.count()
+    if (rightHotRows > broadcastMaxRows) {
+      hot.unpersist(); rightHot.unpersist()
+      saltedJoin(left, right, keys)
+    } else {
       val leftHot = left.join(broadcast(hot), keys, "left_semi")
       val leftCold = left.join(broadcast(hot), keys, "left_anti")
       leftHot.join(broadcast(rightHot), keys)

@@ -76,12 +76,22 @@ object TopK {
 
   /** Top-k rows per key of `(key, id, score)`, returned flat with ranks —
     * same shape and tiebreaks as the row_number window formulation, but
-    * partial-aggregated before the shuffle. */
+    * partial-aggregated before the shuffle.
+    *
+    * NaN scores are EXCLUDED up front: `better`'s primitive comparisons
+    * are never true for NaN, so a NaN entering the buffer would neither
+    * rank consistently nor sort stably — its final position would depend
+    * on partition arrival order, i.e. be non-deterministic across
+    * shuffles. (A row_number window would instead rank NaN first under
+    * Spark's NaN-greatest ordering; for score-ranked search results,
+    * dropping undefined scores is the saner contract. Null scores are
+    * likewise dropped.) */
   def topKPerKey(df: DataFrame, keyCol: String, idCol: String,
                  scoreCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("long"), col(idCol).cast("long"), col(scoreCol).cast("double"))
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .agg(topK(k))

@@ -147,6 +147,13 @@ object ProductPolicy {
           if (enforce)
             throw new IllegalStateException(s"$msg: ${errors.distinct.mkString("; ")}")
           log.warn(s"$msg: ${errors.distinct.mkString("; ")}")
+        } else if (found.isEmpty) {
+          // no revisions at all (or none semver-parseable): an enforcing
+          // caller gets an error, not a silent None
+          val msg = s"data product $productId has no selectable revisions " +
+            s"(stored: ${backend.listVersions(productId).mkString(", ")})"
+          if (enforce) throw new IllegalArgumentException(msg)
+          log.warn(msg)
         }
         found
     }

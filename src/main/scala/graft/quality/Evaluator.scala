@@ -44,7 +44,16 @@ final case class ValidationResult(
     warnings: Seq[String],
     metrics: Map[String, Any],
     schema: Map[String, FieldSnapshot]
-)
+) {
+  /** The reference's record-status vocabulary (`governance/backend/
+    * local.py:68`): errors block, warnings warn, clean is ok. THE
+    * canonical mapping — governance records and telemetry spans both
+    * delegate here so the vocabularies cannot drift. */
+  def recordStatus: String =
+    if (errors.nonEmpty) "block"
+    else if (warnings.nonEmpty) "warn"
+    else "ok"
+}
 
 /** Contract evaluation over collected observations — the engine-independent
   * verdict logic of dc43 `data_quality/backend/engine.py:192-307`. */

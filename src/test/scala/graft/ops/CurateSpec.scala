@@ -132,6 +132,16 @@ class CurateSpec extends SparkSpec {
     assert(one == naive1)
   }
 
+  test("sharded packChunks keeps null-id rows (they land in shard 0)") {
+    val d = Seq((Some(1L), 100L, "s"), (None, 100L, "s"), (Some(2L), 100L, "s"))
+      .toDF("doc_id", "n_tokens", "source")
+    for (s <- Seq(1, 3)) {
+      val out = Curate.packChunks(d, budget = 150, shards = s)
+      assert(out.count() == 3, s"shards=$s dropped rows")
+      assert(out.filter(col("doc_id").isNull).count() == 1, s"shards=$s null row lost")
+    }
+  }
+
   test("contamination flags k-gram overlap with the eval set only") {
     val evalDocs = Seq((100L, "the customer sent a key", "en", "e")).toDF("doc_id", "text", "lang", "source")
     val out = Curate.contamination(docs, evalDocs, k = 5).collect()

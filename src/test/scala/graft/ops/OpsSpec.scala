@@ -85,6 +85,12 @@ class NearDupSpec extends SparkSpec {
     // ...the length-prefixed tuple hash does not
     val tup = vals(HashMode.Portable.hashTuple(col("x"), col("y")))
     assert(tup.head != tup(1))
+    // null components are distinct from empty strings AND from each other's
+    // positions: ("a", null) vs (null, "a") vs ("a", "") all differ
+    val nulls = Seq((Some("a"), None: Option[String]), (None: Option[String], Some("a")),
+      (Some("a"), Some(""))).toDF("x", "y")
+    val nv = nulls.select(HashMode.Portable.hashTuple(col("x"), col("y"))).as[Long].collect()
+    assert(nv.distinct.length == 3, s"null-component collision: ${nv.toSeq}")
     // Default (xxhash64) is structurally typed: injective either way
     val xx = vals(HashMode.Default.hashTuple(col("x"), col("y")))
     assert(xx.head != xx(1))

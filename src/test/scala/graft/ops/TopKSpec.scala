@@ -33,4 +33,20 @@ class TopKSpec extends SparkSpec {
     // ties on 0.9 break on smaller id
     assert(out == Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L)))
   }
+
+  test("NaN and null scores are excluded deterministically") {
+    // a NaN entering the bounded buffer would sort inconsistently (its
+    // position would depend on partition arrival order) — it must be
+    // filtered, not ranked first the way a row_number window would
+    val df = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, 0.5), (1L, 13L, Double.NaN),
+      (2L, 20L, Double.NaN)
+    ).toDF("k", "id", "s")
+    val out = TopK.topKPerKey(df, "k", "id", "s", 2)
+      .orderBy("k", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 11L, 1L), (1L, 12L, 2L))) // key 2: all-NaN -> absent
+    val withNull = Seq((1L, 10L, Some(0.7)), (1L, 11L, None)).toDF("k", "id", "s")
+    assert(TopK.topKPerKey(withNull, "k", "id", "s", 2).count() == 1)
+  }
 }

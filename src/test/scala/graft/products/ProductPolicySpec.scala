@@ -85,6 +85,16 @@ class ProductPolicySpec extends AnyFunSuite {
     assert(ProductPolicy.select(be, "dp.a", Some("==9.9.9")).isEmpty)
   }
 
+  test("select: no selectable revisions errors under enforce instead of silent None") {
+    val empty = new DataProductBackend(tmp())
+    intercept[IllegalArgumentException](
+      ProductPolicy.select(empty, "dp.unknown", enforce = true))
+    assert(ProductPolicy.select(empty, "dp.unknown").isEmpty) // warn-only: None
+    // only non-semver-parseable revisions stored: same contract
+    val odd = backendWith(DataProduct("dp.a", status = "active", version = Some("v1")))
+    intercept[IllegalArgumentException](ProductPolicy.select(odd, "dp.a", enforce = true))
+  }
+
   test("select: every revision disallowed") {
     val be = backendWith(draft)
     // enforcing: combined error naming the rejections
