@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical IVF index: the corpus persisted PARTITIONED BY coarse cluster,
+  * with the centroid table alongside. This is the layout that makes IVF
+  * pay off at 100 TB: [[VectorOps.annIvf]] prunes logically (a filter over
+  * a full scan — right for ad-hoc search over an existing table), while a
+  * partitioned index prunes PHYSICALLY — a probe reads only its
+  * `nProbeClusters / nCentroids` share of the files, because `cid` is a
+  * partition column and Catalyst turns `cid IN (probed…)` into partition
+  * pruning before any IO happens. Build once, search many.
+  *
+  * Layout: `dir/data/cid=<k>/…parquet` (vec_id, label, v, nrm) +
+  * `dir/centroids.json` (cid, cv, cn rows, driver-sized by construction).
+  * Deterministic given (corpus, nCentroids, kmeansIters). */
+object IvfIndex {
+
+  private case class Centroid(cid: Long, cv: Array[Double], cn: Double)
+
+  /** Build the index. Assignment follows [[VectorOps.annIvf]] exactly
+    * (seeded or Lloyd-refined centroids, literal-vs-join cutover), so a
+    * search over the index returns the same neighbours the logical
+    * operator computes — pinned in `IvfIndexSpec`. One corpus pass plus
+    * the write shuffle-free: the partitioned write happens straight from
+    * the scan's projection. */
+  def build(embeddings: DataFrame, dir: String, nCentroids: Int = 16,
+            kmeansIters: Int = 0,
+            literalMax: Int = VectorOps.CentroidLiteralMax): Unit = {
+    val e = VectorOps.prepared(embeddings)
+    val cents =
+      if (kmeansIters > 0) VectorOps.kmeansCentroids(e, nCentroids, kmeansIters, literalMax)
+      else e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val centRows = cents.select(col("cid"), col("cv"), col("cn")).collect()
+    require(centRows.nonEmpty, "cannot build an IVF index over an empty corpus")
+
+    val assigned =
+      if (nCentroids > literalMax)
+        VectorOps.assignByJoin(e, cents, Seq("label", "v", "nrm"))
+      else {
+        val cLit = VectorOps.centroidLiteralOf(centRows).get
+        e.withColumn("cid",
+          element_at(VectorOps.nearestClusterArray(cLit, 1), 1).getField("cid"))
+      }
+    assigned.select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
+
+    // centroids: k rows of k×dim scalars — driver-sized metadata
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JsonAST.JArray(centRows.sortBy(_.getLong(0)).toList.map { r =>
+          org.json4s.JsonAST.JObject(
+            "cid" -> org.json4s.JsonAST.JInt(BigInt(r.getLong(0))),
+            "cv" -> org.json4s.JsonAST.JArray(
+              r.getSeq[Double](1).toList.map(org.json4s.JsonAST.JDouble(_))),
+            "cn" -> org.json4s.JsonAST.JDouble(r.getDouble(2)))
+        })))
+    val path = new org.apache.hadoop.fs.Path(s"$dir/centroids.json")
+    val fs = path.getFileSystem(embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def loadCentroids(spark: SparkSession, dir: String): Seq[Centroid] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/centroids.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case org.json4s.JsonAST.JArray(items) => items.map { item =>
+        val m = item.asInstanceOf[org.json4s.JsonAST.JObject].obj.toMap
+        Centroid(
+          m("cid") match { case org.json4s.JsonAST.JInt(v) => v.toLong; case _ => 0L },
+          m("cv") match {
+            case org.json4s.JsonAST.JArray(vs) => vs.map {
+              case org.json4s.JsonAST.JDouble(d) => d
+              case org.json4s.JsonAST.JInt(i) => i.toDouble
+              case _ => 0.0
+            }.toArray
+            case _ => Array.empty[Double]
+          },
+          m("cn") match { case org.json4s.JsonAST.JDouble(d) => d; case _ => 0.0 })
+      }
+      case _ => Nil
+    }
+  }
+
+  /** Search the index for external probe vectors `(probe_id, v, nrm)`
+    * (use [[VectorOps.prepared]] + renames to shape them). Probe→cluster
+    * selection happens on the DRIVER against the centroid metadata
+    * (BigDecimal HALF_UP at 6 dp — bit-identical to `cosR`), then the
+    * data read carries `cid IN (probed)` — a PartitionFilter, so only the
+    * probed cluster directories are ever opened. Scoring + bounded top-k
+    * as in [[VectorOps.annBrute]]; output schema matches. */
+  def search(spark: SparkSession, dir: String, probes: DataFrame,
+             nProbeClusters: Int = 2, topK: Int = 5): DataFrame = {
+    val cents = loadCentroids(spark, dir)
+    val probeRows = probes.select(col("probe_id"), col("v"), col("nrm")).collect()
+    if (probeRows.isEmpty || cents.isEmpty)
+      return spark.range(0).select(col("id").as("probe_id"), col("id").as("neighbor_id"),
+        col("id").as("rank"), col("id").cast("double").as("cosine"))
+
+    val probeClusters = probeRows.flatMap { pr =>
+      val pv = pr.getSeq[Double](1).toArray
+      val pn = pr.getDouble(2)
+      cents.map { c =>
+        val raw = pv.zip(c.cv).map { case (x, y) => x * y }.sum / (pn * c.cn)
+        val cos = BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (pr.getLong(0), c.cid, cos)
+      }.sortBy { case (_, cid, cos) => (-cos, cid) }.take(nProbeClusters)
+    }
+    val probedCids = probeClusters.map(_._2).distinct.toSeq
+
+    import spark.implicits._
+    val probeDf = broadcast(probeRows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+      .toDF("probe_id", "pv", "pn")
+      .join(probeClusters.toSeq.toDF("probe_id", "cid", "_ccos"), Seq("probe_id"))
+      .select(col("probe_id"), col("pv"), col("pn"), col("cid")))
+
+    // cid is a partition column: this filter prunes directories, not rows
+    val data = spark.read.parquet(s"$dir/data")
+      .filter(col("cid").isin(probedCids: _*))
+    val scored = data.join(probeDf, Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
+    TopK.topKPerKey(scored, "probe_id", "vec_id", "cosine", topK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def probesOf(e: org.apache.spark.sql.DataFrame, n: Int) =
+    VectorOps.prepared(e).filter(col("vec_id") < n)
+      .select(col("vec_id").as("probe_id"), col("v"), col("nrm"))
+
+  test("indexed search returns exactly what the logical annIvf computes") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = tmpDir("graft_ivfidx")
+    IvfIndex.build(e, dir, nCentroids = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val logical = rows(VectorOps.annIvf(e, nCentroids = 16, nProbes = 8,
+      nProbeClusters = 3, topK = 4))
+    val indexed = rows(IvfIndex.search(spark, dir, probesOf(e, 8),
+      nProbeClusters = 3, topK = 4))
+    assert(indexed == logical)
+  }
+
+  test("the data read prunes to probed cluster partitions (PartitionFilters, not row filters)") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = tmpDir("graft_ivfidx_prune")
+    IvfIndex.build(e, dir, nCentroids = 16)
+    val out = IvfIndex.search(spark, dir, probesOf(e, 2), nProbeClusters = 2, topK = 3)
+    // pre-AQE physical plan: AdaptiveSparkPlanExec hides the scan from
+    // executedPlan.collect until execution
+    val plan = out.queryExecution.sparkPlan.toString
+    // the cid IN (...) predicate must land in the scan's PartitionFilters
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters").exists(s => s.take(200).contains("cid")),
+      s"expected cid partition filter in:\n${plan.take(2000)}")
+    // and only the probed partition directories are actually read
+    val scans = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val probed = scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, scans.head.dataFilters).size
+    val total = spark.read.parquet(s"$dir/data").select("cid").distinct().count()
+    assert(probed <= 4 && probed < total,
+      s"probed $probed of $total partitions — pruning did not engage")
+  }
+
+  test("build + search round-trips Lloyd-refined centroids and empty probes") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = tmpDir("graft_ivfidx_lloyd")
+    IvfIndex.build(e, dir, nCentroids = 8, kmeansIters = 1)
+    val logical = VectorOps.annIvf(e, nCentroids = 8, nProbes = 5,
+      nProbeClusters = 2, topK = 3, kmeansIters = 1)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val indexed = IvfIndex.search(spark, dir, probesOf(e, 5),
+      nProbeClusters = 2, topK = 3)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(indexed == logical)
+    assert(IvfIndex.search(spark, dir, probesOf(e, 0)).count() == 0)
+  }
+}
