@@ -27,7 +27,8 @@ object IvfIndex {
     * the scan's projection. */
   def build(embeddings: DataFrame, dir: String, nCentroids: Int = 16,
             kmeansIters: Int = 0,
-            literalMax: Int = VectorOps.CentroidLiteralMax): Unit = {
+            literalMax: Int = VectorOps.CentroidLiteralMax,
+            maxRowsPerPartition: Long = 0L): Unit = {
     val e = VectorOps.prepared(embeddings)
     val cents =
       if (kmeansIters > 0) VectorOps.kmeansCentroids(e, nCentroids, kmeansIters, literalMax)
@@ -37,15 +38,35 @@ object IvfIndex {
     require(centRows.nonEmpty, "cannot build an IVF index over an empty corpus")
 
     val assigned =
-      if (nCentroids > literalMax)
+      (if (nCentroids > literalMax)
         VectorOps.assignByJoin(e, cents, Seq("label", "v", "nrm"))
       else {
         val cLit = VectorOps.centroidLiteralOf(centRows).get
         e.withColumn("cid",
           element_at(VectorOps.nearestClusterArray(cLit, 1), 1).getField("cid"))
-      }
-    assigned.select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
+      }).select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
+
+    if (maxRowsPerPartition <= 0L)
+      assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
+    else {
+      // cluster-skew bound: k-means clusters are rarely balanced, and one
+      // dominant cluster means one giant partition directory — bad file
+      // sizes, bad task granularity, and a straggler on every probe that
+      // touches it. Hot clusters are sub-sharded by pmod(vec_id, subs)
+      // into `cid=<k>/sub=<j>` so every leaf partition holds at most
+      // ~maxRowsPerPartition rows. Search filters on cid only (the sub
+      // level is read wholesale under each probed cid), so pruning and
+      // results are unchanged — IvfIndexSpec pins output equality.
+      val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> math.max(1L,
+          (r.getLong(1) + maxRowsPerPartition - 1) / maxRowsPerPartition))
+      val subsLit = map(sizes.flatMap { case (cid, subs) =>
+        Seq(lit(cid), lit(subs))
+      }.toSeq: _*)
+      assigned
+        .withColumn("sub", pmod(col("vec_id"), element_at(subsLit, col("cid"))).cast("int"))
+        .write.mode("overwrite").partitionBy("cid", "sub").parquet(s"$dir/data")
+    }
 
     // centroids: k rows of k×dim scalars — driver-sized metadata
     val json = org.json4s.jackson.JsonMethods.compact(

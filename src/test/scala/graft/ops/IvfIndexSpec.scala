@@ -48,6 +48,28 @@ class IvfIndexSpec extends SparkSpec {
       s"probed $probed of $total partitions — pruning did not engage")
   }
 
+  test("sub-sharded build bounds leaf partitions under cluster skew, search unchanged") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plain = tmpDir("graft_ivfidx_plain")
+    val sharded = tmpDir("graft_ivfidx_sub")
+    // 2 centroids over the whole corpus -> deliberately fat clusters
+    IvfIndex.build(e, plain, nCentroids = 2)
+    IvfIndex.build(e, sharded, nCentroids = 2, maxRowsPerPartition = 20)
+    def rows(dir: String) =
+      IvfIndex.search(spark, dir, probesOf(e, 5), nProbeClusters = 1, topK = 3)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(rows(sharded) == rows(plain))
+    // id-residue sharding is statistical: leaves hold ~bound rows (the
+    // contract is "no giant partitions", not exact equality) — assert a
+    // 2x envelope and that sharding actually engaged
+    val leaves = spark.read.parquet(s"$sharded/data").groupBy("cid", "sub").count()
+    val leafMax = leaves.agg(max("count")).head().getLong(0)
+    assert(leafMax <= 40, s"leaf partition holds $leafMax rows")
+    assert(leaves.count() > 2, "expected multiple sub-shards per fat cluster")
+    assert(spark.read.parquet(s"$sharded/data").count() == e.count())
+  }
+
   test("build + search round-trips Lloyd-refined centroids and empty probes") {
     val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
     val dir = tmpDir("graft_ivfidx_lloyd")
