@@ -83,6 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5hh"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5hh"),
+      (children: Seq[Expression]) => Md5Hash60(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotFold)
   }
 }

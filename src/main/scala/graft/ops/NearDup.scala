@@ -56,12 +56,14 @@ object HashMode {
     // h1 = md5 bits as 60-bit value, h2 = a further 52 bits of the same
     // digest. ONE md5 per shingle instead of K; max value 2^60 + 31*2^52
     // fits signed 64-bit exactly in both engines (no overflow, no wrap).
-    def minhashPrep(shingle: Column): Seq[(String, Column)] = {
-      val digest = md5(shingle.cast(BinaryType))
-      Seq(
-        "_mh_h1" -> conv(substring(digest, 1, 15), 16, 10).cast(LongType),
-        "_mh_h2" -> conv(substring(digest, 17, 13), 16, 10).cast(LongType))
-    }
+    // The pair comes from the codegen'd graft_md5hh (raw digest bytes →
+    // two longs — skips the hex encode + substring + base-16 parse of the
+    // composable spelling, bit-identical to it and to the DuckDB oracle;
+    // requires GraftExtensions, which every entry point installs).
+    def minhashPrep(shingle: Column): Seq[(String, Column)] = Seq(
+      "_mh_hh" -> call_function("graft_md5hh", shingle.cast(BinaryType)),
+      "_mh_h1" -> element_at(col("_mh_hh"), 1),
+      "_mh_h2" -> element_at(col("_mh_hh"), 2))
     def seededHash(i: Int): Column = col("_mh_h1") + lit(i.toLong) * col("_mh_h2")
   }
 }

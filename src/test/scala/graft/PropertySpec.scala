@@ -129,6 +129,41 @@ class HashModePropertySpec extends AnyFunSuite {
     assert(worst < Long.MaxValue)
   }
 
+  test("TopK bounded-buffer semantics equal sort-then-take under random ties (model)") {
+    // the pure-Scala model of TopKByScore's insert/merge: for ANY input
+    // order and tie pattern, the kept set must equal sorting by
+    // (score desc, id asc) and taking k — the invariant that made the
+    // annBrute/annIvf window -> partial-agg retrofit safe. NaN excluded
+    // by contract (topKPerKey filters it).
+    val gen = for {
+      n <- Gen.chooseNum(0, 40)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 15L) // small domains force heavy ties
+        s <- Gen.oneOf(0.1, 0.5, 0.5, 0.9)
+      } yield (id, s))
+      k <- Gen.chooseNum(1, 6)
+      cut <- Gen.chooseNum(0, n)
+    } yield (rows, k, cut)
+    ContractGen.sample(gen, 200, seed = 47L).foreach { case (rows, k, cut) =>
+      def better(a: (Long, Double), b: (Long, Double)) =
+        a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      def insert(buf: List[(Long, Double)], x: (Long, Double)) = {
+        val (pre, post) = buf.span(better(_, x))
+        val m = pre ::: (x :: post)
+        if (m.lengthCompare(k) > 0) m.take(k) else m
+      }
+      // split into two "partitions", reduce each, then merge — the
+      // partial-aggregation path Spark actually runs
+      val (p1, p2) = rows.splitAt(cut)
+      val b1 = p1.foldLeft(List.empty[(Long, Double)])(insert)
+      val b2 = p2.foldLeft(List.empty[(Long, Double)])(insert)
+      val merged = b2.foldLeft(b1)(insert)
+      val expected = rows.sortBy { case (id, s) => (-s, id) }.take(k)
+      assert(merged == expected,
+        s"rows=$rows k=$k cut=$cut got=$merged expected=$expected")
+    }
+  }
+
   test("packChunks chunk ids are non-decreasing within a source and start at 0 (arithmetic model)") {
     // model of the window expression over sampled token lengths
     val gen = Gen.listOfN(50, Gen.chooseNum(0, 700))
