@@ -40,9 +40,14 @@ object HashMode {
     def seededHash(i: Int): Column = xxhash64(lit(i), col("shingle"))
   }
   case object Portable extends HashMode(60) {
+    // h1 of the codegen'd digest pair — bit-identical to
+    // conv(substr(md5(x), 1, 15), 16, 10), which is what the DuckDB
+    // oracles compute (HashModePortableParitySpec pins it); skips the
+    // hex-encode/substring/parse cost on every simhash token, winnow
+    // shingle, band value, and sampled row
     def hash(cols: Column*): Column =
-      conv(substring(md5(concat_ws(":", cols: _*).cast(BinaryType)), 1, 15), 16, 10)
-        .cast(LongType)
+      element_at(
+        call_function("graft_md5hh", concat_ws(":", cols: _*).cast(BinaryType)), 1)
     // null components encode as "-|" — distinct from the empty string's
     // "0|" and never dropped the way concat_ws skips nulls, so ("a", null)
     // and (null, "a") cannot collide either
