@@ -53,14 +53,19 @@ object PQ {
       val lit2 = booksLiteral(books)
       val codes = encodeExpr(lit2, m, dsub)
       // one corpus scan: explode dims, key by (block, code, dim) — the
-      // aggregation output is m*k*dsub scalars, independent of corpus size
+      // aggregation output is m*k*dsub scalars, independent of corpus size.
+      // Means accumulate as DECIMAL(25,6) (the kmeansCentroids determinism
+      // contract): a double avg is shuffle-order-dependent in its last
+      // ulp, which would make codebooks — and every ANN ranking computed
+      // from them — flap between runs
       val means = e.select(col("v"), codes.as("codes"))
         .select(col("codes"), posexplode(col("v")).as(Seq("i", "x")))
         .withColumn("block", (col("i") / dsub).cast(IntegerType))
         .withColumn("dim", col("i") % dsub)
         .withColumn("code", element_at(col("codes"), col("block") + 1))
         .groupBy(col("block"), col("code"), col("dim"))
-        .agg(avg(col("x")).as("c"))
+        .agg((sum(col("x").cast(DecimalType(25, 6))).cast(DoubleType) /
+          count(lit(1))).as("c"))
         .collect()
       val next = books.map(_.map(_.clone()))
       means.foreach { r =>
