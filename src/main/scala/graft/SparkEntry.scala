@@ -107,6 +107,20 @@ object SparkEntry {
         "purchase_ts", "view_ts")
     }),
     "q_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
+    "q_range_join" -> ((s, d) => {
+      // non-equi containment join: views landing inside the hour after any
+      // purchase. No shared key — the bucketed rewrite is the whole point.
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      graft.ops.RangeJoin.pointInInterval(views, purchases,
+        unix_micros(col("view_ts")), unix_micros(col("start_ts")),
+        unix_micros(col("end_ts")), bucketWidth = 3600L * 1000000L)
+        .select(col("view_id"), col("purchase_id"), col("view_ts"), col("start_ts"))
+    }),
     "q_topk_groups" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       // line_id = orderkey*10+linenumber is unique (linenumber <= 7), so
@@ -409,6 +423,16 @@ object SparkEntry {
         |  CAST(doc_freq AS BIGINT) AS doc_freq,
         |  CAST(term_freq AS DOUBLE) / (SELECT CAST(sum(term_freq) AS DOUBLE) FROM c) AS corpus_share
         |FROM c""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |i AS (
+        |  SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS start_ts,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS end_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT view_id, purchase_id, view_ts, start_ts
+        |FROM p JOIN i ON view_ts BETWEEN start_ts AND end_ts""".stripMargin,
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE ${h60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(points: Seq[(Long, Long)], ivs: Seq[(Long, Long, Long)]) =
+    (for {
+      (pid, p) <- points
+      (iid, s, e) <- ivs
+      if s <= p && p <= e
+    } yield (pid, iid)).toSet
+
+  test("pointInInterval matches the naive cross-product join") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 100L), (5L, -3L))
+    val ivs = Seq((10L, 0L, 9L), (11L, 5L, 20L), (12L, 90L, 110L), (13L, -10L, -1L))
+    val out = RangeJoin.pointInInterval(
+      points.toDF("pid", "p"), ivs.toDF("iid", "s", "e"),
+      col("p"), col("s"), col("e"), bucketWidth = 7)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(out == naive(points, ivs))
+  }
+
+  test("result is duplicate-free even when an interval spans many buckets") {
+    val points = Seq((1L, 50L))
+    val ivs = Seq((9L, 0L, 1000L))
+    val out = RangeJoin.pointInInterval(
+      points.toDF("pid", "p"), ivs.toDF("iid", "s", "e"),
+      col("p"), col("s"), col("e"), bucketWidth = 3)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 9L)))
+  }
+
+  test("bounds are inclusive; inverted and null intervals/points drop") {
+    val points = Seq((1L, Some(0L)), (2L, Some(9L)), (3L, None))
+    val ivs = Seq((10L, Some(0L), Some(9L)), (11L, Some(9L), Some(0L)),
+      (12L, None, Some(5L)))
+    val out = RangeJoin.pointInInterval(
+      points.toDF("pid", "p"), ivs.toDF("iid", "s", "e"),
+      col("p"), col("s"), col("e"), bucketWidth = 4)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("negative-domain points bucket correctly (floor, not truncate)") {
+    val points = Seq((1L, -8L), (2L, -1L))
+    val ivs = Seq((10L, -9L, -5L), (11L, -4L, 0L))
+    val out = RangeJoin.pointInInterval(
+      points.toDF("pid", "p"), ivs.toDF("iid", "s", "e"),
+      col("p"), col("s"), col("e"), bucketWidth = 5)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("plan is an equi-join on the bucket key, not a nested-loop join") {
+    val points = (0L until 100L).map(i => (i, i * 3)).toDF("pid", "p")
+    val ivs = (0L until 50L).map(i => (i, i * 5, i * 5 + 10)).toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, ivs,
+      col("p"), col("s"), col("e"), bucketWidth = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a product plan:\n$plan")
+  }
+}
