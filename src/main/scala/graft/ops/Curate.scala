@@ -193,4 +193,75 @@ object Curate {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** [[contamination]] with a Bloom-filter prefilter on the corpus side —
+    * output-identical (false positives die in the exact gram join), but
+    * the corpus gram stream is pruned to ~(true overlap + fpp) BEFORE the
+    * shuffle. At 100 TB the corpus side emits billions of
+    * (doc_id, gram) rows of which almost none are contaminated; dropping
+    * them map-side — one md5 + `kh` bit probes per gram, all codegen —
+    * is the difference between shuffling the corpus's gram stream and
+    * shuffling roughly nothing.
+    *
+    * The filter is built ON THE DRIVER from the eval set's gram hashes —
+    * eval/benchmark sets are tiny next to the corpus by definition (the
+    * `maxEvalGrams` guard makes the assumption explicit rather than
+    * letting a mis-passed frame OOM the driver). The bitset rides into
+    * the plan as ONE array literal (a constant, not a per-element
+    * expression tree — ~1.5 MB for 10M grams at 1% fpp), probed with the
+    * same Kirsch-Mitzenmacher double hashing the minhash family uses:
+    * bit_i = (h1 + i·h2) mod m over the graft_md5hh digest pair, so one
+    * digest serves all `kh` probes. */
+  def contaminationBloom(docs: DataFrame, evalDocs: DataFrame, k: Int = 13,
+                         fpp: Double = 0.01,
+                         maxEvalGrams: Long = 16L << 20): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // persisted: the same frame feeds the driver-side build here and the
+    // exact verification join below — without it the eval tokenisation
+    // runs twice and the two uses could even diverge on a changing source
+    val evalGrams = kgrams(evalDocs, k).select(col("gram")).distinct().persist()
+    val pairs = evalGrams
+      .select(call_function("graft_md5hh", col("gram").cast("binary")).as("hh"))
+      .select(element_at(col("hh"), 1), element_at(col("hh"), 2))
+      .as[(Long, Long)].collect()
+    require(pairs.length <= maxEvalGrams,
+      s"eval set has ${pairs.length} distinct $k-grams (> $maxEvalGrams); " +
+        "contaminationBloom builds its filter driver-side — this frame is " +
+        "corpus-shaped, not eval-shaped")
+    val n = math.max(pairs.length, 1)
+    // textbook sizing: m = -n·ln(fpp)/ln²2 bits, kh = (m/n)·ln 2 probes
+    val mBits: Long = math.max(64L,
+      64L * math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)) / 64.0).toLong)
+    val kh = math.max(1, math.min(16, math.round(mBits.toDouble / n * math.log(2)).toInt))
+    val words = new Array[Long]((mBits / 64).toInt)
+    pairs.foreach { case (h1, h2) =>
+      var i = 0
+      while (i < kh) {
+        // h1 < 2^60, h2 < 2^52, i < 16 → no signed overflow (ANSI-safe);
+        // floorMod here must stay in lockstep with pmod below
+        val idx = java.lang.Math.floorMod(h1 + i.toLong * h2, mBits)
+        words((idx >> 6).toInt) |= (1L << (idx & 63).toInt)
+        i += 1
+      }
+    }
+    val bitset = lit(words)
+    def mightContain(h1: Column, h2: Column): Column =
+      (0 until kh).map { i =>
+        val idx = pmod(h1 + lit(i.toLong) * h2, lit(mBits))
+        val word = element_at(bitset, (shiftright(idx, 6) + 1).cast("int"))
+        // functions.shiftright only takes a literal shift — the per-row
+        // bit offset goes through the SQL builder instead
+        call_function("shiftright", word, idx.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) === 1
+      }.reduce(_ && _)
+    kgrams(docs, k)
+      .withColumn("_hh", call_function("graft_md5hh", col("gram").cast("binary")))
+      .filter(mightContain(element_at(col("_hh"), 1), element_at(col("_hh"), 2)))
+      .drop("_hh")
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -150,4 +150,30 @@ class CurateSpec extends SparkSpec {
     // docs shorter than k produce no grams and cannot be flagged
     assert(Curate.contamination(docs, evalDocs, k = 50).count() == 0)
   }
+
+  test("contaminationBloom is output-identical to the exact path") {
+    // a corpus big enough that the bloom genuinely prunes: 200 docs, 5 of
+    // which embed an eval sentence verbatim
+    val corpus = (0L until 200L).map { i =>
+      val base = s"document number $i talks about topic ${i % 7} in plain words"
+      val text = if (i % 40 == 0) base + " the quick brown fox jumps over dogs" else base
+      (i, text, "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val evalDocs = Seq((9999L, "the quick brown fox jumps over dogs", "en", "e"))
+      .toDF("doc_id", "text", "lang", "source")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Curate.contamination(corpus, evalDocs, k = 5))
+    val bloom = asMap(Curate.contaminationBloom(corpus, evalDocs, k = 5))
+    assert(exact == bloom)
+    assert(exact.keySet == Set(0L, 40L, 80L, 120L, 160L))
+    // tight filters (high fpp → tiny bitset) still verify exactly
+    assert(asMap(Curate.contaminationBloom(corpus, evalDocs, k = 5, fpp = 0.5)) == exact)
+    // empty eval set → empty result, not a crash
+    assert(Curate.contaminationBloom(corpus, evalDocs.limit(0), k = 5).count() == 0)
+    // the eval-shaped guard refuses corpus-shaped eval frames
+    intercept[IllegalArgumentException] {
+      Curate.contaminationBloom(corpus, corpus, k = 5, maxEvalGrams = 10)
+    }
+  }
 }
