@@ -143,6 +143,32 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Per-document top-`topK` terms by TF-IDF (`tf × ln(N/df)`, rounded to
+    * 6 dp BEFORE ranking so rank and score agree across engines).
+    *
+    * Scale shape: one explode feeds a (doc, token)-keyed count (map-side
+    * combined), document frequency is a second aggregation OVER THE TF
+    * FRAME (one row per distinct (doc, token) — never re-reads the
+    * corpus), the corpus doc count joins in as a broadcast scalar, and
+    * the ranking is [[TopK.topKPerKeyStr]] — O(docs × topK) through the
+    * final exchange instead of a per-doc sort window over every distinct
+    * term. */
+  def tfidf(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(normText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("_ndocs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("_ndocs").cast(DoubleType) / col("df")), 6)
+          .as("tfidf"))
+    TopK.topKPerKeyStr(scored, "doc_id", "token", "tfidf", topK)
+  }
+
   def fingerprintCol(text: Column): Column = md5(normText(text))
 
   /** Duplicate-group summary: fingerprint, group size, canonical doc. */

@@ -103,4 +103,60 @@ object TopK {
         (col("rank0") + 1).cast("long").as("rank"),
         col("entry._2").as(scoreCol))
   }
+
+  /** String-id pair ordered by score desc, then id asc. Java's UTF-16
+    * code-unit comparison equals UTF-8 byte order for BMP text — only
+    * supplementary-plane ids (emoji etc.) would tie-break differently
+    * from a byte-collated engine. */
+  private def betterStr(a: (String, Double), b: (String, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def insertStr(buf: List[(String, Double)], x: (String, Double),
+                        k: Int): List[(String, Double)] = {
+    val (pre, post) = buf.span(betterStr(_, x))
+    val merged = pre ::: (x :: post)
+    if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+  }
+
+  /** [[TopKByScore]] with string ids — for term/token-keyed rankings
+    * where the id is text, not a numeric surrogate. */
+  final class TopKByScoreStr(k: Int)
+      extends Aggregator[(Long, String, Double), List[(String, Double)], Seq[(String, Double)]] {
+    override def zero: List[(String, Double)] = Nil
+    override def reduce(b: List[(String, Double)], a: (Long, String, Double)): List[(String, Double)] =
+      insertStr(b, (a._2, a._3), k)
+    override def merge(x: List[(String, Double)], y: List[(String, Double)]): List[(String, Double)] =
+      y.foldLeft(x)((acc, e) => insertStr(acc, e, k))
+    override def finish(r: List[(String, Double)]): Seq[(String, Double)] = r
+    override def bufferEncoder: Encoder[List[(String, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Double)]]()
+    override def outputEncoder: Encoder[Seq[(String, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Double)]]()
+  }
+
+  def topKStr(k: Int): TypedColumn[(Long, String, Double), Seq[(String, Double)]] =
+    new TopKByScoreStr(k).toColumn
+
+  /** [[topKPerKey]] for string ids: top-k `(key, id, score)` rows per key
+    * with ranks, `score DESC, id ASC` tiebreaks, partial-aggregated
+    * (O(keys × k) through the exchange). NaN/null scores are dropped for
+    * the same determinism reason as [[topKPerKey]]; null ids are dropped
+    * (a null id cannot tie-break deterministically). */
+  def topKPerKeyStr(df: DataFrame, keyCol: String, idCol: String,
+                    scoreCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(idCol).cast("string"), col(scoreCol).cast("double"))
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)) && col(idCol).isNotNull)
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .agg(topKStr(k))
+      .toDF("key", "top")
+      .select(col("key").as(keyCol),
+        posexplode(col("top")).as(Seq("rank0", "entry")))
+      .select(col(keyCol),
+        col("entry._1").as(idCol),
+        (col("rank0") + 1).cast("long").as("rank"),
+        col("entry._2").as(scoreCol))
+  }
 }

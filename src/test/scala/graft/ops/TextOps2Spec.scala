@@ -167,6 +167,25 @@ class ClustersVocabSpec extends SparkSpec {
     assert(v("c") == (1L, 1L, 0.2))
     assert(math.abs(v.values.map(_._3).sum - 1.0) < 1e-12)
   }
+
+  test("tfidf ranks per-doc terms by tf x ln(N/df), ties on token asc") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry banana cherry")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidf(docs, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getString(1), r.getDouble(3))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // df: apple 1, banana 3, cherry 2 over N = 3 docs
+    assert(out((1L, 1L)) == ("apple", r6(2 * math.log(3.0))))
+    assert(out((1L, 2L)) == ("banana", 0.0))
+    assert(out((2L, 1L)) == ("cherry", r6(math.log(1.5))))
+    assert(out((2L, 2L)) == ("banana", 0.0))
+    assert(out((3L, 1L)) == ("cherry", r6(2 * math.log(1.5))))
+    // ubiquitous terms score exactly zero, still ranked after rarer ones
+    assert(out((3L, 2L)) == ("banana", 0.0))
+  }
 }
 
 class RepetitionSpec extends SparkSpec {

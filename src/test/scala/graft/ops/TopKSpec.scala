@@ -49,4 +49,18 @@ class TopKSpec extends SparkSpec {
     val withNull = Seq((1L, 10L, Some(0.7)), (1L, 11L, None)).toDF("k", "id", "s")
     assert(TopK.topKPerKey(withNull, "k", "id", "s", 2).count() == 1)
   }
+
+  test("topKPerKeyStr ranks string ids with score-desc, id-asc tiebreaks") {
+    val df = Seq(
+      (1L, "beta", 0.9), (1L, "alpha", 0.9), (1L, "gamma", 0.5), (1L, "delta", 0.1),
+      (2L, "only", 0.3), (3L, "nan", Double.NaN)
+    ).toDF("k", "id", "s")
+    val out = TopK.topKPerKeyStr(df, "k", "id", "s", 2)
+      .orderBy("k", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "alpha", 1L), (1L, "beta", 2L), (2L, "only", 1L)))
+    // null ids are dropped (no deterministic tiebreak possible)
+    val withNullId = Seq((1L, Some("a"), 0.5), (1L, None, 0.9)).toDF("k", "id", "s")
+    assert(TopK.topKPerKeyStr(withNullId, "k", "id", "s", 2).count() == 1)
+  }
 }
