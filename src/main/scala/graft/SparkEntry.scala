@@ -149,6 +149,14 @@ object SparkEntry {
     }),
     // ---- training-data pipeline operators ------------------------------
     "q_text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
+    "q_tfidf" -> ((s, d) => TextOps.tfidf(t(s, d, "documents"))),
+    "q_quantiles" -> ((s, d) =>
+      // quarter fractions only: their interpolation factors are exact
+      // binary fractions, so Spark and the oracle agree bit-for-bit
+      // (Stats scaladoc) — 0.9/0.99 would gate on last-ulp libm luck
+      graft.ops.Stats.groupedQuantiles(
+        t(s, d, "documents").withColumn("n_tokens", TextOps.tokenCount(col("text"))),
+        Seq("source"), "n_tokens", Seq(0.25, 0.5, 0.75))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
@@ -197,6 +205,13 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Curate.contamination(docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50))
+    }),
+    // the scale path: bloom prefilter on the corpus gram stream, then the
+    // same exact verify join — gated output-identical to q_decontaminate
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curate.contaminationBloom(docs.filter(col("doc_id") >= 50),
         docs.filter(col("doc_id") < 50))
     }),
     "q_mixture" -> ((s, d) =>
@@ -448,20 +463,10 @@ object SparkEntry {
         |     + len(regexp_extract_all(text, '${graft.ops.Curate.EmailPattern}'))
         |    AS BIGINT) AS n_redactions
         |FROM documents""".stripMargin,
-    "q_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
-        |  FROM documents),
-        |p AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, toks FROM t),
-        |g13 AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[pos:pos+12], ' ') AS gram
-        |  FROM p WHERE pos + 12 <= len(toks)),
-        |ev AS (SELECT DISTINCT gram FROM g13 WHERE doc_id < 50)
-        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM g13 s JOIN ev ON ev.gram = s.gram
-        |WHERE s.doc_id >= 50
-        |GROUP BY 1""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+    // the bloom path must be indistinguishable from the exact path —
+    // literally the same oracle
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_mixture" ->
       s"""SELECT doc_id, source FROM documents
         |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 <
@@ -515,6 +520,34 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, token,
+        |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN nd)
+        |SELECT doc_id, token, CAST(rank AS BIGINT) AS "rank", tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 5""".stripMargin,
+    "q_quantiles" ->
+      """WITH t AS (
+        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents)
+        |SELECT source, CAST(count(n_tokens) AS BIGINT) AS n,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_v,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_v,
+        |  round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_tokens, 0.75), 6) AS p75
+        |FROM t GROUP BY 1""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  CAST($ntok AS BIGINT) AS n_tokens,
@@ -760,6 +793,24 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin
   )
+
+  /** The 13-gram decontamination oracle — shared verbatim by
+    * q_decontaminate (exact) and q_decontaminate_bloom (bloom-prefiltered,
+    * output-identical by construction). */
+  private def decontaminateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, toks FROM t),
+      |g13 AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[pos:pos+12], ' ') AS gram
+      |  FROM p WHERE pos + 12 <= len(toks)),
+      |ev AS (SELECT DISTINCT gram FROM g13 WHERE doc_id < 50)
+      |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM g13 s JOIN ev ON ev.gram = s.gram
+      |WHERE s.doc_id >= 50
+      |GROUP BY 1""".stripMargin
 
   /** DuckDB twin of [[graft.ops.HashMode.Portable]]: low 60 bits of md5 as a
     * non-negative BIGINT — bit-identical to the Spark side, so min()/banding

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics: grouped exact and approximate quantiles.
+  *
+  * The exact path (`percentile`) buffers every value of a group in its
+  * aggregation state — right whenever per-group cardinality is bounded
+  * (per-source length profiles, per-tenant latencies), and the one that
+  * can be oracle-gated bit-for-bit. The approximate path
+  * (`approx_percentile`, a mergeable digest with bounded state) is the
+  * 100 TB default when groups are corpus-sized: same call shape, same
+  * output schema, tunable accuracy — swap one method name when a group
+  * stops fitting.
+  *
+  * Quantile fractions that are exact binary fractions (0.25, 0.5, 0.75)
+  * make the linear interpolation exactly reproducible across engines;
+  * fractions like 0.9/0.99 put a non-representable factor into the
+  * interpolation and engines may differ in the last ulp (the 6 dp
+  * rounding almost always absorbs it, but "almost" is not a gate).
+  */
+object Stats {
+
+  private def pname(p: Double): String = {
+    val b = (BigDecimal(p) * 100).underlying.stripTrailingZeros
+    "p" + (if (b.scale <= 0) b.toBigInteger.toString
+           else b.toPlainString.replace('.', '_'))
+  }
+
+  private def summarize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        ps: Seq[Double], q: Column): DataFrame = {
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(col(valueCol)).as("n"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"),
+        q.as("_q"))
+    ps.zipWithIndex.foldLeft(agg) { case (d, (p, i)) =>
+      // cast: approx_percentile yields the input type (e.g. long), the
+      // exact path yields double — pin one output schema for both
+      d.withColumn(pname(p), round(element_at(col("_q"), i + 1).cast("double"), 6))
+    }.drop("_q")
+  }
+
+  /** Exact grouped quantiles: one row per group with `n`, `min_v`,
+    * `max_v`, and a rounded `p<NN>` column per requested fraction. */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantile fractions must be in [0, 1]")
+    summarize(df, groupCols, valueCol, ps,
+      percentile(col(valueCol), array(ps.map(lit): _*)))
+  }
+
+  /** [[groupedQuantiles]] through `approx_percentile` — bounded
+    * aggregation state per group, the shape that survives corpus-sized
+    * groups. `accuracy` is the standard inverse-error knob (10000 ≈
+    * 0.01% rank error). */
+  def groupedQuantilesApprox(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                             ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantile fractions must be in [0, 1]")
+    summarize(df, groupCols, valueCol, ps,
+      approx_percentile(col(valueCol), array(ps.map(lit): _*), lit(accuracy)))
+  }
+}
