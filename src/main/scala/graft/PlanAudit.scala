@@ -15,7 +15,8 @@ object PlanAudit {
     val sf = "/root/testdata/sf0.1"
     for (q <- Bench.headline ++ Seq("q_apply_contract", "q_dedup_embedding",
         "q_source_cap", "q_sample_hash", "q_decontaminate", "q_pack_chunks",
-        "q_salted_join", "q_rollup")) {
+        "q_salted_join", "q_rollup",
+        "q_range_join", "q_tfidf", "q_quantiles", "q_decontaminate_bloom")) {
       println(s"\n================ $q ================")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -214,6 +214,10 @@ object SparkEntry {
       Curate.contaminationBloom(docs.filter(col("doc_id") >= 50),
         docs.filter(col("doc_id") < 50))
     }),
+    "q_split_assign" -> ((s, d) =>
+      Curate.assignSplits(t(s, d, "documents"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), mode = HashMode.Portable)
+        .select(col("doc_id"), col("source"), col("split"))),
     "q_mixture" -> ((s, d) =>
       Curate.mixBySource(t(s, d, "documents"),
         Map("src0" -> 0, "src1" -> 25, "src2" -> 50), defaultPercent = 75,
@@ -467,6 +471,11 @@ object SparkEntry {
     // the bloom path must be indistinguishable from the exact path —
     // literally the same oracle
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_split_assign" ->
+      s"""SELECT doc_id, source,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents)""".stripMargin,
     "q_mixture" ->
       s"""SELECT doc_id, source FROM documents
         |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 <

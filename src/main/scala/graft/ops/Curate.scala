@@ -116,6 +116,31 @@ object Curate {
     docs.filter(pmod(mode.hash(lit(salt), col(idCol)), lit(100L)) < rate)
   }
 
+  /** Deterministic train/val/test (or any named-fraction) split
+    * assignment: each row gets a `split` label from the same salted
+    * id-hash family as [[sampleByHash]]/[[mixBySource]], so membership is
+    * a pure function of (salt, id) — stable across runs, retries, and
+    * repartitions, and consistent for a given id even when the corpus
+    * around it changes (rows never migrate between train and test because
+    * an upstream filter moved them; THE property that keeps eval sets
+    * uncontaminated over pipeline revisions). Percents must sum to 100 —
+    * a partial assignment would silently drop rows from every split.
+    * Pure projection: no shuffle, no randomness. */
+  def assignSplits(docs: DataFrame, splits: Seq[(String, Int)],
+                   idCol: String = "doc_id", mode: HashMode = HashMode.Default,
+                   salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0) && splits.map(_._2).sum == 100,
+      "split percents must be non-negative and sum to 100")
+    val bucket = pmod(mode.hash(lit(salt), col(idCol)), lit(100L))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(cum).init.reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), c)) => when(bucket < c, lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", label)
+  }
+
   /** Concat-and-chunk sequence packing: within each source, documents are
     * laid out in a deterministic order and cut into `budget`-token chunks;
     * a document's chunk is where its first token lands.

@@ -151,6 +151,31 @@ class CurateSpec extends SparkSpec {
     assert(Curate.contamination(docs, evalDocs, k = 50).count() == 0)
   }
 
+  test("assignSplits partitions completely, deterministically, and id-stably") {
+    val big = (0L until 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val a = Curate.assignSplits(big, splits).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Curate.assignSplits(big, splits).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must be run-stable")
+    assert(a.size == 1000, "every row gets exactly one split")
+    val byLabel = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 700 && byLabel("train") < 900)
+    // id-stable: a subset corpus assigns the same ids to the same splits
+    val sub = Curate.assignSplits(big.filter($"doc_id" < 100), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, s) => a(id) == s })
+    // zero-percent splits are legal and empty
+    val z = Curate.assignSplits(big, Seq("all" -> 100, "none" -> 0))
+      .select("split").distinct().as[String].collect().toSet
+    assert(z == Set("all"))
+    intercept[IllegalArgumentException] {
+      Curate.assignSplits(big, Seq("train" -> 80, "val" -> 10))
+    }
+  }
+
   test("contaminationBloom is output-identical to the exact path") {
     // a corpus big enough that the bloom genuinely prunes: 200 docs, 5 of
     // which embed an eval sentence verbatim
