@@ -236,10 +236,14 @@ object SparkEntry {
     "q_pack_chunks" -> ((s, d) =>
       // tokenCount (regexp_count of \S+) rather than size(split(...)):
       // the latter counts 1 for empty text, diverging from the oracle
+      // shards = 1 pinned: the oracle computes the exact id-ordered
+      // layout. (The METHOD default is AutoShards — data-sized bounded
+      // tasks — which CurateSpec covers; at gate scale auto resolves to
+      // 1, but the gate should not depend on that.)
       Curate.packChunks(
         t(s, d, "documents").withColumn("n_tokens",
           TextOps.tokenCount(col("text"))),
-        budget = 512)
+        budget = 512, shards = 1)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("chunk_id"))),
     // the sharded (bounded-task) path: per-(source, shard) running sums +
     // broadcast prefix offsets are provably equal to ONE running sum in

@@ -263,12 +263,15 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     // status or activity record
     val fromLinks = listDir("links").flatMap(f =>
       Files.readString(f).linesIterator.toSeq.drop(1).headOption)
+    // scan EVERY line: a sanitised filename can collide two dataset ids
+    // into one file (e.g. "a/b" and "a:b" → "a_b"), and a malformed first
+    // line must not hide the ids recorded after it
     val fromActivity = listDir("activity").flatMap { f =>
-      Files.readString(f).linesIterator.find(_.nonEmpty).flatMap { line =>
+      Files.readString(f).linesIterator.filter(_.nonEmpty).flatMap { line =>
         scala.util.Try(JsonMethods.parse(line)).toOption.collect {
           case JObject(fs) => fs.toMap
         }.flatMap(_.get("datasetId").collect { case JString(v) => v })
-      }
+      }.toSeq
     }
     (fromStatus ++ fromLinks ++ fromActivity).distinct.sorted
   }

@@ -56,10 +56,13 @@ object Curate {
       .toDF("_cap_src", "_cap_id")
     // broadcast guard: the kept set is O(sources × cap) rows — fine for
     // corpus-shaped source cardinalities, but a near-unique source column
-    // would OOM the driver. The kept frame is persisted and counted (an
-    // eager guard job whose aggregation work the semi-join below then
-    // reuses — no extra corpus scan), and the broadcast hint is dropped
-    // when the exact count exceeds the bound.
+    // would OOM the driver. The kept frame is persisted (MEMORY_AND_DISK,
+    // the Dataset.persist default) and counted — an eager guard job whose
+    // aggregation work the semi-join below then reuses, no extra corpus
+    // scan — and the broadcast hint is dropped when the exact count
+    // exceeds the bound. The cached kept frame lives until the
+    // ContextCleaner GCs it; long-lived sessions calling this in a loop
+    // should clearCache() between batches.
     val keptSmall = { kept.persist(); kept.count() <= broadcastMaxRows }
     // null-safe on the source key: a null source is a group like any other
     // (a plain === join would silently drop it)
@@ -141,6 +144,10 @@ object Curate {
     docs.withColumn("split", label)
   }
 
+  /** [[packChunks]] `shards` sentinel: size the shard count from a cheap
+    * per-source row count so no window task exceeds `autoTargetRows`. */
+  val AutoShards = 0
+
   /** Concat-and-chunk sequence packing: within each source, documents are
     * laid out in a deterministic order and cut into `budget`-token chunks;
     * a document's chunk is where its first token lands.
@@ -158,13 +165,32 @@ object Curate {
     * Layout order is (shard, id) for `shards > 1` — a different (but
     * deterministic) document order than `shards = 1`, which keeps the
     * exact id-ordered layout. Chunk ids are a pure function of
-    * (corpus, budget, shards); retries and re-runs agree. */
+    * (corpus, budget, shards); retries and re-runs agree.
+    *
+    * The DEFAULT is [[AutoShards]]: one cheap per-source count (an eager
+    * guard job — a count-only aggregation, no window, no text columns)
+    * sizes the shard count so the largest source's window task holds
+    * ≤ `autoTargetRows` rows. A naive caller on a Common-Crawl-shaped
+    * corpus therefore gets bounded tasks by default; pass `shards = 1`
+    * explicitly to pin the exact id-ordered layout (and skip the guard
+    * job) when the per-source row counts are known to be tame. */
   def packChunks(docs: DataFrame, budget: Int, tokenCol: String = "n_tokens",
                  sourceCol: String = "source", idCol: String = "doc_id",
-                 shards: Int = 1): DataFrame = {
+                 shards: Int = AutoShards,
+                 autoTargetRows: Long = 4L << 20): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    require(shards > 0, "shards must be positive")
-    if (shards == 1) {
+    require(shards >= 0, "shards must be positive, or AutoShards (0) to size from the data")
+    require(autoTargetRows > 0, "autoTargetRows must be positive")
+    val nShards =
+      if (shards != AutoShards) shards
+      else {
+        val maxSrc = docs.groupBy(col(sourceCol))
+          .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).collect()(0)
+        if (maxSrc.isNullAt(0)) 1 // empty corpus: nothing to pack
+        else math.min(4096L,
+          (maxSrc.getLong(0) + autoTargetRows - 1) / autoTargetRows).toInt.max(1)
+      }
+    if (nShards == 1) {
       val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docs.withColumn("_cum", sum(col(tokenCol)).over(w))
@@ -176,7 +202,7 @@ object Curate {
       // pmod would yield a null shard and the offsets equi-join would
       // silently drop the row
       val sharded = docs.withColumn("_shard",
-        coalesce(pmod(col(idCol), lit(shards)), lit(0)).cast("int"))
+        coalesce(pmod(col(idCol), lit(nShards)), lit(0)).cast("int"))
       val w = Window.partitionBy(col(sourceCol), col("_shard"))
         .orderBy(col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -243,9 +269,11 @@ object Curate {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val spark = docs.sparkSession
     import spark.implicits._
-    // persisted: the same frame feeds the driver-side build here and the
-    // exact verification join below — without it the eval tokenisation
-    // runs twice and the two uses could even diverge on a changing source
+    // persisted (MEMORY_AND_DISK): the same frame feeds the driver-side
+    // build here and the exact verification join below — without it the
+    // eval tokenisation runs twice and the two uses could even diverge on
+    // a changing source. Cached until the ContextCleaner GCs the plan;
+    // loop callers should clearCache() between batches.
     val evalGrams = kgrams(evalDocs, k).select(col("gram")).distinct().persist()
     val pairs = evalGrams
       .select(call_function("graft_md5hh", col("gram").cast("binary")).as("hh"))

@@ -39,15 +39,14 @@ object HashMode {
     def minhashPrep(shingle: Column): Seq[(String, Column)] = Nil
     def seededHash(i: Int): Column = xxhash64(lit(i), col("shingle"))
   }
-  case object Portable extends HashMode(60) {
-    // h1 of the codegen'd digest pair — bit-identical to
-    // conv(substr(md5(x), 1, 15), 16, 10), which is what the DuckDB
-    // oracles compute (HashModePortableParitySpec pins it); skips the
-    // hex-encode/substring/parse cost on every simhash token, winnow
-    // shingle, band value, and sampled row
-    def hash(cols: Column*): Column =
-      element_at(
-        call_function("graft_md5hh", concat_ws(":", cols: _*).cast(BinaryType)), 1)
+  /** Shared md5-family behavior: the length-prefixed tuple encoding and
+    * the Kirsch-Mitzenmacher double-hashed seed family (seed-i value =
+    * h1 + i·h2; h1 = 60 digest bits, h2 = a further 52 bits of the SAME
+    * digest — one md5 per shingle instead of K, and 2^60 + 31·2^52 fits
+    * signed 64-bit exactly in both engines). [[Portable]] computes the
+    * digest pair in one codegen'd expression; [[PortableComposable]] is
+    * the extension-free spelling of the same bits. */
+  sealed abstract class Md5PortableLike extends HashMode(60) {
     // null components encode as "-|" — distinct from the empty string's
     // "0|" and never dropped the way concat_ws skips nulls, so ("a", null)
     // and (null, "a") cannot collide either
@@ -57,19 +56,48 @@ object HashMode {
         concat(coalesce(length(s).cast(StringType), lit("-")), lit("|"),
           coalesce(s, lit("")))
       }: _*))
-    // Double hashing (Kirsch-Mitzenmacher): seed-i value = h1 + i*h2 with
-    // h1 = md5 bits as 60-bit value, h2 = a further 52 bits of the same
-    // digest. ONE md5 per shingle instead of K; max value 2^60 + 31*2^52
-    // fits signed 64-bit exactly in both engines (no overflow, no wrap).
-    // The pair comes from the codegen'd graft_md5hh (raw digest bytes →
-    // two longs — skips the hex encode + substring + base-16 parse of the
-    // composable spelling, bit-identical to it and to the DuckDB oracle;
-    // requires GraftExtensions, which every entry point installs).
+    def seededHash(i: Int): Column = col("_mh_h1") + lit(i.toLong) * col("_mh_h2")
+  }
+
+  /** REQUIRES [[graft.functions.GraftExtensions]] on the session (every
+    * graft entry point installs it): the digest pair resolves through
+    * `call_function("graft_md5hh", …)`, so on a stock SparkSession any
+    * Portable-mode call fails at analysis with UNRESOLVED_ROUTINE. Use
+    * [[PortableComposable]] there — bit-identical results, built only
+    * from stock functions, at the hex-encode/substring/parse cost per
+    * hashed value that the codegen expression exists to skip. */
+  case object Portable extends Md5PortableLike {
+    // h1 of the codegen'd digest pair — bit-identical to
+    // conv(substr(md5(x), 1, 15), 16, 10), which is what the DuckDB
+    // oracles compute (HashModePortableParitySpec pins it); skips the
+    // hex-encode/substring/parse cost on every simhash token, winnow
+    // shingle, band value, and sampled row
+    def hash(cols: Column*): Column =
+      element_at(
+        call_function("graft_md5hh", concat_ws(":", cols: _*).cast(BinaryType)), 1)
     def minhashPrep(shingle: Column): Seq[(String, Column)] = Seq(
       "_mh_hh" -> call_function("graft_md5hh", shingle.cast(BinaryType)),
       "_mh_h1" -> element_at(col("_mh_hh"), 1),
       "_mh_h2" -> element_at(col("_mh_hh"), 2))
-    def seededHash(i: Int): Column = col("_mh_h1") + lit(i.toLong) * col("_mh_h2")
+  }
+
+  /** [[Portable]] without the extension requirement: the identical 60-bit
+    * family spelled with stock `md5`/`substring`/`conv` (hex char i is
+    * digest nibble i−1, so these are the same bits `graft_md5hh` packs —
+    * `HashModePortableParitySpec` pins equality). For stock sessions and
+    * for composing into engines where only SQL functions exist; prefer
+    * [[Portable]] whenever GraftExtensions is installed. */
+  case object PortableComposable extends Md5PortableLike {
+    private def h1Of(digestHex: Column): Column =
+      conv(substring(digestHex, 1, 15), 16, 10).cast(LongType)
+    private def h2Of(digestHex: Column): Column =
+      conv(substring(digestHex, 17, 13), 16, 10).cast(LongType)
+    def hash(cols: Column*): Column =
+      h1Of(md5(concat_ws(":", cols: _*).cast(BinaryType)))
+    def minhashPrep(shingle: Column): Seq[(String, Column)] = Seq(
+      "_mh_dg" -> md5(shingle.cast(BinaryType)),
+      "_mh_h1" -> h1Of(col("_mh_dg")),
+      "_mh_h2" -> h2Of(col("_mh_dg")))
   }
 }
 

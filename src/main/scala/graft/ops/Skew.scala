@@ -54,10 +54,14 @@ object Skew {
     * they exceed `broadcastMaxRows`.
     *
     * The guard makes this an EAGER call: it runs one Spark job before
-    * returning the plan. `hot` and `rightHot` are persisted so the guard
-    * job's work is reused by the returned join instead of recomputed
-    * (they are hot-key-sized frames, evicted by the block manager's LRU
-    * once unreferenced). */
+    * returning the plan. `hot` and `rightHot` are persisted (MEMORY_AND_DISK,
+    * Dataset.persist's default — memory pressure spills instead of
+    * evicting correctness) so the guard job's work is reused by the
+    * returned join instead of recomputed. On the broadcast path the two
+    * hot-key-sized cached frames stay in the block manager until the
+    * ContextCleaner GCs the plan — a session that calls this in a loop
+    * without executing/releasing the results should `spark.catalog
+    * .clearCache()` between batches or unpersist via its own handle. */
   def hotColdJoin(
       left: DataFrame,
       right: DataFrame,

@@ -28,6 +28,16 @@ object Stats {
            else b.toPlainString.replace('.', '_'))
   }
 
+  private def checkFractions(ps: Seq[Double]): Unit = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantile fractions must be in [0, 1]")
+    // duplicate fractions (or fractions whose generated names collide,
+    // e.g. 0.5 and 0.50 via copy-paste) would emit two identically-named
+    // columns — any downstream select on the name fails with ambiguity
+    require(ps.map(pname).distinct.size == ps.size,
+      s"quantile fractions must be distinct, got ${ps.mkString(", ")}")
+  }
+
   private def summarize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                         ps: Seq[Double], q: Column): DataFrame = {
     val agg = df.groupBy(groupCols.map(col): _*)
@@ -46,8 +56,7 @@ object Stats {
     * `max_v`, and a rounded `p<NN>` column per requested fraction. */
   def groupedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
-      "quantile fractions must be in [0, 1]")
+    checkFractions(ps)
     summarize(df, groupCols, valueCol, ps,
       percentile(col(valueCol), array(ps.map(lit): _*)))
   }
@@ -58,8 +67,7 @@ object Stats {
     * 0.01% rank error). */
   def groupedQuantilesApprox(df: DataFrame, groupCols: Seq[String], valueCol: String,
                              ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
-      "quantile fractions must be in [0, 1]")
+    checkFractions(ps)
     summarize(df, groupCols, valueCol, ps,
       approx_percentile(col(valueCol), array(ps.map(lit): _*), lit(accuracy)))
   }

@@ -146,7 +146,15 @@ object VectorOps {
     * probe before the exchange, so the shuffle carries O(probes × topK)
     * rows instead of funnelling the whole scored corpus into one task per
     * probe — the difference between shuffling the candidate set and
-    * shuffling the answer at 100 TB. */
+    * shuffling the answer at 100 TB.
+    *
+    * NaN contract (inherited by [[annIvf]] and PQ rerank): a zero-norm
+    * embedding has NaN cosine against everything, and [[TopK.topKPerKey]]
+    * DROPS NaN/null-scored rows rather than ranking them (a NaN in the
+    * bounded buffer would sort partition-order-dependently). A window
+    * `row_number` over `cosine DESC` would instead rank NaN first — so
+    * zero-norm vectors silently vanish from top-k results here; filter
+    * or repair them upstream if they must be surfaced. */
   def annBrute(embeddings: DataFrame, nProbes: Int = 10, topK: Int = 5): DataFrame = {
     val e = prepared(embeddings)
     val probes = e.filter(col("vec_id") < nProbes)
@@ -158,6 +166,11 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Driver-side centroid row for the literal — a named case class so
+    * `typedLit` produces fields `cid`/`cv`/`cn` that the assignment
+    * lambdas address by name. */
+  private[ops] case class Centroid(cid: Long, cv: Seq[Double], cn: Double)
+
   /** Centroids collected to the driver (k rows of k×dim scalars —
     * legitimately tiny, never corpus data) and re-emitted as a literal
     * `array<struct<cid, cv, cn>>`, sorted by cid for a deterministic
@@ -167,18 +180,26 @@ object VectorOps {
     centroidLiteralOf(cents.select(col("cid"), col("cv"), col("cn")).collect())
 
   /** Same, from already-collected (cid, cv, cn) rows — callers that also
-    * need the rows driver-side collect once and build both from it. */
+    * need the rows driver-side collect once and build both from it.
+    *
+    * ONE `typedLit` Literal carrying the whole array, not an
+    * `array(struct(lit, …))` tree of k × dim scalar nodes: the values are
+    * identical, but a k=16 × dim=64 tree is ~10³ expression nodes that
+    * every analysis/optimization pass must walk (and the optimizer only
+    * folds back into the single Literal this builds directly) — driver
+    * CPU cost that scales with k×dim and, under a contended driver,
+    * dominated the whole query's wall clock. A Literal is one node
+    * regardless of k. */
   private[ops] def centroidLiteralOf(rows: Array[org.apache.spark.sql.Row]): Option[Column] = {
     val sorted = rows.sortBy(_.getLong(0))
-    // an empty `array()` literal is ArrayType(NullType) — getField on its
-    // elements fails analysis, so the no-centroids case must be handled by
-    // the caller (empty corpus / no vec_id below the seed bound)
+    // an empty array literal would be unaddressable anyway — getField on
+    // its elements has nothing to bind to — so the no-centroids case must
+    // be handled by the caller (empty corpus / no vec_id below the seed
+    // bound)
     if (sorted.isEmpty) None
-    else Some(array(sorted.map { r =>
-      struct(lit(r.getLong(0)).as("cid"),
-        array(r.getSeq[Double](1).map(lit): _*).as("cv"),
-        lit(r.getDouble(2)).as("cn"))
-    }: _*))
+    else Some(typedLit(sorted.toSeq.map { r =>
+      Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
+    }))
   }
 
   /** The `keep` nearest centroids of each row's `v`/`nrm`, as a sorted
@@ -268,7 +289,10 @@ object VectorOps {
     * ZERO exchange — the assignment column is born in the scan's projection),
     * then search only the `nProbeClusters` closest clusters per probe. At
     * scale the cluster assignment is the partition key, so a probe touches
-    * ~nProbeClusters/nCentroids of the corpus. */
+    * ~nProbeClusters/nCentroids of the corpus.
+    *
+    * Inherits [[annBrute]]'s NaN contract: zero-norm embeddings score NaN
+    * and are dropped from the ranking, not ranked first. */
   def annIvf(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
              nProbeClusters: Int = 2, topK: Int = 5, kmeansIters: Int = 0,
              literalMax: Int = CentroidLiteralMax): DataFrame = {

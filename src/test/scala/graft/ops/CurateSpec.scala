@@ -98,6 +98,27 @@ class CurateSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L))
   }
 
+  test("AutoShards sizes the shard count from the largest source and matches the explicit path") {
+    val rows = (0L until 300L).map(i => (i, 100L, "s0")) ++
+      (1000L until 1050L).map(i => (i, 100L, "s1"))
+    val d = rows.toDF("doc_id", "n_tokens", "source")
+    // target 100 rows/task over a 300-row max source → ceil(300/100) = 3
+    // shards → identical output to an explicit shards = 3 call
+    val auto = Curate.packChunks(d, budget = 512, autoTargetRows = 100L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    val explicit = Curate.packChunks(d, budget = 512, shards = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    assert(auto == explicit)
+    // a tame corpus resolves to the exact shards = 1 layout
+    val tame = Curate.packChunks(d, budget = 512).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    val one = Curate.packChunks(d, budget = 512, shards = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_id")).toMap
+    assert(tame == one)
+    // empty corpus: the auto guard must not NPE on the null max
+    assert(Curate.packChunks(d.limit(0), budget = 512).count() == 0)
+  }
+
   test("sharded packChunks matches the naive (shard, id)-ordered layout and stays globally consistent") {
     // dominant source: s0 holds 80% of rows — the shape that makes the
     // unsharded window a single-task bottleneck

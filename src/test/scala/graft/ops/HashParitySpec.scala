@@ -46,6 +46,28 @@ class HashModePortableParitySpec extends SparkSpec {
     }
   }
 
+  test("PortableComposable is bit-identical to Portable (hash, hashTuple, seeded family)") {
+    val edge = Seq("", " ", "a", "a:b", "::", "naïve café 中文 🙂", "x" * 500).toDF("s")
+    val p = HashMode.Portable
+    val c = HashMode.PortableComposable
+    val rows = edge.select(
+        p.hash(col("s")).as("ph"), c.hash(col("s")).as("ch"),
+        p.hashTuple(col("s"), lit("t")).as("pt"), c.hashTuple(col("s"), lit("t")).as("ct"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (ph, ch, pt, ct) => assert(ph == ch && pt == ct) }
+    // the full seeded minhash family agrees too
+    def sigs(mode: HashMode) = {
+      val e = mode.minhashPrep(col("shingle")).foldLeft(
+        NearDup.explodedShingles(
+          graft.T.load(spark, "/root/testdata/sf0.001", "documents").limit(50))) {
+        case (df, (n, cc)) => df.withColumn(n, cc)
+      }
+      e.groupBy(col("doc_id"))
+        .agg(min(mode.seededHash(0)).as("s0"), min(mode.seededHash(7)).as("s7"))
+    }
+    assert(sigs(p).exceptAll(sigs(c)).isEmpty && sigs(c).exceptAll(sigs(p)).isEmpty)
+  }
+
   test("minhash signatures are unchanged by the native digest path") {
     val docs = graft.T.load(spark, "/root/testdata/sf0.001", "documents")
     // signatures via the public path (native graft_md5hh inside)
