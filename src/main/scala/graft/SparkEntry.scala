@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{Curate, HashMode, Multimodal, NearDup, Skew, TextOps, TopK, VectorOps}
+import graft.ops.{Curate, HashMode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -186,6 +186,14 @@ object SparkEntry {
     // one k-means iteration bit-for-bit (decimal-accumulated per-dim means)
     "q_ann_ivf_refined" -> ((s, d) =>
       VectorOps.annIvf(t(s, d, "embeddings"), kmeansIters = 1)),
+    // the full PQ path — seed codebooks, one Lloyd round (decimal means,
+    // empty codes keep their centroid), engine-exact encode (rounded
+    // ‖c‖²−2s·c argmin), table scoring, exact re-rank — replicated in SQL
+    "q_ann_pq" -> ((s, d) =>
+      PQ.annPq(t(s, d, "embeddings"), m = 8, k = 16, iterations = 1)),
+    // IVF coarse pruning composed with the same PQ scoring tail
+    "q_ann_ivfpq" -> ((s, d) =>
+      PQ.annIvfPq(t(s, d, "embeddings"), m = 8, k = 16, iterations = 1)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(t(s, d, "documents"))),
     // ---- corpus curation ------------------------------------------------
     "q_sample_hash" -> ((s, d) =>
@@ -794,6 +802,71 @@ object SparkEntry {
         |  cosine
         |FROM s
         |QUALIFY "rank" <= 5""".stripMargin,
+    // PQ trained+encoded in SQL (see pqCtes), brute approx scoring over
+    // the whole corpus, pool of topK×rerank, exact cosine re-rank
+    "q_ann_pq" ->
+      s"""WITH $pqCtes,
+        |apn AS (
+        |  SELECT tt.probe_id, a1.vec_id,
+        |    list_aggregate(list(tt.t ORDER BY tt.block ASC), 'sum') AS num
+        |  FROM a1 JOIN tt ON tt.block = a1.block AND tt.code = a1.code
+        |  GROUP BY 1, 2),
+        |ap AS (
+        |  SELECT probe_id, vec_id, round(num / (pn * nrm), 6) AS approx
+        |  FROM apn JOIN p USING (probe_id) JOIN n USING (vec_id)
+        |  WHERE vec_id <> probe_id),
+        |cand AS (
+        |  SELECT probe_id, vec_id FROM ap
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY approx DESC, vec_id ASC) <= 20),
+        |s AS (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, v) / (pn * nrm), 6) AS cosine
+        |  FROM cand JOIN p USING (probe_id) JOIN n USING (vec_id))
+        |SELECT probe_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS "rank",
+        |  cosine
+        |FROM s
+        |QUALIFY "rank" <= 5""".stripMargin,
+    // same PQ tail, but candidates pruned to the probes' top-2 coarse
+    // clusters first (the q_ann_ivf assignment, verbatim)
+    "q_ann_ivfpq" ->
+      s"""WITH $pqCtes,
+        |cc AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT n.vec_id, cid FROM n CROSS JOIN cc
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1),
+        |pc AS (
+        |  SELECT probe_id, cid FROM p CROSS JOIN cc
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY round(list_dot_product(pv, cv) / (pn * cn), 6) DESC, cid ASC) <= 2),
+        |apn AS (
+        |  SELECT pc.probe_id, a1.vec_id,
+        |    list_aggregate(list(tt.t ORDER BY tt.block ASC), 'sum') AS num
+        |  FROM pc
+        |  JOIN asg ON asg.cid = pc.cid
+        |  JOIN a1 ON a1.vec_id = asg.vec_id
+        |  JOIN tt ON tt.probe_id = pc.probe_id
+        |    AND tt.block = a1.block AND tt.code = a1.code
+        |  GROUP BY 1, 2),
+        |ap AS (
+        |  SELECT probe_id, vec_id, round(num / (pn * nrm), 6) AS approx
+        |  FROM apn JOIN p USING (probe_id) JOIN n USING (vec_id)
+        |  WHERE vec_id <> probe_id),
+        |cand AS (
+        |  SELECT probe_id, vec_id FROM ap
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY approx DESC, vec_id ASC) <= 20),
+        |s AS (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, v) / (pn * nrm), 6) AS cosine
+        |  FROM cand JOIN p USING (probe_id) JOIN n USING (vec_id))
+        |SELECT probe_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS "rank",
+        |  cosine
+        |FROM s
+        |QUALIFY "rank" <= 5""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
@@ -824,6 +897,59 @@ object SparkEntry {
       |FROM g13 s JOIN ev ON ev.gram = s.gram
       |WHERE s.doc_id >= 50
       |GROUP BY 1""".stripMargin
+
+  /** Shared PQ prologue for the q_ann_pq / q_ann_ivfpq oracles — the SQL
+    * twin of `PQ.train(m=8, k=16, iterations=1)` + `PQ.encode` on dim-64
+    * embeddings (dsub = 8): seed codebooks from the 16 lowest vec_ids
+    * (code = id rank), one Lloyd round (rounded `‖c‖²−2s·c` argmin with
+    * ties to the lower code, per-(block,code,dim) DECIMAL(25,6) means,
+    * empty codes keep their seed centroid), re-encode (`a1`), probe set
+    * (`p`), and per-(probe,block,code) lookup tables (`tt`). The approx
+    * numerator is summed in ascending block order downstream
+    * (`list(t ORDER BY block)`) to mirror Spark's sequential reduce. */
+  private def pqCtes: String =
+    """n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |sd AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code, v
+      |  FROM n ORDER BY vec_id ASC LIMIT 16),
+      |blk AS (SELECT unnest(range(8)) AS block),
+      |cb0 AS (SELECT block, code, v[block*8+1 : block*8+8] AS c FROM sd CROSS JOIN blk),
+      |a0 AS (
+      |  SELECT n.vec_id, b.block, b.code
+      |  FROM n CROSS JOIN cb0 b
+      |  QUALIFY row_number() OVER (PARTITION BY n.vec_id, b.block
+      |    ORDER BY round(list_dot_product(b.c, b.c)
+      |      - 2.0 * list_dot_product(n.v[b.block*8+1 : b.block*8+8], b.c), 6) ASC,
+      |      b.code ASC) = 1),
+      |xd AS (
+      |  SELECT a0.block, a0.code,
+      |    generate_subscripts(n.v[a0.block*8+1 : a0.block*8+8], 1) - 1 AS dim,
+      |    unnest(n.v[a0.block*8+1 : a0.block*8+8]) AS x
+      |  FROM a0 JOIN n USING (vec_id)),
+      |mn AS (
+      |  SELECT block, code, dim,
+      |    CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mv
+      |  FROM xd GROUP BY 1, 2, 3),
+      |cb1 AS (
+      |  SELECT b.block, b.code, coalesce(ml.mc, b.c) AS c
+      |  FROM cb0 b LEFT JOIN (
+      |    SELECT block, code, list(mv ORDER BY dim ASC) AS mc FROM mn GROUP BY 1, 2) ml
+      |    USING (block, code)),
+      |a1 AS (
+      |  SELECT n.vec_id, b.block, b.code
+      |  FROM n CROSS JOIN cb1 b
+      |  QUALIFY row_number() OVER (PARTITION BY n.vec_id, b.block
+      |    ORDER BY round(list_dot_product(b.c, b.c)
+      |      - 2.0 * list_dot_product(n.v[b.block*8+1 : b.block*8+8], b.c), 6) ASC,
+      |      b.code ASC) = 1),
+      |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 10),
+      |tt AS (
+      |  SELECT probe_id, block, code,
+      |    list_dot_product(pv[block*8+1 : block*8+8], c) AS t
+      |  FROM p CROSS JOIN cb1)""".stripMargin
 
   /** DuckDB twin of [[graft.ops.HashMode.Portable]]: low 60 bits of md5 as a
     * non-negative BIGINT — bit-identical to the Spark side, so min()/banding

@@ -81,14 +81,26 @@ object PQ {
     array(books.map(blk => array(blk.map(c => array(c.map(lit): _*)): _*)): _*)
 
   /** `array<int>` of per-block argmin-L2 codes for column `v` — a pure
-    * projection (ascending `struct(dist, code)` sort per block). */
+    * projection (ascending `struct(dist, code)` sort per block).
+    *
+    * The comparison value is `‖c‖² − 2·s·c` — the L2 distance minus the
+    * code-invariant `‖s‖²` term, expanded into the same codegen'd
+    * ascending-order dot product both engines share and ROUNDED to 6 dp.
+    * Not a zipped `Σ(x−y)²` fold: the expansion makes the floating-point
+    * evaluation order identical in Spark and the DuckDB oracle (each term
+    * one sequential dot, combined in one fixed a−2b order), and the
+    * rounding pins the argmin's tie-break (ties go to the lower code) so
+    * encoding is engine-exact — what lets `q_ann_pq` be hash-gated rather
+    * than recall-gated. The same argmin mathematically; values within
+    * 1e-6 of a tie may code differently than the unrounded fold, which no
+    * consumer observes (codes are an internal quantization, scored
+    * through the same tables). */
   private def encodeExpr(booksLit: Column, m: Int, dsub: Int): Column =
     array((0 until m).map { b =>
       val sub = slice(col("v"), b * dsub + 1, dsub)
       val scored = transform(element_at(booksLit, b + 1),
         (c, ci) => struct(
-          aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d).as("dist"),
+          round(VectorOps.dot(c, c) - lit(2.0) * VectorOps.dot(sub, c), 6).as("dist"),
           ci.as("code")))
       element_at(array_sort(scored), 1).getField("code")
     }: _*)
@@ -173,10 +185,13 @@ object PQ {
 
     // per-row array of struct(probe, approx): M element_ats + adds per
     // probe, all inside the scan's projection — zero corpus shuffle
+    // approx rounded to 6 dp like every cross-engine score in the repo:
+    // the candidate-pool boundary tie-breaks on (approx DESC, id ASC),
+    // and rounding is what makes that boundary engine-exact
     val perProbe = array(probeRows.zipWithIndex.map { case (pr, i) =>
       struct(lit(pr.getLong(0)).as("probe_id"),
-        (approxDot(element_at(tLit, i + 1), books.length) /
-          (lit(pr.getDouble(2)) * col("nrm"))).as("approx"))
+        round(approxDot(element_at(tLit, i + 1), books.length) /
+          (lit(pr.getDouble(2)) * col("nrm")), 6).as("approx"))
     }: _*)
 
     val scored = encoded
@@ -241,8 +256,8 @@ object PQ {
       .join(broadcast(probeClusters.select("probe_id", "t_idx", "pn", "cid")), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("approx",
-        approxDot(element_at(tLit, col("t_idx") + 1), books.length) /
-          (col("pn") * col("nrm")))
+        round(approxDot(element_at(tLit, col("t_idx") + 1), books.length) /
+          (col("pn") * col("nrm")), 6))
       .select(col("probe_id"), col("vec_id"), col("approx"))
     val cands = TopK.topKPerKey(scored, "probe_id", "vec_id", "approx", topK * rerank)
     exactRerank(cands, e, nProbes, topK)
