@@ -132,6 +132,11 @@ object DataProductJson {
   * reference backend (`data_products/backend/_shared.py:44-155`). */
 final case class RegistrationResult(product: DataProduct, changed: Boolean)
 
+/** One page of data-product ids plus the paging echo — the reference's
+  * `DataProductListing` (`data_products/backend/interface.py`). */
+final case class ProductListing(
+    items: Seq[String], total: Int, limit: Option[Int], offset: Int)
+
 class DataProductBackend(rootDir: String) {
   import java.nio.file.{Files, Paths}
 
@@ -166,12 +171,60 @@ class DataProductBackend(rootDir: String) {
     listVersions(id).flatMap(v => SemVer.tryParse(v).map(_ -> v))
       .sortBy(_._1).lastOption.flatMap { case (_, v) => get(id, v) }
 
-  /** Minor-bump (by default) past every existing version and store as a
-    * draft (reference `evolve_to_draft` + `_store_updated`). */
+  /** Every known product id, sorted — authoritative ids from the stored
+    * payloads (directory names are sanitised). */
+  def listDataProductIds(): Seq[String] = {
+    if (!Files.isDirectory(root)) return Nil
+    val dirs = scala.util.Using.resource(Files.list(root)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
+    }
+    dirs.flatMap { d =>
+      listVersions(d).headOption.flatMap(v => get(d, v)).map(_.id)
+    }.distinct.sorted
+  }
+
+  /** Paged id listing — the reference's `list_data_products`
+    * (`data_products/backend/local.py:31-46`): negative offsets clamp to
+    * 0, negative limits to an empty page, `total` always the full count. */
+  def listDataProducts(limit: Option[Int] = None, offset: Int = 0): ProductListing = {
+    val ids = listDataProductIds()
+    val start = math.max(offset, 0)
+    val end = limit.fold(ids.size)(l => math.min(start + math.max(l, 0), ids.size))
+    ProductListing(ids.slice(start, end), ids.size, limit, start)
+  }
+
+  /** The reference's `next_draft_version` (`dc43_core/odps.py:324-350`):
+    * bump the CURRENT revision's release core (pre-release tag stripped)
+    * — or the bump-level seed (0.1.0 / 1.0.0 / 0.0.1) when the product
+    * has no version yet — then tag `-draft`, de-duplicating against
+    * existing versions with a `.N` counter (`0.2.0-draft`,
+    * `0.2.0-draft.2`, …). Registration on an unchanged base therefore
+    * always yields a FRESH draft revision, never an overwrite of one
+    * still under review. */
+  private[products] def nextDraftVersion(current: Option[String], existing: Seq[String],
+                                         bump: String): String = {
+    val candidate = current.flatMap(SemVer.tryParse) match {
+      case Some(v) => SemVer(v.major, v.minor, v.patch).bump(bump)
+      case None => bump match {
+        case "major" => SemVer(1, 0, 0)
+        case "patch" => SemVer(0, 0, 1)
+        case _       => SemVer(0, 1, 0)
+      }
+    }
+    val base = s"$candidate-draft"
+    val taken = existing.toSet
+    Iterator.from(1).map(i => if (i == 1) base else s"$base.$i").find(!taken(_)).get
+  }
+
+  /** Evolve to a fresh draft revision and persist (reference
+    * `evolve_to_draft` + `_store_updated`): new `-draft` version from the
+    * current one, status forced to `draft` even when the base revision
+    * was active — a changed port binding always re-enters review. */
   private def storeUpdated(p: DataProduct, bump: String): DataProduct = {
-    val base = listVersions(p.id).flatMap(SemVer.tryParse)
-      .sorted.lastOption.getOrElse(SemVer(0, 0, 0))
-    val updated = p.copy(version = Some(base.bump(bump).toString), status = "draft")
+    val updated = p.copy(
+      version = Some(nextDraftVersion(p.version, listVersions(p.id), bump)),
+      status = "draft")
     put(updated)
     updated
   }
@@ -179,16 +232,49 @@ class DataProductBackend(rootDir: String) {
   private def ensureProduct(id: String): DataProduct =
     latest(id).getOrElse(DataProduct(id = id))
 
-  def registerInputPort(id: String, port: InputPort, bump: String = "minor"): RegistrationResult = {
-    val (p, changed) = ensureProduct(id).ensureInputPort(port)
+  /** Register (upsert) an input port. Unchanged bindings (same contract
+    * id + version) are a no-op — no new revision, and the passed
+    * properties are NOT merged (reference `register_input_port` returns
+    * before touching them). Changed bindings merge `customProperties`
+    * plus the `dc43.input.source_data_product` /
+    * `dc43.input.source_output_port` provenance pair into the new port
+    * (map semantics: a re-registered property key takes the new value;
+    * the reference's list model would keep both entries) and store a
+    * fresh draft revision. */
+  def registerInputPort(id: String, port: InputPort, bump: String = "minor",
+                        customProperties: Map[String, String] = Map.empty,
+                        sourceDataProduct: Option[String] = None,
+                        sourceOutputPort: Option[String] = None): RegistrationResult = {
+    val props = customProperties ++
+      sourceDataProduct.map("dc43.input.source_data_product" -> _) ++
+      sourceOutputPort.map("dc43.input.source_output_port" -> _)
+    val enriched = port.copy(customProperties = port.customProperties ++ props)
+    val (p, changed) = ensureProduct(id).ensureInputPort(enriched)
     if (!changed) RegistrationResult(p, changed = false)
     else RegistrationResult(storeUpdated(p, bump), changed = true)
   }
 
-  def registerOutputPort(id: String, port: OutputPort, bump: String = "minor"): RegistrationResult = {
-    val (p, changed) = ensureProduct(id).ensureOutputPort(port)
+  def registerOutputPort(id: String, port: OutputPort, bump: String = "minor",
+                         customProperties: Map[String, String] = Map.empty): RegistrationResult = {
+    val enriched = port.copy(customProperties = port.customProperties ++ customProperties)
+    val (p, changed) = ensureProduct(id).ensureOutputPort(enriched)
     if (!changed) RegistrationResult(p, changed = false)
     else RegistrationResult(storeUpdated(p, bump), changed = true)
+  }
+
+  /** Review a draft revision: approve → `active`, reject → `rejected`,
+    * version unchanged (the `graft.governance.GovernanceBackend
+    * .reviewDraft` twin for products — the status transition the
+    * registration lifecycle feeds). Only drafts are reviewable. */
+  def reviewDraft(id: String, version: String, approve: Boolean): DataProduct = {
+    val draft = get(id, version).getOrElse(
+      throw new IllegalArgumentException(s"data product $id:$version not found"))
+    if (draft.status.toLowerCase != "draft")
+      throw new IllegalArgumentException(
+        s"$id:$version has status ${draft.status}, not draft")
+    val reviewed = draft.copy(status = if (approve) "active" else "rejected")
+    put(reviewed)
+    reviewed
   }
 
   /** (contractId, contractVersion) an output port serves, if bound. */

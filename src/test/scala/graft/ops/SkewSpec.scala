@@ -109,6 +109,39 @@ class GovernedPortsSpec extends SparkSpec {
     intercept[IllegalArgumentException](gov.readPort(spark, "dp.consumer3", "slim_in"))
   }
 
+  test("register→draft→publish lifecycle through writePort") {
+    val root = tmpDir("graft_ports_lifecycle")
+    val store = new FsContractStore(s"$root/contracts")
+    store.put(DemoContracts.lineitemAlign) // sales.lineitem_slim 0.3.0
+    val backend = new DataProductBackend(s"$root/products")
+    val gov = GovernedIO(store, ContractVersionLocator(spark, s"$root/lake"), Some(backend))
+    val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem")
+
+    // 1. governed write registers the output binding → a NEW draft revision
+    gov.writePort(li, "dp.lc", "gold_out", "sales.lineitem_slim")
+    val draft = backend.latest("dp.lc").get
+    assert(draft.status == "draft" && draft.version.contains("0.1.0-draft"))
+
+    // 2. under an enforcing active-only policy the product is unreadable
+    //    until the draft is reviewed
+    backend.registerInputPort("dp.lc", InputPort("in", "0.3.0", "sales.lineitem_slim"))
+    val draft2 = backend.latest("dp.lc").get // input registration re-drafted
+    assert(draft2.version.contains("0.2.0-draft"))
+    intercept[IllegalStateException](
+      gov.readPort(spark, "dp.lc", "in", enforce = true))
+
+    // 3. publish: approve the draft → active; the enforcing read now serves
+    backend.reviewDraft("dp.lc", draft2.version.get, approve = true)
+    assert(gov.readPort(spark, "dp.lc", "in", enforce = true).df.count() == li.count())
+
+    // 4. re-registering the same output binding on the published revision
+    //    is a no-op (no new draft), a changed binding re-enters review
+    val same = backend.registerOutputPort("dp.lc",
+      OutputPort("gold_out", "0.3.0", "sales.lineitem_slim"))
+    assert(!same.changed)
+    assert(backend.latest("dp.lc").get.status == "active")
+  }
+
   test("readPort honours product-side status/version policies (accept/reject matrix)") {
     val root = tmpDir("graft_ports_policy")
     val store = new FsContractStore(s"$root/contracts")
