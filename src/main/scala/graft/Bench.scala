@@ -45,6 +45,18 @@ object Bench {
     "q_pack_chunks_sharded" -> 0.40
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
+  /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,
+    * local[32], warmed best-of-3, idle machine) — also recorded in
+    * BASELINE.json. The emitted `vs_baseline` ratio (this run's total /
+    * baseline total over the shared query set) is what makes the
+    * "within 2× of baseline" gate measurable round over round. */
+  val baselineSecs: Map[String, Double] = Map(
+    "q1_pricing" -> 0.961, "q3_topn_join" -> 0.630, "q5_join5" -> 0.914,
+    "q_metrics" -> 0.377, "q_dedup_exact" -> 0.240, "q_dedup_minhash" -> 1.183,
+    "q_ann_brute" -> 0.302, "q_text_quality" -> 0.289, "q_topk_groups" -> 0.491,
+    "q_ann_ivf" -> 0.650, "q_source_cap" -> 0.345, "q_pack_chunks" -> 0.165,
+    "q_pack_chunks_sharded" -> 0.260)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -91,7 +103,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ratio vs the pinned baseline over the queries both runs cover
+    val shared = results.filter { case (k, v) => v >= 0 && baselineSecs.contains(k) }
+    val vsBaseline =
+      if (shared.isEmpty) -1.0
+      else shared.map(_._2).sum / shared.map(r => baselineSecs(r._1)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""vs_baseline":$vsBaseline%.3f,"sf":"$sfDir"}""")
     breaches.foreach(b => System.err.println(s"[bench] BUDGET BREACH: $b " +
       "(budgets are wall-clock numbers from the round driver's machine; " +
       "set SPARK_GRAFT_BENCH_BUDGETS=off on other hardware)"))

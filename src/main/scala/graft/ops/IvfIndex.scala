@@ -28,12 +28,19 @@ object IvfIndex {
   def build(embeddings: DataFrame, dir: String, nCentroids: Int = 16,
             kmeansIters: Int = 0,
             literalMax: Int = VectorOps.CentroidLiteralMax,
-            maxRowsPerPartition: Long = 0L): Unit = {
+            maxRowsPerPartition: Long = 0L,
+            spreadSeed: Boolean = false): Unit = {
     val e = VectorOps.prepared(embeddings)
+    // spreadSeed: farthest-point seeding bounds hot-cluster occupancy by
+    // construction (probe cost capped by design); the sub-sharding below
+    // remains the hard per-leaf guarantee either way
+    val seeds =
+      if (spreadSeed) VectorOps.seedCentroidsSpread(e, nCentroids)
+      else VectorOps.seedLowestIds(e, nCentroids)
     val cents =
-      if (kmeansIters > 0) VectorOps.kmeansCentroids(e, nCentroids, kmeansIters, literalMax)
-      else e.filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      if (kmeansIters > 0)
+        VectorOps.refineCentroids(e, seeds, kmeansIters, literalMax, nCentroids)
+      else seeds
     val centRows = cents.select(col("cid"), col("cv"), col("cn")).collect()
     require(centRows.nonEmpty, "cannot build an IVF index over an empty corpus")
 

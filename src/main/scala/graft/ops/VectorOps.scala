@@ -258,9 +258,23 @@ object VectorOps {
     * per-(cid, dim) sum stays far below 2^53 (|x| ≲ 10, so exactness holds
     * to ~10^8 vectors per cluster; beyond that raise the guard). */
   def kmeansCentroids(e: DataFrame, k: Int, iterations: Int,
-                      literalMax: Int = CentroidLiteralMax): DataFrame = {
-    var cents = e.filter(col("vec_id") < k)
+                      literalMax: Int = CentroidLiteralMax): DataFrame =
+    refineCentroids(e, seedLowestIds(e, k), iterations, literalMax, k)
+
+  /** The original deterministic seed: the vectors with `vec_id < k`,
+    * centroid id = vector id. */
+  def seedLowestIds(e: DataFrame, k: Int): DataFrame =
+    e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** Lloyd refinement from an explicit initial centroid frame
+    * (cid, cv, cn): [[kmeansCentroids]] is this over [[seedLowestIds]];
+    * [[seedCentroidsSpread]] feeds it balanced seeds. `k` is the nominal
+    * centroid count driving the literal-vs-join assignment cutover. */
+  def refineCentroids(e: DataFrame, init: DataFrame, iterations: Int,
+                      literalMax: Int = CentroidLiteralMax,
+                      k: Int = CentroidLiteralMax): DataFrame = {
+    var cents = init.select(col("cid"), col("cv"), col("cn"))
     for (_ <- 0 until iterations) {
       val assigned =
         if (k > literalMax) assignByJoin(e, cents, Seq("v")).select(col("cid"), col("v"))
@@ -283,6 +297,52 @@ object VectorOps {
     cents
   }
 
+  /** Deterministic farthest-point ("maxmin" — the k-means++ spreading
+    * idea without its randomness) centroid seeding: start from the lowest
+    * vec_id, then repeatedly pick the vector with the SMALLEST maximum
+    * cosine to the centroids chosen so far (rounded to 6 dp; ties to the
+    * lower vec_id) — the most dissimilar remaining direction. Lowest-id
+    * seeding draws centroids from whatever corner of the space happens to
+    * hold the first ids, which on clustered corpora leaves most vectors
+    * assigned to a handful of nearby centroids — unbounded probe cost on
+    * the hot cluster. Spread seeds cap cluster occupancy by construction
+    * (StressTool prints the max/mean ratio on a skewed synthetic corpus).
+    *
+    * Cost: k − 1 driver-coordinated aggregation jobs of one corpus scan
+    * each — a BUILD-TIME path for coarse-quantizer k (tens to low
+    * thousands), not a per-query one. An exact duplicate of a chosen
+    * centroid can never be picked (its max-cosine is 1, the sort's
+    * ceiling), so a corpus with fewer than k distinct directions returns
+    * fewer than k centroids rather than repeating one. Centroid id = the
+    * seed's vec_id, like [[seedLowestIds]]. */
+  def seedCentroidsSpread(e: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Centroid]
+    val firstRow = e.select(
+      min_by(struct(col("vec_id"), col("v"), col("nrm")), col("vec_id")).as("s"))
+      .select(col("s.vec_id"), col("s.v"), col("s.nrm")).collect()
+    if (firstRow.isEmpty || firstRow.head.isNullAt(0))
+      return e.limit(0).select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    picked += Centroid(firstRow.head.getLong(0), firstRow.head.getSeq[Double](1),
+      firstRow.head.getDouble(2))
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
+      val centsLit = typedLit(picked.toSeq)
+      val maxCos = array_max(transform(centsLit, c =>
+        cosR(col("v"), col("nrm"), c.getField("cv"), c.getField("cn"))))
+      val nxt = e.select(
+        min_by(struct(col("vec_id"), col("v"), col("nrm")),
+          struct(maxCos.as("mc"), col("vec_id"))).as("s"))
+        .select(col("s.vec_id"), col("s.v"), col("s.nrm")).collect().head
+      if (nxt.isNullAt(0) || picked.exists(_.cid == nxt.getLong(0))) exhausted = true
+      else picked += Centroid(nxt.getLong(0), nxt.getSeq[Double](1), nxt.getDouble(2))
+    }
+    picked.toSeq.toDF("cid", "cv", "cn")
+  }
+
   /** IVF-style ANN: deterministic centroid seed (lowest vec_ids), optional
     * Lloyd refinement, assign every vector to its nearest centroid via an
     * expression-level argmax over the centroid literal (one corpus scan,
@@ -292,15 +352,23 @@ object VectorOps {
     * ~nProbeClusters/nCentroids of the corpus.
     *
     * Inherits [[annBrute]]'s NaN contract: zero-norm embeddings score NaN
-    * and are dropped from the ranking, not ranked first. */
+    * and are dropped from the ranking, not ranked first.
+    *
+    * `spreadSeed = true` swaps the lowest-id seeds for the farthest-point
+    * [[seedCentroidsSpread]] — an eager, build-time-priced choice that
+    * bounds hot-cluster occupancy on clustered corpora (composable with
+    * `kmeansIters` refinement). */
   def annIvf(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
              nProbeClusters: Int = 2, topK: Int = 5, kmeansIters: Int = 0,
-             literalMax: Int = CentroidLiteralMax): DataFrame = {
+             literalMax: Int = CentroidLiteralMax,
+             spreadSeed: Boolean = false): DataFrame = {
     val e = prepared(embeddings)
+    val seeds =
+      if (spreadSeed) seedCentroidsSpread(e, nCentroids)
+      else seedLowestIds(e, nCentroids)
     val cents =
-      if (kmeansIters > 0) kmeansCentroids(e, nCentroids, kmeansIters, literalMax)
-      else e.filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      if (kmeansIters > 0) refineCentroids(e, seeds, kmeansIters, literalMax, nCentroids)
+      else seeds
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val (assigned, probeClusters) =

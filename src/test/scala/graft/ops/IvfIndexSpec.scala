@@ -24,6 +24,49 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed == logical)
   }
 
+  test("spread-seeded build matches the logical spread-seeded annIvf and balances clusters") {
+    // clustered corpus: 90% of vectors share one direction (+tiny id-keyed
+    // jitter so directions are distinct), 10% are spread — lowest-id seeds
+    // all land inside the hot region, spread seeds must not
+    val n = 400
+    val base = spark.range(n).select(col("id").as("vec_id"), lit(0L).as("label"),
+      when(pmod(col("id"), lit(10)) < 9,
+        transform(sequence(lit(1), lit(8)),
+          i => (lit(1.0) + col("id") * lit(1e-4) * i).cast("float")))
+        .otherwise(transform(sequence(lit(1), lit(8)),
+          i => (when(pmod(col("id"), lit(8)) === pmod(i, lit(8)), 100.0)
+            .otherwise(lit(1.0)) + col("id") * lit(1e-4)).cast("float")))
+        .as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val dir = tmpDir("graft_ivfidx_spread")
+    IvfIndex.build(base, dir, nCentroids = 8, spreadSeed = true)
+    val logical = rows(VectorOps.annIvf(base, nCentroids = 8, nProbes = 5,
+      nProbeClusters = 2, topK = 3, spreadSeed = true))
+    val indexed = rows(IvfIndex.search(spark, dir, probesOf(base, 5),
+      nProbeClusters = 2, topK = 3))
+    assert(indexed == logical)
+    // balance: the hot cluster's share of the corpus must drop vs lowest-id
+    // seeding (where seeds 0..7 are all hot-region members)
+    def maxShare(seeds: org.apache.spark.sql.DataFrame): Double = {
+      val e = VectorOps.prepared(base)
+      val cLit = VectorOps.centroidLiteralOf(
+        seeds.select(col("cid"), col("cv"), col("cn")).collect()).get
+      val sizes = e.withColumn("cid",
+        element_at(VectorOps.nearestClusterArray(cLit, 1), 1).getField("cid"))
+        .groupBy("cid").count().select(max("count")).head().getLong(0)
+      sizes.toDouble / n
+    }
+    val e = VectorOps.prepared(base)
+    val lowShare = maxShare(VectorOps.seedLowestIds(e, 8))
+    val spreadShare = maxShare(VectorOps.seedCentroidsSpread(e, 8))
+    assert(spreadShare < lowShare,
+      s"spread seeding did not improve balance: $spreadShare vs $lowShare")
+    // spread picks distinct directions: 8 distinct centroid ids
+    assert(VectorOps.seedCentroidsSpread(e, 8).select("cid").distinct().count() == 8)
+  }
+
   test("the data read prunes to probed cluster partitions (PartitionFilters, not row filters)") {
     val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
     val dir = tmpDir("graft_ivfidx_prune")

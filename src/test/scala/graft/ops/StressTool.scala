@@ -106,6 +106,37 @@ object StressTool {
     println(f"centroid-literal path:   ${tLit}%.1fs (${litRes.size} result rows)")
     val (joinRes, tJoin) = timed(ivfAt(0))
     println(f"broadcast-join argmax:   ${tJoin}%.1fs (identical output: ${joinRes == litRes})")
+
+    // IVF cluster balance: lowest-id seeds vs farthest-point spread seeds
+    // on a clustered corpus (90% of vectors share one direction — the
+    // shape real embedding corpora have). Max/mean cluster-size ratio is
+    // the probe-cost bound: a probe of the hot cluster reads that share.
+    val nv = 100_000L
+    val clustered = spark.range(nv).select(col("id").as("vec_id"), lit(0L).as("label"),
+      when(pmod(col("id"), lit(10)) < 9,
+        transform(sequence(lit(1), lit(8)),
+          i => (lit(1.0) + col("id") * lit(1e-6) * i).cast("float")))
+        .otherwise(transform(sequence(lit(1), lit(8)),
+          i => (when(pmod(col("id"), lit(8)) === pmod(i, lit(8)), 100.0)
+            .otherwise(lit(1.0)) + col("id") * lit(1e-6)).cast("float")))
+        .as("embedding")).cache()
+    clustered.count()
+    println(f"\n== IVF seeding balance (k=16, $nv%,d vectors, 90%% one direction) ==")
+    val ep = VectorOps.prepared(clustered)
+    for ((name, seeds) <- Seq(
+        "lowest-id seeds" -> VectorOps.seedLowestIds(ep, 16),
+        "spread seeds   " -> VectorOps.seedCentroidsSpread(ep, 16))) {
+      val (ratio, t) = timed {
+        val cLit = VectorOps.centroidLiteralOf(
+          seeds.select(col("cid"), col("cv"), col("cn")).collect()).get
+        val biggest = ep.withColumn("cid",
+          element_at(VectorOps.nearestClusterArray(cLit, 1), 1).getField("cid"))
+          .groupBy("cid").count().agg(max("count")).head().getLong(0)
+        biggest.toDouble / (nv.toDouble / 16)
+      }
+      println(f"$name: max/mean cluster ratio ${ratio}%.2f (${t}%.1fs incl. seeding)")
+    }
+    clustered.unpersist()
     spark.stop()
   }
 }
