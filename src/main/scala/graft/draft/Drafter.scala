@@ -11,13 +11,70 @@ import org.apache.spark.sql.DataFrame
   */
 object Drafter {
 
+  private val InvalidIdent = "[^0-9A-Za-z-]+".r
+
+  /** Semver-friendly identifier token (reference `_normalise_identifier`,
+    * `drafting.py:26-32`): non-alphanumerics collapse to `-`, edges
+    * trimmed; empty means no token. */
+  private def normIdent(v: String): Option[String] = {
+    val t = InvalidIdent.replaceAllIn(v, "-").dropWhile(_ == '-')
+      .reverse.dropWhile(_ == '-').reverse
+    Option(t).filter(_.nonEmpty)
+  }
+
+  /** Keys the reference scans for a reviewer-friendly origin label
+    * (`_pipeline_hint`, `drafting.py:35-48`), in priority order. */
+  private val PipelineKeys =
+    Seq("pipeline", "job", "project", "module", "function", "qualname", "source")
+
+  private def pipelineValue(ctx: Map[String, String]): Option[String] =
+    PipelineKeys.iterator.map(ctx.get).collectFirst { case Some(v) if v.nonEmpty => v }
+
+  private def pipelineHint(ctx: Map[String, String]): Option[String] =
+    PipelineKeys.iterator.flatMap(k => ctx.get(k).flatMap(normIdent)).nextOption()
+
+  /** Draft-version pre-release suffix (reference `_draft_version_suffix`,
+    * `drafting.py:51-77`): `draft` + normalised dataset version + dataset
+    * id + pipeline hint. DEVIATION: the reference appends a wall-clock
+    * timestamp and uuid entropy for global uniqueness; graft omits both —
+    * a draft version here is a pure function of its inputs, so retries
+    * and re-runs converge on ONE stored draft instead of littering the
+    * store with per-attempt copies (stores overwrite same-version puts). */
+  private def draftSuffix(datasetId: Option[String], datasetVersion: Option[String],
+                          ctx: Map[String, String]): String =
+    (Seq("draft") ++ datasetVersion.flatMap(normIdent) ++
+      datasetId.flatMap(normIdent) ++ pipelineHint(ctx)).mkString("-")
+
+  private def json(fields: (String, org.json4s.JValue)*): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(fields.toList)))
+
+  private def jAny(v: Any): org.json4s.JValue = v match {
+    case n: Long    => org.json4s.JLong(n)
+    case n: Int     => org.json4s.JLong(n.toLong)
+    case n: Double  => org.json4s.JDouble(n)
+    case n: Number  => org.json4s.JDouble(n.doubleValue)
+    case b: Boolean => org.json4s.JBool(b)
+    case other      => org.json4s.JString(String.valueOf(other))
+  }
+
   /** Draft a revised contract from validation feedback — the twin of the
     * reference's `draft_from_validation_result`
     * (`contracts/backend/drafting.py:204-365`): only produced when the
     * validation carried errors or warnings; the base is minor-bumped with
     * a draft suffix, observed field types/nullability overwrite the
-    * declared ones, and quality rules the data violated are dropped. A
-    * change log lands in customProperties.
+    * declared ones, and quality rules the data violated are dropped.
+    *
+    * The draft carries the reference's full review-context payload in
+    * customProperties (nested payloads as compact JSON — this model's
+    * properties are string-valued): `draft_context` (context + provenance
+    * defaults + module hint), `draft_pipeline`, `provenance`,
+    * `validation_metrics`, `validation_outcome`, `dq_feedback`,
+    * `data_format`, `validation_reference` (only when `collectedAt` is
+    * supplied — wall-clock stamps are caller-injected, never implicit,
+    * so drafting stays deterministic), plus the flat `draftContext`
+    * entries for direct lookup and the pre-existing `base_contract` /
+    * `validation_errors` / `draft_change_log`.
     *
     * Deviation: the reference extends enum rules with newly-observed
     * values (it carries observed value sets); graft's one-pass metrics
@@ -26,11 +83,22 @@ object Drafter {
       validation: graft.quality.ValidationResult,
       baseContract: Contract,
       bump: String = "minor",
-      draftContext: Map[String, String] = Map.empty
+      draftContext: Map[String, String] = Map.empty,
+      datasetId: Option[String] = None,
+      datasetVersion: Option[String] = None,
+      dataFormat: Option[String] = None,
+      dqStatus: Option[String] = None,
+      dqFeedback: Map[String, String] = Map.empty,
+      collectedAt: Option[String] = None
   ): Option[Contract] = {
     if (validation.errors.isEmpty && validation.warnings.isEmpty) return None
     val bumped = SemVer.tryParse(baseContract.version).getOrElse(SemVer(0, 1, 0)).bump(bump)
-    val suffix = if (draftContext.nonEmpty) "ctx-draft" else "draft"
+    // flat dataset_id/dataset_version context entries double as suffix
+    // provenance when the dedicated params are absent (the GovernanceBackend
+    // call path supplies them through draftContext)
+    val dsId = datasetId.orElse(draftContext.get("dataset_id"))
+    val dsVer = datasetVersion.orElse(draftContext.get("dataset_version"))
+    val suffix = draftSuffix(dsId, dsVer, draftContext)
     val log = Seq.newBuilder[String]
 
     val newSchema = baseContract.schema.map { obj =>
@@ -61,11 +129,62 @@ object Drafter {
       })
     }
 
+    import org.json4s.{JArray, JObject, JString, JBool, JValue}
+    // context payload: caller context + provenance defaults + the module
+    // hint the reference derives from a dotted pipeline value
+    val pipeVal = pipelineValue(draftContext)
+    val ctxPayload = {
+      val base = draftContext ++
+        dsId.filterNot(_ => draftContext.contains("dataset_id"))
+          .map("dataset_id" -> _) ++
+        dsVer.filterNot(_ => draftContext.contains("dataset_version"))
+          .map("dataset_version" -> _)
+      pipeVal.filterNot(_ => base.contains("module"))
+        .map(v => base + ("module" -> v.split('.').dropRight(1).mkString(".")))
+        .filter(_.get("module").exists(_.nonEmpty)).getOrElse(base)
+    }
+    val structured = Seq.newBuilder[(String, String)]
+    structured += "validation_metrics" -> json(
+      "metrics" -> JObject(validation.metrics.toList.sortBy(_._1)
+        .map { case (k, v) => k -> jAny(v) }),
+      "schema" -> JObject(validation.schema.toList.sortBy(_._1).map { case (k, s) =>
+        k -> (JObject(
+          "backend_type" -> JString(s.backendType),
+          "odcs_type" -> JString(s.odcsType),
+          "nullable" -> JBool(s.nullable)): JValue)
+      }))
+    structured += "validation_outcome" -> json(
+      "errors" -> JArray(validation.errors.toList.map(JString(_))),
+      "warnings" -> JArray(validation.warnings.toList.map(JString(_))))
+    if (dqStatus.nonEmpty || dqFeedback.nonEmpty)
+      structured += "dq_feedback" -> json(
+        (dqFeedback ++ dqStatus.filterNot(_ => dqFeedback.contains("status"))
+          .map("status" -> _)).toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JString(v): JValue) }: _*)
+    dataFormat.foreach(f => structured += "data_format" -> f)
+    if (ctxPayload.nonEmpty)
+      structured += "draft_context" -> json(ctxPayload.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }: _*)
+    pipeVal.orElse(pipelineHint(draftContext))
+      .foreach(v => structured += "draft_pipeline" -> v)
+    if (dsId.nonEmpty || dsVer.nonEmpty)
+      structured += "provenance" -> json(
+        (dsId.map("dataset_id" -> _) ++ dsVer.map("dataset_version" -> _))
+          .toList.map { case (k, v) => k -> (JString(v): JValue) }: _*)
+    // wall-clock stamp only when the CALLER supplies it: drafting itself
+    // must stay a pure function of its inputs
+    for (at <- collectedAt if dsId.nonEmpty || dsVer.nonEmpty)
+      structured += "validation_reference" -> json(
+        (dsId.map("dataset_id" -> _) ++ dsVer.map("dataset_version" -> _))
+          .toList.map { case (k, v) => k -> (JString(v): JValue) } :+
+          ("collected_at" -> (JString(at): JValue)): _*)
+
     Some(baseContract.copy(
       version = s"$bumped-$suffix",
       status = Some("draft"),
       schema = newSchema,
-      customProperties = baseContract.customProperties ++ draftContext ++ Map(
+      customProperties = baseContract.customProperties ++ draftContext ++
+        structured.result().toMap ++ Map(
         "base_contract" -> s"${baseContract.id}:${baseContract.version}",
         "validation_errors" -> validation.errors.mkString("; "),
         "draft_change_log" -> log.result().mkString("; "))))
