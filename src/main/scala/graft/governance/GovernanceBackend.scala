@@ -1,6 +1,6 @@
 package graft.governance
 
-import graft.contracts.{Contract, ContractStore}
+import graft.contracts.{Contract, ContractJson, ContractStore}
 import graft.draft.Drafter
 import graft.quality.ValidationResult
 import org.json4s._
@@ -100,8 +100,26 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       for (store <- contracts; draft <- Drafter.fromValidation(validation, contract,
              draftContext = draftContext ++
                Map("dataset_id" -> datasetId, "dataset_version" -> datasetVersion)))
-        store.put(draft)
+        putDraftDeduped(store, draft)
     record
+  }
+
+  /** Store a draft without clobbering a DIFFERENT draft already parked at
+    * the same version. The deterministic draft suffix makes byte-identical
+    * retries converge on one stored draft, but two runs with the same
+    * (dataset id, dataset version, context) and different validation
+    * outcomes would otherwise silently overwrite a draft possibly under
+    * review. A differing payload takes the next free `.N` slot — the same
+    * counter discipline as `DataProductBackend.nextDraftVersion`. */
+  private def putDraftDeduped(store: ContractStore, draft: Contract): Unit = {
+    val taken = store.listVersions(draft.id).toSet
+    val slot = Iterator.from(1)
+      .map(i => if (i == 1) draft.version else s"${draft.version}.$i")
+      .find { v =>
+        !taken(v) || store.get(draft.id, v).exists(c =>
+          ContractJson.toJson(c) == ContractJson.toJson(draft.copy(version = v)))
+      }.get
+    if (!taken(slot)) store.put(draft.copy(version = slot))
   }
 
   private def parseStatus(json: String): Option[DatasetStatus] = {
@@ -138,17 +156,51 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     if (!Files.exists(f)) None else parseStatus(Files.readString(f))
   }
 
-  // line 1: contractId:version; line 2: the raw dataset id (filenames are
-  // sanitised, so the id must be recoverable from the payload)
-  def linkDatasetContract(datasetId: String, contractId: String, contractVersion: String): Unit =
-    Files.writeString(root.resolve("links").resolve(safe(datasetId) + ".txt"),
-      s"$contractId:$contractVersion\n$datasetId")
+  // One record per line: "contractId:contractVersion\tdatasetId". The raw
+  // id rides in the payload because filenames are sanitised, and one file
+  // can hold SEVERAL records when sanitisation collides distinct ids
+  // ("a/b" and "a:b" both map to "a_b") — a per-id rewrite must not drop
+  // the other id's link. Legacy formats (2-line link+id, pre-r4 one-line
+  // link-only) are still readable; the id of a one-line file is
+  // unrecoverable (None).
+  private def parseLinks(text: String): Seq[(Option[String], String, String)] = {
+    val lines = text.linesIterator.toSeq.filter(_.nonEmpty)
+    if (lines.exists(_.contains('\t')))
+      lines.flatMap { l =>
+        l.split("\t", 2) match {
+          case Array(link, id) => link.split(":", 2) match {
+            case Array(c, v) => Some((Some(id), c, v))
+            case _           => None
+          }
+          case _ => None
+        }
+      }
+    else
+      lines.headOption.toSeq.flatMap(_.split(":", 2) match {
+        case Array(c, v) => Some((lines.drop(1).headOption, c, v))
+        case _           => None
+      })
+  }
+
+  def linkDatasetContract(datasetId: String, contractId: String, contractVersion: String): Unit = {
+    val f = root.resolve("links").resolve(safe(datasetId) + ".txt")
+    val existing = if (Files.exists(f)) parseLinks(Files.readString(f)) else Nil
+    // a legacy no-id record shares this sanitised filename, so the new
+    // write for that name supersedes it (forall: None is replaced too)
+    val kept = existing.filterNot { case (id, _, _) => id.forall(_ == datasetId) }
+    val all = kept :+ ((Option(datasetId), contractId, contractVersion))
+    Files.writeString(f,
+      all.map { case (id, c, v) => s"$c:$v\t${id.getOrElse("")}" }.mkString("\n"))
+  }
 
   def linkedContract(datasetId: String): Option[(String, String)] = {
     val f = root.resolve("links").resolve(safe(datasetId) + ".txt")
     if (!Files.exists(f)) None
-    else Files.readString(f).linesIterator.toSeq.headOption
-      .map(_.split(":", 2)).collect { case Array(id, v) => (id, v) }
+    else {
+      val recs = parseLinks(Files.readString(f))
+      recs.collectFirst { case (Some(`datasetId`), c, v) => (c, v) }
+        .orElse(recs.collectFirst { case (None, c, v) => (c, v) })
+    }
   }
 
   /** Append one pipeline-activity record (reference
@@ -260,9 +312,10 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     val fromStatus = statusMatrix().map(_.datasetId)
     // pre-r4 one-line link files carry no recoverable id (the filename is
     // sanitised) — such datasets appear here only once they also have a
-    // status or activity record
+    // status or activity record. Every record's id is scanned: a collided
+    // links file ("a/b" and "a:b" → "a_b") holds several.
     val fromLinks = listDir("links").flatMap(f =>
-      Files.readString(f).linesIterator.toSeq.drop(1).headOption)
+      parseLinks(Files.readString(f)).flatMap { case (id, _, _) => id })
     // scan EVERY line: a sanitised filename can collide two dataset ids
     // into one file (e.g. "a/b" and "a:b" → "a_b"), and a malformed first
     // line must not hide the ids recorded after it

@@ -173,7 +173,17 @@ object Curate {
     * ≤ `autoTargetRows` rows. A naive caller on a Common-Crawl-shaped
     * corpus therefore gets bounded tasks by default; pass `shards = 1`
     * explicitly to pin the exact id-ordered layout (and skip the guard
-    * job) when the per-source row counts are known to be tame. */
+    * job) when the per-source row counts are known to be tame.
+    *
+    * CAVEAT — [[AutoShards]] trades layout stability across corpus GROWTH
+    * for bounded tasks: the shard count is a function of the largest
+    * source's row count, so when that count crosses an `autoTargetRows`
+    * multiple between runs, the shard count — and with it every chunk id —
+    * shifts, even though the code is unchanged. Each individual run is
+    * still fully deterministic (retries within a run agree). When chunk
+    * ids must be reproducible across corpus revisions, pass an explicit
+    * `shards` (any fixed value, including 1) so the layout is a function
+    * of the corpus CONTENT only, never its size. */
   def packChunks(docs: DataFrame, budget: Int, tokenCol: String = "n_tokens",
                  sourceCol: String = "source", idCol: String = "doc_id",
                  shards: Int = AutoShards,

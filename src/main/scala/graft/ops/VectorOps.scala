@@ -314,13 +314,19 @@ object VectorOps {
     * centroid can never be picked (its max-cosine is 1, the sort's
     * ceiling), so a corpus with fewer than k distinct directions returns
     * fewer than k centroids rather than repeating one. Centroid id = the
-    * seed's vec_id, like [[seedLowestIds]]. */
+    * seed's vec_id, like [[seedLowestIds]].
+    *
+    * Zero-norm vectors are excluded from seeding (the ranking paths' NaN
+    * contract): a zero-norm seed scores NaN against EVERY vector, which
+    * would poison each subsequent max-cosine pick and collapse the seed
+    * set to one centroid. */
   def seedCentroidsSpread(e: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = e.sparkSession
     import spark.implicits._
+    val cand = e.filter(col("nrm") > 0)
     val picked = scala.collection.mutable.ArrayBuffer.empty[Centroid]
-    val firstRow = e.select(
+    val firstRow = cand.select(
       min_by(struct(col("vec_id"), col("v"), col("nrm")), col("vec_id")).as("s"))
       .select(col("s.vec_id"), col("s.v"), col("s.nrm")).collect()
     if (firstRow.isEmpty || firstRow.head.isNullAt(0))
@@ -333,7 +339,7 @@ object VectorOps {
       val centsLit = typedLit(picked.toSeq)
       val maxCos = array_max(transform(centsLit, c =>
         cosR(col("v"), col("nrm"), c.getField("cv"), c.getField("cn"))))
-      val nxt = e.select(
+      val nxt = cand.select(
         min_by(struct(col("vec_id"), col("v"), col("nrm")),
           struct(maxCos.as("mc"), col("vec_id"))).as("s"))
         .select(col("s.vec_id"), col("s.v"), col("s.nrm")).collect().head

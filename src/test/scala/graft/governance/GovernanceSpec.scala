@@ -141,4 +141,48 @@ class GovernanceSpec extends SparkSpec {
     assert(backend.getStatus("sales.lineitem_slim", "0.3.0").exists(_.status == "ok"))
     assert(io.read(spark, "sales.lineitem_slim").df.count() == li.count())
   }
+
+  test("colliding sanitised link filenames keep every dataset's link") {
+    val root = tmpDir("graft_govlink")
+    val gov = new GovernanceBackend(s"$root/governance")
+    // "a/b" and "a:b" both sanitise to the file "a_b.txt"
+    gov.linkDatasetContract("a/b", "contract.slash", "1.0.0")
+    gov.linkDatasetContract("a:b", "contract.colon", "2.0.0")
+    assert(gov.linkedContract("a/b").contains(("contract.slash", "1.0.0")))
+    assert(gov.linkedContract("a:b").contains(("contract.colon", "2.0.0")))
+    assert(gov.listDatasets() == Seq("a/b", "a:b"))
+    // re-linking one id replaces ITS record only
+    gov.linkDatasetContract("a/b", "contract.slash", "1.1.0")
+    assert(gov.linkedContract("a/b").contains(("contract.slash", "1.1.0")))
+    assert(gov.linkedContract("a:b").contains(("contract.colon", "2.0.0")))
+    assert(gov.listDatasets() == Seq("a/b", "a:b"))
+
+    // legacy 2-line format stays readable (link line + raw id line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/governance/links/old_style.txt"),
+      "contract.old:0.9.0\nold/style")
+    assert(gov.linkedContract("old/style").contains(("contract.old", "0.9.0")))
+    assert(gov.listDatasets().contains("old/style"))
+  }
+
+  test("drafts with the same deterministic version but different payloads take .N slots") {
+    val root = tmpDir("graft_govdup")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    def outcome(rows: Double) = graft.quality.ValidationResult(
+      ok = false, errors = Seq("l_quantity: gt violated"), warnings = Nil,
+      metrics = Map("row_count" -> rows), schema = Map.empty)
+
+    // same (dataset id, version, context) twice with DIFFERENT outcomes:
+    // the second draft must not overwrite the first (possibly under review)
+    gov.recordValidation("sales.lineitem", "v1", DemoContracts.lineitem, outcome(100.0))
+    gov.recordValidation("sales.lineitem", "v1", DemoContracts.lineitem, outcome(200.0))
+    val versions = store.listVersions("sales.lineitem")
+    assert(versions.size == 2)
+    assert(versions.exists(_.endsWith(".2")))
+
+    // a byte-identical retry converges on the stored draft — no third copy
+    gov.recordValidation("sales.lineitem", "v1", DemoContracts.lineitem, outcome(200.0))
+    assert(store.listVersions("sales.lineitem").size == 2)
+  }
 }

@@ -67,6 +67,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(VectorOps.seedCentroidsSpread(e, 8).select("cid").distinct().count() == 8)
   }
 
+  test("spread seeding survives a zero-norm vector at the lowest vec_id") {
+    // vec_id 0 is all-zero: cosine against it is NaN for every vector, so
+    // an unguarded first pick would poison every max-cosine round and
+    // collapse the seed set to one centroid
+    val base = spark.range(40).select(col("id").as("vec_id"), lit(0L).as("label"),
+      when(col("id") === 0, transform(sequence(lit(1), lit(4)), _ => lit(0.0f)))
+        .otherwise(transform(sequence(lit(1), lit(4)),
+          i => (when(pmod(col("id"), lit(4)) === pmod(i, lit(4)), 10.0)
+            .otherwise(lit(1.0)) + col("id") * lit(1e-3)).cast("float")))
+        .as("embedding"))
+    val seeds = VectorOps.seedCentroidsSpread(VectorOps.prepared(base), 4)
+    assert(seeds.select("cid").distinct().count() == 4)
+    // the zero-norm vector itself is never a seed
+    assert(seeds.filter(col("cid") === 0).count() == 0)
+  }
+
   test("the data read prunes to probed cluster partitions (PartitionFilters, not row filters)") {
     val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
     val dir = tmpDir("graft_ivfidx_prune")
