@@ -76,9 +76,15 @@ object Drafter {
     * entries for direct lookup and the pre-existing `base_contract` /
     * `validation_errors` / `draft_change_log`.
     *
-    * Deviation: the reference extends enum rules with newly-observed
-    * values (it carries observed value sets); graft's one-pass metrics
-    * don't, so violated enums are dropped like other violated rules. */
+    * Enum rules follow the reference's `_enum_extension`
+    * (`drafting.py:158-201, 501-519`): a violated enum is never dropped —
+    * when the metrics carry `observed.enum_<field>` values (produced by
+    * `Metrics.computeWithObservations`, riding the same single-pass agg)
+    * the rule is EXTENDED with the unseen values; without observations it
+    * is kept unchanged. Additions append in sorted order (the metrics
+    * payload is sorted for cross-partitioning determinism; the reference
+    * appends in observation order, which a distributed collect can't
+    * reproduce). */
   def fromValidation(
       validation: graft.quality.ValidationResult,
       baseContract: Contract,
@@ -116,14 +122,29 @@ object Drafter {
           .collect { case n: Number => n.longValue }
         val nowRequired = if (f.required) nullViolations.forall(_ == 0L) else f.required
         if (f.required && !nowRequired) log += s"${f.name}: relaxed required"
-        val keptQuality = f.quality.filter { dq =>
-          val violated = ruleKeyOf(dq, f.name).exists(k =>
+        val keptQuality = f.quality.flatMap { dq =>
+          val key = ruleKeyOf(dq, f.name)
+          val violated = key.exists(k =>
             validation.metrics.get(s"violations.$k").exists {
               case n: Number => n.longValue > 0
               case _         => false
             })
-          if (violated) log += s"${f.name}: dropped violated rule ${ruleKeyOf(dq, f.name).getOrElse("?")}"
-          !violated
+          if (!violated) Some(dq)
+          else if (dq.rule.exists(_.equalsIgnoreCase("enum"))) {
+            // reference semantics: enums extend or stay, never drop
+            val observed: Seq[String] = key
+              .flatMap(k => validation.metrics.get(s"observed.$k"))
+              .collect { case s: Seq[_] => s.map(String.valueOf) }
+              .getOrElse(Nil)
+            val additions = observed.filterNot(dq.values.toSet)
+            if (additions.nonEmpty) {
+              log += s"${f.name}: extended enum with ${additions.mkString(",")}"
+              Some(dq.copy(values = dq.values ++ additions))
+            } else { log += s"${f.name}: kept violated enum (no observations)"; Some(dq) }
+          } else {
+            log += s"${f.name}: dropped violated rule ${key.getOrElse("?")}"
+            None
+          }
         }
         f.copy(physicalType = newType, required = nowRequired, quality = keptQuality)
       })

@@ -142,16 +142,23 @@ object Evaluator {
     ValidationResult(errs.isEmpty, errs, warnings.result(), metrics, schema)
   }
 
-  /** End-to-end: collect observations from `df` in one pass and evaluate. */
+  /** End-to-end: collect observations from `df` in one pass and evaluate.
+    * `observeEnums = true` additionally collects the out-of-set values of
+    * violated enum rules (`observed.enum_<field>` metrics, same single
+    * pass) so `Drafter.fromValidation` can EXTEND those enums the way the
+    * reference's drafting layer does, instead of keeping them blind. */
   def validate(
       df: DataFrame,
       contract: Contract,
       strictTypes: Boolean = true,
       allowExtraColumns: Boolean = true,
-      expectationSeverity: Severity = ErrorSeverity
+      expectationSeverity: Severity = ErrorSeverity,
+      observeEnums: Boolean = false
   ): ValidationResult = {
     val specs = Expectations.fromContract(contract)
-    val metrics: Map[String, Any] = Metrics.compute(df, specs)
+    val metrics: Map[String, Any] =
+      if (observeEnums) Metrics.computeWithObservations(df, specs)
+      else Metrics.compute(df, specs)
     evaluate(contract, SchemaSnapshot.of(df), metrics, strictTypes, allowExtraColumns, expectationSeverity)
   }
 }

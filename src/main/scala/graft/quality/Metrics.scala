@@ -62,6 +62,47 @@ object Metrics {
     }.toMap
   }
 
+  /** Observed-value aggregates for enum specs: per spec a capped, SORTED
+    * array of distinct values seen outside the allowed set, keyed
+    * `observed.<spec key>` (so `observed.enum_<field>`). This is what the
+    * reference's drafting layer reads to EXTEND an enum with newly-observed
+    * values instead of dropping it (`contracts/backend/drafting.py:158-201`
+    * reads `observed.enum_<field>` off the validation metrics).
+    *
+    * Values ride the same single aggregation pass as the violation counts.
+    * Sorting makes the payload deterministic across partitioning (a bare
+    * `collect_set` is arrival-ordered); `cap` bounds what reaches the
+    * driver. The aggregation state itself is bounded by the column's
+    * distinct VIOLATING values — fine for the categorical columns enum
+    * rules describe; don't point an enum rule at a free-text column. */
+  def observedEnumExprs(specs: Seq[ExpectationSpec], columns: Set[String],
+                        cap: Int = 32): Seq[Column] =
+    specs.filter(s => s.rule == "enum" && s.column.exists(columns.contains))
+      .flatMap { spec =>
+        Expectations.passPredicate(spec).map { pred =>
+          val c = Expectations.qcol(spec.column.get)
+          slice(array_sort(collect_set(when(!pred, c.cast("string")))), 1, cap)
+            .as(s"observed.${spec.key}")
+        }
+      }
+
+  /** [[compute]] plus enum observations — still ONE aggregation pass.
+    * Violation counts come back as `Long`, observations as `Seq[String]`
+    * under `observed.enum_<field>` (only present when non-empty, matching
+    * the reference's "no observations → no extension" contract). */
+  def computeWithObservations(df: DataFrame, specs: Seq[ExpectationSpec],
+                              observedCap: Int = 32): Map[String, Any] = {
+    val columns = df.columns.toSet
+    val exprs = aggregateExprs(specs, columns) ++ observedEnumExprs(specs, columns, observedCap)
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    row.schema.fieldNames.zipWithIndex.flatMap { case (name, i) =>
+      if (name.startsWith("observed.")) {
+        val vs = if (row.isNullAt(i)) Nil else row.getSeq[String](i).filter(_ != null)
+        if (vs.isEmpty) None else Some(name -> (vs: Any))
+      } else Some(name -> (if (row.isNullAt(i)) 0L else row.getLong(i): Any))
+    }.toMap
+  }
+
   /** Canonical dataset alias that `query` rules reference in their SQL. */
   val QueryViewAlias = "_graft_dq_tmp"
 

@@ -42,4 +42,28 @@ class DraftFromValidationSpec extends SparkSpec {
     assert(draft.customProperties("base_contract") == "t.fb:1.2.3")
     assert(draft.customProperties("draft_change_log").contains("dropped violated rule gt_v"))
   }
+
+  test("violated enums extend with observed values when the metrics carry them") {
+    val df = Seq(("a", 1), ("c", 2), ("b", 3), ("d", 4)).toDF("tag", "n")
+    val c = Contract(id = "t.en", version = "1.0.0",
+      schema = Seq(SchemaObjectDef("t", Seq(
+        FieldDef("tag", Some("string"),
+          quality = Seq(QualityRule(rule = Some("enum"), values = Seq("a", "b")))),
+        FieldDef("n", Some("int"))))))
+    val res = Evaluator.validate(df, c, observeEnums = true)
+    assert(!res.ok)
+    val draft = Drafter.fromValidation(res, c).get
+    val tag = draft.properties.find(_.name == "tag").get
+    // reference `_enum_extension`: base values first, additions appended (sorted)
+    assert(tag.quality.head.values == Seq("a", "b", "c", "d"))
+    assert(draft.customProperties("draft_change_log").contains("extended enum"))
+
+    // without observations the violated enum is KEPT unchanged, never dropped
+    val resBlind = Evaluator.validate(df, c)
+    val draftBlind = Drafter.fromValidation(resBlind, c).get
+    val tagBlind = draftBlind.properties.find(_.name == "tag").get
+    assert(tagBlind.quality.head.values == Seq("a", "b"))
+    assert(draftBlind.customProperties("draft_change_log")
+      .contains("kept violated enum"))
+  }
 }

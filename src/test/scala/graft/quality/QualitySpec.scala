@@ -37,6 +37,23 @@ class MetricsSpec extends SparkSpec {
     assert(m("violations.not_null_missing") == 5L)
   }
 
+  test("computeWithObservations collects sorted, capped out-of-set enum values") {
+    val m = Metrics.computeWithObservations(df, Expectations.fromContract(contract))
+    assert(m("violations.enum_tag") == 1L)
+    assert(m("observed.enum_tag") == Seq("c")) // null tag is not an observation
+    // counts still Longs alongside the observation payloads
+    assert(m("row_count") == 5L)
+
+    val wide = Seq(("z", 1), ("y", 2), ("x", 3), ("a", 4)).toDF("tag", "n")
+    val mw = Metrics.computeWithObservations(wide, Expectations.fromContract(contract),
+      observedCap = 2)
+    assert(mw("observed.enum_tag") == Seq("x", "y")) // sorted, then capped
+
+    val clean = Seq(("a", 1), ("b", 2)).toDF("tag", "n")
+    val mc = Metrics.computeWithObservations(clean, Expectations.fromContract(contract))
+    assert(!mc.contains("observed.enum_tag")) // no violations -> no key
+  }
+
   test("computeWithQueries rewrites the canonical alias to a unique view") {
     val c3 = contract.copy(schema = contract.schema.map(o => o.copy(quality = Seq(
       QualityRule(rule = Some("query"), name = Some("neg_count"),
