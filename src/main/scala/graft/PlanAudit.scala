@@ -16,7 +16,9 @@ object PlanAudit {
     for (q <- Bench.headline ++ Seq("q_apply_contract", "q_dedup_embedding",
         "q_source_cap", "q_sample_hash", "q_decontaminate", "q_pack_chunks",
         "q_salted_join", "q_rollup",
-        "q_range_join", "q_tfidf", "q_quantiles", "q_decontaminate_bloom")) {
+        "q_range_join", "q_tfidf", "q_quantiles", "q_decontaminate_bloom",
+        "q_stratified_sample", "q_ann_radius", "q_bigram_lm", "q_entropy",
+        "q_boilerplate")) {
       println(s"\n================ $q ================")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

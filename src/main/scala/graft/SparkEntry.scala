@@ -160,6 +160,9 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
+    "q_bigram_lm" -> ((s, d) => TextOps.bigramLm(t(s, d, "documents"))),
+    "q_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d, "documents"))),
+    "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
     "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
@@ -181,6 +184,9 @@ object SparkEntry {
     }),
     "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
     "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
+    // fixed-similarity twin of annBrute: all neighbors within the radius,
+    // zero exchanges (broadcast probes × scan, threshold fused in the scan)
+    "q_ann_radius" -> ((s, d) => VectorOps.annRadius(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(t(s, d, "embeddings"))),
     // exercises the Lloyd refinement path end-to-end: the oracle replicates
     // one k-means iteration bit-for-bit (decimal-accumulated per-dim means)
@@ -202,6 +208,10 @@ object SparkEntry {
     "q_source_cap" -> ((s, d) =>
       Curate.capPerSource(t(s, d, "documents"), cap = 10)
         .select(col("doc_id"), col("source"))),
+    "q_stratified_sample" -> ((s, d) =>
+      Curate.stratifiedSample(t(s, d, "documents"), Seq("lang", "source"),
+        k = 3, mode = HashMode.Portable)
+        .select(col("doc_id"), col("lang"), col("source"))),
     "q_redact" -> ((s, d) =>
       // blocklist terms chosen to actually fire on this corpus; the op's
       // default patterns are the classic PII scrubs (no digits/emails in
@@ -470,6 +480,68 @@ object SparkEntry {
     "q_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) <= 10""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ${h60("'strat:' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents)
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |  ORDER BY h ASC, doc_id ASC) <= 3""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b AS (
+        |  SELECT a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+        |wt AS (SELECT w1, sum(n) AS tot FROM bc GROUP BY 1)
+        |SELECT w1, w2, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS p_cond
+        |FROM bc JOIN wt USING (w1) WHERE n >= 5""".stripMargin,
+    "q_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, sum(c) AS n, count(*) AS nd,
+        |    sum(CAST(round(c * ln(c), 9) AS DECIMAL(28,9))) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct,
+        |  CASE WHEN coalesce(a.n, 0) > 0
+        |       THEN round((ln(CAST(a.n AS DOUBLE)) - CAST(a.s AS DOUBLE) / a.n)
+        |                  / 0.6931471805599453, 6)
+        |       ELSE 0.0 END AS entropy
+        |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""".stripMargin,
+    "q_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |g AS (
+        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |           JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |df AS (SELECT gram, count(*) AS nd FROM g GROUP BY 1),
+        |boiler AS (SELECT gram FROM df WHERE nd >= 3),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |nb AS (SELECT g.doc_id, count(*) AS n_boiler FROM g JOIN boiler USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CASE WHEN coalesce(tot.n_grams, 0) > 0
+        |       THEN round(CAST(coalesce(nb.n_boiler, 0) AS DOUBLE) / tot.n_grams, 6)
+        |       ELSE 0.0 END AS boiler_ratio
+        |FROM documents d LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |  LEFT JOIN nb ON nb.doc_id = d.doc_id""".stripMargin,
     "q_redact" ->
       s"""SELECT doc_id,
         |  regexp_replace(
@@ -724,6 +796,17 @@ object SparkEntry {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
+    "q_ann_radius" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 10)
+        |SELECT probe_id, n.vec_id AS neighbor_id,
+        |  round(list_dot_product(pv, v) / (pn * nrm), 6) AS cosine
+        |FROM n CROSS JOIN p
+        |WHERE n.vec_id <> probe_id
+        |  AND round(list_dot_product(pv, v) / (pn * nrm), 6) >= 0.3""".stripMargin,
     "q_ann_brute" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -71,6 +71,89 @@ object Curate {
       "left_semi")
   }
 
+  /** Stratified sample: the `k` lowest-salted-hash documents of every
+    * stratum (the distinct value combinations of `strataCols`) — exact
+    * per-stratum quotas with [[sampleByHash]]'s reproducibility (a row's
+    * fate is a pure function of salt + id, never `rand()`), the balanced
+    * complement to [[capPerSource]]'s lowest-id quota.
+    *
+    * Scale shape mirrors [[capPerSource]]: a bounded [[TopK.MinKPairs]]
+    * aggregation reduces each input partition to ≤ k (hash, id) pairs per
+    * stratum before its tiny exchange — never a corpus-wide window sort —
+    * and the kept id set (O(strata × k) rows) broadcast-semi-joins back
+    * against the corpus, which itself is never shuffled. Ids must be
+    * corpus-unique (they key the semi-join).
+    *
+    * The stratum key is length-prefix encoded (`len|value`, null as `-|`)
+    * so free-form string combinations cannot collide the way a plain
+    * separator join would ("a:b"+"c" vs "a"+"b:c"). */
+  def stratifiedSample(docs: DataFrame, strataCols: Seq[String], k: Int,
+                       mode: HashMode = HashMode.Default,
+                       idCol: String = "doc_id", salt: String = "strat",
+                       broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    require(strataCols.nonEmpty, "strataCols must not be empty")
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stratum = strataCols.map { c =>
+      coalesce(concat(length(col(c).cast("string")).cast("string"), lit("|"),
+        col(c).cast("string")), lit("-|"))
+    }.reduce(concat(_, _))
+    val kept = docs
+      .select(stratum.as("_stratum"), col(idCol).cast("long").as("_id"),
+        mode.hash(lit(salt), col(idCol)).as("_h"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(TopK.minKPairs(k))
+      .flatMap { case (_, pairs) => pairs.map(_._2) }
+      .toDF("_samp_id")
+    // same eager-count broadcast guard as capPerSource: the kept set is
+    // O(strata × k) — broadcastable for corpus-shaped strata, but guard
+    // against a near-unique stratum column
+    val keptSmall = { kept.persist(); kept.count() <= broadcastMaxRows }
+    docs.join(if (keptSmall) broadcast(kept) else kept,
+      col(idCol) === col("_samp_id"), "left_semi")
+  }
+
+  /** Cross-document boilerplate signal (the RefinedWeb/CCNet-style
+    * repeated-content filter, word-k-gram flavored): a doc's distinct
+    * k-grams that appear in ≥ `minDocs` documents are "boilerplate"; the
+    * per-doc ratio of boilerplate grams is the filter signal (headers,
+    * footers, templates, licence blocks score high).
+    *
+    * Scale shape: the gram is the join/aggregation key throughout —
+    * per-gram doc frequency is one bounded aggregation over the distinct
+    * (doc, gram) stream (never |docs|² pair work), and only grams that
+    * clear `minDocs` flow into the count-back join. Docs shorter than k
+    * tokens have no k-grams and report a 0 ratio. */
+  def boilerplateRatio(docs: DataFrame, k: Int = 3, minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    // persisted + eagerly materialised: the gram stream feeds both the
+    // doc-frequency aggregation and the count-back join — uncached, each
+    // consumer would re-tokenise the whole corpus (the two scan subtrees
+    // don't reuse each other's exchange). AQE skew handling covers the
+    // deliberately-hot join keys (boilerplate grams are frequent by
+    // definition); a per-gram window would funnel each hot gram through
+    // one unsplittable task instead.
+    val grams = kgrams(docs, k) // distinct per doc
+    grams.persist(); grams.count()
+    val dfreq = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_df")) // grams are doc-distinct: count == doc freq
+    val perDoc = grams.join(dfreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("boiler_ratio"))
+  }
+
   /** RE2-safe (no backrefs/lookaround) scrub patterns, so the same
     * strings run on engines using either regex dialect. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -116,6 +116,10 @@ object TextOps {
     val counts = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("term_freq"),
            countDistinct(col("doc_id")).as("doc_freq"))
+    // persisted + eagerly materialised: `total` below derives from `counts`,
+    // and without the cache each consumer re-tokenises the corpus (the two
+    // scan subtrees don't reuse each other's exchange). Vocabulary-sized.
+    counts.persist(); counts.count()
     // global total via broadcast scalar — an empty-partition window would
     // funnel the whole vocabulary through one task
     val total = counts.agg(sum(col("term_freq")).as("_total"))
@@ -159,6 +163,12 @@ object TextOps {
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+    // persisted + eagerly materialised: `tf` feeds both the df aggregation
+    // and the scored join — uncached, each consumer re-tokenises the corpus
+    // (the static plan shows two full scan subtrees, no exchange reuse).
+    // The cached frame is one row per distinct (doc, token): the compressed
+    // token stream, not the corpus.
+    tf.persist(); tf.count()
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("_ndocs"))
     val scored = tf.join(dfreq, Seq("token"))
@@ -167,6 +177,72 @@ object TextOps {
         round(col("tf") * log(col("_ndocs").cast(DoubleType) / col("df")), 6)
           .as("tfidf"))
     TopK.topKPerKeyStr(scored, "doc_id", "token", "tfidf", topK)
+  }
+
+  /** Corpus bigram language-model statistics: count and conditional
+    * probability `P(w2 | w1) = c(w1 w2) / Σ_w c(w1 w)` for every bigram
+    * occurring at least `minCount` times — the KenLM-style corpus-stats
+    * primitive (fluency scoring, domain drift, generation-artifact
+    * detection) at whatever scale the corpus is.
+    *
+    * Scale shape: one tokenisation pass feeds a bigram-keyed count
+    * (map-side combined — the shuffle carries one row per distinct bigram
+    * per partition), the `w1` denominators are a second aggregation over
+    * the already-aggregated bigram frame (vocabulary-sized, never the
+    * corpus), and `minCount` filters AFTER the denominator join so
+    * probabilities stay normalised over all continuations. */
+  def bigramLm(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    val counts = docs
+      .select(explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(explode(array(bigrams)).as("bgs"))
+      .select(explode(col("bgs")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .select(element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
+    // persisted + eagerly materialised: `counts` feeds both the output join
+    // and the denominator aggregation — without this the plan re-tokenises
+    // the whole corpus for each consumer (no exchange reuse across the two
+    // subtrees). The cached frame is bigram-vocabulary-sized, not
+    // corpus-sized. Cached until the ContextCleaner GCs it; loop callers
+    // should clearCache() between batches.
+    counts.persist(); counts.count()
+    val w1tot = counts.groupBy(col("w1")).agg(sum(col("n")).as("_tot"))
+    counts.join(w1tot, Seq("w1"))
+      .filter(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n"),
+        round(col("n").cast(DoubleType) / col("_tot"), 6).as("p_cond"))
+  }
+
+  /** Per-document unigram token entropy in bits (`H = log2 n − Σ c·ln c /
+    * (n·ln 2)`) plus token counts — low entropy flags repetitive/templated
+    * text, high entropy flags noise; a standard quality-filter signal.
+    *
+    * Determinism: the Σ c·ln c term is summed as exact decimals (each
+    * token's contribution rounded to 9 dp first) — a plain double sum
+    * varies with partition merge order and would make a hash gate flaky.
+    * ln 2 is a literal constant so engines can't disagree on it. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(normText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val agg = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast(DoubleType) * log(col("c").cast(DoubleType)), 9)
+          .cast(DecimalType(28, 9))).as("_s"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round((log(col("n_tokens").cast(DoubleType))
+            - col("_s").cast(DoubleType) / col("n_tokens"))
+            / lit(0.6931471805599453), 6))
+          .otherwise(lit(0.0)).as("entropy"))
   }
 
   def fingerprintCol(text: Column): Column = md5(normText(text))

@@ -74,6 +74,36 @@ object TopK {
 
   def minKIds(k: Int): TypedColumn[Long, Seq[Long]] = new MinKIds(k).toColumn
 
+  /** Bounded-buffer aggregator keeping the k smallest `(sortKey, id)`
+    * pairs ordered `(sortKey ASC, id ASC)` — [[MinKIds]] with the sort key
+    * decoupled from the returned id, so "k lowest-HASH rows per stratum"
+    * (deterministic sampling) costs O(keys × k) through the exchange
+    * instead of a full window sort. Sort keys stay `Long` end to end: a
+    * 60-bit hash cast to double would lose low bits (2^53 mantissa) and
+    * silently reorder near ties. */
+  final class MinKPairs(k: Int)
+      extends Aggregator[(Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+    private def less(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def ins(b: List[(Long, Long)], x: (Long, Long)): List[(Long, Long)] = {
+      val (pre, post) = b.span(less(_, x))
+      val merged = pre ::: (x :: post)
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+    }
+    override def zero: List[(Long, Long)] = Nil
+    override def reduce(b: List[(Long, Long)], a: (Long, Long)): List[(Long, Long)] = ins(b, a)
+    override def merge(x: List[(Long, Long)], y: List[(Long, Long)]): List[(Long, Long)] =
+      y.foldLeft(x)(ins)
+    override def finish(r: List[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: Encoder[List[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  def minKPairs(k: Int): TypedColumn[(Long, Long), Seq[(Long, Long)]] =
+    new MinKPairs(k).toColumn
+
   /** Top-k rows per key of `(key, id, score)`, returned flat with ranks —
     * same shape and tiebreaks as the row_number window formulation, but
     * partial-aggregated before the shuffle.

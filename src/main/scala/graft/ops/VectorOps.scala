@@ -166,6 +166,30 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Radius search: every corpus vector within cosine ≥ `threshold` of
+    * each probe — the fixed-similarity twin of [[annBrute]]'s fixed-count
+    * top-k (the right primitive for "all near-duplicates of these
+    * documents" / recall-complete retrieval, where top-k would truncate
+    * dense neighborhoods and pad sparse ones).
+    *
+    * Scale shape is even simpler than top-k: broadcast(probes) × one
+    * corpus scan with the threshold filter fused into the projection —
+    * ZERO exchanges end to end, no ranking state at all; output size is
+    * the true neighborhood size. A zero-norm vector's NaN cosine fails
+    * the threshold comparison, so such rows drop out (the documented NaN
+    * contract of the ranking paths, same outcome here for free). */
+  def annRadius(embeddings: DataFrame, nProbes: Int = 10,
+                threshold: Double = 0.3): DataFrame = {
+    val e = prepared(embeddings)
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Driver-side centroid row for the literal — a named case class so
     * `typedLit` produces fields `cid`/`cv`/`cn` that the assignment
     * lambdas address by name. */

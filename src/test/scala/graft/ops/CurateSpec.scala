@@ -163,6 +163,55 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample takes exact per-stratum quotas, deterministically") {
+    val big = (0L until 400L).map(i =>
+      (i, s"t$i", if (i % 2 == 0) "en" else "de", s"s${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+    // lang is i-parity, source is i%4 → exactly 4 populated strata of 100
+    val s1 = Curate.stratifiedSample(big, Seq("lang", "source"), k = 5)
+    assert(s1.count() == 20)
+    val per = s1.groupBy("lang", "source").count().select("count").as[Long].collect()
+    assert(per.length == 4 && per.forall(_ == 5))
+    val s2 = Curate.stratifiedSample(big, Seq("lang", "source"), k = 5)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    // quota above the stratum size keeps the whole stratum
+    assert(Curate.stratifiedSample(docs, Seq("source"), k = 10).count() == 4)
+  }
+
+  test("stratifiedSample: null strata group together; encoding is collision-free") {
+    val withNull = docs.unionByName(
+      Seq((8L, "x", "en"), (9L, "y", "en")).toDF("doc_id", "text", "lang")
+        .withColumn("source", lit(null: String)))
+    val kept = Curate.stratifiedSample(withNull, Seq("source"), k = 1)
+    assert(kept.count() == 3) // s1, s2, and the null-source stratum
+    // ("ab","") vs ("a","b"): a separator join would collide these strata
+    val tricky = Seq(
+      (1L, "t", "ab", ""), (2L, "t", "ab", ""),
+      (3L, "t", "a", "b"), (4L, "t", "a", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    assert(Curate.stratifiedSample(tricky, Seq("lang", "source"), k = 1).count() == 2)
+  }
+
+  test("boilerplateRatio flags k-grams shared by at least minDocs documents") {
+    val d = Seq(
+      (1L, "a b c d"), // grams: "a b c", "b c d"
+      (2L, "a b c e"),
+      (3L, "a b c f"),
+      (4L, "x y")      // shorter than k: no grams
+    ).toDF("doc_id", "text")
+    val out = Curate.boilerplateRatio(d, k = 3, minDocs = 3).orderBy("doc_id").collect()
+    // "a b c" is in 3 docs → boilerplate; each doc's second gram is unique
+    assert(out(0).getAs[Long]("n_grams") == 2L)
+    assert(out(0).getAs[Long]("n_boiler") == 1L)
+    assert(out(0).getAs[Double]("boiler_ratio") == 0.5)
+    assert(out(3).getAs[Long]("n_grams") == 0L)
+    assert(out(3).getAs[Double]("boiler_ratio") == 0.0)
+    // at minDocs=4 nothing clears the bar
+    val none = Curate.boilerplateRatio(d, k = 3, minDocs = 4)
+    assert(none.agg(max(col("n_boiler"))).collect()(0).getLong(0) == 0L)
+  }
+
   test("contamination flags k-gram overlap with the eval set only") {
     val evalDocs = Seq((100L, "the customer sent a key", "en", "e")).toDF("doc_id", "text", "lang", "source")
     val out = Curate.contamination(docs, evalDocs, k = 5).collect()

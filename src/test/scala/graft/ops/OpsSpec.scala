@@ -40,6 +40,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getAs[Boolean]("correct"))
   }
 
+  test("bigramLm: conditional probabilities normalise over ALL continuations") {
+    val d = Seq(
+      (1L, "a b a b a c"),  // bigrams: ab, ba, ab, ba, ac
+      (2L, "a b")           // ab
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramLm(d, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p_cond"))).toMap
+    // c(a b)=3, c(b a)=2, c(a c)=1; continuations of a: 4 → P(b|a)=0.75
+    // even though "a c" itself falls under minCount, it still counts in the denominator
+    assert(out == Map(("a", "b") -> (3L, 0.75), ("b", "a") -> (2L, 1.0)))
+  }
+
+  test("tokenEntropy: hand-computed bits, empty and single-token docs at zero") {
+    val d = Seq(
+      (1L, "a a b b"),   // uniform over 2 tokens -> 1 bit
+      (2L, "a a a a"),   // single symbol -> 0 bits
+      (3L, "a b c d"),   // uniform over 4 -> 2 bits
+      (4L, ""),          // no tokens -> 0
+      (5L, "x")          // one token -> 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("entropy"))).toMap
+    assert(out(1L) == ((4L, 2L, 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.0)))
+    assert(out(3L) == ((4L, 4L, 2.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    assert(out(5L) == ((1L, 1L, 0.0)))
+  }
+
   test("textQuality score is bounded and keep-flag consistent") {
     val out = TextOps.textQuality(docs).collect()
     assert(out.forall(r => r.getAs[Double]("score") >= 0.0 && r.getAs[Double]("score") <= 1.0))
@@ -133,6 +164,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 4L, 2L))
     assert(out.head.getAs[Double]("cosine") == 1.0)
     assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("annRadius returns exactly the above-threshold neighborhood, no ranks") {
+    val out = VectorOps.annRadius(emb, nProbes = 1, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
+    // probe 0 = (1,0,0): cos(1)=1.0, cos(3)=cos(4)=0.6, cos(2)=0.0 below
+    assert(out == Map(1L -> 1.0, 3L -> 0.6, 4L -> 0.6))
+    // radius result == the unranked above-threshold slice of brute-force scores
+    val brute = VectorOps.annBrute(emb, nProbes = 1, topK = 4)
+      .filter(col("cosine") >= 0.5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out.keySet == brute)
   }
 
   test("annIvf recall matches brute force on the sf0.001 embeddings") {
