@@ -352,10 +352,9 @@ object Curate {
     * `maxEvalGrams` guard makes the assumption explicit rather than
     * letting a mis-passed frame OOM the driver). The bitset rides into
     * the plan as ONE array literal (a constant, not a per-element
-    * expression tree — ~1.5 MB for 10M grams at 1% fpp), probed with the
-    * same Kirsch-Mitzenmacher double hashing the minhash family uses:
-    * bit_i = (h1 + i·h2) mod m over the graft_md5hh digest pair, so one
-    * digest serves all `kh` probes. */
+    * expression tree — ~1.5 MB for 10M grams at 1% fpp), probed with
+    * [[GramBloom]]'s odd-stride double hashing over the graft_md5hh
+    * digest pair — one digest serves all `kh` probes. */
   def contaminationBloom(docs: DataFrame, evalDocs: DataFrame, k: Int = 13,
                          fpp: Double = 0.01,
                          maxEvalGrams: Long = 16L << 20): DataFrame = {
@@ -368,46 +367,62 @@ object Curate {
     // a changing source. Cached until the ContextCleaner GCs the plan;
     // loop callers should clearCache() between batches.
     val evalGrams = kgrams(evalDocs, k).select(col("gram")).distinct().persist()
+    val bloom = GramBloom.build(
+      collectGramPairs(evalGrams, k, maxEvalGrams, "contaminationBloom"), fpp)
+    kgrams(docs, k)
+      .withColumn("_hh", call_function("graft_md5hh", col("gram").cast("binary")))
+      .filter(bloom.mightContain(element_at(col("_hh"), 1), element_at(col("_hh"), 2)))
+      .drop("_hh")
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Digest pairs of a distinct gram frame, collected driver-side behind
+    * the explicit eval-shaped-frame guard. */
+  private def collectGramPairs(evalGrams: DataFrame, k: Int, maxEvalGrams: Long,
+                               caller: String): Array[(Long, Long)] = {
+    val spark = evalGrams.sparkSession
+    import spark.implicits._
     val pairs = evalGrams
       .select(call_function("graft_md5hh", col("gram").cast("binary")).as("hh"))
       .select(element_at(col("hh"), 1), element_at(col("hh"), 2))
       .as[(Long, Long)].collect()
     require(pairs.length <= maxEvalGrams,
       s"eval set has ${pairs.length} distinct $k-grams (> $maxEvalGrams); " +
-        "contaminationBloom builds its filter driver-side — this frame is " +
+        s"$caller builds its filter driver-side — this frame is " +
         "corpus-shaped, not eval-shaped")
-    val n = math.max(pairs.length, 1)
-    // textbook sizing: m = -n·ln(fpp)/ln²2 bits, kh = (m/n)·ln 2 probes
-    val mBits: Long = math.max(64L,
-      64L * math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)) / 64.0).toLong)
-    val kh = math.max(1, math.min(16, math.round(mBits.toDouble / n * math.log(2)).toInt))
-    val words = new Array[Long]((mBits / 64).toInt)
-    pairs.foreach { case (h1, h2) =>
-      var i = 0
-      while (i < kh) {
-        // h1 < 2^60, h2 < 2^52, i < 16 → no signed overflow (ANSI-safe);
-        // floorMod here must stay in lockstep with pmod below
-        val idx = java.lang.Math.floorMod(h1 + i.toLong * h2, mBits)
-        words((idx >> 6).toInt) |= (1L << (idx & 63).toInt)
-        i += 1
-      }
-    }
-    val bitset = lit(words)
-    def mightContain(h1: Column, h2: Column): Column =
-      (0 until kh).map { i =>
-        val idx = pmod(h1 + lit(i.toLong) * h2, lit(mBits))
-        val word = element_at(bitset, (shiftright(idx, 6) + 1).cast("int"))
-        // functions.shiftright only takes a literal shift — the per-row
-        // bit offset goes through the SQL builder instead
-        call_function("shiftright", word, idx.bitwiseAND(lit(63L)).cast("int"))
-          .bitwiseAND(lit(1L)) === 1
-      }.reduce(_ && _)
-    kgrams(docs, k)
-      .withColumn("_hh", call_function("graft_md5hh", col("gram").cast("binary")))
-      .filter(mightContain(element_at(col("_hh"), 1), element_at(col("_hh"), 2)))
-      .drop("_hh")
-      .join(evalGrams, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
+    pairs
+  }
+
+  /** Stateless per-document contamination flag: `might_contaminated` is
+    * true when ANY of the doc's k-grams might be in the eval set (Bloom
+    * probe — ≈`fpp` false positives among clean docs, never false
+    * negatives). Unlike [[contamination]]'s join+aggregation, this is a
+    * PURE PROJECTION — no shuffle, no state — so it runs unchanged on
+    * STREAMING frames: ingest-time decontamination at line rate, where
+    * the exact join would need a stream-static join plus a stateful
+    * per-doc aggregation. Dropping flagged docs errs on the safe side;
+    * run the exact [[contamination]] over the (tiny) flagged subset when
+    * the false-positive docs must be rescued.
+    *
+    * The gram set is materialised through the same Generate barriers as
+    * [[NearDup.explodedShingles]] (both keep row cardinality: 1-element
+    * array explodes) — without them CollapseProject inlines tokenisation
+    * into the probe lambda and the scan goes O(n²). */
+  def contaminationFlag(docs: DataFrame, evalDocs: DataFrame, k: Int = 13,
+                        fpp: Double = 0.01,
+                        maxEvalGrams: Long = 16L << 20): DataFrame = {
+    val evalGrams = kgrams(evalDocs, k).select(col("gram")).distinct()
+    val bloom = GramBloom.build(
+      collectGramPairs(evalGrams, k, maxEvalGrams, "contaminationFlag"), fpp)
+    docs
+      .withColumn("_cf_toks",
+        explode(array(split(graft.ops.TextOps.normText(col("text")), " "))))
+      .withColumn("_cf_sh", explode(array(NearDup.shinglesOf(col("_cf_toks"), k,
+        distinct = true, wholeDocFallback = false))))
+      .withColumn("might_contaminated",
+        exists(col("_cf_sh"), g => bloom.mightContainGram(g)))
+      .drop("_cf_toks", "_cf_sh")
   }
 }

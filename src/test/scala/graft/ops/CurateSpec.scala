@@ -65,6 +65,45 @@ class CurateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationFlag: no false negatives vs the exact join; clean docs pass at tiny fpp") {
+    val corpus = (0L until 200L).map(i => (i, s"w${i} x${i} y${i} z${i} q${i}"))
+      .toDF("doc_id", "text")
+    // eval set shares the exact text of docs 10 and 20
+    val eval = Seq((9000L, "w10 x10 y10 z10 q10"), (9001L, "w20 x20 y20 z20 q20"))
+      .toDF("doc_id", "text")
+    val exact = Curate.contamination(corpus, eval, k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(10L, 20L))
+    val flagged = Curate.contaminationFlag(corpus, eval, k = 3, fpp = 1e-6)
+      .filter(col("might_contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(flagged), "Bloom must never miss a contaminated doc")
+    assert(flagged == exact, s"at fpp=1e-6 on 200 docs no false positives expected: $flagged")
+    // short docs (no k-grams) are never flagged
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(Curate.contaminationFlag(short, eval, k = 3)
+      .filter(col("might_contaminated")).count() == 0)
+  }
+
+  test("contaminationFlag is a stateless projection: runs on a stream, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val eval = Seq((9000L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)](spark)
+    val src = mem.toDF().toDF("doc_id", "text")
+    val out = Curate.contaminationFlag(src, eval, k = 3, fpp = 1e-6)
+    val q = out.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma"
+        (2L, "totally unrelated text right here"))
+      q.processAllAvailable()
+      val rows = spark.table("contam_stream").orderBy("doc_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Boolean]("might_contaminated"))
+      assert(!rows(1).getAs[Boolean]("might_contaminated"))
+    } finally q.stop()
+  }
+
   test("mixBySource applies per-source rates with the id-stable hash") {
     val big = (0L until 400L).map(i => (i, s"t$i", "en", s"src${i % 4}"))
       .toDF("doc_id", "text", "lang", "source")
