@@ -188,6 +188,8 @@ object SparkEntry {
     // zero exchanges (broadcast probes × scan, threshold fused in the scan)
     "q_ann_radius" -> ((s, d) => VectorOps.annRadius(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(t(s, d, "embeddings"))),
+    // the radius search's scale path: same coarse pruning, threshold tail
+    "q_ann_radius_ivf" -> ((s, d) => VectorOps.annIvfRadius(t(s, d, "embeddings"))),
     // exercises the Lloyd refinement path end-to-end: the oracle replicates
     // one k-means iteration bit-for-bit (decimal-accumulated per-dim means)
     "q_ann_ivf_refined" -> ((s, d) =>
@@ -846,6 +848,28 @@ object SparkEntry {
         |  cosine
         |FROM s
         |QUALIFY "rank" <= 5""".stripMargin,
+    // the same coarse pruning as q_ann_ivf, with the threshold filter in
+    // place of the rank — the radius search's scale path
+    "q_ann_radius_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cid FROM n CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1),
+        |p AS (SELECT vec_id AS pid, v AS pv, nrm AS pn FROM n WHERE vec_id < 10),
+        |pc AS (
+        |  SELECT pid, pv, pn, cid FROM p CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY pid
+        |    ORDER BY round(list_dot_product(pv, cv) / (pn * cn), 6) DESC, cid ASC) <= 2)
+        |SELECT pid AS probe_id, a.vec_id AS neighbor_id,
+        |  round(list_dot_product(pv, a.v) / (pn * a.nrm), 6) AS cosine
+        |FROM pc JOIN assign a USING (cid)
+        |WHERE a.vec_id <> pid
+        |  AND round(list_dot_product(pv, a.v) / (pn * a.nrm), 6) >= 0.3""".stripMargin,
     // one Lloyd iteration replicated in SQL: seed centroids (vec_id < 16),
     // rounded-cosine argmax assignment, per-dim DECIMAL(25,6) means (the
     // kmeansCentroids determinism contract), then the same IVF search as

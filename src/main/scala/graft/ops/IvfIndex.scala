@@ -123,12 +123,43 @@ object IvfIndex {
     * probed cluster directories are ever opened. Scoring + bounded top-k
     * as in [[VectorOps.annBrute]]; output schema matches. */
   def search(spark: SparkSession, dir: String, probes: DataFrame,
-             nProbeClusters: Int = 2, topK: Int = 5): DataFrame = {
+             nProbeClusters: Int = 2, topK: Int = 5): DataFrame =
+    scoredCandidates(spark, dir, probes, nProbeClusters) match {
+      case None =>
+        spark.range(0).select(col("id").as("probe_id"), col("id").as("neighbor_id"),
+          col("id").as("rank"), col("id").cast("double").as("cosine"))
+      case Some(scored) =>
+        TopK.topKPerKey(scored, "probe_id", "vec_id", "cosine", topK)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"),
+            col("cosine"))
+    }
+
+  /** Radius search over the index: every vector within cosine ≥
+    * `threshold` of each probe, reading only the probed cluster
+    * PARTITIONS ([[VectorOps.annRadius]]'s fixed-similarity contract on
+    * [[search]]'s pruned layout — approximate the same way `search` is:
+    * qualifying neighbors outside the probed clusters are missed). No
+    * ranking state; the threshold is fused into the scoring projection. */
+  def searchRadius(spark: SparkSession, dir: String, probes: DataFrame,
+                   threshold: Double = 0.3, nProbeClusters: Int = 2): DataFrame =
+    scoredCandidates(spark, dir, probes, nProbeClusters) match {
+      case None =>
+        spark.range(0).select(col("id").as("probe_id"), col("id").as("neighbor_id"),
+          col("id").cast("double").as("cosine"))
+      case Some(scored) =>
+        scored.filter(col("cosine") >= threshold)
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    }
+
+  /** Shared probe→cluster pruning + scoring: driver-side cluster
+    * selection against the centroid metadata, partition-pruned data read,
+    * broadcast probe join, rounded-cosine scoring. None when the index or
+    * probe set is empty. */
+  private def scoredCandidates(spark: SparkSession, dir: String, probes: DataFrame,
+                               nProbeClusters: Int): Option[DataFrame] = {
     val cents = loadCentroids(spark, dir)
     val probeRows = probes.select(col("probe_id"), col("v"), col("nrm")).collect()
-    if (probeRows.isEmpty || cents.isEmpty)
-      return spark.range(0).select(col("id").as("probe_id"), col("id").as("neighbor_id"),
-        col("id").as("rank"), col("id").cast("double").as("cosine"))
+    if (probeRows.isEmpty || cents.isEmpty) return None
 
     val probeClusters = probeRows.flatMap { pr =>
       val pv = pr.getSeq[Double](1).toArray
@@ -151,11 +182,9 @@ object IvfIndex {
     // cid is a partition column: this filter prunes directories, not rows
     val data = spark.read.parquet(s"$dir/data")
       .filter(col("cid").isin(probedCids: _*))
-    val scored = data.join(probeDf, Seq("cid"))
+    Some(data.join(probeDf, Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
-    TopK.topKPerKey(scored, "probe_id", "vec_id", "cosine", topK)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+        round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6)))
   }
 }

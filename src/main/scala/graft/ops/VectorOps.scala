@@ -391,7 +391,57 @@ object VectorOps {
   def annIvf(embeddings: DataFrame, nCentroids: Int = 16, nProbes: Int = 10,
              nProbeClusters: Int = 2, topK: Int = 5, kmeansIters: Int = 0,
              literalMax: Int = CentroidLiteralMax,
-             spreadSeed: Boolean = false): DataFrame = {
+             spreadSeed: Boolean = false): DataFrame =
+    ivfScored(embeddings, nCentroids, nProbes, nProbeClusters, kmeansIters,
+        literalMax, spreadSeed) match {
+      case None => emptyIvfResult(embeddings, withRank = true)
+      case Some(scored) =>
+        // bounded ranking: partial-aggregated top-k, O(probes × topK)
+        // through the exchange — never one corpus-sized task per probe
+        TopK.topKPerKey(scored, "probe_id", "neighbor_id", "cosine", topK)
+          .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    }
+
+  /** IVF-pruned radius search — [[annRadius]]'s scale path: the probe only
+    * scores its `nProbeClusters` nearest clusters, so the scan is pruned
+    * the same way [[annIvf]] prunes top-k (and with [[IvfIndex]] layouts,
+    * to probed PARTITIONS). Approximate exactly like annIvf is: neighbors
+    * above the threshold living outside the probed clusters are missed —
+    * the standard IVF recall trade. The threshold filter is fused into the
+    * candidate projection; no ranking state at all. */
+  def annIvfRadius(embeddings: DataFrame, threshold: Double = 0.3,
+                   nCentroids: Int = 16, nProbes: Int = 10,
+                   nProbeClusters: Int = 2, kmeansIters: Int = 0,
+                   literalMax: Int = CentroidLiteralMax,
+                   spreadSeed: Boolean = false): DataFrame =
+    ivfScored(embeddings, nCentroids, nProbes, nProbeClusters, kmeansIters,
+        literalMax, spreadSeed) match {
+      case None => emptyIvfResult(embeddings, withRank = false)
+      case Some(scored) =>
+        scored.filter(col("cosine") >= threshold)
+          .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+    }
+
+  /** Empty result with the ANN output schema (no centroids: empty corpus
+    * or no vec_id below the seed bound) — graceful, as the pre-literal
+    * crossJoin formulation gave. */
+  private def emptyIvfResult(embeddings: DataFrame, withRank: Boolean): DataFrame = {
+    val e = prepared(embeddings).limit(0)
+    if (withRank)
+      e.select(col("vec_id").as("probe_id"), col("vec_id").as("neighbor_id"),
+        col("vec_id").as("rank"), col("nrm").as("cosine"))
+    else
+      e.select(col("vec_id").as("probe_id"), col("vec_id").as("neighbor_id"),
+        col("nrm").as("cosine"))
+  }
+
+  /** Scored in-cluster candidates shared by [[annIvf]] and
+    * [[annIvfRadius]]: (probe_id, neighbor_id, cosine, …) for every
+    * corpus vector in one of its probe's `nProbeClusters` nearest
+    * clusters. None when no centroids can be seeded. */
+  private def ivfScored(embeddings: DataFrame, nCentroids: Int, nProbes: Int,
+                        nProbeClusters: Int, kmeansIters: Int,
+                        literalMax: Int, spreadSeed: Boolean): Option[DataFrame] = {
     val e = prepared(embeddings)
     val seeds =
       if (spreadSeed) seedCentroidsSpread(e, nCentroids)
@@ -414,12 +464,7 @@ object VectorOps {
           .join(probes, Seq("probe_id"))
         (asg, pc)
       } else {
-        val centsLit = centroidLiteral(cents).getOrElse(
-          // no centroids (empty corpus or no vec_id below the seed bound):
-          // graceful empty result, as the pre-literal crossJoin formulation gave
-          return e.limit(0).select(col("vec_id").as("probe_id"),
-            col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
-            col("nrm").as("cosine")))
+        val centsLit = centroidLiteral(cents).getOrElse(return None)
         val asg = e
           .withColumn("cid",
             element_at(nearestClusterArray(centsLit, 1), 1).getField("cid"))
@@ -432,13 +477,9 @@ object VectorOps {
         (asg, pc)
       }
 
-    // bounded ranking: partial-aggregated top-k, O(probes × topK) through
-    // the exchange — never one corpus-sized task per probe
-    val scored = probeClusters
+    Some(probeClusters
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
-    TopK.topKPerKey(scored, "probe_id", "neighbor_id", "cosine", topK)
-      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm"))))
   }
 }

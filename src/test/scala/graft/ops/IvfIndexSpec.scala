@@ -24,6 +24,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed == logical)
   }
 
+  test("indexed searchRadius equals the logical annIvfRadius on the pruned layout") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = tmpDir("graft_ivfidx_radius")
+    IvfIndex.build(e, dir, nCentroids = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "cosine")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val logical = rows(VectorOps.annIvfRadius(e, threshold = 0.3,
+      nCentroids = 16, nProbes = 8, nProbeClusters = 3))
+    val indexed = rows(IvfIndex.searchRadius(spark, dir, probesOf(e, 8),
+      threshold = 0.3, nProbeClusters = 3))
+    assert(indexed == logical)
+    assert(logical.nonEmpty, "radius 0.3 should catch neighbors on this corpus")
+    // radius results are exactly the above-threshold slice of the pruned
+    // candidate set: every annIvf hit above the threshold appears
+    val topAbove = VectorOps.annIvf(e, nCentroids = 16, nProbes = 8,
+      nProbeClusters = 3, topK = 4)
+      .filter(col("cosine") >= 0.3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val radiusPairs = logical.map(t => (t._1, t._2)).toSet
+    assert(topAbove.subsetOf(radiusPairs))
+  }
+
   test("spread-seeded build matches the logical spread-seeded annIvf and balances clusters") {
     // clustered corpus: 90% of vectors share one direction (+tiny id-keyed
     // jitter so directions are distinct), 10% are spread — lowest-id seeds
