@@ -23,7 +23,10 @@ object Bench {
     "q1_pricing", "q3_topn_join", "q5_join5", "q_metrics",
     "q_dedup_exact", "q_dedup_minhash", "q_ann_brute", "q_text_quality",
     "q_topk_groups", "q_ann_ivf", "q_source_cap", "q_pack_chunks",
-    "q_pack_chunks_sharded")
+    "q_pack_chunks_sharded",
+    // round-6 operators
+    "q_stratified_sample", "q_entropy", "q_bigram_lm", "q_boilerplate",
+    "q_ann_radius", "q_ann_radius_ivf")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -42,7 +45,12 @@ object Bench {
     "q_source_cap" -> 0.59, "q_pack_chunks" -> 0.30,
     // r5 local best-of-3 for the bounded-task packing path, first benched
     // this round
-    "q_pack_chunks_sharded" -> 0.40
+    "q_pack_chunks_sharded" -> 0.40,
+    // r6 operators: local warmed best-of-3 × 1.3 (the contended-driver
+    // factor observed between local and driver runs since r4)
+    "q_stratified_sample" -> 0.39, "q_entropy" -> 0.66,
+    "q_bigram_lm" -> 0.31, "q_boilerplate" -> 0.74,
+    "q_ann_radius" -> 0.21, "q_ann_radius_ivf" -> 0.70
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,
