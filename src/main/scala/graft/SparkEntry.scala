@@ -121,6 +121,23 @@ object SparkEntry {
         unix_micros(col("end_ts")), bucketWidth = 3600L * 1000000L)
         .select(col("view_id"), col("purchase_id"), col("view_ts"), col("start_ts"))
     }),
+    "q_interval_join" -> ((s, d) => {
+      // interval-overlap join (session-vs-session shape): view windows
+      // against purchase windows, no shared key — the bare non-equi
+      // formulation plans as a nested-loop cross product
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("v_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as("v_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+      graft.ops.RangeJoin.intervalOverlap(views, purchases,
+        unix_micros(col("v_start")), unix_micros(col("v_end")),
+        unix_micros(col("p_start")), unix_micros(col("p_end")),
+        bucketWidth = 3600L * 1000000L)
+        .select(col("view_id"), col("purchase_id"), col("v_start"), col("p_start"))
+    }),
     "q_topk_groups" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       // line_id = orderkey*10+linenumber is unique (linenumber <= 7), so
@@ -476,6 +493,17 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT view_id, purchase_id, view_ts, start_ts
         |FROM p JOIN i ON view_ts BETWEEN start_ts AND end_ts""".stripMargin,
+    "q_interval_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, CAST(ts AS TIMESTAMP) AS v_start,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS v_end
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_start,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS p_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT view_id, purchase_id, v_start, p_start
+        |FROM v JOIN p ON v_start <= p_end AND p_start <= v_end""".stripMargin,
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE ${h60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,

@@ -60,6 +60,48 @@ object RangeJoin {
       .drop("_rj_b", "_rj_p", "_rj_s", "_rj_e")
   }
 
+  /** Inner-joins two INTERVAL sets on overlap:
+    * `lStart <= rEnd AND rStart <= lEnd` (inclusive) — the
+    * session-vs-session / window-vs-window sibling of
+    * [[pointInInterval]], which Spark likewise plans as a nested-loop
+    * cross product when written as a bare non-equi join.
+    *
+    * Both sides replicate into every bucket they overlap, and a
+    * qualifying pair — which may share MANY buckets — is emitted exactly
+    * once without any distinct: only in the first bucket both occupy,
+    * `max(bucket(lStart), bucket(rStart))`. (That bucket holds
+    * `max(lStart, rStart)`, which overlap guarantees lies inside both
+    * intervals, so both replicas exist there; every earlier shared
+    * bucket is excluded by the filter, every later one by maximality.)
+    * Same integral-domain contract and `bucketWidth` sizing trade as
+    * [[pointInInterval]]; degenerate spans and hot buckets carry the
+    * same caveats. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: Column, lEnd: Column,
+                      rStart: Column, rEnd: Column,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = left
+      .withColumn("_rj_ls", lStart.cast(LongType))
+      .withColumn("_rj_le", lEnd.cast(LongType))
+      .filter(col("_rj_ls") <= col("_rj_le"))
+      .withColumn("_rj_b",
+        explode(sequence(floorDiv("_rj_ls", bucketWidth),
+          floorDiv("_rj_le", bucketWidth))))
+    val r = right
+      .withColumn("_rj_rs", rStart.cast(LongType))
+      .withColumn("_rj_re", rEnd.cast(LongType))
+      .filter(col("_rj_rs") <= col("_rj_re"))
+      .withColumn("_rj_b",
+        explode(sequence(floorDiv("_rj_rs", bucketWidth),
+          floorDiv("_rj_re", bucketWidth))))
+    l.join(r, Seq("_rj_b"))
+      .filter(col("_rj_ls") <= col("_rj_re") && col("_rj_rs") <= col("_rj_le"))
+      .filter(col("_rj_b") ===
+        greatest(floorDiv("_rj_ls", bucketWidth), floorDiv("_rj_rs", bucketWidth)))
+      .drop("_rj_b", "_rj_ls", "_rj_le", "_rj_rs", "_rj_re")
+  }
+
   /** Floor division that stays in Long arithmetic end to end — `x / w` on
     * longs yields a double (precision loss past 2^53; epoch micros are
     * past it), and SQL `div` alone truncates toward zero. Subtracting the

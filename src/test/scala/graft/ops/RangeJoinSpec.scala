@@ -63,4 +63,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join fell back to a product plan:\n$plan")
   }
+
+  private def naiveOverlap(ls: Seq[(Long, Long, Long)], rs: Seq[(Long, Long, Long)]) =
+    (for {
+      (lid, a, b) <- ls
+      (rid, c, d) <- rs
+      if a <= d && c <= b
+    } yield (lid, rid)).toSet
+
+  test("intervalOverlap matches the naive cross-product join, duplicate-free") {
+    val ls = Seq((1L, 0L, 9L), (2L, 5L, 20L), (3L, 100L, 110L), (4L, -10L, -1L))
+    val rs = Seq((10L, 8L, 12L), (11L, -5L, 0L), (12L, 200L, 300L), (13L, 0L, 1000L))
+    val out = RangeJoin.intervalOverlap(
+      ls.toDF("lid", "a", "b"), rs.toDF("rid", "c", "d"),
+      col("a"), col("b"), col("c"), col("d"), bucketWidth = 7)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSeq
+    assert(out.toSet == naiveOverlap(ls, rs))
+    // (13) spans every bucket: each overlapping pair still appears ONCE
+    assert(out.size == out.toSet.size, s"duplicates: $out")
+  }
+
+  test("intervalOverlap: inclusive touch, inverted/null intervals drop, floor buckets") {
+    val ls = Seq((1L, Some(0L), Some(5L)), (2L, Some(9L), Some(3L)), (3L, None, Some(4L)))
+    val rs = Seq((10L, Some(5L), Some(8L)), (11L, Some(-7L), Some(-1L)))
+    val out = RangeJoin.intervalOverlap(
+      ls.toDF("lid", "a", "b"), rs.toDF("rid", "c", "d"),
+      col("a"), col("b"), col("c"), col("d"), bucketWidth = 4)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L))) // endpoints touching at 5 count; inverted 2 drops
+  }
+
+  test("intervalOverlap plans as a bucket equi-join") {
+    val ls = (0L until 100L).map(i => (i, i * 3, i * 3 + 5)).toDF("lid", "a", "b")
+    val rs = (0L until 50L).map(i => (i, i * 5, i * 5 + 10)).toDF("rid", "c", "d")
+    val out = RangeJoin.intervalOverlap(ls, rs,
+      col("a"), col("b"), col("c"), col("d"), bucketWidth = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a product plan:\n$plan")
+  }
 }
