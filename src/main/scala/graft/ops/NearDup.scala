@@ -32,12 +32,25 @@ sealed abstract class HashMode(val bits: Int) {
 
   /** Seed-i minhash aggregate input, referencing the prep columns. */
   def seededHash(i: Int): Column
+
+  /** Array-lambda twin of [[minhashPrep]]/[[seededHash]] for PER-ROW
+    * signature computation (no explode, no aggregation — the streaming
+    * path): `minhashPrepElem` maps one shingle-array element to its hash
+    * precursor (materialise the mapped array through a Generate barrier so
+    * the precursor is computed once per shingle, not once per seed), and
+    * `seededHashElem(i, p)` is the seed-i value over that precursor.
+    * Bit-identical to the exploded family — `StreamNearDupSpec` pins the
+    * banded frames equal. */
+  def minhashPrepElem(s: Column): Column
+  def seededHashElem(i: Int, p: Column): Column
 }
 object HashMode {
   case object Default extends HashMode(64) {
     def hash(cols: Column*): Column = xxhash64(cols: _*)
     def minhashPrep(shingle: Column): Seq[(String, Column)] = Nil
     def seededHash(i: Int): Column = xxhash64(lit(i), col("shingle"))
+    def minhashPrepElem(s: Column): Column = s
+    def seededHashElem(i: Int, p: Column): Column = xxhash64(lit(i), p)
   }
   /** Shared md5-family behavior: the length-prefixed tuple encoding and
     * the Kirsch-Mitzenmacher double-hashed seed family (seed-i value =
@@ -57,6 +70,8 @@ object HashMode {
           coalesce(s, lit("")))
       }: _*))
     def seededHash(i: Int): Column = col("_mh_h1") + lit(i.toLong) * col("_mh_h2")
+    def seededHashElem(i: Int, p: Column): Column =
+      element_at(p, 1) + lit(i.toLong) * element_at(p, 2)
   }
 
   /** REQUIRES [[graft.functions.GraftExtensions]] on the session (every
@@ -79,6 +94,8 @@ object HashMode {
       "_mh_hh" -> call_function("graft_md5hh", shingle.cast(BinaryType)),
       "_mh_h1" -> element_at(col("_mh_hh"), 1),
       "_mh_h2" -> element_at(col("_mh_hh"), 2))
+    def minhashPrepElem(s: Column): Column =
+      call_function("graft_md5hh", s.cast(BinaryType))
   }
 
   /** [[Portable]] without the extension requirement: the identical 60-bit
@@ -98,6 +115,11 @@ object HashMode {
       "_mh_dg" -> md5(shingle.cast(BinaryType)),
       "_mh_h1" -> h1Of(col("_mh_dg")),
       "_mh_h2" -> h2Of(col("_mh_dg")))
+    // the digest-pair array from stock functions; md5 evaluates twice per
+    // element (no CSE inside lambdas) — the documented cost of the
+    // extension-free spelling, prefer Portable with GraftExtensions
+    def minhashPrepElem(s: Column): Column =
+      array(h1Of(md5(s.cast(BinaryType))), h2Of(md5(s.cast(BinaryType))))
   }
 }
 
