@@ -164,6 +164,76 @@ class HashModePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlap canonical-bucket emission is exactly-once (arithmetic model)") {
+    // model of RangeJoin.intervalOverlap's bucket replication + the
+    // emit-only-in-max(bucket(lStart), bucket(rStart)) filter: for ANY
+    // interval pair and width, an overlapping pair is emitted exactly
+    // once, a non-overlapping pair never.
+    def floorDiv(x: Long, w: Long) = (x - java.lang.Math.floorMod(x, w)) / w
+    val gen = for {
+      w <- Gen.chooseNum(1L, 13L)
+      a <- Gen.chooseNum(-60L, 60L); sa <- Gen.chooseNum(0L, 40L)
+      b <- Gen.chooseNum(-60L, 60L); sb <- Gen.chooseNum(0L, 40L)
+    } yield (w, a, a + sa, b, b + sb)
+    ContractGen.sample(gen, 400, seed = 61L).foreach { case (w, ls, le, rs, re) =>
+      val overlaps = ls <= re && rs <= le
+      val lBuckets = (floorDiv(ls, w) to floorDiv(le, w)).toSet
+      val rBuckets = (floorDiv(rs, w) to floorDiv(re, w)).toSet
+      val emissions = (lBuckets intersect rBuckets).count(b =>
+        overlaps && b == math.max(floorDiv(ls, w), floorDiv(rs, w)))
+      assert(emissions == (if (overlaps) 1 else 0),
+        s"w=$w [$ls,$le] [$rs,$re]: $emissions emissions")
+    }
+  }
+
+  test("GramBloom: zero false negatives by construction; realised fpp respects the bound") {
+    // the regression that motivated the odd-stride + enhanced-double-hash
+    // probes: a tiny filter at fpp=1e-6 measured 1.9e-4 with textbook K-M.
+    // Model the build-side indexing (same floorMod arithmetic) directly.
+    val rnd = new scala.util.Random(9L)
+    def pair() = (rnd.nextLong() & ((1L << 60) - 1), rnd.nextLong() & ((1L << 52) - 1))
+    val members = Array.fill(50)(pair())
+    val bloom = graft.ops.GramBloom.build(members, fpp = 1e-4)
+    def hits(h1: Long, h2: Long): Boolean = {
+      val stride = 2L * h2 + 1L
+      (0 until bloom.kh).forall { i =>
+        val mix = (i.toLong * i * i - i) / 6
+        val idx = java.lang.Math.floorMod(h1 + i.toLong * stride + mix, bloom.mBits)
+        (bloom.words((idx >> 6).toInt) >> (idx & 63).toInt & 1L) == 1L
+      }
+    }
+    members.foreach { case (h1, h2) => assert(hits(h1, h2), "false negative") }
+    val fps = (0 until 200000).count { _ => val (a, b) = pair(); hits(a, b) }
+    // 10x headroom over the nominal bound keeps the test un-flaky while
+    // still catching the 1000x degradation the old probing had
+    assert(fps <= 200, s"$fps false positives in 200k probes (nominal 1e-4)")
+  }
+
+  test("MinKPairs bounded-buffer equals sort-then-take under random ties (model)") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 40)
+      rows <- Gen.listOfN(n, for {
+        sk <- Gen.chooseNum(0L, 7L) // heavy sort-key ties
+        id <- Gen.chooseNum(0L, 15L)
+      } yield (sk, id))
+      k <- Gen.chooseNum(1, 6)
+      cut <- Gen.chooseNum(0, n)
+    } yield (rows, k, cut)
+    ContractGen.sample(gen, 200, seed = 53L).foreach { case (rows, k, cut) =>
+      def less(a: (Long, Long), b: (Long, Long)) =
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      def insert(buf: List[(Long, Long)], x: (Long, Long)) = {
+        val (pre, post) = buf.span(less(_, x))
+        val m = pre ::: (x :: post)
+        if (m.lengthCompare(k) > 0) m.take(k) else m
+      }
+      val (p1, p2) = rows.splitAt(cut)
+      val merged = p2.foldLeft(p1.foldLeft(List.empty[(Long, Long)])(insert))(insert)
+      val expected = rows.sorted.take(k)
+      assert(merged == expected, s"rows=$rows k=$k cut=$cut")
+    }
+  }
+
   test("packChunks chunk ids are non-decreasing within a source and start at 0 (arithmetic model)") {
     // model of the window expression over sampled token lengths
     val gen = Gen.listOfN(50, Gen.chooseNum(0, 700))
