@@ -106,6 +106,19 @@ object SparkEntry {
       graft.ops.AsofJoin.asofBackward(purchases, views, Seq("user_id"),
         "purchase_ts", "view_ts")
     }),
+    "q_asof_forward" -> ((s, d) => {
+      // next view at-or-after each purchase — the forward twin of
+      // q_asof_join over the same deduped view set
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.ops.AsofJoin.asofForward(purchases, views, Seq("user_id"),
+        "purchase_ts", "view_ts")
+    }),
     "q_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
     "q_range_join" -> ((s, d) => {
       // non-equi containment join: views landing inside the hour after any
@@ -471,6 +484,18 @@ object SparkEntry {
         |  v.view_value AS asof_view_value, v.view_ts AS asof_time
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.view_ts <= p.purchase_ts""".stripMargin,
+    "q_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |    event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.purchase_ts, p.purchase_id, p.purchase_value,
+        |  v.view_value AS asof_view_value, v.view_ts AS asof_time
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.view_ts >= p.purchase_ts""".stripMargin,
     "q_vocabulary" ->
       """WITH t AS (
         |  SELECT doc_id,

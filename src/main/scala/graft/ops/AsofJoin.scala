@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for each left row, the most recent right row with
-  * the same key and `rightTime <= leftTime` (market-data / feature-store
-  * point-in-time joins).
+/** As-of joins — for each left row, the nearest right row with the same
+  * key: backward (`rightTime <= leftTime`, market-data / feature-store
+  * point-in-time joins) or forward (`rightTime >= leftTime`, next-event
+  * joins).
   *
   * Spark has no native as-of operator; the composed plan here is the
   * scale-right one: tag and union both sides, ONE shuffle on the key, and
@@ -26,6 +27,36 @@ object AsofJoin {
       rightTime: String,
       rightPrefix: String = "asof_",
       tolerance: Option[Long] = None
+  ): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightPrefix, tolerance,
+      forward = false)
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * the same key and `rightTime >= leftTime` (next-event joins:
+    * first response after a request, next maintenance after a failure).
+    * Same single-shuffle tag-union plan as [[asofBackward]], with the
+    * carry window reversed; `tolerance` bounds `rightTime - leftTime`. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPrefix: String = "asof_",
+      tolerance: Option[Long] = None
+  ): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightPrefix, tolerance,
+      forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPrefix: String,
+      tolerance: Option[Long],
+      forward: Boolean
   ): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
@@ -48,20 +79,24 @@ object AsofJoin {
     // right row AT the left timestamp is visible to it; the payload
     // struct is the final tiebreak so two right rows with identical
     // (key, ts) resolve deterministically (largest payload wins) rather
-    // than by shuffle order
+    // than by shuffle order. Forward direction = the same running
+    // carry over the REVERSED time order: the last right row seen in
+    // descending order is the smallest rightTime >= leftTime.
+    val tsOrder = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_is_left").asc, col("_payload").asc)
+      .orderBy(tsOrder, col("_is_left").asc, col("_payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = unioned.withColumn("_payload",
       last(col("_payload"), ignoreNulls = true).over(w))
 
     val matchedRt = col("_payload").getField("_rt")
+    val age: Column =
+      if (forward) matchedRt.cast("long") - col("_ts").cast("long")
+      else col("_ts").cast("long") - matchedRt.cast("long")
     val inTolerance: Column = tolerance match {
-      case Some(secs) =>
-        matchedRt.isNotNull &&
-          col("_ts").cast("long") - matchedRt.cast("long") <= secs
-      case None => matchedRt.isNotNull
+      case Some(secs) => matchedRt.isNotNull && age <= secs
+      case None       => matchedRt.isNotNull
     }
 
     val out = payloadCols.foldLeft(carried.filter(col("_is_left") === 1))(

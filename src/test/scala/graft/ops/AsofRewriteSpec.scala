@@ -32,6 +32,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(0).getAs[Timestamp]("asof_time") == ts("2024-01-01 10:00:00"))
   }
 
+  test("forward as-of join picks the earliest right row at-or-after each left row") {
+    val out = AsofJoin.asofForward(trades, quotes, Seq("key"), "trade_ts", "quote_ts")
+      .orderBy("key", "trade_ts").collect()
+    // trade 10:00:05 → next quote 10:00:30; trade 10:00:30 → the equal-ts quote
+    assert(out(0).getAs[Double]("asof_px") == 100.5)
+    assert(out(0).getAs[Timestamp]("asof_time") == ts("2024-01-01 10:00:30"))
+    assert(out(1).getAs[Double]("asof_px") == 100.5) // equal timestamp visible
+    assert(out(2).getAs[Double]("asof_px") == 199.5) // 10:00:10 → quote at :20
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_px"))) // no quotes for key
+    // forward tolerance bounds rightTime - leftTime
+    val tight = AsofJoin.asofForward(trades, quotes, Seq("key"), "trade_ts", "quote_ts",
+      tolerance = Some(5L)).orderBy("key", "trade_ts").collect()
+    assert(tight(0).isNullAt(tight(0).fieldIndex("asof_px"))) // 25s ahead > 5s
+    assert(tight(1).getAs[Double]("asof_px") == 100.5)        // 0s ahead
+  }
+
   test("tolerance nulls out stale matches") {
     val out = AsofJoin.asofBackward(trades, quotes, Seq("key"), "trade_ts", "quote_ts",
       tolerance = Some(3L)).orderBy("key", "trade_ts").collect()
