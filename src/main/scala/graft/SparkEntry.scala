@@ -295,6 +295,17 @@ object SparkEntry {
           TextOps.tokenCount(col("text"))),
         budget = 512, shards = 1)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("chunk_id"))),
+    // chunk ids -> actual packed sequences (deterministic id-ordered concat)
+    "q_pack_text" -> ((s, d) =>
+      Curate.packText(
+        Curate.packChunks(
+          t(s, d, "documents").withColumn("n_tokens",
+            TextOps.tokenCount(col("text"))),
+          budget = 512, shards = 1))
+        .select(col("source"), col("chunk_id"), col("n_docs"), col("packed_text"))),
+    "q_truncate" -> ((s, d) =>
+      TextOps.truncateTokens(t(s, d, "documents"), maxTokens = 32)
+        .select(col("doc_id"), col("text"), col("n_tokens_kept"))),
     // the sharded (bounded-task) path: per-(source, shard) running sums +
     // broadcast prefix offsets are provably equal to ONE running sum in
     // shard-major (shard, id) order — which is exactly what the oracle
@@ -629,6 +640,24 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
         |FROM t""".stripMargin,
+    "q_pack_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+        |  FROM t)
+        |SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  string_agg(text, ' ' ORDER BY doc_id ASC) AS packed_text
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_truncate" ->
+      """SELECT doc_id,
+        |  array_to_string(regexp_extract_all(text, '\S+')[1:32], ' ') AS text,
+        |  CAST(least(len(regexp_extract_all(text, '\S+')), 32) AS BIGINT) AS n_tokens_kept
+        |FROM documents""".stripMargin,
     "q_pack_chunks_sharded" ->
       """WITH t AS (
         |  SELECT doc_id, source,

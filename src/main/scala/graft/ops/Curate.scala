@@ -318,6 +318,27 @@ object Curate {
     }
   }
 
+  /** Materialise packed training sequences from a [[packChunks]]
+    * assignment: one row per (source, chunk) with the member documents'
+    * text concatenated in id order — the step that turns chunk IDS into
+    * the actual sequences a tokenizer consumes.
+    *
+    * Determinism: `collect_list` order is shuffle-dependent, so texts
+    * ride in (id, text) structs and `array_sort` fixes the order BEFORE
+    * the join — same output under any partitioning. One aggregation
+    * keyed by (source, chunk): at most `budget` tokens of text per
+    * group by construction, so group state is bounded by the packing
+    * budget, not by source size. */
+  def packText(chunked: DataFrame, sep: String = " ",
+               textCol: String = "text", sourceCol: String = "source",
+               idCol: String = "doc_id"): DataFrame =
+    chunked.groupBy(col(sourceCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            e => e.getField(textCol)), sep).as("packed_text"))
+
   /** Distinct k-gram set per doc over normalised text (no short-doc
     * fallback: a doc shorter than k tokens has no k-grams). Reuses
     * [[NearDup.explodedShingles]]' Generate-barrier tokenisation. */

@@ -245,6 +245,24 @@ object TextOps {
           .otherwise(lit(0.0)).as("entropy"))
   }
 
+  /** Truncate each document to its first `maxTokens` whitespace tokens
+    * (context-length preparation) — a pure projection over the token
+    * array: whole tokens only, case and token content preserved (only
+    * inter-token whitespace collapses to single spaces), plus the
+    * kept-token count. Empty tokens are filtered BEFORE the slice so
+    * leading whitespace never consumes a budget slot. */
+  def truncateTokens(docs: DataFrame, maxTokens: Int,
+                     textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    docs
+      .withColumn("_tt_toks", explode(array(split(col(textCol), "\\s+"))))
+      .withColumn("_tt_kept",
+        slice(filter(col("_tt_toks"), t => length(t) > 0), 1, maxTokens))
+      .withColumn("n_tokens_kept", size(col("_tt_kept")).cast(LongType))
+      .withColumn(textCol, array_join(col("_tt_kept"), " "))
+      .drop("_tt_toks", "_tt_kept")
+  }
+
   def fingerprintCol(text: Column): Column = md5(normText(text))
 
   /** Duplicate-group summary: fingerprint, group size, canonical doc. */

@@ -202,6 +202,21 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("packText concatenates chunk members in id order regardless of partitioning") {
+    val d = Seq(
+      (3L, "cc", "s1", 2L), (1L, "aa", "s1", 2L), (2L, "bb", "s1", 2L),
+      (4L, "dd", "s2", 1L)
+    ).toDF("doc_id", "text", "source", "n_tokens")
+    val chunked = Curate.packChunks(d, budget = 4, shards = 1)
+    val out = Curate.packText(chunked.repartition(7)) // scramble partitions
+      .orderBy("source", "chunk_id").collect()
+    // budget 4 tokens: docs 1,2 (4 tokens) -> chunk 0; doc 3 -> chunk 1
+    assert(out(0).getAs[String]("packed_text") == "aa bb")
+    assert(out(0).getAs[Long]("n_docs") == 2L)
+    assert(out(1).getAs[String]("packed_text") == "cc")
+    assert(out(2).getAs[String]("packed_text") == "dd")
+  }
+
   test("stratifiedSample takes exact per-stratum quotas, deterministically") {
     val big = (0L until 400L).map(i =>
       (i, s"t$i", if (i % 2 == 0) "en" else "de", s"s${i % 4}"))

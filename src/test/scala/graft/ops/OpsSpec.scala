@@ -40,6 +40,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getAs[Boolean]("correct"))
   }
 
+  test("truncateTokens keeps whole tokens, case, and budget under messy whitespace") {
+    val d = Seq(
+      (1L, "  Alpha   Beta\tGamma Delta  "), // leading/odd whitespace
+      (2L, "one two"),                       // under budget
+      (3L, "")                               // empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.truncateTokens(d, maxTokens = 3).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text") == "Alpha Beta Gamma") // case kept, 3 tokens
+    assert(out(0).getAs[Long]("n_tokens_kept") == 3L)
+    assert(out(1).getAs[String]("text") == "one two")
+    assert(out(1).getAs[Long]("n_tokens_kept") == 2L)
+    assert(out(2).getAs[String]("text") == "")
+    assert(out(2).getAs[Long]("n_tokens_kept") == 0L)
+  }
+
   test("bigramLm: conditional probabilities normalise over ALL continuations") {
     val d = Seq(
       (1L, "a b a b a c"),  // bigrams: ab, ba, ab, ba, ac
