@@ -213,6 +213,11 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
     "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
+    // SemDeDup: cluster-blocked (unsupervised) embedding dedup; 0.4 fires
+    // on this corpus (its cosine ceiling ~0.5 — the default 0.9 is the
+    // real-embedding near-dup regime and would gate a vacuous result)
+    "q_dedup_semantic" -> ((s, d) =>
+      VectorOps.semanticPairs(t(s, d, "embeddings"), threshold = 0.4)),
     "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
     // fixed-similarity twin of annBrute: all neighbors within the radius,
     // zero exchanges (broadcast probes × scan, threshold fused in the scan)
@@ -891,6 +896,20 @@ object SparkEntry {
         |FROM n CROSS JOIN p
         |WHERE n.vec_id <> probe_id
         |  AND round(list_dot_product(pv, v) / (pn * nrm), 6) >= 0.3""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cid FROM n CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4""".stripMargin,
     "q_ann_brute" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

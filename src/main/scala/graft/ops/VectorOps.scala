@@ -62,25 +62,64 @@ object VectorOps {
     * for high thresholds (true near-dup), [[embeddingPairsLsh]] prunes the
     * pair space instead of just bounding the tasks. */
   def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.35,
-                     targetBlock: Int = 4096): DataFrame = {
-    val e = prepared(embeddings)
-    val grids = e.groupBy(col("label"))
+                     targetBlock: Int = 4096): DataFrame =
+    gridPairs(prepared(embeddings), "label", threshold, targetBlock)
+
+  /** The triangle-grid all-pairs join over an arbitrary blocking column
+    * (see [[embeddingPairs]] for the cell math) — shared by label-blocked
+    * and cluster-blocked (SemDeDup) pair mining. */
+  private def gridPairs(e: DataFrame, blockCol: String, threshold: Double,
+                        targetBlock: Int): DataFrame = {
+    val grids = e.groupBy(col(blockCol))
       .agg(ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(IntegerType).as("g"))
-    val eg = e.join(broadcast(grids), Seq("label"))
+    val eg = e.join(broadcast(grids), Seq(blockCol))
       .withColumn("bkt", pmod(col("vec_id"), col("g")).cast(IntegerType))
-    val a = eg.select(col("label"),
+    val a = eg.select(col(blockCol),
       col("bkt").as("ci"), explode(sequence(col("bkt"), col("g") - 1)).as("cj"),
       col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = eg.select(col("label"),
+    val b = eg.select(col(blockCol),
       explode(sequence(lit(0), col("bkt"))).as("ci"), col("bkt").as("cj"),
       col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label", "ci", "cj"))
+    a.join(b, Seq(blockCol, "ci", "cj"))
       .filter(col("ci") < col("cj") || col("id_a") < col("id_b"))
       .withColumn("cosine", cosR(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("vec_a"),
         greatest(col("id_a"), col("id_b")).as("vec_b"),
-        col("label"), col("cosine"))
+        col(blockCol), col("cosine"))
+  }
+
+  /** SemDeDup-style semantic dedup pairs: embedding near-duplicates
+    * WITHIN coarse semantic clusters — unsupervised, the cluster
+    * assignment (same zero-exchange centroid argmax the IVF family uses,
+    * optionally Lloyd-refined) replacing [[embeddingPairs]]' label
+    * blocking. Pair work is Σ n_c² over clusters instead of n² — at
+    * 100 TB the cluster count is the knob that bounds the quadratic —
+    * and within each cluster the triangle grid bounds per-task pair
+    * space exactly as in [[embeddingPairs]]. A near-dup threshold
+    * (≥ 0.9) is the SemDeDup-paper regime; cross-cluster near-dups
+    * straddling a centroid boundary are missed — the standard trade,
+    * mitigated by more `kmeansIters` or fewer, larger clusters. */
+  def semanticPairs(embeddings: DataFrame, threshold: Double = 0.9,
+                    nCentroids: Int = 16, kmeansIters: Int = 0,
+                    literalMax: Int = CentroidLiteralMax,
+                    targetBlock: Int = 4096): DataFrame = {
+    val e = prepared(embeddings)
+    val seeds = seedLowestIds(e, nCentroids)
+    val cents =
+      if (kmeansIters > 0) refineCentroids(e, seeds, kmeansIters, literalMax, nCentroids)
+      else seeds
+    val assigned =
+      if (nCentroids > literalMax) assignByJoin(e, cents, Seq("label", "v", "nrm"))
+      else centroidLiteral(cents) match {
+        case None => return e.limit(0)
+          .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+            col("vec_id").as("cid"), col("nrm").as("cosine"))
+        case Some(cl) => e
+          .withColumn("cid", element_at(nearestClusterArray(cl, 1), 1).getField("cid"))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      }
+    gridPairs(assigned, "cid", threshold, targetBlock)
   }
 
   /** Approximate embedding near-dup pairs: random-hyperplane LSH candidate

@@ -181,6 +181,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("semanticPairs: cluster-blocked dedup finds same-cluster near-dups unsupervised") {
+    // no labels consulted: 0/1 identical (cluster of seed 0), 3/4 identical
+    val out = VectorOps.semanticPairs(emb, threshold = 0.9, nCentroids = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L)))
+    assert(out.contains((3L, 4L)))
+    // orthogonal pair never crosses the threshold
+    assert(!out.contains((0L, 2L)))
+    // grid size does not change the result
+    val g1 = VectorOps.semanticPairs(emb, threshold = 0.9, nCentroids = 2, targetBlock = 1)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(g1 == out)
+  }
+
   test("annRadius returns exactly the above-threshold neighborhood, no ranks") {
     val out = VectorOps.annRadius(emb, nProbes = 1, threshold = 0.5)
       .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
