@@ -30,6 +30,34 @@ class EdgeCasesSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 
+  test("round-6 ops are total on empty corpora and null text") {
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(TextOps.bigramLm(emptyDocs).count() == 0)
+    assert(TextOps.tokenEntropy(emptyDocs).count() == 0)
+    assert(TextOps.truncateTokens(emptyDocs, 8).count() == 0)
+    assert(Curate.boilerplateRatio(emptyDocs).count() == 0)
+    assert(Curate.stratifiedSample(emptyDocs, Seq("lang"), k = 3).count() == 0)
+    assert(Curate.contaminationFlag(emptyDocs,
+      Seq((1L, "a b c d")).toDF("doc_id", "text")).count() == 0)
+    assert(VectorOps.annRadius(emptyEmb).count() == 0)
+    assert(VectorOps.annIvfRadius(emptyEmb).count() == 0)
+    assert(VectorOps.semanticPairs(emptyEmb).count() == 0)
+    assert(RangeJoin.intervalOverlap(
+      Seq.empty[(Long, Long, Long)].toDF("lid", "a", "b"),
+      Seq.empty[(Long, Long, Long)].toDF("rid", "c", "d"),
+      col("a"), col("b"), col("c"), col("d"), bucketWidth = 10).count() == 0)
+
+    // null text: projections stay total (null/zero outputs, no crash)
+    val withNull = Seq((1L, null.asInstanceOf[String], "en", "s1"),
+      (2L, "a b c d e", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    assert(TextOps.tokenEntropy(withNull).count() == 2)
+    assert(TextOps.truncateTokens(withNull, 3).count() == 2)
+    assert(Curate.boilerplateRatio(withNull).count() == 2)
+    val ent = TextOps.tokenEntropy(withNull).filter(col("doc_id") === 1).collect()(0)
+    assert(ent.getAs[Long]("n_tokens") == 0L && ent.getAs[Double]("entropy") == 0.0)
+  }
+
   test("vector ops are total on empty and offset-id corpora") {
     val emptyVecs = Seq.empty[(Long, Seq[Float], Int)]
       .toDF("vec_id", "embedding", "label")
