@@ -26,7 +26,7 @@ object Bench {
     "q_pack_chunks_sharded",
     // round-6 operators
     "q_stratified_sample", "q_entropy", "q_bigram_lm", "q_boilerplate",
-    "q_ann_radius", "q_ann_radius_ivf")
+    "q_ann_radius", "q_ann_radius_ivf", "q_interval_join", "q_dedup_semantic")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -50,7 +50,8 @@ object Bench {
     // factor observed between local and driver runs since r4)
     "q_stratified_sample" -> 0.39, "q_entropy" -> 0.66,
     "q_bigram_lm" -> 0.31, "q_boilerplate" -> 0.74,
-    "q_ann_radius" -> 0.21, "q_ann_radius_ivf" -> 0.70
+    "q_ann_radius" -> 0.21, "q_ann_radius_ivf" -> 0.70,
+    "q_interval_join" -> 0.36, "q_dedup_semantic" -> 1.82
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,
