@@ -1,7 +1,7 @@
 package graft.stream
 
 import graft.ops.{HashMode, NearDup, TextOps}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -64,6 +64,41 @@ object StreamNearDup {
     }
     withSigs.select(col("doc_id"), col("nsh"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** Exact-verification tail for [[candidates]]: joins each candidate
+    * pair against a STATIC document store (two stream-static joins —
+    * stateless, per micro-batch) and computes the exact shingle Jaccard
+    * PER ROW with array expressions (`array_intersect` over the two
+    * distinct shingle sets — no explode, no aggregation), keeping pairs
+    * at or above `threshold`. Output equals the batch
+    * [[NearDup.ngramPairs]] verdict on the candidate subset; repeats in
+    * the candidate stream produce repeated verified rows — dedupe
+    * downstream like the candidates themselves.
+    *
+    * The doc store is the static side by design: verifying against
+    * in-stream text would need the stream buffered forever; a store the
+    * pipeline writes anyway (or the batch corpus being appended to) is
+    * the natural source of truth. */
+  def verified(candidatePairs: DataFrame, docStore: DataFrame,
+               k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    def shingleSet(textCol: Column): Column =
+      NearDup.shinglesOf(textCol, k) // distinct by default
+    val a = docStore
+      .withColumn("_v_toks", explode(array(split(TextOps.normText(col("text")), " "))))
+      .select(col("doc_id").as("doc_a"), shingleSet(col("_v_toks")).as("_sh_a"))
+    val b = docStore
+      .withColumn("_v_toks", explode(array(split(TextOps.normText(col("text")), " "))))
+      .select(col("doc_id").as("doc_b"), shingleSet(col("_v_toks")).as("_sh_b"))
+    candidatePairs
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b"))
+      .withColumn("_common", size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("_common").cast("double") /
+          (size(col("_sh_a")) + size(col("_sh_b")) - col("_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Candidate near-dup pairs `(doc_a, doc_b)`, `doc_a < doc_b`, from a

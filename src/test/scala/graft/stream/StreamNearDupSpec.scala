@@ -60,6 +60,26 @@ class StreamNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming verify tail reproduces the batch verified pairs on the candidate stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batchVerified = NearDup.minhashPairs(docs, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val mem = MemoryStream[(Long, String)](spark)
+    val src = mem.toDF().toDF("doc_id", "text")
+    val out = StreamNearDup.verified(
+      StreamNearDup.candidates(src, threshold = 0.7), docStore = docs)
+    val q = out.writeStream.format("memory").queryName("snd_verified")
+      .outputMode("append").start()
+    try {
+      docs.collect().foreach(r => mem.addData((r.getLong(0), r.getString(1))))
+      q.processAllAvailable()
+      val streamed = spark.table("snd_verified")
+        .as[(Long, Long, Double)].collect().toSet // set: candidate repeats collapse
+      assert(streamed == batchVerified,
+        s"stream=${streamed}, batch=${batchVerified}")
+    } finally q.stop()
+  }
+
   test("bucket state caps at maxBucket: later docs only pair against kept members") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(Long, String)](spark)
