@@ -137,6 +137,52 @@ object StressTool {
       println(f"$name: max/mean cluster ratio ${ratio}%.2f (${t}%.1fs incl. seeding)")
     }
     clustered.unpersist()
+
+    // Stratified sampling under a DOMINANT stratum (the capPerSource
+    // hazard): the window formulation funnels the hot stratum — 85% of
+    // the corpus, payload included — through ONE task's shuffle+sort,
+    // while the MinKPairs aggregation reduces every input partition to
+    // ≤ k (hash, id) pairs in parallel and semi-joins the kept ids back,
+    // so the payload never shuffles and no single task owns the stratum.
+    // (On narrow rows with many small strata the window formulation is
+    // actually fine — this measures the skewed shape that breaks it.)
+    val ns = 8_000_000L
+    val strat = spark.range(ns).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(100)) < 85, lit("en"))
+        .otherwise(concat(lit("l"), pmod(col("id"), lit(5)))).as("lang"),
+      concat_ws(" ", array_repeat(concat(lit("tok"), pmod(col("id"), lit(97))), 80))
+        .as("text")).cache()
+    strat.count()
+    println(f"\n== stratified sampling, dominant stratum ($ns%,d docs + ~500B payload, 85%% one lang) ==")
+    val (nSamp, tS) = timed(
+      Curate.stratifiedSample(strat, Seq("lang"), k = 100)
+        .write.format("noop").mode("overwrite").save())
+    println(f"MinKPairs bounded agg + semi-join (payload unshuffled): ${tS}%.1fs")
+    val (_, tW) = timed {
+      import org.apache.spark.sql.expressions.Window
+      val h = HashMode.Default.hash(lit("strat"), col("doc_id"))
+      strat.withColumn("_rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)))
+        .filter(col("_rn") <= 100).drop("_rn")
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"row_number window (85%% of corpus sorts in ONE task):    ${tW}%.1fs")
+    val kept = Curate.stratifiedSample(strat, Seq("lang"), k = 100).count()
+    println(f"kept rows: $kept%,d")
+    strat.unpersist()
+
+    // Interval-overlap join: replication factor vs output volume. Naive
+    // would be |L|x|R| = 10^9 comparisons; the bucketed join's work is
+    // replicas + true matches.
+    val nl = 100_000L; val nr = 10_000L
+    val lIv = spark.range(nl).select(col("id").as("lid"),
+      (col("id") * 50).as("a"), (col("id") * 50 + 400).as("b"))
+    val rIv = spark.range(nr).select(col("id").as("rid"),
+      (col("id") * 500).as("c"), (col("id") * 500 + 900).as("d"))
+    println(f"\n== interval-overlap join ($nl%,d x $nr%,d intervals, naive = 10^9 pairs) ==")
+    val (nOv, tOv) = timed(RangeJoin.intervalOverlap(lIv, rIv,
+      col("a"), col("b"), col("c"), col("d"), bucketWidth = 500).count())
+    println(f"bucketed overlap join:    $nOv%,d pairs in ${tOv}%.1fs")
     spark.stop()
   }
 }
