@@ -269,6 +269,22 @@ object SparkEntry {
       Curate.contaminationBloom(docs.filter(col("doc_id") >= 50),
         docs.filter(col("doc_id") < 50))
     }),
+    // end-to-end curation pipeline: quality filter → exact dedup →
+    // weighted mixture → split assignment, composed exactly as a user
+    // would chain them — gates that the operators compose, not just that
+    // each works alone
+    "q_curation_pipeline" -> ((s, d) => {
+      val quality = TextOps.textQuality(t(s, d, "documents"))
+        .filter(col("keep")).select(col("doc_id"))
+      val docs = t(s, d, "documents").join(quality, Seq("doc_id"), "left_semi")
+      val deduped = TextOps.dedupExact(docs)
+      val mixed = Curate.mixBySource(deduped,
+        Map("src0" -> 0, "src1" -> 25, "src2" -> 50), defaultPercent = 75,
+        mode = HashMode.Portable)
+      Curate.assignSplits(mixed,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), mode = HashMode.Portable)
+        .select(col("doc_id"), col("lang"), col("source"), col("split"))
+    }),
     "q_split_assign" -> ((s, d) =>
       Curate.assignSplits(t(s, d, "documents"),
         Seq("train" -> 80, "val" -> 10, "test" -> 10), mode = HashMode.Portable)
@@ -626,6 +642,30 @@ object SparkEntry {
     // the bloom path must be indistinguishable from the exact path —
     // literally the same oracle
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_curation_pipeline" ->
+      s"""WITH q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      0.4 * least($ntok / 100.0, 1.0) + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '$punct')) AS DOUBLE) / greatest(length(text), 1))
+        |        + 0.3 * least(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|of|to|and|in|is|it|that|for|on|with|as)\\b')) AS DOUBLE) / greatest($ntok, 1) * 5.0, 1.0) AS score
+        |    FROM documents)
+        |  WHERE score >= 0.5),
+        |kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+        |dd AS (
+        |  SELECT doc_id, lang, source FROM (
+        |    SELECT doc_id, lang, source,
+        |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |    FROM kept)
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+        |mixed AS (
+        |  SELECT * FROM dd
+        |  WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 <
+        |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 25
+        |                WHEN 'src2' THEN 50 ELSE 75 END)
+        |SELECT doc_id, lang, source,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang, source,
+        |  ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS h FROM mixed)""".stripMargin,
     "q_split_assign" ->
       s"""SELECT doc_id, source,
         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
