@@ -151,6 +151,23 @@ object IvfIndex {
           .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
     }
 
+  /** SemDeDup over the physical layout: near-duplicate pairs within each
+    * coarse cluster, read straight from the `cid`-partitioned data — the
+    * build-once/dedup-many twin of [[VectorOps.semanticPairs]] (whose
+    * logical assignment this layout materialised at build time). Each
+    * cluster's pair space is grid-bounded exactly as in the logical
+    * operator; because `cid` is a partition column, a re-run can also
+    * restrict to chosen cluster partitions. Sub-sharded builds
+    * (`maxRowsPerPartition`) add a `sub` leaf level under each cid —
+    * grouping stays on `cid`, so shard boundaries never hide a pair. */
+  def semanticPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                    targetBlock: Int = 4096): DataFrame = {
+    val data = spark.read.parquet(s"$dir/data")
+    VectorOps.gridPairs(
+      data.select(col("vec_id"), col("v"), col("nrm"), col("cid").cast("long").as("cid")),
+      "cid", threshold, targetBlock)
+  }
+
   /** Shared probe→cluster pruning + scoring: driver-side cluster
     * selection against the centroid metadata, partition-pruned data read,
     * broadcast probe join, rounded-cosine scoring. None when the index or

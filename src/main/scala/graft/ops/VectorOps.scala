@@ -67,9 +67,11 @@ object VectorOps {
 
   /** The triangle-grid all-pairs join over an arbitrary blocking column
     * (see [[embeddingPairs]] for the cell math) — shared by label-blocked
-    * and cluster-blocked (SemDeDup) pair mining. */
-  private def gridPairs(e: DataFrame, blockCol: String, threshold: Double,
-                        targetBlock: Int): DataFrame = {
+    * and cluster-blocked (SemDeDup) pair mining, and by
+    * [[IvfIndex.semanticPairs]] over the physical layout. Expects
+    * `(vec_id, v, nrm, blockCol)` columns. */
+  private[ops] def gridPairs(e: DataFrame, blockCol: String, threshold: Double,
+                             targetBlock: Int): DataFrame = {
     val grids = e.groupBy(col(blockCol))
       .agg(ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(IntegerType).as("g"))
     val eg = e.join(broadcast(grids), Seq(blockCol))

@@ -47,6 +47,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(topAbove.subsetOf(radiusPairs))
   }
 
+  test("indexed semanticPairs equals the logical operator, incl. sub-sharded layouts") {
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cosine")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val logical = pairs(VectorOps.semanticPairs(e, threshold = 0.4, nCentroids = 8))
+    assert(logical.nonEmpty, "threshold 0.4 must fire on this corpus")
+    val dir = tmpDir("graft_ivfidx_sem")
+    IvfIndex.build(e, dir, nCentroids = 8)
+    assert(pairs(IvfIndex.semanticPairs(spark, dir, threshold = 0.4)) == logical)
+    // sub-sharded leaves must not hide within-cluster pairs
+    val dir2 = tmpDir("graft_ivfidx_sem_sub")
+    IvfIndex.build(e, dir2, nCentroids = 8, maxRowsPerPartition = 8)
+    assert(pairs(IvfIndex.semanticPairs(spark, dir2, threshold = 0.4)) == logical)
+  }
+
   test("spread-seeded build matches the logical spread-seeded annIvf and balances clusters") {
     // clustered corpus: 90% of vectors share one direction (+tiny id-keyed
     // jitter so directions are distinct), 10% are spread — lowest-id seeds
