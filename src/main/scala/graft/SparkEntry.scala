@@ -120,6 +120,7 @@ object SparkEntry {
         "purchase_ts", "view_ts")
     }),
     "q_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
+    "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(t(s, d, "documents"))),
     "q_range_join" -> ((s, d) => {
       // non-equi containment join: views landing inside the hour after any
       // purchase. No shared key — the bucketed rewrite is the whole point.
@@ -540,6 +541,23 @@ object SparkEntry {
         |  CAST(doc_freq AS BIGINT) AS doc_freq,
         |  CAST(term_freq AS DOUBLE) / (SELECT CAST(sum(term_freq) AS DOUBLE) FROM c) AS corpus_share
         |FROM c""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok AS token, count(*) AS term_freq FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(term_freq) AS DOUBLE) AS tot FROM c)
+        |SELECT CAST(rank AS BIGINT) AS "rank", token,
+        |  CAST(term_freq AS BIGINT) AS term_freq, round(cum_share, 6) AS cum_share
+        |FROM (
+        |  SELECT token, term_freq,
+        |    row_number() OVER (ORDER BY term_freq DESC, token ASC) AS rank,
+        |    sum(CAST(term_freq AS DOUBLE) / tot) OVER (
+        |      ORDER BY term_freq DESC, token ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_share
+        |  FROM c CROSS JOIN tot)
+        |WHERE rank <= 20""".stripMargin,
     "q_range_join" ->
       """WITH p AS (
         |  SELECT event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts

@@ -179,6 +179,23 @@ object TextOps {
     TopK.topKPerKeyStr(scored, "doc_id", "token", "tfidf", topK)
   }
 
+  /** Vocabulary coverage curve: the `topK` most frequent tokens with
+    * their cumulative corpus share — the "how big must the tokenizer
+    * vocab be to cover X% of tokens" signal. The ranking window runs
+    * over the VOCABULARY frame (one row per distinct token — never the
+    * corpus), so the full-sort window is fine here; ties break on the
+    * token string for an engine-stable curve. */
+  def vocabCoverage(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val w = Window.orderBy(col("term_freq").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vocabulary(docs)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("term_freq").desc, col("token").asc)).cast(LongType))
+      .withColumn("cum_share", round(sum(col("corpus_share")).over(w), 6))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("token"), col("term_freq"), col("cum_share"))
+  }
+
   /** Corpus bigram language-model statistics: count and conditional
     * probability `P(w2 | w1) = c(w1 w2) / Σ_w c(w1 w)` for every bigram
     * occurring at least `minCount` times — the KenLM-style corpus-stats
