@@ -105,9 +105,12 @@ object VectorOps {
   def semanticPairs(embeddings: DataFrame, threshold: Double = 0.9,
                     nCentroids: Int = 16, kmeansIters: Int = 0,
                     literalMax: Int = CentroidLiteralMax,
-                    targetBlock: Int = 4096): DataFrame = {
+                    targetBlock: Int = 4096,
+                    spreadSeed: Boolean = false): DataFrame = {
     val e = prepared(embeddings)
-    val seeds = seedLowestIds(e, nCentroids)
+    val seeds =
+      if (spreadSeed) seedCentroidsSpread(e, nCentroids)
+      else seedLowestIds(e, nCentroids)
     val cents =
       if (kmeansIters > 0) refineCentroids(e, seeds, kmeansIters, literalMax, nCentroids)
       else seeds
