@@ -36,6 +36,18 @@ final case class DatasetRecord(
     (activity.map(_.recordedAt) ++ status.map(_.recordedAt)).maxOption.getOrElse(0L)
 }
 
+/** One stored metric observation — the reference's `dq_metrics` row shape
+  * (`governance/backend/stores/_metrics.py:34-66`): the value as TEXT
+  * (nothing is dropped for being non-numeric) plus a numeric hint when
+  * the value resembles a number, which is what history charts filter on. */
+final case class MetricObservation(
+    datasetId: String,
+    datasetVersion: String,
+    key: String,
+    valueText: String,
+    valueNumeric: Option[Double],
+    recordedAt: Long)
+
 /** One dataset version's recorded governance verdict. */
 final case class DatasetStatus(
     datasetId: String,
@@ -81,6 +93,16 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       statusOf(validation), validation.errors, validation.warnings,
       validation.metrics.collect { case (k, v: Number) => k -> v.doubleValue },
       System.currentTimeMillis())
+    // every metric survives as text with a numeric hint (the reference's
+    // normalise_metric_value, `stores/_metrics.py:34`): numeric-only
+    // storage would silently drop observation payloads like the
+    // observed.enum_* value lists
+    val metricsRaw = validation.metrics.toList.sortBy(_._1).map { case (k, v) =>
+      val (text, num) = GovernanceBackend.normaliseMetricValue(v)
+      k -> (JObject(
+        "text" -> JString(text),
+        "numeric" -> num.map(JDouble(_): JValue).getOrElse(JNull)): JValue)
+    }
     val json = JObject(
       "datasetId" -> JString(record.datasetId),
       "datasetVersion" -> JString(record.datasetVersion),
@@ -90,6 +112,7 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       "errors" -> JArray(record.errors.toList.map(JString(_))),
       "warnings" -> JArray(record.warnings.toList.map(JString(_))),
       "metrics" -> JObject(record.metrics.toList.map { case (k, v) => k -> (JDouble(v): JValue) }),
+      "metricsRaw" -> JObject(metricsRaw),
       "recordedAt" -> JLong(record.recordedAt))
     Files.writeString(
       root.resolve("status").resolve(safe(s"$datasetId@$datasetVersion") + ".json"),
@@ -367,5 +390,56 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
     }
     files.flatMap(f => parseStatus(Files.readString(f)))
+  }
+
+  /** Per-dataset metric history — the reference's `dq_metrics` charting
+    * surface: one [[MetricObservation]] per (version, metric), text value
+    * always present, numeric hint when the value resembles a number.
+    * Records written before the `metricsRaw` payload existed fall back to
+    * their numeric metrics map. Ordered (recordedAt, version, key). */
+  def metricHistory(datasetId: String): Seq[MetricObservation] = {
+    val files = scala.util.Using.resource(Files.list(root.resolve("status"))) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+    }
+    files.flatMap { f =>
+      val text = Files.readString(f)
+      parseStatus(text).filter(_.datasetId == datasetId).toSeq.flatMap { st =>
+        val fields = JsonMethods.parse(text) match {
+          case JObject(fs) => fs.toMap
+          case _ => Map.empty[String, JValue]
+        }
+        fields.get("metricsRaw") match {
+          case Some(JObject(ms)) => ms.collect { case (k, JObject(payload)) =>
+            val p = payload.toMap
+            MetricObservation(st.datasetId, st.datasetVersion, k,
+              p.get("text").collect { case JString(v) => v }.getOrElse(""),
+              p.get("numeric").collect {
+                case JDouble(v) => v
+                case JInt(v) => v.toDouble
+              },
+              st.recordedAt)
+          }
+          case _ => st.metrics.toSeq.map { case (k, v) =>
+            MetricObservation(st.datasetId, st.datasetVersion, k,
+              GovernanceBackend.normaliseMetricValue(v)._1, Some(v), st.recordedAt)
+          }
+        }
+      }
+    }.sortBy(o => (o.recordedAt, o.datasetVersion, o.key))
+  }
+}
+
+object GovernanceBackend {
+  /** Storage-friendly (text, numeric hint) for a metric value — the
+    * reference's `normalise_metric_value` (`stores/_metrics.py:34-66`):
+    * numbers keep a float twin, numeric-looking strings are coerced,
+    * everything else is text-only. */
+  def normaliseMetricValue(value: Any): (String, Option[Double]) = value match {
+    case null => ("", None)
+    case n: Number => (String.valueOf(n), Some(n.doubleValue))
+    case s: String =>
+      (s, Option(s.trim).filter(_.nonEmpty).flatMap(_.toDoubleOption))
+    case other => (String.valueOf(other), None)
   }
 }

@@ -35,6 +35,34 @@ class GovernanceSpec extends SparkSpec {
     assert(gov.statusMatrix().map(_.status).sorted == Seq("block", "ok"))
   }
 
+  test("metric history keeps every metric as text with numeric hints (dq_metrics shape)") {
+    val root = tmpDir("graft_govmh")
+    val gov = new GovernanceBackend(s"$root/governance")
+    val c = DemoContracts.lineitemAlign
+    import spark.implicits._
+    // a validation whose metrics mix numbers with a non-numeric payload
+    // (the observed.enum_* lists numeric-only storage would drop)
+    val vr = graft.quality.ValidationResult(ok = true, Nil, Nil,
+      Map("row_count" -> 42L, "violations.enum_tag" -> 2L,
+        "observed.enum_tag" -> Seq("x", "y")),
+      Map.empty)
+    gov.recordValidation("d1", "v1", c, vr, proposeDraftOnFeedback = false)
+    val vr2 = vr.copy(metrics = Map("row_count" -> 43L))
+    gov.recordValidation("d1", "v2", c, vr2, proposeDraftOnFeedback = false)
+    gov.recordValidation("other", "v1", c, vr2, proposeDraftOnFeedback = false)
+
+    val hist = gov.metricHistory("d1")
+    assert(hist.map(_.datasetVersion).distinct == Seq("v1", "v2"))
+    val v1 = hist.filter(_.datasetVersion == "v1").map(o => o.key -> o).toMap
+    assert(v1("row_count").valueNumeric.contains(42.0))
+    assert(v1("observed.enum_tag").valueText.nonEmpty) // kept, text-only
+    assert(v1("observed.enum_tag").valueNumeric.isEmpty)
+    assert(hist.forall(_.datasetId == "d1")) // other datasets excluded
+    // numeric-looking strings coerce like the reference's normaliser
+    assert(GovernanceBackend.normaliseMetricValue(" 7.5 ") == (" 7.5 ", Some(7.5)))
+    assert(GovernanceBackend.normaliseMetricValue("abc") == ("abc", None))
+  }
+
   test("pipeline activity log joins runs to their validation statuses") {
     val root = tmpDir("graft_govact")
     val gov = new GovernanceBackend(s"$root/governance")
