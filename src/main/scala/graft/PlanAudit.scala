@@ -18,7 +18,9 @@ object PlanAudit {
         "q_salted_join", "q_rollup",
         "q_range_join", "q_tfidf", "q_quantiles", "q_decontaminate_bloom",
         "q_stratified_sample", "q_ann_radius", "q_bigram_lm", "q_entropy",
-        "q_boilerplate")) {
+        "q_boilerplate", "q_interval_join", "q_dedup_semantic",
+        "q_asof_forward", "q_pack_text", "q_curation_pipeline",
+        "q_vocab_coverage", "q_truncate")) {
       println(s"\n================ $q ================")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
