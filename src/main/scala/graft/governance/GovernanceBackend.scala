@@ -145,8 +145,11 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     if (!taken(slot)) store.put(draft.copy(version = slot))
   }
 
-  private def parseStatus(json: String): Option[DatasetStatus] = {
-    val fields = JsonMethods.parse(json) match {
+  private def parseStatus(json: String): Option[DatasetStatus] =
+    parseStatusJson(JsonMethods.parse(json))
+
+  private def parseStatusJson(parsed: JValue): Option[DatasetStatus] = {
+    val fields = parsed match {
       case JObject(fs) => fs.toMap
       case _ => Map.empty[String, JValue]
     }
@@ -398,14 +401,21 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     * Records written before the `metricsRaw` payload existed fall back to
     * their numeric metrics map. Ordered (recordedAt, version, key). */
   def metricHistory(datasetId: String): Seq[MetricObservation] = {
+    // filenames are safe("<id>@<version>") and sanitisation is per-char,
+    // so every record of this dataset starts with safe(id) + "_" — the
+    // prefix prunes unrelated files before any parse; the payload check
+    // below still arbitrates prefix COLLISIONS (two ids sanitising alike)
+    val prefix = safe(datasetId) + "_"
     val files = scala.util.Using.resource(Files.list(root.resolve("status"))) { s =>
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .sortBy(_.getFileName.toString)
     }
     files.flatMap { f =>
-      val text = Files.readString(f)
-      parseStatus(text).filter(_.datasetId == datasetId).toSeq.flatMap { st =>
-        val fields = JsonMethods.parse(text) match {
+      val parsed = JsonMethods.parse(Files.readString(f))
+      parseStatusJson(parsed).filter(_.datasetId == datasetId).toSeq.flatMap { st =>
+        val fields = parsed match {
           case JObject(fs) => fs.toMap
           case _ => Map.empty[String, JValue]
         }
@@ -434,12 +444,17 @@ object GovernanceBackend {
   /** Storage-friendly (text, numeric hint) for a metric value — the
     * reference's `normalise_metric_value` (`stores/_metrics.py:34-66`):
     * numbers keep a float twin, numeric-looking strings are coerced,
-    * everything else is text-only. */
+    * collections serialise as a JSON array (the reference json.dumps's
+    * non-scalars; a `List(x, y)` toString would be unparseable the moment
+    * a value contains a comma), everything else is text-only. */
   def normaliseMetricValue(value: Any): (String, Option[Double]) = value match {
     case null => ("", None)
     case n: Number => (String.valueOf(n), Some(n.doubleValue))
     case s: String =>
       (s, Option(s.trim).filter(_.nonEmpty).flatMap(_.toDoubleOption))
+    case vs: Iterable[_] =>
+      (JsonMethods.compact(JsonMethods.render(
+        JArray(vs.toList.map(v => JString(String.valueOf(v)))))), None)
     case other => (String.valueOf(other), None)
   }
 }

@@ -129,7 +129,8 @@ object Curate {
     * tokens have no k-grams and report a 0 ratio. */
   def boilerplateRatio(docs: DataFrame, k: Int = 3, minDocs: Int = 3): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
-    // persisted + eagerly materialised: the gram stream feeds both the
+    // persisted + eagerly materialised (a construction-time job — plan-only
+    // callers pay it too): the gram stream feeds both the
     // doc-frequency aggregation and the count-back join — uncached, each
     // consumer would re-tokenise the whole corpus (the two scan subtrees
     // don't reuse each other's exchange). AQE skew handling covers the
@@ -427,10 +428,14 @@ object Curate {
     * run the exact [[contamination]] over the (tiny) flagged subset when
     * the false-positive docs must be rescued.
     *
-    * The gram set is materialised through the same Generate barriers as
-    * [[NearDup.explodedShingles]] (both keep row cardinality: 1-element
-    * array explodes) — without them CollapseProject inlines tokenisation
-    * into the probe lambda and the scan goes O(n²). */
+    * The token / shingle / digest arrays each materialise through a
+    * Generate barrier (1-element-array explode, row cardinality kept) —
+    * without them CollapseProject inlines the upstream computation into
+    * every lambda element access and the scan goes O(n²). The md5 digest
+    * pair is computed ONCE per shingle in its own barrier stage; probing
+    * the digest array means the `kh` Bloom probes per gram are integer
+    * arithmetic only (lambdas get no common-subexpression elimination, so
+    * probing raw grams would re-digest each gram 2·kh times). */
   def contaminationFlag(docs: DataFrame, evalDocs: DataFrame, k: Int = 13,
                         fpp: Double = 0.01,
                         maxEvalGrams: Long = 16L << 20): DataFrame = {
@@ -442,8 +447,11 @@ object Curate {
         explode(array(split(graft.ops.TextOps.normText(col("text")), " "))))
       .withColumn("_cf_sh", explode(array(NearDup.shinglesOf(col("_cf_toks"), k,
         distinct = true, wholeDocFallback = false))))
+      .withColumn("_cf_hh", explode(array(transform(col("_cf_sh"),
+        s => call_function("graft_md5hh", s.cast("binary"))))))
       .withColumn("might_contaminated",
-        exists(col("_cf_sh"), g => bloom.mightContainGram(g)))
-      .drop("_cf_toks", "_cf_sh")
+        exists(col("_cf_hh"),
+          p => bloom.mightContain(element_at(p, 1), element_at(p, 2))))
+      .drop("_cf_toks", "_cf_sh", "_cf_hh")
   }
 }

@@ -147,7 +147,9 @@ object IvfIndex {
         spark.range(0).select(col("id").as("probe_id"), col("id").as("neighbor_id"),
           col("id").cast("double").as("cosine"))
       case Some(scored) =>
-        scored.filter(col("cosine") >= threshold)
+        // explicit NaN drop: Spark compares NaN above every number, so a
+        // bare >= would emit zero-norm rows (see VectorOps.annRadius)
+        scored.filter(col("cosine") >= threshold && !isnan(col("cosine")))
           .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
     }
 
@@ -202,6 +204,9 @@ object IvfIndex {
     Some(data.join(probeDf, Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6)))
+        // nullif: zero norms yield NULL, not an ANSI division error
+        // (see VectorOps.cosR)
+        round(VectorOps.dot(col("pv"), col("v"))
+          / nullif(col("pn") * col("nrm"), lit(0.0)), 6)))
   }
 }

@@ -163,7 +163,10 @@ object PQ {
       .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .withColumn("cosine",
-        round(VectorOps.dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 6))
+        // nullif: zero norms yield NULL, not an ANSI division error
+        // (see VectorOps.cosR); TopK drops null scores
+        round(VectorOps.dot(col("pv"), col("v"))
+          / nullif(col("pn") * col("nrm"), lit(0.0)), 6))
     TopK.topKPerKey(rescored, "probe_id", "neighbor_id", "cosine", topK)
       .select(col("probe_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }

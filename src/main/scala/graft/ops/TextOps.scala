@@ -116,7 +116,8 @@ object TextOps {
     val counts = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("term_freq"),
            countDistinct(col("doc_id")).as("doc_freq"))
-    // persisted + eagerly materialised: `total` below derives from `counts`,
+    // persisted + eagerly materialised (a construction-time job — plan-only
+    // callers pay it too): `total` below derives from `counts`,
     // and without the cache each consumer re-tokenises the corpus (the two
     // scan subtrees don't reuse each other's exchange). Vocabulary-sized.
     counts.persist(); counts.count()
@@ -163,7 +164,8 @@ object TextOps {
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // persisted + eagerly materialised: `tf` feeds both the df aggregation
+    // persisted + eagerly materialised (a construction-time job — plan-only
+    // callers pay it too): `tf` feeds both the df aggregation
     // and the scored join — uncached, each consumer re-tokenises the corpus
     // (the static plan shows two full scan subtrees, no exchange reuse).
     // The cached frame is one row per distinct (doc, token): the compressed
@@ -218,7 +220,9 @@ object TextOps {
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .select(element_at(split(col("bigram"), " "), 1).as("w1"),
         element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
-    // persisted + eagerly materialised: `counts` feeds both the output join
+    // persisted + eagerly materialised (NOTE: building this frame runs the
+    // corpus aggregation as a construction-time job — plan-only callers
+    // pay it too): `counts` feeds both the output join
     // and the denominator aggregation — without this the plan re-tokenises
     // the whole corpus for each consumer (no exchange reuse across the two
     // subtrees). The cached frame is bigram-vocabulary-sized, not

@@ -38,9 +38,15 @@ object VectorOps {
       .withColumn("nrm", l2norm(col("v")))
 
   /** cosine rounded to 6 dp — rounding makes the value stable across
-    * engines/evaluation orders for oracle comparison. */
+    * engines/evaluation orders for oracle comparison. A zero norm yields
+    * NULL (via nullif), not a division: Spark 4's default ANSI mode makes
+    * even DOUBLE division by zero a runtime error, so one zero-norm
+    * embedding would otherwise kill the whole query; NULL instead drops
+    * out of every consumer — threshold filters (null comparison is never
+    * true), TopK's null-score drop, array_max/min_by seeding (null-aware
+    * since the spread-seed guard). */
   private def cosR(va: Column, na: Column, vb: Column, nb: Column): Column =
-    round(dot(va, vb) / (na * nb), 6)
+    round(dot(va, vb) / nullif(na * nb, lit(0.0)), 6)
 
   /** Embedding-cosine near-dup pairs, blocked by label, with a skew-proof
     * triangle-grid join inside each label.
@@ -85,7 +91,11 @@ object VectorOps {
     a.join(b, Seq(blockCol, "ci", "cj"))
       .filter(col("ci") < col("cj") || col("id_a") < col("id_b"))
       .withColumn("cosine", cosR(col("va"), col("na"), col("vb"), col("nb")))
-      .filter(col("cosine") >= threshold)
+      // Spark orders NaN GREATER than any number, so a bare `>= threshold`
+      // would EMIT every pair touching a zero-norm vector (cosine NaN)
+      // instead of dropping it — the explicit isnan guard is the filter
+      // path's twin of TopK.topKPerKey's NaN drop
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(least(col("id_a"), col("id_b")).as("vec_a"),
         greatest(col("id_a"), col("id_b")).as("vec_b"),
         col(blockCol), col("cosine"))
@@ -108,23 +118,38 @@ object VectorOps {
                     targetBlock: Int = 4096,
                     spreadSeed: Boolean = false): DataFrame = {
     val e = prepared(embeddings)
+    assignCids(e, nCentroids, kmeansIters, literalMax, spreadSeed) match {
+      case None => e.limit(0)
+        .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+          col("vec_id").as("cid"), col("nrm").as("cosine"))
+      case Some((_, _, assigned)) =>
+        gridPairs(assigned, "cid", threshold, targetBlock)
+    }
+  }
+
+  /** Seeded (optionally Lloyd-refined) centroids plus the corpus cluster
+    * assignment — the ONE spelling of the seed → refine → literal-vs-join
+    * argmax dance, shared by the IVF search family and [[semanticPairs]]
+    * so the paths cannot drift. Returns `(centroids, literal, assigned)`
+    * where `literal` is the centroid array literal when the literal path
+    * is active (callers reuse it for probe-side selection without a
+    * second driver collect); None when no centroid can be seeded. */
+  private def assignCids(e: DataFrame, nCentroids: Int, kmeansIters: Int,
+                         literalMax: Int, spreadSeed: Boolean)
+      : Option[(DataFrame, Option[Column], DataFrame)] = {
     val seeds =
       if (spreadSeed) seedCentroidsSpread(e, nCentroids)
       else seedLowestIds(e, nCentroids)
     val cents =
       if (kmeansIters > 0) refineCentroids(e, seeds, kmeansIters, literalMax, nCentroids)
       else seeds
-    val assigned =
-      if (nCentroids > literalMax) assignByJoin(e, cents, Seq("label", "v", "nrm"))
-      else centroidLiteral(cents) match {
-        case None => return e.limit(0)
-          .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
-            col("vec_id").as("cid"), col("nrm").as("cosine"))
-        case Some(cl) => e
-          .withColumn("cid", element_at(nearestClusterArray(cl, 1), 1).getField("cid"))
-          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-      }
-    gridPairs(assigned, "cid", threshold, targetBlock)
+    if (nCentroids > literalMax)
+      Some((cents, None, assignByJoin(e, cents, Seq("label", "v", "nrm"))))
+    else centroidLiteral(cents).map { cl =>
+      (cents, Some(cl), e
+        .withColumn("cid", element_at(nearestClusterArray(cl, 1), 1).getField("cid"))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid")))
+    }
   }
 
   /** Approximate embedding near-dup pairs: random-hyperplane LSH candidate
@@ -219,9 +244,10 @@ object VectorOps {
     * Scale shape is even simpler than top-k: broadcast(probes) × one
     * corpus scan with the threshold filter fused into the projection —
     * ZERO exchanges end to end, no ranking state at all; output size is
-    * the true neighborhood size. A zero-norm vector's NaN cosine fails
-    * the threshold comparison, so such rows drop out (the documented NaN
-    * contract of the ranking paths, same outcome here for free). */
+    * the true neighborhood size. Zero-norm vectors (NaN cosine) are
+    * dropped by an EXPLICIT isnan guard — Spark's comparison order puts
+    * NaN above every number, so a bare `>= threshold` would emit them
+    * (the same contract TopK.topKPerKey enforces for the ranking paths). */
   def annRadius(embeddings: DataFrame, nProbes: Int = 10,
                 threshold: Double = 0.3): DataFrame = {
     val e = prepared(embeddings)
@@ -230,7 +256,7 @@ object VectorOps {
     e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
-      .filter(col("cosine") >= threshold)
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
@@ -452,7 +478,8 @@ object VectorOps {
     * to probed PARTITIONS). Approximate exactly like annIvf is: neighbors
     * above the threshold living outside the probed clusters are missed —
     * the standard IVF recall trade. The threshold filter is fused into the
-    * candidate projection; no ranking state at all. */
+    * candidate projection; no ranking state at all. Zero-norm rows (NaN
+    * cosine) drop via the explicit isnan guard (see [[annRadius]]). */
   def annIvfRadius(embeddings: DataFrame, threshold: Double = 0.3,
                    nCentroids: Int = 16, nProbes: Int = 10,
                    nProbeClusters: Int = 2, kmeansIters: Int = 0,
@@ -462,7 +489,7 @@ object VectorOps {
         literalMax, spreadSeed) match {
       case None => emptyIvfResult(embeddings, withRank = false)
       case Some(scored) =>
-        scored.filter(col("cosine") >= threshold)
+        scored.filter(col("cosine") >= threshold && !isnan(col("cosine")))
           .select(col("probe_id"), col("neighbor_id"), col("cosine"))
     }
 
@@ -487,43 +514,31 @@ object VectorOps {
                         nProbeClusters: Int, kmeansIters: Int,
                         literalMax: Int, spreadSeed: Boolean): Option[DataFrame] = {
     val e = prepared(embeddings)
-    val seeds =
-      if (spreadSeed) seedCentroidsSpread(e, nCentroids)
-      else seedLowestIds(e, nCentroids)
-    val cents =
-      if (kmeansIters > 0) refineCentroids(e, seeds, kmeansIters, literalMax, nCentroids)
-      else seeds
-    val probes = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-    val (assigned, probeClusters) =
-      if (nCentroids > literalMax) {
-        // large-k cutover (see CentroidLiteralMax): broadcast-join argmax
-        // for the corpus, bounded top-nProbeClusters for the probes
-        val asg = assignByJoin(e, cents, Seq("label", "v", "nrm"))
-        val pScored = probes.crossJoin(broadcast(cents))
-          .withColumn("_pcos", cosR(col("pv"), col("pn"), col("cv"), col("cn")))
-          .select(col("probe_id"), col("cid"), col("_pcos"))
-        val pc = TopK.topKPerKey(pScored, "probe_id", "cid", "_pcos", nProbeClusters)
-          .select(col("probe_id"), col("cid"))
-          .join(probes, Seq("probe_id"))
-        (asg, pc)
-      } else {
-        val centsLit = centroidLiteral(cents).getOrElse(return None)
-        val asg = e
-          .withColumn("cid",
-            element_at(nearestClusterArray(centsLit, 1), 1).getField("cid"))
-          .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
-        val pc = e.filter(col("vec_id") < nProbes)
-          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
-            explode(nearestClusterArray(centsLit, nProbeClusters)).as("_sc"))
-          .withColumn("cid", col("_sc").getField("cid"))
-          .drop("_sc")
-        (asg, pc)
-      }
-
-    Some(probeClusters
-      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm"))))
+    assignCids(e, nCentroids, kmeansIters, literalMax, spreadSeed).map {
+      case (cents, litOpt, assigned) =>
+        val probes = e.filter(col("vec_id") < nProbes)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+        val probeClusters = litOpt match {
+          case None =>
+            // large-k cutover (see CentroidLiteralMax): broadcast-join
+            // argmax, bounded top-nProbeClusters for the probes
+            val pScored = probes.crossJoin(broadcast(cents))
+              .withColumn("_pcos", cosR(col("pv"), col("pn"), col("cv"), col("cn")))
+              .select(col("probe_id"), col("cid"), col("_pcos"))
+            TopK.topKPerKey(pScored, "probe_id", "cid", "_pcos", nProbeClusters)
+              .select(col("probe_id"), col("cid"))
+              .join(probes, Seq("probe_id"))
+          case Some(centsLit) =>
+            e.filter(col("vec_id") < nProbes)
+              .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+                explode(nearestClusterArray(centsLit, nProbeClusters)).as("_sc"))
+              .withColumn("cid", col("_sc").getField("cid"))
+              .drop("_sc")
+        }
+        probeClusters
+          .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))
+          .filter(col("neighbor_id") =!= col("probe_id"))
+          .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
+    }
   }
 }

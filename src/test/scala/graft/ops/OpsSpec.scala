@@ -181,6 +181,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("zero-norm vectors drop from threshold paths (NaN sorts above numbers in Spark)") {
+    val withZero = emb.unionByName(Seq(
+      (9L, Array(0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    // the zero-norm vector must appear in NO output, neither as neighbor...
+    val radius = VectorOps.annRadius(withZero, nProbes = 1, threshold = 0.0)
+    assert(!radius.select("neighbor_id").as[Long].collect().contains(9L))
+    assert(radius.filter(isnan(col("cosine"))).count() == 0)
+    // ...nor in cluster-blocked pairs (a bare >= filter would emit it)
+    val sem = VectorOps.semanticPairs(withZero, threshold = 0.0, nCentroids = 2)
+    assert(!sem.select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .exists(p => p._1 == 9L || p._2 == 9L))
+    val ivfR = VectorOps.annIvfRadius(withZero, threshold = 0.0, nCentroids = 2, nProbes = 1)
+    assert(ivfR.filter(isnan(col("cosine"))).count() == 0)
+  }
+
   test("semanticPairs: cluster-blocked dedup finds same-cluster near-dups unsupervised") {
     // no labels consulted: 0/1 identical (cluster of seed 0), 3/4 identical
     val out = VectorOps.semanticPairs(emb, threshold = 0.9, nCentroids = 2)
