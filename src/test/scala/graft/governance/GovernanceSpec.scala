@@ -63,6 +63,30 @@ class GovernanceSpec extends SparkSpec {
     assert(GovernanceBackend.normaliseMetricValue("abc") == ("abc", None))
   }
 
+  test("observed enum values flow end-to-end into the auto-proposed draft") {
+    val root = tmpDir("graft_govenum")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    import spark.implicits._
+    val df = Seq(("a", 1), ("c", 2), ("d", 3)).toDF("tag", "n")
+    val c = graft.contracts.Contract(id = "t.enumflow", version = "1.0.0",
+      schema = Seq(graft.contracts.SchemaObjectDef("t", Seq(
+        graft.contracts.FieldDef("tag", Some("string"),
+          quality = Seq(graft.contracts.QualityRule(rule = Some("enum"),
+            values = Seq("a", "b")))),
+        graft.contracts.FieldDef("n", Some("int"))))))
+    val vr = graft.quality.Evaluator.validate(df, c, observeEnums = true)
+    gov.recordValidation("ds.enumflow", "v1", c, vr)
+    // the auto-proposed draft carries the EXTENDED enum, not a dropped one
+    val draft = store.latest("t.enumflow").get
+    val tag = draft.properties.find(_.name == "tag").get
+    assert(tag.quality.head.values == Seq("a", "b", "c", "d"))
+    // and the observation payload is recoverable from the metric history
+    val obs = gov.metricHistory("ds.enumflow")
+      .find(_.key == "observed.enum_tag").get
+    assert(obs.valueText == """["c","d"]""")
+  }
+
   test("pipeline activity log joins runs to their validation statuses") {
     val root = tmpDir("graft_govact")
     val gov = new GovernanceBackend(s"$root/governance")
