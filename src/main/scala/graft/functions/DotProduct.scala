@@ -87,6 +87,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_md5hh"),
       new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5hh"),
       (children: Seq[Expression]) => Md5Hash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash60"),
+      new ExpressionInfo(classOf[MinhashSigs60].getName, "graft_minhash60"),
+      (children: Seq[Expression]) => MinhashSigs60(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotFold)
   }
 }

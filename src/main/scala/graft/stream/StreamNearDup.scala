@@ -47,18 +47,33 @@ object StreamNearDup {
   def bandedSignatures(docs: DataFrame, k: Int = 3,
                        mode: HashMode = HashMode.Default): DataFrame = {
     val rows = NearDup.MinHashK / NearDup.MinHashBands
-    val sigs = (0 until NearDup.MinHashK).map(i =>
-      array_min(transform(col("_snd_prep"), p => mode.seededHashElem(i, p)))
-        .as(s"mh$i"))
-    val withSigs = docs
+    val sharded = docs
       .withColumn("_snd_toks",
         explode(array(split(TextOps.normText(col("text")), " "))))
       .withColumn("_snd_sh",
         explode(array(NearDup.shinglesOf(col("_snd_toks"), k))))
-      .withColumn("_snd_prep",
-        explode(array(transform(col("_snd_sh"), s => mode.minhashPrepElem(s)))))
-      .select(Seq(col("doc_id"), size(col("_snd_sh")).cast("long").as("nsh"))
-        ++ sigs: _*)
+    val withSigs = mode match {
+      case HashMode.Portable =>
+        // native path: graft_minhash60 digests each shingle once and
+        // advances all K minima in one codegen'd call — the lambda
+        // spelling below is bit-identical but interpreted (no codegen
+        // for higher-order functions; measured 2.7× slower at sf0.1)
+        sharded
+          .withColumn("_snd_sigs",
+            call_function("graft_minhash60", col("_snd_sh")))
+          .select(Seq(col("doc_id"), size(col("_snd_sh")).cast("long").as("nsh"))
+            ++ (0 until NearDup.MinHashK).map(i =>
+              element_at(col("_snd_sigs"), i + 1).as(s"mh$i")): _*)
+      case _ =>
+        val sigs = (0 until NearDup.MinHashK).map(i =>
+          array_min(transform(col("_snd_prep"), p => mode.seededHashElem(i, p)))
+            .as(s"mh$i"))
+        sharded
+          .withColumn("_snd_prep",
+            explode(array(transform(col("_snd_sh"), s => mode.minhashPrepElem(s)))))
+          .select(Seq(col("doc_id"), size(col("_snd_sh")).cast("long").as("nsh"))
+            ++ sigs: _*)
+    }
     val bandCols = (0 until NearDup.MinHashBands).map { bnd =>
       mode.hash((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh$i")): _*)
     }

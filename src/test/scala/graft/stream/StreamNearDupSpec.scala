@@ -15,6 +15,30 @@ class StreamNearDupSpec extends SparkSpec {
     (5L, "unrelated words nothing shared here at all truly")
   ).toDF("doc_id", "text")
 
+  test("graft_minhash60 K matches the minhash family; null/empty arrays yield null sigs") {
+    assert(graft.functions.MinhashSigs60.K == NearDup.MinHashK,
+      "native signature width must track MinHashK")
+    val df = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq.empty[String]),
+      (3L, Seq(null.asInstanceOf[String]))
+    ).toDF("id", "sh")
+      .withColumn("sigs", call_function("graft_minhash60", col("sh")))
+    val rows = df.select("id", "sigs").as[(Long, Seq[java.lang.Long])]
+      .collect().toMap
+    // non-empty: every sig equals the lambda spelling's value
+    val lambda = df.filter(col("id") === 1)
+      .withColumn("hh", transform(col("sh"),
+        s => call_function("graft_md5hh", s.cast("binary"))))
+      .select((0 until NearDup.MinHashK).map(i =>
+        array_min(transform(col("hh"),
+          p => element_at(p, 1) + lit(i.toLong) * element_at(p, 2)))): _*)
+      .collect()(0)
+    assert(rows(1L).zipWithIndex.forall { case (v, i) => v == lambda.getLong(i) })
+    assert(rows(2L).forall(_ == null) && rows(2L).size == NearDup.MinHashK)
+    assert(rows(3L).forall(_ == null))
+  }
+
   test("per-row banded signatures are bit-identical to the batch explode+aggregate family") {
     for (mode <- Seq[HashMode](HashMode.Default, HashMode.Portable)) {
       val rows = NearDup.MinHashK / NearDup.MinHashBands
