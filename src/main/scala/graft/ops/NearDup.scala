@@ -189,16 +189,36 @@ object NearDup {
   // ≈0.89 recall at j=0.7 while random low-j pairs (common with a small
   // shared vocabulary) collide at ~8j⁴, keeping the verify join tiny.
 
-  /** Per-doc MinHash signature: one groupBy over exploded shingles with K
-    * `min(hash(i, shingle))` aggregates — a single shuffle keyed by
-    * doc_id regardless of K. */
+  /** Per-doc MinHash signature.
+    *
+    * [[HashMode.Portable]] runs ZERO-exchange: a document's shingles are
+    * row-local before any explode, so the whole signature is one
+    * `graft_minhash60` call in the scan's projection (one md5 + all K
+    * minima per shingle in a codegen'd loop) — no Generate fan-out, no
+    * doc_id-keyed shuffle. Other modes keep the exploded spelling: one
+    * groupBy over exploded shingles with K `min(hash(i, shingle))`
+    * aggregates (map-side combined — the exchange carries one row per
+    * doc per partition). Outputs are bit-identical per mode
+    * (`StreamNearDupSpec` pins the native expression against the lambda
+    * family; the dedup oracles pin this frame end-to-end). */
   def minhashSignatures(docs: DataFrame, k: Int = 3,
-                        mode: HashMode = HashMode.Default): DataFrame = {
-    val e = mode.minhashPrep(col("shingle"))
-      .foldLeft(explodedShingles(docs, k)) { case (df, (n, c)) => df.withColumn(n, c) }
-    val sigs = (0 until MinHashK).map(i => min(mode.seededHash(i)).as(s"mh$i"))
-    e.groupBy(col("doc_id"))
-      .agg(first(col("nsh")).as("nsh"), sigs: _*)
+                        mode: HashMode = HashMode.Default): DataFrame = mode match {
+    case HashMode.Portable =>
+      docs
+        .select(col("doc_id"),
+          explode(array(split(TextOps.normText(col("text")), " "))).as("_mhs_toks"))
+        .select(col("doc_id"),
+          explode(array(shinglesOf(col("_mhs_toks"), k))).as("_mhs_sh"))
+        .withColumn("_mhs_sigs", call_function("graft_minhash60", col("_mhs_sh")))
+        .select(Seq(col("doc_id"), size(col("_mhs_sh")).cast("long").as("nsh"))
+          ++ (0 until MinHashK).map(i =>
+            element_at(col("_mhs_sigs"), i + 1).as(s"mh$i")): _*)
+    case _ =>
+      val e = mode.minhashPrep(col("shingle"))
+        .foldLeft(explodedShingles(docs, k)) { case (df, (n, c)) => df.withColumn(n, c) }
+      val sigs = (0 until MinHashK).map(i => min(mode.seededHash(i)).as(s"mh$i"))
+      e.groupBy(col("doc_id"))
+        .agg(first(col("nsh")).as("nsh"), sigs: _*)
   }
 
   /** MinHash+LSH near-dup pairs with exact Jaccard verification:
