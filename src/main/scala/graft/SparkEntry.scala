@@ -250,6 +250,10 @@ object SparkEntry {
       Curate.stratifiedSample(t(s, d, "documents"), Seq("lang", "source"),
         k = 3, mode = HashMode.Portable)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "q_weighted_sample" -> ((s, d) =>
+      Curate.weightedSample(t(s, d, "documents"), k = 25, weightCol = "n_chars",
+        mode = HashMode.Portable)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "q_redact" -> ((s, d) =>
       // blocklist terms chosen to actually fire on this corpus; the op's
       // default patterns are the classic PII scrubs (no digits/emails in
@@ -592,6 +596,17 @@ object SparkEntry {
         |  FROM documents)
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY h ASC, doc_id ASC) <= 3""".stripMargin,
+    // sequential-Poisson priority: EXACT integer arithmetic end to end —
+    // DuckDB `//` is floor division, Spark `div` truncates, identical for
+    // the non-negative Portable hash
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ${h60("'wsamp:' || CAST(doc_id AS VARCHAR)")} // n_chars AS pri
+        |    FROM documents WHERE n_chars > 0)
+        |  ORDER BY pri ASC, doc_id ASC LIMIT 25)""".stripMargin,
     "q_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id,

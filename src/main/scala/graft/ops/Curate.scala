@@ -116,6 +116,54 @@ object Curate {
       col(idCol) === col("_samp_id"), "left_semi")
   }
 
+  /** Weighted sample without replacement: the `k` documents with the
+    * smallest priority `hash(salt, id) div weight` — Ohlsson-style
+    * sequential Poisson sampling (priorities uᵢ/wᵢ, keep the k smallest),
+    * the weighted generalisation of [[sampleByHash]]. Inclusion
+    * probability is asymptotically proportional to `weight` (πps), and
+    * the whole contract is EXACT integer arithmetic: the uniform uᵢ is
+    * the salted id hash and the priority its integer division by the
+    * weight. That arithmetic is the point — the classic
+    * Efraimidis–Spirakis key u^(1/w) needs transcendental floating-point
+    * that no two engines evaluate bit-identically, whereas `div` lets a
+    * DuckDB oracle reproduce every priority exactly (ties broken on id).
+    * A row's fate is a pure function of (salt, id, weight, the corpus's
+    * k-th priority): re-runs, retries and speculative tasks agree.
+    *
+    * Weights must be positive integers; rows with null or non-positive
+    * weight never sample (weight 0 = "never pick"). Weight granularity is
+    * the caller's: quantize float weights to an integer scale first.
+    * (With [[HashMode.Default]] the xxhash64 priority can be negative;
+    * ordering is still total and deterministic. [[HashMode.Portable]]
+    * hashes are non-negative, where truncating and floor division agree —
+    * the oracle contract.)
+    *
+    * Scale shape mirrors [[stratifiedSample]]: a bounded [[TopK.MinKPairs]]
+    * aggregation reduces each input partition to ≤ k (priority, id) pairs
+    * before one tiny single-group exchange — never a corpus-wide sort —
+    * and the kept id set (exactly ≤ k rows, always broadcastable)
+    * semi-joins back against the corpus, which itself is never shuffled.
+    * Ids must be corpus-unique (they key the semi-join). */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id",
+                     mode: HashMode = HashMode.Default,
+                     salt: String = "wsamp"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kept = docs
+      .filter(col(weightCol).isNotNull && col(weightCol).cast(LongType) > 0)
+      .select(mode.hash(lit(salt), col(idCol)).as("_h"),
+        col(weightCol).cast(LongType).as("_w"),
+        col(idCol).cast(LongType).as("_id"))
+      .select(expr("_h div _w").as("_pri"), col("_id"))
+      .as[(Long, Long)]
+      .select(TopK.minKPairs(k).name("_pairs"))
+      .select(explode(col("_pairs")).as("_p"))
+      .select(col("_p._2").as("_ws_id"))
+    docs.join(broadcast(kept), col(idCol) === col("_ws_id"), "left_semi")
+  }
+
   /** Cross-document boilerplate signal (the RefinedWeb/CCNet-style
     * repeated-content filter, word-k-gram flavored): a doc's distinct
     * k-grams that appear in ≥ `minDocs` documents are "boilerplate"; the

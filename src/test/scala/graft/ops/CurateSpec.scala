@@ -247,6 +247,43 @@ class CurateSpec extends SparkSpec {
     assert(Curate.stratifiedSample(tricky, Seq("lang", "source"), k = 1).count() == 2)
   }
 
+  test("weightedSample keeps the k smallest hash-div-weight priorities, deterministically") {
+    val big = (0L until 400L).map(i => (i, s"t$i", 1L + i % 7))
+      .toDF("doc_id", "text", "w")
+    val s1 = Curate.weightedSample(big, k = 40, weightCol = "w")
+    assert(s1.count() == 40)
+    val s2 = Curate.weightedSample(big, k = 40, weightCol = "w")
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    // brute-force twin: the same priority computed through a global sort
+    val brute = big
+      .select(col("doc_id"), expr("xxhash64('wsamp', doc_id) div w").as("pri"))
+      .orderBy(col("pri"), col("doc_id")).limit(40)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == brute)
+    // null / non-positive weights never sample
+    val mixed = Seq((1L, "a", 5L), (2L, "b", 0L), (3L, "c", -2L))
+      .toDF("doc_id", "text", "w")
+      .unionByName(Seq((4L, "d")).toDF("doc_id", "text").withColumn("w", lit(null: java.lang.Long)))
+    val kept = Curate.weightedSample(mixed, k = 10, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    // k above the eligible count keeps every eligible row
+    assert(Curate.weightedSample(big, k = 1000, weightCol = "w").count() == 400)
+  }
+
+  test("weightedSample weights tilt inclusion toward heavy rows") {
+    // two weight classes over the same id population: heavy rows (w=100)
+    // must out-sample light rows (w=1) under a πps design
+    val big = (0L until 1000L).map(i => (i, s"t$i", if (i < 500) 100L else 1L))
+      .toDF("doc_id", "text", "w")
+    val kept = Curate.weightedSample(big, k = 100, weightCol = "w",
+      mode = HashMode.Portable)
+      .select("doc_id").as[Long].collect()
+    val heavy = kept.count(_ < 500)
+    assert(heavy > 80, s"expected heavy rows to dominate a πps sample, got $heavy/100")
+  }
+
   test("boilerplateRatio flags k-grams shared by at least minDocs documents") {
     val d = Seq(
       (1L, "a b c d"), // grams: "a b c", "b c d"
