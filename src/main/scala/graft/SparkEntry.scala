@@ -219,6 +219,9 @@ object SparkEntry {
     // real-embedding near-dup regime and would gate a vacuous result)
     "q_dedup_semantic" -> ((s, d) =>
       VectorOps.semanticPairs(t(s, d, "embeddings"), threshold = 0.4)),
+    "q_dedup_semantic_mp" -> ((s, d) =>
+      VectorOps.semanticPairsMultiProbe(t(s, d, "embeddings"), threshold = 0.4,
+        probes = 2)),
     "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
     // fixed-similarity twin of annBrute: all neighbors within the radius,
     // zero exchanges (broadcast probes × scan, threshold fused in the scan)
@@ -983,6 +986,25 @@ object SparkEntry {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4""".stripMargin,
+    // multi-probe: rank <= 2 replaces the argmax; a pair sharing both
+    // probed clusters appears twice in the join, so the canonical
+    // (minimum shared) cid is a GROUP BY min — the Spark side emits only
+    // that block, no distinct needed
+    "q_dedup_semantic_mp" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |a2 AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cid FROM n CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) <= 2)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, min(a.cid) AS cid,
+        |  min(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)) AS cosine
+        |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |GROUP BY a.vec_id, b.vec_id
+        |HAVING min(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)) >= 0.4""".stripMargin,
     "q_ann_brute" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -76,20 +76,35 @@ object VectorOps {
     * and cluster-blocked (SemDeDup) pair mining, and by
     * [[IvfIndex.semanticPairs]] over the physical layout. Expects
     * `(vec_id, v, nrm, blockCol)` columns. */
+  /** `canonSetCol`, when set, names an array column holding EVERY block
+    * the row belongs to (multi-probe assignment replicates rows across
+    * blocks): a pair is then emitted only in the canonical block — the
+    * MINIMUM block id the two rows share — so a pair whose members
+    * co-occur in several blocks still comes out exactly once, with zero
+    * post-hoc `distinct` shuffle (the same canonical-bucket trick the
+    * interval join uses). */
   private[ops] def gridPairs(e: DataFrame, blockCol: String, threshold: Double,
-                             targetBlock: Int): DataFrame = {
+                             targetBlock: Int,
+                             canonSetCol: Option[String] = None): DataFrame = {
     val grids = e.groupBy(col(blockCol))
       .agg(ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(IntegerType).as("g"))
     val eg = e.join(broadcast(grids), Seq(blockCol))
       .withColumn("bkt", pmod(col("vec_id"), col("g")).cast(IntegerType))
-    val a = eg.select(col(blockCol),
+    val canonA = canonSetCol.toSeq.map(c => col(c).as("_cs_a"))
+    val canonB = canonSetCol.toSeq.map(c => col(c).as("_cs_b"))
+    val a = eg.select(Seq(col(blockCol),
       col("bkt").as("ci"), explode(sequence(col("bkt"), col("g") - 1)).as("cj"),
-      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = eg.select(col(blockCol),
+      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")) ++ canonA: _*)
+    val b = eg.select(Seq(col(blockCol),
       explode(sequence(lit(0), col("bkt"))).as("ci"), col("bkt").as("cj"),
-      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq(blockCol, "ci", "cj"))
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")) ++ canonB: _*)
+    val paired = a.join(b, Seq(blockCol, "ci", "cj"))
       .filter(col("ci") < col("cj") || col("id_a") < col("id_b"))
+    val canonical = canonSetCol.fold(paired) { _ =>
+      paired.filter(col(blockCol) ===
+        array_min(array_intersect(col("_cs_a"), col("_cs_b"))))
+    }
+    canonical
       .withColumn("cosine", cosR(col("va"), col("na"), col("vb"), col("nb")))
       // Spark orders NaN GREATER than any number, so a bare `>= threshold`
       // would EMIT every pair touching a zero-norm vector (cosine NaN)
@@ -124,6 +139,80 @@ object VectorOps {
           col("vec_id").as("cid"), col("nrm").as("cosine"))
       case Some((_, _, assigned)) =>
         gridPairs(assigned, "cid", threshold, targetBlock)
+    }
+  }
+
+  /** [[semanticPairs]] with multi-probe assignment: each vector joins its
+    * `probes` NEAREST clusters (not just the argmax), so a near-dup pair
+    * straddling a centroid boundary — the standard SemDeDup blind spot —
+    * is still discovered as long as the two vectors share ANY of their
+    * probed clusters. Recall at the boundary rises steeply with probes=2
+    * (`SemanticMultiProbeSpec` measures it); pair work scales by at most
+    * probes² per cluster, the explicit knob.
+    *
+    * Exactly-once output with no dedup shuffle: rows carry their full
+    * probed-cluster set and [[gridPairs]] emits a pair only in the
+    * MINIMUM shared cluster (`cid` in the output is that canonical
+    * cluster). probes=1 degenerates to [[semanticPairs]] exactly.
+    *
+    * Scale shape: the literal path stays zero-exchange per assignment
+    * (top-probes picked inside the scan's projection); above `literalMax`
+    * centroids the broadcast-join path scores against the centroid FRAME,
+    * partial-aggregates a bounded top-probes per vector, and pays one
+    * vec_id-keyed join to rehydrate vectors — the same cutover economics
+    * as the argmax family. */
+  def semanticPairsMultiProbe(embeddings: DataFrame, threshold: Double = 0.9,
+                              nCentroids: Int = 16, probes: Int = 2,
+                              kmeansIters: Int = 0,
+                              literalMax: Int = CentroidLiteralMax,
+                              targetBlock: Int = 4096,
+                              spreadSeed: Boolean = false): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val e = prepared(embeddings)
+    assignCidsMulti(e, nCentroids, probes, kmeansIters, literalMax, spreadSeed) match {
+      case None => e.limit(0)
+        .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+          col("vec_id").as("cid"), col("nrm").as("cosine"))
+      case Some(assigned) =>
+        gridPairs(assigned, "cid", threshold, targetBlock,
+          canonSetCol = Some("cids"))
+    }
+  }
+
+  /** Top-`probes` cluster assignment: rows replicated once per probed
+    * cluster (`cid`), each carrying the full probed set (`cids`) for
+    * canonical-block pair emission. Ranking is the SAME rounded-cosine
+    * DESC, cid ASC contract as the argmax paths — probes=1 reproduces
+    * [[assignCids]]' assignment bit-for-bit. */
+  private def assignCidsMulti(e: DataFrame, nCentroids: Int, probes: Int,
+                              kmeansIters: Int, literalMax: Int,
+                              spreadSeed: Boolean): Option[DataFrame] = {
+    val seeds =
+      if (spreadSeed) seedCentroidsSpread(e, nCentroids)
+      else seedLowestIds(e, nCentroids)
+    val cents =
+      if (kmeansIters > 0) refineCentroids(e, seeds, kmeansIters, literalMax, nCentroids)
+      else seeds
+    if (nCentroids > literalMax) {
+      // an empty centroid frame falls through naturally: scored/sets are
+      // empty, the join keeps nothing, gridPairs emits the empty frame
+      val scored = e.select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosR(col("v"), col("nrm"), col("cv"), col("cn")).as("_pcos"))
+      val sets = TopK.topKPerKey(scored, "vec_id", "cid", "_pcos", probes)
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(col("cid"))).as("cids"))
+      Some(e.join(sets, Seq("vec_id"))
+        .withColumn("cid", explode(col("cids")))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+          col("cids"), col("cid")))
+    } else centroidLiteral(cents).map { cl =>
+      e.withColumn("cids",
+          transform(nearestClusterArray(cl, probes), s => s.getField("cid")))
+        .withColumn("cid", explode(col("cids")))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+          col("cids"), col("cid"))
     }
   }
 
