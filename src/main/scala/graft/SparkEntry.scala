@@ -191,6 +191,13 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
+    // thresholds recalibrated to the synthetic corpus (10-99 words, no
+    // newlines/symbols) so the rule booleans actually vary; operator
+    // defaults are the published Gopher values
+    "q_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(t(s, d, "documents"),
+        TextOps.GopherThresholds(minWords = 30, minMeanWordLen = 4.0,
+          minStopwords = 1))),
     "q_bigram_lm" -> ((s, d) => TextOps.bigramLm(t(s, d, "documents"))),
     "q_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d, "documents"))),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
@@ -815,6 +822,46 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '$punct')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
          |  CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) / greatest($ntok, 1) AS avg_token_len
          |FROM documents""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH g AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(text, '\S')) AS DOUBLE)
+         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))
+         |      + len(regexp_extract_all(text, '\x{2026}')) AS DOUBLE)
+         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS symbol_ratio,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> regexp_matches(l, '^\s*[-*\x{2022}]'))) AS DOUBLE)
+         |      / greatest(len(string_split(text, chr(10))), 1) AS bullet_ratio,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> regexp_matches(l, '(\.\.\.|\x{2026})\s*$'))) AS DOUBLE)
+         |      / greatest(len(string_split(text, chr(10))), 1) AS ellipsis_ratio,
+         |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+         |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS alpha_ratio,
+         |    CAST(CAST(regexp_matches(lower(text), '\bthe\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bbe\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bto\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bof\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\band\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bthat\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bhave\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bwith\b') AS INT) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT *,
+         |  (r_words AND r_mean_len AND r_symbol AND r_bullet AND r_ellipsis
+         |    AND r_alpha AND r_stop) AS gopher_keep
+         |FROM (
+         |  SELECT g.*,
+         |    n_words >= 30 AND n_words <= 100000 AS r_words,
+         |    mean_word_len >= 4.0 AND mean_word_len <= 10.0 AS r_mean_len,
+         |    symbol_ratio <= 0.1 AS r_symbol,
+         |    bullet_ratio <= 0.9 AS r_bullet,
+         |    ellipsis_ratio <= 0.3 AS r_ellipsis,
+         |    alpha_ratio >= 0.8 AS r_alpha,
+         |    n_stop >= 1 AS r_stop
+         |  FROM g)""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio, score, score >= 0.5 AS keep
          |FROM (

@@ -148,6 +148,79 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Threshold set for [[gopherRules]] — defaults are the Gopher paper's
+    * published values (Rae et al. 2021, "Scaling Language Models", App. A:
+    * 50–100k words, mean word length 3–10, ≤10% symbol-to-word, ≤90%
+    * bullet lines, ≤30% ellipsis lines, ≥80% alpha words, ≥2 stop words).
+    * Every bound is a knob because real corpora need recalibration. */
+  final case class GopherThresholds(
+    minWords: Long = 50, maxWords: Long = 100000,
+    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+    maxSymbolRatio: Double = 0.1,
+    maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+    minAlphaRatio: Double = 0.8, minStopwords: Long = 2)
+
+  /** The stop-word presence list the Gopher rules count DISTINCT hits
+    * over (not occurrences — a doc needs `minStopwords` different ones). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules: the repetition-free subset of
+    * the classic heuristic filter battery, one boolean per rule plus the
+    * conjunction (`gopher_keep`). (Within-doc repetition is its own
+    * operator, [[repetition]] — compose the two filters as a user would.)
+    *
+    * Everything is a single-pass projection: token work uses
+    * `regexp_extract_all` + array lambdas (no explode, no shuffle), line
+    * work splits on newline and filters with anchored RE2-safe patterns,
+    * and every ratio is one IEEE double division of exact integer counts
+    * — bit-stable across engines, which is what lets a DuckDB oracle gate
+    * the whole rule battery including the doubles. Null text counts as
+    * empty (rules evaluate, `gopher_keep` = false via the word floor). */
+  def gopherRules(docs: DataFrame,
+                  t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val toks = regexp_extract_all(txt, lit("\\S+"), lit(0))
+    val nWords = size(toks).cast(LongType)
+    val wordsFloor = greatest(nWords, lit(1L))
+    val meanLen = regexp_count(txt, lit("\\S")).cast(DoubleType) / wordsFloor
+    val symbols = (regexp_count(txt, lit("#")) +
+      regexp_count(txt, lit("\\.\\.\\.")) +
+      regexp_count(txt, lit("\\x{2026}"))).cast(LongType)
+    val lines = split(txt, "\n")
+    val linesFloor = greatest(size(lines), lit(1))
+    val bulletRatio = size(filter(lines, l => l.rlike("^\\s*[-*\\x{2022}]")))
+      .cast(DoubleType) / linesFloor
+    val ellipsisRatio = size(filter(lines, l => l.rlike("(\\.\\.\\.|\\x{2026})\\s*$")))
+      .cast(DoubleType) / linesFloor
+    val alphaRatio = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast(DoubleType) / wordsFloor
+    val nStop = GopherStopwords
+      .map(w => when(lower(txt).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      (symbols.cast(DoubleType) / wordsFloor).as("symbol_ratio"),
+      bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      nStop.as("n_stop"))
+      .select(col("*"),
+        (col("n_words") >= t.minWords && col("n_words") <= t.maxWords).as("r_words"),
+        (col("mean_word_len") >= t.minMeanWordLen &&
+          col("mean_word_len") <= t.maxMeanWordLen).as("r_mean_len"),
+        (col("symbol_ratio") <= t.maxSymbolRatio).as("r_symbol"),
+        (col("bullet_ratio") <= t.maxBulletRatio).as("r_bullet"),
+        (col("ellipsis_ratio") <= t.maxEllipsisRatio).as("r_ellipsis"),
+        (col("alpha_ratio") >= t.minAlphaRatio).as("r_alpha"),
+        (col("n_stop") >= t.minStopwords).as("r_stop"))
+      .withColumn("gopher_keep",
+        col("r_words") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   /** Per-document top-`topK` terms by TF-IDF (`tf × ln(N/df)`, rounded to
     * 6 dp BEFORE ranking so rank and score agree across engines).
     *

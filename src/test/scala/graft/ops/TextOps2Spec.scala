@@ -188,6 +188,56 @@ class ClustersVocabSpec extends SparkSpec {
   }
 }
 
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)],
+                  t: TextOps.GopherThresholds = TextOps.GopherThresholds()) =
+    TextOps.gopherRules(rows.toDF("doc_id", "text"), t)
+      .orderBy("doc_id").collect()
+
+  test("a clean prose doc passes every rule; the word floor gates short docs") {
+    val prose = ("the quick brown fox jumps over that lazy dog " +
+      "and runs to be part of the pack with great joy ") * 5
+    val out = run(Seq((1L, prose), (2L, "too short to keep")))
+    assert(out(0).getAs[Boolean]("gopher_keep"))
+    assert(!out(1).getAs[Boolean]("gopher_keep"))
+    assert(out(1).getAs[Boolean]("r_alpha") && !out(1).getAs[Boolean]("r_words"))
+  }
+
+  test("bullet and ellipsis line ratios count lines, not occurrences") {
+    val bullety = "- one\n- two\n- three\nplain line"
+    val dotty = "first part...\nsecond part...\nclean end"
+    val out = run(Seq((1L, bullety), (2L, dotty)))
+    assert(math.abs(out(0).getAs[Double]("bullet_ratio") - 0.75) < 1e-12)
+    assert(out(0).getAs[Boolean]("r_bullet")) // 0.75 <= 0.9
+    assert(math.abs(out(1).getAs[Double]("ellipsis_ratio") - 2.0 / 3) < 1e-12)
+    assert(!out(1).getAs[Boolean]("r_ellipsis")) // 2/3 > 0.3
+    // the ellipses also count as symbols: 2 of 6 words
+    assert(math.abs(out(1).getAs[Double]("symbol_ratio") - 2.0 / 6) < 1e-12)
+  }
+
+  test("alpha ratio catches numeric junk; stop rule counts distinct stopwords") {
+    val numeric = "12 34 5.6 789 0x1f 42"
+    val stoppy = "the of the of the of padding words here now"
+    val out = run(Seq((1L, numeric), (2L, stoppy)))
+    assert(out(0).getAs[Double]("alpha_ratio") < 0.5)
+    assert(!out(0).getAs[Boolean]("r_alpha"))
+    assert(out(1).getAs[Long]("n_stop") == 2L) // the, of — distinct, not 6
+  }
+
+  test("total on null and empty text: rules evaluate, keep is false") {
+    val df = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+      .unionByName(Seq(Tuple1(3L)).toDF("doc_id").withColumn("text", lit(null: String)))
+    val out = TextOps.gopherRules(df).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out.forall(!_.getAs[Boolean]("gopher_keep")))
+    assert(out(0).getAs[Long]("n_words") == 0L)
+    assert(out(2).getAs[Long]("n_words") == 0L)
+    assert(out(2).getAs[Double]("bullet_ratio") == 0.0)
+  }
+}
+
 class RepetitionSpec extends SparkSpec {
   import spark.implicits._
 
