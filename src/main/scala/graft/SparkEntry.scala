@@ -264,6 +264,14 @@ object SparkEntry {
       Curate.weightedSample(t(s, d, "documents"), k = 25, weightCol = "n_chars",
         mode = HashMode.Portable)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // the synthetic corpus is single-line; manufacture deterministic
+    // multi-line docs (every " the " becomes a newline) so the gate
+    // exercises real split → frequency → removal → ordered reassembly
+    "q_line_dedup" -> ((s, d) =>
+      Curate.dedupLines(
+        t(s, d, "documents")
+          .withColumn("text", regexp_replace(col("text"), " the ", "\n")),
+        minDocs = 3)),
     "q_redact" -> ((s, d) =>
       // blocklist terms chosen to actually fire on this corpus; the op's
       // default patterns are the classic PII scrubs (no digits/emails in
@@ -606,6 +614,25 @@ object SparkEntry {
         |  FROM documents)
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY h ASC, doc_id ASC) <= 3""".stripMargin,
+    // the oracle removes by raw line text where the Spark side removes by
+    // 64-bit line hash — equal outputs absent a hash collision, which the
+    // gate therefore also pins
+    "q_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM lined),
+        |freq AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT doc_id, pos, line FROM l
+        |         WHERE line NOT IN (SELECT line FROM freq))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text,
+        |  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(string_split(d.text, chr(10))) - count(k.line) AS BIGINT) AS n_removed
+        |FROM lined d LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id, d.text""".stripMargin,
     // sequential-Poisson priority: EXACT integer arithmetic end to end —
     // DuckDB `//` is floor division, Spark `div` truncates, identical for
     // the non-negative Portable hash

@@ -116,6 +116,54 @@ object Curate {
       col(idCol) === col("_samp_id"), "left_semi")
   }
 
+  /** CCNet-style line-level deduplication: a line whose exact text occurs
+    * in ≥ `minDocs` DISTINCT documents is boilerplate (navigation chrome,
+    * cookie banners, licence footers) and is removed from EVERY document;
+    * the survivors are reassembled in original order. This is the removal
+    * transform on top of [[boilerplateRatio]]'s signal — the filter that
+    * actually cleans the text rather than scoring it.
+    *
+    * Scale shape: lines travel the aggregation/join as 64-bit xxhash
+    * keys, never strings — per-line doc frequency is one map-side-combined
+    * aggregation over (line-hash → distinct docs) and the removal is a
+    * hash-keyed anti join, so the shuffled bytes track the number of
+    * DISTINCT lines, not corpus text volume. Reassembly sorts each doc's
+    * kept (pos, line) pairs inside its aggregation buffer — deterministic
+    * under any partition arrival order. A 64-bit collision would remove an
+    * innocent line; at ~10¹¹ distinct lines that risk is ~1e-4 corpus-wide
+    * (CCNet runs the same trade on SHA-1 prefixes).
+    *
+    * Output: (idCol, textCol cleaned, n_lines, n_removed); a document
+    * whose every line is boilerplate comes back with empty text, not
+    * dropped. Null text counts as empty. `sep` is a literal separator
+    * (default newline), regex-quoted before splitting. */
+  def dedupLines(docs: DataFrame, minDocs: Int = 2, idCol: String = "doc_id",
+                 textCol: String = "text", sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would remove every line)")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val base = docs.select(col(idCol), coalesce(col(textCol), lit("")).as("_txt"))
+    val lines = base.select(col(idCol),
+      posexplode(split(col("_txt"), sepRe)).as(Seq("_pos", "_line")))
+      .withColumn("_lh", xxhash64(col("_line")))
+    val frequent = lines.groupBy(col("_lh"))
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("_lh"))
+    val kept = lines.join(frequent, Seq("_lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line"))).as("_kept_txt"),
+        count(lit(1)).as("_n_kept"))
+    base
+      .select(col(idCol), size(split(col("_txt"), sepRe)).cast(LongType).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_kept_txt"), lit("")).as(textCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Weighted sample without replacement: the `k` documents with the
     * smallest priority `hash(salt, id) div weight` — Ohlsson-style
     * sequential Poisson sampling (priorities uᵢ/wᵢ, keep the k smallest),

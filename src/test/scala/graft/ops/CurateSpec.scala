@@ -247,6 +247,33 @@ class CurateSpec extends SparkSpec {
     assert(Curate.stratifiedSample(tricky, Seq("lang", "source"), k = 1).count() == 2)
   }
 
+  test("dedupLines removes cross-doc boilerplate lines, preserves order, totals on edges") {
+    val corpus = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta\nFOOTER"),
+      (2L, "COOKIE BANNER\nown content two\nFOOTER"),
+      (3L, "FOOTER\nCOOKIE BANNER"),          // fully boilerplate
+      (4L, "standalone document")
+    ).toDF("doc_id", "text")
+    val out = Curate.dedupLines(corpus, minDocs = 3).orderBy("doc_id").collect()
+    // only FOOTER and COOKIE BANNER hit df >= 3
+    assert(out(0).getAs[String]("text") == "unique alpha\nunique beta")
+    assert(out(0).getAs[Long]("n_lines") == 4L && out(0).getAs[Long]("n_removed") == 2L)
+    assert(out(1).getAs[String]("text") == "own content two")
+    assert(out(2).getAs[String]("text") == "" && out(2).getAs[Long]("n_removed") == 2L)
+    assert(out(3).getAs[String]("text") == "standalone document")
+    assert(out(3).getAs[Long]("n_removed") == 0L)
+    // duplicate lines WITHIN one doc don't reach the df threshold alone
+    val within = Seq(
+      (1L, "same\nsame\nsame"), (2L, "other")).toDF("doc_id", "text")
+    val w = Curate.dedupLines(within, minDocs = 2).orderBy("doc_id").collect()
+    assert(w(0).getAs[String]("text") == "same\nsame\nsame")
+    // null text counts as empty, doc survives
+    val withNull = corpus.unionByName(
+      Seq(Tuple1(5L)).toDF("doc_id").withColumn("text", lit(null: String)))
+    val n = Curate.dedupLines(withNull, minDocs = 3).orderBy("doc_id").collect()
+    assert(n.length == 5 && n(4).getAs[String]("text") == "")
+  }
+
   test("weightedSample keeps the k smallest hash-div-weight priorities, deterministically") {
     val big = (0L until 400L).map(i => (i, s"t$i", 1L + i % 7))
       .toDF("doc_id", "text", "w")
