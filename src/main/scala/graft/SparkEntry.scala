@@ -220,6 +220,15 @@ object SparkEntry {
       NearDup.canonicalDocs(docs, NearDup.minhashPairs(docs, mode = HashMode.Portable))
         .select(col("doc_id"), col("cluster"), col("is_canonical"))
     }),
+    // keep-best policy: longest text survives each cluster (n_chars is an
+    // integer score — cross-engine argmax with no float comparison)
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      NearDup.canonicalDocsBest(docs,
+        NearDup.minhashPairs(docs, mode = HashMode.Portable), "n_chars")
+        .select(col("doc_id"), col("cluster"), col("canonical_id"),
+          col("is_canonical"))
+    }),
     "q_dedup_embedding" -> ((s, d) => VectorOps.embeddingPairs(t(s, d, "embeddings"))),
     // SemDeDup: cluster-blocked (unsupervised) embedding dedup; 0.4 fires
     // on this corpus (its cosine ceiling ~0.5 — the default 0.9 is the
@@ -1011,6 +1020,27 @@ object SparkEntry {
         |SELECT doc.doc_id, coalesce(cl.cluster, doc.doc_id) AS cluster,
         |  doc.doc_id = coalesce(cl.cluster, doc.doc_id) AS is_canonical
         |FROM documents doc LEFT JOIN cl ON cl.doc_id = doc.doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $shingleCtes,
+        |$minhashPairCtes,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pr
+        |  UNION SELECT doc_b, doc_a FROM pr),
+        |reach AS (
+        |  SELECT src AS doc_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+        |cl AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+        |m AS (
+        |  SELECT doc.doc_id, coalesce(cl.cluster, doc.doc_id) AS cluster, doc.n_chars
+        |  FROM documents doc LEFT JOIN cl ON cl.doc_id = doc.doc_id),
+        |best AS (
+        |  SELECT cluster, doc_id AS canonical_id FROM m
+        |  QUALIFY row_number() OVER (PARTITION BY cluster
+        |    ORDER BY n_chars DESC, doc_id ASC) = 1)
+        |SELECT m.doc_id, m.cluster, best.canonical_id,
+        |  m.doc_id = best.canonical_id AS is_canonical
+        |FROM m JOIN best USING (cluster)""".stripMargin,
     // golden oracle: the verdict is fully determined by lineitemBroken vs the
     // lineitem schema; the only data-dependent part is the null count for the
     // missing-but-required column, which the oracle computes from the table

@@ -330,6 +330,36 @@ object NearDup {
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
   }
 
+  /** [[canonicalDocs]] with a QUALITY-ARGMAX canonical instead of the
+    * min-id label: within each duplicate cluster the document with the
+    * highest `scoreCol` survives (ties to the lower id) — "keep the best
+    * copy", the policy real pipelines want once a quality signal exists
+    * (longest text, highest [[TextOps.textQuality]] score, freshest
+    * crawl). Min-id selection is the degenerate case score = constant.
+    *
+    * Scale shape: the argmax runs ONLY over pair-touched documents (the
+    * `clusters` frame from [[duplicateClusters]] contains nothing else),
+    * as one bounded `max_by` partial aggregation per cluster — no window,
+    * no corpus-wide sort, and the corpus-sized frame joins the (duplicate
+    * clusters)-sized best frame once. Singletons never enter the argmax
+    * and are canonical by definition. Use a deterministic integer score
+    * where cross-engine agreement matters; ties are impossible in the
+    * comparator (it ends on the unique id). */
+  def canonicalDocsBest(docs: DataFrame, pairs: DataFrame,
+                        scoreCol: String): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val best = docs.join(clusters, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(max_by(col("doc_id"),
+        struct(col(scoreCol), (-col("doc_id")).as("_nid"))).as("_best_id"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .join(best, Seq("cluster"), "left")
+      .withColumn("canonical_id", coalesce(col("_best_id"), col("doc_id")))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .drop("_best_id")
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken-style):
     * hash every k-shingle, slide a window of `w` hashes, keep each
     * window's minimum — a deterministic ~1/w sample of the shingle hashes

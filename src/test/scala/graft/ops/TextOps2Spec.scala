@@ -148,6 +148,23 @@ class ClustersVocabSpec extends SparkSpec {
     assert(out(7L) == (7L, true))
   }
 
+  test("canonicalDocsBest keeps the highest-score member, ties to lower id, singletons canonical") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L),  // cluster {1,2,3}: 2 wins (30, tie to lower id)
+      (7L, "x", 1L)                                    // singleton
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = NearDup.canonicalDocsBest(docs, pairs, "score").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(out(1L) == (2L, false) && out(2L) == (2L, true) && out(3L) == (2L, false))
+    assert(out(7L) == (7L, true))
+    // constant score degenerates to min-id (canonicalDocs' policy)
+    val flat = NearDup.canonicalDocsBest(docs.withColumn("score", lit(1L)), pairs, "score")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(flat(1L) == 1L && flat(2L) == 1L && flat(3L) == 1L)
+  }
+
   test("end-to-end: minhash pairs -> clusters collapse the planted near-dups") {
     val docs = graft.T.load(spark, "/root/testdata/sf0.001", "documents")
     val pairs = NearDup.minhashPairs(docs)
