@@ -191,6 +191,9 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
+    "q_classifier_score" -> ((s, d) =>
+      TextOps.scoreLinear(t(s, d, "documents"), ClassifierWeights,
+        bias = 7.5, mode = HashMode.Portable)),
     // thresholds recalibrated to the synthetic corpus (10-99 words, no
     // newlines/symbols) so the rule booleans actually vary; operator
     // defaults are the published Gopher values
@@ -858,6 +861,23 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '$punct')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
          |  CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) / greatest($ntok, 1) AS avg_token_len
          |FROM documents""".stripMargin,
+    // buckets via the portable 60-bit hash; weights joined as micro-unit
+    // BIGINTs so the sum is exact integer arithmetic in both engines
+    "q_classifier_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+')) AS tok
+         |  FROM documents),
+         |f AS (SELECT doc_id, CAST(${h60("tok")} % 64 AS INT) AS bkt FROM t),
+         |w AS (SELECT * FROM (VALUES $classifierValues) AS w(bkt, wt)),
+         |s AS (SELECT f.doc_id, count(*) AS nf, sum(wt) AS sm
+         |      FROM f JOIN w ON w.bkt = f.bkt GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nf, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(sm, 0) + 7500000 AS BIGINT) AS score_micro,
+         |  CAST(CAST(coalesce(sm, 0) + 7500000 AS BIGINT) AS DOUBLE) / 1000000.0 AS score,
+         |  (coalesce(sm, 0) + 7500000) > 0 AS keep
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
     "q_gopher_rules" ->
       """WITH g AS (
          |  SELECT doc_id,
@@ -1363,6 +1383,15 @@ object SparkEntry {
     * order agrees across engines. */
   private def h60(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Fixed toy weight vector for the hashed-classifier gate (64 buckets,
+    * values in [-0.50, 0.50]) — a stand-in for any externally trained
+    * model; the oracle inlines the SAME micro-unit values. */
+  private val ClassifierWeights: Seq[Double] =
+    (0 until 64).map(i => (((i * 37) % 101) - 50) / 100.0)
+  private def classifierValues: String =
+    ClassifierWeights.zipWithIndex
+      .map { case (w, i) => s"($i, ${math.round(w * 1e6)})" }.mkString(", ")
 
   /** Shared shingle prologue mirroring `NearDup.explodedShingles` including
     * the whole-doc fallback for documents with < 3 tokens (`shinglesOf`'s

@@ -221,6 +221,52 @@ object TextOps {
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** FastText-style hashed linear classifier INFERENCE: each token (and
+    * with `wordNgrams = 2`, each word bigram) hashes into one of
+    * `weights.size` buckets; the document logit is `bias + Σ w[bucket]`
+    * and `keep` its sign — the exact shape of the quality/toxicity
+    * filters real pipelines run over every document (the model is just a
+    * weight vector; train it anywhere, paste it here).
+    *
+    * Determinism contract: weights are quantised to integer MICRO-units
+    * (×10⁶) and accumulated as a per-row `aggregate` fold over LONGs —
+    * exact, order-independent, engine-identical, no float summation drift
+    * — so a DuckDB oracle can gate the scoring path bit-for-bit
+    * (`score_micro` is the exact logit; `score` its IEEE double twin).
+    * Zero shuffle: tokenisation, hashing, and the fold are one projection
+    * behind a Generate barrier (the token array materialises once).
+    * Null text scores `bias` alone with 0 features. */
+  def scoreLinear(docs: DataFrame, weights: Seq[Double], bias: Double = 0.0,
+                  mode: HashMode = HashMode.Default,
+                  wordNgrams: Int = 1): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    require(wordNgrams >= 1 && wordNgrams <= 2, "wordNgrams must be 1 or 2")
+    def micro(x: Double): Long = math.round(x * 1e6)
+    val b = weights.size
+    val wLit = array(weights.map(w => lit(micro(w))): _*)
+    val toks = filter(split(normText(coalesce(col("text"), lit(""))), " "),
+      t => length(t) > 0)
+    val bigrams = when(size(col("_toks")) >= 2,
+      transform(sequence(lit(1), size(col("_toks")) - 1),
+        i => concat(element_at(col("_toks"), i), lit(" "),
+          element_at(col("_toks"), i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val feats =
+      if (wordNgrams == 2) concat(col("_toks"), bigrams) else col("_toks")
+    docs
+      .select(col("doc_id"), explode(array(toks)).as("_toks"))
+      .select(col("doc_id"), explode(array(feats)).as("_feats"))
+      .select(col("doc_id"),
+        size(col("_feats")).cast(LongType).as("n_feats"),
+        aggregate(col("_feats"), lit(micro(bias)),
+          (acc, t) => acc + element_at(wLit,
+            pmod(mode.hash(t), lit(b.toLong)).cast(IntegerType) + 1)).as("_sm"))
+      .select(col("doc_id"), col("n_feats"),
+        col("_sm").as("score_micro"),
+        (col("_sm").cast(DoubleType) / lit(1e6)).as("score"),
+        (col("_sm") > 0L).as("keep"))
+  }
+
   /** Per-document top-`topK` terms by TF-IDF (`tf × ln(N/df)`, rounded to
     * 6 dp BEFORE ranking so rank and score agree across engines).
     *

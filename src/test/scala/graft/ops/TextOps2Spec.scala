@@ -205,6 +205,40 @@ class ClustersVocabSpec extends SparkSpec {
   }
 }
 
+class ScoreLinearSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashed linear scoring: exact micro accumulation, bias-only on empty/null text") {
+    val w = Seq.tabulate(8)(i => (i - 4) / 10.0) // -0.4 .. 0.3
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(Tuple1(3L)).toDF("doc_id").withColumn("text", lit(null: String)))
+    val out = TextOps.scoreLinear(docs, w, bias = 0.05).orderBy("doc_id").collect()
+    // replicate by hand: same hash, same buckets, exact longs
+    val expected = Seq("alpha", "beta", "gamma").map { tok =>
+      val h = docs.sparkSession.range(1)
+        .select(pmod(xxhash64(lit(tok)), lit(8L)).cast("int")).as[Int].head()
+      math.round(w(h) * 1e6)
+    }.sum + 50000L
+    assert(out(0).getAs[Long]("score_micro") == expected)
+    assert(out(0).getAs[Long]("n_feats") == 3L)
+    assert(out(0).getAs[Double]("score") == expected.toDouble / 1e6)
+    assert(out(1).getAs[Long]("score_micro") == 50000L)
+    assert(out(1).getAs[Long]("n_feats") == 0L)
+    assert(out(2).getAs[Long]("score_micro") == 50000L)
+    assert(out.forall(r => r.getAs[Boolean]("keep") == (r.getAs[Long]("score_micro") > 0)))
+  }
+
+  test("wordNgrams=2 adds exactly the n-1 bigram features") {
+    val w = Seq.fill(16)(0.001)
+    val docs = Seq((1L, "a b c d"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.scoreLinear(docs, w, wordNgrams = 2).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_feats") == 7L) // 4 unigrams + 3 bigrams
+    assert(out(0).getAs[Long]("score_micro") == 7000L)
+    assert(out(1).getAs[Long]("n_feats") == 1L) // no bigrams from one token
+  }
+}
+
 class GopherRulesSpec extends SparkSpec {
   import spark.implicits._
 
