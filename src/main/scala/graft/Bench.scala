@@ -26,7 +26,12 @@ object Bench {
     "q_pack_chunks_sharded",
     // round-6 operators
     "q_stratified_sample", "q_entropy", "q_bigram_lm", "q_boilerplate",
-    "q_ann_radius", "q_ann_radius_ivf", "q_interval_join", "q_dedup_semantic")
+    "q_ann_radius", "q_ann_radius_ivf", "q_interval_join", "q_dedup_semantic",
+    // round-6 continuation (q_dedup_keep_best is gated but not benched:
+    // its cost is duplicateClusters' iterative loop, already characterised
+    // via q_dedup_cluster's absence for the same reason)
+    "q_weighted_sample", "q_gopher_rules", "q_line_dedup",
+    "q_classifier_score", "q_dedup_semantic_mp")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -51,7 +56,11 @@ object Bench {
     "q_stratified_sample" -> 0.39, "q_entropy" -> 0.66,
     "q_bigram_lm" -> 0.31, "q_boilerplate" -> 0.74,
     "q_ann_radius" -> 0.21, "q_ann_radius_ivf" -> 0.70,
-    "q_interval_join" -> 0.36, "q_dedup_semantic" -> 1.82
+    "q_interval_join" -> 0.36, "q_dedup_semantic" -> 1.82,
+    // round-6 continuation: local warmed best-of-3 × 1.3
+    "q_weighted_sample" -> 0.38, "q_gopher_rules" -> 0.86,
+    "q_line_dedup" -> 0.77, "q_classifier_score" -> 0.59,
+    "q_dedup_semantic_mp" -> 3.90
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

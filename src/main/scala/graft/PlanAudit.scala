@@ -20,7 +20,9 @@ object PlanAudit {
         "q_stratified_sample", "q_ann_radius", "q_bigram_lm", "q_entropy",
         "q_boilerplate", "q_interval_join", "q_dedup_semantic",
         "q_asof_forward", "q_pack_text", "q_curation_pipeline",
-        "q_vocab_coverage", "q_truncate")) {
+        "q_vocab_coverage", "q_truncate",
+        "q_weighted_sample", "q_dedup_semantic_mp", "q_gopher_rules",
+        "q_line_dedup", "q_dedup_keep_best", "q_classifier_score")) {
       println(s"\n================ $q ================")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -164,6 +164,66 @@ object Curate {
         (col("n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Offline artifact for [[stripLinesFlag]]: the md5 digest pairs of
+    * every line occurring in ≥ `minDocs` distinct documents, with its
+    * document frequency. Persist this from a periodic batch pass over the
+    * corpus; the streaming side probes it statelessly. Same counting
+    * semantics as [[dedupLines]]'s frequency stage (null text = empty). */
+  def frequentLines(docs: DataFrame, minDocs: Int = 2, idCol: String = "doc_id",
+                    textCol: String = "text", sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would strip every line)")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    docs
+      .select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), sepRe)).as("_line"))
+      .select(col(idCol),
+        call_function("graft_md5hh", col("_line").cast("binary")).as("_hh"))
+      .select(col(idCol), element_at(col("_hh"), 1).as("h1"),
+        element_at(col("_hh"), 2).as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(count_distinct(col(idCol)).as("line_df"))
+      .filter(col("line_df") >= minDocs)
+  }
+
+  /** Stateless boilerplate-line stripping: removes every line whose digest
+    * pair probes positive in a Bloom filter built from [[frequentLines]] —
+    * the ingest-time twin of [[dedupLines]], in the production shape real
+    * pipelines run (frequent lines computed OFFLINE over yesterday's
+    * corpus; arriving documents cleaned ONLINE with no state and no
+    * shuffle). A pure projection — split, array-filter, rejoin — so it
+    * runs unchanged on streaming frames (spec-pinned against the batch
+    * operator).
+    *
+    * The Bloom trade: no false negatives (every line the artifact lists
+    * IS stripped) and `fpp`-bounded false positives (an innocent line
+    * wrongly stripped — at the 1e-6 default, one line per million). The
+    * artifact is collected driver-side behind the `maxLines` guard, the
+    * same contract as contaminationFlag's eval grams: this frame must be
+    * boilerplate-shaped, not corpus-shaped. */
+  def stripLinesFlag(docs: DataFrame, frequent: DataFrame, sep: String = "\n",
+                     textCol: String = "text", fpp: Double = 1e-6,
+                     maxLines: Long = 16L << 20): DataFrame = {
+    val spark = frequent.sparkSession
+    import spark.implicits._
+    val pairs = frequent.select(col("h1"), col("h2")).as[(Long, Long)].collect()
+    require(pairs.length <= maxLines,
+      s"frequent-line artifact has ${pairs.length} lines (> $maxLines); " +
+        "stripLinesFlag builds its filter driver-side — raise maxLines " +
+        "only if the driver can hold it, or raise minDocs upstream")
+    val bloom = GramBloom.build(pairs, fpp)
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    docs
+      .withColumn("_sl_lines",
+        explode(array(split(coalesce(col(textCol), lit("")), sepRe))))
+      .withColumn("_sl_kept",
+        filter(col("_sl_lines"), l => !bloom.mightContainGram(l)))
+      .withColumn("n_lines", size(col("_sl_lines")).cast(LongType))
+      .withColumn("n_removed",
+        (col("n_lines") - size(col("_sl_kept"))).cast(LongType))
+      .withColumn(textCol, concat_ws(sep, col("_sl_kept")))
+      .drop("_sl_lines", "_sl_kept")
+  }
+
   /** Weighted sample without replacement: the `k` documents with the
     * smallest priority `hash(salt, id) div weight` — Ohlsson-style
     * sequential Poisson sampling (priorities uᵢ/wᵢ, keep the k smallest),

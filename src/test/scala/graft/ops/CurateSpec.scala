@@ -274,6 +274,44 @@ class CurateSpec extends SparkSpec {
     assert(n.length == 5 && n(4).getAs[String]("text") == "")
   }
 
+  test("stripLinesFlag matches dedupLines given the same frequency artifact; no false negatives") {
+    val corpus = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta\nFOOTER"),
+      (2L, "COOKIE BANNER\nown content two\nFOOTER"),
+      (3L, "FOOTER\nCOOKIE BANNER"),
+      (4L, "standalone document")
+    ).toDF("doc_id", "text")
+    val freq = Curate.frequentLines(corpus, minDocs = 3)
+    assert(freq.count() == 2) // FOOTER, COOKIE BANNER
+    val flagged = Curate.stripLinesFlag(corpus, freq)
+      .select("doc_id", "text", "n_lines", "n_removed")
+    val exact = Curate.dedupLines(corpus, minDocs = 3)
+      .select("doc_id", "text", "n_lines", "n_removed")
+    assert(flagged.orderBy("doc_id").collect().toSeq ==
+      exact.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("stripLinesFlag is a stateless projection: runs on a stream, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val offline = Seq(
+      (10L, "AD BLOCK\nreal text one"), (11L, "AD BLOCK\nreal text two"),
+      (12L, "AD BLOCK")).toDF("doc_id", "text")
+    val freq = Curate.frequentLines(offline, minDocs = 3)
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = Curate.stripLinesFlag(mem.toDF().toDF("doc_id", "text"), freq)
+    val q = out.writeStream.format("memory").queryName("strip_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((20L, "AD BLOCK\nfresh arrival"), (21L, "clean doc"))
+      q.processAllAvailable()
+      val rows = spark.table("strip_stream").orderBy("doc_id").collect()
+      assert(rows(0).getAs[String]("text") == "fresh arrival")
+      assert(rows(0).getAs[Long]("n_removed") == 1L)
+      assert(rows(1).getAs[String]("text") == "clean doc")
+      assert(rows(1).getAs[Long]("n_removed") == 0L)
+    } finally q.stop()
+  }
+
   test("weightedSample keeps the k smallest hash-div-weight priorities, deterministically") {
     val big = (0L until 400L).map(i => (i, s"t$i", 1L + i % 7))
       .toDF("doc_id", "text", "w")

@@ -237,6 +237,40 @@ class ScoreLinearSpec extends SparkSpec {
     assert(out(0).getAs[Long]("score_micro") == 7000L)
     assert(out(1).getAs[Long]("n_feats") == 1L) // no bigrams from one token
   }
+
+  test("scoreLinear and gopherRules are stateless projections: run on a stream, match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val w = Seq.tabulate(8)(i => (i - 4) / 10.0)
+    val data = Seq(
+      (1L, "the quick brown fox and that lazy dog have fun with friends " * 5),
+      (2L, "short"))
+    val batchDf = data.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)](spark)
+    val src = mem.toDF().toDF("doc_id", "text")
+    val qs = TextOps.scoreLinear(src, w, bias = 0.05, wordNgrams = 2)
+      .writeStream.format("memory").queryName("score_stream")
+      .outputMode("append").start()
+    val qg = TextOps.gopherRules(src, TextOps.GopherThresholds(minWords = 10))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      qs.processAllAvailable(); qg.processAllAvailable()
+      val streamedScore = spark.table("score_stream").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+      val batchScore = TextOps.scoreLinear(batchDf, w, bias = 0.05, wordNgrams = 2)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+      assert(streamedScore == batchScore)
+      val streamedKeep = spark.table("gopher_stream").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("gopher_keep"))).toSeq
+      val batchKeep = TextOps.gopherRules(batchDf, TextOps.GopherThresholds(minWords = 10))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("gopher_keep"))).toSeq
+      assert(streamedKeep == batchKeep)
+      assert(batchKeep.head._2, "long prose doc keeps")
+    } finally { qs.stop(); qg.stop() }
+  }
 }
 
 class GopherRulesSpec extends SparkSpec {
