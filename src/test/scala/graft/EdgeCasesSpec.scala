@@ -58,6 +58,30 @@ class EdgeCasesSpec extends SparkSpec {
     assert(ent.getAs[Long]("n_tokens") == 0L && ent.getAs[Double]("entropy") == 0.0)
   }
 
+  test("round-6-continuation ops are total on empty corpora and null text") {
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val emptyW = emptyDocs.withColumn("n_chars", lit(0L))
+    assert(Curate.weightedSample(emptyW, k = 5, weightCol = "n_chars").count() == 0)
+    assert(Curate.dedupLines(emptyDocs).count() == 0)
+    assert(Curate.frequentLines(emptyDocs).count() == 0)
+    assert(Curate.stripLinesFlag(emptyDocs, Curate.frequentLines(emptyDocs)).count() == 0)
+    assert(TextOps.gopherRules(emptyDocs).count() == 0)
+    assert(TextOps.scoreLinear(emptyDocs, Seq(0.1, -0.1)).count() == 0)
+    assert(VectorOps.semanticPairsMultiProbe(emptyEmb).count() == 0)
+    assert(NearDup.canonicalDocsBest(emptyW,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "n_chars").count() == 0)
+
+    val withNull = Seq((1L, null.asInstanceOf[String], "en", "s1"),
+      (2L, "a b c d e", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    assert(Curate.dedupLines(withNull).count() == 2)
+    assert(Curate.stripLinesFlag(withNull, Curate.frequentLines(withNull)).count() == 2)
+    // offset ids above every centroid seed: multi-probe degrades gracefully
+    val offsetEmb = Seq((1000L, Array.fill(4)(1.0f), 0), (1001L, Array.fill(4)(0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorOps.semanticPairsMultiProbe(offsetEmb, threshold = 0.5).count() == 0)
+  }
+
   test("vector ops are total on empty and offset-id corpora") {
     val emptyVecs = Seq.empty[(Long, Seq[Float], Int)]
       .toDF("vec_id", "embedding", "label")

@@ -186,6 +186,21 @@ class HashModePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe canonical-block emission is exactly-once (set model)") {
+    // model of semanticPairsMultiProbe's gridPairs filter: a pair whose
+    // members share ANY probed cluster is emitted in exactly one block —
+    // the minimum shared cid — and a pair sharing none is never emitted.
+    val genSet = Gen.nonEmptyListOf(Gen.chooseNum(0, 9)).map(_.toSet.take(3))
+    val gen = for { a <- genSet; b <- genSet } yield (a, b)
+    ContractGen.sample(gen, 300, seed = 59L).foreach { case (csA, csB) =>
+      val shared = csA intersect csB
+      // blocks where BOTH members appear = shared; emitted where
+      // block == min(shared)
+      val emissions = shared.count(c => c == shared.min)
+      assert(emissions == (if (shared.nonEmpty) 1 else 0), s"a=$csA b=$csB")
+    }
+  }
+
   test("GramBloom: zero false negatives by construction; realised fpp respects the bound") {
     // the regression that motivated the odd-stride + enhanced-double-hash
     // probes: a tiny filter at fpp=1e-6 measured 1.9e-4 with textbook K-M.
