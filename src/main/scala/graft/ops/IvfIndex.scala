@@ -166,7 +166,12 @@ object IvfIndex {
                     targetBlock: Int = 4096): DataFrame = {
     val data = spark.read.parquet(s"$dir/data")
     VectorOps.gridPairs(
-      data.select(col("vec_id"), col("v"), col("nrm"), col("cid").cast("long").as("cid")),
+      // safeNrm: layouts built before the null-guarded norm may persist a
+      // raw 0.0 for degenerate vectors; gridPairs' division assumes the
+      // guard ran at the row level (one CASE WHEN per read row)
+      data.select(col("vec_id"), col("v"),
+        VectorOps.safeNrm(col("nrm")).as("nrm"),
+        col("cid").cast("long").as("cid")),
       "cid", threshold, targetBlock)
   }
 

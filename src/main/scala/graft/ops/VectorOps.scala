@@ -32,21 +32,46 @@ object VectorOps {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Corpus with vector cast to double and norm precomputed. */
+  /** Norm with the degenerate cases nulled ONCE per row: a zero norm
+    * (undefined direction) or NaN norm (NaN/garbage components) becomes
+    * NULL here, so every downstream cosine division is ANSI-safe by
+    * construction — the divisor is either positive or null, never 0 —
+    * and no NaN cosine can be born to outrank real scores. Paying this
+    * at the ROW level is what lets the quadratic pair loops run a plain
+    * round(dot/(na·nb)) with no per-pair nullif/isnan (measured ~25% of
+    * q_dedup_semantic's wall clock at sf0.1). */
+  private[ops] def safeNrm(n: Column): Column =
+    when(!isnan(n) && n =!= 0.0, n)
+
+  /** Corpus with vector cast to double and null-guarded norm (see
+    * [[safeNrm]]) precomputed.
+    *
+    * The RAW norm is materialised through a Generate barrier (the
+    * explode(array(..)) idiom NearDup's shingle pipeline uses) before the
+    * guard wraps it: without the barrier, project-collapse would inline
+    * the norm's whole defining expression — sqrt(graft_dot(v,v)) times
+    * every branch of the guard — into EVERY downstream reference, and the
+    * 16-centroid assignment lambda references nrm once per centroid in
+    * interpreted (non-codegen) higher-order functions. Measured at sf0.1
+    * that inlining more than doubled q_dedup_semantic (1.2 s → 2.8 s);
+    * behind the barrier the norm is one dot product per row and the
+    * guard is a CASE WHEN over a materialised attribute. */
   def prepared(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .select(col("vec_id"), col("label"), col("v"),
+        explode(array(l2norm(col("v")))).as("_nrm_raw"))
+      .select(col("vec_id"), col("label"), col("v"),
+        safeNrm(col("_nrm_raw")).as("nrm"))
 
   /** cosine rounded to 6 dp — rounding makes the value stable across
-    * engines/evaluation orders for oracle comparison. A zero norm yields
-    * NULL (via nullif), not a division: Spark 4's default ANSI mode makes
-    * even DOUBLE division by zero a runtime error, so one zero-norm
-    * embedding would otherwise kill the whole query; NULL instead drops
-    * out of every consumer — threshold filters (null comparison is never
-    * true), TopK's null-score drop, array_max/min_by seeding (null-aware
-    * since the spread-seed guard). */
+    * engines/evaluation orders for oracle comparison. Norms come from
+    * [[safeNrm]] (null for zero/NaN), so the division can never raise
+    * ANSI divide-by-zero and never produce NaN from a degenerate vector:
+    * a null norm propagates to a null cosine, which every consumer drops
+    * (threshold filters — null comparison is never true — TopK's
+    * null-score drop, null-aware array_max/min_by seeding). */
   private def cosR(va: Column, na: Column, vb: Column, nb: Column): Column =
-    round(dot(va, vb) / nullif(na * nb, lit(0.0)), 6)
+    round(dot(va, vb) / (na * nb), 6)
 
   /** Embedding-cosine near-dup pairs, blocked by label, with a skew-proof
     * triangle-grid join inside each label.
@@ -106,11 +131,10 @@ object VectorOps {
     }
     canonical
       .withColumn("cosine", cosR(col("va"), col("na"), col("vb"), col("nb")))
-      // Spark orders NaN GREATER than any number, so a bare `>= threshold`
-      // would EMIT every pair touching a zero-norm vector (cosine NaN)
-      // instead of dropping it — the explicit isnan guard is the filter
-      // path's twin of TopK.topKPerKey's NaN drop
-      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
+      // degenerate vectors carry a NULL norm (safeNrm), so their cosine
+      // is NULL and the bare threshold comparison drops them — no
+      // per-pair isnan needed in this quadratic loop
+      .filter(col("cosine") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("vec_a"),
         greatest(col("id_a"), col("id_b")).as("vec_b"),
         col(blockCol), col("cosine"))
@@ -333,10 +357,10 @@ object VectorOps {
     * Scale shape is even simpler than top-k: broadcast(probes) × one
     * corpus scan with the threshold filter fused into the projection —
     * ZERO exchanges end to end, no ranking state at all; output size is
-    * the true neighborhood size. Zero-norm vectors (NaN cosine) are
-    * dropped by an EXPLICIT isnan guard — Spark's comparison order puts
-    * NaN above every number, so a bare `>= threshold` would emit them
-    * (the same contract TopK.topKPerKey enforces for the ranking paths). */
+    * the true neighborhood size. Degenerate vectors carry a null norm
+    * ([[safeNrm]]) and hence a null cosine, which the bare threshold
+    * comparison drops — the same contract TopK.topKPerKey enforces for
+    * the ranking paths. */
   def annRadius(embeddings: DataFrame, nProbes: Int = 10,
                 threshold: Double = 0.3): DataFrame = {
     val e = prepared(embeddings)
@@ -345,7 +369,7 @@ object VectorOps {
     e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", cosR(col("pv"), col("pn"), col("v"), col("nrm")))
-      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
+      .filter(col("cosine") >= threshold)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
@@ -447,7 +471,10 @@ object VectorOps {
   /** The original deterministic seed: the vectors with `vec_id < k`,
     * centroid id = vector id. */
   def seedLowestIds(e: DataFrame, k: Int): DataFrame =
-    e.filter(col("vec_id") < k)
+    // null-norm rows (zero/NaN vectors, see safeNrm) can't serve as a
+    // direction — excluding them keeps every centroid's cn positive, so
+    // the literal's Centroid(cn: Double) never unboxes a null
+    e.filter(col("vec_id") < k && col("nrm").isNotNull)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
 
   /** Lloyd refinement from an explicit initial centroid frame
@@ -475,7 +502,10 @@ object VectorOps {
         .groupBy(col("cid"))
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cv"))
-        .withColumn("cn", l2norm(col("cv")))
+        .withColumn("cn", safeNrm(l2norm(col("cv"))))
+        // a refined centroid with no usable direction (all-zero mean)
+        // cannot attract vectors — drop it rather than carry a null cn
+        .filter(col("cn").isNotNull)
     }
     cents
   }
@@ -567,8 +597,9 @@ object VectorOps {
     * to probed PARTITIONS). Approximate exactly like annIvf is: neighbors
     * above the threshold living outside the probed clusters are missed —
     * the standard IVF recall trade. The threshold filter is fused into the
-    * candidate projection; no ranking state at all. Zero-norm rows (NaN
-    * cosine) drop via the explicit isnan guard (see [[annRadius]]). */
+    * candidate projection; no ranking state at all. Degenerate rows
+    * (null-norm → null cosine) drop in the threshold filter (see
+    * [[annRadius]]). */
   def annIvfRadius(embeddings: DataFrame, threshold: Double = 0.3,
                    nCentroids: Int = 16, nProbes: Int = 10,
                    nProbeClusters: Int = 2, kmeansIters: Int = 0,
@@ -578,7 +609,7 @@ object VectorOps {
         literalMax, spreadSeed) match {
       case None => emptyIvfResult(embeddings, withRank = false)
       case Some(scored) =>
-        scored.filter(col("cosine") >= threshold && !isnan(col("cosine")))
+        scored.filter(col("cosine") >= threshold)
           .select(col("probe_id"), col("neighbor_id"), col("cosine"))
     }
 
