@@ -241,6 +241,12 @@ object SparkEntry {
     "q_dedup_semantic_mp" -> ((s, d) =>
       VectorOps.semanticPairsMultiProbe(t(s, d, "embeddings"), threshold = 0.4,
         probes = 2)),
+    "q_dedup_semantic_pq" -> ((s, d) =>
+      // margin 0.4 → prefilter cut 0.0: retains all true pairs on this
+      // corpus (11/11, vs 4/11 at margin 0.2 — k=16 quantization error is
+      // wide at low thresholds) while still pruning the sub-zero bulk
+      graft.ops.PQ.semanticPairsPq(t(s, d, "embeddings"), threshold = 0.4,
+        margin = 0.4, iterations = 1)),
     "q_ann_brute" -> ((s, d) => VectorOps.annBrute(t(s, d, "embeddings"))),
     // fixed-similarity twin of annBrute: all neighbors within the radius,
     // zero exchanges (broadcast probes × scan, threshold fused in the scan)
@@ -1129,6 +1135,41 @@ object SparkEntry {
         |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |GROUP BY a.vec_id, b.vec_id
         |HAVING min(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)) >= 0.4""".stripMargin,
+    // PQ-coded SemDeDup: same coarse assignment as q_dedup_semantic, codes
+    // and refined codebook from the shared pqCtes, approx score = exact
+    // decimal sum of per-block cross-table terms (rounded 6 dp per term),
+    // margin prefilter, then the exact-cosine verify decides membership
+    "q_dedup_semantic_pq" ->
+      s"""WITH $pqCtes,
+        |cc AS (SELECT vec_id AS ccid, v AS ccv, nrm AS ccn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT n.vec_id, ccid AS cid FROM n CROSS JOIN cc
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, ccv) / (n.nrm * ccn), 6) DESC, ccid ASC) = 1),
+        |ct AS (
+        |  SELECT x.block, x.code AS ca, y.code AS cb,
+        |    round(list_dot_product(x.c, y.c), 6) AS t
+        |  FROM cb1 x JOIN cb1 y USING (block)),
+        |prs AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cid
+        |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |apx AS (
+        |  SELECT id_a, id_b, cid,
+        |    CAST(sum(CAST(ct.t AS DECIMAL(25,6))) AS DOUBLE) AS sm
+        |  FROM prs
+        |  JOIN a1 xa ON xa.vec_id = id_a
+        |  JOIN a1 yb ON yb.vec_id = id_b AND yb.block = xa.block
+        |  JOIN ct ON ct.block = xa.block AND ct.ca = xa.code AND ct.cb = yb.code
+        |  GROUP BY 1, 2, 3),
+        |cand AS (
+        |  SELECT id_a, id_b, cid FROM apx
+        |  JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |  WHERE round(sm / (na.nrm * nb.nrm), 6) >= 0.0)
+        |SELECT id_a AS vec_a, id_b AS vec_b, cid,
+        |  round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+        |FROM cand
+        |JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin,
     "q_ann_brute" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -265,4 +265,88 @@ object PQ {
     val cands = TopK.topKPerKey(scored, "probe_id", "vec_id", "approx", topK * rerank)
     exactRerank(cands, e, nProbes, topK)
   }
+
+  /** SemDeDup over PQ CODES: cluster-blocked near-dup pair mining where
+    * the quadratic loop carries m small code ints (plus id and norm)
+    * instead of the raw vector — at 100 TB the difference between
+    * shuffling/holding ~32 bytes and ~dim×8 bytes per pair side. Pairs
+    * are scored approximately from a driver-built codebook×codebook dot
+    * table (`Σ_b X[b][ca][cb]`, exact decimal accumulation with per-term
+    * 6 dp rounding — engine-reproducible, which is what lets a DuckDB
+    * oracle gate this path end to end), prefiltered at
+    * `threshold − margin`, and ONLY the surviving candidates rejoin
+    * their raw vectors for the exact cosine that decides membership.
+    * Output shape matches [[VectorOps.semanticPairs]]; with `margin`
+    * covering the true quantization error the result is identical —
+    * spec-measured, and the knob is explicit: larger margin = more
+    * exact-verify work, never missed pairs beyond approximation error
+    * above it.
+    *
+    * The candidate frame is small (near-dup-shaped) so the two verify
+    * joins broadcast under AQE; the corpus itself is scanned once for
+    * encoding and once per verify side. */
+  def semanticPairsPq(embeddings: DataFrame, threshold: Double = 0.9,
+                      margin: Double = 0.2, nCentroids: Int = 16,
+                      m: Int = 8, k: Int = 16, iterations: Int = 1,
+                      targetBlock: Int = 4096): DataFrame = {
+    val e = VectorOps.prepared(embeddings)
+    val empty = e.limit(0)
+      .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+        col("vec_id").as("cid"), col("nrm").as("cosine"))
+    VectorOps.assignCids(e, nCentroids, 0, VectorOps.CentroidLiteralMax,
+        spreadSeed = false) match {
+      case None => empty
+      case Some((_, _, assigned)) =>
+        if (embeddings.isEmpty) return empty
+        val books = train(embeddings, m, k, iterations)
+        val dsub = books.head.head.length
+        val kEff = books.head.length
+        // flattened cross-table X[b][i][j] = dot(books(b)(i), books(b)(j))
+        val cross = typedLit((for {
+          b <- 0 until m; i <- 0 until kEff; j <- 0 until kEff
+        } yield books(b)(i).zip(books(b)(j)).map { case (x, y) => x * y }.sum).toSeq)
+        val enc = assigned.select(col("vec_id"), col("nrm"), col("cid"),
+          encodeExpr(booksLiteral(books), m, dsub).as("codes"))
+        // triangle grid over codes (same cell math as VectorOps.gridPairs)
+        val grids = enc.groupBy(col("cid"))
+          .agg(ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(IntegerType).as("g"))
+        val eg = enc.join(broadcast(grids), Seq("cid"))
+          .withColumn("bkt", pmod(col("vec_id"), col("g")).cast(IntegerType))
+        val a = eg.select(col("cid"), col("bkt").as("ci"),
+          explode(sequence(col("bkt"), col("g") - 1)).as("cj"),
+          col("vec_id").as("id_a"), col("codes").as("ca"), col("nrm").as("na"))
+        val b = eg.select(col("cid"), explode(sequence(lit(0), col("bkt"))).as("ci"),
+          col("bkt").as("cj"),
+          col("vec_id").as("id_b"), col("codes").as("cb"), col("nrm").as("nb"))
+        // approx dot: per-term 6 dp round into DECIMAL(25,6), summed in a
+        // fixed fold — exact, order-independent, DuckDB-replicable
+        val approxSum = aggregate(sequence(lit(0), lit(m - 1)),
+          lit(BigDecimal(0).bigDecimal).cast(DecimalType(25, 6)),
+          (acc, blk) => (acc + round(element_at(cross,
+            blk * (kEff * kEff) + element_at(col("ca"), blk + 1) * kEff +
+              element_at(col("cb"), blk + 1) + 1), 6).cast(DecimalType(25, 6)))
+            .cast(DecimalType(25, 6)))
+        // decimal subtraction: `threshold - margin` in doubles is e.g.
+        // 0.4-0.2 = 0.20000000000000004, which would disagree with an
+        // oracle's literal 0.2 on exactly-boundary approx scores
+        val cut = (BigDecimal(threshold) - BigDecimal(margin)).toDouble
+        val cands = a.join(b, Seq("cid", "ci", "cj"))
+          .filter(col("ci") < col("cj") || col("id_a") < col("id_b"))
+          .withColumn("approx",
+            round(approxSum.cast(DoubleType) / (col("na") * col("nb")), 6))
+          .filter(col("approx") >= cut)
+          .select(col("cid"), col("id_a"), col("id_b"))
+        cands
+          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+            col("nrm").as("na")), Seq("id_a"))
+          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+            col("nrm").as("nb")), Seq("id_b"))
+          .withColumn("cosine",
+            round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+          .filter(col("cosine") >= threshold)
+          .select(least(col("id_a"), col("id_b")).as("vec_a"),
+            greatest(col("id_a"), col("id_b")).as("vec_b"),
+            col("cid"), col("cosine"))
+    }
+  }
 }

@@ -247,7 +247,7 @@ object VectorOps {
     * where `literal` is the centroid array literal when the literal path
     * is active (callers reuse it for probe-side selection without a
     * second driver collect); None when no centroid can be seeded. */
-  private def assignCids(e: DataFrame, nCentroids: Int, kmeansIters: Int,
+  private[ops] def assignCids(e: DataFrame, nCentroids: Int, kmeansIters: Int,
                          literalMax: Int, spreadSeed: Boolean)
       : Option[(DataFrame, Option[Column], DataFrame)] = {
     val seeds =

@@ -58,6 +58,29 @@ class PQSpec extends SparkSpec {
     assert(PQ.annIvfPq(empty).count() == 0)
   }
 
+  test("semanticPairsPq with full margin equals the raw-vector operator exactly") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cid", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    // margin 2.0 disables the approx prefilter entirely: the exact-verify
+    // tail then decides membership alone, so the output must equal
+    // semanticPairs bit-for-bit (same assignment, same exact cosine)
+    val exact = rows(VectorOps.semanticPairs(e, threshold = 0.4))
+    val full = rows(PQ.semanticPairsPq(e, threshold = 0.4, margin = 2.0,
+      iterations = 1))
+    assert(full == exact)
+    // a real margin keeps a subset (quantization may prune), never junk
+    val pruned = rows(PQ.semanticPairsPq(e, threshold = 0.4, margin = 0.2,
+      iterations = 1))
+    assert(pruned.subsetOf(exact))
+    assert(pruned.nonEmpty, "0.2 margin should retain the near-dup pairs")
+    // empty corpus is total
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(PQ.semanticPairsPq(emptyEmb).count() == 0)
+  }
+
   test("larger rerank pools improve (or keep) recall") {
     def recallAt(rr: Int): Double = {
       val truth = VectorOps.annBrute(e).select("probe_id", "neighbor_id").collect()
