@@ -26,6 +26,64 @@ object StreamQuota {
     * (carried on their own Row encoder — no serialisation detour); the
     * stratum key is length-prefix encoded like `Curate.stratifiedSample`
     * so free-form string combinations cannot collide. */
+  /** Streaming weighted-sample ADMISSION — the ingest-time sibling of
+    * [[graft.ops.Curate.weightedSample]]: admit a row iff its
+    * sequential-Poisson priority `hash(salt, id) div weight` ranks among
+    * the `k` smallest its stratum has seen SO FAR. Append mode cannot
+    * retract, so the admitted set is a SUPERSET of the final batch top-k
+    * (early rows later displaced stay admitted) with one guarantee that
+    * makes it useful: a row the batch operator would keep is NEVER
+    * dropped — at its arrival fewer than k smaller priorities can exist,
+    * so it always ranks in. Replay the batch operator over the stored
+    * corpus when the exact-k set matters; use this to bound ingest
+    * volume to ~k per stratum online.
+    *
+    * State per stratum is the bounded k-priority buffer (same MinK
+    * insert contract as [[graft.ops.TopK.MinKIds]]); rows with null or
+    * non-positive weight never admit (the batch contract). */
+  def weightedSamplePerStratum(docs: DataFrame, strataCols: Seq[String], k: Int,
+                               weightCol: String, idCol: String = "doc_id",
+                               mode: graft.ops.HashMode = graft.ops.HashMode.Default,
+                               salt: String = "wsamp"): DataFrame = {
+    require(strataCols.nonEmpty, "strataCols must not be empty")
+    require(k > 0, "k must be positive")
+    val stratum: Column = strataCols.map { c =>
+      coalesce(concat(length(col(c).cast("string")).cast("string"), lit("|"),
+        col(c).cast("string")), lit("-|"))
+    }.reduce(concat(_, _))
+    val keyed = docs
+      .filter(col(weightCol).isNotNull && col(weightCol).cast("long") > 0)
+      .withColumn("_wq_key", stratum)
+      .withColumn("_wq_h", mode.hash(lit(salt), col(idCol)))
+      .withColumn("_wq_w", col(weightCol).cast("long"))
+      .withColumn("_wq_pri", expr("_wq_h div _wq_w"))
+      .drop("_wq_h", "_wq_w")
+    val keyIdx = keyed.columns.length - 2
+    val priIdx = keyed.columns.length - 1
+    implicit val outEnc: Encoder[Row] = Encoders.row(keyed.schema)
+    implicit val bufEnc: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    keyed
+      .groupByKey((r: Row) => r.getString(keyIdx))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Row], state: GroupState[List[Long]]) => {
+          var buf = state.getOption.getOrElse(Nil)
+          val admitted = rows.filter { r =>
+            val pri = r.getLong(priIdx)
+            val in = buf.lengthCompare(k) < 0 || pri < buf.last
+            if (in) {
+              val (pre, post) = buf.span(_ < pri)
+              val merged = pre ::: (pri :: post)
+              buf = if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+            }
+            in
+          }.toList
+          state.update(buf)
+          admitted.iterator
+        })(bufEnc, outEnc)
+      .drop("_wq_key", "_wq_pri")
+  }
+
   def capPerStratum(docs: DataFrame, strataCols: Seq[String], cap: Int): DataFrame = {
     require(strataCols.nonEmpty, "strataCols must not be empty")
     require(cap > 0, "cap must be positive")

@@ -6,6 +6,41 @@ import org.apache.spark.sql.functions._
 class StreamQuotaSpec extends SparkSpec {
   import spark.implicits._
 
+
+  test("weighted reservoir admission: batch top-k never dropped, bound respected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String, String, Long)](spark)
+    val src = mem.toDF().toDF("doc_id", "text", "source", "w")
+    val q = StreamQuota.weightedSamplePerStratum(src, Seq("source"), k = 3,
+      weightCol = "w")
+      .writeStream.format("memory").queryName("wres_out")
+      .outputMode("append").start()
+    val rows = (0L until 40L).map(i =>
+      (i, s"t$i", if (i % 2 == 0) "s1" else "s2", 1L + i % 5))
+    try {
+      val (b1, b2) = rows.splitAt(20)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val admitted = spark.table("wres_out").select("doc_id").as[Long].collect().toSet
+      // the batch operator's exact per-stratum top-k must all be admitted
+      // (a batch winner can never rank outside the running top-k at arrival)
+      val batchDf = rows.toDF("doc_id", "text", "source", "w")
+      val batchKept = Seq("s1", "s2").flatMap { s =>
+        graft.ops.Curate.weightedSample(
+          batchDf.filter(col("source") === s), k = 3, weightCol = "w")
+          .select("doc_id").as[Long].collect()
+      }.toSet
+      assert(batchKept.subsetOf(admitted), s"batch winners $batchKept not in $admitted")
+      // admission is bounded: at most k admits per stratum PER BATCH wave
+      // is not guaranteed, but the total stays near k (superset property,
+      // never the whole stream)
+      assert(admitted.size < rows.size / 2, "reservoir must actually reject rows")
+      // zero/absent weights never admit
+      mem.addData((100L, "z", "s1", 0L)); q.processAllAvailable()
+      assert(!spark.table("wres_out").select("doc_id").as[Long].collect().contains(100L))
+    } finally q.stop()
+  }
+
   test("quota admission is monotone across batches and exact per stratum") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(Long, String, String)](spark)
