@@ -206,6 +206,9 @@ object SparkEntry {
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
+    "q_containment" -> ((s, d) =>
+      NearDup.containmentPairs(t(s, d, "documents"), threshold = 0.5,
+        maxShingleDf = 100)),
     "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
     // hash-based dedup ops run in HashMode.Portable here so the DuckDB
     // oracle can recompute identical signatures; the library default stays
@@ -979,6 +982,22 @@ object SparkEntry {
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |  FROM documents)
         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)""".stripMargin,
+    "q_containment" ->
+      s"""WITH $shingleCtes,
+        |keep AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) <= 100),
+        |kd AS (SELECT d.doc_id, d.shingle FROM d JOIN keep USING (shingle)),
+        |kn AS (SELECT doc_id, count(*) AS nk FROM kd GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM kd a JOIN kd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cont_a, cont_b, greatest(cont_a, cont_b) AS containment
+        |FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(common AS DOUBLE) / ka.nk, 6) AS cont_a,
+        |    round(CAST(common AS DOUBLE) / kb.nk, 6) AS cont_b
+        |  FROM pr JOIN kn ka ON ka.doc_id = doc_a JOIN kn kb ON kb.doc_id = doc_b)
+        |WHERE greatest(cont_a, cont_b) >= 0.5""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $shingleCtes,
         |p AS (

@@ -184,6 +184,50 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: `C(A→B) = |A∩B| / |A|` over
+    * distinct k-shingles — the signal symmetric Jaccard structurally
+    * misses: a short document quoted wholesale inside a long one has
+    * containment ≈ 1 while its Jaccard is tiny (ngramPairs' size filter
+    * even prunes the pair before scoring). Emits each unordered pair
+    * once with BOTH directions; `containment` is their max.
+    *
+    * Scale shape: containment admits NO size blocking (small-inside-huge
+    * is the target), so hot shingles would drive the shared-shingle join
+    * quadratic. Instead the shingle UNIVERSE is df-capped: shingles in
+    * more than `maxShingleDf` documents are boilerplate, carry no
+    * discriminative signal, and are excluded from BOTH the numerator and
+    * the denominators (the winnowing-style standard) — the score is
+    * exact over the filtered universe and self-consistent, per-shingle
+    * pair work is ≤ maxShingleDf², and the df cap is the explicit knob.
+    * Documents whose every shingle is boilerplate drop out (their
+    * filtered universe is empty — containment over nothing is undefined,
+    * not 1.0). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3,
+                       maxShingleDf: Long = 10000): DataFrame = {
+    require(maxShingleDf >= 2, "maxShingleDf < 2 cannot form any pair")
+    val e = explodedShingles(docs, k)
+    val keep = e.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_sdf"))
+      .filter(col("_sdf") <= maxShingleDf)
+      .select(col("shingle"))
+    val kd = e.select(col("doc_id"), col("shingle")).join(keep, Seq("shingle"))
+    val kn = kd.groupBy(col("doc_id")).agg(count(lit(1)).as("nk"))
+    val a = kd.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = kd.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(kn.select(col("doc_id").as("doc_a"), col("nk").as("nka")), Seq("doc_a"))
+      .join(kn.select(col("doc_id").as("doc_b"), col("nk").as("nkb")), Seq("doc_b"))
+      .withColumn("cont_a", round(col("common").cast(DoubleType) / col("nka"), 6))
+      .withColumn("cont_b", round(col("common").cast(DoubleType) / col("nkb"), 6))
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"),
+        col("containment"))
+  }
+
   val MinHashK = 32
   val MinHashBands = 8 // 8 bands × 4 rows: P(candidate) ≈ 1-(1-j⁴)⁸ —
   // ≈0.89 recall at j=0.7 while random low-j pairs (common with a small

@@ -181,6 +181,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("containmentPairs catches quote-inclusion that symmetric Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = ("x" + (1 to 40).map(i => s" filler$i").mkString(" ")) +
+      " " + short + " trailing words here"
+    val corpus = Seq((1L, short), (2L, long), (3L, "totally different content"))
+      .toDF("doc_id", "text")
+    val cont = NearDup.containmentPairs(corpus, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))).toMap
+    assert(cont.contains((1L, 2L)), "quoted doc must pair with its host")
+    val (ca, cb) = cont((1L, 2L))
+    assert(ca == 1.0, s"every shingle of the short doc is in the long one: $ca")
+    assert(cb < 0.2, "the long doc is mostly its own content")
+    // symmetric Jaccard never surfaces this pair
+    assert(!NearDup.ngramPairs(corpus, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet.contains((1L, 2L)))
+    // df cap drops boilerplate-only docs rather than scoring them 1.0
+    val boiler = Seq.tabulate(5)(i => (10L + i, "same same same same")).toDF("doc_id", "text")
+    assert(NearDup.containmentPairs(boiler, threshold = 0.1, maxShingleDf = 3).count() == 0)
+  }
+
   test("zero-norm vectors drop from threshold paths (NaN sorts above numbers in Spark)") {
     val withZero = emb.unionByName(Seq(
       (9L, Array(0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
