@@ -283,8 +283,12 @@ object PQ {
     * above it.
     *
     * The candidate frame is small (near-dup-shaped) so the two verify
-    * joins broadcast under AQE; the corpus itself is scanned once for
-    * encoding and once per verify side. */
+    * joins broadcast under AQE. Local-scale caveat: the triangle self-join
+    * duplicates the encode subtree (two corpus encodes) and training adds
+    * one more — at toy scale that overhead dominates and the coded path is
+    * SLOWER than raw vectors; the win is shuffle/memory volume at corpus
+    * scale, where codes would be persisted once (IvfIndex-style) rather
+    * than recomputed per run. */
   def semanticPairsPq(embeddings: DataFrame, threshold: Double = 0.9,
                       margin: Double = 0.2, nCentroids: Int = 16,
                       m: Int = 8, k: Int = 16, iterations: Int = 1,
@@ -318,14 +322,16 @@ object PQ {
         val b = eg.select(col("cid"), explode(sequence(lit(0), col("bkt"))).as("ci"),
           col("bkt").as("cj"),
           col("vec_id").as("id_b"), col("codes").as("cb"), col("nrm").as("nb"))
-        // approx dot: per-term 6 dp round into DECIMAL(25,6), summed in a
-        // fixed fold — exact, order-independent, DuckDB-replicable
-        val approxSum = aggregate(sequence(lit(0), lit(m - 1)),
-          lit(BigDecimal(0).bigDecimal).cast(DecimalType(25, 6)),
-          (acc, blk) => (acc + round(element_at(cross,
-            blk * (kEff * kEff) + element_at(col("ca"), blk + 1) * kEff +
-              element_at(col("cb"), blk + 1) + 1), 6).cast(DecimalType(25, 6)))
-            .cast(DecimalType(25, 6)))
+        // approx dot: per-term 6 dp round into DECIMAL(25,6), summed as a
+        // STATIC m-term expression tree (m is known at plan time) — exact,
+        // order-independent, DuckDB-replicable, and codegen-able where an
+        // aggregate() lambda would run interpreted on every pair of the
+        // quadratic loop (measured 2× the whole query at sf0.1)
+        val approxSum = (0 until m).map { blk =>
+          round(element_at(cross,
+            lit(blk * kEff * kEff) + element_at(col("ca"), blk + 1) * kEff +
+              element_at(col("cb"), blk + 1) + 1), 6).cast(DecimalType(25, 6))
+        }.reduce((x, y) => (x + y).cast(DecimalType(25, 6)))
         // decimal subtraction: `threshold - margin` in doubles is e.g.
         // 0.4-0.2 = 0.20000000000000004, which would disagree with an
         // oracle's literal 0.2 on exactly-boundary approx scores
