@@ -50,8 +50,7 @@ object PQ {
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m, kEff)((b, c) => seeds(c)(b))
     for (_ <- 0 until iterations) {
-      val lit2 = booksLiteral(books)
-      val codes = encodeExpr(lit2, m, dsub)
+      val codes = encodeExprStatic(books)
       // one corpus scan: explode dims, key by (block, code, dim) — the
       // aggregation output is m*k*dsub scalars, independent of corpus size.
       // Means accumulate as DECIMAL(25,6) (the kmeansCentroids determinism
@@ -95,7 +94,7 @@ object PQ {
     * 1e-6 of a tie may code differently than the unrounded fold, which no
     * consumer observes (codes are an internal quantization, scored
     * through the same tables). */
-  private def encodeExpr(booksLit: Column, m: Int, dsub: Int): Column =
+  private[ops] def encodeExpr(booksLit: Column, m: Int, dsub: Int): Column =
     array((0 until m).map { b =>
       val sub = slice(col("v"), b * dsub + 1, dsub)
       val scored = transform(element_at(booksLit, b + 1),
@@ -105,13 +104,45 @@ object PQ {
       element_at(array_sort(scored), 1).getField("code")
     }: _*)
 
+  /** [[encodeExpr]] as a STATIC expression tree: the codebook is a
+    * driver-side constant, so the per-block argmin can be `least()` over
+    * k `struct(dist, code)` expressions — every distance a codegen'd
+    * [[VectorOps.dot]] against a one-node vector literal — instead of an
+    * `array_sort(transform(...))` pair that Spark evaluates INTERPRETED
+    * per row. Bit-identical scores: the `‖c‖²` term is folded driver-side
+    * with the same ascending-fold IEEE adds the in-engine dot performs,
+    * the `− 2·s·c` spelling and 6 dp round are unchanged, and struct
+    * ordering breaks ties to the lower code exactly as the sorted array
+    * did (`PQSpec` pins codes equal). Generated-code size is
+    * m × k small dot loops — fine at PQ's k ≤ 64; the IVF assignment
+    * keeps the literal-array spelling for its k ≤ 128 regime. */
+  private[ops] def encodeExprStatic(books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val dsub = books.head.head.length
+    array((0 until m).map { b =>
+      val sub = slice(col("v"), b * dsub + 1, dsub)
+      val entries = books(b).indices.map { ci =>
+        val c = books(b)(ci)
+        val cn2 = c.map(x => x * x).sum // same ascending IEEE fold as dot(c, c)
+        struct(
+          round(lit(cn2) - lit(2.0) * VectorOps.dot(sub, typedLit(c.toSeq)), 6).as("dist"),
+          lit(ci).as("code"))
+      }
+      // least() wants >= 2 args; a 1-entry codebook (1-vector corpus)
+      // trivially codes 0
+      val best = if (entries.lengthCompare(1) == 0) entries.head
+                 else least(entries: _*)
+      best.getField("code")
+    }: _*)
+  }
+
   /** Corpus encoded to `(vec_id, label, nrm, codes)`. */
   def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
     val m = books.length
     val dsub = books.head.head.length
     VectorOps.prepared(embeddings)
       .select(col("vec_id"), col("label"), col("nrm"),
-        encodeExpr(booksLiteral(books), m, dsub).as("codes"))
+        encodeExprStatic(books).as("codes"))
   }
 
   /** Empty result in [[VectorOps.annBrute]]'s output schema — the graceful
@@ -232,7 +263,7 @@ object PQ {
     // one projection: coarse cluster + PQ codes, both expression-level
     val indexed = e.select(col("vec_id"), col("nrm"),
       element_at(VectorOps.nearestClusterArray(coarseLit, 1), 1).getField("cid").as("cid"),
-      encodeExpr(booksLiteral(books), m, dsub).as("codes"))
+      encodeExprStatic(books).as("codes"))
     val tLit = probeTablesLit(probeRows, books)
 
     // probe → probed coarse clusters, computed on the driver from the
@@ -310,7 +341,7 @@ object PQ {
           b <- 0 until m; i <- 0 until kEff; j <- 0 until kEff
         } yield books(b)(i).zip(books(b)(j)).map { case (x, y) => x * y }.sum).toSeq)
         val enc = assigned.select(col("vec_id"), col("nrm"), col("cid"),
-          encodeExpr(booksLiteral(books), m, dsub).as("codes"))
+          encodeExprStatic(books).as("codes"))
         // triangle grid over codes (same cell math as VectorOps.gridPairs)
         val grids = enc.groupBy(col("cid"))
           .agg(ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(IntegerType).as("g"))

@@ -58,6 +58,21 @@ class PQSpec extends SparkSpec {
     assert(PQ.annIvfPq(empty).count() == 0)
   }
 
+  test("static least() encoding is bit-identical to the sorted-array spelling") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val emb = e
+    val books = PQ.train(emb, m = 8, k = 16, iterations = 1)
+    val prep = VectorOps.prepared(emb)
+    val nBlocks = books.length
+    val dsub = books.head.head.length
+    val booksLit = array(books.map(blk =>
+      array(blk.map(c => array(c.map(lit): _*)): _*)): _*)
+    val both = prep.select(col("vec_id"),
+      PQ.encodeExpr(booksLit, nBlocks, dsub).as("sorted"),
+      PQ.encodeExprStatic(books).as("static"))
+    assert(both.filter(col("sorted") =!= col("static")).count() == 0)
+  }
+
   test("semanticPairsPq with full margin equals the raw-vector operator exactly") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) =
