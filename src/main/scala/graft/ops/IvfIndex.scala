@@ -47,6 +47,8 @@ object IvfIndex {
     val assigned =
       (if (nCentroids > literalMax)
         VectorOps.assignByJoin(e, cents, Seq("label", "v", "nrm"))
+      else if (centRows.length <= VectorOps.StaticArgmaxMax)
+        e.withColumn("cid", VectorOps.nearestCidStatic(centRows))
       else {
         val cLit = VectorOps.centroidLiteralOf(centRows).get
         e.withColumn("cid",

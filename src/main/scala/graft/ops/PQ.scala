@@ -262,7 +262,10 @@ object PQ {
     val dsub = books.head.head.length
     // one projection: coarse cluster + PQ codes, both expression-level
     val indexed = e.select(col("vec_id"), col("nrm"),
-      element_at(VectorOps.nearestClusterArray(coarseLit, 1), 1).getField("cid").as("cid"),
+      (if (coarseRaw.length <= VectorOps.StaticArgmaxMax)
+        VectorOps.nearestCidStatic(coarseRaw)
+      else element_at(VectorOps.nearestClusterArray(coarseLit, 1), 1)
+        .getField("cid")).as("cid"),
       encodeExprStatic(books).as("codes"))
     val tLit = probeTablesLit(probeRows, books)
 

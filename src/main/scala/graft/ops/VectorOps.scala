@@ -247,6 +247,34 @@ object VectorOps {
     * where `literal` is the centroid array literal when the literal path
     * is active (callers reuse it for probe-side selection without a
     * second driver collect); None when no centroid can be seeded. */
+  /** Below this many centroids the corpus-side argmax is a STATIC
+    * `least()` over per-centroid struct expressions — each cosine a
+    * codegen'd dot against a one-node vector literal — instead of the
+    * `array_sort(transform(centroid-array-literal))` spelling, which
+    * Spark evaluates INTERPRETED per row (higher-order functions never
+    * enter whole-stage codegen). Same PQ-encoder trick
+    * ([[PQ.encodeExprStatic]]); above the cutover the generated-code
+    * size (k × dim-loop dots in one method) stops paying, so the
+    * literal-array spelling keeps the 33..literalMax regime and the
+    * broadcast join everything above. All three paths are
+    * output-identical (rounded cosine DESC, cid ASC — `KMeansIvfSpec`
+    * pins them). */
+  val StaticArgmaxMax = 32
+
+  /** Static argmax-cosine cid for collected centroid rows (cid, cv, cn) —
+    * ties to the lower cid via the (negcos, cid) struct order, exactly
+    * [[nearestClusterArray]]'s contract. */
+  private[ops] def nearestCidStatic(rows: Array[org.apache.spark.sql.Row]): Column = {
+    val entries = rows.sortBy(_.getLong(0)).map { r =>
+      struct(
+        (-cosR(col("v"), col("nrm"),
+          typedLit(r.getSeq[Double](1)), lit(r.getDouble(2)))).as("negcos"),
+        lit(r.getLong(0)).as("cid"))
+    }
+    val best = if (entries.length == 1) entries.head else least(entries.toSeq: _*)
+    best.getField("cid")
+  }
+
   private[ops] def assignCids(e: DataFrame, nCentroids: Int, kmeansIters: Int,
                          literalMax: Int, spreadSeed: Boolean)
       : Option[(DataFrame, Option[Column], DataFrame)] = {
@@ -258,10 +286,16 @@ object VectorOps {
       else seeds
     if (nCentroids > literalMax)
       Some((cents, None, assignByJoin(e, cents, Seq("label", "v", "nrm"))))
-    else centroidLiteral(cents).map { cl =>
-      (cents, Some(cl), e
-        .withColumn("cid", element_at(nearestClusterArray(cl, 1), 1).getField("cid"))
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid")))
+    else {
+      val rows = cents.select(col("cid"), col("cv"), col("cn")).collect()
+      centroidLiteralOf(rows).map { cl =>
+        val cidExpr =
+          if (rows.length <= StaticArgmaxMax) nearestCidStatic(rows)
+          else element_at(nearestClusterArray(cl, 1), 1).getField("cid")
+        (cents, Some(cl), e
+          .withColumn("cid", cidExpr)
+          .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid")))
+      }
     }
   }
 
@@ -489,10 +523,13 @@ object VectorOps {
       val assigned =
         if (k > literalMax) assignByJoin(e, cents, Seq("v")).select(col("cid"), col("v"))
         else {
-          val cLit = centroidLiteral(cents).getOrElse(
-            return cents.limit(0)) // empty corpus: nothing to refine
-          val best = element_at(nearestClusterArray(cLit, 1), 1)
-          e.select(best.getField("cid").as("cid"), col("v"))
+          val rows = cents.select(col("cid"), col("cv"), col("cn")).collect()
+          if (rows.isEmpty) return cents.limit(0) // empty corpus: nothing to refine
+          val cidExpr =
+            if (rows.length <= StaticArgmaxMax) nearestCidStatic(rows)
+            else element_at(nearestClusterArray(
+              centroidLiteralOf(rows).get, 1), 1).getField("cid")
+          e.select(cidExpr.as("cid"), col("v"))
         }
       cents = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
