@@ -285,6 +285,11 @@ object SparkEntry {
       Curate.weightedSample(t(s, d, "documents"), k = 25, weightCol = "n_chars",
         mode = HashMode.Portable)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    "q_upsample" -> ((s, d) =>
+      Curate.upsampleBySource(t(s, d, "documents"),
+        Map("src0" -> 2.5, "src1" -> 0.3, "src2" -> 0.0),
+        mode = HashMode.Portable)
+        .select(col("doc_id"), col("source"), col("copy"))),
     // the synthetic corpus is single-line; manufacture deterministic
     // multi-line docs (every " the " becomes a newline) so the gate
     // exercises real split → frequency → removal → ordered reassembly
@@ -635,6 +640,16 @@ object SparkEntry {
         |  FROM documents)
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY h ASC, doc_id ASC) <= 3""".stripMargin,
+    "q_upsample" ->
+      s"""WITH f AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE d.source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0 ELSE 1 END
+        |    + CASE WHEN ${h60("'upsample:' || CAST(doc_id AS VARCHAR)")} % 100 <
+        |        (CASE d.source WHEN 'src0' THEN 50 WHEN 'src1' THEN 30 WHEN 'src2' THEN 0 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM documents d)
+        |SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS INT) AS copy
+        |FROM f WHERE copies > 0""".stripMargin,
     // the oracle removes by raw line text where the Spark side removes by
     // 64-bit line hash — equal outputs absent a hash collision, which the
     // gate therefore also pins

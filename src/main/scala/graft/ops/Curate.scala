@@ -384,6 +384,49 @@ object Curate {
     docs.withColumn("split", label)
   }
 
+  /** Source UPSAMPLING — the direction [[mixBySource]] cannot express:
+    * repeat factors ABOVE 1 for rare, high-value sources (the Pile /
+    * LLaMA-style "Wikipedia × 3 epochs" mixture). Each document emits
+    * `floor(f)` copies plus one more with probability `frac(f)`, decided
+    * by the salted id hash — deterministic, id-stable, and expressible in
+    * exact integer arithmetic (factors are quantised to 2 decimal places:
+    * percent resolution, same granularity as [[mixBySource]]). Factors
+    * below 1 degrade to plain hash downsampling; factor 0 drops the
+    * source.
+    *
+    * Output repeats the row with `copy` = 1..n so downstream packing /
+    * shuffling treats copies as distinct rows (dedup BEFORE upsampling,
+    * obviously). Pure projection + one Generate — no shuffle, no
+    * randomness; a row's copy count is a function of (salt, id, factor)
+    * alone. */
+  def upsampleBySource(docs: DataFrame, factors: Map[String, Double],
+                       defaultFactor: Double = 1.0,
+                       sourceCol: String = "source", idCol: String = "doc_id",
+                       mode: HashMode = HashMode.Default,
+                       salt: String = "upsample"): DataFrame = {
+    def pct(f: Double): (Int, Int) = {
+      require(f >= 0, s"factor $f must be non-negative")
+      val scaled = math.round(f * 100)
+      require(math.abs(f * 100 - scaled) < 1e-9,
+        s"factor $f has more than 2 decimal places — quantise explicitly")
+      ((scaled / 100).toInt, (scaled % 100).toInt)
+    }
+    val (defBase, defFrac) = pct(defaultFactor)
+    val (baseCol, fracCol) = factors.foldLeft(
+      (lit(defBase), lit(defFrac))) { case ((bc, fc), (s, f)) =>
+      val (b, fr) = pct(f)
+      (when(col(sourceCol) === s, lit(b)).otherwise(bc),
+        when(col(sourceCol) === s, lit(fr)).otherwise(fc))
+    }
+    docs
+      .withColumn("_up_n", baseCol +
+        when(pmod(mode.hash(lit(salt), col(idCol)), lit(100L)) < fracCol, 1)
+          .otherwise(0))
+      .filter(col("_up_n") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("_up_n"))))
+      .drop("_up_n")
+  }
+
   /** [[packChunks]] `shards` sentinel: size the shard count from a cheap
     * per-source row count so no window task exceeds `autoTargetRows`. */
   val AutoShards = 0

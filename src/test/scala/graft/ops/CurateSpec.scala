@@ -247,6 +247,33 @@ class CurateSpec extends SparkSpec {
     assert(Curate.stratifiedSample(tricky, Seq("lang", "source"), k = 1).count() == 2)
   }
 
+  test("upsampleBySource repeats by factor: int copies + hash-decided fractional copy") {
+    val big = (0L until 400L).map(i =>
+      (i, s"t$i", if (i < 200) "rare" else "common")).toDF("doc_id", "text", "source")
+    val up = Curate.upsampleBySource(big, Map("rare" -> 2.5, "common" -> 1.0))
+    val rare = up.filter(col("source") === "rare")
+    val perDoc = rare.groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(perDoc.forall(c => c == 2L || c == 3L))
+    val three = perDoc.count(_ == 3L)
+    assert(three > 60 && three < 140, s"~50% of 200 rare docs expected 3 copies, got $three")
+    assert(up.filter(col("source") === "common").count() == 200)
+    // copy indices are 1..n, rows otherwise unchanged
+    assert(rare.select("copy").as[Int].collect().toSet == Set(1, 2, 3))
+    // factor 0 drops; fractional-only factors downsample like mixBySource
+    val downOnly = Curate.upsampleBySource(big,
+      Map("rare" -> 0.0, "common" -> 0.3))
+    assert(downOnly.filter(col("source") === "rare").count() == 0)
+    val kept = downOnly.filter(col("source") === "common").count()
+    assert(kept > 30 && kept < 90, s"~30% of 200 expected, got $kept")
+    // determinism
+    assert(Curate.upsampleBySource(big, Map("rare" -> 2.5)).count() ==
+      Curate.upsampleBySource(big, Map("rare" -> 2.5)).count())
+    // sub-percent factors are rejected, not silently quantised
+    intercept[IllegalArgumentException] {
+      Curate.upsampleBySource(big, Map("rare" -> 1.234))
+    }
+  }
+
   test("dedupLines removes cross-doc boilerplate lines, preserves order, totals on edges") {
     val corpus = Seq(
       (1L, "unique alpha\nCOOKIE BANNER\nunique beta\nFOOTER"),
