@@ -203,6 +203,7 @@ object SparkEntry {
           minStopwords = 1))),
     "q_bigram_lm" -> ((s, d) => TextOps.bigramLm(t(s, d, "documents"))),
     "q_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d, "documents"))),
+    "q_lm_score" -> ((s, d) => TextOps.lmScore(t(s, d, "documents"))),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
@@ -285,6 +286,10 @@ object SparkEntry {
       Curate.weightedSample(t(s, d, "documents"), k = 25, weightCol = "n_chars",
         mode = HashMode.Portable)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    "q_window_chunks" -> ((s, d) =>
+      TextOps.windowChunks(t(s, d, "documents"), maxTokens = 30, overlap = 10)
+        .select(col("doc_id"), col("window_idx"), col("n_tokens"),
+          col("chunk_text"))),
     "q_upsample" -> ((s, d) =>
       Curate.upsampleBySource(t(s, d, "documents"),
         Map("src0" -> 2.5, "src1" -> 0.3, "src2" -> 0.0),
@@ -640,6 +645,22 @@ object SparkEntry {
         |  FROM documents)
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY h ASC, doc_id ASC) <= 3""".stripMargin,
+    // stride = 30 - 10 = 20; window count is pure integer arithmetic in
+    // both engines ((n - 30 + 19) // 20), slices are token-aligned
+    "q_window_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 30 THEN 1
+        |         ELSE 1 + (len(toks) - 30 + 19) // 20 END AS nw
+        |  FROM t),
+        |x AS (SELECT doc_id, toks, n, unnest(generate_series(0, nw - 1)) AS wi FROM w)
+        |SELECT doc_id, CAST(wi AS INT) AS window_idx,
+        |  CAST(least(30, n - wi * 20) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[wi*20+1 : wi*20+30], ' ') AS chunk_text
+        |FROM x""".stripMargin,
     "q_upsample" ->
       s"""WITH f AS (
         |  SELECT d.doc_id, d.source,
@@ -694,6 +715,32 @@ object SparkEntry {
         |SELECT w1, w2, CAST(n AS BIGINT) AS n,
         |  round(CAST(n AS DOUBLE) / tot, 6) AS p_cond
         |FROM bc JOIN wt USING (w1) WHERE n >= 5""".stripMargin,
+    // per-term ln rounded to 9 dp then decimal-summed (the q_entropy
+    // determinism contract); pruned bigrams take the fixed -10 penalty
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b2 AS (
+        |  SELECT a.doc_id, a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
+        |wt AS (SELECT w1, sum(n) AS tot FROM bc GROUP BY 1),
+        |st AS (
+        |  SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |  FROM bc JOIN wt USING (w1) WHERE n >= 5),
+        |terms AS (
+        |  SELECT b2.doc_id, coalesce(round(ln(st.p), 9), -10.0) AS lp
+        |  FROM b2 LEFT JOIN st ON st.w1 = b2.w1 AND st.w2 = b2.w2),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS nb, sum(CAST(lp AS DECIMAL(28,9))) AS s
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(s AS DOUBLE) / nb, 6)
+        |       ELSE 0.0 END AS avg_logp
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
     "q_entropy" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -355,6 +355,49 @@ object TextOps {
         round(col("n").cast(DoubleType) / col("_tot"), 6).as("p_cond"))
   }
 
+  /** CCNet-style corpus-LM document scoring: every document's mean bigram
+    * conditional log-probability under the CORPUS bigram model
+    * ([[bigramLm]]) — the perplexity-proxy signal CCNet buckets corpora
+    * by (head/middle/tail). High (less negative) `avg_logp` = the
+    * document reads like the corpus; very low = noise/garble; suspiciously
+    * high = boilerplate repetition. Bigrams the model pruned (below
+    * `minCount`) contribute the fixed `unkLogP` penalty.
+    *
+    * Determinism contract mirrors [[tokenEntropy]]: each ln term is
+    * rounded to 9 dp and summed as exact decimals — order-independent,
+    * engine-reproducible — and the mean rounds to 6 dp. Scale shape: the
+    * corpus bigram stream joins the (vocabulary-sized) stats frame on the
+    * bigram key, then one per-doc aggregation; documents with < 2 tokens
+    * score 0 with 0 bigrams. `unkLogP` must carry ≤ 9 dp. */
+  def lmScore(docs: DataFrame, minCount: Long = 5,
+              unkLogP: Double = -10.0): DataFrame = {
+    require(math.abs(unkLogP * 1e9 - math.round(unkLogP * 1e9)) < 1e-6,
+      "unkLogP must have at most 9 decimal places (decimal-exact term)")
+    val stats = bigramLm(docs, minCount)
+    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    val docBg = docs
+      .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(col("doc_id"), explode(array(bigrams)).as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bigram"))
+      .select(col("doc_id"),
+        element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"))
+    val agg = docBg
+      .join(stats.select(col("w1"), col("w2"), col("p_cond")), Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        coalesce(round(log(col("p_cond")), 9), lit(unkLogP))
+          .cast(DecimalType(28, 9)).as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_s"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          round(col("_s").cast(DoubleType) / col("n_bigrams"), 6))
+          .otherwise(lit(0.0)).as("avg_logp"))
+  }
+
   /** Per-document unigram token entropy in bits (`H = log2 n − Σ c·ln c /
     * (n·ln 2)`) plus token counts — low entropy flags repetitive/templated
     * text, high entropy flags noise; a standard quality-filter signal.
@@ -401,6 +444,45 @@ object TextOps {
       .withColumn("n_tokens_kept", size(col("_tt_kept")).cast(LongType))
       .withColumn(textCol, array_join(col("_tt_kept"), " "))
       .drop("_tt_toks", "_tt_kept")
+  }
+
+  /** Overlapping context-window chunking — the DUAL of
+    * [[graft.ops.Curate.packChunks]]: instead of packing short documents
+    * into a budget, split LONG documents into `maxTokens`-token windows
+    * advancing by `maxTokens − overlap` tokens, so every token appears in
+    * ≥ 1 window and window boundaries share `overlap` tokens of context
+    * (the standard long-document preparation for fixed-context models).
+    * [[truncateTokens]] is the degenerate keep-first-window-only case.
+    *
+    * Pure projection + one Generate per doc — no shuffle; the window
+    * count is EXACT integer arithmetic (`1 + (n − max + stride − 1) div
+    * stride`), so an oracle replicates it with no float ceil. Output rows
+    * `(…, window_idx, n_tokens, chunk_text)`; the final window may be
+    * shorter, an empty/null document yields one empty window (total, like
+    * truncate). */
+  def windowChunks(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+                   textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    docs
+      .withColumn("_wc_toks",
+        explode(array(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+          t => length(t) > 0))))
+      .withColumn("_wc_n", size(col("_wc_toks")))
+      .withColumn("_wc_w",
+        when(col("_wc_n") <= maxTokens, lit(1))
+          .otherwise(lit(1) + expr(s"(_wc_n - $maxTokens + ${stride - 1}) div $stride")
+            .cast(IntegerType)))
+      .withColumn("window_idx", explode(sequence(lit(0), col("_wc_w") - 1)))
+      .withColumn("n_tokens",
+        least(lit(maxTokens), col("_wc_n") - col("window_idx") * stride)
+          .cast(LongType))
+      .withColumn("chunk_text",
+        array_join(slice(col("_wc_toks"),
+          col("window_idx") * stride + 1, lit(maxTokens)), " "))
+      .drop("_wc_toks", "_wc_n", "_wc_w")
   }
 
   def fingerprintCol(text: Column): Column = md5(normText(text))

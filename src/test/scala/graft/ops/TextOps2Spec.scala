@@ -273,6 +273,67 @@ class ScoreLinearSpec extends SparkSpec {
   }
 }
 
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus-typical docs outscore garble; pruned bigrams take the unk penalty") {
+    // "the cat sat" appears in 6 docs → its bigrams clear minCount=5 with
+    // p_cond 1.0; doc 20's bigrams are unique → all pruned → pure unk
+    val docs = ((1L to 6L).map(i => (i, "the cat sat")) :+
+      (20L, "zq xv unique garble words") :+ (21L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs, minCount = 5).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"))).toMap
+    // P(cat|the) = P(sat|cat) = 1.0 → ln 1 = 0
+    (1L to 6L).foreach(i => assert(out(i) == (2L, 0.0), s"doc $i: ${out(i)}"))
+    assert(out(20L) == (4L, -10.0))
+    assert(out(21L) == (0L, 0.0), "sub-bigram docs score 0 with 0 bigrams")
+    // mixed doc: known bigram + unknown → mean of 0 and -10
+    val mixed = docs.unionByName(Seq((30L, "the cat zzz")).toDF("doc_id", "text"))
+    val m = TextOps.lmScore(mixed, minCount = 5)
+      .filter(col("doc_id") === 30L).collect()(0)
+    assert(m.getAs[Long]("n_bigrams") == 2L)
+    assert(m.getAs[Double]("avg_logp") == -5.0)
+  }
+}
+
+class WindowChunksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overlapping windows tile the token stream; degenerate cases total") {
+    val doc = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, doc), (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.windowChunks(docs, maxTokens = 10, overlap = 4)
+      .orderBy("doc_id", "window_idx").collect()
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    // stride 6: starts 0,6,12,18 → windows 4 ((25-10+5)/6 = 3 + 1)
+    assert(d1.length == 4)
+    assert(d1(0).getAs[String]("chunk_text").startsWith("w1 ") &&
+      d1(0).getAs[Long]("n_tokens") == 10L)
+    // consecutive windows share the 4 overlap tokens
+    val w0 = d1(0).getAs[String]("chunk_text").split(" ")
+    val w1 = d1(1).getAs[String]("chunk_text").split(" ")
+    assert(w0.takeRight(4).toSeq == w1.take(4).toSeq)
+    // last window is the tail, shorter
+    assert(d1(3).getAs[Long]("n_tokens") == 7L)
+    assert(d1(3).getAs[String]("chunk_text").endsWith("w25"))
+    // every token appears in some window
+    assert(d1.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet.size == 25)
+    // short doc: one window; empty doc: one empty window (total)
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && d2(0).getAs[Long]("n_tokens") == 2L)
+    val d3 = out.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(d3.length == 1 && d3(0).getAs[String]("chunk_text") == "")
+    // window 0 equals truncateTokens (the degenerate keep-first case)
+    val trunc = TextOps.truncateTokens(docs, 10).orderBy("doc_id")
+      .select("text").as[String].collect()
+    val firsts = TextOps.windowChunks(docs, maxTokens = 10, overlap = 4)
+      .filter(col("window_idx") === 0).orderBy("doc_id")
+      .select("chunk_text").as[String].collect()
+    assert(firsts.toSeq == trunc.toSeq)
+  }
+}
+
 class GopherRulesSpec extends SparkSpec {
   import spark.implicits._
 
