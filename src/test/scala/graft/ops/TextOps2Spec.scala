@@ -332,6 +332,32 @@ class WindowChunksSpec extends SparkSpec {
       .select("chunk_text").as[String].collect()
     assert(firsts.toSeq == trunc.toSeq)
   }
+
+  test("windowChunks and upsampleBySource are stateless: run on a stream, match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val data = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" "), "rare"),
+      (2L, "short doc", "common"))
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val src = mem.toDF().toDF("doc_id", "text", "source")
+    val qc = TextOps.windowChunks(src, maxTokens = 10, overlap = 4)
+      .writeStream.format("memory").queryName("wc_stream").outputMode("append").start()
+    val qu = Curate.upsampleBySource(src, Map("rare" -> 3.0))
+      .writeStream.format("memory").queryName("up_stream").outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      qc.processAllAvailable(); qu.processAllAvailable()
+      val batchDf = data.toDF("doc_id", "text", "source")
+      assert(spark.table("wc_stream").orderBy("doc_id", "window_idx")
+        .select("doc_id", "window_idx", "chunk_text").collect().toSeq ==
+        TextOps.windowChunks(batchDf, maxTokens = 10, overlap = 4)
+          .orderBy("doc_id", "window_idx")
+          .select("doc_id", "window_idx", "chunk_text").collect().toSeq)
+      assert(spark.table("up_stream").orderBy("doc_id", "copy")
+        .select("doc_id", "copy").collect().toSeq ==
+        Curate.upsampleBySource(batchDf, Map("rare" -> 3.0))
+          .orderBy("doc_id", "copy").select("doc_id", "copy").collect().toSeq)
+    } finally { qc.stop(); qu.stop() }
+  }
 }
 
 class GopherRulesSpec extends SparkSpec {
