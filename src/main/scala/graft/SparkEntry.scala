@@ -339,6 +339,25 @@ object SparkEntry {
         Seq("train" -> 80, "val" -> 10, "test" -> 10), mode = HashMode.Portable)
         .select(col("doc_id"), col("lang"), col("source"), col("split"))
     }),
+    // the round-6 pipeline: quality-rule battery → exact dedup →
+    // multi-epoch upsampling → context-window chunking, composed exactly
+    // as a user would chain them into a training-ready chunk table
+    "q_curation_pipeline2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = docs.join(
+        TextOps.gopherRules(docs, TextOps.GopherThresholds(minWords = 30,
+          minMeanWordLen = 4.0, minStopwords = 1))
+          .filter(col("gopher_keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val canon = kept.join(TextOps.dedupExact(kept).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val up = Curate.upsampleBySource(canon,
+        Map("src0" -> 2.5, "src1" -> 0.3, "src2" -> 0.0),
+        mode = HashMode.Portable)
+      TextOps.windowChunks(up, maxTokens = 30, overlap = 10)
+        .select(col("doc_id"), col("source"), col("copy"), col("window_idx"),
+          col("n_tokens"), col("chunk_text"))
+    }),
     "q_split_assign" -> ((s, d) =>
       Curate.assignSplits(t(s, d, "documents"),
         Seq("train" -> 80, "val" -> 10, "test" -> 10), mode = HashMode.Portable)
@@ -645,6 +664,47 @@ object SparkEntry {
         |  FROM documents)
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY h ASC, doc_id ASC) <= 3""".stripMargin,
+    "q_curation_pipeline2" ->
+      s"""WITH keepids AS (
+        |  SELECT doc_id FROM ($gopherRulesSql) gg WHERE gg.gopher_keep),
+        |k AS (SELECT d.* FROM documents d JOIN keepids USING (doc_id)),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |  FROM k),
+        |canon AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS m FROM fp)
+        |  WHERE doc_id = m),
+        |c AS (SELECT k.* FROM k JOIN canon USING (doc_id)),
+        |u AS (
+        |  SELECT doc_id, source, text,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0 ELSE 1 END
+        |    + CASE WHEN ${h60("'upsample:' || CAST(doc_id AS VARCHAR)")} % 100 <
+        |        (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 30 WHEN 'src2' THEN 0 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM c),
+        |uc AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(unnest(generate_series(1, copies)) AS INT) AS copy
+        |  FROM u WHERE copies > 0),
+        |t2 AS (
+        |  SELECT doc_id, source, copy,
+        |    regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+        |  FROM uc),
+        |w2 AS (
+        |  SELECT *, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 30 THEN 1
+        |         ELSE 1 + (len(toks) - 30 + 19) // 20 END AS nw
+        |  FROM t2),
+        |x2 AS (
+        |  SELECT doc_id, source, copy, toks, n,
+        |    unnest(generate_series(0, nw - 1)) AS wi
+        |  FROM w2)
+        |SELECT doc_id, source, copy, CAST(wi AS INT) AS window_idx,
+        |  CAST(least(30, n - wi * 20) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[wi*20+1 : wi*20+30], ' ') AS chunk_text
+        |FROM x2""".stripMargin,
     // stride = 30 - 10 = 20; window count is pure integer arithmetic in
     // both engines ((n - 30 + 19) // 20), slices are token-aligned
     "q_window_chunks" ->
@@ -949,46 +1009,7 @@ object SparkEntry {
          |  CAST(CAST(coalesce(sm, 0) + 7500000 AS BIGINT) AS DOUBLE) / 1000000.0 AS score,
          |  (coalesce(sm, 0) + 7500000) > 0 AS keep
          |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
-    "q_gopher_rules" ->
-      """WITH g AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-         |    CAST(len(regexp_extract_all(text, '\S')) AS DOUBLE)
-         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_word_len,
-         |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))
-         |      + len(regexp_extract_all(text, '\x{2026}')) AS DOUBLE)
-         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS symbol_ratio,
-         |    CAST(len(list_filter(string_split(text, chr(10)),
-         |        l -> regexp_matches(l, '^\s*[-*\x{2022}]'))) AS DOUBLE)
-         |      / greatest(len(string_split(text, chr(10))), 1) AS bullet_ratio,
-         |    CAST(len(list_filter(string_split(text, chr(10)),
-         |        l -> regexp_matches(l, '(\.\.\.|\x{2026})\s*$'))) AS DOUBLE)
-         |      / greatest(len(string_split(text, chr(10))), 1) AS ellipsis_ratio,
-         |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
-         |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS alpha_ratio,
-         |    CAST(CAST(regexp_matches(lower(text), '\bthe\b') AS INT)
-         |      + CAST(regexp_matches(lower(text), '\bbe\b') AS INT)
-         |      + CAST(regexp_matches(lower(text), '\bto\b') AS INT)
-         |      + CAST(regexp_matches(lower(text), '\bof\b') AS INT)
-         |      + CAST(regexp_matches(lower(text), '\band\b') AS INT)
-         |      + CAST(regexp_matches(lower(text), '\bthat\b') AS INT)
-         |      + CAST(regexp_matches(lower(text), '\bhave\b') AS INT)
-         |      + CAST(regexp_matches(lower(text), '\bwith\b') AS INT) AS BIGINT) AS n_stop
-         |  FROM documents)
-         |SELECT *,
-         |  (r_words AND r_mean_len AND r_symbol AND r_bullet AND r_ellipsis
-         |    AND r_alpha AND r_stop) AS gopher_keep
-         |FROM (
-         |  SELECT g.*,
-         |    n_words >= 30 AND n_words <= 100000 AS r_words,
-         |    mean_word_len >= 4.0 AND mean_word_len <= 10.0 AS r_mean_len,
-         |    symbol_ratio <= 0.1 AS r_symbol,
-         |    bullet_ratio <= 0.9 AS r_bullet,
-         |    ellipsis_ratio <= 0.3 AS r_ellipsis,
-         |    alpha_ratio >= 0.8 AS r_alpha,
-         |    n_stop >= 1 AS r_stop
-         |  FROM g)""".stripMargin,
+    "q_gopher_rules" -> gopherRulesSql,
     "q_text_quality" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio, score, score >= 0.5 AS keep
          |FROM (
@@ -1499,6 +1520,49 @@ object SparkEntry {
       |  SELECT probe_id, block, code,
       |    list_dot_product(pv[block*8+1 : block*8+8], c) AS t
       |  FROM p CROSS JOIN cb1)""".stripMargin
+
+  /** The q_gopher_rules oracle, reusable as a subquery by the composed
+    * pipeline gate (DuckDB allows WITH inside a derived table). */
+  private def gopherRulesSql: String =
+    """WITH g AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(text, '\S')) AS DOUBLE)
+         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))
+         |      + len(regexp_extract_all(text, '\x{2026}')) AS DOUBLE)
+         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS symbol_ratio,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> regexp_matches(l, '^\s*[-*\x{2022}]'))) AS DOUBLE)
+         |      / greatest(len(string_split(text, chr(10))), 1) AS bullet_ratio,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> regexp_matches(l, '(\.\.\.|\x{2026})\s*$'))) AS DOUBLE)
+         |      / greatest(len(string_split(text, chr(10))), 1) AS ellipsis_ratio,
+         |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+         |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS alpha_ratio,
+         |    CAST(CAST(regexp_matches(lower(text), '\bthe\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bbe\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bto\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bof\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\band\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bthat\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bhave\b') AS INT)
+         |      + CAST(regexp_matches(lower(text), '\bwith\b') AS INT) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT *,
+         |  (r_words AND r_mean_len AND r_symbol AND r_bullet AND r_ellipsis
+         |    AND r_alpha AND r_stop) AS gopher_keep
+         |FROM (
+         |  SELECT g.*,
+         |    n_words >= 30 AND n_words <= 100000 AS r_words,
+         |    mean_word_len >= 4.0 AND mean_word_len <= 10.0 AS r_mean_len,
+         |    symbol_ratio <= 0.1 AS r_symbol,
+         |    bullet_ratio <= 0.9 AS r_bullet,
+         |    ellipsis_ratio <= 0.3 AS r_ellipsis,
+         |    alpha_ratio >= 0.8 AS r_alpha,
+         |    n_stop >= 1 AS r_stop
+         |  FROM g)""".stripMargin
 
   /** DuckDB twin of [[graft.ops.HashMode.Portable]]: low 60 bits of md5 as a
     * non-negative BIGINT — bit-identical to the Spark side, so min()/banding
