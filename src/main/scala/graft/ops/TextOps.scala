@@ -370,10 +370,27 @@ object TextOps {
     * bigram key, then one per-doc aggregation; documents with < 2 tokens
     * score 0 with 0 bigrams. `unkLogP` must carry ≤ 9 dp. */
   def lmScore(docs: DataFrame, minCount: Long = 5,
-              unkLogP: Double = -10.0): DataFrame = {
+              unkLogP: Double = -10.0): DataFrame =
+    lmScoreWith(docs, bigramLm(docs, minCount), unkLogP)
+
+  /** [[lmScore]] against an EXTERNAL reference model — CCNet's actual
+    * design: the bigram stats come from a curated reference corpus
+    * (their Wikipedia-trained LM), not from the corpus being scored, so
+    * "reads like the reference" is the signal rather than "reads like
+    * itself". `stats` is any `(w1, w2, p_cond)` frame ([[bigramLm]]
+    * output, typically persisted from an offline pass).
+    *
+    * Streaming: on a streaming frame the per-bigram scoring join is
+    * stream-static and the per-doc aggregation needs an update/complete
+    * sink; the batch path's join-back (which surfaces sub-bigram
+    * documents as 0-score rows) is a stream-stream join after an
+    * aggregation and is therefore SKIPPED — streaming output carries
+    * only documents that produced at least one bigram (spec-pinned equal
+    * to the batch rows for those documents). */
+  def lmScoreWith(docs: DataFrame, stats: DataFrame,
+                  unkLogP: Double = -10.0): DataFrame = {
     require(math.abs(unkLogP * 1e9 - math.round(unkLogP * 1e9)) < 1e-6,
       "unkLogP must have at most 9 decimal places (decimal-exact term)")
-    val stats = bigramLm(docs, minCount)
     val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
       distinct = false, wholeDocFallback = false)
     val docBg = docs
@@ -390,12 +407,16 @@ object TextOps {
           .cast(DecimalType(28, 9)).as("_lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_s"))
-    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
-          round(col("_s").cast(DoubleType) / col("n_bigrams"), 6))
-          .otherwise(lit(0.0)).as("avg_logp"))
+    if (docs.isStreaming)
+      agg.select(col("doc_id"), col("n_bigrams"),
+        round(col("_s").cast(DoubleType) / col("n_bigrams"), 6).as("avg_logp"))
+    else
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+            round(col("_s").cast(DoubleType) / col("n_bigrams"), 6))
+            .otherwise(lit(0.0)).as("avg_logp"))
   }
 
   /** Per-document unigram token entropy in bits (`H = log2 n − Σ c·ln c /

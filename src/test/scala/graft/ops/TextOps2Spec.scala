@@ -295,6 +295,33 @@ class LmScoreSpec extends SparkSpec {
     assert(m.getAs[Long]("n_bigrams") == 2L)
     assert(m.getAs[Double]("avg_logp") == -5.0)
   }
+
+  test("lmScoreWith scores a stream against offline reference stats (CCNet shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val reference = (1L to 6L).map(i => (i, "the cat sat")).toDF("doc_id", "text")
+    val stats = TextOps.bigramLm(reference, minCount = 5)
+    val arrivals = Seq((100L, "the cat sat"), (101L, "zz unseen junk"), (102L, "x"))
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = TextOps.lmScoreWith(mem.toDF().toDF("doc_id", "text"), stats)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+      val out = spark.table("lm_stream").orderBy("doc_id").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"))).toMap
+      assert(out(100L) == (2L, 0.0))   // reads like the reference
+      assert(out(101L) == (2L, -10.0)) // junk: all unk
+      assert(!out.contains(102L))      // sub-bigram doc absent on streams (documented)
+      // batch twin agrees on the docs that surface
+      val batch = TextOps.lmScoreWith(arrivals.toDF("doc_id", "text"), stats)
+        .filter(col("n_bigrams") > 0).orderBy("doc_id").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"))).toMap
+      assert(out == batch)
+    } finally q.stop()
+  }
 }
 
 class WindowChunksSpec extends SparkSpec {
