@@ -22,7 +22,9 @@ object PlanAudit {
         "q_asof_forward", "q_pack_text", "q_curation_pipeline",
         "q_vocab_coverage", "q_truncate",
         "q_weighted_sample", "q_dedup_semantic_mp", "q_gopher_rules",
-        "q_line_dedup", "q_dedup_keep_best", "q_classifier_score")) {
+        "q_line_dedup", "q_dedup_keep_best", "q_classifier_score",
+        "q_containment", "q_dedup_semantic_pq", "q_upsample",
+        "q_window_chunks", "q_lm_score", "q_curation_pipeline2")) {
       println(s"\n================ $q ================")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
