@@ -204,6 +204,7 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, d) => TextOps.bigramLm(t(s, d, "documents"))),
     "q_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d, "documents"))),
     "q_lm_score" -> ((s, d) => TextOps.lmScore(t(s, d, "documents"))),
+    "q_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(t(s, d, "documents"))),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
@@ -777,30 +778,21 @@ object SparkEntry {
         |FROM bc JOIN wt USING (w1) WHERE n >= 5""".stripMargin,
     // per-term ln rounded to 9 dp then decimal-summed (the q_entropy
     // determinism contract); pruned bigrams take the fixed -10 penalty
-    "q_lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
-        |  FROM documents),
-        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
-        |b2 AS (
-        |  SELECT a.doc_id, a.tok AS w1, c.tok AS w2
-        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
-        |bc AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
-        |wt AS (SELECT w1, sum(n) AS tot FROM bc GROUP BY 1),
-        |st AS (
-        |  SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
-        |  FROM bc JOIN wt USING (w1) WHERE n >= 5),
-        |terms AS (
-        |  SELECT b2.doc_id, coalesce(round(ln(st.p), 9), -10.0) AS lp
-        |  FROM b2 LEFT JOIN st ON st.w1 = b2.w1 AND st.w2 = b2.w2),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS nb, sum(CAST(lp AS DECIMAL(28,9))) AS s
-        |  FROM terms GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
-        |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(s AS DOUBLE) / nb, 6)
-        |       ELSE 0.0 END AS avg_logp
-        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+    "q_lm_score" -> lmScoreSql,
+    // quartile cuts via quantile_cont — quarter-fraction interpolation is
+    // engine-exact (Stats contract), both sides round cuts to 6 dp
+    "q_ppl_buckets" ->
+      s"""WITH sc AS (SELECT * FROM ($lmScoreSql) s0),
+        |cuts AS (
+        |  SELECT round(quantile_cont(avg_logp, 0.25), 6) AS p25,
+        |    round(quantile_cont(avg_logp, 0.75), 6) AS p75
+        |  FROM sc WHERE n_bigrams > 0)
+        |SELECT doc_id, n_bigrams, avg_logp,
+        |  CASE WHEN n_bigrams = 0 THEN 'unscored'
+        |       WHEN avg_logp >= p75 THEN 'head'
+        |       WHEN avg_logp >= p25 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN cuts""".stripMargin,
     "q_entropy" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1520,6 +1512,32 @@ object SparkEntry {
       |  SELECT probe_id, block, code,
       |    list_dot_product(pv[block*8+1 : block*8+8], c) AS t
       |  FROM p CROSS JOIN cb1)""".stripMargin
+
+  /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */
+  private def lmScoreSql: String =
+    """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b2 AS (
+        |  SELECT a.doc_id, a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
+        |wt AS (SELECT w1, sum(n) AS tot FROM bc GROUP BY 1),
+        |st AS (
+        |  SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |  FROM bc JOIN wt USING (w1) WHERE n >= 5),
+        |terms AS (
+        |  SELECT b2.doc_id, coalesce(round(ln(st.p), 9), -10.0) AS lp
+        |  FROM b2 LEFT JOIN st ON st.w1 = b2.w1 AND st.w2 = b2.w2),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS nb, sum(CAST(lp AS DECIMAL(28,9))) AS s
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(s AS DOUBLE) / nb, 6)
+        |       ELSE 0.0 END AS avg_logp
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
 
   /** The q_gopher_rules oracle, reusable as a subquery by the composed
     * pipeline gate (DuckDB allows WITH inside a derived table). */

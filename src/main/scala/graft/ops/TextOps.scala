@@ -419,6 +419,33 @@ object TextOps {
             .otherwise(lit(0.0)).as("avg_logp"))
   }
 
+  /** CCNet's corpus partitioning completed: bucket every document
+    * head / middle / tail by its [[lmScore]] percentile (head = most
+    * reference-like). CCNet cuts at terciles; quartile cuts are used here
+    * because quarter fractions interpolate engine-exactly (the
+    * [[graft.ops.Stats]] determinism contract — a third is not an exact
+    * binary fraction, so a tercile cut could differ in its last ulp
+    * between engines and flip boundary documents). Documents with no
+    * scorable bigram land in `unscored`.
+    *
+    * Scale shape: scoring is [[lmScore]]'s shape; the two cut points are
+    * ONE scalar aggregation broadcast back — no sort, no window over the
+    * corpus. */
+  def perplexityBuckets(docs: DataFrame, minCount: Long = 5,
+                        unkLogP: Double = -10.0): DataFrame = {
+    val scores = lmScore(docs, minCount, unkLogP)
+    val cuts = scores.filter(col("n_bigrams") > 0)
+      .agg(round(percentile(col("avg_logp"), lit(0.25)), 6).as("_p25"),
+        round(percentile(col("avg_logp"), lit(0.75)), 6).as("_p75"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, lit("unscored"))
+          .when(col("avg_logp") >= col("_p75"), lit("head"))
+          .when(col("avg_logp") >= col("_p25"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("bucket"))
+  }
+
   /** Per-document unigram token entropy in bits (`H = log2 n − Σ c·ln c /
     * (n·ln 2)`) plus token counts — low entropy flags repetitive/templated
     * text, high entropy flags noise; a standard quality-filter signal.
