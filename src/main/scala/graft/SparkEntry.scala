@@ -205,6 +205,7 @@ object SparkEntry {
     "q_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d, "documents"))),
     "q_lm_score" -> ((s, d) => TextOps.lmScore(t(s, d, "documents"))),
     "q_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(t(s, d, "documents"))),
+    "q_vocab_drift" -> ((s, d) => TextOps.vocabDrift(t(s, d, "documents"))),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
@@ -779,6 +780,24 @@ object SparkEntry {
     // per-term ln rounded to 9 dp then decimal-summed (the q_entropy
     // determinism contract); pruned bigrams take the fixed -10 penalty
     "q_lm_score" -> lmScoreSql,
+    // KL terms from exact integer counts: one double division inside the
+    // ln (9 dp), term 9 dp, decimal sum per source, final 6 dp
+    "q_vocab_drift" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS c_st FROM t GROUP BY 1, 2),
+        |ct AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |n AS (SELECT sum(c_t) AS nn FROM ct)
+        |SELECT st.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(
+        |    round((CAST(c_st AS DOUBLE) / ns.n_s) *
+        |      round(ln(CAST(c_st * nn AS DOUBLE) / CAST(ns.n_s * c_t AS DOUBLE)), 9), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl_nats
+        |FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN n
+        |GROUP BY 1, 2""".stripMargin,
     // quartile cuts via quantile_cont — quarter-fraction interpolation is
     // engine-exact (Stats contract), both sides round cuts to 6 dp
     "q_ppl_buckets" ->

@@ -533,6 +533,48 @@ object TextOps {
       .drop("_wc_toks", "_wc_n", "_wc_w")
   }
 
+  /** Per-source vocabulary drift: `KL(P_source ‖ P_corpus)` over unigram
+    * token distributions, in nats — the mixture-monitoring signal that
+    * flags a source whose language shifted away from (or dominates) the
+    * corpus blend. 0 = indistinguishable from the corpus mix; every term
+    * is non-negative-summed over the source's own support (P_corpus > 0
+    * wherever P_source > 0 by construction, so the KL is always finite).
+    *
+    * Determinism: each term `p_s·ln(p_s/p_c)` is computed from EXACT
+    * integer counts — the ratio inside the ln is one double division of
+    * two exact int64 products, the ln rounds to 9 dp, the term to 9 dp —
+    * then decimal-summed per source ([[tokenEntropy]]'s contract).
+    * Scale shape: one (source, token) aggregation + a token-keyed join to
+    * vocabulary-sized corpus counts + a per-source fold; the corpus text
+    * is scanned once, nothing corpus-sized crosses the driver. */
+  def vocabDrift(docs: DataFrame,
+                 sourceCol: String = "source"): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("_vd_src"),
+      explode(split(normText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val st = toks.groupBy(col("_vd_src"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    // persisted + eagerly materialised: corpus totals derive from the
+    // same frame (vocabulary-sized cache, the TextOps.vocabulary pattern)
+    st.persist(); st.count()
+    val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("_vd_src")).agg(sum(col("c_st")).as("n_s"))
+    val total = ct.agg(sum(col("c_t")).as("_n"))
+    st.join(ct, Seq("token"))
+      .join(ns, Seq("_vd_src"))
+      .crossJoin(broadcast(total))
+      .select(col("_vd_src"),
+        col("n_s"),
+        round((col("c_st").cast(DoubleType) / col("n_s")) *
+          round(log((col("c_st") * col("_n")).cast(DoubleType) /
+            (col("n_s") * col("c_t")).cast(DoubleType)), 9), 9)
+          .cast(DecimalType(28, 9)).as("_term"))
+      .groupBy(col("_vd_src"))
+      .agg(first(col("n_s")).as("n_tokens"), sum(col("_term")).as("_kl"))
+      .select(col("_vd_src").as(sourceCol), col("n_tokens"),
+        round(col("_kl").cast(DoubleType), 6).as("kl_nats"))
+  }
+
   def fingerprintCol(text: Column): Column = md5(normText(text))
 
   /** Duplicate-group summary: fingerprint, group size, canonical doc. */

@@ -324,6 +324,29 @@ class LmScoreSpec extends SparkSpec {
   }
 }
 
+class VocabDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KL drift: identical sources score ~0, a divergent source scores positive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "a"), (2L, "alpha beta gamma delta", "b"),
+      (3L, "alpha beta gamma delta", "a"), (4L, "alpha beta gamma delta", "b"),
+      (5L, "zz zz zz zz", "weird"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.vocabDrift(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats")).toMap
+    // a and b have the exact corpus-share distribution over their support?
+    // no — the corpus includes 'weird', so their p_c is diluted: both get
+    // the SAME small positive drift; 'weird' diverges far more
+    assert(out("a") == out("b"))
+    assert(out("weird") > out("a"))
+    assert(out("a") >= 0.0 && out("weird") > 0.5)
+    // single-source corpus: P_source == P_corpus exactly → KL 0
+    val uni = TextOps.vocabDrift(docs.filter(col("source") === "a")).collect()
+    assert(uni.length == 1 && uni(0).getAs[Double]("kl_nats") == 0.0)
+  }
+}
+
 class WindowChunksSpec extends SparkSpec {
   import spark.implicits._
 
