@@ -80,6 +80,17 @@ class EdgeCasesSpec extends SparkSpec {
     val offsetEmb = Seq((1000L, Array.fill(4)(1.0f), 0), (1001L, Array.fill(4)(0.9f), 0))
       .toDF("vec_id", "embedding", "label")
     assert(VectorOps.semanticPairsMultiProbe(offsetEmb, threshold = 0.5).count() == 0)
+    // late round-6 ops: total on empty corpora and null text
+    assert(NearDup.containmentPairs(emptyDocs).count() == 0)
+    assert(Curate.upsampleBySource(emptyDocs, Map("x" -> 2.0)).count() == 0)
+    assert(TextOps.windowChunks(emptyDocs, maxTokens = 8).count() == 0)
+    assert(TextOps.lmScore(emptyDocs).count() == 0)
+    assert(TextOps.vocabDrift(emptyDocs).count() == 0)
+    val withNull2 = Seq((1L, null.asInstanceOf[String], "en", "s1"),
+      (2L, "a b c d e", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    assert(TextOps.windowChunks(withNull2, maxTokens = 3).count() == 3) // 1 empty + 2 windows
+    assert(TextOps.lmScore(withNull2).count() == 2)
+    assert(TextOps.perplexityBuckets(withNull2).count() == 2)
   }
 
   test("vector ops are total on empty and offset-id corpora") {
