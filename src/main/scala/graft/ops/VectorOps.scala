@@ -179,6 +179,16 @@ object VectorOps {
     * MINIMUM shared cluster (`cid` in the output is that canonical
     * cluster). probes=1 degenerates to [[semanticPairs]] exactly.
     *
+    * `probeMargin` makes the probing ADAPTIVE: a probe beyond the argmax
+    * survives only when its cosine is within the margin of the best — an
+    * interior vector (unambiguous assignment) costs a single replica and
+    * only genuinely boundary vectors fan out, so replication tracks the
+    * boundary fraction instead of a flat probes×. The default (2.0 ≥ any
+    * cosine gap) keeps every probe; 0 degenerates to single-probe.
+    * Recall is unchanged for any pair whose members sit within
+    * `probeMargin` of their shared boundary — the pairs multi-probe
+    * exists to recover (spec-pinned).
+    *
     * Scale shape: the literal path stays zero-exchange per assignment
     * (top-probes picked inside the scan's projection); above `literalMax`
     * centroids the broadcast-join path scores against the centroid FRAME,
@@ -190,10 +200,13 @@ object VectorOps {
                               kmeansIters: Int = 0,
                               literalMax: Int = CentroidLiteralMax,
                               targetBlock: Int = 4096,
-                              spreadSeed: Boolean = false): DataFrame = {
+                              spreadSeed: Boolean = false,
+                              probeMargin: Double = 2.0): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
+    require(probeMargin >= 0, "probeMargin must be non-negative")
     val e = prepared(embeddings)
-    assignCidsMulti(e, nCentroids, probes, kmeansIters, literalMax, spreadSeed) match {
+    assignCidsMulti(e, nCentroids, probes, kmeansIters, literalMax, spreadSeed,
+        probeMargin) match {
       case None => e.limit(0)
         .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
           col("vec_id").as("cid"), col("nrm").as("cosine"))
@@ -210,7 +223,8 @@ object VectorOps {
     * [[assignCids]]' assignment bit-for-bit. */
   private def assignCidsMulti(e: DataFrame, nCentroids: Int, probes: Int,
                               kmeansIters: Int, literalMax: Int,
-                              spreadSeed: Boolean): Option[DataFrame] = {
+                              spreadSeed: Boolean,
+                              probeMargin: Double = 2.0): Option[DataFrame] = {
     val seeds =
       if (spreadSeed) seedCentroidsSpread(e, nCentroids)
       else seedLowestIds(e, nCentroids)
@@ -224,16 +238,33 @@ object VectorOps {
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           cosR(col("v"), col("nrm"), col("cv"), col("cn")).as("_pcos"))
-      val sets = TopK.topKPerKey(scored, "vec_id", "cid", "_pcos", probes)
+      val ranked = TopK.topKPerKey(scored, "vec_id", "cid", "_pcos", probes)
+      // adaptive probing inside the per-vec aggregation this path already
+      // pays (no window, no extra shuffle): a probe beyond the argmax
+      // survives only when its cosine is within probeMargin of the best
+      val sets = ranked
         .groupBy(col("vec_id"))
-        .agg(sort_array(collect_list(col("cid"))).as("cids"))
+        .agg(max(when(col("rank") === 1, col("_pcos"))).as("_mp_best"),
+          collect_list(struct(col("rank"), col("cid"), col("_pcos"))).as("_mp_es"))
+        .select(col("vec_id"),
+          sort_array(transform(
+            filter(col("_mp_es"), en => en.getField("rank") === 1 ||
+              en.getField("_pcos") >= col("_mp_best") - probeMargin),
+            en => en.getField("cid"))).as("cids"))
       Some(e.join(sets, Seq("vec_id"))
         .withColumn("cid", explode(col("cids")))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"),
           col("cids"), col("cid")))
     } else centroidLiteral(cents).map { cl =>
-      e.withColumn("cids",
-          transform(nearestClusterArray(cl, probes), s => s.getField("cid")))
+      // adaptive probing, expression-level: keep ranked entry i iff it is
+      // the argmax or within probeMargin of it (negcos ascending, so the
+      // test is negcos <= best_negcos + margin)
+      e.withColumn("_mp_arr", nearestClusterArray(cl, probes))
+        .withColumn("cids",
+          transform(filter(col("_mp_arr"), s =>
+            s.getField("negcos") <=
+              element_at(col("_mp_arr"), 1).getField("negcos") + lit(probeMargin)),
+            s => s.getField("cid")))
         .withColumn("cid", explode(col("cids")))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"),
           col("cids"), col("cid"))

@@ -53,6 +53,26 @@ class SemanticMultiProbeSpec extends SparkSpec {
     assert(all.length == all.distinct.length, "no duplicate pair emissions")
   }
 
+  test("adaptive probing replicates only ambiguous vectors, keeping boundary recall") {
+    // margin 0.1: the boundary pair's argmax gap (~0.074) is inside the
+    // margin so both members still probe both clusters; interior vectors
+    // (gap ~0.95) collapse to single-probe — same output, less replication
+    val full = rows(VectorOps.semanticPairsMultiProbe(emb, threshold = 0.9,
+      nCentroids = 2, probes = 2))
+    val adaptive = rows(VectorOps.semanticPairsMultiProbe(emb, threshold = 0.9,
+      nCentroids = 2, probes = 2, probeMargin = 0.1))
+    assert(adaptive == full)
+    // margin 0 degenerates to single-probe (no exact cosine ties here)
+    val zero = rows(VectorOps.semanticPairsMultiProbe(emb, threshold = 0.9,
+      nCentroids = 2, probes = 2, probeMargin = 0.0))
+    val single = rows(VectorOps.semanticPairs(emb, threshold = 0.9, nCentroids = 2))
+    assert(zero == single)
+    // join path agrees under adaptive margins too
+    val joinPath = rows(VectorOps.semanticPairsMultiProbe(emb, threshold = 0.9,
+      nCentroids = 2, probes = 2, probeMargin = 0.1, literalMax = 0))
+    assert(joinPath == adaptive)
+  }
+
   test("literal and broadcast-join assignment paths agree (multi-probe cutover)") {
     val lit = rows(VectorOps.semanticPairsMultiProbe(emb, threshold = 0.9,
       nCentroids = 2, probes = 2))
