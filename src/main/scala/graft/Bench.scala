@@ -32,7 +32,10 @@ object Bench {
     // via q_dedup_cluster's absence for the same reason)
     "q_weighted_sample", "q_gopher_rules", "q_line_dedup",
     "q_classifier_score", "q_dedup_semantic_mp",
-    "q_upsample", "q_window_chunks", "q_lm_score", "q_curation_pipeline2")
+    "q_upsample", "q_window_chunks", "q_lm_score", "q_curation_pipeline2",
+    // r6 final sweep (q_substr_strip shares the spans computation; the
+    // spans query is the cost driver and is what gets benched)
+    "q_substr_spans")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -68,7 +71,9 @@ object Bench {
     "q_weighted_sample" -> 0.38, "q_gopher_rules" -> 0.86,
     "q_line_dedup" -> 0.77, "q_classifier_score" -> 0.59,
     "q_upsample" -> 0.32, "q_window_chunks" -> 0.44,
-    "q_lm_score" -> 1.53, "q_curation_pipeline2" -> 1.54
+    "q_lm_score" -> 1.53, "q_curation_pipeline2" -> 1.54,
+    // r6 final sweep: local warmed best-of-3 (1.07) × 1.3
+    "q_substr_spans" -> 1.39
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

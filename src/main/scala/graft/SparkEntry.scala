@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{Curate, HashMode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, VectorOps}
+import graft.ops.{Curate, ExactSubstr, HashMode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -213,6 +213,12 @@ object SparkEntry {
       NearDup.containmentPairs(t(s, d, "documents"), threshold = 0.5,
         maxShingleDf = 100)),
     "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
+    "q_substr_spans" -> ((s, d) =>
+      ExactSubstr.duplicatedSpans(t(s, d, "documents"), l = 20)),
+    "q_substr_strip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ExactSubstr.stripSpans(docs, ExactSubstr.duplicatedSpans(docs, l = 20))
+    }),
     // hash-based dedup ops run in HashMode.Portable here so the DuckDB
     // oracle can recompute identical signatures; the library default stays
     // xxhash64. Bench resolves THIS map, so it times the Portable path —
@@ -1102,6 +1108,10 @@ object SparkEntry {
         |  round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) AS jaccard
         |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
         |WHERE round(CAST(common AS DOUBLE) / (na.nsh + nb.nsh - common), 6) >= 0.7""".stripMargin,
+    // exact-substring dedup: duplicated length-20 token windows, merged per
+    // doc into maximal spans (ExactSubstr); md5-of-window parity with Spark
+    "q_substr_spans" -> substrSpansSql(selectSpans = true),
+    "q_substr_strip" -> substrSpansSql(selectSpans = false),
     // portable-hash twins of the LSH pipelines: DuckDB recomputes the exact
     // 60-bit md5-derived signatures NearDup produces under HashMode.Portable,
     // so banding/candidate selection is replicated bit-for-bit
@@ -1557,6 +1567,52 @@ object SparkEntry {
         |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(s AS DOUBLE) / nb, 6)
         |       ELSE 0.0 END AS avg_logp
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
+
+  /** Shared CTE chain for the ExactSubstr gates (l = 20): duplicated
+    * window detection + per-doc island merge; `selectSpans` picks the
+    * spans output, else the stripped-text output. */
+  private def substrSpansSql(selectSpans: Boolean): String = {
+    val l = 20
+    val ctes =
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, len(toks) - ${l - 1})) AS pos FROM t),
+        |w AS (SELECT doc_id, pos,
+        |  md5(array_to_string(toks[pos:pos+${l - 1}], ' ')) AS wh FROM u),
+        |dd AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+        |p AS (SELECT w.doc_id, w.pos FROM w JOIN dd USING (wh)),
+        |brk AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l
+        |       THEN 0 ELSE 1 END AS b
+        |  FROM p),
+        |isl AS (SELECT doc_id, pos, sum(b) OVER (
+        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM brk),
+        |sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + ${l - 1} AS end_tok
+        |  FROM isl GROUP BY doc_id, g)""".stripMargin
+    if (selectSpans)
+      s"""$ctes
+        |SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(end_tok AS BIGINT) AS end_tok,
+        |  CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens
+        |FROM sp""".stripMargin
+    else
+      s"""$ctes,
+        |e AS (SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS pos FROM t),
+        |kept AS (
+        |  SELECT e.doc_id, e.tok, e.pos
+        |  FROM e LEFT JOIN sp ON sp.doc_id = e.doc_id
+        |    AND e.pos BETWEEN sp.start_tok AND sp.end_tok
+        |  WHERE sp.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.txt, '') AS text
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
 
   /** The q_gopher_rules oracle, reusable as a subquery by the composed
     * pipeline gate (DuckDB allows WITH inside a derived table). */

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact duplicated-substring detection at token-window granularity — the
+  * Spark-tractable formulation of suffix-array ExactSubstr dedup (Lee et
+  * al. 2022, "Deduplicating Training Data Makes Language Models Better";
+  * reference surface: dc43's dedup pipeline family).
+  *
+  * The suffix-array algorithm finds every duplicated substring of ≥ L
+  * tokens; it is inherently single-machine (one sorted suffix array over
+  * the concatenated corpus). The distributed equivalence this module
+  * exploits: a substring of ≥ L tokens is duplicated iff EVERY length-L
+  * token window inside it is duplicated — so duplicated fixed-length
+  * windows (a hash-groupBy, embarrassingly parallel) found and merged
+  * per-document reconstruct exactly the maximal duplicated spans of
+  * length ≥ L. Window granularity costs nothing at the span level: the
+  * union of merged windows IS the union of duplicated ≥-L substrings.
+  *
+  * Scale shape: each token starts at most one window, so the window
+  * stream is one row per corpus token — projected (never materialised)
+  * from a scan, hashed to 32 hex chars, partial-aggregated before the
+  * count shuffle. Duplicated hashes join back against a second
+  * projection of the window stream (the two consumers each recompute
+  * the scan+projection rather than caching a corpus-sized frame; the
+  * join is a shuffle join on the hash — the dup set at web scale is too
+  * big to broadcast, and a broadcast here would be wrong-by-default;
+  * Catalyst/AQE still picks one when the dup frame is actually small).
+  * The island merge runs per document over only the DUPLICATED window
+  * starts — bounded by document length, corpus-size independent.
+  */
+object ExactSubstr {
+
+  /** `(doc_id, pos, wh)`: the md5 of each length-`l` token window
+    * (1-based start `pos`), one row per window. Windows never span
+    * documents; docs shorter than `l` tokens emit nothing. md5 of the
+    * space-joined window is the portable spelling (DuckDB computes the
+    * identical hex — the family's [[TextOps.fingerprintCol]] parity). */
+  def windowHashes(docs: DataFrame, l: Int, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(l >= 2, "window length must be at least 2 tokens")
+    docs
+      // Generate barrier (the family's standard idiom): materialise the
+      // token array once; without it every lambda element access below
+      // re-runs the tokenisation
+      .select(col(idCol),
+        explode(array(split(TextOps.normText(col(textCol)), " "))).as("_toks"))
+      .select(col(idCol),
+        // sequence(1, 0) would count DOWN; guard short docs explicitly
+        when(size(col("_toks")) >= l,
+          sequence(lit(1), size(col("_toks")) - lit(l - 1)))
+          .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
+        col("_toks"))
+      .select(col(idCol), explode(col("_starts")).as("pos"),
+        md5(concat_ws(" ", slice(col("_toks"), col("pos"), lit(l))).cast(BinaryType))
+          .as("wh"))
+  }
+
+  /** Maximal duplicated token spans `(doc_id, start_tok, end_tok,
+    * n_tokens)`, 1-based inclusive: every position covered lies inside a
+    * length-`l` window whose text occurs at least `minOccurrences` times
+    * in the corpus (occurrences within one document count — self-repeated
+    * boilerplate is duplication too; raise to cross-document semantics by
+    * pre-deduping identical docs upstream). Overlapping and adjacent
+    * duplicated windows merge into one span, so spans are maximal and
+    * disjoint per document. */
+  def duplicatedSpans(docs: DataFrame, l: Int = 20, minOccurrences: Long = 2,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(minOccurrences >= 2, "minOccurrences must be at least 2")
+    val wins = windowHashes(docs, l, idCol, textCol)
+    val dup = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minOccurrences)
+      .select(col("wh"))
+    // islands over the duplicated starts: fixed-length intervals sorted by
+    // start, so the running end is prev_pos + l - 1 and a gap begins
+    // whenever pos - prev_pos > l (adjacent spans, pos == prev_end + 1,
+    // still merge). The window runs over duplicated starts only.
+    val perDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    wins.join(dup, Seq("wh"))
+      .select(col(idCol), col("pos"))
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(perDoc) <= l, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_isl", sum(col("_brk")).over(
+        perDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(l - 1)).as("end_tok"))
+      .select(col(idCol), col("start_tok").cast(LongType),
+        col("end_tok").cast(LongType),
+        (col("end_tok") - col("start_tok") + 1).cast(LongType).as("n_tokens"))
+  }
+
+  /** Remove flagged spans from the text: every token whose position falls
+    * inside a span of `spans` (the [[duplicatedSpans]] schema) is dropped,
+    * and the survivors are re-joined with single spaces. Pure mechanics —
+    * which occurrences to strip is the CALLER's policy (Lee et al. keep
+    * one canonical copy: filter the spans frame, e.g. anti-join the
+    * lowest-(doc_id, start) occurrence per duplicated region, before
+    * passing it here; passing the raw frame strips every occurrence).
+    *
+    * Shape: spans collapse to one array per flagged doc (spans per doc
+    * are disjoint and few), one shuffle of the SPANS frame; the corpus is
+    * left-joined and rebuilt with a per-row array filter — docs with no
+    * flagged span carry a null span list and pass through verbatim. */
+  def stripSpans(docs: DataFrame, spans: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val spanArr = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("_spans"))
+    docs
+      .select(col(idCol),
+        explode(array(split(TextOps.normText(col(textCol)), " "))).as("_toks"))
+      .join(spanArr, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_spans").isNull, concat_ws(" ", col("_toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("_toks"), (t, i) =>
+              !exists(col("_spans"), s =>
+                i + 1 >= s.getField("start_tok") &&
+                  i + 1 <= s.getField("end_tok")))))
+          .as(textCol))
+  }
+}

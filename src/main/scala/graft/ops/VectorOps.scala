@@ -70,8 +70,33 @@ object VectorOps {
     * a null norm propagates to a null cosine, which every consumer drops
     * (threshold filters — null comparison is never true — TopK's
     * null-score drop, null-aware array_max/min_by seeding). */
-  private def cosR(va: Column, na: Column, vb: Column, nb: Column): Column =
+  private[graft] def cosR(va: Column, na: Column, vb: Column, nb: Column): Column =
     round(dot(va, vb) / (na * nb), 6)
+
+  /** Rademacher (±1-entry) hyperplanes for sign-LSH, a pure function of
+    * `(nBits, dim, seed)` — factored out so the batch pair miner and the
+    * streaming candidate path build BIT-IDENTICAL signatures (the stream
+    * cannot sniff `dim` from data, so it takes it as a parameter and must
+    * agree with the batch construction for the same corpus). */
+  private[graft] def rademacherPlanes(nBits: Int, dim: Int,
+                                      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Band values for sign-LSH over `v` (double array column): bit i is
+    * `sign(v · r_i)`, packed `bandBits` at a time into one long per band.
+    * A pure per-row projection — nBits codegen'd dot products, zero
+    * shuffle — safe on batch and streaming frames alike. */
+  private[graft] def lshBandExprs(v: Column, planes: Array[Array[Double]],
+                                  bandBits: Int): Seq[Column] = {
+    val bits = planes.toSeq.map { p =>
+      (dot(v, array(p.map(lit).toSeq: _*)) >= 0).cast(LongType)
+    }
+    bits.grouped(bandBits).map { grp =>
+      grp.zipWithIndex.map { case (b, j) => b * lit(1L << j) }.reduce(_ + _)
+    }.toSeq
+  }
 
   /** Embedding-cosine near-dup pairs, blocked by label, with a skew-proof
     * triangle-grid join inside each label.
@@ -360,14 +385,8 @@ object VectorOps {
       return e.limit(0).select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
         col("label"), col("nrm").as("cosine"))
     val dim = firstDim.head.getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-    val bits = (0 until nBits).map { i =>
-      (dot(col("v"), array(planes(i).map(lit): _*)) >= 0).cast(LongType)
-    }
-    val bands = (0 until nBits / bandBits).map { bnd =>
-      (0 until bandBits).map(j => bits(bnd * bandBits + j) * lit(1L << j)).reduce(_ + _)
-    }
+    val planes = rademacherPlanes(nBits, dim, seed)
+    val bands = lshBandExprs(col("v"), planes, bandBits)
     val banded = e.select(col("vec_id"), col("label"),
       posexplode(array(bands: _*)).as(Seq("band", "band_val")))
     val cand = banded.alias("x")

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LmIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference = ((1L to 6L).map(i => (i, "the cat sat")) :+
+    (7L, "the cat ran home")).toDF("doc_id", "text")
+
+  test("build → score equals the in-memory lmScoreWith; meta records count") {
+    val dir = tmpDir("lm_idx")
+    LmIndex.build(reference, dir, minCount = 5, numFiles = 2)
+    val stats = TextOps.bigramLm(reference, minCount = 5)
+    assert(LmIndex.meta(spark, dir) == (5L, stats.count()))
+
+    val arrivals = Seq((100L, "the cat sat"), (101L, "zz unseen junk"),
+      (102L, "x")).toDF("doc_id", "text")
+    val fromIndex = LmIndex.score(spark, dir, arrivals)
+      .as[(Long, Long, Double)].collect().toSet
+    val inMemory = TextOps.lmScoreWith(arrivals, stats)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == inMemory)
+    // "the cat" 7/7 -> ln 1 = 0; "cat sat" 6/7 -> ln rounds to -0.15415;
+    // mean of the two rounds to -0.077075
+    assert(fromIndex.contains((100L, 2L, -0.077075)))
+  }
+
+  test("vocabulary-sized artifact broadcasts the scoring join; huge cap disables it") {
+    val dir = tmpDir("lm_idx_bc")
+    LmIndex.build(reference, dir, minCount = 5)
+    val arrivals = Seq((100L, "the cat sat")).toDF("doc_id", "text")
+    val hinted = LmIndex.score(spark, dir, arrivals)
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab-sized stats must broadcast:\n$plan")
+    val unhinted = LmIndex.score(spark, dir, arrivals, broadcastMaxRows = 0L)
+    val plan2 = unhinted.queryExecution.optimizedPlan.toString
+    assert(!plan2.contains("ResolvedHint"), "cap 0 must not hint broadcast")
+    // same answers either way
+    assert(hinted.as[(Long, Long, Double)].collect().toSet ==
+      unhinted.as[(Long, Long, Double)].collect().toSet)
+  }
+
+  test("artifact feeds a STREAM without retraining (stream-static scoring join)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir("lm_idx_stream")
+    LmIndex.build(reference, dir, minCount = 5)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = LmIndex.score(spark, dir, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lm_idx_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData((100L, "the cat sat"), (101L, "zz unseen junk"))
+      q.processAllAvailable()
+      val out = spark.table("lm_idx_stream")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out == Set((100L, 2L, -0.077075), (101L, 2L, -10.0)))
+    } finally q.stop()
+  }
+}
