@@ -219,6 +219,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       ExactSubstr.stripSpans(docs, ExactSubstr.duplicatedSpans(docs, l = 20))
     }),
+    // Bloom-probe twin gated on the exact semantics (same precedent as
+    // q_decontaminate_bloom): at fpp 1e-6 over this corpus the flag path
+    // is output-identical to the span pipeline, and the oracle proves it
+    "q_substr_strip_flag" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ExactSubstr.stripSubstrFlag(docs,
+        ExactSubstr.frequentWindows(docs, l = 20), l = 20)
+    }),
     // hash-based dedup ops run in HashMode.Portable here so the DuckDB
     // oracle can recompute identical signatures; the library default stays
     // xxhash64. Bench resolves THIS map, so it times the Portable path —
@@ -1112,6 +1120,7 @@ object SparkEntry {
     // doc into maximal spans (ExactSubstr); md5-of-window parity with Spark
     "q_substr_spans" -> substrSpansSql(selectSpans = true),
     "q_substr_strip" -> substrSpansSql(selectSpans = false),
+    "q_substr_strip_flag" -> substrStripFlagSql,
     // portable-hash twins of the LSH pipelines: DuckDB recomputes the exact
     // 60-bit md5-derived signatures NearDup produces under HashMode.Portable,
     // so banding/candidate selection is replicated bit-for-bit
@@ -1571,10 +1580,9 @@ object SparkEntry {
   /** Shared CTE chain for the ExactSubstr gates (l = 20): duplicated
     * window detection + per-doc island merge; `selectSpans` picks the
     * spans output, else the stripped-text output. */
-  private def substrSpansSql(selectSpans: Boolean): String = {
+  private def substrCtes: String = {
     val l = 20
-    val ctes =
-      s"""WITH t AS (
+    s"""WITH t AS (
         |  SELECT doc_id,
         |    regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') AS toks
         |  FROM documents),
@@ -1593,26 +1601,45 @@ object SparkEntry {
         |  FROM brk),
         |sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + ${l - 1} AS end_tok
         |  FROM isl GROUP BY doc_id, g)""".stripMargin
+  }
+
+  private def substrSpansSql(selectSpans: Boolean): String =
     if (selectSpans)
-      s"""$ctes
+      s"""$substrCtes
         |SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
         |  CAST(end_tok AS BIGINT) AS end_tok,
         |  CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens
         |FROM sp""".stripMargin
     else
-      s"""$ctes,
-        |e AS (SELECT doc_id, unnest(toks) AS tok,
-        |  generate_subscripts(toks, 1) AS pos FROM t),
-        |kept AS (
-        |  SELECT e.doc_id, e.tok, e.pos
-        |  FROM e LEFT JOIN sp ON sp.doc_id = e.doc_id
-        |    AND e.pos BETWEEN sp.start_tok AND sp.end_tok
-        |  WHERE sp.doc_id IS NULL),
-        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
-        |  FROM kept GROUP BY doc_id)
+      s"""$substrCtes,
+        |$substrKeptCtes
         |SELECT t.doc_id, coalesce(agg.txt, '') AS text
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
-  }
+
+  /** Shared strip tail: tokens outside every span, re-joined in order. */
+  private def substrKeptCtes: String =
+    """e AS (SELECT doc_id, unnest(toks) AS tok,
+      |  generate_subscripts(toks, 1) AS pos FROM t),
+      |kept AS (
+      |  SELECT e.doc_id, e.tok, e.pos
+      |  FROM e LEFT JOIN sp ON sp.doc_id = e.doc_id
+      |    AND e.pos BETWEEN sp.start_tok AND sp.end_tok
+      |  WHERE sp.doc_id IS NULL),
+      |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+      |  count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)""".stripMargin
+
+  /** q_substr_strip_flag oracle: the exact strip plus the flag path's
+    * token accounting. `n_tokens` follows the engine's split contract
+    * (an empty doc counts one empty token — greatest(len, 1));
+    * `n_removed` counts real tokens cut, identical in both spellings. */
+  private def substrStripFlagSql: String =
+    s"""$substrCtes,
+      |$substrKeptCtes
+      |SELECT t.doc_id, coalesce(agg.txt, '') AS text,
+      |  CAST(greatest(len(t.toks), 1) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
 
   /** The q_gopher_rules oracle, reusable as a subquery by the composed
     * pipeline gate (DuckDB allows WITH inside a derived table). */

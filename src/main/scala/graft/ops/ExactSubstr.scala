@@ -96,6 +96,94 @@ object ExactSubstr {
         (col("end_tok") - col("start_tok") + 1).cast(LongType).as("n_tokens"))
   }
 
+  /** Offline artifact for [[stripSubstrFlag]]: the `graft_md5hh` digest
+    * pairs of every length-`l` token window occurring at least
+    * `minOccurrences` times in the corpus, with the occurrence count —
+    * the window-granular sibling of [[Curate.frequentLines]]. Persist
+    * from a periodic batch pass; the streaming side probes it
+    * statelessly. Same occurrence semantics as [[duplicatedSpans]]
+    * (self-repeats count). */
+  def frequentWindows(docs: DataFrame, l: Int = 20, minOccurrences: Long = 2,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(l >= 2, "window length must be at least 2 tokens")
+    require(minOccurrences >= 2, "minOccurrences must be at least 2")
+    docs
+      .select(col(idCol),
+        explode(array(split(TextOps.normText(col(textCol)), " "))).as("_toks"))
+      .select(
+        when(size(col("_toks")) >= l,
+          sequence(lit(1), size(col("_toks")) - lit(l - 1)))
+          .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
+        col("_toks"))
+      .select(explode(col("_starts")).as("_pos"), col("_toks"))
+      .select(call_function("graft_md5hh",
+        concat_ws(" ", slice(col("_toks"), col("_pos"), lit(l))).cast(BinaryType))
+        .as("_hh"))
+      .select(element_at(col("_hh"), 1).as("h1"),
+        element_at(col("_hh"), 2).as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("win_df"))
+      .filter(col("win_df") >= minOccurrences)
+  }
+
+  /** Stateless ingest-time duplicated-substring stripping: a token is
+    * dropped iff some length-`l` window covering it probes positive in a
+    * Bloom filter built from [[frequentWindows]] — the streaming twin of
+    * [[duplicatedSpans]]+[[stripSpans]] in the production shape
+    * ([[Curate.stripLinesFlag]]'s contract at window granularity):
+    * duplicated windows computed OFFLINE over yesterday's corpus,
+    * arriving documents cleaned ONLINE with no state and no shuffle.
+    * A pure projection, so it runs unchanged on streaming frames.
+    *
+    * Bloom trade as in stripLinesFlag: no false negatives (every
+    * artifact window IS stripped) and `fpp`-bounded false positives.
+    * Cost note: the probe loop and the coverage test are per-row array
+    * lambdas (interpreted, O(tokens × l) per doc) — the ingest-time
+    * price of the corpus-free contract; the batch pipeline remains the
+    * cheaper way to clean a CORPUS. Output `(id, text, n_tokens,
+    * n_removed)`; token counts are of the normalised split (an empty
+    * doc counts one empty token, the family's split contract). */
+  def stripSubstrFlag(docs: DataFrame, frequent: DataFrame, l: Int = 20,
+                      fpp: Double = 1e-6, maxWindows: Long = 16L << 20,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(l >= 2, "window length must be at least 2 tokens")
+    val spark = frequent.sparkSession
+    import spark.implicits._
+    val pairs = frequent.select(col("h1"), col("h2")).as[(Long, Long)].collect()
+    require(pairs.length <= maxWindows,
+      s"frequent-window artifact has ${pairs.length} windows (> $maxWindows); " +
+        "stripSubstrFlag builds its filter driver-side — raise maxWindows " +
+        "only if the driver can hold it, or raise minOccurrences upstream")
+    val bloom = GramBloom.build(pairs, fpp)
+    val n = size(col("_ss_toks"))
+    val nStarts = size(col("_ss_flags"))
+    docs
+      .withColumn("_ss_toks",
+        explode(array(split(TextOps.normText(col(textCol)), " "))))
+      .withColumn("_ss_flags",
+        when(n >= l,
+          transform(sequence(lit(1), n - lit(l - 1)), i =>
+            bloom.mightContainGram(
+              concat_ws(" ", slice(col("_ss_toks"), i, lit(l))).cast(BinaryType))))
+          .otherwise(array().cast(ArrayType(BooleanType))))
+      .withColumn("_ss_kept",
+        filter(col("_ss_toks"), (t, i) => {
+          // 1-based token position p is covered iff a flagged window
+          // starts in [p-l+1, p] ∩ [1, nStarts]
+          val p = i + 1
+          val lo = greatest(lit(1), p - lit(l - 1))
+          val hi = least(p, nStarts)
+          !(nStarts > 0 && hi >= lo &&
+            exists(slice(col("_ss_flags"), lo, hi - lo + lit(1)), f => f))
+        }))
+      .select(col(idCol),
+        concat_ws(" ", col("_ss_kept")).as(textCol),
+        n.cast(LongType).as("n_tokens"),
+        (n - size(col("_ss_kept"))).cast(LongType).as("n_removed"))
+  }
+
   /** Remove flagged spans from the text: every token whose position falls
     * inside a span of `spans` (the [[duplicatedSpans]] schema) is dropped,
     * and the survivors are re-joined with single spaces. Pure mechanics —

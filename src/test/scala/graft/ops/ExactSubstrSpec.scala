@@ -60,6 +60,43 @@ class ExactSubstrSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap.apply(1L) == "a b c d e f g h i j")
   }
 
+  test("stripSubstrFlag reproduces the batch span strip from the offline artifact") {
+    val art = ExactSubstr.frequentWindows(docs, l = 5)
+    val flagged = ExactSubstr.stripSubstrFlag(docs, art, l = 5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val batch = ExactSubstr.stripSpans(docs,
+      ExactSubstr.duplicatedSpans(docs, l = 5))
+      .as[(Long, String)].collect().toMap
+    assert(flagged == batch, s"flag=$flagged batch=$batch")
+    // removed-token accounting
+    val counts = ExactSubstr.stripSubstrFlag(docs, art, l = 5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(counts(1L) == (10L, 7L) && counts(3L) == (10L, 10L) &&
+      counts(4L) == (3L, 0L))
+  }
+
+  test("stripSubstrFlag runs unchanged on a stream (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val art = ExactSubstr.frequentWindows(docs, l = 5)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = ExactSubstr.stripSubstrFlag(mem.toDF().toDF("doc_id", "text"), art, l = 5)
+      .writeStream.format("memory").queryName("ss_strip")
+      .outputMode("append").start()
+    try {
+      docs.as[(Long, String)].collect().foreach(mem.addData(_))
+      q.processAllAvailable()
+      val streamed = spark.table("ss_strip")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      val batch = ExactSubstr.stripSpans(docs,
+        ExactSubstr.duplicatedSpans(docs, l = 5))
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("minOccurrences raises the duplication bar") {
     // the shared run appears twice; minOccurrences = 3 excludes it, but
     // doc 3's window [p q r s t] also appears twice only -> nothing at 3
