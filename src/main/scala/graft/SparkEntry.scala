@@ -204,6 +204,15 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, d) => TextOps.bigramLm(t(s, d, "documents"))),
     "q_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d, "documents"))),
     "q_lm_score" -> ((s, d) => TextOps.lmScore(t(s, d, "documents"))),
+    // DSIR importance scoring: target model = the src0 slice (minCount 2 —
+    // a 25-doc reference corpus needs the lower prune bar to carry any
+    // bigrams), raw model = the whole corpus at the family default
+    "q_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.dsirScore(docs,
+        TextOps.bigramLm(docs.filter(col("source") === "src0"), minCount = 2),
+        TextOps.bigramLm(docs, minCount = 5))
+    }),
     "q_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(t(s, d, "documents"))),
     "q_vocab_drift" -> ((s, d) => TextOps.vocabDrift(t(s, d, "documents"))),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
@@ -794,6 +803,46 @@ object SparkEntry {
     // per-term ln rounded to 9 dp then decimal-summed (the q_entropy
     // determinism contract); pruned bigrams take the fixed -10 penalty
     "q_lm_score" -> lmScoreSql,
+    // DSIR: one shared bigram stream scored under the src0-trained target
+    // model (minCount 2) and the whole-corpus raw model (minCount 5);
+    // decimal sums, ratio from the exact sum difference
+    "q_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS pos FROM t),
+        |b2 AS (
+        |  SELECT a.doc_id, a.source, a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |bct AS (SELECT w1, w2, count(*) AS n FROM b2 WHERE source = 'src0' GROUP BY 1, 2),
+        |wtt AS (SELECT w1, sum(n) AS tot FROM bct GROUP BY 1),
+        |smt AS (SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |  FROM bct JOIN wtt USING (w1) WHERE n >= 2),
+        |bcr AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
+        |wtr AS (SELECT w1, sum(n) AS tot FROM bcr GROUP BY 1),
+        |smr AS (SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |  FROM bcr JOIN wtr USING (w1) WHERE n >= 5),
+        |terms AS (
+        |  SELECT b2.doc_id,
+        |    coalesce(round(ln(smt.p), 9), -10.0) AS lt,
+        |    coalesce(round(ln(smr.p), 9), -10.0) AS lr
+        |  FROM b2 LEFT JOIN smt ON smt.w1 = b2.w1 AND smt.w2 = b2.w2
+        |          LEFT JOIN smr ON smr.w1 = b2.w1 AND smr.w2 = b2.w2),
+        |agg AS (SELECT doc_id, count(*) AS nb,
+        |  sum(CAST(lt AS DECIMAL(28,9))) AS st, sum(CAST(lr AS DECIMAL(28,9))) AS sr
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(st AS DOUBLE) / nb, 6)
+        |       ELSE 0.0 END AS avg_logp_target,
+        |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(sr AS DOUBLE) / nb, 6)
+        |       ELSE 0.0 END AS avg_logp_raw,
+        |  round(CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(st AS DOUBLE) / nb, 6)
+        |             ELSE 0.0 END
+        |      - CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(sr AS DOUBLE) / nb, 6)
+        |             ELSE 0.0 END, 6) AS log_ratio
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
     // KL terms from exact integer counts: one double division inside the
     // ln (9 dp), term 9 dp, decimal sum per source, final 6 dp
     "q_vocab_drift" ->

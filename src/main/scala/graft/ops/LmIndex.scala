@@ -48,7 +48,7 @@ object LmIndex {
     * `broadcastMaxRows` (decided from metadata — zero jobs). */
   def load(spark: SparkSession, dir: String,
            broadcastMaxRows: Long = 4L << 20): DataFrame = {
-    val (_, n) = readMeta(spark, dir)
+    val n = readMeta(spark, dir).nBigrams
     val df = spark.read.parquet(s"$dir/stats")
     if (n <= broadcastMaxRows) broadcast(df) else df
   }
@@ -63,21 +63,79 @@ object LmIndex {
     TextOps.lmScoreWith(docs, load(spark, dir, broadcastMaxRows), unkLogP)
 
   /** The artifact's recorded `(minCount, nBigrams)`. */
-  def meta(spark: SparkSession, dir: String): (Long, Long) = readMeta(spark, dir)
+  def meta(spark: SparkSession, dir: String): (Long, Long) = {
+    val m = readMeta(spark, dir)
+    (m.minCount, m.nBigrams)
+  }
 
-  private def writeMeta(spark: SparkSession, dir: String,
-                        minCount: Long, n: Long): Unit = {
+  /** Score a calibration corpus under the artifact and RECORD its
+    * quartile cut points into the metadata — after which [[bucket]] is a
+    * stateless online operation. This is CCNet's actual deployment
+    * shape: the percentile computation (a corpus-wide aggregation with
+    * no streaming equivalent) runs once per calibration snapshot; every
+    * later batch or stream compares against FIXED cuts. Quartiles, not
+    * CCNet's terciles, for the same engine-exactness reason as
+    * [[TextOps.perplexityBuckets]] (quarter fractions interpolate
+    * bit-identically; a third does not). */
+  def recordCuts(spark: SparkSession, dir: String, calibration: DataFrame,
+                 unkLogP: Double = -10.0): Unit = {
+    val row = score(spark, dir, calibration, unkLogP)
+      .filter(col("n_bigrams") > 0)
+      .agg(round(percentile(col("avg_logp"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("avg_logp"), lit(0.75)), 6).as("p75"))
+      .collect()(0)
+    require(!row.isNullAt(0), "calibration corpus produced no scorable document")
+    val m = readMeta(spark, dir)
+    writeMeta(spark, dir, m.minCount, m.nBigrams,
+      Some((row.getDouble(0), row.getDouble(1))))
+  }
+
+  /** The recorded `(p25, p75)` cut points, if [[recordCuts]] ran. */
+  def cuts(spark: SparkSession, dir: String): Option[(Double, Double)] =
+    readMeta(spark, dir).cuts
+
+  /** Head/middle/tail bucketing against the artifact's RECORDED cuts —
+    * [[TextOps.perplexityBuckets]]'s output contract without its corpus
+    * percentile aggregation, so it is a pure post-scoring projection and
+    * runs on streaming frames exactly like [[score]]. Bucketing a corpus
+    * against ITS OWN snapshot (artifact trained and calibrated on it)
+    * reproduces perplexityBuckets row for row; the point of the split is
+    * bucketing NEW data against a frozen reference distribution. */
+  def bucket(spark: SparkSession, dir: String, docs: DataFrame,
+             unkLogP: Double = -10.0): DataFrame = {
+    val (p25, p75) = cuts(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no recorded cuts — run recordCuts first"))
+    score(spark, dir, docs, unkLogP)
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, lit("unscored"))
+          .when(col("avg_logp") >= p75, lit("head"))
+          .when(col("avg_logp") >= p25, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("bucket"))
+  }
+
+  private case class Meta(minCount: Long, nBigrams: Long,
+                          cuts: Option[(Double, Double)])
+
+  private def writeMeta(spark: SparkSession, dir: String, minCount: Long,
+                        n: Long, cuts: Option[(Double, Double)] = None): Unit = {
+    import org.json4s.JsonAST._
+    val base = List(
+      "minCount" -> (JInt(BigInt(minCount)): JValue),
+      "nBigrams" -> (JInt(BigInt(n)): JValue))
+    val withCuts = base ++ cuts.toList.flatMap { case (p25, p75) =>
+      List("p25" -> (JDouble(p25): JValue), "p75" -> (JDouble(p75): JValue))
+    }
     val json = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(org.json4s.JsonAST.JObject(
-        "minCount" -> org.json4s.JsonAST.JInt(BigInt(minCount)),
-        "nBigrams" -> org.json4s.JsonAST.JInt(BigInt(n)))))
+      org.json4s.jackson.JsonMethods.render(JObject(withCuts: _*)))
     val path = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, dir: String): (Long, Long) = {
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(path)
@@ -89,8 +147,14 @@ object LmIndex {
           case Some(org.json4s.JsonAST.JInt(v)) => v.toLong
           case _ => 0L
         }
-        (longOf("minCount"), longOf("nBigrams"))
-      case _ => (0L, 0L)
+        def dblOf(k: String): Option[Double] = m.get(k) match {
+          case Some(org.json4s.JsonAST.JDouble(v)) => Some(v)
+          case Some(org.json4s.JsonAST.JInt(v)) => Some(v.toDouble)
+          case _ => None
+        }
+        Meta(longOf("minCount"), longOf("nBigrams"),
+          for (a <- dblOf("p25"); b <- dblOf("p75")) yield (a, b))
+      case _ => Meta(0L, 0L, None)
     }
   }
 }

@@ -391,16 +391,7 @@ object TextOps {
                   unkLogP: Double = -10.0): DataFrame = {
     require(math.abs(unkLogP * 1e9 - math.round(unkLogP * 1e9)) < 1e-6,
       "unkLogP must have at most 9 decimal places (decimal-exact term)")
-    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
-      distinct = false, wholeDocFallback = false)
-    val docBg = docs
-      .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
-      .select(col("doc_id"), explode(array(bigrams)).as("bgs"))
-      .select(col("doc_id"), explode(col("bgs")).as("bigram"))
-      .select(col("doc_id"),
-        element_at(split(col("bigram"), " "), 1).as("w1"),
-        element_at(split(col("bigram"), " "), 2).as("w2"))
-    val agg = docBg
+    val agg = docBigrams(docs)
       .join(stats.select(col("w1"), col("w2"), col("p_cond")), Seq("w1", "w2"), "left")
       .select(col("doc_id"),
         coalesce(round(log(col("p_cond")), 9), lit(unkLogP))
@@ -417,6 +408,85 @@ object TextOps {
           when(coalesce(col("n_bigrams"), lit(0L)) > 0,
             round(col("_s").cast(DoubleType) / col("n_bigrams"), 6))
             .otherwise(lit(0.0)).as("avg_logp"))
+  }
+
+  /** The per-document bigram stream `(doc_id, w1, w2)` every LM scorer
+    * consumes — one tokenisation, one shingle pass, no aggregation. */
+  private def docBigrams(docs: DataFrame): DataFrame = {
+    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    docs
+      .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(col("doc_id"), explode(array(bigrams)).as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bigram"))
+      .select(col("doc_id"),
+        element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): every document's mean
+    * bigram log-likelihood under a TARGET reference model minus its mean
+    * under the RAW corpus model — `log_ratio > 0` reads "more like the
+    * target than the background", the signal importance resampling
+    * weights by. Both stats frames are [[bigramLm]] output (typically
+    * [[graft.ops.LmIndex]] artifacts); bigrams unknown to a model pay
+    * that model's `unkLogP`.
+    *
+    * One tokenisation pass: the shared bigram stream left-joins BOTH
+    * vocab-sized stats frames before a single per-doc aggregation — the
+    * whole op adds one map-side join over [[lmScoreWith]]'s shape, not a
+    * second corpus scan. Determinism follows the family contract: 9 dp
+    * ln terms summed as exact decimals; `log_ratio` is the difference of
+    * the two rounded means re-rounded to 6 dp (engine-stable — see the
+    * inline note). To complete the DSIR pipeline, quantize
+    * `exp(log_ratio)` to integer weights and feed
+    * [[Curate.weightedSample]].
+    *
+    * Streaming: same contract as [[lmScoreWith]] — stream-static joins
+    * plus an update/complete-mode aggregation, sub-bigram documents
+    * absent (the batch path surfaces them as 0-score rows). */
+  def dsirScore(docs: DataFrame, targetStats: DataFrame, rawStats: DataFrame,
+                unkLogP: Double = -10.0): DataFrame = {
+    require(math.abs(unkLogP * 1e9 - math.round(unkLogP * 1e9)) < 1e-6,
+      "unkLogP must have at most 9 decimal places (decimal-exact term)")
+    val agg = docBigrams(docs)
+      .join(targetStats.select(col("w1"), col("w2"), col("p_cond").as("_pt")),
+        Seq("w1", "w2"), "left")
+      .join(rawStats.select(col("w1"), col("w2"), col("p_cond").as("_pr")),
+        Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        coalesce(round(log(col("_pt")), 9), lit(unkLogP))
+          .cast(DecimalType(28, 9)).as("_lt"),
+        coalesce(round(log(col("_pr")), 9), lit(unkLogP))
+          .cast(DecimalType(28, 9)).as("_lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("_lt")).as("_st"), sum(col("_lr")).as("_sr"))
+    // log_ratio is the difference of the two ROUNDED means, re-rounded:
+    // a mean-of-differences spelling can land exactly on a 6 dp rounding
+    // boundary and flip the last digit between engines (observed at
+    // sf0.1), whereas the difference of two 1e-6 multiples never sits on
+    // one — and the value becomes an exact function of the other two
+    // output columns
+    def withRatio(base: DataFrame): DataFrame = base.withColumn("log_ratio",
+      round(col("avg_logp_target") - col("avg_logp_raw"), 6))
+    if (docs.isStreaming)
+      withRatio(agg.select(col("doc_id"), col("n_bigrams"),
+        round(col("_st").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("avg_logp_target"),
+        round(col("_sr").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("avg_logp_raw")))
+    else {
+      val n = coalesce(col("n_bigrams"), lit(0L))
+      def mean(s: Column): Column =
+        when(n > 0, round(s.cast(DoubleType) / col("n_bigrams"), 6))
+          .otherwise(lit(0.0))
+      withRatio(docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), n.as("n_bigrams"),
+          mean(col("_st")).as("avg_logp_target"),
+          mean(col("_sr")).as("avg_logp_raw")))
+    }
   }
 
   /** CCNet's corpus partitioning completed: bucket every document

@@ -43,6 +43,34 @@ class LmIndexSpec extends SparkSpec {
       unhinted.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("recorded cuts reproduce perplexityBuckets when self-calibrated; fixed cuts for new data") {
+    val corpus = ((1L to 6L).map(i => (i, "the cat sat")) ++ Seq(
+      (7L, "the cat sat on the mat"),
+      (8L, "zz qq totally unseen words"),
+      (9L, "solo"))).toDF("doc_id", "text")
+    val dir = tmpDir("lm_idx_cuts")
+    LmIndex.build(corpus, dir, minCount = 5)
+    assert(LmIndex.cuts(spark, dir).isEmpty)
+    assertThrows[IllegalStateException] {
+      LmIndex.bucket(spark, dir, corpus)
+    }
+    LmIndex.recordCuts(spark, dir, corpus)
+    assert(LmIndex.cuts(spark, dir).nonEmpty)
+    // self-calibrated artifact == the corpus-percentile operator
+    val fromIndex = LmIndex.bucket(spark, dir, corpus)
+      .as[(Long, Long, Double, String)].collect().toSet
+    val direct = TextOps.perplexityBuckets(corpus, minCount = 5)
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(fromIndex == direct)
+    assert(fromIndex.exists(_._4 == "unscored"))
+    // cuts stay FROZEN: bucketing different data does not move them
+    val junk = Seq((100L, "aa bb cc dd")).toDF("doc_id", "text")
+    val b = LmIndex.bucket(spark, dir, junk)
+      .as[(Long, Long, Double, String)].collect().head
+    assert(b._4 == "tail" && b._3 == -10.0)
+    assert(LmIndex.meta(spark, dir)._1 == 5L, "recordCuts must preserve meta")
+  }
+
   test("artifact feeds a STREAM without retraining (stream-static scoring join)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = tmpDir("lm_idx_stream")
