@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class MinhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1
+    (3L, "completely different content about spark streaming state")
+  ).toDF("doc_id", "text")
+
+  private def arrivals = Seq(
+    (4L, "the quick brown fox jumps over the lazy dog again and again"),  // dup of 1
+    (5L, "unrelated words nothing shared here at all truly")
+  ).toDF("doc_id", "text")
+
+  private def crossPairs(mode: HashMode): Set[(Long, Long, Double)] =
+    NearDup.minhashPairs(corpus.unionByName(arrivals), threshold = 0.7,
+      mode = mode)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => (p._1 <= 3) != (p._2 <= 3)) // one side old, one side new
+
+  test("probe finds exactly the batch pipeline's new-vs-corpus verified pairs") {
+    for (mode <- Seq[HashMode](HashMode.Default, HashMode.Portable)) {
+      val dir = tmpDir(s"mh_idx_$mode")
+      MinhashIndex.build(corpus, dir, k = 3, mode = mode)
+      assert(MinhashIndex.meta(spark, dir) == ((3, mode)), "meta pins (k, mode)")
+      val expected = crossPairs(mode)
+      assert(expected.contains((1L, 4L, 1.0)), s"fixture needs a cross dup for $mode")
+      val verified = MinhashIndex.probeVerified(spark, dir, arrivals,
+        docStore = corpus.unionByName(arrivals))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(verified == expected, s"$mode: idx=$verified batch=$expected")
+      // candidates never pair new docs with each other (object-doc contract)
+      val cand = MinhashIndex.probe(spark, dir, arrivals)
+        .as[(Long, Long)].collect().toSet
+      assert(cand.forall(p => (p._1 <= 3) != (p._2 <= 3)))
+    }
+  }
+
+  test("streaming probe dedups arrivals against the index with no state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir("mh_idx_stream")
+    MinhashIndex.build(corpus, dir)
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = MinhashIndex.probeVerified(spark, dir,
+      mem.toDF().toDF("doc_id", "text"),
+      docStore = corpus.unionByName(arrivals))
+    val q = out.writeStream.format("memory").queryName("mh_idx_out")
+      .outputMode("append").start()
+    try {
+      arrivals.as[(Long, String)].collect().foreach(mem.addData(_))
+      q.processAllAvailable()
+      val streamed = spark.table("mh_idx_out")
+        .as[(Long, Long, Double)].collect().toSet // repeats collapse
+      assert(streamed == crossPairs(HashMode.Default))
+    } finally q.stop()
+  }
+}
