@@ -97,6 +97,17 @@ class ExactSubstrSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the duplicate-count branch prunes its scan to the text column") {
+    val dir = tmpDir("substr_plan")
+    docs.write.mode("overwrite").parquet(dir)
+    val plan = ExactSubstr.duplicatedSpans(spark.read.parquet(dir), l = 5)
+      .queryExecution.executedPlan.toString
+    // the groupBy(wh) branch needs no doc_id: one of the two scans must
+    // read ONLY text (column pruning through the window projection)
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"count branch must scan text only:\n$plan")
+  }
+
   test("minOccurrences raises the duplication bar") {
     // the shared run appears twice; minOccurrences = 3 excludes it, but
     // doc 3's window [p q r s t] also appears twice only -> nothing at 3

@@ -40,6 +40,21 @@ class MinhashIndexSpec extends SparkSpec {
     }
   }
 
+  test("probe never re-signatures the corpus: index side is a bare scan") {
+    val dir = tmpDir("mh_idx_plan")
+    MinhashIndex.build(corpus, dir)
+    val plan = MinhashIndex.probe(spark, dir, arrivals)
+      .queryExecution.executedPlan.toString
+    // exactly one signature pipeline (the arrivals'): every Generate in
+    // the plan belongs to it — the corpus side contributes only a scan of
+    // the persisted banded frame
+    val generates = plan.split("\n").count(_.contains("Generate explode"))
+    assert(generates > 0 && generates <= 3, // toks, shingles[, prep] of arrivals
+      s"unexpected Generate count $generates:\n$plan")
+    assert(plan.contains("FileScan parquet") && plan.contains("band_hash"),
+      "index side must read the persisted banded signatures")
+  }
+
   test("streaming probe dedups arrivals against the index with no state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = tmpDir("mh_idx_stream")
