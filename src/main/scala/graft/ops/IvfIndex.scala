@@ -177,6 +177,52 @@ object IvfIndex {
       "cid", threshold, targetBlock)
   }
 
+  /** Arrivals-vs-corpus semantic near-dup pairs over the persisted
+    * layout — the vector analog of [[MinhashIndex.probe]]: arriving
+    * embeddings are assigned to coarse clusters PER ROW with the index's
+    * own centroids (the zero-exchange literal argmax / static `least()`
+    * the build used — a stateless projection, so this runs unchanged on
+    * streaming frames as a stream-static join), then joined against the
+    * stored corpus on `cid` and kept at exact cosine ≥ `threshold`. The
+    * corpus is never re-embedded, re-normalised or re-assigned.
+    *
+    * SemDeDup's approximation contract carries over: a qualifying pair
+    * whose members assign to different coarse clusters is missed —
+    * [[VectorOps.semanticPairsMultiProbe]] quantifies the trade on the
+    * logical path. Degenerate (zero/NaN-norm) vectors carry null cosine
+    * and drop. Requires a literal-assignable index
+    * (`nCentroids <= CentroidLiteralMax` — the regime every gated build
+    * here uses); larger coarse quantizers should dedup on the logical
+    * path where the broadcast-join argmax is available. */
+  def probePairs(spark: SparkSession, dir: String, newEmbeddings: DataFrame,
+                 threshold: Double = 0.9): DataFrame = {
+    val cents = loadCentroids(spark, dir)
+    require(cents.nonEmpty, "index has no centroids")
+    require(cents.length <= VectorOps.CentroidLiteralMax,
+      s"probePairs needs a literal-assignable index (k <= " +
+        s"${VectorOps.CentroidLiteralMax}), got ${cents.length} centroids")
+    val centRows: Array[org.apache.spark.sql.Row] = cents.map(c =>
+      org.apache.spark.sql.Row(c.cid, c.cv.toSeq, c.cn)).toArray
+    val cidExpr =
+      if (centRows.length <= VectorOps.StaticArgmaxMax)
+        VectorOps.nearestCidStatic(centRows)
+      else
+        element_at(VectorOps.nearestClusterArray(
+          VectorOps.centroidLiteralOf(centRows).get, 1), 1).getField("cid")
+    val arrivals = VectorOps.prepared(newEmbeddings).withColumn("cid", cidExpr)
+    val data = spark.read.parquet(s"$dir/data")
+      .select(col("vec_id").as("_ix_vid"), col("v").as("_ix_v"),
+        VectorOps.safeNrm(col("nrm")).as("_ix_nrm"),
+        col("cid").cast("long").as("cid"))
+    arrivals.join(data, Seq("cid"))
+      .filter(col("vec_id") =!= col("_ix_vid"))
+      .withColumn("cosine",
+        VectorOps.cosR(col("v"), col("nrm"), col("_ix_v"), col("_ix_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("vec_id"), col("_ix_vid")).as("vec_a"),
+        greatest(col("vec_id"), col("_ix_vid")).as("vec_b"), col("cosine"))
+  }
+
   /** Shared probe→cluster pruning + scoring: driver-side cluster
     * selection against the centroid metadata, partition-pruned data read,
     * broadcast probe join, rounded-cosine scoring. None when the index or

@@ -183,4 +183,63 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed == logical)
     assert(IvfIndex.search(spark, dir, probesOf(e, 0)).count() == 0)
   }
+
+  test("probePairs dedups arrivals against the corpus; exact within clusters") {
+    val all = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = all.filter(col("vec_id") % 2 === 0)
+    val arrivals = all.filter(col("vec_id") % 2 === 1)
+    def brute(t: Double) = {
+      val a = VectorOps.prepared(arrivals)
+        .select(col("vec_id").as("av"), col("v").as("va"), col("nrm").as("na"))
+      val c = VectorOps.prepared(corpus)
+        .select(col("vec_id").as("cv_"), col("v").as("vc"), col("nrm").as("nc"))
+      a.crossJoin(c)
+        .withColumn("cosine", round(
+          VectorOps.dot(col("va"), col("vc")) / (col("na") * col("nc")), 6))
+        .filter(col("cosine") >= t)
+        .select(least(col("av"), col("cv_")).as("vec_a"),
+          greatest(col("av"), col("cv_")).as("vec_b"), col("cosine"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    // one cluster: the indexed probe IS the exact arrivals x corpus dedup
+    val dir1 = tmpDir("ivf_probe_k1")
+    IvfIndex.build(corpus, dir1, nCentroids = 1)
+    val p1 = IvfIndex.probePairs(spark, dir1, arrivals, threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = brute(0.35)
+    assert(exact.nonEmpty, "fixture must contain cross near-dups")
+    assert(p1 == exact)
+    // k > 1: a subset of exact, and never an in-arrivals or in-corpus pair
+    val dir16 = tmpDir("ivf_probe_k16")
+    IvfIndex.build(corpus, dir16, nCentroids = 16)
+    val p16 = IvfIndex.probePairs(spark, dir16, arrivals, threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p16.subsetOf(exact))
+    assert(p16.forall(p => (p._1 % 2 == 0) != (p._2 % 2 == 0)))
+  }
+
+  test("probePairs runs on a stream (stateless assignment + stream-static join)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = all.filter(col("vec_id") % 2 === 0)
+    val arrivals = all.filter(col("vec_id") % 2 === 1)
+    val dir = tmpDir("ivf_probe_stream")
+    IvfIndex.build(corpus, dir, nCentroids = 4)
+    val batch = IvfIndex.probePairs(spark, dir, arrivals, threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    val mem = MemoryStream[(Long, Seq[Float], Int)](spark)
+    val q = IvfIndex.probePairs(spark, dir,
+      mem.toDF().toDF("vec_id", "embedding", "label"), threshold = 0.35)
+      .writeStream.format("memory").queryName("ivf_probe_out")
+      .outputMode("append").start()
+    try {
+      arrivals.select(col("vec_id"), col("embedding"), col("label"))
+        .as[(Long, Seq[Float], Int)].collect().foreach(mem.addData(_))
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_probe_out")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
