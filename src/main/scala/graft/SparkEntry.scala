@@ -213,6 +213,25 @@ object SparkEntry {
         TextOps.bigramLm(docs.filter(col("source") === "src0"), minCount = 2),
         TextOps.bigramLm(docs, minCount = 5))
     }),
+    // the full DSIR pipeline: scorable docs get an integer weight from the
+    // shifted 6dp log-ratio (monotone; exp() would put a transcendental in
+    // the gate), then sequential-Poisson weighted sampling picks k = 25
+    "q_dsir_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextOps.dsirScore(docs,
+        TextOps.bigramLm(docs.filter(col("source") === "src0"), minCount = 2),
+        TextOps.bigramLm(docs, minCount = 5))
+      val weighted = docs.join(
+        scored.filter(col("n_bigrams") > 0)
+          .select(col("doc_id"),
+            greatest(lit(1L),
+              round((col("log_ratio") + lit(10.0)) * 1000, 0).cast("long"))
+              .as("dsir_w")),
+        Seq("doc_id"))
+      Curate.weightedSample(weighted, k = 25, weightCol = "dsir_w",
+        mode = HashMode.Portable)
+        .select(col("doc_id"), col("source"), col("dsir_w"))
+    }),
     "q_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(t(s, d, "documents"))),
     "q_vocab_drift" -> ((s, d) => TextOps.vocabDrift(t(s, d, "documents"))),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
@@ -805,34 +824,9 @@ object SparkEntry {
     "q_lm_score" -> lmScoreSql,
     // DSIR: one shared bigram stream scored under the src0-trained target
     // model (minCount 2) and the whole-corpus raw model (minCount 5);
-    // decimal sums, ratio from the exact sum difference
+    // decimal sums, ratio from the rounded means
     "q_dsir" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
-        |  FROM documents),
-        |e AS (SELECT doc_id, source, unnest(toks) AS tok,
-        |  generate_subscripts(toks, 1) AS pos FROM t),
-        |b2 AS (
-        |  SELECT a.doc_id, a.source, a.tok AS w1, c.tok AS w2
-        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
-        |bct AS (SELECT w1, w2, count(*) AS n FROM b2 WHERE source = 'src0' GROUP BY 1, 2),
-        |wtt AS (SELECT w1, sum(n) AS tot FROM bct GROUP BY 1),
-        |smt AS (SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
-        |  FROM bct JOIN wtt USING (w1) WHERE n >= 2),
-        |bcr AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
-        |wtr AS (SELECT w1, sum(n) AS tot FROM bcr GROUP BY 1),
-        |smr AS (SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
-        |  FROM bcr JOIN wtr USING (w1) WHERE n >= 5),
-        |terms AS (
-        |  SELECT b2.doc_id,
-        |    coalesce(round(ln(smt.p), 9), -10.0) AS lt,
-        |    coalesce(round(ln(smr.p), 9), -10.0) AS lr
-        |  FROM b2 LEFT JOIN smt ON smt.w1 = b2.w1 AND smt.w2 = b2.w2
-        |          LEFT JOIN smr ON smr.w1 = b2.w1 AND smr.w2 = b2.w2),
-        |agg AS (SELECT doc_id, count(*) AS nb,
-        |  sum(CAST(lt AS DECIMAL(28,9))) AS st, sum(CAST(lr AS DECIMAL(28,9))) AS sr
-        |  FROM terms GROUP BY 1)
+      s"""$dsirCtes
         |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
         |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(st AS DOUBLE) / nb, 6)
         |       ELSE 0.0 END AS avg_logp_target,
@@ -843,6 +837,27 @@ object SparkEntry {
         |      - CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(sr AS DOUBLE) / nb, 6)
         |             ELSE 0.0 END, 6) AS log_ratio
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+    // the complete DSIR pipeline: scorable docs weighted by the shifted
+    // 6dp log-ratio (monotone integer map, no transcendental exp in the
+    // gate), then sequential-Poisson weighted sampling — q_weighted_sample's
+    // exact priority spelling over the DSIR weights
+    "q_dsir_sample" ->
+      s"""$dsirCtes,
+        |sc AS (SELECT doc_id,
+        |    round(round(CAST(st AS DOUBLE) / nb, 6)
+        |        - round(CAST(sr AS DOUBLE) / nb, 6), 6) AS log_ratio
+        |  FROM agg),
+        |w AS (SELECT doc_id,
+        |    greatest(1, CAST(round((log_ratio + 10.0) * 1000, 0) AS BIGINT)) AS dsir_w
+        |  FROM sc),
+        |kk AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ${h60("'wsamp:' || CAST(doc_id AS VARCHAR)")} // dsir_w AS pri
+        |    FROM w)
+        |  ORDER BY pri ASC, doc_id ASC LIMIT 25)
+        |SELECT d.doc_id, d.source, w.dsir_w
+        |FROM documents d JOIN w USING (doc_id) JOIN kk USING (doc_id)""".stripMargin,
     // KL terms from exact integer counts: one double division inside the
     // ln (9 dp), term 9 dp, decimal sum per source, final 6 dp
     "q_vocab_drift" ->
@@ -1664,6 +1679,37 @@ object SparkEntry {
         |$substrKeptCtes
         |SELECT t.doc_id, coalesce(agg.txt, '') AS text
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** Shared DSIR CTE chain (through per-doc decimal sums `agg`): bigram
+    * stream over `documents`, src0-trained target model (minCount 2),
+    * whole-corpus raw model (minCount 5). */
+  private def dsirCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+      |  FROM documents),
+      |e AS (SELECT doc_id, source, unnest(toks) AS tok,
+      |  generate_subscripts(toks, 1) AS pos FROM t),
+      |b2 AS (
+      |  SELECT a.doc_id, a.source, a.tok AS w1, c.tok AS w2
+      |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+      |bct AS (SELECT w1, w2, count(*) AS n FROM b2 WHERE source = 'src0' GROUP BY 1, 2),
+      |wtt AS (SELECT w1, sum(n) AS tot FROM bct GROUP BY 1),
+      |smt AS (SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+      |  FROM bct JOIN wtt USING (w1) WHERE n >= 2),
+      |bcr AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
+      |wtr AS (SELECT w1, sum(n) AS tot FROM bcr GROUP BY 1),
+      |smr AS (SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+      |  FROM bcr JOIN wtr USING (w1) WHERE n >= 5),
+      |terms AS (
+      |  SELECT b2.doc_id,
+      |    coalesce(round(ln(smt.p), 9), -10.0) AS lt,
+      |    coalesce(round(ln(smr.p), 9), -10.0) AS lr
+      |  FROM b2 LEFT JOIN smt ON smt.w1 = b2.w1 AND smt.w2 = b2.w2
+      |          LEFT JOIN smr ON smr.w1 = b2.w1 AND smr.w2 = b2.w2),
+      |agg AS (SELECT doc_id, count(*) AS nb,
+      |  sum(CAST(lt AS DECIMAL(28,9))) AS st, sum(CAST(lr AS DECIMAL(28,9))) AS sr
+      |  FROM terms GROUP BY 1)""".stripMargin
 
   /** Shared strip tail: tokens outside every span, re-joined in order. */
   private def substrKeptCtes: String =
