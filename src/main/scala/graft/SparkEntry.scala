@@ -194,6 +194,15 @@ object SparkEntry {
     "q_classifier_score" -> ((s, d) =>
       TextOps.scoreLinear(t(s, d, "documents"), ClassifierWeights,
         bias = 7.5, mode = HashMode.Portable)),
+    // TRAINED classifier: Naive Bayes log-odds weights fit on the corpus
+    // itself (target = src0 docs) in one pass, then scored with the same
+    // scoreLinear inference path the static-weight gate uses
+    "q_nb_classify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (w, bias) = TextOps.trainNaiveBayes(docs,
+        col("source") === "src0", buckets = 64, mode = HashMode.Portable)
+      TextOps.scoreLinear(docs, w, bias, mode = HashMode.Portable)
+    }),
     // thresholds recalibrated to the synthetic corpus (10-99 words, no
     // newlines/symbols) so the rule booleans actually vary; operator
     // defaults are the published Gopher values
@@ -1098,6 +1107,38 @@ object SparkEntry {
          |  CAST(CAST(coalesce(sm, 0) + 7500000 AS BIGINT) AS DOUBLE) / 1000000.0 AS score,
          |  (coalesce(sm, 0) + 7500000) > 0 AS keep
          |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
+    // NB training replicated in SQL: bucket counts -> 6dp log-odds ->
+    // micro-int weights -> the scoring join; same feature spelling as
+    // q_classifier_score
+    "q_nb_classify" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+')) AS tok
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS c,
+         |  CAST(${h60("tok")} % 64 AS INT) AS bkt FROM t),
+         |cnt AS (SELECT bkt,
+         |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+         |  sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n0
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS t1, CAST(sum(n0) AS DOUBLE) AS t0 FROM cnt),
+         |dc AS (SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) AS d1,
+         |  CAST(count(*) AS DOUBLE) AS dt FROM documents),
+         |wts AS (SELECT gs.bkt,
+         |  CAST(round(round(ln((coalesce(n1, 0) + 1.0) / (t1 + 64.0))
+         |    - ln((coalesce(n0, 0) + 1.0) / (t0 + 64.0)), 6) * 1000000, 0) AS BIGINT) AS wt
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS bkt) gs
+         |  LEFT JOIN cnt ON cnt.bkt = gs.bkt, tot),
+         |bs AS (SELECT CAST(round(round(ln(d1 / (dt - d1)), 6) * 1000000, 0) AS BIGINT) AS bm FROM dc),
+         |s AS (SELECT f.doc_id, count(*) AS nf, sum(wt) AS sm
+         |      FROM f JOIN wts ON wts.bkt = f.bkt GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nf, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(sm, 0) + bm AS BIGINT) AS score_micro,
+         |  CAST(CAST(coalesce(sm, 0) + bm AS BIGINT) AS DOUBLE) / 1000000.0 AS score,
+         |  (coalesce(sm, 0) + bm) > 0 AS keep
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id, bs""".stripMargin,
     "q_gopher_rules" -> gopherRulesSql,
     "q_text_quality" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, punct_ratio, score, score >= 0.5 AS keep

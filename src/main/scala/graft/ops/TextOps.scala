@@ -267,6 +267,59 @@ object TextOps {
         (col("_sm") > 0L).as("keep"))
   }
 
+  /** One-pass Naive Bayes TRAINING for [[scoreLinear]] — the trainable
+    * half of the fastText-style quality filter (the published pipelines
+    * train such filters on reference-vs-crawl labels; CCNet/GPT-3 data
+    * work): hashed-unigram log-odds weights
+    * `w_b = ln((n_b1+α)/(N_1+αB)) − ln((n_b0+α)/(N_0+αB))` with Laplace
+    * smoothing `α`, bias `ln(D_1/D_0)` from the document-count prior.
+    * Feature construction (normalised tokens, portable/xx hash, pmod
+    * bucket) matches [[scoreLinear]] exactly, so the returned
+    * `(weights, bias)` plug straight into it.
+    *
+    * Scale shape: ONE corpus pass — tokens hash to `buckets` map-side,
+    * the shuffle carries ≤ buckets×2 partial counts, and the weight
+    * vector (driver-sized by the same contract as scoreLinear's
+    * `weights` argument) is computed from the collected bucket counts.
+    * Weights round to 6 dp (one ln per class per bucket — the family's
+    * transcendental-parity contract), so a DuckDB oracle reproduces
+    * training bit for bit. `labelCol` must be a boolean column
+    * expression; both classes must be non-empty. */
+  def trainNaiveBayes(docs: DataFrame, labelCol: Column, buckets: Int = 64,
+                      alpha: Double = 1.0,
+                      mode: HashMode = HashMode.Default): (Seq[Double], Double) = {
+    require(buckets > 0, "buckets must be positive")
+    require(alpha > 0, "alpha must be positive")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = filter(split(normText(coalesce(col("text"), lit(""))), " "),
+      t => length(t) > 0)
+    val counts = docs
+      .select(labelCol.cast(IntegerType).as("_c"), explode(toks).as("_tok"))
+      .select(col("_c"),
+        pmod(mode.hash(col("_tok")), lit(buckets.toLong)).cast(IntegerType).as("_b"))
+      .groupBy(col("_b"))
+      .agg(sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("_c") === 1, 0L).otherwise(1L)).as("n0"))
+      .collect()
+    val dRow = docs.agg(
+      sum(when(labelCol.cast(IntegerType) === 1, 1L).otherwise(0L)).as("d1"),
+      count(lit(1)).as("dt")).collect()(0)
+    val d1 = if (dRow.isNullAt(0)) 0L else dRow.getLong(0)
+    val d0 = dRow.getLong(1) - d1
+    require(d1 > 0 && d0 > 0,
+      s"both classes must be non-empty (target=$d1, background=$d0)")
+    val t1 = counts.map(_.getLong(1)).sum.toDouble
+    val t0 = counts.map(_.getLong(2)).sum.toDouble
+    val byB = counts.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = (0 until buckets).map { b =>
+      val (n1, n0) = byB.getOrElse(b, (0L, 0L))
+      r6(math.log((n1 + alpha) / (t1 + alpha * buckets)) -
+        math.log((n0 + alpha) / (t0 + alpha * buckets)))
+    }
+    (w, r6(math.log(d1.toDouble / d0)))
+  }
+
   /** Per-document top-`topK` terms by TF-IDF (`tf × ln(N/df)`, rounded to
     * 6 dp BEFORE ranking so rank and score agree across engines).
     *

@@ -37,6 +37,33 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("trainNaiveBayes separates target-like from background docs via scoreLinear") {
+    val train = (
+      (1L to 20L).map(i => (i, "alpha beta gamma delta epsilon", true)) ++
+      (21L to 40L).map(i => (i, "zeta eta theta iota kappa", false))
+    ).toDF("doc_id", "text", "is_target")
+    val (w, bias) = TextOps.trainNaiveBayes(train,
+      org.apache.spark.sql.functions.col("is_target"), buckets = 64)
+    assert(w.size == 64)
+    assert(bias == 0.0, "balanced classes -> zero prior")
+    val scored = TextOps.scoreLinear(
+      Seq((100L, "alpha beta gamma"), (101L, "zeta eta theta"))
+        .toDF("doc_id", "text"), w, bias)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(scored(100L) > 0, s"target-vocab doc must score positive: $scored")
+    assert(scored(101L) < 0, s"background-vocab doc must score negative: $scored")
+    // training is deterministic: a re-run yields identical weights
+    val (w2, b2) = TextOps.trainNaiveBayes(train,
+      org.apache.spark.sql.functions.col("is_target"), buckets = 64)
+    assert(w2 == w && b2 == bias)
+    // one-class corpora are rejected, not silently degenerate
+    assertThrows[IllegalArgumentException] {
+      TextOps.trainNaiveBayes(train.filter(org.apache.spark.sql.functions.col("is_target")),
+        org.apache.spark.sql.functions.col("is_target"))
+    }
+  }
+
   test("dsirScore streams with the lmScoreWith contract (sub-bigram docs absent)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val target = TextOps.bigramLm(corpus.filter(col("source") === "tgt"), minCount = 2)
