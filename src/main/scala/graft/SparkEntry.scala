@@ -309,6 +309,10 @@ object SparkEntry {
     // zero exchanges (broadcast probes × scan, threshold fused in the scan)
     "q_ann_radius" -> ((s, d) => VectorOps.annRadius(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(t(s, d, "embeddings"))),
+    // D4-style diversification: nearest-centroid assignment + lowest-id
+    // quota per semantic cluster
+    "q_cluster_sample" -> ((s, d) =>
+      VectorOps.clusterSample(t(s, d, "embeddings"), nCentroids = 8, cap = 40)),
     // the radius search's scale path: same coarse pruning, threshold tail
     "q_ann_radius_ivf" -> ((s, d) => VectorOps.annIvfRadius(t(s, d, "embeddings"))),
     // exercises the Lloyd refinement path end-to-end: the oracle replicates
@@ -1422,6 +1426,19 @@ object SparkEntry {
         |  cosine
         |FROM s
         |QUALIFY "rank" <= 5""".stripMargin,
+    // q_ann_ivf's assignment spelling + a per-cluster lowest-id quota
+    "q_cluster_sample" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT n.vec_id, cid FROM n CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1)
+        |SELECT vec_id, cid FROM assign
+        |QUALIFY row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) <= 40""".stripMargin,
     "q_ann_ivf" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -355,6 +355,32 @@ object VectorOps {
     }
   }
 
+  /** Cluster-balanced selection — the diversification step of D4-style
+    * pipelines (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    * Document De-Duplication and Diversification"): assign every vector
+    * to its nearest seeded centroid, then keep at most `cap` members per
+    * cluster (lowest vec_id — the family's deterministic survivor rule),
+    * bounding any one semantic region's share of the corpus.
+    *
+    * Scale shape: assignment is the zero-exchange centroid-literal
+    * argmax ([[annIvf]]'s path — the cid is born in the scan's
+    * projection); the quota is [[Curate.capPerSource]]'s bounded MinKIds
+    * aggregation + broadcast semi-join, so nothing corpus-sized
+    * shuffles. Output `(vec_id, cid)` for the survivors. */
+  def clusterSample(embeddings: DataFrame, nCentroids: Int = 8,
+                    cap: Int = 40, kmeansIters: Int = 0,
+                    literalMax: Int = CentroidLiteralMax): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val e = prepared(embeddings)
+    assignCids(e, nCentroids, kmeansIters, literalMax, spreadSeed = false) match {
+      case None =>
+        e.limit(0).select(col("vec_id"), col("vec_id").as("cid"))
+      case Some((_, _, assigned)) =>
+        Curate.capPerSource(assigned.select(col("vec_id"), col("cid")),
+          cap, sourceCol = "cid", idCol = "vec_id")
+    }
+  }
+
   /** Approximate embedding near-dup pairs: random-hyperplane LSH candidate
     * generation + exact cosine verification, label kept as a secondary
     * blocking key. Candidates no longer scale with label skew — they scale
