@@ -332,6 +332,10 @@ object SparkEntry {
     "q_sample_hash" -> ((s, d) =>
       Curate.sampleByHash(t(s, d, "documents"), "doc_id", 10, HashMode.Portable)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // reproducible epoch-1 training order over 8 shards
+    "q_epoch_order" -> ((s, d) =>
+      Curate.epochOrder(t(s, d, "documents"), epoch = 1, nShards = 8,
+        mode = HashMode.Portable)),
     "q_source_cap" -> ((s, d) =>
       Curate.capPerSource(t(s, d, "documents"), cap = 10)
         .select(col("doc_id"), col("source"))),
@@ -711,6 +715,11 @@ object SparkEntry {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE ${h60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "q_epoch_order" ->
+      s"""SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |  ${h60("'epoch1:' || CAST(doc_id AS VARCHAR)")} AS h FROM documents)""".stripMargin,
     "q_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) <= 10""".stripMargin,

@@ -224,6 +224,35 @@ object Curate {
       .drop("_sl_lines", "_sl_kept")
   }
 
+  /** Deterministic multi-epoch training order: every document gets a
+    * `(shard, pos)` coordinate — global order = shard-major — that is a
+    * pure function of `(epoch, id)`, so the data order of any epoch can
+    * be reproduced byte-for-byte months later (the reproducibility
+    * contract training runs need; re-runs, resumed jobs and debugging
+    * replays all see the same sequence). Different epochs yield
+    * different permutations (the epoch salts the hash), which is the
+    * cheap multi-epoch reshuffle.
+    *
+    * Scale shape: no global sort. The hash is a projection; ordering
+    * state is per SHARD (`row_number` over the shard partition), so
+    * `nShards` sizes the largest ordering task at ~corpus/nShards rows —
+    * the same bound-the-task-by-sharding trade `packChunks` makes. A
+    * writer materialises the order by `repartitionByRange(shard, pos)` +
+    * `sortWithinPartitions`. */
+  def epochOrder(docs: DataFrame, epoch: Int, nShards: Int = 256,
+                 idCol: String = "doc_id",
+                 mode: HashMode = HashMode.Default): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    docs
+      .select(col(idCol), mode.hash(lit(s"epoch$epoch"), col(idCol)).as("_eo_h"))
+      .withColumn("shard",
+        pmod(col("_eo_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_eo_h"), col(idCol)))
+        .cast(LongType))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Weighted sample without replacement: the `k` documents with the
     * smallest priority `hash(salt, id) div weight` — Ohlsson-style
     * sequential Poisson sampling (priorities uᵢ/wᵢ, keep the k smallest),

@@ -28,3 +28,27 @@ class ClusterSampleSpec extends SparkSpec {
     assert(VectorOps.clusterSample(e.filter(col("vec_id") < 0)).count() == 0)
   }
 }
+
+class EpochOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+
+  test("epochOrder is a reproducible permutation; epochs differ") {
+    val e1 = Curate.epochOrder(docs, epoch = 1, nShards = 4)
+      .as[(Long, Int, Long)].collect()
+    // every doc exactly once; positions within a shard are 1..n dense
+    assert(e1.map(_._1).toSet == (1L to 200L).toSet && e1.length == 200)
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // pure function of (epoch, id): re-run identical
+    val e1b = Curate.epochOrder(docs, epoch = 1, nShards = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq == e1b.sortBy(_._1).toSeq)
+    // a different epoch reshuffles (some doc moves shard or position)
+    val e2 = Curate.epochOrder(docs, epoch = 2, nShards = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq != e2.sortBy(_._1).toSeq)
+  }
+}
