@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * artifact, not a per-run aggregation), and the LM twin of
   * [[IvfIndex]]'s build-once/search-many layout.
   *
-  * Layout: `dir/stats/…parquet` (w1, w2, n, p_cond), range-partitioned and
-  * sorted by (w1, w2) — sorted runs of w1 compress well and give parquet
-  * min/max row-group pruning for point lookups — plus `dir/meta.json`
-  * carrying `minCount` and the exact row count. The count is the scale
+  * Layout: `dir/counts/…parquet` (w1, w2, n — UNPRUNED, so [[merge]] can
+  * fold new corpora in exactly), range-partitioned and sorted by
+  * (w1, w2) — sorted runs of w1 compress well and give parquet min/max
+  * row-group pruning for point lookups — plus `dir/meta.json` carrying
+  * `minCount` and the pruned stats row count. The count is the scale
   * lever: [[load]] reads it to decide AT PLAN TIME whether the scoring
   * join gets a broadcast hint (vocabulary-sized stats → map-side join, no
   * shuffle of the corpus bigram stream — the difference between shuffling
@@ -27,30 +28,58 @@ import org.apache.spark.sql.functions._
   */
 object LmIndex {
 
-  /** Train [[TextOps.bigramLm]] on `docs` and persist it under `dir`.
-    * `numFiles` bounds the artifact's file count (vocabulary-sized data —
-    * a handful of sorted files beats one file per shuffle partition). */
+  /** Train on `docs` and persist under `dir`. The artifact stores the
+    * UNPRUNED count frame ([[TextOps.bigramCounts]]) — counts are
+    * additive, so [[merge]] can fold new data in exactly; the pruned
+    * conditional probabilities [[load]] serves are derived from them
+    * with [[TextOps.statsFromCounts]] (a vocabulary-sized aggregation
+    * per plan — the price of exact mergeability). `numFiles` bounds the
+    * artifact's file count (vocabulary-sized data — a handful of sorted
+    * files beats one file per shuffle partition). */
   def build(docs: DataFrame, dir: String, minCount: Long = 5,
-            numFiles: Int = 4): Unit = {
-    require(numFiles > 0, "numFiles must be positive")
-    val stats = TextOps.bigramLm(docs, minCount)
-    stats
-      .repartitionByRange(numFiles, col("w1"), col("w2"))
-      .sortWithinPartitions(col("w1"), col("w2"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-    // row count from parquet footers — no full scan
-    val n = docs.sparkSession.read.parquet(s"$dir/stats").count()
-    writeMeta(docs.sparkSession, dir, minCount, n)
+            numFiles: Int = 4): Unit =
+    writeCounts(docs.sparkSession, TextOps.bigramCounts(docs), dir,
+      minCount, numFiles)
+
+  /** Fold `newDocs` into the artifact at `dir`, writing the combined
+    * model to `outDir` — an EXACT incremental retrain (spec-pinned equal
+    * to building on the concatenated corpus): only the new documents are
+    * tokenised; the old corpus contributes its persisted vocabulary-sized
+    * counts. Recorded cut points do NOT carry over (the score
+    * distribution changed — run [[recordCuts]] again on `outDir`). */
+  def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
+            outDir: String, numFiles: Int = 4): Unit = {
+    val minCount = readMeta(spark, dir).minCount
+    val combined = spark.read.parquet(s"$dir/counts")
+      .unionByName(TextOps.bigramCounts(newDocs))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
+    writeCounts(spark, combined, outDir, minCount, numFiles)
   }
 
-  /** The persisted stats frame `(w1, w2, n, p_cond)`, broadcast-hinted
-    * when the artifact's recorded row count is at most
-    * `broadcastMaxRows` (decided from metadata — zero jobs). */
+  /** The model stats frame `(w1, w2, n, p_cond)` derived from the
+    * persisted counts, broadcast-hinted when the recorded pruned row
+    * count is at most `broadcastMaxRows` (decided from metadata — zero
+    * jobs). */
   def load(spark: SparkSession, dir: String,
            broadcastMaxRows: Long = 4L << 20): DataFrame = {
-    val n = readMeta(spark, dir).nBigrams
-    val df = spark.read.parquet(s"$dir/stats")
-    if (n <= broadcastMaxRows) broadcast(df) else df
+    val m = readMeta(spark, dir)
+    val df = TextOps.statsFromCounts(
+      spark.read.parquet(s"$dir/counts"), m.minCount)
+    if (m.nBigrams <= broadcastMaxRows) broadcast(df) else df
+  }
+
+  private def writeCounts(spark: SparkSession, counts: DataFrame, dir: String,
+                          minCount: Long, numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    counts
+      .repartitionByRange(numFiles, col("w1"), col("w2"))
+      .sortWithinPartitions(col("w1"), col("w2"))
+      .write.mode("overwrite").parquet(s"$dir/counts")
+    // pruned row count — the broadcast decision is about the frame the
+    // scoring join actually sees (one vocabulary-sized job at build time)
+    val n = TextOps.statsFromCounts(
+      spark.read.parquet(s"$dir/counts"), minCount).count()
+    writeMeta(spark, dir, minCount, n)
   }
 
   /** Score documents against the persisted reference model —

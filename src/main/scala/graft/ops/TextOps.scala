@@ -383,15 +383,7 @@ object TextOps {
     * corpus), and `minCount` filters AFTER the denominator join so
     * probabilities stay normalised over all continuations. */
   def bigramLm(docs: DataFrame, minCount: Long = 5): DataFrame = {
-    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
-      distinct = false, wholeDocFallback = false)
-    val counts = docs
-      .select(explode(array(split(normText(col("text")), " "))).as("toks"))
-      .select(explode(array(bigrams)).as("bgs"))
-      .select(explode(col("bgs")).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-      .select(element_at(split(col("bigram"), " "), 1).as("w1"),
-        element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
+    val counts = bigramCounts(docs)
     // persisted + eagerly materialised (NOTE: building this frame runs the
     // corpus aggregation as a construction-time job — plan-only callers
     // pay it too): `counts` feeds both the output join
@@ -401,6 +393,30 @@ object TextOps {
     // corpus-sized. Cached until the ContextCleaner GCs it; loop callers
     // should clearCache() between batches.
     counts.persist(); counts.count()
+    statsFromCounts(counts, minCount)
+  }
+
+  /** The UNPRUNED bigram count frame `(w1, w2, n)` — [[bigramLm]]'s first
+    * aggregation, exposed because counts (unlike pruned conditional
+    * probabilities) are ADDITIVE: two corpora's count frames union+sum to
+    * the combined corpus's counts exactly, which is what makes
+    * [[LmIndex.merge]] an exact incremental retrain. */
+  def bigramCounts(docs: DataFrame): DataFrame = {
+    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    docs
+      .select(explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(explode(array(bigrams)).as("bgs"))
+      .select(explode(col("bgs")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .select(element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
+  }
+
+  /** [[bigramLm]]'s stats tail over an existing count frame: denominators
+    * over ALL continuations, THEN the `minCount` prune — probabilities
+    * stay normalised exactly as in the one-shot path. */
+  def statsFromCounts(counts: DataFrame, minCount: Long = 5): DataFrame = {
     val w1tot = counts.groupBy(col("w1")).agg(sum(col("n")).as("_tot"))
     counts.join(w1tot, Seq("w1"))
       .filter(col("n") >= minCount)

@@ -43,6 +43,28 @@ class LmIndexSpec extends SparkSpec {
       unhinted.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("merge folds new docs in exactly: equals a build on the concatenated corpus") {
+    val oldDocs = (1L to 6L).map(i => (i, "the cat sat")).toDF("doc_id", "text")
+    val newDocs = Seq((7L, "the cat ran home"), (8L, "the cat sat")).toDF("doc_id", "text")
+    val dirOld = tmpDir("lm_m_old"); val dirMerged = tmpDir("lm_m_out")
+    val dirFull = tmpDir("lm_m_full")
+    LmIndex.build(oldDocs, dirOld, minCount = 5)
+    LmIndex.merge(spark, dirOld, newDocs, dirMerged)
+    LmIndex.build(oldDocs.unionByName(newDocs), dirFull, minCount = 5)
+    assert(LmIndex.meta(spark, dirMerged) == LmIndex.meta(spark, dirFull))
+    val probes = Seq((100L, "the cat sat"), (101L, "zz junk here")).toDF("doc_id", "text")
+    val merged = LmIndex.score(spark, dirMerged, probes)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = LmIndex.score(spark, dirFull, probes)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(merged == full)
+    // and the merged stats themselves are identical
+    assert(LmIndex.load(spark, dirMerged).as[(String, String, Long, Double)]
+      .collect().toSet ==
+      LmIndex.load(spark, dirFull).as[(String, String, Long, Double)]
+        .collect().toSet)
+  }
+
   test("recorded cuts reproduce perplexityBuckets when self-calibrated; fixed cuts for new data") {
     val corpus = ((1L to 6L).map(i => (i, "the cat sat")) ++ Seq(
       (7L, "the cat sat on the mat"),
