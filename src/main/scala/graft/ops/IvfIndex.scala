@@ -177,6 +177,38 @@ object IvfIndex {
       "cid", threshold, targetBlock)
   }
 
+  /** Append new vectors to the index IN PLACE: arrivals are assigned
+    * with the index's FROZEN centroids (the same per-row literal argmax
+    * [[probePairs]] uses) and written into their `cid` partition
+    * directories — the corpus is untouched and un-read; searches
+    * immediately see the new vectors. This is the grow-the-index half of
+    * the incremental story ([[probePairs]] is the dedup-before-insert
+    * half). Centroids do NOT move (the IVF contract — periodic rebuilds
+    * re-balance); sub-sharded layouts (`maxRowsPerPartition`) are not
+    * appendable because the sub level is sized from build-time counts. */
+  def append(spark: SparkSession, dir: String,
+             newEmbeddings: DataFrame): Unit = {
+    val cents = loadCentroids(spark, dir)
+    require(cents.nonEmpty, "index has no centroids")
+    require(cents.length <= VectorOps.CentroidLiteralMax,
+      s"append needs a literal-assignable index (k <= " +
+        s"${VectorOps.CentroidLiteralMax}), got ${cents.length} centroids")
+    require(!spark.read.parquet(s"$dir/data").columns.contains("sub"),
+      "sub-sharded layouts are not appendable — rebuild instead")
+    val centRows: Array[org.apache.spark.sql.Row] = cents.map(c =>
+      org.apache.spark.sql.Row(c.cid, c.cv.toSeq, c.cn)).toArray
+    val cidExpr =
+      if (centRows.length <= VectorOps.StaticArgmaxMax)
+        VectorOps.nearestCidStatic(centRows)
+      else
+        element_at(VectorOps.nearestClusterArray(
+          VectorOps.centroidLiteralOf(centRows).get, 1), 1).getField("cid")
+    VectorOps.prepared(newEmbeddings)
+      .withColumn("cid", cidExpr)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/data")
+  }
+
   /** Arrivals-vs-corpus semantic near-dup pairs over the persisted
     * layout — the vector analog of [[MinhashIndex.probe]]: arriving
     * embeddings are assigned to coarse clusters PER ROW with the index's

@@ -59,6 +59,26 @@ object MinhashIndex {
   def meta(spark: SparkSession, dir: String): (Int, HashMode) =
     readMeta(spark, dir)
 
+  /** Fold `newDocs` into the index at `dir`, writing the combined index
+    * to `outDir` — banded signatures are per-document rows, so the merge
+    * is a plain union: only the new documents are signatured
+    * (spec-pinned equal to a fresh build on the concatenated corpus).
+    * The ingest loop this enables: probe today's arrivals against
+    * yesterday's index, then merge them in for tomorrow. */
+  def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
+            outDir: String, numFiles: Int = 32): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val (k, mode) = readMeta(spark, dir)
+    spark.read.parquet(s"$dir/data")
+      .unionByName(StreamNearDup.bandedSignatures(newDocs, k, mode)
+        .select(col("doc_id"), col("nsh"), col("band"),
+          col("band_hash").cast("long").as("band_hash")))
+      .repartitionByRange(numFiles, col("band"), col("band_hash"))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .write.mode("overwrite").parquet(s"$outDir/data")
+    writeMeta(spark, outDir, k, mode)
+  }
+
   /** Candidate near-dup pairs between `newDocs` and the INDEXED corpus:
     * `(doc_a, doc_b)` with `doc_a < doc_b`, a pair surviving iff some
     * band agrees exactly and the size-ratio block holds — the same

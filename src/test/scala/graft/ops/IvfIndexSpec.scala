@@ -184,6 +184,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.search(spark, dir, probesOf(e, 0)).count() == 0)
   }
 
+  test("append grows the index in place; search equals the logical operator on the full corpus") {
+    val all = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // arrivals carry HIGHER vec_ids than the corpus, so the full-corpus
+    // logical annIvf seeds the same lowest-id centroids the build froze
+    val corpus = all.filter(col("vec_id") < 400)
+    val arrivals = all.filter(col("vec_id") >= 400)
+    val dir = tmpDir("ivf_append")
+    IvfIndex.build(corpus, dir, nCentroids = 16)
+    IvfIndex.append(spark, dir, arrivals)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val logical = rows(VectorOps.annIvf(all, nCentroids = 16, nProbes = 8,
+      nProbeClusters = 3, topK = 4))
+    val indexed = rows(IvfIndex.search(spark, dir, probesOf(all, 8),
+      nProbeClusters = 3, topK = 4))
+    assert(indexed == logical)
+    // sub-sharded layouts refuse append instead of corrupting the layout
+    val dir2 = tmpDir("ivf_append_sub")
+    IvfIndex.build(corpus, dir2, nCentroids = 16, maxRowsPerPartition = 50)
+    assertThrows[IllegalArgumentException] {
+      IvfIndex.append(spark, dir2, arrivals)
+    }
+  }
+
   test("probePairs dedups arrivals against the corpus; exact within clusters") {
     val all = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = all.filter(col("vec_id") % 2 === 0)

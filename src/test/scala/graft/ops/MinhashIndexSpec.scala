@@ -40,6 +40,23 @@ class MinhashIndexSpec extends SparkSpec {
     }
   }
 
+  test("merge equals a fresh build on the concatenated corpus") {
+    val dirA = tmpDir("mh_merge_a"); val dirM = tmpDir("mh_merge_m")
+    val dirF = tmpDir("mh_merge_f")
+    MinhashIndex.build(corpus, dirA)
+    MinhashIndex.merge(spark, dirA, arrivals, dirM)
+    MinhashIndex.build(corpus.unionByName(arrivals), dirF)
+    assert(MinhashIndex.meta(spark, dirM) == MinhashIndex.meta(spark, dirF))
+    // identical banded rows -> identical probe behavior
+    def rows(d: String) = spark.read.parquet(s"$d/data")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(rows(dirM) == rows(dirF))
+    val later = Seq((6L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    assert(MinhashIndex.probe(spark, dirM, later).as[(Long, Long)].collect().toSet ==
+      MinhashIndex.probe(spark, dirF, later).as[(Long, Long)].collect().toSet)
+  }
+
   test("probe never re-signatures the corpus: index side is a bare scan") {
     val dir = tmpDir("mh_idx_plan")
     MinhashIndex.build(corpus, dir)
