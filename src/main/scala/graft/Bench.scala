@@ -35,7 +35,8 @@ object Bench {
     "q_upsample", "q_window_chunks", "q_lm_score", "q_curation_pipeline2",
     // r6 final sweep (q_substr_strip shares the spans computation; the
     // spans query is the cost driver and is what gets benched)
-    "q_substr_spans", "q_dsir", "q_nb_classify", "q_cluster_sample")
+    "q_substr_spans", "q_dsir", "q_nb_classify", "q_cluster_sample",
+    "q_epoch_order")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -74,7 +75,8 @@ object Bench {
     "q_lm_score" -> 1.53, "q_curation_pipeline2" -> 1.54,
     // r6 final sweep: local warmed best-of-3 (1.07 / 1.66 / 0.87 / 0.60) × 1.3
     "q_substr_spans" -> 1.39, "q_dsir" -> 2.16,
-    "q_nb_classify" -> 1.14, "q_cluster_sample" -> 0.78
+    "q_nb_classify" -> 1.14, "q_cluster_sample" -> 0.78,
+    "q_epoch_order" -> 0.16
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,
