@@ -39,4 +39,36 @@ class RecoverySpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out).count() == 2500)
   }
+
+  test("StreamSemanticDup bucket state survives a checkpointed restart") {
+    import spark.implicits._
+    val base = tmpDir("ssd_recov")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val v = Seq(1f, 0f, 1f, 0f) // identical vectors share every band bucket
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("vec_id long, embedding array<float>, label int")
+        .parquet(src)
+      val q = StreamSemanticDup.candidates(stream, dim = 4, nBits = 16, bandBits = 4)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").start(out)
+      q.awaitTermination()
+    }
+
+    Seq((1L, v, 0), (2L, v, 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("append").parquet(src)
+    runOnce()
+    def pairs = spark.read.parquet(out)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+
+    // restart: vec 3 must pair against the RECOVERED bucket members 1 and 2
+    Seq((3L, v, 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "state must survive the restart: cross-restart pairs prove recovery")
+  }
 }
