@@ -243,6 +243,10 @@ object SparkEntry {
     }),
     "q_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(t(s, d, "documents"))),
     "q_vocab_drift" -> ((s, d) => TextOps.vocabDrift(t(s, d, "documents"))),
+    // PSI of each source's length profile against the corpus (bin = 50 chars)
+    "q_psi" -> ((s, d) =>
+      graft.ops.Stats.psiByGroup(t(s, d, "documents"), "n_chars", "source",
+        binWidth = 50)),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
@@ -882,6 +886,29 @@ object SparkEntry {
         |FROM documents d JOIN w USING (doc_id) JOIN kk USING (doc_id)""".stripMargin,
     // KL terms from exact integer counts: one double division inside the
     // ln (9 dp), term 9 dp, decimal sum per source, final 6 dp
+    // PSI over fixed-width length bins; group share zero -> eps substitute,
+    // 9dp terms decimal-summed (the vocab_drift determinism recipe)
+    "q_psi" ->
+      """WITH bn AS (
+        |  SELECT source AS grp, CAST(floor(n_chars / 50) AS BIGINT) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |gb AS (SELECT grp, bin, count(*) AS n_gb FROM bn GROUP BY 1, 2),
+        |g AS (SELECT grp, sum(n_gb) AS n_g FROM gb GROUP BY 1),
+        |b AS (SELECT bin, sum(n_gb) AS n_b FROM gb GROUP BY 1),
+        |t AS (SELECT sum(n_b) AS n FROM b),
+        |grid AS (
+        |  SELECT g.grp, b.bin, n_g, n_b, n, coalesce(n_gb, 0) AS n_gb
+        |  FROM g CROSS JOIN b CROSS JOIN t
+        |  LEFT JOIN gb ON gb.grp = g.grp AND gb.bin = b.bin),
+        |terms AS (SELECT grp,
+        |  round((greatest(CAST(n_gb AS DOUBLE) / n_g, 0.000001)
+        |       - CAST(n_b AS DOUBLE) / n)
+        |    * ln(greatest(CAST(n_gb AS DOUBLE) / n_g, 0.000001)
+        |       / (CAST(n_b AS DOUBLE) / n)), 9) AS term
+        |  FROM grid)
+        |SELECT grp AS source,
+        |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1""".stripMargin,
     "q_vocab_drift" ->
       """WITH t AS (
         |  SELECT source,

@@ -71,4 +71,52 @@ object Stats {
     summarize(df, groupCols, valueCol, ps,
       approx_percentile(col(valueCol), array(ps.map(lit): _*), lit(accuracy)))
   }
+
+  /** Population Stability Index of each group's `valueCol` distribution
+    * against the overall corpus — the standard production drift metric
+    * (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action):
+    * `PSI_g = Σ_b (p_b − q_b) · ln(p_b / q_b)` over fixed-width value
+    * bins, where p is the group's bin share and q the corpus's. The same
+    * monitoring seam as `vocabDrift` (KL over the vocabulary), for
+    * NUMERIC signals: length profiles, quality scores, LM scores across
+    * sources or snapshots.
+    *
+    * A group share of zero (a corpus bin the group never hits) is
+    * substituted with `eps` — PSI's standard zero-bin handling; corpus
+    * shares are positive by construction (the bin domain IS the corpus's
+    * bins). Null values are dropped. Determinism: shares are exact
+    * integer ratios, each term rounds to 9 dp and sums as exact decimals,
+    * the PSI rounds to 6 dp — the family's ln-parity contract.
+    *
+    * Scale shape: one binned aggregation over the corpus (map-side
+    * combined, one row per (group, bin) through the exchange), then all
+    * remaining work happens on (groups × bins)-sized frames — the
+    * group×bin grid is built from two tiny aggregates, never the
+    * corpus. */
+  def psiByGroup(df: DataFrame, valueCol: String, groupCol: String,
+                 binWidth: Long, eps: Double = 1e-6): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(eps > 0, "eps must be positive")
+    val binned = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_grp"),
+        floor(col(valueCol) / binWidth).cast("long").as("_bin"))
+    val gb = binned.groupBy(col("_grp"), col("_bin"))
+      .agg(count(lit(1)).as("_n_gb"))
+    val g = gb.groupBy(col("_grp")).agg(sum(col("_n_gb")).as("_n_g"))
+    val b = gb.groupBy(col("_bin")).agg(sum(col("_n_gb")).as("_n_b"))
+    val tot = b.agg(sum(col("_n_b")).as("_n")).select(col("_n"))
+    val grid = g.crossJoin(broadcast(b)).crossJoin(broadcast(tot))
+      .join(gb, Seq("_grp", "_bin"), "left")
+      .select(col("_grp"), col("_bin"), col("_n_g"), col("_n_b"), col("_n"),
+        coalesce(col("_n_gb"), lit(0L)).as("_n_gb"))
+    val p = greatest(col("_n_gb").cast("double") / col("_n_g"), lit(eps))
+    val q = col("_n_b").cast("double") / col("_n")
+    grid
+      .select(col("_grp"),
+        round((p - q) * log(p / q), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("_term"))
+      .groupBy(col("_grp"))
+      .agg(round(sum(col("_term")).cast("double"), 6).as("psi"))
+      .select(col("_grp").as(groupCol), col("psi"))
+  }
 }

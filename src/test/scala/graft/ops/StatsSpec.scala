@@ -50,4 +50,25 @@ class StatsSpec extends SparkSpec {
     val out = Stats.groupedQuantiles(df, Seq("g"), "v", Seq(0.5, 0.999))
     assert(out.columns.toSeq == Seq("g", "n", "min_v", "max_v", "p50", "p99_9"))
   }
+
+  test("psiByGroup: matching distributions score ~0, a shifted group scores high") {
+    import spark.implicits._
+    // a and b mirror the corpus mix; c lives in bins the others never hit
+    val rows: Seq[(String, Option[Long])] =
+      (1L to 50L).map(i => ("a", Some((i % 5) * 10L))) ++
+      (1L to 50L).map(i => ("b", Some((i % 5) * 10L))) ++
+      (1L to 50L).map(i => ("c", Some(1000L + (i % 5) * 10L))) :+
+      (("a", None)) // null dropped
+    val df2 = rows.toDF("src", "v")
+    val out = Stats.psiByGroup(df2, "v", "src", binWidth = 10)
+      .as[(String, Double)].collect().toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    // a and b share c-free bins: their shares differ from the corpus only
+    // by c's mass — equal PSIs, both far below c's
+    assert(out("a") == out("b"))
+    assert(out("c") > out("a") && out("c") > 0.25,
+      s"shifted group must breach the action threshold: $out")
+    // the eps substitution keeps zero-bin groups finite
+    assert(!out.values.exists(_.isInfinite))
+  }
 }
