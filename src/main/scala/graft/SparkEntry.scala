@@ -336,6 +336,19 @@ object SparkEntry {
     "q_sample_hash" -> ((s, d) =>
       Curate.sampleByHash(t(s, d, "documents"), "doc_id", 10, HashMode.Portable)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // snapshot diff against a derived "tomorrow": every 7th doc removed,
+    // every remaining 10th edited, adds synthesized above the id space
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tomorrow = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Curate.snapshotDiff(docs, tomorrow)
+    }),
     // reproducible epoch-1 training order over 8 shards
     "q_epoch_order" -> ((s, d) =>
       Curate.epochOrder(t(s, d, "documents"), epoch = 1, nShards = 8,
@@ -1225,6 +1238,23 @@ object SparkEntry {
         |  CASE WHEN coalesce(nb, 0) > 0
         |       THEN 1.0 - CAST(nd AS DOUBLE) / nb ELSE 0.0 END AS repetition_ratio
         |FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH tomorrow AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fo FROM documents),
+        |nn AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fn FROM tomorrow)
+        |SELECT coalesce(o.doc_id, nn.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN nn.doc_id IS NULL THEN 'removed'
+        |       WHEN fo <> fn THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  CAST(count(*) AS BIGINT) AS group_size, min(doc_id) AS canonical_doc_id

@@ -224,6 +224,32 @@ object Curate {
       .drop("_sl_lines", "_sl_kept")
   }
 
+  /** Corpus snapshot diff: every document's fate between two snapshots —
+    * `added` / `removed` / `changed` / `unchanged` — decided by id
+    * presence and normalised-text fingerprint ([[TextOps.fingerprintCol]],
+    * so whitespace-only edits read as `unchanged`, the dedup family's
+    * equality). The data-ops primitive for pipeline iteration: diff
+    * yesterday's curated corpus against today's before re-running
+    * downstream stages, audit what a filter change actually touched.
+    *
+    * Scale shape: one full outer join on the id (the two fingerprint
+    * projections are map-side; no other shuffle), output one row per id
+    * in either snapshot. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol),
+      TextOps.fingerprintCol(col(textCol)).as("_sd_old"))
+    val n = newDocs.select(col(idCol),
+      TextOps.fingerprintCol(col(textCol)).as("_sd_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_sd_old").isNull, lit("added"))
+          .when(col("_sd_new").isNull, lit("removed"))
+          .when(col("_sd_old") =!= col("_sd_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Deterministic multi-epoch training order: every document gets a
     * `(shard, pos)` coordinate — global order = shard-major — that is a
     * pure function of `(epoch, id)`, so the data order of any epoch can

@@ -454,4 +454,21 @@ class CurateSpec extends SparkSpec {
       Curate.contaminationBloom(corpus, corpus, k = 5, maxEvalGrams = 10)
     }
   }
+
+  test("snapshotDiff classifies every fate; whitespace-only edits are unchanged") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept verbatim"),
+      (4L, "spaced   out")).toDF("doc_id", "text")
+    val now = Seq(
+      (1L, "alpha beta REVISED"),      // changed
+      (3L, "kept verbatim"),           // unchanged; 2 removed
+      (4L, "spaced out"),              // normalised-equal -> unchanged
+      (5L, "brand new")                // added
+    ).toDF("doc_id", "text")
+    val out = Curate.snapshotDiff(old, now)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "changed", 2L -> "removed", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "added"))
+  }
 }
