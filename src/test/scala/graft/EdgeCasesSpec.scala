@@ -167,4 +167,57 @@ class EdgeCasesSpec extends SparkSpec {
       assert(out(1).getAs[Double]("score") >= 0.0)
     } finally q.stop()
   }
+
+  test("edge totality of the round-6 final-sweep surfaces") {
+    import spark.implicits._
+    import graft.ops._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "the cat sat"), (2L, "")).toDF("doc_id", "text")
+
+    // LmIndex on an empty corpus: buildable, everything scores unk
+    val dir = tmpDir("edge_lm_empty")
+    LmIndex.build(emptyDocs, dir, minCount = 5)
+    assert(LmIndex.meta(spark, dir) == ((5L, 0L)))
+    val s = LmIndex.score(spark, dir, someDocs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s == Set((1L, 2L, -10.0), (2L, 0L, 0.0)))
+    // no scorable calibration docs -> explicit refusal, not a null cut
+    intercept[Exception] { LmIndex.recordCuts(spark, dir, emptyDocs) }
+
+    // MinhashIndex built on an empty corpus still probes (empty result)
+    val mdir = tmpDir("edge_mh_empty")
+    MinhashIndex.build(emptyDocs, mdir)
+    assert(MinhashIndex.probe(spark, mdir, someDocs).count() == 0)
+
+    // substring family: empty corpus -> no spans, strip passes through
+    assert(ExactSubstr.duplicatedSpans(emptyDocs, l = 5).count() == 0)
+    assert(ExactSubstr.frequentWindows(emptyDocs, l = 5).count() == 0)
+    val stripped = ExactSubstr.stripSubstrFlag(someDocs,
+      ExactSubstr.frequentWindows(emptyDocs, l = 5), l = 5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(stripped(1L) == (("the cat sat", 3L, 0L)))
+
+    // dsirScore with empty models: every bigram pays unk on both sides
+    val d = TextOps.dsirScore(someDocs,
+      TextOps.bigramLm(emptyDocs), TextOps.bigramLm(emptyDocs))
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(d == Set((1L, 2L, -10.0, -10.0, 0.0), (2L, 0L, 0.0, 0.0, 0.0)))
+
+    // epochOrder degenerate shard counts
+    val eo = Curate.epochOrder(someDocs, epoch = 1, nShards = 1)
+      .as[(Long, Int, Long)].collect()
+    assert(eo.map(_._2).forall(_ == 0) && eo.map(_._3).sorted.toSeq == Seq(1L, 2L))
+
+    // snapshotDiff with one empty side: all added / all removed
+    assert(Curate.snapshotDiff(emptyDocs, someDocs)
+      .as[(Long, String)].collect().forall(_._2 == "added"))
+    assert(Curate.snapshotDiff(someDocs, emptyDocs)
+      .as[(Long, String)].collect().forall(_._2 == "removed"))
+
+    // psiByGroup on a single group: PSI exactly 0 (p == q everywhere)
+    val one = Seq(("a", 1L), ("a", 2L), ("a", 30L)).toDF("src", "v")
+    assert(Stats.psiByGroup(one, "v", "src", binWidth = 10)
+      .as[(String, Double)].collect().toSeq == Seq(("a", 0.0)))
+  }
 }
