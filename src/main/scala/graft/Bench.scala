@@ -73,8 +73,10 @@ object Bench {
     "q_line_dedup" -> 0.77, "q_classifier_score" -> 0.59,
     "q_upsample" -> 0.32, "q_window_chunks" -> 0.44,
     "q_lm_score" -> 1.53, "q_curation_pipeline2" -> 1.54,
-    // r6 final sweep: local warmed best-of-3 (1.07 / 1.66 / 0.87 / 0.60) × 1.3
-    "q_substr_spans" -> 1.39, "q_dsir" -> 2.16,
+    // r6 final sweep: local warmed best-of-3 (1.07 / 1.43 / 0.87 / 0.60) × 1.3;
+    // q_dsir re-based TIGHTER after the single-tokenisation dsirModels
+    // rewrite (1.66 -> 1.43) so the win cannot silently regress
+    "q_substr_spans" -> 1.39, "q_dsir" -> 1.86,
     "q_nb_classify" -> 1.14, "q_cluster_sample" -> 0.78,
     "q_epoch_order" -> 0.16
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }

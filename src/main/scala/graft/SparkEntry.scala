@@ -218,18 +218,16 @@ object SparkEntry {
     // bigrams), raw model = the whole corpus at the family default
     "q_dsir" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      TextOps.dsirScore(docs,
-        TextOps.bigramLm(docs.filter(col("source") === "src0"), minCount = 2),
-        TextOps.bigramLm(docs, minCount = 5))
+      val (tgt, raw) = TextOps.dsirModels(docs, col("source") === "src0")
+      TextOps.dsirScore(docs, tgt, raw)
     }),
     // the full DSIR pipeline: scorable docs get an integer weight from the
     // shifted 6dp log-ratio (monotone; exp() would put a transcendental in
     // the gate), then sequential-Poisson weighted sampling picks k = 25
     "q_dsir_sample" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val scored = TextOps.dsirScore(docs,
-        TextOps.bigramLm(docs.filter(col("source") === "src0"), minCount = 2),
-        TextOps.bigramLm(docs, minCount = 5))
+      val (tgt, raw) = TextOps.dsirModels(docs, col("source") === "src0")
+      val scored = TextOps.dsirScore(docs, tgt, raw)
       val weighted = docs.join(
         scored.filter(col("n_bigrams") > 0)
           .select(col("doc_id"),

@@ -493,6 +493,38 @@ object TextOps {
         element_at(split(col("bigram"), " "), 2).as("w2"))
   }
 
+  /** Both DSIR models from ONE corpus tokenisation: bigram counts keyed
+    * by a group predicate (`true` = target member), persisted at
+    * bigram-vocabulary size, then split into the target model (grouped
+    * rows where the predicate held) and the raw model (counts summed
+    * over both groups — exactly the whole corpus's counts, since groups
+    * partition it). Identical stats to calling [[bigramLm]] twice; half
+    * the corpus passes. */
+  def dsirModels(docs: DataFrame, targetPred: Column,
+                 minCountTarget: Long = 2,
+                 minCountRaw: Long = 5): (DataFrame, DataFrame) = {
+    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    val grouped = docs
+      .select(targetPred.as("_tgt"),
+        explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(col("_tgt"), explode(array(bigrams)).as("bgs"))
+      .select(col("_tgt"), explode(col("bgs")).as("bigram"))
+      .groupBy(col("_tgt"), col("bigram")).agg(count(lit(1)).as("n"))
+      .select(col("_tgt"),
+        element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
+    // same persist rationale as bigramLm: two consumers, vocab-sized
+    grouped.persist(); grouped.count()
+    val target = statsFromCounts(
+      grouped.filter(col("_tgt")).select(col("w1"), col("w2"), col("n")),
+      minCountTarget)
+    val raw = statsFromCounts(
+      grouped.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n")),
+      minCountRaw)
+    (target, raw)
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): every document's mean
     * bigram log-likelihood under a TARGET reference model minus its mean

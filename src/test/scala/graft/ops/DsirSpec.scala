@@ -37,6 +37,16 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("dsirModels equals two independent bigramLm trainings (one tokenisation)") {
+    val tgtPred = org.apache.spark.sql.functions.col("source") === "tgt"
+    val (tgt, raw) = TextOps.dsirModels(corpus, tgtPred,
+      minCountTarget = 2, minCountRaw = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Double)].collect().toSet
+    assert(rows(tgt) == rows(TextOps.bigramLm(corpus.filter(tgtPred), minCount = 2)))
+    assert(rows(raw) == rows(TextOps.bigramLm(corpus, minCount = 2)))
+  }
+
   test("trainNaiveBayes separates target-like from background docs via scoreLinear") {
     val train = (
       (1L to 20L).map(i => (i, "alpha beta gamma delta epsilon", true)) ++
