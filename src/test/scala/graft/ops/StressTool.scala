@@ -183,6 +183,26 @@ object StressTool {
     val (nOv, tOv) = timed(RangeJoin.intervalOverlap(lIv, rIv,
       col("a"), col("b"), col("c"), col("d"), bucketWidth = 500).count())
     println(f"bucketed overlap join:    $nOv%,d pairs in ${tOv}%.1fs")
+
+    // ExactSubstr: the window stream is irreducibly one row per corpus
+    // token (each must be hashed once), but everything AFTER the count
+    // shuffle tracks DUPLICATED content: growing the unique filler 10x
+    // leaves the duplicated-position volume and span count flat.
+    println("\n== ExactSubstr duplicated-span work vs corpus growth ==")
+    val sharedSpan = (1 to 25).map(i => s"shared$i").mkString(" ")
+    for (nUnique <- Seq(10_000L, 100_000L)) {
+      val filler = spark.range(nUnique).select(col("id").as("doc_id"),
+        concat_ws(" ", org.apache.spark.sql.functions.transform(
+          sequence(lit(1), lit(40)),
+          i => concat(lit("u"), col("id") * 100 + i))).as("text"))
+      val dups = spark.range(200).select((col("id") + 10_000_000L).as("doc_id"),
+        concat(lit("prefix "), col("id").cast("string"),
+          lit(" " + sharedSpan)).as("text"))
+      val corpus2 = filler.unionByName(dups)
+      val (spans, tSp) = timed(ExactSubstr.duplicatedSpans(corpus2, l = 20).count())
+      println(f"unique docs=$nUnique%,d: duplicated spans=$spans%,d (${tSp}%.1fs) " +
+        "— span volume flat while the corpus grew")
+    }
     spark.stop()
   }
 }
