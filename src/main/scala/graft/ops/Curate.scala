@@ -234,7 +234,8 @@ object Curate {
     *
     * Scale shape: one full outer join on the id (the two fingerprint
     * projections are map-side; no other shuffle), output one row per id
-    * in either snapshot. */
+    * in either snapshot. Ids must be unique within each snapshot (the
+    * family contract — duplicates would multiply through the join). */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
@@ -264,7 +265,9 @@ object Curate {
     * `nShards` sizes the largest ordering task at ~corpus/nShards rows —
     * the same bound-the-task-by-sharding trade `packChunks` makes. A
     * writer materialises the order by `repartitionByRange(shard, pos)` +
-    * `sortWithinPartitions`. */
+    * `sortWithinPartitions`. Ids must be corpus-unique (the family
+    * contract — duplicate ids would tie on the full sort key and take
+    * partition-order-dependent positions). */
   def epochOrder(docs: DataFrame, epoch: Int, nShards: Int = 256,
                  idCol: String = "doc_id",
                  mode: HashMode = HashMode.Default): DataFrame = {

@@ -185,7 +185,9 @@ object IvfIndex {
     * the incremental story ([[probePairs]] is the dedup-before-insert
     * half). Centroids do NOT move (the IVF contract — periodic rebuilds
     * re-balance); sub-sharded layouts (`maxRowsPerPartition`) are not
-    * appendable because the sub level is sized from build-time counts. */
+    * appendable because the sub level is sized from build-time counts.
+    * PRECONDITION: arriving vec_ids must be new to the index — an
+    * appended duplicate id would surface twice in search results. */
   def append(spark: SparkSession, dir: String,
              newEmbeddings: DataFrame): Unit = {
     val cents = loadCentroids(spark, dir)

@@ -64,7 +64,13 @@ object MinhashIndex {
     * is a plain union: only the new documents are signatured
     * (spec-pinned equal to a fresh build on the concatenated corpus).
     * The ingest loop this enables: probe today's arrivals against
-    * yesterday's index, then merge them in for tomorrow. */
+    * yesterday's index, then merge them in for tomorrow.
+    *
+    * PRECONDITION: `newDocs` ids must be new to the index. Re-ingesting
+    * an existing id with DIFFERENT text would leave both texts'
+    * signature rows under one id — a state no fresh build can produce
+    * (batch signatures aggregate one row set per doc). Dedup re-ingests
+    * upstream (e.g. [[Curate.snapshotDiff]] `added` rows only). */
   def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
             outDir: String, numFiles: Int = 32): Unit = {
     require(numFiles > 0, "numFiles must be positive")

@@ -57,7 +57,11 @@ object StreamSemanticDup {
   /** Candidate near-dup pairs `(label, vec_a, vec_b)`, `vec_a < vec_b`,
     * from a streaming embedding frame `(vec_id, embedding, label)`. See
     * the object doc for the contract (candidates, possible repeats,
-    * bounded buckets, `dim` must match the corpus). */
+    * bounded buckets, `dim` must match the corpus). Labels must be
+    * non-null (they key the bucket state; the batch miner's label join
+    * DROPS null-label rows, and this path's tuple encoding rejects
+    * them — normalise nulls to a sentinel label upstream if they must
+    * participate). */
   def candidates(embeddings: DataFrame, dim: Int, nBits: Int = 128,
                  bandBits: Int = 8, seed: Long = 42,
                  maxBucket: Int = 64): DataFrame = {
