@@ -67,7 +67,11 @@ object Bench {
     // bases so the 2-3× win cannot silently regress
     "q_ann_brute" -> 0.39, "q_ann_ivf" -> 0.61,
     "q_ann_radius" -> 0.22, "q_ann_radius_ivf" -> 0.49,
-    "q_dedup_semantic" -> 0.99, "q_dedup_semantic_mp" -> 2.31,
+    // q_dedup_semantic_mp re-based TIGHTER (2.31 -> 1.80 = local warmed
+    // med 1.385 × 1.3) after the r7 static canonical-block filter +
+    // _mp_arr Generate barrier (interleaved A/B: pair stage 1.68 -> 1.29 s,
+    // full query ~1.9 -> 1.385 s; see PERF.md r7)
+    "q_dedup_semantic" -> 0.99, "q_dedup_semantic_mp" -> 1.80,
     // round-6 continuation: local warmed best-of-3 × 1.3
     "q_weighted_sample" -> 0.38, "q_gopher_rules" -> 0.86,
     "q_line_dedup" -> 0.77, "q_classifier_score" -> 0.59,

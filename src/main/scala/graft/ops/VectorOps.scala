@@ -126,16 +126,28 @@ object VectorOps {
     * and cluster-blocked (SemDeDup) pair mining, and by
     * [[IvfIndex.semanticPairs]] over the physical layout. Expects
     * `(vec_id, v, nrm, blockCol)` columns. */
-  /** `canonSetCol`, when set, names an array column holding EVERY block
-    * the row belongs to (multi-probe assignment replicates rows across
-    * blocks): a pair is then emitted only in the canonical block — the
-    * MINIMUM block id the two rows share — so a pair whose members
-    * co-occur in several blocks still comes out exactly once, with zero
-    * post-hoc `distinct` shuffle (the same canonical-bucket trick the
-    * interval join uses). */
+  /** `canonSet`, when set, is `(column, maxLen)`: the column holds EVERY
+    * block the row belongs to (multi-probe assignment replicates rows
+    * across blocks, at most `maxLen` of them): a pair is then emitted
+    * only in the canonical block — the MINIMUM block id the two rows
+    * share — so a pair whose members co-occur in several blocks still
+    * comes out exactly once, with zero post-hoc `distinct` shuffle (the
+    * same canonical-bucket trick the interval join uses).
+    *
+    * For `maxLen` ≤ [[CanonStaticMax]] the canonical test is a STATIC
+    * maxLen² scalar-comparison tree over `get()` of the two arrays —
+    * "no shared block id is smaller than this one" — which whole-stage
+    * codegen compiles; the `array_min(array_intersect(...))` spelling it
+    * replaces is a higher-order function Spark evaluates INTERPRETED per
+    * candidate pair, i.e. inside the quadratic loop — the same pitfall
+    * as [[nearestCidStatic]]/PQ.encodeExprStatic, measured ~2× on the
+    * whole multi-probe query at sf0.1. */
+  val CanonStaticMax = 8
+
   private[ops] def gridPairs(e: DataFrame, blockCol: String, threshold: Double,
                              targetBlock: Int,
-                             canonSetCol: Option[String] = None): DataFrame = {
+                             canonSet: Option[(String, Int)] = None): DataFrame = {
+    val canonSetCol = canonSet.map(_._1)
     val grids = e.groupBy(col(blockCol))
       .agg(ceil(count(lit(1)).cast(DoubleType) / targetBlock).cast(IntegerType).as("g"))
     val eg = e.join(broadcast(grids), Seq(blockCol))
@@ -150,9 +162,20 @@ object VectorOps {
       col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")) ++ canonB: _*)
     val paired = a.join(b, Seq(blockCol, "ci", "cj"))
       .filter(col("ci") < col("cj") || col("id_a") < col("id_b"))
-    val canonical = canonSetCol.fold(paired) { _ =>
-      paired.filter(col(blockCol) ===
-        array_min(array_intersect(col("_cs_a"), col("_cs_b"))))
+    val canonical = canonSet.fold(paired) { case (_, maxLen) =>
+      if (maxLen <= CanonStaticMax) {
+        // emit iff NO element shared by both probe sets is < this block.
+        // Out-of-range get() is NULL; NULL terms OR together to NULL and
+        // coalesce to false — absent probes impose no constraint.
+        val smallerShared = (for { i <- 0 until maxLen; j <- 0 until maxLen }
+          yield {
+            val ai = get(col("_cs_a"), lit(i))
+            (ai === get(col("_cs_b"), lit(j))) && (ai < col(blockCol))
+          }).reduce(_ || _)
+        paired.filter(!coalesce(smallerShared, lit(false)))
+      } else
+        paired.filter(col(blockCol) ===
+          array_min(array_intersect(col("_cs_a"), col("_cs_b"))))
     }
     canonical
       .withColumn("cosine", cosR(col("va"), col("na"), col("vb"), col("nb")))
@@ -237,7 +260,7 @@ object VectorOps {
           col("vec_id").as("cid"), col("nrm").as("cosine"))
       case Some(assigned) =>
         gridPairs(assigned, "cid", threshold, targetBlock,
-          canonSetCol = Some("cids"))
+          canonSet = Some(("cids", probes)))
     }
   }
 
@@ -246,7 +269,7 @@ object VectorOps {
     * canonical-block pair emission. Ranking is the SAME rounded-cosine
     * DESC, cid ASC contract as the argmax paths — probes=1 reproduces
     * [[assignCids]]' assignment bit-for-bit. */
-  private def assignCidsMulti(e: DataFrame, nCentroids: Int, probes: Int,
+  private[ops] def assignCidsMulti(e: DataFrame, nCentroids: Int, probes: Int,
                               kmeansIters: Int, literalMax: Int,
                               spreadSeed: Boolean,
                               probeMargin: Double = 2.0): Option[DataFrame] = {
@@ -283,8 +306,13 @@ object VectorOps {
     } else centroidLiteral(cents).map { cl =>
       // adaptive probing, expression-level: keep ranked entry i iff it is
       // the argmax or within probeMargin of it (negcos ascending, so the
-      // test is negcos <= best_negcos + margin)
-      e.withColumn("_mp_arr", nearestClusterArray(cl, probes))
+      // test is negcos <= best_negcos + margin). _mp_arr is materialised
+      // through a Generate barrier ([[prepared]]'s explode(array(..))
+      // idiom): `cids` references it twice, and without the barrier
+      // project-collapse inlines the interpreted array_sort(transform(..))
+      // assignment into both sites — 2× the per-row assignment cost.
+      e.select(col("*"),
+          explode(array(nearestClusterArray(cl, probes))).as("_mp_arr"))
         .withColumn("cids",
           transform(filter(col("_mp_arr"), s =>
             s.getField("negcos") <=
