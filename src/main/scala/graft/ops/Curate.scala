@@ -63,7 +63,7 @@ object Curate {
     // exceeds the bound. The cached kept frame lives until the
     // ContextCleaner GCs it; long-lived sessions calling this in a loop
     // should clearCache() between batches.
-    val keptSmall = { kept.persist(); kept.count() <= broadcastMaxRows }
+    val keptSmall = Caching.ensureCachedLazy(kept).count() <= broadcastMaxRows
     // null-safe on the source key: a null source is a group like any other
     // (a plain === join would silently drop it)
     docs.join(if (keptSmall) broadcast(kept) else kept,
@@ -111,7 +111,7 @@ object Curate {
     // same eager-count broadcast guard as capPerSource: the kept set is
     // O(strata × k) — broadcastable for corpus-shaped strata, but guard
     // against a near-unique stratum column
-    val keptSmall = { kept.persist(); kept.count() <= broadcastMaxRows }
+    val keptSmall = Caching.ensureCachedLazy(kept).count() <= broadcastMaxRows
     docs.join(if (keptSmall) broadcast(kept) else kept,
       col(idCol) === col("_samp_id"), "left_semi")
   }
@@ -299,10 +299,13 @@ object Curate {
     * Weights must be positive integers; rows with null or non-positive
     * weight never sample (weight 0 = "never pick"). Weight granularity is
     * the caller's: quantize float weights to an integer scale first.
-    * (With [[HashMode.Default]] the xxhash64 priority can be negative;
-    * ordering is still total and deterministic. [[HashMode.Portable]]
-    * hashes are non-negative, where truncating and floor division agree —
-    * the oracle contract.)
+    * (The uniform is [[HashMode.nonNegHash]]: non-negative in BOTH
+    * modes, so larger weight → smaller priority → likelier inclusion
+    * holds everywhere. [[HashMode.Portable]] hashes were always
+    * non-negative — the oracle contract is unchanged; [[HashMode
+    * .Default]] previously used the signed xxhash64, under which the
+    * min-k set came from the negative hashes and the weight tilt
+    * INVERTED.)
     *
     * Scale shape mirrors [[stratifiedSample]]: a bounded [[TopK.MinKPairs]]
     * aggregation reduces each input partition to ≤ k (priority, id) pairs
@@ -319,7 +322,7 @@ object Curate {
     import spark.implicits._
     val kept = docs
       .filter(col(weightCol).isNotNull && col(weightCol).cast(LongType) > 0)
-      .select(mode.hash(lit(salt), col(idCol)).as("_h"),
+      .select(mode.nonNegHash(lit(salt), col(idCol)).as("_h"),
         col(weightCol).cast(LongType).as("_w"),
         col(idCol).cast(LongType).as("_id"))
       .select(expr("_h div _w").as("_pri"), col("_id"))
@@ -352,7 +355,7 @@ object Curate {
     // definition); a per-gram window would funnel each hot gram through
     // one unsplittable task instead.
     val grams = kgrams(docs, k) // distinct per doc
-    grams.persist(); grams.count()
+    Caching.ensureCached(grams)
     val dfreq = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("_df")) // grams are doc-distinct: count == doc freq
     val perDoc = grams.join(dfreq, Seq("gram"))
@@ -645,7 +648,8 @@ object Curate {
     // eval tokenisation runs twice and the two uses could even diverge on
     // a changing source. Cached until the ContextCleaner GCs the plan;
     // loop callers should clearCache() between batches.
-    val evalGrams = kgrams(evalDocs, k).select(col("gram")).distinct().persist()
+    val evalGrams = Caching.ensureCachedLazy(
+      kgrams(evalDocs, k).select(col("gram")).distinct())
     val bloom = GramBloom.build(
       collectGramPairs(evalGrams, k, maxEvalGrams, "contaminationBloom"), fpp)
     kgrams(docs, k)

@@ -49,6 +49,9 @@ object LmIndex {
     * distribution changed — run [[recordCuts]] again on `outDir`). */
   def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
             outDir: String, numFiles: Int = 4): Unit = {
+    // an in-place merge (outDir == dir) would overwrite-delete the input
+    // counts before the lazy union plan reads them, losing the artifact
+    ArtifactPaths.requireDistinct(spark, dir, outDir)
     val minCount = readMeta(spark, dir).minCount
     val combined = spark.read.parquet(s"$dir/counts")
       .unionByName(TextOps.bigramCounts(newDocs))

@@ -74,6 +74,9 @@ object MinhashIndex {
   def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
             outDir: String, numFiles: Int = 32): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    // an in-place merge (outDir == dir) would overwrite-delete the input
+    // signatures before the lazy union plan reads them, losing the index
+    ArtifactPaths.requireDistinct(spark, dir, outDir)
     val (k, mode) = readMeta(spark, dir)
     spark.read.parquet(s"$dir/data")
       .unionByName(StreamNearDup.bandedSignatures(newDocs, k, mode)

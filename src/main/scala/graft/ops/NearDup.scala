@@ -19,6 +19,16 @@ sealed abstract class HashMode(val bits: Int) {
     * [[hashTuple]]. */
   def hash(cols: Column*): Column
 
+  /** Non-negative variant of [[hash]] for PRIORITY ARITHMETIC (weighted
+    * sampling divides the uniform by the weight: with a SIGNED uniform
+    * the min-k set is drawn from the negative hashes, where a larger
+    * weight makes the quotient LESS negative — the weight tilt inverts).
+    * Portable-family hashes are already non-negative (60-bit) and pass
+    * through unchanged, preserving the oracle contract; [[Default]]
+    * drops xxhash64's sign bit with an unsigned shift — still uniform,
+    * one fewer bit. */
+  def nonNegHash(cols: Column*): Column = hash(cols: _*)
+
   /** Injective multi-column hash for FREE-FORM string tuples: components
     * are length-prefixed before joining, so no separator collision is
     * possible. [[HashMode.Default]]'s xxhash64 is structurally typed and
@@ -47,6 +57,8 @@ sealed abstract class HashMode(val bits: Int) {
 object HashMode {
   case object Default extends HashMode(64) {
     def hash(cols: Column*): Column = xxhash64(cols: _*)
+    override def nonNegHash(cols: Column*): Column =
+      shiftrightunsigned(xxhash64(cols: _*), 1)
     def minhashPrep(shingle: Column): Seq[(String, Column)] = Nil
     def seededHash(i: Int): Column = xxhash64(lit(i), col("shingle"))
     def minhashPrepElem(s: Column): Column = s

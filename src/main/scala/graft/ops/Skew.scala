@@ -69,8 +69,10 @@ object Skew {
       hotThreshold: Long,
       broadcastMaxRows: Long = 4L << 20
   ): DataFrame = {
-    val hot = hotKeys(left, keys, hotThreshold).select(keys.map(col): _*).persist()
-    val rightHot = right.join(broadcast(hot), keys, "left_semi").persist()
+    val hot = Caching.ensureCachedLazy(
+      hotKeys(left, keys, hotThreshold).select(keys.map(col): _*))
+    val rightHot = Caching.ensureCachedLazy(
+      right.join(broadcast(hot), keys, "left_semi"))
     val rightHotRows = rightHot.count()
     if (rightHotRows > broadcastMaxRows) {
       hot.unpersist(); rightHot.unpersist()

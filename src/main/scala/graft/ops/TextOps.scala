@@ -120,7 +120,7 @@ object TextOps {
     // callers pay it too): `total` below derives from `counts`,
     // and without the cache each consumer re-tokenises the corpus (the two
     // scan subtrees don't reuse each other's exchange). Vocabulary-sized.
-    counts.persist(); counts.count()
+    Caching.ensureCached(counts)
     // global total via broadcast scalar — an empty-partition window would
     // funnel the whole vocabulary through one task
     val total = counts.agg(sum(col("term_freq")).as("_total"))
@@ -342,7 +342,7 @@ object TextOps {
     // (the static plan shows two full scan subtrees, no exchange reuse).
     // The cached frame is one row per distinct (doc, token): the compressed
     // token stream, not the corpus.
-    tf.persist(); tf.count()
+    Caching.ensureCached(tf)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("_ndocs"))
     val scored = tf.join(dfreq, Seq("token"))
@@ -392,7 +392,7 @@ object TextOps {
     // subtrees). The cached frame is bigram-vocabulary-sized, not
     // corpus-sized. Cached until the ContextCleaner GCs it; loop callers
     // should clearCache() between batches.
-    counts.persist(); counts.count()
+    Caching.ensureCached(counts)
     statsFromCounts(counts, minCount)
   }
 
@@ -515,7 +515,7 @@ object TextOps {
         element_at(split(col("bigram"), " "), 1).as("w1"),
         element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
     // same persist rationale as bigramLm: two consumers, vocab-sized
-    grouped.persist(); grouped.count()
+    Caching.ensureCached(grouped)
     val target = statsFromCounts(
       grouped.filter(col("_tgt")).select(col("w1"), col("w2"), col("n")),
       minCountTarget)
@@ -652,12 +652,16 @@ object TextOps {
     * array: whole tokens only, case and token content preserved (only
     * inter-token whitespace collapses to single spaces), plus the
     * kept-token count. Empty tokens are filtered BEFORE the slice so
-    * leading whitespace never consumes a budget slot. */
+    * leading whitespace never consumes a budget slot. Null text follows
+    * the family's empty-doc contract (matching [[windowChunks]]): empty
+    * string out, 0 tokens kept — split(null) would otherwise propagate
+    * null into both output columns. */
   def truncateTokens(docs: DataFrame, maxTokens: Int,
                      textCol: String = "text"): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     docs
-      .withColumn("_tt_toks", explode(array(split(col(textCol), "\\s+"))))
+      .withColumn("_tt_toks",
+        explode(array(split(coalesce(col(textCol), lit("")), "\\s+"))))
       .withColumn("_tt_kept",
         slice(filter(col("_tt_toks"), t => length(t) > 0), 1, maxTokens))
       .withColumn("n_tokens_kept", size(col("_tt_kept")).cast(LongType))
@@ -727,7 +731,7 @@ object TextOps {
       .agg(count(lit(1)).as("c_st"))
     // persisted + eagerly materialised: corpus totals derive from the
     // same frame (vocabulary-sized cache, the TextOps.vocabulary pattern)
-    st.persist(); st.count()
+    Caching.ensureCached(st)
     val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
     val ns = st.groupBy(col("_vd_src")).agg(sum(col("c_st")).as("n_s"))
     val total = ct.agg(sum(col("c_t")).as("_n"))

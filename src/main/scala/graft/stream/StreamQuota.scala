@@ -54,7 +54,7 @@ object StreamQuota {
     val keyed = docs
       .filter(col(weightCol).isNotNull && col(weightCol).cast("long") > 0)
       .withColumn("_wq_key", stratum)
-      .withColumn("_wq_h", mode.hash(lit(salt), col(idCol)))
+      .withColumn("_wq_h", mode.nonNegHash(lit(salt), col(idCol)))
       .withColumn("_wq_w", col(weightCol).cast("long"))
       .withColumn("_wq_pri", expr("_wq_h div _wq_w"))
       .drop("_wq_h", "_wq_w")

@@ -348,8 +348,10 @@ class CurateSpec extends SparkSpec {
     assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
       s2.select("doc_id").as[Long].collect().sorted.toSeq)
     // brute-force twin: the same priority computed through a global sort
+    // (nonNegHash under Default = sign bit dropped before the division)
     val brute = big
-      .select(col("doc_id"), expr("xxhash64('wsamp', doc_id) div w").as("pri"))
+      .select(col("doc_id"),
+        expr("shiftrightunsigned(xxhash64('wsamp', doc_id), 1) div w").as("pri"))
       .orderBy(col("pri"), col("doc_id")).limit(40)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == brute)
@@ -369,11 +371,17 @@ class CurateSpec extends SparkSpec {
     // must out-sample light rows (w=1) under a πps design
     val big = (0L until 1000L).map(i => (i, s"t$i", if (i < 500) 100L else 1L))
       .toDF("doc_id", "text", "w")
-    val kept = Curate.weightedSample(big, k = 100, weightCol = "w",
-      mode = HashMode.Portable)
-      .select("doc_id").as[Long].collect()
-    val heavy = kept.count(_ < 500)
-    assert(heavy > 80, s"expected heavy rows to dominate a πps sample, got $heavy/100")
+    // BOTH modes must tilt the same way: Default used to divide the SIGNED
+    // xxhash64, under which the min-k set came from negative hashes and
+    // heavier weight made a row LESS likely — the πps contract inverted
+    for (mode <- Seq(HashMode.Portable, HashMode.Default)) {
+      val kept = Curate.weightedSample(big, k = 100, weightCol = "w",
+        mode = mode)
+        .select("doc_id").as[Long].collect()
+      val heavy = kept.count(_ < 500)
+      assert(heavy > 80,
+        s"expected heavy rows to dominate a πps sample under $mode, got $heavy/100")
+    }
   }
 
   test("boilerplateRatio flags k-grams shared by at least minDocs documents") {

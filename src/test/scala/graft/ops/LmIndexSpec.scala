@@ -63,6 +63,15 @@ class LmIndexSpec extends SparkSpec {
       .collect().toSet ==
       LmIndex.load(spark, dirFull).as[(String, String, Long, Double)]
         .collect().toSet)
+    // in-place merge refused: overwrite would delete the input counts
+    // before the lazy union plan reads them (also under path respelling)
+    val e = intercept[IllegalArgumentException] {
+      LmIndex.merge(spark, dirOld, newDocs, dirOld)
+    }
+    assert(e.getMessage.contains("in place"))
+    intercept[IllegalArgumentException] {
+      LmIndex.merge(spark, dirOld, newDocs, s"file:$dirOld")
+    }
   }
 
   test("recorded cuts reproduce perplexityBuckets when self-calibrated; fixed cuts for new data") {

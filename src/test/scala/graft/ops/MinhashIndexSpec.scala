@@ -55,6 +55,12 @@ class MinhashIndexSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(MinhashIndex.probe(spark, dirM, later).as[(Long, Long)].collect().toSet ==
       MinhashIndex.probe(spark, dirF, later).as[(Long, Long)].collect().toSet)
+    // in-place merge refused: overwrite would delete the input signatures
+    // before the lazy union plan reads them
+    val e = intercept[IllegalArgumentException] {
+      MinhashIndex.merge(spark, dirA, arrivals, dirA)
+    }
+    assert(e.getMessage.contains("in place"))
   }
 
   test("probe never re-signatures the corpus: index side is a bare scan") {

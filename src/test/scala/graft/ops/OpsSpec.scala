@@ -53,6 +53,14 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_tokens_kept") == 2L)
     assert(out(2).getAs[String]("text") == "")
     assert(out(2).getAs[Long]("n_tokens_kept") == 0L)
+    // null text follows the family's empty-doc contract (windowChunks'):
+    // empty string out, 0 kept — not null propagation
+    val withNull = d.unionByName(
+      Seq(4L).toDF("doc_id").withColumn("text", lit(null: String)))
+    val nout = TextOps.truncateTokens(withNull, maxTokens = 3)
+      .filter(col("doc_id") === 4L).collect()(0)
+    assert(nout.getAs[String]("text") == "")
+    assert(nout.getAs[Long]("n_tokens_kept") == 0L)
   }
 
   test("bigramLm: conditional probabilities normalise over ALL continuations") {
