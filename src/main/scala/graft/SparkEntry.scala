@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{Curate, ExactSubstr, HashMode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, VectorOps}
+import graft.ops.{Curate, ExactSubstr, HashMode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, UrlOps, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,6 +17,27 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     T.load(s, dir, name)
+
+  /** documents + a deterministic synthetic `url` column (testdata carries
+    * no URL column — SURVEY r7 backlog item): scheme, www subdomain,
+    * multi-label public suffix, explicit default and non-default ports,
+    * path and query string are all pure functions of (doc_id, source),
+    * spelled IDENTICALLY in the DuckDB oracles' `u` CTE, so every parse
+    * branch of [[UrlOps]] is exercised and gateable. Path is `/p<id%5>`
+    * (coarse on purpose: canonical-URL collisions exist at every scale,
+    * so q_url_dedup actually dedups). */
+  private def docsWithUrl(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("url", concat(
+      when(col("doc_id") % 7 === 0, lit("http://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      col("source"),
+      when(col("doc_id") % 4 === 0, lit(".co.uk")).otherwise(lit(".com")),
+      when(col("doc_id") % 11 === 0, lit(":8080"))
+        .when(col("doc_id") % 7 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p"), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("?ref="), (col("doc_id") % 3).cast("string")))
+        .otherwise(lit(""))))
 
   private val lineitemSpecs = Expectations.fromContract(DemoContracts.lineitem)
 
@@ -347,6 +368,23 @@ object SparkEntry {
             col("lang"), col("source"), col("n_chars")))
       Curate.snapshotDiff(docs, tomorrow)
     }),
+    // ---- URL/domain curation (SURVEY r7 backlog) -----------------------
+    // testdata has no URL column, so the gated queries parse a synthetic
+    // url derived from (doc_id, source) — see docsWithUrl; the operators
+    // themselves are generic over any url column
+    "q_url_parse" -> ((s, d) =>
+      UrlOps.parseUrls(docsWithUrl(s, d))
+        .select(col("doc_id"), col("scheme"), col("host"), col("port"),
+          col("path"), col("query"), col("domain"))),
+    "q_domain_cap" -> ((s, d) =>
+      UrlOps.capPerDomain(docsWithUrl(s, d), cap = 3)
+        .select(col("doc_id"), col("source"))),
+    "q_domain_blocklist" -> ((s, d) =>
+      UrlOps.dropBlockedDomains(docsWithUrl(s, d),
+        Seq("src3.com", "src7.co.uk"))
+        .select(col("doc_id"), col("source"), col("lang"))),
+    "q_domain_stats" -> ((s, d) => UrlOps.domainMix(docsWithUrl(s, d))),
+    "q_url_dedup" -> ((s, d) => UrlOps.dedupUrls(docsWithUrl(s, d))),
     // reproducible epoch-1 training order over 8 shards
     "q_epoch_order" -> ((s, d) =>
       Curate.epochOrder(t(s, d, "documents"), epoch = 1, nShards = 8,
@@ -730,6 +768,43 @@ object SparkEntry {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE ${h60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "q_url_parse" ->
+      s"""$urlCte
+        |SELECT doc_id, scheme, host, port, path, "query",
+        |  $domainSql AS domain
+        |FROM p""".stripMargin,
+    "q_domain_cap" ->
+      s"""$urlCte
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, $domainSql AS domain FROM p)
+        |QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id ASC) <= 3""".stripMargin,
+    "q_domain_blocklist" ->
+      s"""$urlCte
+        |SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang, $domainSql AS domain FROM p)
+        |WHERE domain NOT IN ('src3.com', 'src7.co.uk')""".stripMargin,
+    "q_domain_stats" ->
+      s"""$urlCte
+        |SELECT domain, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM (
+        |    SELECT count(*) AS n_docs FROM (
+        |      SELECT $domainSql AS domain FROM p) GROUP BY domain)), 6) AS share
+        |FROM (
+        |  SELECT domain, count(*) AS n_docs FROM (
+        |    SELECT $domainSql AS domain FROM p) GROUP BY domain)""".stripMargin,
+    "q_url_dedup" ->
+      s"""$urlCte
+        |SELECT min(doc_id) AS doc_id, url_canon FROM (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port IS NOT NULL
+        |          AND NOT (scheme = 'http' AND port = 80)
+        |          AND NOT (scheme = 'https' AND port = 443)
+        |     THEN ':' || CAST(port AS VARCHAR) ELSE '' END) ||
+        |    (CASE WHEN path = '' THEN '/'
+        |     ELSE regexp_replace(path, '(.)/$$', '\\1') END) AS url_canon
+        |  FROM p)
+        |GROUP BY url_canon""".stripMargin,
     "q_epoch_order" ->
       s"""SELECT doc_id, CAST(h % 8 AS INT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
@@ -1906,6 +1981,50 @@ object SparkEntry {
     * order agrees across engines. */
   private def h60(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Shared CTE for the URL-family oracles: `u` mirrors [[docsWithUrl]]'s
+    * synthetic url EXPRESSION-FOR-EXPRESSION; `p` mirrors [[UrlOps]]'
+    * parse regexes (identical patterns — both engines return '' on no
+    * match, which the operators rely on). "query" is quoted: DuckDB
+    * reserves the bare word. */
+  private val urlCte: String =
+    """WITH u AS (
+      |  SELECT doc_id, source, lang,
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END ||
+      |     CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |     source ||
+      |     CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END ||
+      |     CASE WHEN doc_id % 11 = 0 THEN ':8080'
+      |          WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END ||
+      |     '/p' || CAST(doc_id % 5 AS VARCHAR) ||
+      |     CASE WHEN doc_id % 6 = 0 THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR)
+      |          ELSE '' END) AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, lang, url,
+      |    regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+      |    lower(regexp_extract(
+      |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+      |      '^([^:]+)', 1)) AS host,
+      |    CAST(nullif(regexp_extract(
+      |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+      |      ':([0-9]+)$', 1), '') AS BIGINT) AS port,
+      |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '[?]([^#]*)', 1) AS "query"
+      |  FROM u)""".stripMargin
+
+  /** Registrable-domain expression over `host` — the oracle twin of
+    * [[UrlOps.registrableDomain]] restricted to the suffixes the
+    * synthetic corpus can produce (`co.uk` before `com`, longest first,
+    * exactly the operator's match order). */
+  private val domainSql: String =
+    """CASE WHEN regexp_matches(host, '[.]co[.]uk$')
+      |       THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
+      |     WHEN regexp_matches(host, '[.]com$')
+      |       THEN regexp_extract(host, '([^.]+[.]com)$', 1)
+      |     WHEN regexp_matches(host, '[.]')
+      |       THEN regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+      |     ELSE host END""".stripMargin.replace("\n", " ")
 
   /** Fixed toy weight vector for the hashed-classifier gate (64 buckets,
     * values in [-0.50, 0.50]) — a stand-in for any externally trained
