@@ -5,7 +5,6 @@ import graft.draft.Drafter
 import graft.quality.ValidationResult
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import java.nio.file.{Files, Paths}
 
 /** One pipeline run's recorded read/write against a dataset version —
   * the reference's pipeline-activity record
@@ -65,14 +64,20 @@ final case class DatasetStatus(
   * (`governance/backend/local.py:129`): persist per-(dataset, version)
   * validation outcomes, maintain dataset↔contract links, answer status
   * queries, and propose draft contracts from violation feedback. All
-  * records are driver-side metadata (verdicts and links, never data). */
-final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] = None) {
+  * records are driver-side metadata (verdicts and links, never data).
+  *
+  * Persistence is pluggable (the reference's store seam,
+  * `governance/backend/stores/`): [[FsGovernanceStore]] by default (the
+  * string constructors), [[JdbcGovernanceStore]] for SQL,
+  * [[SparkTableGovernanceStore]]/[[DeltaGovernanceStore]] for
+  * table-backed deployments — matching the contract side's
+  * Fs/JDBC/Spark-table/Delta store family. */
+final class GovernanceBackend(store: GovernanceStore, contracts: Option[ContractStore]) {
 
-  private val root = Paths.get(rootDir)
-  Files.createDirectories(root.resolve("status"))
-  Files.createDirectories(root.resolve("links"))
-  Files.createDirectories(root.resolve("activity"))
-  private def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+  def this(rootDir: String, contracts: Option[ContractStore]) =
+    this(new FsGovernanceStore(rootDir), contracts)
+  def this(rootDir: String) = this(rootDir, None)
+  def this(store: GovernanceStore) = this(store, None)
 
   /** ok (clean) / warn (warnings only) / block (errors) — delegates to
     * the canonical [[ValidationResult.recordStatus]]. */
@@ -114,8 +119,7 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       "metrics" -> JObject(record.metrics.toList.map { case (k, v) => k -> (JDouble(v): JValue) }),
       "metricsRaw" -> JObject(metricsRaw),
       "recordedAt" -> JLong(record.recordedAt))
-    Files.writeString(
-      root.resolve("status").resolve(safe(s"$datasetId@$datasetVersion") + ".json"),
+    store.putStatus(datasetId, datasetVersion,
       JsonMethods.pretty(JsonMethods.render(json)))
     if (proposeDraftOnFeedback)
       // caller-supplied draft context (pipeline name, run id, ...) rides
@@ -177,57 +181,14 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     }
   }
 
-  def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] = {
-    val f = root.resolve("status").resolve(safe(s"$datasetId@$datasetVersion") + ".json")
-    if (!Files.exists(f)) None else parseStatus(Files.readString(f))
-  }
+  def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] =
+    store.getStatus(datasetId, datasetVersion).flatMap(parseStatus)
 
-  // One record per line: "contractId:contractVersion\tdatasetId". The raw
-  // id rides in the payload because filenames are sanitised, and one file
-  // can hold SEVERAL records when sanitisation collides distinct ids
-  // ("a/b" and "a:b" both map to "a_b") — a per-id rewrite must not drop
-  // the other id's link. Legacy formats (2-line link+id, pre-r4 one-line
-  // link-only) are still readable; the id of a one-line file is
-  // unrecoverable (None).
-  private def parseLinks(text: String): Seq[(Option[String], String, String)] = {
-    val lines = text.linesIterator.toSeq.filter(_.nonEmpty)
-    if (lines.exists(_.contains('\t')))
-      lines.flatMap { l =>
-        l.split("\t", 2) match {
-          case Array(link, id) => link.split(":", 2) match {
-            case Array(c, v) => Some((Some(id), c, v))
-            case _           => None
-          }
-          case _ => None
-        }
-      }
-    else
-      lines.headOption.toSeq.flatMap(_.split(":", 2) match {
-        case Array(c, v) => Some((lines.drop(1).headOption, c, v))
-        case _           => None
-      })
-  }
+  def linkDatasetContract(datasetId: String, contractId: String, contractVersion: String): Unit =
+    store.putLink(datasetId, contractId, contractVersion)
 
-  def linkDatasetContract(datasetId: String, contractId: String, contractVersion: String): Unit = {
-    val f = root.resolve("links").resolve(safe(datasetId) + ".txt")
-    val existing = if (Files.exists(f)) parseLinks(Files.readString(f)) else Nil
-    // a legacy no-id record shares this sanitised filename, so the new
-    // write for that name supersedes it (forall: None is replaced too)
-    val kept = existing.filterNot { case (id, _, _) => id.forall(_ == datasetId) }
-    val all = kept :+ ((Option(datasetId), contractId, contractVersion))
-    Files.writeString(f,
-      all.map { case (id, c, v) => s"$c:$v\t${id.getOrElse("")}" }.mkString("\n"))
-  }
-
-  def linkedContract(datasetId: String): Option[(String, String)] = {
-    val f = root.resolve("links").resolve(safe(datasetId) + ".txt")
-    if (!Files.exists(f)) None
-    else {
-      val recs = parseLinks(Files.readString(f))
-      recs.collectFirst { case (Some(`datasetId`), c, v) => (c, v) }
-        .orElse(recs.collectFirst { case (None, c, v) => (c, v) })
-    }
-  }
+  def linkedContract(datasetId: String): Option[(String, String)] =
+    store.getLink(datasetId)
 
   /** Append one pipeline-activity record (reference
     * `register_read_activity`/`register_write_activity`,
@@ -253,10 +214,7 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
       "context" -> JObject(rec.context.toList.sortBy(_._1).map {
         case (k, v) => k -> (JString(v): JValue)
       }))))
-    Files.writeString(
-      root.resolve("activity").resolve(safe(datasetId) + ".jsonl"),
-      json + "\n",
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    store.appendActivity(datasetId, json)
     rec
   }
 
@@ -266,34 +224,37 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
   def pipelineActivity(
       datasetId: String,
       datasetVersion: Option[String] = None
-  ): Seq[(PipelineActivity, Option[DatasetStatus])] = {
-    val f = root.resolve("activity").resolve(safe(datasetId) + ".jsonl")
-    if (!Files.exists(f)) Nil
-    else Files.readString(f).linesIterator.filter(_.nonEmpty).toSeq.flatMap { line =>
-      // a torn line (concurrent cross-process appends are not atomic) must
-      // not poison the whole log — skip anything that doesn't parse to an
-      // activity object
-      scala.util.Try(JsonMethods.parse(line)).toOption.collect {
-        case JObject(fs) if fs.nonEmpty => fs.toMap
-      }.flatMap { fields =>
-        def str(k: String) = fields.get(k).collect { case JString(v) => v }.getOrElse("")
-        val at = fields.get("recordedAt") match {
-          case Some(JLong(v)) => v
-          case Some(JInt(v)) => v.toLong
-          case _ => 0L
-        }
-        val ctx = fields.get("context") match {
-          case Some(JObject(cs)) => cs.collect { case (k, JString(v)) => k -> v }.toMap
-          case _ => Map.empty[String, String]
-        }
-        val rec = PipelineActivity(str("pipeline"), str("operation"), str("datasetId"),
-          str("datasetVersion"), str("contractId"), str("contractVersion"), at, ctx)
-        if (datasetVersion.forall(_ == rec.datasetVersion))
+  ): Seq[(PipelineActivity, Option[DatasetStatus])] =
+    store.activityLines(datasetId).flatMap { line =>
+      parseActivityLine(line).flatMap { rec =>
+        // the payload id is authoritative — a store that can only key by
+        // sanitised filename over-returns collided ids' records here
+        if (rec.datasetId == datasetId && datasetVersion.forall(_ == rec.datasetVersion))
           Some(rec -> getStatus(rec.datasetId, rec.datasetVersion))
         else None
       }
     }
-  }
+
+  // a torn line (concurrent cross-process appends are not atomic) must
+  // not poison the whole log — skip anything that doesn't parse to an
+  // activity object
+  private def parseActivityLine(line: String): Option[PipelineActivity] =
+    scala.util.Try(JsonMethods.parse(line)).toOption.collect {
+      case JObject(fs) if fs.nonEmpty => fs.toMap
+    }.map { fields =>
+      def str(k: String) = fields.get(k).collect { case JString(v) => v }.getOrElse("")
+      val at = fields.get("recordedAt") match {
+        case Some(JLong(v)) => v
+        case Some(JInt(v)) => v.toLong
+        case _ => 0L
+      }
+      val ctx = fields.get("context") match {
+        case Some(JObject(cs)) => cs.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+      PipelineActivity(str("pipeline"), str("operation"), str("datasetId"),
+        str("datasetVersion"), str("contractId"), str("contractVersion"), at, ctx)
+    }
 
   /** Draft lifecycle (reference `review_validation_outcome`/draft
     * handling, `local.py:333-409`): drafts proposed into the attached
@@ -330,28 +291,15 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     * reference's `list_datasets` (`local.py:627`). Authoritative ids live
     * inside each payload (filenames are sanitised). */
   def listDatasets(): Seq[String] = {
-    def listDir(sub: String): Seq[java.nio.file.Path] =
-      scala.util.Using.resource(Files.list(root.resolve(sub))) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq
-      }
     val fromStatus = statusMatrix().map(_.datasetId)
-    // pre-r4 one-line link files carry no recoverable id (the filename is
-    // sanitised) — such datasets appear here only once they also have a
-    // status or activity record. Every record's id is scanned: a collided
-    // links file ("a/b" and "a:b" → "a_b") holds several.
-    val fromLinks = listDir("links").flatMap(f =>
-      parseLinks(Files.readString(f)).flatMap { case (id, _, _) => id })
-    // scan EVERY line: a sanitised filename can collide two dataset ids
-    // into one file (e.g. "a/b" and "a:b" → "a_b"), and a malformed first
-    // line must not hide the ids recorded after it
-    val fromActivity = listDir("activity").flatMap { f =>
-      Files.readString(f).linesIterator.filter(_.nonEmpty).flatMap { line =>
-        scala.util.Try(JsonMethods.parse(line)).toOption.collect {
-          case JObject(fs) => fs.toMap
-        }.flatMap(_.get("datasetId").collect { case JString(v) => v })
-      }.toSeq
-    }
+    // links: ids recoverable from payloads only (the filesystem store's
+    // pre-r4 one-line files carry none — such datasets appear here only
+    // once they also have a status or activity record)
+    val fromLinks = store.linkedDatasetIds()
+    // scan EVERY activity line: a malformed line must not hide the ids
+    // recorded after it, and filesystem stores collide sanitised names
+    val fromActivity = store.allActivityLines()
+      .flatMap(parseActivityLine).map(_.datasetId).filter(_.nonEmpty)
     (fromStatus ++ fromLinks ++ fromActivity).distinct.sorted
   }
 
@@ -387,13 +335,8 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
   /** All recorded (dataset, version) statuses — the status-matrix view
     * (authoritative ids live inside each payload, filenames are
     * sanitised). */
-  def statusMatrix(): Seq[DatasetStatus] = {
-    val files = scala.util.Using.resource(Files.list(root.resolve("status"))) { s =>
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
-    }
-    files.flatMap(f => parseStatus(Files.readString(f)))
-  }
+  def statusMatrix(): Seq[DatasetStatus] =
+    store.listStatuses().flatMap(parseStatus)
 
   /** Per-dataset metric history — the reference's `dq_metrics` charting
     * surface: one [[MetricObservation]] per (version, metric), text value
@@ -401,19 +344,10 @@ final class GovernanceBackend(rootDir: String, contracts: Option[ContractStore] 
     * Records written before the `metricsRaw` payload existed fall back to
     * their numeric metrics map. Ordered (recordedAt, version, key). */
   def metricHistory(datasetId: String): Seq[MetricObservation] = {
-    // filenames are safe("<id>@<version>") and sanitisation is per-char,
-    // so every record of this dataset starts with safe(id) + "_" — the
-    // prefix prunes unrelated files before any parse; the payload check
-    // below still arbitrates prefix COLLISIONS (two ids sanitising alike)
-    val prefix = safe(datasetId) + "_"
-    val files = scala.util.Using.resource(Files.list(root.resolve("status"))) { s =>
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith(prefix))
-        .sortBy(_.getFileName.toString)
-    }
-    files.flatMap { f =>
-      val parsed = JsonMethods.parse(Files.readString(f))
+    // statusesFor may over-return (the filesystem store prefix-prunes
+    // sanitised filenames); the payload check below arbitrates collisions
+    store.statusesFor(datasetId).flatMap { doc =>
+      val parsed = JsonMethods.parse(doc)
       parseStatusJson(parsed).filter(_.datasetId == datasetId).toSeq.flatMap { st =>
         val fields = parsed match {
           case JObject(fs) => fs.toMap
