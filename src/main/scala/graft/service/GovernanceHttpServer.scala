@@ -1,0 +1,166 @@
+package graft.service
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.contracts.{ContractJson, ContractStore}
+import graft.governance.{DatasetStatus, GovernanceBackend}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+
+/** Thin HTTP facade over a contract store and governance backend — the
+  * deployment-mode twin of the reference's service backend server
+  * (`dc43-service-backends/src/dc43_service_backends/server.py:1-680`):
+  * the same in-process library semantics, exposed to out-of-process
+  * pipelines over JSON/HTTP. Built on the JDK's `com.sun.net.httpserver`
+  * (no server dependency); [[HttpContractStore]] is the matching remote
+  * client. All ids travel as QUERY PARAMETERS, never path segments, so
+  * raw ids containing `/` or `:` need no sanitisation on the wire.
+  *
+  * Routes (JSON in/out):
+  *  - `GET  /health`
+  *  - `GET  /contracts`                         → `{"ids":[...]}`
+  *  - `GET  /contracts/versions?id=`            → `{"versions":[...]}`
+  *  - `GET  /contracts/get?id=&version=`        → ODCS JSON | 404
+  *  - `GET  /contracts/latest?id=`              → ODCS JSON | 404
+  *  - `POST /contracts/put` (body ODCS JSON)    → 204
+  *  - `GET  /governance/status?dataset=&version=` → verdict JSON | 404
+  *  - `GET  /governance/datasets`               → `{"ids":[...]}`
+  *  - `GET  /governance/link?dataset=`          → link JSON | 404
+  *  - `POST /governance/link?dataset=&contractId=&contractVersion=` → 204
+  *  - `GET  /governance/activity?dataset=[&version=]` → activity JSON array
+  */
+final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBackend,
+                                 port: Int = 0) {
+
+  private var server: Option[HttpServer] = None
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).toSeq
+      .flatMap(_.split("&").toSeq).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(URLDecoder.decode(k, "UTF-8") ->
+            URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonIds(key: String, ids: Seq[String]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject(key -> JArray(ids.toList.map(JString(_))))))
+
+  private def statusJson(st: DatasetStatus): JValue = JObject(
+    "datasetId" -> JString(st.datasetId),
+    "datasetVersion" -> JString(st.datasetVersion),
+    "contractId" -> JString(st.contractId),
+    "contractVersion" -> JString(st.contractVersion),
+    "status" -> JString(st.status),
+    "errors" -> JArray(st.errors.toList.map(JString(_))),
+    "warnings" -> JArray(st.warnings.toList.map(JString(_))),
+    "metrics" -> JObject(st.metrics.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JDouble(v): JValue) }),
+    "recordedAt" -> JLong(st.recordedAt))
+
+  // every handler answers 400 on a missing parameter and 500 with the
+  // message on an unexpected failure, so a bad client call can never
+  // take the server down
+  private def handler(f: (HttpExchange, Map[String, String]) => Unit)
+      : com.sun.net.httpserver.HttpHandler = { ex =>
+    try f(ex, params(ex))
+    catch {
+      case e: NoSuchElementException =>
+        respond(ex, 400, s"""{"error":"missing parameter: ${e.getMessage}"}""")
+      case e: Exception =>
+        respond(ex, 500, JsonMethods.compact(JsonMethods.render(
+          JObject("error" -> JString(String.valueOf(e.getMessage))))))
+    }
+  }
+
+  /** Bind and start; returns the bound port (an ephemeral one for
+    * `port = 0`, the spec-friendly default). */
+  def start(): Int = synchronized {
+    require(server.isEmpty, "server already started")
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    s.createContext("/health", handler((ex, _) => respond(ex, 200, """{"ok":true}""")))
+
+    s.createContext("/contracts/versions", handler { (ex, p) =>
+      respond(ex, 200, jsonIds("versions", contracts.listVersions(p("id"))))
+    })
+    s.createContext("/contracts/get", handler { (ex, p) =>
+      contracts.get(p("id"), p("version")) match {
+        case Some(c) => respond(ex, 200, ContractJson.toJson(c))
+        case None => respond(ex, 404, """{"error":"not found"}""")
+      }
+    })
+    s.createContext("/contracts/latest", handler { (ex, p) =>
+      contracts.latest(p("id")) match {
+        case Some(c) => respond(ex, 200, ContractJson.toJson(c))
+        case None => respond(ex, 404, """{"error":"not found"}""")
+      }
+    })
+    s.createContext("/contracts/put", handler { (ex, _) =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      contracts.put(ContractJson.fromJson(body))
+      respond(ex, 204, "")
+    })
+    s.createContext("/contracts", handler { (ex, _) =>
+      respond(ex, 200, jsonIds("ids", contracts.listContractIds()))
+    })
+
+    s.createContext("/governance/status", handler { (ex, p) =>
+      gov.getStatus(p("dataset"), p("version")) match {
+        case Some(st) => respond(ex, 200, JsonMethods.compact(JsonMethods.render(statusJson(st))))
+        case None => respond(ex, 404, """{"error":"not found"}""")
+      }
+    })
+    s.createContext("/governance/datasets", handler { (ex, _) =>
+      respond(ex, 200, jsonIds("ids", gov.listDatasets()))
+    })
+    s.createContext("/governance/link", handler { (ex, p) =>
+      if (ex.getRequestMethod == "POST") {
+        gov.linkDatasetContract(p("dataset"), p("contractId"), p("contractVersion"))
+        respond(ex, 204, "")
+      } else gov.linkedContract(p("dataset")) match {
+        case Some((c, v)) => respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+          JObject("contractId" -> JString(c), "contractVersion" -> JString(v)))))
+        case None => respond(ex, 404, """{"error":"not found"}""")
+      }
+    })
+    s.createContext("/governance/activity", handler { (ex, p) =>
+      val acts = gov.pipelineActivity(p("dataset"), p.get("version"))
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+        JArray(acts.toList.map { case (a, st) =>
+          JObject(
+            "pipeline" -> JString(a.pipeline),
+            "operation" -> JString(a.operation),
+            "datasetId" -> JString(a.datasetId),
+            "datasetVersion" -> JString(a.datasetVersion),
+            "contractId" -> JString(a.contractId),
+            "contractVersion" -> JString(a.contractVersion),
+            "recordedAt" -> JLong(a.recordedAt),
+            "status" -> st.map(statusJson).getOrElse(JNull: JValue))
+        }))))
+    })
+
+    // small fixed pool: a metadata facade, not a data plane
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    server.foreach(_.stop(0))
+    server = None
+  }
+}

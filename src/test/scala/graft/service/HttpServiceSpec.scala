@@ -1,0 +1,107 @@
+package graft.service
+
+import graft.{DemoContracts, SparkSpec}
+import graft.contracts.FsContractStore
+import graft.governance.GovernanceBackend
+
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+
+/** Server + remote client over a real localhost socket — the reference's
+  * service deployment mode (`server.py` + `remote.py`) exercised
+  * end-to-end: remote puts land in the backing store, reads round-trip
+  * ODCS JSON bit-for-bit, raw ids with `/` and `:` survive the wire, and
+  * governance verdicts recorded in-process are readable over HTTP. */
+class HttpServiceSpec extends SparkSpec {
+
+  private def withServer[A](f: (String, FsContractStore, GovernanceBackend) => A): A = {
+    val root = tmpDir("graft_http")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val server = new GovernanceHttpServer(store, gov)
+    val port = server.start()
+    try f(s"http://127.0.0.1:$port", store, gov)
+    finally server.stop()
+  }
+
+  private def getJson(url: String): (Int, String) = {
+    val r = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("remote contract store round-trips puts, gets, listings and latest") {
+    withServer { (url, store, _) =>
+      val remote = new HttpContractStore(url)
+      assert(remote.listContractIds().isEmpty)
+      assert(remote.get("sales.lineitem", "1.2.0").isEmpty) // 404 -> None
+
+      remote.put(DemoContracts.lineitem)
+      // the remote put landed in the server's backing store
+      assert(store.get(DemoContracts.lineitem.id, DemoContracts.lineitem.version).nonEmpty)
+
+      val back = remote.get(DemoContracts.lineitem.id, DemoContracts.lineitem.version).get
+      assert(graft.contracts.ContractJson.toJson(back) ==
+        graft.contracts.ContractJson.toJson(DemoContracts.lineitem))
+      assert(remote.listVersions(DemoContracts.lineitem.id) ==
+        Seq(DemoContracts.lineitem.version))
+      assert(remote.listContractIds() == Seq(DemoContracts.lineitem.id))
+
+      // latest resolves released-over-prerelease (same core) on the SERVER
+      remote.put(DemoContracts.lineitem.copy(
+        version = DemoContracts.lineitem.version + "-draft"))
+      assert(remote.latest(DemoContracts.lineitem.id).get.version ==
+        DemoContracts.lineitem.version)
+    }
+  }
+
+  test("raw ids with separators survive the wire as query parameters") {
+    // exact-keyed JDBC backing, so any collision would have to come from
+    // the WIRE (the filesystem store would collide these in the backing
+    // store itself, hiding a transport bug)
+    val root = tmpDir("graft_http_db")
+    val store = new graft.contracts.JdbcContractStore(s"jdbc:derby:$root/db;create=true")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val server = new GovernanceHttpServer(store, gov)
+    val port = server.start()
+    try {
+      val remote = new HttpContractStore(s"http://127.0.0.1:$port")
+      val weird = DemoContracts.lineitem.copy(id = "team a/sales:lineitem")
+      remote.put(weird)
+      assert(remote.get("team a/sales:lineitem", weird.version).map(_.id).contains(weird.id))
+      assert(remote.listVersions("team a/sales:lineitem") == Seq(weird.version))
+      // the sanitised-colliding sibling id stays distinct over the wire
+      assert(remote.get("team a/sales_lineitem", weird.version).isEmpty)
+    } finally server.stop()
+  }
+
+  test("governance verdicts, links and activity are readable over HTTP") {
+    withServer { (url, _, gov) =>
+      val c = DemoContracts.lineitemAlign
+      val vr = graft.quality.ValidationResult(ok = false, Seq("boom"), Nil,
+        Map("row_count" -> 5L), Map.empty)
+      gov.recordValidation("sales.d/1", "v1", c, vr, proposeDraftOnFeedback = false)
+      gov.linkDatasetContract("sales.d/1", c.id, c.version)
+      gov.recordActivity("pipe", "write", "sales.d/1", "v1", c)
+
+      val (sc, body) = getJson(
+        s"$url/governance/status?dataset=sales.d%2F1&version=v1")
+      assert(sc == 200 && body.contains("\"status\":\"block\"") && body.contains("boom"))
+
+      assert(getJson(s"$url/governance/datasets")._2.contains("sales.d/1"))
+
+      val (lc, link) = getJson(s"$url/governance/link?dataset=sales.d%2F1")
+      assert(lc == 200 && link.contains(c.id))
+
+      val (ac, acts) = getJson(s"$url/governance/activity?dataset=sales.d%2F1")
+      assert(ac == 200 && acts.contains("\"pipeline\":\"pipe\"")
+        && acts.contains("\"status\":\"block\"")) // activity joined to verdict
+
+      // missing parameter is a clean 400, not a server fault
+      assert(getJson(s"$url/governance/status?dataset=x")._1 == 400)
+      // absent verdict is a domain 404
+      assert(getJson(s"$url/governance/status?dataset=nope&version=v9")._1 == 404)
+    }
+  }
+}
