@@ -52,6 +52,25 @@ final case class SchemaObjectDef(
     quality: Seq[QualityRule] = Nil
 )
 
+/** One ODCS `servers` entry — where a contract's data physically lives.
+  * The slice the reference reads: catalog/schema/dataset compose a
+  * governed-catalog table identifier (dc43
+  * `governance/unity_catalog.py:183-212`), `schema` falling back to the
+  * legacy `database` spelling on decode; path/format/host describe
+  * file-backed servers. */
+final case class ServerDef(
+    server: Option[String] = None,
+    /** ODCS `type` (e.g. "local", "s3", "databricks"). */
+    serverType: Option[String] = None,
+    host: Option[String] = None,
+    path: Option[String] = None,
+    format: Option[String] = None,
+    catalog: Option[String] = None,
+    /** ODCS `schema` (legacy `database`). */
+    schemaName: Option[String] = None,
+    dataset: Option[String] = None
+)
+
 final case class Contract(
     id: String,
     version: String,
@@ -61,6 +80,7 @@ final case class Contract(
     kind: String = "DataContract",
     apiVersion: String = "v3.0.2",
     schema: Seq[SchemaObjectDef] = Nil,
+    servers: Seq[ServerDef] = Nil,
     customProperties: Map[String, String] = Map.empty
 ) {
   /** All properties across schema objects, first occurrence wins on name

@@ -29,6 +29,9 @@ object ContractJson {
       c.description.map(v => "description" -> JString(v)) ++
       c.status.map(v => "status" -> JString(v)) ++
       List("schema" -> JArray(c.schema.map(objToJValue).toList)) ++
+      (if (c.servers.nonEmpty)
+         List("servers" -> JArray(c.servers.map(serverToJValue).toList))
+       else Nil) ++
       (if (c.customProperties.nonEmpty)
          List("customProperties" -> JArray(c.customProperties.map { case (k, v) =>
            JObject("property" -> JString(k), "value" -> JString(v))
@@ -54,6 +57,16 @@ object ContractJson {
       f.items.map(i => "items" -> fieldToJValue(i))
     JObject(base: _*)
   }
+
+  private def serverToJValue(s: ServerDef): JValue = JObject(
+    (s.server.map(v => "server" -> (JString(v): JValue)) ++
+      s.serverType.map(v => "type" -> (JString(v): JValue)) ++
+      s.host.map(v => "host" -> (JString(v): JValue)) ++
+      s.path.map(v => "path" -> (JString(v): JValue)) ++
+      s.format.map(v => "format" -> (JString(v): JValue)) ++
+      s.catalog.map(v => "catalog" -> (JString(v): JValue)) ++
+      s.schemaName.map(v => "schema" -> (JString(v): JValue)) ++
+      s.dataset.map(v => "dataset" -> (JString(v): JValue))).toList: _*)
 
   private def ruleToJValue(r: QualityRule): JValue = {
     def dec(v: BigDecimal): JValue = JDecimal(v)
@@ -107,6 +120,10 @@ object ContractJson {
         case Some(JArray(objs)) => objs.map(jvalueToObj)
         case _                  => Nil
       },
+      servers = fields.get("servers") match {
+        case Some(JArray(ss)) => ss.map(jvalueToServer)
+        case _                => Nil
+      },
       customProperties = fields.get("customProperties") match {
         case Some(JArray(items)) =>
           items.flatMap {
@@ -118,6 +135,21 @@ object ContractJson {
         case _ => Map.empty
       }
     )
+  }
+
+  private def jvalueToServer(j: JValue): ServerDef = {
+    val fields = j match { case JObject(fs) => fs.toMap; case _ => Map.empty[String, JValue] }
+    ServerDef(
+      server = fields.get("server").flatMap(str),
+      serverType = fields.get("type").flatMap(str),
+      host = fields.get("host").flatMap(str),
+      path = fields.get("path").flatMap(str),
+      format = fields.get("format").flatMap(str),
+      catalog = fields.get("catalog").flatMap(str),
+      // the reference accepts schema_ / schema / database in that order
+      // (`unity_catalog.py:190`)
+      schemaName = fields.get("schema").orElse(fields.get("database")).flatMap(str),
+      dataset = fields.get("dataset").flatMap(str))
   }
 
   private def jvalueToObj(j: JValue): SchemaObjectDef = {

@@ -184,8 +184,24 @@ final class GovernanceBackend(store: GovernanceStore, contracts: Option[Contract
   def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] =
     store.getStatus(datasetId, datasetVersion).flatMap(parseStatus)
 
-  def linkDatasetContract(datasetId: String, contractId: String, contractVersion: String): Unit =
+  /** Post-link hooks `(datasetId, datasetVersion, contractId,
+    * contractVersion)` — the reference's `DatasetContractLinkHook` seam
+    * (`governance/hooks.py`) through which [[CatalogLinker]] attaches.
+    * Hooks run AFTER the link persists; a throwing hook does not undo
+    * the link (the shipped [[CatalogLinker]] never throws — every
+    * failure path warns). */
+  private val linkHooks =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String) => Unit]
+
+  def addLinkHook(hook: (String, String, String, String) => Unit): this.type = {
+    linkHooks += hook; this
+  }
+
+  def linkDatasetContract(datasetId: String, contractId: String, contractVersion: String,
+                          datasetVersion: String = ""): Unit = {
     store.putLink(datasetId, contractId, contractVersion)
+    linkHooks.foreach(_(datasetId, datasetVersion, contractId, contractVersion))
+  }
 
   def linkedContract(datasetId: String): Option[(String, String)] =
     store.getLink(datasetId)

@@ -164,7 +164,8 @@ final case class GovernedIO(
     governance.foreach { g =>
       g.recordValidation(datasetId, datasetVersion.getOrElse(contract.version),
         contract, result.validation)
-      g.linkDatasetContract(datasetId, contract.id, contract.version)
+      g.linkDatasetContract(datasetId, contract.id, contract.version,
+        datasetVersion.getOrElse(contract.version))
     }
     result
   }

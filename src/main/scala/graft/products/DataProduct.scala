@@ -4,31 +4,60 @@ import graft.contracts.SemVer
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** ODPS-lite data-product model — the slice of the Open Data Product
-  * Standard the reference's runtime reads (dc43 `dc43_core/odps.py:62-186`):
-  * input/output ports binding dataset roles to contract versions, plus
-  * lifecycle status and versioning. */
+/** Open Data Product Standard model — the full field surface the
+  * reference's ODPS helper reads and round-trips (dc43
+  * `dc43_core/odps.py:28-370`): input/output ports binding dataset roles
+  * to contract versions, lifecycle status and versioning, plus the
+  * descriptive payload (name, description, tags, SBOM, authoritative
+  * definitions) and an `extra` passthrough that preserves unknown
+  * attributes verbatim so documents written by newer ODPS revisions
+  * survive a round-trip.
+  *
+  * DEVIATION (documented): the reference keeps `customProperties` as a
+  * list of `{property, value}` dicts with arbitrary JSON values; graft's
+  * whole governance surface is string-valued maps (last-wins on duplicate
+  * keys), so ports and products share that convention. List-shaped
+  * fields whose entries are opaque payloads (`sbom`, `inputContracts`,
+  * `authoritativeDefinitions`) keep full JSON fidelity via `JValue`. */
 final case class InputPort(
     name: String,
     version: String,
     contractId: String,
-    customProperties: Map[String, String] = Map.empty)
+    customProperties: Map[String, String] = Map.empty,
+    authoritativeDefinitions: Seq[JValue] = Nil,
+    /** Unknown port attributes, preserved verbatim (reference
+      * `_copy_unknown_fields`, `odps.py:120-130`). */
+    extra: Map[String, JValue] = Map.empty)
 
 final case class OutputPort(
     name: String,
     version: String,
     contractId: String,
     description: Option[String] = None,
-    customProperties: Map[String, String] = Map.empty)
+    /** Port type label (e.g. "tables", "files") — reference
+      * `DataProductOutputPort.type`. */
+    portType: Option[String] = None,
+    sbom: Seq[JValue] = Nil,
+    inputContracts: Seq[JValue] = Nil,
+    customProperties: Map[String, String] = Map.empty,
+    authoritativeDefinitions: Seq[JValue] = Nil,
+    extra: Map[String, JValue] = Map.empty)
 
 final case class DataProduct(
     id: String,
     status: String = "draft",
+    apiVersion: String = DataProduct.OdpsRequired,
+    kind: String = "DataProduct",
     version: Option[String] = None,
     name: Option[String] = None,
+    /** Arbitrary description mapping (the ODPS `description` object). */
+    description: Option[JValue] = None,
     inputPorts: Seq[InputPort] = Nil,
     outputPorts: Seq[OutputPort] = Nil,
-    customProperties: Map[String, String] = Map.empty) {
+    customProperties: Map[String, String] = Map.empty,
+    tags: Seq[String] = Nil,
+    /** Unknown document attributes, preserved verbatim. */
+    extra: Map[String, JValue] = Map.empty) {
 
   def findOutputPort(portName: String): Option[OutputPort] =
     outputPorts.find(_.name == portName)
@@ -36,21 +65,32 @@ final case class DataProduct(
   def findInputPort(portName: String): Option[InputPort] =
     inputPorts.find(_.name == portName)
 
-  /** Add/replace an input port; false when an identical binding exists
-    * (reference `ensure_input_port`). */
+  /** Add/replace an input port; false when a port with an IDENTICAL
+    * payload exists (reference `ensure_input_port`, `odps.py:283-294`:
+    * full `to_dict()` equality, not just the contract binding — a changed
+    * description or property set re-enters review like a changed
+    * binding). */
   def ensureInputPort(port: InputPort): (DataProduct, Boolean) =
     findInputPort(port.name) match {
-      case Some(p) if p.contractId == port.contractId && p.version == port.version => (this, false)
-      case Some(_) => (copy(inputPorts = inputPorts.filterNot(_.name == port.name) :+ port), true)
+      case Some(p) if p == port => (this, false)
+      case Some(_) => (copy(inputPorts = inputPorts.map(c =>
+        if (c.name == port.name) port else c)), true)
       case None    => (copy(inputPorts = inputPorts :+ port), true)
     }
 
   def ensureOutputPort(port: OutputPort): (DataProduct, Boolean) =
     findOutputPort(port.name) match {
-      case Some(p) if p.contractId == port.contractId && p.version == port.version => (this, false)
-      case Some(_) => (copy(outputPorts = outputPorts.filterNot(_.name == port.name) :+ port), true)
+      case Some(p) if p == port => (this, false)
+      case Some(_) => (copy(outputPorts = outputPorts.map(c =>
+        if (c.name == port.name) port else c)), true)
       case None    => (copy(outputPorts = outputPorts :+ port), true)
     }
+}
+
+object DataProduct {
+  /** Required ODPS api version (reference `ODPS_REQUIRED`,
+    * `odps.py:32`; env-overridable there, fixed here). */
+  val OdpsRequired = "1.0.0"
 }
 
 object DataProductJson {
@@ -72,59 +112,117 @@ object DataProductJson {
       case _ => Map.empty
     }
 
-  def toJson(p: DataProduct): String = {
+  private def jarr(key: String, vs: Seq[JValue]): List[(String, JValue)] =
+    if (vs.isEmpty) Nil else List(key -> JArray(vs.toList))
+
+  /** Only mapping-shaped entries survive list normalisation (reference
+    * `_normalise_custom_properties`, `odps.py:35-45`). */
+  private def readObjList(fields: Map[String, JValue], key: String): Seq[JValue] =
+    fields.get(key) match {
+      case Some(JArray(items)) => items.collect { case o: JObject => o }
+      case Some(o: JObject)    => Seq(o)
+      case _                   => Nil
+    }
+
+  private def extras(fields: Map[String, JValue], known: Set[String]): Map[String, JValue] =
+    fields.view.filterKeys(k => !known.contains(k)).toMap
+
+  private val PortKnown = Set("name", "version", "contractId", "customProperties",
+    "authoritativeDefinitions")
+  private val OutPortKnown = PortKnown ++ Set("description", "type", "sbom", "inputContracts")
+  private val ProductKnown = Set("apiVersion", "id", "kind", "name", "description", "status",
+    "version", "inputPorts", "outputPorts", "customProperties", "tags")
+
+  def toJson(p: DataProduct): String =
+    JsonMethods.pretty(JsonMethods.render(toJValue(p)))
+
+  def toJValue(p: DataProduct): JObject = {
     def inPort(ip: InputPort): JValue = JObject(List[(String, JValue)](
       "name" -> JString(ip.name), "version" -> JString(ip.version),
-      "contractId" -> JString(ip.contractId)) ++ props(ip.customProperties): _*)
+      "contractId" -> JString(ip.contractId)) ++ props(ip.customProperties) ++
+      jarr("authoritativeDefinitions", ip.authoritativeDefinitions) ++
+      ip.extra.toList.sortBy(_._1): _*)
     def outPort(op: OutputPort): JValue = JObject(List[(String, JValue)](
       "name" -> JString(op.name), "version" -> JString(op.version),
       "contractId" -> JString(op.contractId)) ++
       op.description.map(d => "description" -> (JString(d): JValue)).toList ++
-      props(op.customProperties): _*)
-    JsonMethods.pretty(JsonMethods.render(JObject(List[(String, JValue)](
-      "apiVersion" -> JString("v1.0.0"),
-      "kind" -> JString("DataProduct"),
+      op.portType.map(t => "type" -> (JString(t): JValue)).toList ++
+      jarr("sbom", op.sbom) ++ jarr("inputContracts", op.inputContracts) ++
+      props(op.customProperties) ++
+      jarr("authoritativeDefinitions", op.authoritativeDefinitions) ++
+      op.extra.toList.sortBy(_._1): _*)
+    JObject(List[(String, JValue)](
+      "apiVersion" -> JString(p.apiVersion),
       "id" -> JString(p.id),
+      "kind" -> JString(p.kind),
       "status" -> JString(p.status)) ++
       p.version.map(v => "version" -> (JString(v): JValue)).toList ++
       p.name.map(n => "name" -> (JString(n): JValue)).toList ++
+      p.description.map(d => "description" -> d).toList ++
       List("inputPorts" -> (JArray(p.inputPorts.toList.map(inPort)): JValue),
            "outputPorts" -> (JArray(p.outputPorts.toList.map(outPort)): JValue)) ++
-      props(p.customProperties): _*)))
+      props(p.customProperties) ++
+      (if (p.tags.isEmpty) Nil
+       else List("tags" -> (JArray(p.tags.toList.map(JString(_))): JValue))) ++
+      p.extra.toList.sortBy(_._1): _*)
   }
 
-  def fromJson(s: String): DataProduct = {
-    val fields = JsonMethods.parse(s) match {
+  def fromJson(s: String): DataProduct = fromJValue(JsonMethods.parse(s))
+
+  /** Parse an ODPS document. An `apiVersion` other than
+    * [[DataProduct.OdpsRequired]] is rejected exactly as the reference
+    * does (`odps.py:196-200`); a missing/blank one takes the default. A
+    * legacy `v` prefix (graft's own pre-1.0 files wrote `v1.0.0`) is
+    * normalised before the check. */
+  def fromJValue(parsed: JValue): DataProduct = {
+    val fields = parsed match {
       case JObject(fs) => fs.toMap
       case _ => Map.empty[String, JValue]
     }
     def str(k: String, m: Map[String, JValue]): Option[String] =
       m.get(k).collect { case JString(v) => v }
+    val apiVersion = str("apiVersion", fields).map(_.trim).filter(_.nonEmpty)
+      .map(_.stripPrefix("v")).getOrElse(DataProduct.OdpsRequired)
+    if (apiVersion != DataProduct.OdpsRequired)
+      throw new IllegalArgumentException(
+        s"ODPS apiVersion mismatch. Required ${DataProduct.OdpsRequired}, got $apiVersion")
     def portFields(j: JValue): Map[String, JValue] =
       j match { case JObject(fs) => fs.toMap; case _ => Map.empty }
     val ins = fields.get("inputPorts") match {
-      case Some(JArray(ps)) => ps.map { j =>
+      case Some(JArray(ps)) => ps.collect { case j: JObject =>
         val m = portFields(j)
         InputPort(str("name", m).getOrElse(""), str("version", m).getOrElse(""),
-          str("contractId", m).getOrElse(""), readProps(m))
+          str("contractId", m).getOrElse(""), readProps(m),
+          readObjList(m, "authoritativeDefinitions"), extras(m, PortKnown))
       }
       case _ => Nil
     }
     val outs = fields.get("outputPorts") match {
-      case Some(JArray(ps)) => ps.map { j =>
+      case Some(JArray(ps)) => ps.collect { case j: JObject =>
         val m = portFields(j)
         OutputPort(str("name", m).getOrElse(""), str("version", m).getOrElse(""),
-          str("contractId", m).getOrElse(""), str("description", m), readProps(m))
+          str("contractId", m).getOrElse(""), str("description", m), str("type", m),
+          readObjList(m, "sbom"), readObjList(m, "inputContracts"), readProps(m),
+          readObjList(m, "authoritativeDefinitions"), extras(m, OutPortKnown))
       }
+      case _ => Nil
+    }
+    val tags = fields.get("tags") match {
+      case Some(JArray(ts)) => ts.collect { case JString(t) if t.trim.nonEmpty => t.trim }
       case _ => Nil
     }
     DataProduct(
       id = str("id", fields).getOrElse(""),
-      status = str("status", fields).getOrElse("draft"),
+      status = str("status", fields).map(_.trim).filter(_.nonEmpty).getOrElse("draft"),
+      apiVersion = apiVersion,
+      kind = str("kind", fields).getOrElse("DataProduct"),
       version = str("version", fields),
       name = str("name", fields),
+      description = fields.get("description").collect { case o: JObject => o: JValue },
       inputPorts = ins, outputPorts = outs,
-      customProperties = readProps(fields))
+      customProperties = readProps(fields),
+      tags = tags,
+      extra = extras(fields, ProductKnown))
   }
 }
 
@@ -232,34 +330,42 @@ class DataProductBackend(rootDir: String) {
   private def ensureProduct(id: String): DataProduct =
     latest(id).getOrElse(DataProduct(id = id))
 
-  /** Register (upsert) an input port. Unchanged bindings (same contract
-    * id + version) are a no-op — no new revision, and the passed
-    * properties are NOT merged (reference `register_input_port` returns
-    * before touching them). Changed bindings merge `customProperties`
-    * plus the `dc43.input.source_data_product` /
-    * `dc43.input.source_output_port` provenance pair into the new port
+  /** Register (upsert) an input port — the reference's
+    * `register_input_port` (`_shared.py:73-110`): the BARE incoming port
+    * is compared against the stored one on its FULL payload; only a
+    * payload-identical port is a no-op (no new revision, passed
+    * properties untouched). On any difference the port is replaced,
+    * `customProperties` plus the `dc43.input.source_data_product` /
+    * `dc43.input.source_output_port` provenance pair are merged into it
     * (map semantics: a re-registered property key takes the new value;
-    * the reference's list model would keep both entries) and store a
-    * fresh draft revision. */
+    * the reference's list model would keep both entries), and a fresh
+    * draft revision is stored. Reference quirk preserved: because the
+    * comparison uses the bare port, re-registering an identical binding
+    * WITH extra properties re-drafts every time — the stored port
+    * carries properties the bare one lacks. */
   def registerInputPort(id: String, port: InputPort, bump: String = "minor",
                         customProperties: Map[String, String] = Map.empty,
                         sourceDataProduct: Option[String] = None,
                         sourceOutputPort: Option[String] = None): RegistrationResult = {
+    val (p, changed) = ensureProduct(id).ensureInputPort(port)
+    if (!changed) return RegistrationResult(p, changed = false)
     val props = customProperties ++
       sourceDataProduct.map("dc43.input.source_data_product" -> _) ++
       sourceOutputPort.map("dc43.input.source_output_port" -> _)
     val enriched = port.copy(customProperties = port.customProperties ++ props)
-    val (p, changed) = ensureProduct(id).ensureInputPort(enriched)
-    if (!changed) RegistrationResult(p, changed = false)
-    else RegistrationResult(storeUpdated(p, bump), changed = true)
+    val merged = p.copy(inputPorts = p.inputPorts.map(c =>
+      if (c.name == port.name) enriched else c))
+    RegistrationResult(storeUpdated(merged, bump), changed = true)
   }
 
   def registerOutputPort(id: String, port: OutputPort, bump: String = "minor",
                          customProperties: Map[String, String] = Map.empty): RegistrationResult = {
+    val (p, changed) = ensureProduct(id).ensureOutputPort(port)
+    if (!changed) return RegistrationResult(p, changed = false)
     val enriched = port.copy(customProperties = port.customProperties ++ customProperties)
-    val (p, changed) = ensureProduct(id).ensureOutputPort(enriched)
-    if (!changed) RegistrationResult(p, changed = false)
-    else RegistrationResult(storeUpdated(p, bump), changed = true)
+    val merged = p.copy(outputPorts = p.outputPorts.map(c =>
+      if (c.name == port.name) enriched else c))
+    RegistrationResult(storeUpdated(merged, bump), changed = true)
   }
 
   /** Review a draft revision: approve → `active`, reject → `rejected`,

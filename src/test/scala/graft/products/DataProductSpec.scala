@@ -1,28 +1,62 @@
 package graft.products
 
+import org.json4s._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DataProductSpec extends AnyFunSuite {
 
   private def tmp() = java.nio.file.Files.createTempDirectory("graft_dp").toString
 
-  test("model JSON round-trips with ports and custom properties") {
+  test("model JSON round-trips the full ODPS surface") {
     val p = DataProduct(
       id = "dp.sales", status = "active", version = Some("1.2.0"),
       name = Some("Sales"),
+      description = Some(JObject("en" -> JString("sales mart"),
+        "purpose" -> JString("reporting"))),
       inputPorts = Seq(InputPort("orders_in", "1.0.0", "sales.orders",
-        Map("dc43.input.source_data_product" -> "dp.upstream"))),
+        Map("dc43.input.source_data_product" -> "dp.upstream"),
+        authoritativeDefinitions = Seq(JObject(
+          "url" -> JString("https://example.com/def"), "type" -> JString("businessDefinition"))),
+        extra = Map("x-custom" -> JString("passthrough")))),
       outputPorts = Seq(OutputPort("gold_orders", "2.0.0", "sales.orders_gold",
-        Some("curated"), Map("tier" -> "gold"))),
-      customProperties = Map("owner" -> "team-data"))
+        description = Some("curated"), portType = Some("tables"),
+        sbom = Seq(JObject("type" -> JString("library"), "name" -> JString("graft"))),
+        inputContracts = Seq(JObject("contractId" -> JString("sales.orders"),
+          "version" -> JString("1.0.0"))),
+        customProperties = Map("tier" -> "gold"))),
+      customProperties = Map("owner" -> "team-data"),
+      tags = Seq("gold", "sales"),
+      extra = Map("x-unknown" -> JObject("nested" -> JBool(true))))
     assert(DataProductJson.fromJson(DataProductJson.toJson(p)) == p)
+  }
+
+  test("unknown fields written by a newer ODPS revision survive a round-trip") {
+    val doc = """{"apiVersion":"1.0.0","id":"dp.z","status":"draft",
+      "supportChannels":[{"channel":"slack"}],
+      "outputPorts":[{"name":"o","version":"1.0.0","contractId":"c",
+        "futureField":{"a":1}}]}"""
+    val p = DataProductJson.fromJson(doc)
+    assert(p.extra.contains("supportChannels"))
+    assert(p.outputPorts.head.extra.contains("futureField"))
+    val again = DataProductJson.fromJson(DataProductJson.toJson(p))
+    assert(again == p)
+  }
+
+  test("apiVersion gate: mismatch rejected, blank defaults, legacy v-prefix normalised") {
+    intercept[IllegalArgumentException](
+      DataProductJson.fromJson("""{"apiVersion":"2.0.0","id":"dp.a","status":"draft"}"""))
+    assert(DataProductJson.fromJson("""{"id":"dp.a","status":"draft"}""")
+      .apiVersion == DataProduct.OdpsRequired)
+    // graft's own pre-1.0 files wrote v1.0.0
+    assert(DataProductJson.fromJson("""{"apiVersion":"v1.0.0","id":"dp.a"}""")
+      .apiVersion == "1.0.0")
   }
 
   test("port registration evolves -draft revisions with minor bumps; idempotent re-registration") {
     val be = new DataProductBackend(tmp())
     val r1 = be.registerInputPort("dp.x", InputPort("in", "1.0.0", "c.in"))
     assert(r1.changed && r1.product.version.contains("0.1.0-draft") && r1.product.status == "draft")
-    // identical binding: no change, no new version
+    // identical payload: no change, no new version
     val r2 = be.registerInputPort("dp.x", InputPort("in", "1.0.0", "c.in"))
     assert(!r2.changed)
     assert(be.listVersions("dp.x") == Seq("0.1.0-draft"))
@@ -33,6 +67,23 @@ class DataProductSpec extends AnyFunSuite {
     val r4 = be.registerInputPort("dp.x", InputPort("in", "2.0.0", "c.in"))
     assert(r4.changed && r4.product.version.contains("0.3.0-draft"))
     assert(r4.product.inputPorts == Seq(InputPort("in", "2.0.0", "c.in")))
+  }
+
+  test("ensure-port compares the FULL payload, not just the contract binding") {
+    val base = DataProduct(id = "dp.e",
+      outputPorts = Seq(OutputPort("out", "1.0.0", "c.out", description = Some("v1"))))
+    // same binding, changed description → replacement
+    val (p2, changed) = base.ensureOutputPort(
+      OutputPort("out", "1.0.0", "c.out", description = Some("v2")))
+    assert(changed && p2.findOutputPort("out").get.description.contains("v2"))
+    // byte-identical payload → no-op
+    assert(!p2.ensureOutputPort(
+      OutputPort("out", "1.0.0", "c.out", description = Some("v2")))._2)
+    // replacement preserves port ORDER (reference rebuilds the list in place)
+    val multi = DataProduct(id = "dp.o", inputPorts = Seq(
+      InputPort("a", "1.0.0", "c.a"), InputPort("b", "1.0.0", "c.b")))
+    val (m2, _) = multi.ensureInputPort(InputPort("a", "2.0.0", "c.a"))
+    assert(m2.inputPorts.map(_.name) == Seq("a", "b"))
   }
 
   test("draft versions bump from the latest revision; review transitions status") {
@@ -70,7 +121,7 @@ class DataProductSpec extends AnyFunSuite {
     assert(be.nextDraftVersion(Some("not-semver"), Nil, "minor") == "0.1.0-draft")
   }
 
-  test("input registration merges provenance and custom properties only when changed") {
+  test("input registration merges provenance; changed properties re-draft and update") {
     val be = new DataProductBackend(tmp())
     val r1 = be.registerInputPort("dp.p", InputPort("in", "1.0.0", "c.in"),
       customProperties = Map("tier" -> "silver"),
@@ -79,13 +130,20 @@ class DataProductSpec extends AnyFunSuite {
       "tier" -> "silver",
       "dc43.input.source_data_product" -> "dp.upstream",
       "dc43.input.source_output_port" -> "gold"))
-    // unchanged binding: properties are NOT merged, no revision written
+    // reference quirk (ensure compares the BARE port, `_shared.py:83-86`):
+    // the stored port carries merged properties the bare one lacks, so a
+    // re-register with properties is CHANGED — the port is replaced and
+    // the newly passed properties win
     val r2 = be.registerInputPort("dp.p", InputPort("in", "1.0.0", "c.in"),
       customProperties = Map("tier" -> "gold"))
-    assert(!r2.changed)
+    assert(r2.changed)
     assert(be.latest("dp.p").get.findInputPort("in").get
-      .customProperties("tier") == "silver")
-    assert(be.listVersions("dp.p").size == 1)
+      .customProperties == Map("tier" -> "gold"))
+    assert(be.listVersions("dp.p").size == 2)
+    // a bare port matching a bare stored port stays a no-op
+    val be2 = new DataProductBackend(tmp())
+    be2.registerInputPort("dp.q", InputPort("in", "1.0.0", "c.in"))
+    assert(!be2.registerInputPort("dp.q", InputPort("in", "1.0.0", "c.in")).changed)
   }
 
   test("listDataProducts pages over sorted authoritative ids") {
