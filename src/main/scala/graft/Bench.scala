@@ -36,7 +36,12 @@ object Bench {
     // r6 final sweep (q_substr_strip shares the spans computation; the
     // spans query is the cost driver and is what gets benched)
     "q_substr_spans", "q_dsir", "q_nb_classify", "q_cluster_sample",
-    "q_epoch_order")
+    "q_epoch_order",
+    // r7 additions (q_fuzzy_join is gated but not benched: the synthetic
+    // 8-word name vocabulary makes blocks corpus/8-sized, so its sf0.1
+    // cost is the deliberate within-block quadratic — characterised in
+    // PERF.md, same precedent as q_dedup_cluster/q_dedup_keep_best)
+    "q_temperature_mix")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -82,7 +87,9 @@ object Bench {
     // rewrite (1.66 -> 1.43) so the win cannot silently regress
     "q_substr_spans" -> 1.39, "q_dsir" -> 1.86,
     "q_nb_classify" -> 1.14, "q_cluster_sample" -> 0.78,
-    "q_epoch_order" -> 0.16
+    "q_epoch_order" -> 0.16,
+    // r7: local warmed best-of-3 (0.43/0.47) × 1.3
+    "q_temperature_mix" -> 0.61
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

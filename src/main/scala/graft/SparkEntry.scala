@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{Curate, ExactSubstr, HashMode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, UrlOps, VectorOps}
+import graft.ops.{Curate, ExactSubstr, Fuzzy, HashMode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, UrlOps, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -385,6 +385,23 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))),
     "q_domain_stats" -> ((s, d) => UrlOps.domainMix(docsWithUrl(s, d))),
     "q_url_dedup" -> ((s, d) => UrlOps.dedupUrls(docsWithUrl(s, d))),
+    // ---- fuzzy (edit-distance) matching + temperature mixing ----------
+    // typo-distance self-pairs over part names, blocked by first token +
+    // the built-in complete length banding
+    "q_fuzzy_join" -> ((s, d) =>
+      Fuzzy.fuzzyDedupPairs(
+        t(s, d, "part").withColumn("tok0", expr("split_part(p_name, ' ', 1)")),
+        textCol = "p_name", maxDist = 2, idCol = "p_partkey",
+        blockCols = Seq("tok0"))),
+    // multilingual temperature rebalancing (alpha=0.5) sized to 40% of
+    // the corpus — rates are engine-exact (sqrt + fixed-point + integral
+    // division; see temperatureRates scaladoc)
+    "q_temperature_rates" -> ((s, d) =>
+      Curate.temperatureRates(t(s, d, "documents"), "lang", targetPercent = 40)),
+    "q_temperature_mix" -> ((s, d) =>
+      Curate.temperatureMix(t(s, d, "documents"), "lang", targetPercent = 40,
+        mode = HashMode.Portable)
+        .select(col("doc_id"), col("lang"), col("source"))),
     // reproducible epoch-1 training order over 8 shards
     "q_epoch_order" -> ((s, d) =>
       Curate.epochOrder(t(s, d, "documents"), epoch = 1, nShards = 8,
@@ -805,6 +822,41 @@ object SparkEntry {
         |     ELSE regexp_replace(path, '(.)/$$', '\\1') END) AS url_canon
         |  FROM p)
         |GROUP BY url_canon""".stripMargin,
+    // blocked fuzzy self-join: first-token block + adjacent length bands
+    // (width maxDist+1 = 3) exactly as Fuzzy.fuzzyDedupPairs derives them
+    "q_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS tok0,
+        |    CAST(floor(length(p_name) / 3) AS BIGINT) AS band FROM part)
+        |SELECT a.p_partkey AS a_p_partkey, b.p_partkey AS b_p_partkey,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist, a.tok0
+        |FROM p a JOIN p b ON a.tok0 = b.tok0
+        |  AND b.band BETWEEN a.band - 1 AND a.band + 1
+        |WHERE a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // temperature rates: sqrt weight fixed-pointed at 1e6, exact integer
+    // totals, HUGEINT integral division — mirrors temperatureRates step
+    // for step (sqrt is correctly-rounded IEEE, so w6 is bit-identical)
+    "q_temperature_rates" ->
+      """WITH stats AS (SELECT lang, count(*) AS n FROM documents
+        |    WHERE lang IS NOT NULL GROUP BY lang),
+        |  s AS (SELECT lang, n,
+        |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6 FROM stats),
+        |  tot AS (SELECT sum(w6) AS tw, sum(n) AS tn FROM s)
+        |SELECT lang, n, least(100, CAST(
+        |    (40::HUGEINT * tn * w6) // (tw * n) AS BIGINT)) AS rate
+        |FROM s, tot""".stripMargin,
+    "q_temperature_mix" ->
+      s"""WITH stats AS (SELECT lang, count(*) AS n FROM documents
+        |    WHERE lang IS NOT NULL GROUP BY lang),
+        |  s AS (SELECT lang, n,
+        |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6 FROM stats),
+        |  tot AS (SELECT sum(w6) AS tw, sum(n) AS tn FROM s),
+        |  rates AS (SELECT lang, least(100, CAST(
+        |      (40::HUGEINT * tn * w6) // (tw * n) AS BIGINT)) AS rate FROM s, tot)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE ${h60("'tmix:' || CAST(doc_id AS VARCHAR)")} % 100 < r.rate""".stripMargin,
     "q_epoch_order" ->
       s"""SELECT doc_id, CAST(h % 8 AS INT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos

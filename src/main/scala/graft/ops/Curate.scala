@@ -445,6 +445,90 @@ object Curate {
     docs.withColumn("split", label)
   }
 
+  /** Temperature-scaled mixture RATES: per-group integer keep percents
+    * that re-balance a skewed corpus toward `n_g^alpha / Σ n^alpha`
+    * sampling shares (the multilingual-LM mixing rule — T5/XLM-R-style
+    * `p^α` temperature sampling; α < 1 upweights rare groups) sized to
+    * `targetPercent` percent of the corpus in total expected rows —
+    * a scale-free target, so the same call means the same thing at
+    * sf0.01 and at 100 TB.
+    *
+    * Determinism across engines (the reason α is restricted): the rate
+    * math must produce IDENTICAL values in Spark and any SQL oracle, so
+    * only correctly-rounded IEEE operations are allowed. `sqrt` is
+    * correctly rounded (IEEE 754); `pow`/`ln` are NOT. α ∈ {1.0, 0.5,
+    * 0.25} spells `n^α` as 0, 1, or 2 sqrt applications. The weight is
+    * then fixed-pointed (`round(w·10^6)` — exact integral double, exact
+    * long), the total is an exact int64 sum (order-independent, unlike a
+    * double Σ), and the percent is a decimal integral division — every
+    * step bit-reproducible on both engines.
+    *
+    * Scale shape: one map-side-combined count aggregation over the
+    * corpus; everything after runs on the groups-sized frame. Rows with
+    * a NULL group are dropped by the inner rate join (a null language is
+    * a filter problem, not a mixing problem).
+    *
+    * Output: (`groupCol`, `n`, `rate`) — a groups-sized frame, FREEZABLE
+    * as an artifact: persist it and apply with [[mixWithRates]] at ingest
+    * (stream-static join + stateless hash filter), so online admission
+    * uses the exact offline rates. */
+  def temperatureRates(docs: DataFrame, groupCol: String, targetPercent: Int,
+                       alpha: Double = 0.5): DataFrame = {
+    require(Set(1.0, 0.5, 0.25)(alpha),
+      "alpha must be 1.0, 0.5, or 0.25 (spelled as repeated sqrt — the " +
+        "only correctly-rounded IEEE power, so rates are engine-exact)")
+    require(targetPercent > 0 && targetPercent <= 100,
+      "targetPercent must be in (0, 100]")
+    val dec = "decimal(38,0)"
+    val w = alpha match {
+      case 1.0  => col("n").cast("double")
+      case 0.5  => sqrt(col("n").cast("double"))
+      case 0.25 => sqrt(sqrt(col("n").cast("double")))
+    }
+    val stats = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("_tm_w6", round(w * lit(1e6)).cast(LongType))
+    // exact int64 totals — no double-summation order dependence
+    val tot = stats.agg(sum(col("_tm_w6")).as("_tm_tw"), sum(col("n")).as("_tm_tn"))
+    // rate_g = pct·N·w6_g / (Σw6 · n_g): expected kept Σ n·rate/100 ≈ pct%·N
+    stats.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(100L),
+        call_function("div",
+          lit(targetPercent.toLong).cast(dec) * col("_tm_tn").cast(dec) *
+            col("_tm_w6").cast(dec),
+          col("_tm_tw").cast(dec) * col("n").cast(dec)).cast(LongType)))
+      .select(col(groupCol), col("n"), col("rate"))
+  }
+
+  /** Apply a frozen per-group rate table (from [[temperatureRates]] or
+    * hand-written) as a deterministic hash mixture: keep a row iff its
+    * salted id hash lands under its group's `rate` percent. Stateless —
+    * a broadcast/stream-static join plus a projection filter, so the same
+    * call admits rows in a Structured Streaming ingest with the batch
+    * operator's exact semantics (a row kept offline is kept online).
+    * Rows whose group is absent from `rates` (or null) are dropped —
+    * an unknown group has no share in the mixture. */
+  def mixWithRates(docs: DataFrame, rates: DataFrame, groupCol: String,
+                   idCol: String = "doc_id", mode: HashMode = HashMode.Default,
+                   salt: String = "tmix"): DataFrame = {
+    val r = broadcast(rates.select(col(groupCol).as("_tm_g"), col("rate")))
+    docs.join(r, docs(groupCol) === col("_tm_g"))
+      .filter(pmod(mode.hash(lit(salt), col(idCol)), lit(100L)) < col("rate"))
+      .drop("_tm_g", "rate")
+  }
+
+  /** [[temperatureRates]] + [[mixWithRates]] in one call: temperature-
+    * rebalanced deterministic downsampling of a skewed corpus toward
+    * `targetRows` rows. The published mixing rule as a first-class
+    * operator (cf. [[mixBySource]] for hand-set rates, [[upsampleBySource]]
+    * for repeat factors above 1). */
+  def temperatureMix(docs: DataFrame, groupCol: String, targetPercent: Int,
+                     alpha: Double = 0.5, idCol: String = "doc_id",
+                     mode: HashMode = HashMode.Default,
+                     salt: String = "tmix"): DataFrame =
+    mixWithRates(docs, temperatureRates(docs, groupCol, targetPercent, alpha),
+      groupCol, idCol, mode, salt)
+
   /** Source UPSAMPLING — the direction [[mixBySource]] cannot express:
     * repeat factors ABOVE 1 for rare, high-value sources (the Pile /
     * LLaMA-style "Wikipedia × 3 epochs" mixture). Each document emits
