@@ -152,8 +152,10 @@ object SparkEntry {
         .select(col("event_id").as("purchase_id"), col("ts").as("start_ts"),
           (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
       graft.ops.RangeJoin.pointInInterval(views, purchases,
-        unix_micros(col("view_ts")), unix_micros(col("start_ts")),
-        unix_micros(col("end_ts")), bucketWidth = 3600L * 1000000L)
+        graft.ops.RangeJoin.epochMicros(col("view_ts")),
+        graft.ops.RangeJoin.epochMicros(col("start_ts")),
+        graft.ops.RangeJoin.epochMicros(col("end_ts")),
+        bucketWidth = 3600L * 1000000L)
         .select(col("view_id"), col("purchase_id"), col("view_ts"), col("start_ts"))
     }),
     "q_interval_join" -> ((s, d) => {
@@ -168,8 +170,10 @@ object SparkEntry {
         .select(col("event_id").as("purchase_id"), col("ts").as("p_start"),
           (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
       graft.ops.RangeJoin.intervalOverlap(views, purchases,
-        unix_micros(col("v_start")), unix_micros(col("v_end")),
-        unix_micros(col("p_start")), unix_micros(col("p_end")),
+        graft.ops.RangeJoin.epochMicros(col("v_start")),
+        graft.ops.RangeJoin.epochMicros(col("v_end")),
+        graft.ops.RangeJoin.epochMicros(col("p_start")),
+        graft.ops.RangeJoin.epochMicros(col("p_end")),
         bucketWidth = 3600L * 1000000L)
         .select(col("view_id"), col("purchase_id"), col("v_start"), col("p_start"))
     }),

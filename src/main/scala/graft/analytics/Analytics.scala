@@ -121,8 +121,9 @@ object Analytics {
   def sessionsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val gapUs = gapMinutes * 60L * 1000000L
-    val prev = lag(unix_micros(col("ts")), 1).over(w)
-    val brk = when(prev.isNull || unix_micros(col("ts")) - prev > gapUs, 1L).otherwise(0L)
+    val tsUs = graft.ops.RangeJoin.epochMicros(col("ts"))
+    val prev = lag(tsUs, 1).over(w)
+    val brk = when(prev.isNull || tsUs - prev > gapUs, 1L).otherwise(0L)
     events
       .filter(col("ts").isNotNull)
       .withColumn("brk", brk)

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Bucketed range join: points ⨝ intervals on containment, without an
   * equi-key.
@@ -101,6 +101,16 @@ object RangeJoin {
         greatest(floorDiv("_rj_ls", bucketWidth), floorDiv("_rj_rs", bucketWidth)))
       .drop("_rj_b", "_rj_ls", "_rj_le", "_rj_rs", "_rj_re")
   }
+
+  /** Epoch microseconds for a timestamp column of either flavor:
+    * `unix_micros` itself accepts only TIMESTAMP, so a parquet source
+    * whose timestamps are tz-naive (read as TIMESTAMP_NTZ) breaks the
+    * bare call at analysis time. Casting through TimestampType first is
+    * an identity for TIMESTAMP and interprets NTZ wall-clock in the
+    * session time zone — graft sessions pin UTC, which matches how
+    * engines without a tz-aware type (e.g. the DuckDB oracle) extract
+    * epochs from the same naive values. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Floor division that stays in Long arithmetic end to end — `x / w` on
     * longs yields a double (precision loss past 2^53; epoch micros are

@@ -47,8 +47,12 @@ object StreamRangeJoin {
     val span = expr(s"INTERVAL '${maxSpan.getSeconds}' SECOND")
     // Long-exact floor division (see RangeJoin.floorDiv: `/` on longs
     // yields a double and epoch micros brush against 2^53)
-    def bucket(tsExpr: String): Column =
-      expr(s"(unix_micros($tsExpr) - pmod(unix_micros($tsExpr), ${w}L)) div ${w}L")
+    def bucket(tsExpr: String): Column = {
+      // cast-through-timestamp so tz-naive (TIMESTAMP_NTZ) event times
+      // work too — see RangeJoin.epochMicros
+      val us = s"unix_micros(cast(($tsExpr) as timestamp))"
+      expr(s"($us - pmod($us, ${w}L)) div ${w}L")
+    }
     val pt = points.withColumn("_srj_b", bucket(pointTs))
     // an interval truncated to maxSpan overlaps at most 2 width-maxSpan
     // buckets; sequence() covers the general case exactly

@@ -93,6 +93,41 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((1L, 10L))) // endpoints touching at 5 count; inverted 2 drops
   }
 
+  test("epochMicros accepts both TIMESTAMP and TIMESTAMP_NTZ columns") {
+    // the driver's parquet testdata switched to tz-naive timestamps mid-
+    // project (Spark reads them as TIMESTAMP_NTZ); bare unix_micros fails
+    // analysis on that type, so the helper must be identical on both
+    val df = Seq("2024-03-01 12:30:00", "1969-12-31 23:59:59")
+      .toDF("s")
+      .withColumn("tz", col("s").cast("timestamp"))
+      .withColumn("ntz", col("s").cast("timestamp_ntz"))
+    val rows = df.select(
+      RangeJoin.epochMicros(col("tz")).as("a"),
+      RangeJoin.epochMicros(col("ntz")).as("b"),
+      unix_micros(col("tz")).as("ref"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (a, b, ref) =>
+      assert(a == ref && b == ref, s"epochMicros mismatch: $a / $b vs $ref")
+    }
+  }
+
+  test("pointInInterval works end-to-end on TIMESTAMP_NTZ event times") {
+    val views = Seq((1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 03:00:00"))
+      .toDF("view_id", "s")
+      .select(col("view_id"), col("s").cast("timestamp_ntz").as("view_ts"))
+    val purchases = Seq((10L, "2024-01-01 00:00:00"))
+      .toDF("purchase_id", "s")
+      .select(col("purchase_id"), col("s").cast("timestamp_ntz").as("start_ts"))
+      .withColumn("end_ts", col("start_ts") + expr("INTERVAL 1 HOUR"))
+    val out = RangeJoin.pointInInterval(views, purchases,
+      RangeJoin.epochMicros(col("view_ts")),
+      RangeJoin.epochMicros(col("start_ts")),
+      RangeJoin.epochMicros(col("end_ts")),
+      bucketWidth = 3600L * 1000000L)
+      .select($"view_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("intervalOverlap plans as a bucket equi-join") {
     val ls = (0L until 100L).map(i => (i, i * 3, i * 3 + 5)).toDF("lid", "a", "b")
     val rs = (0L until 50L).map(i => (i, i * 5, i * 5 + 10)).toDF("rid", "c", "d")
