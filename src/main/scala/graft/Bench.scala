@@ -52,7 +52,9 @@ object Bench {
     // 8-word name vocabulary makes blocks corpus/8-sized, so its sf0.1
     // cost is the deliberate within-block quadratic — characterised in
     // PERF.md, same precedent as q_dedup_cluster/q_dedup_keep_best)
-    "q_temperature_mix")
+    "q_temperature_mix",
+    // r8: iterative link-graph authority (5 fixed-point iterations)
+    "q_pagerank")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -100,7 +102,9 @@ object Bench {
     "q_nb_classify" -> 1.14, "q_cluster_sample" -> 0.78,
     "q_epoch_order" -> 0.16,
     // r7: local warmed best-of-3 (0.43/0.47) × 1.3
-    "q_temperature_mix" -> 0.61
+    "q_temperature_mix" -> 0.61,
+    // r8: local warmed best-of-3 (1.14) × 1.3
+    "q_pagerank" -> 1.48
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -397,6 +397,24 @@ object SparkEntry {
         t(s, d, "part").withColumn("tok0", expr("split_part(p_name, ' ', 1)")),
         textCol = "p_name", maxDist = 2, idCol = "p_partkey",
         blockCols = Seq("tok0"))),
+    // link-graph authority scoring (the CCNet/RefinedWeb-style quality
+    // prior): customer–supplier co-occurrence graph from orders ⨝
+    // lineitem, symmetrised so every node has out-degree ≥ 1 (no
+    // dangling mass), 5 fixed-point PageRank iterations — engine-exact
+    // Long arithmetic end to end (see Graph.pageRank scaladoc)
+    "q_pagerank" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 10000000L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      graft.ops.Graph.pageRank(edges, iters = 5)
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+    }),
     // multilingual temperature rebalancing (alpha=0.5) sized to 40% of
     // the corpus — rates are engine-exact (sqrt + fixed-point + integral
     // division; see temperatureRates scaladoc)
@@ -838,6 +856,11 @@ object SparkEntry {
         |WHERE a.p_partkey < b.p_partkey
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // PageRank: 5 unrolled fixed-point iterations, all-BIGINT integer
+    // division (`//` floors, `div` truncates — equal on the
+    // non-negative quantities here), spelled step for step against
+    // Graph.pageRank
+    "q_pagerank" -> pagerankSql,
     // temperature rates: sqrt weight fixed-pointed at 1e6, exact integer
     // totals, HUGEINT integral division — mirrors temperatureRates step
     // for step (sqrt is correctly-rounded IEEE, so w6 is bit-identical)
@@ -1867,6 +1890,35 @@ object SparkEntry {
       |  SELECT probe_id, block, code,
       |    list_dot_product(pv[block*8+1 : block*8+8], c) AS t
       |  FROM p CROSS JOIN cb1)""".stripMargin
+
+  /** The q_pagerank oracle: the 5 damped iterations unrolled as CTE
+    * pairs (contribution sum, then rank update), every quantity a
+    * non-negative BIGINT so DuckDB's flooring `//` and Spark's
+    * truncating `div` agree bit-for-bit. */
+  private def pagerankSql: String = {
+    def step(i: Int) =
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |    JOIN pr${i - 1} r ON e.src = r.node GROUP BY e.dst),
+         |  pr$i AS (SELECT nodes.node,
+         |    CAST((1000000000000 - (85 * 1000000000000) // 100) // nn.n
+         |      + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank
+         |    FROM nodes CROSS JOIN nn
+         |    LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    s"""WITH pairs AS (
+       |    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |      CAST(l_suppkey AS BIGINT) + 10000000 AS p
+       |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |  edges AS (SELECT c AS src, p AS dst FROM pairs
+       |    UNION ALL SELECT p AS src, c AS dst FROM pairs),
+       |  nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |  pr0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank
+       |    FROM nodes CROSS JOIN nn),
+       |  ${(1 to 5).map(step).mkString(",\n  ")}
+       |SELECT node, rank FROM pr5 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
 
   /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */
   private def lmScoreSql: String =

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference fixed-point PageRank, independent spelling (plain Scala
+    * maps) of the documented arithmetic. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = nodes.size.toLong
+    val base = (scale - (85L * scale) / 100L) / n
+    var pr = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => pr(e._1) / deg(e._1)).sum
+      }
+      pr = nodes.map(v => v -> (base + (85L * s.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    pr
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("matches an independent fixed-point reference on an asymmetric graph") {
+    // 1, 2 and 4 all point at 3; 3 splits its mass between 1 and 4,
+    // so after a few iterations 3 dominates, 1 and 4 tie (each gets
+    // half of 3), and source-only 2 sits at the teleport floor
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
+    for (iters <- Seq(0, 1, 5)) {
+      assert(run(edges, iters) == reference(edges, iters), s"iters=$iters")
+    }
+    val r = run(edges, 5)
+    assert(r(3L) > r(1L) && r(1L) == r(4L) && r(4L) > r(2L),
+      s"authority ordering wrong: $r")
+  }
+
+  test("a symmetric cycle stays uniform at the initial mass") {
+    // every node has in-degree = out-degree = 1 and equal start: each
+    // iteration maps rank -> base + 85% rank, a fixpoint-converging
+    // uniform value — all nodes identical at every step
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val r = run(cyc, 4)
+    assert(r.values.toSet.size == 1, s"cycle ranks diverged: $r")
+  }
+
+  test("mass stays conserved up to truncation on a symmetrised graph") {
+    val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 12L))
+    val edges = pairs ++ pairs.map(_.swap)
+    val r = run(edges, 5)
+    val total = r.values.sum
+    val scale = 1000000000000L
+    // each iteration truncates < (deg) units per node at two division
+    // sites; with 7 nodes and 5 iterations the loss is microscopic
+    assert(total <= scale && total > scale - 1000L,
+      s"mass off: $total vs $scale")
+  }
+
+  test("null endpoints drop; plan has no cartesian product") {
+    val df = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (None: Option[Long], Some(9L)), (Some(9L), None: Option[Long]))
+      .toDF("src", "dst")
+    val out = Graph.pageRank(df, 2)
+    val nodes = out.select("node").as[Long].collect().toSet
+    assert(nodes == Set(1L, 2L), s"null-endpoint rows leaked nodes: $nodes")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pageRank planned a cartesian product:\n$plan")
+  }
+}
