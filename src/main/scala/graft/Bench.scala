@@ -53,7 +53,10 @@ object Bench {
     // cost is the deliberate within-block quadratic — characterised in
     // PERF.md, same precedent as q_dedup_cluster/q_dedup_keep_best)
     "q_temperature_mix",
-    // r8: iterative link-graph authority (5 fixed-point iterations)
+    // r8: iterative link-graph authority (5 fixed-point iterations;
+    // q_trustrank is gated but not benched — it shares the iteration
+    // engine and differs only in the teleport frame, same precedent as
+    // q_substr_strip sharing the spans computation)
     "q_pagerank")
 
   /** Round-over-round regression budgets, calibrated against the round

@@ -415,6 +415,24 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
     }),
+    // TrustRank: the same graph, teleport restricted to a trusted seed
+    // set (nation-0 suppliers) — random-walk proximity to vetted nodes,
+    // the crawl-curation spam prior; unreachable nodes stay exactly 0
+    "q_trustrank" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 10000000L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = t(s, d, "supplier").filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey").cast("long") + 10000000L).as("node"))
+      graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 5)
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+    }),
     // multilingual temperature rebalancing (alpha=0.5) sized to 40% of
     // the corpus — rates are engine-exact (sqrt + fixed-point + integral
     // division; see temperatureRates scaladoc)
@@ -861,6 +879,7 @@ object SparkEntry {
     // non-negative quantities here), spelled step for step against
     // Graph.pageRank
     "q_pagerank" -> pagerankSql,
+    "q_trustrank" -> trustrankSql,
     // temperature rates: sqrt weight fixed-pointed at 1e6, exact integer
     // totals, HUGEINT integral division — mirrors temperatureRates step
     // for step (sqrt is correctly-rounded IEEE, so w6 is bit-identical)
@@ -1916,6 +1935,41 @@ object SparkEntry {
        |  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |  pr0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank
        |    FROM nodes CROSS JOIN nn),
+       |  ${(1 to 5).map(step).mkString(",\n  ")}
+       |SELECT node, rank FROM pr5 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** The q_trustrank oracle: personalized teleport — base and initial
+    * mass are per-node CASE data over the seed semi-join, iterations
+    * otherwise identical to [[pagerankSql]]. */
+  private def trustrankSql: String = {
+    def step(i: Int) =
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |    JOIN pr${i - 1} r ON e.src = r.node GROUP BY e.dst),
+         |  pr$i AS (SELECT based.node,
+         |    CAST(based.base + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank
+         |    FROM based LEFT JOIN c$i ON based.node = c$i.node)""".stripMargin
+    s"""WITH pairs AS (
+       |    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |      CAST(l_suppkey AS BIGINT) + 10000000 AS p
+       |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |  edges AS (SELECT c AS src, p AS dst FROM pairs
+       |    UNION ALL SELECT p AS src, c AS dst FROM pairs),
+       |  nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |  seedsin AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) + 10000000 AS node
+       |    FROM supplier WHERE s_nationkey = 0
+       |    AND CAST(s_suppkey AS BIGINT) + 10000000 IN (SELECT node FROM nodes)),
+       |  ss AS (SELECT CAST(count(*) AS BIGINT) AS s FROM seedsin),
+       |  based AS (SELECT nodes.node,
+       |      CASE WHEN si.node IS NOT NULL
+       |        THEN (1000000000000 - (85 * 1000000000000) // 100) // ss.s
+       |        ELSE 0 END AS base,
+       |      CASE WHEN si.node IS NOT NULL THEN 1000000000000 // ss.s
+       |        ELSE 0 END AS init
+       |    FROM nodes CROSS JOIN ss LEFT JOIN seedsin si ON nodes.node = si.node),
+       |  pr0 AS (SELECT node, CAST(init AS BIGINT) AS rank FROM based),
        |  ${(1 to 5).map(step).mkString(",\n  ")}
        |SELECT node, rank FROM pr5 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
   }

@@ -58,36 +58,84 @@ object Graph {
                dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1000000000000L,
                materializeEach: Boolean = true): DataFrame = {
-    require(iters >= 0, "iters must be non-negative")
-    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
-      "damping must be a rational in [0, 1]")
-    require(scale > 0, "scale must be positive")
-
-    val e = edges.select(
-      col(srcCol).cast(LongType).as("_pr_src"),
-      col(dstCol).cast(LongType).as("_pr_dst"))
-      .filter(col("_pr_src").isNotNull && col("_pr_dst").isNotNull)
-    // the node set is re-joined every iteration — cache it alongside
-    // the degree-annotated edges
-    val nodes = Caching.ensureCachedLazy(
-      e.select(col("_pr_src").as("node"))
-        .union(e.select(col("_pr_dst").as("node")))
-        .distinct())
-    // degree-annotated edges: computed once, reused every iteration
-    val deg = e.groupBy(col("_pr_src")).agg(count(lit(1)).as("_pr_deg"))
-    val eDeg = Caching.ensureCachedLazy(e.join(deg, "_pr_src"))
-
+    val (nodes, eDeg) = prepare(edges, srcCol, dstCol)
     // |V| and the teleport base as broadcast scalars — a literal would
     // need a driver-side count (an extra job before the plan is even
     // built), and a window-based total would funnel through one task
     val nCount = nodes.agg(count(lit(1)).cast(LongType).as("_pr_n"))
-    val teleportScaled = ((scale - (dampNum * scale) / dampDen))
-    def withBase(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(nCount))
-        .withColumn("_pr_base", expr(s"${teleportScaled}L div _pr_n"))
+    val teleportScaled = teleport(dampNum, dampDen, scale)
+    val based = Caching.ensureCachedLazy(
+      nodes.crossJoin(broadcast(nCount))
+        .select(col("node"),
+          expr(s"${teleportScaled}L div _pr_n").as("_pr_base"),
+          expr(s"${scale}L div _pr_n").as("_pr_init")))
+    iterate(based, eDeg, iters, dampNum, dampDen, materializeEach)
+  }
 
-    var rank = withBase(nodes)
-      .select(col("node"), expr(s"${scale}L div _pr_n").as("rank"))
+  /** Personalized (seeded) PageRank — TrustRank: the teleport mass
+    * lands ONLY on `seeds` (one `node` column; rows not present in the
+    * graph are ignored), so rank measures random-walk proximity to the
+    * trusted set instead of global authority. The crawl-curation use:
+    * propagate trust from a vetted domain whitelist and treat
+    * low-trust, high-in-degree nodes as spam candidates. Same
+    * fixed-point Long determinism, scale shape, and dangling-mass
+    * caveat as [[pageRank]]; non-seed nodes start (and, if unreachable
+    * from the seeds, stay) at exactly 0. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           scale: Long = 1000000000000L,
+                           materializeEach: Boolean = true): DataFrame = {
+    val (nodes, eDeg) = prepare(edges, srcCol, dstCol)
+    val seedsIn = seeds.select(col("node").cast(LongType).as("_pr_seed"))
+      .filter(col("_pr_seed").isNotNull).distinct()
+      .join(nodes, col("_pr_seed") === col("node"), "left_semi")
+    val sCount = seedsIn.agg(count(lit(1)).cast(LongType).as("_pr_s"))
+    val teleportScaled = teleport(dampNum, dampDen, scale)
+    val based = Caching.ensureCachedLazy(
+      nodes
+        .join(seedsIn, col("node") === col("_pr_seed"), "left")
+        .crossJoin(broadcast(sCount))
+        .select(col("node"),
+          when(col("_pr_seed").isNotNull, expr(s"${teleportScaled}L div _pr_s"))
+            .otherwise(lit(0L)).as("_pr_base"),
+          when(col("_pr_seed").isNotNull, expr(s"${scale}L div _pr_s"))
+            .otherwise(lit(0L)).as("_pr_init")))
+    iterate(based, eDeg, iters, dampNum, dampDen, materializeEach)
+  }
+
+  /** Cleaned node set and degree-annotated edge list, both cached —
+    * each is re-joined every iteration. */
+  private def prepare(edges: DataFrame, srcCol: String,
+                      dstCol: String): (DataFrame, DataFrame) = {
+    val e = edges.select(
+      col(srcCol).cast(LongType).as("_pr_src"),
+      col(dstCol).cast(LongType).as("_pr_dst"))
+      .filter(col("_pr_src").isNotNull && col("_pr_dst").isNotNull)
+    val nodes = Caching.ensureCachedLazy(
+      e.select(col("_pr_src").as("node"))
+        .union(e.select(col("_pr_dst").as("node")))
+        .distinct())
+    val deg = e.groupBy(col("_pr_src")).agg(count(lit(1)).as("_pr_deg"))
+    (nodes, Caching.ensureCachedLazy(e.join(deg, "_pr_src")))
+  }
+
+  /** `(1-d) × scale` as exact Long arithmetic. */
+  private def teleport(dampNum: Long, dampDen: Long, scale: Long): Long = {
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      "damping must be a rational in [0, 1]")
+    require(scale > 0, "scale must be positive")
+    scale - (dampNum * scale) / dampDen
+  }
+
+  /** The damped power iteration over a `(node, _pr_base, _pr_init)`
+    * frame: per-node teleport base and start mass are data, so the
+    * uniform and personalized variants share every moving part. */
+  private def iterate(based: DataFrame, eDeg: DataFrame, iters: Int,
+                      dampNum: Long, dampDen: Long,
+                      materializeEach: Boolean): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    var rank = based.select(col("node"), col("_pr_init").as("rank"))
     for (_ <- 1 to iters) {
       // join conditions are spelled by (unique) column NAME, not by
       // dataframe-tagged reference: every frame here descends from the
@@ -98,7 +146,7 @@ object Graph {
         .select(col("_pr_dst"), expr("`rank` div _pr_deg").as("_pr_c"))
         .groupBy(col("_pr_dst"))
         .agg(sum(col("_pr_c")).as("_pr_sum"))
-      val next = withBase(nodes)
+      val next = based
         .join(contrib, col("node") === col("_pr_dst"), "left")
         .select(col("node"),
           (col("_pr_base") +

@@ -62,6 +62,54 @@ class GraphSpec extends SparkSpec {
       s"mass off: $total vs $scale")
   }
 
+  /** Reference personalized variant: teleport and initial mass only on
+    * seeds. */
+  private def referenceSeeded(edges: Seq[(Long, Long)], seeds: Set[Long],
+                              iters: Int,
+                              scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val in = seeds.intersect(nodes.toSet)
+    val s = in.size.toLong
+    val base = nodes.map(v =>
+      v -> (if (in(v)) (scale - (85L * scale) / 100L) / s else 0L)).toMap
+    var pr = nodes.map(v => v -> (if (in(v)) scale / s else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val acc = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => pr(e._1) / deg(e._1)).sum
+      }
+      pr = nodes.map(v => v -> (base(v) + (85L * acc.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank matches its reference; unreachable nodes stay 0") {
+    // two components: {1,2,3} cyclic, {8,9} mutual. Seeding in the
+    // first component must leave the second at exactly 0, and seeds
+    // outside the graph (99) must be ignored, not counted in |S|
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L), (9L, 8L))
+    val seeds = Set(1L, 99L)
+    val out = Graph.personalizedPageRank(
+      edges.toDF("src", "dst"), Seq(1L, 99L).toDF("node"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == referenceSeeded(edges, seeds, 4))
+    assert(out(8L) == 0L && out(9L) == 0L,
+      s"unreachable component gained trust: $out")
+    assert(out(1L) > 0L && out(2L) > 0L && out(3L) > 0L)
+  }
+
+  test("personalizedPageRank with all nodes seeded equals uniform pageRank") {
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
+    val allNodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // |V| = 4 divides the scale's 10^12 evenly enough that seeded and
+    // uniform spell the same initial/base values
+    val seeded = Graph.personalizedPageRank(
+      edges.toDF("src", "dst"), allNodes.toDF("node"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val uniform = run(edges, 3)
+    assert(seeded == uniform)
+  }
+
   test("null endpoints drop; plan has no cartesian product") {
     val df = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
       (None: Option[Long], Some(9L)), (Some(9L), None: Option[Long]))
