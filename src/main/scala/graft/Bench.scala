@@ -57,7 +57,10 @@ object Bench {
     // q_trustrank is gated but not benched — it shares the iteration
     // engine and differs only in the teleport frame, same precedent as
     // q_substr_strip sharing the spans computation)
-    "q_pagerank")
+    "q_pagerank",
+    // r8: BPE merge induction (q_bpe_segment not benched: its cost IS
+    // the training pass plus a stateless projection)
+    "q_bpe_train")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -106,8 +109,8 @@ object Bench {
     "q_epoch_order" -> 0.16,
     // r7: local warmed best-of-3 (0.43/0.47) × 1.3
     "q_temperature_mix" -> 0.61,
-    // r8: local warmed best-of-3 (1.14) × 1.3
-    "q_pagerank" -> 1.48
+    // r8: local warmed best-of-3 (1.14 / 1.38) × 1.3
+    "q_pagerank" -> 1.48, "q_bpe_train" -> 1.79
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -415,6 +415,19 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
     }),
+    // BPE tokenizer induction (Sennrich): 5 merges learned from the
+    // word-type vocabulary — deterministic (count DESC, pair ASC) wins
+    "q_bpe_train" -> ((s, d) =>
+      graft.ops.Bpe.trainMerges(t(s, d, "documents"), 5)),
+    // the learned merges applied as a frozen artifact (k-bounded
+    // collect, the PQ-codebook precedent): per-doc subword token counts
+    "q_bpe_segment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.ops.Bpe.trainMerges(docs, 5)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
+      graft.ops.Bpe.segmentCounts(docs, merges)
+    }),
     // TrustRank: the same graph, teleport restricted to a trusted seed
     // set (nation-0 suppliers) — random-walk proximity to vetted nodes,
     // the crawl-curation spam prior; unreachable nodes stay exactly 0
@@ -880,6 +893,14 @@ object SparkEntry {
     // Graph.pageRank
     "q_pagerank" -> pagerankSql,
     "q_trustrank" -> trustrankSql,
+    "q_bpe_train" -> (bpeCtes + """
+      |SELECT * FROM (
+      |  SELECT 1 AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM top1
+      |  UNION ALL SELECT 2, pair, replace(pair, ' ', ''), c FROM top2
+      |  UNION ALL SELECT 3, pair, replace(pair, ' ', ''), c FROM top3
+      |  UNION ALL SELECT 4, pair, replace(pair, ' ', ''), c FROM top4
+      |  UNION ALL SELECT 5, pair, replace(pair, ' ', ''), c FROM top5)""".stripMargin),
+    "q_bpe_segment" -> bpeSegmentSql,
     // temperature rates: sqrt weight fixed-pointed at 1e6, exact integer
     // totals, HUGEINT integral division — mirrors temperatureRates step
     // for step (sqrt is correctly-rounded IEEE, so w6 is bit-identical)
@@ -1972,6 +1993,51 @@ object SparkEntry {
        |  pr0 AS (SELECT node, CAST(init AS BIGINT) AS rank FROM based),
        |  ${(1 to 5).map(step).mkString(",\n  ")}
        |SELECT node, rank FROM pr5 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** Shared CTE chain for the BPE oracles: word-type vocabulary →
+    * char-unit strings → 5 unrolled merge iterations (pair stats, a
+    * deterministic (count DESC, pair ASC) top pick, substring-replace
+    * rewrite — units never contain spaces, so substring replacement on
+    * the space-joined form IS unit-pair merging, mirroring
+    * `ops/Bpe.scala`). */
+  private def bpeCtes: String = {
+    def step(i: Int) =
+      s"""u$i AS (SELECT s, cnt, string_split(s, ' ') AS us FROM w${i - 1}),
+         |  pe$i AS (SELECT unnest([us[i] || ' ' || us[i+1]
+         |      FOR i IN generate_series(1, len(us) - 1)]) AS pair, cnt FROM u$i),
+         |  pc$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM pe$i GROUP BY 1),
+         |  top$i AS (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1),
+         |  w$i AS (SELECT replace(s, t.pair, replace(t.pair, ' ', '')) AS s, cnt
+         |    FROM u$i CROSS JOIN top$i t)""".stripMargin
+    s"""WITH words AS (
+       |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |      SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+       |      FROM documents)
+       |    GROUP BY 1),
+       |  w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS s,
+       |      cnt FROM words),
+       |  ${(1 to 5).map(step).mkString(",\n  ")}""".stripMargin
+  }
+
+  /** The q_bpe_segment oracle: the training CTEs, then the 5 merges
+    * folded (in step order) over every document word and the subword
+    * counts summed per document. */
+  private def bpeSegmentSql: String = {
+    val folded = (1 to 5).foldLeft(
+      "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>'") {
+      (acc, i) => s"replace($acc, tops.p$i, tops.m$i)"
+    }
+    val topCols = (1 to 5).map(i => s"t$i.pair AS p$i, t$i.m AS m$i").mkString(", ")
+    val topSrcs = (1 to 5)
+      .map(i => s"(SELECT pair, replace(pair, ' ', '') AS m FROM top$i) t$i")
+      .mkString(" CROSS JOIN ")
+    bpeCtes + s""",
+      |  docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+      |    FROM documents),
+      |  tops AS (SELECT $topCols FROM $topSrcs)
+      |SELECT doc_id, CAST(sum(len(string_split($folded, ' '))) AS BIGINT) AS n_tokens
+      |FROM docw CROSS JOIN tops GROUP BY doc_id""".stripMargin
   }
 
   /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */
