@@ -96,7 +96,11 @@ object ScaleEvidence {
     "q_ann_brute", "q_ann_ivf",
     "q_substr_spans", "q_line_dedup", "q_dsir", "q_gopher_rules",
     "q_lm_score", "q_source_cap", "q_stratified_sample", "q_url_dedup",
-    "q_curation_pipeline2")
+    "q_curation_pipeline2",
+    // r8: iterative graph (10x disconnected replicas — linear if the
+    // per-iteration shuffle is the only corpus-sized step) and BPE
+    // induction (corpus pass + vocab-sized iterations)
+    "q_pagerank", "q_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)

@@ -58,6 +58,25 @@ class BpeSpec extends SparkSpec {
     assert(seg == Map(1L -> 6L, 2L -> 7L), s"counts: $seg")
   }
 
+  test("segmentCounts runs on a stream with frozen merges, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val learned = Seq(("l o", "lo"), ("lo w", "low"))
+    val data = Seq((1L, "low lower"), (2L, "newest"))
+    val batch = Bpe.segmentCounts(data.toDF("doc_id", "text"), learned)
+      .as[(Long, Long)].collect().toMap
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = Bpe.segmentCounts(mem.toDF().toDF("doc_id", "text"), learned)
+    val q = out.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("bpe_stream")
+        .as[(Long, Long)].collect().toMap
+      assert(rows == batch, s"stream $rows vs batch $batch")
+    } finally q.stop()
+  }
+
   test("word-type weighting: repeated words count once per occurrence") {
     // "to to to" vs "to": every pair of the single word type "to"
     // must be weighted by corpus frequency (4), not by word-type
