@@ -54,12 +54,28 @@ object Bpe {
     * deterministic top pick, and a broadcast rewrite of the word
     * types. */
   def trainMerges(docs: DataFrame, nMerges: Int,
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text"): DataFrame =
+    trainMergesFromVocab(wordVocab(docs, textCol), nMerges)
+
+  /** Learn merges from an explicit (word, cnt) vocabulary frame — the
+    * algorithm only ever sees the vocabulary, which is what makes the
+    * [[BpeIndex]] incremental story EXACT: vocab counts are additive,
+    * so a merged vocab retrains identically to the concatenated
+    * corpus. `priorMerges` (in training order) resumes learning from an
+    * already-merged unit state, numbering new merges from
+    * `priorMerges.size + 1` — training n then extending by k equals
+    * training n+k from scratch. */
+  def trainMergesFromVocab(vocab: DataFrame, nMerges: Int,
+                           priorMerges: Seq[(String, String)] = Nil): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
+    val start = priorMerges.foldLeft(charUnits(col("word"))) {
+      case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
+    }
     var w = Caching.ensureCachedLazy(
-      wordVocab(docs, textCol).select(charUnits(col("word")).as("s"), col("cnt")))
+      vocab.select(start.as("s"), col("cnt")))
     var merges: Option[DataFrame] = None
-    for (i <- 1 to nMerges) {
+    for (i0 <- 1 to nMerges) {
+      val i = priorMerges.size + i0
       val top = Caching.ensureCachedLazy(
         pairStats(w)
           .orderBy(col("c").desc, col("pair").asc)
