@@ -446,6 +446,30 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
     }),
+    // KMV distinct-cardinality sketch: estimated distinct 3-shingles per
+    // source from a 64-value buffer — bounded state (O(sources × 64)
+    // longs through the exchange), engine-exact estimator (integral
+    // division over the portable 60-bit hash; see Sketch scaladoc)
+    "q_distinct_kmv" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = docs
+        .select(col("source"), col("doc_id"),
+          explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
+        .select(col("source"),
+          explode(array(NearDup.shinglesOf(col("toks")))).as("shs"))
+        .select(col("source"), explode(col("shs")).as("shingle"))
+      graft.ops.Sketch.distinctKmv(sh, "source", "shingle", k = 64)
+    }),
+    // count-min heavy hitters: tokens whose d=2 × w=32 sketch estimate
+    // reaches 1% of the stream — bounded counter state, deterministic
+    // overestimates (collisions only promote, never hide, a hitter)
+    "q_heavy_hitters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
+        .select(explode(col("toks")).as("tok"))
+      graft.ops.Sketch.heavyHitters(toks, "tok", d = 2, w = 32, minShare = 0.01)
+    }),
     // multilingual temperature rebalancing (alpha=0.5) sized to 40% of
     // the corpus — rates are engine-exact (sqrt + fixed-point + integral
     // division; see temperatureRates scaladoc)
@@ -901,6 +925,49 @@ object SparkEntry {
       |  UNION ALL SELECT 4, pair, replace(pair, ' ', ''), c FROM top4
       |  UNION ALL SELECT 5, pair, replace(pair, ' ', ''), c FROM top5)""".stripMargin),
     "q_bpe_segment" -> bpeSegmentSql,
+    // KMV sketch: the k=64 smallest distinct 60-bit hashes per source
+    // re-derived exactly (same md5 bits, same HUGEINT integral division
+    // as the Spark DECIMAL(38,0) `div`)
+    "q_distinct_kmv" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |sh AS (
+        |  SELECT a.source, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |           JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  UNION ALL
+        |  SELECT source, array_to_string(toks, ' ') AS shingle FROM t WHERE len(toks) < 3),
+        |h AS (SELECT DISTINCT source, ${h60("'kmv:' || shingle")} AS hv FROM sh),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+        |a AS (SELECT source, count(*) AS n, max(CASE WHEN rn = 64 THEN hv END) AS hk
+        |      FROM r WHERE rn <= 64 GROUP BY source)
+        |SELECT source, CAST(CASE WHEN n < 64 THEN n
+        |  ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // hk
+        |  END AS BIGINT) AS est_distinct
+        |FROM a""".stripMargin,
+    // count-min: both hash rows' bucket counts re-derived, estimate =
+    // min over rows, threshold = ceil of the share of the stream total
+    "q_heavy_hitters" ->
+      s"""WITH t AS (
+        |  SELECT regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT unnest(toks) AS tok FROM t),
+        |b AS (
+        |  SELECT i, ${h60("'cm' || CAST(i AS VARCHAR) || ':' || tok")} % 32 AS bucket,
+        |    count(*) AS cnt
+        |  FROM tok CROSS JOIN range(2) r(i) GROUP BY 1, 2),
+        |dd AS (SELECT DISTINCT tok FROM tok),
+        |est AS (
+        |  SELECT dd.tok, min(b.cnt) AS est_count
+        |  FROM dd CROSS JOIN range(2) r(i)
+        |  JOIN b ON b.i = r.i
+        |    AND b.bucket = ${h60("'cm' || CAST(r.i AS VARCHAR) || ':' || dd.tok")} % 32
+        |  GROUP BY 1)
+        |SELECT tok, est_count FROM est
+        |WHERE est_count >= ceil(0.01 * (SELECT count(*) FROM tok))""".stripMargin,
     // temperature rates: sqrt weight fixed-pointed at 1e6, exact integer
     // totals, HUGEINT integral division — mirrors temperatureRates step
     // for step (sqrt is correctly-rounded IEEE, so w6 is bit-identical)

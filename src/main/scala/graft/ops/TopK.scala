@@ -74,6 +74,38 @@ object TopK {
 
   def minKIds(k: Int): TypedColumn[Long, Seq[Long]] = new MinKIds(k).toColumn
 
+  /** [[MinKIds]] with SET semantics: the k smallest DISTINCT values per
+    * key. This is the KMV ("k minimum values") sketch buffer — a bounded
+    * distinct-cardinality summary with the same partial-aggregation scale
+    * shape as the other bounded buffers here: each input partition
+    * reduces to ≤ k values before the exchange, so estimating distinct
+    * counts over 100 TB shuffles O(keys × k) longs, never the value
+    * stream. A duplicate insert is a no-op (membership check is O(log k)
+    * against the sorted buffer), which is exactly what makes the buffer a
+    * function of the value SET — merge order cannot change the result. */
+  final class MinKDistinct(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    private def ins(b: List[Long], x: Long): List[Long] = {
+      val (pre, post) = b.span(_ < x)
+      post match {
+        case h :: _ if h == x => b
+        case _ =>
+          val merged = pre ::: (x :: post)
+          if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+      }
+    }
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], a: Long): List[Long] = ins(b, a)
+    override def merge(x: List[Long], y: List[Long]): List[Long] =
+      y.foldLeft(x)(ins)
+    override def finish(r: List[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def minKDistinct(k: Int): TypedColumn[Long, Seq[Long]] = new MinKDistinct(k).toColumn
+
   /** Bounded-buffer aggregator keeping the k smallest `(sortKey, id)`
     * pairs ordered `(sortKey ASC, id ASC)` — [[MinKIds]] with the sort key
     * decoupled from the returned id, so "k lowest-HASH rows per stratum"
