@@ -470,6 +470,15 @@ object SparkEntry {
         .select(explode(col("toks")).as("tok"))
       graft.ops.Sketch.heavyHitters(toks, "tok", d = 2, w = 32, minShare = 0.01)
     }),
+    // Z-order (Morton) clustering key: 16-bit quantization against the
+    // observed min/max + stride-2 bit interleave — exact integer
+    // arithmetic end to end (see Layout scaladoc); LayoutSpec pins the
+    // row-group-skipping effect of writing in this order
+    "q_zorder" -> ((s, d) =>
+      graft.ops.Layout.withZValue(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"), bits = 16)),
     // multilingual temperature rebalancing (alpha=0.5) sized to 40% of
     // the corpus — rates are engine-exact (sqrt + fixed-point + integral
     // division; see temperatureRates scaladoc)
@@ -948,6 +957,10 @@ object SparkEntry {
         |  ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // hk
         |  END AS BIGINT) AS est_distinct
         |FROM a""".stripMargin,
+    // z-order: quantization via HUGEINT floor division (equal to the
+    // Spark DECIMAL `div` on these non-negative quantities), interleave
+    // as the same 32-term shift/mask sum
+    "q_zorder" -> zorderSql,
     // count-min: both hash rows' bucket counts re-derived, estimate =
     // min over rows, threshold = ceil of the share of the stream total
     "q_heavy_hitters" ->
@@ -2276,6 +2289,31 @@ object SparkEntry {
     * order agrees across engines. */
   private def h60(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** The q_zorder oracle: [[graft.ops.Layout.withZValue]] re-derived —
+    * 16-bit quantization against the observed min/max (HUGEINT floor
+    * division == Spark's DECIMAL(38,0) integral `div` on non-negative
+    * quantities) and the stride-2 Morton interleave as the identical
+    * 32-term shift/mask sum. */
+  private def zorderSql: String = {
+    val bits = 16
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(((qa >> $i) & 1) * ${1L << (2 * i + 1)})",
+        s"(((qb >> $i) & 1) * ${1L << (2 * i)})")
+    }.mkString(" + ")
+    s"""WITH mm AS (
+      |  SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+      |         min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+      |  FROM lineitem),
+      |q AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    CAST((${1L << bits}::HUGEINT * (l_partkey - amin)) // (amax - amin + 1) AS BIGINT) AS qa,
+      |    CAST((${1L << bits}::HUGEINT * (l_suppkey - bmin)) // (bmax - bmin + 1) AS BIGINT) AS qb
+      |  FROM lineitem, mm)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST($terms AS BIGINT) AS zval
+      |FROM q""".stripMargin
+  }
 
   /** Shared CTE for the URL-family oracles: `u` mirrors [[docsWithUrl]]'s
     * synthetic url EXPRESSION-FOR-EXPRESSION; `p` mirrors [[UrlOps]]'

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering for
+  * data-skipping scans.
+  *
+  * The 100 TB problem this solves: a corpus sorted by one key prunes
+  * scans on THAT key only — parquet row-group min/max stats on every
+  * other column span the whole domain, so a filter on (partkey AND
+  * suppkey) still reads everything when the files are laid out by
+  * orderkey. Interleaving the bits of several quantized columns into
+  * one sort key clusters rows so that EVERY interleaved column has
+  * tight min/max per file/row-group, and a conjunctive range filter
+  * skips most of the corpus at the scan (the `OPTIMIZE ZORDER BY`
+  * capability, expressed as plain open Spark: quantize → interleave →
+  * `repartitionByRange` → `sortWithinPartitions` → write).
+  * `LayoutSpec` pins the skipping effect by comparing the parquet
+  * scan's output-row metric between a z-ordered and a linearly-sorted
+  * copy of the same data under the same box filter.
+  *
+  * Determinism: quantization is exact integer arithmetic — bucket =
+  * ((v − min) × 2^bits) div (range + 1) over DECIMAL(38,0), integral
+  * `div` — and the bit interleave is a static shift/mask expression
+  * tree (codegen'd, no lambda), so any engine reproduces the z-values
+  * bit-for-bit; the gate replays them in DuckDB. File ASSIGNMENT
+  * (which range split a row lands in) is Spark-internal sampling and
+  * deliberately not part of any gated result.
+  */
+object Layout {
+
+  /** Z-value of already-quantized bucket columns (each in [0, 2^bits)):
+    * stride-n bit interleave, column 0 taking the most significant
+    * position of each group. Static shift/mask tree — stays inside
+    * whole-stage codegen. */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    require(n >= 2, "interleave needs at least two columns")
+    require(n * bits <= 63, s"$n columns x $bits bits overflow a signed long")
+    val terms = for {
+      i <- 0 until bits
+      (b, j) <- buckets.zipWithIndex
+    } yield {
+      // bit i of column j lands at position i*n + (n-1-j)
+      val pos = i * n + (n - 1 - j)
+      (shiftright(b, i).bitwiseAND(lit(1L))) * lit(1L << pos)
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Append `zCol` — the z-value over `cols` quantized to `bits` bits
+    * each against their OBSERVED min/max (one aggregation, broadcast
+    * back; no driver-side collect, no extra job before the plan runs).
+    * Non-integral inputs are rejected: float quantization buckets
+    * would depend on rounding mode and break the exactness contract —
+    * pre-bucket floats explicitly (e.g. cast fixed-point) first. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16,
+                 zCol: String = "zval"): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(cols.size * bits <= 63, "z-value must fit a signed long")
+    cols.foreach { c =>
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"z-order column $c must be integral, got " +
+        df.schema(c).dataType.simpleString)
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast(LongType).as(s"_z_min_$c"),
+        max(col(c)).cast(LongType).as(s"_z_max_$c"))
+    }
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val withStats = df.crossJoin(broadcast(mm))
+    val buckets = cols.map { c =>
+      // ((v - min) * 2^bits) div (range + 1): exact DECIMAL(38,0)
+      // integral division, monotone, max ↦ 2^bits - 1
+      expr(s"(CAST(${1L << bits} AS DECIMAL(38,0)) * " +
+        s"CAST((CAST(`$c` AS BIGINT) - `_z_min_$c`) AS DECIMAL(38,0))) div " +
+        s"CAST((`_z_max_$c` - `_z_min_$c` + 1) AS DECIMAL(38,0))")
+    }
+    withStats
+      .withColumn(zCol, interleave(buckets, bits))
+      .drop(cols.flatMap(c => Seq(s"_z_min_$c", s"_z_max_$c")): _*)
+  }
+
+  /** Cluster `df` by the z-value over `cols`: range-partition into
+    * `numFiles` splits and sort inside each — every interleaved column
+    * gets tight per-file (and per-row-group) min/max stats. The z
+    * column itself is dropped from the output rows; it exists to
+    * arrange them. */
+  def zOrderBy(df: DataFrame, cols: Seq[String], numFiles: Int,
+               bits: Int = 16): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    withZValue(df, cols, bits, zCol = "_z_order")
+      .repartitionByRange(numFiles, col("_z_order"))
+      .sortWithinPartitions(col("_z_order"))
+      .drop("_z_order")
+  }
+
+  /** [[zOrderBy]] + parquet write — the materialised layout. */
+  def writeZordered(df: DataFrame, path: String, cols: Seq[String],
+                    numFiles: Int, bits: Int = 16): Unit =
+    zOrderBy(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
+}

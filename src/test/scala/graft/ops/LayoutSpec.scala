@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave on the JVM. */
+  private def morton(qs: Seq[Long], bits: Int): Long = {
+    val n = qs.size
+    var z = 0L
+    for (i <- 0 until bits; j <- 0 until n)
+      z |= ((qs(j) >> i) & 1L) << (i * n + (n - 1 - j))
+    z
+  }
+
+  test("z-values match a reference Morton interleave") {
+    val df = (0 until 1000)
+      .map(i => (i.toLong, (i * 48271L) % 997, (i * 16807L) % 997))
+      .toDF("id", "a", "b")
+    val got = Layout.withZValue(df, Seq("a", "b"), bits = 8)
+      .select("id", "a", "b", "zval").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // quantization reference: ((v - min) * 2^bits) / (range+1), exact
+    val aMin = 0L; val aMax = 996L; val bMin = 0L; val bMax = 996L
+    got.foreach { case (_, (a, b, z)) =>
+      val qa = (BigInt(256) * BigInt(a - aMin) / BigInt(aMax - aMin + 1)).toLong
+      val qb = (BigInt(256) * BigInt(b - bMin) / BigInt(bMax - bMin + 1)).toLong
+      assert(z === morton(Seq(qa, qb), 8))
+    }
+  }
+
+  test("quantization is monotone and full-range") {
+    val df = (0L to 255L).map(v => (v, v)).toDF("a", "b")
+    val zs = Layout.withZValue(df, Seq("a", "b"), bits = 8)
+      .orderBy("a").select("zval").collect().map(_.getLong(0))
+    // equal coordinates on the diagonal: z strictly increases
+    assert(zs.toSeq === zs.sorted.toSeq)
+    assert(zs.head === 0L)
+    // max maps to all bits set: (2^16 - 1) for two 8-bit columns
+    assert(zs.last === (1L << 16) - 1)
+  }
+
+  test("three-column interleave stays within budget and is exact") {
+    val rows = Seq((7L, 0L, 5L), (0L, 7L, 2L), (3L, 3L, 4L))
+    val df = rows.toDF("a", "b", "c")
+    val got = Layout.withZValue(df, Seq("a", "b", "c"), bits = 3)
+      .select("a", "b", "c", "zval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // quantization reference against each column's OBSERVED min/max
+    def quant(v: Long, lo: Long, hi: Long): Long =
+      (BigInt(8) * BigInt(v - lo) / BigInt(hi - lo + 1)).toLong
+    got.foreach { case ((a, b, c), z) =>
+      assert(z === morton(Seq(quant(a, 0, 7), quant(b, 0, 7), quant(c, 2, 5)), 3))
+    }
+  }
+
+  test("guards: fewer than two columns, bit overflow, non-integral columns") {
+    val df = Seq((1L, 2L, 0.5)).toDF("a", "b", "f")
+    intercept[IllegalArgumentException](Layout.withZValue(df, Seq("a")))
+    intercept[IllegalArgumentException](Layout.withZValue(df, Seq("a", "b"), bits = 32))
+    intercept[IllegalArgumentException](Layout.withZValue(df, Seq("a", "f")))
+  }
+
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = finalPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }
+    assert(scans.nonEmpty, "no parquet scan in the plan")
+    scans.sum
+  }
+
+  test("z-ordered layout skips row groups a linear sort cannot") {
+    val n = 60000
+    val df = (0 until n)
+      .map(i => (i.toLong, (i * 48271L) % 10007, (i * 16807L) % 10007))
+      .toDF("id", "a", "b")
+    val zDir = tmpDir("layout_z")
+    val linDir = tmpDir("layout_lin")
+    Layout.writeZordered(df, zDir, Seq("a", "b"), numFiles = 16)
+    // the linear strawman: same file count, clustered by id only
+    df.repartitionByRange(16, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(linDir)
+    val box = (d: DataFrame) =>
+      d.filter(col("a") < 1000 && col("b") < 1000)
+    val zRows = scanRows(box(spark.read.parquet(zDir)))
+    val linRows = scanRows(box(spark.read.parquet(linDir)))
+    val kept = box(spark.read.parquet(zDir)).count()
+    assert(kept === box(spark.read.parquet(linDir)).count())
+    // selectivity ~1%: the linear layout's files all span the full (a, b)
+    // domain so its scan reads ~everything; the z-ordered files carry
+    // tight min/max on BOTH columns and the scan skips most of them
+    assert(linRows > (n * 8) / 10, s"strawman unexpectedly pruned: $linRows")
+    assert(zRows < linRows / 2,
+      s"z-order skipped too little: z=$zRows linear=$linRows (kept=$kept)")
+  }
+
+  test("zOrderBy preserves rows and drops the internal column") {
+    val df = (0 until 500)
+      .map(i => (i.toLong, (i * 7L) % 101, (i * 13L) % 101)).toDF("id", "a", "b")
+    val out = Layout.zOrderBy(df, Seq("a", "b"), numFiles = 4)
+    assert(out.columns.toSeq === Seq("id", "a", "b"))
+    assert(out.count() === 500)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === (0L until 500L))
+  }
+}
