@@ -18,6 +18,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     T.load(s, dir, name)
 
+  /** The shared graph-query edge set: customer–supplier co-occurrence
+    * pairs from orders ⨝ lineitem (suppliers offset into their own id
+    * space), symmetrised so every node has out-degree ≥ 1 — no dangling
+    * mass for PageRank, votes in both directions for label propagation. */
+  private def coGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (col("l_suppkey").cast("long") + 10000000L).as("p"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+  }
+
   /** documents + a deterministic synthetic `url` column (testdata carries
     * no URL column — SURVEY r7 backlog item): scheme, www subdomain,
     * multi-label public suffix, explicit default and non-default ports,
@@ -346,6 +361,15 @@ object SparkEntry {
     // one k-means iteration bit-for-bit (decimal-accumulated per-dim means)
     "q_ann_ivf_refined" -> ((s, d) =>
       VectorOps.annIvf(t(s, d, "embeddings"), kmeansIters = 1)),
+    // the Lloyd TRAINING loop gated on its own output: 2 deterministic
+    // iterations from lowest-id seeds, refined centroids emitted one row
+    // per (cid, dim) — the quantizer every IVF/PQ/cluster-sample query
+    // consumes, now an oracle-checked artifact rather than an internal
+    "q_kmeans" -> ((s, d) =>
+      VectorOps.kmeansCentroids(
+          VectorOps.prepared(t(s, d, "embeddings")), k = 8, iterations = 2)
+        .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "m")))
+        .select(col("cid"), col("dim").cast("long").as("dim"), col("m"))),
     // the full PQ path — seed codebooks, one Lloyd round (decimal means,
     // empty codes keep their centroid), engine-exact encode (rounded
     // ‖c‖²−2s·c argmin), table scoring, exact re-rank — replicated in SQL
@@ -402,19 +426,16 @@ object SparkEntry {
     // lineitem, symmetrised so every node has out-degree ≥ 1 (no
     // dangling mass), 5 fixed-point PageRank iterations — engine-exact
     // Long arithmetic end to end (see Graph.pageRank scaladoc)
-    "q_pagerank" -> ((s, d) => {
-      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
-          (col("l_suppkey").cast("long") + 10000000L).as("p"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-      graft.ops.Graph.pageRank(edges, iters = 5)
+    "q_pagerank" -> ((s, d) =>
+      graft.ops.Graph.pageRank(coGraphEdges(s, d), iters = 5)
         .orderBy(col("rank").desc, col("node").asc)
-        .limit(20)
-    }),
+        .limit(20)),
+    // synchronous label propagation over the same co-occurrence graph:
+    // plurality label among in-neighbors, ties to the smallest label,
+    // 5 fixed rounds — the deterministic community-detection variant
+    // (see Graph.labelPropagation scaladoc)
+    "q_labelprop" -> ((s, d) =>
+      graft.ops.Graph.labelPropagation(coGraphEdges(s, d), iters = 5)),
     // BPE tokenizer induction (Sennrich): 5 merges learned from the
     // word-type vocabulary — deterministic (count DESC, pair ASC) wins
     "q_bpe_train" -> ((s, d) =>
@@ -432,17 +453,9 @@ object SparkEntry {
     // set (nation-0 suppliers) — random-walk proximity to vetted nodes,
     // the crawl-curation spam prior; unreachable nodes stay exactly 0
     "q_trustrank" -> ((s, d) => {
-      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
-          (col("l_suppkey").cast("long") + 10000000L).as("p"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
       val seeds = t(s, d, "supplier").filter(col("s_nationkey") === 0)
         .select((col("s_suppkey").cast("long") + 10000000L).as("node"))
-      graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 5)
+      graft.ops.Graph.personalizedPageRank(coGraphEdges(s, d), seeds, iters = 5)
         .orderBy(col("rank").desc, col("node").asc)
         .limit(20)
     }),
@@ -926,6 +939,7 @@ object SparkEntry {
     // Graph.pageRank
     "q_pagerank" -> pagerankSql,
     "q_trustrank" -> trustrankSql,
+    "q_labelprop" -> labelpropSql,
     "q_bpe_train" -> (bpeCtes + """
       |SELECT * FROM (
       |  SELECT 1 AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM top1
@@ -1862,6 +1876,42 @@ object SparkEntry {
         |  cosine
         |FROM s
         |QUALIFY "rank" <= 5""".stripMargin,
+    // two full Lloyd iterations replicated in SQL: lowest-id seeds,
+    // rounded-cosine argmax assignment (ties to the lower cid), per-dim
+    // DECIMAL(25,6) means — kmeansCentroids' determinism contract —
+    // then the refined centroids exploded per dimension (0-based, as
+    // posexplode emits); an all-zero refined centroid is dropped like
+    // the engine's null-cn filter
+    "q_kmeans" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+        |  WHERE vec_id < 8 AND nrm > 0),
+        |a1 AS (
+        |  SELECT n.vec_id, n.v, cid FROM n CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1),
+        |x1 AS (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a1),
+        |m1 AS (SELECT cid, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+        |  FROM x1 GROUP BY 1, 2),
+        |c1l AS (SELECT cid, list(m ORDER BY dim ASC) AS cv FROM m1 GROUP BY 1),
+        |c1 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1l
+        |  WHERE sqrt(list_dot_product(cv, cv)) > 0),
+        |a2 AS (
+        |  SELECT n.vec_id, n.v, cid FROM n CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) DESC, cid ASC) = 1),
+        |x2 AS (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a2),
+        |m2 AS (SELECT cid, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+        |  FROM x2 GROUP BY 1, 2),
+        |fin AS (SELECT cid, list(m ORDER BY dim ASC) AS cv FROM m2 GROUP BY 1),
+        |keep AS (SELECT cid FROM fin WHERE sqrt(list_dot_product(cv, cv)) > 0)
+        |SELECT m2.cid, CAST(dim - 1 AS BIGINT) AS dim, m
+        |FROM m2 JOIN keep USING (cid)""".stripMargin,
     // PQ trained+encoded in SQL (see pqCtes), brute approx scoring over
     // the whole corpus, pool of topK×rerank, exact cosine re-rank
     "q_ann_pq" ->
@@ -2038,6 +2088,30 @@ object SparkEntry {
        |    FROM nodes CROSS JOIN nn),
        |  ${(1 to 5).map(step).mkString(",\n  ")}
        |SELECT node, rank FROM pr5 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** The q_labelprop oracle: 5 synchronous rounds unrolled — per-round
+    * (dst, label) vote counts, "count DESC, label ASC" plurality winner,
+    * nodes with no in-edges keep their previous label. */
+  private def labelpropSql: String = {
+    def step(i: Int) =
+      s"""v$i AS (SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS c
+         |    FROM edges e JOIN lp${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |  w$i AS (SELECT node, label FROM v$i
+         |    QUALIFY row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label ASC) = 1),
+         |  lp$i AS (SELECT p.node, COALESCE(w$i.label, p.label) AS label
+         |    FROM lp${i - 1} p LEFT JOIN w$i ON p.node = w$i.node)""".stripMargin
+    s"""WITH pairs AS (
+       |    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |      CAST(l_suppkey AS BIGINT) + 10000000 AS p
+       |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |  edges AS (SELECT c AS src, p AS dst FROM pairs
+       |    UNION ALL SELECT p AS src, c AS dst FROM pairs),
+       |  nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |  lp0 AS (SELECT node, node AS label FROM nodes),
+       |  ${(1 to 5).map(step).mkString(",\n  ")}
+       |SELECT node, label FROM lp5""".stripMargin
   }
 
   /** The q_trustrank oracle: personalized teleport — base and initial

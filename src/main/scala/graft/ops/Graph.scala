@@ -104,6 +104,56 @@ object Graph {
     iterate(based, eDeg, iters, dampNum, dampDen, materializeEach)
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts labelled with its own id; each round a node adopts the
+    * PLURALITY label among its in-neighbors (an edge src→dst carries
+    * src's current label to dst), and a node with no in-edges keeps its
+    * label. After a few rounds, labels pool inside densely connected
+    * regions — the near-duplicate-cluster / link-farm / domain-community
+    * signal a crawl-curation pipeline wants (reference dc43 has no graph
+    * surface; this generalises the dedup CC machinery in
+    * ops/NearDup.scala to arbitrary edge sets).
+    *
+    * Determinism: the classic LPA breaks plurality ties randomly and
+    * updates asynchronously in a shuffled node order — both
+    * irreproducible. Here updates are synchronous (a round reads only
+    * the previous round's labels) and ties break to the SMALLEST label,
+    * so the result is a pure function of the edge set and `iters`, and
+    * any engine reproduces it bit-for-bit (counts and labels are Longs
+    * end to end). Synchronous LPA can oscillate on bipartite structure
+    * instead of converging — the fixed iteration budget makes that a
+    * defined result rather than a hang; callers wanting the classic
+    * behavior run an odd/even iters pair and diff.
+    *
+    * Scale shape: identical to [[pageRank]] — one (dst, label)-keyed
+    * shuffle per round (map-side partial counts apply), one broadcast-or
+    * -shuffle join back to the |V|-row label frame, edge list cached
+    * once, nothing driver-side, O(|E|) per round. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       materializeEach: Boolean = true): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val (nodes, eDeg) = prepare(edges, srcCol, dstCol)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      // plurality label per dst: count (dst, label) votes, then a
+      // min_by over the (-count, label) struct — "count DESC, label
+      // ASC" as a single aggregation, no window over the vote stream
+      val winners = eDeg
+        .join(labels, col("_pr_src") === col("node"))
+        .groupBy(col("_pr_dst"), col("label"))
+        .agg(count(lit(1)).as("_lp_cnt"))
+        .groupBy(col("_pr_dst"))
+        .agg(min_by(col("label"),
+          struct((-col("_lp_cnt")).as("nc"), col("label").as("lb"))).as("_lp_win"))
+      val next = labels
+        .join(winners, col("node") === col("_pr_dst"), "left")
+        .select(col("node"), coalesce(col("_lp_win"), col("label")).as("label"))
+      labels = if (materializeEach) Caching.ensureCachedLazy(next) else next
+    }
+    labels
+  }
+
   /** Cleaned node set and degree-annotated edge list, both cached —
     * each is re-joined every iteration. */
   private def prepare(edges: DataFrame, srcCol: String,

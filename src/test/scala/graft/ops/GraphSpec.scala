@@ -110,6 +110,52 @@ class GraphSpec extends SparkSpec {
     assert(seeded == uniform)
   }
 
+  /** Reference synchronous LPA: plurality of in-neighbor labels, ties
+    * to the smallest label, keep the old label with no in-edges. */
+  private def referenceLpa(edges: Seq[(Long, Long)],
+                           iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      val win = edges.groupBy(_._2).map { case (v, es) =>
+        val votes = es.groupBy(e => lab(e._1)).map { case (l, g) => l -> g.size }
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+      lab = nodes.map(v => v -> win.getOrElse(v, lab(v))).toMap
+    }
+    lab
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation matches its reference; communities separate") {
+    // two triangles bridged by one directed edge: labels must pool to
+    // each triangle's minimum id, and the one-way bridge must not merge
+    // the communities (6 gets a plurality of in-votes from its own
+    // triangle once labels have pooled)
+    val tri1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+    val tri2 = Seq((6L, 7L), (7L, 8L), (8L, 6L), (7L, 6L), (8L, 7L), (6L, 8L))
+    val edges = tri1 ++ tri2 ++ Seq((3L, 6L))
+    for (iters <- Seq(0, 1, 2, 5))
+      assert(runLpa(edges, iters) == referenceLpa(edges, iters), s"iters=$iters")
+    val r = runLpa(edges, 5)
+    assert(Set(r(1L), r(2L), r(3L)).size == 1, s"triangle 1 split: $r")
+    assert(Set(r(6L), r(7L), r(8L)).size == 1, s"triangle 2 split: $r")
+    assert(r(1L) != r(6L), s"bridge merged the communities: $r")
+  }
+
+  test("labelPropagation tie-break and no-in-edge semantics") {
+    // 5 has two in-neighbors with distinct labels (1 and 2): the tie
+    // must break to the SMALLER label. 1 and 2 have no in-edges and
+    // must keep their own labels every round.
+    val edges = Seq((1L, 5L), (2L, 5L))
+    val r = runLpa(edges, 3)
+    assert(r(5L) == 1L, s"tie broke upward: $r")
+    assert(r(1L) == 1L && r(2L) == 2L, s"source-only labels moved: $r")
+  }
+
   test("null endpoints drop; plan has no cartesian product") {
     val df = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
       (None: Option[Long], Some(9L)), (Some(9L), None: Option[Long]))
