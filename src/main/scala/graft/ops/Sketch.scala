@@ -27,6 +27,13 @@ import org.apache.spark.sql.types._
   * md5 value the oracles recompute, so the estimates match bit-for-bit
   * across engines. [[HashMode.Default]] (codegen xxhash64) is the
   * production path when cross-engine replay is not needed.
+  *
+  * Stream admissibility: both spellings below are valid Structured
+  * Streaming aggregations as-is (complete/update mode) — the KMV buffer
+  * and the CM grid are semilattice merges, so the streaming state after
+  * any prefix equals the batch operator over the union of all batches,
+  * bit for bit (StreamSketchSpec pins this). No separate streaming twin
+  * is needed.
   */
 object Sketch {
 
