@@ -60,7 +60,12 @@ object Bench {
     "q_pagerank",
     // r8: BPE merge induction (q_bpe_segment not benched: its cost IS
     // the training pass plus a stateless projection)
-    "q_bpe_train")
+    "q_bpe_train",
+    // r8 continuation: Lloyd training gated on its own output (the
+    // vector family's quantizer build) and synchronous label
+    // propagation (two shuffles per round vs PageRank's one — the
+    // plurality argmax needs a (dst,label) count before the dst argmax)
+    "q_kmeans", "q_labelprop")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -110,7 +115,9 @@ object Bench {
     // r7: local warmed best-of-3 (0.43/0.47) × 1.3
     "q_temperature_mix" -> 0.61,
     // r8: local warmed best-of-3 (1.14 / 1.38) × 1.3
-    "q_pagerank" -> 1.48, "q_bpe_train" -> 1.79
+    "q_pagerank" -> 1.48, "q_bpe_train" -> 1.79,
+    // r8 continuation: local warmed best-of-3 (0.96 / 2.78) × 1.3
+    "q_kmeans" -> 1.25, "q_labelprop" -> 3.61
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -100,7 +100,11 @@ object ScaleEvidence {
     // r8: iterative graph (10x disconnected replicas — linear if the
     // per-iteration shuffle is the only corpus-sized step) and BPE
     // induction (corpus pass + vocab-sized iterations)
-    "q_pagerank", "q_bpe_train")
+    "q_pagerank", "q_bpe_train",
+    // r8 continuation: Lloyd training (per-iteration shuffle is k×dim,
+    // corpus-size-independent — expect sub-linear) and label
+    // propagation (two O(|E|) shuffles per round)
+    "q_kmeans", "q_labelprop")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)
