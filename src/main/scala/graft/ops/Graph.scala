@@ -154,6 +154,27 @@ object Graph {
     labels
   }
 
+  /** Connected components over an arbitrary edge set: every node labelled
+    * with the smallest node id reachable from it. A thin general-graph
+    * facade over the dedup family's engine ([[NearDup.duplicateClusters]]:
+    * min-label propagation + pointer jumping, O(log diameter) rounds,
+    * per-round checkpoint materialisation, driver-side scalar convergence
+    * check — that implementation is oracle-gated through `q_dedup_cluster`
+    * and scale-audited in PERF.md). Relation to [[labelPropagation]]: CC
+    * answers REACHABILITY (one component per connected subgraph, exact
+    * fixpoint); LPA answers community density (a bridge edge does not
+    * merge two tight clusters) under a fixed round budget. Null endpoints
+    * drop, as in the other operators here. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIter: Int = 20): DataFrame =
+    NearDup.duplicateClusters(
+      edges.select(col(srcCol).cast(LongType).as("doc_a"),
+          col(dstCol).cast(LongType).as("doc_b"))
+        .filter(col("doc_a").isNotNull && col("doc_b").isNotNull),
+      maxIter)
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+
   /** Cleaned node set and degree-annotated edge list, both cached —
     * each is re-joined every iteration. */
   private def prepare(edges: DataFrame, srcCol: String,

@@ -156,6 +156,29 @@ class GraphSpec extends SparkSpec {
     assert(r(1L) == 1L && r(2L) == 2L, s"source-only labels moved: $r")
   }
 
+  test("connectedComponents: exact reachability where labelprop sees communities") {
+    // two triangles + a bridge: ONE component (reachability), but TWO
+    // LPA communities — the operators must disagree here by design
+    val tri1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+    val tri2 = Seq((6L, 7L), (7L, 8L), (8L, 6L), (7L, 6L), (8L, 7L), (6L, 8L))
+    val edges = tri1 ++ tri2 ++ Seq((3L, 6L))
+    val cc = Graph.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L), s"bridge did not merge components: $cc")
+    assert(cc.keySet == Set(1L, 2L, 3L, 6L, 7L, 8L))
+    // a long chain converges (pointer jumping, not bounded local rounds)
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val ccChain = Graph.connectedComponents(chain.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(ccChain.values.toSet == Set(0L), s"chain split: ${ccChain.values.toSet}")
+    // disjoint components keep distinct minima; null endpoints drop
+    val two = Seq((Some(1L), Some(2L)), (Some(5L), Some(6L)),
+      (None: Option[Long], Some(9L)))
+    val ccTwo = Graph.connectedComponents(two.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(ccTwo == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L), s"$ccTwo")
+  }
+
   test("null endpoints drop; plan has no cartesian product") {
     val df = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
       (None: Option[Long], Some(9L)), (Some(9L), None: Option[Long]))
