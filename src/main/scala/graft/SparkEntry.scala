@@ -492,6 +492,23 @@ object SparkEntry {
         t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey")),
         Seq("l_partkey", "l_suppkey"), bits = 16)),
+    // the layout machinery end to end: z-ordered write → per-file stats
+    // manifest → manifest-pruned read → row filter. The gate pins the
+    // skipping CORRECTNESS contract (pruned + filter ≡ full scan +
+    // filter, whatever Spark's file assignment did); the skipping
+    // EFFECT (files actually dropped) is pinned in LayoutSpec
+    "q_skipping_scan" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      graft.ops.Layout.writeZordered(li, dir, Seq("l_partkey", "l_suppkey"),
+        numFiles = 16)
+      graft.ops.Layout.writeManifest(s, dir, Seq("l_partkey", "l_suppkey"))
+      graft.ops.Layout.prunedRead(s, dir,
+          Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 60L)))
+        .filter(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 60))
+    }),
     // multilingual temperature rebalancing (alpha=0.5) sized to 40% of
     // the corpus — rates are engine-exact (sqrt + fixed-point + integral
     // division; see temperatureRates scaladoc)
@@ -975,6 +992,13 @@ object SparkEntry {
     // Spark DECIMAL `div` on these non-negative quantities), interleave
     // as the same 32-term shift/mask sum
     "q_zorder" -> zorderSql,
+    // skipping never changes results: the pruned scan + filter must
+    // equal the plain filter over the source table
+    "q_skipping_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300
+        |  AND l_suppkey BETWEEN 10 AND 60""".stripMargin,
     // count-min: both hash rows' bucket counts re-derived, estimate =
     // min over rows, threshold = ceil of the share of the stream total
     "q_heavy_hitters" ->

@@ -104,4 +104,64 @@ object Layout {
   def writeZordered(df: DataFrame, path: String, cols: Seq[String],
                     numFiles: Int, bits: Int = 16): Unit =
     zOrderBy(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** Where [[writeManifest]] parks the stats manifest for `path`. */
+  def manifestPath(path: String): String = s"$path/_graft_manifest"
+
+  /** Per-FILE min/max stats manifest over `statsCols` of the parquet
+    * dataset at `path`: one row per data file —
+    * `(file, rows, min_<c>, max_<c>, ...)`. This is the explicit
+    * file-pruning layer the table formats (Delta/Iceberg) keep in their
+    * transaction log, expressed as plain open Spark: parquet row-group
+    * stats skip WITHIN a file the scan already opened; a manifest skips
+    * the FILE — at 100 TB that is the difference between listing+footer
+    * work on a million files and a manifest-sized join. Built with ONE
+    * distributed scan grouped by `_metadata.file_path` (no driver-side
+    * footer reads); the manifest is files-sized, the natural partner of
+    * [[writeZordered]] (z-order makes per-file stats TIGHT, the
+    * manifest makes them ACTIONABLE before the scan). */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "statsCols must not be empty")
+    val df = spark.read.parquet(path)
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.select(col("_metadata.file_path").as("file") +: statsCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialise [[statsManifest]] under `path/_graft_manifest` (one
+    * coalesced file — the manifest is files-sized by construction). */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    statsCols: Seq[String]): Unit =
+    statsManifest(spark, path, statsCols).coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(path))
+
+  /** Data-skipping read: only the files whose `[min, max]` interval
+    * intersects `[lo, hi]` for EVERY `(col, lo, hi)` bound — a file
+    * outside any bound provably holds no matching row, so skipping it
+    * cannot change any downstream result (the correctness contract the
+    * gated query pins end to end: pruned + filter ≡ full scan +
+    * filter). The caller still applies the row-level filter; pruning
+    * only shrinks the file set the scan opens.
+    *
+    * Driver-side work is ONE collect of the SELECTED file paths —
+    * bounded by the file count, the same metadata-sized-collect budget
+    * as the centroid/codebook artifacts (and the reason this composes
+    * with z-order: tight stats make the selected set small). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 bounds: Seq[(String, Long, Long)],
+                 manifest: Option[DataFrame] = None): DataFrame = {
+    require(bounds.nonEmpty, "bounds must not be empty")
+    val m = manifest.getOrElse(spark.read.parquet(manifestPath(path)))
+    val keep = bounds.foldLeft(m) { case (acc, (c, lo, hi)) =>
+      acc.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+    }
+    val files = keep.select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty)
+      // schema-preserving empty frame: footer-only read, no data scan
+      spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }
