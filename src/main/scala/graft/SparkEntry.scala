@@ -285,6 +285,11 @@ object SparkEntry {
     "q_psi" -> ((s, d) =>
       graft.ops.Stats.psiByGroup(t(s, d, "documents"), "n_chars", "source",
         binWidth = 50)),
+    // per-group Pearson correlation from exact DECIMAL(38,0) power sums
+    // (built-in corr is shuffle-order-nondeterministic in its last ulp)
+    "q_corr" -> ((s, d) =>
+      graft.ops.Stats.corrByGroup(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
@@ -1209,6 +1214,28 @@ object SparkEntry {
         |FROM documents d JOIN w USING (doc_id) JOIN kk USING (doc_id)""".stripMargin,
     // KL terms from exact integer counts: one double division inside the
     // ln (9 dp), term 9 dp, decimal sum per source, final 6 dp
+    // Pearson corr from exact integer power sums: values fixed-pointed
+    // at 2 decimals, HUGEINT sums/differences (== Spark's DECIMAL(38,0)
+    // on these magnitudes), one double divide+sqrt rounded at 6
+    "q_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS xi,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS yi
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(xi) AS sx, sum(yi) AS sy, sum(xi * yi) AS sxy,
+        |    sum(xi * xi) AS sxx, sum(yi * yi) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS corr
+        |FROM s""".stripMargin,
     // PSI over fixed-width length bins; group share zero -> eps substitute,
     // 9dp terms decimal-summed (the vocab_drift determinism recipe)
     "q_psi" ->

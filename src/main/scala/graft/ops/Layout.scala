@@ -123,12 +123,58 @@ object Layout {
   def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
                     statsCols: Seq[String]): DataFrame = {
     require(statsCols.nonEmpty, "statsCols must not be empty")
-    val df = spark.read.parquet(path)
+    manifestOf(spark.read.parquet(path), statsCols)
+  }
+
+  /** The manifest aggregation over an already-opened parquet frame —
+    * shared by the full build and the incremental refresh so the two
+    * can never drift in schema or stats spelling. */
+  private def manifestOf(df: DataFrame, statsCols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     df.select(col("_metadata.file_path").as("file") +: statsCols.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental manifest refresh — the artifact family's grow path:
+    * after an APPEND to `path`, scan ONLY the data files the stored
+    * manifest has not seen (file listing is a filesystem metadata
+    * operation; known-file detection is by file name, unique within a
+    * directory) and union their stats in. Cost is O(new files), never
+    * O(corpus) — daily ingest touches the day's files while the
+    * manifest keeps covering the whole table. Returns the number of
+    * newly scanned files; with no manifest present it falls back to a
+    * full [[writeManifest]] build. Concurrent-writer coordination is
+    * out of scope (that is what the table formats' transaction logs
+    * add on top of exactly this stats layout). */
+  def updateManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                     statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "statsCols must not be empty")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath(path))
+    if (!fs.exists(mPath)) {
+      writeManifest(spark, path, statsCols)
+      return spark.read.parquet(manifestPath(path)).count()
+    }
+    val dataFiles = fs.listStatus(hPath).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    // manifest rows are files-sized: materialise before the overwrite
+    // below (self-overwrite of a lazily-read path is illegal) and for
+    // the known-name set
+    val existing = spark.read.parquet(manifestPath(path)).localCheckpoint(true)
+    val known = existing.select(col("file")).collect()
+      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .toSet
+    val newNames = dataFiles.filterNot(known)
+    if (newNames.isEmpty) return 0L
+    val newStats = manifestOf(
+      spark.read.parquet(newNames.map(n => s"$path/$n").toIndexedSeq: _*), statsCols)
+    existing.unionByName(newStats).coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(path))
+    newNames.length.toLong
   }
 
   /** Materialise [[statsManifest]] under `path/_graft_manifest` (one

@@ -119,4 +119,47 @@ object Stats {
       .agg(round(sum(col("_term")).cast("double"), 6).as("psi"))
       .select(col("_grp").as(groupCol), col("psi"))
   }
+
+  /** Per-group Pearson correlation, engine-exact: is a signal worth its
+    * storage (does quality score predict LM score? does length predict
+    * dedup survival?) — the profiling question next to drift (PSI) and
+    * spread (quantiles). Built-in `corr` accumulates doubles in shuffle
+    * order (last-ulp nondeterminism, the same reason the engine has
+    * `dsum`), so this computes the five power sums EXACTLY instead:
+    * values fixed-pointed at `decimals` (`round(x·10^d)` — correctly
+    * rounded in any IEEE engine), all sums and the three
+    * `n·Σ − Σ·Σ` differences in DECIMAL(38,0) integer arithmetic, and
+    * only the final quotient in doubles (cast exact integers, one
+    * multiply, one sqrt, one divide, round 6 — every step correctly
+    * rounded, so any engine agrees bit for bit). A zero-variance side
+    * yields null, not NaN.
+    *
+    * Magnitude bound (documented, not checked row-wise): with
+    * |x|·10^d < 10^9 and < 10^9 rows per group every term stays under
+    * 10^36 < DECIMAL(38,0); the guard `require`s d ≤ 6. Scale shape:
+    * one map-side-combined aggregation, one row per group through the
+    * exchange — profiling cost, not corpus cost. */
+  def corrByGroup(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+                  decimals: Int = 2): DataFrame = {
+    require(decimals >= 0 && decimals <= 6, "decimals must be in [0, 6]")
+    val f = math.pow(10, decimals).toLong
+    def fix(c: String) = expr(s"CAST(round(`$c` * $f) AS DECIMAL(38,0))")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_grp"), fix(xCol).as("_x"), fix(yCol).as("_y"))
+      .groupBy(col("_grp"))
+      .agg(count(lit(1)).cast(d38).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+      .select(col("_grp").as(groupCol), col("_n").cast("bigint").as("n"),
+        when(col("_n") * col("_sxx") - col("_sx") * col("_sx") === 0 ||
+             col("_n") * col("_syy") - col("_sy") * col("_sy") === 0, lit(null))
+          .otherwise(round(
+            (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+              sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double") *
+                   (col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double")),
+            6)).as("corr"))
+  }
 }

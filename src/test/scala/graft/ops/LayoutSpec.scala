@@ -138,6 +138,32 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("updateManifest grows incrementally and equals a full rebuild") {
+    val df1 = (0 until 4000)
+      .map(i => (i.toLong, (i * 7L) % 997, (i * 13L) % 997)).toDF("id", "a", "b")
+    val dir = tmpDir("layout_grow")
+    Layout.writeZordered(df1, dir, Seq("a", "b"), numFiles = 8)
+    Layout.writeManifest(spark, dir, Seq("a", "b"))
+    // append a second wave of files (ids and values disjoint-ish)
+    val df2 = (4000 until 5000)
+      .map(i => (i.toLong, 2000L + i % 50, 3000L + i % 50)).toDF("id", "a", "b")
+    df2.repartition(4).write.mode("append").parquet(dir)
+    val scanned = Layout.updateManifest(spark, dir, Seq("a", "b"))
+    assert(scanned === 4L, s"must scan only the appended files, got $scanned")
+    val updated = spark.read.parquet(Layout.manifestPath(dir))
+    assert(updated.count() === 12)
+    assert(updated.agg(sum(col("rows"))).head.getLong(0) === 5000L)
+    // the grown manifest equals a from-scratch rebuild (modulo row order)
+    def canon(d: DataFrame) = d.orderBy("file").collect().toSeq
+    assert(canon(updated) === canon(Layout.statsManifest(spark, dir, Seq("a", "b"))))
+    // a second refresh with nothing new is a no-op
+    assert(Layout.updateManifest(spark, dir, Seq("a", "b")) === 0L)
+    // pruning through the grown manifest still sees both waves
+    val hit = Layout.prunedRead(spark, dir, Seq(("a", 2000L, 3000L)))
+    assert(hit.select(col("_metadata.file_path")).distinct().count() <= 4)
+    assert(hit.filter(col("a") >= 2000L).count() === 1000L)
+  }
+
   test("zOrderBy preserves rows and drops the internal column") {
     val df = (0 until 500)
       .map(i => (i.toLong, (i * 7L) % 101, (i * 13L) % 101)).toDF("id", "a", "b")

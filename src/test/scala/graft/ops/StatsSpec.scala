@@ -71,4 +71,35 @@ class StatsSpec extends SparkSpec {
     // the eps substitution keeps zero-bin groups finite
     assert(!out.values.exists(_.isInfinite))
   }
+
+  test("corrByGroup matches a BigInt reference; zero variance is null") {
+    import spark.implicits._
+    val rows: Seq[(String, Option[Double], Option[Double])] =
+      (1 to 40).map(i => ("g1", Some(i * 0.25), Some(i * 1.5 + (i % 7) * 0.01))) ++
+      (1 to 30).map(i => ("g2", Some(i * 0.5), Some(100.0 - i * 0.75))) ++
+      (1 to 10).map(_ => ("flat", Some(3.14), Some(1.0))) :+
+      (("g1", None, Some(1.0))) // null x dropped
+    val df = rows.toDF("g", "x", "y")
+    val out = Stats.corrByGroup(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // independent reference on exact BigInt power sums
+    def ref(g: String): Option[Double] = {
+      val pts = rows.collect { case (`g`, Some(x), Some(y)) =>
+        (BigInt(math.round(x * 100)), BigInt(math.round(y * 100))) }
+      val n = BigInt(pts.size)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      if (vx == 0 || vy == 0) None
+      else Some(math.rint((n * sxy - sx * sy).toDouble /
+        math.sqrt(vx.toDouble * vy.toDouble) * 1e6) / 1e6)
+    }
+    assert(out("g1") == ((40L, ref("g1"))))
+    assert(out("g2") == ((30L, ref("g2"))))
+    assert(out("g2")._2.get < -0.999, "anti-correlated group must be ~-1")
+    assert(out("flat") == ((10L, None)), s"zero variance must be null: $out")
+  }
 }
