@@ -7,11 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media payloads are opaque `binary` columns
   * with typed metadata extracted alongside.
   *
-  * The decode step is a clearly-marked deterministic STUB (this container
-  * has no image/audio codecs): the Spark-side shape — binary column, typed
-  * metadata schema, per-partition batched decode — is real, and a real
-  * decoder (JNI codec or `mapInPandas`-style batch UDF in PySpark) drops in
-  * behind [[decodeStubPartition]] without touching the plumbing.
+  * The PIXEL/SAMPLE decode step is a clearly-marked deterministic STUB
+  * (this container has no image/audio codecs): the Spark-side shape —
+  * binary column, typed metadata schema, per-partition batched decode —
+  * is real, and a real decoder (JNI codec or `mapInPandas`-style batch
+  * UDF in PySpark) drops in behind [[decodeStubPartition]] without
+  * touching the plumbing. CONTAINER metadata decode, by contrast, is
+  * real: [[MediaProbe]] parses actual PNG/GIF/BMP/JPEG/WAV headers
+  * (dimensions, channels, bit depth, sample counts) through the same
+  * partition seam — the metadata curation filters on (resolution
+  * floors, duration caps, format mix) without paying for a full decode.
   */
 object Multimodal {
 
