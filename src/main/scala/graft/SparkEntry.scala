@@ -129,6 +129,12 @@ object SparkEntry {
     "q_events_window" -> ((s, d) => Analytics.eventsWindow(t(s, d, "events"))),
     "q_events_dedup" -> ((s, d) => Analytics.eventsDedup(t(s, d, "events"))),
     "q_sessions" -> ((s, d) => Analytics.sessionsBatch(t(s, d, "events"))),
+    // gap-filled hourly resampling: every bucket in each user's span
+    // exists, zero-filled — "no row" never masquerades as "no data"
+    "q_resample" -> ((s, d) => Analytics.resample(t(s, d, "events"))),
+    // ordered funnel: earliest view -> first click AFTER it -> first
+    // purchase after that; per-user stage timestamps + completed count
+    "q_funnel" -> ((s, d) => Analytics.funnel(t(s, d, "events"))),
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -829,6 +835,52 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // integral hourly buckets (epoch_us div width — exact in any
+    // engine, no timezone-typed output), per-user generate_series grid,
+    // zero-filled left join
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket, value
+        |  FROM events WHERE ts IS NOT NULL),
+        |s AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM s),
+        |a AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1, 2)
+        |SELECT g.user_id, CAST(g.bucket AS BIGINT) AS bucket,
+        |  COALESCE(a.n_events, 0) AS n_events,
+        |  COALESCE(a.sum_value, 0.0) AS sum_value
+        |FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.bucket = a.bucket""".stripMargin,
+    // per-stage earliest-after-previous via (ts, event_id)-ordered
+    // min_by equivalents; stage = completed prefix length
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE ts IS NOT NULL),
+        |ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |s1 AS (SELECT user_id, us AS ts_view FROM ev WHERE event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC) = 1),
+        |s2 AS (SELECT e.user_id, e.us AS ts_click
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s1.ts_view
+        |  QUALIFY row_number() OVER (PARTITION BY e.user_id
+        |    ORDER BY e.us ASC, e.event_id ASC) = 1),
+        |s3 AS (SELECT e.user_id, e.us AS ts_purchase
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.ts_click
+        |  QUALIFY row_number() OVER (PARTITION BY e.user_id
+        |    ORDER BY e.us ASC, e.event_id ASC) = 1)
+        |SELECT u.user_id, s1.ts_view, s2.ts_click, s3.ts_purchase,
+        |  CAST((CASE WHEN s1.ts_view IS NULL THEN 0 ELSE 1 END) +
+        |       (CASE WHEN s2.ts_click IS NULL THEN 0 ELSE 1 END) +
+        |       (CASE WHEN s3.ts_purchase IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+        |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,

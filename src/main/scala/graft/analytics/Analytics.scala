@@ -137,6 +137,75 @@ object Analytics {
         dsum(col("value"), 6).as("sum_value"))
   }
 
+  /** Gap-filled time-bucket resampling per user: every bucket between a
+    * user's first and last event exists in the output — zero-filled when
+    * empty — so downstream rate/trend math never mistakes "no row" for
+    * "no data". Buckets are integral indexes (`epochMicros div width`),
+    * not timestamps: exact in any engine and free of timezone-type
+    * drift. Scale shape: one aggregation for per-user spans, a
+    * `sequence`-explode of each span (output rows = Σ span lengths —
+    * sized by retention × bucket width, the caller's explicit knob, and
+    * generated distributed, never on the driver), and one left join back
+    * to the bucket aggregates on (user, bucket). */
+  def resample(events: DataFrame, bucketMinutes: Int = 60): DataFrame = {
+    require(bucketMinutes > 0, "bucketMinutes must be positive")
+    val widthUs = bucketMinutes * 60L * 1000000L
+    val e = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        graft.ops.RangeJoin.epochMicros(col("ts")).as("_us"), col("value"))
+      .select(col("user_id"), expr(s"_us div ${widthUs}L").as("bucket"), col("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("_b0"), max(col("bucket")).as("_b1"))
+      .select(col("user_id"), explode(sequence(col("_b0"), col("_b1"))).as("bucket"))
+    val agg = e.groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
+    grid.join(agg, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  /** Ordered funnel: per user, the earliest occurrence of each stage
+    * STRICTLY AFTER the previous stage's match — the sequential-pattern
+    * question sessionization and windows cannot answer ("viewed, then
+    * clicked after the view, then purchased after the click").
+    * Determinism: stage matches order by (ts, event_id) so concurrent
+    * events resolve identically everywhere; `stage` counts completed
+    * stages. Scale shape: one (user, type)-filtered frame per stage,
+    * each reduced by a `min_by` aggregation (map-side combined, one row
+    * per user through each exchange) and joined user-keyed — stages are
+    * a fixed small list, so this is k aggregations + k joins, never a
+    * per-event window over the whole stream. */
+  def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "stages must not be empty")
+    val e = events.filter(col("ts").isNotNull)
+    val users = e.select(col("user_id")).distinct()
+    // fold left over stages: carry (frame with per-user prev-stage key)
+    val tsUs = graft.ops.RangeJoin.epochMicros(col("ts"))
+    var acc = users
+    var prevKey: Option[String] = None
+    stages.zipWithIndex.foreach { case (stage, i) =>
+      val kCol = s"ts_$stage"
+      val sEv = e.filter(col("event_type") === stage)
+        .select(col("user_id"), tsUs.as("_us"), col("event_id").as("_eid"))
+      val joined = prevKey match {
+        case None => sEv
+        case Some(pk) =>
+          sEv.join(acc.select(col("user_id"), col(pk).as("_prev")), "user_id")
+            .filter(col("_prev").isNotNull && col("_us") > col("_prev"))
+            .select(col("user_id"), col("_us"), col("_eid"))
+      }
+      val firsts = joined.groupBy(col("user_id"))
+        .agg(min_by(col("_us"), struct(col("_us"), col("_eid"))).as(kCol))
+      acc = acc.join(firsts, Seq("user_id"), "left")
+      prevKey = Some(kCol)
+    }
+    val stageCount = stages.map(s => when(col(s"ts_$s").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.select((col("user_id") +: stages.map(s => col(s"ts_$s"))) :+
+      stageCount.cast("bigint").as("stage"): _*)
+  }
+
   /** Earliest event per (user_id, event_type) — the batch twin of
     * streaming `dropDuplicatesWithinWatermark`. */
   def eventsDedup(events: DataFrame): DataFrame = {
