@@ -220,4 +220,59 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Stats.psiByGroup(one, "v", "src", binWidth = 10)
       .as[(String, Double)].collect().toSeq == Seq(("a", 0.0)))
   }
+
+  test("edge totality of the round-8 surfaces") {
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.labelPropagation(emptyEdges, 3).count() == 0)
+    assert(Graph.connectedComponents(emptyEdges).count() == 0)
+    assert(Graph.pageRank(emptyEdges, 2).count() == 0)
+    // iters = 0: labels are the identity
+    assert(Graph.labelPropagation(Seq((5L, 9L)).toDF("src", "dst"), 0)
+      .as[(Long, Long)].collect().toMap == Map(5L -> 5L, 9L -> 9L))
+
+    // corr: empty input, single group of one point (zero variance)
+    val emptyXY = Seq.empty[(String, Double, Double)].toDF("g", "x", "y")
+    assert(Stats.corrByGroup(emptyXY, "g", "x", "y").count() == 0)
+    val onePt = Seq(("g", 1.5, 2.5)).toDF("g", "x", "y")
+    val r = Stats.corrByGroup(onePt, "g", "x", "y").collect().head
+    assert(r.getLong(1) == 1L && r.isNullAt(2))
+
+    // resample: empty, and a single event yields exactly one zero-gap bucket
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.analytics.Analytics.resample(emptyEv).count() == 0)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+    val oneEv = Seq((1L, ts0, 7L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rs = graft.analytics.Analytics.resample(oneEv)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rs.length == 1 && rs.head._3 == 1L && rs.head._4 == 2.0)
+
+    // funnel: order matters — a click BEFORE the first view never counts
+    def ev(id: Long, user: Long, typ: String, sec: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), user, typ, 1.0)
+    val evs = Seq(
+      ev(1, 1, "click", 1), ev(2, 1, "view", 2), ev(3, 1, "click", 3),
+      ev(4, 1, "purchase", 4),
+      ev(5, 2, "purchase", 1), ev(6, 2, "view", 2), // purchase precedes view
+      ev(7, 3, "error", 1)) // no funnel stages at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = graft.analytics.Analytics.funnel(evs)
+      .collect().map(x => x.getLong(0) -> x.getLong(4)).toMap
+    assert(f == Map(1L -> 3L, 2L -> 1L, 3L -> 0L), s"funnel stages wrong: $f")
+
+    // funnel: simultaneous timestamps resolve by event_id, and the
+    // next stage must be STRICTLY after (same-instant click ignored)
+    val tied = Seq(ev(10, 9, "view", 5), ev(11, 9, "click", 5),
+      ev(12, 9, "click", 6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tf = graft.analytics.Analytics.funnel(tied).collect().head
+    assert(tf.getLong(4) == 2L)
+    assert(tf.getLong(2) > tf.getLong(1), "click must be strictly after view")
+
+    // sketches: empty inputs produce empty frames, not errors
+    val emptyToks = Seq.empty[(String, String)].toDF("source", "tok")
+    assert(Sketch.kmvSketch(emptyToks, "source", "tok", k = 4).count() == 0)
+    assert(Sketch.countMin(emptyToks, "tok", d = 2, w = 8).count() == 0)
+  }
 }
