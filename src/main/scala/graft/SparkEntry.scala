@@ -135,6 +135,8 @@ object SparkEntry {
     // ordered funnel: earliest view -> first click AFTER it -> first
     // purchase after that; per-user stage timestamps + completed count
     "q_funnel" -> ((s, d) => Analytics.funnel(t(s, d, "events"))),
+    // weekly retention triangle anchored on each user's first signup
+    "q_cohort" -> ((s, d) => Analytics.cohortRetention(t(s, d, "events"))),
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -881,6 +883,20 @@ object SparkEntry {
         |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
         |LEFT JOIN s2 ON u.user_id = s2.user_id
         |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin,
+    // 7-day periods as epoch_us div width; cohort = min signup period,
+    // activity = distinct users per (cohort, offset >= 0)
+    "q_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS p, event_type
+        |  FROM events WHERE ts IS NOT NULL),
+        |a AS (SELECT user_id, min(p) AS cohort FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT cohort, CAST(p - cohort AS BIGINT) AS "offset",
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN a ON e.user_id = a.user_id
+        |WHERE p >= cohort
+        |GROUP BY 1, 2""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,

@@ -206,6 +206,38 @@ object Analytics {
       stageCount.cast("bigint").as("stage"): _*)
   }
 
+  /** Cohort retention grid: users bucketed by the period of their FIRST
+    * `anchorType` event (the cohort), counted per offset period in which
+    * they did anything at all afterwards — the classic retention
+    * triangle. Periods are integral `epoch_us div width` day buckets
+    * (engine-exact, timezone-free); offset 0 is the cohort period
+    * itself. Determinism: the anchor is a plain min; activity is a
+    * distinct count over (cohort, offset, user). Scale shape: one
+    * aggregation for anchors (map-side combined, one row per user), a
+    * user-keyed join of the event stream against its own anchor frame
+    * (broadcast when users fit, sort-merge beyond), and one
+    * (cohort, offset)-grouped distinct count — grid-sized output. */
+  def cohortRetention(events: DataFrame, anchorType: String = "signup",
+                      periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, "periodDays must be positive")
+    val widthUs = periodDays * 86400L * 1000000L
+    val e = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        graft.ops.RangeJoin.epochMicros(col("ts")).as("_us"), col("event_type"))
+      .select(col("user_id"), expr(s"_us div ${widthUs}L").as("_p"),
+        col("event_type"))
+    val anchors = e.filter(col("event_type") === anchorType)
+      .groupBy(col("user_id")).agg(min(col("_p")).as("_cohort"))
+    e.join(anchors, "user_id")
+      .filter(col("_p") >= col("_cohort"))
+      .select(col("_cohort"), (col("_p") - col("_cohort")).as("_offset"),
+        col("user_id"))
+      .groupBy(col("_cohort"), col("_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("_cohort").as("cohort"), col("_offset").as("offset"),
+        col("n_users"))
+  }
+
   /** Earliest event per (user_id, event_type) — the batch twin of
     * streaming `dropDuplicatesWithinWatermark`. */
   def eventsDedup(events: DataFrame): DataFrame = {
