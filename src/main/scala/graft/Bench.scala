@@ -65,7 +65,11 @@ object Bench {
     // vector family's quantizer build) and synchronous label
     // propagation (two shuffles per round vs PageRank's one — the
     // plurality argmax needs a (dst,label) count before the dst argmax)
-    "q_kmeans", "q_labelprop")
+    "q_kmeans", "q_labelprop",
+    // r8 continuation 2: exact-decimal correlation profile + the event
+    // analytics trio (q_skipping_scan is NOT benched: its cost is the
+    // 6M-row z-ordered write, a layout build, not a query)
+    "q_corr", "q_resample", "q_funnel", "q_cohort")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -117,7 +121,11 @@ object Bench {
     // r8: local warmed best-of-3 (1.14 / 1.38) × 1.3
     "q_pagerank" -> 1.48, "q_bpe_train" -> 1.79,
     // r8 continuation: local warmed best-of-3 (0.96 / 2.78) × 1.3
-    "q_kmeans" -> 1.25, "q_labelprop" -> 3.61
+    "q_kmeans" -> 1.25, "q_labelprop" -> 3.61,
+    // r8 continuation 2: local warmed best-of-3
+    // (1.12 / 0.66 / 0.54 / 0.30) × 1.3
+    "q_corr" -> 1.45, "q_resample" -> 0.85, "q_funnel" -> 0.70,
+    "q_cohort" -> 0.39
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -71,4 +71,42 @@ class RecoverySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
       "state must survive the restart: cross-restart pairs prove recovery")
   }
+
+  test("StreamFunnel stage state survives a checkpointed restart") {
+    import spark.implicits._
+    val base = tmpDir("funnel_recov")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def ev(id: Long, user: Long, typ: String, sec: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), user, typ, 1.0)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .parquet(src)
+      val q = StreamFunnel.track(stream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").start(out)
+      q.awaitTermination()
+    }
+
+    // pre-restart: view completes stage 1
+    Seq(ev(1, 1, "view", 1), ev(2, 1, "purchase", 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    runOnce()
+    def stages = spark.read.parquet(out)
+      .select("stage").as[Int].collect().sorted.toSeq
+    assert(stages == Seq(1), s"pre-restart: $stages")
+
+    // post-restart: the click must advance the RECOVERED stage-1 state,
+    // and the purchase after it completes stage 3 — only possible if
+    // (stageIndex, lastTs) survived the checkpoint
+    Seq(ev(3, 1, "click", 3), ev(4, 1, "purchase", 4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(stages == Seq(1, 2, 3),
+      "funnel progress must continue from recovered state across restarts")
+  }
 }
