@@ -298,6 +298,22 @@ object SparkEntry {
     "q_corr" -> ((s, d) =>
       graft.ops.Stats.corrByGroup(t(s, d, "lineitem"), "l_returnflag",
         "l_quantity", "l_extendedprice")),
+    // equi-width histogram of event values per type (bin = 25.0 units)
+    "q_histogram" -> ((s, d) =>
+      graft.ops.Stats.histogramByGroup(t(s, d, "events"), "event_type",
+        "value", binWidth = 25.0)),
+    // robust MAD outliers: |v - med| > 3 * MAD per event type
+    "q_outliers" -> ((s, d) =>
+      graft.ops.Stats.madOutliers(t(s, d, "events"), "event_type", "value",
+        idCols = Seq("event_id"))),
+    // CUBE subtotals with the standard GROUPING() bitmask
+    "q_cube" -> ((s, d) => Analytics.cubeSummary(t(s, d, "lineitem"))),
+    // SCD type-2 history of each customer's order-status runs
+    "q_scd2" -> ((s, d) =>
+      Analytics.scd2(t(s, d, "orders"), "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderstatus"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))),
     "q_boilerplate" -> ((s, d) => Curate.boilerplateRatio(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintGroups(t(s, d, "documents"))),
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"))),
@@ -1304,6 +1320,65 @@ object SparkEntry {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
         |FROM s""".stripMargin,
+    // floor(value / width) binning: division and floor are correctly
+    // rounded IEEE ops, identical in any engine
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |gb AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |g AS (SELECT event_type, sum(n) AS n_g FROM gb GROUP BY 1)
+        |SELECT gb.event_type, gb.bin, gb.n,
+        |  round(CAST(gb.n AS DOUBLE) / g.n_g, 6) AS share
+        |FROM gb JOIN g ON gb.event_type = g.event_type""".stripMargin,
+    // median and MAD rounded to 6dp BEFORE the gate (exact-quantile
+    // interpolation differs across engines in the last ulp); the
+    // comparison |v-med6| > 3*mad6 is then single correctly-rounded ops
+    "q_outliers" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT v.event_id, v.event_type, v.value, m.med,
+        |    abs(v.value - m.med) AS dev
+        |  FROM v JOIN m ON v.event_type = m.event_type),
+        |md AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.med, md.mad
+        |FROM d JOIN md ON d.event_type = md.event_type
+        |WHERE d.dev > 3.0 * md.mad""".stripMargin,
+    // GROUPING(a, b) bitmask: first argument = most significant bit in
+    // both engines (the SQL-standard encoding)
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // change points via null-safe lag inequality; valid_to/version over
+    // one row per VERSION (the second window never sees the event stream)
+    "q_scd2" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |    o_orderkey AS tie,
+        |    lag(o_orderstatus) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC)),
+        |ch AS (SELECT o_custkey, o_orderstatus, valid_from, tie FROM c
+        |  WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
+        |SELECT o_custkey, o_orderstatus, valid_from,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  CAST(row_number() OVER wv AS BIGINT) AS version,
+        |  (lead(valid_from) OVER wv IS NULL) AS is_current
+        |FROM ch
+        |WINDOW wv AS (PARTITION BY o_custkey
+        |  ORDER BY valid_from ASC, tie ASC)""".stripMargin,
     // PSI over fixed-width length bins; group share zero -> eps substitute,
     // 9dp terms decimal-summed (the vocab_drift determinism recipe)
     "q_psi" ->

@@ -238,6 +238,60 @@ object Analytics {
         col("n_users"))
   }
 
+  /** CUBE subtotal aggregation: every combination of the grouping
+    * columns plus a `gid` bitmask (standard `GROUPING()` encoding —
+    * first column is the most significant bit) so a consumer can tell a
+    * genuine NULL group from a rolled-up one. Same execution shape as
+    * the plain grouped aggregate: Spark expands the grouping sets
+    * map-side (one Expand over the scan) and partial-aggregates before
+    * the single exchange — 4× the aggregate state for a 2-column cube,
+    * never 4 scans. */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_qty"), col("sum_price"))
+
+  /** Slowly-changing-dimension type-2 history build: collapse an ordered
+    * per-key attribute stream into versioned validity intervals —
+    * one row per consecutive run of equal `attrCol` values, carrying
+    * `valid_from` (first event of the run), `valid_to` (start of the
+    * next run, null while current), `version` (1-based per key), and
+    * `is_current`. The warehouse-dimension primitive `snapshotDiff`
+    * (which compares two snapshots) cannot express: this derives the
+    * FULL history from the event stream in one pass.
+    *
+    * Determinism: runs are ordered by (`orderCol`, `tieCol`) so
+    * same-timestamp updates resolve identically everywhere; `attrCol`
+    * equality is null-safe (a null attribute is a value, not a wildcard).
+    * Scale shape: two per-key windows (change-point lag, then
+    * lead/row_number over change points only — the second window sees
+    * one row per VERSION, not per event) and no corpus-sized shuffle
+    * beyond the per-key hash partitioning every per-key window needs. */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String,
+           orderCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc, col(tieCol).asc)
+    val changed = df
+      .filter(col(orderCol).isNotNull)
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      // null-safe inequality: <=> is true for null==null, negate it
+      .filter(col("_first") || !(col(attrCol) <=> col("_prev")))
+      .select(col(keyCol), col(attrCol), col(orderCol).as("valid_from"),
+        col(tieCol).as("_tie"))
+    val wv = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from").asc, col("_tie").asc)
+    changed
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("version", row_number().over(wv).cast("bigint"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_tie")
+  }
+
   /** Earliest event per (user_id, event_type) — the batch twin of
     * streaming `dropDuplicatesWithinWatermark`. */
   def eventsDedup(events: DataFrame): DataFrame = {

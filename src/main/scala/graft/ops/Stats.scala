@@ -120,6 +120,64 @@ object Stats {
       .select(col("_grp").as(groupCol), col("psi"))
   }
 
+  /** Per-group equi-width histogram: `bin = floor(value / binWidth)`
+    * (division and floor are correctly rounded IEEE ops — any engine
+    * agrees bit for bit, the `psiByGroup` binning contract), with the
+    * bin count and its 6 dp share of the group. The distribution-shape
+    * profiling view quantiles compress away (modes, gaps, heavy tails).
+    * Nulls are dropped. Scale shape: one map-side-combined aggregation,
+    * one row per (group, bin) through the exchange, then the share join
+    * happens on the (groups)-sized total frame — profiling cost, not
+    * corpus cost. */
+  def histogramByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                       binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_grp"),
+        floor(col(valueCol) / binWidth).cast("long").as("bin"))
+    val gb = binned.groupBy(col("_grp"), col("bin")).agg(count(lit(1)).as("n"))
+    val g = gb.groupBy(col("_grp")).agg(sum(col("n")).as("_n_g"))
+    gb.join(broadcast(g), Seq("_grp"))
+      .select(col("_grp").as(groupCol), col("bin"), col("n"),
+        round(col("n").cast("double") / col("_n_g"), 6).as("share"))
+  }
+
+  /** Robust per-group outlier flagging by median absolute deviation —
+    * the production anomaly gate mean/stddev z-scores fail on (one
+    * outlier inflates the stddev that is supposed to catch it; the
+    * median and MAD are 50%-breakdown robust). A row is an outlier when
+    * `|value − median| > k · MAD` (k = 3 ≈ 4.5σ under normality).
+    *
+    * Determinism: the group median and the MAD are rounded to 6 dp
+    * BEFORE the comparison — exact-quantile interpolation is spelled
+    * differently across engines in the last ulp (the `groupedQuantiles`
+    * lesson), so the gate compares on the rounded values, which any
+    * engine reproduces; `|v − med6|` and `k · mad6` are then single
+    * correctly-rounded ops. A MAD of zero (> half the group at the
+    * median) flags every value off the median — strict `>` keeps the
+    * operator total. Output: the flagged rows with their group `med`
+    * and `mad` for audit.
+    *
+    * Scale shape: two exact-percentile aggregations (per-group O(n)
+    * state — profiling-grade; `groupedQuantilesApprox` is the
+    * corpus-sized-group twin) and two broadcast joins of groups-sized
+    * frames back onto the corpus — the corpus itself never shuffles. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCols: Seq[String], k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val vals = df.filter(col(valueCol).isNotNull)
+    val med = vals.groupBy(col(groupCol))
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("med"))
+    val withMed = vals.join(broadcast(med), Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol) - col("med")))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(round(percentile(col("_dev"), lit(0.5)), 6).as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("_dev") > lit(k) * col("mad"))
+      .select((idCols.map(col) :+ col(groupCol) :+ col(valueCol) :+
+        col("med") :+ col("mad")): _*)
+  }
+
   /** Per-group Pearson correlation, engine-exact: is a signal worth its
     * storage (does quality score predict LM score? does length predict
     * dedup survival?) — the profiling question next to drift (PSI) and

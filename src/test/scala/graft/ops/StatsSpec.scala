@@ -102,4 +102,45 @@ class StatsSpec extends SparkSpec {
     assert(out("g2")._2.get < -0.999, "anti-correlated group must be ~-1")
     assert(out("flat") == ((10L, None)), s"zero variance must be null: $out")
   }
+
+  test("histogramByGroup: floor binning, per-group shares sum to 1, nulls dropped") {
+    import spark.implicits._
+    val rows: Seq[(String, Option[Double])] =
+      Seq(("a", Some(0.0)), ("a", Some(9.99)), ("a", Some(10.0)),
+        ("a", Some(25.0)), ("b", Some(-0.5)), ("b", Some(5.0)), ("a", None))
+    val out = Stats.histogramByGroup(rows.toDF("g", "v"), "g", "v", 10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // a: bins 0 (two values), 1, 2 — shares 0.5/0.25/0.25
+    assert(out(("a", 0L)) == ((2L, 0.5)))
+    assert(out(("a", 1L)) == ((1L, 0.25)))
+    assert(out(("a", 2L)) == ((1L, 0.25)))
+    // negative values floor DOWN (bin -1), not toward zero
+    assert(out(("b", -1L)) == ((1L, 0.5)))
+    assert(out(("b", 0L)) == ((1L, 0.5)))
+    assert(out.size == 5)
+    val shareSums = out.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    assert(shareSums.values.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("madOutliers: robust gate survives the outlier it flags; MAD=0 flags any deviation") {
+    import spark.implicits._
+    // g: 9 values near 10 plus one wild outlier — a mean/stddev z-score
+    // at k=3 would NOT flag 1000 here if more outliers inflated sigma;
+    // the median/MAD gate flags exactly the wild point
+    val rows = (1 to 9).map(i => ("g", i.toLong, 9.0 + (i % 3))) :+
+      (("g", 100L, 1000.0)) :+
+      // flat group: MAD = 0, so any off-median value is an outlier
+      (("flat", 201L, 5.0)) :+ (("flat", 202L, 5.0)) :+ (("flat", 203L, 5.001))
+    val out = Stats.madOutliers(rows.toDF("g", "id", "v"), "g", "v",
+      idCols = Seq("id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(100L, 203L), s"flagged: ${out.keySet}")
+    val (_, medG, madG) = out(100L)
+    assert(medG == 10.0 && madG == 1.0)
+    val (_, medF, madF) = out(203L)
+    assert(medF == 5.0 && madF == 0.0)
+  }
 }
