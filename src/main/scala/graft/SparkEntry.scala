@@ -229,6 +229,11 @@ object SparkEntry {
     // ---- training-data pipeline operators ------------------------------
     "q_text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "q_tfidf" -> ((s, d) => TextOps.tfidf(t(s, d, "documents"))),
+    // PMI collocations: bigrams bound tighter than their margins predict
+    "q_pmi" -> ((s, d) => TextOps.pmiCollocations(t(s, d, "documents"))),
+    // Okapi BM25 top-20 for a fixed keyword query
+    "q_bm25" -> ((s, d) =>
+      TextOps.bm25Rank(t(s, d, "documents"), Seq("hash", "join", "spark"))),
     "q_quantiles" -> ((s, d) =>
       // quarter fractions only: their interpolation factors are exact
       // binary fractions, so Spark and the oracle agree bit-for-bit
@@ -1257,6 +1262,56 @@ object SparkEntry {
         |SELECT w1, w2, CAST(n AS BIGINT) AS n,
         |  round(CAST(n AS DOUBLE) / tot, 6) AS p_cond
         |FROM bc JOIN wt USING (w1) WHERE n >= 5""".stripMargin,
+    // PMI over the shared bigram stream: margins and N from the count
+    // frame itself (one normaliser), HUGEINT products (== Spark's
+    // DECIMAL(38,0) here), one double division, ln, round 6
+    "q_pmi" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b AS (
+        |  SELECT a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+        |m1 AS (SELECT w1, sum(n) AS c1 FROM bc GROUP BY 1),
+        |m2 AS (SELECT w2, sum(n) AS c2 FROM bc GROUP BY 1),
+        |tt AS (SELECT sum(n) AS nn FROM bc)
+        |SELECT bc.w1, bc.w2, CAST(bc.n AS BIGINT) AS n,
+        |  round(ln(CAST(CAST(bc.n AS HUGEINT) * nn AS DOUBLE) /
+        |           CAST(CAST(c1 AS HUGEINT) * c2 AS DOUBLE)), 6) AS pmi
+        |FROM bc JOIN m1 USING (w1) JOIN m2 USING (w2), tt
+        |WHERE bc.n >= 5""".stripMargin,
+    // BM25: idf and per-term scores round 9dp then decimal-sum (the
+    // lm-score contract); every double literal spelled EXACTLY as the
+    // Spark expression computes it ((1.2 + 1.0), (1.0 - 0.75))
+    "q_bm25" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')) AS dl
+        |  FROM documents),
+        |c AS (SELECT count(*) AS nd,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+        |  WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT tok,
+        |    round(ln((CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+        |  FROM df, c),
+        |s AS (SELECT tf.doc_id,
+        |    CAST(round(idf.idf * (tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / c.avgdl)), 9)
+        |      AS DECIMAL(28,9)) AS s
+        |  FROM tf JOIN idf USING (tok) JOIN lens USING (doc_id), c),
+        |sc AS (SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+        |  FROM s GROUP BY 1)
+        |SELECT doc_id, score FROM sc
+        |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 20""".stripMargin,
     // per-term ln rounded to 9 dp then decimal-summed (the q_entropy
     // determinism contract); pruned bigrams take the fixed -10 penalty
     "q_lm_score" -> lmScoreSql,

@@ -758,6 +758,87 @@ object TextOps {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_doc_id"))
 
+  /** Pointwise-mutual-information collocations: bigrams whose observed
+    * count exceeds what their margins predict —
+    * `pmi = ln(c₁₂·N / (c₁·c₂))` over the corpus bigram stream (c₁/c₂
+    * are the bigram-stream margins, so the three probabilities share one
+    * normaliser exactly). The phrase-mining signal (`"new york"`,
+    * `"machine learning"`) raw counts can't give: frequent-with-frequent
+    * pairs score ~0, genuinely bound pairs score high.
+    *
+    * Determinism: products go through DECIMAL(38,0) (no long overflow at
+    * any corpus size), ONE double division of the two exact products,
+    * `ln`, round 6 — the vocab-drift ln-parity contract. `minCount`
+    * prunes noise bigrams (PMI is famously unstable at c₁₂ = 1).
+    * Scale shape: reuses [[bigramCounts]] (one corpus tokenisation, one
+    * bigram-vocabulary-sized aggregation); margins and the N total are
+    * aggregates OF the count frame — every join after the first
+    * aggregation touches vocabulary-sized frames only. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val bc = bigramCounts(docs)
+    Caching.ensureCached(bc)
+    val m1 = bc.groupBy(col("w1")).agg(sum(col("n")).as("_c1"))
+    val m2 = bc.groupBy(col("w2")).agg(sum(col("n")).as("_c2"))
+    val tot = bc.agg(sum(col("n")).as("_nn"))
+    bc.filter(col("n") >= minCount)
+      .join(m1, Seq("w1")).join(m2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log((col("n").cast(d38) * col("_nn").cast(d38)).cast(DoubleType) /
+          (col("_c1").cast(d38) * col("_c2").cast(d38)).cast(DoubleType)), 6)
+          .as("pmi"))
+  }
+
+  /** BM25 keyword retrieval: top-`k` documents for a bag of query terms
+    * under the standard Okapi scoring —
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))` with
+    * `idf = ln((N − df + ½)/(df + ½) + 1)` — the relevance ranking the
+    * TF-IDF projection (`q_tfidf`) doesn't provide, and the retrieval
+    * primitive for eval-set mining / targeted corpus slicing.
+    *
+    * Determinism: idf and each per-term score round to 9 dp and sum as
+    * exact decimals (the lm-score contract); the final score rounds to
+    * 6 dp and ranks with a doc_id tie-break. Scale shape: one token
+    * explode filtered TO THE QUERY TERMS (the match frame carries only
+    * matching tokens — query-sized × docs, not vocabulary-sized), doc
+    * lengths ride the same scan; df/N/avgdl are tiny aggregates
+    * broadcast back; the final top-k is a TakeOrderedAndProject (per
+    * partition heads + one k-sized merge), never a global sort. */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String], topK: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    require(queryTerms.map(_.trim.toLowerCase).distinct.size == queryTerms.size,
+      "queryTerms must be distinct after normalisation")
+    require(topK > 0, "topK must be positive")
+    val lens = docs.select(col("doc_id"),
+      tokenCount(normText(col("text"))).as("_dl"))
+    Caching.ensureCached(lens)
+    val corpus = lens.agg(count(lit(1)).as("_nd"), sum(col("_dl")).as("_sl"))
+      .select(col("_nd"),
+        (col("_sl").cast(DoubleType) / col("_nd")).as("_avgdl"))
+    val terms = queryTerms.map(t => lit(t.trim.toLowerCase))
+    val tf = docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("_tok"))
+      .filter(col("_tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("_tok")).agg(count(lit(1)).as("_tf"))
+    val df9 = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val idf = df9.crossJoin(broadcast(corpus))
+      .select(col("_tok"), col("_nd"), col("_avgdl"),
+        round(log((col("_nd").cast(DoubleType) - col("_df") + lit(0.5)) /
+          (col("_df") + lit(0.5)) + lit(1.0)), 9).as("_idf"))
+    val termScore = tf.join(broadcast(idf), Seq("_tok")).join(lens, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("_dl").cast(DoubleType) / col("_avgdl"))), 9)
+          .cast(DecimalType(28, 9)).as("_s"))
+    termScore.groupBy(col("doc_id"))
+      .agg(round(sum(col("_s")).cast(DoubleType), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Exact dedup: keep the minimum doc_id per fingerprint group. One
     * shuffle on the fingerprint (window), no join. */
   def dedupExact(docs: DataFrame): DataFrame = {
