@@ -311,6 +311,10 @@ object SparkEntry {
     "q_outliers" -> ((s, d) =>
       graft.ops.Stats.madOutliers(t(s, d, "events"), "event_type", "value",
         idCols = Seq("event_id"))),
+    // Tukey-fence winsorization: clip into [p25-1.5*IQR, p75+1.5*IQR]
+    "q_winsorize" -> ((s, d) =>
+      graft.ops.Stats.winsorize(t(s, d, "events"), "event_type", "value",
+        idCols = Seq("event_id"))),
     // CUBE subtotals with the standard GROUPING() bitmask
     "q_cube" -> ((s, d) => Analytics.cubeSummary(t(s, d, "lineitem"))),
     // SCD type-2 history of each customer's order-status runs
@@ -1404,6 +1408,24 @@ object SparkEntry {
         |SELECT d.event_id, d.event_type, d.value, d.med, md.mad
         |FROM d JOIN md ON d.event_type = md.event_type
         |WHERE d.dev > 3.0 * md.mad""".stripMargin,
+    // quarter quantiles round 6dp before the fence arithmetic; fences
+    // and the clip are single correctly-rounded ops
+    "q_winsorize" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |f AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS p25,
+        |    round(quantile_cont(value, 0.75), 6) AS p75
+        |  FROM v GROUP BY 1),
+        |b AS (SELECT event_type,
+        |    p25 - 1.5 * (p75 - p25) AS lo,
+        |    p75 + 1.5 * (p75 - p25) AS hi
+        |  FROM f)
+        |SELECT v.event_id, v.event_type, v.value,
+        |  least(greatest(v.value, b.lo), b.hi) AS clipped,
+        |  (v.value < b.lo OR v.value > b.hi) AS was_clipped
+        |FROM v JOIN b ON v.event_type = b.event_type""".stripMargin,
     // GROUPING(a, b) bitmask: first argument = most significant bit in
     // both engines (the SQL-standard encoding)
     "q_cube" ->

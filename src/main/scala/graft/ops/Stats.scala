@@ -178,6 +178,35 @@ object Stats {
         col("med") :+ col("mad")): _*)
   }
 
+  /** Per-group Tukey-fence winsorization: clip `valueCol` into
+    * `[p25 − k·IQR, p75 + k·IQR]` (k = 1.5, the classic outlier fence) —
+    * the *repair* companion to [[madOutliers]]'s *flagging*: heavy tails
+    * get bounded instead of dropped, the standard pre-training treatment
+    * for numeric features and quality scores.
+    *
+    * Determinism: quarter-fraction quantiles interpolate with exact
+    * binary factors (the `groupedQuantiles` contract) and still round to
+    * 6 dp before the fence arithmetic; the fences and the clip
+    * (`least`/`greatest`) are then single correctly-rounded ops any
+    * engine reproduces. Scale shape: one exact-percentile aggregation
+    * (groups-sized) broadcast back over the corpus — a pure projection
+    * after one tiny join, no corpus shuffle. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                idCols: Seq[String], k: Double = 1.5): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val vals = df.filter(col(valueCol).isNotNull)
+    val fences = vals.groupBy(col(groupCol))
+      .agg(round(percentile(col(valueCol), lit(0.25)), 6).as("_p25"),
+        round(percentile(col(valueCol), lit(0.75)), 6).as("_p75"))
+      .select(col(groupCol),
+        (col("_p25") - lit(k) * (col("_p75") - col("_p25"))).as("_lo"),
+        (col("_p75") + lit(k) * (col("_p75") - col("_p25"))).as("_hi"))
+    vals.join(broadcast(fences), Seq(groupCol))
+      .select((idCols.map(col) :+ col(groupCol) :+ col(valueCol) :+
+        least(greatest(col(valueCol), col("_lo")), col("_hi")).as("clipped") :+
+        (col(valueCol) < col("_lo") || col(valueCol) > col("_hi")).as("was_clipped")): _*)
+  }
+
   /** Per-group Pearson correlation, engine-exact: is a signal worth its
     * storage (does quality score predict LM score? does length predict
     * dedup survival?) — the profiling question next to drift (PSI) and

@@ -143,4 +143,24 @@ class StatsSpec extends SparkSpec {
     val (_, medF, madF) = out(203L)
     assert(medF == 5.0 && madF == 0.0)
   }
+
+  test("winsorize: Tukey fences clip both tails, interior values pass through") {
+    import spark.implicits._
+    // [1..8] plus wild tails: p25 = 2.75, p75 = 7.25 over the 10 values?
+    // use a fixed set where fences are easy: values 0,10,20,...,90 + 1000
+    val rows = ((0 to 9).map(i => ("g", i.toLong, i * 10.0)) :+
+      (("g", 99L, 1000.0)) :+ (("g", 98L, -500.0))).toSeq
+    val out = Stats.winsorize(rows.toDF("g", "id", "v"), "g", "v",
+      idCols = Seq("id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    val clippedIds = out.filter(_._2._2).keySet
+    assert(clippedIds == Set(98L, 99L), s"clipped: $clippedIds")
+    // tails land exactly ON the fences, opposite sides
+    assert(out(99L)._1 > out(98L)._1)
+    // interior values are untouched
+    assert(out(5L) == ((50.0, false)))
+    // clipped column stays within [lo, hi] for every row
+    val lo = out(98L)._1; val hi = out(99L)._1
+    assert(out.values.forall { case (c, _) => c >= lo && c <= hi })
+  }
 }
