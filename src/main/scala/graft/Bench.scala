@@ -69,7 +69,18 @@ object Bench {
     // r8 continuation 2: exact-decimal correlation profile + the event
     // analytics trio (q_skipping_scan is NOT benched: its cost is the
     // 6M-row z-ordered write, a layout build, not a query)
-    "q_corr", "q_resample", "q_funnel", "q_cohort")
+    "q_corr", "q_resample", "q_funnel", "q_cohort",
+    // r8 continuation 3: the profiling/warehouse quartet (cube through
+    // one Expand + one grid exchange; histogram/outliers/winsorize are
+    // groups-sized aggregates broadcast back; scd2 is two per-key
+    // windows) + the IR pair (PMI margins off the shared bigram frame;
+    // BM25 with query-filtered explode + TakeOrderedAndProject)
+    "q_cube", "q_histogram", "q_outliers", "q_winsorize", "q_scd2",
+    "q_pmi", "q_bm25",
+    // r8 continuation 4: time-series analytics (window-framed exact
+    // decimal sums; transition matrix off one per-key window) +
+    // pivoted cross-tab and exact-moment profiling
+    "q_moving_avg", "q_transitions", "q_pivot", "q_skew_stats")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -125,7 +136,16 @@ object Bench {
     // r8 continuation 2: local warmed best-of-3
     // (1.12 / 0.66 / 0.54 / 0.30) × 1.3
     "q_corr" -> 1.45, "q_resample" -> 0.85, "q_funnel" -> 0.70,
-    "q_cohort" -> 0.39
+    "q_cohort" -> 0.39,
+    // r8 continuation 3: local warmed best-of-3
+    // (2.14 / 0.45 / 0.80 / 0.57 / 0.65 / 0.65 / 0.65) × 1.3
+    "q_cube" -> 2.78, "q_histogram" -> 0.59, "q_outliers" -> 1.04,
+    "q_winsorize" -> 0.74, "q_scd2" -> 0.84, "q_pmi" -> 0.84,
+    "q_bm25" -> 0.85,
+    // r8 continuation 4: local warmed best-of-3
+    // (0.66 / 0.79 / 0.40 / 0.39) × 1.3
+    "q_moving_avg" -> 0.86, "q_transitions" -> 1.03, "q_pivot" -> 0.52,
+    "q_skew_stats" -> 0.51
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -137,6 +137,15 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Analytics.funnel(t(s, d, "events"))),
     // weekly retention triangle anchored on each user's first signup
     "q_cohort" -> ((s, d) => Analytics.cohortRetention(t(s, d, "events"))),
+    // trailing 3-event moving average per user (exact-decimal window sum)
+    "q_moving_avg" -> ((s, d) => Analytics.movingAvg(t(s, d, "events"))),
+    // Markov transition matrix of consecutive event types per user
+    "q_transitions" -> ((s, d) => Analytics.transitions(t(s, d, "events"))),
+    // status-pivoted wide cross-tab with explicit pivot values
+    "q_pivot" -> ((s, d) => Analytics.pivotSummary(t(s, d, "orders"))),
+    // skewness/kurtosis from exact DECIMAL(38,0) power sums
+    "q_skew_stats" -> ((s, d) =>
+      graft.ops.Stats.momentsByGroup(t(s, d, "events"), "event_type", "value")),
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1378,6 +1387,67 @@ object SparkEntry {
         |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
+        |FROM s""".stripMargin,
+    // exact-decimal window sum / window count, round 6 — the dsum
+    // rationale applied to a ROWS frame
+    "q_moving_avg" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) /
+        |        count(*) OVER w, 6) AS mavg_3
+        |FROM events
+        |WHERE ts IS NOT NULL AND value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // (ts, event_id)-ordered lead pairs; probabilities are exact-count
+    // ratios rounded at 6dp
+    "q_transitions" ->
+      """WITH pr AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS to_type
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / tt.tot, 6) AS p
+        |FROM c JOIN tt USING (from_type)""".stripMargin,
+    // FILTERed aggregates are the long-form spelling of the same single
+    // grouped aggregation the pivot runs
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(25,4)))
+        |    FILTER (o_orderstatus = 'F') AS DOUBLE), 0.0) AS total_f,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(25,4)))
+        |    FILTER (o_orderstatus = 'O') AS DOUBLE), 0.0) AS total_o,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+        |  COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(25,4)))
+        |    FILTER (o_orderstatus = 'P') AS DOUBLE), 0.0) AS total_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    // raw power sums in HUGEINT (== Spark's DECIMAL(38,0) at these
+    // magnitudes); g1 = A/(B*sqrt(B)), g2 = C/B^2 - 3 — the fixed-point
+    // scale cancels; only the final divide/sqrt runs in doubles
+    "q_skew_stats" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 10) AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
+        |    sum(x*x*x*x) AS s4
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 10.0), 6) AS mean,
+        |  CASE WHEN n*s2 - s1*s1 = 0 THEN NULL ELSE
+        |    round(CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE) /
+        |      (CAST(n*s2 - s1*s1 AS DOUBLE) * sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))), 6)
+        |  END AS skewness,
+        |  CASE WHEN n*s2 - s1*s1 = 0 THEN NULL ELSE
+        |    round(CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS DOUBLE) /
+        |      (CAST(n*s2 - s1*s1 AS DOUBLE) * CAST(n*s2 - s1*s1 AS DOUBLE)) - 3.0, 6)
+        |  END AS kurtosis
         |FROM s""".stripMargin,
     // floor(value / width) binning: division and floor are correctly
     // rounded IEEE ops, identical in any engine

@@ -292,6 +292,69 @@ object Analytics {
       .drop("_tie")
   }
 
+  /** Trailing moving average of `value` over the last `k` events per
+    * user, (ts, event_id)-ordered — the smoothing primitive for
+    * per-entity rate/trend series ([[resample]] gives the grid, this
+    * gives the smoothed signal). Determinism: the window sum
+    * accumulates exact decimals (shuffle-order-proof, the `dsum`
+    * rationale applied to a window frame); one double division + 6 dp
+    * round at the end. Scale shape: one per-key window over the per-key
+    * hash partitioning — the same single exchange sessionization pays,
+    * frame state bounded at k rows. */
+  def movingAvg(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-(k - 1), Window.currentRow)
+    events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(sum(col("value").cast(DecimalType(25, 6))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w), 6).as(s"mavg_$k"))
+  }
+
+  /** First-order transition statistics over each user's event stream:
+    * (from, to) counts for consecutive events plus the conditional
+    * probability P(to | from) — the Markov view of user behaviour
+    * ([[funnel]] asks about ONE fixed path; this measures every edge).
+    * (ts, event_id)-ordered lead; probabilities are exact-count ratios
+    * rounded at 6 dp. Scale shape: one per-key window (single
+    * exchange), then all aggregation is transition-matrix-sized —
+    * |event types|², not corpus-sized. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast(DoubleType) / col("_tot"), 6).as("p"))
+  }
+
+  /** Status-pivoted order summary: one row per priority with per-status
+    * counts and exact-decimal totals — the wide cross-tab reporting
+    * shape. Pivot values are EXPLICIT (the `Seq("F","O","P")` overload):
+    * at 100 TB the implicit-values variant would run a distinct scan
+    * just to name the columns. Execution is the same single grouped
+    * aggregation as the long form — pivot only changes the layout. */
+  def pivotSummary(orders: DataFrame,
+                   statuses: Seq[String] = Seq("F", "O", "P")): DataFrame = {
+    require(statuses.nonEmpty, "statuses must not be empty")
+    val wide = orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    // pivot names columns "<value>_<aggAlias>": stabilise to snake_case
+    val renamed = statuses.flatMap(s =>
+      Seq(coalesce(col(s"${s}_n"), lit(0L)).as(s"n_${s.toLowerCase}"),
+        coalesce(col(s"${s}_total"), lit(0.0)).as(s"total_${s.toLowerCase}")))
+    wide.select(col("o_orderpriority") +: renamed: _*)
+  }
+
   /** Earliest event per (user_id, event_type) — the batch twin of
     * streaming `dropDuplicatesWithinWatermark`. */
   def eventsDedup(events: DataFrame): DataFrame = {
