@@ -80,7 +80,10 @@ object Bench {
     // r8 continuation 4: time-series analytics (window-framed exact
     // decimal sums; transition matrix off one per-key window) +
     // pivoted cross-tab and exact-moment profiling
-    "q_moving_avg", "q_transitions", "q_pivot", "q_skew_stats")
+    "q_moving_avg", "q_transitions", "q_pivot", "q_skew_stats",
+    // r8 continuation 4b: semi-structured payload path (from_json
+    // projection + the JSON->aggregation pipeline)
+    "q_json_extract", "q_json_stats")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -145,7 +148,9 @@ object Bench {
     // r8 continuation 4: local warmed best-of-3
     // (0.66 / 0.79 / 0.40 / 0.39) × 1.3
     "q_moving_avg" -> 0.86, "q_transitions" -> 1.03, "q_pivot" -> 0.52,
-    "q_skew_stats" -> 0.51
+    "q_skew_stats" -> 0.51,
+    // r8 continuation 4b: local warmed best-of-3 (0.71 / 0.77) × 1.3
+    "q_json_extract" -> 0.93, "q_json_stats" -> 1.01
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

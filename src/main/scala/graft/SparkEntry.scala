@@ -146,6 +146,10 @@ object SparkEntry {
     // skewness/kurtosis from exact DECIMAL(38,0) power sums
     "q_skew_stats" -> ((s, d) =>
       graft.ops.Stats.momentsByGroup(t(s, d, "events"), "event_type", "value")),
+    // typed JSON payload extraction (from_json, malformed -> flagged null)
+    "q_json_extract" -> ((s, d) => graft.ops.JsonOps.extractProps(t(s, d, "events"))),
+    // JSON -> aggregation pipeline: payload distribution per type/bucket
+    "q_json_stats" -> ((s, d) => graft.ops.JsonOps.propsStats(t(s, d, "events"))),
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1388,6 +1392,23 @@ object SparkEntry {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
         |FROM s""".stripMargin,
+    // json_extract over TRY_CAST-validated payloads == from_json's
+    // null-on-malformed contract; a parseable object missing the key is
+    // valid with a null field in both engines
+    "q_json_extract" ->
+      """SELECT event_id, event_type,
+        |  TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k,
+        |  (TRY_CAST(props AS JSON) IS NOT NULL) AS valid_json
+        |FROM events""".stripMargin,
+    "q_json_stats" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, k // 10 AS k_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct
+        |FROM e WHERE k IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // exact-decimal window sum / window count, round 6 — the dsum
     // rationale applied to a ROWS frame
     "q_moving_avg" ->
