@@ -82,8 +82,9 @@ object Bench {
     // pivoted cross-tab and exact-moment profiling
     "q_moving_avg", "q_transitions", "q_pivot", "q_skew_stats",
     // r8 continuation 4b: semi-structured payload path (from_json
-    // projection + the JSON->aggregation pipeline)
-    "q_json_extract", "q_json_stats")
+    // projection + the JSON->aggregation pipeline) and dependency/key
+    // profiling (the contract-drafting discovery pass)
+    "q_json_extract", "q_json_stats", "q_fd_violations", "q_key_profile")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -149,8 +150,10 @@ object Bench {
     // (0.66 / 0.79 / 0.40 / 0.39) × 1.3
     "q_moving_avg" -> 0.86, "q_transitions" -> 1.03, "q_pivot" -> 0.52,
     "q_skew_stats" -> 0.51,
-    // r8 continuation 4b: local warmed best-of-3 (0.71 / 0.77) × 1.3
-    "q_json_extract" -> 0.93, "q_json_stats" -> 1.01
+    // r8 continuation 4b: local warmed best-of-3 (0.71 / 0.77 / 0.51 /
+    // 0.46) × 1.3
+    "q_json_extract" -> 0.93, "q_json_stats" -> 1.01,
+    "q_fd_violations" -> 0.66, "q_key_profile" -> 0.60
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -146,6 +146,14 @@ object SparkEntry {
     // skewness/kurtosis from exact DECIMAL(38,0) power sums
     "q_skew_stats" -> ((s, d) =>
       graft.ops.Stats.momentsByGroup(t(s, d, "events"), "event_type", "value")),
+    // FD discovery: customers whose orders span >1 priority
+    "q_fd_violations" -> ((s, d) =>
+      graft.ops.Stats.fdViolations(t(s, d, "orders"), Seq("o_custkey"),
+        "o_orderpriority")),
+    // candidate-key uniqueness profile over orders columns
+    "q_key_profile" -> ((s, d) =>
+      graft.ops.Stats.keyProfile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
     // typed JSON payload extraction (from_json, malformed -> flagged null)
     "q_json_extract" -> ((s, d) => graft.ops.JsonOps.extractProps(t(s, d, "events"))),
     // JSON -> aggregation pipeline: payload distribution per type/bucket
@@ -1392,6 +1400,40 @@ object SparkEntry {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
         |FROM s""".stripMargin,
+    // null rhs counts as its own class (count(DISTINCT) skips nulls,
+    // add the null class back via max(isnull))
+    "q_fd_violations" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderpriority) +
+        |    max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_distinct_rhs
+        |FROM orders GROUP BY 1
+        |HAVING count(DISTINCT o_orderpriority) +
+        |  max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) > 1""".stripMargin,
+    "q_key_profile" ->
+      """SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_null,
+        |  round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS uniqueness,
+        |  (count(DISTINCT o_orderkey) = count(*) AND
+        |   count(*) FILTER (o_orderkey IS NULL) = 0) AS is_key
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
+        |  round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6),
+        |  (count(DISTINCT o_custkey) = count(*) AND
+        |   count(*) FILTER (o_custkey IS NULL) = 0)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+        |  round(CAST(count(DISTINCT o_orderstatus) AS DOUBLE) / count(*), 6),
+        |  (count(DISTINCT o_orderstatus) = count(*) AND
+        |   count(*) FILTER (o_orderstatus IS NULL) = 0)
+        |FROM orders""".stripMargin,
     // json_extract over TRY_CAST-validated payloads == from_json's
     // null-on-malformed contract; a parseable object missing the key is
     // valid with a null field in both engines

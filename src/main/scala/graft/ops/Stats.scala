@@ -179,6 +179,49 @@ object Stats {
         col("med") :+ col("mad")): _*)
   }
 
+  /** Functional-dependency violation report for a candidate rule
+    * `lhs → rhs`: every `lhs` value that maps to MORE than one distinct
+    * `rhs`, with its row count and the distinct-rhs count — the
+    * dependency-discovery signal contract drafting wants before it
+    * writes a uniqueness or consistency expectation (`q_metrics_unique`
+    * checks a DECLARED key; this finds where a PROPOSED rule breaks).
+    * Null-safe: a null rhs counts as its own value (a key mapping to
+    * {X, null} IS inconsistent). Scale shape: one map-side-combined
+    * aggregation keyed by lhs, one row per lhs group through the
+    * exchange, output only the violators. */
+  def fdViolations(df: DataFrame, lhsCols: Seq[String],
+                   rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "lhsCols must not be empty")
+    // count_distinct skips nulls: count the null class via max(isnull)
+    df.groupBy(lhsCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (countDistinct(col(rhsCol)) +
+          max(col(rhsCol).isNull.cast("int"))).as("n_distinct_rhs"))
+      .filter(col("n_distinct_rhs") > 1)
+  }
+
+  /** Candidate-key uniqueness profile: for each proposed key column,
+    * the exact distinct count, the 6 dp uniqueness ratio, and whether
+    * it IS a key (distinct == rows, null-free) — the primary-key
+    * discovery pass feeding contract drafting. One aggregation per
+    * candidate over a shared cached projection; each is map-side
+    * combined with one row through its exchange. */
+  def keyProfile(df: DataFrame, candidates: Seq[String]): DataFrame = {
+    require(candidates.nonEmpty, "candidates must not be empty")
+    val frames = candidates.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(c)).as("n_distinct"),
+        sum(col(c).isNull.cast("long")).as("n_null"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_distinct"),
+          col("n_null"),
+          round(col("n_distinct").cast(DoubleType) / col("n_rows"), 6)
+            .as("uniqueness"),
+          (col("n_distinct") === col("n_rows") && col("n_null") === 0)
+            .as("is_key"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   /** Per-group distribution-shape moments from EXACT integer power
     * sums: mean, population skewness `g1 = A / (B·√B)` and excess
     * kurtosis `g2 = C / B² − 3` where (with values fixed-pointed at

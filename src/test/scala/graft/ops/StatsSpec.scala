@@ -163,4 +163,33 @@ class StatsSpec extends SparkSpec {
     val lo = out(98L)._1; val hi = out(99L)._1
     assert(out.values.forall { case (c, _) => c >= lo && c <= hi })
   }
+
+  test("fdViolations: only violating lhs values, null rhs is its own class") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("A")), (1L, Some("A")),          // consistent — not reported
+      (2L, Some("A")), (2L, Some("B")),          // violation: 2 values
+      (3L, Some("X")), (3L, None),               // violation: {X, null}
+      (4L, None), (4L, None)                     // consistent all-null
+    ).toDF("k", "v")
+    val out = Stats.fdViolations(df, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(2L -> ((2L, 2L)), 3L -> ((2L, 2L))), s"got $out")
+  }
+
+  test("keyProfile: detects true keys, ratio exact, nulls disqualify") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L), "x"), (2L, Some(10L), "y"),
+      (3L, None, "x"), (4L, Some(30L), "z")
+    ).toDF("id", "grp", "s")
+    val out = Stats.keyProfile(df, Seq("id", "grp", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(out("id") == ((4L, 4L, 0L, 1.0, true)))
+    // grp: 2 distinct non-null + 1 null -> not a key even at high ratio
+    assert(out("grp") == ((4L, 2L, 1L, 0.5, false)))
+    assert(out("s") == ((4L, 3L, 0L, 0.75, false)))
+  }
 }
