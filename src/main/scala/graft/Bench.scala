@@ -84,7 +84,10 @@ object Bench {
     // r8 continuation 4b: semi-structured payload path (from_json
     // projection + the JSON->aggregation pipeline) and dependency/key
     // profiling (the contract-drafting discovery pass)
-    "q_json_extract", "q_json_stats", "q_fd_violations", "q_key_profile")
+    "q_json_extract", "q_json_stats", "q_fd_violations", "q_key_profile",
+    // r8 continuation 4c: degree-ordered triangle counting (wedge work
+    // bounded by sum outdeg^2 <= m^1.5, the compact-forward bound)
+    "q_triangles")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -153,7 +156,9 @@ object Bench {
     // r8 continuation 4b: local warmed best-of-3 (0.71 / 0.77 / 0.51 /
     // 0.46) × 1.3
     "q_json_extract" -> 0.93, "q_json_stats" -> 1.01,
-    "q_fd_violations" -> 0.66, "q_key_profile" -> 0.60
+    "q_fd_violations" -> 0.66, "q_key_profile" -> 0.60,
+    // r8 continuation 4c: local warmed best-of-3 (1.34) × 1.3
+    "q_triangles" -> 1.74
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

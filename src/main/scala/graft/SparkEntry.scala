@@ -495,6 +495,21 @@ object SparkEntry {
     // (see Graph.labelPropagation scaladoc)
     "q_labelprop" -> ((s, d) =>
       graft.ops.Graph.labelPropagation(coGraphEdges(s, d), iters = 5)),
+    // per-node triangle counts (degree-ordered orientation) over the
+    // supplier co-membership graph of every 10th order — the bipartite
+    // customer-supplier co-graph is triangle-free by construction, so
+    // the substrate here is supplier pairs sharing an order
+    "q_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = li.select(col("o"), col("sk").as("sa"))
+        .join(li.select(col("o"), col("sk").as("sb")), Seq("o"))
+        .filter(col("sa") < col("sb"))
+        .select(col("sa").as("src"), col("sb").as("dst"))
+      graft.ops.Graph.triangleCounts(e)
+    }),
     // BPE tokenizer induction (Sennrich): 5 merges learned from the
     // word-type vocabulary — deterministic (count DESC, pair ASC) wins
     "q_bpe_train" -> ((s, d) =>
@@ -1076,6 +1091,30 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql,
     "q_trustrank" -> trustrankSql,
     "q_labelprop" -> labelpropSql,
+    // pure integer counting — any correct enumeration matches; the
+    // row-value comparisons mirror the (deg, id) orientation order
+    "q_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.sk < b.sk),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |og AS (SELECT
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dkd
+        |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM og e1 JOIN og e2 ON e1.src = e2.src
+        |  WHERE (e1.dkd, e1.dst) < (e2.dkd, e2.dst)),
+        |tr AS (SELECT w.a, w.b, w.c
+        |  FROM w JOIN og ON og.src = w.b AND og.dst = w.c),
+        |nn AS (SELECT a AS node FROM tr
+        |  UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nn GROUP BY 1""".stripMargin,
     "q_bpe_train" -> (bpeCtes + """
       |SELECT * FROM (
       |  SELECT 1 AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM top1

@@ -175,6 +175,59 @@ object Graph {
       maxIter)
       .select(col("doc_id").as("node"), col("cluster").as("component"))
 
+  /** Per-node triangle participation counts over an UNDIRECTED graph —
+    * the local-density signal (clustering, link-farm detection) the
+    * reachability (CC) and authority (PageRank) operators don't give.
+    *
+    * Algorithm: the classic degree-ordered orientation ("compact
+    * forward") — orient every canonical edge from its (degree, id)-
+    * smaller endpoint to the larger, enumerate wedges by joining
+    * oriented edges on their SOURCE, and close each wedge with one
+    * semi-ish join back to the oriented edge set. Each triangle is
+    * found exactly once (its vertices appear in (deg, id) order), and
+    * the wedge count is bounded by Σ outdeg² ≤ m^1.5 instead of the
+    * naive Σ deg² — on skewed graphs the difference between feasible
+    * and not: a hub of degree d contributes d² naive wedges but at
+    * most 2m oriented ones (out-degree ≤ √(2m) under this ordering).
+    * Self-loops and parallel/duplicate edges are dropped. Scale
+    * shape: two hash joins on node keys; intermediates are
+    * wedge-count-sized (the algorithm's true complexity), never node². */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val u = col("_u"); val v = col("_v")
+    val und = edges
+      .select(col(srcCol).cast(LongType).as("_a"), col(dstCol).cast(LongType).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull && col("_a") =!= col("_b"))
+      .select(least(col("_a"), col("_b")).as("_u"),
+        greatest(col("_a"), col("_b")).as("_v"))
+      .distinct()
+    val deg = und.select(explode(array(u, v)).as("_n"))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    Caching.ensureCached(und)
+    val keyed = und
+      .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))
+      .select(struct(col("_du").as("d"), u.as("n")).as("_ku"),
+        struct(col("_dv").as("d"), v.as("n")).as("_kv"), u, v)
+    val oriented = keyed.select(
+      when(col("_ku") < col("_kv"), u).otherwise(v).as("src"),
+      when(col("_ku") < col("_kv"), v).otherwise(u).as("dst"),
+      when(col("_ku") < col("_kv"), col("_kv")).otherwise(col("_ku")).as("dstKey"))
+    Caching.ensureCached(oriented)
+    val e1 = oriented.select(col("src").as("_s"), col("dst").as("_b"),
+      col("dstKey").as("_bk"))
+    val e2 = oriented.select(col("src").as("_s"), col("dst").as("_c"),
+      col("dstKey").as("_ck"))
+    val wedges = e1.join(e2, Seq("_s")).filter(col("_bk") < col("_ck"))
+      .select(col("_s").as("_a"), col("_b"), col("_c"))
+    val closed = wedges.join(oriented
+        .select(col("src").as("_b"), col("dst").as("_c")),
+      Seq("_b", "_c"))
+    closed
+      .select(explode(array(col("_a"), col("_b"), col("_c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Cleaned node set and degree-annotated edge list, both cached —
     * each is re-joined every iteration. */
   private def prepare(edges: DataFrame, srcCol: String,

@@ -190,4 +190,25 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pageRank planned a cartesian product:\n$plan")
   }
+
+  test("triangleCounts: K4 counts, cycles and stars are triangle-free, dirty edges drop") {
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, each node in exactly 3 —
+    // fed with duplicates, reversals and a self-loop to pin cleaning
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (4L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$out")
+    // 4-cycle: wedges exist but never close
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(square).count() == 0)
+    // star hub: the degree-ordered orientation gives the hub zero
+    // out-wedges (all edges point AT it) — and correctly zero triangles
+    val star = (1L to 20L).map(i => (100L, i)).toDF("src", "dst")
+    assert(Graph.triangleCounts(star).count() == 0)
+    // triangle + pendant edge: pendant node reports nothing
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("src", "dst")
+    val t3 = Graph.triangleCounts(tri).as[(Long, Long)].collect().toMap
+    assert(t3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"$t3")
+  }
 }
