@@ -139,6 +139,9 @@ object SparkEntry {
     "q_cohort" -> ((s, d) => Analytics.cohortRetention(t(s, d, "events"))),
     // trailing 3-event moving average per user (exact-decimal window sum)
     "q_moving_avg" -> ((s, d) => Analytics.movingAvg(t(s, d, "events"))),
+    // exact-integer EWMA (alpha = 1/16): recurrence folded at 6dp fixed
+    // point — bit-identical in any engine/partitioning
+    "q_ewma" -> ((s, d) => Analytics.ewma(t(s, d, "events"))),
     // Markov transition matrix of consecutive event types per user
     "q_transitions" -> ((s, d) => Analytics.transitions(t(s, d, "events"))),
     // status-pivoted wide cross-tab with explicit pivot values
@@ -146,6 +149,10 @@ object SparkEntry {
     // skewness/kurtosis from exact DECIMAL(38,0) power sums
     "q_skew_stats" -> ((s, d) =>
       graft.ops.Stats.momentsByGroup(t(s, d, "events"), "event_type", "value")),
+    // uniform-[0,1] rank transform per event type (ties share a rank)
+    "q_rank_normalize" -> ((s, d) =>
+      graft.ops.Stats.rankNormalize(t(s, d, "events"), "event_type", "value",
+        idCols = Seq("event_id"))),
     // FD discovery: customers whose orders span >1 priority
     "q_fd_violations" -> ((s, d) =>
       graft.ops.Stats.fdViolations(t(s, d, "orders"), Seq("o_custkey"),
@@ -1439,6 +1446,12 @@ object SparkEntry {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
         |FROM s""".stripMargin,
+    // percent_rank is (rank-1)/(n-1) in both engines; ties share a rank
+    "q_rank_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  round(percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY value ASC), 6) AS rank_norm
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
     // null rhs counts as its own class (count(DISTINCT) skips nulls,
     // add the null class back via max(isnull))
     "q_fd_violations" ->
@@ -1501,6 +1514,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // the recurrence unrolled as a recursive CTE; (x-e)/16.0 is exact
+    // (|x-e| < 2^53, divisor a power of two) so trunc == Spark's div
+    "q_ewma" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS xs,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS rn
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, rn, event_id, xs AS ew FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.event_id,
+        |    r.ew + CAST(trunc(CAST(s.xs - r.ew AS DOUBLE) / 16.0) AS BIGINT)
+        |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT user_id, event_id, ew AS ewma_s6 FROM r""".stripMargin,
     // (ts, event_id)-ordered lead pairs; probabilities are exact-count
     // ratios rounded at 6dp
     "q_transitions" ->

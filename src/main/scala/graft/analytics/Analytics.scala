@@ -238,6 +238,52 @@ object Analytics {
         col("n_users"))
   }
 
+  /** Exponentially-weighted moving average per user, exact-integer
+    * formulation: values fixed-pointed at 6 dp and folded with
+    * `e' = e + (x − e) div 2^halvings` (α = 2⁻ᵏ as a truncating integer
+    * step — no float accumulation, so the fold is bit-identical in any
+    * engine and any partitioning; the same reproducibility stance as
+    * `dsum`, applied to a sequential recurrence). First event seeds the
+    * average. Emits the running EWMA per event as the exact scaled
+    * integer (`ewma_s6`).
+    *
+    * A recurrence has no window spelling, so the per-user history rides
+    * a `sort_array(collect_list(...))` + one `aggregate` lambda — state
+    * is per-USER-history-sized (fine for entity streams; for unbounded
+    * per-key histories use the O(1)-state streaming twin
+    * [[graft.stream.StreamEwma]], spec-pinned to this fold). One
+    * aggregation exchange, no window, no driver involvement. */
+  def ewma(events: DataFrame, halvings: Int = 4): DataFrame = {
+    require(halvings >= 1 && halvings <= 30, "halvings must be in [1, 30]")
+    val shift = 1L << halvings
+    val prepped = events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        graft.ops.RangeJoin.epochMicros(col("ts")).as("us"),
+        col("event_id").as("eid"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("xs"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("us"), col("eid"), col("xs"))))
+        .as("evs"))
+    val folded = prepped.select(col("user_id"), expr(
+      s"""aggregate(evs,
+         |  named_struct('init', false, 'e', CAST(0 AS BIGINT),
+         |    'arr', CAST(array() AS ARRAY<STRUCT<eid: BIGINT, ew: BIGINT>>)),
+         |  (acc, ev) -> named_struct(
+         |    'init', true,
+         |    'e', CASE WHEN acc.init
+         |           THEN acc.e + ((ev.xs - acc.e) div ${shift}L)
+         |           ELSE ev.xs END,
+         |    'arr', array_append(acc.arr, named_struct(
+         |      'eid', ev.eid,
+         |      'ew', CASE WHEN acc.init
+         |              THEN acc.e + ((ev.xs - acc.e) div ${shift}L)
+         |              ELSE ev.xs END))),
+         |  acc -> acc.arr)""".stripMargin).as("arr"))
+    folded.select(col("user_id"), explode(col("arr")).as("r"))
+      .select(col("user_id"), col("r.eid").as("event_id"),
+        col("r.ew").as("ewma_s6"))
+  }
+
   /** CUBE subtotal aggregation: every combination of the grouping
     * columns plus a `gid` bitmask (standard `GROUPING()` encoding —
     * first column is the most significant bit) so a consumer can tell a

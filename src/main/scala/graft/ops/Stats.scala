@@ -179,6 +179,24 @@ object Stats {
         col("med") :+ col("mad")): _*)
   }
 
+  /** Per-group rank normalization: `percent_rank` of `valueCol` within
+    * its group — the uniform-[0,1] feature transform (rank features are
+    * outlier-immune where z-scores are not; the winsorize/MAD family's
+    * *transform* member). Ties share a rank (standard percent_rank);
+    * ranks round at 6 dp; `(value, id)`-ordered so equal values with
+    * different ids stay deterministic in output order semantics. Scale
+    * shape: one per-group window (hash + sort exchange, the
+    * sessionization shape) — per-GROUP ordering, never a global sort;
+    * groups are the parallelism unit. */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                    idCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    df.filter(col(valueCol).isNotNull)
+      .select((idCols.map(col) :+ col(groupCol) :+ col(valueCol) :+
+        round(percent_rank().over(w), 6).as("rank_norm")): _*)
+  }
+
   /** Functional-dependency violation report for a candidate rule
     * `lhs → rhs`: every `lhs` value that maps to MORE than one distinct
     * `rhs`, with its row count and the distinct-rhs count — the
