@@ -210,4 +210,65 @@ object Layout {
       spark.read.parquet(path).limit(0)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
+
+  /** Small-file compaction plan: first-fit-decreasing bin packing of the
+    * table's under-sized data files into merge groups of ≈`targetBytes`
+    * — the OPTIMIZE planner (Delta/Iceberg's maintenance idea as plain
+    * open Spark over this module's manifest/layout machinery). PLANNING
+    * is a filesystem-metadata operation: one directory listing, zero
+    * data scanned — on a million-file table the plan costs what the
+    * listing costs. Files at or above `targetBytes * bigFileFraction`
+    * are left alone (rewriting them buys nothing); singleton groups are
+    * dropped (a lone small file merges with nothing). Deterministic:
+    * FFD over (size DESC, name ASC). */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetBytes: Long,
+                     bigFileFraction: Double = 0.5): Seq[Seq[(String, Long)]] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(bigFileFraction > 0 && bigFileFraction <= 1,
+      "bigFileFraction must be in (0, 1]")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+      .filter(_._2 < (targetBytes * bigFileFraction).toLong)
+      .sortBy { case (name, size) => (-size, name) }
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    for ((f, sz) <- small) {
+      bins.indexWhere { case (_, used) => used + sz <= targetBytes } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer((f, sz)), sz))
+        case i  => bins(i) = ((bins(i)._1 += ((f, sz))), bins(i)._2 + sz)
+      }
+    }
+    bins.map(_._1.toSeq).filter(_.size > 1).toSeq
+  }
+
+  /** Execute a compaction: rewrite the planned groups' rows into
+    * ≈target-sized files at `outPath`, optionally range-sorted by
+    * `sortCols` so an existing clustering (z-order) survives the
+    * rewrite. ONE distributed job over the union of the planned files —
+    * no per-group driver loop; file count = ceil(bytes / target).
+    * Files outside the plan are untouched (the caller's big files keep
+    * their layout). Returns (files in, files out). */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+                        plan: Seq[Seq[(String, Long)]], outPath: String,
+                        targetBytes: Long,
+                        sortCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val files = plan.flatten.map(_._1)
+    if (files.isEmpty) return (0, 0)
+    val totalBytes = plan.flatten.map(_._2).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(files: _*)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    shaped.write.mode("overwrite").parquet(outPath)
+    (files.size, nOut)
+  }
 }

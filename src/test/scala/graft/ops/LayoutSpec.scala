@@ -164,6 +164,36 @@ class LayoutSpec extends SparkSpec {
     assert(hit.filter(col("a") >= 2000L).count() === 1000L)
   }
 
+  test("compactionPlan: FFD groups small files toward the target, leaves big ones alone") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // many tiny files: one row per file via repartition on a distinct key
+    (0 until 12).map(i => (i.toLong, s"payload_$i" * 50)).toDF("id", "s")
+      .repartition(12, col("id")).write.mode("overwrite").parquet(dir)
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length())
+    val maxSz = sizes.max
+    // target = 3 typical files => groups of ~3; nothing reaches the
+    // big-file bar so everything is plannable
+    val plan = Layout.compactionPlan(spark, dir, targetBytes = maxSz * 3)
+    assert(plan.nonEmpty)
+    assert(plan.forall(_.size > 1), "singleton groups must be dropped")
+    assert(plan.forall(_.map(_._2).sum <= maxSz * 3), "bins must respect the target")
+    val planned = plan.flatten.map(_._1).toSet
+    assert(planned.size == plan.flatten.size, "a file appears in exactly one group")
+
+    // execute: one distributed rewrite, rows preserved, far fewer files
+    val outDir = java.nio.file.Files.createTempDirectory("compact_out").toString
+    val (in, out) = Layout.compactSmallFiles(spark, plan, outDir, maxSz * 3,
+      sortCols = Seq("id"))
+    assert(in == planned.size && out < in)
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() == spark.read.parquet(planned.toSeq: _*).count())
+
+    // a big-file bar below every file size plans nothing
+    assert(Layout.compactionPlan(spark, dir, targetBytes = 10,
+      bigFileFraction = 0.01).isEmpty)
+  }
+
   test("zOrderBy preserves rows and drops the internal column") {
     val df = (0 until 500)
       .map(i => (i.toLong, (i * 7L) % 101, (i * 13L) % 101)).toDF("id", "a", "b")
