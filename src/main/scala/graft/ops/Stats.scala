@@ -179,6 +179,39 @@ object Stats {
         col("med") :+ col("mad")): _*)
   }
 
+  /** The per-group `(med, mad)` calibration frame [[madOutliers]]
+    * computes internally, exposed as a freezable artifact — compute it
+    * once on a calibration corpus, persist it, and flag ANY frame
+    * (batch or stream) statelessly with [[outlierFlagWith]]: the
+    * compute-offline/flag-online production split (the `LmIndex
+    * recordCuts` pattern for numeric anomaly gates). */
+  def madStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+    val med = vals.groupBy(col(groupCol))
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("med"))
+    vals.join(broadcast(med), Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol) - col("med")))
+      .groupBy(col(groupCol), col("med"))
+      .agg(round(percentile(col("_dev"), lit(0.5)), 6).as("mad"))
+      .select(col(groupCol), col("med"), col("mad"))
+  }
+
+  /** Stateless outlier flagging against FROZEN `(group, med, mad)`
+    * stats — a stream-static broadcast join + pure projection, so it
+    * runs unchanged on streaming frames (ingest-time anomaly gating).
+    * Flagging the calibration frame itself reproduces [[madOutliers]]'s
+    * flagged set exactly (spec-pinned); the point of the split is
+    * gating NEW data against a frozen reference, where a self-computed
+    * median would drift with the anomalies it is supposed to catch. */
+  def outlierFlagWith(df: DataFrame, stats: DataFrame, groupCol: String,
+                      valueCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
+
   /** Per-group rank normalization: `percent_rank` of `valueCol` within
     * its group — the uniform-[0,1] feature transform (rank features are
     * outlier-immune where z-scores are not; the winsorize/MAD family's

@@ -104,7 +104,13 @@ object ScaleEvidence {
     // r8 continuation: Lloyd training (per-iteration shuffle is k×dim,
     // corpus-size-independent — expect sub-linear) and label
     // propagation (two O(|E|) shuffles per round)
-    "q_kmeans", "q_labelprop")
+    "q_kmeans", "q_labelprop",
+    // r8 continuation 3/4: Expand-based cube (4x the corpus through
+    // partial agg), per-key-window SCD2 over scaled orders, the
+    // bigram-frame PMI + query-filtered BM25 text pair, and
+    // degree-ordered triangles (pair self-join scales; the distinct
+    // edge set largely repeats per replica)
+    "q_cube", "q_scd2", "q_pmi", "q_bm25", "q_triangles")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)

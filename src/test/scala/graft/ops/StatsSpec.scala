@@ -164,6 +164,33 @@ class StatsSpec extends SparkSpec {
     assert(out.values.forall { case (c, _) => c >= lo && c <= hi })
   }
 
+  test("outlierFlagWith: frozen stats reproduce madOutliers on the calibration frame, and gate streams") {
+    import spark.implicits._
+    val rows = (1 to 9).map(i => ("g", i.toLong, 9.0 + (i % 3))) :+
+      (("g", 100L, 1000.0))
+    val df = rows.toDF("g", "id", "v")
+    val stats = Stats.madStats(df, "g", "v")
+    val flagged = Stats.outlierFlagWith(df, stats, "g", "v")
+      .filter($"is_outlier").select("id").as[Long].collect().toSet
+    val direct = Stats.madOutliers(df, "g", "v", idCols = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(flagged == direct && flagged == Set(100L))
+    // streaming frame through the same frozen stats
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val q = Stats.outlierFlagWith(
+      mem.toDF().toDF("g", "id", "v"), stats, "g", "v")
+      .writeStream.format("memory").queryName("outlier_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("g", 200L, 10.0), ("g", 201L, -400.0))
+      q.processAllAvailable()
+      val out = spark.table("outlier_stream_out")
+        .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+      assert(out == Map(200L -> false, 201L -> true), s"$out")
+    } finally q.stop()
+  }
+
   test("fdViolations: only violating lhs values, null rhs is its own class") {
     import spark.implicits._
     val df = Seq(
