@@ -33,6 +33,17 @@ object SparkEntry {
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
   }
 
+  /** events with deterministically dirtied user references (testdata
+    * foreign keys are clean, so orphan detection needs synthetic dirt —
+    * spelled identically in the oracle CTE, the [[docsWithUrl]]
+    * precedent): every 97th event re-pointed at a parent that cannot
+    * exist, every 101st nulled. */
+  private def dirtyEvents(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("user_id",
+      when(col("event_id") % 101 === 0, lit(null))
+        .when(col("event_id") % 97 === 0, col("user_id") + 1000000L)
+        .otherwise(col("user_id")))
+
   /** documents + a deterministic synthetic `url` column (testdata carries
     * no URL column — SURVEY r7 backlog item): scheme, www subdomain,
     * multi-label public suffix, explicit default and non-default ports,
@@ -149,6 +160,18 @@ object SparkEntry {
     // skewness/kurtosis from exact DECIMAL(38,0) power sums
     "q_skew_stats" -> ((s, d) =>
       graft.ops.Stats.momentsByGroup(t(s, d, "events"), "event_type", "value")),
+    // referential integrity: events.user_id -> customer.c_custkey over
+    // a deterministically dirtied child (testdata FKs are clean, so the
+    // dirt is spelled identically in the oracle CTE — docsWithUrl
+    // precedent): every 97th event re-pointed at a missing parent,
+    // every 101st nulled
+    "q_ref_orphans" -> ((s, d) =>
+      graft.quality.RefIntegrity.orphans(dirtyEvents(s, d),
+        t(s, d, "customer"), "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"))),
+    "q_ref_integrity" -> ((s, d) =>
+      graft.quality.RefIntegrity.orphanSummary(dirtyEvents(s, d),
+        t(s, d, "customer"), "user_id", "c_custkey")),
     // uniform-[0,1] rank transform per event type (ties share a rank)
     "q_rank_normalize" -> ((s, d) =>
       graft.ops.Stats.rankNormalize(t(s, d, "events"), "event_type", "value",
@@ -1446,6 +1469,36 @@ object SparkEntry {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
         |FROM s""".stripMargin,
+    // anti-join orphan detection over the deterministically dirtied
+    // child (dirt CTE spelled identically to the Spark helper)
+    "q_ref_orphans" ->
+      """WITH de AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 101 = 0 THEN NULL
+        |         WHEN event_id % 97 = 0 THEN user_id + 1000000
+        |         ELSE user_id END AS user_id
+        |  FROM events)
+        |SELECT event_id, user_id FROM de
+        |WHERE user_id IS NOT NULL
+        |  AND user_id NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
+    "q_ref_integrity" ->
+      """WITH de AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 101 = 0 THEN NULL
+        |         WHEN event_id % 97 = 0 THEN user_id + 1000000
+        |         ELSE user_id END AS user_id
+        |  FROM events),
+        |f AS (SELECT de.user_id IS NULL AS isn,
+        |    (de.user_id IS NOT NULL AND c.c_custkey IS NULL) AS orph
+        |  FROM de LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON de.user_id = c.c_custkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT) AS n_null_refs,
+        |  CAST(sum(CASE WHEN isn THEN 0 ELSE 1 END) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN orph THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  round(CAST(sum(CASE WHEN orph THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    greatest(sum(CASE WHEN isn THEN 0 ELSE 1 END), 1), 6) AS orphan_rate
+        |FROM f""".stripMargin,
     // percent_rank is (rank-1)/(n-1) in both engines; ties share a rank
     "q_rank_normalize" ->
       """SELECT event_id, event_type, value,
