@@ -88,7 +88,9 @@ object Bench {
     // r8 continuation 4c: degree-ordered triangle counting (wedge work
     // bounded by sum outdeg^2 <= m^1.5, the compact-forward bound),
     // rank transform, and the exact-integer EWMA recurrence
-    "q_triangles", "q_rank_normalize", "q_ewma")
+    "q_triangles", "q_rank_normalize", "q_ewma",
+    // r8 continuation 4d: cross-table integrity (anti-join orphans)
+    "q_ref_orphans", "q_ref_integrity")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -159,7 +161,9 @@ object Bench {
     "q_json_extract" -> 0.93, "q_json_stats" -> 1.01,
     "q_fd_violations" -> 0.66, "q_key_profile" -> 0.60,
     // r8 continuation 4c: local warmed best-of-3 (1.34 / 0.52 / 0.53) × 1.3
-    "q_triangles" -> 1.74, "q_rank_normalize" -> 0.68, "q_ewma" -> 0.69
+    "q_triangles" -> 1.74, "q_rank_normalize" -> 0.68, "q_ewma" -> 0.69,
+    // r8 continuation 4d: local warmed best-of-3 (0.61 / 0.55) × 1.3
+    "q_ref_orphans" -> 0.79, "q_ref_integrity" -> 0.72
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,
