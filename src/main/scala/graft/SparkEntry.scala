@@ -160,6 +160,10 @@ object SparkEntry {
     // skewness/kurtosis from exact DECIMAL(38,0) power sums
     "q_skew_stats" -> ((s, d) =>
       graft.ops.Stats.momentsByGroup(t(s, d, "events"), "event_type", "value")),
+    // Welch's t between view and purchase event values (exact power sums)
+    "q_abtest" -> ((s, d) =>
+      graft.ops.Stats.welchT(t(s, d, "events"), "event_type", "value",
+        "view", "purchase")),
     // referential integrity: events.user_id -> customer.c_custkey over
     // a deterministically dirtied child (testdata FKs are clean, so the
     // dirt is spelled identically in the oracle CTE — docsWithUrl
@@ -1469,6 +1473,44 @@ object SparkEntry {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
         |FROM s""".stripMargin,
+    // means and variance numerators in HUGEINT; the t quotient and
+    // Welch-Satterthwaite df in doubles, every step spelled as Spark
+    // computes it
+    "q_abtest" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (event_type = 'view') AS HUGEINT) AS na,
+        |    sum(CAST(round(value * 100) AS HUGEINT))
+        |      FILTER (event_type = 'view') AS s1a,
+        |    sum(CAST(round(value * 100) AS HUGEINT) *
+        |        CAST(round(value * 100) AS HUGEINT))
+        |      FILTER (event_type = 'view') AS s2a,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS HUGEINT) AS nb,
+        |    sum(CAST(round(value * 100) AS HUGEINT))
+        |      FILTER (event_type = 'purchase') AS s1b,
+        |    sum(CAST(round(value * 100) AS HUGEINT) *
+        |        CAST(round(value * 100) AS HUGEINT))
+        |      FILTER (event_type = 'purchase') AS s2b
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')),
+        |t AS (SELECT *,
+        |    CAST(s1a AS DOUBLE) / (CAST(na AS DOUBLE) * 100.0) AS ma,
+        |    CAST(s1b AS DOUBLE) / (CAST(nb AS DOUBLE) * 100.0) AS mb,
+        |    CAST(na * s2a - s1a * s1a AS DOUBLE) /
+        |      (CAST(na * na * (na - 1) AS DOUBLE) * 10000.0) AS va,
+        |    CAST(nb * s2b - s1b * s1b AS DOUBLE) /
+        |      (CAST(nb * nb * (nb - 1) AS DOUBLE) * 10000.0) AS vb
+        |  FROM s)
+        |SELECT 'view' AS group_a, 'purchase' AS group_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  CASE WHEN na < 2 OR nb < 2 OR va + vb = 0.0 THEN NULL
+        |    ELSE round((ma - mb) / sqrt(va + vb), 6) END AS t,
+        |  CASE WHEN na < 2 OR nb < 2 OR va + vb = 0.0 THEN NULL
+        |    ELSE round(((va + vb) * (va + vb)) /
+        |      ((va * va) / CAST(na - 1 AS DOUBLE) +
+        |       (vb * vb) / CAST(nb - 1 AS DOUBLE)), 6) END AS df
+        |FROM t""".stripMargin,
     // anti-join orphan detection over the deterministically dirtied
     // child (dirt CTE spelled identically to the Spark helper)
     "q_ref_orphans" ->

@@ -109,4 +109,73 @@ object MergeIO {
     WriteResult(validation, path +: sideWrites.result(),
       validation.warnings ++ plan.primary.toSeq.flatMap(_.warnings) ++ sideWarnings.result())
   }
+
+  import org.apache.spark.sql.functions._
+
+  /** Bootstrap an SCD2 history from the first snapshot: every row opens
+    * version 1 at `asOf`. Schema: keys ++ attrs ++ (valid_from,
+    * valid_to, version, is_current) — the same shape
+    * [[graft.analytics.Analytics.scd2]] derives from an event stream. */
+  def scd2Init(snapshot: DataFrame, keyCols: Seq[String],
+               attrCols: Seq[String], asOf: java.sql.Timestamp): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "keys and attrs required")
+    snapshot.select((keyCols ++ attrCols).map(col): _*)
+      .withColumn("valid_from", lit(asOf))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("version", lit(1L))
+      .withColumn("is_current", lit(true))
+  }
+
+  /** SCD2 MERGE: fold a new dimension snapshot into an existing history
+    * — the WRITE-side companion of the read-side
+    * [[graft.analytics.Analytics.scd2]] derivation. Per key:
+    * changed attributes (null-safe struct compare) close the current
+    * version at `asOf` and open version+1; unchanged keys carry their
+    * open row; unseen keys insert version 1; keys MISSING from the
+    * snapshot close at `asOf` when `closeMissing` (soft delete) and
+    * carry otherwise. Closed history rows pass through untouched.
+    *
+    * Pure transform: returns the new history frame — land it with the
+    * snapshot-swap [[upsert]] machinery, a partitioned rewrite, or a
+    * Delta MERGE (this call shape maps 1:1). Scale shape: one key-hash
+    * full-outer join of the CURRENT rows against the snapshot (both
+    * one-row-per-key), plus the untouched closed history union — no
+    * window, nothing corpus-ordered. Applying snapshots in sequence is
+    * spec-pinned EQUAL to the batch `scd2` derivation over the
+    * equivalent event stream. */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame, keyCols: Seq[String],
+                attrCols: Seq[String], asOf: java.sql.Timestamp,
+                closeMissing: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "keys and attrs required")
+    val histCols = keyCols ++ attrCols ++
+      Seq("valid_from", "valid_to", "version", "is_current")
+    val closed = history.filter(!col("is_current")).select(histCols.map(col): _*)
+    val cur = history.filter(col("is_current")).select(histCols.map(col): _*)
+    val snap = snapshot.select(
+      keyCols.map(col) ++ attrCols.map(c => col(c).as(s"_new_$c")): _*)
+    val j = cur.withColumn("_has_cur", lit(true))
+      .join(snap.withColumn("_has_new", lit(true)), keyCols, "full_outer")
+    val sameAttrs = struct(attrCols.map(col): _*) <=>
+      struct(attrCols.map(c => col(s"_new_$c")): _*)
+    val hasCur = col("_has_cur").isNotNull
+    val hasNew = col("_has_new").isNotNull
+    // the carried/closed flavour of an existing current row
+    val curRow = j.filter(hasCur).select(
+      (keyCols.map(col) ++ attrCols.map(col) ++ Seq(
+        col("valid_from"),
+        when(hasNew && !sameAttrs, lit(asOf))
+          .when(!hasNew && lit(closeMissing), lit(asOf))
+          .otherwise(col("valid_to")).as("valid_to"),
+        col("version"),
+        (!(hasNew && !sameAttrs) && !(!hasNew && lit(closeMissing)))
+          .as("is_current"))): _*)
+    // freshly opened rows: new keys at version 1, changed keys at +1
+    val opened = j.filter(hasNew && (!hasCur || !sameAttrs)).select(
+      (keyCols.map(col) ++ attrCols.map(c => col(s"_new_$c").as(c)) ++ Seq(
+        lit(asOf).as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        (when(hasCur, col("version")).otherwise(lit(0L)) + lit(1L)).as("version"),
+        lit(true).as("is_current"))): _*)
+    closed.unionByName(curRow).unionByName(opened)
+  }
 }

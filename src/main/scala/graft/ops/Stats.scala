@@ -179,6 +179,56 @@ object Stats {
         col("med") :+ col("mad")): _*)
   }
 
+  /** Welch's two-sample t statistic between two groups' `valueCol`
+    * distributions, engine-exact: the A/B-comparison primitive
+    * (does variant A move the metric?) built on the same exact
+    * integer power sums as [[corrByGroup]]/[[momentsByGroup]] — means,
+    * the `B = nΣx² − (Σx)²` variance numerators, and the count terms
+    * are exact DECIMAL(38,0); the variance ratios, the t quotient and
+    * the Welch–Satterthwaite degrees of freedom run in doubles with
+    * every step correctly rounded (round 6 outputs). One conditional
+    * single-pass aggregation (two FILTERed sum sets), one output row.
+    * Degenerate inputs (a group with < 2 rows or zero variance in
+    * both) yield null t/df rather than NaN. */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String, decimals: Int = 2): DataFrame = {
+    require(decimals >= 0 && decimals <= 6, "decimals must be in [0, 6]")
+    require(groupA != groupB, "groups must differ")
+    val f = math.pow(10, decimals).toLong
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = expr(s"CAST(round(`$valueCol` * $f) AS DECIMAL(38,0))")
+    def side(g: String, tag: String) = Seq(
+      count(when(col(groupCol) === g, 1)).cast(d38).as(s"_n$tag"),
+      sum(when(col(groupCol) === g, x)).as(s"_s1$tag"),
+      sum(when(col(groupCol) === g, x * x)).as(s"_s2$tag"))
+    val aggd = df.filter(col(valueCol).isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .agg((side(groupA, "a") ++ side(groupB, "b")).head,
+        (side(groupA, "a") ++ side(groupB, "b")).tail: _*)
+    def m(tag: String) =
+      col(s"_s1$tag").cast(DoubleType) /
+        (col(s"_n$tag").cast(DoubleType) * lit(f.toDouble))
+    def v(tag: String) = {
+      val b = col(s"_n$tag") * col(s"_s2$tag") - col(s"_s1$tag") * col(s"_s1$tag")
+      b.cast(DoubleType) /
+        ((col(s"_n$tag") * col(s"_n$tag") * (col(s"_n$tag") - 1)).cast(DoubleType) *
+          lit((f * f).toDouble))
+    }
+    val degenerate = col("_na") < 2 || col("_nb") < 2
+    val vSum = v("a") + v("b")
+    val dfW = (vSum * vSum) /
+      ((v("a") * v("a")) / (col("_na") - 1).cast(DoubleType) +
+        (v("b") * v("b")) / (col("_nb") - 1).cast(DoubleType))
+    aggd.select(
+      lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("_na").cast("bigint").as("n_a"), col("_nb").cast("bigint").as("n_b"),
+      round(m("a"), 6).as("mean_a"), round(m("b"), 6).as("mean_b"),
+      when(degenerate || vSum === 0.0, lit(null))
+        .otherwise(round((m("a") - m("b")) / sqrt(vSum), 6)).as("t"),
+      when(degenerate || vSum === 0.0, lit(null))
+        .otherwise(round(dfW, 6)).as("df"))
+  }
+
   /** The per-group `(med, mad)` calibration frame [[madOutliers]]
     * computes internally, exposed as a freezable artifact — compute it
     * once on a calibration corpus, persist it, and flag ANY frame

@@ -164,6 +164,36 @@ class StatsSpec extends SparkSpec {
     assert(out.values.forall { case (c, _) => c >= lo && c <= hi })
   }
 
+  test("welchT: known separation, sign convention, degenerate nulls") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => ("a", 10.0 + (i % 5) * 0.5)) ++
+      (1 to 50).map(i => ("b", 20.0 + (i % 5) * 0.5))
+    val out = Stats.welchT(rows.toDF("g", "v"), "g", "v", "a", "b").collect().head
+    assert(out.getLong(2) == 50L && out.getLong(3) == 50L)
+    assert(out.getDouble(4) == 11.0 && out.getDouble(5) == 21.0)
+    // a's mean is 10 below b's: strongly negative t, df near n1+n2-2
+    assert(out.getDouble(6) < -20.0, s"t = ${out.getDouble(6)}")
+    assert(out.getDouble(7) > 90.0 && out.getDouble(7) <= 98.0)
+    // reference check on exact arithmetic: equal variances, so
+    // t = (m1-m2)/sqrt(2*s2/n) with s2 the shared sample variance
+    val s2 = {
+      val xs = (1 to 50).map(i => 10.0 + (i % 5) * 0.5)
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val tRef = (11.0 - 21.0) / math.sqrt(2 * s2 / 50)
+    assert(math.abs(out.getDouble(6) - tRef) < 1e-6)
+    // degenerate: singleton group yields null t/df, means still real
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val d = Stats.welchT(tiny, "g", "v", "a", "b").collect().head
+    assert(d.isNullAt(6) && d.isNullAt(7))
+    assert(d.getDouble(4) == 1.0)
+    // zero variance in both groups: null, not NaN
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val z = Stats.welchT(flat, "g", "v", "a", "b").collect().head
+    assert(z.isNullAt(6) && z.isNullAt(7))
+  }
+
   test("outlierFlagWith: frozen stats reproduce madOutliers on the calibration frame, and gate streams") {
     import spark.implicits._
     val rows = (1 to 9).map(i => ("g", i.toLong, 9.0 + (i % 3))) :+
