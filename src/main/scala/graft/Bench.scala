@@ -149,8 +149,11 @@ object Bench {
     "q_corr" -> 1.45, "q_resample" -> 0.85, "q_funnel" -> 0.70,
     "q_cohort" -> 0.39,
     // r8 continuation 3: local warmed best-of-3
-    // (2.14 / 0.45 / 0.80 / 0.57 / 0.65 / 0.65 / 0.65) × 1.3
-    "q_cube" -> 2.78, "q_histogram" -> 0.59, "q_outliers" -> 1.04,
+    // (0.45 / 0.45 / 0.80 / 0.57 / 0.65 / 0.65 / 0.65) × 1.3; q_cube
+    // re-based TIGHTER (2.78 -> 0.59) after the finest-level-grid
+    // rewrite (2.14 -> 0.45 local) so the 4.8x win cannot silently
+    // regress
+    "q_cube" -> 0.59, "q_histogram" -> 0.59, "q_outliers" -> 1.04,
     "q_winsorize" -> 0.74, "q_scd2" -> 0.84, "q_pmi" -> 0.84,
     "q_bm25" -> 0.85,
     // r8 continuation 4: local warmed best-of-3

@@ -287,20 +287,42 @@ object Analytics {
   /** CUBE subtotal aggregation: every combination of the grouping
     * columns plus a `gid` bitmask (standard `GROUPING()` encoding —
     * first column is the most significant bit) so a consumer can tell a
-    * genuine NULL group from a rolled-up one. Same execution shape as
-    * the plain grouped aggregate: Spark expands the grouping sets
-    * map-side (one Expand over the scan) and partial-aggregates before
-    * the single exchange — 4× the aggregate state for a 2-column cube,
-    * never 4 scans. */
-  def cubeSummary(lineitem: DataFrame): DataFrame =
-    lineitem
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(grouping_id().cast("bigint").as("gid"),
-        count(lit(1)).as("n"),
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_price"))
-      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
-        col("n"), col("sum_qty"), col("sum_price"))
+    * genuine NULL group from a rolled-up one.
+    *
+    * Execution: NOT `Dataset.cube` — its Expand pushes 2ᵏ copies of
+    * every corpus row through the partial aggregate (the r8 plan audit
+    * measured the 4× row multiplicity as ~2× q1_pricing's cost). Count
+    * and decimal sums are exactly additive, so every coarser level is
+    * derived from the FINEST-level aggregate instead: one corpus pass
+    * to the (flags × statuses)-sized grid, then three re-aggregations
+    * OF THE GRID (grid-sized work, cached). Bit-identical to the
+    * Expand spelling — decimal addition is exact in any order — and
+    * the corpus cost is exactly one plain grouped aggregation at any
+    * scale. The double cast happens once per output row, after the
+    * last decimal re-sum. */
+  def cubeSummary(lineitem: DataFrame): DataFrame = {
+    val a = "l_returnflag"; val b = "l_linestatus"
+    val fine = lineitem.groupBy(col(a), col(b))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("l_quantity").cast(DecimalType(25, 4))).as("_sq"),
+        sum(col("l_extendedprice").cast(DecimalType(25, 4))).as("_sp"))
+    graft.ops.Caching.ensureCached(fine)
+    def level(keep: Seq[String], gid: Int): DataFrame = {
+      val g = if (keep.isEmpty) fine.groupBy() else fine.groupBy(keep.map(col): _*)
+      val rolled = g.agg(sum(col("_n")).as("_n"),
+        sum(col("_sq")).as("_sq"), sum(col("_sp")).as("_sp"))
+      rolled.select(
+        (if (keep.contains(a)) col(a) else lit(null).cast("string")).as(a),
+        (if (keep.contains(b)) col(b) else lit(null).cast("string")).as(b),
+        lit(gid.toLong).as("gid"), col("_n").as("n"),
+        col("_sq").cast(DoubleType).as("sum_qty"),
+        col("_sp").cast(DoubleType).as("sum_price"))
+    }
+    level(Seq(a, b), 0)
+      .unionByName(level(Seq(a), 1))
+      .unionByName(level(Seq(b), 2))
+      .unionByName(level(Nil, 3))
+  }
 
   /** Slowly-changing-dimension type-2 history build: collapse an ordered
     * per-key attribute stream into versioned validity intervals —

@@ -275,4 +275,77 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Sketch.kmvSketch(emptyToks, "source", "tok", k = 4).count() == 0)
     assert(Sketch.countMin(emptyToks, "tok", d = 2, w = 8).count() == 0)
   }
+
+  test("edge totality of the round-8 continuation surfaces") {
+    import graft.ops._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+
+    // empty frames flow through every new operator without errors
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.analytics.Analytics.movingAvg(emptyEv).count() == 0)
+    assert(graft.analytics.Analytics.transitions(emptyEv).count() == 0)
+    assert(graft.analytics.Analytics.ewma(emptyEv).count() == 0)
+    assert(graft.analytics.Analytics.scd2(emptyEv.toDF(
+      "k", "at", "u", "status", "v").select($"k", $"status", $"at", $"u".as("tie")),
+      "k", "status", "at", "tie").count() == 0)
+    assert(Stats.histogramByGroup(emptyEv, "event_type", "value", 10.0).count() == 0)
+    assert(Stats.madOutliers(emptyEv, "event_type", "value", Seq("event_id")).count() == 0)
+    assert(Stats.winsorize(emptyEv, "event_type", "value", Seq("event_id")).count() == 0)
+    assert(Stats.rankNormalize(emptyEv, "event_type", "value", Seq("event_id")).count() == 0)
+    assert(Stats.momentsByGroup(emptyEv, "event_type", "value").count() == 0)
+    assert(Stats.fdViolations(emptyEv, Seq("user_id"), "event_type").count() == 0)
+    assert(Graph.triangleCounts(Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+
+    // single-row frames: every operator total, sane values
+    val oneEv = Seq((1L, ts0, 7L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.analytics.Analytics.movingAvg(oneEv)
+      .collect().head.getDouble(4) == 2.0)
+    assert(graft.analytics.Analytics.transitions(oneEv).count() == 0,
+      "one event has no transition")
+    assert(graft.analytics.Analytics.ewma(oneEv)
+      .collect().head.getLong(2) == 2000000L)
+    val m1 = Stats.momentsByGroup(oneEv, "event_type", "value").collect().head
+    assert(m1.getLong(1) == 1L && m1.isNullAt(3) && m1.isNullAt(4))
+    val rk = Stats.rankNormalize(oneEv, "event_type", "value", Seq("event_id"))
+      .collect().head
+    assert(rk.getDouble(3) == 0.0, "singleton percent_rank is 0")
+    val wz = Stats.winsorize(oneEv, "event_type", "value", Seq("event_id"))
+      .collect().head
+    assert(wz.getDouble(3) == 2.0 && !wz.getBoolean(4))
+
+    // welchT with an entirely missing side: degenerate nulls, zero count
+    val oneSided = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val w1 = Stats.welchT(oneSided, "g", "v", "a", "b").collect().head
+    assert(w1.getLong(3) == 0L && w1.isNullAt(6) && w1.isNullAt(7))
+
+    // pivot with zero matching rows anywhere still emits the priorities
+    val od = Seq((1L, 1L, "F", 1.0, ts0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val pv = graft.analytics.Analytics.pivotSummary(od).collect().head
+    assert(pv.getLong(1) == 1L && pv.getLong(3) == 0L && pv.getDouble(4) == 0.0)
+
+    // JSON: null/malformed-only feed stays total
+    val dirty = Seq((1L, "x", null.asInstanceOf[String]), (2L, "x", "]["))
+      .toDF("event_id", "event_type", "props")
+    assert(JsonOps.extractProps(dirty).count() == 2)
+    assert(JsonOps.propsStats(dirty).count() == 0)
+
+    // ref integrity: empty parent means every checked ref is an orphan
+    val child = Seq((1L, Some(5L)), (2L, None)).toDF("id", "fk")
+    val emptyParent = Seq.empty[Tuple1[Long]].toDF("pk")
+    assert(graft.quality.RefIntegrity.orphans(child, emptyParent, "fk", "pk")
+      .count() == 1)
+    val sum1 = graft.quality.RefIntegrity.orphanSummary(
+      child, emptyParent, "fk", "pk").collect().head
+    assert(sum1.getLong(0) == 2L && sum1.getLong(1) == 1L &&
+      sum1.getLong(3) == 1L && sum1.getDouble(4) == 1.0)
+
+    // compaction plan over a directory with one file: nothing to merge
+    val oneDir = java.nio.file.Files.createTempDirectory("edge_compact").toString
+    Seq((1L, "x")).toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(oneDir)
+    assert(Layout.compactionPlan(spark, oneDir, targetBytes = 1L << 30).isEmpty)
+  }
 }
