@@ -109,4 +109,70 @@ class RecoverySpec extends SparkSpec {
     assert(stages == Seq(1, 2, 3),
       "funnel progress must continue from recovered state across restarts")
   }
+
+  test("StreamEwma fold state survives a checkpointed restart bit-exactly") {
+    import spark.implicits._
+    val base = tmpDir("ewma_recov")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .parquet(src)
+      val q = StreamEwma.track(stream, halvings = 4)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").start(out)
+      q.awaitTermination()
+    }
+
+    Seq((1L, ts(1), 7L, "view", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    runOnce()
+    // restart: the recovered e = 100e6 must seed the next fold step
+    Seq((2L, ts(2), 7L, "view", 50.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val byEid = spark.read.parquet(out)
+      .select("event_id", "ewma_s6").as[(Long, Long)].collect().toMap
+    assert(byEid == Map(1L -> 100000000L,
+      2L -> (100000000L + (50000000L - 100000000L) / 16)),
+      s"recovered fold state must continue bit-exactly: $byEid")
+  }
+
+  test("StreamScd2 open-version state survives a checkpointed restart") {
+    import spark.implicits._
+    val base = tmpDir("scd2_recov")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("k long, status string, at timestamp, tie long")
+        .parquet(src)
+      val q = StreamScd2.track(stream, "k", "status", "at", "tie")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").start(out)
+      q.awaitTermination()
+    }
+
+    Seq((1L, "O", ts(1), 10L)).toDF("k", "status", "at", "tie")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 0, "open version is state, not output")
+    // restart: the change must close the RECOVERED version 1 with its
+    // ORIGINAL valid_from — only possible if (attr, from, version) survived
+    Seq((1L, "F", ts(5), 11L)).toDF("k", "status", "at", "tie")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, "O",
+      ts(1).getTime * 1000L, ts(5).getTime * 1000L, 1L)),
+      s"recovered open version must close with its original span: $rows")
+  }
 }
