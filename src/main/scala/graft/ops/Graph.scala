@@ -138,9 +138,16 @@ object Graph {
     for (_ <- 1 to iters) {
       // plurality label per dst: count (dst, label) votes, then a
       // min_by over the (-count, label) struct — "count DESC, label
-      // ASC" as a single aggregation, no window over the vote stream
+      // ASC" as a single aggregation, no window over the vote stream.
+      // ONE explicit dst-hash repartition serves BOTH aggregations: a
+      // HashPartitioning on dst satisfies ClusteredDistribution for
+      // (dst, label) (partitioning keys ⊆ clustering keys) and for
+      // (dst), so neither groupBy inserts its own exchange — one
+      // shuffle of the vote stream per round instead of two (the r8
+      // audit's 'two exchanges per round' line item).
       val winners = eDeg
         .join(labels, col("_pr_src") === col("node"))
+        .repartition(col("_pr_dst"))
         .groupBy(col("_pr_dst"), col("label"))
         .agg(count(lit(1)).as("_lp_cnt"))
         .groupBy(col("_pr_dst"))
