@@ -91,7 +91,9 @@ object Bench {
     "q_triangles", "q_rank_normalize", "q_ewma",
     // r8 continuation 4d: cross-table integrity (anti-join orphans)
     // and the exact-power-sum Welch t
-    "q_ref_orphans", "q_ref_integrity", "q_abtest")
+    "q_ref_orphans", "q_ref_integrity", "q_abtest",
+    // composed winsorize -> rank pipeline
+    "q_feature_pipeline")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -170,7 +172,9 @@ object Bench {
     // r8 continuation 4c: local warmed best-of-3 (1.34 / 0.52 / 0.53) × 1.3
     "q_triangles" -> 1.74, "q_rank_normalize" -> 0.68, "q_ewma" -> 0.69,
     // r8 continuation 4d: local warmed best-of-3 (0.61 / 0.55 / 0.50) × 1.3
-    "q_ref_orphans" -> 0.79, "q_ref_integrity" -> 0.72, "q_abtest" -> 0.65
+    "q_ref_orphans" -> 0.79, "q_ref_integrity" -> 0.72, "q_abtest" -> 0.65,
+    // local warmed best-of-3 (0.96) × 1.3
+    "q_feature_pipeline" -> 1.25
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -160,6 +160,16 @@ object SparkEntry {
     // skewness/kurtosis from exact DECIMAL(38,0) power sums
     "q_skew_stats" -> ((s, d) =>
       graft.ops.Stats.momentsByGroup(t(s, d, "events"), "event_type", "value")),
+    // composed robust-feature pipeline: Tukey winsorization feeding the
+    // percent-rank transform — outliers clipped BEFORE ranking so the
+    // rank grid is outlier-stable, chained exactly as a user would
+    "q_feature_pipeline" -> ((s, d) => {
+      val clipped = graft.ops.Stats.winsorize(t(s, d, "events"),
+        "event_type", "value", idCols = Seq("event_id"))
+        .select(col("event_id"), col("event_type"), col("clipped"))
+      graft.ops.Stats.rankNormalize(clipped, "event_type", "clipped",
+        idCols = Seq("event_id"))
+    }),
     // Welch's t between view and purchase event values (exact power sums)
     "q_abtest" -> ((s, d) =>
       graft.ops.Stats.welchT(t(s, d, "events"), "event_type", "value",
@@ -1473,6 +1483,27 @@ object SparkEntry {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
         |FROM s""".stripMargin,
+    // the winsorize CTE feeding the rank window — composed exactly as
+    // the Spark pipeline chains the operators
+    "q_feature_pipeline" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |f AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS p25,
+        |    round(quantile_cont(value, 0.75), 6) AS p75
+        |  FROM v GROUP BY 1),
+        |b AS (SELECT event_type,
+        |    p25 - 1.5 * (p75 - p25) AS lo,
+        |    p75 + 1.5 * (p75 - p25) AS hi
+        |  FROM f),
+        |c AS (SELECT v.event_id, v.event_type,
+        |    least(greatest(v.value, b.lo), b.hi) AS clipped
+        |  FROM v JOIN b ON v.event_type = b.event_type)
+        |SELECT event_id, event_type, clipped,
+        |  round(percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY clipped ASC), 6) AS rank_norm
+        |FROM c""".stripMargin,
     // means and variance numerators in HUGEINT; the t quotient and
     // Welch-Satterthwaite df in doubles, every step spelled as Spark
     // computes it

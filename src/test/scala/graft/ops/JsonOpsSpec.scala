@@ -24,6 +24,22 @@ class JsonOpsSpec extends SparkSpec {
     assert(out.size == 5, "operator must be total — every input row survives")
   }
 
+  test("extractProps is a stateless projection: runs unchanged on a streaming frame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = JsonOps.extractProps(mem.toDF().toDF("event_id", "event_type", "props"))
+      .writeStream.format("memory").queryName("json_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "x", """{"k": 5}"""), (2L, "x", "broken"))
+      q.processAllAvailable()
+      val out = spark.table("json_stream_out")
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3))).toMap
+      assert(out == Map(1L -> ((Some(5L), true)), 2L -> ((None, false))))
+    } finally q.stop()
+  }
+
   test("propsStats: grid-sized output, nulls excluded, exact distinct") {
     val ev = (1 to 30).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
       s"""{"k": ${i % 15}}""")) :+ ((31L, "a", "broken"))
