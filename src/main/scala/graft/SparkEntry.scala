@@ -160,6 +160,16 @@ object SparkEntry {
     // skewness/kurtosis from exact DECIMAL(38,0) power sums
     "q_skew_stats" -> ((s, d) =>
       graft.ops.Stats.momentsByGroup(t(s, d, "events"), "event_type", "value")),
+    // interval-weighted average level per user (TWAP)
+    "q_twap" -> ((s, d) => Analytics.twap(t(s, d, "events"))),
+    // per-type median imputation over a deterministically dirtied value
+    // column (testdata has no null values — dirt spelled identically in
+    // the oracle CTE, the dirtyEvents precedent)
+    "q_impute" -> ((s, d) =>
+      graft.ops.Stats.imputeMedian(
+        t(s, d, "events").withColumn("value",
+          when(col("event_id") % 89 === 0, lit(null)).otherwise(col("value"))),
+        "event_type", "value", idCols = Seq("event_id"))),
     // composed robust-feature pipeline: Tukey winsorization feeding the
     // percent-rank transform — outliers clipped BEFORE ranking so the
     // rank grid is outlier-stable, chained exactly as a user would
@@ -1483,6 +1493,34 @@ object SparkEntry {
         |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |  END AS corr
         |FROM s""".stripMargin,
+    // per-interval weights in exact micros, weighted sum in HUGEINT,
+    // one double division; last observation carries no interval
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(round(value * 1000000) AS HUGEINT) AS vf
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT user_id, us, vf,
+        |    lead(us) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS nxt
+        |  FROM e),
+        |f AS (SELECT * FROM s WHERE nxt IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  round(CAST(sum(vf * CAST(nxt - us AS HUGEINT)) AS DOUBLE) /
+        |    (CAST(max(nxt) - min(us) AS DOUBLE) * 1000000.0), 6) AS twap
+        |FROM f GROUP BY 1""".stripMargin,
+    // median fill over the dirtied value column; all-null groups stay null
+    "q_impute" ->
+      """WITH de AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 89 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM de WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT de.event_id, de.event_type, de.value,
+        |  COALESCE(de.value, m.med) AS value_imputed,
+        |  (de.value IS NULL AND m.med IS NOT NULL) AS was_imputed
+        |FROM de LEFT JOIN m ON de.event_type = m.event_type""".stripMargin,
     // the winsorize CTE feeding the rank window — composed exactly as
     // the Spark pipeline chains the operators
     "q_feature_pipeline" ->

@@ -284,6 +284,42 @@ object Analytics {
         col("r.ew").as("ewma_s6"))
   }
 
+  /** Time-weighted average of `value` per user: each observation holds
+    * until the next one, so its weight is the interval it was live —
+    * `TWAP = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)` — the correct
+    * "average level" for irregularly-sampled series where the
+    * event-count mean over-weights bursts (the finance/ops metric
+    * [[movingAvg]] and [[resample]] don't give). The last observation
+    * carries no forward interval; single-event users have no interval
+    * at all and are absent from the output (no fake number is
+    * invented for a zero-length span).
+    *
+    * Determinism: values fixed-pointed at 6 dp, interval weights are
+    * exact epoch-microsecond longs, the weighted sum runs in
+    * DECIMAL(38,0) — one double division at the end, round 6. Scale
+    * shape: one per-key window (lead) off the single per-key exchange,
+    * then a per-user aggregation — the sessionization shape. */
+  def twap(events: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us").asc, col("event_id").asc)
+    val us = graft.ops.RangeJoin.epochMicros(col("ts"))
+    val stepped = events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), us.as("_us"),
+        col("event_id"),
+        expr("CAST(round(value * 1000000) AS DECIMAL(38,0))").as("_vf"))
+      .withColumn("_next", lead(col("_us"), 1).over(w))
+      .filter(col("_next").isNotNull)
+    stepped
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("_vf") * (col("_next") - col("_us")).cast(d38)).as("_ws"),
+        (max(col("_next")) - min(col("_us"))).as("_span"))
+      .select(col("user_id"), col("n_intervals"),
+        round(col("_ws").cast(DoubleType) /
+          (col("_span").cast(DoubleType) * lit(1000000.0)), 6).as("twap"))
+  }
+
   /** CUBE subtotal aggregation: every combination of the grouping
     * columns plus a `gid` bitmask (standard `GROUPING()` encoding —
     * first column is the most significant bit) so a consumer can tell a

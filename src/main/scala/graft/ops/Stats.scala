@@ -179,6 +179,25 @@ object Stats {
         col("med") :+ col("mad")): _*)
   }
 
+  /** Median imputation: fill null `valueCol` rows with their group's
+    * 6 dp-rounded median — the robust default for numeric gap filling
+    * (a mean would chase the outliers the MAD/winsorize family exists
+    * to contain). Output keeps the original value, the imputed value,
+    * and a `was_imputed` audit flag; groups that are ALL null stay
+    * null (flagged, nothing invented). Scale shape: one groups-sized
+    * exact-percentile aggregation broadcast back — a pure projection
+    * after one tiny join. */
+  def imputeMedian(df: DataFrame, groupCol: String, valueCol: String,
+                   idCols: Seq[String]): DataFrame = {
+    val med = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("_med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .select((idCols.map(col) :+ col(groupCol) :+ col(valueCol) :+
+        coalesce(col(valueCol), col("_med")).as("value_imputed") :+
+        (col(valueCol).isNull && col("_med").isNotNull).as("was_imputed")): _*)
+  }
+
   /** Welch's two-sample t statistic between two groups' `valueCol`
     * distributions, engine-exact: the A/B-comparison primitive
     * (does variant A move the metric?) built on the same exact
