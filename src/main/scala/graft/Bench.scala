@@ -94,7 +94,9 @@ object Bench {
     "q_ref_orphans", "q_ref_integrity", "q_abtest",
     // composed winsorize -> rank pipeline, interval-weighted TWAP,
     // and per-group median imputation
-    "q_feature_pipeline", "q_twap", "q_impute")
+    "q_feature_pipeline", "q_twap", "q_impute",
+    // windowed funnel (the conversion-timeout variant)
+    "q_funnel_window")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -175,7 +177,9 @@ object Bench {
     // r8 continuation 4d: local warmed best-of-3 (0.61 / 0.55 / 0.50) × 1.3
     "q_ref_orphans" -> 0.79, "q_ref_integrity" -> 0.72, "q_abtest" -> 0.65,
     // local warmed best-of-3 (0.96 / 0.65 / 0.53) × 1.3
-    "q_feature_pipeline" -> 1.25, "q_twap" -> 0.85, "q_impute" -> 0.69
+    "q_feature_pipeline" -> 1.25, "q_twap" -> 0.85, "q_impute" -> 0.69,
+    // local warmed best-of-3 (1.08) × 1.3
+    "q_funnel_window" -> 1.40
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

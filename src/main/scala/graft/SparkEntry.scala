@@ -146,6 +146,10 @@ object SparkEntry {
     // ordered funnel: earliest view -> first click AFTER it -> first
     // purchase after that; per-user stage timestamps + completed count
     "q_funnel" -> ((s, d) => Analytics.funnel(t(s, d, "events"))),
+    // the funnel under a 6-hour conversion window: a stage only counts
+    // within maxGap of the previous stage's match
+    "q_funnel_window" -> ((s, d) =>
+      Analytics.funnel(t(s, d, "events"), maxGapUs = Some(6L * 3600 * 1000000L))),
     // weekly retention triangle anchored on each user's first signup
     "q_cohort" -> ((s, d) => Analytics.cohortRetention(t(s, d, "events"))),
     // trailing 3-event moving average per user (exact-decimal window sum)
@@ -989,6 +993,36 @@ object SparkEntry {
         |s3 AS (SELECT e.user_id, e.us AS ts_purchase
         |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.us > s2.ts_click
+        |  QUALIFY row_number() OVER (PARTITION BY e.user_id
+        |    ORDER BY e.us ASC, e.event_id ASC) = 1)
+        |SELECT u.user_id, s1.ts_view, s2.ts_click, s3.ts_purchase,
+        |  CAST((CASE WHEN s1.ts_view IS NULL THEN 0 ELSE 1 END) +
+        |       (CASE WHEN s2.ts_click IS NULL THEN 0 ELSE 1 END) +
+        |       (CASE WHEN s3.ts_purchase IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+        |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin,
+    // the 6h-window funnel: same per-stage earliest-after-previous CTEs
+    // with the conversion-window bound on each stage join
+    "q_funnel_window" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE ts IS NOT NULL),
+        |ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |s1 AS (SELECT user_id, us AS ts_view FROM ev WHERE event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC) = 1),
+        |s2 AS (SELECT e.user_id, e.us AS ts_click
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s1.ts_view
+        |    AND e.us - s1.ts_view <= 21600000000
+        |  QUALIFY row_number() OVER (PARTITION BY e.user_id
+        |    ORDER BY e.us ASC, e.event_id ASC) = 1),
+        |s3 AS (SELECT e.user_id, e.us AS ts_purchase
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.ts_click
+        |    AND e.us - s2.ts_click <= 21600000000
         |  QUALIFY row_number() OVER (PARTITION BY e.user_id
         |    ORDER BY e.us ASC, e.event_id ASC) = 1)
         |SELECT u.user_id, s1.ts_view, s2.ts_click, s3.ts_purchase,

@@ -176,8 +176,10 @@ object Analytics {
     * per user through each exchange) and joined user-keyed — stages are
     * a fixed small list, so this is k aggregations + k joins, never a
     * per-event window over the whole stream. */
-  def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+  def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase"),
+             maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "stages must not be empty")
+    require(maxGapUs.forall(_ > 0), "maxGapUs must be positive when set")
     val e = events.filter(col("ts").isNotNull)
     val users = e.select(col("user_id")).distinct()
     // fold left over stages: carry (frame with per-user prev-stage key)
@@ -191,8 +193,13 @@ object Analytics {
       val joined = prevKey match {
         case None => sEv
         case Some(pk) =>
+          // conversion window: the next stage must land within maxGapUs
+          // of the previous stage's match (the industry-standard funnel
+          // timeout — an unbounded funnel credits year-later conversions)
+          val gapOk = maxGapUs.map(g => col("_us") - col("_prev") <= g)
+            .getOrElse(lit(true))
           sEv.join(acc.select(col("user_id"), col(pk).as("_prev")), "user_id")
-            .filter(col("_prev").isNotNull && col("_us") > col("_prev"))
+            .filter(col("_prev").isNotNull && col("_us") > col("_prev") && gapOk)
             .select(col("user_id"), col("_us"), col("_eid"))
       }
       val firsts = joined.groupBy(col("user_id"))

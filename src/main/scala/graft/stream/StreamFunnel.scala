@@ -28,10 +28,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamFunnel {
 
   /** Per-stage completion events: (user_id, stage_index, stage_name,
-    * ts_us) — stage_index is 1-based completed-count after this event. */
+    * ts_us) — stage_index is 1-based completed-count after this event.
+    * `maxGapUs` bounds each advance to the batch funnel's conversion
+    * window (a stage only counts within the gap of the previous
+    * stage's completion; the first stage is unbounded). */
   def track(events: DataFrame,
-            stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+            stages: Seq[String] = Seq("view", "click", "purchase"),
+            maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "stages must not be empty")
+    require(maxGapUs.forall(_ > 0), "maxGapUs must be positive when set")
     val stageArr = stages.toArray
     val keyed = events
       .filter(col("ts").isNotNull && col("event_type").isin(stages.map(lit): _*))
@@ -51,7 +56,9 @@ object StreamFunnel {
           // same-batch determinism: process in (ts, event_id) order
           for ((_, us, _, typ) <- evs.toSeq.sortBy(e => (e._2, e._3))
                if idx < stageArr.length) {
-            if (typ == stageArr(idx) && us > lastUs) {
+            val gapOk = idx == 0 ||
+              maxGapUs.forall(g => us - lastUs <= g)
+            if (typ == stageArr(idx) && us > lastUs && gapOk) {
               idx += 1; lastUs = us
               out += ((user, idx, typ, us))
             }

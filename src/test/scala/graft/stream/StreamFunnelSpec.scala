@@ -53,6 +53,35 @@ class StreamFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversion window bounds stage advances; batch and stream agree") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // view@1, click@12 (11s after view), purchase@13
+    val evs = Seq(ev(1, 5, "view", 1), ev(2, 5, "click", 12),
+      ev(3, 5, "purchase", 13))
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // 10s window: the click is out of window -> funnel stalls at stage 1
+    val tight = graft.analytics.Analytics.funnel(df,
+      maxGapUs = Some(10L * 1000000L)).collect().head
+    assert(tight.getLong(4) == 1L, s"tight window: ${tight.getLong(4)}")
+    // 20s window: all three stages complete
+    val loose = graft.analytics.Analytics.funnel(df,
+      maxGapUs = Some(20L * 1000000L)).collect().head
+    assert(loose.getLong(4) == 3L)
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val src = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamFunnel.track(src, maxGapUs = Some(10L * 1000000L))
+      .writeStream.format("memory").queryName("funnel_gap_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val stages = spark.table("funnel_gap_out")
+        .as[(Long, Int, String, Long)].collect().map(_._2).sorted.toSeq
+      assert(stages == Seq(1), s"stream must stall like batch: $stages")
+    } finally q.stop()
+  }
+
   test("same-batch same-instant races resolve by event_id; state is O(1)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
