@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract's internal consistency: every oracle names a
+  * registered query, and every registered query carries an oracle (the
+  * rows-only fallback is weaker — any intentional omission must be
+  * listed here, not silent). */
+class EntryConsistencySpec extends AnyFunSuite {
+
+  test("every oracle key is a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
+  test("every registered query has a DuckDB oracle (no silent rows-only fallbacks)") {
+    val allowedRowsOnly: Set[String] = Set.empty
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      allowedRowsOnly
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+  }
+
+  test("oracles are non-empty SQL and reference only driver-provided tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // (?<!distinct ) keeps "x IS DISTINCT FROM y" from reading as a scan
+    val tableRe = "(?i)\\b(?:(?<!distinct )from|join)\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, s"$k has an empty oracle")
+      val refs = tableRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      // CTE names are declared in the same statement — subtract them
+      val cteRe = "(?i)(?:with(?:\\s+recursive)?|,)\\s*([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+      val sub = "(?i)\\(\\s*select".r
+      val ctes = cteRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      // DuckDB table functions are relations too
+      val tableFns = Set("range", "unnest", "values", "generate_series")
+      val unknown = refs -- ctes -- tables -- tableFns -- Set("select")
+      // alias-only refs (e.g. "JOIN r ON" in recursive CTEs) resolve to
+      // declared CTEs; anything else must be a driver table
+      assert(unknown.isEmpty,
+        s"$k references unknown relations: $unknown\n$sql")
+    }
+  }
+}
