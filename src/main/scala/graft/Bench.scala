@@ -95,8 +95,9 @@ object Bench {
     // composed winsorize -> rank pipeline, interval-weighted TWAP,
     // and per-group median imputation
     "q_feature_pipeline", "q_twap", "q_impute",
-    // windowed funnel (the conversion-timeout variant)
-    "q_funnel_window")
+    // windowed funnel (the conversion-timeout variant), normalized
+    // retention, and lag-1 series autocorrelation
+    "q_funnel_window", "q_retention_rate", "q_autocorr")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -178,8 +179,9 @@ object Bench {
     "q_ref_orphans" -> 0.79, "q_ref_integrity" -> 0.72, "q_abtest" -> 0.65,
     // local warmed best-of-3 (0.96 / 0.65 / 0.53) × 1.3
     "q_feature_pipeline" -> 1.25, "q_twap" -> 0.85, "q_impute" -> 0.69,
-    // local warmed best-of-3 (1.08) × 1.3
-    "q_funnel_window" -> 1.40
+    // local warmed best-of-3 (1.08 / 0.77 / 0.50) × 1.3
+    "q_funnel_window" -> 1.40, "q_retention_rate" -> 1.00,
+    "q_autocorr" -> 0.65
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -152,6 +152,10 @@ object SparkEntry {
       Analytics.funnel(t(s, d, "events"), maxGapUs = Some(6L * 3600 * 1000000L))),
     // weekly retention triangle anchored on each user's first signup
     "q_cohort" -> ((s, d) => Analytics.cohortRetention(t(s, d, "events"))),
+    // the triangle normalized by each cohort's size
+    "q_retention_rate" -> ((s, d) => Analytics.retentionRates(t(s, d, "events"))),
+    // lag-1 value autocorrelation per (user, type) series
+    "q_autocorr" -> ((s, d) => Analytics.autocorr(t(s, d, "events"))),
     // trailing 3-event moving average per user (exact-decimal window sum)
     "q_moving_avg" -> ((s, d) => Analytics.movingAvg(t(s, d, "events"))),
     // exact-integer EWMA (alpha = 1/16): recurrence folded at 6dp fixed
@@ -1046,6 +1050,48 @@ object SparkEntry {
         |FROM e JOIN a ON e.user_id = a.user_id
         |WHERE p >= cohort
         |GROUP BY 1, 2""".stripMargin,
+    // triangle joined to its own offset-0 slice; offset 0 reads 1.0
+    "q_retention_rate" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS p, event_type
+        |  FROM events WHERE ts IS NOT NULL),
+        |a AS (SELECT user_id, min(p) AS cohort FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |tri AS (
+        |  SELECT cohort, CAST(p - cohort AS BIGINT) AS "offset",
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |  FROM e JOIN a ON e.user_id = a.user_id
+        |  WHERE p >= cohort GROUP BY 1, 2),
+        |base AS (SELECT cohort, n_users AS c0 FROM tri WHERE "offset" = 0)
+        |SELECT tri.cohort, tri."offset", tri.n_users,
+        |  round(CAST(tri.n_users AS DOUBLE) / base.c0, 6) AS retention
+        |FROM tri JOIN base ON tri.cohort = base.cohort""".stripMargin,
+    // lead pairs within each (user, type) series feeding the exact
+    // power-sum correlation (the q_corr recipe)
+    "q_autocorr" ->
+      """WITH p AS (
+        |  SELECT event_type, value,
+        |    lead(value) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS nxt
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS HUGEINT) AS xi,
+        |    CAST(round(nxt * 100) AS HUGEINT) AS yi
+        |  FROM p WHERE nxt IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(xi) AS sx, sum(yi) AS sy, sum(xi * yi) AS sxy,
+        |    sum(xi * xi) AS sxx, sum(yi * yi) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS autocorr
+        |FROM s""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,

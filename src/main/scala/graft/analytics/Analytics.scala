@@ -466,6 +466,45 @@ object Analytics {
     wide.select(col("o_orderpriority") +: renamed: _*)
   }
 
+  /** Retention RATES from the cohort triangle: each (cohort, offset)
+    * cell as a 6 dp share of its cohort's size (the offset-0 cell) —
+    * the normalized view every retention chart actually plots, where
+    * [[cohortRetention]] gives absolute counts. Offset 0 is 1.0 by
+    * construction. One broadcast join of the triangle against its own
+    * offset-0 slice — grid-sized work on top of the triangle. */
+  def retentionRates(events: DataFrame, anchorType: String = "signup",
+                     periodDays: Int = 7): DataFrame = {
+    val tri = cohortRetention(events, anchorType, periodDays)
+    val base = tri.filter(col("offset") === 0L)
+      .select(col("cohort"), col("n_users").as("_c0"))
+    tri.join(broadcast(base), Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_users"),
+        round(col("n_users").cast(DoubleType) / col("_c0"), 6).as("retention"))
+  }
+
+  /** Lag-1 autocorrelation of event values per event type: Pearson
+    * correlation between consecutive (per-user, (ts, event_id)-ordered)
+    * value pairs — the is-this-series-momentum-or-noise diagnostic
+    * ([[Analytics.ewma]] smooths; this says whether smoothing has
+    * anything to grab). Pairs never cross users. Exactness: the pair
+    * frame feeds [[graft.ops.Stats.corrByGroup]]'s DECIMAL(38,0) power
+    * sums — the engine's correlation contract. One per-key window off
+    * the single per-key exchange, then one map-side-combined
+    * aggregation. */
+  def autocorr(events: DataFrame): DataFrame = {
+    // pairs stay within one (user, type) series — cross-type and
+    // cross-user "neighbours" are not observations of the same signal
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("_next", lead(col("value"), 1).over(w))
+      .filter(col("_next").isNotNull)
+    graft.ops.Stats.corrByGroup(pairs, "event_type", "value", "_next")
+      .withColumnRenamed("corr", "autocorr")
+  }
+
   /** Earliest event per (user_id, event_type) — the batch twin of
     * streaming `dropDuplicatesWithinWatermark`. */
   def eventsDedup(events: DataFrame): DataFrame = {
