@@ -156,6 +156,9 @@ object SparkEntry {
     "q_retention_rate" -> ((s, d) => Analytics.retentionRates(t(s, d, "events"))),
     // lag-1 value autocorrelation per (user, type) series
     "q_autocorr" -> ((s, d) => Analytics.autocorr(t(s, d, "events"))),
+    // each user's dominant activity: deterministic plurality event type
+    "q_mode" -> ((s, d) =>
+      graft.ops.Stats.modeByGroup(t(s, d, "events"), "user_id", "event_type")),
     // trailing 3-event moving average per user (exact-decimal window sum)
     "q_moving_avg" -> ((s, d) => Analytics.movingAvg(t(s, d, "events"))),
     // exact-integer EWMA (alpha = 1/16): recurrence folded at 6dp fixed
@@ -1067,6 +1070,18 @@ object SparkEntry {
         |SELECT tri.cohort, tri."offset", tri.n_users,
         |  round(CAST(tri.n_users AS DOUBLE) / base.c0, 6) AS retention
         |FROM tri JOIN base ON tri.cohort = base.cohort""".stripMargin,
+    // plurality with "count DESC, value ASC" resolution spelled as a
+    // row_number over the count frame
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.user_id, c.event_type AS mode, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS share
+        |FROM c JOIN t USING (user_id)
+        |QUALIFY row_number() OVER (PARTITION BY c.user_id
+        |  ORDER BY c.n DESC, c.event_type ASC) = 1""".stripMargin,
     // lead pairs within each (user, type) series feeding the exact
     // power-sum correlation (the q_corr recipe)
     "q_autocorr" ->

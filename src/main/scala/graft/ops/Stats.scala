@@ -179,6 +179,26 @@ object Stats {
         col("med") :+ col("mad")): _*)
   }
 
+  /** Deterministic per-group mode: the most frequent `valueCol` with
+    * "count DESC, value ASC" resolution — a single `min_by` over the
+    * (−count, value) struct (the label-propagation spelling), never a
+    * window over the value stream. Null values are excluded. Output:
+    * group, mode, its count, and its 6 dp share of the group's non-null
+    * rows. Scale shape: one (group, value) map-side-combined count,
+    * then group-sized argmax + share frames. */
+  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_n"))
+    counts.groupBy(col(groupCol))
+      .agg(min_by(struct(col(valueCol).as("v"), col("_n").as("n")),
+          struct((-col("_n")).as("nc"), col(valueCol).as("vv"))).as("_win"),
+        sum(col("_n")).as("_tot"))
+      .select(col(groupCol), col("_win.v").as("mode"),
+        col("_win.n").as("n"),
+        round(col("_win.n").cast(DoubleType) / col("_tot"), 6).as("share"))
+  }
+
   /** Median imputation: fill null `valueCol` rows with their group's
     * 6 dp-rounded median — the robust default for numeric gap filling
     * (a mean would chase the outliers the MAD/winsorize family exists
