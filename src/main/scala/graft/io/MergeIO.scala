@@ -60,25 +60,11 @@ object MergeIO {
       .orElse(validReq.map(_.df))
       .getOrElse(if (plan.additional.nonEmpty) aligned.limit(0) else aligned)
 
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIfCrashed(fs, path)
+
     val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(path.stripSuffix("/") + "__staging")
-    val retired = new Path(path.stripSuffix("/") + "__old")
-    // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not by
-    // throwing — every rename in the swap must be checked or a failed
-    // promote could fall through to the __old cleanup and delete the only
-    // remaining copy of the previous snapshot
-    def renameOrFail(from: Path, to: Path, what: String): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"$what failed: rename($from -> $to) returned false")
-
-    // crash recovery: a previous upsert that died between rename(target →
-    // __old) and rename(__staging → target) left the dataset only under
-    // __old — restore it before reading, so readers (and this merge) see
-    // the last complete snapshot instead of nothing
-    if (fs.exists(retired) && !fs.exists(target))
-      renameOrFail(retired, target, "crash recovery")
-
     val merged =
       if (fs.exists(target)) {
         val existing = spark.read.format(format).load(path)
@@ -87,12 +73,7 @@ object MergeIO {
           .unionByName(source)
       } else source
 
-    // snapshot swap: write staging, move old aside, promote, drop old
-    merged.write.format(format).mode("overwrite").save(staging.toString)
-    if (fs.exists(retired)) fs.delete(retired, true)
-    if (fs.exists(target)) renameOrFail(target, retired, "retiring current snapshot")
-    renameOrFail(staging, target, "promoting staged snapshot") // __old still intact on failure
-    if (fs.exists(retired)) fs.delete(retired, true)
+    swapInto(fs, path, format, merged)
 
     // side-writes (quarantine etc.) run AFTER the swap succeeds: a failed
     // merge must not have already appended to the reject datasets
@@ -111,6 +92,68 @@ object MergeIO {
   }
 
   import org.apache.spark.sql.functions._
+
+  // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not by
+  // throwing — every rename in the swap must be checked or a failed
+  // promote could fall through to the __old cleanup and delete the only
+  // remaining copy of the previous snapshot
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+                           from: Path, to: Path, what: String): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"$what failed: rename($from -> $to) returned false")
+
+  /** Crash recovery: a previous swap that died between rename(target →
+    * __old) and rename(__staging → target) left the dataset only under
+    * __old — restore it before reading, so readers (and the next merge)
+    * see the last complete snapshot instead of nothing. */
+  private def recoverIfCrashed(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Unit = {
+    val target = new Path(path)
+    val retired = new Path(path.stripSuffix("/") + "__old")
+    if (fs.exists(retired) && !fs.exists(target))
+      renameOrFail(fs, retired, target, "crash recovery")
+  }
+
+  /** Snapshot swap: write staging, move old aside, promote, drop old —
+    * __old stays intact until the promote succeeds. */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                       format: String, frame: DataFrame): Unit = {
+    val target = new Path(path)
+    val staging = new Path(path.stripSuffix("/") + "__staging")
+    val retired = new Path(path.stripSuffix("/") + "__old")
+    frame.write.format(format).mode("overwrite").save(staging.toString)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(target)) renameOrFail(fs, target, retired, "retiring current snapshot")
+    renameOrFail(fs, staging, target, "promoting staged snapshot")
+    if (fs.exists(retired)) fs.delete(retired, true)
+  }
+
+  /** SCD2 history maintained ON DISK: fold `snapshot` into the history
+    * at `path` — [[scd2Init]] on first use, [[scd2Apply]] after — and
+    * land the result with the same crash-safe snapshot swap as
+    * [[upsert]] (a failed promote leaves the previous history under
+    * `__old`, recovered on the next call). At 100 TB the same call
+    * shape maps onto a partitioned rewrite of touched partitions or a
+    * Delta MERGE; the history frame is one row per VERSION, orders of
+    * magnitude smaller than the event stream it summarises. */
+  def scd2Upsert(spark: org.apache.spark.sql.SparkSession, path: String,
+                 snapshot: DataFrame, keyCols: Seq[String],
+                 attrCols: Seq[String], asOf: java.sql.Timestamp,
+                 closeMissing: Boolean = false,
+                 format: String = "parquet"): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIfCrashed(fs, path)
+    val next =
+      if (fs.exists(new Path(path))) {
+        val history = spark.read.format(format).load(path)
+        // the lazy plan reads the files the swap will delete — break
+        // the lineage before overwriting
+        val materialized = history.localCheckpoint(true)
+        scd2Apply(materialized, snapshot, keyCols, attrCols, asOf, closeMissing)
+      } else scd2Init(snapshot, keyCols, attrCols, asOf)
+    swapInto(fs, path, format, next)
+  }
 
   /** Bootstrap an SCD2 history from the first snapshot: every row opens
     * version 1 at `asOf`. Schema: keys ++ attrs ++ (valid_from,

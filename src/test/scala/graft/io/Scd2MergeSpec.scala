@@ -49,6 +49,29 @@ class Scd2MergeSpec extends SparkSpec {
     assert(k2.getBoolean(5) && k2.getLong(4) == 1L)
   }
 
+  test("scd2Upsert maintains the on-disk history through the crash-safe swap") {
+    val dir = tmpDir("scd2_upsert") + "/hist"
+    val s1 = Seq((1L, "A"), (2L, "P")).toDF("k", "status")
+    MergeIO.scd2Upsert(spark, dir, s1, Seq("k"), Seq("status"), ts(1))
+    assert(spark.read.parquet(dir).count() == 2)
+    val s2 = Seq((1L, "B"), (2L, "P")).toDF("k", "status")
+    MergeIO.scd2Upsert(spark, dir, s2, Seq("k"), Seq("status"), ts(2))
+    val h = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getBoolean(5)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(h == Seq((1L, "A", 1L, false), (1L, "B", 2L, true),
+      (2L, "P", 1L, true)), s"history: $h")
+    // an orphaned __old (simulated crash before promote) recovers
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old"))
+    MergeIO.scd2Upsert(spark, dir, Seq((3L, "X")).toDF("k", "status"),
+      Seq("k"), Seq("status"), ts(3))
+    val keys = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(keys == Set(1L, 2L, 3L), "recovery must restore the prior history")
+  }
+
   test("null attribute values compare null-safely (no spurious version)") {
     val s1 = Seq((1L, None: Option[String])).toDF("k", "status")
     val h1 = MergeIO.scd2Init(s1, Seq("k"), Seq("status"), ts(1))
