@@ -97,7 +97,8 @@ object Bench {
     "q_feature_pipeline", "q_twap", "q_impute",
     // windowed funnel (the conversion-timeout variant), normalized
     // retention, and lag-1 series autocorrelation
-    "q_funnel_window", "q_retention_rate", "q_autocorr", "q_mode")
+    "q_funnel_window", "q_retention_rate", "q_autocorr", "q_mode",
+    "q_pop", "q_zscore")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -181,7 +182,9 @@ object Bench {
     "q_feature_pipeline" -> 1.25, "q_twap" -> 0.85, "q_impute" -> 0.69,
     // local warmed best-of-3 (1.08 / 0.77 / 0.50) × 1.3
     "q_funnel_window" -> 1.40, "q_retention_rate" -> 1.00,
-    "q_autocorr" -> 0.65, "q_mode" -> 0.66
+    "q_autocorr" -> 0.65, "q_mode" -> 0.66,
+    // local warmed best-of-3 (0.52 / 0.57) × 1.3
+    "q_pop" -> 0.68, "q_zscore" -> 0.74
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -159,6 +159,10 @@ object SparkEntry {
     // each user's dominant activity: deterministic plurality event type
     "q_mode" -> ((s, d) =>
       graft.ops.Stats.modeByGroup(t(s, d, "events"), "user_id", "event_type")),
+    // daily counts per type with period-over-period change
+    "q_pop" -> ((s, d) => Analytics.periodOverPeriod(t(s, d, "events"))),
+    // parametric z-score normalization from exact power sums
+    "q_zscore" -> ((s, d) => Analytics.zscoreNormalize(t(s, d, "events"))),
     // trailing 3-event moving average per user (exact-decimal window sum)
     "q_moving_avg" -> ((s, d) => Analytics.movingAvg(t(s, d, "events"))),
     // exact-integer EWMA (alpha = 1/16): recurrence folded at 6dp fixed
@@ -1070,6 +1074,40 @@ object SparkEntry {
         |SELECT tri.cohort, tri."offset", tri.n_users,
         |  round(CAST(tri.n_users AS DOUBLE) / base.c0, 6) AS retention
         |FROM tri JOIN base ON tri.cohort = base.cohort""".stripMargin,
+    // grid-sized lag over integral day buckets; first bucket per type
+    // has null change
+    "q_pop" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, n,
+        |  n - lag(n) OVER w AS delta,
+        |  round(CAST(n - lag(n) OVER w AS DOUBLE) / lag(n) OVER w, 6)
+        |    AS pct_change
+        |FROM g
+        |WINDOW w AS (PARTITION BY event_type ORDER BY bucket ASC)""".stripMargin,
+    // mean and sample std from HUGEINT power sums, both rounded 6dp
+    // BEFORE the per-row transform; zero-variance -> null z
+    "q_zscore" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS s1, sum(x*x) AS s2
+        |  FROM v GROUP BY 1),
+        |m AS (SELECT event_type,
+        |    round(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS mean,
+        |    CASE WHEN n < 2 OR n*s2 - s1*s1 = 0 THEN NULL
+        |      ELSE round(sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) /
+        |        (CAST(n * (n - 1) AS DOUBLE) * 10000.0)), 6) END AS std
+        |  FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN m.std IS NULL THEN NULL
+        |    ELSE round((e.value - m.mean) / m.std, 6) END AS zscore
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE e.value IS NOT NULL""".stripMargin,
     // plurality with "count DESC, value ASC" resolution spelled as a
     // row_number over the count frame
     "q_mode" ->

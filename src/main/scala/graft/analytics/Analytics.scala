@@ -466,6 +466,62 @@ object Analytics {
     wide.select(col("o_orderpriority") +: renamed: _*)
   }
 
+  /** Period-over-period change: per event type, integral time-bucket
+    * counts with each bucket's delta and 6 dp relative change against
+    * the PREVIOUS bucket that has data — the BI trend row (`resample`
+    * zero-fills a user grid; this compares adjacent corpus periods).
+    * Buckets are `epoch_us div width` (engine-exact); the lag runs
+    * over the (type × buckets)-sized GRID, never the event stream.
+    * First bucket per type has null change (nothing to compare). */
+  def periodOverPeriod(events: DataFrame, bucketHours: Int = 24): DataFrame = {
+    require(bucketHours > 0, "bucketHours must be positive")
+    val widthUs = bucketHours * 3600L * 1000000L
+    val grid = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        graft.ops.RangeJoin.epochMicros(col("ts")).as("_us"))
+      .select(col("event_type"), expr(s"_us div ${widthUs}L").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket").asc)
+    grid.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("bucket"), col("n"),
+        (col("n") - col("prev_n")).as("delta"),
+        round((col("n") - col("prev_n")).cast(DoubleType) / col("prev_n"), 6)
+          .as("pct_change"))
+  }
+
+  /** Z-score normalization of `value` per event type from EXACT power
+    * sums (mean and sample standard deviation via the corr family's
+    * DECIMAL(38,0) arithmetic, both rounded to 6 dp BEFORE the per-row
+    * transform so the projection is engine-exact) — the parametric
+    * companion to the rank transform (ranks are outlier-immune;
+    * z-scores preserve distances). Zero-variance groups yield null z.
+    * One groups-sized aggregation broadcast back, pure projection. */
+  def zscoreNormalize(events: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val x = expr("CAST(round(value * 100) AS DECIMAL(38,0))")
+    val stats = events.filter(col("value").isNotNull)
+      .select(col("event_type"), x.as("_x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d38).as("_n"), sum(col("_x")).as("_s1"),
+        sum(col("_x") * col("_x")).as("_s2"))
+      .select(col("event_type"),
+        round(col("_s1").cast(DoubleType) /
+          (col("_n").cast(DoubleType) * lit(100.0)), 6).as("_mean"),
+        when(col("_n") < 2 || col("_n") * col("_s2") - col("_s1") * col("_s1") === 0,
+          lit(null))
+          .otherwise(round(sqrt(
+            (col("_n") * col("_s2") - col("_s1") * col("_s1")).cast(DoubleType) /
+              ((col("_n") * (col("_n") - 1)).cast(DoubleType) * lit(10000.0))), 6))
+          .as("_std"))
+    events.filter(col("value").isNotNull)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("_std").isNull, lit(null))
+          .otherwise(round((col("value") - col("_mean")) / col("_std"), 6))
+          .as("zscore"))
+  }
+
   /** Retention RATES from the cohort triangle: each (cohort, offset)
     * cell as a 6 dp share of its cohort's size (the offset-0 cell) —
     * the normalized view every retention chart actually plots, where
