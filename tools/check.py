@@ -37,8 +37,13 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    import os as _os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata is one file per table; Spark-written replicas
+        # (ScaleEvidence) are part-file directories — accept both
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if _os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     import os
     qdirs = sorted(d for d in os.listdir(out_dir)
