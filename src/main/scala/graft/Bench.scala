@@ -98,7 +98,7 @@ object Bench {
     // windowed funnel (the conversion-timeout variant), normalized
     // retention, and lag-1 series autocorrelation
     "q_funnel_window", "q_retention_rate", "q_autocorr", "q_mode",
-    "q_pop", "q_zscore")
+    "q_pop", "q_zscore", "q_chi2", "q_dup_stats")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -183,8 +183,9 @@ object Bench {
     // local warmed best-of-3 (1.08 / 0.77 / 0.50) × 1.3
     "q_funnel_window" -> 1.40, "q_retention_rate" -> 1.00,
     "q_autocorr" -> 0.65, "q_mode" -> 0.66,
-    // local warmed best-of-3 (0.52 / 0.57) × 1.3
-    "q_pop" -> 0.68, "q_zscore" -> 0.74
+    // local warmed best-of-3 (0.52 / 0.57 / 0.84 / 0.50) × 1.3
+    "q_pop" -> 0.68, "q_zscore" -> 0.74, "q_chi2" -> 1.09,
+    "q_dup_stats" -> 0.65
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -161,6 +161,11 @@ object SparkEntry {
       graft.ops.Stats.modeByGroup(t(s, d, "events"), "user_id", "event_type")),
     // daily counts per type with period-over-period change
     "q_pop" -> ((s, d) => Analytics.periodOverPeriod(t(s, d, "events"))),
+    // lang x source independence (the categorical A/B companion)
+    "q_chi2" -> ((s, d) =>
+      graft.ops.Stats.chiSquare(t(s, d, "documents"), "lang", "source")),
+    // one-row corpus duplication health summary
+    "q_dup_stats" -> ((s, d) => TextOps.duplicationStats(t(s, d, "documents"))),
     // parametric z-score normalization from exact power sums
     "q_zscore" -> ((s, d) => Analytics.zscoreNormalize(t(s, d, "events"))),
     // trailing 3-event moving average per user (exact-decimal window sum)
@@ -1074,6 +1079,48 @@ object SparkEntry {
         |SELECT tri.cohort, tri."offset", tri.n_users,
         |  round(CAST(tri.n_users AS DOUBLE) / base.c0, 6) AS retention
         |FROM tri JOIN base ON tri.cohort = base.cohort""".stripMargin,
+    // exact observed counts; expected through a HUGEINT margins product
+    // (one double cast), (o-e)^2/e terms 9dp decimal-summed, chi2 6dp;
+    // the FULL r x c grid so absent cells contribute their expected mass
+    "q_chi2" ->
+      """WITH o AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ta FROM o GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS tb FROM o GROUP BY 1),
+        |tt AS (SELECT sum(o) AS n FROM o),
+        |g AS (SELECT ra.ta, cb.tb, tt.n, COALESCE(o.o, 0) AS o
+        |  FROM ra CROSS JOIN cb CROSS JOIN tt
+        |  LEFT JOIN o ON o.a = ra.a AND o.b = cb.b),
+        |c AS (SELECT CAST(round(
+        |    ((o - CAST(CAST(ta AS HUGEINT) * tb AS DOUBLE) / n) *
+        |     (o - CAST(CAST(ta AS HUGEINT) * tb AS DOUBLE) / n)) /
+        |    (CAST(CAST(ta AS HUGEINT) * tb AS DOUBLE) / n), 9)
+        |    AS DECIMAL(28,9)) AS t FROM g)
+        |SELECT round(CAST(sum(t) AS DOUBLE), 6) AS chi2,
+        |  (SELECT CAST((count(*) - 1) AS BIGINT) FROM ra) *
+        |  (SELECT CAST((count(*) - 1) AS BIGINT) FROM cb) AS df
+        |FROM c""".stripMargin,
+    // md5-fingerprint groups folded to one corpus-health row
+    "q_dup_stats" ->
+      """WITH fp AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n,
+        |    sum(n_chars) AS chars,
+        |    arg_min(n_chars, doc_id) AS canon_chars
+        |  FROM fp GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n - 1) AS BIGINT) AS n_dup_docs,
+        |  round(CAST(sum(n - 1) AS DOUBLE) / sum(n), 6) AS dup_doc_share,
+        |  CAST(sum(chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(chars - canon_chars) AS BIGINT) AS n_redundant_chars,
+        |  round(CAST(sum(chars - canon_chars) AS DOUBLE) / sum(chars), 6)
+        |    AS redundant_char_share
+        |FROM g""".stripMargin,
     // grid-sized lag over integral day buckets; first bucket per type
     // has null change
     "q_pop" ->

@@ -179,6 +179,42 @@ object Stats {
         col("med") :+ col("mad")): _*)
   }
 
+  /** Chi-square test of independence between two categorical columns —
+    * the categorical companion to [[welchT]] (is language independent
+    * of source? does variant correlate with outcome?). Observed counts
+    * are exact integers; expected counts `rowTotal·colTotal/N` and the
+    * `(o−e)²/e` terms run in doubles, each term 9 dp-rounded and
+    * decimal-summed (the PSI/ln-parity contract), the statistic 6 dp.
+    * Output: one row with chi2 and the (r−1)(c−1) degrees of freedom.
+    * Scale shape: one (a, b) map-side-combined count, then ALL work on
+    * the r×c grid — margins from the grid, never the corpus. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ra = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_ta"))
+    val cb = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_tb"))
+    val tot = obs.agg(sum(col("_o")).as("_n"))
+    // the FULL r×c grid (absent cells are observed 0, expected > 0)
+    val grid = ra.crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+      .join(obs, Seq("_a", "_b"), "left")
+      .select(col("_ta"), col("_tb"), col("_n"),
+        coalesce(col("_o"), lit(0L)).as("_o"))
+    // margins product through DECIMAL(38,0): a long product overflows
+    // at ~10^9 × 10^9 margins; the exact product casts once to double
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = (col("_ta").cast(d38) * col("_tb").cast(d38)).cast(DoubleType) /
+      col("_n")
+    val term = round((col("_o") - e) * (col("_o") - e) / e, 9)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+    val cells = grid.select(term.as("_t"))
+      .agg(round(sum(col("_t")).cast(DoubleType), 6).as("chi2"))
+    val dims = ra.agg(count(lit(1)).as("_r")).crossJoin(cb.agg(count(lit(1)).as("_c")))
+    cells.crossJoin(dims)
+      .select(col("chi2"),
+        ((col("_r") - 1) * (col("_c") - 1)).cast("bigint").as("df"))
+  }
+
   /** Deterministic per-group mode: the most frequent `valueCol` with
     * "count DESC, value ASC" resolution — a single `min_by` over the
     * (−count, value) struct (the label-propagation spelling), never a

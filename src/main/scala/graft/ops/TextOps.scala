@@ -839,6 +839,33 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Corpus duplication health summary — the one-row dashboard number
+    * the dedup family feeds: exact-duplicate group structure as doc and
+    * CHAR shares (docs beyond each group's canonical, and the redundant
+    * bytes removing them reclaims). Deterministic canonical = lowest
+    * doc_id (the `dedupExact` contract); shares 6 dp. One fingerprint
+    * aggregation + one groups-sized fold — the same single shuffle as
+    * `fingerprintGroups`. */
+  def duplicationStats(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("n_chars"),
+      fingerprintCol(col("text")).as("fp"))
+    val groups = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_n"), sum(col("n_chars")).as("_chars"),
+        min_by(col("n_chars"), col("doc_id")).as("_canon_chars"))
+    groups.agg(
+      sum(col("_n")).as("n_docs"),
+      count(lit(1)).as("n_groups"),
+      sum(col("_n") - 1).as("n_dup_docs"),
+      sum(col("_chars")).as("n_chars"),
+      sum(col("_chars") - col("_canon_chars")).as("n_redundant_chars"))
+      .select(col("n_docs"), col("n_groups"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast(DoubleType) / col("n_docs"), 6)
+          .as("dup_doc_share"),
+        col("n_chars"), col("n_redundant_chars"),
+        round(col("n_redundant_chars").cast(DoubleType) / col("n_chars"), 6)
+          .as("redundant_char_share"))
+  }
+
   /** Exact dedup: keep the minimum doc_id per fingerprint group. One
     * shuffle on the fingerprint (window), no join. */
   def dedupExact(docs: DataFrame): DataFrame = {
