@@ -164,6 +164,24 @@ class StatsSpec extends SparkSpec {
     assert(out.values.forall { case (c, _) => c >= lo && c <= hi })
   }
 
+  test("chiSquare: independence scores ~0, perfect association scores n*(min(r,c)-1)") {
+    import spark.implicits._
+    // perfectly independent 2x2: every (a, b) cell equal
+    val ind = (1 to 40).map(i =>
+      (if (i % 2 == 0) "x" else "y", if ((i / 2) % 2 == 0) "p" else "q"))
+    val r1 = Stats.chiSquare(ind.toDF("a", "b"), "a", "b").collect().head
+    assert(r1.getDouble(0) == 0.0 && r1.getLong(1) == 1L)
+    // perfect association: a determines b -> chi2 = n * (min(r,c)-1) = n
+    val dep = (1 to 30).map(i => (if (i % 2 == 0) "x" else "y",
+      if (i % 2 == 0) "p" else "q"))
+    val r2 = Stats.chiSquare(dep.toDF("a", "b"), "a", "b").collect().head
+    assert(r2.getDouble(0) == 30.0, s"chi2: ${r2.getDouble(0)}")
+    // absent cell still contributes its expected mass (3x2 with a hole)
+    val hole = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"), ("c", "p"))
+    val r3 = Stats.chiSquare(hole.toDF("a", "b"), "a", "b").collect().head
+    assert(r3.getDouble(0) > 0.0 && r3.getLong(1) == 2L)
+  }
+
   test("welchT: known separation, sign convention, degenerate nulls") {
     import spark.implicits._
     val rows = (1 to 50).map(i => ("a", 10.0 + (i % 5) * 0.5)) ++

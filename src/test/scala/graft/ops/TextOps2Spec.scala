@@ -478,4 +478,21 @@ class RepetitionSpec extends SparkSpec {
     assert(out(2).getAs[Double]("repetition_ratio") == 0.0)
     assert(out(3).getAs[Long]("n_bigrams") == 0L)
   }
+
+  test("duplicationStats: doc and char shares against lowest-id canonicals") {
+    import spark.implicits._
+    // group A: 3 copies (ids 1,2,3; canonical 1, chars 10 each);
+    // group B: unique (chars 4); whitespace variants fingerprint equal
+    val docs = Seq(
+      (1L, "duplicated", 10L), (2L, "duplicated", 10L),
+      (3L, "  duplicated ", 13L), // normText-equal, different raw chars
+      (9L, "solo", 4L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = TextOps.duplicationStats(docs).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.5)
+    // chars: group A total 33, canonical (id 1) 10 -> 23 redundant
+    assert(r.getLong(4) == 37L && r.getLong(5) == 23L)
+    assert(r.getDouble(6) == math.rint(23.0 / 37.0 * 1e6) / 1e6)
+  }
 }
