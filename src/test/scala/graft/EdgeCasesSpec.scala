@@ -348,4 +348,65 @@ class EdgeCasesSpec extends SparkSpec {
     Seq((1L, "x")).toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(oneDir)
     assert(Layout.compactionPlan(spark, oneDir, targetBytes = 1L << 30).isEmpty)
   }
+
+  test("edge totality of the round-8 closing surfaces") {
+    import graft.ops._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val A = graft.analytics.Analytics
+
+    // twap: a single-event user is ABSENT, never a fake zero-span number
+    val one = Seq((1L, ts0, 7L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(A.twap(one).count() == 0)
+    // two equal-value events: twap exactly the value
+    val two = Seq((1L, ts0, 7L, "view", 5.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "view", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tw = A.twap(two).collect().head
+    assert(tw.getLong(1) == 1L && tw.getDouble(2) == 5.0,
+      "only the first value was live over the span")
+
+    // pop: first bucket per type has null delta/pct_change
+    val pop = A.periodOverPeriod(two, bucketHours = 1).orderBy("bucket").collect()
+    assert(pop.length == 2 && pop.head.isNullAt(3) && pop.head.isNullAt(4))
+    assert(pop(1).getLong(3) == 0L && pop(1).getDouble(4) == 0.0)
+
+    // zscore: zero-variance group yields null z, not NaN
+    val flat = Seq((1L, ts0, 7L, "view", 3.0), (2L, ts0, 8L, "view", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(A.zscoreNormalize(flat).collect().forall(_.isNullAt(3)))
+
+    // impute: all-null group stays null and flags false
+    val allNull = Seq((1L, "g", None: Option[Double]), (2L, "g", None))
+      .toDF("id", "grp", "v")
+    val imp = Stats.imputeMedian(allNull, "grp", "v", Seq("id")).collect()
+    assert(imp.forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+
+    // retention: offset 0 reads exactly 1.0
+    val ev = Seq((1L, ts0, 7L, "signup", 0.0), (2L, ts0, 7L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ret = A.retentionRates(ev).collect()
+    assert(ret.length == 1 && ret.head.getDouble(3) == 1.0)
+
+    // autocorr: a single pair has zero variance on both sides -> null
+    val pair = Seq((1L, ts0, 7L, "view", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 7L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ac = A.autocorr(pair).collect().head
+    assert(ac.getLong(1) == 1L && ac.isNullAt(2))
+
+    // mode: empty and null-valued inputs are total
+    assert(Stats.modeByGroup(allNull, "grp", "v").count() == 0)
+
+    // chiSquare: single category on one side -> df 0, chi2 0
+    val oneSided = Seq(("a", "p"), ("a", "q")).toDF("x", "y")
+    val chi = Stats.chiSquare(oneSided, "x", "y").collect().head
+    assert(chi.getDouble(0) == 0.0 && chi.getLong(1) == 0L)
+
+    // duplicationStats: all-unique corpus reports zero shares
+    val uniq = Seq((1L, "aa", 2L), (2L, "bb", 2L)).toDF("doc_id", "text", "n_chars")
+    val ds = TextOps.duplicationStats(uniq).collect().head
+    assert(ds.getLong(2) == 0L && ds.getDouble(3) == 0.0 &&
+      ds.getLong(5) == 0L && ds.getDouble(6) == 0.0)
+  }
 }

@@ -143,6 +143,39 @@ class RecoverySpec extends SparkSpec {
       s"recovered fold state must continue bit-exactly: $byEid")
   }
 
+  test("StreamTransitions last-event state survives a checkpointed restart") {
+    import spark.implicits._
+    val base = tmpDir("trans_recov")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .parquet(src)
+      val q = StreamTransitions.pairs(stream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").start(out)
+      q.awaitTermination()
+    }
+
+    Seq((1L, ts(1), 7L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 0, "first event emits no pair")
+    // restart: the pair (view -> click) is only possible if the
+    // last-event-type state survived the checkpoint
+    Seq((2L, ts(2), 7L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val pairs = spark.read.parquet(out)
+      .as[(Long, String, String)].collect().toSeq
+    assert(pairs == Seq((7L, "view", "click")), s"got $pairs")
+  }
+
   test("StreamScd2 open-version state survives a checkpointed restart") {
     import spark.implicits._
     val base = tmpDir("scd2_recov")
