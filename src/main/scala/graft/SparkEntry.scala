@@ -1097,11 +1097,18 @@ object SparkEntry {
         |    ((o - CAST(CAST(ta AS HUGEINT) * tb AS DOUBLE) / n) *
         |     (o - CAST(CAST(ta AS HUGEINT) * tb AS DOUBLE) / n)) /
         |    (CAST(CAST(ta AS HUGEINT) * tb AS DOUBLE) / n), 9)
-        |    AS DECIMAL(28,9)) AS t FROM g)
-        |SELECT round(CAST(sum(t) AS DOUBLE), 6) AS chi2,
-        |  (SELECT CAST((count(*) - 1) AS BIGINT) FROM ra) *
-        |  (SELECT CAST((count(*) - 1) AS BIGINT) FROM cb) AS df
-        |FROM c""".stripMargin,
+        |    AS DECIMAL(28,9)) AS t FROM g),
+        |s AS (SELECT round(CAST(sum(t) AS DOUBLE), 6) AS chi2,
+        |    (SELECT CAST((count(*) - 1) AS BIGINT) FROM ra) *
+        |    (SELECT CAST((count(*) - 1) AS BIGINT) FROM cb) AS df,
+        |    (SELECT least(
+        |      (SELECT count(*) FROM ra), (SELECT count(*) FROM cb)) - 1) AS md,
+        |    (SELECT n FROM tt) AS n
+        |  FROM c)
+        |SELECT chi2, df,
+        |  CASE WHEN md < 1 THEN NULL
+        |    ELSE round(sqrt(chi2 / (CAST(n AS DOUBLE) * md)), 6) END AS cramers_v
+        |FROM s""".stripMargin,
     // md5-fingerprint groups folded to one corpus-health row
     "q_dup_stats" ->
       """WITH fp AS (

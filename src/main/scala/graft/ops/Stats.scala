@@ -210,9 +210,15 @@ object Stats {
     val cells = grid.select(term.as("_t"))
       .agg(round(sum(col("_t")).cast(DoubleType), 6).as("chi2"))
     val dims = ra.agg(count(lit(1)).as("_r")).crossJoin(cb.agg(count(lit(1)).as("_c")))
-    cells.crossJoin(dims)
+    // Cramér's V from the ROUNDED chi2 (engine-safe): the scale-free
+    // effect size in [0,1] — chi2 grows with n, V answers "how strong"
+    val minDim = least(col("_r"), col("_c")) - 1
+    cells.crossJoin(dims).crossJoin(broadcast(tot))
       .select(col("chi2"),
-        ((col("_r") - 1) * (col("_c") - 1)).cast("bigint").as("df"))
+        ((col("_r") - 1) * (col("_c") - 1)).cast("bigint").as("df"),
+        when(minDim < 1, lit(null))
+          .otherwise(round(sqrt(col("chi2") /
+            (col("_n").cast(DoubleType) * minDim)), 6)).as("cramers_v"))
   }
 
   /** Deterministic per-group mode: the most frequent `valueCol` with
