@@ -98,7 +98,8 @@ object Bench {
     // windowed funnel (the conversion-timeout variant), normalized
     // retention, and lag-1 series autocorrelation
     "q_funnel_window", "q_retention_rate", "q_autocorr", "q_mode",
-    "q_pop", "q_zscore", "q_chi2", "q_dup_stats")
+    "q_pop", "q_zscore", "q_chi2", "q_dup_stats", "q_seasonality",
+    "q_gini")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -185,7 +186,9 @@ object Bench {
     "q_autocorr" -> 0.65, "q_mode" -> 0.66,
     // local warmed best-of-3 (0.52 / 0.57 / 0.84 / 0.50) × 1.3
     "q_pop" -> 0.68, "q_zscore" -> 0.74, "q_chi2" -> 1.09,
-    "q_dup_stats" -> 0.65
+    "q_dup_stats" -> 0.65,
+    // local warmed best-of-3 (0.56 / 0.29) × 1.3
+    "q_seasonality" -> 0.73, "q_gini" -> 0.38
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -161,6 +161,10 @@ object SparkEntry {
       graft.ops.Stats.modeByGroup(t(s, d, "events"), "user_id", "event_type")),
     // daily counts per type with period-over-period change
     "q_pop" -> ((s, d) => Analytics.periodOverPeriod(t(s, d, "events"))),
+    // UTC hour-of-day load shape per event type
+    "q_seasonality" -> ((s, d) => Analytics.hourOfDayProfile(t(s, d, "events"))),
+    // corpus source-concentration Gini (mixture-tuning health number)
+    "q_gini" -> ((s, d) => Analytics.sourceGini(t(s, d, "documents"))),
     // lang x source independence (the categorical A/B companion)
     "q_chi2" -> ((s, d) =>
       graft.ops.Stats.chiSquare(t(s, d, "documents"), "lang", "source")),
@@ -1079,6 +1083,32 @@ object SparkEntry {
         |SELECT tri.cohort, tri."offset", tri.n_users,
         |  round(CAST(tri.n_users AS DOUBLE) / base.c0, 6) AS retention
         |FROM tri JOIN base ON tri.cohort = base.cohort""".stripMargin,
+    // integral UTC hour buckets (div then mod — engine-exact)
+    "q_seasonality" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour_utc,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS tt FROM g GROUP BY 1)
+        |SELECT g.event_type, CAST(g.hour_utc AS BIGINT) AS hour_utc, g.n,
+        |  round(CAST(g.n AS DOUBLE) / t.tt, 6) AS share
+        |FROM g JOIN t USING (event_type)""".stripMargin,
+    // ascending-rank integer Gini: (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)),
+    // one double division; ties rank by source (tie-order-invariant)
+    "q_gini" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT x,
+        |    row_number() OVER (ORDER BY x ASC, source ASC) AS i
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(x) AS BIGINT) AS n_docs,
+        |  round(CAST(2 * sum(CAST(i AS HUGEINT) * x) -
+        |    (count(*) + 1) * sum(CAST(x AS HUGEINT)) AS DOUBLE) /
+        |    CAST(count(*) * sum(CAST(x AS HUGEINT)) AS DOUBLE), 6) AS gini
+        |FROM r""".stripMargin,
     // exact observed counts; expected through a HUGEINT margins product
     // (one double cast), (o-e)^2/e terms 9dp decimal-summed, chi2 6dp;
     // the FULL r x c grid so absent cells contribute their expected mass

@@ -522,6 +522,51 @@ object Analytics {
           .as("zscore"))
   }
 
+  /** Hour-of-day seasonality profile per event type: counts and 6 dp
+    * shares per UTC hour bucket — `(epoch_us div 3600e6) mod 24` is
+    * integral and timezone-type-free (the resample/cohort bucket
+    * contract applied to the daily cycle). The load-shape view
+    * capacity planning and anomaly baselines read. Grid-sized
+    * (types × 24) after one map-side-combined aggregation. */
+  def hourOfDayProfile(events: DataFrame): DataFrame = {
+    val grid = events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        graft.ops.RangeJoin.epochMicros(col("ts")).as("_us"))
+      .select(col("event_type"),
+        expr("(_us div 3600000000L) % 24").as("hour_utc"))
+      .groupBy(col("event_type"), col("hour_utc"))
+      .agg(count(lit(1)).as("n"))
+    val tot = grid.groupBy(col("event_type")).agg(sum(col("n")).as("_t"))
+    grid.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("hour_utc"), col("n"),
+        round(col("n").cast(DoubleType) / col("_t"), 6).as("share"))
+  }
+
+  /** Gini coefficient of the per-source document distribution — the
+    * corpus-concentration number (0 = perfectly balanced sources,
+    * →1 = one source dominates) mixture/temperature tuning watches.
+    * Exact integer spelling on ASCENDING-ordered counts:
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` — every term a long/decimal
+    * integer, ONE double division, round 6 (ties ordered by source for
+    * a total rank order; the statistic is tie-order-invariant since
+    * equal x contribute symmetric rank sums). The rank window runs on
+    * the GROUPS-sized frame, never the corpus. */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("_x"))
+    val w = Window.orderBy(col("_x").asc, col("source").asc)
+    val ranked = counts.withColumn("_i", row_number().over(w).cast("long"))
+    ranked.agg(count(lit(1)).as("_n"),
+      sum(col("_x")).as("_sx"),
+      sum(col("_i").cast(d38) * col("_x").cast(d38)).as("_six"))
+      .select(col("_n").cast("bigint").as("n_sources"),
+        col("_sx").cast("bigint").as("n_docs"),
+        round((lit(2).cast(d38) * col("_six") -
+          (col("_n") + 1).cast(d38) * col("_sx").cast(d38)).cast(DoubleType) /
+          (col("_n").cast(d38) * col("_sx").cast(d38)).cast(DoubleType), 6)
+          .as("gini"))
+  }
+
   /** Retention RATES from the cohort triangle: each (cohort, offset)
     * cell as a 6 dp share of its cohort's size (the offset-0 cell) —
     * the normalized view every retention chart actually plots, where
