@@ -1867,9 +1867,10 @@ object SparkEntry {
         |  (count(DISTINCT o_orderstatus) = count(*) AND
         |   count(*) FILTER (o_orderstatus IS NULL) = 0)
         |FROM orders""".stripMargin,
-    // json_extract over TRY_CAST-validated payloads == from_json's
-    // null-on-malformed contract; a parseable object missing the key is
-    // valid with a null field in both engines
+    // json_extract over TRY_CAST-validated payloads == try_parse_json's
+    // null-on-unparseable contract (any well-formed JSON — object,
+    // array, scalar, bare null — is valid in both engines); a parseable
+    // object missing the key is valid with a null field in both
     "q_json_extract" ->
       """SELECT event_id, event_type,
         |  TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k,
@@ -1878,7 +1879,7 @@ object SparkEntry {
     "q_json_stats" ->
       """WITH e AS (
         |  SELECT event_type,
-        |    CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
+        |    TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
         |  FROM events)
         |SELECT event_type, k // 10 AS k_bucket,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -212,12 +212,21 @@ object MergeIO {
         col("version"),
         (!(hasNew && !sameAttrs) && !(!hasNew && lit(closeMissing)))
           .as("is_current"))): _*)
-    // freshly opened rows: new keys at version 1, changed keys at +1
-    val opened = j.filter(hasNew && (!hasCur || !sameAttrs)).select(
-      (keyCols.map(col) ++ attrCols.map(c => col(s"_new_$c").as(c)) ++ Seq(
+    // freshly opened rows continue from max(version) over ALL history —
+    // not just the current row: a key soft-closed by closeMissing that
+    // reappears has no current row but must NOT restart at version 1,
+    // or the history carries duplicate (key, version) pairs. One extra
+    // key-hash aggregation over history (one row per key out), joined
+    // key-hash onto the opened side — same shuffle key as `j`.
+    val maxVer = history.groupBy(keyCols.map(col): _*)
+      .agg(max(col("version")).as("_prev_version"))
+    val opened = j.filter(hasNew && (!hasCur || !sameAttrs))
+      .select(keyCols.map(col) ++ attrCols.map(c => col(s"_new_$c").as(c)): _*)
+      .join(maxVer, keyCols, "left")
+      .select((keyCols.map(col) ++ attrCols.map(col) ++ Seq(
         lit(asOf).as("valid_from"),
         lit(null).cast("timestamp").as("valid_to"),
-        (when(hasCur, col("version")).otherwise(lit(0L)) + lit(1L)).as("version"),
+        (coalesce(col("_prev_version"), lit(0L)) + lit(1L)).as("version"),
         lit(true).as("is_current"))): _*)
     closed.unionByName(curRow).unionByName(opened)
   }

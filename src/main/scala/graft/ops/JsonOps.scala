@@ -26,21 +26,21 @@ object JsonOps {
     * a parseable object MISSING the key is valid with a null field,
     * the standard distinction). Pure projection, stream-admissible.
     *
-    * Validity is probed with a MAP-typed parse: PERMISSIVE `from_json`
-    * into a STRUCT never returns null (malformed input yields a
-    * struct of nulls — indistinguishable from a missing key), while
-    * the map parse contractually nulls on malformed payloads. Two
-    * parses of the same string in one projection — both inside the
-    * same codegen stage, and the JSON parse is the row's dominant cost
-    * either way. */
+    * Validity is probed with `try_parse_json` (variant parse, null only
+    * on genuinely unparseable input), so ANY well-formed JSON payload —
+    * object, array, scalar, bare `null` — counts as valid, matching the
+    * TRY_CAST(... AS JSON) contract most SQL engines expose. PERMISSIVE
+    * `from_json` into a STRUCT cannot express this (it never nulls), and
+    * a MAP-typed probe would reject non-object JSON. Two parses of the
+    * same string in one projection — both inside the same codegen
+    * stage, and the JSON parse is the row's dominant cost either way. */
   def extractProps(events: DataFrame): DataFrame =
     events
       .select(col("event_id"), col("event_type"),
         from_json(col("props"), PropsSchema).as("_p"),
-        from_json(col("props"), MapType(StringType, StringType)).as("_m"))
+        try_parse_json(col("props")).isNotNull.as("valid_json"))
       .select(col("event_id"), col("event_type"),
-        col("_p.k").as("k"),
-        col("_m").isNotNull.as("valid_json"))
+        col("_p.k").as("k"), col("valid_json"))
 
   /** Payload-value distribution per event type over `k div bucketWidth`
     * buckets — the JSON-to-aggregation pipeline in one hop: parse

@@ -220,7 +220,22 @@ object Layout {
     * listing costs. Files at or above `targetBytes * bigFileFraction`
     * are left alone (rewriting them buys nothing); singleton groups are
     * dropped (a lone small file merges with nothing). Deterministic:
-    * FFD over (size DESC, name ASC). */
+    * FFD over (size DESC, name ASC).
+    *
+    * The listing is RECURSIVE, so Hive-partitioned tables (data files
+    * under `k=v/` subdirectories) are planned too — a flat listing
+    * would silently return an empty plan that reads as "nothing to
+    * compact". Hidden directories (`_`/`.` prefixed — `_manifest`,
+    * `_temporary`, checkpoint litter) are skipped whole. NOTE: groups
+    * never mix directories — merging rows across Hive partitions would
+    * corrupt partition pruning — so bin packing runs per parent
+    * directory.
+    *
+    * CALLER CONTRACT (also returned, not just documented): after
+    * [[compactSmallFiles]] succeeds, the INPUT files in the plan must
+    * be deleted (or the directory swapped) by the caller — the rewrite
+    * writes merged copies to `outPath` and leaves inputs in place, so
+    * reading both locations double-counts rows. */
   def compactionPlan(spark: org.apache.spark.sql.SparkSession, path: String,
                      targetBytes: Long,
                      bigFileFraction: Double = 0.5): Seq[Seq[(String, Long)]] = {
@@ -229,21 +244,35 @@ object Layout {
       "bigFileFraction must be in (0, 1]")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val small = fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    // recursive listing that prunes hidden SUBTREES (listFiles(recursive)
+    // would descend into _manifest/_temporary and only lets us filter
+    // leaf names, not whole directories)
+    def walk(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        if (hidden(s.getPath.getName)) Nil
+        else if (s.isDirectory) walk(s.getPath)
+        else Seq(s)
+      }
+    val small = walk(p)
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen))
       .filter(_._2 < (targetBytes * bigFileFraction).toLong)
-      .sortBy { case (name, size) => (-size, name) }
-    val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
-    for ((f, sz) <- small) {
-      bins.indexWhere { case (_, used) => used + sz <= targetBytes } match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer((f, sz)), sz))
-        case i  => bins(i) = ((bins(i)._1 += ((f, sz))), bins(i)._2 + sz)
+    // per-directory packing: never merge across Hive partitions
+    small.groupBy { case (name, _) => name.substring(0, name.lastIndexOf('/') + 1) }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (_, inDir) =>
+        val ordered = inDir.sortBy { case (name, size) => (-size, name) }
+        val bins = scala.collection.mutable.ArrayBuffer
+          .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+        for ((f, sz) <- ordered) {
+          bins.indexWhere { case (_, used) => used + sz <= targetBytes } match {
+            case -1 => bins += ((scala.collection.mutable.ArrayBuffer((f, sz)), sz))
+            case i  => bins(i) = ((bins(i)._1 += ((f, sz))), bins(i)._2 + sz)
+          }
+        }
+        bins.map(_._1.toSeq).filter(_.size > 1).toSeq
       }
-    }
-    bins.map(_._1.toSeq).filter(_.size > 1).toSeq
   }
 
   /** Execute a compaction: rewrite the planned groups' rows into
@@ -252,7 +281,15 @@ object Layout {
     * rewrite. ONE distributed job over the union of the planned files —
     * no per-group driver loop; file count = ceil(bytes / target).
     * Files outside the plan are untouched (the caller's big files keep
-    * their layout). Returns (files in, files out). */
+    * their layout). Returns (files in, files out).
+    *
+    * CALLER CONTRACT: the input files (the paths in `plan` — the
+    * caller already holds the exact list) are NOT deleted; after this
+    * returns successfully the caller must delete them or swap the
+    * directory, or reading both locations double-counts every
+    * compacted row. Kept out of this method so a crash mid-rewrite
+    * never loses data (write-then-swap, the [[graft.io.MergeIO]]
+    * posture). */
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
                         plan: Seq[Seq[(String, Long)]], outPath: String,
                         targetBytes: Long,

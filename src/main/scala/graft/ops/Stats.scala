@@ -419,15 +419,19 @@ object Stats {
     * only the final divide (+ one sqrt) runs in doubles — each step
     * correctly rounded, any engine agrees bit for bit.
     *
-    * Magnitude bound (documented, not checked row-wise): the fourth
-    * power sum drives it — with |x|·10^d < 5·10⁴ and n < 10⁹ rows per
-    * group, `n³S4 < 10²⁷·6·10²³·10⁻⁹ ≈ 10⁴²`… kept inside
-    * DECIMAL(38,0) by the default d = 1 and the `require(d ≤ 2)`;
-    * callers with wide-ranged values lower `decimals` (the statistic
-    * is then defined on the fixed-point values, the [[corrByGroup]]
+    * Magnitude bound (CHECKED, groups-sized): every term in A/B/C is
+    * bounded by `6·(n·max|x·10^d|)⁴` (e.g. `n³S4 ≤ n³·n·max|x|⁴ =
+    * (n·max|x|)⁴`), so the exact-arithmetic envelope is
+    * `n·max|x·10^d| ≤ 2·10⁹` — then every product stays under
+    * 9.6·10³⁷ < 10³⁸. Outside it, non-ANSI DECIMAL(38,0) would
+    * silently null the product and report a wrong (null) kurtosis, so
+    * the operator raises instead: max|x| rides along in the same
+    * aggregation and a per-group `raise_error` guard fails LOUDLY,
+    * telling the caller to lower `decimals` (the statistic is then
+    * defined on the fixed-point values, the [[corrByGroup]]
     * convention). Zero-variance groups yield nulls. Scale shape: one
     * map-side-combined aggregation, one row per group through the
-    * exchange. */
+    * exchange; the guard is a groups-sized projection. */
   def momentsByGroup(df: DataFrame, groupCol: String, valueCol: String,
                      decimals: Int = 1): DataFrame = {
     require(decimals >= 0 && decimals <= 2, "decimals must be in [0, 2]")
@@ -441,15 +445,23 @@ object Stats {
         sum(col("_x")).as("_s1"),
         sum(col("_x") * col("_x")).as("_s2"),
         sum(col("_x") * col("_x") * col("_x")).as("_s3"),
-        sum(col("_x") * col("_x") * col("_x") * col("_x")).as("_s4"))
+        sum(col("_x") * col("_x") * col("_x") * col("_x")).as("_s4"),
+        max(abs(col("_x"))).as("_mx"))
     val n = col("_n"); val s1 = col("_s1"); val s2 = col("_s2")
     val s3 = col("_s3"); val s4 = col("_s4")
+    // loud envelope guard (see scaladoc): past n·max|x| = 2e9 the
+    // quartic products would overflow DECIMAL(38,0) and silently null
+    val guarded = when(n * col("_mx") <= lit(2000000000L).cast(d38), n)
+      .otherwise(raise_error(concat(
+        lit("momentsByGroup: group "), col("_grp").cast("string"),
+        lit(" exceeds the exact-arithmetic envelope (n*max|x*10^d| > 2e9)"),
+        lit(" - lower `decimals`"))))
     val bB = (n * s2 - s1 * s1).cast(DoubleType)
     val aA = (n * n * s3 - lit(3) * n * s1 * s2 + lit(2) * s1 * s1 * s1)
       .cast(DoubleType)
     val cC = (n * n * n * s4 - lit(4) * n * n * s1 * s3 +
       lit(6) * n * s1 * s1 * s2 - lit(3) * s1 * s1 * s1 * s1).cast(DoubleType)
-    agg.select(col("_grp").as(groupCol), n.cast("bigint").as("n"),
+    agg.select(col("_grp").as(groupCol), guarded.cast("bigint").as("n"),
       round(s1.cast(DoubleType) / (n.cast(DoubleType) * lit(f.toDouble)), 6)
         .as("mean"),
       when(n * s2 - s1 * s1 === 0, lit(null))

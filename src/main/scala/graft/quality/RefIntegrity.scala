@@ -21,9 +21,13 @@ object RefIntegrity {
     * "dangling"; SQL FK semantics). */
   def orphans(child: DataFrame, parent: DataFrame,
               childKey: String, parentKey: String): DataFrame =
+    // alias the parent key to a reserved name BEFORE the join: when the
+    // child FK and parent PK share a column name (both "id", the common
+    // case) unqualified references would be ambiguous or, worse,
+    // auto-resolve to a trivially-true self-compare reporting 0 orphans
     child.filter(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey)).distinct(),
-        col(childKey) === col(parentKey), "left_anti")
+      .join(parent.select(col(parentKey).as("_pk")).distinct(),
+        col(childKey) === col("_pk"), "left_anti")
 
   /** One-row integrity summary: total child rows, null references,
     * checked references, orphans, and the 6 dp orphan rate over the

@@ -343,6 +343,13 @@ class EdgeCasesSpec extends SparkSpec {
     assert(sum1.getLong(0) == 2L && sum1.getLong(1) == 1L &&
       sum1.getLong(3) == 1L && sum1.getDouble(4) == 1.0)
 
+    // ref integrity: identical FK/PK column names must not self-compare
+    val childSame = Seq(5L, 9L).toDF("id")
+    val parentSame = Seq(5L).toDF("id")
+    assert(graft.quality.RefIntegrity.orphans(childSame, parentSame, "id", "id")
+      .select("id").as[Long].collect().toSet == Set(9L),
+      "same-name FK/PK join must find the dangling reference")
+
     // compaction plan over a directory with one file: nothing to merge
     val oneDir = java.nio.file.Files.createTempDirectory("edge_compact").toString
     Seq((1L, "x")).toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(oneDir)

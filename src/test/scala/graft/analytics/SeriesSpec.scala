@@ -73,6 +73,37 @@ class SeriesSpec extends SparkSpec {
     assert(out("sym")._4.exists(_ < 0.0))
   }
 
+  test("momentsByGroup: values outside the exact-arithmetic envelope fail LOUDLY") {
+    // n*max|x*10^d| = 3e11 > 2e9: under ANSI the quartic product throws
+    // on its own; under non-ANSI (the silent-null hazard the guard
+    // exists for) DECIMAL(38,0) nulls the product and kurtosis would be
+    // silently wrong — the guard must raise instead
+    val wide = Seq("g" -> 1.0e9, "g" -> -1.0e9, "g" -> 0.0).toDF("g", "v")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val ex = intercept[Exception] {
+        graft.ops.Stats.momentsByGroup(wide, "g", "v", decimals = 2).collect()
+      }
+      assert(msgs(ex).exists(m => m != null && m.contains("envelope")),
+        s"expected the envelope guard under non-ANSI, got: $ex")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+    // under ANSI (session default) the same input still fails loudly —
+    // either the guard or the ANSI decimal-overflow error, never a null
+    val ex2 = intercept[Exception] {
+      graft.ops.Stats.momentsByGroup(wide, "g", "v", decimals = 2).collect()
+    }
+    assert(msgs(ex2).exists(m => m != null &&
+      (m.contains("envelope") || m.contains("Decimal"))), s"got: $ex2")
+    // in-envelope wide-ish values still compute (n*max = 3e9*... ok at d=0)
+    val ok = graft.ops.Stats.momentsByGroup(
+      Seq("g" -> 100.0, "g" -> 200.0, "g" -> 400.0).toDF("g", "v"),
+      "g", "v", decimals = 0).collect().head
+    assert(ok.getLong(1) == 3L && !ok.isNullAt(4))
+  }
+
   private object Stats2 {
     def moments(df: org.apache.spark.sql.DataFrame)
     : Map[String, (Long, Double, Option[Double], Option[Double])] =

@@ -72,6 +72,32 @@ class Scd2MergeSpec extends SparkSpec {
     assert(keys == Set(1L, 2L, 3L), "recovery must restore the prior history")
   }
 
+  test("a key closed via closeMissing that reappears continues its version chain") {
+    val h1 = MergeIO.scd2Init(Seq((1L, "A")).toDF("k", "status"),
+      Seq("k"), Seq("status"), ts(1))
+    // key vanishes -> soft-closed at v1
+    val h2 = MergeIO.scd2Apply(h1, Seq.empty[(Long, String)].toDF("k", "status"),
+      Seq("k"), Seq("status"), ts(2), closeMissing = true)
+    assert(h2.collect().forall(!_.getBoolean(5)), "all rows closed after vanish")
+    // key reappears -> must open at version 2, not a duplicate version 1
+    val h3 = MergeIO.scd2Apply(h2, Seq((1L, "B")).toDF("k", "status"),
+      Seq("k"), Seq("status"), ts(3), closeMissing = true)
+    val rows = h3.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._3).toSeq
+    assert(rows == Seq((1L, "A", 1L, false), (1L, "B", 2L, true)),
+      s"reappeared key must continue the version chain: $rows")
+    assert(rows.map(x => (x._1, x._3)).distinct.size == rows.size,
+      "(key, version) must stay unique")
+    // vanish AGAIN and reappear AGAIN -> v3 (max over closed rows only)
+    val h4 = MergeIO.scd2Apply(h3, Seq.empty[(Long, String)].toDF("k", "status"),
+      Seq("k"), Seq("status"), ts(4), closeMissing = true)
+    val h5 = MergeIO.scd2Apply(h4, Seq((1L, "C")).toDF("k", "status"),
+      Seq("k"), Seq("status"), ts(5), closeMissing = true)
+    val vers = h5.collect().map(r => (r.getString(1), r.getLong(4))).sortBy(_._2).toSeq
+    assert(vers == Seq(("A", 1L), ("B", 2L), ("C", 3L)), s"chain: $vers")
+  }
+
   test("null attribute values compare null-safely (no spurious version)") {
     val s1 = Seq((1L, None: Option[String])).toDF("k", "status")
     val h1 = MergeIO.scd2Init(s1, Seq("k"), Seq("status"), ts(1))

@@ -11,7 +11,11 @@ class JsonOpsSpec extends SparkSpec {
       (2L, "view", """{"other": 1}"""),   // valid object, no k
       (3L, "view", """not json at all"""), // malformed
       (4L, "view", """{"k": null}"""),     // explicit null
-      (5L, "view", null.asInstanceOf[String])) // null payload
+      (5L, "view", null.asInstanceOf[String]), // null payload
+      (6L, "view", "[1,2]"),               // well-formed non-object
+      (7L, "view", "123"),                 // well-formed scalar
+      (8L, "view", "null"),                // well-formed bare null
+      (9L, "view", ""))                    // empty string — unparseable
       .toDF("event_id", "event_type", "props")
     val out = JsonOps.extractProps(ev)
       .collect().map(r => r.getLong(0) ->
@@ -21,7 +25,13 @@ class JsonOpsSpec extends SparkSpec {
     assert(out(3L) == ((None, false)), "malformed payload must flag, not throw")
     assert(out(4L) == ((None, true)))
     assert(out(5L) == ((None, false)))
-    assert(out.size == 5, "operator must be total — every input row survives")
+    // TRY_CAST(... AS JSON) parity: any well-formed JSON is valid, even
+    // non-objects — only genuinely unparseable payloads flag false
+    assert(out(6L) == ((None, true)), "array payload is valid JSON")
+    assert(out(7L) == ((None, true)), "scalar payload is valid JSON")
+    assert(out(8L) == ((None, true)), "bare null payload is valid JSON")
+    assert(out(9L) == ((None, false)), "empty string is not JSON")
+    assert(out.size == 9, "operator must be total — every input row survives")
   }
 
   test("extractProps is a stateless projection: runs unchanged on a streaming frame") {

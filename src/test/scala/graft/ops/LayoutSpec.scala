@@ -194,6 +194,34 @@ class LayoutSpec extends SparkSpec {
       bigFileFraction = 0.01).isEmpty)
   }
 
+  test("compactionPlan: hive-partitioned tables plan recursively, never across partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_hive").toString
+    // 2 partitions x 6 tiny files each, under k=v subdirectories
+    (0 until 12).map(i => (i.toLong, i % 2, s"payload_$i" * 50))
+      .toDF("id", "part", "s")
+      .repartition(12, col("id")).write.mode("overwrite")
+      .partitionBy("part").parquet(dir)
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.length())
+    assert(sizes.length >= 6, s"fixture: expected >=6 leaf files, got ${sizes.length}")
+    val plan = Layout.compactionPlan(spark, dir, targetBytes = sizes.max * 6)
+    assert(plan.nonEmpty, "a flat listing would have planned nothing here")
+    // no group mixes partition directories
+    def parent(f: String) = f.substring(0, f.lastIndexOf('/'))
+    assert(plan.forall(g => g.map(x => parent(x._1)).distinct.size == 1),
+      s"groups must stay inside one partition: $plan")
+    // both partitions are covered
+    assert(plan.flatMap(g => g.map(x => parent(x._1))).distinct.size == 2)
+    // hidden directories (manifest/_temporary litter) are skipped whole
+    val hiddenDir = new java.io.File(dir, "_manifest"); hiddenDir.mkdir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(hiddenDir.toString, "junk.parquet"),
+      Array.fill[Byte](8)(1))
+    assert(Layout.compactionPlan(spark, dir, targetBytes = sizes.max * 6)
+      .flatten.forall(!_._1.contains("_manifest")))
+  }
+
   test("zOrderBy preserves rows and drops the internal column") {
     val df = (0 until 500)
       .map(i => (i.toLong, (i * 7L) % 101, (i * 13L) % 101)).toDF("id", "a", "b")
