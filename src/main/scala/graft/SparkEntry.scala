@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{Curate, ExactSubstr, Fuzzy, HashMode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, UrlOps, VectorOps}
+import graft.ops.{Curate, ExactSubstr, Fuzzy, HashMode, MediaDecode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, UrlOps, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -516,6 +516,18 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, d) =>
       PQ.annIvfPq(t(s, d, "embeddings"), m = 8, k = 16, iterations = 1)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(t(s, d, "documents"))),
+    // REAL pixel/sample decode: payloads synthesized from a closed-form
+    // modular formula through the actual JDK codecs (PNG/BMP via
+    // javax.imageio, PCM WAV via javax.sound), decoded back and reduced
+    // to per-channel stats; the oracle recomputes the stats from the
+    // formula alone — encoder plumbing, decoder, channel order, and
+    // endianness are all on the hook. Bounded fixture set (doc_id<120)
+    // keeps the gate O(1) at any sf.
+    "q_multimodal_decode" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      MediaDecode.decodeStats(s, MediaDecode.syntheticPayloads(s, ids))
+    }),
     // ---- corpus curation ------------------------------------------------
     "q_sample_hash" -> ((s, d) =>
       Curate.sampleByHash(t(s, d, "documents"), "doc_id", 10, HashMode.Portable)
@@ -2841,7 +2853,43 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) % 1280 + 64 AS BIGINT) AS width,
         |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 720 + 64 AS BIGINT) AS height,
         |  CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // the decode oracle never touches bytes: it re-derives every pixel
+    // and PCM sample from the same closed-form modular formula the
+    // Spark side ENCODES through the real JDK codecs and decodes back —
+    // an independent recomputation of what the codec round-trip must
+    // reproduce bit-exactly (lossless formats only, by design)
+    "q_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |img AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM d WHERE doc_id % 3 <> 1),
+        |ipx AS (
+        |  SELECT doc_id, format, c.i AS channel,
+        |    (doc_id*31 + x.i*7 + y.i*13 + c.i*29) % 256 AS v
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(8)) AS i) x
+        |  CROSS JOIN (SELECT unnest(range(6)) AS i) y
+        |  CROSS JOIN (SELECT unnest(range(3)) AS i) c
+        |  WHERE x.i < w AND y.i < h),
+        |wv AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS nch, 16 + doc_id % 17 AS nfr
+        |  FROM d WHERE doc_id % 3 = 1),
+        |spx AS (
+        |  SELECT doc_id, 'wav' AS format, c.i AS channel,
+        |    (doc_id*31 + c.i*29 + f.i*7) % 65536 - 32768 AS v
+        |  FROM wv
+        |  CROSS JOIN (SELECT unnest(range(2)) AS i) c
+        |  CROSS JOIN (SELECT unnest(range(33)) AS i) f
+        |  WHERE c.i < nch AND f.i < nfr),
+        |allv AS (SELECT * FROM ipx UNION ALL SELECT * FROM spx)
+        |SELECT doc_id, format, CAST(channel AS BIGINT) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS v_mean,
+        |  CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
+        |FROM allv GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** The 13-gram decontamination oracle — shared verbatim by

@@ -1,0 +1,270 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL pixel/sample decode — the step [[Multimodal]] kept behind a stub
+  * seam is now an actual codec round-trip: images decode through
+  * `javax.imageio` (PNG/BMP/GIF — the JDK's real decoders), audio
+  * decodes through `javax.sound.sampled` (RIFF/WAVE PCM), and the
+  * operator emits per-channel value statistics (count / mean / min /
+  * max) — the "is this image black / clipped / silent audio" signals a
+  * multimodal curation pipeline filters on right after the
+  * [[MediaProbe]] metadata pass.
+  *
+  * Decode envelope (stated, not implied):
+  *   - LOSSLESS stills only (png, bmp, gif): their decoded pixels are
+  *     bit-exact by spec, so stats are engine-independent. JPEG pixel
+  *     decode is IDCT-implementation-dependent — a JPEG payload is
+  *     detected and SKIPPED (`n = 0`, null stats), never decoded into
+  *     irreproducible numbers.
+  *   - PCM WAV (8/16-bit integer): raw sample values per channel.
+  *   - A decompression-bomb guard ([[MaxPixels]]) bounds the pixel
+  *     buffer any one payload may allocate: a tiny PNG declaring a
+  *     2^32-pixel canvas is skipped as `oversize`, not inflated — at
+  *     corpus scale the guard is what keeps one hostile row from
+  *     OOM-killing an executor.
+  *   - Anything undecodable degrades to a single `n = 0` row; the
+  *     operator is TOTAL and never throws (the [[MediaProbe]] posture).
+  *
+  * Scale shape: the same `mapPartitions` seam as [[MediaProbe.probeMeta]]
+  * — per-partition batch decode, zero driver involvement, stats folded
+  * while streaming pixels/samples so the emitted row is O(channels) per
+  * payload regardless of resolution. No shuffle anywhere: per-document
+  * stats never cross partitions. */
+object MediaDecode {
+
+  /** Pixel-count cap per payload (16 MPix ≈ 64 MB ARGB buffer). */
+  val MaxPixels: Long = 1L << 24
+
+  /** Raw per-channel accumulator schema (sum kept exact in Long;
+    * 16 MPix × 255 and 16 MPix × 32768 both fit comfortably). */
+  private val RawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("channel", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("v_sum", LongType, nullable = true),
+    StructField("v_min", LongType, nullable = true),
+    StructField("v_max", LongType, nullable = true)))
+
+  private def skipped(docId: Long, format: String): Seq[Row] =
+    Seq(Row(docId, format, 0L, 0L, null, null, null))
+
+  /** Decode one still through javax.imageio and fold per-channel
+    * (R=0, G=1, B=2) stats over `getRGB` values — color-model-correct
+    * regardless of the reader's internal raster layout. The bomb guard
+    * runs on the HEADER-declared dimensions (already parsed by
+    * [[MediaProbe]]) BEFORE `ImageIO.read` allocates anything — guarding
+    * after the read would be guarding after the OOM. */
+  private def imageStats(docId: Long, format: String, bytes: Array[Byte],
+                         declared: MediaProbe.Probed): Seq[Row] = {
+    val bomb = (for (w <- declared.width; h <- declared.height)
+      yield w * h > MaxPixels).getOrElse(false)
+    if (bomb) return skipped(docId, "oversize")
+    javax.imageio.ImageIO.setUseCache(false) // no executor temp files
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return skipped(docId, "undecodable")
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w.toLong * h > MaxPixels) return skipped(docId, "oversize")
+    val sum = new Array[Long](3)
+    val mn = Array.fill(3)(Long.MaxValue)
+    val mx = Array.fill(3)(Long.MinValue)
+    var y = 0
+    // row-at-a-time getRGB: one int per pixel, bounded row buffer
+    val rowBuf = new Array[Int](w)
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        var c = 0
+        while (c < 3) {
+          val v = ((rgb >> (16 - 8 * c)) & 0xff).toLong
+          sum(c) += v
+          if (v < mn(c)) mn(c) = v
+          if (v > mx(c)) mx(c) = v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (0 until 3).map(c => Row(docId, format, c.toLong, n, sum(c), mn(c), mx(c)))
+  }
+
+  /** Decode integer-PCM WAV through javax.sound.sampled and fold raw
+    * per-channel sample stats (16-bit: signed; 8-bit: unsigned — the
+    * container conventions, reported as-is). */
+  private def wavStats(docId: Long, bytes: Array[Byte]): Seq[Row] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val nch = fmt.getChannels
+      val enc = fmt.getEncoding.toString
+      val pcm = enc == "PCM_SIGNED" || enc == "PCM_UNSIGNED"
+      if (!pcm || (bits != 8 && bits != 16) || nch < 1 ||
+          ais.getFrameLength > MaxPixels)
+        return skipped(docId, "wav")
+      val frameSize = fmt.getFrameSize
+      val data = ais.readAllBytes()
+      val nFrames = data.length / frameSize
+      val sum = new Array[Long](nch)
+      val mn = Array.fill(nch)(Long.MaxValue)
+      val mx = Array.fill(nch)(Long.MinValue)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < nch) {
+          val i = f * frameSize + c * (bits / 8)
+          val v: Long =
+            if (bits == 8) (data(i) & 0xff).toLong
+            else if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toLong
+            else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
+          sum(c) += v
+          if (v < mn(c)) mn(c) = v
+          if (v > mx(c)) mx(c) = v
+          c += 1
+        }
+        f += 1
+      }
+      if (nFrames == 0) skipped(docId, "wav")
+      else (0 until nch).map(c =>
+        Row(docId, "wav", c.toLong, nFrames.toLong, sum(c), mn(c), mx(c)))
+    } finally ais.close()
+  }
+
+  /** Decode one payload to per-channel stat rows. Total: garbage, nulls,
+    * truncation, bombs, and lossy formats all degrade to `n = 0` rows. */
+  def decode(docId: Long, bytes: Array[Byte]): Seq[Row] =
+    try {
+      if (bytes == null || bytes.isEmpty) skipped(docId, "unknown")
+      else {
+        val p = MediaProbe.probe(bytes)
+        p.format match {
+          case f @ ("png" | "bmp" | "gif") => imageStats(docId, f, bytes, p)
+          case "jpeg" => skipped(docId, "jpeg") // lossy: out of envelope
+          case "wav"  => wavStats(docId, bytes)
+          case _      => skipped(docId, "unknown")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => skipped(docId, "undecodable") }
+
+  /** Per-partition batched decode — the seam [[Multimodal]] documents,
+    * now with a real codec behind it. */
+  def decodePartition(rows: Iterator[(Long, Array[Byte])]): Iterator[Row] =
+    rows.flatMap { case (docId, bytes) => decode(docId, bytes) }
+
+  /** Distributed per-channel decode stats over `(idCol, payloadCol)`:
+    * doc_id, format, channel, n, v_mean (round 6), v_min, v_max. One
+    * pass, no shuffle — stats fold inside the decode partition. */
+  def decodeStats(spark: SparkSession, df: DataFrame,
+                  idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+    val rdd = src.rdd.mapPartitions(it =>
+      decodePartition(it.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)))))
+    spark.createDataFrame(rdd, RawSchema)
+      .select(col("doc_id"), col("format"), col("channel"), col("n"),
+        // exact Long sum, one correctly-rounded divide, round 6 — the
+        // corrByGroup determinism convention
+        when(col("n") > 0,
+          round(col("v_sum").cast(DoubleType) / col("n").cast(DoubleType), 6))
+          .as("v_mean"),
+        col("v_min"), col("v_max"))
+  }
+
+  // ---- deterministic synthetic payloads --------------------------------
+  // The testdata carries no real media bytes, so the gated query
+  // SYNTHESIZES them: pixels/samples follow a closed-form modular
+  // formula of (doc_id, channel, x, y), ENCODED through the real JDK
+  // codecs here and independently recomputed from the formula by the
+  // DuckDB oracle. A bug in either the encoder plumbing or the decoder
+  // shows up as a stats mismatch — the fixtures test the codec path
+  // against the spec, not against itself.
+
+  /** Closed-form pixel value — mirrored verbatim in the oracle SQL. */
+  def pixelValue(doc: Long, c: Int, x: Int, y: Int): Int =
+    ((doc * 31 + x * 7 + y * 13 + c * 29) % 256).toInt
+
+  /** Image dims: w in 4..8, h in 3..6. */
+  def imageDims(doc: Long): (Int, Int) =
+    ((4 + doc % 5).toInt, (3 + doc % 4).toInt)
+
+  /** Encode a synthetic still via the real JDK encoder (`fmt` =
+    * "png" | "bmp"). */
+  def syntheticImage(doc: Long, fmt: String): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val (w, h) = imageDims(doc)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (pixelValue(doc, 0, x, y) << 16) |
+          (pixelValue(doc, 1, x, y) << 8) | pixelValue(doc, 2, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
+    out.toByteArray
+  }
+
+  /** Closed-form PCM16 sample value — mirrored in the oracle SQL. */
+  def sampleValue(doc: Long, ch: Int, i: Int): Int =
+    ((doc * 31 + ch * 29 + i * 7) % 65536).toInt - 32768
+
+  /** WAV shape: 1–2 channels, 16–32 frames. */
+  def wavShape(doc: Long): (Int, Int) =
+    ((1 + doc % 2).toInt, (16 + doc % 17).toInt)
+
+  /** Hand-assembled RIFF/WAVE PCM16LE container (the format is fully
+    * specified byte arithmetic) — decoded back through javax.sound. */
+  def syntheticWav(doc: Long): Array[Byte] = {
+    val (nch, nFrames) = wavShape(doc)
+    val rate = 8000
+    val dataLen = nFrames * nch * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(nch.toShort)
+    bb.putInt(rate).putInt(rate * nch * 2).putShort((nch * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < nch) { bb.putShort(sampleValue(doc, c, f).toShort); c += 1 }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Distributed fixture generator: `(doc_id, payload)` with
+    * doc_id % 3 → 0: png, 1: wav, 2: bmp — built per partition through
+    * the real encoders, nothing driver-side. */
+  def syntheticPayloads(spark: SparkSession, ids: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val src = ids.select(col(idCol).cast(LongType))
+    val rdd = src.rdd.mapPartitions(_.map { r =>
+      val doc = r.getLong(0)
+      val payload = (doc % 3) match {
+        case 0 => syntheticImage(doc, "png")
+        case 1 => syntheticWav(doc)
+        case _ => syntheticImage(doc, "bmp")
+      }
+      Row(doc, payload)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+}

@@ -7,17 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media payloads are opaque `binary` columns
   * with typed metadata extracted alongside.
   *
-  * The PIXEL/SAMPLE decode step is a clearly-marked deterministic STUB
-  * (this container has no image/audio codecs): the Spark-side shape —
-  * binary column, typed metadata schema, per-partition batched decode —
-  * is real, and a real decoder (JNI codec or `mapInPandas`-style batch
-  * UDF in PySpark) drops in behind [[decodeStubPartition]] without
-  * touching the plumbing. CONTAINER metadata decode, by contrast, is
-  * real: [[MediaProbe]] parses actual PNG/GIF/BMP/JPEG/WAV headers
-  * (dimensions, channels, bit depth, sample counts) through the same
-  * partition seam — the metadata curation filters on (resolution
-  * floors, duration caps, format mix) without paying for a full decode.
-  */
+  * Decode is layered, shallow to deep, all through the same
+  * per-partition seam: (1) [[extractMeta]] keeps a deterministic
+  * byte-length-derived metadata stub for the stable correctness gate;
+  * (2) [[MediaProbe]] parses REAL container headers (PNG/GIF/BMP/JPEG/
+  * WAV — dimensions, channels, bit depth, sample counts) so curation
+  * can filter on resolution floors / duration caps / format mix without
+  * paying for a full decode; (3) [[MediaDecode]] performs REAL
+  * pixel/sample decode for the deterministic envelope (lossless stills
+  * via javax.imageio, PCM WAV via javax.sound) and reduces to
+  * per-channel value stats in one streaming pass. A heavier codec (JNI,
+  * `mapInPandas` batch UDF) drops in behind the identical seam without
+  * touching the plumbing. */
 object Multimodal {
 
   /** Typed metadata schema every decoder must produce. */
