@@ -24,4 +24,37 @@ object Caching {
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     df
   }
+
+  /** Per-round materialisation for iterative operators: reliable
+    * checkpoint when the session has a checkpoint dir configured
+    * (recomputable across executor loss — the right mode on a real
+    * cluster), executor-local localCheckpoint otherwise (fine in local
+    * mode, where executor loss is process death). Either way the
+    * returned frame's LINEAGE IS TRUNCATED — the logical plan of round
+    * k is one scan of round k's data, not k nested joins — so analyzer/
+    * optimizer time stays flat and a lost executor recomputes one
+    * round, not the whole chain. Reliable checkpoint FILES are only
+    * garbage-collected when
+    * spark.cleaner.referenceTracking.cleanCheckpoints=true — set it (or
+    * point the checkpoint dir at job-scoped storage) on deployments
+    * that iterate repeatedly. */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** Deterministically release a frame produced by [[materialize]] once
+    * a LATER round has been materialised from it (never before — the
+    * release drops the only copy of its data). localCheckpoint storage
+    * lives on the underlying RDD, which `Dataset.unpersist` does not
+    * touch (it only clears CacheManager entries), so this walks to the
+    * checkpointed RDD and unpersists it directly; reliable-checkpoint
+    * files are left to the cleaner config documented on [[materialize]].
+    * Best-effort: an unrecognised plan shape is a no-op (the
+    * ContextCleaner still reclaims blocks on GC), never an error. */
+  def releaseMaterialized(df: DataFrame): Unit =
+    try df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

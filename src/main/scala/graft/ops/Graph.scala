@@ -135,6 +135,7 @@ object Graph {
     require(iters >= 0, "iters must be non-negative")
     val (nodes, eDeg) = prepare(edges, srcCol, dstCol)
     var labels = nodes.select(col("node"), col("node").as("label"))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       // plurality label per dst: count (dst, label) votes, then a
       // min_by over the (-count, label) struct — "count DESC, label
@@ -156,7 +157,16 @@ object Graph {
       val next = labels
         .join(winners, col("node") === col("_pr_dst"), "left")
         .select(col("node"), coalesce(col("_lp_win"), col("label")).as("label"))
-      labels = if (materializeEach) Caching.ensureCachedLazy(next) else next
+      // eager checkpoint (lineage truncated, storage = this round only)
+      // then release the superseded round — round k's plan never nests
+      // round k-1's, so plan-build time and block storage stay FLAT at
+      // any iteration count (ScaleEvidence pins iters=24)
+      if (materializeEach) {
+        val materialized = Caching.materialize(next)
+        if (prev ne null) Caching.releaseMaterialized(prev)
+        prev = materialized
+        labels = materialized
+      } else labels = next
     }
     labels
   }
@@ -267,6 +277,7 @@ object Graph {
                       materializeEach: Boolean): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     var rank = based.select(col("node"), col("_pr_init").as("rank"))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       // join conditions are spelled by (unique) column NAME, not by
       // dataframe-tagged reference: every frame here descends from the
@@ -283,7 +294,14 @@ object Graph {
           (col("_pr_base") +
             expr(s"(${dampNum}L * coalesce(_pr_sum, 0L)) div ${dampDen}L"))
             .as("rank"))
-      rank = if (materializeEach) Caching.ensureCachedLazy(next) else next
+      // same hygiene as labelPropagation: truncate lineage per round,
+      // release the superseded round once the new one holds the data
+      if (materializeEach) {
+        val materialized = Caching.materialize(next)
+        if (prev ne null) Caching.releaseMaterialized(prev)
+        prev = materialized
+        rank = materialized
+      } else rank = next
     }
     rank
   }

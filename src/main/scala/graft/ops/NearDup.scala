@@ -323,17 +323,11 @@ object NearDup {
     * changed-count (a scalar per round, not data); hitting maxIter without
     * converging logs a warning instead of passing off partial labels. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // per-round materialisation: reliable checkpoint when the session has a
-    // checkpoint dir configured (recomputable across executor loss — the
-    // right mode on a real cluster), executor-local localCheckpoint
-    // otherwise (fine in local mode, where executor loss is process death).
-    // Reliable checkpoint FILES are only garbage-collected when
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true — set it (or
-    // point the checkpoint dir at job-scoped storage) on deployments that
-    // run this repeatedly, or ~2 files per round accumulate per call.
-    def materialise(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // per-round materialisation via Caching.materialize (reliable-or-
+    // local checkpoint, lineage truncated — see its scaladoc for the
+    // cleanCheckpoints note); superseded rounds are released explicitly
+    // so block storage stays bounded at ~2 frames however many rounds run
+    def materialise(df: DataFrame): DataFrame = Caching.materialize(df)
     // materialise the edge list once: every round joins against it, and the
     // upstream pair pipeline (LSH + verify) must not be re-run per round
     val edges = materialise(
@@ -341,6 +335,7 @@ object NearDup {
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
+    var prevRound: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -368,6 +363,11 @@ object NearDup {
             least(col("c1"), coalesce(col("c2"), col("c1"))).as("cluster"),
             (least(col("c1"), coalesce(col("c2"), col("c1"))) < col("old_cluster")).as("chg")))
       changed = updated.filter(col("chg")).count()
+      // `updated` now holds the round's data: the superseded round and
+      // the intra-round `stepped` frame are safe to release
+      Caching.releaseMaterialized(stepped)
+      if (prevRound ne null) Caching.releaseMaterialized(prevRound)
+      prevRound = updated
       labels = updated.drop("chg")
       iter += 1
     }
