@@ -59,12 +59,19 @@ object Bench {
     // q_substr_strip sharing the spans computation)
     "q_pagerank",
     // r8: BPE merge induction (q_bpe_segment not benched: its cost IS
-    // the training pass plus a stateless projection)
-    "q_bpe_train",
+    // the training pass plus a stateless projection); r9 adds the
+    // production-k path — distributed vocab agg + driver-side delta
+    // merge loop (64 merges, no chained Spark jobs)
+    "q_bpe_train", "q_bpe_train64",
     // r8 continuation: Lloyd training gated on its own output (the
     // vector family's quantizer build) and synchronous label
-    // propagation (two shuffles per round vs PageRank's one — the
-    // plurality argmax needs a (dst,label) count before the dst argmax)
+    // propagation (ONE dst-hash shuffle per voting round since the r8
+    // repartition fix — the explicit repartition serves both the
+    // (dst,label) count and the dst argmax; r9 additionally
+    // checkpoints each round, which AQE repays by planning the winners
+    // join from real sizes). q_multimodal_decode is NOT benched: its
+    // fixture set is bounded (doc_id < 120) by design, so its cost is
+    // O(1) in sf — a constant-work smoke, not a throughput signal.
     "q_kmeans", "q_labelprop",
     // r8 continuation 2: exact-decimal correlation profile + the event
     // analytics trio (q_skipping_scan is NOT benched: its cost is the
@@ -148,13 +155,17 @@ object Bench {
     "q_epoch_order" -> 0.16,
     // r7: local warmed best-of-3 (0.43/0.47) × 1.3
     "q_temperature_mix" -> 0.61,
-    // r8: local warmed best-of-3 (1.14 / 1.38) × 1.3
-    "q_pagerank" -> 1.48, "q_bpe_train" -> 1.79,
-    // r8 continuation: local warmed best-of-3 (0.96 / 2.78) × 1.3
-    // q_labelprop re-based (3.61 -> 3.43 = 2.64 warmed min × 1.3) after
-    // the single-shuffle voting round (dst-hash repartition serves both
-    // aggregations)
-    "q_kmeans" -> 1.25, "q_labelprop" -> 3.43,
+    // r8: local warmed best-of-3 (1.14) × 1.3; q_bpe_train re-based
+    // TIGHTER in r9 (1.79 -> 1.08 = 0.83 warmed × 1.3) after the
+    // collect-per-round literal rewrite (exponential-plan crossJoin
+    // removed) so the win cannot silently regress; q_bpe_train64 is the
+    // r9 driver-side delta trainer (0.38 warmed × 1.3)
+    "q_pagerank" -> 1.48, "q_bpe_train" -> 1.08, "q_bpe_train64" -> 0.50,
+    // r8 continuation: local warmed best-of-3 (0.96) × 1.3;
+    // q_labelprop re-based TIGHTER in r9 (3.43 -> 2.66 = 2.05 warmed ×
+    // 1.3) after per-round checkpointing let AQE plan the winners join
+    // from real materialised sizes
+    "q_kmeans" -> 1.25, "q_labelprop" -> 2.66,
     // r8 continuation 2: local warmed best-of-3
     // (1.12 / 0.66 / 0.54 / 0.30) × 1.3
     "q_corr" -> 1.45, "q_resample" -> 0.85, "q_funnel" -> 0.70,

@@ -604,6 +604,14 @@ object SparkEntry {
     // word-type vocabulary — deterministic (count DESC, pair ASC) wins
     "q_bpe_train" -> ((s, d) =>
       graft.ops.Bpe.trainMerges(t(s, d, "documents"), 5)),
+    // production-k induction: distributed vocab aggregation + the
+    // driver-side delta merge loop (only pair-containing word types
+    // recount per merge) — 64 merges without 64 chained Spark jobs;
+    // spec-pinned equal to the distributed trainer, oracle-gated
+    // against DuckDB executing all 64 steps in SQL
+    "q_bpe_train64" -> ((s, d) =>
+      graft.ops.Bpe.trainMergesLocal(
+        graft.ops.Bpe.wordVocab(t(s, d, "documents")), 64, maxTypes = 0)),
     // the learned merges applied as a frozen artifact (k-bounded
     // collect, the PQ-codebook precedent): per-doc subword token counts
     "q_bpe_segment" -> ((s, d) => {
@@ -1398,13 +1406,11 @@ object SparkEntry {
         |  UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nn GROUP BY 1""".stripMargin,
-    "q_bpe_train" -> (bpeCtes + """
-      |SELECT * FROM (
-      |  SELECT 1 AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM top1
-      |  UNION ALL SELECT 2, pair, replace(pair, ' ', ''), c FROM top2
-      |  UNION ALL SELECT 3, pair, replace(pair, ' ', ''), c FROM top3
-      |  UNION ALL SELECT 4, pair, replace(pair, ' ', ''), c FROM top4
-      |  UNION ALL SELECT 5, pair, replace(pair, ' ', ''), c FROM top5)""".stripMargin),
+    "q_bpe_train" -> (bpeCtes(5) + bpeMergesSelect(5)),
+    // 64 merges: DuckDB executes the algorithm spelled as 64 chained
+    // SQL steps; Spark runs the driver-side delta trainer — two genuinely
+    // different algorithms agreeing on the same total-ordered spec
+    "q_bpe_train64" -> (bpeCtes(64) + bpeMergesSelect(64)),
     "q_bpe_segment" -> bpeSegmentSql,
     // KMV sketch: the k=64 smallest distinct 60-bit hashes per source
     // re-derived exactly (same md5 bits, same HUGEINT integral division
@@ -3057,24 +3063,36 @@ object SparkEntry {
     * rewrite — units never contain spaces, so substring replacement on
     * the space-joined form IS unit-pair merging, mirroring
     * `ops/Bpe.scala`). */
-  private def bpeCtes: String = {
+  /** `n` chained merge-step CTEs. Every multiply-referenced CTE is AS
+    * MATERIALIZED: DuckDB otherwise INLINES chained CTEs, which at n=64
+    * re-opens the parquet scan per reference (observed as a
+    * too-many-open-files failure) and risks exponential plan expansion;
+    * materialised, the 64-step oracle runs in ~1 s. */
+  private def bpeCtes(n: Int): String = {
     def step(i: Int) =
-      s"""u$i AS (SELECT s, cnt, string_split(s, ' ') AS us FROM w${i - 1}),
+      s"""u$i AS MATERIALIZED (SELECT s, cnt, string_split(s, ' ') AS us FROM w${i - 1}),
          |  pe$i AS (SELECT unnest([us[i] || ' ' || us[i+1]
          |      FOR i IN generate_series(1, len(us) - 1)]) AS pair, cnt FROM u$i),
          |  pc$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM pe$i GROUP BY 1),
-         |  top$i AS (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1),
+         |  top$i AS MATERIALIZED (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1),
          |  w$i AS (SELECT replace(s, t.pair, replace(t.pair, ' ', '')) AS s, cnt
          |    FROM u$i CROSS JOIN top$i t)""".stripMargin
-    s"""WITH words AS (
+    s"""WITH words AS MATERIALIZED (
        |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |      SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
        |      FROM documents)
        |    GROUP BY 1),
-       |  w0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS s,
+       |  w0 AS MATERIALIZED (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS s,
        |      cnt FROM words),
-       |  ${(1 to 5).map(step).mkString(",\n  ")}""".stripMargin
+       |  ${(1 to n).map(step).mkString(",\n  ")}""".stripMargin
   }
+
+  /** The merge-table SELECT over [[bpeCtes]]' top1..topN. */
+  private def bpeMergesSelect(n: Int): String =
+    "\nSELECT * FROM (\n  " +
+      (1 to n).map(i =>
+        s"SELECT $i AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM top$i")
+        .mkString("\n  UNION ALL ") + ")"
 
   /** The q_bpe_segment oracle: the training CTEs, then the 5 merges
     * folded (in step order) over every document word and the subword
@@ -3088,7 +3106,7 @@ object SparkEntry {
     val topSrcs = (1 to 5)
       .map(i => s"(SELECT pair, replace(pair, ' ', '') AS m FROM top$i) t$i")
       .mkString(" CROSS JOIN ")
-    bpeCtes + s""",
+    bpeCtes(5) + s""",
       |  docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
       |    FROM documents),
       |  tops AS (SELECT $topCols FROM $topSrcs)

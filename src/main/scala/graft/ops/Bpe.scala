@@ -68,34 +68,145 @@ object Bpe {
   def trainMergesFromVocab(vocab: DataFrame, nMerges: Int,
                            priorMerges: Seq[(String, String)] = Nil): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
+    val spark = vocab.sparkSession
     val start = priorMerges.foldLeft(charUnits(col("word"))) {
       case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
     }
     var w = Caching.ensureCachedLazy(
       vocab.select(start.as("s"), col("cnt")))
-    var merges: Option[DataFrame] = None
-    for (i0 <- 1 to nMerges) {
+    // Each round COLLECTS its single winning row (one merge — the
+    // artifact itself, the PQ-codebook collect precedent) and bakes it
+    // back as literals. Keeping the winner as a crossJoin frame instead
+    // (the pre-r9 shape) embeds round k-1's plan TWICE in round k —
+    // once under the rewrite, once under the winner's aggregation — so
+    // logical plans duplicate EXPONENTIALLY in the merge count (2^12
+    // subtree copies OOM'd the analyzer at nMerges=12). Literals make
+    // plans linear; the checkpoint window then bounds even that.
+    val win = new Caching.CheckpointWindow(every = 8)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var drained = false
+    for (i0 <- 1 to nMerges if !drained) {
       val i = priorMerges.size + i0
-      val top = Caching.ensureCachedLazy(
-        pairStats(w)
-          .orderBy(col("c").desc, col("pair").asc)
-          .limit(1)
-          .select(lit(i).as("step"), col("pair"),
-            regexp_replace(col("pair"), " ", "").as("merged"),
-            col("c").as("cnt")))
-      merges = Some(merges.fold(top)(_.union(top)))
-      w = Caching.ensureCachedLazy(
-        w.crossJoin(broadcast(
-            top.select(col("pair").as("_bpe_p"), col("merged").as("_bpe_m"))))
-          .select(expr("replace(s, _bpe_p, _bpe_m)").as("s"), col("cnt")))
+      val top = pairStats(w)
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) drained = true // vocab exhausted: stop early
+      else {
+        val pair = top.head.getString(0)
+        val merged = pair.replace(" ", "")
+        out += ((i, pair, merged, top.head.getLong(1)))
+        w = win.advance(
+          w.select(replace(col("s"), lit(pair), lit(merged)).as("s"), col("cnt")))
+      }
     }
-    merges.get
+    import spark.implicits._
+    out.result().toDF("step", "pair", "merged", "cnt")
+  }
+
+  /** Production-k merge induction: the vocabulary aggregation stays
+    * DISTRIBUTED (the only corpus-sized step — the part that matters at
+    * 100 TB), then the merge loop runs DRIVER-SIDE over the collected
+    * word-type table with incremental pair-count maintenance: each merge
+    * re-counts only the word types whose unit string CONTAINS the
+    * winning pair, so merge k costs O(affected) pair updates plus one
+    * O(V) containment scan — not a full vocabulary re-aggregation, and
+    * never a Spark job. This is the same architecture as the PQ/IVF
+    * trainers (bounded-state artifact learned at the driver, corpus
+    * touched once); a 32k-merge tokenizer is ~minutes of driver CPU on a
+    * million-type vocab where the distributed loop would be 32k chained
+    * jobs.
+    *
+    * `maxTypes` caps the collected vocabulary at the most frequent word
+    * types ((cnt DESC, word ASC) — deterministic), the standard
+    * frequency-floor practice; 0 collects everything. Semantics are
+    * spec-pinned EQUAL to [[trainMergesFromVocab]] (BpeSpec property):
+    * identical stringy left-to-right `replace` rewrite, identical
+    * (count DESC, pair ASC) wins. Returns the same (step, pair, merged,
+    * cnt) frame. */
+  def trainMergesLocal(vocab: DataFrame, nMerges: Int,
+                       maxTypes: Int = 1000000): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    require(maxTypes >= 0, "maxTypes must be non-negative")
+    val spark = vocab.sparkSession
+    val capped =
+      if (maxTypes == 0) vocab
+      else vocab.orderBy(col("cnt").desc, col("word").asc).limit(maxTypes)
+    val collected = capped.select(charUnits(col("word")).as("s"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = localMergeLoop(collected, nMerges)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.map { case (step, pair, merged, cnt) =>
+        org.apache.spark.sql.Row(step, pair, merged, cnt) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("merged",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The in-memory merge loop with delta pair maintenance. Pair counts
+    * are derived from SPLIT units (matching [[pairStats]]); the rewrite
+    * is java.lang.String.replace — left-to-right non-overlapping, the
+    * exact semantics of the SQL `replace` the distributed trainer and
+    * the oracles use. Affected-word detection is substring containment
+    * on the joined string (NOT the split-pair index) for the same
+    * reason: `replace` can fire across unit boundaries when one unit is
+    * a suffix of another (`"ab b"` contains `"b b"`), and fidelity to
+    * the distributed semantics beats BPE-textbook purity here. */
+  private[ops] def localMergeLoop(words0: Array[(String, Long)],
+                                  nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val words = words0.map(_._1).toBuffer
+    val cnts = words0.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    def pairsOf(s: String): Iterator[String] = {
+      val u = s.split(' ')
+      (0 until u.length - 1).iterator.map(i => u(i) + " " + u(i + 1))
+    }
+    def bump(p: String, by: Long): Unit = {
+      val nv = pairCounts.getOrElse(p, 0L) + by
+      if (nv == 0L) pairCounts.remove(p) else pairCounts.update(p, nv)
+    }
+    for (i <- words.indices; p <- pairsOf(words(i))) bump(p, cnts(i))
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to nMerges if pairCounts.nonEmpty) {
+      // (count DESC, pair ASC) — the distributed trainer's total order
+      val (bestPair, bestCnt) = pairCounts.foldLeft(("", Long.MinValue)) {
+        case (acc @ (bp, bc), (p, c)) =>
+          if (c > bc || (c == bc && p < bp)) (p, c) else acc
+      }
+      val merged = bestPair.replace(" ", "")
+      out += ((step, bestPair, merged, bestCnt))
+      var i = 0
+      while (i < words.length) {
+        val s = words(i)
+        if (s.contains(bestPair)) {
+          val ns = s.replace(bestPair, merged)
+          val c = cnts(i)
+          for (p <- pairsOf(s)) bump(p, -c)
+          for (p <- pairsOf(ns)) bump(p, c)
+          words(i) = ns
+        }
+        i += 1
+      }
+    }
+    out.result()
   }
 
   /** Weighted adjacent-pair frequencies over a (s, cnt) word-type
-    * frame. */
+    * frame. Single-unit words (fully merged — reachable at production
+    * merge counts) contribute no pairs: without the size guard,
+    * `sequence(1, size-1)` at size = 1 is sequence(1, 0), which Spark
+    * generates DESCENDING as [1, 0] and the i+1 access throws — DuckDB's
+    * generate_series(1, 0) is empty, so the guard is also what keeps
+    * oracle parity. */
   private def pairStats(w: DataFrame): DataFrame =
     w.withColumn("_bpe_u", split(col("s"), " "))
+      .filter(size(col("_bpe_u")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(_bpe_u) - 1), " +
           "i -> concat(element_at(_bpe_u, i), ' ', element_at(_bpe_u, i + 1)))"))

@@ -42,6 +42,42 @@ object Caching {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** Rolling checkpoint window for iterative loops: rounds inside the
+    * window are lazily cached (pipelined into the next action, zero
+    * extra jobs — the cheap path that dominates small iteration
+    * budgets); every `every` rounds the frame is eagerly checkpointed
+    * ([[materialize]] — lineage truncated) and everything it supersedes
+    * is released (cached rounds unpersist, the previous checkpoint's
+    * RDD blocks drop). Lineage depth and live storage are both bounded
+    * by the window length at ANY iteration count, while a 5-round gated
+    * query with `every = 8` pays nothing it didn't already pay.
+    * `every = 1` degenerates to checkpoint-per-round — the right
+    * setting when per-round materialisation also HELPS the plan (label
+    * propagation: AQE sees real sizes for the winners join instead of a
+    * blind nested estimate). */
+  final class CheckpointWindow(every: Int) {
+    require(every >= 1, "checkpoint interval must be >= 1")
+    private var sinceCp = 0
+    private var cached = List.empty[DataFrame]
+    private var lastCp: DataFrame = null
+    def advance(next: DataFrame): DataFrame = {
+      sinceCp += 1
+      if (sinceCp >= every) {
+        val cp = materialize(next) // computes through `cached`
+        cached.foreach(_.unpersist(false))
+        cached = Nil
+        if (lastCp ne null) releaseMaterialized(lastCp)
+        lastCp = cp
+        sinceCp = 0
+        cp
+      } else {
+        val c = ensureCachedLazy(next)
+        cached ::= c
+        c
+      }
+    }
+  }
+
   /** Deterministically release a frame produced by [[materialize]] once
     * a LATER round has been materialised from it (never before — the
     * release drops the only copy of its data). localCheckpoint storage

@@ -298,39 +298,5 @@ object Graph {
     rank
   }
 
-  /** Rolling checkpoint window for iterative loops: rounds inside the
-    * window are lazily cached (pipelined into the next action, zero
-    * extra jobs — the cheap path that dominates small iteration
-    * budgets); every `every` rounds the frame is eagerly checkpointed
-    * ([[Caching.materialize]] — lineage truncated) and everything it
-    * supersedes is released (cached rounds unpersist, the previous
-    * checkpoint's RDD blocks drop). Lineage depth and live storage are
-    * both bounded by the window length at ANY iteration count, while a
-    * 5-round gated query with `every = 8` pays nothing it didn't
-    * already pay. `every = 1` degenerates to checkpoint-per-round —
-    * the right setting when per-round materialisation also HELPS the
-    * plan (label propagation: AQE sees real sizes for the winners join
-    * instead of a blind nested estimate). */
-  private final class CheckpointWindow(every: Int) {
-    require(every >= 1, "checkpoint interval must be >= 1")
-    private var sinceCp = 0
-    private var cached = List.empty[DataFrame]
-    private var lastCp: DataFrame = null
-    def advance(next: DataFrame): DataFrame = {
-      sinceCp += 1
-      if (sinceCp >= every) {
-        val cp = Caching.materialize(next) // computes through `cached`
-        cached.foreach(_.unpersist(false))
-        cached = Nil
-        if (lastCp ne null) Caching.releaseMaterialized(lastCp)
-        lastCp = cp
-        sinceCp = 0
-        cp
-      } else {
-        val c = Caching.ensureCachedLazy(next)
-        cached ::= c
-        c
-      }
-    }
-  }
+  private type CheckpointWindow = Caching.CheckpointWindow
 }

@@ -84,4 +84,51 @@ class BpeSpec extends SparkSpec {
     val m = merges(Seq("to to to", "to"), 1)
     assert(m.head._2 == "o </w>" && m.head._4 == 4L, s"weighting wrong: $m")
   }
+
+  test("trainMergesLocal equals the distributed trainer, including adversarial vocabs") {
+    def both(texts: Seq[String], n: Int) = {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val vocab = Bpe.wordVocab(docs)
+      val dist = Bpe.trainMergesFromVocab(vocab, n)
+        .orderBy(col("step"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val local = Bpe.trainMergesLocal(vocab, n, maxTypes = 0)
+        .orderBy(col("step"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      (dist, local)
+    }
+    // ordinary corpus
+    val (d1, l1) = both(Seq("low lower lowest", "new newer newest", "wide wider"), 12)
+    assert(d1 == l1, s"dist $d1 vs local $l1")
+    // adversarial: overlapping runs ("a a a" greedy L-to-R) and the
+    // cross-unit substring hazard ("ab b" contains "b b") — the local
+    // trainer must replicate the stringy replace semantics exactly
+    val (d2, l2) = both(Seq("aaa aa aaaa", "ab b bb abb"), 8)
+    assert(d2 == l2, s"adversarial: dist $d2 vs local $l2")
+    // deterministic seeded fuzz across random small vocabs
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val texts = Seq.fill(8)(Seq.fill(1 + rnd.nextInt(5))(
+        Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString).mkString(" "))
+      val (d, l) = both(texts, 6)
+      assert(d == l, s"fuzz trial $trial: dist $d vs local $l (texts=$texts)")
+    }
+  }
+
+  test("trainMergesLocal maxTypes cap is deterministic and drains gracefully") {
+    val docs = Seq((1L, "aa aa aa bb bb c")).toDF("doc_id", "text")
+    val vocab = Bpe.wordVocab(docs)
+    // cap to the 2 most frequent types: 'aa' (3) and 'bb' (2) survive;
+    // merge 1 ties (a a) vs (a </w>) at 3 and '<' sorts below 'a', so
+    // the end-marker pair wins lexicographically
+    val m = Bpe.trainMergesLocal(vocab, 2, maxTypes = 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    assert(m == Seq(("a </w>", 3L), ("a a</w>", 3L)), s"capped: $m")
+    // asking for more merges than pairs exist: stops early, no throw
+    val tiny = Bpe.trainMergesLocal(
+      Seq(("a", 1L)).toDF("word", "cnt"), 10, maxTypes = 0).collect()
+    assert(tiny.length <= 10 && tiny.nonEmpty)
+  }
 }
