@@ -35,6 +35,20 @@ object ScaleEvidence {
     }
   }
 
+  /** Idempotently build the N× replica of `srcDir` and return its
+    * directory — shared by the timing table here and the correctness
+    * invariants in [[ScaleCorrectness]] (same replica, same session). */
+  def ensureReplica(spark: SparkSession, srcDir: String, replicas: Int): String = {
+    val outDir = s"/tmp/graft_scale_x$replicas"
+    build(spark, srcDir, outDir, replicas)
+    outDir
+  }
+
+  /** Key offset per replica (public for invariant tooling: rows with
+    * every id below [[ReplicaShift]] are the byte-identical replica-0
+    * copy of the source data). */
+  def ReplicaShift: Long = Shift
+
   private def build(spark: SparkSession, srcDir: String, outDir: String,
                     replicas: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
