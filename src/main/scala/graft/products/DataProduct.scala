@@ -169,6 +169,36 @@ object DataProductJson {
 
   def fromJson(s: String): DataProduct = fromJValue(JsonMethods.parse(s))
 
+  private def strField(k: String, m: Map[String, JValue]): Option[String] =
+    m.get(k).collect { case JString(v) => v }
+
+  private def portFields(j: JValue): Map[String, JValue] =
+    j match { case JObject(fs) => fs.toMap; case _ => Map.empty }
+
+  /** Parse a standalone input-port document (the payload of the HTTP
+    * register-input route) — the same reading [[fromJValue]] applies to
+    * each `inputPorts` entry. */
+  def inputPortFromJValue(j: JValue): InputPort = {
+    val m = portFields(j)
+    InputPort(strField("name", m).getOrElse(""), strField("version", m).getOrElse(""),
+      strField("contractId", m).getOrElse(""), readProps(m),
+      readObjList(m, "authoritativeDefinitions"), extras(m, PortKnown))
+  }
+
+  def inputPortFromJson(s: String): InputPort =
+    inputPortFromJValue(JsonMethods.parse(s))
+
+  def outputPortFromJValue(j: JValue): OutputPort = {
+    val m = portFields(j)
+    OutputPort(strField("name", m).getOrElse(""), strField("version", m).getOrElse(""),
+      strField("contractId", m).getOrElse(""), strField("description", m), strField("type", m),
+      readObjList(m, "sbom"), readObjList(m, "inputContracts"), readProps(m),
+      readObjList(m, "authoritativeDefinitions"), extras(m, OutPortKnown))
+  }
+
+  def outputPortFromJson(s: String): OutputPort =
+    outputPortFromJValue(JsonMethods.parse(s))
+
   /** Parse an ODPS document. An `apiVersion` other than
     * [[DataProduct.OdpsRequired]] is rejected exactly as the reference
     * does (`odps.py:196-200`); a missing/blank one takes the default. A
@@ -186,25 +216,12 @@ object DataProductJson {
     if (apiVersion != DataProduct.OdpsRequired)
       throw new IllegalArgumentException(
         s"ODPS apiVersion mismatch. Required ${DataProduct.OdpsRequired}, got $apiVersion")
-    def portFields(j: JValue): Map[String, JValue] =
-      j match { case JObject(fs) => fs.toMap; case _ => Map.empty }
     val ins = fields.get("inputPorts") match {
-      case Some(JArray(ps)) => ps.collect { case j: JObject =>
-        val m = portFields(j)
-        InputPort(str("name", m).getOrElse(""), str("version", m).getOrElse(""),
-          str("contractId", m).getOrElse(""), readProps(m),
-          readObjList(m, "authoritativeDefinitions"), extras(m, PortKnown))
-      }
+      case Some(JArray(ps)) => ps.collect { case j: JObject => inputPortFromJValue(j) }
       case _ => Nil
     }
     val outs = fields.get("outputPorts") match {
-      case Some(JArray(ps)) => ps.collect { case j: JObject =>
-        val m = portFields(j)
-        OutputPort(str("name", m).getOrElse(""), str("version", m).getOrElse(""),
-          str("contractId", m).getOrElse(""), str("description", m), str("type", m),
-          readObjList(m, "sbom"), readObjList(m, "inputContracts"), readProps(m),
-          readObjList(m, "authoritativeDefinitions"), extras(m, OutPortKnown))
-      }
+      case Some(JArray(ps)) => ps.collect { case j: JObject => outputPortFromJValue(j) }
       case _ => Nil
     }
     val tags = fields.get("tags") match {

@@ -30,9 +30,25 @@ import java.nio.charset.StandardCharsets
   *  - `GET  /governance/link?dataset=`          → link JSON | 404
   *  - `POST /governance/link?dataset=&contractId=&contractVersion=` → 204
   *  - `GET  /governance/activity?dataset=[&version=]` → activity JSON array
+  *
+  * With a [[graft.products.DataProductBackend]] attached the ODPS
+  * data-product family is served too — the reference exposes all three
+  * service families (contracts / governance / data products) from one
+  * server (`server.py`), and so does this facade:
+  *  - `GET  /products[?limit=&offset=]`           → paged `{"items":[...],"total":,"limit":,"offset":}`
+  *  - `GET  /products/versions?id=`               → `{"versions":[...]}`
+  *  - `GET  /products/get?id=&version=`           → ODPS JSON | 404
+  *  - `GET  /products/latest?id=`                 → ODPS JSON | 404
+  *  - `POST /products/put` (body ODPS JSON)       → 204
+  *  - `POST /products/register-input?id=[&bump=&sourceDataProduct=&sourceOutputPort=]`
+  *      (body = one input-port JSON)              → `{"changed":,"product":ODPS}`
+  *  - `POST /products/register-output?id=[&bump=]` (body = one output-port JSON) → same
+  *  - `POST /products/review?id=&version=&approve=` → reviewed ODPS JSON
+  *  - `GET  /products/resolve-output?id=&port=`   → `{"contractId":,"contractVersion":}` | 404
   */
 final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBackend,
-                                 port: Int = 0) {
+                                 port: Int = 0,
+                                 products: Option[graft.products.DataProductBackend] = None) {
 
   private var server: Option[HttpServer] = None
 
@@ -79,6 +95,9 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     catch {
       case e: NoSuchElementException =>
         respond(ex, 400, s"""{"error":"missing parameter: ${e.getMessage}"}""")
+      case e: IllegalArgumentException => // caller error (bad id/version/state), not a server fault
+        respond(ex, 400, JsonMethods.compact(JsonMethods.render(
+          JObject("error" -> JString(String.valueOf(e.getMessage))))))
       case e: Exception =>
         respond(ex, 500, JsonMethods.compact(JsonMethods.render(
           JObject("error" -> JString(String.valueOf(e.getMessage))))))
@@ -151,6 +170,70 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
             "status" -> st.map(statusJson).getOrElse(JNull: JValue))
         }))))
     })
+
+    products.foreach { pb =>
+      import graft.products.DataProductJson
+      def body(ex: HttpExchange): String =
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      s.createContext("/products/versions", handler { (ex, p) =>
+        respond(ex, 200, jsonIds("versions", pb.listVersions(p("id"))))
+      })
+      s.createContext("/products/get", handler { (ex, p) =>
+        pb.get(p("id"), p("version")) match {
+          case Some(d) => respond(ex, 200, DataProductJson.toJson(d))
+          case None => respond(ex, 404, """{"error":"not found"}""")
+        }
+      })
+      s.createContext("/products/latest", handler { (ex, p) =>
+        pb.latest(p("id")) match {
+          case Some(d) => respond(ex, 200, DataProductJson.toJson(d))
+          case None => respond(ex, 404, """{"error":"not found"}""")
+        }
+      })
+      s.createContext("/products/put", handler { (ex, _) =>
+        pb.put(DataProductJson.fromJson(body(ex)))
+        respond(ex, 204, "")
+      })
+      def registrationJson(r: graft.products.RegistrationResult): String =
+        JsonMethods.compact(JsonMethods.render(JObject(
+          "changed" -> JBool(r.changed),
+          "product" -> DataProductJson.toJValue(r.product))))
+      s.createContext("/products/register-input", handler { (ex, p) =>
+        val r = pb.registerInputPort(p("id"),
+          DataProductJson.inputPortFromJson(body(ex)),
+          bump = p.getOrElse("bump", "minor"),
+          sourceDataProduct = p.get("sourceDataProduct"),
+          sourceOutputPort = p.get("sourceOutputPort"))
+        respond(ex, 200, registrationJson(r))
+      })
+      s.createContext("/products/register-output", handler { (ex, p) =>
+        val r = pb.registerOutputPort(p("id"),
+          DataProductJson.outputPortFromJson(body(ex)),
+          bump = p.getOrElse("bump", "minor"))
+        respond(ex, 200, registrationJson(r))
+      })
+      s.createContext("/products/review", handler { (ex, p) =>
+        val reviewed = pb.reviewDraft(p("id"), p("version"), p("approve").toBoolean)
+        respond(ex, 200, DataProductJson.toJson(reviewed))
+      })
+      s.createContext("/products/resolve-output", handler { (ex, p) =>
+        pb.resolveOutputContract(p("id"), p("port")) match {
+          case Some((cid, cv)) => respond(ex, 200,
+            JsonMethods.compact(JsonMethods.render(JObject(
+              "contractId" -> JString(cid), "contractVersion" -> JString(cv)))))
+          case None => respond(ex, 404, """{"error":"not found"}""")
+        }
+      })
+      s.createContext("/products", handler { (ex, p) =>
+        val listing = pb.listDataProducts(
+          limit = p.get("limit").map(_.toInt), offset = p.get("offset").fold(0)(_.toInt))
+        respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+          "items" -> JArray(listing.items.toList.map(JString(_))),
+          "total" -> JInt(listing.total),
+          "limit" -> listing.limit.map(l => JInt(l): JValue).getOrElse(JNull),
+          "offset" -> JInt(listing.offset)))))
+      })
+    }
 
     // small fixed pool: a metadata facade, not a data plane
     s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))

@@ -104,4 +104,69 @@ class HttpServiceSpec extends SparkSpec {
       assert(getJson(s"$url/governance/status?dataset=nope&version=v9")._1 == 404)
     }
   }
+
+  private def post(url: String, body: String): (Int, String) = {
+    val r = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("data-product family served over HTTP: register, review, resolve, page") {
+    val root = tmpDir("graft_http_products")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val pb = new graft.products.DataProductBackend(s"$root/products")
+    val server = new GovernanceHttpServer(store, gov, products = Some(pb))
+    val port = server.start()
+    val url = s"http://127.0.0.1:$port"
+    try {
+      // empty listing has the paging envelope
+      val (lc0, empty) = getJson(s"$url/products")
+      assert(lc0 == 200 && empty.contains("\"items\":[]") && empty.contains("\"total\":0"))
+
+      // register an output port -> fresh draft revision over the wire
+      val (rc, reg) = post(s"$url/products/register-output?id=dp.sales",
+        """{"name":"gold","version":"1.0.0","contractId":"sales.orders"}""")
+      assert(rc == 200 && reg.contains("\"changed\":true")
+        && reg.contains("\"version\":\"0.1.0-draft\""), reg)
+      // identical re-registration is a no-op
+      assert(post(s"$url/products/register-output?id=dp.sales",
+        """{"name":"gold","version":"1.0.0","contractId":"sales.orders"}""")
+        ._2.contains("\"changed\":false"))
+
+      // input port with provenance properties
+      val (ic, inReg) = post(
+        s"$url/products/register-input?id=dp.sales&sourceDataProduct=dp.raw&sourceOutputPort=bronze",
+        """{"name":"orders-in","version":"2.0.0","contractId":"sales.orders"}""")
+      assert(ic == 200 && inReg.contains("dc43.input.source_data_product")
+        && inReg.contains("\"changed\":true"), inReg)
+
+      // review the latest draft to active; reviewing it again is a clean 400
+      val version = pb.latest("dp.sales").get.version.get
+      val (vc, reviewed) = post(s"$url/products/review?id=dp.sales&version=$version&approve=true", "")
+      // get/latest/review bodies are pretty-printed ODPS — normalise before matching
+      assert(vc == 200 && reviewed.replaceAll("\\s", "").contains("\"status\":\"active\""), reviewed)
+      assert(post(s"$url/products/review?id=dp.sales&version=$version&approve=true", "")._1 == 400)
+
+      // resolve-output and the listing/get/latest/versions family
+      val (oc, resolved) = getJson(s"$url/products/resolve-output?id=dp.sales&port=gold")
+      assert(oc == 200 && resolved.contains("\"contractId\":\"sales.orders\""))
+      assert(getJson(s"$url/products/resolve-output?id=dp.sales&port=nope")._1 == 404)
+      assert(getJson(s"$url/products/latest?id=dp.sales")._1 == 200)
+      assert(getJson(s"$url/products/get?id=dp.sales&version=$version")._1 == 200)
+      assert(getJson(s"$url/products/get?id=dp.sales&version=9.9.9")._1 == 404)
+      assert(getJson(s"$url/products/versions?id=dp.sales")._2.contains(version))
+      val (pc, page) = getJson(s"$url/products?limit=1&offset=0")
+      assert(pc == 200 && page.contains("\"items\":[\"dp.sales\"]")
+        && page.contains("\"total\":1") && page.contains("\"limit\":1"))
+
+      // full ODPS document round-trip through put + get
+      val doc = pb.latest("dp.sales").get
+      post(s"$url/products/put", graft.products.DataProductJson.toJson(doc.copy(
+        version = Some("9.0.0"), status = "active")))
+      assert(getJson(s"$url/products/get?id=dp.sales&version=9.0.0")._1 == 200)
+    } finally server.stop()
+  }
 }
