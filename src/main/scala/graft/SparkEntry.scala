@@ -621,6 +621,20 @@ object SparkEntry {
         .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
       graft.ops.Bpe.segmentCounts(docs, merges)
     }),
+    // the ORDERED token stream (what a packer consumes, where
+    // q_bpe_segment only sizes it): one zero-shuffle array-lambda
+    // projection, document order preserved by construction — gated on
+    // the space-joined sequence so the oracle checks ORDER, not just
+    // counts
+    "q_bpe_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.ops.Bpe.trainMerges(docs, 5)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
+      graft.ops.Bpe.segmentTokens(docs, merges)
+        .select(col("doc_id"), array_join(col("tokens"), " ").as("toks"),
+          col("n_tokens"))
+    }),
     // TrustRank: the same graph, teleport restricted to a trusted seed
     // set (nation-0 suppliers) — random-walk proximity to vetted nodes,
     // the crawl-curation spam prior; unreachable nodes stay exactly 0
@@ -1412,6 +1426,9 @@ object SparkEntry {
     // different algorithms agreeing on the same total-ordered spec
     "q_bpe_train64" -> (bpeCtes(64) + bpeMergesSelect(64)),
     "q_bpe_segment" -> bpeSegmentSql,
+    // ordered token stream: subscript-sorted string_agg vs Spark's
+    // order-by-construction lambdas — order itself is what's gated
+    "q_bpe_tokenize" -> bpeTokenizeSql,
     // KMV sketch: the k=64 smallest distinct 60-bit hashes per source
     // re-derived exactly (same md5 bits, same HUGEINT integral division
     // as the Spark DECIMAL(38,0) `div`)
@@ -3112,6 +3129,36 @@ object SparkEntry {
       |  tops AS (SELECT $topCols FROM $topSrcs)
       |SELECT doc_id, CAST(sum(len(string_split($folded, ' '))) AS BIGINT) AS n_tokens
       |FROM docw CROSS JOIN tops GROUP BY doc_id""".stripMargin
+  }
+
+  /** The q_bpe_tokenize oracle: the training CTEs, the merges folded
+    * over every word, then the per-doc token string rebuilt IN WORD
+    * ORDER (`string_agg ... ORDER BY ord`) — a genuinely different
+    * order-preservation mechanism (explicit subscript sort) than the
+    * Spark side's order-by-construction array lambdas. Documents with
+    * no words keep an empty-string row, matching `segmentTokens`'
+    * every-input-row contract. */
+  private def bpeTokenizeSql: String = {
+    val folded = (1 to 5).foldLeft(
+      "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>'") {
+      (acc, i) => s"replace($acc, tops.p$i, tops.m$i)"
+    }
+    val topCols = (1 to 5).map(i => s"t$i.pair AS p$i, t$i.m AS m$i").mkString(", ")
+    val topSrcs = (1 to 5)
+      .map(i => s"(SELECT pair, replace(pair, ' ', '') AS m FROM top$i) t$i")
+      .mkString(" CROSS JOIN ")
+    bpeCtes(5) + s""",
+      |  docw AS (SELECT doc_id,
+      |      unnest(regexp_extract_all(lower(text), '\\S+')) AS word,
+      |      generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1) AS ord
+      |    FROM documents),
+      |  tops AS (SELECT $topCols FROM $topSrcs),
+      |  seg AS (SELECT doc_id, string_agg($folded, ' ' ORDER BY ord) AS toks,
+      |      CAST(sum(len(string_split($folded, ' '))) AS BIGINT) AS n_tokens
+      |    FROM docw CROSS JOIN tops GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(seg.toks, '') AS toks,
+      |  CAST(coalesce(seg.n_tokens, 0) AS BIGINT) AS n_tokens
+      |FROM documents d LEFT JOIN seg USING (doc_id)""".stripMargin
   }
 
   /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */

@@ -234,4 +234,29 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(sum(col("_bpe_n")).as("n_tokens"))
   }
+
+  /** The ORDERED subword token sequence per document — what a sequence
+    * packer or training-shard writer actually consumes ([[segmentCounts]]
+    * only sizes it). ZERO shuffle and no explode/regroup round-trip:
+    * the whole segmentation is one array-lambda projection
+    * (`transform` over the split word array, merges folded as literal
+    * `replace`s inside the lambda, `flatten` back) so document order is
+    * preserved BY CONSTRUCTION rather than re-established by a sort,
+    * and the operator runs unchanged on streaming frames (stateless
+    * projection — the ingest-time tokenisation shape). Emits every
+    * input document: a whitespace-only text yields an empty `tokens`
+    * array with `n_tokens` 0, not a dropped row. */
+  def segmentTokens(docs: DataFrame, merges: Seq[(String, String)],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def foldWord(w: Column): Column =
+      merges.foldLeft(charUnits(w)) {
+        case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
+      }
+    docs.select(col(idCol),
+      flatten(transform(
+        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0),
+        w => split(foldWord(w), " "))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
 }

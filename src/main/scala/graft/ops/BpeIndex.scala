@@ -85,6 +85,14 @@ object BpeIndex {
                     textCol: String = "text"): DataFrame =
     Bpe.segmentCounts(docs, loadMerges(spark, dir), idCol, textCol)
 
+  /** Ordered token sequences against the frozen artifact — the
+    * zero-shuffle [[Bpe.segmentTokens]] projection with merges loaded
+    * once at plan time; batch or stream. */
+  def segmentTokens(spark: SparkSession, dir: String, docs: DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    Bpe.segmentTokens(docs, loadMerges(spark, dir), idCol, textCol)
+
   def readMeta(spark: SparkSession, dir: String): Meta = {
     implicit val fmts: Formats = DefaultFormats
     val json = spark.sparkContext.textFile(s"$dir/meta.json", 1).collect().mkString

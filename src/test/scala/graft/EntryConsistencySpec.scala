@@ -29,7 +29,7 @@ class EntryConsistencySpec extends AnyFunSuite {
       assert(sql.trim.nonEmpty, s"$k has an empty oracle")
       val refs = tableRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // CTE names are declared in the same statement — subtract them
-      val cteRe = "(?i)(?:with(?:\\s+recursive)?|,)\\s*([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+      val cteRe = "(?i)(?:with(?:\\s+recursive)?|,)\\s*([a-z_][a-z0-9_]*)\\s+as\\s*(?:(?:not\\s+)?materialized\\s+)?\\(".r
       val sub = "(?i)\\(\\s*select".r
       val ctes = cteRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // DuckDB table functions are relations too

@@ -68,6 +68,28 @@ class BpeIndexSpec extends SparkSpec {
     assert(viaIndex == direct && viaIndex.nonEmpty)
   }
 
+  test("segmentTokens through the artifact: ordered join equals the counts") {
+    val dir = tmp()
+    val docs = corpusA.toDF("doc_id", "text")
+    BpeIndex.build(docs, dir, nMerges = 3)
+    val toks = BpeIndex.segmentTokens(spark, dir, docs)
+      .select($"doc_id", $"tokens", $"n_tokens")
+      .as[(Long, Seq[String], Long)].collect().toSeq
+    val counts = BpeIndex.segmentCounts(spark, dir, docs).as[(Long, Long)].collect().toMap
+    assert(toks.nonEmpty && toks.forall { case (id, ts, n) =>
+      ts.length.toLong == n && counts(id) == n })
+    // the sequence re-joins to the folded text: no token is lost or reordered
+    val m = BpeIndex.loadMerges(spark, dir)
+    val folded = { (w: String) =>
+      m.foldLeft(w.toSeq.mkString(" ") + " </w>") { case (s, (p, g)) => s.replace(p, g) } }
+    for ((id, ts, _) <- toks) {
+      val text = corpusA.toMap.apply(id)
+      val expect = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(folded).mkString(" ")
+      assert(ts.mkString(" ") == expect, s"doc $id: ${ts.mkString(" ")} vs $expect")
+    }
+  }
+
   test("in-place merge is rejected before any write") {
     val dir = tmp()
     BpeIndex.build(corpusA.toDF("doc_id", "text"), dir, nMerges = 2)

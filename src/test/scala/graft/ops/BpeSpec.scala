@@ -116,6 +116,26 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("segmentTokens: ordered sequences, zero shuffle, counts consistent") {
+    val docs = Seq((1L, "low lower"), (2L, "  "), (3L, "newest")).toDF("doc_id", "text")
+    // frozen merges: e+s, es+t — "newest" -> n e w est </w>
+    val m = Seq(("e s", "es"), ("es t", "est"))
+    val out = Bpe.segmentTokens(docs, m).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getLong(2)))
+    assert(out(0) == ((1L, List("l", "o", "w", "</w>", "l", "o", "w", "e", "r", "</w>"), 10L)),
+      s"doc1: ${out(0)}")
+    // whitespace-only doc keeps its row with an empty sequence
+    assert(out(1) == ((2L, Nil, 0L)), s"doc2: ${out(1)}")
+    assert(out(2) == ((3L, List("n", "e", "w", "est", "</w>"), 5L)), s"doc3: ${out(2)}")
+    // counts agree with segmentCounts on every non-empty doc
+    val counts = Bpe.segmentCounts(docs, m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.filter(_._3 > 0).forall(o => counts(o._1) == o._3))
+    // the projection plans with no exchange: tokenisation is shuffle-free
+    val plan = Bpe.segmentTokens(docs, m).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("trainMergesLocal maxTypes cap is deterministic and drains gracefully") {
     val docs = Seq((1L, "aa aa aa bb bb c")).toDF("doc_id", "text")
     val vocab = Bpe.wordVocab(docs)
