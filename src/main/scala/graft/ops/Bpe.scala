@@ -254,9 +254,10 @@ object Bpe {
         case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
       }
     docs.select(col(idCol),
-      flatten(transform(
-        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0),
-        w => split(foldWord(w), " "))).as("tokens"))
+      coalesce(flatten(transform(
+          filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0),
+          w => split(foldWord(w), " "))),
+        array().cast("array<string>")).as("tokens")) // null text -> [], not null
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 }

@@ -73,6 +73,34 @@ object ScaleCorrectness {
     labels
   }
 
+  /** Synchronous plurality label propagation re-derived from the SPEC
+    * with a deliberately different plan: window-function ranking
+    * (row_number over count DESC, label ASC) instead of the engine's
+    * single-aggregation min_by struct, no dst-hash repartition hint, no
+    * per-round checkpointing — same pure function of (edge set, iters),
+    * nothing shared with Graph.labelPropagation's execution shape. */
+  private def naiveLabelProp(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
+    val nodes = e.select(col("s").as("node")).union(e.select(col("d"))).distinct()
+    var labels = graft.ops.Caching.materialize(
+      nodes.select(col("node"), col("node").as("label")))
+    for (_ <- 1 to iters) {
+      val votes = e.join(labels.select(col("node").as("s"), col("label")), Seq("s"))
+        .groupBy(col("d"), col("label")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("d"))
+        .orderBy(col("n").desc, col("label").asc)
+      val winners = votes.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).select(col("d").as("node"), col("label").as("_w"))
+      val next = graft.ops.Caching.materialize(
+        labels.join(winners, Seq("node"), "left")
+          .select(col("node"), coalesce(col("_w"), col("label")).as("label")))
+      graft.ops.Caching.releaseMaterialized(labels)
+      labels = next
+    }
+    labels
+  }
+
   /** Per-node triangle counts via full-adjacency set intersection. */
   private def trianglesByIntersection(edges: DataFrame): DataFrame = {
     val und = edges
@@ -152,6 +180,28 @@ object ScaleCorrectness {
         labelMismatch == 0 && canonMismatch == 0 && edgeSplit == 0 && badMin == 0,
         s"${pairs.count()} pairs, ${engine.count()} docs, " +
           s"mismatch=$labelMismatch/$canonMismatch split=$edgeSplit badmin=$badMin")
+    }
+
+    locally {
+      // the same co-purchase graph q_labelprop runs on (orders x
+      // lineitem, distinct, symmetrised), rebuilt here from the tables
+      val o = spark.read.parquet(s"$bigDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = spark.read.parquet(s"$bigDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cp = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 10000000L).as("p"))
+        .distinct()
+      val edges = cp.select(col("c").as("src"), col("p").as("dst"))
+        .union(cp.select(col("p").as("src"), col("c").as("dst")))
+      val engine = SparkEntry.queries("q_labelprop")(spark, bigDir)
+      val indep = naiveLabelProp(edges, 5)
+      report("q_labelprop",
+        "labels == window-ranked naive recompute (exact, 5 rounds)",
+        exactEq(engine.select(col("node").cast("long"), col("label").cast("long")),
+          indep.select(col("node").cast("long"), col("label").cast("long"))),
+        s"${engine.count()} nodes at ${replicas}x")
     }
 
     locally {

@@ -117,7 +117,8 @@ class BpeSpec extends SparkSpec {
   }
 
   test("segmentTokens: ordered sequences, zero shuffle, counts consistent") {
-    val docs = Seq((1L, "low lower"), (2L, "  "), (3L, "newest")).toDF("doc_id", "text")
+    val docs = Seq((1L, Some("low lower")), (2L, Some("  ")), (3L, Some("newest")),
+      (4L, None)).toDF("doc_id", "text")
     // frozen merges: e+s, es+t — "newest" -> n e w est </w>
     val m = Seq(("e s", "es"), ("es t", "est"))
     val out = Bpe.segmentTokens(docs, m).orderBy("doc_id")
@@ -127,6 +128,8 @@ class BpeSpec extends SparkSpec {
     // whitespace-only doc keeps its row with an empty sequence
     assert(out(1) == ((2L, Nil, 0L)), s"doc2: ${out(1)}")
     assert(out(2) == ((3L, List("n", "e", "w", "est", "</w>"), 5L)), s"doc3: ${out(2)}")
+    // null text keeps its row with an empty sequence too
+    assert(out(3) == ((4L, Nil, 0L)), s"doc4: ${out(3)}")
     // counts agree with segmentCounts on every non-empty doc
     val counts = Bpe.segmentCounts(docs, m).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
