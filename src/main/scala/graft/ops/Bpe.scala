@@ -172,12 +172,31 @@ object Bpe {
       if (nv == 0L) pairCounts.remove(p) else pairCounts.update(p, nv)
     }
     for (i <- words.indices; p <- pairsOf(words(i))) bump(p, cnts(i))
+    // tie-break comparison in UTF-8 UNSIGNED-BYTE order — Spark's
+    // UTF8String and DuckDB both sort strings by their UTF-8 bytes, and
+    // Java String '<' (UTF-16 code units) DISAGREES with that for
+    // supplementary characters (surrogate pairs start 0xD8xx, below
+    // U+E000..U+FFFF in UTF-16 but above in UTF-8): an emoji-containing
+    // pair tied on count would pick a different winner and diverge the
+    // whole merge chain from the distributed trainer and the oracle
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val m = math.min(x.length, y.length)
+      var i = 0
+      while (i < m) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to nMerges if pairCounts.nonEmpty) {
       // (count DESC, pair ASC) — the distributed trainer's total order
       val (bestPair, bestCnt) = pairCounts.foldLeft(("", Long.MinValue)) {
         case (acc @ (bp, bc), (p, c)) =>
-          if (c > bc || (c == bc && p < bp)) (p, c) else acc
+          if (c > bc || (c == bc && utf8Less(p, bp))) (p, c) else acc
       }
       val merged = bestPair.replace(" ", "")
       out += ((step, bestPair, merged, bestCnt))

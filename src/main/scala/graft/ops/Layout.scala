@@ -289,23 +289,47 @@ object Layout {
     * directory, or reading both locations double-counts every
     * compacted row. Kept out of this method so a crash mid-rewrite
     * never loses data (write-then-swap, the [[graft.io.MergeIO]]
-    * posture). */
+    * posture).
+    *
+    * HIVE-PARTITIONED tables need `basePath` (the table root the plan
+    * was built from): the leaf files are then read with Spark's
+    * `basePath` option so the partition columns survive as data, and
+    * the rewrite `partitionBy`s them back out — `outPath` gets the same
+    * `k=v/` layout and partition pruning keeps working. Without it,
+    * reading bare leaf files would silently DROP every partition-column
+    * value and flatten the table, so a plan whose files carry `k=v`
+    * segments is REJECTED (loudly) when `basePath` is absent. Still one
+    * distributed job: rows co-partition by the partition columns, so
+    * each output partition writes ~one merged file. */
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
                         plan: Seq[Seq[(String, Long)]], outPath: String,
                         targetBytes: Long,
-                        sortCols: Seq[String] = Nil): (Int, Int) = {
+                        sortCols: Seq[String] = Nil,
+                        basePath: Option[String] = None): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val files = plan.flatten.map(_._1)
     if (files.isEmpty) return (0, 0)
+    // partition keys from the k=v path segments (directory parts only)
+    def partKeys(f: String): Seq[String] = f.split('/').dropRight(1).toSeq
+      .filter(seg => seg.contains('=') && !seg.startsWith("=")).map(_.takeWhile(_ != '='))
+    val partCols = files.flatMap(partKeys).distinct
+    require(partCols.isEmpty || basePath.nonEmpty,
+      s"plan contains Hive-partitioned files (columns ${partCols.mkString(", ")}) — " +
+        "pass basePath=<table root> or the rewrite would drop their partition values")
     val totalBytes = plan.flatten.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(files: _*)
+    val reader = basePath.fold(spark.read)(b => spark.read.option("basePath", b))
+    val df = reader.parquet(files: _*)
+    val shapeCols = (partCols ++ sortCols).map(col)
     val shaped =
       if (sortCols.nonEmpty)
-        df.repartitionByRange(nOut, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
+        df.repartitionByRange(nOut, shapeCols: _*)
+          .sortWithinPartitions(shapeCols: _*)
+      else if (partCols.nonEmpty) df.repartition(nOut, shapeCols: _*)
       else df.repartition(nOut)
-    shaped.write.mode("overwrite").parquet(outPath)
+    val writer = shaped.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(outPath)
     (files.size, nOut)
   }
 }

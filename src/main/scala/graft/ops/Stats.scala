@@ -447,21 +447,27 @@ object Stats {
         sum(col("_x") * col("_x") * col("_x")).as("_s3"),
         sum(col("_x") * col("_x") * col("_x") * col("_x")).as("_s4"),
         max(abs(col("_x"))).as("_mx"))
-    val n = col("_n"); val s1 = col("_s1"); val s2 = col("_s2")
+    val s1 = col("_s1"); val s2 = col("_s2")
     val s3 = col("_s3"); val s4 = col("_s4")
     // loud envelope guard (see scaladoc): past n·max|x| = 2e9 the
-    // quartic products would overflow DECIMAL(38,0) and silently null
-    val guarded = when(n * col("_mx") <= lit(2000000000L).cast(d38), n)
+    // quartic products would overflow DECIMAL(38,0) and silently null.
+    // The guard rides INSIDE the n every output uses (+0 when in
+    // envelope) — an output-only guard column would be removed by
+    // column pruning whenever the caller doesn't select it, silently
+    // restoring the wrong-null behavior it exists to prevent.
+    val gate = when(col("_n") * col("_mx") <= lit(2000000000L).cast(d38),
+        lit(0L).cast(d38))
       .otherwise(raise_error(concat(
         lit("momentsByGroup: group "), col("_grp").cast("string"),
         lit(" exceeds the exact-arithmetic envelope (n*max|x*10^d| > 2e9)"),
-        lit(" - lower `decimals`"))))
+        lit(" - lower `decimals`"))).cast(d38))
+    val n = col("_n") + gate
     val bB = (n * s2 - s1 * s1).cast(DoubleType)
     val aA = (n * n * s3 - lit(3) * n * s1 * s2 + lit(2) * s1 * s1 * s1)
       .cast(DoubleType)
     val cC = (n * n * n * s4 - lit(4) * n * n * s1 * s3 +
       lit(6) * n * s1 * s1 * s2 - lit(3) * s1 * s1 * s1 * s1).cast(DoubleType)
-    agg.select(col("_grp").as(groupCol), guarded.cast("bigint").as("n"),
+    agg.select(col("_grp").as(groupCol), n.cast("bigint").as("n"),
       round(s1.cast(DoubleType) / (n.cast(DoubleType) * lit(f.toDouble)), 6)
         .as("mean"),
       when(n * s2 - s1 * s1 === 0, lit(null))

@@ -98,6 +98,10 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       case e: IllegalArgumentException => // caller error (bad id/version/state), not a server fault
         respond(ex, 400, JsonMethods.compact(JsonMethods.render(
           JObject("error" -> JString(String.valueOf(e.getMessage))))))
+      case e @ (_: org.json4s.ParserUtil.ParseException |
+                _: com.fasterxml.jackson.core.JacksonException) => // malformed request JSON
+        respond(ex, 400, JsonMethods.compact(JsonMethods.render(
+          JObject("error" -> JString("malformed JSON body: " + String.valueOf(e.getMessage))))))
       case e: Exception =>
         respond(ex, 500, JsonMethods.compact(JsonMethods.render(
           JObject("error" -> JString(String.valueOf(e.getMessage))))))
@@ -133,7 +137,12 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       respond(ex, 204, "")
     })
     s.createContext("/contracts", handler { (ex, _) =>
-      respond(ex, 200, jsonIds("ids", contracts.listContractIds()))
+      // prefix-match guard: an unregistered /contracts/* subpath must
+      // 404, not answer with the id listing (see the /products twin)
+      val path = ex.getRequestURI.getPath
+      if (path != "/contracts" && path != "/contracts/")
+        respond(ex, 404, """{"error":"not found"}""")
+      else respond(ex, 200, jsonIds("ids", contracts.listContractIds()))
     })
 
     s.createContext("/governance/status", handler { (ex, p) =>
@@ -225,13 +234,22 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
         }
       })
       s.createContext("/products", handler { (ex, p) =>
-        val listing = pb.listDataProducts(
-          limit = p.get("limit").map(_.toInt), offset = p.get("offset").fold(0)(_.toInt))
-        respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-          "items" -> JArray(listing.items.toList.map(JString(_))),
-          "total" -> JInt(listing.total),
-          "limit" -> listing.limit.map(l => JInt(l): JValue).getOrElse(JNull),
-          "offset" -> JInt(listing.offset)))))
+        // JDK HttpServer contexts are PREFIX matches: any /products/*
+        // subpath with no specific context lands here — a typo'd or
+        // unsupported route must 404, not echo a 200 listing that a
+        // client would read as its operation succeeding
+        val path = ex.getRequestURI.getPath
+        if (path != "/products" && path != "/products/")
+          respond(ex, 404, """{"error":"not found"}""")
+        else {
+          val listing = pb.listDataProducts(
+            limit = p.get("limit").map(_.toInt), offset = p.get("offset").fold(0)(_.toInt))
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "items" -> JArray(listing.items.toList.map(JString(_))),
+            "total" -> JInt(listing.total),
+            "limit" -> listing.limit.map(l => JInt(l): JValue).getOrElse(JNull),
+            "offset" -> JInt(listing.offset)))))
+        }
       })
     }
 

@@ -42,8 +42,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCorrectness {
 
-  private def exactEq(a: DataFrame, b: DataFrame): Boolean =
-    a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+  /** MULTISET equality: rows collapsed to (row, multiplicity) before
+    * the two-way except — plain `except` is set-semantics and would
+    * miss compensating duplicates (engine emits {x, x, y} vs recompute
+    * {x, y, y}: counts match and both excepts are empty). */
+  private def exactEq(a: DataFrame, b: DataFrame): Boolean = {
+    def counted(df: DataFrame) = df.groupBy(df.columns.map(col): _*)
+      .agg(count(lit(1)).as("_mult"))
+    a.count() == b.count() &&
+      counted(a).except(counted(b)).isEmpty &&
+      counted(b).except(counted(a)).isEmpty
+  }
 
   /** Plain neighbour min-label propagation to fixpoint — deliberately
     * the naive O(diameter) algorithm, sharing nothing with

@@ -97,6 +97,20 @@ class SeriesSpec extends SparkSpec {
     }
     assert(msgs(ex2).exists(m => m != null &&
       (m.contains("envelope") || m.contains("Decimal"))), s"got: $ex2")
+    // the guard must survive COLUMN PRUNING: selecting only kurtosis
+    // (not n) once dropped the guard column entirely and silently
+    // restored the wrong-null behavior — the gate now rides inside the
+    // n every output uses, so pruning cannot remove it
+    val ansiWas2 = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val ex3 = intercept[Exception] {
+        graft.ops.Stats.momentsByGroup(wide, "g", "v", decimals = 2)
+          .select("g", "kurtosis").collect()
+      }
+      assert(msgs(ex3).exists(m => m != null && m.contains("envelope")),
+        s"pruned projection must still hit the guard, got: $ex3")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas2)
     // in-envelope wide-ish values still compute (n*max = 3e9*... ok at d=0)
     val ok = graft.ops.Stats.momentsByGroup(
       Seq("g" -> 100.0, "g" -> 200.0, "g" -> 400.0).toDF("g", "v"),

@@ -106,6 +106,14 @@ class BpeSpec extends SparkSpec {
     // trainer must replicate the stringy replace semantics exactly
     val (d2, l2) = both(Seq("aaa aa aaaa", "ab b bb abb"), 8)
     assert(d2 == l2, s"adversarial: dist $d2 vs local $l2")
+    // non-BMP tie-break: after ("a </w>", 2) merges, the pairs
+    // ("� a</w>") and ("😀 a</w>") tie at 1. Spark/DuckDB compare
+    // UTF-8 bytes (� = EF BF BD < F0 9F 98 80 = 😀) while Java
+    // String '<' compares UTF-16 units (\uD83D < �) — the local
+    // trainer must follow the engines' byte order or the chains diverge
+    val (d3, l3) = both(Seq("😀a �a"), 2)
+    assert(d3 == l3, s"non-BMP tie: dist $d3 vs local $l3")
+    assert(d3(1)._2 == "� a</w>", s"UTF-8 order must win the tie: $d3")
     // deterministic seeded fuzz across random small vocabs
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {

@@ -222,6 +222,38 @@ class LayoutSpec extends SparkSpec {
       .flatten.forall(!_._1.contains("_manifest")))
   }
 
+  test("compactSmallFiles keeps the hive partition layout (and refuses silent flattening)") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_hive2").toString
+    (0 until 12).map(i => (i.toLong, i % 2, s"payload_$i" * 50))
+      .toDF("id", "part", "s")
+      .repartition(12, col("id")).write.mode("overwrite")
+      .partitionBy("part").parquet(dir)
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.length())
+    val plan = Layout.compactionPlan(spark, dir, targetBytes = sizes.max * 6)
+    assert(plan.nonEmpty)
+    // a partitioned plan without basePath would drop every partition
+    // value into a flat rewrite — rejected loudly, not silently
+    val outDir = java.nio.file.Files.createTempDirectory("compact_hive2_out").toString
+    intercept[IllegalArgumentException] {
+      Layout.compactSmallFiles(spark, plan, outDir, sizes.max * 6)
+    }
+    // with basePath the rewrite keeps the k=v layout and the values
+    Layout.compactSmallFiles(spark, plan, outDir, sizes.max * 6,
+      basePath = Some(dir))
+    assert(new java.io.File(outDir).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("part=")), "k=v dirs must survive")
+    val out = spark.read.parquet(outDir)
+    val planned = spark.read.option("basePath", dir)
+      .parquet(plan.flatten.map(_._1): _*)
+    assert(out.count() == planned.count())
+    // per-partition row multiset preserved (ids per part value)
+    val a = out.groupBy("part").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = planned.groupBy("part").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == b, s"per-partition counts: $a vs $b")
+  }
+
   test("zOrderBy preserves rows and drops the internal column") {
     val df = (0 until 500)
       .map(i => (i.toLong, (i * 7L) % 101, (i * 13L) % 101)).toDF("id", "a", "b")

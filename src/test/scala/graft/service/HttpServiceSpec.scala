@@ -167,6 +167,15 @@ class HttpServiceSpec extends SparkSpec {
       post(s"$url/products/put", graft.products.DataProductJson.toJson(doc.copy(
         version = Some("9.0.0"), status = "active")))
       assert(getJson(s"$url/products/get?id=dp.sales&version=9.0.0")._1 == 200)
+
+      // an unregistered subpath must 404 (JDK contexts are PREFIX
+      // matches — without the guard a typo'd route echoes a 200
+      // listing that reads as success), on both listing families
+      assert(getJson(s"$url/products/lateset?id=dp.sales")._1 == 404)
+      assert(getJson(s"$url/contracts/lateset?id=x")._1 == 404)
+      // malformed JSON bodies are caller errors: 400, not 500
+      assert(post(s"$url/products/put", "not json")._1 == 400)
+      assert(post(s"$url/products/register-output?id=dp.sales", "{broken")._1 == 400)
     } finally server.stop()
   }
 }
