@@ -58,8 +58,9 @@ object Bench {
     // engine and differs only in the teleport frame, same precedent as
     // q_substr_strip sharing the spans computation)
     "q_pagerank",
-    // r8: BPE merge induction (q_bpe_segment not benched: its cost IS
-    // the training pass plus a stateless projection); r9 adds the
+    // r8: BPE merge induction (q_bpe_segment and q_bpe_tokenize not
+    // benched: their cost IS the training pass plus a stateless
+    // projection); r9 adds the
     // production-k path — distributed vocab agg + driver-side delta
     // merge loop (64 merges, no chained Spark jobs)
     "q_bpe_train", "q_bpe_train64",

@@ -124,7 +124,11 @@ object ScaleEvidence {
     // bigram-frame PMI + query-filtered BM25 text pair, and
     // degree-ordered triangles (pair self-join scales; the distinct
     // edge set largely repeats per replica)
-    "q_cube", "q_scd2", "q_pmi", "q_bm25", "q_triangles")
+    "q_cube", "q_scd2", "q_pmi", "q_bm25", "q_triangles",
+    // r9: production-k BPE induction (vocab-sized driver loop after one
+    // corpus aggregation — expect flat-ish) and the ordered token
+    // stream (zero-shuffle corpus projection — expect ~linear)
+    "q_bpe_train64", "q_bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)

@@ -77,6 +77,26 @@ class BpeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("segmentTokens runs on a stream with frozen merges: append-mode, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val learned = Seq(("l o", "lo"), ("lo w", "low"))
+    val data = Seq((1L, "low lower"), (2L, "newest"))
+    val batch = Bpe.segmentTokens(data.toDF("doc_id", "text"), learned)
+      .as[(Long, Seq[String], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val mem = MemoryStream[(Long, String)](spark)
+    // stateless projection -> append mode, no aggregation state at all
+    val q = Bpe.segmentTokens(mem.toDF().toDF("doc_id", "text"), learned)
+      .writeStream.format("memory").queryName("bpe_tok_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("bpe_tok_stream")
+        .as[(Long, Seq[String], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows == batch, s"stream $rows vs batch $batch")
+    } finally q.stop()
+  }
+
   test("word-type weighting: repeated words count once per occurrence") {
     // "to to to" vs "to": every pair of the single word type "to"
     // must be weighted by corpus frequency (4), not by word-type
