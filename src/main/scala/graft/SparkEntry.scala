@@ -327,6 +327,20 @@ object SparkEntry {
     }),
     // ---- training-data pipeline operators ------------------------------
     "q_text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
+    // Unicode NFC normalization through the native codegen'd expression
+    // (graft_nfc): the testdata is ASCII, so denormalized combining-mark
+    // dirt is injected deterministically (the dirtied-FK precedent) and
+    // spelled identically in the oracle; `changed` pins that the fast
+    // path leaves clean rows byte-identical while dirty rows compose
+    "q_unicode_nfc" -> ((s, d) => {
+      val dirty = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" cafe\u0301 nai\u0308ve caf\u00e9")))
+          .otherwise(col("text")).as("t2"))
+      dirty.select(col("doc_id"),
+        TextOps.nfc(col("t2")).as("norm_text"),
+        (TextOps.nfc(col("t2")) =!= col("t2")).as("changed"))
+    }),
     "q_tfidf" -> ((s, d) => TextOps.tfidf(t(s, d, "documents"))),
     // PMI collocations: bigrams bound tighter than their margins predict
     "q_pmi" -> ((s, d) => TextOps.pmiCollocations(t(s, d, "documents"))),
@@ -2318,6 +2332,21 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '$punct')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
          |  CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) / greatest($ntok, 1) AS avg_token_len
          |FROM documents""".stripMargin,
+    // same deterministic combining-mark dirt (chr() keeps the SQL pure
+    // ASCII: 769 = U+0301 combining acute, 776 = U+0308 combining
+    // diaeresis, 233 = precomposed U+00E9), normalized by DuckDB's own
+    // utf8proc NFC — an independent normalizer implementation agreeing
+    // byte-for-byte with java.text.Normalizer
+    "q_unicode_nfc" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've caf' || chr(233)
+        |      ELSE text END AS t2
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t2) AS norm_text,
+        |  nfc_normalize(t2) != t2 AS changed
+        |FROM dirty""".stripMargin,
     // buckets via the portable 60-bit hash; weights joined as micro-unit
     // BIGINTs so the sum is exact integer arithmetic in both engines
     "q_classifier_score" ->

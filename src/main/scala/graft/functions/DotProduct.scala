@@ -91,6 +91,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash60"),
       new ExpressionInfo(classOf[MinhashSigs60].getName, "graft_minhash60"),
       (children: Seq[Expression]) => MinhashSigs60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => UnicodeNormalize(children.head, nfkc = false)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfkc"),
+      (children: Seq[Expression]) => UnicodeNormalize(children.head, nfkc = true)))
     ext.injectOptimizerRule(_ => RewriteDotFold)
   }
 }

@@ -19,6 +19,19 @@ object TextOps {
     * pattern means the same thing in Java regex (Spark) and RE2 (oracle). */
   val PunctClass = "[!-/:-@\\[-`{-~]"
 
+  /** Unicode NFC normalization — the native codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression (`graft_nfc`):
+    * composes combining-mark sequences so the same visible word has one
+    * byte form before anything downstream (vocabulary, fingerprints,
+    * tokenizer merges). Pure-ASCII rows return the input buffer
+    * untouched. Requires [[graft.functions.GraftExtensions]]. */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Unicode NFKC — NFC plus compatibility folding (ligatures ﬁ→fi,
+    * full-width Ａ→A, circled digits) — the aggressive variant tokenizer
+    * pipelines prefer; spec-gated (no DuckDB twin). */
+  def nfkc(text: Column): Column = call_function("graft_nfkc", text)
+
   /** Whitespace-collapsed lower-cased text — the canonical form used for
     * fingerprints and shingles. */
   def normText(text: Column): Column =
