@@ -341,6 +341,21 @@ object SparkEntry {
         TextOps.nfc(col("t2")).as("norm_text"),
         (TextOps.nfc(col("t2")) =!= col("t2")).as("changed"))
     }),
+    // invisible-character stripping (the NFC pair's other half):
+    // deterministic zero-width/control dirt injected in both engines —
+    // ZWSP U+200B mid-word, BOM U+FEFF prefix, BEL U+0007, soft hyphen
+    // U+00AD — n_removed pins the exact per-row char count
+    "q_clean_text" -> ((s, d) => {
+      val dirty = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\uFEFF"), col("text"),
+            lit(" zero\u200Bwidth\u0007 soft\u00ADhyphen")))
+          .otherwise(col("text")).as("t2"))
+      dirty.select(col("doc_id"),
+        TextOps.cleanControlChars(col("t2")).as("clean_text"),
+        (length(col("t2")) - length(TextOps.cleanControlChars(col("t2"))))
+          .cast("long").as("n_removed"))
+    }),
     "q_tfidf" -> ((s, d) => TextOps.tfidf(t(s, d, "documents"))),
     // PMI collocations: bigrams bound tighter than their margins predict
     "q_pmi" -> ((s, d) => TextOps.pmiCollocations(t(s, d, "documents"))),
@@ -2337,6 +2352,22 @@ object SparkEntry {
     // diaeresis, 233 = precomposed U+00E9), normalized by DuckDB's own
     // utf8proc NFC — an independent normalizer implementation agreeing
     // byte-for-byte with java.text.Normalizer
+    // the SAME ControlClass constant drives both engines (\x{…} means
+    // the same thing in Java regex and RE2 — the PunctClass convention);
+    // dirt via chr(): 65279 = BOM, 8203 = ZWSP, 7 = BEL, 173 = SHY
+    "q_clean_text" -> {
+      val cc = graft.ops.TextOps.ControlClass
+      s"""WITH dirty AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN chr(65279) || text || ' zero' || chr(8203) || 'width' || chr(7) || ' soft' || chr(173) || 'hyphen'
+        |      ELSE text END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '$cc', '', 'g') AS clean_text,
+        |  CAST(length(t2) - length(regexp_replace(t2, '$cc', '', 'g')) AS BIGINT) AS n_removed
+        |FROM dirty""".stripMargin
+    },
     "q_unicode_nfc" ->
       """WITH dirty AS (
         |  SELECT doc_id,

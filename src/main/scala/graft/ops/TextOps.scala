@@ -32,6 +32,23 @@ object TextOps {
     * pipelines prefer; spec-gated (no DuckDB twin). */
   def nfkc(text: Column): Column = call_function("graft_nfkc", text)
 
+  /** Invisible-character class: C0 controls except tab/LF/CR, DEL + C1
+    * controls, zero-width space/joiners (U+200B–U+200D), word joiner
+    * (U+2060), BOM/ZWNBSP (U+FEFF) and soft hyphen (U+00AD) — the bytes
+    * crawled web text smuggles through every downstream length, shingle
+    * and tokenizer computation while rendering as nothing. `\x{…}`
+    * escapes mean the same thing in Java regex (Spark) and RE2 (oracle)
+    * — the [[PunctClass]] portability convention. */
+  val ControlClass: String =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F" +
+      "\\x{0080}-\\x{009F}\\x{00AD}\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]"
+
+  /** Strip invisible characters ([[ControlClass]]) — with [[nfc]] the
+    * standard ingest-time cleaning pair. One codegen'd regexp projection,
+    * zero shuffle, stream-admissible. */
+  def cleanControlChars(text: Column): Column =
+    regexp_replace(text, ControlClass, "")
+
   /** Whitespace-collapsed lower-cased text — the canonical form used for
     * fingerprints and shingles. */
   def normText(text: Column): Column =

@@ -496,3 +496,42 @@ class RepetitionSpec extends SparkSpec {
     assert(r.getDouble(6) == math.rint(23.0 / 37.0 * 1e6) / 1e6)
   }
 }
+
+class CleanControlSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("cleanControlChars strips every class member, keeps tab/LF/CR and visible text") {
+    // one of each class member between letters: BEL, VT, DEL, NEL (C1),
+    // soft hyphen, ZWSP, ZWNJ, ZWJ, word joiner, BOM — built from
+    // codepoints so the source stays visibly ASCII
+    val invisibles = Seq(0x07, 0x0B, 0x7F, 0x85, 0xAD,
+        0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF)
+      .map(cp => new String(Character.toChars(cp)))
+    val dirty = ('a' to 'k').map(_.toString).zipAll(invisibles, "", "")
+      .map { case (ch, inv) => ch + inv }.mkString
+    val kept = "1\t2\n3\r4 ok" // tab/LF/CR are NOT in the class
+    val out = Seq((1L, dirty), (2L, kept), (3L, "plain")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.cleanControlChars(col("text")).as("c"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "abcdefghijk", s"got ${out(0).map(_.toInt)}")
+    assert(out(1) == kept, "tab/LF/CR must survive")
+    assert(out(2) == "plain")
+  }
+
+  test("cleanControlChars + nfc compose as the ingest cleaning pair on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.nfc(TextOps.cleanControlChars(col("text"))).as("clean"))
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "cafe" + "́" + "​" + "!")) // decomposed + ZWSP
+      q.processAllAvailable()
+      val got = spark.table("clean_stream").collect().head.getString(1)
+      assert(got == "café!", s"got ${got.map(_.toInt)}")
+    } finally q.stop()
+  }
+}
