@@ -356,6 +356,23 @@ object SparkEntry {
         (length(col("t2")) - length(TextOps.cleanControlChars(col("t2"))))
           .cast("long").as("n_removed"))
     }),
+    // mojibake repair: the dirt is the double-encoding of a known
+    // string (computed here by actually UTF-8-encoding and misreading
+    // as Latin-1 — not hand-typed); Spark runs the general guarded
+    // decode(encode(...)) repair over the whole column, the oracle
+    // states the expected REPAIRED text directly (golden values, the
+    // q_multimodal_decode precedent — DuckDB has no encoding surface)
+    "q_mojibake" -> ((s, d) => {
+      val garbled = new String(
+        " café won’t".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val dirty = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(garbled)))
+          .otherwise(col("text")).as("t2"))
+      dirty.select(col("doc_id"),
+        TextOps.fixMojibake(col("t2")).as("fixed_text"),
+        (TextOps.fixMojibake(col("t2")) =!= col("t2")).as("changed"))
+    }),
     "q_tfidf" -> ((s, d) => TextOps.tfidf(t(s, d, "documents"))),
     // PMI collocations: bigrams bound tighter than their margins predict
     "q_pmi" -> ((s, d) => TextOps.pmiCollocations(t(s, d, "documents"))),
@@ -2352,6 +2369,17 @@ object SparkEntry {
     // diaeresis, 233 = precomposed U+00E9), normalized by DuckDB's own
     // utf8proc NFC — an independent normalizer implementation agreeing
     // byte-for-byte with java.text.Normalizer
+    // golden-values oracle: DuckDB independently states the repaired
+    // text (233 = U+00E9 é, 8217 = U+2019 right single quote) the
+    // guarded decode(encode(...)) repair must reproduce on dirty rows,
+    // and that clean rows pass through byte-identical
+    "q_mojibake" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' caf' || chr(233) || ' won' || chr(8217) || 't'
+        |    ELSE text END AS fixed_text,
+        |  doc_id % 7 = 0 AS changed
+        |FROM documents""".stripMargin,
     // the SAME ControlClass constant drives both engines (\x{…} means
     // the same thing in Java regex and RE2 — the PunctClass convention);
     // dirt via chr(): 65279 = BOM, 8203 = ZWSP, 7 = BEL, 173 = SHY

@@ -49,6 +49,44 @@ object TextOps {
   def cleanControlChars(text: Column): Column =
     regexp_replace(text, ControlClass, "")
 
+  /** Mojibake (double-encoded UTF-8) repair — ftfy's core move as a pure
+    * Column expression: text that was UTF-8 encoded, misread as
+    * Latin-1, and re-encoded renders as `Ã©` for `é`, `â€™` for `’`.
+    * The inverse is `decode(encode(s, ISO-8859-1), UTF-8)` with Spark's
+    * built-ins (codegen'd, zero shuffle). Guarded, because the inverse
+    * is only safe when it IS the inverse:
+    *
+    *  1. every codepoint must be < U+0100 (else `encode` to Latin-1 is
+    *     LOSSY — silently `?`-substitutes), and
+    *  2. the text must actually carry a UTF-8-as-Latin-1 signature — a
+    *     `[ÃÂâ]`-class lead byte followed by a continuation-range
+    *     char — or healthy accented Latin-1 text (`café`) would be
+    *     "repaired" into garbage.
+    *
+    * Rows failing either guard pass through unchanged; the repair is
+    * idempotent on its own output (repaired text no longer matches the
+    * signature). No DuckDB encoding surface exists, so this is
+    * spec-gated with golden pairs rather than oracle-gated. */
+  def fixMojibake(text: Column): Column = {
+    // the ENTIRE string must be the Latin-1 rendering of a valid UTF-8
+    // byte stream (ASCII | 2-byte C2-DF | 3-byte E0-EF | 4-byte F0-F4,
+    // each with continuation chars in the 80-BF image) — so the decode
+    // can never meet an invalid sequence and U+FFFD-mangle a row that
+    // merely LOOKED double-encoded (e.g. healthy Latin-1 with a stray
+    // standalone accented char after an Ã pair)
+    val validDoubleEncoded =
+      "^(?:[\\x00-\\x7F]" +
+        "|[\\x{00C2}-\\x{00DF}][\\x{0080}-\\x{00BF}]" +
+        "|[\\x{00E0}-\\x{00EF}][\\x{0080}-\\x{00BF}]{2}" +
+        "|[\\x{00F0}-\\x{00F4}][\\x{0080}-\\x{00BF}]{3})*$"
+    // and must carry at least one multi-byte cluster (pure ASCII is a
+    // fixed point anyway — skip the encode/decode round-trip)
+    val signature = "[\\x{00C2}-\\x{00F4}][\\x{0080}-\\x{00BF}]"
+    when(text.rlike(validDoubleEncoded) && text.rlike(signature),
+      decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+  }
+
   /** Whitespace-collapsed lower-cased text — the canonical form used for
     * fingerprints and shingles. */
   def normText(text: Column): Column =

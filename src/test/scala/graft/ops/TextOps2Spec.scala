@@ -535,3 +535,43 @@ class CleanControlSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+class MojibakeSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // build mojibake programmatically: UTF-8 bytes misread as Latin-1
+  private def garble(s: String): String =
+    new String(s.getBytes("UTF-8"), "ISO-8859-1")
+
+  private def fix(ss: String*): Seq[String] =
+    ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      .select(TextOps.fixMojibake(col("text")).as("f"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("repairs double-encoded text; healthy text is untouched; idempotent") {
+    val healthy2 = "caf" + "é" + " bar"      // real Latin-1 accents
+    val emoji = "hi " + new String(Character.toChars(0x1F600))
+    val got = fix(garble("café"), garble("won’t – déjà"), garble(emoji),
+      "plain ascii", healthy2)
+    assert(got(0) == "café", s"got ${got(0)}")
+    assert(got(1) == "won’t – déjà", s"got ${got(1)}")
+    assert(got(2) == emoji, s"4-byte sequences repair too: ${got(2)}")
+    assert(got(3) == "plain ascii")
+    // healthy accented text must NOT be 'repaired' into garbage: é alone
+    // is not a valid UTF-8 lead/continuation cluster, guard rejects it
+    assert(got(4) == healthy2, s"healthy text mangled: ${got(4)}")
+    // idempotence: repaired output no longer matches the signature
+    assert(fix(got(0)) == Seq(got(0)))
+  }
+
+  test("mixed valid-looking but broken sequences pass through unrepaired") {
+    // Ã pair followed by a standalone continuation char: the whole-string
+    // validity guard fails, text passes through rather than U+FFFD-mangle
+    val tricky = garble("é") + "¡"
+    assert(fix(tricky) == Seq(tricky))
+    // standalone lead byte at end of string
+    val trailing = "abcÃ"
+    assert(fix(trailing) == Seq(trailing))
+  }
+}
