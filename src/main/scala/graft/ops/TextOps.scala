@@ -45,7 +45,13 @@ object TextOps {
 
   /** Strip invisible characters ([[ControlClass]]) — with [[nfc]] the
     * standard ingest-time cleaning pair. One codegen'd regexp projection,
-    * zero shuffle, stream-admissible. */
+    * zero shuffle, stream-admissible.
+    *
+    * ORDER CONTRACT: when composing with [[fixMojibake]], repair FIRST —
+    * this strip removes the C1 controls (U+0080–U+009F) that are the
+    * Latin-1 renderings of UTF-8 continuation bytes, i.e. the evidence
+    * the mojibake repair needs; stripping first leaves permanently
+    * garbled text no pass can fix (spec-pinned in MojibakeSpec). */
   def cleanControlChars(text: Column): Column =
     regexp_replace(text, ControlClass, "")
 
@@ -63,29 +69,66 @@ object TextOps {
     *     char — or healthy accented Latin-1 text (`café`) would be
     *     "repaired" into garbage.
     *
+    * Handles BOTH misreadings: Windows-1252 (the dominant web variant —
+    * `â€™` for `’`, where the C1 range renders as CP1252 punctuation
+    * like €/™/Œ) is first folded back to the C1 chars it came from
+    * (a 1:1 `translate` of the 27 CP1252-specific codepoints), which
+    * reduces it to the ISO-8859-1 case.
+    *
+    * ORDER CONTRACT: run BEFORE [[cleanControlChars]] — the C1 controls
+    * that class strips ARE the Latin-1 renderings of UTF-8 continuation
+    * bytes, so cleaning first destroys the evidence the repair needs
+    * (spec-pinned in MojibakeSpec).
+    *
     * Rows failing either guard pass through unchanged; the repair is
     * idempotent on its own output (repaired text no longer matches the
     * signature). No DuckDB encoding surface exists, so this is
     * spec-gated with golden pairs rather than oracle-gated. */
   def fixMojibake(text: Column): Column = {
-    // the ENTIRE string must be the Latin-1 rendering of a valid UTF-8
-    // byte stream (ASCII | 2-byte C2-DF | 3-byte E0-EF | 4-byte F0-F4,
-    // each with continuation chars in the 80-BF image) — so the decode
-    // can never meet an invalid sequence and U+FFFD-mangle a row that
-    // merely LOOKED double-encoded (e.g. healthy Latin-1 with a stray
-    // standalone accented char after an Ã pair)
+    // CP1252→C1 fold: both strings are built from codepoint numbers so
+    // the source stays visibly ASCII and the 1:1 length contract of
+    // `translate` is evident
+    val t = translate(text, FixCp1252Src, FixCp1252Dst)
+    // the ENTIRE (folded) string must be the Latin-1 rendering of a
+    // valid UTF-8 byte stream — EXACT validity, not the blanket
+    // [80-BF]-continuation approximation: surrogates (ED A0-BF ..),
+    // overlongs (E0 80-9F .., F0 80-8F ..) and beyond-U+10FFFF
+    // (F4 90-BF ..) must be REJECTED, because Spark 4's default decode
+    // THROWS on malformed input (MALFORMED_CHARACTER_CODING) — a
+    // guard-passing invalid sequence would abort the whole job, not
+    // just mangle one row
+    val cont = "[\\x{0080}-\\x{00BF}]"
     val validDoubleEncoded =
       "^(?:[\\x00-\\x7F]" +
-        "|[\\x{00C2}-\\x{00DF}][\\x{0080}-\\x{00BF}]" +
-        "|[\\x{00E0}-\\x{00EF}][\\x{0080}-\\x{00BF}]{2}" +
-        "|[\\x{00F0}-\\x{00F4}][\\x{0080}-\\x{00BF}]{3})*$"
+        s"|[\\x{00C2}-\\x{00DF}]$cont" +
+        s"|\\x{00E0}[\\x{00A0}-\\x{00BF}]$cont" +
+        s"|[\\x{00E1}-\\x{00EC}]$cont{2}" +
+        s"|\\x{00ED}[\\x{0080}-\\x{009F}]$cont" +
+        s"|[\\x{00EE}-\\x{00EF}]$cont{2}" +
+        s"|\\x{00F0}[\\x{0090}-\\x{00BF}]$cont{2}" +
+        s"|[\\x{00F1}-\\x{00F3}]$cont{3}" +
+        s"|\\x{00F4}[\\x{0080}-\\x{008F}]$cont{2})*$$"
     // and must carry at least one multi-byte cluster (pure ASCII is a
     // fixed point anyway — skip the encode/decode round-trip)
     val signature = "[\\x{00C2}-\\x{00F4}][\\x{0080}-\\x{00BF}]"
-    when(text.rlike(validDoubleEncoded) && text.rlike(signature),
-      decode(encode(text, "ISO-8859-1"), "UTF-8"))
-      .otherwise(text)
+    when(t.rlike(validDoubleEncoded) && t.rlike(signature),
+      decode(encode(t, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text) // the ORIGINAL, never the half-folded form
   }
+
+  /** The 27 codepoints Windows-1252 places in the C1 range (0x80–0x9F),
+    * paired with the C1 codepoint CP1252 shows them at — the fold that
+    * reduces CP1252 mojibake to the ISO-8859-1 case. */
+  private val Cp1252Pairs: Seq[(Int, Int)] = Seq(
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+  private val FixCp1252Src: String = Cp1252Pairs.map(_._2.toChar).mkString
+  private val FixCp1252Dst: String = Cp1252Pairs.map(_._1.toChar).mkString
 
   /** Whitespace-collapsed lower-cased text — the canonical form used for
     * fingerprints and shingles. */

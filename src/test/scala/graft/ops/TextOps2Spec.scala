@@ -575,3 +575,71 @@ class MojibakeSpec extends graft.SparkSpec {
     assert(fix(trailing) == Seq(trailing))
   }
 }
+
+class MojibakeSpec2 extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def cps(xs: Int*): String = xs.map(Character.toChars(_).mkString).mkString
+
+  // WHATWG-style windows-1252 (what browsers and real crawled mojibake
+  // do): the 5 bytes the strict Java charset maps to U+FFFD pass
+  // through as C1 controls instead -- the information-PRESERVING
+  // misreading the repair can invert
+  private val cpTable = Map(
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+  private def garbleCp1252(s: String): String =
+    s.getBytes("UTF-8").map { b =>
+      val u = b & 0xFF
+      (if (u >= 0x80 && u <= 0x9F) cpTable.getOrElse(u, u) else u).toChar
+    }.mkString
+  private def garbleIso(s: String): String =
+    new String(s.getBytes("UTF-8"), "ISO-8859-1")
+
+  private def fix(ss: String*): Seq[String] =
+    ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      .select(TextOps.fixMojibake(col("text")).as("f"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("CP1252 mojibake (the dominant web variant) repairs too") {
+    // won't with curly quote, en dash, curly double quotes, ellipsis, TM
+    val curly = "won" + cps(0x2019) + "t " + cps(0x2013) + " " +
+      cps(0x201C) + "quoted" + cps(0x201D) + " " + cps(0x2026)
+    val got = fix(garbleCp1252(curly), garbleCp1252("caf" + cps(0xE9) + " " + cps(0x2122)))
+    assert(got(0) == curly, s"got ${got(0).map(_.toInt)}")
+    assert(got(1) == "caf" + cps(0xE9) + " " + cps(0x2122), s"got ${got(1)}")
+    // a LEGIT CP1252-punctuation row must never be folded-and-returned
+    val healthy = "it" + cps(0x2019) + "s fine " + cps(0x2014) + " really"
+    assert(fix(healthy) == Seq(healthy))
+  }
+
+  test("exact UTF-8 validity guard: surrogate/overlong-looking rows never reach decode") {
+    // ED A0 A1 rendered in Latin-1 (i-acute, NBSP, inverted-excl) is a
+    // surrogate encoding -- the old blanket [80-BF] guard passed it and
+    // Spark 4's strict decode would THROW, aborting the job
+    val surrogateish = "s" + cps(0xED, 0xA0, 0xA1) + "hola"
+    assert(fix(surrogateish) == Seq(surrogateish), "must pass through, not throw")
+    // overlong 3-byte (E0 80 80), beyond-U+10FFFF (F4 90 80 80) likewise
+    val overlong3 = "x" + cps(0xE0, 0x80, 0x80) + "y"
+    val beyond = "x" + cps(0xF4, 0x90, 0x80, 0x80)
+    assert(fix(overlong3, beyond) == Seq(overlong3, beyond))
+  }
+
+  test("order contract: fixMojibake before cleanControlChars, never after") {
+    val want = "won" + cps(0x2019) + "t"
+    val garbled = garbleIso(want) // contains C1 chars 0x80/0x99
+    def run(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String =
+      Seq((1L, garbled)).toDF("id", "text")
+        .select(c(col("text")).as("c")).collect().head.getString(0)
+    assert(run(t => TextOps.cleanControlChars(TextOps.fixMojibake(t))) == want)
+    // the wrong order destroys the continuation bytes: pin the hazard
+    assert(run(t => TextOps.fixMojibake(TextOps.cleanControlChars(t))) != want,
+      "strip-first cannot be repaired")
+  }
+}
