@@ -356,6 +356,20 @@ object SparkEntry {
         (length(col("t2")) - length(TextOps.cleanControlChars(col("t2"))))
           .cast("long").as("n_removed"))
     }),
+    // NFKC compatibility folding gated on GOLDEN VALUES: the injected
+    // dirt (ﬁ ligature U+FB01, full-width Ａ U+FF21, circled ① U+2460)
+    // folds to plain ASCII "fine A1", which the oracle states directly —
+    // the expected text never contains a non-ASCII char, so the check
+    // is byte-exact with zero cross-engine normalization dependence
+    "q_unicode_nfkc" -> ((s, d) => {
+      val dirty = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" \ufb01ne \uff21\u2460")))
+          .otherwise(col("text")).as("t2"))
+      dirty.select(col("doc_id"),
+        TextOps.nfkc(col("t2")).as("norm_text"),
+        (TextOps.nfkc(col("t2")) =!= col("t2")).as("changed"))
+    }),
     // mojibake repair: the dirt is the double-encoding of a known
     // string (computed here by actually UTF-8-encoding and misreading
     // as Latin-1 — not hand-typed); Spark runs the general guarded
@@ -2369,6 +2383,13 @@ object SparkEntry {
     // diaeresis, 233 = precomposed U+00E9), normalized by DuckDB's own
     // utf8proc NFC — an independent normalizer implementation agreeing
     // byte-for-byte with java.text.Normalizer
+    // NFKC golden values: the folded form of the injected dirt is pure
+    // ASCII, stated directly
+    "q_unicode_nfkc" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' fine A1' ELSE text END AS norm_text,
+        |  doc_id % 11 = 0 AS changed
+        |FROM documents""".stripMargin,
     // golden-values oracle: DuckDB independently states the repaired
     // text (233 = U+00E9 é, 8217 = U+2019 right single quote) the
     // guarded decode(encode(...)) repair must reproduce on dirty rows,
