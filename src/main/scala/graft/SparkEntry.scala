@@ -387,6 +387,26 @@ object SparkEntry {
         TextOps.fixMojibake(col("t2")).as("fixed_text"),
         (TextOps.fixMojibake(col("t2")) =!= col("t2")).as("changed"))
     }),
+    // the end-to-end shard-writer composition: tokenize (frozen merges,
+    // ordered) -> chunk by token budget -> concatenate token streams
+    // with a </s> boundary per doc. shards = 1 pinned for the exact
+    // id-ordered oracle layout (the q_pack_chunks convention); packed
+    // emitted as the space-joined stream so the oracle checks content
+    // AND order of every token in every chunk
+    "q_pack_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.ops.Bpe.trainMerges(docs, 5)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
+      val toks = graft.ops.Bpe.segmentTokens(docs, merges)
+      val chunked = Curate.packChunks(
+        docs.select(col("doc_id"), col("source")).join(toks, Seq("doc_id")),
+        budget = 512, shards = 1)
+      Curate.packTokens(chunked)
+        .select(col("source"), col("chunk_id"), col("n_docs"),
+          array_join(col("packed_tokens"), " ").as("packed"),
+          col("n_tokens_packed"))
+    }),
     "q_tfidf" -> ((s, d) => TextOps.tfidf(t(s, d, "documents"))),
     // PMI collocations: bigrams bound tighter than their margins predict
     "q_pmi" -> ((s, d) => TextOps.pmiCollocations(t(s, d, "documents"))),
@@ -1489,6 +1509,7 @@ object SparkEntry {
     // ordered token stream: subscript-sorted string_agg vs Spark's
     // order-by-construction lambdas — order itself is what's gated
     "q_bpe_tokenize" -> bpeTokenizeSql,
+    "q_pack_tokens" -> packTokensSql,
     // KMV sketch: the k=64 smallest distinct 60-bit hashes per source
     // re-derived exactly (same md5 bits, same HUGEINT integral division
     // as the Spark DECIMAL(38,0) `div`)
@@ -3247,7 +3268,10 @@ object SparkEntry {
     * Spark side's order-by-construction array lambdas. Documents with
     * no words keep an empty-string row, matching `segmentTokens`'
     * every-input-row contract. */
-  private def bpeTokenizeSql: String = {
+  /** The training + per-doc ordered-segmentation CTEs shared by
+    * q_bpe_tokenize and q_pack_tokens — ends with `seg(doc_id, toks,
+    * n_tokens)` (docs with no words absent; callers LEFT JOIN). */
+  private def bpeTokenizeCtes: String = {
     val folded = (1 to 5).foldLeft(
       "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>'") {
       (acc, i) => s"replace($acc, tops.p$i, tops.m$i)"
@@ -3264,11 +3288,33 @@ object SparkEntry {
       |  tops AS (SELECT $topCols FROM $topSrcs),
       |  seg AS (SELECT doc_id, string_agg($folded, ' ' ORDER BY ord) AS toks,
       |      CAST(sum(len(string_split($folded, ' '))) AS BIGINT) AS n_tokens
-      |    FROM docw CROSS JOIN tops GROUP BY doc_id)
+      |    FROM docw CROSS JOIN tops GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bpeTokenizeSql: String =
+    bpeTokenizeCtes + """
       |SELECT d.doc_id, coalesce(seg.toks, '') AS toks,
       |  CAST(coalesce(seg.n_tokens, 0) AS BIGINT) AS n_tokens
       |FROM documents d LEFT JOIN seg USING (doc_id)""".stripMargin
-  }
+
+  /** The q_pack_tokens oracle: segmentation CTEs, then the same
+    * cumulative-window chunk assignment as the q_pack_chunks oracle and
+    * an id-ordered string_agg with the `</s>` boundary after every doc
+    * — the packed stream rebuilt entirely in SQL. */
+  private def packTokensSql: String =
+    bpeTokenizeCtes + """,
+      |  toks AS (SELECT d.doc_id, d.source, coalesce(seg.toks, '') AS toks,
+      |      CAST(coalesce(seg.n_tokens, 0) AS BIGINT) AS n_tokens
+      |    FROM documents d LEFT JOIN seg USING (doc_id)),
+      |  cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM toks),
+      |  chunked AS (SELECT *,
+      |      CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS chunk_id FROM cum)
+      |SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  string_agg(CASE WHEN toks = '' THEN '</s>' ELSE toks || ' </s>' END,
+      |    ' ' ORDER BY doc_id ASC) AS packed,
+      |  CAST(sum(n_tokens) + count(*) AS BIGINT) AS n_tokens_packed
+      |FROM chunked GROUP BY 1, 2""".stripMargin
 
   /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */
   private def lmScoreSql: String =

@@ -684,6 +684,28 @@ object Curate {
           transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
             e => e.getField(textCol)), sep).as("packed_text"))
 
+  /** Pack ORDERED TOKEN SEQUENCES into training chunks — the
+    * shard-writer output shape ([[packText]] concatenates raw text;
+    * this concatenates the [[graft.ops.Bpe.segmentTokens]] streams a
+    * model actually trains on), with a `boundary` token closing every
+    * document so attention masking / loss boundaries are recoverable
+    * from the packed stream alone. Input is a [[packChunks]]-chunked
+    * frame carrying a `tokensCol` array; docs concatenate in ascending
+    * id order inside each chunk (the same total order the chunk
+    * assignment used). Scale shape: one (source, chunk_id) aggregation
+    * whose per-group state is budget-bounded by construction — the
+    * packer never holds more than a chunk. */
+  def packTokens(chunked: DataFrame, boundary: String = "</s>",
+                 tokensCol: String = "tokens", sourceCol: String = "source",
+                 idCol: String = "doc_id"): DataFrame =
+    chunked.groupBy(col(sourceCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col(idCol).as("_id"),
+            col(tokensCol).as("_t")))),
+          e => concat(e.getField("_t"), array(lit(boundary))))).as("packed_tokens"))
+      .withColumn("n_tokens_packed", size(col("packed_tokens")).cast(LongType))
+
   /** Distinct k-gram set per doc over normalised text (no short-doc
     * fallback: a doc shorter than k tokens has no k-grams). Reuses
     * [[NearDup.explodedShingles]]' Generate-barrier tokenisation. */

@@ -217,6 +217,25 @@ class CurateSpec extends SparkSpec {
     assert(out(2).getAs[String]("packed_text") == "dd")
   }
 
+  test("packTokens concatenates token streams in id order with a boundary per doc") {
+    val d = Seq(
+      (3L, Seq("c", "c2"), "s1", 2L), (1L, Seq("a", "a2"), "s1", 2L),
+      (2L, Seq("b", "b2"), "s1", 2L), (4L, Seq("d"), "s2", 1L),
+      (5L, Seq.empty[String], "s2", 0L) // empty doc: boundary only
+    ).toDF("doc_id", "tokens", "source", "n_tokens")
+    val chunked = Curate.packChunks(d, budget = 4, shards = 1)
+    val out = Curate.packTokens(chunked.repartition(7)) // scramble partitions
+      .orderBy("source", "chunk_id").collect()
+    // budget 4: docs 1,2 -> chunk 0; doc 3 -> chunk 1; s2 docs 4,5 -> chunk 0
+    assert(out(0).getSeq[String](3) == Seq("a", "a2", "</s>", "b", "b2", "</s>"))
+    assert(out(0).getAs[Long]("n_docs") == 2L
+      && out(0).getAs[Long]("n_tokens_packed") == 6L)
+    assert(out(1).getSeq[String](3) == Seq("c", "c2", "</s>"))
+    // the empty doc contributes exactly its boundary, in id position
+    assert(out(2).getSeq[String](3) == Seq("d", "</s>", "</s>"))
+    assert(out(2).getAs[Long]("n_tokens_packed") == 3L)
+  }
+
   test("stratifiedSample takes exact per-stratum quotas, deterministically") {
     val big = (0L until 400L).map(i =>
       (i, s"t$i", if (i % 2 == 0) "en" else "de", s"s${i % 4}"))
