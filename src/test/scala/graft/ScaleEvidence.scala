@@ -128,7 +128,12 @@ object ScaleEvidence {
     // r9: production-k BPE induction (vocab-sized driver loop after one
     // corpus aggregation — expect flat-ish) and the ordered token
     // stream (zero-shuffle corpus projection — expect ~linear)
-    "q_bpe_train64", "q_bpe_tokenize")
+    "q_bpe_train64", "q_bpe_tokenize",
+    // r9 continuation: the ingest cleaning projections (zero-shuffle,
+    // expect ~linear scan-bound) and the full tokenize->chunk->pack
+    // shard-writer composition (one window + one bounded aggregation
+    // past the tokenize pass)
+    "q_unicode_nfc", "q_clean_text", "q_pack_tokens")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)
