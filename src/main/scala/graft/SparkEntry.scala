@@ -18,6 +18,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     T.load(s, dir, name)
 
+  /** Train `n` BPE merges and collect the (pair, merged) table in step
+    * order — the k-bounded artifact collect (PQ-codebook precedent)
+    * shared by the q_bpe_segment / q_bpe_tokenize / q_pack_tokens
+    * builders so merge count and ordering can never silently diverge
+    * between the gated queries. */
+  private def collectedMerges(docs: DataFrame, n: Int): Seq[(String, String)] =
+    graft.ops.Bpe.trainMerges(docs, n)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
+
   /** The shared graph-query edge set: customer–supplier co-occurrence
     * pairs from orders ⨝ lineitem (suppliers offset into their own id
     * space), symmetrised so every node has out-degree ≥ 1 — no dangling
@@ -395,13 +405,12 @@ object SparkEntry {
     // AND order of every token in every chunk
     "q_pack_tokens" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.ops.Bpe.trainMerges(docs, 5)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
-      val toks = graft.ops.Bpe.segmentTokens(docs, merges)
-      val chunked = Curate.packChunks(
-        docs.select(col("doc_id"), col("source")).join(toks, Seq("doc_id")),
-        budget = 512, shards = 1)
+      // `source` rides segmentTokens' keepCols pass-through: the
+      // tokenize pass stays ONE zero-shuffle projection (re-joining
+      // source back on would cost a corpus-sized doc_id exchange)
+      val toks = graft.ops.Bpe.segmentTokens(docs, collectedMerges(docs, 5),
+        keepCols = Seq("source"))
+      val chunked = Curate.packChunks(toks, budget = 512, shards = 1)
       Curate.packTokens(chunked)
         .select(col("source"), col("chunk_id"), col("n_docs"),
           array_join(col("packed_tokens"), " ").as("packed"),
@@ -696,10 +705,7 @@ object SparkEntry {
     // collect, the PQ-codebook precedent): per-doc subword token counts
     "q_bpe_segment" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.ops.Bpe.trainMerges(docs, 5)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
-      graft.ops.Bpe.segmentCounts(docs, merges)
+      graft.ops.Bpe.segmentCounts(docs, collectedMerges(docs, 5))
     }),
     // the ORDERED token stream (what a packer consumes, where
     // q_bpe_segment only sizes it): one zero-shuffle array-lambda
@@ -708,10 +714,7 @@ object SparkEntry {
     // counts
     "q_bpe_tokenize" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.ops.Bpe.trainMerges(docs, 5)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
-      graft.ops.Bpe.segmentTokens(docs, merges)
+      graft.ops.Bpe.segmentTokens(docs, collectedMerges(docs, 5))
         .select(col("doc_id"), array_join(col("tokens"), " ").as("toks"),
           col("n_tokens"))
     }),
@@ -3261,16 +3264,14 @@ object SparkEntry {
       |FROM docw CROSS JOIN tops GROUP BY doc_id""".stripMargin
   }
 
-  /** The q_bpe_tokenize oracle: the training CTEs, the merges folded
-    * over every word, then the per-doc token string rebuilt IN WORD
-    * ORDER (`string_agg ... ORDER BY ord`) — a genuinely different
-    * order-preservation mechanism (explicit subscript sort) than the
-    * Spark side's order-by-construction array lambdas. Documents with
-    * no words keep an empty-string row, matching `segmentTokens`'
-    * every-input-row contract. */
   /** The training + per-doc ordered-segmentation CTEs shared by
-    * q_bpe_tokenize and q_pack_tokens — ends with `seg(doc_id, toks,
-    * n_tokens)` (docs with no words absent; callers LEFT JOIN). */
+    * q_bpe_tokenize and q_pack_tokens — merges folded over every word,
+    * the per-doc token string rebuilt IN WORD ORDER (`string_agg ...
+    * ORDER BY ord`, an explicit subscript sort — a genuinely different
+    * order-preservation mechanism than the Spark side's
+    * order-by-construction array lambdas). Ends with `seg(doc_id,
+    * toks, n_tokens)`; docs with no words are absent, so callers LEFT
+    * JOIN to honor `segmentTokens`' every-input-row contract. */
   private def bpeTokenizeCtes: String = {
     val folded = (1 to 5).foldLeft(
       "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>'") {

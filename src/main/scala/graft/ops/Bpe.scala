@@ -267,16 +267,21 @@ object Bpe {
     * array with `n_tokens` 0, not a dropped row. */
   def segmentTokens(docs: DataFrame, merges: Seq[(String, String)],
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    keepCols: Seq[String] = Nil): DataFrame = {
     def foldWord(w: Column): Column =
       merges.foldLeft(charUnits(w)) {
         case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
       }
-    docs.select(col(idCol),
+    // keepCols ride the same projection — a downstream packer needs e.g.
+    // `source` alongside the tokens, and re-joining it back onto this
+    // output would cost a corpus-sized doc_id shuffle the pass-through
+    // makes unnecessary
+    docs.select(col(idCol) +: keepCols.map(col) :+
       coalesce(flatten(transform(
           filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0),
           w => split(foldWord(w), " "))),
-        array().cast("array<string>")).as("tokens")) // null text -> [], not null
+        array().cast("array<string>")).as("tokens"): _*) // null text -> [], not null
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 }

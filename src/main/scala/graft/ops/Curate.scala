@@ -692,9 +692,14 @@ object Curate {
     * from the packed stream alone. Input is a [[packChunks]]-chunked
     * frame carrying a `tokensCol` array; docs concatenate in ascending
     * id order inside each chunk (the same total order the chunk
-    * assignment used). Scale shape: one (source, chunk_id) aggregation
-    * whose per-group state is budget-bounded by construction — the
-    * packer never holds more than a chunk. */
+    * assignment used); a null tokens array contributes its boundary
+    * alone (like an empty doc) rather than nulling the whole chunk's
+    * stream. Scale shape: one (source, chunk_id) aggregation whose
+    * per-group state is bounded by `budget + the longest single
+    * document` — [[packChunks]] assigns an over-budget doc whole to
+    * the chunk its first token lands in, so the budget alone bounds
+    * state only when every doc fits it; truncate or split oversized
+    * docs upstream if the worst case matters. */
   def packTokens(chunked: DataFrame, boundary: String = "</s>",
                  tokensCol: String = "tokens", sourceCol: String = "source",
                  idCol: String = "doc_id"): DataFrame =
@@ -703,7 +708,9 @@ object Curate {
         flatten(transform(
           array_sort(collect_list(struct(col(idCol).as("_id"),
             col(tokensCol).as("_t")))),
-          e => concat(e.getField("_t"), array(lit(boundary))))).as("packed_tokens"))
+          e => concat(
+            coalesce(e.getField("_t"), array().cast("array<string>")),
+            array(lit(boundary))))).as("packed_tokens"))
       .withColumn("n_tokens_packed", size(col("packed_tokens")).cast(LongType))
 
   /** Distinct k-gram set per doc over normalised text (no short-doc
