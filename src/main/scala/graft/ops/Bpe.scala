@@ -99,6 +99,10 @@ object Bpe {
           w.select(replace(col("s"), lit(pair), lit(merged)).as("s"), col("cnt")))
       }
     }
+    // nothing outlives the loop (the merge table was collected row by
+    // row) — release every trailing cached round now instead of leaving
+    // up to `every - 1` frames to the ContextCleaner
+    win.release(null)
     import spark.implicits._
     out.result().toDF("step", "pair", "merged", "cnt")
   }

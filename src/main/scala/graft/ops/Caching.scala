@@ -76,6 +76,20 @@ object Caching {
         c
       }
     }
+
+    /** Release the trailing lazily-cached rounds accumulated since the
+      * last checkpoint — call after the loop ends, or up to `every - 1`
+      * cached frames linger until the ContextCleaner gets to them.
+      * `keep` (normally the frame the caller returns) survives with its
+      * cache intact; pass null when nothing outlives the loop. The last
+      * checkpoint is deliberately NOT released here: `keep`'s lineage
+      * may be truncated AT it (a localCheckpoint cannot be recomputed),
+      * and [[advance]] already releases superseded checkpoints —
+      * at most one remains, bounded, reclaimed by the cleaner. */
+    def release(keep: DataFrame): Unit = {
+      cached.filterNot(_ eq keep).foreach(_.unpersist(false))
+      cached = if ((keep ne null) && cached.exists(_ eq keep)) List(keep) else Nil
+    }
   }
 
   /** Deterministically release a frame produced by [[materialize]] once

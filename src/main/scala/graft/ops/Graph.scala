@@ -163,6 +163,7 @@ object Graph {
         .select(col("node"), coalesce(col("_lp_win"), col("label")).as("label"))
       labels = if (materializeEach) win.advance(next) else next
     }
+    win.release(labels) // no-op at every = 1; hygiene if the window widens
     labels
   }
 
@@ -295,6 +296,10 @@ object Graph {
             .as("rank"))
       rank = if (materializeEach) win.advance(next) else next
     }
+    // the returned frame keeps its cache; the superseded trailing
+    // rounds it no longer needs are released here rather than lingering
+    // until GC (they are recomputable from the kept checkpoint)
+    win.release(rank)
     rank
   }
 

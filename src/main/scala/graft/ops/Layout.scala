@@ -316,6 +316,19 @@ object Layout {
     require(partCols.isEmpty || basePath.nonEmpty,
       s"plan contains Hive-partitioned files (columns ${partCols.mkString(", ")}) — " +
         "pass basePath=<table root> or the rewrite would drop their partition values")
+    // non-Hive NESTED layouts (date-named subdirectories without k=v)
+    // carry structure the single-outPath rewrite cannot reproduce: the
+    // partition columns that would partitionBy it back out don't exist
+    // as data. Pooling such a plan into one flat directory would
+    // silently discard the layout compactionPlan's per-directory
+    // binning preserved — reject loudly (the missing-basePath posture);
+    // compact each directory's groups with its own outPath instead.
+    val parentDirs = files.map(f => f.substring(0, f.lastIndexOf('/') + 1)).distinct
+    require(partCols.nonEmpty || parentDirs.size <= 1,
+      s"plan spans ${parentDirs.size} directories with no Hive k=v segments — a " +
+        "single-outPath rewrite would flatten the directory structure; run " +
+        "compactSmallFiles once per directory (compactionPlan groups never cross " +
+        "directories, so filter the plan by parent path)")
     val totalBytes = plan.flatten.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val reader = basePath.fold(spark.read)(b => spark.read.option("basePath", b))

@@ -107,8 +107,12 @@ object MediaDecode {
       val nch = fmt.getChannels
       val enc = fmt.getEncoding.toString
       val pcm = enc == "PCM_SIGNED" || enc == "PCM_UNSIGNED"
+      // getFrameLength reports NOT_SPECIFIED (-1) for some streams — a
+      // negative length would sail past the > MaxPixels bomb cap, so it
+      // is out-of-envelope too (the cap must actually bind)
+      val frameLen = ais.getFrameLength
       if (!pcm || (bits != 8 && bits != 16) || nch < 1 ||
-          ais.getFrameLength > MaxPixels)
+          frameLen < 0 || frameLen > MaxPixels)
         return skipped(docId, "wav")
       val frameSize = fmt.getFrameSize
       val data = ais.readAllBytes()
@@ -166,8 +170,11 @@ object MediaDecode {
                   idCol: String = "doc_id",
                   payloadCol: String = "payload"): DataFrame = {
     val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+    // a null id has no document to attribute stats to: the row is
+    // skipped (never thrown on), completing the total posture — null
+    // PAYLOADS already degrade to a skipped-format row above
     val rdd = src.rdd.mapPartitions(it =>
-      decodePartition(it.map(r => (r.getLong(0),
+      decodePartition(it.filter(r => !r.isNullAt(0)).map(r => (r.getLong(0),
         if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)))))
     spark.createDataFrame(rdd, RawSchema)
       .select(col("doc_id"), col("format"), col("channel"), col("n"),

@@ -262,4 +262,35 @@ class LayoutSpec extends SparkSpec {
     assert(out.count() === 500)
     assert(out.select("id").as[Long].collect().sorted.toSeq === (0L until 500L))
   }
+
+  test("compactSmallFiles rejects a non-Hive plan spanning directories (no silent flattening)") {
+    val root = java.nio.file.Files.createTempDirectory("compact_nested").toString
+    // date-named subdirectories with NO k=v segments: structure Spark
+    // cannot re-derive from the rows
+    for (d <- Seq("2026-01-01", "2026-01-02")) {
+      (0 until 6).map(i => (i.toLong, s"payload_$i" * 30)).toDF("id", "s")
+        .repartition(6, col("id")).write.mode("overwrite")
+        .parquet(s"$root/$d")
+    }
+    val sizes = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.length())
+    val plan = Layout.compactionPlan(spark, root, targetBytes = sizes.max * 4)
+    assert(plan.size >= 2, s"expected per-directory groups, got ${plan.size}")
+    val outDir = java.nio.file.Files.createTempDirectory("compact_nested_out").toString
+    intercept[IllegalArgumentException] {
+      Layout.compactSmallFiles(spark, plan, outDir, sizes.max * 4)
+    }
+    // the documented recovery: one call per directory, each with its own
+    // outPath under the new root, preserves the layout and the rows
+    val byDir = plan.groupBy(g => {
+      val f = g.head._1; f.substring(0, f.lastIndexOf('/'))
+    })
+    for ((dir, groups) <- byDir) {
+      val leaf = dir.substring(dir.lastIndexOf('/') + 1)
+      Layout.compactSmallFiles(spark, groups, s"$outDir/$leaf", sizes.max * 4)
+    }
+    for (d <- Seq("2026-01-01", "2026-01-02"))
+      assert(spark.read.parquet(s"$outDir/$d").count() == 6L, s"rows under $d")
+  }
 }

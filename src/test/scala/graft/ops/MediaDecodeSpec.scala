@@ -103,4 +103,22 @@ class MediaDecodeSpec extends SparkSpec {
       }
     }
   }
+
+  test("decodeStats skips null ids instead of throwing (total posture)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(7L, MediaDecode.syntheticImage(7L, "png")),
+      Row(null, MediaDecode.syntheticImage(8L, "png")),
+      Row(9L, null))
+    val df = spark.createDataFrame(rows, schema)
+    val out = MediaDecode.decodeStats(spark, df).collect()
+    // null id skipped; null payload degrades to an n=0 row; real doc decodes
+    assert(out.map(_.getLong(0)).toSet == Set(7L, 9L))
+    assert(out.filter(_.getLong(0) == 9L).forall(_.getLong(3) == 0L))
+    assert(out.filter(_.getLong(0) == 7L).forall(_.getLong(3) > 0L))
+  }
 }
