@@ -116,7 +116,8 @@ object Bench {
     // run INSIDE q_pack_tokens (train -> tokenize -> chunk -> pack), so
     // benching both would double-count the same work (the
     // q_substr_strip/q_trustrank precedent).
-    "q_unicode_nfc", "q_clean_text", "q_mojibake", "q_pack_tokens")
+    "q_unicode_nfc", "q_clean_text", "q_mojibake", "q_pack_tokens",
+    "q_html_strip")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -217,9 +218,11 @@ object Bench {
     "q_dup_stats" -> 0.65,
     // local warmed best-of-3 (0.56 / 0.29) × 1.3
     "q_seasonality" -> 0.73, "q_gini" -> 0.38,
-    // r10: local warmed best-of-3 (0.289 / 0.326 / 0.304 / 2.038) × 1.3
+    // r10: local warmed best-of-3 (0.289 / 0.326 / 0.304 / 2.038 /
+    // 0.390) × 1.3
     "q_unicode_nfc" -> 0.38, "q_clean_text" -> 0.43,
-    "q_mojibake" -> 0.40, "q_pack_tokens" -> 2.65
+    "q_mojibake" -> 0.40, "q_pack_tokens" -> 2.65,
+    "q_html_strip" -> 0.51
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

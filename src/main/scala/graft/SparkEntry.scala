@@ -397,6 +397,24 @@ object SparkEntry {
         TextOps.fixMojibake(col("t2")).as("fixed_text"),
         (TextOps.fixMojibake(col("t2")) =!= col("t2")).as("changed"))
     }),
+    // HTML/markup stripping: deterministic markup wraps every 13th
+    // document — a script payload with a bare '<' (exercises non-greedy
+    // block removal), a style block, a comment, nested tags, and named +
+    // decimal + hex + nbsp entities. The oracle runs the SAME three tag
+    // regexes (shared constants — the ControlClass convention) and
+    // decodes the injected entities by chained replace, exact here
+    // because the corpus carries no '&' at all
+    "q_html_strip" -> ((s, d) => {
+      val dirty = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(
+          lit("<div class=\"x\"><p>"), col("text"),
+          lit("</p><script>var x = 1 < 2;</script><style>p { color: red }" +
+            "</style><!-- hidden --><b>bold</b> &amp; A&#66;&#x43;&nbsp;end</div>")))
+          .otherwise(col("text")).as("t2"))
+      dirty.select(col("doc_id"),
+        TextOps.stripHtml(col("t2")).as("clean_text"),
+        (TextOps.stripHtml(col("t2")) =!= col("t2")).as("changed"))
+    }),
     // the end-to-end shard-writer composition: tokenize (frozen merges,
     // ordered) -> chunk by token budget -> concatenate token streams
     // with a </s> boundary per doc. shards = 1 pinned for the exact
@@ -2425,6 +2443,35 @@ object SparkEntry {
         |    ELSE text END AS fixed_text,
         |  doc_id % 7 = 0 AS changed
         |FROM documents""".stripMargin,
+    // the three tag-strip regexes are the SHARED constants (Java regex
+    // and RE2 read them identically: inline (?is), non-greedy, \b, no
+    // backreferences); entity decode — the one step RE2 cannot express
+    // generally (no chr() of a capture) — is chained replace over
+    // exactly the injected entities, which equals the general one-pass
+    // decoder because the corpus text contains no '&' (verified: 0 rows
+    // at every sf). Same whitespace collapse + trim on both sides.
+    "q_html_strip" -> {
+      val ss = graft.ops.TextOps.ScriptStyleBlock
+      val cm = graft.ops.TextOps.HtmlComment
+      val tg = graft.ops.TextOps.HtmlTagOrDecl
+      s"""WITH dirty AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN '<div class="x"><p>' || text || '</p><script>var x = 1 < 2;</script><style>p { color: red }</style><!-- hidden --><b>bold</b> &amp; A&#66;&#x43;&nbsp;end</div>'
+        |      ELSE text END AS t2
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, t2,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(t2,
+        |          '$ss', ' ', 'g'), '$cm', ' ', 'g'), '$tg', ' ', 'g'),
+        |        '&amp;', '&'), '&#66;', 'B'), '&#x43;', 'C'), '&nbsp;', ' '),
+        |      '\\s+', ' ', 'g')) AS clean_text
+        |  FROM dirty)
+        |SELECT doc_id, clean_text, clean_text != t2 AS changed
+        |FROM stripped""".stripMargin
+    },
     // the SAME ControlClass constant drives both engines (\x{…} means
     // the same thing in Java regex and RE2 — the PunctClass convention);
     // dirt via chr(): 65279 = BOM, 8203 = ZWSP, 7 = BEL, 173 = SHY

@@ -99,6 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfkc"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfkc"),
       (children: Seq[Expression]) => UnicodeNormalize(children.head, nfkc = true)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_html_unescape"),
+      new ExpressionInfo(classOf[HtmlUnescape].getName, "graft_html_unescape"),
+      (children: Seq[Expression]) => HtmlUnescape(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotFold)
   }
 }

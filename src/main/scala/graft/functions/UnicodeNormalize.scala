@@ -24,9 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * NFC is DuckDB-oracle-gated (`nfc_normalize` — q_unicode_nfc); NFKC
   * (ligature/width/compatibility folding, the aggressive variant
-  * tokenizer pipelines prefer) has no DuckDB twin and is spec-gated
-  * with golden pairs. Registered as `graft_nfc` / `graft_nfkc` via
-  * [[GraftExtensions]].
+  * tokenizer pipelines prefer) has no DuckDB normalize twin, so its
+  * gate (q_unicode_nfkc, since r9) states GOLDEN VALUES: the injected
+  * compatibility dirt folds to plain ASCII the oracle spells directly.
+  * Registered as `graft_nfc` / `graft_nfkc` via [[GraftExtensions]].
   */
 final case class UnicodeNormalize(child: Expression, nfkc: Boolean)
     extends UnaryExpression {

@@ -29,7 +29,9 @@ object TextOps {
 
   /** Unicode NFKC — NFC plus compatibility folding (ligatures ﬁ→fi,
     * full-width Ａ→A, circled digits) — the aggressive variant tokenizer
-    * pipelines prefer; spec-gated (no DuckDB twin). */
+    * pipelines prefer; oracle-gated on golden ASCII values
+    * (q_unicode_nfkc — DuckDB has no NFKC built-in, so the oracle
+    * states what the injected dirt must fold to). */
   def nfkc(text: Column): Column = call_function("graft_nfkc", text)
 
   /** Invisible-character class: C0 controls except tab/LF/CR, DEL + C1
@@ -54,6 +56,48 @@ object TextOps {
     * garbled text no pass can fix (spec-pinned in MojibakeSpec). */
   def cleanControlChars(text: Column): Column =
     regexp_replace(text, ControlClass, "")
+
+  /** `<script>`/`<style>` element removal, CONTENT INCLUDED — executable
+    * and presentational payloads are not training text. Non-greedy to
+    * the matching close tag; case-insensitive; dot matches newlines. No
+    * backreference (RE2, the oracle engine, has none), so the two
+    * element names are spelled out as alternation branches. An UNCLOSED
+    * script/style block does not match here — its open tag then falls
+    * through to [[HtmlTagOrDecl]] and its content survives as text (the
+    * conservative failure: keep bytes rather than truncate the document
+    * at every crawler-mangled page). */
+  val ScriptStyleBlock: String =
+    "(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>"
+
+  /** HTML comments, non-greedy across newlines. */
+  val HtmlComment: String = "(?s)<!--.*?-->"
+
+  /** Any remaining tag (`<p …>`, `</p>`) or declaration (`<!DOCTYPE …>`);
+    * a bare `<` that opens no tag is text and survives. */
+  val HtmlTagOrDecl: String = "(?s)</?[a-zA-Z][^>]*>|<![^>]*>"
+
+  /** Strip HTML markup from crawled text — the cleaning step between
+    * raw crawl and [[cleanControlChars]]/[[nfc]] in a C4/CCNet-shaped
+    * ingest pipeline. Zero-shuffle, stream-admissible: three codegen'd
+    * regexp projections over the shared pattern constants above (the
+    * [[ControlClass]] oracle-portability convention — Java regex and
+    * RE2 read them identically), then ONE native entity-decode pass
+    * ([[graft.functions.HtmlUnescape]]), then whitespace collapse.
+    *
+    * Order is load-bearing: entities decode AFTER tag removal, so
+    * `&lt;script&gt;` — markup QUOTED AS TEXT — decodes to literal
+    * `<script>` content instead of becoming a live tag and being
+    * stripped (the anti-double-decode order every sanitizer documents);
+    * tags are replaced by a SPACE, not dropped, so `a<br>b` keeps its
+    * word boundary; the final `\s+`→space collapse + trim normalizes
+    * the seams the removals leave. Requires [[graft.functions.GraftExtensions]]. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, ScriptStyleBlock, " ")
+    val noComment = regexp_replace(noScript, HtmlComment, " ")
+    val noTags = regexp_replace(noComment, HtmlTagOrDecl, " ")
+    val decoded = call_function("graft_html_unescape", noTags)
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 
   /** Mojibake (double-encoded UTF-8) repair — ftfy's core move as a pure
     * Column expression: text that was UTF-8 encoded, misread as
