@@ -9,6 +9,31 @@ import org.json4s.jackson.JsonMethods
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets
 
+/** Bearer-token authentication policy for [[GovernanceHttpServer]] — the
+  * twin of the reference's `bearer_token_dependency`
+  * (`dc43-service-backends/src/dc43_service_backends/auth.py:28`): a set
+  * of accepted tokens, an optional custom verifier, or both; at least
+  * one must be provided (an empty policy would silently allow nothing —
+  * the reference raises the same way). Token comparison is
+  * constant-time (`MessageDigest.isEqual`) so acceptance can't leak
+  * prefix length through timing. */
+final case class BearerAuth(tokens: Set[String] = Set.empty,
+                            verifier: Option[String => Boolean] = None) {
+  require(tokens.nonEmpty || verifier.nonEmpty,
+    "provide at least one token or a verifier for authentication")
+  def accepts(presented: String): Boolean = {
+    val bytes = presented.getBytes(StandardCharsets.UTF_8)
+    tokens.exists(t =>
+      java.security.MessageDigest.isEqual(t.getBytes(StandardCharsets.UTF_8), bytes)) ||
+      verifier.exists(_(presented))
+  }
+}
+
+object BearerAuth {
+  /** The common single-token deployment shape. */
+  def token(t: String): BearerAuth = BearerAuth(tokens = Set(t))
+}
+
 /** Thin HTTP facade over a contract store and governance backend — the
   * deployment-mode twin of the reference's service backend server
   * (`dc43-service-backends/src/dc43_service_backends/server.py:1-680`):
@@ -48,7 +73,8 @@ import java.nio.charset.StandardCharsets
   */
 final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBackend,
                                  port: Int = 0,
-                                 products: Option[graft.products.DataProductBackend] = None) {
+                                 products: Option[graft.products.DataProductBackend] = None,
+                                 auth: Option[BearerAuth] = None) {
 
   private var server: Option[HttpServer] = None
 
@@ -86,12 +112,34 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       .map { case (k, v) => k -> (JDouble(v): JValue) }),
     "recordedAt" -> JLong(st.recordedAt))
 
+  /** When auth is configured, every route except `/health` (the
+    * load-balancer liveness probe — the reference leaves it open too)
+    * requires `Authorization: Bearer <token>`. Missing, malformed and
+    * rejected credentials all answer 401 with a `WWW-Authenticate`
+    * challenge and give the same body, so a prober learns nothing about
+    * WHICH check failed. */
+  private def authorized(ex: HttpExchange): Boolean = auth match {
+    case None => true
+    case Some(_) if ex.getRequestURI.getPath == "/health" => true
+    case Some(a) =>
+      val ok = Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+        val sp = h.indexOf(' ')
+        sp > 0 && h.substring(0, sp).equalsIgnoreCase("Bearer") &&
+          a.accepts(h.substring(sp + 1).trim)
+      }
+      if (!ok) {
+        ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+        respond(ex, 401, """{"error":"unauthorized"}""")
+      }
+      ok
+  }
+
   // every handler answers 400 on a missing parameter and 500 with the
   // message on an unexpected failure, so a bad client call can never
   // take the server down
   private def handler(f: (HttpExchange, Map[String, String]) => Unit)
       : com.sun.net.httpserver.HttpHandler = { ex =>
-    try f(ex, params(ex))
+    try if (authorized(ex)) f(ex, params(ex))
     catch {
       case e: NoSuchElementException =>
         respond(ex, 400, s"""{"error":"missing parameter: ${e.getMessage}"}""")

@@ -18,7 +18,8 @@ import java.time.Duration
   * `java.net.http.HttpClient`; ids travel URL-encoded in query
   * parameters, so raw ids containing `/` or `:` round-trip unharmed. */
 final class HttpContractStore(baseUrl: String,
-                              timeout: Duration = Duration.ofSeconds(30))
+                              timeout: Duration = Duration.ofSeconds(30),
+                              bearerToken: Option[String] = None)
     extends ContractStore {
 
   private val base = baseUrl.stripSuffix("/")
@@ -26,12 +27,18 @@ final class HttpContractStore(baseUrl: String,
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
 
+  /** Every request carries the configured bearer token (the server's
+    * [[BearerAuth]] counterpart — reference `auth.py` wires the same
+    * header through its remote clients). */
+  private def withAuth(b: HttpRequest.Builder): HttpRequest.Builder =
+    bearerToken.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+
   private def send(req: HttpRequest): HttpResponse[String] =
     client.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
 
   private def get(pathAndQuery: String): HttpResponse[String] =
-    send(HttpRequest.newBuilder(java.net.URI.create(base + pathAndQuery))
-      .timeout(timeout).GET().build())
+    send(withAuth(HttpRequest.newBuilder(java.net.URI.create(base + pathAndQuery))
+      .timeout(timeout)).GET().build())
 
   private def expect(r: HttpResponse[String]): HttpResponse[String] = {
     // 404 is a domain answer (absent contract), anything else non-2xx is
@@ -52,9 +59,9 @@ final class HttpContractStore(baseUrl: String,
     }
 
   override def put(contract: Contract): Unit = {
-    val r = send(HttpRequest.newBuilder(java.net.URI.create(s"$base/contracts/put"))
+    val r = send(withAuth(HttpRequest.newBuilder(java.net.URI.create(s"$base/contracts/put"))
       .timeout(timeout)
-      .header("Content-Type", "application/json; charset=utf-8")
+      .header("Content-Type", "application/json; charset=utf-8"))
       .POST(HttpRequest.BodyPublishers.ofString(ContractJson.toJson(contract)))
       .build())
     expect(r)

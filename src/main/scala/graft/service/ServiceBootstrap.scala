@@ -1,0 +1,147 @@
+package graft.service
+
+import graft.contracts.{ContractStore, FsContractStore, JdbcContractStore}
+import graft.governance.{FsGovernanceStore, GovernanceBackend, GovernanceStore, JdbcGovernanceStore}
+import graft.products.DataProductBackend
+
+/** Config-file bootstrap for the HTTP facade — the reference deploys its
+  * server from a TOML config that names the store bindings
+  * (`dc43-service-backends/src/dc43_service_backends/config.py:125-246` +
+  * `bootstrap.py:509` `build_backends`), so an operator brings the
+  * service up WITHOUT writing code. Same here: a TOML document with the
+  * reference's section names builds a ready-to-`start()`
+  * [[GovernanceHttpServer]].
+  *
+  * Supported sections / keys (everything else is rejected loudly — a
+  * typo'd binding must never silently fall back to a default store):
+  *
+  * {{{
+  * [contract_store]              # required
+  * type = "filesystem"           # or "jdbc"
+  * root = "/srv/contracts"       # filesystem: required
+  * dsn  = "jdbc:derby:..."       # jdbc: required
+  * table = "contracts"           # jdbc: optional
+  *
+  * [governance_store]            # required
+  * type = "filesystem"           # or "jdbc"
+  * root = "/srv/governance"
+  * dsn  = "jdbc:..."             # jdbc: required
+  * prefix = "governance"         # jdbc: optional table-name prefix
+  *
+  * [data_product]                # optional — omit to serve no /products
+  * root = "/srv/products"
+  *
+  * [auth]                        # optional — omit for an open server
+  * token = "s3cret"              # accepted bearer token
+  *
+  * [server]                      # optional
+  * port = 8081                   # default 0 = ephemeral
+  * }}}
+  *
+  * The TOML subset parsed is exactly what the bindings need: `[section]`
+  * headers, `key = "string" | integer | true | false`, full-line or
+  * trailing `#` comments. Spark-session-backed stores
+  * (SparkTable/Delta) are deliberately NOT bootstrappable from a config
+  * file — they need a live session, which no file can carry; construct
+  * those in code. */
+object ServiceBootstrap {
+
+  /** Parse the TOML subset. Unknown syntax fails with the line number. */
+  def parseToml(text: String): Map[String, Map[String, String]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
+    var section: String = ""
+    for ((raw, i) <- text.linesIterator.zipWithIndex) {
+      // strip a trailing comment, but never inside a quoted value
+      val line = {
+        val sb = new StringBuilder
+        var inQ = false
+        var done = false
+        for (c <- raw if !done) {
+          if (c == '"') { inQ = !inQ; sb += c }
+          else if (c == '#' && !inQ) done = true
+          else sb += c
+        }
+        sb.result().trim
+      }
+      if (line.nonEmpty) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          section = line.substring(1, line.length - 1).trim
+          require(section.nonEmpty, s"line ${i + 1}: empty section header")
+          out.getOrElseUpdate(section, scala.collection.mutable.LinkedHashMap.empty)
+        } else line.split("=", 2) match {
+          case Array(k, v) =>
+            val key = k.trim
+            val value = v.trim match {
+              case q if q.length >= 2 && q.startsWith("\"") && q.endsWith("\"") =>
+                q.substring(1, q.length - 1)
+              case b if b == "true" || b == "false" => b
+              case n if n.nonEmpty && n.forall(c => c.isDigit || c == '-') => n
+              case other => throw new IllegalArgumentException(
+                s"line ${i + 1}: unsupported value syntax: $other " +
+                  "(quoted string, integer, or boolean)")
+            }
+            require(key.nonEmpty, s"line ${i + 1}: empty key")
+            out.getOrElseUpdate(section,
+              scala.collection.mutable.LinkedHashMap.empty).put(key, value)
+          case _ => throw new IllegalArgumentException(
+            s"line ${i + 1}: expected [section] or key = value, got: $line")
+        }
+      }
+    }
+    out.map { case (s, kvs) => s -> kvs.toMap }.toMap
+  }
+
+  private def requireKey(sec: Map[String, String], section: String, key: String): String =
+    sec.getOrElse(key, throw new IllegalArgumentException(
+      s"[$section] requires '$key' for type '${sec.getOrElse("type", "filesystem")}'"))
+
+  private val KnownSections = Set(
+    "contract_store", "governance_store", "data_product", "auth", "server")
+
+  private def contractStore(sec: Map[String, String]): ContractStore =
+    sec.getOrElse("type", "filesystem") match {
+      case "filesystem" => new FsContractStore(requireKey(sec, "contract_store", "root"))
+      case "jdbc" => new JdbcContractStore(requireKey(sec, "contract_store", "dsn"),
+        table = sec.getOrElse("table", "contracts"))
+      case t => throw new IllegalArgumentException(
+        s"[contract_store] unknown type '$t' (filesystem | jdbc; " +
+          "Spark-table stores need a live session — construct in code)")
+    }
+
+  private def governanceStore(sec: Map[String, String]): GovernanceStore =
+    sec.getOrElse("type", "filesystem") match {
+      case "filesystem" => new FsGovernanceStore(requireKey(sec, "governance_store", "root"))
+      case "jdbc" => new JdbcGovernanceStore(requireKey(sec, "governance_store", "dsn"),
+        prefix = sec.getOrElse("prefix", "governance"))
+      case t => throw new IllegalArgumentException(
+        s"[governance_store] unknown type '$t' (filesystem | jdbc; " +
+          "Spark-table stores need a live session — construct in code)")
+    }
+
+  /** Build an unstarted server from a parsed config. */
+  def build(config: Map[String, Map[String, String]]): GovernanceHttpServer = {
+    val unknown = config.keySet.diff(KnownSections)
+    require(unknown.isEmpty,
+      s"unknown config section(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(supported: ${KnownSections.toSeq.sorted.mkString(", ")})")
+    val contracts = contractStore(config.getOrElse("contract_store",
+      throw new IllegalArgumentException("config must have a [contract_store] section")))
+    val gov = new GovernanceBackend(governanceStore(config.getOrElse("governance_store",
+      throw new IllegalArgumentException("config must have a [governance_store] section"))),
+      Some(contracts))
+    val products = config.get("data_product").map(sec =>
+      new DataProductBackend(requireKey(sec, "data_product", "root")))
+    val auth = config.get("auth").map(sec =>
+      BearerAuth.token(requireKey(sec, "auth", "token")))
+    val port = config.get("server").flatMap(_.get("port")).map(_.toInt).getOrElse(0)
+    new GovernanceHttpServer(contracts, gov, port = port,
+      products = products, auth = auth)
+  }
+
+  /** Parse + build in one step — the deployment entry point. */
+  def fromToml(text: String): GovernanceHttpServer = build(parseToml(text))
+
+  def fromFile(path: String): GovernanceHttpServer =
+    fromToml(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+}

@@ -1,0 +1,160 @@
+package graft.service
+
+import graft.{DemoContracts, SparkSpec}
+import graft.contracts.FsContractStore
+import graft.governance.GovernanceBackend
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Bearer-token auth (reference `auth.py:28` bearer_token_dependency →
+  * `server.py` wiring) and the config-file bootstrap (reference
+  * `config.py` + `bootstrap.py`) — the facade's deployment-mode seams. */
+class AuthBootstrapSpec extends SparkSpec {
+
+  private def req(url: String, token: Option[String]): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(url)).GET()
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val r = HttpClient.newHttpClient().send(b.build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def withAuthServer[A](auth: Option[BearerAuth])
+                               (f: (String, FsContractStore) => A): A = {
+    val root = tmpDir("graft_auth")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val server = new GovernanceHttpServer(store, gov, auth = auth)
+    val port = server.start()
+    try f(s"http://127.0.0.1:$port", store) finally server.stop()
+  }
+
+  test("auth configured: no/wrong token is 401 + challenge, valid token 200, health open") {
+    withAuthServer(Some(BearerAuth.token("s3cret"))) { (url, _) =>
+      val (noTok, body) = req(s"$url/contracts", None)
+      assert(noTok == 401 && body.contains("unauthorized"))
+      assert(req(s"$url/contracts", Some("wrong"))._1 == 401)
+      // malformed scheme is 401 too, same body (no oracle for the prober)
+      val basic = HttpRequest.newBuilder(URI.create(s"$url/contracts"))
+        .header("Authorization", "Basic s3cret").GET().build()
+      assert(HttpClient.newHttpClient()
+        .send(basic, HttpResponse.BodyHandlers.ofString()).statusCode() == 401)
+      assert(req(s"$url/contracts", Some("s3cret"))._1 == 200)
+      // scheme name is case-insensitive (RFC 7235)
+      val lower = HttpRequest.newBuilder(URI.create(s"$url/contracts"))
+        .header("Authorization", "bearer s3cret").GET().build()
+      assert(HttpClient.newHttpClient()
+        .send(lower, HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      // liveness probe stays open for the load balancer
+      assert(req(s"$url/health", None)._1 == 200)
+    }
+  }
+
+  test("no auth configured: everything stays open (unchanged default)") {
+    withAuthServer(None) { (url, _) =>
+      assert(req(s"$url/contracts", None)._1 == 200)
+      assert(req(s"$url/health", None)._1 == 200)
+    }
+  }
+
+  test("HttpContractStore sends the token; without one the server refuses") {
+    withAuthServer(Some(BearerAuth.token("tok-1"))) { (url, store) =>
+      val bare = new HttpContractStore(url)
+      val ex = intercept[java.io.IOException] { bare.listContractIds() }
+      assert(ex.getMessage.contains("401"))
+      val authed = new HttpContractStore(url, bearerToken = Some("tok-1"))
+      authed.put(DemoContracts.lineitem)
+      assert(store.get(DemoContracts.lineitem.id, DemoContracts.lineitem.version).nonEmpty)
+      assert(authed.listContractIds() == Seq(DemoContracts.lineitem.id))
+    }
+  }
+
+  test("BearerAuth accepts any listed token or a verifier; empty policy rejected") {
+    val multi = BearerAuth(tokens = Set("a", "b"))
+    assert(multi.accepts("a") && multi.accepts("b") && !multi.accepts("c"))
+    val byVerifier = BearerAuth(verifier = Some(_.startsWith("svc-")))
+    assert(byVerifier.accepts("svc-x") && !byVerifier.accepts("x"))
+    intercept[IllegalArgumentException] { BearerAuth() }
+  }
+
+  test("bootstrap: a TOML config brings up the full facade without code") {
+    val root = tmpDir("graft_boot")
+    val toml =
+      s"""# deployment config — the reference's section names
+         |[contract_store]
+         |type = "filesystem"          # trailing comment
+         |root = "$root/contracts"
+         |
+         |[governance_store]
+         |type = "filesystem"
+         |root = "$root/gov"
+         |
+         |[data_product]
+         |root = "$root/products"
+         |
+         |[auth]
+         |token = "boot-secret"
+         |""".stripMargin
+    val server = ServiceBootstrap.fromToml(toml)
+    val port = server.start()
+    val url = s"http://127.0.0.1:$port"
+    try {
+      assert(req(s"$url/health", None)._1 == 200)
+      assert(req(s"$url/contracts", None)._1 == 401, "auth section must bind")
+      assert(req(s"$url/contracts", Some("boot-secret"))._1 == 200)
+      // the data_product section attached the /products family
+      assert(req(s"$url/products", Some("boot-secret"))._1 == 200)
+      // remote client against the booted server, stores really persist
+      val remote = new HttpContractStore(url, bearerToken = Some("boot-secret"))
+      remote.put(DemoContracts.lineitem)
+      assert(new FsContractStore(s"$root/contracts")
+        .get(DemoContracts.lineitem.id, DemoContracts.lineitem.version).nonEmpty)
+    } finally server.stop()
+  }
+
+  test("bootstrap: jdbc bindings, server port and omitted sections") {
+    val root = tmpDir("graft_boot_jdbc")
+    val toml =
+      s"""[contract_store]
+         |type = "jdbc"
+         |dsn = "jdbc:derby:$root/db;create=true"
+         |
+         |[governance_store]
+         |type = "jdbc"
+         |dsn = "jdbc:derby:$root/gov;create=true"
+         |prefix = "gov"
+         |""".stripMargin
+    val server = ServiceBootstrap.fromToml(toml)
+    val port = server.start()
+    try {
+      val url = s"http://127.0.0.1:$port"
+      assert(req(s"$url/contracts", None)._1 == 200, "no [auth] = open server")
+      assert(req(s"$url/products", None)._1 == 404, "no [data_product] = no routes")
+      val remote = new HttpContractStore(url)
+      remote.put(DemoContracts.lineitem)
+      assert(remote.listContractIds() == Seq(DemoContracts.lineitem.id))
+    } finally server.stop()
+  }
+
+  test("bootstrap rejects typos and missing bindings loudly") {
+    val ok = "[contract_store]\nroot = \"/tmp/x\"\n[governance_store]\nroot = \"/tmp/y\"\n"
+    intercept[IllegalArgumentException] {
+      ServiceBootstrap.fromToml(ok + "[contract_stoer]\nroot = \"/tmp/z\"\n")
+    }
+    intercept[IllegalArgumentException] { // missing required section
+      ServiceBootstrap.fromToml("[contract_store]\nroot = \"/tmp/x\"\n")
+    }
+    intercept[IllegalArgumentException] { // jdbc without dsn
+      ServiceBootstrap.fromToml(
+        "[contract_store]\ntype = \"jdbc\"\n[governance_store]\nroot = \"/tmp/y\"\n")
+    }
+    intercept[IllegalArgumentException] { // spark-table types need code
+      ServiceBootstrap.fromToml(
+        "[contract_store]\ntype = \"delta\"\n[governance_store]\nroot = \"/tmp/y\"\n")
+    }
+    intercept[IllegalArgumentException] { // unsupported value syntax
+      ServiceBootstrap.parseToml("[auth]\ntoken = [1, 2]\n")
+    }
+  }
+}
