@@ -133,7 +133,12 @@ object ScaleEvidence {
     // expect ~linear scan-bound) and the full tokenize->chunk->pack
     // shard-writer composition (one window + one bounded aggregation
     // past the tokenize pass)
-    "q_unicode_nfc", "q_clean_text", "q_pack_tokens")
+    "q_unicode_nfc", "q_clean_text", "q_pack_tokens",
+    // r10: the chunk-assignment pair on its own (the family whose
+    // wall-clock drifted in r9 — a pinned 1x/10x growth ratio makes the
+    // next drift attributable: harness context moves BOTH columns,
+    // super-linear work moves the ratio) and the markup-strip projection
+    "q_pack_chunks", "q_pack_chunks_sharded", "q_html_strip")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)
