@@ -50,6 +50,16 @@ object BearerAuth {
   *  - `GET  /contracts/get?id=&version=`        → ODCS JSON | 404
   *  - `GET  /contracts/latest?id=`              → ODCS JSON | 404
   *  - `POST /contracts/put` (body ODCS JSON)    → 204
+  *  - `POST /data-quality/evaluate` (body `{"contract":ODCS,"schema":{col:{odcsType,nullable[,backendType]}},"metrics":{k:n}}`)
+  *      → `{"ok":,"status":,"errors":[...],"warnings":[...]}` — the
+  *      reference's observation-payload evaluation
+  *      (`server.py:368` `/data-quality/evaluate`): a remote pipeline
+  *      ships its OBSERVATIONS (one-pass metrics + schema snapshot),
+  *      never its data, and the verdict comes back over the wire
+  *  - `POST /data-quality/expectations` (body `{"contract":ODCS}`)
+  *      → `{"expectations":[{key,rule,column,optional,predicate},...]}`
+  *      (`server.py:375` — the contract's expectation descriptors with
+  *      their SQL predicates, so any engine can pre-check locally)
   *  - `GET  /governance/status?dataset=&version=` → verdict JSON | 404
   *  - `GET  /governance/datasets`               → `{"ids":[...]}`
   *  - `GET  /governance/link?dataset=`          → link JSON | 404
@@ -191,6 +201,76 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       if (path != "/contracts" && path != "/contracts/")
         respond(ex, 404, """{"error":"not found"}""")
       else respond(ex, 200, jsonIds("ids", contracts.listContractIds()))
+    })
+
+    // data-quality family: evaluation of SHIPPED OBSERVATIONS — the
+    // pipeline sends its one-pass metrics + schema snapshot, the data
+    // never crosses the wire (the reference's dq_backend.evaluate)
+    s.createContext("/data-quality/evaluate", handler { (ex, _) =>
+      val body = JsonMethods.parse(
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val fields = body match {
+        case JObject(fs) => fs.toMap
+        case _ => throw new IllegalArgumentException("body must be a JSON object")
+      }
+      val contract = ContractJson.fromJson(JsonMethods.compact(JsonMethods.render(
+        fields.getOrElse("contract",
+          throw new IllegalArgumentException("missing 'contract'")))))
+      val schema: Map[String, graft.quality.FieldSnapshot] =
+        fields.get("schema") match {
+          case Some(JObject(cols)) => cols.toMap.map {
+            case (name, JObject(attrs)) =>
+              val a = attrs.toMap
+              def str(k: String) = a.get(k).collect { case JString(s) => s }
+              name -> graft.quality.FieldSnapshot(
+                backendType = str("backendType").getOrElse(""),
+                odcsType = str("odcsType").getOrElse(
+                  throw new IllegalArgumentException(s"schema.$name needs odcsType")),
+                nullable = a.get("nullable").collect { case JBool(b) => b }.getOrElse(true))
+            case (name, _) => throw new IllegalArgumentException(
+              s"schema.$name must be an object")
+          }
+          case Some(_) => throw new IllegalArgumentException("'schema' must be an object")
+          case None => Map.empty
+        }
+      val metrics: Map[String, Any] = fields.get("metrics") match {
+        case Some(JObject(ms)) => ms.toMap.collect {
+          case (k, JInt(v)) => k -> (v.longValue: Any)
+          case (k, JLong(v)) => k -> (v: Any)
+          case (k, JDouble(v)) => k -> (v: Any)
+          case (k, JDecimal(v)) => k -> (v.toDouble: Any)
+        }
+        case Some(_) => throw new IllegalArgumentException("'metrics' must be an object")
+        case None => Map.empty
+      }
+      val res = graft.quality.Evaluator.evaluate(contract, schema, metrics)
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+        "ok" -> JBool(res.ok),
+        "status" -> JString(res.recordStatus),
+        "errors" -> JArray(res.errors.toList.map(JString(_))),
+        "warnings" -> JArray(res.warnings.toList.map(JString(_)))))))
+    })
+    s.createContext("/data-quality/expectations", handler { (ex, _) =>
+      val body = JsonMethods.parse(
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val contractJson = body match {
+        case JObject(fs) => fs.toMap.getOrElse("contract",
+          throw new IllegalArgumentException("missing 'contract'"))
+        case _ => throw new IllegalArgumentException("body must be a JSON object")
+      }
+      val contract = ContractJson.fromJson(
+        JsonMethods.compact(JsonMethods.render(contractJson)))
+      val specs = graft.quality.Expectations.fromContract(contract)
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+        "expectations" -> JArray(specs.toList.map { sp =>
+          JObject(
+            "key" -> JString(sp.key),
+            "rule" -> JString(sp.rule),
+            "column" -> sp.column.map(c => JString(c): JValue).getOrElse(JNull),
+            "optional" -> JBool(sp.optional),
+            "predicate" -> graft.quality.Expectations.sqlPredicate(sp)
+              .map(p => JString(p): JValue).getOrElse(JNull))
+        })))))
     })
 
     s.createContext("/governance/status", handler { (ex, p) =>

@@ -91,4 +91,43 @@ class HtmlStripSpec extends SparkSpec {
       assert(got == "a & b")
     } finally q.stop()
   }
+
+  test("stripHtml plans as a zero-exchange codegen projection") {
+    // non-foldable input (a literal would constant-fold to LocalTableScan)
+    val df = spark.range(3)
+      .select(concat(lit("<p>a &amp; "), col("id").cast("string"), lit("</p>")).as("text"))
+      .select(TextOps.stripHtml(col("text")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // `*(1)` is executedPlan.toString's whole-stage-codegen span marker;
+    // the projection (native decode included) must sit inside one
+    assert(plan.contains("*(1) Project"), s"fell out of codegen:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"fallback in plan:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("a & 0", "a & 1", "a & 2"))
+  }
+
+  test("property: escape -> unescape round-trips arbitrary text") {
+    val gen = new scala.util.Random(42)
+    // pieces, not UTF-16 units: picking raw chars would manufacture
+    // lone surrogates out of the emoji, which no UTF-8 round-trip keeps
+    val pieces = Seq("a", "b", " ", "&", "<", ">", "\"", "'", "#", ";",
+      "x", "1", "帝", new String(Character.toChars(0x1F642)))
+    def randText(): String =
+      (0 until gen.nextInt(40)).map(_ => pieces(gen.nextInt(pieces.size))).mkString
+    def escape(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&#39;"
+      case c => c.toString
+    }
+    val cases = (1 to 300).map(_ => randText())
+    for (s <- cases) {
+      val got = graft.functions.HtmlUnescape
+        .unescape(UTF8String.fromString(escape(s))).toString
+      assert(got == s, s"round-trip broke for ${s.map(_.toInt)}")
+    }
+  }
 }

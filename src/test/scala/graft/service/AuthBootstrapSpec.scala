@@ -157,4 +157,38 @@ class AuthBootstrapSpec extends SparkSpec {
       ServiceBootstrap.parseToml("[auth]\ntoken = [1, 2]\n")
     }
   }
+
+  test("data-quality family: observation payloads evaluate over the wire") {
+    withAuthServer(None) { (url, _) =>
+      val contractJson = graft.contracts.ContractJson.toJson(DemoContracts.lineitem)
+      def post(path: String, body: String): (Int, String) = {
+        val r = HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(url + path))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // expectations: every descriptor of the contract, with predicates
+      val (ec, eb) = post("/data-quality/expectations",
+        s"""{"contract":$contractJson}""")
+      assert(ec == 200, eb)
+      assert(eb.contains("\"not_null_l_orderkey\"") && eb.contains("predicate"))
+      // evaluate: clean observations -> ok; a violation count -> block
+      val schema = """{"l_orderkey":{"odcsType":"bigint","nullable":false}}"""
+      val clean = post("/data-quality/evaluate",
+        s"""{"contract":$contractJson,"schema":$schema,
+           |"metrics":{"violations.not_null_l_orderkey":0}}""".stripMargin)
+      assert(clean._1 == 200 && clean._2.contains("\"ok\":"), clean._2)
+      val bad = post("/data-quality/evaluate",
+        s"""{"contract":$contractJson,"schema":$schema,
+           |"metrics":{"violations.not_null_l_orderkey":7}}""".stripMargin)
+      assert(bad._1 == 200 && bad._2.contains("\"status\":\"block\""), bad._2)
+      assert(bad._2.contains("l_orderkey contains 7 null value"),
+        s"violation named in errors: ${bad._2}")
+      // malformed body is a 400, not a 500
+      assert(post("/data-quality/evaluate", "[]")._1 == 400)
+      assert(post("/data-quality/expectations", "{}")._1 == 400)
+    }
+  }
 }
