@@ -65,6 +65,17 @@ object BearerAuth {
   *  - `GET  /governance/link?dataset=`          → link JSON | 404
   *  - `POST /governance/link?dataset=&contractId=&contractVersion=` → 204
   *  - `GET  /governance/activity?dataset=[&version=]` → activity JSON array
+  *  - `POST /governance/evaluate?dataset=&version=` (body = the
+  *      dq-evaluate observation payload) → `{"status":verdict,"ok":,
+  *      "draftVersions":[...]}` — evaluate + RECORD + auto-draft in one
+  *      round trip (the reference's `/governance/evaluate`,
+  *      `server.py:463`)
+  *  - `GET  /governance/drafts?contractId=`     → `{"versions":[...]}`
+  *  - `POST /governance/review-draft?contractId=&version=&approve=` → reviewed ODCS JSON
+  *  - `GET  /governance/status-matrix`          → verdict JSON array (`server.py:536`)
+  *  - `GET  /governance/dataset-records?[dataset=&version=]` → merged
+  *      version-chain records (`server.py` dataset-records)
+  *  - `GET  /governance/metrics?dataset=`       → metric observation array (`server.py:610`)
   *
   * With a [[graft.products.DataProductBackend]] attached the ODPS
   * data-product family is served too — the reference exposes all three
@@ -203,47 +214,53 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       else respond(ex, 200, jsonIds("ids", contracts.listContractIds()))
     })
 
-    // data-quality family: evaluation of SHIPPED OBSERVATIONS — the
-    // pipeline sends its one-pass metrics + schema snapshot, the data
-    // never crosses the wire (the reference's dq_backend.evaluate)
-    s.createContext("/data-quality/evaluate", handler { (ex, _) =>
-      val body = JsonMethods.parse(
-        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-      val fields = body match {
+    // ---- observation-payload decode helpers (shared by the dq and
+    // governance evaluate routes): the pipeline ships its one-pass
+    // metrics + schema snapshot; the data never crosses the wire
+    def jsonBody(ex: HttpExchange): Map[String, JValue] =
+      JsonMethods.parse(
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)) match {
         case JObject(fs) => fs.toMap
         case _ => throw new IllegalArgumentException("body must be a JSON object")
       }
-      val contract = ContractJson.fromJson(JsonMethods.compact(JsonMethods.render(
+    def decodeContract(fields: Map[String, JValue]): graft.contracts.Contract =
+      ContractJson.fromJson(JsonMethods.compact(JsonMethods.render(
         fields.getOrElse("contract",
           throw new IllegalArgumentException("missing 'contract'")))))
-      val schema: Map[String, graft.quality.FieldSnapshot] =
-        fields.get("schema") match {
-          case Some(JObject(cols)) => cols.toMap.map {
-            case (name, JObject(attrs)) =>
-              val a = attrs.toMap
-              def str(k: String) = a.get(k).collect { case JString(s) => s }
-              name -> graft.quality.FieldSnapshot(
-                backendType = str("backendType").getOrElse(""),
-                odcsType = str("odcsType").getOrElse(
-                  throw new IllegalArgumentException(s"schema.$name needs odcsType")),
-                nullable = a.get("nullable").collect { case JBool(b) => b }.getOrElse(true))
-            case (name, _) => throw new IllegalArgumentException(
-              s"schema.$name must be an object")
-          }
-          case Some(_) => throw new IllegalArgumentException("'schema' must be an object")
-          case None => Map.empty
+    def decodeSchema(fields: Map[String, JValue]): Map[String, graft.quality.FieldSnapshot] =
+      fields.get("schema") match {
+        case Some(JObject(cols)) => cols.toMap.map {
+          case (name, JObject(attrs)) =>
+            val a = attrs.toMap
+            def str(k: String) = a.get(k).collect { case JString(s) => s }
+            name -> graft.quality.FieldSnapshot(
+              backendType = str("backendType").getOrElse(""),
+              odcsType = str("odcsType").getOrElse(
+                throw new IllegalArgumentException(s"schema.$name needs odcsType")),
+              nullable = a.get("nullable").collect { case JBool(b) => b }.getOrElse(true))
+          case (name, _) => throw new IllegalArgumentException(
+            s"schema.$name must be an object")
         }
-      val metrics: Map[String, Any] = fields.get("metrics") match {
+        case Some(_) => throw new IllegalArgumentException("'schema' must be an object")
+        case None => Map.empty
+      }
+    def decodeMetrics(fields: Map[String, JValue]): Map[String, Any] =
+      fields.get("metrics") match {
         case Some(JObject(ms)) => ms.toMap.collect {
           case (k, JInt(v)) => k -> (v.longValue: Any)
           case (k, JLong(v)) => k -> (v: Any)
           case (k, JDouble(v)) => k -> (v: Any)
           case (k, JDecimal(v)) => k -> (v.toDouble: Any)
+          case (k, JString(v)) => k -> (v: Any)
         }
         case Some(_) => throw new IllegalArgumentException("'metrics' must be an object")
         case None => Map.empty
       }
-      val res = graft.quality.Evaluator.evaluate(contract, schema, metrics)
+
+    s.createContext("/data-quality/evaluate", handler { (ex, _) =>
+      val fields = jsonBody(ex)
+      val res = graft.quality.Evaluator.evaluate(
+        decodeContract(fields), decodeSchema(fields), decodeMetrics(fields))
       respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
         "ok" -> JBool(res.ok),
         "status" -> JString(res.recordStatus),
@@ -291,6 +308,63 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           JObject("contractId" -> JString(c), "contractVersion" -> JString(v)))))
         case None => respond(ex, 404, """{"error":"not found"}""")
       }
+    })
+    // the full remote governance round trip (the reference's
+    // `/governance/evaluate` shape): observations in → verdict evaluated,
+    // RECORDED against the (dataset, version), and a draft contract
+    // proposed from the feedback when the outcome warrants one — all
+    // from one request, no data movement
+    s.createContext("/governance/evaluate", handler { (ex, p) =>
+      val fields = jsonBody(ex)
+      val contract = decodeContract(fields)
+      val res = graft.quality.Evaluator.evaluate(
+        contract, decodeSchema(fields), decodeMetrics(fields))
+      val record = gov.recordValidation(p("dataset"), p("version"), contract, res)
+      val draftVersions = gov.listDrafts(contract.id).map(_.version)
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+        "status" -> statusJson(record),
+        "ok" -> JBool(res.ok),
+        "draftVersions" -> JArray(draftVersions.toList.map(JString(_)))))))
+    })
+    s.createContext("/governance/drafts", handler { (ex, p) =>
+      respond(ex, 200, jsonIds("versions",
+        gov.listDrafts(p("contractId")).map(_.version)))
+    })
+    s.createContext("/governance/review-draft", handler { (ex, p) =>
+      val reviewed = gov.reviewDraft(p("contractId"), p("version"),
+        p("approve").toBoolean)
+      respond(ex, 200, ContractJson.toJson(reviewed))
+    })
+    s.createContext("/governance/status-matrix", handler { (ex, _) =>
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+        JArray(gov.statusMatrix().toList.map(statusJson)))))
+    })
+    s.createContext("/governance/dataset-records", handler { (ex, p) =>
+      val recs = gov.datasetRecords(p.get("dataset"), p.get("version"))
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+        JArray(recs.toList.map { r =>
+          JObject(
+            "datasetId" -> JString(r.datasetId),
+            "datasetVersion" -> JString(r.datasetVersion),
+            "contractId" -> JString(r.contractId),
+            "contractVersion" -> JString(r.contractVersion),
+            "status" -> r.status.map(statusJson).getOrElse(JNull: JValue),
+            "activityCount" -> JInt(r.activity.size),
+            "lastSeenAt" -> JLong(r.lastSeenAt))
+        }))))
+    })
+    s.createContext("/governance/metrics", handler { (ex, p) =>
+      val obs = gov.metricHistory(p("dataset"))
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+        JArray(obs.toList.map { o =>
+          JObject(
+            "datasetId" -> JString(o.datasetId),
+            "datasetVersion" -> JString(o.datasetVersion),
+            "key" -> JString(o.key),
+            "valueText" -> JString(o.valueText),
+            "valueNumeric" -> o.valueNumeric.map(v => JDouble(v): JValue).getOrElse(JNull),
+            "recordedAt" -> JLong(o.recordedAt))
+        }))))
     })
     s.createContext("/governance/activity", handler { (ex, p) =>
       val acts = gov.pipelineActivity(p("dataset"), p.get("version"))

@@ -191,4 +191,47 @@ class AuthBootstrapSpec extends SparkSpec {
       assert(post("/data-quality/expectations", "{}")._1 == 400)
     }
   }
+
+  test("governance round trip over the wire: evaluate -> record -> draft -> review") {
+    withAuthServer(None) { (url, _) =>
+      val contractJson = graft.contracts.ContractJson.toJson(DemoContracts.lineitem)
+      def post(path: String, body: String): (Int, String) = {
+        val r = HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(url + path))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val schema = """{"l_orderkey":{"odcsType":"bigint","nullable":false}}"""
+      val (c, b) = post("/governance/evaluate?dataset=lake.lineitem&version=v7",
+        s"""{"contract":$contractJson,"schema":$schema,
+           |"metrics":{"violations.not_null_l_orderkey":3}}""".stripMargin)
+      assert(c == 200, b)
+      assert(b.contains("\"status\"") && b.contains("\"block\""), b)
+      // the verdict was RECORDED: readable through the status route
+      val st = req(s"$url/governance/status?dataset=lake.lineitem&version=v7", None)
+      assert(st._1 == 200 && st._2.contains("\"block\""), st._2)
+      // feedback proposed a draft; its version came back and lists
+      assert(b.contains("draftVersions"), b)
+      val drafts = req(s"$url/governance/drafts?contractId=${DemoContracts.lineitem.id}", None)
+      assert(drafts._1 == 200 && drafts._2.contains("versions"), drafts._2)
+      val version = {
+        val vs = "\"versions\":\\[\"([^\"]+)\"".r
+        vs.findFirstMatchIn(drafts._2).map(_.group(1))
+          .getOrElse(fail(s"no draft version in ${drafts._2}"))
+      }
+      // review it over the wire -> active
+      val rev = post(s"/governance/review-draft?contractId=${DemoContracts.lineitem.id}" +
+        s"&version=$version&approve=true", "")
+      assert(rev._1 == 200 && rev._2.contains("\"active\""), rev._2)
+      // matrix / records / metric history all answer
+      val mx = req(s"$url/governance/status-matrix", None)
+      assert(mx._1 == 200 && mx._2.contains("lake.lineitem"))
+      val dr = req(s"$url/governance/dataset-records?dataset=lake.lineitem", None)
+      assert(dr._1 == 200 && dr._2.contains("\"contractVersion\""), dr._2)
+      val mh = req(s"$url/governance/metrics?dataset=lake.lineitem", None)
+      assert(mh._1 == 200 && mh._2.contains("not_null_l_orderkey"), mh._2)
+    }
+  }
 }
