@@ -117,7 +117,7 @@ object Bench {
     // benching both would double-count the same work (the
     // q_substr_strip/q_trustrank precedent).
     "q_unicode_nfc", "q_clean_text", "q_mojibake", "q_pack_tokens",
-    "q_html_strip")
+    "q_html_strip", "q_ingest_clean")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -222,7 +222,9 @@ object Bench {
     // 0.390) × 1.3
     "q_unicode_nfc" -> 0.38, "q_clean_text" -> 0.43,
     "q_mojibake" -> 0.40, "q_pack_tokens" -> 2.65,
-    "q_html_strip" -> 0.51
+    "q_html_strip" -> 0.51,
+    // r10: the composed 4-stage ingest pipeline (0.570 warmed × 1.3)
+    "q_ingest_clean" -> 0.74
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

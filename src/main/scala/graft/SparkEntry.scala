@@ -415,6 +415,33 @@ object SparkEntry {
         TextOps.stripHtml(col("t2")).as("clean_text"),
         (TextOps.stripHtml(col("t2")) =!= col("t2")).as("changed"))
     }),
+    // the FULL crawl->text ingest pipeline, oracle-gated end to end:
+    // stripHtml FIRST (entity decode can MANUFACTURE mojibake — a page
+    // carrying &#195;&#169; decodes to the double-encoding the repair
+    // must then fix; reversed order misses it), fixMojibake BEFORE
+    // cleanControlChars (the C1 controls the class strips ARE the
+    // repair's evidence — the spec-pinned order contract, now gated),
+    // nfc LAST (over repaired + cleaned text). Dirt classes are
+    // EXCLUSIVE per row (doc_id % 13 picks one) so each stage's
+    // transform is independently checkable in the oracle
+    "q_ingest_clean" -> ((s, d) => {
+      val garbled = new String(
+        " café won’t".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = col("doc_id") % 13
+      val dirty = t(s, d, "documents").select(col("doc_id"),
+        when(m === 0, concat(lit("<div class=\"x\"><p>"), col("text"),
+          lit("</p><script>var x = 1 < 2;</script><!-- c --><b>bold</b> &amp; A&#66;&#x43;&nbsp;end</div>")))
+        .when(m === 1, concat(col("text"), lit(garbled)))
+        .when(m === 2, concat(lit("\uFEFF"), col("text"),
+          lit(" zero\u200Bwidth\u0007 soft\u00ADhyphen")))
+        .when(m === 3, concat(col("text"), lit(" cafe\u0301 nai\u0308ve caf\u00e9")))
+        .otherwise(col("text")).as("t2"))
+      val cleaned = TextOps.nfc(TextOps.cleanControlChars(
+        TextOps.fixMojibake(TextOps.stripHtml(col("t2")))))
+      dirty.select(col("doc_id"), cleaned.as("clean_text"),
+        (cleaned =!= col("t2")).as("changed"))
+    }),
     // the end-to-end shard-writer composition: tokenize (frozen merges,
     // ordered) -> chunk by token budget -> concatenate token streams
     // with a </s> boundary per doc. shards = 1 pinned for the exact
@@ -2471,6 +2498,45 @@ object SparkEntry {
         |  FROM dirty)
         |SELECT doc_id, clean_text, clean_text != t2 AS changed
         |FROM stripped""".stripMargin
+    },
+    // the composed ingest pipeline: per-class stages re-expressed with
+    // the SAME shared constants ($ss/$cm/$tg tags, $cc controls,
+    // nfc_normalize) in the SAME order the Spark pipeline applies them
+    // (collapse+trim inside the html stage, control strip after, NFC
+    // last); the mojibake class states the repaired suffix as golden
+    // (the q_mojibake precedent — DuckDB has no encoding surface).
+    // changed = clean_text != t2 in both engines, no class special-case
+    "q_ingest_clean" -> {
+      val ss = graft.ops.TextOps.ScriptStyleBlock
+      val cm = graft.ops.TextOps.HtmlComment
+      val tg = graft.ops.TextOps.HtmlTagOrDecl
+      val cc = graft.ops.TextOps.ControlClass
+      s"""WITH dirty AS (
+        |  SELECT doc_id, text,
+        |    CASE doc_id % 13
+        |      WHEN 0 THEN '<div class="x"><p>' || text || '</p><script>var x = 1 < 2;</script><!-- c --><b>bold</b> &amp; A&#66;&#x43;&nbsp;end</div>'
+        |      WHEN 1 THEN text || ' caf' || chr(195) || chr(169) || ' won' || chr(226) || chr(128) || chr(153) || 't'
+        |      WHEN 2 THEN chr(65279) || text || ' zero' || chr(8203) || 'width' || chr(7) || ' soft' || chr(173) || 'hyphen'
+        |      WHEN 3 THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've caf' || chr(233)
+        |      ELSE text END AS t2
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, t2, nfc_normalize(regexp_replace(
+        |    CASE doc_id % 13
+        |      WHEN 0 THEN trim(regexp_replace(
+        |        replace(replace(replace(replace(
+        |          regexp_replace(regexp_replace(regexp_replace(t2,
+        |            '$ss', ' ', 'g'), '$cm', ' ', 'g'), '$tg', ' ', 'g'),
+        |          '&amp;', '&'), '&#66;', 'B'), '&#x43;', 'C'), '&nbsp;', ' '),
+        |        '\\s+', ' ', 'g'))
+        |      WHEN 1 THEN trim(regexp_replace(
+        |        text || ' caf' || chr(233) || ' won' || chr(8217) || 't',
+        |        '\\s+', ' ', 'g'))
+        |      ELSE trim(regexp_replace(t2, '\\s+', ' ', 'g')) END,
+        |    '$cc', '', 'g')) AS clean_text
+        |  FROM dirty)
+        |SELECT doc_id, clean_text, clean_text != t2 AS changed
+        |FROM cleaned""".stripMargin
     },
     // the SAME ControlClass constant drives both engines (\x{…} means
     // the same thing in Java regex and RE2 — the PunctClass convention);

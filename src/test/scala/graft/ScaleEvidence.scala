@@ -138,7 +138,8 @@ object ScaleEvidence {
     // wall-clock drifted in r9 — a pinned 1x/10x growth ratio makes the
     // next drift attributable: harness context moves BOTH columns,
     // super-linear work moves the ratio) and the markup-strip projection
-    "q_pack_chunks", "q_pack_chunks_sharded", "q_html_strip")
+    "q_pack_chunks", "q_pack_chunks_sharded", "q_html_strip",
+    "q_ingest_clean")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)
