@@ -78,11 +78,17 @@ object HtmlUnescape {
       val c = str.charAt(p)
       if (c != '&') { out.append(c); p += 1 }
       else {
-        val semi = str.indexOf(';', p + 1)
         // entities are short: a ';' more than 9 chars away (longest
         // valid body is 8: x + 6 hex digits, or 7 decimal digits)
-        // means this '&' starts no entity
-        if (semi < 0 || semi - p < 2 || semi - p > 9) { out.append(c); p += 1 }
+        // means this '&' starts no entity — and the scan is BOUNDED to
+        // that window, or ampersand-dense semicolon-free text (a query-
+        // string-heavy crawl) would make the pass O(n²) per row
+        val limit = math.min(str.length, p + 10)
+        var semi = p + 1
+        while (semi < limit && str.charAt(semi) != ';') semi += 1
+        if (semi >= limit || str.charAt(semi) != ';' || semi - p < 2) {
+          out.append(c); p += 1
+        }
         else {
           val body = str.substring(p + 1, semi)
           val decoded: String =

@@ -246,12 +246,18 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       }
     def decodeMetrics(fields: Map[String, JValue]): Map[String, Any] =
       fields.get("metrics") match {
-        case Some(JObject(ms)) => ms.toMap.collect {
+        case Some(JObject(ms)) => ms.toMap.map {
           case (k, JInt(v)) => k -> (v.longValue: Any)
           case (k, JLong(v)) => k -> (v: Any)
           case (k, JDouble(v)) => k -> (v: Any)
           case (k, JDecimal(v)) => k -> (v.toDouble: Any)
           case (k, JString(v)) => k -> (v: Any)
+          // dropping an unsupported value silently would evaluate as if
+          // the observation was never shipped — a green verdict for a
+          // payload that actually reported a violation; reject instead
+          case (k, other) => throw new IllegalArgumentException(
+            s"metrics.$k: unsupported value type ${other.getClass.getSimpleName} " +
+              "(number or string)")
         }
         case Some(_) => throw new IllegalArgumentException("'metrics' must be an object")
         case None => Map.empty

@@ -99,6 +99,24 @@ object ServiceBootstrap {
   private val KnownSections = Set(
     "contract_store", "governance_store", "data_product", "auth", "server")
 
+  /** Keys each section may carry — a typo'd KEY must fail as loudly as a
+    * typo'd section, or `prot = 8080` silently binds an ephemeral port
+    * and `prefx = "prod_gov"` silently reads the default tables. */
+  private val KnownKeys: Map[String, Set[String]] = Map(
+    "contract_store" -> Set("type", "root", "dsn", "table"),
+    "governance_store" -> Set("type", "root", "dsn", "prefix"),
+    "data_product" -> Set("root"),
+    "auth" -> Set("token"),
+    "server" -> Set("port"))
+
+  private def requireKnownKeys(config: Map[String, Map[String, String]]): Unit =
+    for ((section, kvs) <- config; known <- KnownKeys.get(section)) {
+      val unknown = kvs.keySet.diff(known)
+      require(unknown.isEmpty,
+        s"[$section] unknown key(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(supported: ${known.toSeq.sorted.mkString(", ")})")
+    }
+
   private def contractStore(sec: Map[String, String]): ContractStore =
     sec.getOrElse("type", "filesystem") match {
       case "filesystem" => new FsContractStore(requireKey(sec, "contract_store", "root"))
@@ -125,6 +143,7 @@ object ServiceBootstrap {
     require(unknown.isEmpty,
       s"unknown config section(s): ${unknown.toSeq.sorted.mkString(", ")} " +
         s"(supported: ${KnownSections.toSeq.sorted.mkString(", ")})")
+    requireKnownKeys(config)
     val contracts = contractStore(config.getOrElse("contract_store",
       throw new IllegalArgumentException("config must have a [contract_store] section")))
     val gov = new GovernanceBackend(governanceStore(config.getOrElse("governance_store",

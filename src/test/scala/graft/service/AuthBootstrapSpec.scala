@@ -156,6 +156,9 @@ class AuthBootstrapSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // unsupported value syntax
       ServiceBootstrap.parseToml("[auth]\ntoken = [1, 2]\n")
     }
+    intercept[IllegalArgumentException] { // typo'd KEY inside a known section
+      ServiceBootstrap.fromToml(ok + "[server]\nprot = 8080\n")
+    }
   }
 
   test("data-quality family: observation payloads evaluate over the wire") {
