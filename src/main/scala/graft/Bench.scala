@@ -218,10 +218,12 @@ object Bench {
     "q_dup_stats" -> 0.65,
     // local warmed best-of-3 (0.56 / 0.29) × 1.3
     "q_seasonality" -> 0.73, "q_gini" -> 0.38,
-    // r10: local warmed best-of-3 (0.289 / 0.326 / 0.304 / 2.038 /
-    // 0.390) × 1.3
+    // r10: local warmed best-of-3 (0.289 / 0.326 / 0.304 / 0.390) × 1.3;
+    // q_pack_tokens re-based TIGHTER (2.65 -> 1.70 = 1.311 warmed × 1.3)
+    // after collectedMerges switched to the production delta trainer
+    // (2.04 -> 1.31 s) so the win cannot silently regress
     "q_unicode_nfc" -> 0.38, "q_clean_text" -> 0.43,
-    "q_mojibake" -> 0.40, "q_pack_tokens" -> 2.65,
+    "q_mojibake" -> 0.40, "q_pack_tokens" -> 1.70,
     "q_html_strip" -> 0.51,
     // r10: the composed 4-stage ingest pipeline (0.570 warmed × 1.3)
     "q_ingest_clean" -> 0.74

@@ -22,9 +22,15 @@ object SparkEntry {
     * order — the k-bounded artifact collect (PQ-codebook precedent)
     * shared by the q_bpe_segment / q_bpe_tokenize / q_pack_tokens
     * builders so merge count and ordering can never silently diverge
-    * between the gated queries. */
+    * between the gated queries. Uses the PRODUCTION trainer
+    * (trainMergesLocal — one distributed vocab aggregation, then the
+    * driver-side delta loop; spec-pinned byte-equal to the distributed
+    * trainer in BpeSpec, oracle-gated as q_bpe_train64): the
+    * per-round-Spark-job trainer is still gated directly by
+    * q_bpe_train, but the consumers shouldn't pay 5 chained jobs for
+    * an artifact the delta loop derives from one. */
   private def collectedMerges(docs: DataFrame, n: Int): Seq[(String, String)] =
-    graft.ops.Bpe.trainMerges(docs, n)
+    graft.ops.Bpe.trainMergesLocal(graft.ops.Bpe.wordVocab(docs), n, maxTypes = 0)
       .orderBy(col("step")).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
 
