@@ -130,4 +130,22 @@ class HtmlStripSpec extends SparkSpec {
       assert(got == s, s"round-trip broke for ${s.map(_.toInt)}")
     }
   }
+
+  test("the composed ingest pipeline is stream-admissible end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)](spark)
+    val cleaned = TextOps.nfc(TextOps.cleanControlChars(
+      TextOps.fixMojibake(TextOps.stripHtml(col("text")))))
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), cleaned.as("clean"))
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    try {
+      // markup + a quoted entity + a control char + decomposed accent
+      mem.addData((1L, "<p>cafe" + "\u0301" + "\u0007 &amp; co</p>"))
+      q.processAllAvailable()
+      val got = spark.table("ingest_stream").collect().head.getString(1)
+      assert(got == "caf" + "\u00e9" + " & co", s"got ${got.map(_.toInt)}")
+    } finally q.stop()
+  }
 }
