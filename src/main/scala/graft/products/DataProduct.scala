@@ -252,62 +252,24 @@ final case class RegistrationResult(product: DataProduct, changed: Boolean)
 final case class ProductListing(
     items: Seq[String], total: Int, limit: Option[Int], offset: Int)
 
-class DataProductBackend(rootDir: String) {
-  import java.nio.file.{Files, Paths}
+/** Port-registration + draft-lifecycle semantics shared by every
+  * data-product persistence flavour — the reference's
+  * `MutableDataProductBackendMixin`
+  * (`data_products/backend/_shared.py:44-155`), which both the local
+  * filesystem backend and the external-catalog backend
+  * (`data_products/backend/collibra.py:40`) mix in over the same four
+  * persistence primitives. */
+trait MutableDataProductOps {
 
-  private val root = Paths.get(rootDir)
-  Files.createDirectories(root)
-  private def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
-  private def dir(id: String) = root.resolve(safe(id))
+  def put(p: DataProduct): Unit
+  def get(id: String, version: String): Option[DataProduct]
+  def latest(id: String): Option[DataProduct]
+  def listVersions(id: String): Seq[String]
 
-  def put(p: DataProduct): Unit = {
-    val d = dir(p.id)
-    Files.createDirectories(d)
-    Files.writeString(d.resolve(safe(p.version.getOrElse("0.0.0")) + ".json"),
-      DataProductJson.toJson(p))
-  }
-
-  def listVersions(id: String): Seq[String] = {
-    val d = dir(id)
-    if (!Files.isDirectory(d)) Nil
-    else scala.util.Using.resource(Files.list(d)) { s =>
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).toSeq.sorted
-    }
-  }
-
-  def get(id: String, version: String): Option[DataProduct] = {
-    val f = dir(id).resolve(safe(version) + ".json")
-    if (Files.exists(f)) Some(DataProductJson.fromJson(Files.readString(f))) else None
-  }
-
-  def latest(id: String): Option[DataProduct] =
-    listVersions(id).flatMap(v => SemVer.tryParse(v).map(_ -> v))
-      .sortBy(_._1).lastOption.flatMap { case (_, v) => get(id, v) }
-
-  /** Every known product id, sorted — authoritative ids from the stored
-    * payloads (directory names are sanitised). */
-  def listDataProductIds(): Seq[String] = {
-    if (!Files.isDirectory(root)) return Nil
-    val dirs = scala.util.Using.resource(Files.list(root)) { s =>
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
-    }
-    dirs.flatMap { d =>
-      listVersions(d).headOption.flatMap(v => get(d, v)).map(_.id)
-    }.distinct.sorted
-  }
-
-  /** Paged id listing — the reference's `list_data_products`
-    * (`data_products/backend/local.py:31-46`): negative offsets clamp to
-    * 0, negative limits to an empty page, `total` always the full count. */
-  def listDataProducts(limit: Option[Int] = None, offset: Int = 0): ProductListing = {
-    val ids = listDataProductIds()
-    val start = math.max(offset, 0)
-    val end = limit.fold(ids.size)(l => math.min(start + math.max(l, 0), ids.size))
-    ProductListing(ids.slice(start, end), ids.size, limit, start)
-  }
+  /** Status a freshly-minted product starts in (reference
+    * `_ensure_product`, `collibra.py:86-91`: the configured default,
+    * lowercased). */
+  protected def defaultStatus: String = "draft"
 
   /** The reference's `next_draft_version` (`dc43_core/odps.py:324-350`):
     * bump the CURRENT revision's release core (pre-release tag stripped)
@@ -345,7 +307,8 @@ class DataProductBackend(rootDir: String) {
   }
 
   private def ensureProduct(id: String): DataProduct =
-    latest(id).getOrElse(DataProduct(id = id))
+    latest(id).getOrElse(DataProduct(id = id,
+      status = Option(defaultStatus).filter(_.nonEmpty).fold("draft")(_.toLowerCase)))
 
   /** Register (upsert) an input port — the reference's
     * `register_input_port` (`_shared.py:73-110`): the BARE incoming port
@@ -404,4 +367,63 @@ class DataProductBackend(rootDir: String) {
   def resolveOutputContract(id: String, portName: String): Option[(String, String)] =
     latest(id).flatMap(_.findOutputPort(portName))
       .filter(_.contractId.nonEmpty).map(p => (p.contractId, p.version))
+}
+
+class DataProductBackend(rootDir: String) extends MutableDataProductOps {
+  import java.nio.file.{Files, Paths}
+
+  private val root = Paths.get(rootDir)
+  Files.createDirectories(root)
+  private def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def dir(id: String) = root.resolve(safe(id))
+
+  def put(p: DataProduct): Unit = {
+    val d = dir(p.id)
+    Files.createDirectories(d)
+    Files.writeString(d.resolve(safe(p.version.getOrElse("0.0.0")) + ".json"),
+      DataProductJson.toJson(p))
+  }
+
+  def listVersions(id: String): Seq[String] = {
+    val d = dir(id)
+    if (!Files.isDirectory(d)) Nil
+    else scala.util.Using.resource(Files.list(d)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).toSeq.sorted
+    }
+  }
+
+  def get(id: String, version: String): Option[DataProduct] = {
+    val f = dir(id).resolve(safe(version) + ".json")
+    if (Files.exists(f)) Some(DataProductJson.fromJson(Files.readString(f))) else None
+  }
+
+  def latest(id: String): Option[DataProduct] =
+    listVersions(id).flatMap(v => SemVer.tryParse(v).map(_ -> v))
+      .sortBy(_._1).lastOption.flatMap { case (_, v) => get(id, v) }
+
+  /** Every known product id, sorted — authoritative ids from the stored
+    * payloads (directory names are sanitised). */
+  def listDataProductIds(): Seq[String] = {
+    if (!Files.isDirectory(root)) return Nil
+    val dirs = scala.util.Using.resource(Files.list(root)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
+    }
+    dirs.flatMap { d =>
+      listVersions(d).headOption.flatMap(v => get(d, v)).map(_.id)
+    }.distinct.sorted
+  }
+
+  /** Paged id listing — the reference's `list_data_products`
+    * (`data_products/backend/local.py:31-46`): negative offsets clamp to
+    * 0, negative limits to an empty page, `total` always the full count. */
+  def listDataProducts(limit: Option[Int] = None, offset: Int = 0): ProductListing = {
+    val ids = listDataProductIds()
+    val start = math.max(offset, 0)
+    val end = limit.fold(ids.size)(l => math.min(start + math.max(l, 0), ids.size))
+    ProductListing(ids.slice(start, end), ids.size, limit, start)
+  }
+
 }

@@ -91,6 +91,10 @@ object BearerAuth {
   *  - `POST /products/register-output?id=[&bump=]` (body = one output-port JSON) → same
   *  - `POST /products/review?id=&version=&approve=` → reviewed ODPS JSON
   *  - `GET  /products/resolve-output?id=&port=`   → `{"contractId":,"contractVersion":}` | 404
+  *
+  * `GET /ui...` serves the read-only browse pages ([[WebUi]] — the
+  * reference contracts-app's list/detail views), HTML instead of JSON,
+  * behind the same bearer policy.
   */
 final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBackend,
                                  port: Int = 0,
@@ -460,6 +464,19 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
         }
       })
     }
+
+    val ui = new WebUi(contracts, gov, products)
+    s.createContext("/ui", handler { (ex, p) =>
+      ui.render(ex.getRequestURI.getPath, p) match {
+        case Some(html) =>
+          val bytes = html.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        case None => respond(ex, 404, """{"error":"not found"}""")
+      }
+    })
 
     // small fixed pool: a metadata facade, not a data plane
     s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))

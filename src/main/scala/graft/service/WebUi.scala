@@ -1,0 +1,317 @@
+package graft.service
+
+import graft.contracts.{Contract, ContractStore, FieldDef, QualityRule}
+import graft.governance.{DatasetStatus, GovernanceBackend}
+import graft.products.DataProductBackend
+
+/** Read-only server-rendered browse pages for the governance facade —
+  * the browse slice of the reference's contracts web app
+  * (`dc43-contracts-app/src/dc43_contracts_app/server.py:8071-10252`:
+  * `/`, `/contracts`, `/contracts/{cid}`, `/contracts/{cid}/{ver}`,
+  * `/datasets`, `/datasets/{name}`, `/data-products`,
+  * `/data-products/{id}`, rendered from the `templates` directory). The
+  * reference app is a full editing UI (~12k LoC of FastAPI + Jinja +
+  * setup wizard); this module deliberately covers only the READ side —
+  * every list/detail view a reviewer opens — while mutations stay on the
+  * JSON API where pipelines already do them. No template engine: each
+  * page is a pure `String` function of the backing stores, so the pages
+  * are unit-testable without a socket and add zero dependencies.
+  *
+  * Ids travel as QUERY PARAMETERS (`/ui/contract?id=...`), the facade's
+  * wire convention, so ids containing `/` or `:` need no path games. All
+  * interpolated data is HTML-escaped — contract descriptions and error
+  * strings are arbitrary user text. */
+final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
+                  products: Option[DataProductBackend] = None) {
+
+  // ------------------------------------------------------------------
+  // rendering primitives
+  // ------------------------------------------------------------------
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case '\'' => sb.append("&#39;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private val style = """
+    body{font-family:system-ui,sans-serif;margin:2rem;max-width:70rem;color:#1a1a1a}
+    nav a{margin-right:1rem} h1,h2{font-weight:600}
+    table{border-collapse:collapse;width:100%;margin:1rem 0}
+    th,td{border:1px solid #ccc;padding:.4rem .6rem;text-align:left;vertical-align:top}
+    th{background:#f2f2f2} code{background:#f6f6f6;padding:0 .2rem}
+    .ok{color:#0a7d33}.warn{color:#a86a00}.block{color:#b00020}
+    .muted{color:#777}
+  """.stripMargin
+
+  /** Shared chrome — the reference's `base.html` navigation. */
+  private def page(title: String, body: String): String =
+    s"""<!doctype html><html><head><meta charset="utf-8">
+       |<title>${esc(title)} — graft governance</title>
+       |<style>$style</style></head><body>
+       |<nav><a href="/ui">Home</a><a href="/ui/contracts">Contracts</a>
+       |<a href="/ui/datasets">Datasets</a>${
+         if (products.isDefined) """<a href="/ui/products">Data products</a>""" else ""
+       }</nav>
+       |<h1>${esc(title)}</h1>
+       |$body
+       |</body></html>""".stripMargin
+
+  private def table(headers: Seq[String], rows: Seq[Seq[String]]): String =
+    if (rows.isEmpty) """<p class="muted">none</p>"""
+    else
+      s"""<table><tr>${headers.map(h => s"<th>${esc(h)}</th>").mkString}</tr>${
+        rows.map(r => s"<tr>${r.map(c => s"<td>$c</td>").mkString}</tr>").mkString
+      }</table>"""
+
+  private def statusCell(status: String): String = {
+    val cls = status.toLowerCase match {
+      case "ok" | "active" => "ok"
+      case "warn" | "draft" => "warn"
+      case "block" | "rejected" => "block"
+      case _ => "muted"
+    }
+    s"""<span class="$cls">${esc(status)}</span>"""
+  }
+
+  private def contractLink(id: String, version: String): String =
+    s"""<a href="/ui/contract?id=${enc(id)}&version=${enc(version)}">${esc(id)}:${esc(version)}</a>"""
+
+  // ------------------------------------------------------------------
+  // pages
+  // ------------------------------------------------------------------
+
+  /** Landing page — the reference's `index.html` dashboard counters. */
+  def index(): String = {
+    val cids = contracts.listContractIds()
+    val datasets = gov.listDatasets()
+    val matrix = gov.statusMatrix()
+    val blocked = matrix.count(_.status == "block")
+    val productCount = products.map(_.listDataProducts().total)
+    page("Governance", s"""
+      |<table>
+      |<tr><th>Contracts</th><td>${cids.size}</td></tr>
+      |<tr><th>Datasets under governance</th><td>${datasets.size}</td></tr>
+      |<tr><th>Recorded verdicts</th><td>${matrix.size}
+      |  (${matrix.count(_.status == "ok")} ok, ${matrix.count(_.status == "warn")} warn,
+      |  $blocked blocked)</td></tr>
+      |${productCount.fold("")(n => s"<tr><th>Data products</th><td>$n</td></tr>")}
+      |</table>""".stripMargin)
+  }
+
+  /** Contract listing — reference `contracts.html`: id, latest version,
+    * its status, and the version count. */
+  def contractsPage(): String = {
+    val rows = contracts.listContractIds().map { id =>
+      val versions = contracts.listVersions(id)
+      val latest = contracts.latest(id)
+      Seq(
+        s"""<a href="/ui/contract?id=${enc(id)}">${esc(id)}</a>""",
+        latest.map(c => esc(c.version)).getOrElse("""<span class="muted">—</span>"""),
+        latest.flatMap(_.status).map(statusCell).getOrElse("""<span class="muted">—</span>"""),
+        versions.size.toString)
+    }
+    page("Contracts", table(Seq("id", "latest", "status", "versions"), rows))
+  }
+
+  /** One contract's version chain — reference `contract_versions.html` —
+    * or, with a version, the full detail (`contract_detail.html`):
+    * schema fields with types/flags/rules, servers, linked datasets. */
+  def contractPage(id: String, version: Option[String]): Option[String] =
+    version match {
+      case None =>
+        val versions = contracts.listVersions(id)
+        if (versions.isEmpty) None
+        else Some(page(s"Contract $id", table(
+          Seq("version", "status", "name"),
+          versions.map { v =>
+            val c = contracts.get(id, v)
+            Seq(contractLink(id, v),
+              c.flatMap(_.status).map(statusCell).getOrElse("""<span class="muted">—</span>"""),
+              c.flatMap(_.name).map(esc).getOrElse("""<span class="muted">—</span>"""))
+          })))
+      case Some(v) => contracts.get(id, v).map(c => contractDetail(c))
+    }
+
+  private def ruleText(r: QualityRule): String = {
+    val parts = Seq(
+      r.rule.filter(_.nonEmpty).map(n => s"rule=$n"),
+      r.mustBeGreaterThan.map(x => s"> $x"),
+      r.mustBeGreaterOrEqualTo.map(x => s">= $x"),
+      r.mustBeLessThan.map(x => s"< $x"),
+      r.mustBeLessOrEqualTo.map(x => s"<= $x"),
+      if (r.values.nonEmpty) Some(r.values.mkString("in {", ", ", "}")) else None,
+      r.pattern.map(p => s"~ /$p/"),
+      r.query.map(q => s"query: $q")).flatten
+    esc(parts.mkString("; "))
+  }
+
+  private def fieldRows(fs: Seq[FieldDef], prefix: String = ""): Seq[Seq[String]] =
+    fs.flatMap { f =>
+      val row = Seq(
+        s"<code>${esc(prefix + f.name)}</code>",
+        esc(f.odcsType),
+        if (f.required) "yes" else """<span class="muted">no</span>""",
+        if (f.unique) "yes" else """<span class="muted">no</span>""",
+        f.quality.map(r => ruleText(r)).mkString("<br>"))
+      row +: (fieldRows(f.fields, prefix + f.name + ".") ++
+        f.items.toSeq.flatMap(i => fieldRows(Seq(i), prefix + f.name + "[].")))
+    }
+
+  private def contractDetail(c: Contract): String = {
+    val meta = s"""
+      |<table>
+      |<tr><th>version</th><td>${esc(c.version)}</td></tr>
+      |<tr><th>status</th><td>${c.status.map(statusCell).getOrElse("—")}</td></tr>
+      |${c.name.fold("")(n => s"<tr><th>name</th><td>${esc(n)}</td></tr>")}
+      |${c.description.fold("")(d => s"<tr><th>description</th><td>${esc(d)}</td></tr>")}
+      |</table>""".stripMargin
+    val schema = c.schema.map { obj =>
+      s"<h2>schema: ${esc(obj.name)}</h2>" +
+        table(Seq("property", "type", "required", "unique", "quality"),
+          fieldRows(obj.properties)) +
+        (if (obj.quality.isEmpty) ""
+         else s"<p>object rules: ${obj.quality.map(ruleText).mkString("; ")}</p>")
+    }.mkString
+    val servers =
+      if (c.servers.isEmpty) ""
+      else "<h2>servers</h2>" + table(Seq("server", "type", "path", "format"),
+        c.servers.map(sv => Seq(
+          sv.server.map(esc).getOrElse("—"), sv.serverType.map(esc).getOrElse("—"),
+          sv.path.map(esc).getOrElse("—"), sv.format.map(esc).getOrElse("—"))))
+    val linked = gov.statusMatrix()
+      .filter(st => st.contractId == c.id && st.contractVersion == c.version)
+    val verdicts =
+      if (linked.isEmpty) ""
+      else "<h2>recorded verdicts</h2>" + statusTable(linked)
+    page(s"Contract ${c.id}:${c.version}", meta + schema + servers + verdicts)
+  }
+
+  private def statusTable(sts: Seq[DatasetStatus]): String =
+    table(Seq("dataset", "version", "contract", "status", "errors", "warnings"),
+      sts.sortBy(-_.recordedAt).map { st =>
+        Seq(
+          s"""<a href="/ui/dataset?dataset=${enc(st.datasetId)}">${esc(st.datasetId)}</a>""",
+          esc(st.datasetVersion),
+          contractLink(st.contractId, st.contractVersion),
+          statusCell(st.status),
+          st.errors.map(esc).mkString("<br>"),
+          st.warnings.map(esc).mkString("<br>"))
+      })
+
+  /** Dataset listing — reference `datasets.html`: every governed dataset
+    * with its latest verdict. */
+  def datasetsPage(): String = {
+    val rows = gov.listDatasets().map { id =>
+      val recs = gov.datasetRecords(Some(id), None)
+      val latest = recs.sortBy(-_.lastSeenAt).headOption
+      Seq(
+        s"""<a href="/ui/dataset?dataset=${enc(id)}">${esc(id)}</a>""",
+        latest.map(r => esc(r.datasetVersion)).getOrElse("—"),
+        latest.flatMap(_.status).map(st => statusCell(st.status))
+          .getOrElse("""<span class="muted">—</span>"""),
+        recs.size.toString)
+    }
+    page("Datasets", table(Seq("dataset", "latest version", "status", "records"), rows))
+  }
+
+  /** One dataset's version chain + activity — reference
+    * `dataset_detail.html` / `dataset_versions.html`. */
+  def datasetPage(dataset: String): Option[String] = {
+    val recs = gov.datasetRecords(Some(dataset), None)
+    if (recs.isEmpty) return None
+    val chain = table(
+      Seq("version", "contract", "status", "errors", "warnings", "pipeline touches"),
+      recs.sortBy(-_.lastSeenAt).map { r =>
+        Seq(
+          esc(r.datasetVersion),
+          contractLink(r.contractId, r.contractVersion),
+          r.status.map(st => statusCell(st.status)).getOrElse("""<span class="muted">—</span>"""),
+          r.status.map(_.errors.map(esc).mkString("<br>")).getOrElse(""),
+          r.status.map(_.warnings.map(esc).mkString("<br>")).getOrElse(""),
+          r.activity.size.toString)
+      })
+    val metrics = gov.metricHistory(dataset)
+    val metricsTable =
+      if (metrics.isEmpty) ""
+      else "<h2>metric history</h2>" + table(Seq("version", "metric", "value"),
+        metrics.map(o => Seq(esc(o.datasetVersion), s"<code>${esc(o.key)}</code>",
+          esc(o.valueText))))
+    Some(page(s"Dataset $dataset", chain + metricsTable))
+  }
+
+  /** Data-product listing — reference `data_products.html`. */
+  def productsPage(): Option[String] = products.map { pb =>
+    val rows = pb.listDataProducts().items.map { id =>
+      val latest = pb.latest(id)
+      Seq(
+        s"""<a href="/ui/product?id=${enc(id)}">${esc(id)}</a>""",
+        latest.flatMap(_.version).map(esc).getOrElse("—"),
+        latest.map(p => statusCell(p.status)).getOrElse("""<span class="muted">—</span>"""),
+        latest.map(p => p.inputPorts.size.toString).getOrElse("0"),
+        latest.map(p => p.outputPorts.size.toString).getOrElse("0"))
+    }
+    page("Data products",
+      table(Seq("id", "latest", "status", "input ports", "output ports"), rows))
+  }
+
+  /** One data product's latest revision + ports + version chain —
+    * reference `data_product_detail.html`. */
+  def productPage(id: String): Option[String] = products.flatMap { pb =>
+    pb.latest(id).map { p =>
+      val meta = s"""
+        |<table>
+        |<tr><th>latest version</th><td>${p.version.map(esc).getOrElse("—")}</td></tr>
+        |<tr><th>status</th><td>${statusCell(p.status)}</td></tr>
+        |${p.name.fold("")(n => s"<tr><th>name</th><td>${esc(n)}</td></tr>")}
+        |</table>""".stripMargin
+      val inputs =
+        if (p.inputPorts.isEmpty) ""
+        else "<h2>input ports</h2>" + table(Seq("port", "contract", "properties"),
+          p.inputPorts.map(ip => Seq(s"<code>${esc(ip.name)}</code>",
+            contractLink(ip.contractId, ip.version),
+            ip.customProperties.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"<code>${esc(k)}</code>=${esc(v)}" }.mkString("<br>"))))
+      val outputs =
+        if (p.outputPorts.isEmpty) ""
+        else "<h2>output ports</h2>" + table(Seq("port", "contract", "type"),
+          p.outputPorts.map(op => Seq(s"<code>${esc(op.name)}</code>",
+            contractLink(op.contractId, op.version),
+            op.portType.map(esc).getOrElse("—"))))
+      val versions = "<h2>versions</h2>" + table(Seq("version", "status"),
+        pb.listVersions(id).map { v =>
+          val d = pb.get(id, v)
+          Seq(esc(v), d.map(x => statusCell(x.status)).getOrElse("—"))
+        })
+      page(s"Data product $id", meta + inputs + outputs + versions)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // dispatch
+  // ------------------------------------------------------------------
+
+  /** Route a `/ui...` path + query params to a page. `None` = 404. */
+  def render(path: String, params: Map[String, String]): Option[String] =
+    path.stripSuffix("/") match {
+      case "/ui" | "" => Some(index())
+      case "/ui/contracts" => Some(contractsPage())
+      case "/ui/contract" =>
+        params.get("id").flatMap(id => contractPage(id, params.get("version")))
+      case "/ui/datasets" => Some(datasetsPage())
+      case "/ui/dataset" => params.get("dataset").flatMap(datasetPage)
+      case "/ui/products" => productsPage()
+      case "/ui/product" => params.get("id").flatMap(productPage)
+      case _ => None
+    }
+}

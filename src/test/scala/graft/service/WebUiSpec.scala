@@ -1,0 +1,121 @@
+package graft.service
+
+import graft.contracts._
+import graft.governance.GovernanceBackend
+import graft.products.{DataProductBackend, OutputPort}
+import graft.quality.{Evaluator, FieldSnapshot}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** The read-only browse pages (reference contracts-app list/detail
+  * views): rendering is a pure function of the stores — asserted without
+  * a socket — and the `/ui` routes ride the facade's dispatch and bearer
+  * policy like any JSON route. */
+class WebUiSpec extends AnyFunSuite {
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_webui").toString
+
+  private val contract = Contract(
+    id = "sales.orders", version = "1.0.0", status = Some("active"),
+    name = Some("Orders"),
+    description = Some("""orders <script>alert(1)</script> & "stuff""""),
+    schema = Seq(SchemaObjectDef("orders", Seq(
+      FieldDef("o_orderkey", physicalType = Some("bigint"), required = true, unique = true),
+      FieldDef("o_totalprice", physicalType = Some("decimal"),
+        quality = Seq(QualityRule(mustBeGreaterOrEqualTo = Some(BigDecimal(0))))),
+      FieldDef("o_status", physicalType = Some("string"),
+        quality = Seq(QualityRule(rule = Some("enum"), values = Seq("O", "F", "P"))))))))
+
+  private def fixture() = {
+    val root = tmp()
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val pb = new DataProductBackend(s"$root/products")
+    store.put(contract)
+    store.put(contract.copy(version = "1.1.0-draft", status = Some("draft")))
+    // one recorded ok verdict so dataset pages have a chain to show
+    val res = Evaluator.evaluate(contract,
+      Map(
+        "o_orderkey" -> FieldSnapshot("bigint", "bigint", nullable = false),
+        "o_totalprice" -> FieldSnapshot("decimal", "decimal", nullable = true),
+        "o_status" -> FieldSnapshot("string", "string", nullable = true)),
+      Map("row_count" -> 100L))
+    gov.recordValidation("ds.orders", "2024-01", contract, res)
+    pb.registerOutputPort("dp.orders", OutputPort("gold", "1.0.0", "sales.orders"))
+    (store, gov, pb)
+  }
+
+  test("pages render lists, details, field rules and counters from the stores") {
+    val (store, gov, pb) = fixture()
+    val ui = new WebUi(store, gov, Some(pb))
+
+    val home = ui.index()
+    assert(home.contains("Contracts") && home.contains("<td>1</td>")) // one contract id
+    assert(home.contains("Data products"))
+
+    val list = ui.contractsPage()
+    assert(list.contains("sales.orders"))
+    assert(list.contains("/ui/contract?id=sales.orders"))
+
+    val versions = ui.contractPage("sales.orders", None).get
+    assert(versions.contains("1.0.0") && versions.contains("1.1.0-draft"))
+
+    val detail = ui.contractPage("sales.orders", Some("1.0.0")).get
+    assert(detail.contains("o_orderkey") && detail.contains("bigint"))
+    assert(detail.contains("&gt;= 0"))                 // threshold rule rendered
+    assert(detail.contains("in {O, F, P}"))            // enum rule rendered
+    assert(detail.contains("ds.orders"))               // linked verdict shown
+
+    val ds = ui.datasetPage("ds.orders").get
+    assert(ds.contains("2024-01") && ds.contains("row_count"))
+
+    val products = ui.productsPage().get
+    assert(products.contains("dp.orders"))
+    val product = ui.productPage("dp.orders").get
+    assert(product.contains("gold") && product.contains("0.1.0-draft"))
+
+    assert(ui.contractPage("nope", None).isEmpty)
+    assert(ui.datasetPage("nope").isEmpty)
+    assert(ui.productPage("nope").isEmpty)
+  }
+
+  test("interpolated user text is HTML-escaped") {
+    val (store, gov, pb) = fixture()
+    val detail = new WebUi(store, gov, Some(pb)).contractPage("sales.orders", Some("1.0.0")).get
+    assert(!detail.contains("<script>alert(1)</script>"))
+    assert(detail.contains("&lt;script&gt;alert(1)&lt;/script&gt; &amp; &quot;stuff&quot;"))
+  }
+
+  test("/ui routes serve html through the facade, 404 unknown paths, honour auth") {
+    val (store, gov, pb) = fixture()
+    val client = HttpClient.newHttpClient()
+    def get(url: String, token: Option[String] = None): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(url))
+      token.foreach(t => b.header("Authorization", s"Bearer $t"))
+      client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+    }
+
+    val open = new GovernanceHttpServer(store, gov, products = Some(pb))
+    val port = open.start()
+    try {
+      val r = get(s"http://127.0.0.1:$port/ui/contracts")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(r.body().contains("sales.orders"))
+      val detail = get(s"http://127.0.0.1:$port/ui/contract?id=sales.orders&version=1.0.0")
+      assert(detail.statusCode() == 200 && detail.body().contains("o_orderkey"))
+      assert(get(s"http://127.0.0.1:$port/ui/bogus").statusCode() == 404)
+      assert(get(s"http://127.0.0.1:$port/ui/contract").statusCode() == 404) // id required
+    } finally open.stop()
+
+    val authed = new GovernanceHttpServer(store, gov, products = Some(pb),
+      auth = Some(BearerAuth.token("hunter2")))
+    val p2 = authed.start()
+    try {
+      assert(get(s"http://127.0.0.1:$p2/ui").statusCode() == 401)
+      assert(get(s"http://127.0.0.1:$p2/ui", Some("hunter2")).statusCode() == 200)
+    } finally authed.stop()
+  }
+}
