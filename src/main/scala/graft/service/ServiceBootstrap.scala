@@ -164,3 +164,19 @@ object ServiceBootstrap {
   def fromFile(path: String): GovernanceHttpServer =
     fromToml(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 }
+
+/** Foreground deployment entry point — the reference serves its backends
+  * as a long-running process from a config file (`bootstrap.py` +
+  * `server.py`); here `java -cp ... graft.service.ServiceMain
+  * config.toml` (or the launcher [[SetupBundle]] writes) does the same:
+  * build from config, bind, print the port, stay up until the
+  * supervisor kills the process. */
+object ServiceMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: graft.service.ServiceMain <config.toml>")
+    val server = ServiceBootstrap.fromFile(args(0))
+    val port = server.start()
+    println(s"graft governance service listening on 127.0.0.1:$port")
+    new java.util.concurrent.CountDownLatch(1).await()
+  }
+}

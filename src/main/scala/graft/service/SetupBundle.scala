@@ -1,0 +1,318 @@
+package graft.service
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.PosixFilePermissions
+
+/** One generated file of a setup bundle — the reference's `PipelineFile`
+  * (`dc43-integrations/src/dc43_integrations/setup_bundle/__init__.py:22-28`:
+  * path, content, executable bit). */
+final case class BundleFile(path: String, content: String, executable: Boolean = false)
+
+/** A miniature deployable project — the reference's `PipelineProject`
+  * (`setup_bundle/__init__.py:31-37`). `write` materialises it under a
+  * root directory, honouring the executable bit (POSIX 755 vs 644). */
+final case class Bundle(root: String, entrypoint: String, files: Seq[BundleFile]) {
+
+  def file(path: String): Option[BundleFile] = files.find(_.path == path)
+
+  def write(targetDir: String): Seq[Path] = {
+    val base = Paths.get(targetDir, root)
+    Files.createDirectories(base)
+    files.map { f =>
+      val p = base.resolve(f.path)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.writeString(p, f.content)
+      try Files.setPosixFilePermissions(p, PosixFilePermissions.fromString(
+        if (f.executable) "rwxr-xr-x" else "rw-r--r--"))
+      catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+      p
+    }
+  }
+}
+
+/** Deployment-bundle generator — the Spark-first twin of the reference's
+  * setup-wizard export (`dc43-integrations/.../setup_bundle/spark/
+  * pipeline_stub.py`: a starter project with a README carrying the
+  * wizard's runtime hints, an entrypoint with placeholder constants for
+  * the governed ports, and launch scaffolding). The reference registers
+  * per-runtime stub providers under string keys ("spark", "dlt") and
+  * answers `None` for unknown keys (`setup_bundle/__init__.py:62-73`);
+  * [[pipeline]] mirrors that registry contract with graft's runtimes:
+  *
+  *  - `"spark"`     — batch pipeline: governed read port → transform →
+  *    governed write port, launched by `spark-submit`
+  *  - `"streaming"` — Structured Streaming twin over `ContractStream`
+  *
+  * [[service]] generates the facade deployment (the reference deploys
+  * its service backends from a TOML config + process supervisor): a
+  * `config.toml` that [[ServiceBootstrap]] can boot verbatim and a
+  * launcher for [[ServiceMain]].
+  *
+  * Everything generated is plain text the operator is expected to edit —
+  * hint values are interpolated into comments and docs only, never into
+  * code identifiers, so no hint value can make a bundle fail to compile. */
+object SetupBundle {
+
+  private def hint(hints: Map[String, String], key: String): String =
+    hints.getOrElse(key, "").trim
+
+  /** Wizard-hint block for the README — the reference records whichever
+    * hints were captured and says so when none were
+    * (`spark/pipeline_stub.py:25-36`). */
+  private def hintLines(hints: Map[String, String], keys: Seq[(String, String)]): String = {
+    val captured = keys.flatMap { case (k, label) =>
+      Option(hint(hints, k)).filter(_.nonEmpty).map(v => s"- $label: $v")
+    }
+    ("Wizard hints captured during export:" +:
+      (if (captured.isEmpty) Seq("- (no runtime-specific hints were recorded)")
+       else captured)).mkString("\n")
+  }
+
+  /** The JDK17 module flags a Spark 4 driver needs — the same set the
+    * build forks tests with; a generated launcher that omits them dies
+    * on `InaccessibleObjectException` before `main`. */
+  private val JvmFlags: String = Seq(
+    "--add-opens=java.base/java.lang=ALL-UNNAMED",
+    "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+    "--add-opens=java.base/java.nio=ALL-UNNAMED",
+    "--add-opens=java.base/java.util=ALL-UNNAMED",
+    "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+    "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
+    .map(f => s"  --conf spark.driver.extraJavaOptions=$f \\\n" +
+      s"  --conf spark.executor.extraJavaOptions=$f \\")
+    .mkString("\n")
+
+  // ------------------------------------------------------------------
+  // pipeline bundles (the reference's per-runtime stub registry)
+  // ------------------------------------------------------------------
+
+  /** Provider registry — `None` for an unknown runtime key, like the
+    * reference's `get_pipeline_stub`. */
+  def pipeline(key: String, hints: Map[String, String] = Map.empty): Option[Bundle] =
+    key match {
+      case "spark"     => Some(spark(hints))
+      case "streaming" => Some(streaming(hints))
+      case _           => None
+    }
+
+  def spark(hints: Map[String, String] = Map.empty): Bundle = {
+    val readme =
+      s"""# Spark pipeline starter
+         |
+         |A governed batch pipeline over the graft library. `Main.scala`
+         |shows the full loop:
+         |
+         |- bind the service backends (local stores here; swap in
+         |  `HttpContractStore` against a deployed facade)
+         |- read the data product's input port with contract alignment and
+         |  validation (`GovernedIO.readPort`)
+         |- apply a transformation (replace the placeholder)
+         |- publish through the output port (`GovernedIO.writePort`) so the
+         |  verdict and activity land in governance
+         |
+         |Replace the placeholder constants in `Main.scala`, build your
+         |assembly jar, then `./run.sh`.
+         |
+         |${hintLines(hints, Seq(
+             "spark_runtime" -> "Runtime",
+             "spark_master" -> "Master",
+             "spark_workspace_url" -> "Workspace URL",
+             "spark_cluster" -> "Cluster reference"))}
+         |""".stripMargin
+    val master = Option(hint(hints, "spark_master")).filter(_.nonEmpty)
+      .getOrElse("local[*]")
+    val mainScala =
+      """package pipeline
+        |
+        |import graft.contracts.FsContractStore
+        |import graft.governance.GovernanceBackend
+        |import graft.io.{ContractVersionLocator, GovernedIO}
+        |import graft.products.DataProductBackend
+        |import org.apache.spark.sql.{DataFrame, SparkSession}
+        |
+        |object Main {
+        |
+        |  // -- replace these before running -------------------------------
+        |  val DataProductId   = "replace-with-data-product-id"
+        |  val InputPort       = "replace-with-input-port"
+        |  val OutputPort      = "replace-with-output-port"
+        |  val OutputDatasetId = "replace-with-output-dataset-id"
+        |  val ServiceRoot     = "replace-with-service-root" // store directories
+        |  val LakeRoot        = "replace-with-lake-root"    // dataset files
+        |  // ---------------------------------------------------------------
+        |
+        |  /** Replace the demo transformation with your business logic. */
+        |  def transform(df: DataFrame): DataFrame = df
+        |
+        |  def main(args: Array[String]): Unit = {
+        |    val spark = SparkSession.builder()
+        |      .appName("graft-governed-pipeline")
+        |      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "200"))
+        |      .getOrCreate()
+        |
+        |    val contracts = new FsContractStore(s"$ServiceRoot/contracts")
+        |    val products = new DataProductBackend(s"$ServiceRoot/products")
+        |    val governance = new GovernanceBackend(s"$ServiceRoot/governance", Some(contracts))
+        |    val io = GovernedIO(contracts, ContractVersionLocator(spark, LakeRoot),
+        |      Some(products), Some(governance))
+        |
+        |    // aligned + validated read through the product's input binding
+        |    val input = io.readPort(spark, DataProductId, InputPort)
+        |    val result = transform(input.df)
+        |    // governed write: registers the output binding, records the verdict
+        |    io.writePort(result, DataProductId, OutputPort, OutputDatasetId)
+        |
+        |    spark.stop()
+        |  }
+        |}
+        |""".stripMargin
+    val runSh =
+      s"""#!/usr/bin/env bash
+         |# Launch the governed pipeline. Edit APP_JAR to your assembly.
+         |set -euo pipefail
+         |APP_JAR="replace-with-your-assembly.jar"
+         |spark-submit \\
+         |  --class pipeline.Main \\
+         |  --master $master \\
+         |$JvmFlags
+         |  "$$APP_JAR" "$$@"
+         |""".stripMargin
+    Bundle("spark_pipeline", "Main.scala", Seq(
+      BundleFile("README.md", readme),
+      BundleFile("Main.scala", mainScala),
+      BundleFile("run.sh", runSh, executable = true)))
+  }
+
+  def streaming(hints: Map[String, String] = Map.empty): Bundle = {
+    val readme =
+      s"""# Streaming pipeline starter
+         |
+         |The Structured Streaming twin: `ContractStream.read` aligns and
+         |validates each micro-batch against the contract, the transform
+         |runs on the streaming frame, `ContractStream.write` records
+         |per-batch verdicts through the same governance backend. Replace
+         |the placeholder constants in `StreamMain.scala`, then `./run.sh`.
+         |
+         |${hintLines(hints, Seq(
+             "spark_runtime" -> "Runtime",
+             "spark_master" -> "Master",
+             "checkpoint_root" -> "Checkpoint root"))}
+         |""".stripMargin
+    val mainScala =
+      """package pipeline
+        |
+        |import graft.contracts.FsContractStore
+        |import graft.stream.ContractStream
+        |import org.apache.spark.sql.{DataFrame, SparkSession}
+        |
+        |object StreamMain {
+        |
+        |  // -- replace these before running -------------------------------
+        |  val ContractId     = "replace-with-contract-id"
+        |  val SourcePath     = "replace-with-input-path"
+        |  val SinkPath       = "replace-with-output-path"
+        |  val CheckpointRoot = "replace-with-checkpoint-root"
+        |  val ServiceRoot    = "replace-with-service-root"
+        |  // ---------------------------------------------------------------
+        |
+        |  def transform(df: DataFrame): DataFrame = df
+        |
+        |  def main(args: Array[String]): Unit = {
+        |    val spark = SparkSession.builder()
+        |      .appName("graft-governed-stream")
+        |      .getOrCreate()
+        |
+        |    val contracts = new FsContractStore(s"$ServiceRoot/contracts")
+        |    val contract = contracts.latest(ContractId).getOrElse(
+        |      sys.error(s"no contract stored under id $ContractId"))
+        |
+        |    // each micro-batch is aligned + validated against the contract;
+        |    // per-batch verdicts go to the observation sink
+        |    val in = ContractStream.read(spark, SourcePath, contract)
+        |    val query = ContractStream.write(transform(in), SinkPath, contract,
+        |      checkpointLocation = CheckpointRoot)
+        |    query.awaitTermination()
+        |  }
+        |}
+        |""".stripMargin
+    val master = Option(hint(hints, "spark_master")).filter(_.nonEmpty)
+      .getOrElse("local[*]")
+    val runSh =
+      s"""#!/usr/bin/env bash
+         |set -euo pipefail
+         |APP_JAR="replace-with-your-assembly.jar"
+         |spark-submit \\
+         |  --class pipeline.StreamMain \\
+         |  --master $master \\
+         |$JvmFlags
+         |  "$$APP_JAR" "$$@"
+         |""".stripMargin
+    Bundle("streaming_pipeline", "StreamMain.scala", Seq(
+      BundleFile("README.md", readme),
+      BundleFile("StreamMain.scala", mainScala),
+      BundleFile("run.sh", runSh, executable = true)))
+  }
+
+  // ------------------------------------------------------------------
+  // facade deployment bundle
+  // ------------------------------------------------------------------
+
+  /** Generate the service deployment: a `config.toml` that
+    * [[ServiceBootstrap.fromFile]] boots verbatim (round-tripped by the
+    * spec) and a [[ServiceMain]] launcher. Paths land under `dataRoot`;
+    * `token`/`port` are optional exactly as in the config schema. */
+  def service(dataRoot: String, token: Option[String] = None,
+              port: Option[Int] = None, products: Boolean = true): Bundle = {
+    val config = new StringBuilder
+    config ++=
+      s"""# graft governance service — boots via graft.service.ServiceBootstrap
+         |[contract_store]
+         |type = "filesystem"
+         |root = "$dataRoot/contracts"
+         |
+         |[governance_store]
+         |type = "filesystem"
+         |root = "$dataRoot/governance"
+         |""".stripMargin
+    if (products) config ++=
+      s"""
+         |[data_product]
+         |root = "$dataRoot/products"
+         |""".stripMargin
+    token.foreach(t => config ++=
+      s"""
+         |[auth]
+         |token = "$t"
+         |""".stripMargin)
+    port.foreach(p => config ++=
+      s"""
+         |[server]
+         |port = $p
+         |""".stripMargin)
+    val runSh =
+      """#!/usr/bin/env bash
+        |# Run the governance facade in the foreground (supervise with
+        |# systemd / your scheduler). GRAFT_CP must hold the graft jar and
+        |# its Spark-provided dependencies.
+        |set -euo pipefail
+        |HERE="$(cd "$(dirname "$0")" && pwd)"
+        |exec java -cp "${GRAFT_CP:?set GRAFT_CP to the graft classpath}" \
+        |  graft.service.ServiceMain "$HERE/config.toml"
+        |""".stripMargin
+    val readme =
+      s"""# graft governance service deployment
+         |
+         |- `config.toml` — store bindings (filesystem under `$dataRoot`;
+         |  switch `type = "jdbc"` + `dsn = ...` for shared deployments)
+         |- `run-service.sh` — foreground launcher for
+         |  `graft.service.ServiceMain`
+         |
+         |The server answers the JSON service routes and the read-only
+         |`/ui` browse pages${token.fold("")(_ => ", bearer-token protected")}.
+         |""".stripMargin
+    Bundle("governance_service", "run-service.sh", Seq(
+      BundleFile("README.md", readme),
+      BundleFile("config.toml", config.result()),
+      BundleFile("run-service.sh", runSh, executable = true)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.service
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** Setup-bundle export (reference `setup_bundle`): the provider registry
+  * answers per-runtime starters and None for unknown keys, wizard hints
+  * land in the README, the generated service config boots verbatim
+  * through ServiceBootstrap, and the executable bit survives `write`. */
+class SetupBundleSpec extends AnyFunSuite {
+
+  private def tmp() = Files.createTempDirectory("graft_bundle").toString
+
+  test("the provider registry answers spark/streaming and None for unknown keys") {
+    assert(SetupBundle.pipeline("spark").isDefined)
+    assert(SetupBundle.pipeline("streaming").isDefined)
+    assert(SetupBundle.pipeline("unknown").isEmpty)
+  }
+
+  test("spark starter carries wizard hints, real API calls, and a runnable launcher") {
+    val bundle = SetupBundle.spark(Map(
+      "spark_runtime" -> "standalone cluster",
+      "spark_master" -> "spark://head:7077",
+      "spark_workspace_url" -> "https://spark.example.net"))
+    val readme = bundle.file("README.md").get.content
+    assert(readme.contains("standalone cluster"))
+    assert(readme.contains("https://spark.example.net"))
+
+    // the starter uses the REAL library call shapes (SkewSpec runs the
+    // same sequence compiled, so these tokens pin starter<->API sync)
+    val main = bundle.file("Main.scala").get.content
+    assert(main.contains("GovernedIO(contracts, ContractVersionLocator(spark, LakeRoot)"))
+    assert(main.contains("io.readPort(spark, DataProductId, InputPort)"))
+    assert(main.contains("io.writePort(result, DataProductId, OutputPort, OutputDatasetId)"))
+
+    val run = bundle.file("run.sh").get
+    assert(run.executable)
+    assert(run.content.contains("spark-submit"))
+    assert(run.content.contains("--master spark://head:7077"))
+    assert(run.content.contains("--add-opens=java.base/sun.nio.ch=ALL-UNNAMED"))
+  }
+
+  test("hint-free export says so instead of rendering an empty hint block") {
+    val readme = SetupBundle.spark().file("README.md").get.content
+    assert(readme.contains("(no runtime-specific hints were recorded)"))
+  }
+
+  test("streaming starter binds ContractStream with a checkpoint") {
+    val main = SetupBundle.streaming().file("StreamMain.scala").get.content
+    assert(main.contains("ContractStream.read(spark, SourcePath, contract)"))
+    assert(main.contains("checkpointLocation = CheckpointRoot"))
+  }
+
+  test("write honours the executable bit") {
+    val root = tmp()
+    SetupBundle.spark().write(root)
+    val base = java.nio.file.Paths.get(root, "spark_pipeline")
+    assert(Files.isExecutable(base.resolve("run.sh")))
+    assert(!Files.isExecutable(base.resolve("README.md")))
+  }
+
+  test("the generated service config boots verbatim through ServiceBootstrap") {
+    val root = tmp()
+    val bundle = SetupBundle.service(s"$root/data", token = Some("s3cret"))
+    bundle.write(root)
+    val configPath = s"$root/governance_service/config.toml"
+    assert(Files.exists(java.nio.file.Paths.get(configPath)))
+    assert(bundle.file("run-service.sh").get.content.contains("graft.service.ServiceMain"))
+
+    val server = ServiceBootstrap.fromFile(configPath)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String, token: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(get("/health", None) == 200)           // liveness stays open
+      assert(get("/contracts", None) == 401)        // [auth] section took
+      assert(get("/contracts", Some("s3cret")) == 200)
+      assert(get("/products", Some("s3cret")) == 200) // [data_product] took
+    } finally server.stop()
+  }
+}
