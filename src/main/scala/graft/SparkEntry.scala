@@ -448,6 +448,28 @@ object SparkEntry {
       dirty.select(col("doc_id"), cleaned.as("clean_text"),
         (cleaned =!= col("t2")).as("changed"))
     }),
+    // C4 cleaning battery (Raffel et al. 2020 §2.2): the corpus is
+    // single-line with no punctuation, so every page is built as a
+    // uniform 5-line synthetic document (3 survive the line pass -> 3
+    // sentences) plus ONE exclusive dirt class on doc_id % 19: a lorem
+    // ipsum template line (page tripwire), a code brace (tripwire), a
+    // javascript menu line (LINE dropped, page survives — clean_text
+    // must differ), a blocklisted word (tripwire). minSentences = 3 is
+    // the synthetic-page calibration of the paper's 5
+    "q_c4_rules" -> ((s, d) => {
+      val m = col("doc_id") % 19
+      val dirty = t(s, d, "documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(".\nKeep this line yes?\nAnother fine sentence stays here." +
+          "\ntoo short.\nno terminal punctuation here"),
+        when(m === 0, lit("\nlorem ipsum dolor sit amet."))
+          .when(m === 1, lit("\nA brace { landed here."))
+          .when(m === 2, lit("\nMenu requires javascript to render."))
+          .when(m === 3, lit("\nVisit our casino tonight!"))
+          .otherwise(lit(""))).as("text"))
+      TextOps.c4Rules(dirty, TextOps.C4Thresholds(minSentences = 3,
+        badWords = Seq("casino", "viagra")))
+    }),
     // the end-to-end shard-writer composition: tokenize (frozen merges,
     // ordered) -> chunk by token budget -> concatenate token streams
     // with a </s> boundary per doc. shards = 1 pinned for the exact
@@ -2544,6 +2566,47 @@ object SparkEntry {
         |SELECT doc_id, clean_text, clean_text != t2 AS changed
         |FROM cleaned""".stripMargin
     },
+    // C4 battery twin: same synthetic page, same dirt classes; the line
+    // pass is a list_filter lambda with the SAME three predicates
+    // (terminal punct incl. closing quote, >=3 words, no javascript),
+    // sentences counted on the SURVIVING text in both engines. Patterns
+    // are line-local after the split, so Java's $-before-final-newline
+    // quirk cannot diverge from RE2 (TextOps.C4LineEnd scaladoc)
+    "q_c4_rules" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || '.' || chr(10) || 'Keep this line yes?' || chr(10) ||
+        |    'Another fine sentence stays here.' || chr(10) || 'too short.' || chr(10) ||
+        |    'no terminal punctuation here' ||
+        |    CASE doc_id % 19
+        |      WHEN 0 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+        |      WHEN 1 THEN chr(10) || 'A brace { landed here.'
+        |      WHEN 2 THEN chr(10) || 'Menu requires javascript to render.'
+        |      WHEN 3 THEN chr(10) || 'Visit our casino tonight!'
+        |      ELSE '' END AS t2
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, t2,
+        |    list_filter(string_split(t2, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]\s*$')
+        |      AND len(regexp_extract_all(l, '\S+')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    len(string_split(t2, chr(10))) AS n_raw_lines
+        |  FROM dirty),
+        |g AS (
+        |  SELECT doc_id,
+        |    array_to_string(kept, chr(10)) AS clean_text,
+        |    CAST(n_raw_lines AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |    NOT regexp_matches(lower(t2), '\b(casino|viagra)\b') AS r_badwords,
+        |    NOT contains(lower(t2), 'lorem ipsum') AS r_lorem,
+        |    NOT contains(t2, '{') AS r_brace,
+        |    CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences
+        |  FROM f)
+        |SELECT doc_id, clean_text, n_lines, n_kept_lines, r_badwords, r_lorem,
+        |  r_brace, n_sentences, n_sentences >= 3 AS r_sentences,
+        |  (n_sentences >= 3 AND r_badwords AND r_lorem AND r_brace) AS c4_keep
+        |FROM g""".stripMargin,
     // the SAME ControlClass constant drives both engines (\x{…} means
     // the same thing in Java regex and RE2 — the PunctClass convention);
     // dirt via chr(): 65279 = BOM, 8203 = ZWSP, 7 = BEL, 173 = SHY

@@ -376,6 +376,76 @@ object TextOps {
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** Threshold set for [[c4Rules]] — defaults are the C4 pipeline's
+    * published values (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning", §2.2: lines must end in terminal punctuation
+    * and carry ≥3 words, pages need ≥5 sentences, pages with code
+    * braces / "lorem ipsum" / blocklisted words are dropped, lines
+    * mentioning javascript are dropped). `badWords` is a parameter —
+    * C4 uses a public blocklist; bring your own. */
+  final case class C4Thresholds(
+    minLineWords: Int = 3, minSentences: Long = 5,
+    badWords: Seq[String] = Nil) {
+    badWords.foreach(w => require(w.nonEmpty && w.forall(c => c.isLetterOrDigit),
+      s"badWords must be plain alphanumeric words, got '$w'"))
+  }
+
+  /** A kept C4 line ends in terminal punctuation (period, !, ?, or a
+    * closing double quote — the paper's set), optionally followed by
+    * trailing whitespace. Anchor-safe across engines because it is only
+    * ever applied to SPLIT lines (no embedded newline, so Java's
+    * `$`-before-final-newline quirk can't diverge from RE2). */
+  val C4LineEnd: String = "[.!?\"]\\s*$"
+
+  /** C4-style cleaning + page filter (Raffel et al. 2020 §2.2) — the
+    * companion battery to [[gopherRules]]: Gopher SCORES a page on
+    * global ratios, C4 EDITS the page line-by-line and then gates it on
+    * page-level tripwires. Line pass: keep lines that end in terminal
+    * punctuation, carry at least `minLineWords` words, and do not
+    * mention javascript; `clean_text` is the kept lines re-joined.
+    * Page rules: enough sentences SURVIVING the line pass (terminal
+    * punctuation marks in `clean_text` — C4's "sentence" is exactly the
+    * unit its own line filter preserves), no `{` (code page), no
+    * "lorem ipsum" (template page), no blocklisted word anywhere
+    * (word-boundary match on the raw page, like the reference pipeline
+    * — a page is dropped even when the offending line would have been).
+    *
+    * One zero-shuffle projection: the line array materialises once per
+    * row, lambdas filter it in place (no explode), every count is an
+    * exact integer — DuckDB-gateable bit-for-bit, stream-admissible as
+    * is. Null text yields an empty page that fails the sentence floor.
+    * (C4's other half — the three-sentence-span dedup — is corpus-wide
+    * state, already covered by the dedup family: [[Curate]] dedupLines
+    * and [[ExactSubstr]].) */
+  def c4Rules(docs: DataFrame, t: C4Thresholds = C4Thresholds()): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val lines = split(txt, "\n")
+    // regexp_count (not regexp_extract_all + size): the word floor only
+    // needs the COUNT, materialising a token array per line would be the
+    // single biggest allocation in a projection that runs on every page
+    val kept = filter(lines, l =>
+      l.rlike(C4LineEnd) &&
+        regexp_count(l, lit("\\S+")) >= t.minLineWords &&
+        !lower(l).contains("javascript"))
+    val rBad =
+      if (t.badWords.isEmpty) lit(true)
+      else !lower(txt).rlike(t.badWords.map(w => s"\\b${w.toLowerCase}\\b")
+        .mkString("(", "|", ")"))
+    docs.select(
+      col("doc_id"),
+      array_join(kept, "\n").as("clean_text"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept_lines"),
+      rBad.as("r_badwords"),
+      (!lower(txt).contains("lorem ipsum")).as("r_lorem"),
+      (!txt.contains("{")).as("r_brace"))
+      .withColumn("n_sentences",
+        regexp_count(col("clean_text"), lit("[.!?]")).cast(LongType))
+      .withColumn("r_sentences", col("n_sentences") >= t.minSentences)
+      .withColumn("c4_keep",
+        col("r_sentences") && col("r_badwords") && col("r_lorem") && col("r_brace"))
+  }
+
   /** FastText-style hashed linear classifier INFERENCE: each token (and
     * with `wordNgrams = 2`, each word bigram) hashes into one of
     * `weights.size` buckets; the document logit is `bias + Σ w[bucket]`
