@@ -45,12 +45,17 @@ final class CatalogDataProductBackend(adapter: CatalogDataProductAdapter,
 
   /** reference `put` (`collibra.py:55-62`): a version is mandatory
     * (drafts are minted upstream by the registration flow), and the
-    * lifecycle status defaults when the document carries none. */
+    * lifecycle status defaults when the document carries none.
+    * DEVIATION (documented): the default fills in LOWERCASED — the
+    * reference passes `default_status` verbatim here ("Draft") while
+    * its `_ensure_product` lowercases the same value, so one configured
+    * default could seed two casings; here both paths agree, and a
+    * case-sensitive `status == "draft"` consumer sees every draft. */
   override def put(p: DataProduct): Unit = {
     if (p.version.forall(_.trim.isEmpty))
       throw new IllegalArgumentException("Data product version is required")
     val status = Option(p.status).map(_.trim).filter(_.nonEmpty)
-      .getOrElse(defaultStatusValue)
+      .getOrElse(defaultStatusValue.toLowerCase)
     adapter.upsertDataProduct(p.copy(status = status), Some(status))
   }
 
@@ -64,7 +69,7 @@ final class CatalogDataProductBackend(adapter: CatalogDataProductAdapter,
     * version semantics; graft only needs a stable, deduplicatable set for
     * draft-counter allocation. */
   override def listVersions(id: String): Seq[String] =
-    adapter.listVersions(id).map(_.toString).sorted
+    adapter.listVersions(id).sorted
 
   def listDataProducts(limit: Option[Int] = None, offset: Int = 0): ProductListing =
     throw new UnsupportedOperationException(

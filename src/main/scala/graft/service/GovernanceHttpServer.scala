@@ -99,7 +99,13 @@ object BearerAuth {
 final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBackend,
                                  port: Int = 0,
                                  products: Option[graft.products.DataProductBackend] = None,
-                                 auth: Option[BearerAuth] = None) {
+                                 auth: Option[BearerAuth] = None,
+                                 /** Bind address. Loopback by default (specs,
+                                   * same-host pipelines); a deployment serving
+                                   * REMOTE pipelines sets "0.0.0.0" or the
+                                   * interface address — `[server] host` in the
+                                   * [[ServiceBootstrap]] config. */
+                                 host: String = "127.0.0.1") {
 
   private var server: Option[HttpServer] = None
 
@@ -185,7 +191,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     * `port = 0`, the spec-friendly default). */
   def start(): Int = synchronized {
     require(server.isEmpty, "server already started")
-    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val s = HttpServer.create(new InetSocketAddress(host, port), 0)
 
     s.createContext("/health", handler((ex, _) => respond(ex, 200, """{"ok":true}""")))
 

@@ -36,6 +36,7 @@ import graft.products.DataProductBackend
   *
   * [server]                      # optional
   * port = 8081                   # default 0 = ephemeral
+  * host = "0.0.0.0"              # bind address, default 127.0.0.1
   * }}}
   *
   * The TOML subset parsed is exactly what the bindings need: `[section]`
@@ -107,7 +108,7 @@ object ServiceBootstrap {
     "governance_store" -> Set("type", "root", "dsn", "prefix"),
     "data_product" -> Set("root"),
     "auth" -> Set("token"),
-    "server" -> Set("port"))
+    "server" -> Set("port", "host"))
 
   private def requireKnownKeys(config: Map[String, Map[String, String]]): Unit =
     for ((section, kvs) <- config; known <- KnownKeys.get(section)) {
@@ -154,8 +155,9 @@ object ServiceBootstrap {
     val auth = config.get("auth").map(sec =>
       BearerAuth.token(requireKey(sec, "auth", "token")))
     val port = config.get("server").flatMap(_.get("port")).map(_.toInt).getOrElse(0)
+    val host = config.get("server").flatMap(_.get("host")).getOrElse("127.0.0.1")
     new GovernanceHttpServer(contracts, gov, port = port,
-      products = products, auth = auth)
+      products = products, auth = auth, host = host)
   }
 
   /** Parse + build in one step — the deployment entry point. */
@@ -176,7 +178,7 @@ object ServiceMain {
     require(args.length == 1, "usage: graft.service.ServiceMain <config.toml>")
     val server = ServiceBootstrap.fromFile(args(0))
     val port = server.start()
-    println(s"graft governance service listening on 127.0.0.1:$port")
+    println(s"graft governance service listening on port $port")
     new java.util.concurrent.CountDownLatch(1).await()
   }
 }

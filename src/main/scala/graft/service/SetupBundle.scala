@@ -70,17 +70,31 @@ object SetupBundle {
 
   /** The JDK17 module flags a Spark 4 driver needs — the same set the
     * build forks tests with; a generated launcher that omits them dies
-    * on `InaccessibleObjectException` before `main`. */
-  private val JvmFlags: String = Seq(
-    "--add-opens=java.base/java.lang=ALL-UNNAMED",
-    "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
-    "--add-opens=java.base/java.nio=ALL-UNNAMED",
-    "--add-opens=java.base/java.util=ALL-UNNAMED",
-    "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
-    "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
-    .map(f => s"  --conf spark.driver.extraJavaOptions=$f \\\n" +
-      s"  --conf spark.executor.extraJavaOptions=$f \\")
-    .mkString("\n")
+    * on `InaccessibleObjectException` before `main`. ONE `--conf` per
+    * property with the flags space-joined in a quoted value:
+    * spark-submit keeps the LAST duplicate `--conf` key, so emitting
+    * one `--conf` per flag would silently drop all but the final one. */
+  private val JvmFlags: String = {
+    val opens = Seq(
+      "--add-opens=java.base/java.lang=ALL-UNNAMED",
+      "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "--add-opens=java.base/java.util=ALL-UNNAMED",
+      "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+      "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED").mkString(" ")
+    s"""  --conf "spark.driver.extraJavaOptions=$opens" \\
+       |  --conf "spark.executor.extraJavaOptions=$opens" \\""".stripMargin
+  }
+
+  /** Shell-safe master URL: wizard hints are untrusted text, and
+    * `--master` is the one place a hint reaches an EXECUTABLE file, so
+    * anything outside the master-URL alphabet (local[*], spark://h:p,
+    * yarn, k8s://https://…) falls back to local[*] — the raw hint still
+    * appears, escaped, in the README. The launcher also quotes it. */
+  private def safeMaster(hints: Map[String, String]): String = {
+    val m = hint(hints, "spark_master")
+    if (m.nonEmpty && m.matches("[A-Za-z0-9\\[\\]*.:/_-]+")) m else "local[*]"
+  }
 
   // ------------------------------------------------------------------
   // pipeline bundles (the reference's per-runtime stub registry)
@@ -119,8 +133,7 @@ object SetupBundle {
              "spark_workspace_url" -> "Workspace URL",
              "spark_cluster" -> "Cluster reference"))}
          |""".stripMargin
-    val master = Option(hint(hints, "spark_master")).filter(_.nonEmpty)
-      .getOrElse("local[*]")
+    val master = safeMaster(hints)
     val mainScala =
       """package pipeline
         |
@@ -173,7 +186,7 @@ object SetupBundle {
          |APP_JAR="replace-with-your-assembly.jar"
          |spark-submit \\
          |  --class pipeline.Main \\
-         |  --master $master \\
+         |  --master "$master" \\
          |$JvmFlags
          |  "$$APP_JAR" "$$@"
          |""".stripMargin
@@ -235,15 +248,14 @@ object SetupBundle {
         |  }
         |}
         |""".stripMargin
-    val master = Option(hint(hints, "spark_master")).filter(_.nonEmpty)
-      .getOrElse("local[*]")
+    val master = safeMaster(hints)
     val runSh =
       s"""#!/usr/bin/env bash
          |set -euo pipefail
          |APP_JAR="replace-with-your-assembly.jar"
          |spark-submit \\
          |  --class pipeline.StreamMain \\
-         |  --master $master \\
+         |  --master "$master" \\
          |$JvmFlags
          |  "$$APP_JAR" "$$@"
          |""".stripMargin
@@ -262,7 +274,10 @@ object SetupBundle {
     * spec) and a [[ServiceMain]] launcher. Paths land under `dataRoot`;
     * `token`/`port` are optional exactly as in the config schema. */
   def service(dataRoot: String, token: Option[String] = None,
-              port: Option[Int] = None, products: Boolean = true): Bundle = {
+              port: Option[Int] = None, products: Boolean = true,
+              /** Bind address for remote pipelines (`[server] host`);
+                * None keeps the loopback default. */
+              host: Option[String] = None): Bundle = {
     val config = new StringBuilder
     config ++=
       s"""# graft governance service — boots via graft.service.ServiceBootstrap
@@ -284,11 +299,11 @@ object SetupBundle {
          |[auth]
          |token = "$t"
          |""".stripMargin)
-    port.foreach(p => config ++=
-      s"""
-         |[server]
-         |port = $p
-         |""".stripMargin)
+    if (port.isDefined || host.isDefined) {
+      config ++= "\n[server]\n"
+      port.foreach(p => config ++= s"port = $p\n")
+      host.foreach(h => config ++= s"""host = "$h"\n""")
+    }
     val runSh =
       """#!/usr/bin/env bash
         |# Run the governance facade in the foreground (supervise with

@@ -54,18 +54,21 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     .muted{color:#777}
   """.stripMargin
 
-  /** Shared chrome — the reference's `base.html` navigation. */
+  /** Shared chrome — the reference's `base.html` navigation. Built by
+    * CONCATENATION, never `stripMargin` over interpolated values: user
+    * text (titles, descriptions, error strings) may contain
+    * newline-then-`|` sequences that stripMargin would eat. */
   private def page(title: String, body: String): String =
-    s"""<!doctype html><html><head><meta charset="utf-8">
-       |<title>${esc(title)} — graft governance</title>
-       |<style>$style</style></head><body>
-       |<nav><a href="/ui">Home</a><a href="/ui/contracts">Contracts</a>
-       |<a href="/ui/datasets">Datasets</a>${
-         if (products.isDefined) """<a href="/ui/products">Data products</a>""" else ""
-       }</nav>
-       |<h1>${esc(title)}</h1>
-       |$body
-       |</body></html>""".stripMargin
+    "<!doctype html><html><head><meta charset=\"utf-8\">\n" +
+      s"<title>${esc(title)} — graft governance</title>\n" +
+      s"<style>$style</style></head><body>\n" +
+      "<nav><a href=\"/ui\">Home</a><a href=\"/ui/contracts\">Contracts</a>\n" +
+      "<a href=\"/ui/datasets\">Datasets</a>" +
+      (if (products.isDefined) "<a href=\"/ui/products\">Data products</a>" else "") +
+      "</nav>\n" +
+      s"<h1>${esc(title)}</h1>\n" +
+      body +
+      "\n</body></html>"
 
   private def table(headers: Seq[String], rows: Seq[Seq[String]]): String =
     if (rows.isEmpty) """<p class="muted">none</p>"""
@@ -169,13 +172,12 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     }
 
   private def contractDetail(c: Contract): String = {
-    val meta = s"""
-      |<table>
-      |<tr><th>version</th><td>${esc(c.version)}</td></tr>
-      |<tr><th>status</th><td>${c.status.map(statusCell).getOrElse("—")}</td></tr>
-      |${c.name.fold("")(n => s"<tr><th>name</th><td>${esc(n)}</td></tr>")}
-      |${c.description.fold("")(d => s"<tr><th>description</th><td>${esc(d)}</td></tr>")}
-      |</table>""".stripMargin
+    val meta = "<table>\n" +
+      s"<tr><th>version</th><td>${esc(c.version)}</td></tr>\n" +
+      s"<tr><th>status</th><td>${c.status.map(statusCell).getOrElse("—")}</td></tr>\n" +
+      c.name.fold("")(n => s"<tr><th>name</th><td>${esc(n)}</td></tr>\n") +
+      c.description.fold("")(d => s"<tr><th>description</th><td>${esc(d)}</td></tr>\n") +
+      "</table>"
     val schema = c.schema.map { obj =>
       s"<h2>schema: ${esc(obj.name)}</h2>" +
         table(Seq("property", "type", "required", "unique", "quality"),
@@ -269,12 +271,11 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     * reference `data_product_detail.html`. */
   def productPage(id: String): Option[String] = products.flatMap { pb =>
     pb.latest(id).map { p =>
-      val meta = s"""
-        |<table>
-        |<tr><th>latest version</th><td>${p.version.map(esc).getOrElse("—")}</td></tr>
-        |<tr><th>status</th><td>${statusCell(p.status)}</td></tr>
-        |${p.name.fold("")(n => s"<tr><th>name</th><td>${esc(n)}</td></tr>")}
-        |</table>""".stripMargin
+      val meta = "<table>\n" +
+        s"<tr><th>latest version</th><td>${p.version.map(esc).getOrElse("—")}</td></tr>\n" +
+        s"<tr><th>status</th><td>${statusCell(p.status)}</td></tr>\n" +
+        p.name.fold("")(n => s"<tr><th>name</th><td>${esc(n)}</td></tr>\n") +
+        "</table>"
       val inputs =
         if (p.inputPorts.isEmpty) ""
         else "<h2>input ports</h2>" + table(Seq("port", "contract", "properties"),

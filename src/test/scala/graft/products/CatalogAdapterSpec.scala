@@ -56,6 +56,13 @@ class CatalogAdapterSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] { be.listDataProducts() }
   }
 
+  test("a blank status defaults LOWERCASED — one casing from every path") {
+    val be = new CatalogDataProductBackend(new StubCatalogAdapter(tmp()),
+      defaultStatusValue = "Proposed")
+    be.put(DataProduct(id = "dp.s", version = Some("1.0.0"), status = ""))
+    assert(be.get("dp.s", "1.0.0").get.status == "proposed")
+  }
+
   test("default status seeds a fresh product lowercased") {
     val be = new CatalogDataProductBackend(new StubCatalogAdapter(tmp()),
       defaultStatusValue = "Proposed")

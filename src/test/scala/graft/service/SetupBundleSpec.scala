@@ -39,8 +39,26 @@ class SetupBundleSpec extends AnyFunSuite {
     val run = bundle.file("run.sh").get
     assert(run.executable)
     assert(run.content.contains("spark-submit"))
-    assert(run.content.contains("--master spark://head:7077"))
-    assert(run.content.contains("--add-opens=java.base/sun.nio.ch=ALL-UNNAMED"))
+    assert(run.content.contains("--master \"spark://head:7077\""))
+    // ONE --conf per property, every open in the same quoted value —
+    // spark-submit keeps only the LAST duplicate --conf key, so per-flag
+    // --conf lines would silently drop all but one
+    val driverConfs = run.content.linesIterator
+      .filter(_.contains("spark.driver.extraJavaOptions")).toSeq
+    assert(driverConfs.size == 1)
+    assert(driverConfs.head.contains("--add-opens=java.base/java.lang=ALL-UNNAMED"))
+    assert(driverConfs.head.contains("--add-opens=java.base/sun.nio.ch=ALL-UNNAMED"))
+  }
+
+  test("a hostile spark_master hint cannot reach the executable launcher") {
+    val run = SetupBundle.spark(Map(
+      "spark_master" -> "spark://h:7077 --deploy-mode cluster; rm -rf /")).file("run.sh").get
+    assert(!run.content.contains("rm -rf"))
+    assert(run.content.contains("--master \"local[*]\""), "falls back to local[*]")
+    // the raw hint still reaches the (non-executable) README, escaped by
+    // markdown context only — it is documentation there
+    assert(SetupBundle.spark(Map("spark_master" -> "spark://ok:7077"))
+      .file("run.sh").get.content.contains("--master \"spark://ok:7077\""))
   }
 
   test("hint-free export says so instead of rendering an empty hint block") {
@@ -83,6 +101,23 @@ class SetupBundleSpec extends AnyFunSuite {
       assert(get("/contracts", None) == 401)        // [auth] section took
       assert(get("/contracts", Some("s3cret")) == 200)
       assert(get("/products", Some("s3cret")) == 200) // [data_product] took
+    } finally server.stop()
+  }
+
+  test("a host binding flows bundle -> config -> bootstrap -> bound server") {
+    val root = tmp()
+    SetupBundle.service(s"$root/data", host = Some("127.0.0.1"), port = Some(0))
+      .write(root)
+    val config = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/governance_service/config.toml"))
+    assert(config.contains("host = \"127.0.0.1\""))
+    val server = ServiceBootstrap.fromToml(config)
+    val port = server.start()
+    try {
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
     } finally server.stop()
   }
 }

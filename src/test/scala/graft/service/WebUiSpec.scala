@@ -88,6 +88,17 @@ class WebUiSpec extends AnyFunSuite {
     assert(detail.contains("&lt;script&gt;alert(1)&lt;/script&gt; &amp; &quot;stuff&quot;"))
   }
 
+  test("user text containing newline-pipe sequences survives rendering intact") {
+    // pages are built by concatenation, not stripMargin-after-interpolation:
+    // a description like "step 1\n  |step 2" must keep its pipe
+    val (store, gov, pb) = fixture()
+    store.put(contract.copy(version = "2.0.0",
+      description = Some("step 1\n  |step 2"), name = Some("multi\n|line")))
+    val detail = new WebUi(store, gov, Some(pb)).contractPage("sales.orders", Some("2.0.0")).get
+    assert(detail.contains("step 1\n  |step 2"))
+    assert(detail.contains("multi\n|line"))
+  }
+
   test("/ui routes serve html through the facade, 404 unknown paths, honour auth") {
     val (store, gov, pb) = fixture()
     val client = HttpClient.newHttpClient()
