@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class GovernedIO(
     store: ContractStore,
     locator: DatasetLocator,
-    products: Option[graft.products.DataProductBackend] = None,
+    products: Option[graft.products.DataProductService] = None,
     governance: Option[graft.governance.GovernanceBackend] = None) {
 
   /** Whether the recorded status of (datasetId, datasetVersion) blocks
@@ -48,7 +48,7 @@ final case class GovernedIO(
         graft.products.ProductStatusPolicy()
   ): ReadResult = {
     val backend = products.getOrElse(
-      throw new IllegalStateException("GovernedIO has no DataProductBackend configured"))
+      throw new IllegalStateException("GovernedIO has no data-product service configured"))
     val product = graft.products.ProductPolicy.select(
       backend, productId, productVersion, productStatusPolicy, enforce,
       operation = "read")
@@ -76,7 +76,7 @@ final case class GovernedIO(
       enforce: Boolean = false
   ): WriteResult = {
     val backend = products.getOrElse(
-      throw new IllegalStateException("GovernedIO has no DataProductBackend configured"))
+      throw new IllegalStateException("GovernedIO has no data-product service configured"))
     // optional write-side status gate (reference applies the same handler
     // on both operations); opt-in because port registration itself evolves
     // the product to a new draft revision

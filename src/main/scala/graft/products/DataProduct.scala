@@ -136,21 +136,26 @@ object DataProductJson {
   def toJson(p: DataProduct): String =
     JsonMethods.pretty(JsonMethods.render(toJValue(p)))
 
+  /** Standalone port documents — the payloads of the HTTP register
+    * routes (the reading twins are [[inputPortFromJValue]] /
+    * [[outputPortFromJValue]]). */
+  def inputPortToJValue(ip: InputPort): JValue = JObject(List[(String, JValue)](
+    "name" -> JString(ip.name), "version" -> JString(ip.version),
+    "contractId" -> JString(ip.contractId)) ++ props(ip.customProperties) ++
+    jarr("authoritativeDefinitions", ip.authoritativeDefinitions) ++
+    ip.extra.toList.sortBy(_._1): _*)
+
+  def outputPortToJValue(op: OutputPort): JValue = JObject(List[(String, JValue)](
+    "name" -> JString(op.name), "version" -> JString(op.version),
+    "contractId" -> JString(op.contractId)) ++
+    op.description.map(d => "description" -> (JString(d): JValue)).toList ++
+    op.portType.map(t => "type" -> (JString(t): JValue)).toList ++
+    jarr("sbom", op.sbom) ++ jarr("inputContracts", op.inputContracts) ++
+    props(op.customProperties) ++
+    jarr("authoritativeDefinitions", op.authoritativeDefinitions) ++
+    op.extra.toList.sortBy(_._1): _*)
+
   def toJValue(p: DataProduct): JObject = {
-    def inPort(ip: InputPort): JValue = JObject(List[(String, JValue)](
-      "name" -> JString(ip.name), "version" -> JString(ip.version),
-      "contractId" -> JString(ip.contractId)) ++ props(ip.customProperties) ++
-      jarr("authoritativeDefinitions", ip.authoritativeDefinitions) ++
-      ip.extra.toList.sortBy(_._1): _*)
-    def outPort(op: OutputPort): JValue = JObject(List[(String, JValue)](
-      "name" -> JString(op.name), "version" -> JString(op.version),
-      "contractId" -> JString(op.contractId)) ++
-      op.description.map(d => "description" -> (JString(d): JValue)).toList ++
-      op.portType.map(t => "type" -> (JString(t): JValue)).toList ++
-      jarr("sbom", op.sbom) ++ jarr("inputContracts", op.inputContracts) ++
-      props(op.customProperties) ++
-      jarr("authoritativeDefinitions", op.authoritativeDefinitions) ++
-      op.extra.toList.sortBy(_._1): _*)
     JObject(List[(String, JValue)](
       "apiVersion" -> JString(p.apiVersion),
       "id" -> JString(p.id),
@@ -159,8 +164,8 @@ object DataProductJson {
       p.version.map(v => "version" -> (JString(v): JValue)).toList ++
       p.name.map(n => "name" -> (JString(n): JValue)).toList ++
       p.description.map(d => "description" -> d).toList ++
-      List("inputPorts" -> (JArray(p.inputPorts.toList.map(inPort)): JValue),
-           "outputPorts" -> (JArray(p.outputPorts.toList.map(outPort)): JValue)) ++
+      List("inputPorts" -> (JArray(p.inputPorts.toList.map(inputPortToJValue)): JValue),
+           "outputPorts" -> (JArray(p.outputPorts.toList.map(outputPortToJValue)): JValue)) ++
       props(p.customProperties) ++
       (if (p.tags.isEmpty) Nil
        else List("tags" -> (JArray(p.tags.toList.map(JString(_))): JValue))) ++
@@ -252,19 +257,42 @@ final case class RegistrationResult(product: DataProduct, changed: Boolean)
 final case class ProductListing(
     items: Seq[String], total: Int, limit: Option[Int], offset: Int)
 
+/** The full data-product service surface — the reference's
+  * `DataProductServiceBackend` protocol
+  * (`data_products/backend/interface.py`): persistence primitives plus
+  * the registration/review lifecycle. Implemented locally by
+  * [[DataProductBackend]] (filesystem) and [[CatalogDataProductBackend]]
+  * (external catalog), and remotely by
+  * `graft.service.HttpDataProductClient` (the facade's `/products`
+  * routes) — pipeline code ([[graft.io.GovernedIO]], [[ProductPolicy]])
+  * binds to this trait, so switching a pipeline to service mode is a
+  * constructor swap, never a code change (the reference's local/remote
+  * client symmetry). */
+trait DataProductService {
+  def put(p: DataProduct): Unit
+  def get(id: String, version: String): Option[DataProduct]
+  def latest(id: String): Option[DataProduct]
+  def listVersions(id: String): Seq[String]
+  def listDataProducts(limit: Option[Int] = None, offset: Int = 0): ProductListing
+  def registerInputPort(id: String, port: InputPort, bump: String = "minor",
+                        customProperties: Map[String, String] = Map.empty,
+                        sourceDataProduct: Option[String] = None,
+                        sourceOutputPort: Option[String] = None): RegistrationResult
+  def registerOutputPort(id: String, port: OutputPort, bump: String = "minor",
+                         customProperties: Map[String, String] = Map.empty): RegistrationResult
+  def reviewDraft(id: String, version: String, approve: Boolean): DataProduct
+  def resolveOutputContract(id: String, portName: String): Option[(String, String)]
+}
+
 /** Port-registration + draft-lifecycle semantics shared by every
   * data-product persistence flavour — the reference's
   * `MutableDataProductBackendMixin`
   * (`data_products/backend/_shared.py:44-155`), which both the local
   * filesystem backend and the external-catalog backend
   * (`data_products/backend/collibra.py:40`) mix in over the same four
-  * persistence primitives. */
-trait MutableDataProductOps {
-
-  def put(p: DataProduct): Unit
-  def get(id: String, version: String): Option[DataProduct]
-  def latest(id: String): Option[DataProduct]
-  def listVersions(id: String): Seq[String]
+  * persistence primitives. (The remote client does NOT mix this in:
+  * the SERVER owns the lifecycle; the client calls its routes.) */
+trait MutableDataProductOps extends DataProductService {
 
   /** Status a freshly-minted product starts in (reference
     * `_ensure_product`, `collibra.py:86-91`: the configured default,

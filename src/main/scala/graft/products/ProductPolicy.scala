@@ -103,7 +103,7 @@ object ProductPolicy {
     *
     * Returns None (after warnings) when nothing qualifies and `enforce`
     * is off; throws when it is on. */
-  def select(backend: DataProductBackend, productId: String,
+  def select(backend: DataProductService, productId: String,
              versionSpec: Option[String] = None,
              policy: ProductStatusPolicy = ProductStatusPolicy(),
              enforce: Boolean = false,

@@ -87,8 +87,10 @@ object BearerAuth {
   *  - `GET  /products/latest?id=`                 → ODPS JSON | 404
   *  - `POST /products/put` (body ODPS JSON)       → 204
   *  - `POST /products/register-input?id=[&bump=&sourceDataProduct=&sourceOutputPort=]`
-  *      (body = one input-port JSON)              → `{"changed":,"product":ODPS}`
-  *  - `POST /products/register-output?id=[&bump=]` (body = one output-port JSON) → same
+  *      (body = one input-port JSON, or `{"port":…,"customProperties":{k:v}}`
+  *      — the wrapped form merges extra properties SERVER-side, after the
+  *      bare-port no-op comparison) → `{"changed":,"product":ODPS}`
+  *  - `POST /products/register-output?id=[&bump=]` (body = one output-port JSON or the wrapped form) → same
   *  - `POST /products/review?id=&version=&approve=` → reviewed ODPS JSON
   *  - `GET  /products/resolve-output?id=&port=`   → `{"contractId":,"contractVersion":}` | 404
   *
@@ -98,7 +100,7 @@ object BearerAuth {
   */
 final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBackend,
                                  port: Int = 0,
-                                 products: Option[graft.products.DataProductBackend] = None,
+                                 products: Option[graft.products.DataProductService] = None,
                                  auth: Option[BearerAuth] = None,
                                  /** Bind address. Loopback by default (specs,
                                    * same-host pipelines); a deployment serving
@@ -425,18 +427,40 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
         JsonMethods.compact(JsonMethods.render(JObject(
           "changed" -> JBool(r.changed),
           "product" -> DataProductJson.toJValue(r.product))))
+      // register bodies come in two shapes: a BARE port document, or the
+      // wrapped `{"port": {...}, "customProperties": {k: v}}` form the
+      // remote client sends — the wrapper is what lets extra properties
+      // merge SERVER-side, after the no-op comparison on the bare port
+      // (merging them into the port client-side would change that
+      // comparison and flip no-op/redraft outcomes vs the local backend)
+      def portBody(ex: HttpExchange): (JValue, Map[String, String]) =
+        JsonMethods.parse(body(ex)) match {
+          case JObject(fs) if fs.toMap.contains("port") =>
+            val m = fs.toMap
+            val props = m.get("customProperties") match {
+              case Some(JObject(kvs)) =>
+                kvs.toMap.collect { case (k, JString(v)) => k -> v }
+              case _ => Map.empty[String, String]
+            }
+            (m("port"), props)
+          case other => (other, Map.empty)
+        }
       s.createContext("/products/register-input", handler { (ex, p) =>
+        val (portJson, props) = portBody(ex)
         val r = pb.registerInputPort(p("id"),
-          DataProductJson.inputPortFromJson(body(ex)),
+          DataProductJson.inputPortFromJValue(portJson),
           bump = p.getOrElse("bump", "minor"),
+          customProperties = props,
           sourceDataProduct = p.get("sourceDataProduct"),
           sourceOutputPort = p.get("sourceOutputPort"))
         respond(ex, 200, registrationJson(r))
       })
       s.createContext("/products/register-output", handler { (ex, p) =>
+        val (portJson, props) = portBody(ex)
         val r = pb.registerOutputPort(p("id"),
-          DataProductJson.outputPortFromJson(body(ex)),
-          bump = p.getOrElse("bump", "minor"))
+          DataProductJson.outputPortFromJValue(portJson),
+          bump = p.getOrElse("bump", "minor"),
+          customProperties = props)
         respond(ex, 200, registrationJson(r))
       })
       s.createContext("/products/review", handler { (ex, p) =>

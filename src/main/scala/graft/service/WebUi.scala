@@ -2,7 +2,7 @@ package graft.service
 
 import graft.contracts.{Contract, ContractStore, FieldDef, QualityRule}
 import graft.governance.{DatasetStatus, GovernanceBackend}
-import graft.products.DataProductBackend
+import graft.products.DataProductService
 
 /** Read-only server-rendered browse pages for the governance facade —
   * the browse slice of the reference's contracts web app
@@ -22,7 +22,7 @@ import graft.products.DataProductBackend
   * interpolated data is HTML-escaped — contract descriptions and error
   * strings are arbitrary user text. */
 final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
-                  products: Option[DataProductBackend] = None) {
+                  products: Option[DataProductService] = None) {
 
   // ------------------------------------------------------------------
   // rendering primitives

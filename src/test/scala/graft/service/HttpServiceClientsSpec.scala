@@ -1,0 +1,170 @@
+package graft.service
+
+import graft.{DemoContracts, SparkSpec}
+import graft.contracts.FsContractStore
+import graft.governance.GovernanceBackend
+import graft.io.{ContractVersionLocator, GovernedIO}
+import graft.products._
+import graft.quality.FieldSnapshot
+
+/** The remote service clients against a live facade: the data-product
+  * client is a drop-in [[DataProductService]] (GovernedIO port IO runs
+  * over the wire unchanged), the governance client ships observation
+  * payloads and reads back recorded verdicts/history, and both carry
+  * the bearer token. */
+class HttpServiceClientsSpec extends SparkSpec {
+
+  private def withServer[A](auth: Option[BearerAuth] = None)
+                           (f: (String, FsContractStore, GovernanceBackend, DataProductBackend) => A): A = {
+    val root = tmpDir("graft_rclients")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val pb = new DataProductBackend(s"$root/products")
+    val server = new GovernanceHttpServer(store, gov, products = Some(pb), auth = auth)
+    val port = server.start()
+    try f(s"http://127.0.0.1:$port", store, gov, pb)
+    finally server.stop()
+  }
+
+  test("data-product client round-trips the full lifecycle over the wire") {
+    withServer() { (url, _, _, local) =>
+      val remote = new HttpDataProductClient(url)
+
+      assert(remote.latest("dp.orders").isEmpty)
+      assert(remote.listDataProducts().total == 0)
+
+      // registration runs on the SERVER: one authoritative draft sequence
+      val r1 = remote.registerOutputPort("dp.orders",
+        OutputPort("gold", "1.0.0", "sales.orders"),
+        customProperties = Map("team" -> "data"))
+      assert(r1.changed && r1.product.version.contains("0.1.0-draft"))
+      // the server-side merge landed the extra property on the stored port
+      assert(local.latest("dp.orders").get.findOutputPort("gold").get
+        .customProperties("team") == "data")
+
+      // the documented reference quirk survives the wire: an identical
+      // BARE binding re-registered WITH properties re-drafts (comparison
+      // uses the bare port; the stored one carries the merged props)
+      val r2 = remote.registerOutputPort("dp.orders",
+        OutputPort("gold", "1.0.0", "sales.orders"),
+        customProperties = Map("team" -> "data"))
+      assert(r2.changed && r2.product.version.contains("0.2.0-draft"))
+      // ...and a truly identical payload (no props) is a no-op, exactly
+      // like the local backend
+      val r3 = remote.registerOutputPort("dp.orders",
+        local.latest("dp.orders").get.findOutputPort("gold").get)
+      assert(!r3.changed)
+
+      val reviewed = remote.reviewDraft("dp.orders", "0.2.0-draft", approve = true)
+      assert(reviewed.status == "active")
+      assert(remote.latest("dp.orders").get.status == "active")
+      assert(remote.listVersions("dp.orders") == Seq("0.1.0-draft", "0.2.0-draft"))
+      assert(remote.resolveOutputContract("dp.orders", "gold")
+        .contains(("sales.orders", "1.0.0")))
+      assert(remote.listDataProducts().items == Seq("dp.orders"))
+
+      // registerInputPort with provenance params
+      val r4 = remote.registerInputPort("dp.consumer",
+        InputPort("in", "1.0.0", "sales.orders"),
+        sourceDataProduct = Some("dp.orders"), sourceOutputPort = Some("gold"))
+      assert(r4.changed)
+      assert(r4.product.findInputPort("in").get
+        .customProperties("dc43.input.source_data_product") == "dp.orders")
+
+      // direct put round-trip
+      val doc = DataProduct(id = "dp.direct", version = Some("1.0.0"),
+        status = "active", outputPorts = Seq(OutputPort("o", "2.0.0", "c.x")))
+      remote.put(doc)
+      assert(DataProductJson.toJson(remote.get("dp.direct", "1.0.0").get) ==
+        DataProductJson.toJson(doc))
+    }
+  }
+
+  test("GovernedIO port IO runs unchanged over the remote product client") {
+    withServer() { (url, store, _, _) =>
+      store.put(DemoContracts.lineitemAlign)
+      val root = tmpDir("graft_rclients_io")
+      val remote = new HttpDataProductClient(url)
+      // products via the WIRE; no governance read-gate here — the raw
+      // lineitem frame deliberately violates the slim contract's types
+      // (the SkewSpec twin), and this test is about the product client
+      val io = GovernedIO(store, ContractVersionLocator(spark, s"$root/lake"),
+        Some(remote))
+      val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem")
+
+      io.writePort(li, "dp.sales", "slim_out", "sales.lineitem_slim")
+      assert(remote.resolveOutputContract("dp.sales", "slim_out")
+        .contains(("sales.lineitem_slim", "0.3.0")))
+
+      remote.registerInputPort("dp.consumer",
+        InputPort("slim_in", "0.3.0", "sales.lineitem_slim"))
+      val r = io.readPort(spark, "dp.consumer", "slim_in")
+      assert(r.df.count() == li.count())
+    }
+  }
+
+  test("governance client: observation evaluate, record, history, review") {
+    withServer() { (url, store, _, _) =>
+      val remote = new HttpGovernanceClient(url)
+      val contract = DemoContracts.lineitemAlign
+      store.put(contract)
+
+      // expectation descriptors with SQL predicates
+      val specs = remote.expectations(contract)
+      assert(specs.nonEmpty && specs.exists(_.predicate.nonEmpty))
+
+      // a clean observation payload evaluates ok and records nothing yet
+      val okSchema = contract.properties.map(f =>
+        f.name -> FieldSnapshot(f.odcsType, f.odcsType, nullable = !f.required)).toMap
+      val verdict = remote.evaluate(contract, okSchema, Map("row_count" -> 10L))
+      assert(verdict.ok, verdict.errors.mkString("; "))
+      assert(remote.getStatus("ds.li", "v1").isEmpty)
+
+      // evaluateAndRecord: verdict lands against (dataset, version).
+      // ok=true can still record "warn" (expectations without shipped
+      // metrics warn) — the point here is the ROUND TRIP, not the grade
+      val eval = remote.evaluateAndRecord("ds.li", "v1", contract, okSchema,
+        Map("row_count" -> 10L))
+      assert(eval.ok && Set("ok", "warn").contains(eval.status.status))
+      assert(remote.getStatus("ds.li", "v1").map(_.status).contains(eval.status.status))
+      assert(remote.listDatasets() == Seq("ds.li"))
+      assert(remote.statusMatrix().map(_.datasetId) == Seq("ds.li"))
+      assert(remote.metricHistory("ds.li").exists(o =>
+        o.key == "row_count" && o.valueNumeric.contains(10.0)))
+      val recs = remote.datasetRecords(Some("ds.li"), None)
+      assert(recs.size == 1 &&
+        recs.head.status.map(_.status).contains(eval.status.status))
+
+      // a violating payload blocks AND auto-drafts; review over the wire
+      val badSchema = okSchema - contract.properties.head.name
+      val bad = remote.evaluateAndRecord("ds.li", "v2", contract, badSchema,
+        Map("row_count" -> 10L))
+      assert(!bad.ok && bad.status.status == "block")
+      assert(bad.draftVersions.nonEmpty)
+      val draftV = bad.draftVersions.head
+      assert(remote.listDrafts(contract.id).contains(draftV))
+      assert(remote.reviewDraft(contract.id, draftV, approve = false)
+        .status.contains("rejected"))
+
+      // link round trip
+      remote.linkDatasetContract("ds.li", contract.id, contract.version)
+      assert(remote.linkedContract("ds.li").contains((contract.id, contract.version)))
+    }
+  }
+
+  test("both clients carry the bearer token; anonymous calls fail loudly") {
+    withServer(auth = Some(BearerAuth.token("tok"))) { (url, _, _, _) =>
+      val products = new HttpDataProductClient(url, bearerToken = Some("tok"))
+      assert(products.listDataProducts().total == 0)
+      val gov = new HttpGovernanceClient(url, bearerToken = Some("tok"))
+      assert(gov.listDatasets().isEmpty)
+
+      intercept[java.io.IOException] {
+        new HttpDataProductClient(url).listDataProducts()
+      }
+      intercept[java.io.IOException] {
+        new HttpGovernanceClient(url).listDatasets()
+      }
+    }
+  }
+}
