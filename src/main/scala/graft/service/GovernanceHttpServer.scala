@@ -264,12 +264,17 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           case (k, JDouble(v)) => k -> (v: Any)
           case (k, JDecimal(v)) => k -> (v.toDouble: Any)
           case (k, JString(v)) => k -> (v: Any)
+          // string arrays are the observed-enum lists
+          // (`Metrics.computeWithObservations` -> `observed.enum_<f>`),
+          // which the drafting enum-extension path reads as Seq[String]
+          case (k, JArray(vs)) if vs.forall(_.isInstanceOf[JString]) =>
+            k -> (vs.collect { case JString(v) => v }: Any)
           // dropping an unsupported value silently would evaluate as if
           // the observation was never shipped — a green verdict for a
           // payload that actually reported a violation; reject instead
           case (k, other) => throw new IllegalArgumentException(
             s"metrics.$k: unsupported value type ${other.getClass.getSimpleName} " +
-              "(number or string)")
+              "(number, string, or string array)")
         }
         case Some(_) => throw new IllegalArgumentException("'metrics' must be an object")
         case None => Map.empty
@@ -435,7 +440,11 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       // comparison and flip no-op/redraft outcomes vs the local backend)
       def portBody(ex: HttpExchange): (JValue, Map[String, String]) =
         JsonMethods.parse(body(ex)) match {
-          case JObject(fs) if fs.toMap.contains("port") =>
+          // the wrapper is recognised only when `port` holds an OBJECT:
+          // a BARE port document may legitimately carry an unknown extra
+          // attribute named "port" (scalar — e.g. a port number), and the
+          // extra-passthrough design must keep accepting it verbatim
+          case JObject(fs) if fs.toMap.get("port").exists(_.isInstanceOf[JObject]) =>
             val m = fs.toMap
             val props = m.get("customProperties") match {
               case Some(JObject(kvs)) =>

@@ -15,7 +15,14 @@ import java.time.Duration
 /** Shared JDK-http plumbing for the facade's remote clients — the
   * transport half of the reference's `dc43-service-clients` package
   * (`.../governance/transport.py:1-536`): base URL, bearer header,
-  * query-parameter ids, 404-as-domain-answer, loud transport errors. */
+  * query-parameter ids, loud transport errors.
+  *
+  * STRICT by default: every non-2xx answer — including 404 — throws.
+  * Only the `*Opt` lookup variants treat 404 as a domain answer
+  * ("absent"), because on every other route a 404 means the route
+  * itself is missing (wrong base URL, facade started without that
+  * family) and swallowing it would turn a mutation into a silent
+  * no-op or parse an error body as a result. */
 private[service] abstract class FacadeClient(baseUrl: String,
                                              timeout: Duration,
                                              bearerToken: Option[String]) {
@@ -28,30 +35,46 @@ private[service] abstract class FacadeClient(baseUrl: String,
   private def withAuth(b: HttpRequest.Builder): HttpRequest.Builder =
     bearerToken.fold(b)(t => b.header("Authorization", s"Bearer $t"))
 
-  private def expect(r: HttpResponse[String]): HttpResponse[String] = {
-    if (r.statusCode() / 100 != 2 && r.statusCode() != 404)
-      throw new java.io.IOException(
-        s"service ${r.uri()} answered HTTP ${r.statusCode()}: ${r.body()}")
-    r
+  private def fail(r: HttpResponse[String]): Nothing =
+    throw new java.io.IOException(
+      s"service ${r.uri()} answered HTTP ${r.statusCode()}: ${r.body()}")
+
+  private def send(req: HttpRequest): HttpResponse[String] =
+    client.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+
+  private def getRaw(pathAndQuery: String): HttpResponse[String] =
+    send(withAuth(HttpRequest.newBuilder(URI.create(base + pathAndQuery))
+      .timeout(timeout)).GET().build())
+
+  private def postRaw(pathAndQuery: String, body: String): HttpResponse[String] =
+    send(withAuth(HttpRequest.newBuilder(URI.create(base + pathAndQuery))
+      .timeout(timeout)
+      .header("Content-Type", "application/json; charset=utf-8"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+
+  /** GET that must succeed — any non-2xx (404 included) is loud. */
+  protected def get(pathAndQuery: String): String = {
+    val r = getRaw(pathAndQuery)
+    if (r.statusCode() / 100 != 2) fail(r)
+    r.body()
   }
 
-  protected def get(pathAndQuery: String): HttpResponse[String] =
-    expect(client.send(
-      withAuth(HttpRequest.newBuilder(URI.create(base + pathAndQuery))
-        .timeout(timeout)).GET().build(),
-      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8)))
+  /** GET on a lookup route: 404 means "absent", other non-2xx is loud. */
+  protected def getOpt(pathAndQuery: String): Option[String] = {
+    val r = getRaw(pathAndQuery)
+    if (r.statusCode() == 404) None
+    else if (r.statusCode() / 100 != 2) fail(r)
+    else Some(r.body())
+  }
 
-  protected def post(pathAndQuery: String, body: String): HttpResponse[String] =
-    expect(client.send(
-      withAuth(HttpRequest.newBuilder(URI.create(base + pathAndQuery))
-        .timeout(timeout)
-        .header("Content-Type", "application/json; charset=utf-8"))
-        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
-      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8)))
+  /** POST that must succeed — mutations never swallow a missing route. */
+  protected def post(pathAndQuery: String, body: String): String = {
+    val r = postRaw(pathAndQuery, body)
+    if (r.statusCode() / 100 != 2) fail(r)
+    r.body()
+  }
 
-  /** A 404 on a lookup route means "absent", anything else parses. */
-  protected def opt(r: HttpResponse[String]): Option[String] =
-    if (r.statusCode() == 404) None else Some(r.body())
+  // ---- JSON decode helpers shared by every client ----
 
   protected def fields(body: String): Map[String, JValue] =
     JsonMethods.parse(body) match {
@@ -60,8 +83,18 @@ private[service] abstract class FacadeClient(baseUrl: String,
         s"expected a JSON object from the service, got ${other.getClass.getSimpleName}")
     }
 
+  /** Top-level JSON array of objects → one field-map per element. */
+  protected def objArray(body: String): Seq[Map[String, JValue]] =
+    JsonMethods.parse(body) match {
+      case JArray(items) => items.collect { case JObject(fs) => fs.toMap }
+      case _ => Nil
+    }
+
   protected def strings(body: String, key: String): Seq[String] =
-    fields(body).get(key) match {
+    strArr(fields(body), key)
+
+  protected def strArr(m: Map[String, JValue], k: String): Seq[String] =
+    m.get(k) match {
       case Some(JArray(vs)) => vs.collect { case JString(v) => v }
       case _ => Nil
     }
@@ -75,6 +108,9 @@ private[service] abstract class FacadeClient(baseUrl: String,
       case Some(JLong(v)) => v
       case _ => 0L
     }
+
+  protected def bool(m: Map[String, JValue], k: String): Boolean =
+    m.get(k).collect { case JBool(b) => b }.getOrElse(false)
 }
 
 private[service] object FacadeJson {
@@ -82,7 +118,13 @@ private[service] object FacadeJson {
   /** The observation payload both evaluate routes accept
     * (`GovernanceHttpServer` jsonBody/decodeSchema/decodeMetrics):
     * contract + schema snapshot + one-pass metrics — the pipeline's
-    * OBSERVATIONS cross the wire, never its data. */
+    * OBSERVATIONS cross the wire, never its data. Metric values cover
+    * everything graft's own producers emit: longs/doubles/strings from
+    * `Metrics.compute`, `java.math.BigDecimal`/boxed numerics from
+    * query rules, and `Seq[String]` observed-enum lists from
+    * `Metrics.computeWithObservations` (the server decodes string
+    * arrays back to `Seq[String]` so the drafting enum-extension path
+    * works remotely). */
   def observationPayload(contract: Contract,
                          schema: Map[String, FieldSnapshot],
                          metrics: Map[String, Any]): String = {
@@ -92,17 +134,22 @@ private[service] object FacadeJson {
         "odcsType" -> JString(fs.odcsType),
         "nullable" -> JBool(fs.nullable)): JValue)
     })
+    def metricValue(k: String, v: Any): JValue = v match {
+      case n: Long => JLong(n)
+      case n: Int => JLong(n.toLong)
+      case n: Short => JLong(n.toLong)
+      case n: Double => JDouble(n)
+      case n: Float => JDouble(n.toDouble)
+      case n: BigDecimal => JDecimal(n)
+      case n: java.math.BigDecimal => JDecimal(BigDecimal(n))
+      case n: java.math.BigInteger => JLong(n.longValueExact())
+      case s: String => JString(s)
+      case xs: Seq[_] => JArray(xs.toList.map(x => JString(String.valueOf(x)): JValue))
+      case other => throw new IllegalArgumentException(
+        s"metrics.$k: unsupported value type ${other.getClass.getSimpleName}")
+    }
     val metricsJson = JObject(metrics.toList.sortBy(_._1).map { case (k, v) =>
-      val jv: JValue = v match {
-        case n: Long => JLong(n)
-        case n: Int => JLong(n.toLong)
-        case n: Double => JDouble(n)
-        case n: BigDecimal => JDecimal(n)
-        case s: String => JString(s)
-        case other => throw new IllegalArgumentException(
-          s"metrics.$k: unsupported value type ${other.getClass.getSimpleName}")
-      }
-      k -> jv
+      k -> metricValue(k, v)
     })
     JsonMethods.compact(JsonMethods.render(JObject(
       "contract" -> JsonMethods.parse(ContractJson.toJson(contract)),
@@ -158,38 +205,32 @@ final class HttpDataProductClient(baseUrl: String,
   }
 
   override def get(id: String, version: String): Option[DataProduct] =
-    opt(get(s"/products/get?id=${enc(id)}&version=${enc(version)}"))
+    getOpt(s"/products/get?id=${enc(id)}&version=${enc(version)}")
       .map(DataProductJson.fromJson)
 
   override def latest(id: String): Option[DataProduct] =
-    opt(get(s"/products/latest?id=${enc(id)}")).map(DataProductJson.fromJson)
+    getOpt(s"/products/latest?id=${enc(id)}").map(DataProductJson.fromJson)
 
   override def listVersions(id: String): Seq[String] =
-    strings(get(s"/products/versions?id=${enc(id)}").body(), "versions")
+    strings(get(s"/products/versions?id=${enc(id)}"), "versions")
 
   override def listDataProducts(limit: Option[Int] = None,
                                 offset: Int = 0): ProductListing = {
     val q = limit.map(l => s"limit=$l&").getOrElse("") + s"offset=$offset"
-    val m = fields(get(s"/products?$q").body())
-    val items = m.get("items") match {
-      case Some(JArray(vs)) => vs.collect { case JString(v) => v }
-      case _ => Nil
-    }
+    val m = fields(get(s"/products?$q"))
     val lim = m.get("limit") match {
       case Some(JInt(v)) => Some(v.intValue)
       case Some(JLong(v)) => Some(v.toInt)
       case _ => None
     }
-    ProductListing(items, lng(m, "total").toInt, lim, lng(m, "offset").toInt)
+    ProductListing(strArr(m, "items"), lng(m, "total").toInt, lim, lng(m, "offset").toInt)
   }
 
   private def registration(body: String): RegistrationResult = {
     val m = fields(body)
-    val changed = m.get("changed").collect { case JBool(b) => b }.getOrElse(false)
-    val product = m.get("product").map(j =>
-      DataProductJson.fromJson(JsonMethods.compact(JsonMethods.render(j))))
+    val product = m.get("product").map(DataProductJson.fromJValue)
       .getOrElse(throw new java.io.IOException("registration answer without product"))
-    RegistrationResult(product, changed)
+    RegistrationResult(product, bool(m, "changed"))
   }
 
   private def wrapped(port: JValue, props: Map[String, String]): String =
@@ -206,21 +247,20 @@ final class HttpDataProductClient(baseUrl: String,
       sourceDataProduct.fold("")(v => s"&sourceDataProduct=${enc(v)}") +
       sourceOutputPort.fold("")(v => s"&sourceOutputPort=${enc(v)}")
     registration(post(q,
-      wrapped(DataProductJson.inputPortToJValue(port), customProperties)).body())
+      wrapped(DataProductJson.inputPortToJValue(port), customProperties)))
   }
 
   override def registerOutputPort(id: String, port: OutputPort, bump: String = "minor",
                                   customProperties: Map[String, String] = Map.empty): RegistrationResult =
     registration(post(s"/products/register-output?id=${enc(id)}&bump=${enc(bump)}",
-      wrapped(DataProductJson.outputPortToJValue(port), customProperties)).body())
+      wrapped(DataProductJson.outputPortToJValue(port), customProperties)))
 
   override def reviewDraft(id: String, version: String, approve: Boolean): DataProduct =
     DataProductJson.fromJson(post(
-      s"/products/review?id=${enc(id)}&version=${enc(version)}&approve=$approve",
-      "").body())
+      s"/products/review?id=${enc(id)}&version=${enc(version)}&approve=$approve", ""))
 
   override def resolveOutputContract(id: String, portName: String): Option[(String, String)] =
-    opt(get(s"/products/resolve-output?id=${enc(id)}&port=${enc(portName)}")).map { b =>
+    getOpt(s"/products/resolve-output?id=${enc(id)}&port=${enc(portName)}").map { b =>
       val m = fields(b)
       (str(m, "contractId"), str(m, "contractVersion"))
     }
@@ -236,7 +276,10 @@ final case class RemoteVerdict(ok: Boolean, status: String,
                                errors: Seq[String], warnings: Seq[String])
 
 /** `/governance/evaluate`'s combined answer: the RECORDED status plus
-  * any draft versions proposed from the feedback. */
+  * the contract's OUTSTANDING draft versions after this evaluation —
+  * every unreviewed draft for the contract, including ones proposed by
+  * earlier runs (the server answers `listDrafts(contract.id)`), not
+  * only a draft this call minted. */
 final case class GovernanceEvaluation(status: DatasetStatus, ok: Boolean,
                                       draftVersions: Seq[String])
 
@@ -265,12 +308,15 @@ final class HttpGovernanceClient(baseUrl: String,
                                  bearerToken: Option[String] = None)
     extends FacadeClient(baseUrl, timeout, bearerToken) {
 
+  private def statusOf(m: Map[String, JValue], k: String): Option[DatasetStatus] =
+    m.get(k).collect { case JObject(st) => FacadeJson.statusFrom(st.toMap) }
+
   def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] =
-    opt(get(s"/governance/status?dataset=${enc(datasetId)}&version=${enc(datasetVersion)}"))
+    getOpt(s"/governance/status?dataset=${enc(datasetId)}&version=${enc(datasetVersion)}")
       .map(b => FacadeJson.statusFrom(fields(b)))
 
   def listDatasets(): Seq[String] =
-    strings(get("/governance/datasets").body(), "ids")
+    strings(get("/governance/datasets"), "ids")
 
   def linkDatasetContract(datasetId: String, contractId: String,
                           contractVersion: String): Unit = {
@@ -280,45 +326,33 @@ final class HttpGovernanceClient(baseUrl: String,
   }
 
   def linkedContract(datasetId: String): Option[(String, String)] =
-    opt(get(s"/governance/link?dataset=${enc(datasetId)}")).map { b =>
+    getOpt(s"/governance/link?dataset=${enc(datasetId)}").map { b =>
       val m = fields(b)
       (str(m, "contractId"), str(m, "contractVersion"))
     }
 
   /** Evaluate observations, RECORD the verdict against the dataset
-    * version, and collect any proposed draft — one round trip (the
-    * reference's `/governance/evaluate`). */
+    * version, and report the contract's outstanding drafts — one round
+    * trip (the reference's `/governance/evaluate`). */
   def evaluateAndRecord(datasetId: String, datasetVersion: String,
                         contract: Contract,
                         schema: Map[String, FieldSnapshot],
                         metrics: Map[String, Any]): GovernanceEvaluation = {
-    val body = post(
+    val m = fields(post(
       s"/governance/evaluate?dataset=${enc(datasetId)}&version=${enc(datasetVersion)}",
-      FacadeJson.observationPayload(contract, schema, metrics)).body()
-    val m = fields(body)
-    val status = m.get("status") match {
-      case Some(JObject(fs)) => FacadeJson.statusFrom(fs.toMap)
-      case _ => throw new java.io.IOException("evaluate answer without status")
-    }
-    GovernanceEvaluation(status,
-      m.get("ok").collect { case JBool(b) => b }.getOrElse(false),
-      m.get("draftVersions") match {
-        case Some(JArray(vs)) => vs.collect { case JString(v) => v }
-        case _ => Nil
-      })
+      FacadeJson.observationPayload(contract, schema, metrics)))
+    val status = statusOf(m, "status").getOrElse(
+      throw new java.io.IOException("evaluate answer without status"))
+    GovernanceEvaluation(status, bool(m, "ok"), strArr(m, "draftVersions"))
   }
 
   /** Stateless evaluation (nothing recorded) — `/data-quality/evaluate`. */
   def evaluate(contract: Contract, schema: Map[String, FieldSnapshot],
                metrics: Map[String, Any]): RemoteVerdict = {
     val m = fields(post("/data-quality/evaluate",
-      FacadeJson.observationPayload(contract, schema, metrics)).body())
-    def arr(k: String) = m.get(k) match {
-      case Some(JArray(vs)) => vs.collect { case JString(v) => v }
-      case _ => Nil
-    }
-    RemoteVerdict(m.get("ok").collect { case JBool(b) => b }.getOrElse(false),
-      str(m, "status"), arr("errors"), arr("warnings"))
+      FacadeJson.observationPayload(contract, schema, metrics)))
+    RemoteVerdict(bool(m, "ok"), str(m, "status"),
+      strArr(m, "errors"), strArr(m, "warnings"))
   }
 
   /** The contract's expectation descriptors with SQL predicates, so the
@@ -327,13 +361,12 @@ final class HttpGovernanceClient(baseUrl: String,
     val body = post("/data-quality/expectations",
       JsonMethods.compact(JsonMethods.render(JObject(
         "contract" -> JsonMethods.parse(ContractJson.toJson(contract))))))
-      .body()
     fields(body).get("expectations") match {
       case Some(JArray(items)) => items.collect { case JObject(fs) =>
         val m = fs.toMap
         RemoteExpectation(str(m, "key"), str(m, "rule"),
           m.get("column").collect { case JString(v) => v },
-          m.get("optional").collect { case JBool(b) => b }.getOrElse(false),
+          bool(m, "optional"),
           m.get("predicate").collect { case JString(v) => v })
       }
       case _ => Nil
@@ -341,67 +374,49 @@ final class HttpGovernanceClient(baseUrl: String,
   }
 
   def listDrafts(contractId: String): Seq[String] =
-    strings(get(s"/governance/drafts?contractId=${enc(contractId)}").body(), "versions")
+    strings(get(s"/governance/drafts?contractId=${enc(contractId)}"), "versions")
 
   def reviewDraft(contractId: String, version: String, approve: Boolean): Contract =
     ContractJson.fromJson(post(
       s"/governance/review-draft?contractId=${enc(contractId)}" +
-        s"&version=${enc(version)}&approve=$approve", "").body())
+        s"&version=${enc(version)}&approve=$approve", ""))
 
   def statusMatrix(): Seq[DatasetStatus] =
-    JsonMethods.parse(get("/governance/status-matrix").body()) match {
-      case JArray(items) => items.collect { case JObject(fs) =>
-        FacadeJson.statusFrom(fs.toMap)
-      }
-      case _ => Nil
-    }
+    objArray(get("/governance/status-matrix")).map(FacadeJson.statusFrom)
 
   def datasetRecords(dataset: Option[String] = None,
                      version: Option[String] = None): Seq[RemoteDatasetRecord] = {
     val q = (dataset.map(d => s"dataset=${enc(d)}") ++
       version.map(v => s"version=${enc(v)}")).mkString("&")
-    JsonMethods.parse(get(s"/governance/dataset-records?$q").body()) match {
-      case JArray(items) => items.collect { case JObject(fs) =>
-        val m = fs.toMap
-        RemoteDatasetRecord(str(m, "datasetId"), str(m, "datasetVersion"),
-          str(m, "contractId"), str(m, "contractVersion"),
-          m.get("status").collect { case JObject(st) => FacadeJson.statusFrom(st.toMap) },
-          lng(m, "activityCount").toInt, lng(m, "lastSeenAt"))
-      }
-      case _ => Nil
+    objArray(get(s"/governance/dataset-records?$q")).map { m =>
+      RemoteDatasetRecord(str(m, "datasetId"), str(m, "datasetVersion"),
+        str(m, "contractId"), str(m, "contractVersion"), statusOf(m, "status"),
+        lng(m, "activityCount").toInt, lng(m, "lastSeenAt"))
     }
   }
 
   def metricHistory(datasetId: String): Seq[MetricObservation] =
-    JsonMethods.parse(get(s"/governance/metrics?dataset=${enc(datasetId)}").body()) match {
-      case JArray(items) => items.collect { case JObject(fs) =>
-        val m = fs.toMap
-        val numeric = m.get("valueNumeric") match {
-          case Some(JDouble(v)) => Some(v)
-          case Some(JInt(v)) => Some(v.toDouble)
-          case Some(JLong(v)) => Some(v.toDouble)
-          case Some(JDecimal(v)) => Some(v.toDouble)
-          case _ => None
-        }
-        MetricObservation(str(m, "datasetId"), str(m, "datasetVersion"),
-          str(m, "key"), str(m, "valueText"), numeric, lng(m, "recordedAt"))
+    objArray(get(s"/governance/metrics?dataset=${enc(datasetId)}")).map { m =>
+      val numeric = m.get("valueNumeric") match {
+        case Some(JDouble(v)) => Some(v)
+        case Some(JInt(v)) => Some(v.toDouble)
+        case Some(JLong(v)) => Some(v.toDouble)
+        case Some(JDecimal(v)) => Some(v.toDouble)
+        case _ => None
       }
-      case _ => Nil
+      MetricObservation(str(m, "datasetId"), str(m, "datasetVersion"),
+        str(m, "key"), str(m, "valueText"), numeric, lng(m, "recordedAt"))
     }
 
   def activity(datasetId: String,
                version: Option[String] = None): Seq[RemoteActivity] = {
     val q = s"dataset=${enc(datasetId)}" +
       version.fold("")(v => s"&version=${enc(v)}")
-    JsonMethods.parse(get(s"/governance/activity?$q").body()) match {
-      case JArray(items) => items.collect { case JObject(fs) =>
-        val m = fs.toMap
-        RemoteActivity(str(m, "pipeline"), str(m, "operation"),
-          str(m, "datasetId"), str(m, "datasetVersion"),
-          str(m, "contractId"), str(m, "contractVersion"), lng(m, "recordedAt"),
-          m.get("status").collect { case JObject(st) => FacadeJson.statusFrom(st.toMap) })
-      }
-      case _ => Nil
+    objArray(get(s"/governance/activity?$q")).map { m =>
+      RemoteActivity(str(m, "pipeline"), str(m, "operation"),
+        str(m, "datasetId"), str(m, "datasetVersion"),
+        str(m, "contractId"), str(m, "contractVersion"), lng(m, "recordedAt"),
+        statusOf(m, "status"))
     }
   }
 }

@@ -152,6 +152,66 @@ class HttpServiceClientsSpec extends SparkSpec {
     }
   }
 
+  test("a facade without the products family fails LOUDLY, never no-ops") {
+    // server with products = None: every /products route is a JDK-level
+    // 404 — a mutation that swallowed it would be silent data loss, and
+    // reviewDraft would parse the error body as a bogus product
+    val root = tmpDir("graft_rclients_nop")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val server = new GovernanceHttpServer(store, gov)
+    val port = server.start()
+    try {
+      val remote = new HttpDataProductClient(s"http://127.0.0.1:$port")
+      intercept[java.io.IOException] {
+        remote.put(DataProduct(id = "dp.x", version = Some("1.0.0")))
+      }
+      intercept[java.io.IOException] { remote.listVersions("dp.x") }
+      intercept[java.io.IOException] { remote.listDataProducts() }
+      intercept[java.io.IOException] { remote.reviewDraft("dp.x", "1.0.0", approve = true) }
+    } finally server.stop()
+  }
+
+  test("observed-enum lists and boxed numerics survive the observation wire") {
+    withServer() { (url, store, _, _) =>
+      val remote = new HttpGovernanceClient(url)
+      val contract = DemoContracts.lineitemAlign
+      store.put(contract)
+      val schema = contract.properties.map(f =>
+        f.name -> FieldSnapshot(f.odcsType, f.odcsType, nullable = !f.required)).toMap
+      // the value types graft's own metric producers emit: Seq[String]
+      // observed-enum lists, java.math.BigDecimal from query rules
+      val metrics: Map[String, Any] = Map(
+        "row_count" -> 10L,
+        "observed.enum_l_returnflag" -> Seq("Q", "Z"),
+        "query.custom" -> new java.math.BigDecimal("1.25"))
+      val eval = remote.evaluateAndRecord("ds.enum", "v1", contract, schema, metrics)
+      assert(Set("ok", "warn", "block").contains(eval.status.status))
+      assert(remote.getStatus("ds.enum", "v1").isDefined)
+    }
+  }
+
+  test("a bare port body with a scalar 'port' extra attribute registers verbatim") {
+    withServer() { (url, _, _, local) =>
+      // a non-graft caller POSTs a BARE port whose unknown extra field is
+      // named "port" — the wrapped-form discriminator requires an OBJECT
+      // value, so this must register as a port, extra preserved
+      val client = java.net.http.HttpClient.newHttpClient()
+      val r = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$url/products/register-input?id=dp.extra"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"name":"gold","version":"1.0.0","contractId":"c.x","port":8080}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+      val stored = local.latest("dp.extra").get.findInputPort("gold").get
+      assert(stored.contractId == "c.x")
+      assert(stored.extra.get("port").contains(org.json4s.JInt(8080)))
+    }
+  }
+
   test("both clients carry the bearer token; anonymous calls fail loudly") {
     withServer(auth = Some(BearerAuth.token("tok"))) { (url, _, _, _) =>
       val products = new HttpDataProductClient(url, bearerToken = Some("tok"))
