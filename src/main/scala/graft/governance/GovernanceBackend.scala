@@ -72,7 +72,8 @@ final case class DatasetStatus(
   * [[SparkTableGovernanceStore]]/[[DeltaGovernanceStore]] for
   * table-backed deployments — matching the contract side's
   * Fs/JDBC/Spark-table/Delta store family. */
-final class GovernanceBackend(store: GovernanceStore, contracts: Option[ContractStore]) {
+final class GovernanceBackend(store: GovernanceStore, contracts: Option[ContractStore])
+    extends GovernanceService {
 
   def this(rootDir: String, contracts: Option[ContractStore]) =
     this(new FsGovernanceStore(rootDir), contracts)
@@ -289,6 +290,22 @@ final class GovernanceBackend(store: GovernanceStore, contracts: Option[Contract
         .flatMap(v => store.get(contractId, v))
         .filter(isDraft)
     }
+
+  override def listDraftVersions(contractId: String): Seq[String] =
+    listDrafts(contractId).map(_.version)
+
+  /** The [[GovernanceService]] observation round trip, in-process: the
+    * same evaluate → record → report-drafts sequence the HTTP facade's
+    * `/governance/evaluate` route performs (it delegates here), so local
+    * and remote pipelines see identical semantics. */
+  override def evaluateAndRecord(datasetId: String, datasetVersion: String,
+                                 contract: Contract,
+                                 schema: Map[String, graft.quality.FieldSnapshot],
+                                 metrics: Map[String, Any]): GovernanceEvaluation = {
+    val res = graft.quality.Evaluator.evaluate(contract, schema, metrics)
+    val record = recordValidation(datasetId, datasetVersion, contract, res)
+    GovernanceEvaluation(record, res.ok, listDraftVersions(contract.id))
+  }
 
   def reviewDraft(contractId: String, version: String, approve: Boolean): Contract = {
     val store = contracts.getOrElse(

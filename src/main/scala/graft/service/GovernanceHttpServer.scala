@@ -339,15 +339,12 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     // from one request, no data movement
     s.createContext("/governance/evaluate", handler { (ex, p) =>
       val fields = jsonBody(ex)
-      val contract = decodeContract(fields)
-      val res = graft.quality.Evaluator.evaluate(
-        contract, decodeSchema(fields), decodeMetrics(fields))
-      val record = gov.recordValidation(p("dataset"), p("version"), contract, res)
-      val draftVersions = gov.listDrafts(contract.id).map(_.version)
+      val eval = gov.evaluateAndRecord(p("dataset"), p("version"),
+        decodeContract(fields), decodeSchema(fields), decodeMetrics(fields))
       respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-        "status" -> statusJson(record),
-        "ok" -> JBool(res.ok),
-        "draftVersions" -> JArray(draftVersions.toList.map(JString(_)))))))
+        "status" -> statusJson(eval.status),
+        "ok" -> JBool(eval.ok),
+        "draftVersions" -> JArray(eval.draftVersions.toList.map(JString(_)))))))
     })
     s.createContext("/governance/drafts", handler { (ex, p) =>
       respond(ex, 200, jsonIds("versions",

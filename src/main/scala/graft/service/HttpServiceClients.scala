@@ -1,7 +1,7 @@
 package graft.service
 
 import graft.contracts.{Contract, ContractJson}
-import graft.governance.{DatasetStatus, MetricObservation}
+import graft.governance.{DatasetStatus, GovernanceEvaluation, GovernanceService, MetricObservation}
 import graft.products._
 import graft.quality.FieldSnapshot
 import org.json4s._
@@ -275,14 +275,6 @@ final case class RemoteExpectation(key: String, rule: String,
 final case class RemoteVerdict(ok: Boolean, status: String,
                                errors: Seq[String], warnings: Seq[String])
 
-/** `/governance/evaluate`'s combined answer: the RECORDED status plus
-  * the contract's OUTSTANDING draft versions after this evaluation —
-  * every unreviewed draft for the contract, including ones proposed by
-  * earlier runs (the server answers `listDrafts(contract.id)`), not
-  * only a draft this call minted. */
-final case class GovernanceEvaluation(status: DatasetStatus, ok: Boolean,
-                                      draftVersions: Seq[String])
-
 /** One row of `/governance/dataset-records` (the activity list is
   * summarised to its count on the wire). */
 final case class RemoteDatasetRecord(datasetId: String, datasetVersion: String,
@@ -306,26 +298,30 @@ final case class RemoteActivity(pipeline: String, operation: String,
 final class HttpGovernanceClient(baseUrl: String,
                                  timeout: Duration = Duration.ofSeconds(30),
                                  bearerToken: Option[String] = None)
-    extends FacadeClient(baseUrl, timeout, bearerToken) {
+    extends FacadeClient(baseUrl, timeout, bearerToken) with GovernanceService {
 
   private def statusOf(m: Map[String, JValue], k: String): Option[DatasetStatus] =
     m.get(k).collect { case JObject(st) => FacadeJson.statusFrom(st.toMap) }
 
-  def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] =
+  override def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] =
     getOpt(s"/governance/status?dataset=${enc(datasetId)}&version=${enc(datasetVersion)}")
       .map(b => FacadeJson.statusFrom(fields(b)))
 
-  def listDatasets(): Seq[String] =
+  override def listDatasets(): Seq[String] =
     strings(get("/governance/datasets"), "ids")
 
-  def linkDatasetContract(datasetId: String, contractId: String,
-                          contractVersion: String): Unit = {
+  /** `datasetVersion` is accepted for [[GovernanceService]] symmetry but
+    * does not cross the wire — the link route keys on the dataset id
+    * (link hooks are a local-backend extension). */
+  override def linkDatasetContract(datasetId: String, contractId: String,
+                                   contractVersion: String,
+                                   datasetVersion: String = ""): Unit = {
     post(s"/governance/link?dataset=${enc(datasetId)}" +
       s"&contractId=${enc(contractId)}&contractVersion=${enc(contractVersion)}", "")
     ()
   }
 
-  def linkedContract(datasetId: String): Option[(String, String)] =
+  override def linkedContract(datasetId: String): Option[(String, String)] =
     getOpt(s"/governance/link?dataset=${enc(datasetId)}").map { b =>
       val m = fields(b)
       (str(m, "contractId"), str(m, "contractVersion"))
@@ -334,7 +330,7 @@ final class HttpGovernanceClient(baseUrl: String,
   /** Evaluate observations, RECORD the verdict against the dataset
     * version, and report the contract's outstanding drafts — one round
     * trip (the reference's `/governance/evaluate`). */
-  def evaluateAndRecord(datasetId: String, datasetVersion: String,
+  override def evaluateAndRecord(datasetId: String, datasetVersion: String,
                         contract: Contract,
                         schema: Map[String, FieldSnapshot],
                         metrics: Map[String, Any]): GovernanceEvaluation = {
@@ -373,15 +369,15 @@ final class HttpGovernanceClient(baseUrl: String,
     }
   }
 
-  def listDrafts(contractId: String): Seq[String] =
+  override def listDraftVersions(contractId: String): Seq[String] =
     strings(get(s"/governance/drafts?contractId=${enc(contractId)}"), "versions")
 
-  def reviewDraft(contractId: String, version: String, approve: Boolean): Contract =
+  override def reviewDraft(contractId: String, version: String, approve: Boolean): Contract =
     ContractJson.fromJson(post(
       s"/governance/review-draft?contractId=${enc(contractId)}" +
         s"&version=${enc(version)}&approve=$approve", ""))
 
-  def statusMatrix(): Seq[DatasetStatus] =
+  override def statusMatrix(): Seq[DatasetStatus] =
     objArray(get("/governance/status-matrix")).map(FacadeJson.statusFrom)
 
   def datasetRecords(dataset: Option[String] = None,
@@ -395,7 +391,7 @@ final class HttpGovernanceClient(baseUrl: String,
     }
   }
 
-  def metricHistory(datasetId: String): Seq[MetricObservation] =
+  override def metricHistory(datasetId: String): Seq[MetricObservation] =
     objArray(get(s"/governance/metrics?dataset=${enc(datasetId)}")).map { m =>
       val numeric = m.get("valueNumeric") match {
         case Some(JDouble(v)) => Some(v)

@@ -165,6 +165,76 @@ object ServiceBootstrap {
 
   def fromFile(path: String): GovernanceHttpServer =
     fromToml(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  // ------------------------------------------------------------------
+  // client-side bootstrap (the reference's `load_service_clients`)
+  // ------------------------------------------------------------------
+
+  /** The service trio a pipeline binds — all three families behind
+    * their transport-agnostic surfaces, so pipeline code is identical
+    * in local and remote mode (the reference's `ServiceClientsSuite`,
+    * `dc43-service-clients/.../bootstrap.py:28`). */
+  final case class ServiceClients(
+      contracts: graft.contracts.ContractStore,
+      governance: graft.governance.GovernanceService,
+      products: Option[graft.products.DataProductService])
+
+  private val ClientKnownSections = Set(
+    "remote", "contract_store", "governance_store", "data_product")
+
+  /** Build the pipeline-side clients from a TOML config — the
+    * reference's `load_service_clients` (`bootstrap.py:44`: remote
+    * clients when an http binding with a base URL is configured, local
+    * backends otherwise). A `[remote]` section routes ALL THREE
+    * families at the facade:
+    *
+    * {{{
+    * [remote]
+    * base_url = "http://governance:8081"
+    * token = "s3cret"            # optional bearer
+    * }}}
+    *
+    * Without `[remote]`, the store sections build local backends
+    * exactly as the server bootstrap does (same keys, same loud
+    * rejection of typos); `[data_product]` stays optional in both
+    * modes. Mixing `[remote]` with store sections is rejected — half
+    *-local half-remote wiring is a deployment bug, not a feature. */
+  def clientsFromToml(text: String): ServiceClients = {
+    val config = parseToml(text)
+    val unknown = config.keySet.diff(ClientKnownSections)
+    require(unknown.isEmpty,
+      s"unknown config section(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(supported: ${ClientKnownSections.toSeq.sorted.mkString(", ")})")
+    config.get("remote") match {
+      case Some(sec) =>
+        require(config.size == 1,
+          "[remote] routes every family at the facade; drop the store sections " +
+            s"(found: ${(config.keySet - "remote").toSeq.sorted.mkString(", ")})")
+        val extraKeys = sec.keySet.diff(Set("base_url", "token"))
+        require(extraKeys.isEmpty,
+          s"[remote] unknown key(s): ${extraKeys.toSeq.sorted.mkString(", ")} " +
+            "(supported: base_url, token)")
+        val url = requireKey(sec, "remote", "base_url")
+        val token = sec.get("token")
+        ServiceClients(
+          new HttpContractStore(url, bearerToken = token),
+          new HttpGovernanceClient(url, bearerToken = token),
+          Some(new HttpDataProductClient(url, bearerToken = token)))
+      case None =>
+        requireKnownKeys(config)
+        val contracts = contractStore(config.getOrElse("contract_store",
+          throw new IllegalArgumentException("config must have a [contract_store] or [remote] section")))
+        val gov = new GovernanceBackend(governanceStore(config.getOrElse("governance_store",
+          throw new IllegalArgumentException("config must have a [governance_store] or [remote] section"))),
+          Some(contracts))
+        val products = config.get("data_product").map(sec =>
+          new DataProductBackend(requireKey(sec, "data_product", "root")))
+        ServiceClients(contracts, gov, products)
+    }
+  }
+
+  def clientsFromFile(path: String): ServiceClients =
+    clientsFromToml(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 }
 
 /** Foreground deployment entry point — the reference serves its backends

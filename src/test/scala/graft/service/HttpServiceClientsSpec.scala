@@ -142,7 +142,7 @@ class HttpServiceClientsSpec extends SparkSpec {
       assert(!bad.ok && bad.status.status == "block")
       assert(bad.draftVersions.nonEmpty)
       val draftV = bad.draftVersions.head
-      assert(remote.listDrafts(contract.id).contains(draftV))
+      assert(remote.listDraftVersions(contract.id).contains(draftV))
       assert(remote.reviewDraft(contract.id, draftV, approve = false)
         .status.contains("rejected"))
 
@@ -209,6 +209,56 @@ class HttpServiceClientsSpec extends SparkSpec {
       val stored = local.latest("dp.extra").get.findInputPort("gold").get
       assert(stored.contractId == "c.x")
       assert(stored.extra.get("port").contains(org.json4s.JInt(8080)))
+    }
+  }
+
+  test("clientsFromToml: the same pipeline code runs local and remote") {
+    import ServiceBootstrap.ServiceClients
+    // one pipeline, written against the traits only
+    def pipeline(c: ServiceClients): String = {
+      c.contracts.put(DemoContracts.lineitemAlign)
+      val contract = DemoContracts.lineitemAlign
+      val schema = contract.properties.map(f =>
+        f.name -> FieldSnapshot(f.odcsType, f.odcsType, nullable = !f.required)).toMap
+      val eval = c.governance.evaluateAndRecord("ds.p", "v1", contract, schema,
+        Map("row_count" -> 5L))
+      c.products.get.registerOutputPort("dp.p",
+        OutputPort("gold", contract.version, contract.id))
+      c.governance.linkDatasetContract("ds.p", contract.id, contract.version)
+      s"${eval.status.status}|${c.governance.linkedContract("ds.p").get._1}|" +
+        s"${c.products.get.resolveOutputContract("dp.p", "gold").get._1}"
+    }
+
+    val localRoot = tmpDir("graft_cboot_local")
+    val local = ServiceBootstrap.clientsFromToml(
+      s"""[contract_store]
+         |root = "$localRoot/contracts"
+         |[governance_store]
+         |root = "$localRoot/governance"
+         |[data_product]
+         |root = "$localRoot/products"
+         |""".stripMargin)
+    val localOut = pipeline(local)
+
+    val remoteOut = withServer(auth = Some(BearerAuth.token("tok"))) { (url, _, _, _) =>
+      pipeline(ServiceBootstrap.clientsFromToml(
+        s"""[remote]
+           |base_url = "$url"
+           |token = "tok"
+           |""".stripMargin))
+    }
+    assert(localOut == remoteOut)
+
+    // config hygiene: half-local half-remote, typo'd keys, missing url
+    intercept[IllegalArgumentException] {
+      ServiceBootstrap.clientsFromToml(
+        "[remote]\nbase_url = \"http://x\"\n[contract_store]\nroot = \"/tmp/x\"\n")
+    }
+    intercept[IllegalArgumentException] {
+      ServiceBootstrap.clientsFromToml("[remote]\nbase_urk = \"http://x\"\n")
+    }
+    intercept[IllegalArgumentException] {
+      ServiceBootstrap.clientsFromToml("[remoat]\nbase_url = \"http://x\"\n")
     }
   }
 
