@@ -63,7 +63,7 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
       s"<title>${esc(title)} — graft governance</title>\n" +
       s"<style>$style</style></head><body>\n" +
       "<nav><a href=\"/ui\">Home</a><a href=\"/ui/contracts\">Contracts</a>\n" +
-      "<a href=\"/ui/datasets\">Datasets</a>" +
+      "<a href=\"/ui/drafts\">Drafts</a><a href=\"/ui/datasets\">Datasets</a>" +
       (if (products.isDefined) "<a href=\"/ui/products\">Data products</a>" else "") +
       "</nav>\n" +
       s"<h1>${esc(title)}</h1>\n" +
@@ -211,6 +211,24 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
           st.warnings.map(esc).mkString("<br>"))
       })
 
+  /** The review queue — every outstanding draft revision across all
+    * contracts (the reference's contract review workflow surfaces these
+    * on the contract pages; one aggregated queue is what a reviewer
+    * actually works). Read-only: approval stays on the JSON API
+    * (`/governance/review-draft`). */
+  def draftsPage(): String = {
+    val rows = for {
+      id <- contracts.listContractIds()
+      draft <- gov.listDrafts(id)
+    } yield Seq(
+      contractLink(draft.id, draft.version),
+      draft.customProperties.get("dataset_id").map(esc)
+        .getOrElse("""<span class="muted">—</span>"""),
+      draft.description.map(esc).getOrElse("""<span class="muted">—</span>"""))
+    page("Draft review queue",
+      table(Seq("draft", "proposed from dataset", "change summary"), rows))
+  }
+
   /** Dataset listing — reference `datasets.html`: every governed dataset
     * with its latest verdict. */
   def datasetsPage(): String = {
@@ -307,6 +325,7 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     path.stripSuffix("/") match {
       case "/ui" | "" => Some(index())
       case "/ui/contracts" => Some(contractsPage())
+      case "/ui/drafts" => Some(draftsPage())
       case "/ui/contract" =>
         params.get("id").flatMap(id => contractPage(id, params.get("version")))
       case "/ui/datasets" => Some(datasetsPage())

@@ -71,6 +71,11 @@ class WebUiSpec extends AnyFunSuite {
     val ds = ui.datasetPage("ds.orders").get
     assert(ds.contains("2024-01") && ds.contains("row_count"))
 
+    // the review queue lists the stored draft revision
+    val drafts = ui.draftsPage()
+    assert(drafts.contains("1.1.0-draft"))
+    assert(drafts.contains("/ui/contract?id=sales.orders&version=1.1.0-draft"))
+
     val products = ui.productsPage().get
     assert(products.contains("dp.orders"))
     val product = ui.productPage("dp.orders").get
@@ -117,6 +122,7 @@ class WebUiSpec extends AnyFunSuite {
       assert(r.body().contains("sales.orders"))
       val detail = get(s"http://127.0.0.1:$port/ui/contract?id=sales.orders&version=1.0.0")
       assert(detail.statusCode() == 200 && detail.body().contains("o_orderkey"))
+      assert(get(s"http://127.0.0.1:$port/ui/drafts").statusCode() == 200)
       assert(get(s"http://127.0.0.1:$port/ui/bogus").statusCode() == 404)
       assert(get(s"http://127.0.0.1:$port/ui/contract").statusCode() == 404) // id required
     } finally open.stop()
