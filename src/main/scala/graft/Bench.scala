@@ -117,7 +117,7 @@ object Bench {
     // benching both would double-count the same work (the
     // q_substr_strip/q_trustrank precedent).
     "q_unicode_nfc", "q_clean_text", "q_mojibake", "q_pack_tokens",
-    "q_html_strip", "q_ingest_clean", "q_c4_rules")
+    "q_html_strip", "q_ingest_clean", "q_c4_rules", "q_dedup_sentences")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -229,7 +229,10 @@ object Bench {
     "q_ingest_clean" -> 0.74,
     // r10: C4 battery — synthetic 6-line pages, 3 regex predicates per
     // line (0.720 warmed × 1.3)
-    "q_c4_rules" -> 0.94
+    "q_c4_rules" -> 0.94,
+    // r10: sentence-span dedup — shingle rank exchange + span join
+    // (0.767 warmed × 1.3)
+    "q_dedup_sentences" -> 1.0
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,

@@ -470,6 +470,21 @@ object SparkEntry {
       TextOps.c4Rules(dirty, TextOps.C4Thresholds(minSentences = 3,
         badWords = Seq("casino", "viagra")))
     }),
+    // C4's third component: duplicated 3-sentence-span removal, keep
+    // first. Pages get a doc-unique opener (carries doc_id + the corpus
+    // text), every 4th doc a SHARED 3-sentence block, a doc-unique
+    // closer — so exactly one interior shingle repeats across the class,
+    // the lowest doc_id keeps it, every later one loses those 3
+    // sentences; 2-sentence non-class docs shingle nothing
+    "q_dedup_sentences" -> ((s, d) => {
+      val dirty = t(s, d, "documents").select(col("doc_id"), concat(
+        lit("Doc "), col("doc_id").cast("string"), lit(" says "), col("text"), lit("."),
+        when(col("doc_id") % 4 === 0,
+          lit(" Shared sentence one. Shared sentence two. Shared sentence three."))
+          .otherwise(lit("")),
+        lit(" Doc "), col("doc_id").cast("string"), lit(" closes now.")).as("text"))
+      graft.ops.ExactSubstr.dedupSentenceSpans(dirty)
+    }),
     // the end-to-end shard-writer composition: tokenize (frozen merges,
     // ordered) -> chunk by token budget -> concatenate token streams
     // with a </s> boundary per doc. shards = 1 pinned for the exact
@@ -2607,6 +2622,54 @@ object SparkEntry {
         |  r_brace, n_sentences, n_sentences >= 3 AS r_sentences,
         |  (n_sentences >= 3 AND r_badwords AND r_lorem AND r_brace) AS c4_keep
         |FROM g""".stripMargin,
+    // sentence-span dedup twin: the substrCtes island pipeline at
+    // sentence granularity plus the keep-first rank filter; the
+    // lookaround-free sentence regex and the md5-of-joined-shingle are
+    // the Spark spellings verbatim
+    "q_dedup_sentences" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    'Doc ' || doc_id || ' says ' || text || '.' ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' Shared sentence one. Shared sentence two. Shared sentence three.'
+        |      ELSE '' END ||
+        |    ' Doc ' || doc_id || ' closes now.' AS t2
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_extract_all(t2, '[^.!?]*[.!?]'),
+        |      s -> trim(s)), s -> s != '') AS sents
+        |  FROM dirty),
+        |u AS (SELECT doc_id, sents,
+        |  unnest(generate_series(1, len(sents) - 2)) AS pos FROM t),
+        |w AS (SELECT doc_id, pos,
+        |  md5(array_to_string(sents[pos:pos+2], ' ')) AS sh FROM u),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk,
+        |  count(*) OVER (PARTITION BY sh) AS cnt FROM w),
+        |p AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rk > 1),
+        |brk AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+        |       THEN 0 ELSE 1 END AS b
+        |  FROM p),
+        |isl AS (SELECT doc_id, pos, sum(b) OVER (
+        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM brk),
+        |sp AS (SELECT doc_id, min(pos) AS start_s, max(pos) + 2 AS end_s
+        |  FROM isl GROUP BY doc_id, g),
+        |e AS (SELECT doc_id, unnest(sents) AS s,
+        |  generate_subscripts(sents, 1) AS spos FROM t),
+        |kept AS (
+        |  SELECT e.doc_id, e.s, e.spos
+        |  FROM e LEFT JOIN sp ON sp.doc_id = e.doc_id
+        |    AND e.spos BETWEEN sp.start_s AND sp.end_s
+        |  WHERE sp.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY spos) AS txt,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.txt, '') AS clean_text,
+        |  CAST(len(t.sents) AS BIGINT) AS n_sentences,
+        |  CAST(len(t.sents) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
     // the SAME ControlClass constant drives both engines (\x{…} means
     // the same thing in Java regex and RE2 — the PunctClass convention);
     // dirt via chr(): 65279 = BOM, 8203 = ZWSP, 7 = BEL, 173 = SHY

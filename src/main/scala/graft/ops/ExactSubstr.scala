@@ -184,6 +184,81 @@ object ExactSubstr {
         (n - size(col("_ss_kept"))).cast(LongType).as("n_removed"))
   }
 
+  /** Sentence extraction for [[dedupSentenceSpans]]: maximal runs ending
+    * at a terminal mark, trimmed, empties dropped. `[^.!?]*[.!?]` is
+    * lookaround-free on purpose — RE2 has no lookbehind, so a
+    * split-after-punctuation spelling could never be oracle-shared; an
+    * unterminated trailing fragment is NOT a sentence (C4's own line
+    * filter already discards unterminated text). */
+  def sentencesCol(c: Column): Column =
+    filter(
+      transform(regexp_extract_all(c, lit("[^.!?]*[.!?]"), lit(0)), s => trim(s)),
+      s => s =!= lit(""))
+
+  /** C4's third cleaning component (Raffel et al. 2020 §2.2: "we removed
+    * any duplicated three-sentence span, keeping one occurrence") — the
+    * corpus-wide stage [[TextOps.c4Rules]]'s per-document battery cannot
+    * express. Same distributed shape as [[duplicatedSpans]] at SENTENCE
+    * granularity, plus the keep-one policy: per duplicated `n`-sentence
+    * shingle the first occurrence in (doc_id, pos) order survives, every
+    * later one is flagged; flagged shingles merge into maximal sentence
+    * spans per document and the covered sentences are removed.
+    *
+    * Output `(id, clean_text, n_sentences, n_removed)`; docs with fewer
+    * than `n` sentences (or null text) pass through with 0 removed.
+    *
+    * Scale shape: one row per sentence shingle through ONE hash
+    * exchange (`row_number` + windowed `count` share the same
+    * partitioning, so ranking and the occurrence floor cost a single
+    * shuffle); the island merge and the rebuild touch only FLAGGED
+    * documents' span lists (span frame shuffle, corpus left-joined). */
+  def dedupSentenceSpans(docs: DataFrame, n: Int = 3, minOccurrences: Long = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span length must be at least 2 sentences")
+    require(minOccurrences >= 2, "minOccurrences must be at least 2")
+    val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
+    val wins = docs
+      .select(col(idCol), explode(array(sentsOf)).as("_sents"))
+      .select(col(idCol),
+        when(size(col("_sents")) >= n,
+          sequence(lit(1), size(col("_sents")) - lit(n - 1)))
+          .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
+        col("_sents"))
+      .select(col(idCol), explode(col("_starts")).as("pos"),
+        md5(concat_ws(" ", slice(col("_sents"), col("pos"), lit(n)))
+          .cast(BinaryType)).as("sh"))
+    val bySh = Window.partitionBy(col("sh")).orderBy(col(idCol), col("pos"))
+    val flagged = wins
+      .withColumn("_rk", row_number().over(bySh))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("_n") >= minOccurrences && col("_rk") > 1)
+      .select(col(idCol), col("pos"))
+    val perDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = flagged
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(perDoc) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_isl", sum(col("_brk")).over(
+        perDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + lit(n - 1)).as("_e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_spans"))
+    docs
+      .select(col(idCol), explode(array(sentsOf)).as("_sents"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_sents"))
+          .otherwise(filter(col("_sents"), (s, i) =>
+            !exists(col("_spans"), sp =>
+              i + 1 >= sp.getField("_s") && i + 1 <= sp.getField("_e")))))
+      .select(col(idCol),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        size(col("_sents")).cast(LongType).as("n_sentences"),
+        (size(col("_sents")) - size(col("_kept"))).cast(LongType).as("n_removed"))
+  }
+
   /** Remove flagged spans from the text: every token whose position falls
     * inside a span of `spans` (the [[duplicatedSpans]] schema) is dropped,
     * and the survivors are re-joined with single spaces. Pure mechanics —

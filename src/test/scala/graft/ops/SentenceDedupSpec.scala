@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** C4's duplicated three-sentence-span removal (keep-first): ranking
+  * across documents, within-document repeats, island merging of
+  * overlapping duplicated shingles, short-doc/null totality, and the
+  * sentence-extraction contract. */
+class SentenceDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: (Long, String)*): Map[Long, (String, Long, Long)] =
+    ExactSubstr.dedupSentenceSpans(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_removed")))).toMap
+
+  private val block = "Shared one. Shared two. Shared three."
+
+  test("keep-first across documents: the lowest (doc_id, pos) survives") {
+    val got = run(
+      1L -> s"Doc one opens. $block Doc one closes.",
+      2L -> s"Doc two opens. $block Doc two closes.",
+      3L -> "Doc three is unrelated. It stays whole.")
+    assert(got(1L) == (s"Doc one opens. $block Doc one closes.", 5L, 0L))
+    assert(got(2L) == ("Doc two opens. Doc two closes.", 5L, 3L))
+    assert(got(3L)._3 == 0L)
+  }
+
+  test("a within-document repeat loses its second occurrence") {
+    val got = run(1L -> s"$block A separator sits here. $block")
+    assert(got(1L)._1 == s"$block A separator sits here.")
+    assert(got(1L)._3 == 3L)
+  }
+
+  test("overlapping duplicated shingles merge into one maximal span") {
+    // a shared FOUR-sentence run flags two consecutive shingles in the
+    // later doc; the island merge must remove all 4 sentences, once
+    val four = "Alpha beta. Gamma delta. Epsilon zeta. Eta theta."
+    val got = run(
+      1L -> s"First doc intro. $four",
+      2L -> s"Second doc intro. $four Second doc outro.")
+    assert(got(1L)._3 == 0L)
+    assert(got(2L)._1 == "Second doc intro. Second doc outro.")
+    assert(got(2L)._3 == 4L)
+  }
+
+  test("short docs, null text, and unterminated fragments are total") {
+    val got = ExactSubstr.dedupSentenceSpans(
+      Seq((1L, "Only two. Sentences here."), (2L, null: String),
+          (3L, "Terminated once. then an unterminated tail"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got(1L) == (("Only two. Sentences here.", 2L, 0L)))
+    assert(got(2L) == (("", 0L, 0L)))
+    // the unterminated tail is not a sentence (C4's line filter would
+    // have dropped unterminated text before this stage anyway)
+    assert(got(3L) == (("Terminated once.", 1L, 0L)))
+  }
+
+  test("minOccurrences floor: a 3x-shared block survives a floor of 4") {
+    val docs = (1L to 3L).map(i => i -> s"Doc $i opens. $block Doc $i closes.")
+    val kept = ExactSubstr.dedupSentenceSpans(
+      docs.toDF("doc_id", "text"), minOccurrences = 4)
+      .collect().map(_.getAs[Long]("n_removed")).sum
+    assert(kept == 0L)
+  }
+}
