@@ -139,7 +139,7 @@ object ScaleEvidence {
     // next drift attributable: harness context moves BOTH columns,
     // super-linear work moves the ratio) and the markup-strip projection
     "q_pack_chunks", "q_pack_chunks_sharded", "q_html_strip",
-    "q_ingest_clean", "q_c4_rules")
+    "q_ingest_clean", "q_c4_rules", "q_dedup_sentences")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)
