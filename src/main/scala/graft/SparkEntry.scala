@@ -2622,10 +2622,12 @@ object SparkEntry {
         |  r_brace, n_sentences, n_sentences >= 3 AS r_sentences,
         |  (n_sentences >= 3 AND r_badwords AND r_lorem AND r_brace) AS c4_keep
         |FROM g""".stripMargin,
-    // sentence-span dedup twin: the substrCtes island pipeline at
-    // sentence granularity plus the keep-first rank filter; the
+    // sentence-span dedup twin: the same shingle/rank chain with KEEPER
+    // PROTECTION — a sentence is removed iff a flagged (rk>1) shingle
+    // covers it and no keeper (rk=1) shingle of the doc does; the
     // lookaround-free sentence regex and the md5-of-joined-shingle are
-    // the Spark spellings verbatim
+    // the Spark spellings verbatim. coalesce(t2, '') keeps the oracle
+    // total like the Spark side (concat of a NULL text is NULL)
     "q_dedup_sentences" ->
       """WITH dirty AS (
         |  SELECT doc_id,
@@ -2637,7 +2639,7 @@ object SparkEntry {
         |  FROM documents),
         |t AS (
         |  SELECT doc_id,
-        |    list_filter(list_transform(regexp_extract_all(t2, '[^.!?]*[.!?]'),
+        |    list_filter(list_transform(regexp_extract_all(coalesce(t2, ''), '[^.!?]*[.!?]'),
         |      s -> trim(s)), s -> s != '') AS sents
         |  FROM dirty),
         |u AS (SELECT doc_id, sents,
@@ -2648,22 +2650,21 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk,
         |  count(*) OVER (PARTITION BY sh) AS cnt FROM w),
         |p AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rk > 1),
-        |brk AS (SELECT doc_id, pos,
-        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
-        |       THEN 0 ELSE 1 END AS b
-        |  FROM p),
-        |isl AS (SELECT doc_id, pos, sum(b) OVER (
-        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
-        |  FROM brk),
-        |sp AS (SELECT doc_id, min(pos) AS start_s, max(pos) + 2 AS end_s
-        |  FROM isl GROUP BY doc_id, g),
+        |kp AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rk = 1),
         |e AS (SELECT doc_id, unnest(sents) AS s,
         |  generate_subscripts(sents, 1) AS spos FROM t),
+        |cov AS (SELECT DISTINCT e.doc_id, e.spos
+        |  FROM e JOIN p ON p.doc_id = e.doc_id
+        |    AND e.spos BETWEEN p.pos AND p.pos + 2),
+        |prot AS (SELECT DISTINCT e.doc_id, e.spos
+        |  FROM e JOIN kp ON kp.doc_id = e.doc_id
+        |    AND e.spos BETWEEN kp.pos AND kp.pos + 2),
+        |rem AS (SELECT doc_id, spos FROM cov
+        |  EXCEPT SELECT doc_id, spos FROM prot),
         |kept AS (
         |  SELECT e.doc_id, e.s, e.spos
-        |  FROM e LEFT JOIN sp ON sp.doc_id = e.doc_id
-        |    AND e.spos BETWEEN sp.start_s AND sp.end_s
-        |  WHERE sp.doc_id IS NULL),
+        |  FROM e LEFT JOIN rem ON rem.doc_id = e.doc_id AND rem.spos = e.spos
+        |  WHERE rem.doc_id IS NULL),
         |agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY spos) AS txt,
         |  count(*) AS n_kept FROM kept GROUP BY doc_id)
         |SELECT t.doc_id, coalesce(agg.txt, '') AS clean_text,

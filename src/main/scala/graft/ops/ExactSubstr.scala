@@ -42,21 +42,7 @@ object ExactSubstr {
   def windowHashes(docs: DataFrame, l: Int, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(l >= 2, "window length must be at least 2 tokens")
-    docs
-      // Generate barrier (the family's standard idiom): materialise the
-      // token array once; without it every lambda element access below
-      // re-runs the tokenisation
-      .select(col(idCol),
-        explode(array(split(TextOps.normText(col(textCol)), " "))).as("_toks"))
-      .select(col(idCol),
-        // sequence(1, 0) would count DOWN; guard short docs explicitly
-        when(size(col("_toks")) >= l,
-          sequence(lit(1), size(col("_toks")) - lit(l - 1)))
-          .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
-        col("_toks"))
-      .select(col(idCol), explode(col("_starts")).as("pos"),
-        md5(concat_ws(" ", slice(col("_toks"), col("pos"), lit(l))).cast(BinaryType))
-          .as("wh"))
+    shingleHashes(docs, split(TextOps.normText(col(textCol)), " "), l, idCol)
   }
 
   /** Maximal duplicated token spans `(doc_id, start_tok, end_tok,
@@ -195,14 +181,35 @@ object ExactSubstr {
       transform(regexp_extract_all(c, lit("[^.!?]*[.!?]"), lit(0)), s => trim(s)),
       s => s =!= lit(""))
 
+  /** `(id, pos, wh)`: md5 of each length-`n` shingle of `unitsOf` (the
+    * per-row unit array — tokens, sentences), 1-based start `pos`. The
+    * shared projection under [[windowHashes]] and
+    * [[dedupSentenceSpans]]: Generate barrier on the unit array, one
+    * row per shingle, rows shorter than `n` units emit nothing. */
+  private def shingleHashes(docs: DataFrame, unitsOf: Column, n: Int,
+                            idCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(array(unitsOf)).as("_units"))
+      .select(col(idCol),
+        when(size(col("_units")) >= n,
+          sequence(lit(1), size(col("_units")) - lit(n - 1)))
+          .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
+        col("_units"))
+      .select(col(idCol), explode(col("_starts")).as("pos"),
+        md5(concat_ws(" ", slice(col("_units"), col("pos"), lit(n)))
+          .cast(BinaryType)).as("wh"))
+
   /** C4's third cleaning component (Raffel et al. 2020 §2.2: "we removed
     * any duplicated three-sentence span, keeping one occurrence") — the
     * corpus-wide stage [[TextOps.c4Rules]]'s per-document battery cannot
-    * express. Same distributed shape as [[duplicatedSpans]] at SENTENCE
-    * granularity, plus the keep-one policy: per duplicated `n`-sentence
-    * shingle the first occurrence in (doc_id, pos) order survives, every
-    * later one is flagged; flagged shingles merge into maximal sentence
-    * spans per document and the covered sentences are removed.
+    * express. Keep-one policy with KEEPER PROTECTION: per duplicated
+    * `n`-sentence shingle the first occurrence in (doc_id, pos) order is
+    * the keeper; a sentence is removed iff some LATER (flagged)
+    * occurrence covers it AND no keeper shingle of that document does —
+    * protection is what makes the documented guarantee actually hold
+    * when duplicated shingles overlap (without it, a flagged shingle's
+    * removal could delete sentences of an adjacent keeper and leave a
+    * duplicated span with ZERO surviving occurrences corpus-wide).
     *
     * Output `(id, clean_text, n_sentences, n_removed)`; docs with fewer
     * than `n` sentences (or null text) pass through with 0 removed.
@@ -210,49 +217,37 @@ object ExactSubstr {
     * Scale shape: one row per sentence shingle through ONE hash
     * exchange (`row_number` + windowed `count` share the same
     * partitioning, so ranking and the occurrence floor cost a single
-    * shuffle); the island merge and the rebuild touch only FLAGGED
-    * documents' span lists (span frame shuffle, corpus left-joined). */
+    * shuffle); the flagged/keeper start lists are per-document and
+    * bounded by document length, and the rebuild left-joins them onto
+    * the corpus — untouched documents pass through on null lists. */
   def dedupSentenceSpans(docs: DataFrame, n: Int = 3, minOccurrences: Long = 2,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(n >= 2, "span length must be at least 2 sentences")
     require(minOccurrences >= 2, "minOccurrences must be at least 2")
     val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
-    val wins = docs
-      .select(col(idCol), explode(array(sentsOf)).as("_sents"))
-      .select(col(idCol),
-        when(size(col("_sents")) >= n,
-          sequence(lit(1), size(col("_sents")) - lit(n - 1)))
-          .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
-        col("_sents"))
-      .select(col(idCol), explode(col("_starts")).as("pos"),
-        md5(concat_ws(" ", slice(col("_sents"), col("pos"), lit(n)))
-          .cast(BinaryType)).as("sh"))
     val bySh = Window.partitionBy(col("sh")).orderBy(col(idCol), col("pos"))
-    val flagged = wins
+    val ranked = shingleHashes(docs, sentsOf, n, idCol)
+      .withColumnRenamed("wh", "sh")
       .withColumn("_rk", row_number().over(bySh))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("_n") >= minOccurrences && col("_rk") > 1)
-      .select(col(idCol), col("pos"))
-    val perDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val spans = flagged
-      .withColumn("_brk",
-        when(col("pos") - lag(col("pos"), 1).over(perDoc) <= n, lit(0))
-          .otherwise(lit(1)))
-      .withColumn("_isl", sum(col("_brk")).over(
-        perDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("_isl"))
-      .agg(min(col("pos")).as("_s"), (max(col("pos")) + lit(n - 1)).as("_e"))
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("_s"), col("_e"))).as("_spans"))
+      .filter(col("_n") >= minOccurrences)
+    val flagged = ranked.filter(col("_rk") > 1)
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_flag"))
+    val keepers = ranked.filter(col("_rk") === 1)
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_keep"))
     docs
       .select(col(idCol), explode(array(sentsOf)).as("_sents"))
-      .join(spans, Seq(idCol), "left")
+      .join(flagged, Seq(idCol), "left")
+      .join(keepers, Seq(idCol), "left")
       .withColumn("_kept",
-        when(col("_spans").isNull, col("_sents"))
-          .otherwise(filter(col("_sents"), (s, i) =>
-            !exists(col("_spans"), sp =>
-              i + 1 >= sp.getField("_s") && i + 1 <= sp.getField("_e")))))
+        when(col("_flag").isNull, col("_sents"))
+          .otherwise(filter(col("_sents"), (s, i) => {
+            val q = i + 1
+            def covered(starts: Column): Column = coalesce(
+              exists(starts, f => q >= f && q <= f + lit(n - 1)), lit(false))
+            !(covered(col("_flag")) && !covered(col("_keep")))
+          })))
       .select(col(idCol),
         concat_ws(" ", col("_kept")).as("clean_text"),
         size(col("_sents")).cast(LongType).as("n_sentences"),

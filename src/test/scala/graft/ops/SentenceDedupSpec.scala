@@ -45,6 +45,23 @@ class SentenceDedupSpec extends SparkSpec {
     assert(got(2L)._3 == 4L)
   }
 
+  test("keeper protection: an overlapping flagged shingle cannot delete a keeper") {
+    // doc2 holds the KEEPER of (Beta,Gamma,Delta) and (Gamma,Delta,Epsilon)
+    // but is also FLAGGED for (Alpha,Beta,Gamma) (doc1 keeps that one).
+    // Without protection the flagged span 1..3 would delete Beta+Gamma
+    // from doc2 while doc3's copies are removed as rk>1 — zero surviving
+    // occurrences corpus-wide. With protection doc2 loses only Alpha.
+    val got = run(
+      1L -> "X. Alpha. Beta. Gamma. Y.",
+      2L -> "Alpha. Beta. Gamma. Delta. Epsilon. F.",
+      3L -> "Q. Beta. Gamma. Delta. Epsilon. R.")
+    assert(got(1L)._3 == 0L)
+    assert(got(2L)._1 == "Beta. Gamma. Delta. Epsilon. F.")
+    assert(got(2L)._3 == 1L)
+    assert(got(3L)._1 == "Q. R.")
+    assert(got(3L)._3 == 4L)
+  }
+
   test("short docs, null text, and unterminated fragments are total") {
     val got = ExactSubstr.dedupSentenceSpans(
       Seq((1L, "Only two. Sentences here."), (2L, null: String),
