@@ -294,6 +294,10 @@ final class GovernanceBackend(store: GovernanceStore, contracts: Option[Contract
   override def listDraftVersions(contractId: String): Seq[String] =
     listDrafts(contractId).map(_.version)
 
+  override def record(datasetId: String, datasetVersion: String, contract: Contract,
+                      validation: ValidationResult): DatasetStatus =
+    recordValidation(datasetId, datasetVersion, contract, validation)
+
   /** The [[GovernanceService]] observation round trip, in-process: the
     * same evaluate → record → report-drafts sequence the HTTP facade's
     * `/governance/evaluate` route performs (it delegates here), so local

@@ -1,7 +1,7 @@
 package graft.governance
 
 import graft.contracts.Contract
-import graft.quality.FieldSnapshot
+import graft.quality.{FieldSnapshot, ValidationResult}
 
 /** `evaluateAndRecord`'s combined answer: the RECORDED status plus the
   * contract's OUTSTANDING draft versions after this evaluation — every
@@ -42,4 +42,15 @@ trait GovernanceService {
                         contract: Contract,
                         schema: Map[String, FieldSnapshot],
                         metrics: Map[String, Any]): GovernanceEvaluation
+
+  /** Record an already-computed validation — [[graft.io.GovernedIO]]'s
+    * write path, which needs the verdict for its violation strategy
+    * BEFORE recording. In-process this persists the result as-is; over
+    * the wire the validation's own schema snapshot + metrics are
+    * shipped as observations and the server re-derives the verdict —
+    * bit-identical when the validation came from `Evaluator`'s default
+    * knobs (GovernedIO's path), re-graded under custom severities (the
+    * observations, not the grading, are the wire contract). */
+  def record(datasetId: String, datasetVersion: String, contract: Contract,
+             validation: ValidationResult): DatasetStatus
 }

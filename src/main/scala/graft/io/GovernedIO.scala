@@ -19,7 +19,7 @@ final case class GovernedIO(
     store: ContractStore,
     locator: DatasetLocator,
     products: Option[graft.products.DataProductService] = None,
-    governance: Option[graft.governance.GovernanceBackend] = None) {
+    governance: Option[graft.governance.GovernanceService] = None) {
 
   /** Whether the recorded status of (datasetId, datasetVersion) blocks
     * consumption — the reference's dq-status gate on reads. */
@@ -162,7 +162,7 @@ final case class GovernedIO(
       options = res.options, strategy = strategy)
     // record the verdict + link for downstream status gating / drafting
     governance.foreach { g =>
-      g.recordValidation(datasetId, datasetVersion.getOrElse(contract.version),
+      g.record(datasetId, datasetVersion.getOrElse(contract.version),
         contract, result.validation)
       g.linkDatasetContract(datasetId, contract.id, contract.version,
         datasetVersion.getOrElse(contract.version))

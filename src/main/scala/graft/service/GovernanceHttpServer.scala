@@ -63,7 +63,7 @@ object BearerAuth {
   *  - `GET  /governance/status?dataset=&version=` → verdict JSON | 404
   *  - `GET  /governance/datasets`               → `{"ids":[...]}`
   *  - `GET  /governance/link?dataset=`          → link JSON | 404
-  *  - `POST /governance/link?dataset=&contractId=&contractVersion=` → 204
+  *  - `POST /governance/link?dataset=&contractId=&contractVersion=[&datasetVersion=]` → 204
   *  - `GET  /governance/activity?dataset=[&version=]` → activity JSON array
   *  - `POST /governance/evaluate?dataset=&version=` (body = the
   *      dq-evaluate observation payload) → `{"status":verdict,"ok":,
@@ -324,7 +324,8 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     })
     s.createContext("/governance/link", handler { (ex, p) =>
       if (ex.getRequestMethod == "POST") {
-        gov.linkDatasetContract(p("dataset"), p("contractId"), p("contractVersion"))
+        gov.linkDatasetContract(p("dataset"), p("contractId"), p("contractVersion"),
+          datasetVersion = p.getOrElse("datasetVersion", ""))
         respond(ex, 204, "")
       } else gov.linkedContract(p("dataset")) match {
         case Some((c, v)) => respond(ex, 200, JsonMethods.compact(JsonMethods.render(

@@ -310,14 +310,14 @@ final class HttpGovernanceClient(baseUrl: String,
   override def listDatasets(): Seq[String] =
     strings(get("/governance/datasets"), "ids")
 
-  /** `datasetVersion` is accepted for [[GovernanceService]] symmetry but
-    * does not cross the wire — the link route keys on the dataset id
-    * (link hooks are a local-backend extension). */
   override def linkDatasetContract(datasetId: String, contractId: String,
                                    contractVersion: String,
                                    datasetVersion: String = ""): Unit = {
+    // datasetVersion crosses the wire so server-side link hooks (e.g.
+    // catalog sync) see the same arguments as in-process wiring
+    val dv = if (datasetVersion.isEmpty) "" else s"&datasetVersion=${enc(datasetVersion)}"
     post(s"/governance/link?dataset=${enc(datasetId)}" +
-      s"&contractId=${enc(contractId)}&contractVersion=${enc(contractVersion)}", "")
+      s"&contractId=${enc(contractId)}&contractVersion=${enc(contractVersion)}$dv", "")
     ()
   }
 
@@ -341,6 +341,16 @@ final class HttpGovernanceClient(baseUrl: String,
       throw new java.io.IOException("evaluate answer without status"))
     GovernanceEvaluation(status, bool(m, "ok"), strArr(m, "draftVersions"))
   }
+
+  /** [[GovernanceService.record]] over the wire: the validation's own
+    * schema snapshot + metrics travel as observations through
+    * `/governance/evaluate` and the server re-derives the verdict —
+    * identical for Evaluator-default validations (GovernedIO's path). */
+  override def record(datasetId: String, datasetVersion: String,
+                      contract: Contract,
+                      validation: graft.quality.ValidationResult): DatasetStatus =
+    evaluateAndRecord(datasetId, datasetVersion, contract,
+      validation.schema, validation.metrics).status
 
   /** Stateless evaluation (nothing recorded) — `/data-quality/evaluate`. */
   def evaluate(contract: Contract, schema: Map[String, FieldSnapshot],

@@ -138,6 +138,24 @@ object ServiceBootstrap {
           "Spark-table stores need a live session — construct in code)")
     }
 
+  /** The store-section wiring shared by the server build and local
+    * client mode — one copy, so a store type added for the server can
+    * never silently lag behind client-mode bootstrap. */
+  private def localBackends(config: Map[String, Map[String, String]],
+                            orSection: String = "")
+      : (ContractStore, GovernanceBackend, Option[DataProductBackend]) = {
+    val contracts = contractStore(config.getOrElse("contract_store",
+      throw new IllegalArgumentException(
+        s"config must have a [contract_store]$orSection section")))
+    val gov = new GovernanceBackend(governanceStore(config.getOrElse("governance_store",
+      throw new IllegalArgumentException(
+        s"config must have a [governance_store]$orSection section"))),
+      Some(contracts))
+    val products = config.get("data_product").map(sec =>
+      new DataProductBackend(requireKey(sec, "data_product", "root")))
+    (contracts, gov, products)
+  }
+
   /** Build an unstarted server from a parsed config. */
   def build(config: Map[String, Map[String, String]]): GovernanceHttpServer = {
     val unknown = config.keySet.diff(KnownSections)
@@ -145,13 +163,7 @@ object ServiceBootstrap {
       s"unknown config section(s): ${unknown.toSeq.sorted.mkString(", ")} " +
         s"(supported: ${KnownSections.toSeq.sorted.mkString(", ")})")
     requireKnownKeys(config)
-    val contracts = contractStore(config.getOrElse("contract_store",
-      throw new IllegalArgumentException("config must have a [contract_store] section")))
-    val gov = new GovernanceBackend(governanceStore(config.getOrElse("governance_store",
-      throw new IllegalArgumentException("config must have a [governance_store] section"))),
-      Some(contracts))
-    val products = config.get("data_product").map(sec =>
-      new DataProductBackend(requireKey(sec, "data_product", "root")))
+    val (contracts, gov, products) = localBackends(config)
     val auth = config.get("auth").map(sec =>
       BearerAuth.token(requireKey(sec, "auth", "token")))
     val port = config.get("server").flatMap(_.get("port")).map(_.toInt).getOrElse(0)
@@ -214,7 +226,8 @@ object ServiceBootstrap {
         require(extraKeys.isEmpty,
           s"[remote] unknown key(s): ${extraKeys.toSeq.sorted.mkString(", ")} " +
             "(supported: base_url, token)")
-        val url = requireKey(sec, "remote", "base_url")
+        val url = sec.getOrElse("base_url", throw new IllegalArgumentException(
+          "[remote] requires 'base_url' (the facade's http address)"))
         val token = sec.get("token")
         ServiceClients(
           new HttpContractStore(url, bearerToken = token),
@@ -222,13 +235,8 @@ object ServiceBootstrap {
           Some(new HttpDataProductClient(url, bearerToken = token)))
       case None =>
         requireKnownKeys(config)
-        val contracts = contractStore(config.getOrElse("contract_store",
-          throw new IllegalArgumentException("config must have a [contract_store] or [remote] section")))
-        val gov = new GovernanceBackend(governanceStore(config.getOrElse("governance_store",
-          throw new IllegalArgumentException("config must have a [governance_store] or [remote] section"))),
-          Some(contracts))
-        val products = config.get("data_product").map(sec =>
-          new DataProductBackend(requireKey(sec, "data_product", "root")))
+        val (contracts, gov, products) =
+          localBackends(config, orSection = " or [remote]")
         ServiceClients(contracts, gov, products)
     }
   }

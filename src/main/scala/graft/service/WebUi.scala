@@ -215,16 +215,30 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     * contracts (the reference's contract review workflow surfaces these
     * on the contract pages; one aggregated queue is what a reviewer
     * actually works). Read-only: approval stays on the JSON API
-    * (`/governance/review-draft`). */
+    * (`/governance/review-draft`).
+    *
+    * Reads WebUi's OWN contract store (not the governance backend's
+    * optionally-attached one — the constructors permit them to differ,
+    * and a silently empty queue would hide pending reviews). Fetch is
+    * bounded to `-draft`-suffixed versions: every graft-minted draft
+    * carries the suffix (`Drafter.draftVersion`, the products
+    * `nextDraftVersion`), so a full-store document scan per page view
+    * is avoided; the status check still gates what renders. The change
+    * summary is the draft's recorded `draft_change_log`, falling back
+    * to its description. */
   def draftsPage(): String = {
     val rows = for {
       id <- contracts.listContractIds()
-      draft <- gov.listDrafts(id)
+      v <- contracts.listVersions(id) if v.contains("-draft")
+      draft <- contracts.get(id, v).toSeq
+      if draft.status.map(_.toLowerCase).contains("draft")
     } yield Seq(
       contractLink(draft.id, draft.version),
       draft.customProperties.get("dataset_id").map(esc)
         .getOrElse("""<span class="muted">—</span>"""),
-      draft.description.map(esc).getOrElse("""<span class="muted">—</span>"""))
+      draft.customProperties.get("draft_change_log").map(esc)
+        .orElse(draft.description.map(esc))
+        .getOrElse("""<span class="muted">—</span>"""))
     page("Draft review queue",
       table(Seq("draft", "proposed from dataset", "change summary"), rows))
   }

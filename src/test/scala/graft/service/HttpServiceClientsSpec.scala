@@ -260,6 +260,36 @@ class HttpServiceClientsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ServiceBootstrap.clientsFromToml("[remoat]\nbase_url = \"http://x\"\n")
     }
+    val noUrl = intercept[IllegalArgumentException] {
+      ServiceBootstrap.clientsFromToml("[remote]\ntoken = \"t\"\n")
+    }
+    assert(noUrl.getMessage.contains("base_url") &&
+      !noUrl.getMessage.contains("filesystem"))
+  }
+
+  test("GovernedIO records through the remote governance client; link carries the dataset version") {
+    withServer() { (url, store, localGov, _) =>
+      store.put(DemoContracts.lineitemAlign)
+      // capture what the SERVER-side link hooks receive
+      val hooked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      localGov.addLinkHook((ds, dv, _, _) => hooked += ((ds, dv)))
+
+      val root = tmpDir("graft_rgov_io")
+      val remoteGov = new HttpGovernanceClient(url)
+      val io = GovernedIO(new HttpContractStore(url),
+        ContractVersionLocator(spark, s"$root/lake"), governance = Some(remoteGov))
+      val li = graft.T.load(spark, "/root/testdata/sf0.001", "lineitem")
+      val aligned = graft.align.ApplyContract.align(li, DemoContracts.lineitemAlign)
+
+      val res = io.write(aligned, "sales.lineitem_slim")
+      assert(res.validation.ok)
+      // the verdict was recorded over the wire and is readable back
+      val ver = DemoContracts.lineitemAlign.version
+      assert(remoteGov.getStatus("sales.lineitem_slim", ver)
+        .map(_.status).contains("ok"))
+      // the link hook on the SERVER saw the dataset version (wire pass-through)
+      assert(hooked.contains(("sales.lineitem_slim", ver)))
+    }
   }
 
   test("both clients carry the bearer token; anonymous calls fail loudly") {

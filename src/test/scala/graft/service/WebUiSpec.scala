@@ -34,7 +34,10 @@ class WebUiSpec extends AnyFunSuite {
     val gov = new GovernanceBackend(s"$root/governance", Some(store))
     val pb = new DataProductBackend(s"$root/products")
     store.put(contract)
-    store.put(contract.copy(version = "1.1.0-draft", status = Some("draft")))
+    store.put(contract.copy(version = "1.1.0-draft", status = Some("draft"),
+      customProperties = Map(
+        "dataset_id" -> "ds.orders",
+        "draft_change_log" -> "o_totalprice: type decimal -> double")))
     // one recorded ok verdict so dataset pages have a chain to show
     val res = Evaluator.evaluate(contract,
       Map(
@@ -71,10 +74,14 @@ class WebUiSpec extends AnyFunSuite {
     val ds = ui.datasetPage("ds.orders").get
     assert(ds.contains("2024-01") && ds.contains("row_count"))
 
-    // the review queue lists the stored draft revision
+    // the review queue lists the stored draft revision with the recorded
+    // change log (not the base contract's static description) and the
+    // proposing dataset
     val drafts = ui.draftsPage()
     assert(drafts.contains("1.1.0-draft"))
     assert(drafts.contains("/ui/contract?id=sales.orders&version=1.1.0-draft"))
+    assert(drafts.contains("o_totalprice: type decimal -&gt; double"))
+    assert(drafts.contains("ds.orders"))
 
     val products = ui.productsPage().get
     assert(products.contains("dp.orders"))
