@@ -70,9 +70,11 @@ object Bench {
     // repartition fix — the explicit repartition serves both the
     // (dst,label) count and the dst argmax; r9 additionally
     // checkpoints each round, which AQE repays by planning the winners
-    // join from real sizes). q_multimodal_decode is NOT benched: its
-    // fixture set is bounded (doc_id < 120) by design, so its cost is
-    // O(1) in sf — a constant-work smoke, not a throughput signal.
+    // join from real sizes). q_multimodal_decode — and the r10
+    // transforms q_image_resize / q_audio_frames — are NOT benched:
+    // their fixture sets are bounded (doc_id < 120) by design, so
+    // their cost is O(1) in sf — constant-work smokes, not throughput
+    // signals.
     "q_kmeans", "q_labelprop",
     // r8 continuation 2: exact-decimal correlation profile + the event
     // analytics trio (q_skipping_scan is NOT benched: its cost is the

@@ -3,7 +3,7 @@ package graft
 import graft.align.ApplyContract
 import graft.analytics.Analytics
 import graft.draft.Drafter
-import graft.ops.{Curate, ExactSubstr, Fuzzy, HashMode, MediaDecode, Multimodal, NearDup, PQ, Skew, TextOps, TopK, UrlOps, VectorOps}
+import graft.ops.{Curate, ExactSubstr, Fuzzy, HashMode, MediaDecode, MediaTransform, Multimodal, NearDup, PQ, Skew, TextOps, TopK, UrlOps, VectorOps}
 import graft.quality.{Evaluator, Expectations, Metrics, SchemaSnapshot, ValidationResult}
 import graft.strategies.{FlagStrategy, SplitStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -705,6 +705,27 @@ object SparkEntry {
         .select(col("doc_id"))
       MediaDecode.decodeStats(s, MediaDecode.syntheticPayloads(s, ids))
     }),
+    // nearest-neighbor resize, gated PER OUTPUT PIXEL: every resized
+    // value must equal pixelValue(doc, c, (x*w)/outW, (y*h)/outH) — the
+    // floor mapping in exact integer arithmetic, so the oracle names the
+    // exact source pixel each output position samples. WAV rows in the
+    // same fixture set exercise the non-image marker path.
+    "q_image_resize" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      MediaTransform.resizePixels(
+        s, MediaDecode.syntheticPayloads(s, ids), outW = 6, outH = 4)
+    }),
+    // fixed-window PCM frame-sampling with exact Long Σv / Σv² energy
+    // stats per (channel, window); nFrames 16..32 against frameWin=8
+    // exercises full AND partial trailing windows; PNG/BMP rows in the
+    // fixture set exercise the non-audio marker path.
+    "q_audio_frames" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      MediaTransform.frameStats(
+        s, MediaDecode.syntheticPayloads(s, ids), frameWin = 8)
+    }),
     // ---- corpus curation ------------------------------------------------
     "q_sample_hash" -> ((s, d) =>
       Curate.sampleByHash(t(s, d, "documents"), "doc_id", 10, HashMode.Portable)
@@ -915,6 +936,22 @@ object SparkEntry {
         Seq("\\b(customer|key)\\b" -> "[TERM]",
           Curate.EmailPattern -> "[EMAIL]"))
         .select(col("doc_id"), col("text"), col("n_redactions"))),
+    // checksum-validated card redaction: the corpus carries no digits,
+    // so card-shaped dirt is injected — one VALID contiguous PAN
+    // (redacted), the SAME pan in separator print form (redacted: the
+    // checksum sees through the dashes), and a checksum-FAILING shape
+    // twin (left verbatim — the false-positive class the Luhn gate
+    // exists to protect). Exclusive classes on doc_id % 11.
+    "q_redact_cards" -> ((s, d) => {
+      val base = t(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0, lit(" 4539578763621486"))
+            .when(col("doc_id") % 11 === 5, lit(" 4539-5787-6362-1486"))
+            .when(col("doc_id") % 11 === 7, lit(" 4539578763621487"))
+            .otherwise(lit(""))))
+      Curate.redactCards(base)
+        .select(col("doc_id"), col("text"), col("n_cards"))
+    }),
     "q_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Curate.contamination(docs.filter(col("doc_id") >= 50),
@@ -2349,6 +2386,44 @@ object SparkEntry {
         |     + len(regexp_extract_all(text, '${graft.ops.Curate.EmailPattern}'))
         |    AS BIGINT) AS n_redactions
         |FROM documents""".stripMargin,
+    // the card oracle re-derives the Luhn mod-10 arithmetic in SQL
+    // (digit list reversed via negative indexing, double-every-second,
+    // subtract 9 over 9, sum % 10) — the checksum itself is on the
+    // hook, not just the fixture outcome; the corpus carries no digits
+    // so the injected span is the row's only candidate (regexp_extract
+    // first-match is total coverage here by construction)
+    "q_redact_cards" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 11 = 0 THEN ' 4539578763621486'
+        |                 WHEN doc_id % 11 = 5 THEN ' 4539-5787-6362-1486'
+        |                 WHEN doc_id % 11 = 7 THEN ' 4539578763621487'
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract(text, '${graft.ops.Curate.CardPattern}') AS cand
+        |  FROM base),
+        |dd AS (
+        |  SELECT doc_id, text, cand,
+        |    regexp_replace(cand, '[^0-9]', '', 'g') AS dg
+        |  FROM c),
+        |l AS (
+        |  SELECT doc_id, text, cand,
+        |    cand <> '' AND len(dg) BETWEEN 13 AND 19 AND
+        |    list_sum(list_transform(range(1, len(dg) + 1), i ->
+        |      CASE WHEN i % 2 = 0
+        |           THEN CASE WHEN 2 * CAST(dg[-i] AS INT) > 9
+        |                     THEN 2 * CAST(dg[-i] AS INT) - 9
+        |                     ELSE 2 * CAST(dg[-i] AS INT) END
+        |           ELSE CAST(dg[-i] AS INT) END)) % 10 = 0 AS ok
+        |  FROM dd)
+        |SELECT doc_id,
+        |  CASE WHEN ok
+        |       THEN regexp_replace(text, '\\b' || cand || '\\b', '[CARD]', 'g')
+        |       ELSE text END AS text,
+        |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_cards
+        |FROM l""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // the bloom path must be indistinguishable from the exact path —
     // literally the same oracle
@@ -3291,7 +3366,65 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS v_mean,
         |  CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
-        |FROM allv GROUP BY 1, 2, 3""".stripMargin
+        |FROM allv GROUP BY 1, 2, 3""".stripMargin,
+    // the resize oracle names the exact source pixel each output
+    // position samples: nearest-neighbor floor mapping
+    // src = (dst * srcDim) // outDim in integer arithmetic, value from
+    // the same closed-form formula the Spark side ENCODED through the
+    // real JDK codecs — decoder, mapping, and channel order all on the
+    // hook per pixel (a stronger gate than the stats-level decode one)
+    "q_image_resize" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |img AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM d WHERE doc_id % 3 <> 1),
+        |px AS (
+        |  SELECT doc_id, format, c.i AS channel, x.i AS x, y.i AS y,
+        |    (doc_id*31 + ((x.i * w) // 6)*7 + ((y.i * h) // 4)*13 + c.i*29) % 256 AS v
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(6)) AS i) x
+        |  CROSS JOIN (SELECT unnest(range(4)) AS i) y
+        |  CROSS JOIN (SELECT unnest(range(3)) AS i) c)
+        |SELECT doc_id, format, CAST(channel AS BIGINT) AS channel,
+        |  CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST(v AS BIGINT) AS v
+        |FROM px
+        |UNION ALL
+        |SELECT doc_id, 'wav' AS format, 0, 0, 0, CAST(NULL AS BIGINT)
+        |FROM d WHERE doc_id % 3 = 1""".stripMargin,
+    // frame-sampling oracle: window index f // 8 over the closed-form
+    // PCM samples, exact integer Σv / Σv² / min / max per (channel,
+    // window) — full and partial trailing windows both re-derived
+    "q_audio_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |wv AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS nch, 16 + doc_id % 17 AS nfr
+        |  FROM d WHERE doc_id % 3 = 1),
+        |sp AS (
+        |  SELECT doc_id, c.i AS channel, f.i // 8 AS win,
+        |    (doc_id*31 + c.i*29 + f.i*7) % 65536 - 32768 AS v
+        |  FROM wv
+        |  CROSS JOIN (SELECT unnest(range(2)) AS i) c
+        |  CROSS JOIN (SELECT unnest(range(33)) AS i) f
+        |  WHERE c.i < nch AND f.i < nfr),
+        |agg AS (
+        |  SELECT doc_id, 'wav' AS format, channel, win,
+        |    count(*) AS n, sum(v) AS s_sum, sum(v*v) AS s_sumsq,
+        |    min(v) AS s_min, max(v) AS s_max
+        |  FROM sp GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, format, CAST(channel AS BIGINT) AS channel,
+        |  CAST(win AS BIGINT) AS win, CAST(n AS BIGINT) AS n,
+        |  CAST(s_sum AS BIGINT) AS s_sum, CAST(s_sumsq AS BIGINT) AS s_sumsq,
+        |  CAST(s_min AS BIGINT) AS s_min, CAST(s_max AS BIGINT) AS s_max
+        |FROM agg
+        |UNION ALL
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  0, 0, 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM d WHERE doc_id % 3 <> 1""".stripMargin
   )
 
   /** The 13-gram decontamination oracle — shared verbatim by

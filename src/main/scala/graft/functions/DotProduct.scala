@@ -103,6 +103,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_html_unescape"),
       new ExpressionInfo(classOf[HtmlUnescape].getName, "graft_html_unescape"),
       (children: Seq[Expression]) => HtmlUnescape(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_luhn"),
+      new ExpressionInfo(classOf[LuhnCheck].getName, "graft_luhn"),
+      (children: Seq[Expression]) => LuhnCheck(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotFold)
   }
 }

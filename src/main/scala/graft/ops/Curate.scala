@@ -401,6 +401,34 @@ object Curate {
       .withColumn(textCol, redacted)
   }
 
+  /** Payment-card candidate shape: four 4-digit groups with optional
+    * single space/dash separators (the common 16-digit PAN print
+    * forms). RE2-safe — no backrefs, no lookaround. */
+  val CardPattern = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b"
+
+  /** CHECKSUM-VALIDATED card redaction: digit-shape candidates that
+    * pass the Luhn mod-10 check ([[graft.functions.LuhnCheck]],
+    * `graft_luhn`) are replaced with `replacement`; shape-matching but
+    * checksum-failing strings (order ids, timestamps, phone fragments —
+    * 9 in 10 random digit strings) are LEFT ALONE, which is what makes
+    * card redaction safe to run over a whole corpus where [[redact]]'s
+    * unconditional regex pass would over-scrub.
+    *
+    * Pure zero-shuffle projection: extract candidates, filter through
+    * the codegen'd checksum, replace each distinct valid candidate
+    * word-boundary-anchored (candidates contain only digits, spaces,
+    * and dashes, so splicing one into a regex is literal-safe).
+    * `n_cards` counts every valid occurrence against the ORIGINAL text. */
+  def redactCards(docs: DataFrame, textCol: String = "text",
+                  replacement: String = "[CARD]"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardPattern), lit(0))
+    val valid = filter(cands, c => call_function("graft_luhn", c))
+    docs.withColumn("n_cards", size(valid).cast(LongType))
+      .withColumn(textCol,
+        aggregate(array_distinct(valid), col(textCol), (acc, c) =>
+          regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit(replacement))))
+  }
+
   /** Weighted source mixture: per-source keep rates (percent of 100),
     * applied with a deterministic salted id-hash like [[sampleByHash]] —
     * the reproducible way to mix corpora at fixed ratios. Sources absent

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal TRANSFORMS — the two standard payload-shaping steps a
+  * training-data pipeline runs right after [[MediaDecode]]'s filter
+  * pass: image RESIZE (thumbnail / model-input normalization) and audio
+  * FRAME-SAMPLING (fixed-window feature extraction). Both stay inside
+  * the decode envelope [[MediaDecode]] states (lossless stills, integer
+  * PCM WAV, bomb guard on header-declared dims, TOTAL degradation — a
+  * bad payload yields a marker row, never a throw).
+  *
+  * Determinism contracts (what makes these oracle-gateable):
+  *   - Resize is NEAREST-NEIGHBOR with the floor mapping
+  *     `src = (dst * srcDim) / outDim` in exact integer arithmetic — no
+  *     interpolation, no float rounding, so every output pixel is a
+  *     verbatim source pixel the oracle can name. (Bilinear/Lanczos
+  *     would be kernel-implementation-dependent — the JPEG-IDCT problem
+  *     again — so the engine pins the one resampling mode that is
+  *     engine-independent by construction.)
+  *   - Frame windows fold EXACT Long sums and sums-of-squares (the
+  *     per-window energy signal); 16-bit samples bound `v² ≤ 2^30` and
+  *     the [[MediaDecode.MaxPixels]] cap bounds frames per payload at
+  *     2^24, so `Σv² ≤ 2^54` — no overflow, no doubles in the fold.
+  *
+  * Scale shape: the same `mapPartitions` seam as [[MediaDecode]] — per
+  * partition batch decode+transform, zero driver involvement, zero
+  * shuffle (per-document output never crosses partitions). Output is
+  * O(outW·outH·channels) per image and O(frames/window · channels) per
+  * clip regardless of source resolution, so the transform SHRINKS the
+  * data in flight — the property that matters when the input is 100 TB
+  * of media bytes. */
+object MediaTransform {
+
+  // ---- image resize -----------------------------------------------------
+
+  private val ResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("channel", LongType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false),
+    StructField("v", LongType, nullable = true)))
+
+  private def resizeSkipped(docId: Long, format: String): Seq[Row] =
+    Seq(Row(docId, format, 0L, 0L, 0L, null))
+
+  /** Resize one still to `outW × outH` by nearest-neighbor (floor
+    * mapping) and emit one row per output pixel per channel. Non-image,
+    * lossy, oversize, and undecodable payloads degrade to a single
+    * null-`v` marker row (the [[MediaDecode.decode]] posture). */
+  def resizeOne(docId: Long, bytes: Array[Byte], outW: Int, outH: Int): Seq[Row] = {
+    // a nonsense target is a CALLER bug — it must fail loudly, not
+    // degrade into marker rows like bad DATA does (hence outside the
+    // total-posture try)
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    try {
+      if (bytes == null || bytes.isEmpty) resizeSkipped(docId, "unknown")
+      else {
+        val p = MediaProbe.probe(bytes)
+        p.format match {
+          case f @ ("png" | "bmp" | "gif") =>
+            // bomb guard on header-declared dims BEFORE the read allocates
+            val bomb = (for (w <- p.width; h <- p.height)
+              yield w * h > MediaDecode.MaxPixels).getOrElse(false)
+            if (bomb) return resizeSkipped(docId, "oversize")
+            javax.imageio.ImageIO.setUseCache(false)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) return resizeSkipped(docId, "undecodable")
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (w.toLong * h > MediaDecode.MaxPixels)
+              return resizeSkipped(docId, "oversize")
+            val out = Seq.newBuilder[Row]
+            var y = 0
+            while (y < outH) {
+              val sy = ((y.toLong * h) / outH).toInt
+              var x = 0
+              while (x < outW) {
+                val sx = ((x.toLong * w) / outW).toInt
+                val rgb = img.getRGB(sx, sy)
+                var c = 0
+                while (c < 3) {
+                  out += Row(docId, f, c.toLong, x.toLong, y.toLong,
+                    ((rgb >> (16 - 8 * c)) & 0xff).toLong)
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            out.result()
+          case "jpeg" => resizeSkipped(docId, "jpeg") // lossy: out of envelope
+          case other  => resizeSkipped(docId, other)
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => resizeSkipped(docId, "undecodable")
+    }
+  }
+
+  /** Distributed nearest-neighbor resize over `(idCol, payloadCol)`:
+    * one row per (doc, channel, x, y) output pixel. One pass, no
+    * shuffle — the transform folds inside the decode partition. */
+  def resizePixels(spark: SparkSession, df: DataFrame, outW: Int, outH: Int,
+                   idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+    // null ids have no document to attribute pixels to: skipped (the
+    // MediaDecode.decodeStats posture); null payloads degrade above
+    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
+      resizeOne(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1), outW, outH)))
+    spark.createDataFrame(rdd, ResizeSchema)
+  }
+
+  // ---- audio frame-sampling ---------------------------------------------
+
+  private val FrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("channel", LongType, nullable = false),
+    StructField("win", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("s_sum", LongType, nullable = true),
+    StructField("s_sumsq", LongType, nullable = true),
+    StructField("s_min", LongType, nullable = true),
+    StructField("s_max", LongType, nullable = true)))
+
+  private def frameSkipped(docId: Long, format: String): Seq[Row] =
+    Seq(Row(docId, format, 0L, 0L, 0L, null, null, null, null))
+
+  /** Split one integer-PCM WAV into fixed windows of `frameWin` frames
+    * (the last window may be partial) and fold exact per-(channel,
+    * window) stats: n, Σv, Σv², min, max. Σv² is the window ENERGY —
+    * the silence/clipping detector a speech pipeline gates on. Non-WAV
+    * and undecodable payloads degrade to one n=0 marker row. */
+  def frameOne(docId: Long, bytes: Array[Byte], frameWin: Int): Seq[Row] = {
+    require(frameWin > 0, "frame window must be positive") // caller bug: loud
+    try {
+      val probedFormat =
+        if (bytes == null || bytes.isEmpty) "unknown"
+        else MediaProbe.probe(bytes).format
+      if (probedFormat != "wav") frameSkipped(docId, probedFormat)
+      else {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val nch = fmt.getChannels
+          val enc = fmt.getEncoding.toString
+          val pcm = enc == "PCM_SIGNED" || enc == "PCM_UNSIGNED"
+          val frameLen = ais.getFrameLength // NOT_SPECIFIED (-1) → skip
+          if (!pcm || (bits != 8 && bits != 16) || nch < 1 ||
+              frameLen < 0 || frameLen > MediaDecode.MaxPixels)
+            return frameSkipped(docId, "wav")
+          val frameSize = fmt.getFrameSize
+          val data = ais.readAllBytes()
+          val nFrames = data.length / frameSize
+          if (nFrames == 0) return frameSkipped(docId, "wav")
+          val nWin = (nFrames + frameWin - 1) / frameWin
+          val n = Array.ofDim[Long](nch, nWin)
+          val sum = Array.ofDim[Long](nch, nWin)
+          val sumSq = Array.ofDim[Long](nch, nWin)
+          val mn = Array.fill(nch, nWin)(Long.MaxValue)
+          val mx = Array.fill(nch, nWin)(Long.MinValue)
+          var f = 0
+          while (f < nFrames) {
+            val w = f / frameWin
+            var c = 0
+            while (c < nch) {
+              val i = f * frameSize + c * (bits / 8)
+              val v: Long =
+                if (bits == 8) (data(i) & 0xff).toLong
+                else if (fmt.isBigEndian)
+                  ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toLong
+                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
+              n(c)(w) += 1
+              sum(c)(w) += v
+              sumSq(c)(w) += v * v
+              if (v < mn(c)(w)) mn(c)(w) = v
+              if (v > mx(c)(w)) mx(c)(w) = v
+              c += 1
+            }
+            f += 1
+          }
+          for (c <- 0 until nch; w <- 0 until nWin)
+            yield Row(docId, "wav", c.toLong, w.toLong, n(c)(w), sum(c)(w),
+              sumSq(c)(w), mn(c)(w), mx(c)(w))
+        } finally ais.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => frameSkipped(docId, "undecodable")
+    }
+  }
+
+  /** Distributed fixed-window PCM frame stats over `(idCol,
+    * payloadCol)`: one row per (doc, channel, window). One pass, no
+    * shuffle. */
+  def frameStats(spark: SparkSession, df: DataFrame, frameWin: Int,
+                 idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
+      frameOne(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1), frameWin)))
+    spark.createDataFrame(rdd, FrameSchema)
+  }
+}

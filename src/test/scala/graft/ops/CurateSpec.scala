@@ -48,6 +48,46 @@ class CurateSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_redactions") == 0L)
   }
 
+  test("redactCards: Luhn-valid PANs redacted, checksum-failing shapes kept") {
+    val rows = Seq(
+      (1L, "pay 4539578763621486 today"),          // valid, contiguous
+      (2L, "pay 4539-5787-6362-1486 today"),       // valid, separator form
+      (3L, "order 4539578763621487 shipped"),      // shape match, bad checksum
+      (4L, "ref 12345678901234567 is 17 digits"),  // no \b-anchored 4x4 match
+      (5L, "cards 4111111111111111 and 4222222222222444 both"), // two valid
+      (6L, "same 4111111111111111 twice 4111111111111111 here"),
+      (7L, "nothing here")).toDF("doc_id", "text")
+    val out = Curate.redactCards(rows).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text") == "pay [CARD] today")
+    assert(out(0).getAs[Long]("n_cards") == 1L)
+    assert(out(1).getAs[String]("text") == "pay [CARD] today")
+    assert(out(2).getAs[String]("text") == "order 4539578763621487 shipped",
+      "checksum-failing shapes are the false-positive class: left verbatim")
+    assert(out(2).getAs[Long]("n_cards") == 0L)
+    assert(out(3).getAs[Long]("n_cards") == 0L)
+    assert(out(4).getAs[String]("text") == "cards [CARD] and [CARD] both")
+    assert(out(4).getAs[Long]("n_cards") == 2L)
+    // repeated candidate: both occurrences replaced, both counted
+    assert(out(5).getAs[String]("text") == "same [CARD] twice [CARD] here")
+    assert(out(5).getAs[Long]("n_cards") == 2L)
+    assert(out(6).getAs[Long]("n_cards") == 0L)
+  }
+
+  test("redactCards is a stateless projection (streams as-is)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = Curate.redactCards(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("card_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "pan 4539 5787 6362 1486 ok"), (2L, "pan 4539 5787 6362 1487 bad"))
+      q.processAllAvailable()
+      val rows = spark.table("card_stream").orderBy("doc_id").collect()
+      assert(rows(0).getAs[String]("text") == "pan [CARD] ok")
+      assert(rows(1).getAs[String]("text") == "pan 4539 5787 6362 1487 bad")
+    } finally q.stop()
+  }
+
   test("redact and sampleByHash compose with Structured Streaming (stateless projections)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(Long, String)](spark)

@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** The transforms are tested against the CLOSED FORM, not against
+  * themselves: resize must reproduce `pixelValue(doc, c, (x*w)/outW,
+  * (y*h)/outH)` per output pixel (the nearest-neighbor floor mapping
+  * in exact integer arithmetic), frame-sampling must reproduce the
+  * exact per-window Long Σv / Σv² / min / max of `sampleValue` — a
+  * broken mapping, window boundary, or channel order is a mismatch. */
+class MediaTransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val OutW = 6
+  private val OutH = 4
+  private val Win = 8
+
+  private def expectedResize(doc: Long): Seq[(Long, Long, Long, Long)] = {
+    val (w, h) = MediaDecode.imageDims(doc)
+    for (y <- 0 until OutH; x <- 0 until OutW; c <- 0 until 3) yield {
+      val sx = (x * w) / OutW
+      val sy = (y * h) / OutH
+      (c.toLong, x.toLong, y.toLong,
+        MediaDecode.pixelValue(doc, c, sx, sy).toLong)
+    }
+  }
+
+  test("resize reproduces the floor mapping per pixel (up- and downscale)") {
+    // doc 0: w=4 (< OutW: horizontal upscale), h=3 (< OutH: vertical
+    // upscale); doc 8: w=8, h=3 (horizontal downscale). Both PNG/BMP.
+    for ((doc, fmt) <- Seq((0L, "png"), (8L, "bmp"), (5L, "bmp"))) {
+      val rows = MediaTransform.resizeOne(
+        doc, MediaDecode.syntheticImage(doc, fmt), OutW, OutH)
+      assert(rows.size == OutW * OutH * 3, s"doc $doc: full pixel grid")
+      assert(rows.forall(_.getString(1) == fmt))
+      val got = rows.map(r =>
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).sorted
+      assert(got == expectedResize(doc).sorted, s"doc $doc $fmt mapping")
+    }
+  }
+
+  test("resize is total: wav, jpeg, garbage, bombs, nulls → marker rows") {
+    val wav = MediaTransform.resizeOne(1L, MediaDecode.syntheticWav(1L), OutW, OutH)
+    assert(wav.size == 1 && wav.head.getString(1) == "wav" && wav.head.isNullAt(5))
+    val jpegHeader = Array(0xff, 0xd8, 0xff, 0xc0, 0, 17, 8, 0, 2, 0, 2, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
+    assert(MediaTransform.resizeOne(2L, jpegHeader, OutW, OutH)
+      .head.getString(1) == "jpeg")
+    assert(MediaTransform.resizeOne(3L, null, OutW, OutH)
+      .head.getString(1) == "unknown")
+    assert(MediaTransform.resizeOne(4L, "garbage".getBytes, OutW, OutH)
+      .head.getString(1) == "unknown")
+    // 65536x65536 PNG header: guarded BEFORE allocation
+    val bombSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13).map(_.toByte) ++ "IHDR".getBytes ++
+      Array(0, 1, 0, 0, 0, 1, 0, 0, 8, 2, 0, 0, 0).map(_.toByte)
+    assert(MediaTransform.resizeOne(5L, bombSig, OutW, OutH)
+      .head.getString(1) == "oversize")
+    // a nonsense target is a caller bug, not a data bug: it must not
+    // silently degrade to a marker row
+    assertThrows[IllegalArgumentException](
+      MediaTransform.resizeOne(6L, MediaDecode.syntheticImage(6L, "png"), 0, 4))
+  }
+
+  private def expectedFrames(doc: Long): Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val (nch, nFrames) = MediaDecode.wavShape(doc)
+    for (c <- 0 until nch; w <- 0 to (nFrames - 1) / Win) yield {
+      val vs = (w * Win until math.min((w + 1) * Win, nFrames))
+        .map(i => MediaDecode.sampleValue(doc, c, i).toLong)
+      (c.toLong, w.toLong, vs.size.toLong, vs.sum, vs.map(v => v * v).sum,
+        vs.min, vs.max)
+    }
+  }
+
+  test("frame windows reproduce exact Long stats, incl. the partial tail") {
+    // doc 1: nch=2, nFrames=17 → windows of 8, 8, 1 (partial tail);
+    // doc 16: nch=1, nFrames=32 → exactly 4 full windows
+    for (doc <- Seq(1L, 16L, 7L)) {
+      val rows = MediaTransform.frameOne(doc, MediaDecode.syntheticWav(doc), Win)
+      assert(rows.forall(_.getString(1) == "wav"))
+      val got = rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).sorted
+      assert(got == expectedFrames(doc).sorted, s"doc $doc windows")
+    }
+  }
+
+  test("frame-sampling is total: images, garbage, nulls → marker rows") {
+    val png = MediaTransform.frameOne(0L, MediaDecode.syntheticImage(0L, "png"), Win)
+    assert(png.size == 1 && png.head.getString(1) == "png" &&
+      png.head.getLong(4) == 0L && png.head.isNullAt(5))
+    assert(MediaTransform.frameOne(1L, null, Win).head.getString(1) == "unknown")
+    assert(MediaTransform.frameOne(2L, "x".getBytes, Win).head.getString(1) == "unknown")
+    assertThrows[IllegalArgumentException](
+      MediaTransform.frameOne(3L, MediaDecode.syntheticWav(3L), 0))
+  }
+
+  test("distributed seams skip null ids and degrade null payloads (total)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(7L, MediaDecode.syntheticImage(7L, "png")),
+      Row(null, MediaDecode.syntheticImage(8L, "png")),
+      Row(9L, null),
+      Row(10L, MediaDecode.syntheticWav(10L)))
+    val df = spark.createDataFrame(rows, schema)
+    val rs = MediaTransform.resizePixels(spark, df, OutW, OutH).collect()
+    assert(rs.map(_.getLong(0)).toSet == Set(7L, 9L, 10L))
+    assert(rs.count(_.getLong(0) == 7L) == OutW * OutH * 3)
+    assert(rs.filter(_.getLong(0) == 9L).forall(_.isNullAt(5)))
+    val fs = MediaTransform.frameStats(spark, df, Win).collect()
+    assert(fs.map(_.getLong(0)).toSet == Set(7L, 9L, 10L))
+    assert(fs.filter(_.getLong(0) == 10L).forall(_.getLong(4) > 0L))
+  }
+
+  test("fixture queries run end to end with the expected row counts") {
+    val ids = (0L until 30L).toDF("doc_id")
+    val payloads = MediaDecode.syntheticPayloads(spark, ids)
+    val r = MediaTransform.resizePixels(spark, payloads, OutW, OutH)
+    // 20 image docs × 72 pixel rows + 10 wav marker rows
+    assert(r.count() == 20L * OutW * OutH * 3 + 10L)
+    val f = MediaTransform.frameStats(spark, payloads, Win)
+    val expected = (0L until 30L).map { doc =>
+      if (doc % 3 == 1) {
+        val (nch, nFrames) = MediaDecode.wavShape(doc)
+        nch.toLong * ((nFrames + Win - 1) / Win)
+      } else 1L
+    }.sum
+    assert(f.count() == expected)
+  }
+}
