@@ -937,17 +937,20 @@ object SparkEntry {
           Curate.EmailPattern -> "[EMAIL]"))
         .select(col("doc_id"), col("text"), col("n_redactions"))),
     // checksum-validated card redaction: the corpus carries no digits,
-    // so card-shaped dirt is injected — one VALID contiguous PAN
-    // (redacted), the SAME pan in separator print form (redacted: the
-    // checksum sees through the dashes), and a checksum-FAILING shape
+    // so card-shaped dirt is injected — one VALID contiguous 16-digit
+    // PAN (redacted), the SAME pan in separator print form (redacted:
+    // the checksum sees through the dashes), a checksum-FAILING shape
     // twin (left verbatim — the false-positive class the Luhn gate
-    // exists to protect). Exclusive classes on doc_id % 11.
+    // exists to protect), and a VALID 15-digit Amex in 4-6-5 print form
+    // (redacted — the shape envelope is 13-19 digits, not just 4×4).
+    // Exclusive classes on doc_id % 11.
     "q_redact_cards" -> ((s, d) => {
       val base = t(s, d, "documents").withColumn("text",
         concat(col("text"),
           when(col("doc_id") % 11 === 0, lit(" 4539578763621486"))
             .when(col("doc_id") % 11 === 5, lit(" 4539-5787-6362-1486"))
             .when(col("doc_id") % 11 === 7, lit(" 4539578763621487"))
+            .when(col("doc_id") % 11 === 9, lit(" 3782 822463 10005"))
             .otherwise(lit(""))))
       Curate.redactCards(base)
         .select(col("doc_id"), col("text"), col("n_cards"))
@@ -2398,6 +2401,7 @@ object SparkEntry {
         |    text || CASE WHEN doc_id % 11 = 0 THEN ' 4539578763621486'
         |                 WHEN doc_id % 11 = 5 THEN ' 4539-5787-6362-1486'
         |                 WHEN doc_id % 11 = 7 THEN ' 4539578763621487'
+        |                 WHEN doc_id % 11 = 9 THEN ' 3782 822463 10005'
         |                 ELSE '' END AS text
         |  FROM documents),
         |c AS (

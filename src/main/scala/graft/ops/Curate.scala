@@ -401,10 +401,16 @@ object Curate {
       .withColumn(textCol, redacted)
   }
 
-  /** Payment-card candidate shape: four 4-digit groups with optional
-    * single space/dash separators (the common 16-digit PAN print
-    * forms). RE2-safe — no backrefs, no lookaround. */
-  val CardPattern = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b"
+  /** Payment-card candidate shape: 13-19 digits (the full ISO/IEC 7812
+    * PAN envelope [[graft.functions.LuhnCheck]] validates — 16-digit
+    * 4×4, 15-digit Amex 4-6-5, 13-digit Visa, 19-digit Maestro print
+    * forms all included) with optional single space/dash separators
+    * between digits. RE2-safe — no backrefs, no lookaround; the
+    * non-capturing group keeps DuckDB's `regexp_extract` default
+    * (group 0) on the whole match. Shape over-matching (a 14-digit
+    * phone+extension run, say) is BY DESIGN: the checksum is the
+    * precision gate, the shape only bounds the scan. */
+  val CardPattern = "\\b\\d(?:[- ]?\\d){12,18}\\b"
 
   /** CHECKSUM-VALIDATED card redaction: digit-shape candidates that
     * pass the Luhn mod-10 check ([[graft.functions.LuhnCheck]],
@@ -414,19 +420,31 @@ object Curate {
     * card redaction safe to run over a whole corpus where [[redact]]'s
     * unconditional regex pass would over-scrub.
     *
-    * Pure zero-shuffle projection: extract candidates, filter through
-    * the codegen'd checksum, replace each distinct valid candidate
-    * word-boundary-anchored (candidates contain only digits, spaces,
-    * and dashes, so splicing one into a regex is literal-safe).
-    * `n_cards` counts every valid occurrence against the ORIGINAL text. */
+    * Pure zero-shuffle projection: extract candidates ONCE into a
+    * temporary column (the scan + checksum are the per-row cost — not
+    * duplicated between count and replace), replace each distinct
+    * valid candidate word-boundary-anchored (candidates contain only
+    * digits, spaces, and dashes, so splicing one into a regex is
+    * literal-safe). `n_cards` counts every \b-bounded occurrence of
+    * each distinct valid candidate against the ORIGINAL text — exactly
+    * the number of replacements made (an occurrence the non-overlapping
+    * extraction scan skipped, because an earlier shape match consumed
+    * part of the run, is still counted AND replaced). */
   def redactCards(docs: DataFrame, textCol: String = "text",
                   replacement: String = "[CARD]"): DataFrame = {
-    val cands = regexp_extract_all(col(textCol), lit(CardPattern), lit(0))
-    val valid = filter(cands, c => call_function("graft_luhn", c))
-    docs.withColumn("n_cards", size(valid).cast(LongType))
+    val candCol = "_rc_valid"
+    val valid = array_distinct(filter(
+      regexp_extract_all(col(textCol), lit(CardPattern), lit(0)),
+      c => call_function("graft_luhn", c)))
+    docs.withColumn(candCol, valid)
+      .withColumn("n_cards",
+        aggregate(col(candCol), lit(0L), (acc, c) =>
+          acc + regexp_count(col(textCol),
+            concat(lit("\\b"), c, lit("\\b"))).cast(LongType)))
       .withColumn(textCol,
-        aggregate(array_distinct(valid), col(textCol), (acc, c) =>
+        aggregate(col(candCol), col(textCol), (acc, c) =>
           regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit(replacement))))
+      .drop(candCol)
   }
 
   /** Weighted source mixture: per-source keep rates (percent of 100),

@@ -52,22 +52,77 @@ object MediaDecode {
   private def skipped(docId: Long, format: String): Seq[Row] =
     Seq(Row(docId, format, 0L, 0L, null, null, null))
 
-  /** Decode one still through javax.imageio and fold per-channel
-    * (R=0, G=1, B=2) stats over `getRGB` values — color-model-correct
-    * regardless of the reader's internal raster layout. The bomb guard
-    * runs on the HEADER-declared dimensions (already parsed by
-    * [[MediaProbe]]) BEFORE `ImageIO.read` allocates anything — guarding
-    * after the read would be guarding after the OOM. */
-  private def imageStats(docId: Long, format: String, bytes: Array[Byte],
-                         declared: MediaProbe.Probed): Seq[Row] = {
+  /** Shared guarded still-image open — the decode envelope in ONE place,
+    * used by [[imageStats]] and [[MediaTransform.resizeOne]]: the bomb
+    * guard runs on the HEADER-declared dimensions (already parsed by
+    * [[MediaProbe]]) BEFORE `ImageIO.read` allocates anything —
+    * guarding after the read would be guarding after the OOM — then
+    * re-guards on the actual decoded dims. Left is the skip-marker
+    * format string. */
+  private[ops] def openImage(bytes: Array[Byte],
+                             declared: MediaProbe.Probed): Either[String, java.awt.image.BufferedImage] = {
     val bomb = (for (w <- declared.width; h <- declared.height)
       yield w * h > MaxPixels).getOrElse(false)
-    if (bomb) return skipped(docId, "oversize")
-    javax.imageio.ImageIO.setUseCache(false) // no executor temp files
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) return skipped(docId, "undecodable")
+    if (bomb) Left("oversize")
+    else {
+      javax.imageio.ImageIO.setUseCache(false) // no executor temp files
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) Left("undecodable")
+      else if (img.getWidth.toLong * img.getHeight > MaxPixels) Left("oversize")
+      else Right(img)
+    }
+  }
+
+  /** Decoded integer-PCM buffer with the per-sample extraction rule in
+    * ONE place (8-bit unsigned, 16-bit signed, either endianness) —
+    * shared by [[wavStats]] and [[MediaTransform.frameOne]] so an
+    * envelope or extraction fix can never diverge between them. */
+  private[ops] final case class Pcm(data: Array[Byte], nch: Int, bits: Int,
+                                    frameSize: Int, bigEndian: Boolean) {
+    def nFrames: Int = data.length / frameSize
+    def sample(f: Int, c: Int): Long = {
+      val i = f * frameSize + c * (bits / 8)
+      if (bits == 8) (data(i) & 0xff).toLong
+      else if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toLong
+      else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
+    }
+  }
+
+  /** Shared guarded WAV open (envelope: integer PCM, 8/16-bit, ≥1
+    * channel, known frame length under the cap, ≥1 frame). */
+  private[ops] def openWav(bytes: Array[Byte]): Either[String, Pcm] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val nch = fmt.getChannels
+      val enc = fmt.getEncoding.toString
+      val pcm = enc == "PCM_SIGNED" || enc == "PCM_UNSIGNED"
+      // getFrameLength reports NOT_SPECIFIED (-1) for some streams — a
+      // negative length would sail past the > MaxPixels bomb cap, so it
+      // is out-of-envelope too (the cap must actually bind)
+      val frameLen = ais.getFrameLength
+      if (!pcm || (bits != 8 && bits != 16) || nch < 1 ||
+          frameLen < 0 || frameLen > MaxPixels) Left("wav")
+      else {
+        val p = Pcm(ais.readAllBytes(), nch, bits, fmt.getFrameSize, fmt.isBigEndian)
+        if (p.nFrames == 0) Left("wav") else Right(p)
+      }
+    } finally ais.close()
+  }
+
+  /** Decode one still through javax.imageio ([[openImage]] envelope)
+    * and fold per-channel (R=0, G=1, B=2) stats over `getRGB` values —
+    * color-model-correct regardless of the reader's internal raster
+    * layout. */
+  private def imageStats(docId: Long, format: String, bytes: Array[Byte],
+                         declared: MediaProbe.Probed): Seq[Row] = {
+    val img = openImage(bytes, declared) match {
+      case Left(reason) => return skipped(docId, reason)
+      case Right(i) => i
+    }
     val (w, h) = (img.getWidth, img.getHeight)
-    if (w.toLong * h > MaxPixels) return skipped(docId, "oversize")
     val sum = new Array[Long](3)
     val mn = Array.fill(3)(Long.MaxValue)
     val mx = Array.fill(3)(Long.MinValue)
@@ -95,51 +150,32 @@ object MediaDecode {
     (0 until 3).map(c => Row(docId, format, c.toLong, n, sum(c), mn(c), mx(c)))
   }
 
-  /** Decode integer-PCM WAV through javax.sound.sampled and fold raw
+  /** Decode integer-PCM WAV ([[openWav]] envelope) and fold raw
     * per-channel sample stats (16-bit: signed; 8-bit: unsigned — the
     * container conventions, reported as-is). */
   private def wavStats(docId: Long, bytes: Array[Byte]): Seq[Row] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val fmt = ais.getFormat
-      val bits = fmt.getSampleSizeInBits
-      val nch = fmt.getChannels
-      val enc = fmt.getEncoding.toString
-      val pcm = enc == "PCM_SIGNED" || enc == "PCM_UNSIGNED"
-      // getFrameLength reports NOT_SPECIFIED (-1) for some streams — a
-      // negative length would sail past the > MaxPixels bomb cap, so it
-      // is out-of-envelope too (the cap must actually bind)
-      val frameLen = ais.getFrameLength
-      if (!pcm || (bits != 8 && bits != 16) || nch < 1 ||
-          frameLen < 0 || frameLen > MaxPixels)
-        return skipped(docId, "wav")
-      val frameSize = fmt.getFrameSize
-      val data = ais.readAllBytes()
-      val nFrames = data.length / frameSize
-      val sum = new Array[Long](nch)
-      val mn = Array.fill(nch)(Long.MaxValue)
-      val mx = Array.fill(nch)(Long.MinValue)
-      var f = 0
-      while (f < nFrames) {
-        var c = 0
-        while (c < nch) {
-          val i = f * frameSize + c * (bits / 8)
-          val v: Long =
-            if (bits == 8) (data(i) & 0xff).toLong
-            else if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toLong
-            else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
-          sum(c) += v
-          if (v < mn(c)) mn(c) = v
-          if (v > mx(c)) mx(c) = v
-          c += 1
-        }
-        f += 1
+    val p = openWav(bytes) match {
+      case Left(reason) => return skipped(docId, reason)
+      case Right(pcm) => pcm
+    }
+    val nFrames = p.nFrames
+    val sum = new Array[Long](p.nch)
+    val mn = Array.fill(p.nch)(Long.MaxValue)
+    val mx = Array.fill(p.nch)(Long.MinValue)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < p.nch) {
+        val v = p.sample(f, c)
+        sum(c) += v
+        if (v < mn(c)) mn(c) = v
+        if (v > mx(c)) mx(c) = v
+        c += 1
       }
-      if (nFrames == 0) skipped(docId, "wav")
-      else (0 until nch).map(c =>
-        Row(docId, "wav", c.toLong, nFrames.toLong, sum(c), mn(c), mx(c)))
-    } finally ais.close()
+      f += 1
+    }
+    (0 until p.nch).map(c =>
+      Row(docId, "wav", c.toLong, nFrames.toLong, sum(c), mn(c), mx(c)))
   }
 
   /** Decode one payload to per-channel stat rows. Total: garbage, nulls,

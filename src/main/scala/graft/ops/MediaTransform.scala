@@ -62,17 +62,13 @@ object MediaTransform {
         val p = MediaProbe.probe(bytes)
         p.format match {
           case f @ ("png" | "bmp" | "gif") =>
-            // bomb guard on header-declared dims BEFORE the read allocates
-            val bomb = (for (w <- p.width; h <- p.height)
-              yield w * h > MediaDecode.MaxPixels).getOrElse(false)
-            if (bomb) return resizeSkipped(docId, "oversize")
-            javax.imageio.ImageIO.setUseCache(false)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            if (img == null) return resizeSkipped(docId, "undecodable")
+            // the shared MediaDecode.openImage envelope: header-dim bomb
+            // guard before allocation, real read, post-read re-guard
+            val img = MediaDecode.openImage(bytes, p) match {
+              case Left(reason) => return resizeSkipped(docId, reason)
+              case Right(i) => i
+            }
             val (w, h) = (img.getWidth, img.getHeight)
-            if (w.toLong * h > MediaDecode.MaxPixels)
-              return resizeSkipped(docId, "oversize")
             val out = Seq.newBuilder[Row]
             var y = 0
             while (y < outH) {
@@ -145,52 +141,38 @@ object MediaTransform {
         else MediaProbe.probe(bytes).format
       if (probedFormat != "wav") frameSkipped(docId, probedFormat)
       else {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val fmt = ais.getFormat
-          val bits = fmt.getSampleSizeInBits
-          val nch = fmt.getChannels
-          val enc = fmt.getEncoding.toString
-          val pcm = enc == "PCM_SIGNED" || enc == "PCM_UNSIGNED"
-          val frameLen = ais.getFrameLength // NOT_SPECIFIED (-1) → skip
-          if (!pcm || (bits != 8 && bits != 16) || nch < 1 ||
-              frameLen < 0 || frameLen > MediaDecode.MaxPixels)
-            return frameSkipped(docId, "wav")
-          val frameSize = fmt.getFrameSize
-          val data = ais.readAllBytes()
-          val nFrames = data.length / frameSize
-          if (nFrames == 0) return frameSkipped(docId, "wav")
-          val nWin = (nFrames + frameWin - 1) / frameWin
-          val n = Array.ofDim[Long](nch, nWin)
-          val sum = Array.ofDim[Long](nch, nWin)
-          val sumSq = Array.ofDim[Long](nch, nWin)
-          val mn = Array.fill(nch, nWin)(Long.MaxValue)
-          val mx = Array.fill(nch, nWin)(Long.MinValue)
-          var f = 0
-          while (f < nFrames) {
-            val w = f / frameWin
-            var c = 0
-            while (c < nch) {
-              val i = f * frameSize + c * (bits / 8)
-              val v: Long =
-                if (bits == 8) (data(i) & 0xff).toLong
-                else if (fmt.isBigEndian)
-                  ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toLong
-                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
-              n(c)(w) += 1
-              sum(c)(w) += v
-              sumSq(c)(w) += v * v
-              if (v < mn(c)(w)) mn(c)(w) = v
-              if (v > mx(c)(w)) mx(c)(w) = v
-              c += 1
-            }
-            f += 1
+        // the shared MediaDecode.openWav envelope + per-sample
+        // extraction rule — one place for both consumers
+        val p = MediaDecode.openWav(bytes) match {
+          case Left(reason) => return frameSkipped(docId, reason)
+          case Right(pcm) => pcm
+        }
+        val nFrames = p.nFrames
+        val nch = p.nch
+        val nWin = (nFrames + frameWin - 1) / frameWin
+        val n = Array.ofDim[Long](nch, nWin)
+        val sum = Array.ofDim[Long](nch, nWin)
+        val sumSq = Array.ofDim[Long](nch, nWin)
+        val mn = Array.fill(nch, nWin)(Long.MaxValue)
+        val mx = Array.fill(nch, nWin)(Long.MinValue)
+        var f = 0
+        while (f < nFrames) {
+          val w = f / frameWin
+          var c = 0
+          while (c < nch) {
+            val v = p.sample(f, c)
+            n(c)(w) += 1
+            sum(c)(w) += v
+            sumSq(c)(w) += v * v
+            if (v < mn(c)(w)) mn(c)(w) = v
+            if (v > mx(c)(w)) mx(c)(w) = v
+            c += 1
           }
-          for (c <- 0 until nch; w <- 0 until nWin)
-            yield Row(docId, "wav", c.toLong, w.toLong, n(c)(w), sum(c)(w),
-              sumSq(c)(w), mn(c)(w), mx(c)(w))
-        } finally ais.close()
+          f += 1
+        }
+        for (c <- 0 until nch; w <- 0 until nWin)
+          yield Row(docId, "wav", c.toLong, w.toLong, n(c)(w), sum(c)(w),
+            sumSq(c)(w), mn(c)(w), mx(c)(w))
       }
     } catch {
       case scala.util.control.NonFatal(_) => frameSkipped(docId, "undecodable")

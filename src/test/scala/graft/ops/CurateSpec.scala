@@ -53,10 +53,12 @@ class CurateSpec extends SparkSpec {
       (1L, "pay 4539578763621486 today"),          // valid, contiguous
       (2L, "pay 4539-5787-6362-1486 today"),       // valid, separator form
       (3L, "order 4539578763621487 shipped"),      // shape match, bad checksum
-      (4L, "ref 12345678901234567 is 17 digits"),  // no \b-anchored 4x4 match
+      (4L, "ref 12345678901234567890 is 20 digits"), // past the 13-19 envelope
       (5L, "cards 4111111111111111 and 4222222222222444 both"), // two valid
       (6L, "same 4111111111111111 twice 4111111111111111 here"),
-      (7L, "nothing here")).toDF("doc_id", "text")
+      (7L, "nothing here"),
+      (8L, "amex 3782 822463 10005 and visa 4222222222222 short forms")
+    ).toDF("doc_id", "text")
     val out = Curate.redactCards(rows).orderBy("doc_id").collect()
     assert(out(0).getAs[String]("text") == "pay [CARD] today")
     assert(out(0).getAs[Long]("n_cards") == 1L)
@@ -64,6 +66,8 @@ class CurateSpec extends SparkSpec {
     assert(out(2).getAs[String]("text") == "order 4539578763621487 shipped",
       "checksum-failing shapes are the false-positive class: left verbatim")
     assert(out(2).getAs[Long]("n_cards") == 0L)
+    assert(out(3).getAs[String]("text") == "ref 12345678901234567890 is 20 digits",
+      "a 20-digit run has no 13-19-digit \\b-bounded sub-run: no candidate")
     assert(out(3).getAs[Long]("n_cards") == 0L)
     assert(out(4).getAs[String]("text") == "cards [CARD] and [CARD] both")
     assert(out(4).getAs[Long]("n_cards") == 2L)
@@ -71,6 +75,24 @@ class CurateSpec extends SparkSpec {
     assert(out(5).getAs[String]("text") == "same [CARD] twice [CARD] here")
     assert(out(5).getAs[Long]("n_cards") == 2L)
     assert(out(6).getAs[Long]("n_cards") == 0L)
+    // the envelope is 13-19 digits, not just 16: Amex 4-6-5 print form
+    // and a 13-digit Visa both validate and redact
+    assert(out(7).getAs[String]("text") == "amex [CARD] and visa [CARD] short forms")
+    assert(out(7).getAs[Long]("n_cards") == 2L)
+  }
+
+  test("redactCards: occurrences the extraction scan skipped are still counted") {
+    // the non-overlapping regex scan consumes "1234 4111 1111 1111" (a
+    // checksum-failing shape) before reaching the second valid PAN
+    // occurrence — the \b-anchored replace still redacts it, and
+    // n_cards counts REPLACEMENTS (2), not raw extraction hits (1)
+    val rows = Seq(
+      (1L, "4111 1111 1111 1111 and 1234 4111 1111 1111 1111")
+    ).toDF("doc_id", "text")
+    val out = Curate.redactCards(rows).collect()
+    assert(out(0).getAs[String]("text") == "[CARD] and 1234 [CARD]")
+    assert(out(0).getAs[Long]("n_cards") == 2L,
+      "n_cards must equal the number of redactions actually made")
   }
 
   test("redactCards is a stateless projection (streams as-is)") {

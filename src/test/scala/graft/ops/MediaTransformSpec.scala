@@ -27,7 +27,8 @@ class MediaTransformSpec extends SparkSpec {
 
   test("resize reproduces the floor mapping per pixel (up- and downscale)") {
     // doc 0: w=4 (< OutW: horizontal upscale), h=3 (< OutH: vertical
-    // upscale); doc 8: w=8, h=3 (horizontal downscale). Both PNG/BMP.
+    // upscale); doc 8: w=7, h=3 (horizontal downscale); doc 5: w=4, h=4
+    // (h == OutH identity rows). PNG and BMP both exercised.
     for ((doc, fmt) <- Seq((0L, "png"), (8L, "bmp"), (5L, "bmp"))) {
       val rows = MediaTransform.resizeOne(
         doc, MediaDecode.syntheticImage(doc, fmt), OutW, OutH)
