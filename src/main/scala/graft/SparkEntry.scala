@@ -851,6 +851,18 @@ object SparkEntry {
         .select(col("source"), explode(col("shs")).as("shingle"))
       graft.ops.Sketch.distinctKmv(sh, "source", "shingle", k = 64)
     }),
+    // mergeable min-k quantile sketch: per-source document-length
+    // quantiles from a 16-row uniform hash sample — the one-pass
+    // bounded-state alternative to sorting the corpus; k=16 < the ~25
+    // docs per source even at sf0.01, so the buffer-FULL (estimating)
+    // path is what the gate exercises at every scale
+    "q_quantile_sketch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tlen", length(col("text")))
+      graft.ops.Sketch.quantileEstimate(
+        graft.ops.Sketch.quantileSketch(docs, "source", "doc_id", "tlen", k = 16))
+        .withColumnRenamed("group", "source")
+    }),
     // count-min heavy hitters: tokens whose d=2 × w=32 sketch estimate
     // reaches 1% of the stream — bounded counter state, deterministic
     // overestimates (collisions only promote, never hide, a hitter)
@@ -1664,6 +1676,32 @@ object SparkEntry {
         |  ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // hk
         |  END AS BIGINT) AS est_distinct
         |FROM a""".stripMargin,
+    // the quantile-sketch oracle re-derives the whole pipeline: the
+    // 60-bit md5 row hash (the h60/KMV convention), the min-16 sample
+    // per source ((hash, value)-ordered — MinKPairs' tiebreak), and the
+    // nearest-rank integer arithmetic (n·p + 99) // 100
+    "q_quantile_sketch" ->
+      s"""WITH h AS (
+        |  SELECT source,
+        |    ${h60("'qs:' || CAST(doc_id AS VARCHAR)")} AS hv,
+        |    CAST(length(text) AS BIGINT) AS v
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, hv, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, v) AS rn
+        |  FROM h),
+        |s AS (SELECT source, v FROM r WHERE rn <= 16),
+        |o AS (
+        |  SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM s)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_sample,
+        |  max(CASE WHEN vr = (n * 25 + 99) // 100 THEN v END) AS p25,
+        |  max(CASE WHEN vr = (n * 50 + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN vr = (n * 75 + 99) // 100 THEN v END) AS p75,
+        |  max(CASE WHEN vr = (n * 90 + 99) // 100 THEN v END) AS p90
+        |FROM o GROUP BY source""".stripMargin,
     // z-order: quantization via HUGEINT floor division (equal to the
     // Spark DECIMAL `div` on these non-negative quantities), interleave
     // as the same 32-term shift/mask sum

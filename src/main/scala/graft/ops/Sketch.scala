@@ -100,6 +100,87 @@ object Sketch {
     kmvEstimate(kmvSketch(df, groupCol, valueCol, k, salt, mode), k)
       .withColumnRenamed("group", groupCol)
 
+  /** Per-group QUANTILE sketch: the k rows with the smallest 60-bit
+    * hashes of `keyCol` form a UNIFORM without-replacement row sample
+    * per group (min-k-by-hash — the same semilattice as the KMV buffer,
+    * so sketches MERGE: the min-k of a union is the min-k of the two
+    * min-k's; [[mergeQuantile]]), carrying `valueCol` alongside each
+    * kept row. Nearest-rank order statistics of the sample estimate the
+    * group's value quantiles in ONE pass with O(groups × k) state — the
+    * 100 TB alternative to sorting the corpus (exact percentiles) or
+    * approx_percentile (engine-specific buffers no oracle can replay).
+    * Deterministic: no RNG, no insertion-order dependence — a pure
+    * function of the row set under the fixed hash, so retries and
+    * re-runs agree and the DuckDB gate can re-derive every sample row.
+    *
+    * `keyCol` must identify rows uniquely (it is what gets sampled);
+    * `valueCol` must be exactly representable as LONG — fixed-point
+    * scale decimals/lengths/counts before calling (a raw double would
+    * make the gate engine-dependent through cast rounding).
+    *
+    * Scale shape: one hash projection into the bounded
+    * [[TopK.MinKPairs]] aggregation — partial aggregation reduces every
+    * input partition to ≤ k (hash, value) pairs per group before the
+    * exchange; the corpus is never shuffled. */
+  def quantileSketch(df: DataFrame, groupCol: String, keyCol: String,
+                     valueCol: String, k: Int, salt: String = "qs",
+                     mode: HashMode = HashMode.Portable): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("_qs_g"),
+        mode.hash(lit(salt), col(keyCol).cast(StringType)).as("_qs_h"),
+        col(valueCol).cast(LongType).as("_qs_v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopK.minKPairs(k))
+      .toDF("group", "sample")
+  }
+
+  /** Nearest-rank quantile estimates from a [[quantileSketch]] frame
+    * (`group`, `sample`): for each percentile p the
+    * `ceil(n·p/100)`-th smallest sampled value — spelled in exact
+    * integer arithmetic (`(n·p + 99) div 100`) so any engine reproduces
+    * the rank bit-for-bit. A buffer that never filled holds the WHOLE
+    * group, making the estimates exact order statistics (same
+    * exact-below-k posture as [[kmvEstimate]]). Output: `group`,
+    * `n_sample`, and one `p<pct>` LONG column per requested pct. */
+  def quantileEstimate(sketch: DataFrame,
+                       pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in 1..100")
+    val base = sketch
+      .withColumn("_qs_vals", array_sort(expr("transform(sample, x -> x._2)")))
+      .withColumn("n_sample", size(col("_qs_vals")).cast(LongType))
+    pcts.foldLeft(base) { (acc, p) =>
+      acc.withColumn(s"p$p",
+        expr(s"element_at(_qs_vals, CAST((size(_qs_vals) * $p + 99) div 100 AS INT))"))
+    }.select(col("group") +: col("n_sample") +: pcts.map(p => col(s"p$p")): _*)
+  }
+
+  /** Merge two quantile-sketch frames built with the SAME (k, salt,
+    * mode) over DISJOINT row sets (each row sampled by exactly one
+    * input — a row shared between inputs would occupy two slots, since
+    * rows, unlike KMV's distinct values, have multiplicity): min-k over
+    * the union of samples — the semilattice property that lets
+    * per-shard/per-day sketches combine into corpus sketches without
+    * re-reading data (SketchSpec pins merge ≡ sketch-of-union). */
+  def mergeQuantile(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.unionByName(b)
+      .select(col("group"), explode(col("sample")).as("p"))
+      .select(col("group"), col("p._1").as("h"), col("p._2").as("v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopK.minKPairs(k))
+      .toDF("group", "sample")
+  }
+
   /** Count-min sketch of a value stream: `d` independent hash rows ×
     * `w` buckets of exact counts — `(row, bucket, cnt)`, one output row
     * per NON-EMPTY counter (≤ d × w rows regardless of input size).

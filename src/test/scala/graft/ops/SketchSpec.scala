@@ -172,4 +172,73 @@ class SketchSpec extends SparkSpec {
       .filter(col("row") === 0).agg(sum("cnt")).collect().head.getLong(0)
     assert(cmTotal === 2L)
   }
+
+  // ---- quantile sketch ----------------------------------------------------
+
+  private def qrows(n: Int, g: String = "g") =
+    (1 to n).map(i => (g, i.toLong, (i * 7 % n).toLong + 1)).toDF("g", "id", "v")
+
+  test("quantile sketch below k holds the whole group: exact order statistics") {
+    // 10 rows with values 1..10 (some permutation), k = 64 - never fills
+    val df = (1 to 10).map(i => ("g", i.toLong, i.toLong)).toDF("g", "id", "v")
+    val est = Sketch.quantileEstimate(
+      Sketch.quantileSketch(df, "g", "id", "v", k = 64)).collect().head
+    assert(est.getAs[Long]("n_sample") == 10L)
+    // nearest-rank over the full set: p25 -> ceil(2.5) = 3rd, p50 -> 5th,
+    // p75 -> 8th, p90 -> 9th smallest
+    assert(est.getAs[Long]("p25") == 3L)
+    assert(est.getAs[Long]("p50") == 5L)
+    assert(est.getAs[Long]("p75") == 8L)
+    assert(est.getAs[Long]("p90") == 9L)
+  }
+
+  test("quantile sketch full buffer equals a local min-k-by-hash recomputation") {
+    val df = qrows(500)
+    val k = 32
+    val got = Sketch.quantileSketch(df, "g", "id", "v", k)
+      .collect().map(r => r.getSeq[org.apache.spark.sql.Row](1)).head
+      .map(p => (p.getLong(0), p.getLong(1)))
+    // recompute: hash every id, keep the k smallest (hash, v) pairs
+    val all = df.select(HashMode.Portable.hash(lit("qs"), col("id")).as("h"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.take(k).toSeq
+    assert(got == all, "the sample must be the true bottom-k by hash")
+    // estimates are plausible quantiles of 1..500 from a uniform sample
+    val est = Sketch.quantileEstimate(
+      Sketch.quantileSketch(df, "g", "id", "v", k)).collect().head
+    assert(est.getAs[Long]("n_sample") == k.toLong)
+    assert(est.getAs[Long]("p25") < est.getAs[Long]("p75"))
+    val p50 = est.getAs[Long]("p50")
+    assert(p50 > 100 && p50 < 400, s"median of 1..500 sampled at k=32: $p50")
+  }
+
+  test("quantile sketches over disjoint shards merge to the sketch of the union") {
+    val k = 16
+    val a = (1 to 300).map(i => ("g", i.toLong, (i * 13 % 997).toLong)).toDF("g", "id", "v")
+    val b = (301 to 600).map(i => ("g", i.toLong, (i * 13 % 997).toLong)).toDF("g", "id", "v")
+    val merged = Sketch.mergeQuantile(
+      Sketch.quantileSketch(a, "g", "id", "v", k),
+      Sketch.quantileSketch(b, "g", "id", "v", k), k)
+      .collect().map(r => r.getSeq[org.apache.spark.sql.Row](1)).head
+      .map(p => (p.getLong(0), p.getLong(1)))
+    val whole = Sketch.quantileSketch(a.unionByName(b), "g", "id", "v", k)
+      .collect().map(r => r.getSeq[org.apache.spark.sql.Row](1)).head
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(merged == whole, "min-k is a semilattice: merge == sketch-of-union")
+  }
+
+  test("quantile sketch drops null keys and null values; estimate rank bounds hold") {
+    val df = Seq(
+      (Option("g"), Option(1L), Option(10L)),
+      (Option("g"), None, Option(20L)),
+      (Option("g"), Option(3L), None),
+      (Option("g"), Option(4L), Option(40L))
+    ).toDF("g", "id", "v")
+    val est = Sketch.quantileEstimate(
+      Sketch.quantileSketch(df, "g", "id", "v", k = 8), Seq(1, 100)).collect().head
+    assert(est.getAs[Long]("n_sample") == 2L)
+    assert(est.getAs[Long]("p1") == 10L, "p1 -> rank 1 (smallest)")
+    assert(est.getAs[Long]("p100") == 40L, "p100 -> rank n (largest)")
+    intercept[IllegalArgumentException](Sketch.quantileEstimate(df, Seq(0)))
+    intercept[IllegalArgumentException](Sketch.quantileSketch(df, "g", "id", "v", 0))
+  }
 }
