@@ -78,6 +78,46 @@ object UrlOps {
         .otherwise(hostCol))
   }
 
+  /** Anchor-tag / href patterns for [[extractLinks]] — RE2-safe: inline
+    * `(?is)` flags, no backrefs (the two quote styles are SEPARATE
+    * patterns coalesced per tag, since one pattern would need a
+    * backreference to pair the quotes). */
+  val ATagPattern = "(?is)<a\\b[^>]*>"
+  val HrefDqPattern = "(?i)\\bhref\\s*=\\s*\"([^\"]*)\""
+  val HrefSqPattern = "(?i)\\bhref\\s*=\\s*'([^']*)'"
+
+  /** Extract outbound links from raw MARKUP — run BEFORE
+    * [[graft.ops.TextOps.stripHtml]] (the cleaning pass deletes exactly
+    * what this reads): one row per href-carrying anchor tag,
+    * `(idCol, link_pos, href)`. `link_pos` is the 0-based ordinal of
+    * the anchor TAG in the document — an href-less anchor occupies a
+    * position but emits no row, so the numbering of the links around it
+    * does not shift when decorative anchors are edited.
+    *
+    * This is the crawl-graph construction step: compose with
+    * [[parseUrls]] for per-link hosts/registrable domains and feed
+    * (page domain → link domain) edges to [[Graph.pageRank]] /
+    * [[Graph.trustRank]] for link-spam scoring — every downstream piece
+    * already exists; this is the seam between markup and the URL layer.
+    *
+    * Scale shape: one regexp extraction + posexplode + two per-tag
+    * regexes — zero shuffle, no window (the position comes from the
+    * array subscript, not a row_number), stream-admissible. Output is
+    * O(anchors), a small fraction of page bytes, so the link stream
+    * SHRINKS relative to the crawl. */
+  def extractLinks(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol), lit(ATagPattern), lit(0)))
+          .as(Seq("link_pos", "_el_tag")))
+      .select(col(idCol), col("link_pos").cast(LongType),
+        coalesce(
+          nullif(regexp_extract(col("_el_tag"), HrefDqPattern, 1), lit("")),
+          nullif(regexp_extract(col("_el_tag"), HrefSqPattern, 1), lit("")))
+          .as("href"))
+      .filter(col("href").isNotNull)
+
   /** `docs` plus (scheme, host, port, path, query, domain) parsed from
     * `urlCol` — the parse projection every operator below builds on. */
   def parseUrls(docs: DataFrame, urlCol: String = "url",

@@ -106,4 +106,41 @@ class UrlOpsSpec extends SparkSpec {
     assert(survivors.keySet == Set(2L, 3L, 6L))
     assert(survivors(2L) == "https://example.com/a")
   }
+
+  test("extractLinks: tag-ordinal positions, both quote styles, href-less anchors skipped") {
+    val docs = Seq(
+      (1L, """intro <a href="https://a.example.com/x">one</a> mid""" +
+        """ <a name="anchor">dead</a> tail <a class='c' HREF='http://b.example.org/y?z=1'>two</a>"""),
+      (2L, "no markup at all"),
+      (3L, """<a
+href="https://multi.example.com/l">newline inside tag</a>"""),
+      (4L, """<a href="">empty href</a> <a href=''>also empty</a>""")
+    ).toDF("doc_id", "text")
+    val out = UrlOps.extractLinks(docs).orderBy("doc_id", "link_pos").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq == Seq(
+      (1L, 0L, "https://a.example.com/x"),
+      // the href-less <a name=...> holds position 1 but emits no row
+      (1L, 2L, "http://b.example.org/y?z=1"),
+      (3L, 0L, "https://multi.example.com/l")))
+    // composes with parseUrls for the crawl-graph edge list
+    val parsed = UrlOps.parseUrls(UrlOps.extractLinks(docs), "href")
+      .orderBy("doc_id", "link_pos").collect()
+    assert(parsed.map(_.getAs[String]("domain")).toSeq ==
+      Seq("example.com", "example.org", "example.com"))
+  }
+
+  test("extractLinks is a stateless generate: runs on a stream, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = UrlOps.extractLinks(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("links_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, """x <a href="https://s.example.com/p">l</a>"""))
+      q.processAllAvailable()
+      val rows = spark.table("links_stream").collect()
+      assert(rows.length == 1 && rows(0).getString(2) == "https://s.example.com/p")
+    } finally q.stop()
+  }
 }
