@@ -762,9 +762,10 @@ object SparkEntry {
     "q_url_dedup" -> ((s, d) => UrlOps.dedupUrls(docsWithUrl(s, d))),
     // crawl-graph link extraction: anchors injected on doc_id % 9 == 0
     // (the corpus carries no '<') — a double-quoted href, a
-    // single-quoted href on a decorated tag, and an href-LESS anchor
-    // that must occupy link_pos 2 without emitting a row; composed with
-    // parseUrls so host + registrable domain gate end to end
+    // single-quoted href on a decorated tag, an UNQUOTED href (valid
+    // HTML, the third value style), and an href-LESS anchor that must
+    // occupy link_pos 3 without emitting a row; composed with parseUrls
+    // so host + registrable domain gate end to end
     "q_extract_links" -> ((s, d) => {
       val dirty = t(s, d, "documents").select(col("doc_id"),
         when(col("doc_id") % 9 === 0, concat(
@@ -774,7 +775,9 @@ object SparkEntry {
           lit(".com/p"), col("doc_id").cast("string"),
           lit("?u=1\">x</a> mid <a class='k' href='http://m.example"),
           (col("doc_id") % 5).cast("string"),
-          lit(".org/q'>y</a> <a name=\"n\">z</a>")))
+          lit(".org/q'>y</a> <a href=http://bare.example"),
+          (col("doc_id") % 5).cast("string"),
+          lit(".net/r class=m>w</a> <a name=\"n\">z</a>")))
           .otherwise(col("text")).as("text"))
       UrlOps.parseUrls(UrlOps.extractLinks(dirty), "href")
         .select(col("doc_id"), col("link_pos"), col("href"),
@@ -2453,45 +2456,6 @@ object SparkEntry {
     // hook, not just the fixture outcome; the corpus carries no digits
     // so the injected span is the row's only candidate (regexp_extract
     // first-match is total coverage here by construction)
-    // link-extraction oracle: the SAME shared tag/href pattern constants
-    // (ControlClass convention), unnest+subscripts for tag position,
-    // CASE-coalesced double/single-quote href, then the urlCte host
-    // derivation and domainSql over the extracted hrefs
-    "q_extract_links" ->
-      s"""WITH base AS (
-        |  SELECT doc_id,
-        |    text || CASE WHEN doc_id % 9 = 0 THEN
-        |      ' <a href="https://www' || CAST(doc_id % 7 AS VARCHAR) ||
-        |      '.example' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' ||
-        |      CAST(doc_id AS VARCHAR) ||
-        |      '?u=1">x</a> mid <a class=''k'' href=''http://m.example' ||
-        |      CAST(doc_id % 5 AS VARCHAR) ||
-        |      '.org/q''>y</a> <a name="n">z</a>'
-        |    ELSE '' END AS t2
-        |  FROM documents),
-        |tg AS (
-        |  SELECT doc_id,
-        |    regexp_extract_all(t2, '${graft.ops.UrlOps.ATagPattern}') AS tags
-        |  FROM base),
-        |ps AS (
-        |  SELECT doc_id, unnest(tags) AS tag,
-        |    generate_subscripts(tags, 1) - 1 AS link_pos
-        |  FROM tg),
-        |hr AS (
-        |  SELECT doc_id, link_pos,
-        |    CASE WHEN regexp_extract(tag, '${graft.ops.UrlOps.HrefDqPattern}', 1) <> ''
-        |         THEN regexp_extract(tag, '${graft.ops.UrlOps.HrefDqPattern}', 1)
-        |         ELSE regexp_extract(tag,
-        |           '${graft.ops.UrlOps.HrefSqPattern.replace("'", "''")}', 1) END AS href
-        |  FROM ps),
-        |p AS (
-        |  SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href,
-        |    lower(regexp_extract(
-        |      regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
-        |      '^([^:]+)', 1)) AS host
-        |  FROM hr WHERE href <> '')
-        |SELECT doc_id, link_pos, href, host, $domainSql AS domain
-        |FROM p""".stripMargin,
     "q_redact_cards" ->
       s"""WITH base AS (
         |  SELECT doc_id,
@@ -2525,6 +2489,56 @@ object SparkEntry {
         |       ELSE text END AS text,
         |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_cards
         |FROM l""".stripMargin,
+    // link-extraction oracle: the SAME shared tag/href pattern constants
+    // (ControlClass convention; single quotes doubled for the SQL
+    // literal), unnest+subscripts for tag position, CASE-coalesced
+    // double/single/unquoted href, then the urlCte host derivation and
+    // domainSql over the extracted hrefs
+    "q_extract_links" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 9 = 0 THEN
+        |      ' <a href="https://www' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' ||
+        |      CAST(doc_id AS VARCHAR) ||
+        |      '?u=1">x</a> mid <a class=''k'' href=''http://m.example' ||
+        |      CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.org/q''>y</a> <a href=http://bare.example' ||
+        |      CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.net/r class=m>w</a> <a name="n">z</a>'
+        |    ELSE '' END AS t2
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t2,
+        |      '${graft.ops.UrlOps.ATagPattern.replace("'", "''")}') AS tags
+        |  FROM base),
+        |ps AS (
+        |  SELECT doc_id, unnest(tags) AS tag,
+        |    generate_subscripts(tags, 1) - 1 AS link_pos
+        |  FROM tg),
+        |hr AS (
+        |  SELECT doc_id, link_pos,
+        |    CASE WHEN regexp_extract(tag,
+        |           '${graft.ops.UrlOps.HrefDqPattern.replace("'", "''")}', 1) <> ''
+        |         THEN regexp_extract(tag,
+        |           '${graft.ops.UrlOps.HrefDqPattern.replace("'", "''")}', 1)
+        |         WHEN regexp_extract(tag,
+        |           '${graft.ops.UrlOps.HrefSqPattern.replace("'", "''")}', 1) <> ''
+        |         THEN regexp_extract(tag,
+        |           '${graft.ops.UrlOps.HrefSqPattern.replace("'", "''")}', 1)
+        |         ELSE regexp_extract(tag,
+        |           '${graft.ops.UrlOps.HrefBarePattern.replace("'", "''")}', 1)
+        |         END AS href
+        |  FROM ps),
+        |p AS (
+        |  SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href,
+        |    lower(regexp_extract(
+        |      regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |      '^([^:]+)', 1)) AS host
+        |  FROM hr WHERE href <> '')
+        |SELECT doc_id, link_pos, href, host, $domainSql AS domain
+        |FROM p""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // the bloom path must be indistinguishable from the exact path —
     // literally the same oracle

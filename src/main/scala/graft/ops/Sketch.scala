@@ -166,7 +166,15 @@ object Sketch {
     * rows, unlike KMV's distinct values, have multiplicity): min-k over
     * the union of samples — the semilattice property that lets
     * per-shard/per-day sketches combine into corpus sketches without
-    * re-reading data (SketchSpec pins merge ≡ sketch-of-union). */
+    * re-reading data (SketchSpec pins merge ≡ sketch-of-union).
+    *
+    * `k` must be ≤ the k the INPUTS were built with: rows ranked past
+    * the build k were already discarded at sketch time, so merging with
+    * a larger k would return extra pairs that are NOT the min-k of the
+    * union — a biased sample [[quantileEstimate]] cannot detect (the
+    * build k is not recorded in the frame, so this contract cannot be
+    * checked here; it is the same same-parameters discipline
+    * [[cmEstimate]] states for (d, w, salt)). */
   def mergeQuantile(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
     val spark = a.sparkSession

@@ -79,12 +79,38 @@ object UrlOps {
   }
 
   /** Anchor-tag / href patterns for [[extractLinks]] — RE2-safe: inline
-    * `(?is)` flags, no backrefs (the two quote styles are SEPARATE
+    * `(?is)` flags, no backrefs (the three value styles are SEPARATE
     * patterns coalesced per tag, since one pattern would need a
-    * backreference to pair the quotes). */
-  val ATagPattern = "(?is)<a\\b[^>]*>"
-  val HrefDqPattern = "(?i)\\bhref\\s*=\\s*\"([^\"]*)\""
-  val HrefSqPattern = "(?i)\\bhref\\s*=\\s*'([^']*)'"
+    * backreference to pair the quotes), and whitespace spelled as the
+    * explicit `[ \t\n\f\r]` class (Java's `\s` includes VT U+000B,
+    * RE2's does not — the engine-parity discipline the file header
+    * states).
+    *
+    * The tag body allows quoted runs (`"[^"]*"` / `'[^']*'`) so a `>`
+    * INSIDE a quoted attribute value does not truncate the tag (HTML
+    * permits it); the tradeoff is that a malformed UNCLOSED quote can
+    * over-consume to a later `>` — the conservative failure for an
+    * extractor (a dropped mangled tag, never a crash).
+    *
+    * `href` must be preceded by whitespace or a quote (`[ \t\n\f\r"']`)
+    * so `data-href=` / `xlink:href=` / `ng-href=` never match — `-`
+    * and `:` are non-word chars, so a bare `\bhref` WOULD match those
+    * and extract tracker/template URLs instead of the real link (RE2
+    * has no lookbehind, hence the one-char prefix class; inside a tag
+    * string a real href attribute always has a predecessor char). */
+  val ATagPattern = "(?is)<a\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+  val HrefDqPattern =
+    "(?i)[ \\t\\n\\f\\r\"']href[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*\"([^\"]*)\""
+  val HrefSqPattern =
+    "(?i)[ \\t\\n\\f\\r\"']href[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*'([^']*)'"
+  /** Unquoted attribute values are valid HTML (`href=http://x/`): the
+    * value runs to the next whitespace (a bare `>` cannot occur inside
+    * the tag match — it would have ended the tag). Tried LAST, and the
+    * first value char excludes quotes so a quoted value never
+    * half-matches here. */
+  val HrefBarePattern =
+    "(?i)[ \\t\\n\\f\\r\"']href[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*" +
+      "([^ \\t\\n\\f\\r\"'][^ \\t\\n\\f\\r]*)"
 
   /** Extract outbound links from raw MARKUP — run BEFORE
     * [[graft.ops.TextOps.stripHtml]] (the cleaning pass deletes exactly
@@ -114,7 +140,8 @@ object UrlOps {
       .select(col(idCol), col("link_pos").cast(LongType),
         coalesce(
           nullif(regexp_extract(col("_el_tag"), HrefDqPattern, 1), lit("")),
-          nullif(regexp_extract(col("_el_tag"), HrefSqPattern, 1), lit("")))
+          nullif(regexp_extract(col("_el_tag"), HrefSqPattern, 1), lit("")),
+          nullif(regexp_extract(col("_el_tag"), HrefBarePattern, 1), lit("")))
           .as("href"))
       .filter(col("href").isNotNull)
 

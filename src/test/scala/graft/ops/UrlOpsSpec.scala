@@ -143,4 +143,22 @@ href="https://multi.example.com/l">newline inside tag</a>"""),
       assert(rows.length == 1 && rows(0).getString(2) == "https://s.example.com/p")
     } finally q.stop()
   }
+
+  test("extractLinks hardening: data-href ignored, unquoted values, '>' inside quotes") {
+    val docs = Seq(
+      // attribute-prefix guard: data-href / ng-href must never win over
+      // (or substitute for) the real href
+      (1L, "x <a data-href=\"https://tracker.example.com/t\" href=\"https://real.example.com/p\">l</a>"),
+      (2L, "y <a data-href=\"https://only-tracker.example.com/t\">no real href</a>"),
+      // unquoted attribute values are valid HTML
+      (3L, "z <a href=http://bare.example.com/u class=m>unquoted</a>"),
+      // a '>' inside a quoted attribute value must not truncate the tag
+      (4L, "w <a href=\"https://e.example.com/a?b=1>2\">gt inside quotes</a>")
+    ).toDF("doc_id", "text")
+    val out = UrlOps.extractLinks(docs).orderBy("doc_id", "link_pos").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq == Seq(
+      (1L, "https://real.example.com/p"),
+      (3L, "http://bare.example.com/u"),
+      (4L, "https://e.example.com/a?b=1>2")))
+  }
 }
