@@ -119,7 +119,13 @@ object Bench {
     // benching both would double-count the same work (the
     // q_substr_strip/q_trustrank precedent).
     "q_unicode_nfc", "q_clean_text", "q_mojibake", "q_pack_tokens",
-    "q_html_strip", "q_ingest_clean", "q_c4_rules", "q_dedup_sentences")
+    "q_html_strip", "q_ingest_clean", "q_c4_rules", "q_dedup_sentences",
+    // r10 continuation: the checksum-validated card scrub and the
+    // crawl-graph link extraction are corpus-wide projections; the
+    // quantile sketch is a corpus-wide bounded aggregation. (The
+    // multimodal transforms stay excluded with q_multimodal_decode:
+    // bounded fixture sets, O(1) in sf.)
+    "q_redact_cards", "q_extract_links", "q_quantile_sketch")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -234,7 +240,11 @@ object Bench {
     "q_c4_rules" -> 0.94,
     // r10: sentence-span dedup — shingle rank exchange + span join
     // (0.767 warmed × 1.3)
-    "q_dedup_sentences" -> 1.0
+    "q_dedup_sentences" -> 1.0,
+    // r10 continuation: Luhn card scrub (0.395 warmed × 1.3), link
+    // extraction (0.360 × 1.3), min-k quantile sketch (0.494 × 1.3)
+    "q_redact_cards" -> 0.51, "q_extract_links" -> 0.47,
+    "q_quantile_sketch" -> 0.64
   ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,
