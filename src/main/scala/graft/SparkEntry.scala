@@ -716,6 +716,16 @@ object SparkEntry {
       MediaTransform.resizePixels(
         s, MediaDecode.syntheticPayloads(s, ids), outW = 6, outH = 4)
     }),
+    // perceptual image hash: 9x8 nearest-neighbor grid, integer ITU-R
+    // 601 luma, strict right-neighbour-brighter bits — every one of the
+    // 64 bits recomputed by the oracle from the fixture formula; WAV
+    // rows gate the null-marker path. Feed the hashes to the simhash
+    // Hamming banding for corpus-scale perceptual dedup.
+    "q_image_dhash" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      MediaTransform.dhash(s, MediaDecode.syntheticPayloads(s, ids))
+    }),
     // fixed-window PCM frame-sampling with exact Long Σv / Σv² energy
     // stats per (channel, window); nFrames 16..32 against frameWin=8
     // exercises full AND partial trailing windows; PNG/BMP rows in the
@@ -3508,6 +3518,41 @@ object SparkEntry {
         |FROM px
         |UNION ALL
         |SELECT doc_id, 'wav' AS format, 0, 0, 0, CAST(NULL AS BIGINT)
+        |FROM d WHERE doc_id % 3 = 1""".stripMargin,
+    // the dHash oracle recomputes all 64 difference bits from the
+    // fixture formula: the 9x8 grid via the same integer floor mapping,
+    // the integer luma, the strict > comparison, and the two's-
+    // complement packing (bit 63's weight spelled as -2^63 so the sum
+    // stays BIGINT-exact; power(2, i) for i <= 62 is a power of two —
+    // exactly representable in a double, so the CAST is lossless)
+    "q_image_dhash" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |img AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM d WHERE doc_id % 3 <> 1),
+        |g AS (
+        |  SELECT doc_id, format, x.i AS gx, y.i AS gy,
+        |    (299 * ((doc_id*31 + ((x.i * w) // 9)*7 + ((y.i * h) // 8)*13) % 256)
+        |   + 587 * ((doc_id*31 + ((x.i * w) // 9)*7 + ((y.i * h) // 8)*13 + 29) % 256)
+        |   + 114 * ((doc_id*31 + ((x.i * w) // 9)*7 + ((y.i * h) // 8)*13 + 58) % 256)) // 1000 AS luma
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(9)) AS i) x
+        |  CROSS JOIN (SELECT unnest(range(8)) AS i) y),
+        |b AS (
+        |  SELECT a.doc_id, a.format, a.gy * 8 + a.gx AS bit_i,
+        |    CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.gy = a.gy
+        |    AND n.gx = a.gx + 1
+        |  WHERE a.gx < 8)
+        |SELECT doc_id, format,
+        |  CAST(sum(bit * (CASE WHEN bit_i = 63 THEN -9223372036854775808
+        |                       ELSE CAST(power(2, bit_i) AS BIGINT) END))
+        |    AS BIGINT) AS dhash
+        |FROM b GROUP BY 1, 2
+        |UNION ALL
+        |SELECT doc_id, 'wav' AS format, CAST(NULL AS BIGINT) AS dhash
         |FROM d WHERE doc_id % 3 = 1""".stripMargin,
     // frame-sampling oracle: window index f // 8 over the closed-form
     // PCM samples, exact integer Σv / Σv² / min / max per (channel,

@@ -112,6 +112,92 @@ object MediaTransform {
     spark.createDataFrame(rdd, ResizeSchema)
   }
 
+  // ---- perceptual image hashing (dHash) -----------------------------------
+
+  /** dHash grid: 9×8 lumas → 8 horizontal differences × 8 rows = 64
+    * bits. The standard difference-hash dimensions. */
+  val DhashW = 9
+  val DhashH = 8
+
+  private val DhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Difference hash of one still — the perceptual fingerprint that
+    * makes IMAGE near-dup detection a 64-bit Hamming problem: resize to
+    * the 9×8 grid with the same exact integer floor mapping as
+    * [[resizeOne]], grayscale with the integer ITU-R 601 luma
+    * (`(299R + 587G + 114B) div 1000` — floor division, no float), set
+    * bit `y·8 + x` iff the right neighbour is strictly brighter.
+    * Re-encoded, resized, or lightly re-compressed copies of an image
+    * keep a small Hamming distance while exact hashes diverge — feed
+    * the hashes to the [[NearDup]] simhash banding machinery (also
+    * 64-bit Hamming) for corpus-scale perceptual dedup.
+    *
+    * Deterministic end to end (nearest-neighbor + integer luma +
+    * strict-inequality bits — no kernel, no float), so the closed-form
+    * fixture oracle can recompute every bit. Non-image / lossy /
+    * oversize / undecodable payloads degrade to a null-`dhash` marker
+    * row (the [[MediaDecode.decode]] posture). */
+  def dhashOne(docId: Long, bytes: Array[Byte]): Seq[Row] =
+    try {
+      if (bytes == null || bytes.isEmpty) Seq(Row(docId, "unknown", null))
+      else {
+        val p = MediaProbe.probe(bytes)
+        p.format match {
+          case f @ ("png" | "bmp" | "gif") =>
+            val img = MediaDecode.openImage(bytes, p) match {
+              case Left(reason) => return Seq(Row(docId, reason, null))
+              case Right(i) => i
+            }
+            val (w, h) = (img.getWidth, img.getHeight)
+            val luma = Array.ofDim[Int](DhashH, DhashW)
+            var y = 0
+            while (y < DhashH) {
+              val sy = ((y.toLong * h) / DhashH).toInt
+              var x = 0
+              while (x < DhashW) {
+                val sx = ((x.toLong * w) / DhashW).toInt
+                val rgb = img.getRGB(sx, sy)
+                luma(y)(x) = (299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            y = 0
+            while (y < DhashH) {
+              var x = 0
+              while (x < DhashW - 1) {
+                if (luma(y)(x + 1) > luma(y)(x)) hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Seq(Row(docId, f, hash))
+          case "jpeg" => Seq(Row(docId, "jpeg", null))
+          case other  => Seq(Row(docId, other, null))
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq(Row(docId, "undecodable", null))
+    }
+
+  /** Distributed dHash over `(idCol, payloadCol)`: one row per document
+    * with its 64-bit perceptual hash (null for out-of-envelope
+    * payloads). One pass, no shuffle. */
+  def dhash(spark: SparkSession, df: DataFrame,
+            idCol: String = "doc_id",
+            payloadCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
+      dhashOne(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(rdd, DhashSchema)
+  }
+
   // ---- audio frame-sampling ---------------------------------------------
 
   private val FrameSchema: StructType = StructType(Seq(

@@ -131,4 +131,48 @@ class MediaTransformSpec extends SparkSpec {
     }.sum
     assert(f.count() == expected)
   }
+
+  private def expectedDhash(doc: Long): Long = {
+    val (w, h) = MediaDecode.imageDims(doc)
+    def luma(gx: Int, gy: Int): Int = {
+      val sx = (gx * w) / MediaTransform.DhashW
+      val sy = (gy * h) / MediaTransform.DhashH
+      (299 * MediaDecode.pixelValue(doc, 0, sx, sy) +
+        587 * MediaDecode.pixelValue(doc, 1, sx, sy) +
+        114 * MediaDecode.pixelValue(doc, 2, sx, sy)) / 1000
+    }
+    var hash = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      if (luma(gx + 1, gy) > luma(gx, gy)) hash |= 1L << (gy * 8 + gx)
+    hash
+  }
+
+  test("dhash reproduces the closed form bit for bit") {
+    for ((doc, fmt) <- Seq((0L, "png"), (3L, "png"), (8L, "bmp"), (17L, "bmp"))) {
+      val rows = MediaTransform.dhashOne(doc, MediaDecode.syntheticImage(doc, fmt))
+      assert(rows.size == 1 && rows.head.getString(1) == fmt)
+      assert(rows.head.getLong(2) == expectedDhash(doc), s"doc $doc $fmt")
+    }
+  }
+
+  test("dhash is a PERCEPTUAL hash: the same pixels hash identically across codecs") {
+    // the exact byte hashes of a PNG and a BMP of the same image differ;
+    // the dhash must not (that is the point of the operator)
+    for (doc <- Seq(2L, 5L, 9L)) {
+      val png = MediaTransform.dhashOne(doc, MediaDecode.syntheticImage(doc, "png"))
+      val bmp = MediaTransform.dhashOne(doc, MediaDecode.syntheticImage(doc, "bmp"))
+      assert(png.head.getLong(2) == bmp.head.getLong(2), s"doc $doc codec parity")
+    }
+  }
+
+  test("dhash totality: wav, jpeg, garbage, nulls -> null-hash marker rows") {
+    val wav = MediaTransform.dhashOne(1L, MediaDecode.syntheticWav(1L))
+    assert(wav.size == 1 && wav.head.getString(1) == "wav" && wav.head.isNullAt(2))
+    assert(MediaTransform.dhashOne(2L, null).head.isNullAt(2))
+    assert(MediaTransform.dhashOne(3L, "junk".getBytes).head.getString(1) == "unknown")
+    val out = MediaTransform.dhash(spark,
+      MediaDecode.syntheticPayloads(spark, (0L until 30L).toDF("doc_id")))
+    assert(out.count() == 30L)
+    assert(out.filter(org.apache.spark.sql.functions.col("dhash").isNull).count() == 10L)
+  }
 }
