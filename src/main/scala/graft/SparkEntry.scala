@@ -608,6 +608,11 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) => NearDup.ngramPairs(t(s, d, "documents"))),
     "q_substr_spans" -> ((s, d) =>
       ExactSubstr.duplicatedSpans(t(s, d, "documents"), l = 20)),
+    // the doc-level duplication score a RefinedWeb-style budget filter
+    // thresholds on: span cover size / token count, 0.0 for clean and
+    // sub-window-length docs (total — every doc emits a row)
+    "q_dup_fraction" -> ((s, d) =>
+      ExactSubstr.dupFraction(t(s, d, "documents"), l = 20)),
     "q_substr_strip" -> ((s, d) => {
       val docs = t(s, d, "documents")
       ExactSubstr.stripSpans(docs, ExactSubstr.duplicatedSpans(docs, l = 20))
@@ -3048,6 +3053,20 @@ object SparkEntry {
     // exact-substring dedup: duplicated length-20 token windows, merged per
     // doc into maximal spans (ExactSubstr); md5-of-window parity with Spark
     "q_substr_spans" -> substrSpansSql(selectSpans = true),
+    // the doc-level reduction of the same span CTE chain: disjoint span
+    // cover summed per doc over the total token count, 0.0 coalesced
+    "q_dup_fraction" ->
+      s"""$substrCtes,
+        |dfr AS (
+        |  SELECT doc_id, sum(end_tok - start_tok + 1) AS ndup
+        |  FROM sp GROUP BY doc_id),
+        |tokc AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+        |SELECT tokc.doc_id, CAST(tokc.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(dfr.ndup, 0) AS BIGINT) AS n_dup_tokens,
+        |  CASE WHEN tokc.n_tokens > 0
+        |       THEN round(CAST(coalesce(dfr.ndup, 0) AS DOUBLE) / tokc.n_tokens, 6)
+        |       ELSE 0.0 END AS dup_fraction
+        |FROM tokc LEFT JOIN dfr USING (doc_id)""".stripMargin,
     "q_substr_strip" -> substrSpansSql(selectSpans = false),
     "q_substr_strip_flag" -> substrStripFlagSql,
     // portable-hash twins of the LSH pipelines: DuckDB recomputes the exact

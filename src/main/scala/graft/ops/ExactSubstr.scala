@@ -82,6 +82,42 @@ object ExactSubstr {
         (col("end_tok") - col("start_tok") + 1).cast(LongType).as("n_tokens"))
   }
 
+  /** Per-document duplication fraction — [[duplicatedSpans]] reduced to
+    * the doc-level curation SCORE "what share of this document's tokens
+    * lie inside corpus-duplicated spans": `(idCol, n_tokens,
+    * n_dup_tokens, dup_fraction)`. Spans are maximal and disjoint per
+    * document, so the cover size is an exact sum — no double counting.
+    * TOTAL: every input document emits a row (0.0 when nothing is
+    * duplicated, including docs shorter than one window). The signal a
+    * quality-filtering pass thresholds on directly — RefinedWeb/Gopher
+    * style pipelines drop documents whose duplicate share exceeds a
+    * budget rather than surgically stripping them, and this is that
+    * number. Scale shape: the spans pipeline (one row per corpus token
+    * through the shuffle) plus one doc-sized aggregation and a left
+    * join back to a token-count projection. */
+  def dupFraction(docs: DataFrame, l: Int = 20, minOccurrences: Long = 2,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val perDoc = duplicatedSpans(docs, l, minOccurrences, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tokens")).as("_ds_dup"))
+    docs
+      .select(col(idCol),
+        // regexp_count of \S+ runs == the normalized token count
+        // (normalization only collapses whitespace), and — unlike
+        // size(split(...)), which reports 1 for an empty string — it
+        // is 0 for empty/blank docs, matching the oracle's len(toks)
+        regexp_count(col(textCol), lit("\\S+"))
+          .cast(LongType).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("_ds_dup"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("_ds_dup"), lit(0L)).cast(DoubleType) /
+            col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
   /** Offline artifact for [[stripSubstrFlag]]: the `graft_md5hh` digest
     * pairs of every length-`l` token window occurring at least
     * `minOccurrences` times in the corpus, with the occurrence count —

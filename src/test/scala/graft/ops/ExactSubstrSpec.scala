@@ -114,4 +114,16 @@ class ExactSubstrSpec extends SparkSpec {
     val spans = ExactSubstr.duplicatedSpans(docs, l = 5, minOccurrences = 3)
     assert(spans.count() == 0)
   }
+
+  test("dupFraction reduces spans to the doc-level score, total over all docs") {
+    val out = ExactSubstr.dupFraction(docs, l = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 10L, 7L, 0.7),   // span 1-7 of 10 tokens
+      (2L, 10L, 7L, 0.7),
+      (3L, 10L, 10L, 1.0),  // fully self-duplicated
+      (4L, 3L, 0L, 0.0),    // shorter than one window: no spans, still a row
+      (5L, 0L, 0L, 0.0)     // empty doc: zero tokens, zero fraction
+    ), s"got $out")
+  }
 }
