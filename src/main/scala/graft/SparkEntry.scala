@@ -731,6 +731,16 @@ object SparkEntry {
         .select(col("doc_id"))
       MediaTransform.dhash(s, MediaDecode.syntheticPayloads(s, ids))
     }),
+    // audio energy-contour hash (the dHash audio twin): 17-slot floor-
+    // mapped time grid, per-(channel, slot) exact Σv² energy, strict
+    // louder-than bits folded across channels — every bit recomputed by
+    // the oracle; empty grid slots (nFrames < 17) pin the zero-energy
+    // convention; PNG/BMP rows gate the null-marker path
+    "q_audio_dhash" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      MediaTransform.audioDhash(s, MediaDecode.syntheticPayloads(s, ids))
+    }),
     // fixed-window PCM frame-sampling with exact Long Σv / Σv² energy
     // stats per (channel, window); nFrames 16..32 against frameWin=8
     // exercises full AND partial trailing windows; PNG/BMP rows in the
@@ -3573,6 +3583,51 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'wav' AS format, CAST(NULL AS BIGINT) AS dhash
         |FROM d WHERE doc_id % 3 = 1""".stripMargin,
+    // the audio-hash oracle recomputes the 17-slot grid (floor mapping
+    // (f*17) // nfr), the exact Σv² energies — empty slots coalesced to
+    // 0, the convention the operator's zero-initialised array gives —
+    // the strict louder-than bits, and the same two's-complement
+    // packing as the image dHash oracle
+    "q_audio_dhash" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |wv AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS nch, 16 + doc_id % 17 AS nfr
+        |  FROM d WHERE doc_id % 3 = 1),
+        |sp AS (
+        |  SELECT doc_id, c.i AS ch, (f.i * 17) // nfr AS b,
+        |    (doc_id*31 + c.i*29 + f.i*7) % 65536 - 32768 AS v
+        |  FROM wv
+        |  CROSS JOIN (SELECT unnest(range(2)) AS i) c
+        |  CROSS JOIN (SELECT unnest(range(33)) AS i) f
+        |  WHERE c.i < nch AND f.i < nfr),
+        |en AS (
+        |  SELECT doc_id, ch, b, sum(CAST(v AS BIGINT) * v) AS e
+        |  FROM sp GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT doc_id, c.i AS ch, g.i AS b
+        |  FROM wv
+        |  CROSS JOIN (SELECT unnest(range(2)) AS i) c
+        |  CROSS JOIN (SELECT unnest(range(17)) AS i) g
+        |  WHERE c.i < nch),
+        |eg AS (
+        |  SELECT grid.doc_id, grid.ch, grid.b, coalesce(en.e, 0) AS e
+        |  FROM grid LEFT JOIN en USING (doc_id, ch, b)),
+        |bits AS (
+        |  SELECT a.doc_id, a.ch * 16 + a.b AS bit_i,
+        |    CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM eg a JOIN eg n ON n.doc_id = a.doc_id AND n.ch = a.ch
+        |    AND n.b = a.b + 1
+        |  WHERE a.b < 16)
+        |SELECT doc_id, 'wav' AS format,
+        |  CAST(sum(bit * (CASE WHEN bit_i = 63 THEN -9223372036854775808
+        |                       ELSE CAST(power(2, bit_i) AS BIGINT) END))
+        |    AS BIGINT) AS ahash
+        |FROM bits GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(NULL AS BIGINT) AS ahash
+        |FROM d WHERE doc_id % 3 <> 1""".stripMargin,
     // frame-sampling oracle: window index f // 8 over the closed-form
     // PCM samples, exact integer Σv / Σv² / min / max per (channel,
     // window) — full and partial trailing windows both re-derived

@@ -198,6 +198,83 @@ object MediaTransform {
     spark.createDataFrame(rdd, DhashSchema)
   }
 
+  // ---- perceptual audio hashing (energy contour) ---------------------------
+
+  /** Audio hash grid: 17 equal time buckets → 16 energy-difference bits
+    * per channel; up to 4 channels folded → ≤ 64 bits. */
+  val AudioDhashGrid = 17
+  val AudioDhashMaxCh = 4
+
+  private val AudioDhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("ahash", LongType, nullable = true)))
+
+  /** Energy-contour hash of one PCM clip — [[dhashOne]]'s audio twin:
+    * frames bucketed onto a fixed [[AudioDhashGrid]]-slot time grid with
+    * the same exact integer floor mapping (`(f·grid) div nFrames`),
+    * per-(channel, bucket) energy Σv² folded exactly in Long, bit
+    * `c·16 + i` set iff bucket `i+1` is strictly louder than bucket `i`.
+    * The contour survives re-encoding, resampling-free trims, and gain
+    * that preserves loudness ORDER between slots — while exact hashes
+    * diverge on any byte change; feed the hashes to the simhash Hamming
+    * banding for corpus-scale near-dup audio. Buckets no frame maps to
+    * (short clips) have energy 0 — deterministic, mirrored by the
+    * oracle. Channels beyond [[AudioDhashMaxCh]] are ignored (64-bit
+    * budget). Non-WAV payloads degrade to a null-`ahash` marker row. */
+  def audioDhashOne(docId: Long, bytes: Array[Byte]): Seq[Row] =
+    try {
+      val probedFormat =
+        if (bytes == null || bytes.isEmpty) "unknown"
+        else MediaProbe.probe(bytes).format
+      if (probedFormat != "wav") Seq(Row(docId, probedFormat, null))
+      else {
+        val p = MediaDecode.openWav(bytes) match {
+          case Left(reason) => return Seq(Row(docId, reason, null))
+          case Right(pcm) => pcm
+        }
+        val nFrames = p.nFrames
+        val nch = math.min(p.nch, AudioDhashMaxCh)
+        val energy = Array.ofDim[Long](nch, AudioDhashGrid)
+        var f = 0
+        while (f < nFrames) {
+          val b = ((f.toLong * AudioDhashGrid) / nFrames).toInt
+          var c = 0
+          while (c < nch) {
+            val v = p.sample(f, c)
+            energy(c)(b) += v * v
+            c += 1
+          }
+          f += 1
+        }
+        var hash = 0L
+        var c = 0
+        while (c < nch) {
+          var i = 0
+          while (i < AudioDhashGrid - 1) {
+            if (energy(c)(i + 1) > energy(c)(i)) hash |= 1L << (c * 16 + i)
+            i += 1
+          }
+          c += 1
+        }
+        Seq(Row(docId, "wav", hash))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq(Row(docId, "undecodable", null))
+    }
+
+  /** Distributed audio energy-contour hash over `(idCol, payloadCol)`.
+    * One pass, no shuffle. */
+  def audioDhash(spark: SparkSession, df: DataFrame,
+                 idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
+      audioDhashOne(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(rdd, AudioDhashSchema)
+  }
+
   // ---- audio frame-sampling ---------------------------------------------
 
   private val FrameSchema: StructType = StructType(Seq(

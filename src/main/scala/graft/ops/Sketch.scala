@@ -28,12 +28,12 @@ import org.apache.spark.sql.types._
   * across engines. [[HashMode.Default]] (codegen xxhash64) is the
   * production path when cross-engine replay is not needed.
   *
-  * Stream admissibility: both spellings below are valid Structured
-  * Streaming aggregations as-is (complete/update mode) — the KMV buffer
-  * and the CM grid are semilattice merges, so the streaming state after
-  * any prefix equals the batch operator over the union of all batches,
-  * bit for bit (StreamSketchSpec pins this). No separate streaming twin
-  * is needed.
+  * Stream admissibility: all three sketches below are valid Structured
+  * Streaming aggregations as-is (complete/update mode) — the KMV
+  * buffer, the CM grid, and the min-k quantile sample are semilattice
+  * merges, so the streaming state after any prefix equals the batch
+  * operator over the union of all batches, bit for bit
+  * (StreamSketchSpec pins each). No separate streaming twin is needed.
   */
 object Sketch {
 

@@ -175,4 +175,41 @@ class MediaTransformSpec extends SparkSpec {
     assert(out.count() == 30L)
     assert(out.filter(org.apache.spark.sql.functions.col("dhash").isNull).count() == 10L)
   }
+
+  private def expectedAudioDhash(doc: Long): Long = {
+    val (nch, nFrames) = MediaDecode.wavShape(doc)
+    val grid = MediaTransform.AudioDhashGrid
+    val energy = Array.ofDim[Long](nch, grid)
+    for (f <- 0 until nFrames; c <- 0 until nch) {
+      val v = MediaDecode.sampleValue(doc, c, f).toLong
+      energy(c)((f * grid) / nFrames) += v * v
+    }
+    var hash = 0L
+    for (c <- 0 until nch; i <- 0 until grid - 1)
+      if (energy(c)(i + 1) > energy(c)(i)) hash |= 1L << (c * 16 + i)
+    hash
+  }
+
+  test("audioDhash reproduces the closed form, incl. empty grid slots") {
+    // doc 16: mono, nFrames=32 (every slot hit); doc 1: stereo,
+    // nFrames=17 — exactly one frame per slot; doc 4: mono, nFrames=20;
+    // doc 34: mono, nFrames=16 < 17 slots — slot 16 stays EMPTY
+    // (energy 0), the convention the oracle coalesces
+    for (doc <- Seq(16L, 1L, 4L, 34L)) {
+      val rows = MediaTransform.audioDhashOne(doc, MediaDecode.syntheticWav(doc))
+      assert(rows.size == 1 && rows.head.getString(1) == "wav")
+      assert(rows.head.getLong(2) == expectedAudioDhash(doc), s"doc $doc")
+    }
+  }
+
+  test("audioDhash totality and the distributed seam") {
+    val png = MediaTransform.audioDhashOne(0L, MediaDecode.syntheticImage(0L, "png"))
+    assert(png.head.getString(1) == "png" && png.head.isNullAt(2))
+    assert(MediaTransform.audioDhashOne(1L, null).head.isNullAt(2))
+    assert(MediaTransform.audioDhashOne(2L, "x".getBytes).head.getString(1) == "unknown")
+    val out = MediaTransform.audioDhash(spark,
+      MediaDecode.syntheticPayloads(spark, (0L until 30L).toDF("doc_id")))
+    assert(out.count() == 30L)
+    assert(out.filter(org.apache.spark.sql.functions.col("ahash").isNotNull).count() == 10L)
+  }
 }

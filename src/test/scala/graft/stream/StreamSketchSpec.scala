@@ -76,4 +76,37 @@ class StreamSketchSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("quantile sketch streams exactly: min-k rows state == batch over union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Long, Long)](spark)
+    val src = mem.toDF().toDF("g", "id", "v")
+    val q = Sketch.quantileSketch(src, "g", "id", "v", k = 8)
+      .writeStream.format("memory").queryName("qs_stream_out")
+      .outputMode("complete").start()
+    // disjoint row ids across batches (rows have multiplicity — the
+    // disjointness contract mergeQuantile documents)
+    val b1 = (1 to 40).map(i => ("s1", i.toLong, (i * 13 % 97).toLong))
+    val b2 = (41 to 80).map(i => ("s1", i.toLong, (i * 13 % 97).toLong)) ++
+      Seq(("s2", 1L, 5L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("qs_stream_out")
+        .as[(String, Seq[(Long, Long)])].collect().toMap
+      val batch = Sketch.quantileSketch((b1 ++ b2).toDF("g", "id", "v"),
+        "g", "id", "v", k = 8).as[(String, Seq[(Long, Long)])].collect().toMap
+      assert(streamed == batch,
+        s"streaming quantile state diverged from batch:\n$streamed\nvs\n$batch")
+      // and the estimates over the streamed state match the batch path
+      val se = Sketch.quantileEstimate(spark.table("qs_stream_out"))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> t).toMap
+      val be = Sketch.quantileEstimate(Sketch.quantileSketch(
+        (b1 ++ b2).toDF("g", "id", "v"), "g", "id", "v", k = 8))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> t).toMap
+      assert(se == be)
+    } finally q.stop()
+  }
 }
