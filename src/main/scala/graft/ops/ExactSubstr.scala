@@ -103,12 +103,10 @@ object ExactSubstr {
       .agg(sum(col("n_tokens")).as("_ds_dup"))
     docs
       .select(col(idCol),
-        // regexp_count of \S+ runs == the normalized token count
-        // (normalization only collapses whitespace), and — unlike
-        // size(split(...)), which reports 1 for an empty string — it
-        // is 0 for empty/blank docs, matching the oracle's len(toks)
-        regexp_count(col(textCol), lit("\\S+"))
-          .cast(LongType).as("n_tokens"))
+        // the canonical token count (\S+ runs == the normalized token
+        // count, and 0 for empty/blank docs where size(split(...))
+        // would report 1 — matching the oracle's len(toks))
+        TextOps.tokenCount(col(textCol)).as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("_ds_dup"), lit(0L)).as("n_dup_tokens"),

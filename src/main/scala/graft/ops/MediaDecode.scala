@@ -178,6 +178,26 @@ object MediaDecode {
       Row(docId, "wav", c.toLong, nFrames.toLong, sum(c), mn(c), mx(c)))
   }
 
+  /** The payload-operator seam shared by every media operator
+    * ([[decodeStats]], [[MediaTransform.resizePixels]] /
+    * [[MediaTransform.frameStats]] / [[MediaTransform.dhash]] /
+    * [[MediaTransform.audioDhash]]): cast `(idCol, payloadCol)`, skip
+    * null ids (no document to attribute output to — the total-posture
+    * rule), pass null payloads through to `one` (which degrades them to
+    * marker rows), and run per partition with zero driver involvement
+    * and zero shuffle. ONE implementation so a fix to the null seam can
+    * never diverge between operators. */
+  private[ops] def perPayload(spark: SparkSession, df: DataFrame,
+                              idCol: String, payloadCol: String,
+                              schema: StructType)
+                             (one: (Long, Array[Byte]) => Seq[Row]): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
+      one(r.getLong(0),
+        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Decode one payload to per-channel stat rows. Total: garbage, nulls,
     * truncation, bombs, and lossy formats all degrade to `n = 0` rows. */
   def decode(docId: Long, bytes: Array[Byte]): Seq[Row] =
@@ -194,25 +214,13 @@ object MediaDecode {
       }
     } catch { case scala.util.control.NonFatal(_) => skipped(docId, "undecodable") }
 
-  /** Per-partition batched decode — the seam [[Multimodal]] documents,
-    * now with a real codec behind it. */
-  def decodePartition(rows: Iterator[(Long, Array[Byte])]): Iterator[Row] =
-    rows.flatMap { case (docId, bytes) => decode(docId, bytes) }
-
   /** Distributed per-channel decode stats over `(idCol, payloadCol)`:
     * doc_id, format, channel, n, v_mean (round 6), v_min, v_max. One
     * pass, no shuffle — stats fold inside the decode partition. */
   def decodeStats(spark: SparkSession, df: DataFrame,
                   idCol: String = "doc_id",
                   payloadCol: String = "payload"): DataFrame = {
-    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
-    // a null id has no document to attribute stats to: the row is
-    // skipped (never thrown on), completing the total posture — null
-    // PAYLOADS already degrade to a skipped-format row above
-    val rdd = src.rdd.mapPartitions(it =>
-      decodePartition(it.filter(r => !r.isNullAt(0)).map(r => (r.getLong(0),
-        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)))))
-    spark.createDataFrame(rdd, RawSchema)
+    perPayload(spark, df, idCol, payloadCol, RawSchema)(decode)
       .select(col("doc_id"), col("format"), col("channel"), col("n"),
         // exact Long sum, one correctly-rounded divide, round 6 — the
         // corrByGroup determinism convention

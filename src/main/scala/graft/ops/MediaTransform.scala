@@ -102,15 +102,9 @@ object MediaTransform {
     * shuffle — the transform folds inside the decode partition. */
   def resizePixels(spark: SparkSession, df: DataFrame, outW: Int, outH: Int,
                    idCol: String = "doc_id",
-                   payloadCol: String = "payload"): DataFrame = {
-    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
-    // null ids have no document to attribute pixels to: skipped (the
-    // MediaDecode.decodeStats posture); null payloads degrade above
-    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
-      resizeOne(r.getLong(0),
-        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1), outW, outH)))
-    spark.createDataFrame(rdd, ResizeSchema)
-  }
+                   payloadCol: String = "payload"): DataFrame =
+    MediaDecode.perPayload(spark, df, idCol, payloadCol, ResizeSchema)(
+      resizeOne(_, _, outW, outH))
 
   // ---- perceptual image hashing (dHash) -----------------------------------
 
@@ -190,13 +184,8 @@ object MediaTransform {
     * payloads). One pass, no shuffle. */
   def dhash(spark: SparkSession, df: DataFrame,
             idCol: String = "doc_id",
-            payloadCol: String = "payload"): DataFrame = {
-    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
-    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
-      dhashOne(r.getLong(0),
-        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))))
-    spark.createDataFrame(rdd, DhashSchema)
-  }
+            payloadCol: String = "payload"): DataFrame =
+    MediaDecode.perPayload(spark, df, idCol, payloadCol, DhashSchema)(dhashOne)
 
   // ---- perceptual audio hashing (energy contour) ---------------------------
 
@@ -247,12 +236,17 @@ object MediaTransform {
           }
           f += 1
         }
+        // channel stride = bits per channel = grid - 1; the require
+        // keeps the constants coupled (a grid change that overflows the
+        // 64-bit budget must fail loudly, not wrap shifts silently)
+        val stride = AudioDhashGrid - 1
+        require(AudioDhashMaxCh * stride <= 64, "audio hash exceeds 64 bits")
         var hash = 0L
         var c = 0
         while (c < nch) {
           var i = 0
-          while (i < AudioDhashGrid - 1) {
-            if (energy(c)(i + 1) > energy(c)(i)) hash |= 1L << (c * 16 + i)
+          while (i < stride) {
+            if (energy(c)(i + 1) > energy(c)(i)) hash |= 1L << (c * stride + i)
             i += 1
           }
           c += 1
@@ -267,13 +261,9 @@ object MediaTransform {
     * One pass, no shuffle. */
   def audioDhash(spark: SparkSession, df: DataFrame,
                  idCol: String = "doc_id",
-                 payloadCol: String = "payload"): DataFrame = {
-    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
-    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
-      audioDhashOne(r.getLong(0),
-        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))))
-    spark.createDataFrame(rdd, AudioDhashSchema)
-  }
+                 payloadCol: String = "payload"): DataFrame =
+    MediaDecode.perPayload(spark, df, idCol, payloadCol, AudioDhashSchema)(
+      audioDhashOne)
 
   // ---- audio frame-sampling ---------------------------------------------
 
@@ -347,11 +337,7 @@ object MediaTransform {
     * shuffle. */
   def frameStats(spark: SparkSession, df: DataFrame, frameWin: Int,
                  idCol: String = "doc_id",
-                 payloadCol: String = "payload"): DataFrame = {
-    val src = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
-    val rdd = src.rdd.mapPartitions(_.filter(r => !r.isNullAt(0)).flatMap(r =>
-      frameOne(r.getLong(0),
-        if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1), frameWin)))
-    spark.createDataFrame(rdd, FrameSchema)
-  }
+                 payloadCol: String = "payload"): DataFrame =
+    MediaDecode.perPayload(spark, df, idCol, payloadCol, FrameSchema)(
+      frameOne(_, _, frameWin))
 }
