@@ -81,6 +81,26 @@ object SparkEntry {
         concat(lit("?ref="), (col("doc_id") % 3).cast("string")))
         .otherwise(lit(""))))
 
+  /** Anchor-injected documents shared by q_extract_links and
+    * q_link_rank: on doc_id % 9 == 0 (the corpus carries no '<') —
+    * a double-quoted href, a single-quoted href on a decorated tag, an
+    * UNQUOTED href (valid HTML, the third value style), and an
+    * href-LESS anchor that must occupy link_pos 3 without emitting a
+    * row. */
+  private def docsWithAnchors(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, concat(
+        col("text"),
+        lit(" <a href=\"https://www"), (col("doc_id") % 7).cast("string"),
+        lit(".example"), (col("doc_id") % 5).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string"),
+        lit("?u=1\">x</a> mid <a class='k' href='http://m.example"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".org/q'>y</a> <a href=http://bare.example"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".net/r class=m>w</a> <a name=\"n\">z</a>")))
+        .otherwise(col("text")).as("text"))
+
   private val lineitemSpecs = Expectations.fromContract(DemoContracts.lineitem)
 
   private def splitPart(s: SparkSession, dir: String, suffix: String): DataFrame = {
@@ -791,22 +811,37 @@ object SparkEntry {
     // HTML, the third value style), and an href-LESS anchor that must
     // occupy link_pos 3 without emitting a row; composed with parseUrls
     // so host + registrable domain gate end to end
-    "q_extract_links" -> ((s, d) => {
-      val dirty = t(s, d, "documents").select(col("doc_id"),
-        when(col("doc_id") % 9 === 0, concat(
-          col("text"),
-          lit(" <a href=\"https://www"), (col("doc_id") % 7).cast("string"),
-          lit(".example"), (col("doc_id") % 5).cast("string"),
-          lit(".com/p"), col("doc_id").cast("string"),
-          lit("?u=1\">x</a> mid <a class='k' href='http://m.example"),
-          (col("doc_id") % 5).cast("string"),
-          lit(".org/q'>y</a> <a href=http://bare.example"),
-          (col("doc_id") % 5).cast("string"),
-          lit(".net/r class=m>w</a> <a name=\"n\">z</a>")))
-          .otherwise(col("text")).as("text"))
-      UrlOps.parseUrls(UrlOps.extractLinks(dirty), "href")
+    "q_extract_links" -> ((s, d) =>
+      UrlOps.parseUrls(UrlOps.extractLinks(docsWithAnchors(s, d)), "href")
         .select(col("doc_id"), col("link_pos"), col("href"),
-          col("host"), col("domain"))
+          col("host"), col("domain"))),
+    // the COMPOSED crawl-graph pipeline, gated end to end: markup →
+    // links (extractLinks) → URL layer (parseUrls registrable domains,
+    // for the page url AND every link) → (page domain → link domain)
+    // edge list → integer fixed-point PageRank over the domain graph —
+    // the link-spam/authority score a crawl-curation pass weights
+    // domains by. Domain nodes enter the numeric graph engine via the
+    // portable 60-bit hash (the oracle recomputes it), names joined
+    // back at the end.
+    "q_link_rank" -> ((s, d) => {
+      val links = UrlOps.parseUrls(
+        UrlOps.extractLinks(docsWithAnchors(s, d)), "href")
+        .select(col("doc_id"), col("domain").as("link_domain"))
+      val pages = UrlOps.parseUrls(docsWithUrl(s, d), "url")
+        .select(col("doc_id"), col("domain").as("page_domain"))
+      val edges = pages.join(links, Seq("doc_id"))
+        .filter(col("page_domain") =!= "" && col("link_domain") =!= "")
+        .select(col("page_domain"), col("link_domain")).distinct()
+      val hashed = edges.select(
+        HashMode.Portable.hash(lit("lg"), col("page_domain")).as("src"),
+        HashMode.Portable.hash(lit("lg"), col("link_domain")).as("dst"))
+      val names = edges.select(col("page_domain").as("domain"))
+        .unionByName(edges.select(col("link_domain").as("domain")))
+        .distinct()
+        .withColumn("node", HashMode.Portable.hash(lit("lg"), col("domain")))
+      graft.ops.Graph.pageRank(hashed, iters = 3)
+        .join(names, Seq("node"))
+        .select(col("domain"), col("rank"))
     }),
     // ---- fuzzy (edit-distance) matching + temperature mixing ----------
     // typo-distance self-pairs over part names, blocked by first token +
@@ -2518,52 +2553,54 @@ object SparkEntry {
     // (ControlClass convention; single quotes doubled for the SQL
     // literal), unnest+subscripts for tag position, CASE-coalesced
     // double/single/unquoted href, then the urlCte host derivation and
-    // domainSql over the extracted hrefs
+    // domainSql over the extracted hrefs (CTE chain shared with the
+    // composed q_link_rank oracle)
     "q_extract_links" ->
-      s"""WITH base AS (
-        |  SELECT doc_id,
-        |    text || CASE WHEN doc_id % 9 = 0 THEN
-        |      ' <a href="https://www' || CAST(doc_id % 7 AS VARCHAR) ||
-        |      '.example' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' ||
-        |      CAST(doc_id AS VARCHAR) ||
-        |      '?u=1">x</a> mid <a class=''k'' href=''http://m.example' ||
-        |      CAST(doc_id % 5 AS VARCHAR) ||
-        |      '.org/q''>y</a> <a href=http://bare.example' ||
-        |      CAST(doc_id % 5 AS VARCHAR) ||
-        |      '.net/r class=m>w</a> <a name="n">z</a>'
-        |    ELSE '' END AS t2
-        |  FROM documents),
-        |tg AS (
-        |  SELECT doc_id,
-        |    regexp_extract_all(t2,
-        |      '${graft.ops.UrlOps.ATagPattern.replace("'", "''")}') AS tags
-        |  FROM base),
-        |ps AS (
-        |  SELECT doc_id, unnest(tags) AS tag,
-        |    generate_subscripts(tags, 1) - 1 AS link_pos
-        |  FROM tg),
-        |hr AS (
-        |  SELECT doc_id, link_pos,
-        |    CASE WHEN regexp_extract(tag,
-        |           '${graft.ops.UrlOps.HrefDqPattern.replace("'", "''")}', 1) <> ''
-        |         THEN regexp_extract(tag,
-        |           '${graft.ops.UrlOps.HrefDqPattern.replace("'", "''")}', 1)
-        |         WHEN regexp_extract(tag,
-        |           '${graft.ops.UrlOps.HrefSqPattern.replace("'", "''")}', 1) <> ''
-        |         THEN regexp_extract(tag,
-        |           '${graft.ops.UrlOps.HrefSqPattern.replace("'", "''")}', 1)
-        |         ELSE regexp_extract(tag,
-        |           '${graft.ops.UrlOps.HrefBarePattern.replace("'", "''")}', 1)
-        |         END AS href
-        |  FROM ps),
-        |p AS (
-        |  SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href,
-        |    lower(regexp_extract(
-        |      regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
-        |      '^([^:]+)', 1)) AS host
-        |  FROM hr WHERE href <> '')
+      s"""WITH $linkCtes
         |SELECT doc_id, link_pos, href, host, $domainSql AS domain
-        |FROM p""".stripMargin,
+        |FROM lnk""".stripMargin,
+    // the COMPOSED crawl-graph oracle: anchors → hrefs → registrable
+    // domains (the linkCtes chain), the synthetic per-page url's domain
+    // (the urlCte derivation inlined as pgh/pgd), the distinct
+    // (page domain → link domain) edge list hashed into the portable
+    // 60-bit node space, and the SAME integer PageRank iteration CTEs
+    // as q_pagerank (pagerankIterCtes — one recurrence, two oracles),
+    // names joined back at the end
+    "q_link_rank" ->
+      s"""WITH $linkCtes,
+        |ld AS (
+        |  SELECT doc_id, $domainSql AS link_domain
+        |  FROM (SELECT doc_id, host FROM lnk)),
+        |pgh AS (
+        |  SELECT doc_id, lower(regexp_extract(regexp_extract(
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END ||
+        |     CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |     source ||
+        |     CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |     CASE WHEN doc_id % 11 = 0 THEN ':8080'
+        |          WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END ||
+        |     '/p' || CAST(doc_id % 5 AS VARCHAR) ||
+        |     CASE WHEN doc_id % 6 = 0 THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR)
+        |          ELSE '' END),
+        |    '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '^([^:]+)', 1)) AS host
+        |  FROM documents),
+        |pgd AS (SELECT doc_id, $domainSql AS page_domain FROM pgh),
+        |edges0 AS (
+        |  SELECT DISTINCT page_domain, link_domain
+        |  FROM pgd JOIN ld USING (doc_id)
+        |  WHERE page_domain <> '' AND link_domain <> ''),
+        |edges AS (
+        |  SELECT ${h60("'lg:' || page_domain")} AS src,
+        |    ${h60("'lg:' || link_domain")} AS dst
+        |  FROM edges0),
+        |${pagerankIterCtes(3)},
+        |nm AS (
+        |  SELECT domain, ${h60("'lg:' || domain")} AS node FROM (
+        |    SELECT DISTINCT page_domain AS domain FROM edges0
+        |    UNION
+        |    SELECT DISTINCT link_domain AS domain FROM edges0))
+        |SELECT nm.domain, pr3.rank
+        |FROM pr3 JOIN nm ON pr3.node = nm.node""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // the bloom path must be indistinguishable from the exact path —
     // literally the same oracle
@@ -3736,7 +3773,11 @@ object SparkEntry {
     * pairs (contribution sum, then rank update), every quantity a
     * non-negative BIGINT so DuckDB's flooring `//` and Spark's
     * truncating `div` agree bit-for-bit. */
-  private def pagerankSql: String = {
+  /** The integer fixed-point PageRank iteration CTE chain (nodes, deg,
+    * nn, pr0, c1..prN) over a PRECEDING `edges(src, dst)` CTE — the
+    * SQL twin of [[graft.ops.Graph.pageRank]]'s 85/100 recurrence,
+    * shared by [[pagerankSql]] and the q_link_rank oracle. */
+  private def pagerankIterCtes(iters: Int): String = {
     def step(i: Int) =
       s"""c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
          |    FROM edges e JOIN deg d ON e.src = d.src
@@ -3746,20 +3787,23 @@ object SparkEntry {
          |      + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank
          |    FROM nodes CROSS JOIN nn
          |    LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    s"""nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |  pr0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank
+       |    FROM nodes CROSS JOIN nn),
+       |  ${(1 to iters).map(step).mkString(",\n  ")}""".stripMargin
+  }
+
+  private def pagerankSql: String =
     s"""WITH pairs AS (
        |    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
        |      CAST(l_suppkey AS BIGINT) + 10000000 AS p
        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |  edges AS (SELECT c AS src, p AS dst FROM pairs
        |    UNION ALL SELECT p AS src, c AS dst FROM pairs),
-       |  nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-       |  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |  pr0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank
-       |    FROM nodes CROSS JOIN nn),
-       |  ${(1 to 5).map(step).mkString(",\n  ")}
+       |  ${pagerankIterCtes(5)}
        |SELECT node, rank FROM pr5 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
-  }
 
   /** The q_labelprop oracle: 5 synchronous rounds unrolled — per-round
     * (dst, label) vote counts, "count DESC, label ASC" plurality winner,
@@ -4155,6 +4199,56 @@ object SparkEntry {
       |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
       |    regexp_extract(url, '[?]([^#]*)', 1) AS "query"
       |  FROM u)""".stripMargin
+
+  /** Anchor-extraction CTE chain (through `lnk(doc_id, link_pos, href,
+    * host)`): the SQL mirror of [[docsWithAnchors]] +
+    * [[graft.ops.UrlOps.extractLinks]] + the urlCte host derivation,
+    * with the shared tag/href pattern constants spliced (single quotes
+    * doubled for the SQL literal) — shared by the q_extract_links and
+    * q_link_rank oracles. */
+  private def linkCtes: String =
+    s"""abase AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 9 = 0 THEN
+       |      ' <a href="https://www' || CAST(doc_id % 7 AS VARCHAR) ||
+       |      '.example' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' ||
+       |      CAST(doc_id AS VARCHAR) ||
+       |      '?u=1">x</a> mid <a class=''k'' href=''http://m.example' ||
+       |      CAST(doc_id % 5 AS VARCHAR) ||
+       |      '.org/q''>y</a> <a href=http://bare.example' ||
+       |      CAST(doc_id % 5 AS VARCHAR) ||
+       |      '.net/r class=m>w</a> <a name="n">z</a>'
+       |    ELSE '' END AS t2
+       |  FROM documents),
+       |atg AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(t2,
+       |      '${graft.ops.UrlOps.ATagPattern.replace("'", "''")}') AS tags
+       |  FROM abase),
+       |aps AS (
+       |  SELECT doc_id, unnest(tags) AS tag,
+       |    generate_subscripts(tags, 1) - 1 AS link_pos
+       |  FROM atg),
+       |ahr AS (
+       |  SELECT doc_id, link_pos,
+       |    CASE WHEN regexp_extract(tag,
+       |           '${graft.ops.UrlOps.HrefDqPattern.replace("'", "''")}', 1) <> ''
+       |         THEN regexp_extract(tag,
+       |           '${graft.ops.UrlOps.HrefDqPattern.replace("'", "''")}', 1)
+       |         WHEN regexp_extract(tag,
+       |           '${graft.ops.UrlOps.HrefSqPattern.replace("'", "''")}', 1) <> ''
+       |         THEN regexp_extract(tag,
+       |           '${graft.ops.UrlOps.HrefSqPattern.replace("'", "''")}', 1)
+       |         ELSE regexp_extract(tag,
+       |           '${graft.ops.UrlOps.HrefBarePattern.replace("'", "''")}', 1)
+       |         END AS href
+       |  FROM aps),
+       |lnk AS (
+       |  SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href,
+       |    lower(regexp_extract(
+       |      regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+       |      '^([^:]+)', 1)) AS host
+       |  FROM ahr WHERE href <> '')""".stripMargin
 
   /** Registrable-domain expression over `host` — the oracle twin of
     * [[UrlOps.registrableDomain]] restricted to the suffixes the
