@@ -98,6 +98,82 @@ object SketchIndex {
       .write.mode("overwrite").parquet(s"$outDir/data")
   }
 
+  /** Sketch per-group `(keyCol → valueCol)` min-k row samples
+    * ([[Sketch.quantileSketch]]) and persist — O(groups × k) pairs.
+    * The artifact RECORDS k (and salt/mode), which closes the contract
+    * the raw frames cannot check: [[appendQuantile]] and
+    * [[mergeQuantile]] re-aggregate under the STORED k, so a caller can
+    * never merge with a larger k than the inputs were built with (the
+    * biased-sample hazard `Sketch.mergeQuantile` documents). */
+  def buildQuantile(df: DataFrame, groupCol: String, keyCol: String,
+                    valueCol: String, dir: String, k: Int = 64,
+                    salt: String = "qs", mode: HashMode = HashMode.Portable,
+                    numFiles: Int = 1): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    Sketch.quantileSketch(df, groupCol, keyCol, valueCol, k, salt, mode)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    writeMeta(df.sparkSession, dir, "quantile", Map("k" -> k.toString,
+      "salt" -> salt, "mode" -> modeName(mode)))
+  }
+
+  /** Fold new raw rows (DISJOINT from the artifact's — rows have
+    * multiplicity, the [[Sketch.mergeQuantile]] contract) into a
+    * quantile artifact: only `df` is hashed, then the samples
+    * re-aggregate under the stored parameters — exactly a fresh build
+    * over the concatenated stream. */
+  def appendQuantile(spark: SparkSession, dir: String, df: DataFrame,
+                     groupCol: String, keyCol: String, valueCol: String,
+                     outDir: String, numFiles: Int = 1): Unit = {
+    ArtifactPaths.requireDistinct(spark, dir, outDir)
+    val m = readMeta(spark, dir, "quantile")
+    val k = m("k").toInt
+    val fresh = Sketch.quantileSketch(df, groupCol, keyCol, valueCol, k,
+      m("salt"), modeOf(m("mode")))
+    writeMergedQuantile(spark, Seq(spark.read.parquet(s"$dir/data"), fresh),
+      k, outDir, numFiles)
+    writeMeta(spark, outDir, "quantile", m)
+  }
+
+  /** Merge two quantile artifacts over disjoint row sets (same
+    * k/salt/mode — verified from both metadata files). */
+  def mergeQuantile(spark: SparkSession, dirA: String, dirB: String,
+                    outDir: String, numFiles: Int = 1): Unit = {
+    ArtifactPaths.requireDistinct(spark, dirA, outDir)
+    ArtifactPaths.requireDistinct(spark, dirB, outDir)
+    val a = readMeta(spark, dirA, "quantile")
+    val b = readMeta(spark, dirB, "quantile")
+    require(a == b, s"quantile artifacts disagree on parameters: $a vs $b")
+    writeMergedQuantile(spark, Seq(spark.read.parquet(s"$dirA/data"),
+      spark.read.parquet(s"$dirB/data")), a("k").toInt, outDir, numFiles)
+    writeMeta(spark, outDir, "quantile", a)
+  }
+
+  /** Nearest-rank quantile estimates from a quantile artifact via
+    * [[Sketch.quantileEstimate]]. */
+  def estimateQuantile(spark: SparkSession, dir: String,
+                       pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    readMeta(spark, dir, "quantile") // kind check
+    Sketch.quantileEstimate(spark.read.parquet(s"$dir/data"), pcts)
+  }
+
+  private def writeMergedQuantile(spark: SparkSession, parts: Seq[DataFrame],
+                                  k: Int, outDir: String,
+                                  numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    import spark.implicits._
+    parts.reduce(_ unionByName _)
+      .select(col("group"), explode(col("sample")).as("_p"))
+      .select(col("group"), col("_p._1").as("_h"), col("_p._2").as("_v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopK.minKPairs(k))
+      .toDF("group", "sample")
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(s"$outDir/data")
+  }
+
   /** Build and persist a count-min grid over `valueCol`
     * ([[Sketch.countMin]]): ≤ d × w counter rows. */
   def buildCm(df: DataFrame, valueCol: String, dir: String,

@@ -241,4 +241,35 @@ class SketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sketch.quantileEstimate(df, Seq(0)))
     intercept[IllegalArgumentException](Sketch.quantileSketch(df, "g", "id", "v", 0))
   }
+
+  test("SketchIndex quantile append/merge equal a fresh build over the union") {
+    val a = tmpDir("qs_a"); val b = tmpDir("qs_b")
+    val outApp = tmpDir("qs_app"); val outMrg = tmpDir("qs_mrg")
+    // DISJOINT row ids across shards (the documented row-sample contract)
+    val d1 = (1 to 250).map(i => (s"s${i % 3}", i.toLong, (i * 13 % 211).toLong))
+      .toDF("g", "id", "v")
+    val d2 = (251 to 500).map(i => (s"s${i % 3}", i.toLong, (i * 13 % 211).toLong))
+      .toDF("g", "id", "v")
+    SketchIndex.buildQuantile(d1, "g", "id", "v", a, k = 24)
+    SketchIndex.buildQuantile(d2, "g", "id", "v", b, k = 24)
+    SketchIndex.appendQuantile(spark, a, d2, "g", "id", "v", outApp)
+    SketchIndex.mergeQuantile(spark, a, b, outMrg)
+    def est(dir: String) = SketchIndex.estimateQuantile(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    val fresh = Sketch.quantileEstimate(Sketch.quantileSketch(
+      d1.unionByName(d2), "g", "id", "v", k = 24))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(est(outApp) === fresh, "append == fresh build over the union")
+    assert(est(outMrg) === fresh, "merge == fresh build over the union")
+    // merges re-aggregate under the STORED k: artifacts with different
+    // build k refuse to merge (the biased-sample hazard, now checkable)
+    val c = tmpDir("qs_c")
+    SketchIndex.buildQuantile(d2, "g", "id", "v", c, k = 16)
+    val e = intercept[IllegalArgumentException] {
+      SketchIndex.mergeQuantile(spark, a, c, tmpDir("qs_d"))
+    }
+    assert(e.getMessage.contains("disagree"))
+  }
 }
