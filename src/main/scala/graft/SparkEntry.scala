@@ -751,6 +751,22 @@ object SparkEntry {
         .select(col("doc_id"))
       MediaTransform.dhash(s, MediaDecode.syntheticPayloads(s, ids))
     }),
+    // perceptual near-dup END TO END: dHash fingerprints through the
+    // SAME pigeonhole Hamming banding as text simhash (hammingPairs —
+    // one engine, any 64-bit fingerprint). Fixture: per image doc a
+    // cross-CODEC duplicate (bmp of the same pixels — must pair at
+    // Hamming 0) and a one-pixel-perturbed near-duplicate (distance
+    // formula-determined, oracle-recomputed). Banding is recall-
+    // lossless, so the oracle's brute-force bit_count(xor) filter IS
+    // the semantics.
+    "q_dedup_perceptual" -> ((s, d) => {
+      val ids = t(s, d, "documents")
+        .filter(col("doc_id") < 60 && col("doc_id") % 3 === 0)
+        .select(col("doc_id"))
+      NearDup.hammingPairs(
+        MediaTransform.dhash(s, MediaDecode.perceptualPayloads(s, ids)),
+        maxHamming = 8, hashCol = "dhash")
+    }),
     // audio energy-contour hash (the dHash audio twin): 17-slot floor-
     // mapped time grid, per-(channel, slot) exact Σv² energy, strict
     // louder-than bits folded across channels — every bit recomputed by
@@ -3620,6 +3636,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'wav' AS format, CAST(NULL AS BIGINT) AS dhash
         |FROM d WHERE doc_id % 3 = 1""".stripMargin,
+    "q_dedup_perceptual" -> perceptualSql,
     // the audio-hash oracle recomputes the 17-slot grid (floor mapping
     // (f*17) // nfr), the exact Σv² energies — empty slots coalesced to
     // 0, the convention the operator's zero-initialised array gives —
@@ -4199,6 +4216,53 @@ object SparkEntry {
       |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
       |    regexp_extract(url, '[?]([^#]*)', 1) AS "query"
       |  FROM u)""".stripMargin
+
+  /** The q_dedup_perceptual oracle: recompute every variant's dHash
+    * from the fixture formulas (base pixels, the cross-codec twin's
+    * IDENTICAL pixels, the (0,0)+8 perturbation), then brute-force the
+    * Hamming filter — legitimate as THE semantics because the banding
+    * is recall-lossless by pigeonhole (the operator's output must equal
+    * the brute-force filter exactly). */
+  private def perceptualSql: String = {
+    def term(cOff: Int, coef: Int) =
+      s"$coef * (((src*31 + sx*7 + sy*13 + $cOff) % 256 + " +
+        "CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256)"
+    s"""WITH d AS (
+       |  SELECT doc_id FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0),
+       |var AS (
+       |  SELECT doc_id AS vid, doc_id AS src, 0 AS pert FROM d
+       |  UNION ALL SELECT doc_id + 1000, doc_id, 0 FROM d
+       |  UNION ALL SELECT doc_id + 2000, doc_id, 1 FROM d),
+       |dims AS (SELECT vid, src, pert, 4 + src % 5 AS w, 3 + src % 4 AS h
+       |  FROM var),
+       |grid AS (
+       |  SELECT vid, src, pert, x.i AS gx, y.i AS gy,
+       |    (x.i * w) // 9 AS sx, (y.i * h) // 8 AS sy
+       |  FROM dims
+       |  CROSS JOIN (SELECT unnest(range(9)) AS i) x
+       |  CROSS JOIN (SELECT unnest(range(8)) AS i) y),
+       |g AS (
+       |  SELECT vid, gx, gy,
+       |    (${term(0, 299)}
+       |   + ${term(29, 587)}
+       |   + ${term(58, 114)}) // 1000 AS luma
+       |  FROM grid),
+       |b AS (
+       |  SELECT a.vid, a.gy * 8 + a.gx AS bit_i,
+       |    CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+       |  FROM g a JOIN g n ON n.vid = a.vid AND n.gy = a.gy
+       |    AND n.gx = a.gx + 1
+       |  WHERE a.gx < 8),
+       |hv AS (
+       |  SELECT vid, CAST(sum(bit *
+       |    (CASE WHEN bit_i = 63 THEN -9223372036854775808
+       |          ELSE CAST(power(2, bit_i) AS BIGINT) END)) AS BIGINT) AS h
+       |  FROM b GROUP BY vid)
+       |SELECT a.vid AS doc_a, c.vid AS doc_b,
+       |  CAST(bit_count(xor(a.h, c.h)) AS BIGINT) AS hamming
+       |FROM hv a JOIN hv c ON a.vid < c.vid
+       |WHERE bit_count(xor(a.h, c.h)) <= 8""".stripMargin
+  }
 
   /** Anchor-extraction CTE chain (through `lnk(doc_id, link_pos, href,
     * host)`): the SQL mirror of [[docsWithAnchors]] +

@@ -299,6 +299,50 @@ object MediaDecode {
     bb.array()
   }
 
+  /** Synthetic still with ONE perturbed pixel — the near-duplicate twin
+    * for the perceptual-dedup gate: every channel of pixel (0, 0)
+    * shifts by `delta` (mod 256), every other pixel follows
+    * [[pixelValue]]. Mirrored verbatim in the oracle SQL. */
+  def syntheticImageShift(doc: Long, fmt: String, delta: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val (w, h) = imageDims(doc)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def v(c: Int): Int =
+          (pixelValue(doc, c, x, y) + (if (x == 0 && y == 0) delta else 0)) % 256
+        img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
+    out.toByteArray
+  }
+
+  /** Perceptual-dedup fixture: for each input id, THREE payload
+    * variants — `(doc, png)`, `(doc + 1000, bmp of the SAME pixels)` —
+    * the cross-codec duplicate whose dHash must match at Hamming 0 —
+    * and `(doc + 2000, png with pixel (0, 0) shifted +8)` — the
+    * near-duplicate whose distance the oracle recomputes exactly. */
+  def perceptualPayloads(spark: SparkSession, ids: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val src = ids.select(col(idCol).cast(LongType))
+    val rdd = src.rdd.flatMap { r =>
+      val doc = r.getLong(0)
+      Seq(Row(doc, syntheticImage(doc, "png")),
+        Row(doc + 1000, syntheticImage(doc, "bmp")),
+        Row(doc + 2000, syntheticImageShift(doc, "png", 8)))
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
   /** Distributed fixture generator: `(doc_id, payload)` with
     * doc_id % 3 → 0: png, 1: wav, 2: bmp — built per partition through
     * the real encoders, nothing driver-side. */

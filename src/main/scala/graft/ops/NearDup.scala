@@ -489,25 +489,45 @@ object NearDup {
     * quadratic buckets at corpus scale) — callers that raise it should
     * add a second blocking key. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-                   mode: HashMode = HashMode.Default): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < mode.bits,
-      s"maxHamming must be in [0, ${mode.bits - 1}]")
-    val sh = simhash(docs, mode)
+                   mode: HashMode = HashMode.Default): DataFrame =
+    hammingPairs(simhash(docs, mode), maxHamming,
+      hashCol = "simhash", bits = mode.bits)
+
+  /** Hamming-radius self-join over an ARBITRARY 64-or-fewer-bit hash
+    * column — the banding/verify engine behind [[simhashPairs]],
+    * exposed so any fingerprint in the same space can reuse it:
+    * [[MediaTransform.dhash]] (perceptual image near-dup),
+    * [[MediaTransform.audioDhash]] (audio energy contours), or an
+    * externally computed signature. Same pigeonhole blocking
+    * (`maxHamming + 1` bands, exact agreement on ≥ 1 band is implied
+    * by ≤ maxHamming differing bits — zero recall loss), same exact
+    * `bit_count(xor)` verify. Null hashes are dropped (no fingerprint
+    * to compare). The [[simhashPairs]] band-width scale note applies:
+    * large radii narrow bands toward quadratic buckets — add a second
+    * blocking key or keep the input bounded. */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int,
+                   hashCol: String = "simhash", idCol: String = "doc_id",
+                   bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, ${bits - 1}]")
+    val sh = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(hashCol).as("_hp_hash"))
     val numBands = maxHamming + 1
-    val base = mode.bits / numBands
-    val extra = mode.bits % numBands // first `extra` bands get one more bit
+    val base = bits / numBands
+    val extra = bits % numBands // first `extra` bands get one more bit
     val starts = (0 until numBands).scanLeft(0)((s, b) => s + base + (if (b < extra) 1 else 0))
     val bands = (0 until numBands).map { b =>
       val width = base + (if (b < extra) 1 else 0)
       val mask = if (width >= 63) -1L else (1L << width) - 1L
-      shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit(mask))
+      shiftrightunsigned(col("_hp_hash"), starts(b)).bitwiseAND(lit(mask))
     }
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = sh.select(col("doc_id"), col("_hp_hash"),
       posexplode(array(bands: _*)).as(Seq("band", "band_val")))
     banded.alias("x").join(banded.alias("y"), Seq("band", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+        col("x._hp_hash").as("sh_a"), col("y._hp_hash").as("sh_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast(LongType))
       .filter(col("hamming") <= maxHamming)

@@ -212,4 +212,16 @@ class MediaTransformSpec extends SparkSpec {
     assert(out.count() == 30L)
     assert(out.filter(org.apache.spark.sql.functions.col("ahash").isNotNull).count() == 10L)
   }
+
+  test("perceptual dedup composition: cross-codec duplicates pair at Hamming 0") {
+    val ids = Seq(0L, 3L, 6L).toDF("doc_id")
+    val pairs = NearDup.hammingPairs(
+      MediaTransform.dhash(spark, MediaDecode.perceptualPayloads(spark, ids)),
+      maxHamming = 8, hashCol = "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every (doc, doc+1000) cross-codec pair must surface at distance 0
+    for (doc <- Seq(0L, 3L, 6L))
+      assert(pairs.contains((doc, doc + 1000L, 0L)),
+        s"codec twin of $doc missing from ${pairs.mkString(",")}")
+  }
 }

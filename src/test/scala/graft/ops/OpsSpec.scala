@@ -159,6 +159,28 @@ class NearDupSpec extends SparkSpec {
     assert(pairs((1L, 4L)) == 0L)
     assert(pairs.get((1L, 2L)).exists(_ <= 16L))
   }
+
+  test("hammingPairs is a generic 64-bit engine: nulls dropped, radius exact, recall-lossless") {
+    val df = Seq(
+      (1L, Option(0x0F0FL)), (2L, Option(0x0F0EL)),          // hamming 1
+      (3L, Option(0x0F0F0F0F0F0F0F0FL)), (4L, Option(-1L)),  // far from all
+      (5L, Option.empty[Long])                                // no fingerprint
+    ).toDF("doc_id", "h")
+    val got = NearDup.hammingPairs(df, maxHamming = 2, hashCol = "h")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)), s"got $got")
+    // recall-lossless vs brute force on a structured set
+    val many = (0L until 40L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("doc_id", "h")
+    val banded = NearDup.hammingPairs(many, maxHamming = 8, hashCol = "h")
+      .as[(Long, Long, Long)].collect().toSet
+    val vals = (0L until 40L).map(i => i -> i * 0x9E3779B97F4A7C15L)
+    val brute = (for {
+      (a, ha) <- vals; (b, hb) <- vals if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 8
+    } yield (a, b, d.toLong)).toSet
+    assert(banded == brute, "pigeonhole banding must equal the brute-force filter")
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
@@ -323,4 +345,5 @@ class FrameSampleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Long]("frame_idx"), r.getAs[String]("frame_feature"))).toSet
     assert(frames.map(r => (r.getLong(0), r.getAs[Long]("frame_idx"), r.getAs[String]("frame_feature"))).toSet == f2)
   }
+
 }
