@@ -775,7 +775,12 @@ object SparkEntry {
     "q_audio_dhash" -> ((s, d) => {
       val ids = t(s, d, "documents").filter(col("doc_id") < 120)
         .select(col("doc_id"))
-      MediaTransform.audioDhash(s, MediaDecode.syntheticPayloads(s, ids))
+      // the WAVY fixture formula (stride 4409 wraps the 16-bit ring):
+      // the stride-7 ramp is monotone over these short clips, so every
+      // energy comparison would degenerate to 0 and the gate would be
+      // vacuous — slot energies must genuinely rise and fall
+      MediaTransform.audioDhash(s, MediaDecode.syntheticPayloads(
+        s, ids, wav = MediaDecode.syntheticWavWavy))
     }),
     // fixed-window PCM frame-sampling with exact Long Σv / Σv² energy
     // stats per (channel, window); nFrames 16..32 against frameWin=8
@@ -3638,10 +3643,11 @@ object SparkEntry {
         |FROM d WHERE doc_id % 3 = 1""".stripMargin,
     "q_dedup_perceptual" -> perceptualSql,
     // the audio-hash oracle recomputes the 17-slot grid (floor mapping
-    // (f*17) // nfr), the exact Σv² energies — empty slots coalesced to
-    // 0, the convention the operator's zero-initialised array gives —
-    // the strict louder-than bits, and the same two's-complement
-    // packing as the image dHash oracle
+    // (f*17) // nfr), the exact Σv² energies over the WAVY sample
+    // formula (stride 4409 — non-monotone energies, so bits genuinely
+    // vary) — empty slots coalesced to 0, the convention the operator's
+    // zero-initialised array gives — the strict louder-than bits, and
+    // the same two's-complement packing as the image dHash oracle
     "q_audio_dhash" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
         |wv AS (
@@ -3649,7 +3655,7 @@ object SparkEntry {
         |  FROM d WHERE doc_id % 3 = 1),
         |sp AS (
         |  SELECT doc_id, c.i AS ch, (f.i * 17) // nfr AS b,
-        |    (doc_id*31 + c.i*29 + f.i*7) % 65536 - 32768 AS v
+        |    (doc_id*31 + c.i*29 + f.i*4409) % 65536 - 32768 AS v
         |  FROM wv
         |  CROSS JOIN (SELECT unnest(range(2)) AS i) c
         |  CROSS JOIN (SELECT unnest(range(33)) AS i) f

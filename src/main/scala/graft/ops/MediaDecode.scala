@@ -277,9 +277,26 @@ object MediaDecode {
   def wavShape(doc: Long): (Int, Int) =
     ((1 + doc % 2).toInt, (16 + doc % 17).toInt)
 
+  /** Closed-form PCM16 sample with a WRAPPING frame stride — the
+    * audio-hash fixture formula ([[sampleValue]]'s stride-7 ramp is
+    * monotone over a ≤ 33-frame clip, so per-slot energies strictly
+    * decrease and every contour bit degenerates to 0 — a vacuous gate;
+    * stride 4409 wraps the 16-bit ring inside the clip, so slot
+    * energies genuinely rise and fall). Mirrored in the oracle SQL. */
+  def sampleValueWavy(doc: Long, ch: Int, i: Int): Int =
+    ((doc * 31 + ch * 29 + i * 4409) % 65536).toInt - 32768
+
+  /** [[syntheticWav]] with the wavy sample formula. */
+  def syntheticWavWavy(doc: Long): Array[Byte] =
+    assembleWav(doc, sampleValueWavy)
+
   /** Hand-assembled RIFF/WAVE PCM16LE container (the format is fully
     * specified byte arithmetic) — decoded back through javax.sound. */
-  def syntheticWav(doc: Long): Array[Byte] = {
+  def syntheticWav(doc: Long): Array[Byte] =
+    assembleWav(doc, sampleValue)
+
+  /** One container assembler for both sample formulas. */
+  private def assembleWav(doc: Long, sample: (Long, Int, Int) => Int): Array[Byte] = {
     val (nch, nFrames) = wavShape(doc)
     val rate = 8000
     val dataLen = nFrames * nch * 2
@@ -293,7 +310,7 @@ object MediaDecode {
     var f = 0
     while (f < nFrames) {
       var c = 0
-      while (c < nch) { bb.putShort(sampleValue(doc, c, f).toShort); c += 1 }
+      while (c < nch) { bb.putShort(sample(doc, c, f).toShort); c += 1 }
       f += 1
     }
     bb.array()
@@ -347,13 +364,14 @@ object MediaDecode {
     * doc_id % 3 → 0: png, 1: wav, 2: bmp — built per partition through
     * the real encoders, nothing driver-side. */
   def syntheticPayloads(spark: SparkSession, ids: DataFrame,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        wav: Long => Array[Byte] = syntheticWav): DataFrame = {
     val src = ids.select(col(idCol).cast(LongType))
     val rdd = src.rdd.mapPartitions(_.map { r =>
       val doc = r.getLong(0)
       val payload = (doc % 3) match {
         case 0 => syntheticImage(doc, "png")
-        case 1 => syntheticWav(doc)
+        case 1 => wav(doc)
         case _ => syntheticImage(doc, "bmp")
       }
       Row(doc, payload)

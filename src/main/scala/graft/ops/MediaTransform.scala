@@ -189,6 +189,26 @@ object MediaTransform {
 
   // ---- perceptual audio hashing (energy contour) ---------------------------
 
+  /** Shared WAV-consumer preamble — probe, [[MediaDecode.openWav]]
+    * envelope, and the total-posture degradation in ONE place for
+    * [[frameOne]] and [[audioDhashOne]] (the perPayload argument:
+    * envelope fixes must not be able to diverge between consumers). */
+  private def withWav(bytes: Array[Byte])(skip: String => Seq[Row])
+                     (run: MediaDecode.Pcm => Seq[Row]): Seq[Row] =
+    try {
+      val probedFormat =
+        if (bytes == null || bytes.isEmpty) "unknown"
+        else MediaProbe.probe(bytes).format
+      if (probedFormat != "wav") skip(probedFormat)
+      else MediaDecode.openWav(bytes) match {
+        case Left(reason) => skip(reason)
+        case Right(pcm) => run(pcm)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => skip("undecodable")
+    }
+
+
   /** Audio hash grid: 17 equal time buckets → 16 energy-difference bits
     * per channel; up to 4 channels folded → ≤ 64 bits. */
   val AudioDhashGrid = 17
@@ -204,57 +224,46 @@ object MediaTransform {
     * the same exact integer floor mapping (`(f·grid) div nFrames`),
     * per-(channel, bucket) energy Σv² folded exactly in Long, bit
     * `c·16 + i` set iff bucket `i+1` is strictly louder than bucket `i`.
-    * The contour survives re-encoding, resampling-free trims, and gain
-    * that preserves loudness ORDER between slots — while exact hashes
-    * diverge on any byte change; feed the hashes to the simhash Hamming
+    * The contour survives re-encoding and gain that preserves
+    * loudness ORDER between slots — while exact hashes diverge on any
+    * byte change (a TRIM does not preserve it: the fixed grid
+    * re-buckets every frame when nFrames changes); feed the hashes to the simhash Hamming
     * banding for corpus-scale near-dup audio. Buckets no frame maps to
     * (short clips) have energy 0 — deterministic, mirrored by the
     * oracle. Channels beyond [[AudioDhashMaxCh]] are ignored (64-bit
     * budget). Non-WAV payloads degrade to a null-`ahash` marker row. */
   def audioDhashOne(docId: Long, bytes: Array[Byte]): Seq[Row] =
-    try {
-      val probedFormat =
-        if (bytes == null || bytes.isEmpty) "unknown"
-        else MediaProbe.probe(bytes).format
-      if (probedFormat != "wav") Seq(Row(docId, probedFormat, null))
-      else {
-        val p = MediaDecode.openWav(bytes) match {
-          case Left(reason) => return Seq(Row(docId, reason, null))
-          case Right(pcm) => pcm
-        }
-        val nFrames = p.nFrames
-        val nch = math.min(p.nch, AudioDhashMaxCh)
-        val energy = Array.ofDim[Long](nch, AudioDhashGrid)
-        var f = 0
-        while (f < nFrames) {
-          val b = ((f.toLong * AudioDhashGrid) / nFrames).toInt
-          var c = 0
-          while (c < nch) {
-            val v = p.sample(f, c)
-            energy(c)(b) += v * v
-            c += 1
-          }
-          f += 1
-        }
-        // channel stride = bits per channel = grid - 1; the require
-        // keeps the constants coupled (a grid change that overflows the
-        // 64-bit budget must fail loudly, not wrap shifts silently)
-        val stride = AudioDhashGrid - 1
-        require(AudioDhashMaxCh * stride <= 64, "audio hash exceeds 64 bits")
-        var hash = 0L
+    withWav(bytes)(reason => Seq(Row(docId, reason, null))) { p =>
+      val nFrames = p.nFrames
+      val nch = math.min(p.nch, AudioDhashMaxCh)
+      val energy = Array.ofDim[Long](nch, AudioDhashGrid)
+      var f = 0
+      while (f < nFrames) {
+        val b = ((f.toLong * AudioDhashGrid) / nFrames).toInt
         var c = 0
         while (c < nch) {
-          var i = 0
-          while (i < stride) {
-            if (energy(c)(i + 1) > energy(c)(i)) hash |= 1L << (c * stride + i)
-            i += 1
-          }
+          val v = p.sample(f, c)
+          energy(c)(b) += v * v
           c += 1
         }
-        Seq(Row(docId, "wav", hash))
+        f += 1
       }
-    } catch {
-      case scala.util.control.NonFatal(_) => Seq(Row(docId, "undecodable", null))
+      // channel stride = bits per channel = grid - 1; the require
+      // keeps the constants coupled (a grid change that overflows the
+      // 64-bit budget must fail loudly, not wrap shifts silently)
+      val stride = AudioDhashGrid - 1
+      require(AudioDhashMaxCh * stride <= 64, "audio hash exceeds 64 bits")
+      var hash = 0L
+      var c = 0
+      while (c < nch) {
+        var i = 0
+        while (i < stride) {
+          if (energy(c)(i + 1) > energy(c)(i)) hash |= 1L << (c * stride + i)
+          i += 1
+        }
+        c += 1
+      }
+      Seq(Row(docId, "wav", hash))
     }
 
   /** Distributed audio energy-contour hash over `(idCol, payloadCol)`.
@@ -288,47 +297,33 @@ object MediaTransform {
     * and undecodable payloads degrade to one n=0 marker row. */
   def frameOne(docId: Long, bytes: Array[Byte], frameWin: Int): Seq[Row] = {
     require(frameWin > 0, "frame window must be positive") // caller bug: loud
-    try {
-      val probedFormat =
-        if (bytes == null || bytes.isEmpty) "unknown"
-        else MediaProbe.probe(bytes).format
-      if (probedFormat != "wav") frameSkipped(docId, probedFormat)
-      else {
-        // the shared MediaDecode.openWav envelope + per-sample
-        // extraction rule — one place for both consumers
-        val p = MediaDecode.openWav(bytes) match {
-          case Left(reason) => return frameSkipped(docId, reason)
-          case Right(pcm) => pcm
+    withWav(bytes)(frameSkipped(docId, _)) { p =>
+      val nFrames = p.nFrames
+      val nch = p.nch
+      val nWin = (nFrames + frameWin - 1) / frameWin
+      val n = Array.ofDim[Long](nch, nWin)
+      val sum = Array.ofDim[Long](nch, nWin)
+      val sumSq = Array.ofDim[Long](nch, nWin)
+      val mn = Array.fill(nch, nWin)(Long.MaxValue)
+      val mx = Array.fill(nch, nWin)(Long.MinValue)
+      var f = 0
+      while (f < nFrames) {
+        val w = f / frameWin
+        var c = 0
+        while (c < nch) {
+          val v = p.sample(f, c)
+          n(c)(w) += 1
+          sum(c)(w) += v
+          sumSq(c)(w) += v * v
+          if (v < mn(c)(w)) mn(c)(w) = v
+          if (v > mx(c)(w)) mx(c)(w) = v
+          c += 1
         }
-        val nFrames = p.nFrames
-        val nch = p.nch
-        val nWin = (nFrames + frameWin - 1) / frameWin
-        val n = Array.ofDim[Long](nch, nWin)
-        val sum = Array.ofDim[Long](nch, nWin)
-        val sumSq = Array.ofDim[Long](nch, nWin)
-        val mn = Array.fill(nch, nWin)(Long.MaxValue)
-        val mx = Array.fill(nch, nWin)(Long.MinValue)
-        var f = 0
-        while (f < nFrames) {
-          val w = f / frameWin
-          var c = 0
-          while (c < nch) {
-            val v = p.sample(f, c)
-            n(c)(w) += 1
-            sum(c)(w) += v
-            sumSq(c)(w) += v * v
-            if (v < mn(c)(w)) mn(c)(w) = v
-            if (v > mx(c)(w)) mx(c)(w) = v
-            c += 1
-          }
-          f += 1
-        }
-        for (c <- 0 until nch; w <- 0 until nWin)
-          yield Row(docId, "wav", c.toLong, w.toLong, n(c)(w), sum(c)(w),
-            sumSq(c)(w), mn(c)(w), mx(c)(w))
+        f += 1
       }
-    } catch {
-      case scala.util.control.NonFatal(_) => frameSkipped(docId, "undecodable")
+      for (c <- 0 until nch; w <- 0 until nWin)
+        yield Row(docId, "wav", c.toLong, w.toLong, n(c)(w), sum(c)(w),
+          sumSq(c)(w), mn(c)(w), mx(c)(w))
     }
   }
 

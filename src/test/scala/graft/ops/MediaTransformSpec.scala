@@ -181,7 +181,7 @@ class MediaTransformSpec extends SparkSpec {
     val grid = MediaTransform.AudioDhashGrid
     val energy = Array.ofDim[Long](nch, grid)
     for (f <- 0 until nFrames; c <- 0 until nch) {
-      val v = MediaDecode.sampleValue(doc, c, f).toLong
+      val v = MediaDecode.sampleValueWavy(doc, c, f).toLong
       energy(c)((f * grid) / nFrames) += v * v
     }
     var hash = 0L
@@ -191,14 +191,18 @@ class MediaTransformSpec extends SparkSpec {
   }
 
   test("audioDhash reproduces the closed form, incl. empty grid slots") {
-    // doc 16: mono, nFrames=32 (every slot hit); doc 1: stereo,
-    // nFrames=17 — exactly one frame per slot; doc 4: mono, nFrames=20;
-    // doc 34: mono, nFrames=16 < 17 slots — slot 16 stays EMPTY
-    // (energy 0), the convention the oracle coalesces
+    // WAVY fixture (stride 4409): the stride-7 ramp is monotone over
+    // these short clips — every contour bit would be 0 and the test
+    // vacuous. doc 16: mono, nFrames=32 (every slot hit); doc 1:
+    // stereo, nFrames=17 — exactly one frame per slot; doc 4: mono,
+    // nFrames=20; doc 34: mono, nFrames=16 < 17 slots — slot 16 stays
+    // EMPTY (energy 0), the convention the oracle coalesces
     for (doc <- Seq(16L, 1L, 4L, 34L)) {
-      val rows = MediaTransform.audioDhashOne(doc, MediaDecode.syntheticWav(doc))
+      val rows = MediaTransform.audioDhashOne(doc, MediaDecode.syntheticWavWavy(doc))
       assert(rows.size == 1 && rows.head.getString(1) == "wav")
       assert(rows.head.getLong(2) == expectedAudioDhash(doc), s"doc $doc")
+      assert(rows.head.getLong(2) != 0L,
+        s"doc $doc: a zero hash means the fixture is monotone and the gate vacuous")
     }
   }
 
