@@ -749,7 +749,12 @@ object SparkEntry {
     "q_image_dhash" -> ((s, d) => {
       val ids = t(s, d, "documents").filter(col("doc_id") < 120)
         .select(col("doc_id"))
-      MediaTransform.dhash(s, MediaDecode.syntheticPayloads(s, ids))
+      // the WAVY pixel formula (strides 97/131 wrap the byte ring):
+      // the stride-7 ramp is monotone within a row, which would reduce
+      // every difference bit to "did the grid column advance" — a
+      // dims-only hash and a nearly vacuous gate
+      MediaTransform.dhash(s, MediaDecode.syntheticPayloads(
+        s, ids, img = MediaDecode.syntheticImageWavy))
     }),
     // perceptual near-dup END TO END: dHash fingerprints through the
     // SAME pigeonhole Hamming banding as text simhash (hammingPairs —
@@ -3621,9 +3626,9 @@ object SparkEntry {
         |  FROM d WHERE doc_id % 3 <> 1),
         |g AS (
         |  SELECT doc_id, format, x.i AS gx, y.i AS gy,
-        |    (299 * ((doc_id*31 + ((x.i * w) // 9)*7 + ((y.i * h) // 8)*13) % 256)
-        |   + 587 * ((doc_id*31 + ((x.i * w) // 9)*7 + ((y.i * h) // 8)*13 + 29) % 256)
-        |   + 114 * ((doc_id*31 + ((x.i * w) // 9)*7 + ((y.i * h) // 8)*13 + 58) % 256)) // 1000 AS luma
+        |    (299 * ((doc_id*31 + ((x.i * w) // 9)*97 + ((y.i * h) // 8)*131) % 256)
+        |   + 587 * ((doc_id*31 + ((x.i * w) // 9)*97 + ((y.i * h) // 8)*131 + 29) % 256)
+        |   + 114 * ((doc_id*31 + ((x.i * w) // 9)*97 + ((y.i * h) // 8)*131 + 58) % 256)) // 1000 AS luma
         |  FROM img
         |  CROSS JOIN (SELECT unnest(range(9)) AS i) x
         |  CROSS JOIN (SELECT unnest(range(8)) AS i) y),
@@ -4231,7 +4236,7 @@ object SparkEntry {
     * the brute-force filter exactly). */
   private def perceptualSql: String = {
     def term(cOff: Int, coef: Int) =
-      s"$coef * (((src*31 + sx*7 + sy*13 + $cOff) % 256 + " +
+      s"$coef * (((src*31 + sx*97 + sy*131 + $cOff) % 256 + " +
         "CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256)"
     s"""WITH d AS (
        |  SELECT doc_id FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0),

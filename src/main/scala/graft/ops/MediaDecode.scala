@@ -247,9 +247,28 @@ object MediaDecode {
   def imageDims(doc: Long): (Int, Int) =
     ((4 + doc % 5).toInt, (3 + doc % 4).toInt)
 
+  /** Closed-form pixel with WRAPPING strides — the perceptual-hash
+    * fixture formula ([[pixelValue]]'s stride-7 ramp is monotone in x
+    * over a ≤ 8-pixel row, so every dHash difference bit reduces to
+    * "did the grid column advance" — a dims-only hash, identical for
+    * every doc of the same width, making the gate nearly vacuous;
+    * strides 97/131 wrap the byte ring inside the image, so bits
+    * depend on the actual content). Mirrored in the oracle SQL. */
+  def pixelValueWavy(doc: Long, c: Int, x: Int, y: Int): Int =
+    ((doc * 31 + x * 97 + y * 131 + c * 29) % 256).toInt
+
   /** Encode a synthetic still via the real JDK encoder (`fmt` =
     * "png" | "bmp"). */
-  def syntheticImage(doc: Long, fmt: String): Array[Byte] = {
+  def syntheticImage(doc: Long, fmt: String): Array[Byte] =
+    assembleImage(doc, fmt, pixelValue)
+
+  /** [[syntheticImage]] with the wavy pixel formula. */
+  def syntheticImageWavy(doc: Long, fmt: String): Array[Byte] =
+    assembleImage(doc, fmt, pixelValueWavy)
+
+  /** One image assembler for all pixel formulas. */
+  private def assembleImage(doc: Long, fmt: String,
+                            pixel: (Long, Int, Int, Int) => Int): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
     val (w, h) = imageDims(doc)
     val img = new java.awt.image.BufferedImage(
@@ -258,8 +277,8 @@ object MediaDecode {
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (pixelValue(doc, 0, x, y) << 16) |
-          (pixelValue(doc, 1, x, y) << 8) | pixelValue(doc, 2, x, y))
+        img.setRGB(x, y, (pixel(doc, 0, x, y) << 16) |
+          (pixel(doc, 1, x, y) << 8) | pixel(doc, 2, x, y))
         x += 1
       }
       y += 1
@@ -319,27 +338,10 @@ object MediaDecode {
   /** Synthetic still with ONE perturbed pixel — the near-duplicate twin
     * for the perceptual-dedup gate: every channel of pixel (0, 0)
     * shifts by `delta` (mod 256), every other pixel follows
-    * [[pixelValue]]. Mirrored verbatim in the oracle SQL. */
-  def syntheticImageShift(doc: Long, fmt: String, delta: Int): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val (w, h) = imageDims(doc)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        def v(c: Int): Int =
-          (pixelValue(doc, c, x, y) + (if (x == 0 && y == 0) delta else 0)) % 256
-        img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
-        x += 1
-      }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
-    out.toByteArray
-  }
+    * [[pixelValueWavy]]. Mirrored verbatim in the oracle SQL. */
+  def syntheticImageShift(doc: Long, fmt: String, delta: Int): Array[Byte] =
+    assembleImage(doc, fmt, (d, c, x, y) =>
+      (pixelValueWavy(d, c, x, y) + (if (x == 0 && y == 0) delta else 0)) % 256)
 
   /** Perceptual-dedup fixture: for each input id, THREE payload
     * variants — `(doc, png)`, `(doc + 1000, bmp of the SAME pixels)` —
@@ -351,8 +353,8 @@ object MediaDecode {
     val src = ids.select(col(idCol).cast(LongType))
     val rdd = src.rdd.flatMap { r =>
       val doc = r.getLong(0)
-      Seq(Row(doc, syntheticImage(doc, "png")),
-        Row(doc + 1000, syntheticImage(doc, "bmp")),
+      Seq(Row(doc, syntheticImageWavy(doc, "png")),
+        Row(doc + 1000, syntheticImageWavy(doc, "bmp")),
         Row(doc + 2000, syntheticImageShift(doc, "png", 8)))
     }
     spark.createDataFrame(rdd, StructType(Seq(
@@ -365,14 +367,15 @@ object MediaDecode {
     * the real encoders, nothing driver-side. */
   def syntheticPayloads(spark: SparkSession, ids: DataFrame,
                         idCol: String = "doc_id",
-                        wav: Long => Array[Byte] = syntheticWav): DataFrame = {
+                        wav: Long => Array[Byte] = syntheticWav,
+                        img: (Long, String) => Array[Byte] = syntheticImage): DataFrame = {
     val src = ids.select(col(idCol).cast(LongType))
     val rdd = src.rdd.mapPartitions(_.map { r =>
       val doc = r.getLong(0)
       val payload = (doc % 3) match {
-        case 0 => syntheticImage(doc, "png")
+        case 0 => img(doc, "png")
         case 1 => wav(doc)
-        case _ => syntheticImage(doc, "bmp")
+        case _ => img(doc, "bmp")
       }
       Row(doc, payload)
     })

@@ -137,9 +137,9 @@ class MediaTransformSpec extends SparkSpec {
     def luma(gx: Int, gy: Int): Int = {
       val sx = (gx * w) / MediaTransform.DhashW
       val sy = (gy * h) / MediaTransform.DhashH
-      (299 * MediaDecode.pixelValue(doc, 0, sx, sy) +
-        587 * MediaDecode.pixelValue(doc, 1, sx, sy) +
-        114 * MediaDecode.pixelValue(doc, 2, sx, sy)) / 1000
+      (299 * MediaDecode.pixelValueWavy(doc, 0, sx, sy) +
+        587 * MediaDecode.pixelValueWavy(doc, 1, sx, sy) +
+        114 * MediaDecode.pixelValueWavy(doc, 2, sx, sy)) / 1000
     }
     var hash = 0L
     for (gy <- 0 until 8; gx <- 0 until 8)
@@ -147,20 +147,28 @@ class MediaTransformSpec extends SparkSpec {
     hash
   }
 
-  test("dhash reproduces the closed form bit for bit") {
-    for ((doc, fmt) <- Seq((0L, "png"), (3L, "png"), (8L, "bmp"), (17L, "bmp"))) {
-      val rows = MediaTransform.dhashOne(doc, MediaDecode.syntheticImage(doc, fmt))
-      assert(rows.size == 1 && rows.head.getString(1) == fmt)
-      assert(rows.head.getLong(2) == expectedDhash(doc), s"doc $doc $fmt")
-    }
+  test("dhash reproduces the closed form bit for bit; hashes are content-diverse") {
+    // the WAVY fixture: the stride-7 ramp is monotone within a row, so
+    // its dhash depends only on the image WIDTH (every doc of the same
+    // dims hashes identically) — the wavy strides wrap the byte ring so
+    // the hash depends on actual content
+    val hashes = for ((doc, fmt) <- Seq((0L, "png"), (3L, "png"), (8L, "bmp"), (17L, "bmp")))
+      yield {
+        val rows = MediaTransform.dhashOne(doc, MediaDecode.syntheticImageWavy(doc, fmt))
+        assert(rows.size == 1 && rows.head.getString(1) == fmt)
+        assert(rows.head.getLong(2) == expectedDhash(doc), s"doc $doc $fmt")
+        rows.head.getLong(2)
+      }
+    assert(hashes.distinct.size == hashes.size,
+      s"same-dims docs must not collide under the wavy fixture: $hashes")
   }
 
   test("dhash is a PERCEPTUAL hash: the same pixels hash identically across codecs") {
     // the exact byte hashes of a PNG and a BMP of the same image differ;
     // the dhash must not (that is the point of the operator)
     for (doc <- Seq(2L, 5L, 9L)) {
-      val png = MediaTransform.dhashOne(doc, MediaDecode.syntheticImage(doc, "png"))
-      val bmp = MediaTransform.dhashOne(doc, MediaDecode.syntheticImage(doc, "bmp"))
+      val png = MediaTransform.dhashOne(doc, MediaDecode.syntheticImageWavy(doc, "png"))
+      val bmp = MediaTransform.dhashOne(doc, MediaDecode.syntheticImageWavy(doc, "bmp"))
       assert(png.head.getLong(2) == bmp.head.getLong(2), s"doc $doc codec parity")
     }
   }
