@@ -508,6 +508,28 @@ object NearDup {
   def hammingPairs(hashes: DataFrame, maxHamming: Int,
                    hashCol: String = "simhash", idCol: String = "doc_id",
                    bits: Int = 64): DataFrame = {
+    val banded = hammingIndex(hashes, maxHamming, hashCol, idCol, bits)
+    banded.alias("x").join(banded.alias("y"), Seq("band", "band_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x._hp_hash").as("sh_a"), col("y._hp_hash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Banded Hamming index rows `(doc_id, _hp_hash, band, band_val)` —
+    * the left side of [[hammingPairs]]'s self-join, exposed so a
+    * corpus can be banded ONCE (persist this frame) and arrivals probed
+    * against it without re-hashing or re-banding the corpus
+    * ([[hammingProbe]]) — the [[MinhashIndex]] build-once/probe-many
+    * shape for 64-bit fingerprints. The band layout is a function of
+    * (bits, maxHamming): probe with the SAME values the index was
+    * built with, or bands will not line up. */
+  def hammingIndex(hashes: DataFrame, maxHamming: Int,
+                   hashCol: String = "simhash", idCol: String = "doc_id",
+                   bits: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, ${bits - 1}]")
@@ -522,15 +544,32 @@ object NearDup {
       val mask = if (width >= 63) -1L else (1L << width) - 1L
       shiftrightunsigned(col("_hp_hash"), starts(b)).bitwiseAND(lit(mask))
     }
-    val banded = sh.select(col("doc_id"), col("_hp_hash"),
+    sh.select(col("doc_id"), col("_hp_hash"),
       posexplode(array(bands: _*)).as(Seq("band", "band_val")))
-    banded.alias("x").join(banded.alias("y"), Seq("band", "band_val"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x._hp_hash").as("sh_a"), col("y._hp_hash").as("sh_b"))
+  }
+
+  /** Probe arrivals against a banded Hamming index ([[hammingIndex]],
+    * same (bits, maxHamming)): `(arrival_id, corpus_id, hamming)` for
+    * every arrival within `maxHamming` of an indexed fingerprint —
+    * recall-lossless by the same pigeonhole argument. Runs on a stream
+    * as-is (banding is a projection, the index join is stream-static;
+    * the multi-band dedup plans as a streaming dropDuplicates whose
+    * state is keyed by emitted pairs — bounded by matches, not by the
+    * corpus), so ingest-time perceptual dedup proceeds while the corpus
+    * is banded exactly once. */
+  def hammingProbe(index: DataFrame, arrivals: DataFrame, maxHamming: Int,
+                   hashCol: String = "simhash", idCol: String = "doc_id",
+                   bits: Int = 64): DataFrame = {
+    val probes = hammingIndex(arrivals, maxHamming, hashCol, idCol, bits)
+      .withColumnRenamed("doc_id", "arrival_id")
+      .withColumnRenamed("_hp_hash", "_hp_probe")
+    probes.join(index, Seq("band", "band_val"))
+      .select(col("arrival_id"), col("doc_id").as("corpus_id"),
+        col("_hp_probe"), col("_hp_hash"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast(LongType))
+      .withColumn("hamming",
+        expr("bit_count(_hp_probe ^ _hp_hash)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("arrival_id"), col("corpus_id"), col("hamming"))
   }
 }

@@ -181,6 +181,37 @@ class NearDupSpec extends SparkSpec {
     } yield (a, b, d.toLong)).toSet
     assert(banded == brute, "pigeonhole banding must equal the brute-force filter")
   }
+
+  test("hammingProbe: arrivals vs a banded index == the restricted pair set; streams as-is") {
+    val corpus = (0L until 30L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "h")
+    val arrivals = (100L until 110L).map(i => (i, (i - 100L) * 0x9E3779B97F4A7C15L + 3L))
+      .toDF("doc_id", "h") // hashes near corpus entries 0..9 (xor with 3: hamming <= 2)
+    val index = NearDup.hammingIndex(corpus, maxHamming = 4, hashCol = "h")
+    val got = NearDup.hammingProbe(index, arrivals, maxHamming = 4, hashCol = "h")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over corpus x arrivals
+    val cv = (0L until 30L).map(i => i -> i * 0x9E3779B97F4A7C15L)
+    val av = (100L until 110L).map(i => i -> ((i - 100L) * 0x9E3779B97F4A7C15L + 3L))
+    val brute = (for {
+      (a, ha) <- av; (c, hc) <- cv
+      d = java.lang.Long.bitCount(ha ^ hc) if d <= 4
+    } yield (a, c, d.toLong)).toSet
+    assert(got == brute, s"probe must equal the brute-force restriction: $got vs $brute")
+    assert(got.nonEmpty, "fixture must actually produce near pairs")
+    // stateless arrival side: the same probe runs on a stream unchanged
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Long)](spark)
+    val out = NearDup.hammingProbe(index, mem.toDF().toDF("doc_id", "h"),
+      maxHamming = 4, hashCol = "h")
+    val q = out.writeStream.format("memory").queryName("hp_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(av: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hp_stream").as[(Long, Long, Long)].collect().toSet
+      assert(streamed == brute, "stream probe must equal the batch probe")
+    } finally q.stop()
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
