@@ -36,6 +36,30 @@ object MediaTransform {
 
   // ---- image resize -----------------------------------------------------
 
+  /** Shared still-image preamble — probe, [[MediaDecode.openImage]]
+    * envelope, and the total-posture degradation in ONE place for
+    * [[resizeOne]] and [[dhashOne]] (the [[withWav]] twin). */
+  private def withImage(bytes: Array[Byte])(skip: String => Seq[Row])
+                       (run: (String, java.awt.image.BufferedImage) => Seq[Row]): Seq[Row] =
+    try {
+      if (bytes == null || bytes.isEmpty) skip("unknown")
+      else {
+        val p = MediaProbe.probe(bytes)
+        p.format match {
+          case f @ ("png" | "bmp" | "gif") =>
+            MediaDecode.openImage(bytes, p) match {
+              case Left(reason) => skip(reason)
+              case Right(img) => run(f, img)
+            }
+          case "jpeg" => skip("jpeg") // lossy: out of envelope
+          case other  => skip(other)
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => skip("undecodable")
+    }
+
+
   private val ResizeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
@@ -54,46 +78,29 @@ object MediaTransform {
   def resizeOne(docId: Long, bytes: Array[Byte], outW: Int, outH: Int): Seq[Row] = {
     // a nonsense target is a CALLER bug — it must fail loudly, not
     // degrade into marker rows like bad DATA does (hence outside the
-    // total-posture try)
+    // total-posture preamble)
     require(outW > 0 && outH > 0, "resize target must be positive")
-    try {
-      if (bytes == null || bytes.isEmpty) resizeSkipped(docId, "unknown")
-      else {
-        val p = MediaProbe.probe(bytes)
-        p.format match {
-          case f @ ("png" | "bmp" | "gif") =>
-            // the shared MediaDecode.openImage envelope: header-dim bomb
-            // guard before allocation, real read, post-read re-guard
-            val img = MediaDecode.openImage(bytes, p) match {
-              case Left(reason) => return resizeSkipped(docId, reason)
-              case Right(i) => i
-            }
-            val (w, h) = (img.getWidth, img.getHeight)
-            val out = Seq.newBuilder[Row]
-            var y = 0
-            while (y < outH) {
-              val sy = ((y.toLong * h) / outH).toInt
-              var x = 0
-              while (x < outW) {
-                val sx = ((x.toLong * w) / outW).toInt
-                val rgb = img.getRGB(sx, sy)
-                var c = 0
-                while (c < 3) {
-                  out += Row(docId, f, c.toLong, x.toLong, y.toLong,
-                    ((rgb >> (16 - 8 * c)) & 0xff).toLong)
-                  c += 1
-                }
-                x += 1
-              }
-              y += 1
-            }
-            out.result()
-          case "jpeg" => resizeSkipped(docId, "jpeg") // lossy: out of envelope
-          case other  => resizeSkipped(docId, other)
+    withImage(bytes)(resizeSkipped(docId, _)) { (f, img) =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = Seq.newBuilder[Row]
+      var y = 0
+      while (y < outH) {
+        val sy = ((y.toLong * h) / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = ((x.toLong * w) / outW).toInt
+          val rgb = img.getRGB(sx, sy)
+          var c = 0
+          while (c < 3) {
+            out += Row(docId, f, c.toLong, x.toLong, y.toLong,
+              ((rgb >> (16 - 8 * c)) & 0xff).toLong)
+            c += 1
+          }
+          x += 1
         }
+        y += 1
       }
-    } catch {
-      case scala.util.control.NonFatal(_) => resizeSkipped(docId, "undecodable")
+      out.result()
     }
   }
 
@@ -135,48 +142,33 @@ object MediaTransform {
     * oversize / undecodable payloads degrade to a null-`dhash` marker
     * row (the [[MediaDecode.decode]] posture). */
   def dhashOne(docId: Long, bytes: Array[Byte]): Seq[Row] =
-    try {
-      if (bytes == null || bytes.isEmpty) Seq(Row(docId, "unknown", null))
-      else {
-        val p = MediaProbe.probe(bytes)
-        p.format match {
-          case f @ ("png" | "bmp" | "gif") =>
-            val img = MediaDecode.openImage(bytes, p) match {
-              case Left(reason) => return Seq(Row(docId, reason, null))
-              case Right(i) => i
-            }
-            val (w, h) = (img.getWidth, img.getHeight)
-            val luma = Array.ofDim[Int](DhashH, DhashW)
-            var y = 0
-            while (y < DhashH) {
-              val sy = ((y.toLong * h) / DhashH).toInt
-              var x = 0
-              while (x < DhashW) {
-                val sx = ((x.toLong * w) / DhashW).toInt
-                val rgb = img.getRGB(sx, sy)
-                luma(y)(x) = (299 * ((rgb >> 16) & 0xff) +
-                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-                x += 1
-              }
-              y += 1
-            }
-            var hash = 0L
-            y = 0
-            while (y < DhashH) {
-              var x = 0
-              while (x < DhashW - 1) {
-                if (luma(y)(x + 1) > luma(y)(x)) hash |= 1L << (y * 8 + x)
-                x += 1
-              }
-              y += 1
-            }
-            Seq(Row(docId, f, hash))
-          case "jpeg" => Seq(Row(docId, "jpeg", null))
-          case other  => Seq(Row(docId, other, null))
+    withImage(bytes)(reason => Seq(Row(docId, reason, null))) { (f, img) =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val luma = Array.ofDim[Int](DhashH, DhashW)
+      var y = 0
+      while (y < DhashH) {
+        val sy = ((y.toLong * h) / DhashH).toInt
+        var x = 0
+        while (x < DhashW) {
+          val sx = ((x.toLong * w) / DhashW).toInt
+          val rgb = img.getRGB(sx, sy)
+          luma(y)(x) = (299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          x += 1
         }
+        y += 1
       }
-    } catch {
-      case scala.util.control.NonFatal(_) => Seq(Row(docId, "undecodable", null))
+      var hash = 0L
+      y = 0
+      while (y < DhashH) {
+        var x = 0
+        while (x < DhashW - 1) {
+          if (luma(y)(x + 1) > luma(y)(x)) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Seq(Row(docId, f, hash))
     }
 
   /** Distributed dHash over `(idCol, payloadCol)`: one row per document
@@ -210,9 +202,14 @@ object MediaTransform {
 
 
   /** Audio hash grid: 17 equal time buckets → 16 energy-difference bits
-    * per channel; up to 4 channels folded → ≤ 64 bits. */
+    * per channel; up to 4 channels folded → ≤ 64 bits. The require runs
+    * at object load — OUTSIDE any per-row total-posture catch, so a
+    * grid change that overflows the 64-bit budget fails the first use
+    * loudly instead of degrading every WAV to a marker row. */
   val AudioDhashGrid = 17
   val AudioDhashMaxCh = 4
+  private val AudioStride = AudioDhashGrid - 1
+  require(AudioDhashMaxCh * AudioStride <= 64, "audio hash exceeds 64 bits")
 
   private val AudioDhashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -248,11 +245,10 @@ object MediaTransform {
         }
         f += 1
       }
-      // channel stride = bits per channel = grid - 1; the require
-      // keeps the constants coupled (a grid change that overflows the
-      // 64-bit budget must fail loudly, not wrap shifts silently)
-      val stride = AudioDhashGrid - 1
-      require(AudioDhashMaxCh * stride <= 64, "audio hash exceeds 64 bits")
+      // channel stride = bits per channel = grid - 1 (AudioStride; the
+      // 64-bit-budget require runs at object load, outside withWav's
+      // total-posture catch)
+      val stride = AudioStride
       var hash = 0L
       var c = 0
       while (c < nch) {

@@ -512,11 +512,12 @@ object NearDup {
     banded.alias("x").join(banded.alias("y"), Seq("band", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x._hp_hash").as("sh_a"), col("y._hp_hash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast(LongType))
+        expr("bit_count(x._hp_hash ^ y._hp_hash)").cast(LongType).as("hamming"))
+      // verify BEFORE distinct: hamming is a pure function of the pair,
+      // so the results are identical — but the dedup then tracks only
+      // real matches instead of every band-collision candidate
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Banded Hamming index rows `(doc_id, _hp_hash, band, band_val)` —
@@ -565,11 +566,11 @@ object NearDup {
       .withColumnRenamed("_hp_hash", "_hp_probe")
     probes.join(index, Seq("band", "band_val"))
       .select(col("arrival_id"), col("doc_id").as("corpus_id"),
-        col("_hp_probe"), col("_hp_hash"))
-      .distinct()
-      .withColumn("hamming",
-        expr("bit_count(_hp_probe ^ _hp_hash)").cast(LongType))
+        expr("bit_count(_hp_probe ^ _hp_hash)").cast(LongType).as("hamming"))
+      // verify BEFORE distinct, so the streaming dedup state really is
+      // keyed by emitted matches (band-collision candidates that fail
+      // the radius never reach the dropDuplicates)
       .filter(col("hamming") <= maxHamming)
-      .select(col("arrival_id"), col("corpus_id"), col("hamming"))
+      .distinct()
   }
 }

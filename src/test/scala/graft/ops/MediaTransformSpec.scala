@@ -152,7 +152,10 @@ class MediaTransformSpec extends SparkSpec {
     // its dhash depends only on the image WIDTH (every doc of the same
     // dims hashes identically) — the wavy strides wrap the byte ring so
     // the hash depends on actual content
-    val hashes = for ((doc, fmt) <- Seq((0L, "png"), (3L, "png"), (8L, "bmp"), (17L, "bmp")))
+    // docs 0 and 20 share dims (4,3): the pair that would collide if
+    // the hash degenerated to a dims-only function again
+    val hashes = for ((doc, fmt) <- Seq((0L, "png"), (20L, "png"), (3L, "png"),
+      (8L, "bmp"), (17L, "bmp")))
       yield {
         val rows = MediaTransform.dhashOne(doc, MediaDecode.syntheticImageWavy(doc, fmt))
         assert(rows.size == 1 && rows.head.getString(1) == fmt)
