@@ -772,6 +772,31 @@ object SparkEntry {
         MediaTransform.dhash(s, MediaDecode.perceptualPayloads(s, ids)),
         maxHamming = 8, hashCol = "dhash")
     }),
+    // the INCREMENTAL perceptual-dedup path: the corpus is dHashed and
+    // banded ONCE (hammingIndex); later arrivals — each the bmp
+    // re-encode of a corpus image, the cross-codec duplicate arriving
+    // after the fact — probe the index without the corpus being
+    // re-hashed or re-banded. Each arrival doc_id maps to corpus doc
+    // (doc_id - 60), so every arrival must surface its twin at
+    // Hamming 0 (plus whatever formula-determined near pairs exist).
+    "q_dedup_perceptual_probe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpusIds = docs
+        .filter(col("doc_id") < 60 && col("doc_id") % 3 === 0)
+        .select(col("doc_id"))
+      val corpus = MediaDecode.syntheticPayloads(
+        s, corpusIds, img = MediaDecode.syntheticImageWavy)
+      val arrivalIds = docs
+        .filter(col("doc_id") >= 60 && col("doc_id") < 120 &&
+          col("doc_id") % 3 === 0)
+        .select(col("doc_id"))
+      val arrivals = MediaDecode.syntheticPayloads(s, arrivalIds,
+        img = (doc, _) => MediaDecode.syntheticImageWavy(doc - 60, "bmp"))
+      val index = NearDup.hammingIndex(
+        MediaTransform.dhash(s, corpus), maxHamming = 8, hashCol = "dhash")
+      NearDup.hammingProbe(index, MediaTransform.dhash(s, arrivals),
+        maxHamming = 8, hashCol = "dhash")
+    }),
     // audio energy-contour hash (the dHash audio twin): 17-slot floor-
     // mapped time grid, per-(channel, slot) exact Σv² energy, strict
     // louder-than bits folded across channels — every bit recomputed by
@@ -3647,6 +3672,7 @@ object SparkEntry {
         |SELECT doc_id, 'wav' AS format, CAST(NULL AS BIGINT) AS dhash
         |FROM d WHERE doc_id % 3 = 1""".stripMargin,
     "q_dedup_perceptual" -> perceptualSql,
+    "q_dedup_perceptual_probe" -> perceptualProbeSql,
     // the audio-hash oracle recomputes the 17-slot grid (floor mapping
     // (f*17) // nfr), the exact Σv² energies over the WAVY sample
     // formula (stride 4409 — non-monotone energies, so bits genuinely
@@ -4234,10 +4260,14 @@ object SparkEntry {
     * Hamming filter — legitimate as THE semantics because the banding
     * is recall-lossless by pigeonhole (the operator's output must equal
     * the brute-force filter exactly). */
+  /** Wavy-luma channel term over (src, pert, sx, sy) columns — shared
+    * by the q_dedup_perceptual and q_dedup_perceptual_probe oracles. */
+  private def wavyLumaTerm(cOff: Int, coef: Int): String =
+    s"$coef * (((src*31 + sx*97 + sy*131 + $cOff) % 256 + " +
+      "CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256)"
+
   private def perceptualSql: String = {
-    def term(cOff: Int, coef: Int) =
-      s"$coef * (((src*31 + sx*97 + sy*131 + $cOff) % 256 + " +
-        "CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256)"
+    def term(cOff: Int, coef: Int) = wavyLumaTerm(cOff, coef)
     s"""WITH d AS (
        |  SELECT doc_id FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0),
        |var AS (
@@ -4274,6 +4304,52 @@ object SparkEntry {
        |FROM hv a JOIN hv c ON a.vid < c.vid
        |WHERE bit_count(xor(a.h, c.h)) <= 8""".stripMargin
   }
+
+
+  /** The q_dedup_perceptual_probe oracle: both sides' hashes recomputed
+    * from the wavy formula (arrival vid maps to corpus pixels vid-60 —
+    * the cross-codec re-encode arriving later), then the brute-force
+    * Hamming restriction corpus × arrivals — again THE semantics, since
+    * the banded probe is recall-lossless. */
+  private def perceptualProbeSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0),
+       |arr AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id >= 60 AND doc_id < 120 AND doc_id % 3 = 0),
+       |var AS (
+       |  SELECT doc_id AS vid, doc_id AS src, 0 AS pert, 0 AS side FROM c
+       |  UNION ALL SELECT doc_id, doc_id - 60, 0, 1 FROM arr),
+       |dims AS (
+       |  SELECT vid, src, pert, side, 4 + src % 5 AS w, 3 + src % 4 AS h
+       |  FROM var),
+       |grid AS (
+       |  SELECT vid, src, pert, side, x.i AS gx, y.i AS gy,
+       |    (x.i * w) // 9 AS sx, (y.i * h) // 8 AS sy
+       |  FROM dims
+       |  CROSS JOIN (SELECT unnest(range(9)) AS i) x
+       |  CROSS JOIN (SELECT unnest(range(8)) AS i) y),
+       |g AS (
+       |  SELECT vid, side, gx, gy,
+       |    (${wavyLumaTerm(0, 299)}
+       |   + ${wavyLumaTerm(29, 587)}
+       |   + ${wavyLumaTerm(58, 114)}) // 1000 AS luma
+       |  FROM grid),
+       |b AS (
+       |  SELECT a.vid, a.side, a.gy * 8 + a.gx AS bit_i,
+       |    CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+       |  FROM g a JOIN g n ON n.vid = a.vid AND n.gy = a.gy
+       |    AND n.gx = a.gx + 1
+       |  WHERE a.gx < 8),
+       |hv AS (
+       |  SELECT vid, side, CAST(sum(bit *
+       |    (CASE WHEN bit_i = 63 THEN -9223372036854775808
+       |          ELSE CAST(power(2, bit_i) AS BIGINT) END)) AS BIGINT) AS h
+       |  FROM b GROUP BY vid, side)
+       |SELECT p.vid AS arrival_id, c2.vid AS corpus_id,
+       |  CAST(bit_count(xor(p.h, c2.h)) AS BIGINT) AS hamming
+       |FROM hv p JOIN hv c2 ON p.side = 1 AND c2.side = 0
+       |WHERE bit_count(xor(p.h, c2.h)) <= 8""".stripMargin
 
   /** Anchor-extraction CTE chain (through `lnk(doc_id, link_pos, href,
     * host)`): the SQL mirror of [[docsWithAnchors]] +
