@@ -1101,6 +1101,27 @@ object SparkEntry {
       Curate.redactCards(base)
         .select(col("doc_id"), col("text"), col("n_cards"))
     }),
+    // NEAR-dup decontamination: the exact 13-gram join catches verbatim
+    // leakage; REPHRASED/lightly-edited eval overlap needs the minhash
+    // machinery. The eval set (doc_id < 50, the q_decontaminate
+    // convention) is signatured into a MinhashIndex ONCE; the corpus
+    // probes it (build-once/probe-many — at 100 TB the eval set is tiny
+    // and the corpus never self-joins); verified Jaccard >= 0.7 pairs
+    // reduce to a per-corpus-doc contamination verdict.
+    "q_decontaminate_near" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_nearix").toString
+      graft.ops.MinhashIndex.build(
+        docs.filter(col("doc_id") < 50), dir, mode = HashMode.Portable)
+      // pairs are (doc_a < doc_b); eval ids < 50 <= corpus ids, so
+      // doc_b is always the corpus side
+      graft.ops.MinhashIndex.probeVerified(
+          s, dir, docs.filter(col("doc_id") >= 50), docs)
+        .groupBy(col("doc_b"))
+        .agg(count(lit(1)).cast("long").as("n_near"),
+          max(col("jaccard")).as("max_jaccard"))
+        .select(col("doc_b").as("doc_id"), col("n_near"), col("max_jaccard"))
+    }),
     "q_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Curate.contamination(docs.filter(col("doc_id") >= 50),
@@ -2652,6 +2673,17 @@ object SparkEntry {
         |    SELECT DISTINCT link_domain AS domain FROM edges0))
         |SELECT nm.domain, pr3.rank
         |FROM pr3 JOIN nm ON pr3.node = nm.node""".stripMargin,
+    // the near-decontamination oracle reads the SAME pr pair frame as
+    // q_dedup_minhash/q_dedup_cluster (one LSH pipeline, three gates)
+    // restricted to eval x corpus pairs — the probe contract is exactly
+    // "minhashPairs on the new x corpus subset"
+    "q_decontaminate_near" ->
+      s"""WITH $shingleCtes,
+        |$minhashPairCtes
+        |SELECT doc_b AS doc_id, CAST(count(*) AS BIGINT) AS n_near,
+        |  max(jaccard) AS max_jaccard
+        |FROM pr WHERE doc_a < 50 AND doc_b >= 50
+        |GROUP BY doc_b""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // the bloom path must be indistinguishable from the exact path —
     // literally the same oracle
