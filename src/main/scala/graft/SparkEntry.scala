@@ -81,6 +81,14 @@ object SparkEntry {
         concat(lit("?ref="), (col("doc_id") % 3).cast("string")))
         .otherwise(lit(""))))
 
+  /** One per-JVM scratch root for gate-internal artifacts (the z-order
+    * write of q_skipping_scan, the minhash index of q_decontaminate_near):
+    * repeated query invocations REUSE the same subdirectory (every
+    * writer below runs in overwrite mode), so Verify sweeps, TimeTool
+    * loops, and dev reruns do not accumulate temp directories. */
+  private lazy val gateScratch: String =
+    java.nio.file.Files.createTempDirectory("graft_gate").toString
+
   /** Anchor-injected documents shared by q_extract_links and
     * q_link_rank: on doc_id % 9 == 0 (the corpus carries no '<') —
     * a double-quoted href, a single-quoted href on a decorated tag, an
@@ -1022,7 +1030,7 @@ object SparkEntry {
     // filter, whatever Spark's file assignment did); the skipping
     // EFFECT (files actually dropped) is pinned in LayoutSpec
     "q_skipping_scan" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      val dir = s"$gateScratch/skip"
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
       graft.ops.Layout.writeZordered(li, dir, Seq("l_partkey", "l_suppkey"),
@@ -1110,7 +1118,7 @@ object SparkEntry {
     // reduce to a per-corpus-doc contamination verdict.
     "q_decontaminate_near" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("graft_nearix").toString
+      val dir = s"$gateScratch/nearix"
       graft.ops.MinhashIndex.build(
         docs.filter(col("doc_id") < 50), dir, mode = HashMode.Portable)
       // pairs are (doc_a < doc_b); eval ids < 50 <= corpus ids, so
@@ -4286,73 +4294,20 @@ object SparkEntry {
       |    regexp_extract(url, '[?]([^#]*)', 1) AS "query"
       |  FROM u)""".stripMargin
 
-  /** The q_dedup_perceptual oracle: recompute every variant's dHash
-    * from the fixture formulas (base pixels, the cross-codec twin's
-    * IDENTICAL pixels, the (0,0)+8 perturbation), then brute-force the
-    * Hamming filter — legitimate as THE semantics because the banding
-    * is recall-lossless by pigeonhole (the operator's output must equal
-    * the brute-force filter exactly). */
   /** Wavy-luma channel term over (src, pert, sx, sy) columns — shared
     * by the q_dedup_perceptual and q_dedup_perceptual_probe oracles. */
   private def wavyLumaTerm(cOff: Int, coef: Int): String =
     s"$coef * (((src*31 + sx*97 + sy*131 + $cOff) % 256 + " +
       "CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256)"
 
-  private def perceptualSql: String = {
-    def term(cOff: Int, coef: Int) = wavyLumaTerm(cOff, coef)
-    s"""WITH d AS (
-       |  SELECT doc_id FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0),
-       |var AS (
-       |  SELECT doc_id AS vid, doc_id AS src, 0 AS pert FROM d
-       |  UNION ALL SELECT doc_id + 1000, doc_id, 0 FROM d
-       |  UNION ALL SELECT doc_id + 2000, doc_id, 1 FROM d),
-       |dims AS (SELECT vid, src, pert, 4 + src % 5 AS w, 3 + src % 4 AS h
-       |  FROM var),
-       |grid AS (
-       |  SELECT vid, src, pert, x.i AS gx, y.i AS gy,
-       |    (x.i * w) // 9 AS sx, (y.i * h) // 8 AS sy
-       |  FROM dims
-       |  CROSS JOIN (SELECT unnest(range(9)) AS i) x
-       |  CROSS JOIN (SELECT unnest(range(8)) AS i) y),
-       |g AS (
-       |  SELECT vid, gx, gy,
-       |    (${term(0, 299)}
-       |   + ${term(29, 587)}
-       |   + ${term(58, 114)}) // 1000 AS luma
-       |  FROM grid),
-       |b AS (
-       |  SELECT a.vid, a.gy * 8 + a.gx AS bit_i,
-       |    CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
-       |  FROM g a JOIN g n ON n.vid = a.vid AND n.gy = a.gy
-       |    AND n.gx = a.gx + 1
-       |  WHERE a.gx < 8),
-       |hv AS (
-       |  SELECT vid, CAST(sum(bit *
-       |    (CASE WHEN bit_i = 63 THEN -9223372036854775808
-       |          ELSE CAST(power(2, bit_i) AS BIGINT) END)) AS BIGINT) AS h
-       |  FROM b GROUP BY vid)
-       |SELECT a.vid AS doc_a, c.vid AS doc_b,
-       |  CAST(bit_count(xor(a.h, c.h)) AS BIGINT) AS hamming
-       |FROM hv a JOIN hv c ON a.vid < c.vid
-       |WHERE bit_count(xor(a.h, c.h)) <= 8""".stripMargin
-  }
-
-
-  /** The q_dedup_perceptual_probe oracle: both sides' hashes recomputed
-    * from the wavy formula (arrival vid maps to corpus pixels vid-60 —
-    * the cross-codec re-encode arriving later), then the brute-force
-    * Hamming restriction corpus × arrivals — again THE semantics, since
-    * the banded probe is recall-lossless. */
-  private def perceptualProbeSql: String =
-    s"""WITH c AS (
-       |  SELECT doc_id FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0),
-       |arr AS (
-       |  SELECT doc_id FROM documents
-       |  WHERE doc_id >= 60 AND doc_id < 120 AND doc_id % 3 = 0),
-       |var AS (
-       |  SELECT doc_id AS vid, doc_id AS src, 0 AS pert, 0 AS side FROM c
-       |  UNION ALL SELECT doc_id, doc_id - 60, 0, 1 FROM arr),
-       |dims AS (
+  /** The dHash recomputation CTE chain (dims -> grid -> luma -> bits ->
+    * hv(vid, side, h)) over a PRECEDING `var(vid, src, pert, side)` CTE
+    * — ONE definition shared by the q_dedup_perceptual and
+    * q_dedup_perceptual_probe oracles, so the two gates can never drift
+    * apart (the minhashPairCtes convention). `side` just rides along;
+    * an oracle that does not need it sets 0. */
+  private def dhashHashCtes: String =
+    s"""dims AS (
        |  SELECT vid, src, pert, side, 4 + src % 5 AS w, 3 + src % 4 AS h
        |  FROM var),
        |grid AS (
@@ -4377,7 +4332,43 @@ object SparkEntry {
        |  SELECT vid, side, CAST(sum(bit *
        |    (CASE WHEN bit_i = 63 THEN -9223372036854775808
        |          ELSE CAST(power(2, bit_i) AS BIGINT) END)) AS BIGINT) AS h
-       |  FROM b GROUP BY vid, side)
+       |  FROM b GROUP BY vid, side)""".stripMargin
+
+  /** The q_dedup_perceptual oracle: recompute every variant's dHash
+    * from the fixture formulas (base pixels, the cross-codec twin's
+    * IDENTICAL pixels, the (0,0)+8 perturbation), then brute-force the
+    * Hamming filter — legitimate as THE semantics because the banding
+    * is recall-lossless by pigeonhole (the operator's output must equal
+    * the brute-force filter exactly). */
+  private def perceptualSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0),
+       |var AS (
+       |  SELECT doc_id AS vid, doc_id AS src, 0 AS pert, 0 AS side FROM d
+       |  UNION ALL SELECT doc_id + 1000, doc_id, 0, 0 FROM d
+       |  UNION ALL SELECT doc_id + 2000, doc_id, 1, 0 FROM d),
+       |$dhashHashCtes
+       |SELECT a.vid AS doc_a, c.vid AS doc_b,
+       |  CAST(bit_count(xor(a.h, c.h)) AS BIGINT) AS hamming
+       |FROM hv a JOIN hv c ON a.vid < c.vid
+       |WHERE bit_count(xor(a.h, c.h)) <= 8""".stripMargin
+
+  /** The q_dedup_perceptual_probe oracle: both sides' hashes recomputed
+    * from the wavy formula (arrival vid maps to corpus pixels vid-60 —
+    * the cross-codec re-encode arriving later), then the brute-force
+    * Hamming restriction corpus × arrivals — again THE semantics, since
+    * the banded probe is recall-lossless. Same [[dhashHashCtes]] chain
+    * as q_dedup_perceptual. */
+  private def perceptualProbeSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0),
+       |arr AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id >= 60 AND doc_id < 120 AND doc_id % 3 = 0),
+       |var AS (
+       |  SELECT doc_id AS vid, doc_id AS src, 0 AS pert, 0 AS side FROM c
+       |  UNION ALL SELECT doc_id, doc_id - 60, 0, 1 FROM arr),
+       |$dhashHashCtes
        |SELECT p.vid AS arrival_id, c2.vid AS corpus_id,
        |  CAST(bit_count(xor(p.h, c2.h)) AS BIGINT) AS hamming
        |FROM hv p JOIN hv c2 ON p.side = 1 AND c2.side = 0
