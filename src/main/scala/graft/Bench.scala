@@ -245,7 +245,12 @@ object Bench {
     // extraction (0.360 × 1.3), min-k quantile sketch (0.494 × 1.3)
     "q_redact_cards" -> 0.51, "q_extract_links" -> 0.47,
     "q_quantile_sketch" -> 0.64
-  ).map { case (k, v) => k -> (v * 1.25 + 0.3) }
+    // slack shrunk r11 (0.3 -> 0.1 flat): the r10 driver run showed an
+    // event-analytics cluster riding 2-3x over its r9 numbers with
+    // rc=0 — for a 0.3-0.5 s query the flat 0.3 s was ~2-3x of
+    // headroom all by itself. 0.1 s covers measured same-harness
+    // jitter; verified breach-free against the r11 settled idle run.
+  ).map { case (k, v) => k -> (v * 1.25 + 0.1) }
 
   /** Pinned baseline: the round-5 clean-run seconds per query (sf0.1,
     * local[32], warmed best-of-3, idle machine) — also recorded in
@@ -263,27 +268,100 @@ object Bench {
     // warm-up pass; evidence in PERF.md r10 and the budget comment above
     "q_pack_chunks" -> 0.425, "q_pack_chunks_sharded" -> 0.514)
 
-  /** Per-query ratio of this run's seconds to the pinned baseline, for
-    * every successfully-timed query the baseline covers. */
-  def perQueryRatios(results: Seq[(String, Double)]): Seq[(String, Double)] =
-    results.collect { case (k, v) if v >= 0 && baselineSecs.contains(k) =>
-      k -> v / baselineSecs(k) }
+  /** FULL-coverage per-query pins (r11): every headline query, not just
+    * the 13 r5-baseline ones — the r10 verdict's blind spot was exactly
+    * the unpinned 75 (an event-analytics cluster rode 2-3x over its r9
+    * numbers with rc=0 because only budget slack covered it). Values
+    * are the r11 settled idle run (sf0.1, local[32], full-Bench
+    * harness — warm-up pass + best-of-3, the ONLY context these
+    * numbers are comparable in; the r10 bisect proved standalone-JVM
+    * numbers differ ~2x on short queries). The 13 r5-pinned queries
+    * keep their [[baselineSecs]] values so the long-lived provenance
+    * is single-source. */
+  val pinnedSecs: Map[String, Double] = baselineSecs ++ Map(
+    "q_abtest" -> 0.228, "q_ann_radius" -> 0.184,
+    "q_ann_radius_ivf" -> 0.346, "q_autocorr" -> 0.378,
+    "q_bigram_lm" -> 0.283, "q_bm25" -> 0.511, "q_boilerplate" -> 0.572,
+    "q_bpe_train" -> 0.768, "q_bpe_train64" -> 0.107,
+    "q_c4_rules" -> 0.266, "q_chi2" -> 0.280,
+    "q_classifier_score" -> 0.333, "q_clean_text" -> 0.172,
+    "q_cluster_sample" -> 0.537, "q_cohort" -> 0.341, "q_corr" -> 1.127,
+    "q_cube" -> 0.294, "q_curation_pipeline2" -> 0.941,
+    "q_dedup_semantic" -> 0.631, "q_dedup_semantic_mp" -> 1.543,
+    "q_dedup_sentences" -> 0.361, "q_dsir" -> 1.521,
+    "q_dup_stats" -> 0.215, "q_entropy" -> 0.523,
+    "q_epoch_order" -> 0.134, "q_ewma" -> 0.389,
+    "q_extract_links" -> 0.141, "q_fd_violations" -> 0.317,
+    "q_feature_pipeline" -> 0.555, "q_funnel" -> 0.436,
+    "q_funnel_window" -> 0.359, "q_gini" -> 0.152,
+    "q_gopher_rules" -> 0.576, "q_histogram" -> 0.241,
+    "q_html_strip" -> 0.184, "q_impute" -> 0.299,
+    "q_ingest_clean" -> 0.365, "q_interval_join" -> 0.279,
+    "q_json_extract" -> 0.548, "q_json_stats" -> 0.705,
+    "q_key_profile" -> 0.315, "q_kmeans" -> 0.737,
+    "q_labelprop" -> 3.156, "q_line_dedup" -> 0.463,
+    "q_lm_score" -> 0.915, "q_mode" -> 0.183, "q_mojibake" -> 0.185,
+    "q_moving_avg" -> 0.380, "q_nb_classify" -> 0.667,
+    "q_outliers" -> 0.542, "q_pack_tokens" -> 0.939,
+    "q_pagerank" -> 0.579, "q_pivot" -> 0.276, "q_pmi" -> 0.412,
+    "q_pop" -> 0.165, "q_quantile_sketch" -> 0.190,
+    "q_rank_normalize" -> 0.321, "q_redact_cards" -> 0.143,
+    "q_ref_integrity" -> 0.261, "q_ref_orphans" -> 0.285,
+    "q_resample" -> 0.726, "q_retention_rate" -> 0.345,
+    "q_scd2" -> 0.387, "q_seasonality" -> 0.202,
+    "q_skew_stats" -> 0.320, "q_stratified_sample" -> 0.357,
+    "q_substr_spans" -> 1.066, "q_temperature_mix" -> 0.257,
+    "q_transitions" -> 0.385, "q_triangles" -> 1.109,
+    "q_twap" -> 0.316, "q_unicode_nfc" -> 0.096, "q_upsample" -> 0.107,
+    "q_weighted_sample" -> 0.209, "q_window_chunks" -> 0.209,
+    "q_winsorize" -> 0.469, "q_zscore" -> 0.291)
 
-  /** The round contract's per-query ceiling: a shared-baseline query
-    * slower than 2× its pin is a regression even when the AGGREGATE
-    * vs_baseline stays green — r9 proved an outlier can hide there
-    * (q_pack_chunks rode at 2.27× inside an aggregate of 1.154). */
+  /** Per-query ratio of this run's seconds to its pin, for every
+    * successfully-timed query [[pinnedSecs]] covers (since r11: the
+    * whole headline). */
+  def perQueryRatios(results: Seq[(String, Double)]): Seq[(String, Double)] =
+    results.collect { case (k, v) if v >= 0 && pinnedSecs.contains(k) =>
+      k -> v / pinnedSecs(k) }
+
+  /** The round contract's per-query ceiling: a pinned query slower than
+    * 2× its pin is a regression even when the AGGREGATE vs_baseline
+    * stays green — r9 proved an outlier can hide there (q_pack_chunks
+    * rode at 2.27× inside an aggregate of 1.154). */
   val MaxVsBaseline = 2.0
 
-  /** Shared-set queries breaching [[MaxVsBaseline]] after contention
-    * normalization (`factor` — the same run-wide median that scales the
-    * budget gate, so a machine-wide burst cannot trip 13 false alarms). */
+  /** Absolute jitter floor on the pinned gate: pins are settled idle
+    * numbers, and the shortest queries (~0.1 s) see ±0.1 s of
+    * same-harness JIT/page-cache noise that a pure ratio would read as
+    * 2x. Kept SMALL — the flat 0.3 s budget slack was how the r10
+    * event-analytics cluster rode unflagged. */
+  val PinJitterFloor = 0.1
+
+  /** Pinned queries breaching [[MaxVsBaseline]] after contention
+    * normalization (`factor` — the run-wide median of secs/pin, see
+    * [[pinFactor]]: pins are settled values, so the median ratio reads
+    * machine-wide contention directly; a real regression moves one
+    * ratio, not the median). */
   def baselineBreaches(results: Seq[(String, Double)],
                        factor: Double): Seq[String] =
-    perQueryRatios(results).collect {
-      case (k, r) if r > MaxVsBaseline * factor =>
-        f"$k ${r}%.2fx > ${MaxVsBaseline * factor}%.2fx pinned baseline"
+    results.collect {
+      case (k, v) if v >= 0 && pinnedSecs.get(k).exists(b =>
+          v > b * MaxVsBaseline * factor + PinJitterFloor) =>
+        f"$k ${v / pinnedSecs(k)}%.2fx > ${MaxVsBaseline * factor}%.2fx pinned (+${PinJitterFloor}%.1fs floor)"
     }
+
+  /** Contention estimate for the pinned gate: run-wide median of
+    * secs/pin, clamped to [1, 3] (idle ≈ 1.0 by construction; the r10
+    * driver's contention bursts read ~1.3-2x here; a uniform ≥3x is an
+    * engine-wide regression and must still breach). The budget gate's
+    * median can't serve: budgets carry ~2x slack, so their median sits
+    * near 0.5 and clamps to 1 even under real contention. */
+  def pinFactor(results: Seq[(String, Double)]): Double = {
+    val ratios = results.collect {
+      case (k, v) if v >= 0 && pinnedSecs.contains(k) => v / pinnedSecs(k)
+    }.sorted
+    if (ratios.isEmpty) 1.0
+    else math.min(3.0, math.max(1.0, ratios(ratios.size / 2)))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -341,16 +419,17 @@ object Bench {
     def over(name: String, secs: Double, factor: Double): Boolean =
       secs >= 0 && budgetSecs.get(name).exists(b => secs > b * factor)
     def baselineOver(name: String, secs: Double, factor: Double): Boolean =
-      secs >= 0 &&
-        baselineSecs.get(name).exists(b => secs > b * MaxVsBaseline * factor)
+      secs >= 0 && pinnedSecs.get(name).exists(b =>
+        secs > b * MaxVsBaseline * factor + PinJitterFloor)
     val runFactor = medianFactor(firstPass)
+    val runPinFactor = pinFactor(firstPass)
     // breach retry: re-measure (best-of-2) any budget OR per-query
     // baseline breach once the rest of the suite has run — a contention
     // burst has moved on by then; a regression repeats. Keep the min so
     // the retry can only improve a query's reported time.
     val results = firstPass.map {
       case (name, secs) if budgetsOn &&
-          (over(name, secs, runFactor) || baselineOver(name, secs, runFactor)) =>
+          (over(name, secs, runFactor) || baselineOver(name, secs, runPinFactor)) =>
         val retry = try math.min(secs, math.min(runOnce(name), runOnce(name)))
                     catch { case _: Throwable => secs }
         if (retry < secs)
@@ -363,7 +442,7 @@ object Bench {
       case (name, secs) if over(name, secs, runFactor) =>
         f"$name ${secs}%.2f>${budgetSecs(name) * runFactor}%.2f"
     }
-    val blBreaches = if (!budgetsOn) Nil else baselineBreaches(results, runFactor)
+    val blBreaches = if (!budgetsOn) Nil else baselineBreaches(results, runPinFactor)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // ratio vs the pinned baseline over the queries both runs cover
@@ -377,7 +456,8 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""vs_baseline_queries":$ratioJson,""" +
-      f""""vs_baseline":$vsBaseline%.3f,"run_factor":$runFactor%.2f,"sf":"$sfDir"}""")
+      f""""vs_baseline":$vsBaseline%.3f,"run_factor":$runFactor%.2f,""" +
+      f""""pin_factor":$runPinFactor%.2f,"sf":"$sfDir"}""")
     breaches.foreach(b => System.err.println(s"[bench] BUDGET BREACH: $b " +
       "(budgets are wall-clock numbers from the round driver's machine; " +
       "set SPARK_GRAFT_BENCH_BUDGETS=off on other hardware)"))

@@ -805,6 +805,50 @@ object SparkEntry {
       NearDup.hammingProbe(index, MediaTransform.dhash(s, arrivals),
         maxHamming = 8, hashCol = "dhash")
     }),
+    // JPEG RUNTIME decode, gated by INVARIANTS: JPEG pixel values are
+    // IDCT-implementation-dependent, so no value-exact cross-engine
+    // oracle is possible — instead the query decodes the lossy fixture
+    // AND its lossless same-pixels PNG twin, and emits per doc the one
+    // value-exact fact (n = w*h from the closed-form dims, which the
+    // oracle recomputes) plus booleans the oracle expects TRUE:
+    // channel means within ±4 counts of the twin's (measured worst
+    // case 1.37), two independent decode passes byte-agree on every
+    // stat, and the dHash is non-null within 16/64 bits of the twin's
+    // (measured worst case 7 — a JPEG re-encode must stay a NEAR-DUP
+    // under perceptual dedup, which is the whole point of decoding
+    // JPEG at runtime). Bounded fixture (doc_id < 120), O(1) in sf.
+    "q_jpeg_decode" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val jp = MediaDecode.jpegPayloads(s, ids)
+      val twin = MediaDecode.jpegPayloads(s, ids,
+        payload = MediaDecode.syntheticJpegTwin)
+      def st(p: DataFrame, pfx: String) = MediaDecode.decodeStats(s, p)
+        .select(col("doc_id"), col("channel"), col("n").as(pfx + "_n"),
+          col("v_mean").as(pfx + "_mean"), col("v_min").as(pfx + "_min"),
+          col("v_max").as(pfx + "_max"))
+      val a = st(jp, "a")
+      val b = st(jp, "b")     // independent second decode pass
+      val tw = st(twin, "t")
+      val perChan = a.join(b, Seq("doc_id", "channel"))
+        .join(tw, Seq("doc_id", "channel"))
+      val perDoc = perChan.groupBy("doc_id").agg(
+        max(col("a_n")).as("n"),
+        min((abs(col("a_mean") - col("t_mean")) <= 4.0).cast("boolean"))
+          .as("mean_ok"),
+        min((col("a_n") === col("b_n") && col("a_mean") === col("b_mean") &&
+          col("a_min") === col("b_min") && col("a_max") === col("b_max"))
+          .cast("boolean")).as("det_ok"))
+      val hj = MediaTransform.dhash(s, jp)
+        .select(col("doc_id"), col("dhash").as("h_jpeg"))
+      val ht = MediaTransform.dhash(s, twin)
+        .select(col("doc_id"), col("dhash").as("h_twin"))
+      perDoc.join(hj, "doc_id").join(ht, "doc_id")
+        .select(col("doc_id"), lit("jpeg").as("format"), col("n"),
+          col("mean_ok"), col("det_ok"),
+          (col("h_jpeg").isNotNull &&
+            expr("bit_count(h_jpeg ^ h_twin)") <= 16).as("hash_ok"))
+    }),
     // audio energy-contour hash (the dHash audio twin): 17-slot floor-
     // mapped time grid, per-(channel, slot) exact Σv² energy, strict
     // louder-than bits folded across channels — every bit recomputed by
@@ -3711,6 +3755,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'wav' AS format, CAST(NULL AS BIGINT) AS dhash
         |FROM d WHERE doc_id % 3 = 1""".stripMargin,
+    // the JPEG oracle checks the INVARIANT CONTRACT, never pixel
+    // values (IDCT-implementation variance): n recomputed from the
+    // closed-form jpegDims — the one value-exact fact about a decoded
+    // JPEG — and the Spark-side tolerance/determinism/perceptual-hash
+    // booleans must all come back TRUE
+    "q_jpeg_decode" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        |  CAST((24 + (doc_id % 5) * 8) * (16 + (doc_id % 3) * 8) AS BIGINT) AS n,
+        |  true AS mean_ok, true AS det_ok, true AS hash_ok
+        |FROM documents WHERE doc_id < 120""".stripMargin,
     "q_dedup_perceptual" -> perceptualSql,
     "q_dedup_perceptual_probe" -> perceptualProbeSql,
     // the audio-hash oracle recomputes the 17-slot grid (floor mapping

@@ -425,26 +425,35 @@ object Curate {
     * duplicated between count and replace), replace each distinct
     * valid candidate word-boundary-anchored (candidates contain only
     * digits, spaces, and dashes, so splicing one into a regex is
-    * literal-safe). `n_cards` counts every \b-bounded occurrence of
-    * each distinct valid candidate against the ORIGINAL text — exactly
-    * the number of replacements made (an occurrence the non-overlapping
-    * extraction scan skipped, because an earlier shape match consumed
-    * part of the run, is still counted AND replaced). */
+    * literal-safe). `n_cards` is EXACTLY the number of replacements
+    * performed: it is computed from the redacted-vs-original diff
+    * (occurrences of `replacement` gained), not by re-counting
+    * candidates against the original text — sequential replacement
+    * means one candidate's occurrence can overlap another candidate's
+    * already-replaced span (separator forms sharing digit groups), and
+    * a pre-count would overstate such rows. */
   def redactCards(docs: DataFrame, textCol: String = "text",
                   replacement: String = "[CARD]"): DataFrame = {
     val candCol = "_rc_valid"
+    val outCol = "_rc_redacted"
     val valid = array_distinct(filter(
       regexp_extract_all(col(textCol), lit(CardPattern), lit(0)),
       c => call_function("graft_luhn", c)))
+    // regex-quoted replacement: the token is caller-supplied text
+    // ("[CARD]" by default — '[' and ']' are regex metachars)
+    val quoted = java.util.regex.Pattern.quote(replacement)
     docs.withColumn(candCol, valid)
-      .withColumn("n_cards",
-        aggregate(col(candCol), lit(0L), (acc, c) =>
-          acc + regexp_count(col(textCol),
-            concat(lit("\\b"), c, lit("\\b"))).cast(LongType)))
-      .withColumn(textCol,
+      .withColumn(outCol,
         aggregate(col(candCol), col(textCol), (acc, c) =>
           regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit(replacement))))
-      .drop(candCol)
+      .withColumn("n_cards",
+        // candidate-free docs (the overwhelming majority of a real
+        // corpus) skip the two diff scans entirely
+        when(size(col(candCol)) === 0, lit(0L)).otherwise(
+          (regexp_count(col(outCol), lit(quoted)) -
+            regexp_count(col(textCol), lit(quoted))).cast(LongType)))
+      .withColumn(textCol, col(outCol))
+      .drop(candCol, outCol)
   }
 
   /** Weighted source mixture: per-source keep rates (percent of 100),

@@ -288,6 +288,97 @@ object ExactSubstr {
         (size(col("_sents")) - size(col("_kept"))).cast(LongType).as("n_removed"))
   }
 
+  /** Offline artifact for [[stripSentencesFlag]]: the `graft_md5hh`
+    * digest pairs of every `n`-sentence shingle occurring ≥
+    * `minOccurrences` times corpus-wide, with the occurrence count —
+    * the same counting semantics as [[dedupSentenceSpans]]'s frequency
+    * stage (per-OCCURRENCE, not per-document: a span duplicated twice
+    * inside one document is duplicated). Persist this from a periodic
+    * batch pass; the streaming side probes it statelessly. The
+    * [[graft.ops.Curate.frequentLines]] compute-offline/clean-online
+    * split, completed for the last dedup family member that lacked it. */
+  def frequentShingles(docs: DataFrame, n: Int = 3, minOccurrences: Long = 2,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span length must be at least 2 sentences")
+    require(minOccurrences >= 2, "minOccurrences must be at least 2")
+    val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
+    docs
+      .select(col(idCol), explode(array(sentsOf)).as("_units"))
+      .select(col(idCol),
+        when(size(col("_units")) >= n,
+          sequence(lit(1), size(col("_units")) - lit(n - 1)))
+          .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
+        col("_units"))
+      .select(explode(col("_starts")).as("pos"),
+        call_function("graft_md5hh",
+          concat_ws(" ", slice(col("_units"), col("pos"), lit(n)))
+            .cast(BinaryType)).as("_hh"))
+      .select(element_at(col("_hh"), 1).as("h1"),
+        element_at(col("_hh"), 2).as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOccurrences)
+  }
+
+  /** Stateless sentence-span dedup for INGEST — the
+    * compute-offline/clean-online twin of [[dedupSentenceSpans]], in
+    * the production shape real pipelines run (duplicated shingles
+    * computed OFFLINE over yesterday's corpus via [[frequentShingles]];
+    * arriving documents cleaned ONLINE with no state and no shuffle): a
+    * sentence is removed iff some `n`-shingle covering it probes
+    * positive in the Bloom built from the artifact. A pure projection —
+    * extract sentences, probe shingles, array-filter, rejoin — so it
+    * runs unchanged on streaming frames (spec-pinned against batch).
+    *
+    * KEEPER CAVEAT (the [[stripSubstrFlag]] canonical-copy posture): the
+    * stateless twin cannot know which occurrence was first, so it
+    * strips EVERY flagged occurrence in the frame it cleans. Against an
+    * offline artifact this approximates keep-first exactly when the
+    * keepers live in the already-deduped corpus the artifact was built
+    * from — every arrival occurrence is a later one by construction.
+    * An arrival that is itself the corpus's only keeper loses its copy
+    * too; run the batch operator on the periodic re-pass to restore it.
+    *
+    * Same Bloom trade as [[graft.ops.Curate.stripLinesFlag]]: no false
+    * negatives, `fpp`-bounded false positives, artifact collected
+    * driver-side behind the `maxShingles` guard (this frame must be
+    * duplicated-span-shaped, not corpus-shaped).
+    *
+    * Output matches [[dedupSentenceSpans]]: `(id, clean_text,
+    * n_sentences, n_removed)`. */
+  def stripSentencesFlag(docs: DataFrame, frequent: DataFrame, n: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         fpp: Double = 1e-6,
+                         maxShingles: Long = 16L << 20): DataFrame = {
+    require(n >= 2, "span length must be at least 2 sentences")
+    val spark = frequent.sparkSession
+    import spark.implicits._
+    val pairs = frequent.select(col("h1"), col("h2")).as[(Long, Long)].collect()
+    require(pairs.length <= maxShingles,
+      s"frequent-shingle artifact has ${pairs.length} shingles (> $maxShingles); " +
+        "stripSentencesFlag builds its filter driver-side — raise maxShingles " +
+        "only if the driver can hold it, or raise minOccurrences upstream")
+    val bloom = GramBloom.build(pairs, fpp)
+    val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
+    docs
+      .withColumn("_sf_sents", sentsOf)
+      .withColumn("_sf_flag",
+        when(size(col("_sf_sents")) >= n,
+          filter(sequence(lit(1), size(col("_sf_sents")) - lit(n - 1)), p =>
+            bloom.mightContainGram(
+              concat_ws(" ", slice(col("_sf_sents"), p, lit(n))))))
+          .otherwise(array().cast(ArrayType(IntegerType))))
+      .withColumn("_sf_kept",
+        filter(col("_sf_sents"), (_, i) =>
+          !exists(col("_sf_flag"), f => i + 1 >= f && i + 1 <= f + lit(n - 1))))
+      .select(col(idCol),
+        concat_ws(" ", col("_sf_kept")).as("clean_text"),
+        size(col("_sf_sents")).cast(LongType).as("n_sentences"),
+        (size(col("_sf_sents")) - size(col("_sf_kept"))).cast(LongType)
+          .as("n_removed"))
+  }
+
   /** Remove flagged spans from the text: every token whose position falls
     * inside a span of `spans` (the [[duplicatedSpans]] schema) is dropped,
     * and the survivors are re-joined with single spaces. Pure mechanics —

@@ -14,11 +14,18 @@ import org.apache.spark.sql.types._
   * [[MediaProbe]] metadata pass.
   *
   * Decode envelope (stated, not implied):
-  *   - LOSSLESS stills only (png, bmp, gif): their decoded pixels are
-  *     bit-exact by spec, so stats are engine-independent. JPEG pixel
-  *     decode is IDCT-implementation-dependent — a JPEG payload is
-  *     detected and SKIPPED (`n = 0`, null stats), never decoded into
-  *     irreproducible numbers.
+  *   - LOSSLESS stills (png, bmp, gif): their decoded pixels are
+  *     bit-exact by spec, so stats are engine-independent and
+  *     value-exact oracle-gateable.
+  *   - JPEG decodes AT RUNTIME through the same `javax.imageio` path
+  *     (real crawl corpora are majority JPEG — a skip here would no-op
+  *     resize/dhash/perceptual-dedup on the dominant web format), but
+  *     its pixel values are IDCT-implementation-dependent, so JPEG
+  *     stays OUT of the value-exact cross-engine oracles: the gated
+  *     query checks INVARIANTS (dims vs the closed-form fixture,
+  *     channel means within a stated tolerance, decode-twice
+  *     determinism, non-null perceptual hashes) and
+  *     `MediaDecodeSpec` pins the same invariants with tighter bounds.
   *   - PCM WAV (8/16-bit integer): raw sample values per channel.
   *   - A decompression-bomb guard ([[MaxPixels]]) bounds the pixel
   *     buffer any one payload may allocate: a tiny PNG declaring a
@@ -206,8 +213,9 @@ object MediaDecode {
       else {
         val p = MediaProbe.probe(bytes)
         p.format match {
-          case f @ ("png" | "bmp" | "gif") => imageStats(docId, f, bytes, p)
-          case "jpeg" => skipped(docId, "jpeg") // lossy: out of envelope
+          // jpeg decodes at RUNTIME (see the envelope note above); it
+          // is merely excluded from value-exact cross-engine oracles
+          case f @ ("png" | "bmp" | "gif" | "jpeg") => imageStats(docId, f, bytes, p)
           case "wav"  => wavStats(docId, bytes)
           case _      => skipped(docId, "unknown")
         }
@@ -268,9 +276,10 @@ object MediaDecode {
 
   /** One image assembler for all pixel formulas. */
   private def assembleImage(doc: Long, fmt: String,
-                            pixel: (Long, Int, Int, Int) => Int): Array[Byte] = {
+                            pixel: (Long, Int, Int, Int) => Int,
+                            dims: Long => (Int, Int) = imageDims): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
-    val (w, h) = imageDims(doc)
+    val (w, h) = dims(doc)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -286,6 +295,52 @@ object MediaDecode {
     val out = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
     out.toByteArray
+  }
+
+  // ---- JPEG fixture (invariant-gated, never value-exact) ---------------
+
+  /** JPEG fixture dims: multiples of 8 (whole MCU blocks — no
+    * partial-block edge behavior in the codec), w ∈ {24..56}, h ∈
+    * {16..32}. Mirrored in the oracle SQL (the DIMS are the one
+    * value-exact fact about a JPEG the oracle can check: n = w·h). */
+  def jpegDims(doc: Long): (Int, Int) =
+    ((24 + (doc % 5) * 8).toInt, (16 + (doc % 3) * 8).toInt)
+
+  /** Closed-form pixel for the JPEG fixture: gentle strides (11/17)
+    * over the [[jpegDims]] canvas wrap the byte ring a few times —
+    * content-determined (non-degenerate dHash) yet smooth enough that
+    * DCT quantisation moves channel MEANS by only a few counts. Not
+    * mirrored in any oracle (JPEG pixel values are
+    * IDCT-implementation-dependent); the spec and the gated query
+    * check tolerance invariants against it instead. */
+  def pixelValueJpeg(doc: Long, c: Int, x: Int, y: Int): Int =
+    ((doc * 31 + x * 11 + y * 17 + c * 29) % 256).toInt
+
+  /** Encode one synthetic JPEG via the real JDK encoder (default
+    * quality). Deterministic within a JVM — the decode-twice and
+    * hash-stability invariants the gate checks never compare bytes
+    * across JVMs. */
+  def syntheticJpeg(doc: Long): Array[Byte] =
+    assembleImage(doc, "jpg", pixelValueJpeg, jpegDims)
+
+  /** Matching LOSSLESS twin of [[syntheticJpeg]] (same pixels, PNG) —
+    * what the tolerance invariants compare the lossy decode against. */
+  def syntheticJpegTwin(doc: Long): Array[Byte] =
+    assembleImage(doc, "png", pixelValueJpeg, jpegDims)
+
+  /** Distributed JPEG-fixture payloads: `(doc_id, payload)` built per
+    * partition through the real encoder — `payload` defaults to the
+    * lossy [[syntheticJpeg]]; pass [[syntheticJpegTwin]] for the
+    * lossless same-pixels comparison frame. */
+  def jpegPayloads(spark: SparkSession, ids: DataFrame,
+                   idCol: String = "doc_id",
+                   payload: Long => Array[Byte] = syntheticJpeg): DataFrame = {
+    val src = ids.select(col(idCol).cast(LongType))
+    val rdd = src.rdd.mapPartitions(_.map(r =>
+      Row(r.getLong(0), payload(r.getLong(0)))))
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
   }
 
   /** Closed-form PCM16 sample value — mirrored in the oracle SQL. */

@@ -46,12 +46,15 @@ object MediaTransform {
       else {
         val p = MediaProbe.probe(bytes)
         p.format match {
-          case f @ ("png" | "bmp" | "gif") =>
+          // jpeg included: transforms decode it at runtime (the
+          // [[MediaDecode]] envelope note — value-exact oracles exclude
+          // it; resize/dhash over real crawl corpora must not no-op on
+          // the dominant web format)
+          case f @ ("png" | "bmp" | "gif" | "jpeg") =>
             MediaDecode.openImage(bytes, p) match {
               case Left(reason) => skip(reason)
               case Right(img) => run(f, img)
             }
-          case "jpeg" => skip("jpeg") // lossy: out of envelope
           case other  => skip(other)
         }
       }

@@ -482,12 +482,12 @@ object NearDup {
     *
     * maxHamming is REQUIRED (no default): the r2→r3 default change 8 → 3
     * silently shrank existing callers' pair sets, so the radius is now an
-    * explicit call-site decision. maxHamming = 3 is the scale-safe pick —
+    * explicit call-site decision. maxHamming = 3 is the cheapest pick —
     * wide bands: 4 bands × 16 bits ⇒ 65k distinct values per band, bucket
-    * sizes ~n/262k, within-bucket join far from quadratic. Higher values
-    * narrow bands fast (8 ⇒ 9 bands × ~7 bits ⇒ ≤128 values/band ⇒
-    * quadratic buckets at corpus scale) — callers that raise it should
-    * add a second blocking key. */
+    * sizes ~n/262k, within-bucket join far from quadratic. Wider radii
+    * switch to band-PAIR blocking automatically ([[hammingIndex]]'s
+    * [[MinSingleBandBits]] cutover) — still recall-lossless, paying
+    * C(maxHamming+2, 2) index rows per doc for ~2x the key bits. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    mode: HashMode = HashMode.Default): DataFrame =
     hammingPairs(simhash(docs, mode), maxHamming,
@@ -502,9 +502,10 @@ object NearDup {
     * (`maxHamming + 1` bands, exact agreement on ≥ 1 band is implied
     * by ≤ maxHamming differing bits — zero recall loss), same exact
     * `bit_count(xor)` verify. Null hashes are dropped (no fingerprint
-    * to compare). The [[simhashPairs]] band-width scale note applies:
-    * large radii narrow bands toward quadratic buckets — add a second
-    * blocking key or keep the input bounded. */
+    * to compare). Wide radii (single bands under [[MinSingleBandBits]])
+    * block on band PAIRS automatically — see [[hammingIndex]] — so
+    * radius 8 on a corpus-sized frame keeps ~13-bit buckets instead of
+    * going quadratic on 7-bit ones. */
   def hammingPairs(hashes: DataFrame, maxHamming: Int,
                    hashCol: String = "simhash", idCol: String = "doc_id",
                    bits: Int = 64): DataFrame = {
@@ -520,6 +521,29 @@ object NearDup {
       .distinct()
   }
 
+  /** Below this single-band width the banding switches to BAND PAIRS:
+    * at radius 8 over 64 bits, single bands are ~7 bits (≤128 distinct
+    * values), so on a corpus-sized frame every bucket is ~n/128 of the
+    * corpus and the verify join goes quadratic — the one latent
+    * scale-killer the r10 perf audit named. 12 bits (~4k values) is
+    * where single-band buckets stay comfortably sub-quadratic. */
+  val MinSingleBandBits = 12
+
+  /** Band layout shared by single- and pair-mode: start offsets and
+    * widths for `numBands` contiguous bands over `bits`. */
+  private def bandLayout(bits: Int, numBands: Int): (IndexedSeq[Int], IndexedSeq[Int]) = {
+    val base = bits / numBands
+    val extra = bits % numBands // first `extra` bands get one more bit
+    val widths = (0 until numBands).map(b => base + (if (b < extra) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _).take(numBands)
+    (starts.toIndexedSeq, widths)
+  }
+
+  private def bandValue(starts: IndexedSeq[Int], widths: IndexedSeq[Int])(b: Int) = {
+    val mask = if (widths(b) >= 63) -1L else (1L << widths(b)) - 1L
+    shiftrightunsigned(col("_hp_hash"), starts(b)).bitwiseAND(lit(mask))
+  }
+
   /** Banded Hamming index rows `(doc_id, _hp_hash, band, band_val)` —
     * the left side of [[hammingPairs]]'s self-join, exposed so a
     * corpus can be banded ONCE (persist this frame) and arrivals probed
@@ -527,7 +551,23 @@ object NearDup {
     * ([[hammingProbe]]) — the [[MinhashIndex]] build-once/probe-many
     * shape for 64-bit fingerprints. The band layout is a function of
     * (bits, maxHamming): probe with the SAME values the index was
-    * built with, or bands will not line up. */
+    * built with, or bands will not line up.
+    *
+    * WIDE RADII get a SECOND BLOCKING KEY automatically: when the
+    * single-band width `bits / (maxHamming+1)` drops under
+    * [[MinSingleBandBits]], the index bands over PAIRS of
+    * `maxHamming + 2` narrower bands instead. Pigeonhole still holds
+    * exactly: ≤ maxHamming differing bits touch ≤ maxHamming of the
+    * `maxHamming + 2` bands, so at least TWO bands agree — hence at
+    * least one PAIR of bands agrees, and joining on
+    * `(pair, val_i ‖ val_j)` loses zero recall. The pair key carries
+    * ~2x the bits of a single band (radius 8 over 64 bits: ~13-bit
+    * keys = ~8k distinct values vs 128), collapsing the within-bucket
+    * quadratic by ~64x, for C(maxHamming+2, 2) rows per doc instead of
+    * maxHamming + 1 (45 vs 9 at radius 8 — a 5x bigger index exchange
+    * buying a ~64x smaller verify join; at corpus scale the join IS
+    * the cost). Falls back to single-band when `bits < maxHamming + 2`
+    * (pairs would need more bands than bits). */
   def hammingIndex(hashes: DataFrame, maxHamming: Int,
                    hashCol: String = "simhash", idCol: String = "doc_id",
                    bits: Int = 64): DataFrame = {
@@ -536,17 +576,26 @@ object NearDup {
       s"maxHamming must be in [0, ${bits - 1}]")
     val sh = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(hashCol).as("_hp_hash"))
-    val numBands = maxHamming + 1
-    val base = bits / numBands
-    val extra = bits % numBands // first `extra` bands get one more bit
-    val starts = (0 until numBands).scanLeft(0)((s, b) => s + base + (if (b < extra) 1 else 0))
-    val bands = (0 until numBands).map { b =>
-      val width = base + (if (b < extra) 1 else 0)
-      val mask = if (width >= 63) -1L else (1L << width) - 1L
-      shiftrightunsigned(col("_hp_hash"), starts(b)).bitwiseAND(lit(mask))
+    val pairMode =
+      bits / (maxHamming + 1) < MinSingleBandBits && bits >= maxHamming + 2
+    if (!pairMode) {
+      val numBands = maxHamming + 1
+      val (starts, widths) = bandLayout(bits, numBands)
+      val bands = (0 until numBands).map(bandValue(starts, widths))
+      sh.select(col("doc_id"), col("_hp_hash"),
+        posexplode(array(bands: _*)).as(Seq("band", "band_val")))
+    } else {
+      val numBands = maxHamming + 2
+      val (starts, widths) = bandLayout(bits, numBands)
+      val v = bandValue(starts, widths) _
+      // pair key: val_i in the high 32 bits, val_j in the low — pair
+      // widths are < MinSingleBandBits each by construction, so both
+      // fit with room to spare
+      val pairs = for (i <- 0 until numBands; j <- i + 1 until numBands)
+        yield shiftleft(v(i), 32).bitwiseOR(v(j))
+      sh.select(col("doc_id"), col("_hp_hash"),
+        posexplode(array(pairs: _*)).as(Seq("band", "band_val")))
     }
-    sh.select(col("doc_id"), col("_hp_hash"),
-      posexplode(array(bands: _*)).as(Seq("band", "band_val")))
   }
 
   /** Probe arrivals against a banded Hamming index ([[hammingIndex]],

@@ -14,18 +14,25 @@ import java.nio.charset.StandardCharsets
   * (`dc43-service-backends/src/dc43_service_backends/auth.py:28`): a set
   * of accepted tokens, an optional custom verifier, or both; at least
   * one must be provided (an empty policy would silently allow nothing —
-  * the reference raises the same way). Token comparison is
-  * constant-time (`MessageDigest.isEqual`) so acceptance can't leak
-  * prefix length through timing. */
+  * the reference raises the same way). Token comparison runs over
+  * FIXED-LENGTH SHA-256 digests of both sides and folds across every
+  * configured token without short-circuit (bitwise `|`, not `||`), so
+  * neither token length, prefix, nor which-of-N-tokens matched is
+  * timing-observable. The optional `verifier` branch is caller-defined
+  * code and carries whatever timing profile the caller gives it. */
 final case class BearerAuth(tokens: Set[String] = Set.empty,
                             verifier: Option[String => Boolean] = None) {
   require(tokens.nonEmpty || verifier.nonEmpty,
     "provide at least one token or a verifier for authentication")
+  private def sha256(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
   def accepts(presented: String): Boolean = {
-    val bytes = presented.getBytes(StandardCharsets.UTF_8)
-    tokens.exists(t =>
-      java.security.MessageDigest.isEqual(t.getBytes(StandardCharsets.UTF_8), bytes)) ||
-      verifier.exists(_(presented))
+    val p = sha256(presented)
+    val tokenHit = tokens.foldLeft(false) { (acc, t) =>
+      acc | java.security.MessageDigest.isEqual(sha256(t), p)
+    }
+    tokenHit || verifier.exists(_(presented))
   }
 }
 

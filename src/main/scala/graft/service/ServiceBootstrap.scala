@@ -77,7 +77,7 @@ object ServiceBootstrap {
               case q if q.length >= 2 && q.startsWith("\"") && q.endsWith("\"") =>
                 q.substring(1, q.length - 1)
               case b if b == "true" || b == "false" => b
-              case n if n.nonEmpty && n.forall(c => c.isDigit || c == '-') => n
+              case n if n.matches("-?\\d+") => n
               case other => throw new IllegalArgumentException(
                 s"line ${i + 1}: unsupported value syntax: $other " +
                   "(quoted string, integer, or boolean)")

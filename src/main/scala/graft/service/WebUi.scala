@@ -24,6 +24,20 @@ import graft.products.DataProductService
 final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
                   products: Option[DataProductService] = None) {
 
+  /** The product backend, kept only when it supports LISTING: a
+    * catalog-backed facade ([[graft.products.CatalogAdapter]]'s
+    * backend) throws `UnsupportedOperationException` from
+    * `listDataProducts`, and the UI must degrade (no counter, no nav
+    * link, 404 on `/ui/products`) rather than answer 500 on the
+    * landing page. Probed once — backends don't grow listing support
+    * at runtime. Per-id pages (`/ui/product?id=`) still work either
+    * way. */
+  private lazy val listingProducts: Option[DataProductService] =
+    products.filter { pb =>
+      try { pb.listDataProducts(); true }
+      catch { case _: UnsupportedOperationException => false }
+    }
+
   // ------------------------------------------------------------------
   // rendering primitives
   // ------------------------------------------------------------------
@@ -64,7 +78,7 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
       s"<style>$style</style></head><body>\n" +
       "<nav><a href=\"/ui\">Home</a><a href=\"/ui/contracts\">Contracts</a>\n" +
       "<a href=\"/ui/drafts\">Drafts</a><a href=\"/ui/datasets\">Datasets</a>" +
-      (if (products.isDefined) "<a href=\"/ui/products\">Data products</a>" else "") +
+      (if (listingProducts.isDefined) "<a href=\"/ui/products\">Data products</a>" else "") +
       "</nav>\n" +
       s"<h1>${esc(title)}</h1>\n" +
       body +
@@ -100,7 +114,7 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     val datasets = gov.listDatasets()
     val matrix = gov.statusMatrix()
     val blocked = matrix.count(_.status == "block")
-    val productCount = products.map(_.listDataProducts().total)
+    val productCount = listingProducts.map(_.listDataProducts().total)
     page("Governance", s"""
       |<table>
       |<tr><th>Contracts</th><td>${cids.size}</td></tr>
@@ -284,8 +298,9 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     Some(page(s"Dataset $dataset", chain + metricsTable))
   }
 
-  /** Data-product listing — reference `data_products.html`. */
-  def productsPage(): Option[String] = products.map { pb =>
+  /** Data-product listing — reference `data_products.html`. `None`
+    * (→ 404) when the attached backend can't list. */
+  def productsPage(): Option[String] = listingProducts.map { pb =>
     val rows = pb.listDataProducts().items.map { id =>
       val latest = pb.latest(id)
       Seq(

@@ -2,21 +2,32 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The per-query vs-baseline gate (r10): proves the 2× ceiling trips on
-  * a deliberate slowdown and stays quiet inside it — the r9 episode was
-  * a 2.27× outlier hiding inside an aggregate vs_baseline of 1.154, so
-  * the gate's job is exactly "an outlier can never hide again". Pure
-  * functions, no Spark session: the gate must be provable without a
-  * 4-minute bench run. */
+/** The per-query vs-pin gate: r10 proved the 13-query gate's blind spot
+  * — an event-analytics cluster (q_resample, q_funnel, q_outliers, …)
+  * rode 2-3× over its r9 numbers with rc=0 because those queries had no
+  * pin and the flat 0.3 s budget slack absorbed the drift. Since r11
+  * EVERY headline query is pinned ([[Bench.pinnedSecs]]), the ceiling
+  * is 2× + a 0.1 s jitter floor, and contention is normalized by the
+  * run-wide median of secs/pin (pins are settled values, so the median
+  * reads machine-wide contention directly). Pure functions, no Spark
+  * session: the gate must be provable without a 4-minute bench run. */
 class BenchGateSpec extends AnyFunSuite {
 
   private val base = Bench.baselineSecs("q1_pricing")
 
-  test("a deliberate 2.1x slowdown on a shared query trips the gate") {
-    val results = Seq("q1_pricing" -> base * 2.1, "q_metrics" -> 0.30)
+  test("a deliberate 2.5x slowdown on an r5-pinned query trips the gate") {
+    val results = Seq("q1_pricing" -> base * 2.5, "q_metrics" -> 0.30)
     val breaches = Bench.baselineBreaches(results, factor = 1.0)
     assert(breaches.size == 1)
     assert(breaches.head.startsWith("q1_pricing"))
+  }
+
+  test("a 2.5x breach on a PREVIOUSLY-UNPINNED query now trips (the r10 blind spot)") {
+    // q_funnel was exactly the class of query that rode 2-3x with rc=0
+    // in BENCH_r10 — it must not be able to do that again
+    val pin = Bench.pinnedSecs("q_funnel")
+    val breaches = Bench.baselineBreaches(Seq("q_funnel" -> pin * 2.5), 1.0)
+    assert(breaches.nonEmpty && breaches.head.startsWith("q_funnel"))
   }
 
   test("1.9x stays inside the gate; exactly 2.0x is NOT a breach (strict >)") {
@@ -24,31 +35,64 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.baselineBreaches(Seq("q1_pricing" -> base * 2.0), 1.0).isEmpty)
   }
 
-  test("contention normalization scales the ceiling like the budget gate") {
+  test("the jitter floor absorbs absolute noise on the shortest queries only") {
+    // q_unicode_nfc pins at ~0.1 s: 2x + 0.1 s floor ≈ 3x — a 2.5x
+    // reading on a 0.1 s query is JIT noise, not a regression
+    val short = Bench.pinnedSecs("q_unicode_nfc")
+    assert(Bench.baselineBreaches(Seq("q_unicode_nfc" -> short * 2.5), 1.0).isEmpty)
+    assert(Bench.baselineBreaches(
+      Seq("q_unicode_nfc" -> (short * 2 + 0.11)), 1.0).nonEmpty)
+    // on a ~1 s query the same floor is negligible: 2.2x trips
+    assert(Bench.baselineBreaches(Seq("q1_pricing" -> base * 2.2), 1.0).nonEmpty)
+  }
+
+  test("contention normalization scales the ceiling") {
     val results = Seq("q1_pricing" -> base * 2.5)
     assert(Bench.baselineBreaches(results, factor = 1.0).nonEmpty)
     // a run-wide 1.3x contention factor lifts the ceiling to 2.6x
     assert(Bench.baselineBreaches(results, factor = 1.3).isEmpty)
   }
 
-  test("failed queries (-1) and non-baseline queries never trip the gate") {
-    val results = Seq("q1_pricing" -> -1.0, "q_entropy" -> 99.0)
+  test("pinFactor reads machine-wide contention from the pin-ratio median") {
+    // idle run: every query at its pin → factor clamps to 1
+    val idle = Bench.pinnedSecs.toSeq.map { case (k, v) => k -> v }
+    assert(Bench.pinFactor(idle) == 1.0)
+    // uniform 1.5x contention: the median reads it
+    val contended = idle.map { case (k, v) => k -> v * 1.5 }
+    assert(math.abs(Bench.pinFactor(contended) - 1.5) < 1e-9)
+    // ONE 10x outlier on an idle run cannot drag the median
+    val outlier = idle.map { case (k, v) =>
+      if (k == "q_funnel") k -> v * 10 else k -> v }
+    assert(Bench.pinFactor(outlier) == 1.0)
+    // the clamp at 3 means the ceiling tops out at 6x: an engine-wide
+    // uniform regression beyond that still breaches — the factor can
+    // never normalize a catastrophe away
+    val broken = idle.map { case (k, v) => k -> v * 7 }
+    assert(Bench.pinFactor(broken) == 3.0)
+    assert(Bench.baselineBreaches(broken, Bench.pinFactor(broken)).nonEmpty)
+  }
+
+  test("failed queries (-1) and non-pinned queries never trip the gate") {
+    val results = Seq("q1_pricing" -> -1.0, "q_not_a_query" -> 99.0)
     assert(Bench.baselineBreaches(results, 1.0).isEmpty)
     assert(Bench.perQueryRatios(results).isEmpty)
   }
 
-  test("perQueryRatios covers exactly the timed shared-baseline set") {
+  test("perQueryRatios covers exactly the timed pinned set") {
     val results = Seq("q1_pricing" -> base, "q_pack_chunks" -> 0.2,
-      "q_entropy" -> 0.5)
+      "q_not_a_query" -> 0.5)
     val ratios = Bench.perQueryRatios(results).toMap
     assert(ratios.keySet == Set("q1_pricing", "q_pack_chunks"))
     assert(math.abs(ratios("q1_pricing") - 1.0) < 1e-9)
   }
 
-  test("every headline query has a budget; every baseline query is headline") {
-    val missing = Bench.headline.filterNot(Bench.budgetSecs.contains)
-    assert(missing.isEmpty, s"headline queries without a budget: $missing")
-    val orphan = Bench.baselineSecs.keys.filterNot(Bench.headline.contains)
-    assert(orphan.isEmpty, s"baseline queries not in headline: $orphan")
+  test("every headline query has a budget AND a pin; no orphan pins") {
+    val noBudget = Bench.headline.filterNot(Bench.budgetSecs.contains)
+    assert(noBudget.isEmpty, s"headline queries without a budget: $noBudget")
+    val noPin = Bench.headline.filterNot(Bench.pinnedSecs.contains)
+    assert(noPin.isEmpty,
+      s"headline queries without a pin (the r10 blind spot): $noPin")
+    val orphan = Bench.pinnedSecs.keys.filterNot(Bench.headline.contains)
+    assert(orphan.isEmpty, s"pinned queries not in headline: $orphan")
   }
 }

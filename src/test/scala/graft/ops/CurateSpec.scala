@@ -95,6 +95,24 @@ class CurateSpec extends SparkSpec {
       "n_cards must equal the number of redactions actually made")
   }
 
+  test("redactCards: n_cards counts replacements, not pre-replacement occurrences") {
+    // "0-4539578763621486" is Luhn-valid (the leading 0 adds nothing to
+    // the checksum) and CONTAINS a \b-bounded occurrence of the plain
+    // PAN right after the dash. Counting candidates against the
+    // ORIGINAL text would see the plain PAN twice (inside the dashed
+    // span + standalone) = 3 total, but replacing the dashed candidate
+    // first consumes the embedded occurrence — only 2 replacements
+    // happen. n_cards is derived from the redacted-vs-original diff,
+    // so it must say 2.
+    val rows = Seq(
+      (1L, "0-4539578763621486 and 4539578763621486")
+    ).toDF("doc_id", "text")
+    val out = Curate.redactCards(rows).collect()
+    assert(out(0).getAs[String]("text") == "[CARD] and [CARD]")
+    assert(out(0).getAs[Long]("n_cards") == 2L,
+      "n_cards must equal replacements actually performed, not original-text occurrence counts")
+  }
+
   test("redactCards is a stateless projection (streams as-is)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(Long, String)](spark)

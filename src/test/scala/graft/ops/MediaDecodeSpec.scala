@@ -56,12 +56,53 @@ class MediaDecodeSpec extends SparkSpec {
       Seq((0L, 12L, 0x10L, 0x10L), (1L, 12L, 0x20L, 0x20L), (2L, 12L, 0x30L, 0x30L)))
   }
 
+  test("JPEG runtime decode: dims exact, means near-lossless, deterministic, hash stable") {
+    // JPEG pixel values are IDCT-implementation-dependent, so the spec
+    // pins INVARIANTS (tighter than the gated query's): exact dims,
+    // channel means within ±2 of the lossless twin (measured worst
+    // case 1.37 across the 120-doc fixture), byte-identical stats on a
+    // second decode, dHash within 8/64 bits of the twin's (measured 7)
+    // and content-diverse across docs (non-degeneracy — the r10
+    // fixture lesson).
+    val hashes = scala.collection.mutable.Set[Long]()
+    for (doc <- 0L until 120L) {
+      val jp = MediaDecode.syntheticJpeg(doc)
+      val tw = MediaDecode.syntheticJpegTwin(doc)
+      val (w, h) = MediaDecode.jpegDims(doc)
+      assert(MediaProbe.probe(jp) ==
+        MediaProbe.Probed("jpeg", Some(w.toLong), Some(h.toLong),
+          channels = Some(3L), bitDepth = Some(8L)),
+        s"doc $doc: header probe must agree with the closed-form dims")
+      val rows = MediaDecode.decode(doc, jp)
+      assert(rows.size == 3 && rows.head.getString(1) == "jpeg" &&
+        rows.forall(_.getLong(3) == w.toLong * h), s"doc $doc: 3 channels of w*h pixels")
+      val twin = MediaDecode.decode(doc, tw)
+      for ((r, t) <- rows.zip(twin)) {
+        val meanJ = r.getLong(4).toDouble / r.getLong(3)
+        val meanT = t.getLong(4).toDouble / t.getLong(3)
+        assert(math.abs(meanJ - meanT) <= 2.0,
+          s"doc $doc ch ${r.getLong(2)}: jpeg mean $meanJ vs lossless $meanT")
+      }
+      assert(MediaDecode.decode(doc, jp) == rows, s"doc $doc: decode must be deterministic")
+      val hj = MediaTransform.dhashOne(doc, jp).head
+      val ht = MediaTransform.dhashOne(doc, tw).head
+      assert(!hj.isNullAt(2) && hj.getString(1) == "jpeg",
+        s"doc $doc: jpeg payloads must hash, not no-op")
+      val dist = java.lang.Long.bitCount(hj.getLong(2) ^ ht.getLong(2))
+      assert(dist <= 8, s"doc $doc: jpeg dhash drifted $dist bits from its lossless twin")
+      hashes += hj.getLong(2)
+    }
+    assert(hashes.size >= 100,
+      s"fixture degeneracy: only ${hashes.size} distinct jpeg hashes across 120 docs")
+  }
+
   test("lossy, garbage, bombs, and truncation degrade to n=0 rows, never throw") {
-    // JPEG is detected but NOT decoded (IDCT-dependent pixels)
+    // a bare JPEG header (no scan data) enters the runtime decode path
+    // and degrades to an undecodable marker — never throws
     val jpegHeader = Array(0xff, 0xd8, 0xff, 0xc0, 0, 17, 8, 0, 2, 0, 2, 3,
       1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
     val j = MediaDecode.decode(1L, jpegHeader)
-    assert(j.size == 1 && j.head.getString(1) == "jpeg" && j.head.getLong(3) == 0L)
+    assert(j.size == 1 && j.head.getString(1) == "undecodable" && j.head.getLong(3) == 0L)
     assert(MediaDecode.decode(2L, null).head.getString(1) == "unknown")
     assert(MediaDecode.decode(3L, "garbage".getBytes).head.getString(1) == "unknown")
     // a PNG whose header declares a 2^32-pixel canvas is guarded BEFORE

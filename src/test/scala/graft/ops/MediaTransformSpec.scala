@@ -40,13 +40,15 @@ class MediaTransformSpec extends SparkSpec {
     }
   }
 
-  test("resize is total: wav, jpeg, garbage, bombs, nulls → marker rows") {
+  test("resize is total: wav, truncated jpeg, garbage, bombs, nulls → marker rows") {
     val wav = MediaTransform.resizeOne(1L, MediaDecode.syntheticWav(1L), OutW, OutH)
     assert(wav.size == 1 && wav.head.getString(1) == "wav" && wav.head.isNullAt(5))
+    // a bare JPEG header (no scan data) enters the runtime decode path
+    // and degrades to an undecodable marker
     val jpegHeader = Array(0xff, 0xd8, 0xff, 0xc0, 0, 17, 8, 0, 2, 0, 2, 3,
       1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
     assert(MediaTransform.resizeOne(2L, jpegHeader, OutW, OutH)
-      .head.getString(1) == "jpeg")
+      .head.getString(1) == "undecodable")
     assert(MediaTransform.resizeOne(3L, null, OutW, OutH)
       .head.getString(1) == "unknown")
     assert(MediaTransform.resizeOne(4L, "garbage".getBytes, OutW, OutH)

@@ -182,6 +182,72 @@ class NearDupSpec extends SparkSpec {
     assert(banded == brute, "pigeonhole banding must equal the brute-force filter")
   }
 
+  test("band-pair blocking (wide radius): boundary-exact, recall-lossless, probe-consistent") {
+    // radius 8 over 64 bits crosses the MinSingleBandBits cutover:
+    // blocking runs on PAIRS of the 10 narrower bands. Planted pairs at
+    // exactly hamming 8 (must surface — boundary) and 9 (must not).
+    val base = 0x0123456789ABCDEFL
+    val at8 = base ^ 0xFFL          // 8 low bits flipped
+    val at9 = base ^ 0x1FFL         // 9 bits flipped
+    val spread8 = base ^ 0x8040201008040201L // 8 bits across all bands
+    val df = Seq((1L, base), (2L, at8), (3L, at9), (4L, spread8))
+      .toDF("doc_id", "h")
+    val got = NearDup.hammingPairs(df, maxHamming = 8, hashCol = "h")
+      .as[(Long, Long, Long)].collect().toSet
+    val vals = Seq(1L -> base, 2L -> at8, 3L -> at9, 4L -> spread8)
+    val brute = (for {
+      (a, ha) <- vals; (b, hb) <- vals if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 8
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute, s"pair banding must equal brute force: $got vs $brute")
+    assert(got.contains((1L, 2L, 8L)) && got.contains((1L, 4L, 8L)),
+      "hamming == maxHamming pairs must surface (boundary)")
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) })
+    // probe side must band with the same pair layout
+    val index = NearDup.hammingIndex(df, maxHamming = 8, hashCol = "h")
+    val probed = NearDup.hammingProbe(index,
+      Seq((100L, base ^ 0x3L)).toDF("doc_id", "h"), maxHamming = 8, hashCol = "h")
+      .as[(Long, Long, Long)].collect().toSet
+    val bruteProbe = vals.collect { case (c, hc)
+      if java.lang.Long.bitCount((base ^ 0x3L) ^ hc) <= 8 =>
+        (100L, c, java.lang.Long.bitCount((base ^ 0x3L) ^ hc).toLong) }.toSet
+    assert(probed == bruteProbe && probed.map(_._2).contains(1L),
+      s"pair-mode probe must equal brute force: $probed vs $bruteProbe")
+  }
+
+  test("band-pair blocking bounds candidate counts where single bands go quadratic") {
+    // corpus-sized shape check without materializing any join: candidate
+    // pairs = Σ_buckets C(c, 2) over the banded index. At radius 8 on
+    // 4096 well-spread 64-bit hashes, single-band buckets (≤128
+    // distinct values) are ~n/128 and quadratic; pair-band buckets
+    // (~13-bit keys) must cut the candidate count by well over an
+    // order of magnitude.
+    val n = 4096L
+    // golden-ratio multiply spreads bits uniformly — a stand-in for
+    // real content hashes
+    val hashed = spark.range(n).select(col("id").as("doc_id"),
+      (col("id") * lit(0x9E3779B97F4A7C15L)).as("h"))
+    def candidates(index: org.apache.spark.sql.DataFrame): Long =
+      index.groupBy("band", "band_val").count()
+        .agg(sum(expr("count * (count - 1) / 2"))).as[Long].head()
+    val pairCand = candidates(
+      NearDup.hammingIndex(hashed, maxHamming = 8, hashCol = "h"))
+    // the pre-r11 single-band layout, reconstructed inline: 9 bands
+    val single = (0 until 9).map { b =>
+      val width = if (b < 64 % 9) 64 / 9 + 1 else 64 / 9
+      val start = (0 until b).map(i => if (i < 64 % 9) 64 / 9 + 1 else 64 / 9).sum
+      val mask = (1L << width) - 1L
+      shiftrightunsigned(col("h"), start).bitwiseAND(lit(mask))
+    }
+    val singleCand = candidates(hashed.select(col("doc_id"),
+      posexplode(array(single: _*)).as(Seq("band", "band_val"))))
+    assert(pairCand * 10 < singleCand,
+      s"pair banding must collapse the candidate count: $pairCand vs $singleCand")
+    // and the absolute bound stays linear-ish: well under n * 8
+    assert(pairCand < n * 8,
+      s"pair-band candidates must stay near-linear in n: $pairCand")
+  }
+
   test("hammingProbe: arrivals vs a banded index == the restricted pair set; streams as-is") {
     val corpus = (0L until 30L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "h")
     val arrivals = (100L until 110L).map(i => (i, (i - 100L) * 0x9E3779B97F4A7C15L + 3L))

@@ -84,4 +84,64 @@ class SentenceDedupSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("n_removed")).sum
     assert(kept == 0L)
   }
+
+  // ---- the compute-offline/clean-online twin ------------------------------
+
+  test("stripSentencesFlag equals the batch rebuild when keepers live in the corpus") {
+    // corpus holds the duplicated block (and its keeper); arrivals carry
+    // later occurrences — the artifact-probing twin must clean them to
+    // exactly what the batch operator would have produced for those docs
+    val corpus = Seq(
+      1L -> s"Doc one opens. $block Doc one closes.",
+      2L -> s"Doc two opens. $block Doc two closes.").toDF("doc_id", "text")
+    val arrivals = Seq(
+      10L -> s"Arrival intro. $block Arrival outro.",
+      11L -> "A clean arrival. It keeps everything. All three sentences.")
+      .toDF("doc_id", "text")
+    val artifact = ExactSubstr.frequentShingles(corpus)
+    val got = ExactSubstr.stripSentencesFlag(arrivals, artifact)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_removed")))).toMap
+    // batch over corpus + arrivals: arrival 10's block copies are rk > 1
+    val batch = ExactSubstr.dedupSentenceSpans(corpus.unionAll(arrivals))
+      .filter($"doc_id" >= 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got == batch, s"twin diverged from batch: $got vs $batch")
+    assert(got(10L) == (("Arrival intro. Arrival outro.", 5L, 3L)))
+    assert(got(11L)._3 == 0L)
+  }
+
+  test("stripSentencesFlag is stateless: runs on a stream unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      1L -> s"Keeper doc. $block End.",
+      2L -> s"Second copy. $block Tail.").toDF("doc_id", "text")
+    val artifact = ExactSubstr.frequentShingles(corpus)
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = ExactSubstr.stripSentencesFlag(
+      mem.toDF().toDF("doc_id", "text"), artifact)
+    val q = out.writeStream.format("memory").queryName("sf_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((20L, s"Stream intro. $block Stream outro."),
+        (21L, "Nothing shared. Stays whole."))
+      q.processAllAvailable()
+      val rows = spark.table("sf_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+      assert(rows(20L) == "Stream intro. Stream outro.")
+      assert(rows(21L) == "Nothing shared. Stays whole.")
+    } finally q.stop()
+  }
+
+  test("stripSentencesFlag guards its driver-side artifact size") {
+    val corpus = Seq(
+      1L -> s"$block", 2L -> s"$block").toDF("doc_id", "text")
+    val artifact = ExactSubstr.frequentShingles(corpus)
+    intercept[IllegalArgumentException] {
+      ExactSubstr.stripSentencesFlag(corpus, artifact, maxShingles = 0L)
+    }
+  }
 }

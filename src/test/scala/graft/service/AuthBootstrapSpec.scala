@@ -156,6 +156,14 @@ class AuthBootstrapSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // unsupported value syntax
       ServiceBootstrap.parseToml("[auth]\ntoken = [1, 2]\n")
     }
+    intercept[IllegalArgumentException] { // digits-with-embedded-minus typo
+      ServiceBootstrap.parseToml("[server]\nport = 8-0\n")
+    }
+    intercept[IllegalArgumentException] { // bare minus runs are not integers
+      ServiceBootstrap.parseToml("[server]\nport = --\n")
+    }
+    // a leading minus IS a valid integer shape
+    assert(ServiceBootstrap.parseToml("[x]\nn = -5\n")("x")("n") == "-5")
     intercept[IllegalArgumentException] { // typo'd KEY inside a known section
       ServiceBootstrap.fromToml(ok + "[server]\nprot = 8080\n")
     }

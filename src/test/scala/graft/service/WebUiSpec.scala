@@ -93,6 +93,27 @@ class WebUiSpec extends AnyFunSuite {
     assert(ui.productPage("nope").isEmpty)
   }
 
+  test("listing-unsupported product backends degrade, never 500") {
+    // a catalog-backed facade throws UnsupportedOperationException from
+    // listDataProducts (vendor catalogs page by asset query, not id
+    // enumeration) — the landing page and nav must render without the
+    // products counter/link, /ui/products must 404, and per-id product
+    // pages must keep working
+    val (store, gov, _) = fixture()
+    val root = tmp()
+    val catalog = new graft.products.CatalogDataProductBackend(
+      new graft.products.StubCatalogAdapter(s"$root/catalog"))
+    catalog.registerOutputPort("dp.cat", OutputPort("gold", "1.0.0", "sales.orders"))
+    val ui = new WebUi(store, gov, Some(catalog))
+
+    val home = ui.index() // must not throw
+    assert(!home.contains("Data products"), "no counter and no nav link without listing")
+    assert(ui.productsPage().isEmpty)
+    assert(ui.render("/ui/products", Map.empty).isEmpty) // 404, not 500
+    val product = ui.productPage("dp.cat").get            // per-id page still works
+    assert(product.contains("gold"))
+  }
+
   test("interpolated user text is HTML-escaped") {
     val (store, gov, pb) = fixture()
     val detail = new WebUi(store, gov, Some(pb)).contractPage("sales.orders", Some("1.0.0")).get
