@@ -726,6 +726,21 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, d) =>
       PQ.annIvfPq(t(s, d, "embeddings"), m = 8, k = 16, iterations = 1)),
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(t(s, d, "documents"))),
+    // VIDEO container probing (MP4/ISO-BMFF + WebM/Matroska): header-only
+    // — box/EBML walks are fully-specified byte arithmetic, so dims,
+    // duration, and codec id are deterministic and oracle-recomputable
+    // from the closed-form fixture formulas without any codec library
+    // (training corpora increasingly carry video; the metadata pass is
+    // what a curation pipeline filters on before paying for decode).
+    // Bounded fixture (doc_id < 120), O(1) in sf; even ids MP4, odd WebM.
+    "q_video_meta" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      graft.ops.MediaProbe.probeMeta(s,
+        graft.ops.MediaProbe.videoPayloads(s, ids))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"), col("codec"))
+    }),
     // REAL pixel/sample decode: payloads synthesized from a closed-form
     // modular formula through the actual JDK codecs (PNG/BMP via
     // javax.imageio, PCM WAV via javax.sound), decoded back and reduced
@@ -3657,6 +3672,24 @@ object SparkEntry {
         |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 720 + 64 AS BIGINT) AS height,
         |  CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // the video-probe oracle recomputes dims/duration/codec from the
+    // fixture formulas alone — the container assembly (box sizes, EBML
+    // varints, 16.16 fixed point, float64 Duration x TimecodeScale) is
+    // what the probe must parse back correctly to match
+    "q_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 320 + (doc_id % 5) * 16
+        |            ELSE 640 + (doc_id % 4) * 8 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 240 + (doc_id % 3) * 16
+        |            ELSE 360 + (doc_id % 2) * 8 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1500 + doc_id * 10
+        |            ELSE 2000 + doc_id * 5 END AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN (CASE WHEN doc_id % 4 < 2 THEN 'avc1' ELSE 'hvc1' END)
+        |       ELSE (CASE WHEN doc_id % 4 = 1 THEN 'V_VP8' ELSE 'V_VP9' END)
+        |  END AS codec
+        |FROM documents WHERE doc_id < 120""".stripMargin,
     // the decode oracle never touches bytes: it re-derives every pixel
     // and PCM sample from the same closed-form modular formula the
     // Spark side ENCODES through the real JDK codecs and decodes back —

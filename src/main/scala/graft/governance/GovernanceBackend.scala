@@ -312,6 +312,31 @@ final class GovernanceBackend(store: GovernanceStore, contracts: Option[Contract
   }
 
   def reviewDraft(contractId: String, version: String, approve: Boolean): Contract = {
+    val (store, draft) = requireDraft(contractId, version)
+    val reviewed = draft.copy(status = Some(if (approve) "active" else "rejected"))
+    store.put(reviewed)
+    reviewed
+  }
+
+  override def updateDraft(contractId: String, version: String,
+                           edited: Contract): Contract = {
+    val (store, _) = requireDraft(contractId, version)
+    // the edit can change anything EXCEPT where it lives and what it
+    // is: id/version pin to the addressed draft (an edit must not mint
+    // or move a revision) and status stays draft (approval is
+    // reviewDraft's job — an edit that smuggled status="active" in its
+    // body would bypass review)
+    val pinned = edited.copy(id = contractId, version = version,
+      status = Some("draft"))
+    store.put(pinned)
+    pinned
+  }
+
+  /** Shared draft-addressing guard for [[reviewDraft]]/[[updateDraft]]:
+    * a store must be attached, the revision must exist, and it must
+    * still BE a draft. */
+  private def requireDraft(contractId: String,
+                           version: String): (graft.contracts.ContractStore, Contract) = {
     val store = contracts.getOrElse(
       throw new IllegalStateException("no contract store attached to governance backend"))
     val draft = store.get(contractId, version).getOrElse(
@@ -319,9 +344,7 @@ final class GovernanceBackend(store: GovernanceStore, contracts: Option[Contract
     if (!isDraft(draft))
       throw new IllegalArgumentException(
         s"$contractId:$version has status ${draft.status.getOrElse("none")}, not draft")
-    val reviewed = draft.copy(status = Some(if (approve) "active" else "rejected"))
-    store.put(reviewed)
-    reviewed
+    (store, draft)
   }
 
   /** Every dataset id with any status, activity, or link record — the

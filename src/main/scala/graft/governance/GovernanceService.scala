@@ -31,6 +31,15 @@ trait GovernanceService {
   def linkedContract(datasetId: String): Option[(String, String)]
   def listDraftVersions(contractId: String): Seq[String]
   def reviewDraft(contractId: String, version: String, approve: Boolean): Contract
+
+  /** Persist an edited draft revision IN PLACE — the reference
+    * contracts-app's draft-workspace edit flow (`server.py` draft
+    * editing), reduced to its semantics: the reviewer may rewrite the
+    * draft's schema/rules/description before approving, but the edit
+    * can never move the draft (id and version are pinned to the
+    * addressed ones) nor skip review (status stays `draft` — approval
+    * is [[reviewDraft]]'s job). Returns the stored revision. */
+  def updateDraft(contractId: String, version: String, edited: Contract): Contract
   def statusMatrix(): Seq[DatasetStatus]
   def metricHistory(datasetId: String): Seq[MetricObservation]
 

@@ -125,34 +125,35 @@ object Graph {
     * defined result rather than a hang; callers wanting the classic
     * behavior run an odd/even iters pair and diff.
     *
-    * Scale shape: identical to [[pageRank]] — one (dst, label)-keyed
-    * shuffle per round (map-side partial counts apply), one broadcast-or
-    * -shuffle join back to the |V|-row label frame, edge list cached
-    * once, nothing driver-side, O(|E|) per round. */
+    * Scale shape: identical to [[pageRank]] — per round, the vote
+    * stream partial-aggregates MAP-SIDE on (dst, label) before its one
+    * exchange (combined counts travel, never raw votes), the winner
+    * agg exchanges per-dst rows only, one broadcast-or-shuffle join
+    * back to the |V|-row label frame, edge list cached once, nothing
+    * driver-side, O(|E|) map work per round. The r8 'one explicit
+    * dst-repartition serves both aggs' shape was REMOVED in r11 with
+    * measured evidence: a bare repartition moves the RAW vote stream
+    * (forfeiting the partial agg) and forced per-round eager
+    * checkpoints to keep AQE sane — 4.1 s vs 1.1 s on q_labelprop, and
+    * strictly more bytes through the exchange at any scale. */
   def labelPropagation(edges: DataFrame, iters: Int,
                        srcCol: String = "src", dstCol: String = "dst",
-                       materializeEach: Boolean = true): DataFrame = {
+                       materializeEach: Boolean = true,
+                       checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
-    val (nodes, eDeg) = prepare(edges, srcCol, dstCol)
+    val (nodes, eC) = prepare(edges, srcCol, dstCol, withDeg = false)
     var labels = nodes.select(col("node"), col("node").as("label"))
-    // per-round checkpoint (window of 1): measured FASTER here than the
-    // lazy-cache chain (2.6 -> 1.7 s on q_labelprop — AQE plans each
-    // round's winners join from real materialised sizes instead of a
-    // blind nested estimate) and maximally hygienic
-    val win = new CheckpointWindow(every = 1)
+    // window of 8 — the pageRank cadence: the gated 5-round queries
+    // stay on the pipelined lazy-cache path (zero extra jobs; eager
+    // per-round checkpointing measured 4.1 s vs 1.2 s here), crawl-
+    // scale budgets checkpoint every 8 rounds to bound lineage depth
+    val win = new CheckpointWindow(every = checkpointEvery)
     for (_ <- 1 to iters) {
       // plurality label per dst: count (dst, label) votes, then a
       // min_by over the (-count, label) struct — "count DESC, label
-      // ASC" as a single aggregation, no window over the vote stream.
-      // ONE explicit dst-hash repartition serves BOTH aggregations: a
-      // HashPartitioning on dst satisfies ClusteredDistribution for
-      // (dst, label) (partitioning keys ⊆ clustering keys) and for
-      // (dst), so neither groupBy inserts its own exchange — one
-      // shuffle of the vote stream per round instead of two (the r8
-      // audit's 'two exchanges per round' line item).
-      val winners = eDeg
+      // ASC" as a single aggregation, no window over the vote stream
+      val winners = eC
         .join(labels, col("_pr_src") === col("node"))
-        .repartition(col("_pr_dst"))
         .groupBy(col("_pr_dst"), col("label"))
         .agg(count(lit(1)).as("_lp_cnt"))
         .groupBy(col("_pr_dst"))
@@ -163,7 +164,7 @@ object Graph {
         .select(col("node"), coalesce(col("_lp_win"), col("label")).as("label"))
       labels = if (materializeEach) win.advance(next) else next
     }
-    win.release(labels) // no-op at every = 1; hygiene if the window widens
+    win.release(labels) // trailing lazily-cached rounds, keep the result
     labels
   }
 
@@ -243,8 +244,8 @@ object Graph {
 
   /** Cleaned node set and degree-annotated edge list, both cached —
     * each is re-joined every iteration. */
-  private def prepare(edges: DataFrame, srcCol: String,
-                      dstCol: String): (DataFrame, DataFrame) = {
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+                      withDeg: Boolean = true): (DataFrame, DataFrame) = {
     val e = edges.select(
       col(srcCol).cast(LongType).as("_pr_src"),
       col(dstCol).cast(LongType).as("_pr_dst"))
@@ -253,8 +254,14 @@ object Graph {
       e.select(col("_pr_src").as("node"))
         .union(e.select(col("_pr_dst").as("node")))
         .distinct())
-    val deg = e.groupBy(col("_pr_src")).agg(count(lit(1)).as("_pr_deg"))
-    (nodes, Caching.ensureCachedLazy(e.join(deg, "_pr_src")))
+    // the out-degree join only serves rank-splitting consumers
+    // (PageRank/TrustRank); label propagation caches the plain edge
+    // list — no groupBy+join in its cache build, narrower cached rows
+    val eOut = if (withDeg) {
+      val deg = e.groupBy(col("_pr_src")).agg(count(lit(1)).as("_pr_deg"))
+      e.join(deg, "_pr_src")
+    } else e
+    (nodes, Caching.ensureCachedLazy(eOut))
   }
 
   /** `(1-d) × scale` as exact Long arithmetic. */

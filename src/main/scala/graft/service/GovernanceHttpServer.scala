@@ -79,6 +79,7 @@ object BearerAuth {
   *      `server.py:463`)
   *  - `GET  /governance/drafts?contractId=`     → `{"versions":[...]}`
   *  - `POST /governance/review-draft?contractId=&version=&approve=` → reviewed ODCS JSON
+  *  - `POST /governance/update-draft?contractId=&version=` (body edited ODCS JSON) → stored ODCS JSON
   *  - `GET  /governance/status-matrix`          → verdict JSON array (`server.py:536`)
   *  - `GET  /governance/dataset-records?[dataset=&version=]` → merged
   *      version-chain records (`server.py` dataset-records)
@@ -362,6 +363,15 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       val reviewed = gov.reviewDraft(p("contractId"), p("version"),
         p("approve").toBoolean)
       respond(ex, 200, ContractJson.toJson(reviewed))
+    })
+    // draft EDITING (reference contracts-app draft workspace): body is
+    // the edited ODCS JSON; id/version/status are pinned server-side —
+    // see GovernanceService.updateDraft
+    s.createContext("/governance/update-draft", handler { (ex, p) =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val stored = gov.updateDraft(p("contractId"), p("version"),
+        ContractJson.fromJson(body))
+      respond(ex, 200, ContractJson.toJson(stored))
     })
     s.createContext("/governance/status-matrix", handler { (ex, _) =>
       respond(ex, 200, JsonMethods.compact(JsonMethods.render(

@@ -387,6 +387,12 @@ final class HttpGovernanceClient(baseUrl: String,
       s"/governance/review-draft?contractId=${enc(contractId)}" +
         s"&version=${enc(version)}&approve=$approve", ""))
 
+  override def updateDraft(contractId: String, version: String,
+                           edited: Contract): Contract =
+    ContractJson.fromJson(post(
+      s"/governance/update-draft?contractId=${enc(contractId)}" +
+        s"&version=${enc(version)}", ContractJson.toJson(edited)))
+
   override def statusMatrix(): Seq[DatasetStatus] =
     objArray(get("/governance/status-matrix")).map(FacadeJson.statusFrom)
 

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Banded 1x/10x scale gate over the most expensive headline queries —
+  * the r11 verdict's task 8: a superlinear-in-sf regression can hide
+  * behind a flat sf0.1 number (fixed overheads dominate short queries),
+  * but it cannot hide from the 10x/1x growth RATIO on a fixed-core box.
+  * Run with `Test/runMain graft.ScaleBudget` (builds/reuses the
+  * [[ScaleEvidence]] replica at /tmp/graft_scale_x10); prints one JSON
+  * line (`{"metric":"scale10", "queries":{q:{t1,t10,ratio,band}},...}`)
+  * and exits nonzero if any ratio breaches its band.
+  *
+  * Bands are measured r11 ratios with headroom (x1.5, floor +2): the
+  * gate is SOFT in calibration (harness noise moves both columns
+  * together — the ratio is far more stable than either wall-clock — but
+  * short queries still jitter), and each band is a statement of the
+  * query's expected growth CLASS: ~10 scan-bound linear, well under 10
+  * for sub-linear aggregations, over 10 only where the 10x replica
+  * genuinely carries superlinear structure (documented per query). */
+object ScaleBudget {
+
+  /** (query, max 10x/1x ratio). The ten slowest r11 headline queries;
+    * bands = r11 measured ratio × 1.5, floored at measured + 2 (short
+    * growth ratios jitter by whole tenths, not percents). Measured
+    * growth classes (r11 calibration run, this harness):
+    *  - round-overhead-bound, far sub-linear (fixed iteration/plan cost
+    *    dominates at sf0.1): q_labelprop 1.16, q_dsir 1.19, q_corr
+    *    1.01, q1_pricing 1.36, q_curation_pipeline2 1.26
+    *  - scan-bound, sub-linear until the scan dominates: q_pack_tokens
+    *    2.11, q_substr_spans 2.44
+    *  - genuinely corpus-linear (pair/wedge work repeats per replica):
+    *    q_triangles 8.50, q_dedup_semantic_mp 10.37, q_dedup_minhash
+    *    11.08 — ~10 IS linear on a fixed-core box; above the band
+    *    means super-linear structure, the 100-TB red flag. */
+  val Bands: Seq[(String, Double)] = Seq(
+    "q_labelprop" -> 3.2,
+    "q_dsir" -> 3.2,
+    "q_dedup_semantic_mp" -> 15.6,
+    "q_dedup_minhash" -> 16.6,
+    "q_corr" -> 3.0,
+    "q_triangles" -> 12.8,
+    "q_substr_spans" -> 4.4,
+    "q1_pricing" -> 3.4,
+    "q_pack_tokens" -> 4.2,
+    "q_curation_pipeline2" -> 3.3)
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions).master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outDir = ScaleEvidence.ensureReplica(spark, srcDir, 10)
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      math.min(once(), once())
+    }
+
+    var breaches = List.empty[String]
+    val parts = Bands.map { case (q, band) =>
+      val t1 = time(q, srcDir)
+      val t10 = time(q, outDir)
+      val ratio = t10 / t1
+      if (ratio > band)
+        breaches ::= f"$q ${ratio}%.1fx > ${band}%.1fx band"
+      f""""$q":{"t1":$t1%.3f,"t10":$t10%.3f,"ratio":$ratio%.2f,"band":$band%.1f}"""
+    }
+    println(s"""{"metric":"scale10","replicas":10,""" +
+      s""""queries":{${parts.mkString(",")}},"sf":"$srcDir"}""")
+    breaches.foreach(b => System.err.println(s"[scale-budget] BAND BREACH: $b"))
+    spark.stop()
+    if (breaches.nonEmpty) sys.exit(1)
+  }
+}

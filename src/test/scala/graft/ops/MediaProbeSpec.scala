@@ -101,5 +101,97 @@ class MediaProbeSpec extends SparkSpec {
     assert(out(4L).getString(2) === "jpeg")
     // byte_len is the raw payload length regardless of parse outcome
     assert(out(3L).getLong(1) === "garbage".getBytes.length.toLong)
+    // stills/audio carry null video fields
+    assert(out(1L).isNullAt(9) && out(1L).isNullAt(10))
+  }
+
+  test("MP4: box walk reads mvhd duration, tkhd 16.16 dims, stsd fourcc") {
+    for (doc <- Seq(0L, 2L, 4L, 6L, 38L)) {
+      val p = MediaProbe.probe(MediaProbe.syntheticMp4(doc))
+      val (w, h) = MediaProbe.mp4Dims(doc)
+      assert(p === MediaProbe.Probed("mp4", Some(w), Some(h),
+        durationMs = Some(MediaProbe.mp4DurationMs(doc)),
+        codec = Some(MediaProbe.mp4Codec(doc))), s"doc $doc: $p")
+    }
+    // ftyp alone (moov past the probed prefix) still detects as mp4
+    val streaming = MediaProbe.probe(
+      java.util.Arrays.copyOf(MediaProbe.syntheticMp4(0L), 16))
+    assert(streaming.format === "mp4" && streaming.width.isEmpty)
+    // truncated mid-moov: best-effort fields, never a throw
+    val cut = MediaProbe.probe(
+      java.util.Arrays.copyOf(MediaProbe.syntheticMp4(0L), 40))
+    assert(cut.format === "mp4")
+  }
+
+  test("MP4: audio-first track order and non-video ftyp brands classify correctly") {
+    import MediaProbe._
+    // audio-first file: trak(mp4a, 0x0 tkhd dims) BEFORE trak(video) —
+    // dims and codec must come from the VIDEO track, never the first
+    def trak(fourcc: String, w: Long, h: Long): Array[Byte] = {
+      val tkhd = box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++
+        be32(0) ++ be32(0) ++ new Array[Byte](8) ++ new Array[Byte](8) ++
+        new Array[Byte](36) ++ be32(w << 16) ++ be32(h << 16))
+      val stsd = box("stsd", be32(0) ++ be32(1) ++
+        box(fourcc, new Array[Byte](8)))
+      box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsd))))
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(4000) ++ new Array[Byte](80))
+    val audioFirst = ftyp ++ box("moov",
+      mvhd ++ trak("mp4a", 0, 0) ++ trak("avc1", 1280, 720))
+    assert(MediaProbe.probe(audioFirst) === Probed("mp4", Some(1280L), Some(720L),
+      durationMs = Some(4000L), codec = Some("avc1")))
+    // audio-only (no video trak): codec best-effort, no dims
+    val audioOnly = ftyp ++ box("moov", mvhd ++ trak("mp4a", 0, 0))
+    val ao = MediaProbe.probe(audioOnly)
+    assert(ao.format === "mp4" && ao.width.isEmpty && ao.codec.contains("mp4a"))
+    // ftyp brands that are NOT video containers must not read as mp4
+    def withBrand(brand: String): Array[Byte] =
+      box("ftyp", brand.getBytes("US-ASCII") ++ be32(0))
+    assert(MediaProbe.probe(withBrand("heic")).format === "heic")
+    assert(MediaProbe.probe(withBrand("avif")).format === "avif")
+    assert(MediaProbe.probe(withBrand("M4A ")).format === "m4a")
+    assert(MediaProbe.probe(withBrand("qt  ")).format === "mov")
+    assert(MediaProbe.probe(withBrand("mp42")).format === "mp4")
+  }
+
+  test("WebM: an audio-first Matroska reports the VIDEO track's dims and codec") {
+    import MediaProbe._
+    def entry(codec: String, video: Option[(Long, Long)]): Array[Byte] =
+      ebmlEl(IdTrackEntry,
+        ebmlEl(IdCodecId, codec.getBytes("US-ASCII")) ++
+          video.fold(Array.empty[Byte]) { case (w, h) =>
+            ebmlEl(IdVideo, ebmlEl(IdPixelWidth, ebmlUintBytes(w)) ++
+              ebmlEl(IdPixelHeight, ebmlUintBytes(h)))
+          })
+    val header = ebmlEl(EbmlMagic, ebmlEl(IdDocType, "webm".getBytes("US-ASCII")))
+    val audioFirst = header ++ ebmlEl(IdSegment,
+      ebmlEl(IdTracks, entry("A_OPUS", None) ++ entry("V_VP9", Some((1920L, 1080L)))))
+    val p = MediaProbe.probe(audioFirst)
+    assert(p.format === "webm" && p.width.contains(1920L) &&
+      p.height.contains(1080L) && p.codec.contains("V_VP9"), s"$p")
+    // audio-only: codec best-effort from the first entry, no dims
+    val audioOnly = header ++ ebmlEl(IdSegment,
+      ebmlEl(IdTracks, entry("A_OPUS", None)))
+    val ao = MediaProbe.probe(audioOnly)
+    assert(ao.format === "webm" && ao.width.isEmpty && ao.codec.contains("A_OPUS"))
+  }
+
+  test("WebM: EBML walk reads DocType, TimecodeScale x Duration, dims, CodecID") {
+    for (doc <- Seq(1L, 3L, 5L, 7L, 41L)) {
+      val p = MediaProbe.probe(MediaProbe.syntheticWebm(doc))
+      val (w, h) = MediaProbe.webmDims(doc)
+      assert(p === MediaProbe.Probed("webm", Some(w), Some(h),
+        durationMs = Some(MediaProbe.webmDurationMs(doc)),
+        codec = Some(MediaProbe.webmCodec(doc))), s"doc $doc: $p")
+    }
+    // a bare EBML magic with an unreadable DocType is unknown, not a throw
+    val junk = Array(0x1a, 0x45, 0xdf, 0xa3, 0x84, 1, 2, 3, 4).map(_.toByte)
+    assert(MediaProbe.probe(junk).format === "unknown")
+    // truncated mid-Segment: format survives, fields degrade
+    val cut = MediaProbe.probe(
+      java.util.Arrays.copyOf(MediaProbe.syntheticWebm(1L), 14))
+    assert(cut.format === "webm")
   }
 }

@@ -292,6 +292,52 @@ class HttpServiceClientsSpec extends SparkSpec {
     }
   }
 
+  test("draft EDIT flow: propose -> edit over the wire -> approve -> resolution serves the edit") {
+    withServer() { (url, store, _, _) =>
+      val remote = new HttpGovernanceClient(url)
+      val contract = DemoContracts.lineitemAlign
+      store.put(contract)
+      val okSchema = contract.properties.map(f =>
+        f.name -> FieldSnapshot(f.odcsType, f.odcsType, nullable = !f.required)).toMap
+
+      // PROPOSE: a violating payload auto-drafts on the server
+      val bad = remote.evaluateAndRecord("ds.edit", "v1", contract,
+        okSchema - contract.properties.head.name, Map("row_count" -> 10L))
+      assert(bad.draftVersions.nonEmpty)
+      val draftV = bad.draftVersions.head
+
+      // EDIT over the wire: the reviewer rewrites the description AND
+      // tries to smuggle a status flip, a version move, and an id move
+      // in the body — the server pins all three (an edit can never
+      // approve itself, mint a revision, or hop contracts)
+      val draft = new HttpContractStore(url).get(contract.id, draftV).get
+      val edited = draft.copy(id = "evil.id", version = "9.9.9",
+        status = Some("active"), description = Some("edited by reviewer"))
+      val stored = remote.updateDraft(contract.id, draftV, edited)
+      assert(stored.id == contract.id && stored.version == draftV)
+      assert(stored.status.contains("draft"))
+      assert(stored.description.contains("edited by reviewer"))
+      assert(store.get("evil.id", "9.9.9").isEmpty, "smuggled ids must not mint contracts")
+      assert(remote.listDraftVersions(contract.id).contains(draftV)) // still in the queue
+
+      // editing a non-draft revision fails loudly over the wire
+      intercept[java.io.IOException] {
+        remote.updateDraft(contract.id, contract.version, edited)
+      }
+
+      // APPROVE, then the read-resolution policy serves the EDITED text
+      assert(remote.reviewDraft(contract.id, draftV, approve = true)
+        .status.contains("active"))
+      val io = GovernedIO(new HttpContractStore(url),
+        ContractVersionLocator(spark, tmpDir("graft_editlake")),
+        governance = Some(remote))
+      val resolved = io.contractFor(contract.id)
+      assert(resolved.version == draftV &&
+        resolved.description.contains("edited by reviewer"),
+        s"resolution must pick the approved edit, got ${resolved.version}")
+    }
+  }
+
   test("both clients carry the bearer token; anonymous calls fail loudly") {
     withServer(auth = Some(BearerAuth.token("tok"))) { (url, _, _, _) =>
       val products = new HttpDataProductClient(url, bearerToken = Some("tok"))
