@@ -129,6 +129,28 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
         }
       }.toMap
 
+  /** `application/x-www-form-urlencoded` body fields (the UI's form
+    * POSTs) — same decode rules as the query params. */
+  private def formBody(ex: HttpExchange): Map[String, String] =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      .split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(URLDecoder.decode(k, "UTF-8") ->
+            URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Post/redirect/get: 303 so the browser re-GETs the browse page. */
+  private def redirect(ex: HttpExchange, location: String): Unit = {
+    ex.getResponseHeaders.set("Location", location)
+    ex.sendResponseHeaders(303, -1)
+    ex.close()
+  }
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
@@ -521,7 +543,21 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
 
     val ui = new WebUi(contracts, gov, products)
     s.createContext("/ui", handler { (ex, p) =>
-      ui.render(ex.getRequestURI.getPath, p) match {
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      // the two UI mutations are form POSTs (x-www-form-urlencoded);
+      // both delegate to the same GovernanceService methods as the JSON
+      // routes (transports must not drift) and 303-redirect back to the
+      // browse pages — the standard post/redirect/get shape
+      if (ex.getRequestMethod == "POST" && path == "/ui/draft-edit") {
+        val form = formBody(ex)
+        gov.updateDraft(p("id"), p("version"),
+          ContractJson.fromJson(form("json")))
+        redirect(ex,
+          s"/ui/draft-edit?id=${urlEnc(p("id"))}&version=${urlEnc(p("version"))}")
+      } else if (ex.getRequestMethod == "POST" && path == "/ui/draft-review") {
+        gov.reviewDraft(p("id"), p("version"), p("approve").toBoolean)
+        redirect(ex, "/ui/drafts")
+      } else ui.render(ex.getRequestURI.getPath, p) match {
         case Some(html) =>
           val bytes = html.getBytes(StandardCharsets.UTF_8)
           ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")

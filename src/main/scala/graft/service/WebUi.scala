@@ -252,10 +252,37 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         .getOrElse("""<span class="muted">—</span>"""),
       draft.customProperties.get("draft_change_log").map(esc)
         .orElse(draft.description.map(esc))
-        .getOrElse("""<span class="muted">—</span>"""))
+        .getOrElse("""<span class="muted">—</span>"""),
+      s"""<a href="/ui/draft-edit?id=${enc(draft.id)}&version=${enc(draft.version)}">edit / review</a>""")
     page("Draft review queue",
-      table(Seq("draft", "proposed from dataset", "change summary"), rows))
+      table(Seq("draft", "proposed from dataset", "change summary", ""), rows))
   }
+
+  /** Draft EDIT workspace — the reference contracts-app's draft editing
+    * flow (`server.py` draft workspace), reduced to the semantics the
+    * facade supports: the draft's full ODCS JSON in a textarea posting
+    * to the facade's `/ui/draft-edit` form route (which delegates to
+    * `GovernanceService.updateDraft` — id/version/status pinned
+    * server-side, so a hand-edited status cannot self-approve), plus
+    * approve/reject actions posting to `/ui/draft-review`. `None`
+    * (→ 404) for unknown or already-reviewed revisions. */
+  def draftEditPage(id: String, version: String): Option[String] =
+    contracts.get(id, version)
+      .filter(_.status.map(_.toLowerCase).contains("draft"))
+      .map { draft =>
+        val action = s"/ui/draft-edit?id=${enc(id)}&version=${enc(version)}"
+        val review = s"/ui/draft-review?id=${enc(id)}&version=${enc(version)}"
+        page(s"Edit draft $id:$version",
+          "<form method=\"post\" action=\"" + action + "\">\n" +
+            "<textarea name=\"json\" rows=\"28\" cols=\"100\">" +
+            esc(graft.contracts.ContractJson.toJson(draft)) +
+            "</textarea><br>\n" +
+            "<button type=\"submit\">Save draft</button>\n</form>\n" +
+            "<form method=\"post\" action=\"" + review + "&approve=true\">" +
+            "<button type=\"submit\">Approve</button></form>\n" +
+            "<form method=\"post\" action=\"" + review + "&approve=false\">" +
+            "<button type=\"submit\">Reject</button></form>")
+      }
 
   /** Dataset listing — reference `datasets.html`: every governed dataset
     * with its latest verdict. */
@@ -355,6 +382,11 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
       case "/ui" | "" => Some(index())
       case "/ui/contracts" => Some(contractsPage())
       case "/ui/drafts" => Some(draftsPage())
+      case "/ui/draft-edit" =>
+        (params.get("id"), params.get("version")) match {
+          case (Some(id), Some(v)) => draftEditPage(id, v)
+          case _ => None
+        }
       case "/ui/contract" =>
         params.get("id").flatMap(id => contractPage(id, params.get("version")))
       case "/ui/datasets" => Some(datasetsPage())

@@ -163,4 +163,51 @@ class WebUiSpec extends AnyFunSuite {
       assert(get(s"http://127.0.0.1:$p2/ui", Some("hunter2")).statusCode() == 200)
     } finally authed.stop()
   }
+
+  test("draft edit workspace: form round-trip edit -> save -> approve through the browser routes") {
+    val (store, gov, pb) = fixture() // 1.1.0-draft is already in the store
+    val client = HttpClient.newHttpClient()
+    val server = new GovernanceHttpServer(store, gov, products = Some(pb))
+    val port = server.start()
+    def get(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    def postForm(path: String, fields: Map[String, String]): HttpResponse[String] = {
+      val body = fields.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      // the review queue links to the edit workspace
+      assert(get("/ui/drafts").body().contains("/ui/draft-edit?id=sales.orders"))
+      // the form pre-fills the draft's ODCS JSON
+      val form = get("/ui/draft-edit?id=sales.orders&version=1.1.0-draft")
+      assert(form.statusCode() == 200 && form.body().contains("name=\"json\""))
+      assert(form.body().contains("o_totalprice"))
+      // save an edit (description changed; a smuggled active status is pinned back)
+      val draft = store.get("sales.orders", "1.1.0-draft").get
+      val edited = graft.contracts.ContractJson.toJson(
+        draft.copy(description = Some("edited via the workspace"), status = Some("active")))
+      val saved = postForm("/ui/draft-edit?id=sales.orders&version=1.1.0-draft",
+        Map("json" -> edited))
+      assert(saved.statusCode() == 303,
+        s"expected post/redirect/get, got ${saved.statusCode()}: ${saved.body()}")
+      val after = store.get("sales.orders", "1.1.0-draft").get
+      assert(after.description.contains("edited via the workspace"))
+      assert(after.status.contains("draft"), "an edit must not self-approve")
+      // approve through the form route; redirect lands on the (now empty) queue
+      val approved = postForm(
+        "/ui/draft-review?id=sales.orders&version=1.1.0-draft&approve=true", Map.empty)
+      assert(approved.statusCode() == 303)
+      assert(store.get("sales.orders", "1.1.0-draft").get.status.contains("active"))
+      // a reviewed revision no longer has an edit workspace
+      assert(get("/ui/draft-edit?id=sales.orders&version=1.1.0-draft").statusCode() == 404)
+      // malformed form JSON is a 400, not a 500
+      assert(postForm("/ui/draft-edit?id=sales.orders&version=1.1.0-draft",
+        Map("json" -> "{nope")).statusCode() == 400)
+    } finally server.stop()
+  }
 }
