@@ -205,9 +205,14 @@ object Curate {
                      maxLines: Long = 16L << 20): DataFrame = {
     val spark = frequent.sparkSession
     import spark.implicits._
-    val pairs = frequent.select(col("h1"), col("h2")).as[(Long, Long)].collect()
+    // limit BEFORE collect: the guard must bound what reaches the
+    // driver, not inspect a heap that already blew — one extra row past
+    // the cap is enough to prove the breach
+    val pairs = frequent.select(col("h1"), col("h2"))
+      .limit(math.min(maxLines, Int.MaxValue - 1L).toInt + 1)
+      .as[(Long, Long)].collect()
     require(pairs.length <= maxLines,
-      s"frequent-line artifact has ${pairs.length} lines (> $maxLines); " +
+      s"frequent-line artifact exceeds $maxLines lines; " +
         "stripLinesFlag builds its filter driver-side — raise maxLines " +
         "only if the driver can hold it, or raise minDocs upstream")
     val bloom = GramBloom.build(pairs, fpp)
@@ -426,34 +431,38 @@ object Curate {
     * valid candidate word-boundary-anchored (candidates contain only
     * digits, spaces, and dashes, so splicing one into a regex is
     * literal-safe). `n_cards` is EXACTLY the number of replacements
-    * performed: it is computed from the redacted-vs-original diff
-    * (occurrences of `replacement` gained), not by re-counting
-    * candidates against the original text — sequential replacement
-    * means one candidate's occurrence can overlap another candidate's
-    * already-replaced span (separator forms sharing digit groups), and
-    * a pre-count would overstate such rows. */
+    * performed: the count and the replace run in ONE sequential fold,
+    * each candidate counted against the text state it actually sees —
+    * a pre-count against the original overstates when one candidate's
+    * occurrence overlaps another's already-replaced span (separator
+    * forms sharing digit groups), and a replacement-token diff
+    * miscounts when `replacement` is empty or can combine with
+    * adjacent text into extra occurrences. */
   def redactCards(docs: DataFrame, textCol: String = "text",
                   replacement: String = "[CARD]"): DataFrame = {
     val candCol = "_rc_valid"
-    val outCol = "_rc_redacted"
+    val accCol = "_rc_acc"
     val valid = array_distinct(filter(
       regexp_extract_all(col(textCol), lit(CardPattern), lit(0)),
       c => call_function("graft_luhn", c)))
-    // regex-quoted replacement: the token is caller-supplied text
-    // ("[CARD]" by default — '[' and ']' are regex metachars)
-    val quoted = java.util.regex.Pattern.quote(replacement)
     docs.withColumn(candCol, valid)
-      .withColumn(outCol,
-        aggregate(col(candCol), col(textCol), (acc, c) =>
-          regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit(replacement))))
-      .withColumn("n_cards",
-        // candidate-free docs (the overwhelming majority of a real
-        // corpus) skip the two diff scans entirely
-        when(size(col(candCol)) === 0, lit(0L)).otherwise(
-          (regexp_count(col(outCol), lit(quoted)) -
-            regexp_count(col(textCol), lit(quoted))).cast(LongType)))
-      .withColumn(textCol, col(outCol))
-      .drop(candCol, outCol)
+      // one fold carries (current text, replacements so far): count the
+      // candidate in the CURRENT text, then replace it there — count
+      // and mutation can never drift. Candidate-free docs (the
+      // overwhelming majority of a real corpus) fold zero steps.
+      .withColumn(accCol,
+        aggregate(col(candCol),
+          struct(col(textCol).as("t"), lit(0L).as("n")),
+          (acc, c) => {
+            val bounded = concat(lit("\\b"), c, lit("\\b"))
+            struct(
+              regexp_replace(acc.getField("t"), bounded, lit(replacement)).as("t"),
+              (acc.getField("n") +
+                regexp_count(acc.getField("t"), bounded).cast(LongType)).as("n"))
+          }))
+      .withColumn("n_cards", col(accCol).getField("n"))
+      .withColumn(textCol, col(accCol).getField("t"))
+      .drop(candCol, accCol)
   }
 
   /** Weighted source mixture: per-source keep rates (percent of 100),
@@ -835,12 +844,15 @@ object Curate {
                                caller: String): Array[(Long, Long)] = {
     val spark = evalGrams.sparkSession
     import spark.implicits._
+    // limit BEFORE collect: the guard must bound what reaches the
+    // driver, not inspect a heap that already blew
     val pairs = evalGrams
       .select(call_function("graft_md5hh", col("gram").cast("binary")).as("hh"))
       .select(element_at(col("hh"), 1), element_at(col("hh"), 2))
+      .limit(math.min(maxEvalGrams, Int.MaxValue - 1L).toInt + 1)
       .as[(Long, Long)].collect()
     require(pairs.length <= maxEvalGrams,
-      s"eval set has ${pairs.length} distinct $k-grams (> $maxEvalGrams); " +
+      s"eval set exceeds $maxEvalGrams distinct $k-grams; " +
         s"$caller builds its filter driver-side — this frame is " +
         "corpus-shaped, not eval-shaped")
     pairs

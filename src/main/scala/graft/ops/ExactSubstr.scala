@@ -215,13 +215,18 @@ object ExactSubstr {
       transform(regexp_extract_all(c, lit("[^.!?]*[.!?]"), lit(0)), s => trim(s)),
       s => s =!= lit(""))
 
-  /** `(id, pos, wh)`: md5 of each length-`n` shingle of `unitsOf` (the
-    * per-row unit array — tokens, sentences), 1-based start `pos`. The
-    * shared projection under [[windowHashes]] and
-    * [[dedupSentenceSpans]]: Generate barrier on the unit array, one
-    * row per shingle, rows shorter than `n` units emit nothing. */
+  /** `(id, pos, wh)`: digest of each length-`n` shingle of `unitsOf`
+    * (the per-row unit array — tokens, sentences), 1-based start `pos`.
+    * The ONE shingle-identity definition under [[windowHashes]],
+    * [[dedupSentenceSpans]], and [[frequentShingles]] — parameterised
+    * by digest (md5 column for ranking, `graft_md5hh` pair for Bloom
+    * artifacts) precisely so the batch operator and its ingest twin can
+    * never disagree about what a shingle IS. Generate barrier on the
+    * unit array, one row per shingle, rows shorter than `n` units emit
+    * nothing. */
   private def shingleHashes(docs: DataFrame, unitsOf: Column, n: Int,
-                            idCol: String): DataFrame =
+                            idCol: String,
+                            digest: Column => Column = c => md5(c.cast(BinaryType))): DataFrame =
     docs
       .select(col(idCol), explode(array(unitsOf)).as("_units"))
       .select(col(idCol),
@@ -230,8 +235,7 @@ object ExactSubstr {
           .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
         col("_units"))
       .select(col(idCol), explode(col("_starts")).as("pos"),
-        md5(concat_ws(" ", slice(col("_units"), col("pos"), lit(n)))
-          .cast(BinaryType)).as("wh"))
+        digest(concat_ws(" ", slice(col("_units"), col("pos"), lit(n)))).as("wh"))
 
   /** C4's third cleaning component (Raffel et al. 2020 §2.2: "we removed
     * any duplicated three-sentence span, keeping one occurrence") — the
@@ -303,19 +307,10 @@ object ExactSubstr {
     require(n >= 2, "span length must be at least 2 sentences")
     require(minOccurrences >= 2, "minOccurrences must be at least 2")
     val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
-    docs
-      .select(col(idCol), explode(array(sentsOf)).as("_units"))
-      .select(col(idCol),
-        when(size(col("_units")) >= n,
-          sequence(lit(1), size(col("_units")) - lit(n - 1)))
-          .otherwise(array().cast(ArrayType(IntegerType))).as("_starts"),
-        col("_units"))
-      .select(explode(col("_starts")).as("pos"),
-        call_function("graft_md5hh",
-          concat_ws(" ", slice(col("_units"), col("pos"), lit(n)))
-            .cast(BinaryType)).as("_hh"))
-      .select(element_at(col("_hh"), 1).as("h1"),
-        element_at(col("_hh"), 2).as("h2"))
+    shingleHashes(docs, sentsOf, n, idCol,
+      digest = c => call_function("graft_md5hh", c.cast(BinaryType)))
+      .select(element_at(col("wh"), 1).as("h1"),
+        element_at(col("wh"), 2).as("h2"))
       .groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOccurrences)
@@ -354,9 +349,14 @@ object ExactSubstr {
     require(n >= 2, "span length must be at least 2 sentences")
     val spark = frequent.sparkSession
     import spark.implicits._
-    val pairs = frequent.select(col("h1"), col("h2")).as[(Long, Long)].collect()
+    // limit BEFORE collect: the guard must bound what reaches the
+    // driver, not inspect a heap that already blew — one extra row past
+    // the cap is enough to prove the breach
+    val pairs = frequent.select(col("h1"), col("h2"))
+      .limit(math.min(maxShingles, Int.MaxValue - 1L).toInt + 1)
+      .as[(Long, Long)].collect()
     require(pairs.length <= maxShingles,
-      s"frequent-shingle artifact has ${pairs.length} shingles (> $maxShingles); " +
+      s"frequent-shingle artifact exceeds $maxShingles shingles; " +
         "stripSentencesFlag builds its filter driver-side — raise maxShingles " +
         "only if the driver can hold it, or raise minOccurrences upstream")
     val bloom = GramBloom.build(pairs, fpp)

@@ -568,6 +568,20 @@ object NearDup {
     * buying a ~64x smaller verify join; at corpus scale the join IS
     * the cost). Falls back to single-band when `bits < maxHamming + 2`
     * (pairs would need more bands than bits). */
+  /** The band-layout tag for (bits, maxHamming) — stamped into the
+    * index's `band` column metadata and VALIDATED by [[hammingProbe]]:
+    * two layouts joined on (band, band_val) don't error, they silently
+    * return near-zero matches, so a persisted index built under one
+    * layout must refuse a probe built under another. */
+  private[ops] def layoutTag(bits: Int, maxHamming: Int): String = {
+    val pairMode =
+      bits / (maxHamming + 1) < MinSingleBandBits && bits >= maxHamming + 2
+    if (pairMode) s"pair-${maxHamming + 2}-$bits"
+    else s"single-${maxHamming + 1}-$bits"
+  }
+
+  private val LayoutKey = "graft.hamming.layout"
+
   def hammingIndex(hashes: DataFrame, maxHamming: Int,
                    hashCol: String = "simhash", idCol: String = "doc_id",
                    bits: Int = 64): DataFrame = {
@@ -578,12 +592,18 @@ object NearDup {
       .select(col(idCol).as("doc_id"), col(hashCol).as("_hp_hash"))
     val pairMode =
       bits / (maxHamming + 1) < MinSingleBandBits && bits >= maxHamming + 2
+    // the layout tag travels IN THE SCHEMA (column metadata survives a
+    // parquet round trip at zero per-row cost) so build-once/probe-many
+    // callers cannot silently join two different layouts
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(LayoutKey, layoutTag(bits, maxHamming)).build()
     if (!pairMode) {
       val numBands = maxHamming + 1
       val (starts, widths) = bandLayout(bits, numBands)
       val bands = (0 until numBands).map(bandValue(starts, widths))
       sh.select(col("doc_id"), col("_hp_hash"),
         posexplode(array(bands: _*)).as(Seq("band", "band_val")))
+        .withColumn("band", col("band").as("band", meta))
     } else {
       val numBands = maxHamming + 2
       val (starts, widths) = bandLayout(bits, numBands)
@@ -595,6 +615,7 @@ object NearDup {
         yield shiftleft(v(i), 32).bitwiseOR(v(j))
       sh.select(col("doc_id"), col("_hp_hash"),
         posexplode(array(pairs: _*)).as(Seq("band", "band_val")))
+        .withColumn("band", col("band").as("band", meta))
     }
   }
 
@@ -610,6 +631,17 @@ object NearDup {
   def hammingProbe(index: DataFrame, arrivals: DataFrame, maxHamming: Int,
                    hashCol: String = "simhash", idCol: String = "doc_id",
                    bits: Int = 64): DataFrame = {
+    // layout guard: a mismatched (bits, maxHamming) — or an index
+    // persisted under an older banding scheme — joins WITHOUT ERROR and
+    // silently loses recall; refuse loudly instead. Indexes predating
+    // the tag carry no metadata and are refused too (rebuild them).
+    val expected = layoutTag(bits, maxHamming)
+    val indexTag = Option(index.schema("band").metadata)
+      .filter(_.contains(LayoutKey)).map(_.getString(LayoutKey))
+    require(indexTag.contains(expected),
+      s"hamming index layout mismatch: index carries " +
+        s"${indexTag.getOrElse("no layout tag (pre-r11 index — rebuild it)")}, " +
+        s"probe expects $expected — probing across layouts silently loses recall")
     val probes = hammingIndex(arrivals, maxHamming, hashCol, idCol, bits)
       .withColumnRenamed("doc_id", "arrival_id")
       .withColumnRenamed("_hp_hash", "_hp_probe")

@@ -27,10 +27,13 @@ final case class BearerAuth(tokens: Set[String] = Set.empty,
   private def sha256(s: String): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(StandardCharsets.UTF_8))
+  // tokens are immutable after construction: digest them once, not on
+  // every request
+  private val tokenDigests: Seq[Array[Byte]] = tokens.toSeq.map(sha256)
   def accepts(presented: String): Boolean = {
     val p = sha256(presented)
-    val tokenHit = tokens.foldLeft(false) { (acc, t) =>
-      acc | java.security.MessageDigest.isEqual(sha256(t), p)
+    val tokenHit = tokenDigests.foldLeft(false) { (acc, d) =>
+      acc | java.security.MessageDigest.isEqual(d, p)
     }
     tokenHit || verifier.exists(_(presented))
   }

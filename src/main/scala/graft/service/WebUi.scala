@@ -34,7 +34,9 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     * way. */
   private lazy val listingProducts: Option[DataProductService] =
     products.filter { pb =>
-      try { pb.listDataProducts(); true }
+      // one-item page: the probe only asks IF listing works, so it must
+      // not pay for a full listing on a backend where listing is slow
+      try { pb.listDataProducts(limit = Some(1)); true }
       catch { case _: UnsupportedOperationException => false }
     }
 

@@ -113,6 +113,24 @@ class CurateSpec extends SparkSpec {
       "n_cards must equal replacements actually performed, not original-text occurrence counts")
   }
 
+  test("redactCards: count equals replacements for empty and combining replacements") {
+    // replacement = "" (strip the PAN outright): a zero-width diff count
+    // would go negative; the sequential fold counts exactly 1
+    val stripped = Curate.redactCards(
+      Seq((1L, "pan 4539578763621486 end")).toDF("doc_id", "text"),
+      replacement = "").collect()(0)
+    assert(stripped.getAs[String]("text") == "pan  end")
+    assert(stripped.getAs[Long]("n_cards") == 1L)
+    // replacement that COMBINES with adjacent original text into extra
+    // copies of itself: "!!" next to literal '!' characters — a token
+    // diff would read 2; one replacement happened
+    val combined = Curate.redactCards(
+      Seq((2L, "!4539578763621486!")).toDF("doc_id", "text"),
+      replacement = "!!").collect()(0)
+    assert(combined.getAs[String]("text") == "!!!!")
+    assert(combined.getAs[Long]("n_cards") == 1L)
+  }
+
   test("redactCards is a stateless projection (streams as-is)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(Long, String)](spark)

@@ -250,6 +250,32 @@ class NearDupSpec extends SparkSpec {
       s"pair banding must collapse the candidate count: $pairCand vs $singleCand")
   }
 
+  test("hammingProbe refuses a layout-mismatched or untagged index LOUDLY") {
+    // joining two band layouts does not error — it silently returns
+    // near-zero matches; the probe must therefore validate the layout
+    // tag the index carries in its schema metadata
+    val hashes = Seq((1L, 0x0F0FL), (2L, 0x0F0EL)).toDF("doc_id", "h")
+    val idx3 = NearDup.hammingIndex(hashes, maxHamming = 3, hashCol = "h")
+    // radius mismatch (3-band layout probed at radius 8's pair layout)
+    val e1 = intercept[IllegalArgumentException] {
+      NearDup.hammingProbe(idx3, hashes, maxHamming = 8, hashCol = "h")
+    }
+    assert(e1.getMessage.contains("layout mismatch"))
+    // an index persisted before the tag existed (no metadata) is refused
+    val legacy = idx3.withColumn("band", col("band") + 0L) // strips metadata
+    val e2 = intercept[IllegalArgumentException] {
+      NearDup.hammingProbe(legacy, hashes, maxHamming = 3, hashCol = "h")
+    }
+    assert(e2.getMessage.contains("no layout tag"))
+    // the tag survives a parquet round trip (the build-once contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hpix").toString
+    idx3.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val probed = NearDup.hammingProbe(reloaded, hashes, maxHamming = 3, hashCol = "h")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed.contains((1L, 2L, 1L)) && probed.contains((1L, 1L, 0L)))
+  }
+
   test("hammingProbe: arrivals vs a banded index == the restricted pair set; streams as-is") {
     val corpus = (0L until 30L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "h")
     val arrivals = (100L until 110L).map(i => (i, (i - 100L) * 0x9E3779B97F4A7C15L + 3L))
