@@ -92,42 +92,11 @@ final case class GovernedIO(
   /** Resolve the contract for a dataset id: pinned version, else the
     * SemVer-latest *released* contract — draft revisions (including
     * governance-proposed ones) never serve consumers implicitly. Falls
-    * back to the absolute latest only when every version is a draft. */
-  def contractFor(datasetId: String, version: Option[String] = None): Contract = {
-    def latestReleased: Option[Contract] = {
-      val byVersion = store.listVersions(datasetId)
-        .flatMap(v => graft.contracts.SemVer.tryParse(v).map(_ -> v))
-        .sortBy(_._1).reverse.map(_._2)
-      byVersion.iterator.flatMap(v => store.get(datasetId, v))
-        .find(!_.status.map(_.toLowerCase).contains("draft"))
-        .orElse(store.latest(datasetId))
-    }
-    def isDraft(c: Contract): Boolean = c.status.map(_.toLowerCase).contains("draft")
-    version.map(_.trim).filter(_.nonEmpty) match {
-      // `>=v` specs (reference input-binding pins, `io/validation.py:214`)
-      // pick the HIGHEST satisfying NON-DRAFT version: governance
-      // auto-drafts land in the same store, and an unreviewed draft must
-      // never serve a pinned consumer implicitly
-      case Some(v) if v.startsWith(">=") =>
-        val candidates = store.listVersions(datasetId)
-          .filter(ver => graft.contracts.SemVer.tryParse(ver).isDefined &&
-            graft.contracts.VersionPolicy.satisfies(ver, v))
-          .flatMap(ver => graft.contracts.SemVer.tryParse(ver).map(_ -> ver))
-          .sortBy(_._1).reverse.map(_._2)
-        candidates.iterator.flatMap(ver => store.get(datasetId, ver))
-          .find(!isDraft(_))
-          .getOrElse(throw new IllegalArgumentException(
-            s"no released versions of $datasetId satisfy $v (have: ${store.listVersions(datasetId).mkString(", ")})"))
-      // `==v` and bare versions are BOTH exact pins: a missing pinned
-      // version is an error, never a silent fallback to some other
-      // version's schema
-      case Some(v) =>
-        graft.contracts.VersionPolicy.resolve(store, datasetId, Some(v))
-      case None =>
-        latestReleased.getOrElse(throw new IllegalArgumentException(
-          s"no contract for dataset $datasetId"))
-    }
-  }
+    * back to the absolute latest only when every version is a draft.
+    * Delegates to [[GovernedIO.resolveContract]] (shared with the
+    * facade's `/governance/read/resolve` plan routes). */
+  def contractFor(datasetId: String, version: Option[String] = None): Contract =
+    GovernedIO.resolveContract(store, datasetId, version)
 
   def read(
       spark: SparkSession,
@@ -168,5 +137,52 @@ final case class GovernedIO(
         datasetVersion.getOrElse(contract.version))
     }
     result
+  }
+}
+
+object GovernedIO {
+
+  /** The ONE contract-resolution rule ([[GovernedIO.contractFor]]'s
+    * body, shared with the facade's plan-resolution routes so local and
+    * remote resolution can never drift): pinned version (`==v` or bare)
+    * is exact, `>=v` picks the highest satisfying NON-DRAFT version, no
+    * version picks the SemVer-latest released revision — drafts
+    * (including governance-proposed ones) never serve consumers
+    * implicitly; absolute-latest only when every revision is a draft. */
+  def resolveContract(store: ContractStore, datasetId: String,
+                      version: Option[String] = None): Contract = {
+    def latestReleased: Option[Contract] = {
+      val byVersion = store.listVersions(datasetId)
+        .flatMap(v => graft.contracts.SemVer.tryParse(v).map(_ -> v))
+        .sortBy(_._1).reverse.map(_._2)
+      byVersion.iterator.flatMap(v => store.get(datasetId, v))
+        .find(!_.status.map(_.toLowerCase).contains("draft"))
+        .orElse(store.latest(datasetId))
+    }
+    def isDraft(c: Contract): Boolean = c.status.map(_.toLowerCase).contains("draft")
+    version.map(_.trim).filter(_.nonEmpty) match {
+      // `>=v` specs (reference input-binding pins, `io/validation.py:214`)
+      // pick the HIGHEST satisfying NON-DRAFT version: governance
+      // auto-drafts land in the same store, and an unreviewed draft must
+      // never serve a pinned consumer implicitly
+      case Some(v) if v.startsWith(">=") =>
+        val candidates = store.listVersions(datasetId)
+          .filter(ver => graft.contracts.SemVer.tryParse(ver).isDefined &&
+            graft.contracts.VersionPolicy.satisfies(ver, v))
+          .flatMap(ver => graft.contracts.SemVer.tryParse(ver).map(_ -> ver))
+          .sortBy(_._1).reverse.map(_._2)
+        candidates.iterator.flatMap(ver => store.get(datasetId, ver))
+          .find(!isDraft(_))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no released versions of $datasetId satisfy $v (have: ${store.listVersions(datasetId).mkString(", ")})"))
+      // `==v` and bare versions are BOTH exact pins: a missing pinned
+      // version is an error, never a silent fallback to some other
+      // version's schema
+      case Some(v) =>
+        graft.contracts.VersionPolicy.resolve(store, datasetId, Some(v))
+      case None =>
+        latestReleased.getOrElse(throw new IllegalArgumentException(
+          s"no contract for dataset $datasetId"))
+    }
   }
 }

@@ -81,6 +81,8 @@ object BearerAuth {
   *      round trip (the reference's `/governance/evaluate`,
   *      `server.py:463`)
   *  - `GET  /governance/drafts?contractId=`     → `{"versions":[...]}`
+  *  - `POST /governance/read/resolve?contractId=&version=` (or `?product=&port=`) → resolved plan JSON
+  *  - `POST /governance/write/resolve?contractId=&version=` (or `?product=&port=`) → resolved plan JSON
   *  - `POST /governance/review-draft?contractId=&version=&approve=` → reviewed ODCS JSON
   *  - `POST /governance/update-draft?contractId=&version=` (body edited ODCS JSON) → stored ODCS JSON
   *  - `GET  /governance/status-matrix`          → verdict JSON array (`server.py:536`)
@@ -389,6 +391,40 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
         p("approve").toBoolean)
       respond(ex, 200, ContractJson.toJson(reviewed))
     })
+    // plan RESOLUTION route symmetry (reference server.py:389-420
+    // `/governance/read/resolve` + `/governance/write/resolve`): a
+    // context names a contract (contractId + optional version/selector)
+    // OR a data-product port binding (product + port — the reference's
+    // input/output bindings; both sides resolve through the bound
+    // OUTPUT port's contract, which is what a binding names), and the
+    // resolved PLAN comes back: the concrete contract + the
+    // dataset/contract ids a governed read/write will run under. The
+    // resolution rule is GovernedIO.resolveContract — the SAME code the
+    // in-process pipeline runs, so transports cannot drift.
+    def resolvePlan(ex: HttpExchange, p: Map[String, String]): Unit = {
+      val resolved = (p.get("product"), p.get("port")) match {
+        case (Some(prod), Some(port)) =>
+          val pb = products.getOrElse(throw new IllegalArgumentException(
+            "no data-product service attached — bind by contractId instead"))
+          val (cid, cver) = pb.resolveOutputContract(prod, port)
+            .getOrElse(throw new IllegalArgumentException(
+              s"data product $prod has no output port '$port'"))
+          // a port binding is an exact pin (the port names the version)
+          graft.io.GovernedIO.resolveContract(contracts, cid,
+            Some(cver).filter(_.nonEmpty))
+        case _ =>
+          graft.io.GovernedIO.resolveContract(contracts, p("contractId"),
+            p.get("version"))
+      }
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+        "contractId" -> JString(resolved.id),
+        "contractVersion" -> JString(resolved.version),
+        "datasetId" -> JString(p.getOrElse("dataset", resolved.id)),
+        "datasetVersion" -> JString(p.getOrElse("datasetVersion", resolved.version)),
+        "contract" -> JsonMethods.parse(ContractJson.toJson(resolved))))))
+    }
+    s.createContext("/governance/read/resolve", handler(resolvePlan))
+    s.createContext("/governance/write/resolve", handler(resolvePlan))
     // draft EDITING (reference contracts-app draft workspace): body is
     // the edited ODCS JSON; id/version/status are pinned server-side —
     // see GovernanceService.updateDraft

@@ -283,6 +283,14 @@ final case class RemoteDatasetRecord(datasetId: String, datasetVersion: String,
                                      activityCount: Int, lastSeenAt: Long)
 
 /** One row of `/governance/activity`. */
+/** A resolved governance read/write plan over the wire — the reference's
+  * encode_read_plan/encode_write_plan shape reduced to what graft's
+  * pipeline consumes: the concrete contract plus the ids the governed
+  * operation will run under. */
+final case class RemoteResolvedPlan(contractId: String, contractVersion: String,
+                                    datasetId: String, datasetVersion: String,
+                                    contract: Contract)
+
 final case class RemoteActivity(pipeline: String, operation: String,
                                 datasetId: String, datasetVersion: String,
                                 contractId: String, contractVersion: String,
@@ -392,6 +400,47 @@ final class HttpGovernanceClient(baseUrl: String,
     ContractJson.fromJson(post(
       s"/governance/update-draft?contractId=${enc(contractId)}" +
         s"&version=${enc(version)}", ContractJson.toJson(edited)))
+
+  private def resolvePlan(route: String, contractId: Option[String],
+                          version: Option[String], product: Option[String],
+                          port: Option[String], dataset: Option[String],
+                          datasetVersion: Option[String]): RemoteResolvedPlan = {
+    val q = (contractId.map(c => s"contractId=${enc(c)}") ++
+      version.map(v => s"version=${enc(v)}") ++
+      product.map(p => s"product=${enc(p)}") ++
+      port.map(p => s"port=${enc(p)}") ++
+      dataset.map(d => s"dataset=${enc(d)}") ++
+      datasetVersion.map(v => s"datasetVersion=${enc(v)}")).mkString("&")
+    val body = post(s"$route?$q", "")
+    val m = fields(body)
+    RemoteResolvedPlan(str(m, "contractId"), str(m, "contractVersion"),
+      str(m, "datasetId"), str(m, "datasetVersion"),
+      ContractJson.fromJson(JsonMethods.compact(JsonMethods.render(m("contract")))))
+  }
+
+  /** The reference's `/governance/read/resolve` round trip: a context
+    * (contract reference OR product-port binding) in, the resolved
+    * read plan out — the server runs the same
+    * [[graft.io.GovernedIO.resolveContract]] rule the in-process
+    * pipeline runs. */
+  def resolveReadPlan(contractId: Option[String] = None,
+                      version: Option[String] = None,
+                      product: Option[String] = None,
+                      port: Option[String] = None,
+                      dataset: Option[String] = None,
+                      datasetVersion: Option[String] = None): RemoteResolvedPlan =
+    resolvePlan("/governance/read/resolve", contractId, version, product,
+      port, dataset, datasetVersion)
+
+  /** `/governance/write/resolve` — [[resolveReadPlan]]'s write twin. */
+  def resolveWritePlan(contractId: Option[String] = None,
+                       version: Option[String] = None,
+                       product: Option[String] = None,
+                       port: Option[String] = None,
+                       dataset: Option[String] = None,
+                       datasetVersion: Option[String] = None): RemoteResolvedPlan =
+    resolvePlan("/governance/write/resolve", contractId, version, product,
+      port, dataset, datasetVersion)
 
   override def statusMatrix(): Seq[DatasetStatus] =
     objArray(get("/governance/status-matrix")).map(FacadeJson.statusFrom)

@@ -338,6 +338,46 @@ class HttpServiceClientsSpec extends SparkSpec {
     }
   }
 
+  test("plan resolution routes: contract references and port bindings resolve like in-process") {
+    withServer() { (url, store, _, pb) =>
+      val remote = new HttpGovernanceClient(url)
+      val contract = DemoContracts.lineitemAlign
+      store.put(contract)
+      store.put(contract.copy(version = "9.0.0-draft", status = Some("draft")))
+
+      // contract reference, no version: the SemVer-latest RELEASED
+      // revision — the draft must not serve (the GovernedIO rule, run
+      // server-side)
+      val plan = remote.resolveReadPlan(contractId = Some(contract.id))
+      assert(plan.contractId == contract.id &&
+        plan.contractVersion == contract.version)
+      assert(plan.contract.properties.nonEmpty) // the full ODCS travels
+      assert(plan.datasetId == contract.id &&
+        plan.datasetVersion == contract.version) // dataset falls back to the contract
+      // dataset overrides pass through
+      val ds = remote.resolveWritePlan(contractId = Some(contract.id),
+        dataset = Some("lake.lineitem"), datasetVersion = Some("2024-05"))
+      assert(ds.datasetId == "lake.lineitem" && ds.datasetVersion == "2024-05")
+      // >= selector picks the highest satisfying non-draft version
+      val sel = remote.resolveReadPlan(contractId = Some(contract.id),
+        version = Some(">=0.0.1"))
+      assert(sel.contractVersion == contract.version)
+      // a product-port binding resolves through the bound output port
+      pb.registerOutputPort("dp.lineitem",
+        OutputPort("gold", contract.version, contract.id))
+      val bound = remote.resolveReadPlan(product = Some("dp.lineitem"),
+        port = Some("gold"))
+      assert(bound.contractId == contract.id &&
+        bound.contractVersion == contract.version)
+      // unknown port fails loudly, 400 not a bogus plan
+      intercept[java.io.IOException] {
+        remote.resolveWritePlan(product = Some("dp.lineitem"), port = Some("nope"))
+      }
+      // missing both contractId and binding is a parameter error
+      intercept[java.io.IOException] { remote.resolveReadPlan() }
+    }
+  }
+
   test("both clients carry the bearer token; anonymous calls fail loudly") {
     withServer(auth = Some(BearerAuth.token("tok"))) { (url, _, _, _) =>
       val products = new HttpDataProductClient(url, bearerToken = Some("tok"))
