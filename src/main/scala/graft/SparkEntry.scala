@@ -18,6 +18,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     T.load(s, dir, name)
 
+  // q_curation_ingest fixture constants — spliced VERBATIM into both the
+  // Spark construction and the oracle SQL (single definition, the
+  // pattern-constant convention). Footer carries no terminal mark (a
+  // boilerplate line, never a sentence); the block is the duplicated
+  // 3-sentence span; extras keep every page over the C4 sentence floor
+  // and the Gopher stopword/word floors; injections are one per
+  // doc_id % 4 class.
+  private val IngestFooter = "Subscribe to our newsletter for updates and offers today"
+  private val IngestBlock =
+    "Shared alpha beta gamma. Shared delta epsilon zeta. Shared eta theta iota."
+  private val IngestExtras =
+    "The first extra sentence is here with all of the usual words. " +
+    "It keeps the page over every quality floor that matters to us. " +
+    "These sentences carry common stopwords and letters that have weight with them. " +
+    "This last extra closes out the page with a clean period here."
+  private val IngestInjCard = "Pay 4539578763621486 for this now."
+  private val IngestInjEmail = "Mail bob@example.com about this today."
+  private val IngestEval =
+    "Zibbleflort quandrosine veltapark mizzenbrook caltrovane siphonelle " +
+    "drakemoor pellucidar quintavex norrelbane taskerfield ombrelline " +
+    "juddervast wexfordia."
+
   /** Train `n` BPE merges and collect the (pair, merged) table in step
     * order — the k-bounded artifact collect (PQ-codebook precedent)
     * shared by the q_bpe_segment / q_bpe_tokenize / q_pack_tokens
@@ -1235,6 +1257,41 @@ object SparkEntry {
       TextOps.windowChunks(up, maxTokens = 30, overlap = 10)
         .select(col("doc_id"), col("source"), col("copy"), col("window_idx"),
           col("n_tokens"), col("chunk_text"))
+    }),
+    // the COMPOSED stateless ingest-curation chain (StreamCurate — the
+    // production shape: offline artifacts over the governed corpus, a
+    // pure projection chain over arrivals that runs identically on
+    // readStream, spec-pinned). Fixture: the corpus gets a shared
+    // boilerplate footer LINE and a duplicated 3-sentence BLOCK on
+    // every doc (so both artifacts are non-trivial); arrivals re-wrap
+    // the same pages in html plus ONE exclusive injection on doc_id % 4
+    // (Luhn-valid card / email / a 14-invented-token eval sentence /
+    // nothing). The 8 exact-duplicate corpus texts at sf0.1 exercise
+    // the dup branch: their line-1 is corpus-frequent, so the line
+    // stage removes it whole (n_boiler=2, no block sentences left for
+    // the span stage) — the oracle models both branches.
+    "q_curation_ingest" -> ((s, d) => {
+      val m = col("doc_id") % 4
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(". " + IngestBlock + "\n" + IngestFooter)).as("text"))
+      val arrivals = docs.select(col("doc_id"),
+        concat(lit("<p>"), col("text"),
+          lit(". " + IngestBlock + "</p>\n" + IngestFooter + "\n"),
+          when(m === 0, lit(IngestInjCard + " "))
+            .when(m === 1, lit(IngestInjEmail + " "))
+            .when(m === 2, lit(IngestEval + " "))
+            .otherwise(lit("")),
+          lit(IngestExtras)).as("text"))
+      val arts = graft.stream.StreamCurate.Artifacts(
+        frequentLines = Curate.frequentLines(corpus),
+        frequentShingles = graft.ops.ExactSubstr.frequentShingles(corpus),
+        evalDocs = {
+          import s.implicits._
+          Seq((0L, IngestEval)).toDF("doc_id", "text")
+        })
+      graft.stream.StreamCurate.curate(arrivals, arts)
     }),
     "q_split_assign" -> ((s, d) =>
       Curate.assignSplits(t(s, d, "documents"),
@@ -2779,6 +2836,89 @@ object SparkEntry {
         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id, lang, source,
         |  ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS h FROM mixed)""".stripMargin,
+    // the ingest-chain oracle recomputes the whole composed pipeline
+    // from the fixture constants: line/span artifacts reduce to their
+    // SEMANTICS (a line stripped iff corpus-frequent; the block span
+    // always stripped; a DUPLICATE corpus text makes its line-1
+    // corpus-frequent, so dup docs lose the whole line at the LINE
+    // stage — n_boiler 2, n_dup 0), then the C4 line battery, the
+    // default-threshold Gopher metrics over the composed text, the
+    // m-class contamination/card/email facts, and the final redacted
+    // string — the Bloom filters, shingle hashing, and sentence
+    // machinery are all on the hook against a plain-string recompute
+    "q_curation_ingest" ->
+      s"""WITH dup AS (
+        |  SELECT text FROM documents GROUP BY text HAVING count(*) > 1),
+        |base AS (
+        |  SELECT d.doc_id, d.doc_id % 4 AS m,
+        |    (dup.text IS NOT NULL) AS is_dup, d.text
+        |  FROM documents d LEFT JOIN dup ON dup.text = d.text),
+        |comp AS (
+        |  SELECT doc_id, m, is_dup,
+        |    (CASE WHEN is_dup THEN '' ELSE text || '. ' END) ||
+        |    (CASE m WHEN 0 THEN 'Pay [CARD] for this now. '
+        |            WHEN 1 THEN 'Mail [EMAIL] about this today. '
+        |            WHEN 2 THEN '$IngestEval '
+        |            ELSE '' END) ||
+        |    '$IngestExtras' AS t3
+        |  FROM base),
+        |c4 AS (
+        |  SELECT *,
+        |    CASE WHEN regexp_matches(t3, '[.!?"]\\s*$$')
+        |              AND len(regexp_extract_all(t3, '\\S+')) >= 3
+        |              AND NOT contains(lower(t3), 'javascript')
+        |         THEN t3 ELSE '' END AS t4
+        |  FROM comp),
+        |c4f AS (
+        |  SELECT *,
+        |    (CAST(len(regexp_extract_all(t4, '[.!?]')) AS BIGINT) >= 5
+        |      AND NOT contains(lower(t3), 'lorem ipsum')
+        |      AND NOT contains(t3, '{')) AS c4_keep
+        |  FROM c4),
+        |g AS (
+        |  SELECT *,
+        |    CAST(len(regexp_extract_all(t4, '\\S+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(t4, '\\S')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(t4, '\\S+')), 1) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(t4, '#')) + len(regexp_extract_all(t4, '\\.\\.\\.'))
+        |      + len(regexp_extract_all(t4, '\\x{2026}')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(t4, '\\S+')), 1) AS symbol_ratio,
+        |    CAST(len(list_filter(string_split(t4, chr(10)),
+        |        l -> regexp_matches(l, '^\\s*[-*\\x{2022}]'))) AS DOUBLE)
+        |      / greatest(len(string_split(t4, chr(10))), 1) AS bullet_ratio,
+        |    CAST(len(list_filter(string_split(t4, chr(10)),
+        |        l -> regexp_matches(l, '(\\.\\.\\.|\\x{2026})\\s*$$'))) AS DOUBLE)
+        |      / greatest(len(string_split(t4, chr(10))), 1) AS ellipsis_ratio,
+        |    CAST(len(list_filter(regexp_extract_all(t4, '\\S+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(t4, '\\S+')), 1) AS alpha_ratio,
+        |    CAST(CAST(regexp_matches(lower(t4), '\\bthe\\b') AS INT)
+        |      + CAST(regexp_matches(lower(t4), '\\bbe\\b') AS INT)
+        |      + CAST(regexp_matches(lower(t4), '\\bto\\b') AS INT)
+        |      + CAST(regexp_matches(lower(t4), '\\bof\\b') AS INT)
+        |      + CAST(regexp_matches(lower(t4), '\\band\\b') AS INT)
+        |      + CAST(regexp_matches(lower(t4), '\\bthat\\b') AS INT)
+        |      + CAST(regexp_matches(lower(t4), '\\bhave\\b') AS INT)
+        |      + CAST(regexp_matches(lower(t4), '\\bwith\\b') AS INT) AS BIGINT) AS n_stop
+        |  FROM c4f),
+        |gk AS (
+        |  SELECT *,
+        |    (n_words >= 50 AND n_words <= 100000
+        |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |      AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |      AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        |      AND n_stop >= 2) AS gopher_keep
+        |  FROM g)
+        |SELECT doc_id,
+        |  t4 AS text,
+        |  (c4_keep AND gopher_keep AND NOT (m = 2)) AS keep,
+        |  c4_keep, gopher_keep,
+        |  (m = 2) AS might_contaminated,
+        |  CAST(CASE WHEN is_dup THEN 2 ELSE 1 END AS BIGINT) AS n_boilerplate_lines,
+        |  CAST(CASE WHEN is_dup THEN 0 ELSE 3 END AS BIGINT) AS n_dup_sentences,
+        |  CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+        |  CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_redactions
+        |FROM gk""".stripMargin,
     "q_split_assign" ->
       s"""SELECT doc_id, source,
         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split

@@ -205,14 +205,19 @@ object ExactSubstr {
   }
 
   /** Sentence extraction for [[dedupSentenceSpans]]: maximal runs ending
-    * at a terminal mark, trimmed, empties dropped. `[^.!?]*[.!?]` is
-    * lookaround-free on purpose — RE2 has no lookbehind, so a
-    * split-after-punctuation spelling could never be oracle-shared; an
-    * unterminated trailing fragment is NOT a sentence (C4's own line
-    * filter already discards unterminated text). */
+    * at a terminal mark, whitespace-trimmed, empties dropped.
+    * `[^.!?]*[.!?]` is lookaround-free on purpose — RE2 has no
+    * lookbehind, so a split-after-punctuation spelling could never be
+    * oracle-shared; an unterminated trailing fragment is NOT a sentence
+    * (C4's own line filter already discards unterminated text). The trim
+    * is a REGEX whitespace trim, not `trim()` — Spark's trim strips
+    * spaces only, and a sentence that follows a line break would keep a
+    * `\n` prefix, silently failing to match its space-separated twin in
+    * a dedup artifact (found composing with line-structured cleaning). */
   def sentencesCol(c: Column): Column =
     filter(
-      transform(regexp_extract_all(c, lit("[^.!?]*[.!?]"), lit(0)), s => trim(s)),
+      transform(regexp_extract_all(c, lit("[^.!?]*[.!?]"), lit(0)),
+        s => regexp_replace(s, lit("^\\s+|\\s+$"), lit(""))),
       s => s =!= lit(""))
 
   /** `(id, pos, wh)`: digest of each length-`n` shingle of `unitsOf`
@@ -345,7 +350,8 @@ object ExactSubstr {
   def stripSentencesFlag(docs: DataFrame, frequent: DataFrame, n: Int = 3,
                          idCol: String = "doc_id", textCol: String = "text",
                          fpp: Double = 1e-6,
-                         maxShingles: Long = 16L << 20): DataFrame = {
+                         maxShingles: Long = 16L << 20,
+                         passThrough: Seq[String] = Nil): DataFrame = {
     require(n >= 2, "span length must be at least 2 sentences")
     val spark = frequent.sparkSession
     import spark.implicits._
@@ -362,21 +368,37 @@ object ExactSubstr {
     val bloom = GramBloom.build(pairs, fpp)
     val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
     docs
-      .withColumn("_sf_sents", sentsOf)
-      .withColumn("_sf_flag",
+      // Generate barrier (the dedupSentenceSpans shape): the sentence
+      // array materialises ONCE — without it, project collapse inlines
+      // the extraction tree into every per-position slice/probe below
+      // and re-evaluates it ~positions× per row
+      .withColumn("_sf_sents", explode(array(sentsOf)))
+      // digest each shingle ONCE (lambdas get no common-subexpression
+      // elimination — probing raw grams would re-slice, re-concat, and
+      // re-md5 each position 2·kh ≈ 32 times; measured 5.7 s → ~1 s on
+      // the q_curation_ingest fixture), then probe the materialised
+      // pairs with integer arithmetic only (the contaminationFlag shape)
+      .withColumn("_sf_hh", explode(array(
         when(size(col("_sf_sents")) >= n,
-          filter(sequence(lit(1), size(col("_sf_sents")) - lit(n - 1)), p =>
-            bloom.mightContainGram(
-              concat_ws(" ", slice(col("_sf_sents"), p, lit(n))))))
+          transform(sequence(lit(1), size(col("_sf_sents")) - lit(n - 1)), p =>
+            call_function("graft_md5hh",
+              concat_ws(" ", slice(col("_sf_sents"), p, lit(n))).cast(BinaryType))))
+          .otherwise(array().cast(ArrayType(ArrayType(LongType)))))))
+      .withColumn("_sf_flag",
+        when(size(col("_sf_hh")) > 0,
+          filter(sequence(lit(1), size(col("_sf_hh"))), p =>
+            bloom.mightContain(
+              element_at(element_at(col("_sf_hh"), p), 1),
+              element_at(element_at(col("_sf_hh"), p), 2))))
           .otherwise(array().cast(ArrayType(IntegerType))))
       .withColumn("_sf_kept",
         filter(col("_sf_sents"), (_, i) =>
           !exists(col("_sf_flag"), f => i + 1 >= f && i + 1 <= f + lit(n - 1))))
-      .select(col(idCol),
+      .select((col(idCol) +: passThrough.map(col)) ++ Seq(
         concat_ws(" ", col("_sf_kept")).as("clean_text"),
         size(col("_sf_sents")).cast(LongType).as("n_sentences"),
         (size(col("_sf_sents")) - size(col("_sf_kept"))).cast(LongType)
-          .as("n_removed"))
+          .as("n_removed")): _*)
   }
 
   /** Remove flagged spans from the text: every token whose position falls

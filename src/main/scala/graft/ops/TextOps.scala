@@ -99,6 +99,34 @@ object TextOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Block-level elements whose END (or, for `br`/`hr`, occurrence)
+    * terminates a text line — the subset every HTML-to-text extractor
+    * agrees renders as a break. Case folded by the `(?i)` at use. */
+  val HtmlBlockBreak: String =
+    "(?is)<(?:/(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article|header|footer)|br|hr)\\b[^>]*>"
+
+  /** [[stripHtml]] preserving BLOCK STRUCTURE as newlines — the variant
+    * a LINE-respecting pipeline needs (boilerplate-line dedup, C4's
+    * per-line battery): block-element ends and `<br>`/`<hr>` become
+    * line breaks BEFORE the generic tag sweep, whitespace collapses
+    * only WITHIN lines, and empty lines drop. Same ordering contracts
+    * as [[stripHtml]] (script/style content removed with the element;
+    * entities decode after tag removal so quoted markup stays text).
+    * Plain text with newlines passes through with lines intact — safe
+    * to run unconditionally at ingest. */
+  def stripHtmlBlocks(text: Column): Column = {
+    val noScript = regexp_replace(text, ScriptStyleBlock, " ")
+    val noComment = regexp_replace(noScript, HtmlComment, " ")
+    val breaks = regexp_replace(noComment, HtmlBlockBreak, "\n")
+    val noTags = regexp_replace(breaks, HtmlTagOrDecl, " ")
+    val decoded = call_function("graft_html_unescape", noTags)
+    // collapse horizontal whitespace within lines, keep the line seams
+    val collapsed = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
+    array_join(
+      filter(transform(split(collapsed, "\n"), l => trim(l)), l => l =!= ""),
+      "\n")
+  }
+
   /** Mojibake (double-encoded UTF-8) repair — ftfy's core move as a pure
     * Column expression: text that was UTF-8 encoded, misread as
     * Latin-1, and re-encoded renders as `Ã©` for `é`, `â€™` for `’`.
@@ -333,7 +361,8 @@ object TextOps {
     * the whole rule battery including the doubles. Null text counts as
     * empty (rules evaluate, `gopher_keep` = false via the word floor). */
   def gopherRules(docs: DataFrame,
-                  t: GopherThresholds = GopherThresholds()): DataFrame = {
+                  t: GopherThresholds = GopherThresholds(),
+                  passThrough: Seq[String] = Nil): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
     val toks = regexp_extract_all(txt, lit("\\S+"), lit(0))
     val nWords = size(toks).cast(LongType)
@@ -353,15 +382,14 @@ object TextOps {
     val nStop = GopherStopwords
       .map(w => when(lower(txt).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
       .reduce(_ + _)
-    docs.select(
-      col("doc_id"),
+    docs.select((col("doc_id") +: passThrough.map(col)) ++ Seq(
       nWords.as("n_words"),
       meanLen.as("mean_word_len"),
       (symbols.cast(DoubleType) / wordsFloor).as("symbol_ratio"),
       bulletRatio.as("bullet_ratio"),
       ellipsisRatio.as("ellipsis_ratio"),
       alphaRatio.as("alpha_ratio"),
-      nStop.as("n_stop"))
+      nStop.as("n_stop")): _*)
       .select(col("*"),
         (col("n_words") >= t.minWords && col("n_words") <= t.maxWords).as("r_words"),
         (col("mean_word_len") >= t.minMeanWordLen &&
@@ -417,7 +445,8 @@ object TextOps {
     * (C4's other half — the three-sentence-span dedup — is corpus-wide
     * state, already covered by the dedup family: [[Curate]] dedupLines
     * and [[ExactSubstr]].) */
-  def c4Rules(docs: DataFrame, t: C4Thresholds = C4Thresholds()): DataFrame = {
+  def c4Rules(docs: DataFrame, t: C4Thresholds = C4Thresholds(),
+              passThrough: Seq[String] = Nil): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
     val lines = split(txt, "\n")
     // regexp_count (not regexp_extract_all + size): the word floor only
@@ -431,14 +460,13 @@ object TextOps {
       if (t.badWords.isEmpty) lit(true)
       else !lower(txt).rlike(t.badWords.map(w => s"\\b${w.toLowerCase}\\b")
         .mkString("(", "|", ")"))
-    docs.select(
-      col("doc_id"),
+    docs.select((col("doc_id") +: passThrough.map(col)) ++ Seq(
       array_join(kept, "\n").as("clean_text"),
       size(lines).cast(LongType).as("n_lines"),
       size(kept).cast(LongType).as("n_kept_lines"),
       rBad.as("r_badwords"),
       (!lower(txt).contains("lorem ipsum")).as("r_lorem"),
-      (!txt.contains("{")).as("r_brace"))
+      (!txt.contains("{")).as("r_brace")): _*)
       .withColumn("n_sentences",
         regexp_count(col("clean_text"), lit("[.!?]")).cast(LongType))
       .withColumn("r_sentences", col("n_sentences") >= t.minSentences)

@@ -1,0 +1,120 @@
+package graft.stream
+
+import graft.ops.{Curate, ExactSubstr, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed STATELESS ingest-curation chain — the production shape a
+  * crawl pipeline actually deploys: yesterday's governed corpus builds
+  * the artifacts OFFLINE (one periodic batch pass), today's arrivals
+  * stream through a pure projection chain with no state, no shuffle,
+  * and no joins, so the same code runs identically on a batch frame and
+  * on `readStream` (spec-pinned). Every stage is an already-gated
+  * operator; this object only fixes their production ORDER and threads
+  * the counters through:
+  *
+  *  1. byte-level cleaning — html strip → mojibake repair → control
+  *     chars → NFC (the `q_ingest_clean` chain, same order);
+  *  2. boilerplate-line removal against the [[Curate.frequentLines]]
+  *     artifact ([[Curate.stripLinesFlag]]);
+  *  3. PII redaction — checksum-gated card scrub
+  *     ([[Curate.redactCards]]) then the pattern battery
+  *     ([[Curate.redact]]). ORDER IS LOAD-BEARING: redaction must run
+  *     BEFORE any stage that rewrites token boundaries — the
+  *     sentence-span rebuild splits `user@domain.com` at its dots
+  *     (dots are sentence terminals), and a later email scrub would
+  *     silently miss it (found by the q_curation_ingest oracle gate);
+  *  4. duplicated sentence-span removal against the
+  *     [[ExactSubstr.frequentShingles]] artifact
+  *     ([[ExactSubstr.stripSentencesFlag]] — the C4 three-sentence rule,
+  *     ingest-time twin);
+  *  5. C4 line battery + page tripwires ([[TextOps.c4Rules]]) on the
+  *     deduped text;
+  *  6. Gopher quality flags ([[TextOps.gopherRules]]) on the C4-cleaned
+  *     text;
+  *  7. eval-set decontamination flag ([[Curate.contaminationFlag]]).
+  *
+  * Output: `(doc_id, text, keep, c4_keep, gopher_keep,
+  * might_contaminated, n_boilerplate_lines, n_dup_sentences, n_cards,
+  * n_redactions)` — `keep` is the conjunction a training shard-writer
+  * filters on; flags are EMITTED, never silently applied, so the
+  * quarantine stream is the same frame filtered the other way.
+  *
+  * KEEPER CAVEAT (inherited from the artifact twins): the stateless
+  * chain strips every artifact-flagged line/span in the arrivals —
+  * keep-first holds when the keepers live in the corpus the artifacts
+  * were built from; run the batch operators on the periodic re-pass. */
+object StreamCurate {
+
+  /** The offline artifacts that parameterise the online chain. Build
+    * them with [[Curate.frequentLines]] / [[ExactSubstr.frequentShingles]]
+    * over the governed corpus; `evalDocs` is the benchmark/eval corpus
+    * decontamination guards against (driver-bounded, like the
+    * artifacts). */
+  final case class Artifacts(frequentLines: DataFrame,
+                             frequentShingles: DataFrame,
+                             evalDocs: DataFrame)
+
+  /** Generate barrier: materialise `c` once so project collapse cannot
+    * inline its (deep, 7-stage) expression tree into every downstream
+    * reference — the C4 battery reads its input ~8 times and the Gopher
+    * metrics ~15 times; without barriers the whole upstream chain
+    * re-evaluates per reference per row (measured 13.6 s → the
+    * component sum ~5 s on the q_curation_ingest fixture). */
+  private def materialized(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, explode(array(col(c))))
+
+  def curate(docs: DataFrame, artifacts: Artifacts,
+             c4: TextOps.C4Thresholds = TextOps.C4Thresholds(),
+             gopher: TextOps.GopherThresholds = TextOps.GopherThresholds(),
+             contaminationK: Int = 13): DataFrame = {
+    // 1. byte-level ingest cleaning (the q_ingest_clean chain order:
+    // structure first, encodings before normalization) — with the
+    // BLOCK-preserving html strip: the downstream boilerplate-line and
+    // C4 stages are line-based, so the cleaning stage must keep line
+    // structure (stripHtml's whitespace collapse would erase it)
+    val cleaned = docs.select(col("doc_id"),
+      TextOps.nfc(TextOps.cleanControlChars(TextOps.fixMojibake(
+        TextOps.stripHtmlBlocks(coalesce(col("text"), lit(""))))))
+        .as("text"))
+    // 2. boilerplate lines out (Bloom over the offline line artifact)
+    val lines = Curate.stripLinesFlag(cleaned, artifacts.frequentLines)
+      .select(col("doc_id"), col("text"),
+        col("n_removed").as("n_boilerplate_lines"))
+    // 3. PII before any token-boundary rewrite (see the order note in
+    // the scaladoc): checksum-gated cards first (the unconditional
+    // pattern pass would mangle digit runs the Luhn gate needs intact),
+    // then the pattern battery
+    val scrubbed = Curate.redact(Curate.redactCards(lines))
+    // 4. duplicated sentence spans out (Bloom over the shingle artifact)
+    val spans = ExactSubstr.stripSentencesFlag(scrubbed, artifacts.frequentShingles,
+        passThrough = Seq("n_boilerplate_lines", "n_cards", "n_redactions"))
+      .select(col("doc_id"), col("n_boilerplate_lines"), col("n_cards"),
+        col("n_redactions"),
+        col("clean_text").as("text"), col("n_removed").as("n_dup_sentences"))
+    // 5. C4 battery on the deduped text (its line pass + page tripwires)
+    val c4d = TextOps.c4Rules(materialized(spans, "text"), c4,
+        passThrough = Seq("n_boilerplate_lines", "n_dup_sentences",
+          "n_cards", "n_redactions"))
+      .select(col("doc_id"), col("n_boilerplate_lines"), col("n_dup_sentences"),
+        col("n_cards"), col("n_redactions"),
+        col("clean_text").as("text"), col("c4_keep"))
+    // 6. Gopher flags on the C4-cleaned text (it reads col("text"))
+    val flagged = TextOps.gopherRules(materialized(c4d, "text"), gopher,
+        passThrough = Seq("n_boilerplate_lines", "n_dup_sentences",
+          "n_cards", "n_redactions", "text", "c4_keep"))
+      .select(col("doc_id"), col("n_boilerplate_lines"), col("n_dup_sentences"),
+        col("n_cards"), col("n_redactions"),
+        col("text"), col("c4_keep"), col("gopher_keep"))
+    // 7. eval decontamination flag (emitted, not applied — a training
+    // run filters on it; an audit keeps the flagged rows)
+    val decon = Curate.contaminationFlag(materialized(flagged, "text"),
+      artifacts.evalDocs, k = contaminationK)
+    decon.select(col("doc_id"), col("text"),
+      (col("c4_keep") && col("gopher_keep") && !col("might_contaminated"))
+        .as("keep"),
+      col("c4_keep"), col("gopher_keep"), col("might_contaminated"),
+      col("n_boilerplate_lines"), col("n_dup_sentences"),
+      col("n_cards"), col("n_redactions"))
+  }
+}

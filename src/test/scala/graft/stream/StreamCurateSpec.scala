@@ -1,0 +1,95 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.ops.{Curate, ExactSubstr, TextOps}
+import org.apache.spark.sql.functions._
+
+/** The composed stateless ingest chain: end-to-end behavior on dirty
+  * pages, batch/stream identity (the whole point of the stateless
+  * shape), and flag-vs-apply semantics. */
+class StreamCurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus the OFFLINE artifacts are built from: a boilerplate footer
+  // line shared by two docs, and a duplicated three-sentence block
+  private val footer = "subscribe to our newsletter"
+  private val block = "Shared one two three. Shared four five six. Shared seven eight nine."
+  private def corpus = Seq(
+    (1L, s"Corpus doc body here. $block\n$footer"),
+    (2L, s"Another corpus doc. $block\n$footer")
+  ).toDF("doc_id", "text")
+
+  private def artifacts = StreamCurate.Artifacts(
+    frequentLines = Curate.frequentLines(corpus),
+    frequentShingles = ExactSubstr.frequentShingles(corpus),
+    evalDocs = Seq((900L, "the held out evaluation answer string for benchmark questions " +
+      "is exactly this very sentence of thirteen plus tokens")).toDF("doc_id", "text"))
+
+  // an arriving page exercising every stage: html wrapper, the corpus
+  // footer, the duplicated block, a PAN, and enough healthy sentences
+  // to keep the page
+  private val goodBody =
+    "This arriving page carries plenty of healthy prose that people wrote. " +
+    "It keeps several complete sentences with common words like the and is. " +
+    "The third sentence also ends with terminal punctuation of course. " +
+    "A fourth one keeps the page over the sentence floor for this test. " +
+    "The fifth sentence mentions a card 4539578763621486 to be scrubbed."
+  private def arrivals = Seq(
+    (10L, s"<p>$goodBody</p>\n$footer\n$block"),
+    // a contaminated arrival: contains the eval 13-gram verbatim
+    (11L, "Some page text. " +
+      "the held out evaluation answer string for benchmark questions is " +
+      "exactly this very sentence of thirteen plus tokens. More text here."),
+    // junk page: no terminal punctuation, no stopwords -> both flags out
+    (12L, "xxxx yyyy zzzz qqqq"),
+    (13L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("the composed chain cleans, dedups, flags, and scrubs in one stateless pass") {
+    val out = StreamCurate.curate(arrivals, artifacts)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val good = out(10L)
+    val text = good.getAs[String]("text")
+    assert(!text.contains("<p>"), "html must be stripped")
+    assert(!text.contains(footer), "the corpus boilerplate footer must be stripped")
+    assert(!text.contains("Shared one two three"),
+      "the corpus-duplicated sentence block must be stripped")
+    assert(text.contains("[CARD]") && !text.contains("4539578763621486"),
+      "the Luhn-valid PAN must be scrubbed")
+    assert(good.getAs[Long]("n_boilerplate_lines") == 1L)
+    assert(good.getAs[Long]("n_dup_sentences") == 3L)
+    assert(good.getAs[Long]("n_cards") == 1L)
+    assert(good.getAs[Boolean]("c4_keep") && good.getAs[Boolean]("gopher_keep"))
+    assert(!good.getAs[Boolean]("might_contaminated"))
+    assert(good.getAs[Boolean]("keep"))
+
+    assert(out(11L).getAs[Boolean]("might_contaminated"),
+      "an eval-overlapping arrival must flag")
+    assert(!out(11L).getAs[Boolean]("keep"))
+
+    assert(!out(12L).getAs[Boolean]("keep"), "junk pages drop on quality flags")
+    assert(!out(12L).getAs[Boolean]("c4_keep"))
+    assert(!out(12L).getAs[Boolean]("gopher_keep"))
+
+    assert(out(13L).getAs[String]("text") == "", "null text is total, never a throw")
+    assert(!out(13L).getAs[Boolean]("keep"))
+  }
+
+  test("batch and stream produce identical rows (the stateless contract)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batch = StreamCurate.curate(arrivals, artifacts)
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = StreamCurate.curate(mem.toDF().toDF("doc_id", "text"), artifacts)
+    val q = out.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(arrivals.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream").collect().map(_.toSeq).toSet
+      assert(streamed == batch, "the chain must be a pure projection: " +
+        "batch and stream rows identical")
+    } finally q.stop()
+  }
+}
