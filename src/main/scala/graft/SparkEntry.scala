@@ -25,17 +25,17 @@ object SparkEntry {
   // 3-sentence span; extras keep every page over the C4 sentence floor
   // and the Gopher stopword/word floors; injections are one per
   // doc_id % 4 class.
-  private val IngestFooter = "Subscribe to our newsletter for updates and offers today"
-  private val IngestBlock =
+  private[graft] val IngestFooter = "Subscribe to our newsletter for updates and offers today"
+  private[graft] val IngestBlock =
     "Shared alpha beta gamma. Shared delta epsilon zeta. Shared eta theta iota."
-  private val IngestExtras =
+  private[graft] val IngestExtras =
     "The first extra sentence is here with all of the usual words. " +
     "It keeps the page over every quality floor that matters to us. " +
     "These sentences carry common stopwords and letters that have weight with them. " +
     "This last extra closes out the page with a clean period here."
-  private val IngestInjCard = "Pay 4539578763621486 for this now."
-  private val IngestInjEmail = "Mail bob@example.com about this today."
-  private val IngestEval =
+  private[graft] val IngestInjCard = "Pay 4539578763621486 for this now."
+  private[graft] val IngestInjEmail = "Mail bob@example.com about this today."
+  private[graft] val IngestEval =
     "Zibbleflort quandrosine veltapark mizzenbrook caltrovane siphonelle " +
     "drakemoor pellucidar quintavex norrelbane taskerfield ombrelline " +
     "juddervast wexfordia."
@@ -2855,25 +2855,35 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN dup ON dup.text = d.text),
         |comp AS (
         |  SELECT doc_id, m, is_dup,
+        |    -- t3: the FINAL text (post span-rebuild, single line)
         |    (CASE WHEN is_dup THEN '' ELSE text || '. ' END) ||
         |    (CASE m WHEN 0 THEN 'Pay [CARD] for this now. '
         |            WHEN 1 THEN 'Mail [EMAIL] about this today. '
         |            WHEN 2 THEN '$IngestEval '
         |            ELSE '' END) ||
-        |    '$IngestExtras' AS t3
+        |    '$IngestExtras' AS t3,
+        |    -- tc4: the PRE-span text the C4/Gopher stages read (the
+        |    -- duplicated block still present, lines intact)
+        |    (CASE WHEN is_dup THEN ''
+        |          ELSE text || '. $IngestBlock' || chr(10) END) ||
+        |    (CASE m WHEN 0 THEN 'Pay [CARD] for this now. '
+        |            WHEN 1 THEN 'Mail [EMAIL] about this today. '
+        |            WHEN 2 THEN '$IngestEval '
+        |            ELSE '' END) ||
+        |    '$IngestExtras' AS tc4
         |  FROM base),
         |c4 AS (
         |  SELECT *,
-        |    CASE WHEN regexp_matches(t3, '[.!?"]\\s*$$')
-        |              AND len(regexp_extract_all(t3, '\\S+')) >= 3
-        |              AND NOT contains(lower(t3), 'javascript')
-        |         THEN t3 ELSE '' END AS t4
+        |    array_to_string(list_filter(string_split(tc4, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]\\s*$$')
+        |        AND len(regexp_extract_all(l, '\\S+')) >= 3
+        |        AND NOT contains(lower(l), 'javascript')), chr(10)) AS t4
         |  FROM comp),
         |c4f AS (
         |  SELECT *,
         |    (CAST(len(regexp_extract_all(t4, '[.!?]')) AS BIGINT) >= 5
-        |      AND NOT contains(lower(t3), 'lorem ipsum')
-        |      AND NOT contains(t3, '{')) AS c4_keep
+        |      AND NOT contains(lower(tc4), 'lorem ipsum')
+        |      AND NOT contains(tc4, '{')) AS c4_keep
         |  FROM c4),
         |g AS (
         |  SELECT *,
@@ -2910,7 +2920,7 @@ object SparkEntry {
         |      AND n_stop >= 2) AS gopher_keep
         |  FROM g)
         |SELECT doc_id,
-        |  t4 AS text,
+        |  t3 AS text,
         |  (c4_keep AND gopher_keep AND NOT (m = 2)) AS keep,
         |  c4_keep, gopher_keep,
         |  (m = 2) AS might_contaminated,
@@ -3167,9 +3177,13 @@ object SparkEntry {
     // sentence-span dedup twin: the same shingle/rank chain with KEEPER
     // PROTECTION — a sentence is removed iff a flagged (rk>1) shingle
     // covers it and no keeper (rk=1) shingle of the doc does; the
-    // lookaround-free sentence regex and the md5-of-joined-shingle are
-    // the Spark spellings verbatim. coalesce(t2, '') keeps the oracle
-    // total like the Spark side (concat of a NULL text is NULL)
+    // lookaround-free sentence regex, the WHITESPACE trim (regex, not
+    // trim() — both engines' trim() strips spaces only, and sentencesCol
+    // r11 moved to an all-whitespace trim so line-break-adjacent
+    // sentences match their artifact twins), and the
+    // md5-of-joined-shingle are the Spark spellings verbatim.
+    // coalesce(t2, '') keeps the oracle total like the Spark side
+    // (concat of a NULL text is NULL)
     "q_dedup_sentences" ->
       """WITH dirty AS (
         |  SELECT doc_id,
@@ -3182,7 +3196,7 @@ object SparkEntry {
         |t AS (
         |  SELECT doc_id,
         |    list_filter(list_transform(regexp_extract_all(coalesce(t2, ''), '[^.!?]*[.!?]'),
-        |      s -> trim(s)), s -> s != '') AS sents
+        |      s -> regexp_replace(s, '^\s+|\s+$', '')), s -> s != '') AS sents
         |  FROM dirty),
         |u AS (SELECT doc_id, sents,
         |  unnest(generate_series(1, len(sents) - 2)) AS pos FROM t),

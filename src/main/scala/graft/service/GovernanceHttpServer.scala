@@ -394,27 +394,44 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     // plan RESOLUTION route symmetry (reference server.py:389-420
     // `/governance/read/resolve` + `/governance/write/resolve`): a
     // context names a contract (contractId + optional version/selector)
-    // OR a data-product port binding (product + port — the reference's
-    // input/output bindings; both sides resolve through the bound
-    // OUTPUT port's contract, which is what a binding names), and the
-    // resolved PLAN comes back: the concrete contract + the
-    // dataset/contract ids a governed read/write will run under. The
-    // resolution rule is GovernedIO.resolveContract — the SAME code the
-    // in-process pipeline runs, so transports cannot drift.
-    def resolvePlan(ex: HttpExchange, p: Map[String, String]): Unit = {
+    // OR a data-product port binding (product + port), and the resolved
+    // PLAN comes back: the concrete contract + the dataset/contract ids
+    // a governed read/write will run under. Resolution runs the SAME
+    // code the in-process pipeline runs so transports cannot drift:
+    // GovernedIO.resolveContract for contract references, and on the
+    // read side ProductPolicy.select + findInputPort (GovernedIO
+    // .readPort's revision/port resolution — an unreviewed-draft latest
+    // revision is skipped under the same status policy), falling back
+    // to the product's OUTPUT port for source-binding reads; the write
+    // side binds to the product's output port (writePort's shape).
+    def resolvePlan(read: Boolean)(ex: HttpExchange, p: Map[String, String]): Unit = {
       val resolved = (p.get("product"), p.get("port")) match {
         case (Some(prod), Some(port)) =>
           val pb = products.getOrElse(throw new IllegalArgumentException(
             "no data-product service attached — bind by contractId instead"))
-          val (cid, cver) = pb.resolveOutputContract(prod, port)
-            .getOrElse(throw new IllegalArgumentException(
-              s"data product $prod has no output port '$port'"))
+          val (cid, cver) =
+            if (read) {
+              val product = graft.products.ProductPolicy.select(
+                pb, prod, p.get("productVersion"), operation = "read")
+                .getOrElse(throw new IllegalArgumentException(
+                  s"no revision of data product $prod is readable"))
+              product.findInputPort(port)
+                .map(ip => (ip.contractId, ip.version))
+                .orElse(product.findOutputPort(port)
+                  .map(op => (op.contractId, op.version)))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"data product $prod has no port '$port'"))
+            } else pb.resolveOutputContract(prod, port)
+              .getOrElse(throw new IllegalArgumentException(
+                s"data product $prod has no output port '$port'"))
           // a port binding is an exact pin (the port names the version)
           graft.io.GovernedIO.resolveContract(contracts, cid,
             Some(cver).filter(_.nonEmpty))
-        case _ =>
+        case (None, None) =>
           graft.io.GovernedIO.resolveContract(contracts, p("contractId"),
             p.get("version"))
+        case _ => throw new IllegalArgumentException(
+          "product and port must be supplied together (or bind by contractId)")
       }
       respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
         "contractId" -> JString(resolved.id),
@@ -423,8 +440,8 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
         "datasetVersion" -> JString(p.getOrElse("datasetVersion", resolved.version)),
         "contract" -> JsonMethods.parse(ContractJson.toJson(resolved))))))
     }
-    s.createContext("/governance/read/resolve", handler(resolvePlan))
-    s.createContext("/governance/write/resolve", handler(resolvePlan))
+    s.createContext("/governance/read/resolve", handler(resolvePlan(read = true)))
+    s.createContext("/governance/write/resolve", handler(resolvePlan(read = false)))
     // draft EDITING (reference contracts-app draft workspace): body is
     // the edited ODCS JSON; id/version/status are pinned server-side —
     // see GovernanceService.updateDraft

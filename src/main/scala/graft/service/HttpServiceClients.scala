@@ -282,7 +282,6 @@ final case class RemoteDatasetRecord(datasetId: String, datasetVersion: String,
                                      status: Option[DatasetStatus],
                                      activityCount: Int, lastSeenAt: Long)
 
-/** One row of `/governance/activity`. */
 /** A resolved governance read/write plan over the wire — the reference's
   * encode_read_plan/encode_write_plan shape reduced to what graft's
   * pipeline consumes: the concrete contract plus the ids the governed
@@ -291,6 +290,7 @@ final case class RemoteResolvedPlan(contractId: String, contractVersion: String,
                                     datasetId: String, datasetVersion: String,
                                     contract: Contract)
 
+/** One row of `/governance/activity`. */
 final case class RemoteActivity(pipeline: String, operation: String,
                                 datasetId: String, datasetVersion: String,
                                 contractId: String, contractVersion: String,

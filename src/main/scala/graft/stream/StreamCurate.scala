@@ -24,14 +24,18 @@ import org.apache.spark.sql.functions._
   *     sentence-span rebuild splits `user@domain.com` at its dots
   *     (dots are sentence terminals), and a later email scrub would
   *     silently miss it (found by the q_curation_ingest oracle gate);
-  *  4. duplicated sentence-span removal against the
+  *  4. C4 line battery + page tripwires ([[TextOps.c4Rules]]) — while
+  *     the page still HAS lines: the span rebuild below flattens it,
+  *     which would turn the per-line filter into whole-page
+  *     all-or-nothing;
+  *  5. Gopher quality flags ([[TextOps.gopherRules]]) on the C4-cleaned
+  *     (still line-structured) text — flags describe the arriving page
+  *     before span dedup;
+  *  6. duplicated sentence-span removal against the
   *     [[ExactSubstr.frequentShingles]] artifact
   *     ([[ExactSubstr.stripSentencesFlag]] — the C4 three-sentence rule,
-  *     ingest-time twin);
-  *  5. C4 line battery + page tripwires ([[TextOps.c4Rules]]) on the
-  *     deduped text;
-  *  6. Gopher quality flags ([[TextOps.gopherRules]]) on the C4-cleaned
-  *     text;
+  *     ingest-time twin) — the last text rewrite, because its rebuild
+  *     flattens line structure;
   *  7. eval-set decontamination flag ([[Curate.contaminationFlag]]).
   *
   * Output: `(doc_id, text, keep, c4_keep, gopher_keep,
@@ -86,29 +90,35 @@ object StreamCurate {
     // pattern pass would mangle digit runs the Luhn gate needs intact),
     // then the pattern battery
     val scrubbed = Curate.redact(Curate.redactCards(lines))
-    // 4. duplicated sentence spans out (Bloom over the shingle artifact)
-    val spans = ExactSubstr.stripSentencesFlag(scrubbed, artifacts.frequentShingles,
+    // 4. C4 battery while lines STILL EXIST — the sentence-span rebuild
+    // below flattens the page, which would turn C4's per-line filter
+    // into whole-page all-or-nothing (one 'javascript' line would blank
+    // the document instead of dropping the line)
+    val c4d = TextOps.c4Rules(materialized(scrubbed, "text"), c4,
         passThrough = Seq("n_boilerplate_lines", "n_cards", "n_redactions"))
       .select(col("doc_id"), col("n_boilerplate_lines"), col("n_cards"),
-        col("n_redactions"),
-        col("clean_text").as("text"), col("n_removed").as("n_dup_sentences"))
-    // 5. C4 battery on the deduped text (its line pass + page tripwires)
-    val c4d = TextOps.c4Rules(materialized(spans, "text"), c4,
-        passThrough = Seq("n_boilerplate_lines", "n_dup_sentences",
-          "n_cards", "n_redactions"))
-      .select(col("doc_id"), col("n_boilerplate_lines"), col("n_dup_sentences"),
-        col("n_cards"), col("n_redactions"),
-        col("clean_text").as("text"), col("c4_keep"))
-    // 6. Gopher flags on the C4-cleaned text (it reads col("text"))
+        col("n_redactions"), col("clean_text").as("text"), col("c4_keep"))
+    // 5. Gopher flags on the C4-cleaned text — still line-structured
+    // (c4Rules rejoins kept lines with \n), so the bullet/ellipsis
+    // line ratios keep their meaning. Flags describe the page BEFORE
+    // span dedup (the arriving page's quality, not the rebuilt one's).
     val flagged = TextOps.gopherRules(materialized(c4d, "text"), gopher,
-        passThrough = Seq("n_boilerplate_lines", "n_dup_sentences",
-          "n_cards", "n_redactions", "text", "c4_keep"))
-      .select(col("doc_id"), col("n_boilerplate_lines"), col("n_dup_sentences"),
-        col("n_cards"), col("n_redactions"),
-        col("text"), col("c4_keep"), col("gopher_keep"))
+        passThrough = Seq("n_boilerplate_lines", "n_cards", "n_redactions",
+          "text", "c4_keep"))
+      .select(col("doc_id"), col("n_boilerplate_lines"), col("n_cards"),
+        col("n_redactions"), col("text"), col("c4_keep"), col("gopher_keep"))
+    // 6. duplicated sentence spans out — the LAST text rewrite (the
+    // rebuild flattens line structure, so every line-based stage runs
+    // before it)
+    val spans = ExactSubstr.stripSentencesFlag(flagged, artifacts.frequentShingles,
+        passThrough = Seq("n_boilerplate_lines", "n_cards", "n_redactions",
+          "c4_keep", "gopher_keep"))
+      .select(col("doc_id"), col("n_boilerplate_lines"), col("n_cards"),
+        col("n_redactions"), col("c4_keep"), col("gopher_keep"),
+        col("clean_text").as("text"), col("n_removed").as("n_dup_sentences"))
     // 7. eval decontamination flag (emitted, not applied — a training
     // run filters on it; an audit keeps the flagged rows)
-    val decon = Curate.contaminationFlag(materialized(flagged, "text"),
+    val decon = Curate.contaminationFlag(materialized(spans, "text"),
       artifacts.evalDocs, k = contaminationK)
     decon.select(col("doc_id"), col("text"),
       (col("c4_keep") && col("gopher_keep") && !col("might_contaminated"))

@@ -22,20 +22,22 @@ object CiProfileTool {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val block = "Shared alpha beta gamma. Shared delta epsilon zeta. Shared eta theta iota."
-    val footer = "Subscribe to our newsletter for updates and offers today"
-    val extras = "The first extra sentence is here with all of the usual words. It keeps the page over every quality floor that matters to us. These sentences carry common stopwords and letters that have weight with them. This last extra closes out the page with a clean period here."
+    // the gated fixture's own constants — shared, so the profile can
+    // never drift from what q_curation_ingest actually runs
+    val block = graft.SparkEntry.IngestBlock
+    val footer = graft.SparkEntry.IngestFooter
+    val extras = graft.SparkEntry.IngestExtras
     val m = col("doc_id") % 4
     val corpus = docs.select(col("doc_id"), concat(col("text"), lit(". " + block + "\n" + footer)).as("text"))
     val arrivals = docs.select(col("doc_id"),
       concat(lit("<p>"), col("text"), lit(". " + block + "</p>\n" + footer + "\n"),
-        when(m === 0, lit("Pay 4539578763621486 for this now. "))
-          .when(m === 1, lit("Mail bob@example.com about this today. "))
-          .when(m === 2, lit("Zibbleflort quandrosine veltapark mizzenbrook caltrovane siphonelle drakemoor pellucidar quintavex norrelbane taskerfield ombrelline juddervast wexfordia. "))
+        when(m === 0, lit(graft.SparkEntry.IngestInjCard + " "))
+          .when(m === 1, lit(graft.SparkEntry.IngestInjEmail + " "))
+          .when(m === 2, lit(graft.SparkEntry.IngestEval + " "))
           .otherwise(lit("")),
         lit(extras)).as("text"))
     import spark.implicits._
-    val evalDocs = Seq((0L, "Zibbleflort quandrosine veltapark mizzenbrook caltrovane siphonelle drakemoor pellucidar quintavex norrelbane taskerfield ombrelline juddervast wexfordia.")).toDF("doc_id", "text")
+    val evalDocs = Seq((0L, graft.SparkEntry.IngestEval)).toDF("doc_id", "text")
     val fl = Curate.frequentLines(corpus)
     val fs = ExactSubstr.frequentShingles(corpus)
 
