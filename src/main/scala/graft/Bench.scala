@@ -124,7 +124,12 @@ object Bench {
     // crawl-graph link extraction are corpus-wide projections; the
     // quantile sketch is a corpus-wide bounded aggregation. (The
     // multimodal transforms stay excluded with q_multimodal_decode:
-    // bounded fixture sets, O(1) in sf.)
+    // bounded fixture sets, O(1) in sf. r11's q_jpeg_decode and
+    // q_video_meta join that exclusion — both doc_id < 120 fixtures.
+    // q_curation_ingest is corpus-wide but NOT benched: it re-runs
+    // seven already-benched stage families end to end, so benching it
+    // would double-count every one — the q_substr_strip precedent; its
+    // cost profile lives in CiProfileTool + PERF.md r11.)
     "q_redact_cards", "q_extract_links", "q_quantile_sketch")
 
   /** Round-over-round regression budgets, calibrated against the round

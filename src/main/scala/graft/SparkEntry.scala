@@ -865,7 +865,12 @@ object SparkEntry {
           col("v_mean").as(pfx + "_mean"), col("v_min").as(pfx + "_min"),
           col("v_max").as(pfx + "_max"))
       val a = st(jp, "a")
-      val b = st(jp, "b")     // independent second decode pass
+      // genuinely independent second decode pass: each decodeStats call
+      // plans a FRESH RDD lineage (perPayload goes through .rdd, and
+      // LogicalRDD canonicalizes by rdd id), so ReuseExchange cannot
+      // collapse the two sides into one computed result — det_ok
+      // compares two real executions, not a value to itself
+      val b = st(jp, "b")
       val tw = st(twin, "t")
       val perChan = a.join(b, Seq("doc_id", "channel"))
         .join(tw, Seq("doc_id", "channel"))

@@ -311,15 +311,23 @@ final class GovernanceBackend(store: GovernanceStore, contracts: Option[Contract
     GovernanceEvaluation(record, res.ok, listDraftVersions(contract.id))
   }
 
-  def reviewDraft(contractId: String, version: String, approve: Boolean): Contract = {
-    val (store, draft) = requireDraft(contractId, version)
-    val reviewed = draft.copy(status = Some(if (approve) "active" else "rejected"))
-    store.put(reviewed)
-    reviewed
-  }
+  // reviewDraft/updateDraft are check-then-act over the store and the
+  // HTTP facade serves them from a thread pool: without mutual
+  // exclusion an edit racing an approval could re-draft (and rewrite)
+  // an already-approved revision — the exact bypass the status pinning
+  // prevents. Synchronized on this backend; concurrent writers in
+  // OTHER processes sharing a filesystem store remain the deployment's
+  // problem (single-writer per store, the reference's posture too).
+  def reviewDraft(contractId: String, version: String, approve: Boolean): Contract =
+    synchronized {
+      val (store, draft) = requireDraft(contractId, version)
+      val reviewed = draft.copy(status = Some(if (approve) "active" else "rejected"))
+      store.put(reviewed)
+      reviewed
+    }
 
   override def updateDraft(contractId: String, version: String,
-                           edited: Contract): Contract = {
+                           edited: Contract): Contract = synchronized {
     val (store, _) = requireDraft(contractId, version)
     // the edit can change anything EXCEPT where it lives and what it
     // is: id/version pin to the addressed draft (an edit must not mint

@@ -203,15 +203,8 @@ object Curate {
   def stripLinesFlag(docs: DataFrame, frequent: DataFrame, sep: String = "\n",
                      textCol: String = "text", fpp: Double = 1e-6,
                      maxLines: Long = 16L << 20): DataFrame = {
-    val spark = frequent.sparkSession
-    import spark.implicits._
-    // limit BEFORE collect: the guard must bound what reaches the
-    // driver, not inspect a heap that already blew — one extra row past
-    // the cap is enough to prove the breach
-    val pairs = frequent.select(col("h1"), col("h2"))
-      .limit(math.min(maxLines, Int.MaxValue - 1L).toInt + 1)
-      .as[(Long, Long)].collect()
-    require(pairs.length <= maxLines,
+    val pairs = GramBloom.collectPairs(
+      frequent.select(col("h1"), col("h2")), maxLines,
       s"frequent-line artifact exceeds $maxLines lines; " +
         "stripLinesFlag builds its filter driver-side — raise maxLines " +
         "only if the driver can hold it, or raise minDocs upstream")
@@ -841,22 +834,15 @@ object Curate {
   /** Digest pairs of a distinct gram frame, collected driver-side behind
     * the explicit eval-shaped-frame guard. */
   private def collectGramPairs(evalGrams: DataFrame, k: Int, maxEvalGrams: Long,
-                               caller: String): Array[(Long, Long)] = {
-    val spark = evalGrams.sparkSession
-    import spark.implicits._
-    // limit BEFORE collect: the guard must bound what reaches the
-    // driver, not inspect a heap that already blew
-    val pairs = evalGrams
-      .select(call_function("graft_md5hh", col("gram").cast("binary")).as("hh"))
-      .select(element_at(col("hh"), 1), element_at(col("hh"), 2))
-      .limit(math.min(maxEvalGrams, Int.MaxValue - 1L).toInt + 1)
-      .as[(Long, Long)].collect()
-    require(pairs.length <= maxEvalGrams,
+                               caller: String): Array[(Long, Long)] =
+    GramBloom.collectPairs(
+      evalGrams
+        .select(call_function("graft_md5hh", col("gram").cast("binary")).as("hh"))
+        .select(element_at(col("hh"), 1), element_at(col("hh"), 2)),
+      maxEvalGrams,
       s"eval set exceeds $maxEvalGrams distinct $k-grams; " +
         s"$caller builds its filter driver-side — this frame is " +
         "corpus-shaped, not eval-shaped")
-    pairs
-  }
 
   /** Stateless per-document contamination flag: `might_contaminated` is
     * true when ANY of the doc's k-grams might be in the eval set (Bloom

@@ -169,11 +169,9 @@ object ExactSubstr {
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     require(l >= 2, "window length must be at least 2 tokens")
-    val spark = frequent.sparkSession
-    import spark.implicits._
-    val pairs = frequent.select(col("h1"), col("h2")).as[(Long, Long)].collect()
-    require(pairs.length <= maxWindows,
-      s"frequent-window artifact has ${pairs.length} windows (> $maxWindows); " +
+    val pairs = GramBloom.collectPairs(
+      frequent.select(col("h1"), col("h2")), maxWindows,
+      s"frequent-window artifact exceeds $maxWindows windows; " +
         "stripSubstrFlag builds its filter driver-side — raise maxWindows " +
         "only if the driver can hold it, or raise minOccurrences upstream")
     val bloom = GramBloom.build(pairs, fpp)
@@ -353,15 +351,8 @@ object ExactSubstr {
                          maxShingles: Long = 16L << 20,
                          passThrough: Seq[String] = Nil): DataFrame = {
     require(n >= 2, "span length must be at least 2 sentences")
-    val spark = frequent.sparkSession
-    import spark.implicits._
-    // limit BEFORE collect: the guard must bound what reaches the
-    // driver, not inspect a heap that already blew — one extra row past
-    // the cap is enough to prove the breach
-    val pairs = frequent.select(col("h1"), col("h2"))
-      .limit(math.min(maxShingles, Int.MaxValue - 1L).toInt + 1)
-      .as[(Long, Long)].collect()
-    require(pairs.length <= maxShingles,
+    val pairs = GramBloom.collectPairs(
+      frequent.select(col("h1"), col("h2")), maxShingles,
       s"frequent-shingle artifact exceeds $maxShingles shingles; " +
         "stripSentencesFlag builds its filter driver-side — raise maxShingles " +
         "only if the driver can hold it, or raise minOccurrences upstream")

@@ -58,6 +58,25 @@ private[graft] final case class GramBloom(words: Array[Long], mBits: Long, kh: I
 
 private[graft] object GramBloom {
 
+  /** Driver-bounded collect of `(h1, h2)` digest pairs for [[build]]:
+    * LIMITS to the cap BEFORE collecting — the guard must bound what
+    * reaches the driver, not inspect a heap that already blew; one row
+    * past the cap proves the breach — then fails loudly with the
+    * caller's contract message. The ONE implementation behind every
+    * artifact loader (stripLinesFlag / stripSentencesFlag /
+    * contamination grams) so the bound can never silently regress at
+    * one site. */
+  def collectPairs(pairs: org.apache.spark.sql.DataFrame, cap: Long,
+                   overCapMessage: => String): Array[(Long, Long)] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val collected = pairs
+      .limit(math.min(cap, Int.MaxValue - 1L).toInt + 1)
+      .as[(Long, Long)].collect()
+    require(collected.length <= cap, overCapMessage)
+    collected
+  }
+
   /** Build from collected digest pairs. Sizing: the textbook
     * m = −n·ln(fpp)/ln²2 bits rounded UP to a power of two (so the odd
     * stride is coprime with m — see the class doc; the round-up only ever

@@ -217,7 +217,11 @@ object MediaDecode {
           // is merely excluded from value-exact cross-engine oracles
           case f @ ("png" | "bmp" | "gif" | "jpeg") => imageStats(docId, f, bytes, p)
           case "wav"  => wavStats(docId, bytes)
-          case _      => skipped(docId, "unknown")
+          // formats the probe positively identifies (mp4/webm/heic/…)
+          // keep their name in the marker row — a curation pass
+          // accounting skip reasons by format must see the same labels
+          // decode-stats-side as the transforms report
+          case other  => skipped(docId, other)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => skipped(docId, "undecodable") }

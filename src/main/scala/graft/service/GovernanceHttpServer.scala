@@ -124,27 +124,25 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
 
   private var server: Option[HttpServer] = None
 
+  /** One `k=v&k=v` decode for query strings AND form bodies — the two
+    * transports a parameter can arrive on must parse identically. */
+  private def decodePairs(raw: String): Map[String, String] =
+    raw.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(URLDecoder.decode(k, "UTF-8") ->
+          URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+
   private def params(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).toSeq
-      .flatMap(_.split("&").toSeq).flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => Some(URLDecoder.decode(k, "UTF-8") ->
-            URLDecoder.decode(v, "UTF-8"))
-          case _ => None
-        }
-      }.toMap
+    Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty)
+      .fold(Map.empty[String, String])(decodePairs)
 
   /** `application/x-www-form-urlencoded` body fields (the UI's form
-    * POSTs) — same decode rules as the query params. */
+    * POSTs) — the same [[decodePairs]] as the query params. */
   private def formBody(ex: HttpExchange): Map[String, String] =
-    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      .split("&").toSeq.flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => Some(URLDecoder.decode(k, "UTF-8") ->
-            URLDecoder.decode(v, "UTF-8"))
-          case _ => None
-        }
-      }.toMap
+    decodePairs(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
   private def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")

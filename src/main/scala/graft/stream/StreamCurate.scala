@@ -47,7 +47,16 @@ import org.apache.spark.sql.functions._
   * KEEPER CAVEAT (inherited from the artifact twins): the stateless
   * chain strips every artifact-flagged line/span in the arrivals —
   * keep-first holds when the keepers live in the corpus the artifacts
-  * were built from; run the batch operators on the periodic re-pass. */
+  * were built from; run the batch operators on the periodic re-pass.
+  *
+  * TRAILING-FRAGMENT CAVEAT: the span stage's rebuild keeps only
+  * `[.!?]`-terminated sentences, while C4's line filter also accepts a
+  * closing double quote — a quote-terminated TRAILING fragment (kept by
+  * C4, unterminated to the sentence extractor) is dropped by the
+  * rebuild without a counter. Mid-document quote-terminated text
+  * survives (it rides as the prefix of the next terminated sentence);
+  * only the document tail is affected — the sentence extractor's
+  * documented unterminated-tail convention. */
 object StreamCurate {
 
   /** The offline artifacts that parameterise the online chain. Build
