@@ -619,6 +619,50 @@ object NearDup {
     }
   }
 
+  /** The layout tag carried by a banded index frame, when present. */
+  private def indexLayout(index: DataFrame): Option[String] =
+    Option(index.schema("band").metadata)
+      .filter(_.contains(LayoutKey)).map(_.getString(LayoutKey))
+
+  /** Grow a banded Hamming index with NEW fingerprints — the
+    * build-once/probe-many artifact's incremental entry point
+    * ([[MinhashIndex.merge]] / `IvfIndex.append` parity): band only the
+    * arrivals and union them onto the existing index, never re-banding
+    * the corpus. The index must carry the layout tag for
+    * `(bits, maxHamming)` — appending across layouts would produce an
+    * index that silently loses recall on every probe, so the mismatch
+    * (or a pre-r11 untagged index) is refused loudly, exactly like
+    * [[hammingProbe]]. Equal to a fresh [[hammingIndex]] build over the
+    * concatenated fingerprint frames. */
+  def hammingAppend(index: DataFrame, arrivals: DataFrame, maxHamming: Int,
+                    hashCol: String = "simhash", idCol: String = "doc_id",
+                    bits: Int = 64): DataFrame = {
+    val expected = layoutTag(bits, maxHamming)
+    val tag = indexLayout(index)
+    require(tag.contains(expected),
+      s"hamming index layout mismatch: index carries " +
+        s"${tag.getOrElse("no layout tag (pre-r11 index — rebuild it)")}, " +
+        s"append expects $expected — mixing layouts silently loses recall")
+    // left side is the existing index: unionByName keeps ITS schema
+    // (and with it the layout tag in the band column metadata)
+    index.unionByName(
+      hammingIndex(arrivals, maxHamming, hashCol, idCol, bits))
+  }
+
+  /** Merge two banded Hamming indexes (e.g. per-shard builds) into one.
+    * Both sides must carry the SAME layout tag — the layouts are a
+    * function of (bits, maxHamming) the callers chose at build time, and
+    * two different choices cannot share a (band, band_val) key space.
+    * Equal to a fresh build over the concatenated corpora. */
+  def hammingMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val (ta, tb) = (indexLayout(a), indexLayout(b))
+    require(ta.nonEmpty && ta == tb,
+      s"hamming index layout mismatch: " +
+        s"${ta.getOrElse("no layout tag")} vs ${tb.getOrElse("no layout tag")} — " +
+        "only indexes built under the same (bits, maxHamming) layout can merge")
+    a.unionByName(b)
+  }
+
   /** Probe arrivals against a banded Hamming index ([[hammingIndex]],
     * same (bits, maxHamming)): `(arrival_id, corpus_id, hamming)` for
     * every arrival within `maxHamming` of an indexed fingerprint —

@@ -200,12 +200,42 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       ok
   }
 
+  /** CSRF guard for every state-changing (non-GET/HEAD) request: when
+    * the request carries a browser provenance header (`Origin`, falling
+    * back to `Referer`), its authority must equal the request's `Host`.
+    * Browsers attach `Origin` to EVERY cross-site form POST — including
+    * plain HTML forms targeting the `/ui/draft-edit` / `/ui/draft-review`
+    * form routes and forms aimed at the query-parameter JSON routes
+    * (`/governance/review-draft` can be driven entirely from an action
+    * URL) — so an external page pivoting through an operator's browser
+    * is rejected even when the facade runs without [[BearerAuth]] (the
+    * only mode a browser can use: forms cannot attach an Authorization
+    * header). Non-browser pipeline clients send neither header and pass
+    * untouched; `Origin: null` (sandboxed iframe, file://) is treated as
+    * foreign. */
+  private def sameOrigin(ex: HttpExchange): Boolean = {
+    val method = ex.getRequestMethod
+    if (method == "GET" || method == "HEAD") true
+    else {
+      val host = Option(ex.getRequestHeaders.getFirst("Host"))
+      def authority(url: String): Option[String] =
+        try Option(java.net.URI.create(url).getAuthority) catch { case _: Exception => None }
+      Option(ex.getRequestHeaders.getFirst("Origin"))
+        .orElse(Option(ex.getRequestHeaders.getFirst("Referer"))) match {
+        case None => true
+        case Some(src) => host.nonEmpty && authority(src) == host
+      }
+    }
+  }
+
   // every handler answers 400 on a missing parameter and 500 with the
   // message on an unexpected failure, so a bad client call can never
   // take the server down
   private def handler(f: (HttpExchange, Map[String, String]) => Unit)
       : com.sun.net.httpserver.HttpHandler = { ex =>
-    try if (authorized(ex)) f(ex, params(ex))
+    try if (!sameOrigin(ex))
+      respond(ex, 403, """{"error":"cross-origin request rejected"}""")
+    else if (authorized(ex)) f(ex, params(ex))
     catch {
       case e: NoSuchElementException =>
         respond(ex, 400, s"""{"error":"missing parameter: ${e.getMessage}"}""")
@@ -430,6 +460,22 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
             p.get("version"))
         case _ => throw new IllegalArgumentException(
           "product and port must be supplied together (or bind by contractId)")
+      }
+      // dataset/datasetVersion are the caller's CONTEXT assertion (the
+      // reference's context semantics — the pipeline names the physical
+      // dataset it will bind the plan to), but an assertion the
+      // governance store can check, it must check: when the named
+      // dataset carries a recorded contract link, a plan under a
+      // DIFFERENT contract id is a mis-binding, answered 400 rather
+      // than echoed back as an authoritative-looking plan. Unlinked
+      // datasets pass through caller-asserted (first-run pipelines
+      // resolve before any link exists).
+      p.get("dataset").foreach { ds =>
+        gov.linkedContract(ds).foreach { case (linkedId, _) =>
+          if (linkedId != resolved.id) throw new IllegalArgumentException(
+            s"dataset '$ds' is linked to contract '$linkedId', not '${resolved.id}' — " +
+              "resolve under the linked contract or relink the dataset")
+        }
       }
       respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
         "contractId" -> JString(resolved.id),

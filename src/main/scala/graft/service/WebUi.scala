@@ -35,9 +35,14 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
   private lazy val listingProducts: Option[DataProductService] =
     products.filter { pb =>
       // one-item page: the probe only asks IF listing works, so it must
-      // not pay for a full listing on a backend where listing is slow
+      // not pay for a full listing on a backend where listing is slow.
+      // NonFatal, not just UnsupportedOperationException: a transient
+      // backend fault during the probe must degrade the nav (this lazy
+      // val memoizes whatever the probe concludes), never 500 the
+      // landing page — and a FAILED lazy val re-evaluates, so letting
+      // the exception out would re-run the probe on every render.
       try { pb.listDataProducts(limit = Some(1)); true }
-      catch { case _: UnsupportedOperationException => false }
+      catch { case scala.util.control.NonFatal(_) => false }
     }
 
   // ------------------------------------------------------------------
@@ -116,7 +121,10 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     val datasets = gov.listDatasets()
     val matrix = gov.statusMatrix()
     val blocked = matrix.count(_.status == "block")
-    val productCount = listingProducts.map(_.listDataProducts().total)
+    // the probe passed once, but a flaky remote backend can still fail
+    // THIS listing — drop the counter row for the render, don't 500
+    val productCount = listingProducts.flatMap(pb =>
+      scala.util.Try(pb.listDataProducts().total).toOption)
     page("Governance", s"""
       |<table>
       |<tr><th>Contracts</th><td>${cids.size}</td></tr>

@@ -276,6 +276,56 @@ class NearDupSpec extends SparkSpec {
     assert(probed.contains((1L, 2L, 1L)) && probed.contains((1L, 1L, 0L)))
   }
 
+  test("hammingAppend/hammingMerge: incremental growth == fresh build; layout guarded") {
+    // the build-once artifact's incremental entry points: growing an
+    // index with new arrivals (append) or combining per-shard builds
+    // (merge) must equal a fresh build over the concatenated corpus —
+    // for BOTH layouts (radius 3 single-band, radius 8 band-pair)
+    for (radius <- Seq(3, 8)) {
+      val oldDocs = (0L until 20L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "h")
+      val newDocs = (20L until 30L).map(i => (i, i * 0x9E3779B97F4A7C15L ^ 5L)).toDF("doc_id", "h")
+      val fresh = NearDup.hammingIndex(oldDocs.unionByName(newDocs), radius, hashCol = "h")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      val appended = NearDup.hammingAppend(
+        NearDup.hammingIndex(oldDocs, radius, hashCol = "h"),
+        newDocs, radius, hashCol = "h")
+      assert(appended.as[(Long, Long, Int, Long)].collect().toSet == fresh,
+        s"append at radius $radius must equal the fresh concatenated build")
+      val merged = NearDup.hammingMerge(
+        NearDup.hammingIndex(oldDocs, radius, hashCol = "h"),
+        NearDup.hammingIndex(newDocs, radius, hashCol = "h"))
+      assert(merged.as[(Long, Long, Int, Long)].collect().toSet == fresh,
+        s"merge at radius $radius must equal the fresh concatenated build")
+      // the union keeps the layout tag: the grown index probes directly,
+      // and still does after the persist/reload a real deployment does
+      val dir = java.nio.file.Files.createTempDirectory("graft_hpapp").toString
+      appended.write.mode("overwrite").parquet(dir)
+      val probed = NearDup.hammingProbe(spark.read.parquet(dir),
+        Seq((100L, 25L * 0x9E3779B97F4A7C15L ^ 4L)).toDF("doc_id", "h"),
+        radius, hashCol = "h").as[(Long, Long, Long)].collect().toSet
+      assert(probed.contains((100L, 25L, 1L)),
+        s"appended index must serve probes after a parquet round trip (radius $radius)")
+    }
+    // layout guards: append refuses a radius/tag mismatch and an
+    // untagged (pre-r11) index; merge refuses two different layouts
+    val docs = Seq((1L, 0x0F0FL)).toDF("doc_id", "h")
+    val idx3 = NearDup.hammingIndex(docs, maxHamming = 3, hashCol = "h")
+    val idx8 = NearDup.hammingIndex(docs, maxHamming = 8, hashCol = "h")
+    val eApp = intercept[IllegalArgumentException] {
+      NearDup.hammingAppend(idx3, docs, maxHamming = 8, hashCol = "h")
+    }
+    assert(eApp.getMessage.contains("layout mismatch"))
+    val eLegacy = intercept[IllegalArgumentException] {
+      NearDup.hammingAppend(idx3.withColumn("band", col("band") + 0L),
+        docs, maxHamming = 3, hashCol = "h")
+    }
+    assert(eLegacy.getMessage.contains("no layout tag"))
+    val eMerge = intercept[IllegalArgumentException] {
+      NearDup.hammingMerge(idx3, idx8)
+    }
+    assert(eMerge.getMessage.contains("layout mismatch"))
+  }
+
   test("hammingProbe: arrivals vs a banded index == the restricted pair set; streams as-is") {
     val corpus = (0L until 30L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "h")
     val arrivals = (100L until 110L).map(i => (i, (i - 100L) * 0x9E3779B97F4A7C15L + 3L))

@@ -339,7 +339,7 @@ class HttpServiceClientsSpec extends SparkSpec {
   }
 
   test("plan resolution routes: contract references and port bindings resolve like in-process") {
-    withServer() { (url, store, _, pb) =>
+    withServer() { (url, store, gov, pb) =>
       val remote = new HttpGovernanceClient(url)
       val contract = DemoContracts.lineitemAlign
       store.put(contract)
@@ -354,10 +354,26 @@ class HttpServiceClientsSpec extends SparkSpec {
       assert(plan.contract.properties.nonEmpty) // the full ODCS travels
       assert(plan.datasetId == contract.id &&
         plan.datasetVersion == contract.version) // dataset falls back to the contract
-      // dataset overrides pass through
+      // dataset overrides pass through while the dataset is UNLINKED
+      // (caller-asserted context, the first-run pipeline shape)
       val ds = remote.resolveWritePlan(contractId = Some(contract.id),
         dataset = Some("lake.lineitem"), datasetVersion = Some("2024-05"))
       assert(ds.datasetId == "lake.lineitem" && ds.datasetVersion == "2024-05")
+      // ...but once the governance store records a link, a plan naming
+      // that dataset under a DIFFERENT contract is a mis-binding: the
+      // server must refuse rather than echo an authoritative-looking
+      // plan with a dataset binding the store contradicts
+      gov.linkDatasetContract("lake.lineitem", "other.contract", "1.0.0")
+      intercept[java.io.IOException] {
+        remote.resolveWritePlan(contractId = Some(contract.id),
+          dataset = Some("lake.lineitem"))
+      }
+      // the link AGREEING with the resolved contract still passes
+      gov.linkDatasetContract("lake.lineitem", contract.id, contract.version)
+      val linked = remote.resolveWritePlan(contractId = Some(contract.id),
+        dataset = Some("lake.lineitem"))
+      assert(linked.datasetId == "lake.lineitem" &&
+        linked.contractId == contract.id)
       // >= selector picks the highest satisfying non-draft version
       val sel = remote.resolveReadPlan(contractId = Some(contract.id),
         version = Some(">=0.0.1"))

@@ -113,6 +113,43 @@ class HttpServiceSpec extends SparkSpec {
     (r.statusCode(), r.body())
   }
 
+  test("cross-origin POSTs are rejected (CSRF guard); same-origin and non-browser pass") {
+    withServer { (url, store, _) =>
+      val host = url.stripPrefix("http://")
+      def postWith(path: String, body: String, headers: Seq[(String, String)]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"$url$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        HttpClient.newHttpClient()
+          .send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      val odcs = graft.contracts.ContractJson.toJson(DemoContracts.lineitem)
+      // a browser pivot: an external page form-POSTs into the facade —
+      // the browser stamps ITS origin, and the facade must refuse even
+      // though no auth is configured (the only mode a browser can use)
+      assert(postWith("/contracts/put", odcs,
+        Seq("Origin" -> "http://evil.example")) == 403)
+      assert(store.listContractIds().isEmpty, "a rejected POST must not mutate")
+      // Referer is the fallback provenance signal (older form posts)
+      assert(postWith("/contracts/put", odcs,
+        Seq("Referer" -> "http://evil.example/attack.html")) == 403)
+      // `Origin: null` (sandboxed iframe / file://) is foreign
+      assert(postWith("/contracts/put", odcs, Seq("Origin" -> "null")) == 403)
+      // the facade's OWN pages posting back to it pass
+      assert(postWith("/contracts/put", odcs,
+        Seq("Origin" -> s"http://$host")) == 204)
+      // non-browser pipeline clients send neither header: untouched
+      assert(postWith("/contracts/put", odcs, Seq.empty) == 204)
+      // GETs are never blocked (no state change; foreign reads are CORS'
+      // domain, not CSRF's)
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"$url/contracts"))
+          .header("Origin", "http://evil.example").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+    }
+  }
+
   test("data-product family served over HTTP: register, review, resolve, page") {
     val root = tmpDir("graft_http_products")
     val store = new FsContractStore(s"$root/contracts")

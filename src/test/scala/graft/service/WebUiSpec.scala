@@ -114,6 +114,44 @@ class WebUiSpec extends AnyFunSuite {
     assert(product.contains("gold"))
   }
 
+  test("a backend whose listing probe FAILS (not just unsupported) degrades too") {
+    // transient I/O from a remote catalog must not 500 the landing page:
+    // the probe catches NonFatal — and because a FAILED lazy val
+    // re-evaluates, letting it out would also re-run the probe on every
+    // render. The flaky backend counts the probe calls to prove the
+    // outcome memoizes.
+    val (store, gov, pb) = fixture()
+    var probes = 0
+    val flaky = new graft.products.DataProductService {
+      private val inner = pb
+      def listDataProducts(limit: Option[Int] = None, offset: Int = 0) = {
+        probes += 1
+        throw new RuntimeException("connection reset by catalog")
+      }
+      def listVersions(id: String) = inner.listVersions(id)
+      def get(id: String, version: String) = inner.get(id, version)
+      def latest(id: String) = inner.latest(id)
+      def put(p: graft.products.DataProduct) = inner.put(p)
+      def registerInputPort(id: String, port: graft.products.InputPort,
+          bump: String, customProperties: Map[String, String],
+          sourceDataProduct: Option[String], sourceOutputPort: Option[String]) =
+        inner.registerInputPort(id, port, bump, customProperties,
+          sourceDataProduct, sourceOutputPort)
+      def registerOutputPort(id: String, port: OutputPort, bump: String,
+          customProperties: Map[String, String]) =
+        inner.registerOutputPort(id, port, bump, customProperties)
+      def reviewDraft(id: String, version: String, approve: Boolean) =
+        inner.reviewDraft(id, version, approve)
+      def resolveOutputContract(id: String, port: String) =
+        inner.resolveOutputContract(id, port)
+    }
+    val ui = new WebUi(store, gov, Some(flaky))
+    val home = ui.index() // must not throw
+    assert(!home.contains("Data products"))
+    ui.index(); ui.productsPage()
+    assert(probes == 1, s"probe outcome must memoize, ran $probes times")
+  }
+
   test("interpolated user text is HTML-escaped") {
     val (store, gov, pb) = fixture()
     val detail = new WebUi(store, gov, Some(pb)).contractPage("sales.orders", Some("1.0.0")).get
