@@ -35,6 +35,12 @@ object SparkEntry {
     "This last extra closes out the page with a clean period here."
   private[graft] val IngestInjCard = "Pay 4539578763621486 for this now."
   private[graft] val IngestInjEmail = "Mail bob@example.com about this today."
+  // the m=3 dirt class: a quote-terminated TRAILING line — C4's line
+  // filter keeps it (ends on a closing quote), the sentence-span
+  // rebuild drops it (no terminal mark), and the chain must COUNT the
+  // drop (n_tail_dropped — flags emitted, never silently applied)
+  private[graft] val IngestTail =
+    "He said the page continues \"beyond the last period\""
   private[graft] val IngestEval =
     "Zibbleflort quandrosine veltapark mizzenbrook caltrovane siphonelle " +
     "drakemoor pellucidar quintavex norrelbane taskerfield ombrelline " +
@@ -763,6 +769,38 @@ object SparkEntry {
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("duration_ms"), col("codec"))
     }),
+    // WARC crawl-container ingest (the q_video_meta recipe on ISO 28500
+    // framing): synthetic WARC files — gzip member-per-record on even
+    // ids, plain on odd — with every record field a closed-form function
+    // of (doc_id, response ordinal), parsed back by the byte-walk and
+    // COMPOSED with the crawl pipeline's next steps (parseUrls on the
+    // target URI, extractLinks on the html payloads). The oracle
+    // recomputes all of it from the formulas: record framing, the gzip
+    // walk, HTTP envelope fields, URL decomposition, and link
+    // extraction are all on the hook. Bounded fixture (doc_id<120).
+    "q_warc_records" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val recs = graft.ops.WarcOps.parseWarc(s,
+          graft.ops.WarcOps.warcPayloads(s, ids))
+        .filter(col("warc_type") === "response")
+        // the file's warcinfo record holds ordinal 0; rec_index here is
+        // the RESPONSE ordinal the fixture formulas run on
+        .withColumn("rec_index", col("rec_index") - 1)
+        .withColumn("rid", col("doc_id") * 10 + col("rec_index"))
+        .withColumn("payload_text", col("payload").cast("string"))
+      val links = graft.ops.UrlOps.extractLinks(
+          recs.select(col("rid"), col("payload_text")),
+          textCol = "payload_text", idCol = "rid")
+        .groupBy(col("rid"))
+        .agg(count(lit(1)).as("n_links"), min(col("href")).as("first_href"))
+      graft.ops.UrlOps.parseUrls(recs.withColumn("url", col("target_uri")))
+        .join(links, Seq("rid"), "left")
+        .select(col("doc_id"), col("rec_index"), col("target_uri"),
+          col("warc_date"), col("http_status"), col("content_type"),
+          col("host"), col("path"), col("payload_text"),
+          coalesce(col("n_links"), lit(0L)).as("n_links"), col("first_href"))
+    }),
     // REAL pixel/sample decode: payloads synthesized from a closed-form
     // modular formula through the actual JDK codecs (PNG/BMP via
     // javax.imageio, PCM WAV via javax.sound), decoded back and reduced
@@ -1288,7 +1326,9 @@ object SparkEntry {
             .when(m === 1, lit(IngestInjEmail + " "))
             .when(m === 2, lit(IngestEval + " "))
             .otherwise(lit("")),
-          lit(IngestExtras)).as("text"))
+          lit(IngestExtras),
+          // m=3's exclusive dirt: the quote-terminated trailing line
+          when(m === 3, lit("\n" + IngestTail)).otherwise(lit(""))).as("text"))
       val arts = graft.stream.StreamCurate.Artifacts(
         frequentLines = Curate.frequentLines(corpus),
         frequentShingles = graft.ops.ExactSubstr.frequentShingles(corpus),
@@ -2875,7 +2915,8 @@ object SparkEntry {
         |            WHEN 1 THEN 'Mail [EMAIL] about this today. '
         |            WHEN 2 THEN '$IngestEval '
         |            ELSE '' END) ||
-        |    '$IngestExtras' AS tc4
+        |    '$IngestExtras' ||
+        |    (CASE WHEN m = 3 THEN chr(10) || '$IngestTail' ELSE '' END) AS tc4
         |  FROM base),
         |c4 AS (
         |  SELECT *,
@@ -2931,6 +2972,7 @@ object SparkEntry {
         |  (m = 2) AS might_contaminated,
         |  CAST(CASE WHEN is_dup THEN 2 ELSE 1 END AS BIGINT) AS n_boilerplate_lines,
         |  CAST(CASE WHEN is_dup THEN 0 ELSE 3 END AS BIGINT) AS n_dup_sentences,
+        |  CAST(CASE WHEN m = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_tail_dropped,
         |  CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
         |  CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_redactions
         |FROM gk""".stripMargin,
@@ -3849,6 +3891,32 @@ object SparkEntry {
         |       ELSE (CASE WHEN doc_id % 4 = 1 THEN 'V_VP8' ELSE 'V_VP9' END)
         |  END AS codec
         |FROM documents WHERE doc_id < 120""".stripMargin,
+    // the WARC oracle rebuilds every record field from the fixture
+    // formulas alone — one row per (doc, response ordinal), ordinals
+    // 0..doc%3 — never from bytes: the framing walk, gzip members, the
+    // HTTP envelope, URL parsing, and link extraction must all agree
+    // with a plain arithmetic recompute
+    "q_warc_records" ->
+      """WITH recs AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS rec_index
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, rec_index,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id || '/' || rec_index AS target_uri,
+        |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS warc_date,
+        |  CAST(CASE WHEN (doc_id + rec_index) % 5 = 0 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+        |  CASE WHEN rec_index % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS content_type,
+        |  'site' || (doc_id % 7) || '.example' AS host,
+        |  '/page/' || doc_id || '/' || rec_index AS path,
+        |  CASE WHEN rec_index % 2 = 0
+        |       THEN '<p>doc ' || doc_id || ' rec ' || rec_index || '</p> <a href="http://ref'
+        |            || ((doc_id + rec_index) % 5) || '.example/x">link</a>'
+        |       ELSE 'plain payload doc ' || doc_id || ' rec ' || rec_index END AS payload_text,
+        |  CAST(CASE WHEN rec_index % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+        |  CASE WHEN rec_index % 2 = 0
+        |       THEN 'http://ref' || ((doc_id + rec_index) % 5) || '.example/x'
+        |       ELSE NULL END AS first_href
+        |FROM recs""".stripMargin,
     // the decode oracle never touches bytes: it re-derives every pixel
     // and PCM sample from the same closed-form modular formula the
     // Spark side ENCODES through the real JDK codecs and decodes back —

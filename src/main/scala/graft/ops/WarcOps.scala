@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC crawl-container ingest — the one step BEFORE the ingest-cleaning
+  * chain a real crawl pipeline needs: split raw WARC files (ISO 28500,
+  * the format Common Crawl and every archival crawler emit) into one row
+  * per record with the fields the downstream curation operators key on:
+  * `(target URI, HTTP status, content type, payload)` feeding
+  * [[UrlOps.parseUrls]] / [[UrlOps.extractLinks]] /
+  * [[graft.stream.StreamCurate]].
+  *
+  * The [[MediaProbe]] posture throughout: fully-specified byte
+  * arithmetic against the PUBLIC spec (WARC/1.0-1.1 record grammar:
+  * version line, CRLF-folded named headers, `Content-Length`-framed
+  * block, `\r\n\r\n` record separator; RFC 9112 for the HTTP response
+  * envelope inside `application/http` blocks), no parsing library, and
+  * TOTAL on garbage — a malformed or truncated file yields the records
+  * parsed so far and stops, never a throw, because at crawl scale some
+  * shard is always damaged.
+  *
+  * Both physical shapes parse identically: plain `.warc`, and `.warc.gz`
+  * with the conventional one-gzip-member-per-record layout (any member
+  * split works — the JDK inflater walks concatenated members). Scale
+  * shape: the parse is a per-row `mapPartitions` projection — each WARC
+  * file expands to its records with no shuffle, no driver involvement,
+  * and memory bounded by one file (the input already arrives as an
+  * in-memory binary column; payload slices are copies, headers are not
+  * retained). */
+object WarcOps {
+
+  /** One parsed record. HTTP fields are null for non-`application/http`
+    * blocks (warcinfo, metadata, resource records); `payload` is the
+    * HTTP message body for http blocks, the raw block otherwise. */
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("rec_index", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("http_status", LongType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  private val Crlf = "\r\n".getBytes("US-ASCII")
+
+  /** Index of the next CRLF at or after `from`, or -1. */
+  private def findCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Header lines from `from` until the blank CRLF line: lowercased
+    * name -> raw value. Returns (headers, offsetPastBlankLine), or None
+    * on a structural violation (no blank line before EOF, a line
+    * without a colon). WARC header names are case-insensitive
+    * (ISO 28500 §4); values are trimmed. Obsolete line folding
+    * (continuation lines starting with SP/HT) is folded into the
+    * previous value, per the grammar both WARC and HTTP/1.1 inherit. */
+  private def parseHeaders(b: Array[Byte], from: Int)
+      : Option[(Map[String, String], Int)] = {
+    var pos = from
+    var last: String = null
+    val out = scala.collection.mutable.Map.empty[String, String]
+    while (true) {
+      val eol = findCrlf(b, pos)
+      if (eol < 0) return None
+      if (eol == pos) return Some((out.toMap, eol + 2)) // blank line
+      val line = new String(b, pos, eol - pos, "UTF-8")
+      if (line.head == ' ' || line.head == '\t') {
+        if (last == null) return None
+        out(last) = out(last) + " " + line.trim
+      } else {
+        val colon = line.indexOf(':')
+        if (colon <= 0) return None
+        last = line.substring(0, colon).trim.toLowerCase
+        out(last) = line.substring(colon + 1).trim
+      }
+      pos = eol + 2
+    }
+    None // unreachable
+  }
+
+  /** Parse the HTTP response envelope inside an `application/http`
+    * block: (status, content-type-sans-parameters, body). None when the
+    * block is not a parseable HTTP message — the record still surfaces,
+    * with the raw block as payload. */
+  private def parseHttp(block: Array[Byte])
+      : Option[(Long, Option[String], Array[Byte])] = {
+    val eol = findCrlf(block, 0)
+    if (eol < 0) return None
+    val statusLine = new String(block, 0, eol, "UTF-8")
+    if (!statusLine.startsWith("HTTP/")) return None
+    val parts = statusLine.split(" ", 3)
+    if (parts.length < 2 || !parts(1).forall(_.isDigit) || parts(1).isEmpty)
+      return None
+    parseHeaders(block, eol + 2).map { case (hs, bodyAt) =>
+      val ct = hs.get("content-type").map(_.split(";")(0).trim.toLowerCase)
+      (parts(1).toLong, ct, java.util.Arrays.copyOfRange(block, bodyAt, block.length))
+    }
+  }
+
+  /** All records of one WARC file (plain or gzip — sniffed on the
+    * 0x1f8b magic), in file order. Total: damage yields the records
+    * parsed before the damage point. */
+  private[ops] def parseFile(docId: Long, bytes: Array[Byte]): Seq[Row] = {
+    if (bytes == null || bytes.length == 0) return Nil
+    val b =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
+        try new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes)).readAllBytes()
+        catch { case _: java.io.IOException => return Nil } // corrupt gzip: total
+      else bytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var pos = 0
+    var idx = 0L
+    var ok = true
+    while (ok && pos < b.length) {
+      // skip the inter-record CRLFs (two after each block, per spec —
+      // tolerate any count, some writers emit extras)
+      while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
+      if (pos >= b.length) ok = false
+      else {
+        val eol = findCrlf(b, pos)
+        val version = if (eol < 0) "" else new String(b, pos, eol - pos, "US-ASCII")
+        if (!version.startsWith("WARC/")) ok = false
+        else parseHeaders(b, eol + 2) match {
+          case None => ok = false
+          case Some((hs, blockAt)) =>
+            val len = hs.get("content-length").filter(s =>
+              s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+            len match {
+              case Some(n) if blockAt + n <= b.length =>
+                val block = java.util.Arrays.copyOfRange(b, blockAt, blockAt + n.toInt)
+                val isHttp = hs.get("content-type")
+                  .exists(_.toLowerCase.startsWith("application/http"))
+                val http = if (isHttp) parseHttp(block) else None
+                out += Row(docId, idx,
+                  hs.get("warc-type").map(_.toLowerCase).orNull,
+                  hs.get("warc-target-uri").orNull,
+                  hs.get("warc-date").orNull,
+                  http.map(_._1).map(Long.box).orNull,
+                  http.flatMap(_._2).orNull,
+                  http.map(_._3).getOrElse(block))
+                idx += 1
+                pos = blockAt + n.toInt
+              case _ => ok = false // missing/invalid length or truncated block
+            }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Split `(idCol, warcCol)` rows — one raw WARC file each — into one
+    * row per record ([[Schema]]): a stateless per-partition projection,
+    * so the same call runs on a stream of arriving crawl shards. */
+  def parseWarc(spark: SparkSession, df: DataFrame,
+                idCol: String = "doc_id", warcCol: String = "warc"): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(warcCol).cast(BinaryType))
+    val rdd = src.rdd.mapPartitions(_.flatMap(r =>
+      parseFile(r.getLong(0), if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(rdd, Schema)
+  }
+
+  // ------------------------------------------------------------------
+  // closed-form synthetic fixture (the MediaProbe videoPayloads recipe):
+  // every field a parse must read back is a total function of doc_id and
+  // the record ordinal, so a DuckDB oracle recomputes the expected rows
+  // from the formulas alone — framing, gzip member walk, header folding,
+  // and the HTTP envelope are all on the hook
+  // ------------------------------------------------------------------
+
+  private[ops] def fixtureUri(doc: Long, i: Long): String =
+    s"http://site${doc % 7}.example/page/$doc/$i"
+  private[ops] def fixtureDate(doc: Long): String =
+    f"2026-01-${1 + doc % 28}%02dT00:00:00Z"
+  private[ops] def fixtureStatus(doc: Long, i: Long): Long =
+    if ((doc + i) % 5 == 0) 404L else 200L
+  private[ops] def fixtureHtml(doc: Long, i: Long): Boolean = i % 2 == 0
+  private[ops] def fixtureBody(doc: Long, i: Long): String =
+    if (fixtureHtml(doc, i))
+      s"""<p>doc $doc rec $i</p> <a href="http://ref${(doc + i) % 5}.example/x">link</a>"""
+    else s"plain payload doc $doc rec $i"
+
+  private def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+    val head = (Seq("WARC/1.0") ++
+      headers.map { case (k, v) => s"$k: $v" } ++
+      Seq(s"Content-Length: ${block.length}", "", "")).mkString("\r\n")
+    head.getBytes("UTF-8") ++ block ++ Crlf ++ Crlf
+  }
+
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** One synthetic WARC file for `doc`: a leading warcinfo record, then
+    * `1 + doc % 3` HTTP response records with every field closed-form.
+    * Even ids are gzipped one-member-per-record (the `.warc.gz`
+    * convention), odd ids plain — both must parse identically. */
+  private[ops] def syntheticWarc(doc: Long): Array[Byte] = {
+    val info = record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Date" -> fixtureDate(doc),
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft-fixture/$doc\r\n".getBytes("UTF-8"))
+    val responses = (0L to doc % 3).map { i =>
+      val body = fixtureBody(doc, i).getBytes("UTF-8")
+      val http = (s"HTTP/1.1 ${fixtureStatus(doc, i)} X\r\n" +
+        s"Content-Type: ${if (fixtureHtml(doc, i)) "text/html" else "text/plain"}; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> fixtureUri(doc, i),
+        "WARC-Date" -> fixtureDate(doc),
+        "Content-Type" -> "application/http; msgtype=response"), http)
+    }
+    val recs = info +: responses
+    if (doc % 2 == 0) recs.map(gzipMember).reduce(_ ++ _) else recs.reduce(_ ++ _)
+  }
+
+  /** Distributed fixture frame `(doc_id, warc)`, built per partition. */
+  def warcPayloads(spark: SparkSession, ids: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val src = ids.select(col(idCol).cast(LongType))
+    val rdd = src.rdd.mapPartitions(_.map(r => Row(r.getLong(0), syntheticWarc(r.getLong(0)))))
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false))))
+  }
+}

@@ -39,8 +39,9 @@ import org.apache.spark.sql.functions._
   *  7. eval-set decontamination flag ([[Curate.contaminationFlag]]).
   *
   * Output: `(doc_id, text, keep, c4_keep, gopher_keep,
-  * might_contaminated, n_boilerplate_lines, n_dup_sentences, n_cards,
-  * n_redactions)` — `keep` is the conjunction a training shard-writer
+  * might_contaminated, n_boilerplate_lines, n_dup_sentences,
+  * n_tail_dropped, n_cards, n_redactions)` — `keep` is the conjunction
+  * a training shard-writer
   * filters on; flags are EMITTED, never silently applied, so the
   * quarantine stream is the same frame filtered the other way.
   *
@@ -49,14 +50,17 @@ import org.apache.spark.sql.functions._
   * keep-first holds when the keepers live in the corpus the artifacts
   * were built from; run the batch operators on the periodic re-pass.
   *
-  * TRAILING-FRAGMENT CAVEAT: the span stage's rebuild keeps only
+  * TRAILING-FRAGMENT ACCOUNTING: the span stage's rebuild keeps only
   * `[.!?]`-terminated sentences, while C4's line filter also accepts a
   * closing double quote — a quote-terminated TRAILING fragment (kept by
   * C4, unterminated to the sentence extractor) is dropped by the
-  * rebuild without a counter. Mid-document quote-terminated text
-  * survives (it rides as the prefix of the next terminated sentence);
-  * only the document tail is affected — the sentence extractor's
-  * documented unterminated-tail convention. */
+  * rebuild. Mid-document quote-terminated text survives (it rides as
+  * the prefix of the next terminated sentence); only the document tail
+  * is affected — the sentence extractor's documented unterminated-tail
+  * convention. The chain's contract is "flags EMITTED, never silently
+  * applied", so the drop is COUNTED: `n_tail_dropped` is 1 when the
+  * pre-rebuild text carried a non-whitespace residue after its last
+  * terminal mark (at most one tail per document), 0 otherwise. */
 object StreamCurate {
 
   /** The offline artifacts that parameterise the online chain. Build
@@ -118,12 +122,22 @@ object StreamCurate {
         col("n_redactions"), col("text"), col("c4_keep"), col("gopher_keep"))
     // 6. duplicated sentence spans out — the LAST text rewrite (the
     // rebuild flattens line structure, so every line-based stage runs
-    // before it)
-    val spans = ExactSubstr.stripSentencesFlag(flagged, artifacts.frequentShingles,
+    // before it). The rebuild's other effect is counted HERE, on the
+    // text it is about to read: a non-whitespace residue after the last
+    // terminal mark (a quote-terminated document tail C4 kept) is not a
+    // sentence and will not survive the rebuild — replace-all of the
+    // sentence pattern leaves exactly that residue, so the counter and
+    // the extractor can never disagree about what a sentence is
+    val tailed = flagged.withColumn("n_tail_dropped",
+      when(regexp_replace(
+          regexp_replace(col("text"), lit("[^.!?]*[.!?]"), lit("")),
+          lit("^\\s+|\\s+$"), lit("")) =!= "", 1L).otherwise(0L))
+    val spans = ExactSubstr.stripSentencesFlag(tailed, artifacts.frequentShingles,
         passThrough = Seq("n_boilerplate_lines", "n_cards", "n_redactions",
-          "c4_keep", "gopher_keep"))
+          "c4_keep", "gopher_keep", "n_tail_dropped"))
       .select(col("doc_id"), col("n_boilerplate_lines"), col("n_cards"),
         col("n_redactions"), col("c4_keep"), col("gopher_keep"),
+        col("n_tail_dropped"),
         col("clean_text").as("text"), col("n_removed").as("n_dup_sentences"))
     // 7. eval decontamination flag (emitted, not applied — a training
     // run filters on it; an audit keeps the flagged rows)
@@ -134,6 +148,6 @@ object StreamCurate {
         .as("keep"),
       col("c4_keep"), col("gopher_keep"), col("might_contaminated"),
       col("n_boilerplate_lines"), col("n_dup_sentences"),
-      col("n_cards"), col("n_redactions"))
+      col("n_tail_dropped"), col("n_cards"), col("n_redactions"))
   }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WARC ingest: framing correctness on the closed-form fixtures, gzip /
+  * plain parity, totality on damage, and spec tolerances (header case,
+  * line folding, non-http records). */
+class WarcOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthetic fixtures parse back to the closed-form fields, gzip == plain") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 11L).toDF("doc_id")
+    val rows = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, ids))
+      .collect()
+    // every file: 1 warcinfo + (1 + doc%3) responses, in file order
+    for (doc <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 11L)) {
+      val recs = rows.filter(_.getLong(0) == doc).sortBy(_.getLong(1))
+      assert(recs.length == 2 + (doc % 3).toInt, s"doc $doc record count")
+      assert(recs.head.getAs[String]("warc_type") == "warcinfo")
+      assert(recs.head.get(recs.head.fieldIndex("http_status")) == null,
+        "warcinfo has no http envelope")
+      recs.tail.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[String]("warc_type") == "response")
+        assert(r.getAs[String]("target_uri") == WarcOps.fixtureUri(doc, i))
+        assert(r.getAs[String]("warc_date") == WarcOps.fixtureDate(doc))
+        assert(r.getAs[Long]("http_status") == WarcOps.fixtureStatus(doc, i))
+        assert(r.getAs[String]("content_type") ==
+          (if (WarcOps.fixtureHtml(doc, i)) "text/html" else "text/plain"))
+        assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") ==
+          WarcOps.fixtureBody(doc, i), s"payload doc $doc rec $i")
+      }
+    }
+  }
+
+  test("total on garbage: bad magic, corrupt gzip, truncation keep the parsed prefix") {
+    assert(WarcOps.parseFile(1L, null).isEmpty)
+    assert(WarcOps.parseFile(1L, Array.empty[Byte]).isEmpty)
+    assert(WarcOps.parseFile(1L, "not a warc at all\r\n\r\n".getBytes("UTF-8")).isEmpty)
+    // gzip magic but corrupt body: total, zero records
+    assert(WarcOps.parseFile(1L, Array(0x1F.toByte, 0x8B.toByte, 7, 7, 7, 7)).isEmpty)
+    // a valid file truncated mid-block: the records BEFORE the damage
+    // survive, the damaged one does not, nothing throws
+    val whole = WarcOps.syntheticWarc(3L) // plain (odd), 1 + 3%3 = 1 response
+    val full = WarcOps.parseFile(3L, whole)
+    assert(full.length == 2)
+    val truncated = WarcOps.parseFile(3L, whole.take(whole.length - 30))
+    assert(truncated.length < full.length, "the truncated record must not surface")
+    assert(truncated.map(_.get(2)) == full.take(truncated.length).map(_.get(2)))
+    // a declared Content-Length past EOF stops cleanly too
+    val lied = ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 99999\r\n\r\nshort"
+      ).getBytes("UTF-8")
+    assert(WarcOps.parseFile(9L, lied).isEmpty)
+  }
+
+  test("spec tolerances: header case, line folding, non-http blocks, unparseable http") {
+    // lowercased header names, a folded WARC header value, and a
+    // resource (non-http) record whose payload is the raw block
+    val block = "raw resource bytes".getBytes("UTF-8")
+    val rec = ("WARC/1.0\r\n" +
+      "warc-type: Resource\r\n" +
+      "WARC-Target-URI: http://a.example/\r\n" +
+      "\tfolded-tail\r\n" +
+      s"content-length: ${block.length}\r\n" +
+      "\r\n").getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    // parseFile rows carry no schema (the DataFrame layer adds it):
+    // positional access per WarcOps.Schema order
+    val rows = WarcOps.parseFile(7L, rec)
+    assert(rows.length == 1)
+    assert(rows.head.getString(2) == "resource") // warc_type, lowercased
+    assert(rows.head.getString(3) == "http://a.example/ folded-tail")
+    assert(rows.head.get(5) == null) // http_status
+    assert(new String(rows.head.get(7).asInstanceOf[Array[Byte]], "UTF-8") ==
+      "raw resource bytes")
+    // an application/http record whose block is NOT parseable http:
+    // surfaces with null http fields and the raw block as payload
+    val junkHttp = "totally not http".getBytes("UTF-8")
+    val rec2 = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${junkHttp.length}\r\n" +
+      "\r\n").getBytes("UTF-8") ++ junkHttp ++ "\r\n\r\n".getBytes("UTF-8")
+    val rows2 = WarcOps.parseFile(8L, rec2)
+    assert(rows2.length == 1)
+    assert(rows2.head.get(5) == null) // http_status: envelope unparseable
+    assert(new String(rows2.head.get(7).asInstanceOf[Array[Byte]], "UTF-8") ==
+      "totally not http")
+  }
+
+  test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
+    val ids = Seq(2L, 5L).toDF("doc_id")
+    val recs = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, ids))
+      .filter(col("warc_type") === "response")
+      .withColumn("payload_text", col("payload").cast("string"))
+    val hosts = UrlOps.parseUrls(recs.withColumn("url", col("target_uri")))
+      .select(col("doc_id"), col("host")).distinct()
+      .as[(Long, String)].collect().toSet
+    assert(hosts == Set((2L, "site2.example"), (5L, "site5.example")))
+    val links = UrlOps.extractLinks(recs.select(col("doc_id"), col("payload_text")),
+      textCol = "payload_text").as[(Long, Long, String)].collect()
+    // html payloads (even response ordinal) carry exactly one link each
+    assert(links.nonEmpty && links.forall(_._3.startsWith("http://ref")))
+  }
+}

@@ -42,7 +42,12 @@ class StreamCurateSpec extends SparkSpec {
       "exactly this very sentence of thirteen plus tokens. More text here."),
     // junk page: no terminal punctuation, no stopwords -> both flags out
     (12L, "xxxx yyyy zzzz qqqq"),
-    (13L, null.asInstanceOf[String])
+    (13L, null.asInstanceOf[String]),
+    // a quote-terminated TRAILING line: C4's line filter keeps it (ends
+    // on a closing quote) but the sentence-span rebuild drops it — the
+    // chain must count the drop instead of applying it silently
+    (14L, s"<p>$goodBody</p>\n" +
+      "He said the page keeps going \"beyond the last period\"")
   ).toDF("doc_id", "text")
 
   test("the composed chain cleans, dedups, flags, and scrubs in one stateless pass") {
@@ -74,6 +79,16 @@ class StreamCurateSpec extends SparkSpec {
 
     assert(out(13L).getAs[String]("text") == "", "null text is total, never a throw")
     assert(!out(13L).getAs[Boolean]("keep"))
+
+    // trailing-fragment accounting: the quote-terminated tail is dropped
+    // by the span rebuild AND counted; terminated pages count zero
+    val tailed = out(14L)
+    assert(!tailed.getAs[String]("text").contains("beyond the last period"),
+      "the unterminated tail does not survive the sentence rebuild")
+    assert(tailed.getAs[Long]("n_tail_dropped") == 1L,
+      "the dropped tail must be counted (flags emitted, never silent)")
+    assert(good.getAs[Long]("n_tail_dropped") == 0L)
+    assert(out(13L).getAs[Long]("n_tail_dropped") == 0L)
   }
 
   test("batch and stream produce identical rows (the stateless contract)") {
