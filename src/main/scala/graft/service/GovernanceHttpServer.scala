@@ -657,6 +657,33 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       } else if (ex.getRequestMethod == "POST" && path == "/ui/draft-review") {
         gov.reviewDraft(p("id"), p("version"), p("approve").toBoolean)
         redirect(ex, "/ui/drafts")
+      } else if (ex.getRequestMethod == "POST" &&
+          (path == "/ui/new-contract" || path == "/ui/new-product")) {
+        // authoring create flows (reference POST /contracts/new and
+        // /data-products/new): validation errors re-render the form WITH
+        // the submitted text so a typo never loses the operator's
+        // editing; success 303s to the detail page it just created
+        val submitted = formBody(ex)("json")
+        val outcome =
+          if (path == "/ui/new-contract")
+            ui.createContract(submitted).map(c =>
+              s"/ui/contract?id=${urlEnc(c.id)}&version=${urlEnc(c.version)}")
+          else ui.createProduct(submitted).map(pr =>
+            s"/ui/product?id=${urlEnc(pr.id)}")
+        outcome match {
+          case Right(location) => redirect(ex, location)
+          case Left(err) =>
+            val html =
+              if (path == "/ui/new-contract")
+                ui.newContractPage(Some(submitted), Some(err))
+              else ui.newProductPage(Some(submitted), Some(err))
+                .getOrElse("""{"error":"not found"}""")
+            val bytes = html.getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+        }
       } else ui.render(ex.getRequestURI.getPath, p) match {
         case Some(html) =>
           val bytes = html.getBytes(StandardCharsets.UTF_8)

@@ -148,7 +148,9 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         latest.flatMap(_.status).map(statusCell).getOrElse("""<span class="muted">—</span>"""),
         versions.size.toString)
     }
-    page("Contracts", table(Seq("id", "latest", "status", "versions"), rows))
+    page("Contracts",
+      table(Seq("id", "latest", "status", "versions"), rows) +
+        """<p><a href="/ui/new-contract">+ new contract</a></p>""")
   }
 
   /** One contract's version chain — reference `contract_versions.html` —
@@ -294,6 +296,109 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
             "<button type=\"submit\">Reject</button></form>")
       }
 
+  // ------------------------------------------------------------------
+  // authoring (reference `new_contract.html` / `new_data_product.html` +
+  // the create flows in `dc43_contracts_app/server.py:8099-8133` and
+  // `:9582-9623`): a form pre-filled with a starter document, validation
+  // server-side (id required, semver version, duplicate (id, version)
+  // refused — `_validate_contract_payload(editing=False)`), 303 to the
+  // listing on success, the form re-rendered WITH the submitted text and
+  // the error on failure (the reference's error round-trip, so a typo
+  // never loses the operator's editing)
+  // ------------------------------------------------------------------
+
+  /** The starter ODCS document the contract form opens with — the
+    * reference's default editor state (version seeded 1.0.0,
+    * `server.py:8102`), as the JSON the facade's put route accepts. */
+  private val contractSkeleton: String =
+    """{
+      |  "id": "team.dataset",
+      |  "version": "1.0.0",
+      |  "status": "active",
+      |  "name": "New contract",
+      |  "description": "describe the dataset",
+      |  "schema": [{
+      |    "name": "team.dataset",
+      |    "properties": [
+      |      {"name": "id", "physicalType": "bigint", "required": true, "unique": true},
+      |      {"name": "value", "physicalType": "string"}
+      |    ]
+      |  }]
+      |}""".stripMargin
+
+  /** The starter ODPS document — version seeded 0.1.0, status draft
+    * (reference `_data_product_editor_state`, `server.py:9606-9607`). */
+  private val productSkeleton: String =
+    """{
+      |  "id": "dp.new-product",
+      |  "version": "0.1.0",
+      |  "status": "draft",
+      |  "outputPorts": [
+      |    {"name": "gold", "contractId": "team.dataset", "version": "1.0.0"}
+      |  ]
+      |}""".stripMargin
+
+  private def authoringForm(title: String, action: String, prefill: String,
+                            error: Option[String]): String =
+    page(title,
+      error.fold("")(e => s"""<p class="block">${esc(e)}</p>\n""") +
+        "<form method=\"post\" action=\"" + action + "\">\n" +
+        "<textarea name=\"json\" rows=\"24\" cols=\"100\">" + esc(prefill) +
+        "</textarea><br>\n" +
+        "<button type=\"submit\">Create</button>\n</form>")
+
+  /** The new-contract form; re-rendered with the operator's text and the
+    * validation error on a failed submit. */
+  def newContractPage(prefill: Option[String] = None,
+                      error: Option[String] = None): String =
+    authoringForm("New contract", "/ui/new-contract",
+      prefill.getOrElse(contractSkeleton), error)
+
+  /** The new-data-product form — `None` (→ 404) without a product
+    * service, like the reference's 503 when no backend is configured. */
+  def newProductPage(prefill: Option[String] = None,
+                     error: Option[String] = None): Option[String] =
+    products.map(_ => authoringForm("New data product", "/ui/new-product",
+      prefill.getOrElse(productSkeleton), error))
+
+  /** Create a contract from submitted ODCS JSON — the reference's
+    * `_validate_contract_payload(editing=False)` + put: id and version
+    * required, version must parse as semver, an already-stored
+    * (id, version) is refused (creation never overwrites — edits go
+    * through the draft workspace). `Left(message)` for the form to
+    * re-render; `Right(contract)` after the store accepted it. */
+  def createContract(json: String): Either[String, Contract] =
+    scala.util.Try(graft.contracts.ContractJson.fromJson(json)).toEither
+      .left.map(e => s"invalid contract JSON: ${e.getMessage}")
+      .flatMap { c =>
+        if (c.id.trim.isEmpty) Left("contract id is required")
+        else if (c.version.trim.isEmpty) Left("version is required")
+        else if (graft.contracts.SemVer.tryParse(c.version).isEmpty)
+          Left(s"not a semantic version: ${c.version}")
+        else if (contracts.get(c.id, c.version).nonEmpty)
+          Left(s"contract ${c.id} already has a version ${c.version}")
+        else { contracts.put(c); Right(c) }
+      }
+
+  /** Create a data product from submitted ODPS JSON — same contract as
+    * [[createContract]] over the product service; requires the service
+    * (reference 503s without one). */
+  def createProduct(json: String): Either[String, graft.products.DataProduct] =
+    products.toRight("no data-product service attached").flatMap { pb =>
+      scala.util.Try(graft.products.DataProductJson.fromJson(json)).toEither
+        .left.map(e => s"invalid data-product JSON: ${e.getMessage}")
+        .flatMap { p =>
+          val ver = p.version.map(_.trim).getOrElse("")
+          if (p.id.trim.isEmpty) Left("data product id is required")
+          else if (ver.isEmpty) Left("version is required")
+          else if (graft.contracts.SemVer.tryParse(ver).isEmpty)
+            Left(s"not a semantic version: $ver")
+          else if (pb.get(p.id, ver).nonEmpty)
+            Left(s"data product ${p.id} already has a version $ver")
+          else { pb.put(p); Right(p) }
+        }
+    }
+
   /** Dataset listing — reference `datasets.html`: every governed dataset
     * with its latest verdict. */
   def datasetsPage(): String = {
@@ -348,7 +453,8 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         latest.map(p => p.outputPorts.size.toString).getOrElse("0"))
     }
     page("Data products",
-      table(Seq("id", "latest", "status", "input ports", "output ports"), rows))
+      table(Seq("id", "latest", "status", "input ports", "output ports"), rows) +
+        """<p><a href="/ui/new-product">+ new data product</a></p>""")
   }
 
   /** One data product's latest revision + ports + version chain —
@@ -391,6 +497,8 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     path.stripSuffix("/") match {
       case "/ui" | "" => Some(index())
       case "/ui/contracts" => Some(contractsPage())
+      case "/ui/new-contract" => Some(newContractPage())
+      case "/ui/new-product" => newProductPage()
       case "/ui/drafts" => Some(draftsPage())
       case "/ui/draft-edit" =>
         (params.get("id"), params.get("version")) match {

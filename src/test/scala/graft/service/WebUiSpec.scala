@@ -248,4 +248,107 @@ class WebUiSpec extends AnyFunSuite {
         Map("json" -> "{nope")).statusCode() == 400)
     } finally server.stop()
   }
+
+  test("authoring forms: create -> draft -> edit -> approve -> resolve round trip") {
+    val (store, gov, pb) = fixture()
+    val ui = new WebUi(store, gov, Some(pb))
+
+    // the forms render with their starter documents and are linked from
+    // the listings
+    assert(ui.contractsPage().contains("/ui/new-contract"))
+    assert(ui.productsPage().get.contains("/ui/new-product"))
+    assert(ui.newContractPage().contains("1.0.0"))
+    assert(ui.newProductPage().get.contains("0.1.0"))
+
+    // CREATE a brand-new contract from submitted ODCS JSON
+    val odcs = graft.contracts.ContractJson.toJson(Contract(
+      id = "mkt.leads", version = "1.0.0", status = Some("active"),
+      schema = Seq(SchemaObjectDef("mkt.leads", Seq(
+        FieldDef("lead_id", physicalType = Some("bigint"),
+          required = true, unique = true),
+        FieldDef("score", physicalType = Some("double")))))))
+    val created = ui.createContract(odcs)
+    assert(created.isRight, created)
+    assert(store.get("mkt.leads", "1.0.0").nonEmpty)
+
+    // validation semantics (the reference's editing=False gate): a
+    // duplicate (id, version) is refused, bad semver is refused, broken
+    // JSON is refused — each with a message for the form to re-render
+    assert(ui.createContract(odcs).left.exists(_.contains("already has a version")))
+    assert(ui.createContract(odcs.replace("\"1.0.0\"", "\"one.oh\""))
+      .left.exists(_.contains("semantic version")))
+    assert(ui.createContract("{nope").left.exists(_.contains("invalid contract JSON")))
+    assert(store.listVersions("mkt.leads") == Seq("1.0.0"), "failed creates must not mint")
+
+    // DRAFT: a violating observation payload against the new contract
+    // auto-proposes a draft through governance
+    val badEval = gov.evaluateAndRecord("lake.leads", "v1",
+      store.get("mkt.leads", "1.0.0").get,
+      Map("score" -> graft.quality.FieldSnapshot("double", "double", nullable = true)),
+      Map("row_count" -> 10L)) // lead_id missing from the observed schema
+    assert(badEval.draftVersions.nonEmpty)
+    val draftV = badEval.draftVersions.head
+
+    // EDIT through the workspace method, APPROVE through review
+    val draft = store.get("mkt.leads", draftV).get
+    gov.updateDraft("mkt.leads", draftV,
+      draft.copy(description = Some("authored then amended")))
+    assert(gov.reviewDraft("mkt.leads", draftV, approve = true)
+      .status.contains("active"))
+
+    // RESOLVE: the read-resolution policy now serves the approved edit
+    val resolved = graft.io.GovernedIO.resolveContract(store, "mkt.leads", None)
+    assert(resolved.version == draftV &&
+      resolved.description.contains("authored then amended"),
+      s"resolution must serve the approved authored contract, got ${resolved.version}")
+
+    // product authoring: create, duplicate refusal, no-service degrade
+    val odps = graft.products.DataProductJson.toJson(
+      graft.products.DataProduct(id = "dp.leads", version = Some("0.1.0"),
+        outputPorts = Seq(OutputPort("gold", "1.0.0", "mkt.leads"))))
+    assert(ui.createProduct(odps).isRight)
+    assert(pb.get("dp.leads", "0.1.0").nonEmpty)
+    assert(ui.createProduct(odps).left.exists(_.contains("already has a version")))
+    val noProducts = new WebUi(store, gov, None)
+    assert(noProducts.newProductPage().isEmpty) // 404, like the reference's 503
+    assert(noProducts.createProduct(odps).left.exists(_.contains("no data-product")))
+  }
+
+  test("authoring form routes over the facade: 303 on success, error re-render keeps the text") {
+    val (store, gov, pb) = fixture()
+    val client = HttpClient.newHttpClient()
+    val server = new GovernanceHttpServer(store, gov, products = Some(pb))
+    val port = server.start()
+    def postForm(path: String, fields: Map[String, String]): HttpResponse[String] = {
+      val body = fields.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    def get(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(get("/ui/new-contract").statusCode() == 200)
+      val odcs = graft.contracts.ContractJson.toJson(
+        contract.copy(id = "ops.events", version = "1.0.0"))
+      val ok = postForm("/ui/new-contract", Map("json" -> odcs))
+      assert(ok.statusCode() == 303)
+      assert(ok.headers().firstValue("Location").orElse("")
+        .startsWith("/ui/contract?id=ops.events"))
+      assert(store.get("ops.events", "1.0.0").nonEmpty)
+      // failed validation re-renders the form WITH the submitted text
+      val dup = postForm("/ui/new-contract", Map("json" -> odcs))
+      assert(dup.statusCode() == 200)
+      assert(dup.body().contains("already has a version"))
+      assert(dup.body().contains("ops.events"), "the operator's text must survive")
+      // product create over the wire
+      val odps = graft.products.DataProductJson.toJson(
+        graft.products.DataProduct(id = "dp.events", version = Some("0.1.0")))
+      val pok = postForm("/ui/new-product", Map("json" -> odps))
+      assert(pok.statusCode() == 303 && pb.get("dp.events", "0.1.0").nonEmpty)
+    } finally server.stop()
+  }
 }
