@@ -330,4 +330,167 @@ object SetupBundle {
       BundleFile("config.toml", config.result()),
       BundleFile("run-service.sh", runSh, executable = true)))
   }
+
+  // ------------------------------------------------------------------
+  // module-aware pipeline example (the reference's render_pipeline_stub,
+  // `dc43-contracts-app/setup_bundle/pipeline_stub.py:386-669`): the
+  // setup wizard's selected SERVICE MODULES each contribute one helper
+  // to a single runnable scaffold, and the selected pipeline INTEGRATION
+  // contributes its bootstrap block — spark and dlt have dedicated
+  // stubs, any other key gets the documented fallback (the backends
+  // still work; only the integration-specific bootstrap is generic)
+  // ------------------------------------------------------------------
+
+  /** Module keys the example knows — the reference's `_integration_flags`
+    * set. Unknown keys are rejected loudly (a typo'd module silently
+    * dropping its section would export a scaffold missing the code the
+    * operator selected). */
+  val ExampleModules: Seq[String] =
+    Seq("contracts", "data_products", "data_quality", "governance")
+
+  /** One runnable module-aware example: `ExampleMain.scala` bootstraps
+    * the service clients from the bundle's `config.toml`
+    * ([[ServiceBootstrap.clientsFromFile]] — local stores or a deployed
+    * facade, same code), runs one helper per SELECTED module (real graft
+    * call shapes, placeholder ids), and prints the integration hints the
+    * wizard captured. `integration` picks the bootstrap block: `spark`
+    * (session init), `dlt` (expectation export + local harness shapes),
+    * anything else falls back with a note. */
+  def pipelineExample(integration: String,
+                      modules: Seq[String],
+                      hints: Map[String, String] = Map.empty): Bundle = {
+    val unknown = modules.filterNot(ExampleModules.contains)
+    require(unknown.isEmpty,
+      s"unknown module(s): ${unknown.mkString(", ")} " +
+        s"(supported: ${ExampleModules.mkString(", ")})")
+    val selected = ExampleModules.filter(modules.contains) // canonical order
+
+    val integrationBlock = integration match {
+      case "spark" =>
+        """    // integration: spark — a session for governed reads/writes
+          |    val spark = org.apache.spark.sql.SparkSession.builder()
+          |      .appName("graft-pipeline-example").getOrCreate()
+          |    println(s"[spark] session started: ${spark.version}")""".stripMargin
+      case "dlt" =>
+        """    // integration: dlt — export the contract's expectations to
+          |    // DLT decorators, or dry-run them locally first:
+          |    //   val specs = graft.quality.Expectations.fromContract(contract)
+          |    //   val dlt = graft.quality.DltExpectations.exportAll(specs)
+          |    //   val harness = new graft.quality.LocalDltHarness(spark)
+          |    println("[dlt] wire DltExpectations into your pipeline notebook")""".stripMargin
+      case other =>
+        // the key is untrusted wizard text headed into generated SOURCE:
+        // strip anything that could escape a comment or a string literal
+        val safe = other.replaceAll("[^A-Za-z0-9._-]", "")
+        s"""    // integration: '$safe' has no dedicated
+           |    // bootstrap stub — the service clients below work unchanged;
+           |    // add your runtime's session/bootstrap code here
+           |    println("[bundle] no dedicated stub for integration '$safe'")""".stripMargin
+    }
+
+    val helperDefs = selected.map {
+      case "contracts" =>
+        """  /** Outline: load contract revisions before running tasks. */
+          |  def reviewContractVersions(contracts: graft.contracts.ContractStore): Unit = {
+          |    println(s"[contracts] store: ${contracts.getClass.getSimpleName}")
+          |    val contractId = ContractId
+          |    contracts.listVersions(contractId) match {
+          |      case Seq() => println(s"[contracts] no versions of $contractId yet")
+          |      case vs => println(s"[contracts] $contractId versions: ${vs.mkString(", ")}; " +
+          |        s"latest resolves ${contracts.latest(contractId).map(_.version)}")
+          |    }
+          |  }""".stripMargin
+      case "data_products" =>
+        """  /** Outline: register ports in the configured backend. */
+          |  def syncDataProductCatalog(products: graft.products.DataProductService): Unit = {
+          |    println(s"[data_products] backend: ${products.getClass.getSimpleName}")
+          |    // products.registerOutputPort(DataProductId,
+          |    //   graft.products.OutputPort("gold", ContractVersion, ContractId))
+          |    println(s"[data_products] latest $DataProductId: " +
+          |      products.latest(DataProductId).flatMap(_.version))
+          |  }""".stripMargin
+      case "data_quality" =>
+        """  /** Outline: evaluate observations against a stored contract. */
+          |  def runQualityChecks(contracts: graft.contracts.ContractStore): Unit = {
+          |    contracts.get(ContractId, ContractVersion) match {
+          |      case None => println(s"[data_quality] store $ContractId:$ContractVersion first")
+          |      case Some(contract) =>
+          |        val specs = graft.quality.Expectations.fromContract(contract)
+          |        println(s"[data_quality] ${specs.size} expectations ready")
+          |        // one-pass metrics + verdict:
+          |        // val metrics = graft.quality.Metrics.compute(df, specs)
+          |        // val res = graft.quality.Evaluator.validate(contract, df)
+          |    }
+          |  }""".stripMargin
+      case "governance" =>
+        """  /** Outline: persist validation status + pipeline activity. */
+          |  def publishGovernanceUpdates(gov: graft.governance.GovernanceService): Unit = {
+          |    println(s"[governance] service: ${gov.getClass.getSimpleName}")
+          |    gov.linkDatasetContract(OutputDatasetId, ContractId, ContractVersion)
+          |    println(s"[governance] datasets under governance: ${gov.listDatasets().size}")
+          |  }""".stripMargin
+    }
+
+    val helperCalls = selected.map {
+      case "contracts" => "    reviewContractVersions(clients.contracts)"
+      case "data_products" =>
+        """    clients.products match {
+          |      case Some(pb) => syncDataProductCatalog(pb)
+          |      case None => println("[data_products] no [data_product] section in config.toml")
+          |    }""".stripMargin
+      case "data_quality" => "    runQualityChecks(clients.contracts)"
+      case "governance" => "    publishGovernanceUpdates(clients.governance)"
+    }
+
+    val summaries = selected.map(m => s"//  - $m").mkString("\n")
+    val mainScala =
+      s"""package pipeline
+         |
+         |// Generated module-aware pipeline example. Selected modules:
+         |$summaries
+         |// Integration: ${integration.replaceAll("[^A-Za-z0-9._-]", "")}
+         |
+         |object ExampleMain {
+         |
+         |  // -- replace these before running -------------------------------
+         |  val ContractId      = "replace-with-contract-id"
+         |  val ContractVersion = "1.0.0"
+         |  val DataProductId   = "replace-with-data-product-id"
+         |  val OutputDatasetId = "replace-with-output-dataset-id"
+         |  // ---------------------------------------------------------------
+         |
+         |${helperDefs.mkString("\n\n")}
+         |
+         |  def main(args: Array[String]): Unit = {
+         |    // local stores or a deployed facade — the SAME config schema
+         |    // ([remote] base_url vs store sections); swap transports with
+         |    // zero code change
+         |    val clients = graft.service.ServiceBootstrap.clientsFromFile(
+         |      args.headOption.getOrElse("config.toml"))
+         |$integrationBlock
+         |${helperCalls.mkString("\n")}
+         |  }
+         |}
+         |""".stripMargin
+    val readme =
+      s"""# graft pipeline example (module-aware)
+         |
+         |Generated for integration `$integration` with modules:
+         |${selected.map(m => s"- $m").mkString("\n")}
+         |
+         |`ExampleMain.scala` bootstraps the service clients from
+         |`config.toml` (export one with the service bundle) and runs one
+         |helper per selected module — each helper is the real graft call
+         |shape with placeholder ids to replace.
+         |
+         |${hintLines(hints, Seq(
+             "spark_runtime" -> "Runtime",
+             "spark_workspace_url" -> "Workspace URL",
+             "dlt_pipeline_name" -> "DLT pipeline",
+             "dlt_target_schema" -> "DLT target schema"))}
+         |""".stripMargin
+    Bundle("pipeline_example", "ExampleMain.scala", Seq(
+      BundleFile("README.md", readme),
+      BundleFile("ExampleMain.scala", mainScala)))
+  }
 }

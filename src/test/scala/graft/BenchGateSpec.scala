@@ -95,4 +95,46 @@ class BenchGateSpec extends AnyFunSuite {
     val orphan = Bench.pinnedSecs.keys.filterNot(Bench.headline.contains)
     assert(orphan.isEmpty, s"pinned queries not in headline: $orphan")
   }
+
+  test("pin-drift report: soft, contention-normalized, persistent only across rounds") {
+    // 1.5x on a ~1 s pin drifts (over 1.3x + floor) but does NOT gate
+    val results = Seq("q1_pricing" -> base * 1.5, "q_metrics" -> 0.30)
+    assert(Bench.baselineBreaches(results, 1.0).isEmpty,
+      "drift under 2x must never gate")
+    val (drift, persistent) = Bench.pinDriftReport(results, 1.0)
+    assert(drift.map(_._1) == Seq("q1_pricing"))
+    assert(persistent.isEmpty, "no prior ratios -> nothing is persistent")
+    // the same query over threshold in the PRIOR round's ratios is the
+    // two-rounds-running signal
+    val (_, p2) = Bench.pinDriftReport(results, 1.0,
+      prior = Map("q1_pricing" -> 1.45))
+    assert(p2 == Seq("q1_pricing"))
+    // prior drift on a query that recovered this round is NOT reported
+    val (_, p3) = Bench.pinDriftReport(Seq("q1_pricing" -> base * 1.0), 1.0,
+      prior = Map("q1_pricing" -> 1.45))
+    assert(p3.isEmpty)
+    // contention normalization applies: a run-wide 1.5x factor absorbs
+    // a uniform 1.5x reading
+    val (d4, _) = Bench.pinDriftReport(results, factor = 1.5)
+    assert(d4.isEmpty)
+    // the jitter floor shields the shortest pins from ratio noise
+    val short = Bench.pinnedSecs("q_unicode_nfc") // ~0.1 s
+    val (d5, _) = Bench.pinDriftReport(Seq("q_unicode_nfc" -> short * 1.5), 1.0)
+    assert(d5.isEmpty)
+  }
+
+  test("priorRatios round-trips through the state file; total on absence/garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prior").toString
+    // absence degrades to empty, never throws
+    assert(Bench.priorRatios(dir).isEmpty)
+    assert(Bench.priorRatios("/nonexistent/path").isEmpty)
+    // write -> read round trip (3dp, sorted keys)
+    Bench.writePriorRatios(Seq("q1_pricing" -> 1.456, "q_funnel" -> 0.9), dir)
+    val back = Bench.priorRatios(dir)
+    assert(back == Map("q1_pricing" -> 1.456, "q_funnel" -> 0.9))
+    // garbage content degrades to empty
+    java.nio.file.Files.write(
+      new java.io.File(dir, Bench.PriorRatiosFile).toPath, "{broken".getBytes)
+    assert(Bench.priorRatios(dir).isEmpty)
+  }
 }

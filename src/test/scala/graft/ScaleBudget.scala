@@ -43,7 +43,58 @@ object ScaleBudget {
     "q_substr_spans" -> 4.4,
     "q1_pricing" -> 3.4,
     "q_pack_tokens" -> 4.2,
-    "q_curation_pipeline2" -> 3.3)
+    "q_curation_pipeline2" -> 3.3,
+    // r12 additions (measured ratios from the r12 calibration run, same
+    // band formula — measured × 1.5, floor measured + 2):
+    //  - q_curation_ingest 1.18 — the heaviest composed chain (artifact
+    //    builds + the 10-stage projection): artifact-build cost
+    //    dominates and the artifacts are corpus-frequency-bounded, so
+    //    the chain reads round-overhead-bound at 10x
+    //  - q_fuzzy_join 0.97 — reads the PART table, a dimension the
+    //    replica deliberately keeps unscaled (dimensions stay
+    //    dimension-sized at any corpus scale): the band pins the
+    //    heaviest single query's absolute-flat expectation, not growth;
+    //    corpus-side fuzzy growth is fuzzy_probe's job below
+    //  - fuzzy_probe 1.98 — the corpus-scaled banded-Levenshtein shape
+    //    (all document titles vs a fixed 200-title lexicon): candidates
+    //    are corpus-linear by blocking, above the band means block
+    //    occupancy went quadratic
+    //  - hamming_r8 5.0-5.4 (two runs) — radius-8 band-pair blocking over
+    //    xxhash64 corpus fingerprints: the near-linear claim OpsSpec proves at
+    //    4096 hashes, held at corpus scale — above the band means the
+    //    verify join went quadratic again
+    "q_curation_ingest" -> 3.2,
+    "q_fuzzy_join" -> 3.0,
+    "fuzzy_probe" -> 4.0,
+    "hamming_r8" -> 8.1)
+
+  /** Gated dataflows that are not SparkEntry queries keyed by name:
+    * timed through the same harness. hamming_r8 exercises the band-PAIR
+    * blocking cutover ([[graft.ops.NearDup.MinSingleBandBits]]) on
+    * content-diverse 64-bit fingerprints of the real corpus — the one
+    * layout whose scale behavior OpsSpec can only sample. */
+  val CustomRunners: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "hamming_r8" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val hashes = T.load(s, dir, "documents")
+          .select(col("doc_id"), xxhash64(col("text")).as("h"))
+        graft.ops.NearDup.hammingPairs(hashes, maxHamming = 8, hashCol = "h")
+      }),
+      // corpus×lexicon fuzzy probe: every document title (corpus-scaled
+      // left) against a fixed 200-title lexicon (replica 0 keeps the
+      // original ids, so doc_id < 200 is the same lexicon at both
+      // scales) — candidate volume is corpus-LINEAR under the
+      // (tok0, length-band) blocking
+      "fuzzy_probe" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val titles = T.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("title"))
+          .withColumn("tok0", expr("split_part(title, ' ', 1)"))
+        graft.ops.Fuzzy.fuzzyJoin(titles, titles.filter(col("doc_id") < 200),
+          "title", maxDist = 2, blockCols = Seq("tok0"))
+      }))
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,10 +108,10 @@ object ScaleBudget {
     val outDir = ScaleEvidence.ensureReplica(spark, srcDir, 10)
 
     def time(name: String, dir: String): Double = {
+      val run = CustomRunners.getOrElse(name, SparkEntry.queries(name))
       def once(): Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        run(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up

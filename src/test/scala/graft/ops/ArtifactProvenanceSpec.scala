@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.governance.GovernanceBackend
+import org.apache.spark.sql.functions._
+
+/** Governed artifact provenance: every build-once/probe-many family
+  * member stamps who built it, the governance activity log records the
+  * corpus→artifact link, and the snapshot-backed staleness check flips
+  * when the corpus moves. */
+class ArtifactProvenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon words flow here", "src0"),
+    (2L, "zeta eta theta iota kappa more words here too", "src1"),
+    (3L, "lambda mu nu xi omicron yet more words arrive", "src0"),
+    (4L, "pi rho sigma tau upsilon final words of corpus", "src1")
+  ).toDF("doc_id", "text", "source")
+
+  test("stamp/read round trip + governance activity per build across the family") {
+    val gov = new GovernanceBackend(tmpDir("graft_prov_gov"))
+    val root = tmpDir("graft_prov")
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+    // one real build per family member, each stamped with its own kind —
+    // the stamp is layout-agnostic, so the battery proves it rides along
+    // every artifact shape actually in the repo
+    val builds: Seq[(String, String => Unit)] = Seq(
+      "minhash" -> (d => MinhashIndex.build(corpus, d)),
+      "ivf" -> (d => IvfIndex.build(e, d, nCentroids = 8)),
+      "lm" -> (d => LmIndex.build(corpus, d, minCount = 1)),
+      "bm25" -> (d => BmIndex.build(corpus, d)),
+      "kmv" -> (d => SketchIndex.buildKmv(corpus, "source", "text", d)),
+      "bpe" -> (d => BpeIndex.build(corpus, d, nMerges = 4)))
+    builds.foreach { case (kind, build) =>
+      val dir = s"$root/$kind"
+      build(dir)
+      assert(ArtifactProvenance.read(spark, dir).isEmpty,
+        s"$kind: pre-stamp artifacts read None, never a throw")
+      ArtifactProvenance.stamp(spark, dir, kind,
+        datasetId = "corpus.docs", datasetVersion = "2026-08-15",
+        governance = Some(gov))
+      val p = ArtifactProvenance.read(spark, dir).get
+      assert(p.artifactKind == kind && p.datasetId == "corpus.docs" &&
+        p.datasetVersion == "2026-08-15" && p.operation == "build" &&
+        p.builtAt > 0)
+    }
+    // the audit view: the corpus' activity log lists every artifact
+    // built from it, with the kind in the contract slot and the dir in
+    // context
+    val acts = gov.pipelineActivity("corpus.docs", Some("2026-08-15"))
+      .map(_._1).filter(_.pipeline == ArtifactProvenance.ActivityPipeline)
+    assert(acts.size == builds.size,
+      s"one governance event per build, got ${acts.size}")
+    assert(acts.map(_.operation).toSet ==
+      builds.map { case (k, _) => s"build:$k" }.toSet)
+    assert(acts.forall(a => a.contractId.startsWith("graft.artifact.") &&
+      a.context.get("artifactDir").exists(_.startsWith(root))))
+
+    // a merge stamps its own operation onto the grown copy
+    val merged = s"$root/minhash_v2"
+    MinhashIndex.merge(spark, s"$root/minhash",
+      Seq((9L, "fresh arrival text with words")).toDF("doc_id", "text"), merged)
+    ArtifactProvenance.stamp(spark, merged, "minhash",
+      "corpus.docs", "2026-08-16", operation = "merge", governance = Some(gov))
+    assert(ArtifactProvenance.read(spark, merged).get.operation == "merge")
+    assert(gov.pipelineActivity("corpus.docs", Some("2026-08-16"))
+      .map(_._1).exists(_.operation == "merge:minhash"))
+
+    // blank stamps are refused loudly (a blank stamp IS the gap)
+    intercept[IllegalArgumentException] {
+      ArtifactProvenance.stamp(spark, s"$root/minhash", "", "corpus.docs", "v1")
+    }
+  }
+
+  test("snapshot staleness: fresh corpus passes, any drift counts and guards loudly") {
+    val dir = tmpDir("graft_prov_snap")
+    MinhashIndex.build(corpus, dir)
+    ArtifactProvenance.stampWithSnapshot(spark, dir, "minhash",
+      "corpus.docs", "2026-08-15", corpus)
+
+    // unchanged corpus: zero drift, the guard passes
+    assert(ArtifactProvenance.staleCount(spark, dir, corpus) == 0L)
+    ArtifactProvenance.requireFresh(spark, dir, corpus)
+
+    // one edit + one add + one remove = 3 changed documents, same
+    // accounting as Curate.snapshotDiff
+    val moved = corpus.filter(col("doc_id") =!= 4L) // doc 4 removed
+      .withColumn("text",
+        when(col("doc_id") === 1L, lit("alpha beta EDITED")) // doc 1 changed
+          .otherwise(col("text")))
+      .unionByName(Seq((5L, "brand new arrival", "src0"))
+        .toDF("doc_id", "text", "source")) // doc 5 added
+    assert(ArtifactProvenance.staleCount(spark, dir, moved) == 3L)
+    val e = intercept[IllegalArgumentException] {
+      ArtifactProvenance.requireFresh(spark, dir, moved)
+    }
+    assert(e.getMessage.contains("stale artifact") &&
+      e.getMessage.contains("minhash built from corpus.docs:2026-08-15"))
+    // a tolerance admits bounded drift (the daily-rebuild window)
+    ArtifactProvenance.requireFresh(spark, dir, moved, maxChanged = 3)
+
+    // a snapshot-less stamp cannot silently read as fresh
+    val bare = tmpDir("graft_prov_bare")
+    MinhashIndex.build(corpus, bare)
+    ArtifactProvenance.stamp(spark, bare, "minhash", "corpus.docs", "v1")
+    val e2 = intercept[IllegalArgumentException] {
+      ArtifactProvenance.staleCount(spark, bare, corpus)
+    }
+    assert(e2.getMessage.contains("no provenance snapshot"))
+  }
+}

@@ -104,6 +104,56 @@ class SetupBundleSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("module-aware pipeline example: selected modules in, unselected out, loud typos") {
+    val all = SetupBundle.pipelineExample("spark", SetupBundle.ExampleModules)
+    val main = all.file("ExampleMain.scala").get.content
+    // every selected module contributes its helper AND its call, with
+    // the real graft call shapes
+    assert(main.contains("def reviewContractVersions") &&
+      main.contains("reviewContractVersions(clients.contracts)"))
+    assert(main.contains("def syncDataProductCatalog") &&
+      main.contains("syncDataProductCatalog(pb)"))
+    assert(main.contains("def runQualityChecks") &&
+      main.contains("Expectations.fromContract"))
+    assert(main.contains("def publishGovernanceUpdates") &&
+      main.contains("linkDatasetContract(OutputDatasetId, ContractId, ContractVersion)"))
+    // bootstrap is the SAME config schema the service bundle exports
+    assert(main.contains("ServiceBootstrap.clientsFromFile"))
+    // spark integration block
+    assert(main.contains("SparkSession.builder()"))
+    // an unselected module leaves no trace (the reference's flag gating)
+    val some = SetupBundle.pipelineExample("spark", Seq("contracts", "governance"))
+      .file("ExampleMain.scala").get.content
+    assert(some.contains("reviewContractVersions") &&
+      some.contains("publishGovernanceUpdates"))
+    assert(!some.contains("syncDataProductCatalog") &&
+      !some.contains("runQualityChecks"))
+    // module order is canonical regardless of the selection order
+    val reordered = SetupBundle.pipelineExample("spark",
+      Seq("governance", "contracts")).file("ExampleMain.scala").get.content
+    assert(reordered == some)
+    // a typo'd module fails loudly, never silently drops the section
+    val e = intercept[IllegalArgumentException] {
+      SetupBundle.pipelineExample("spark", Seq("contracts", "qualty"))
+    }
+    assert(e.getMessage.contains("qualty"))
+  }
+
+  test("pipeline example integrations: dlt stub, documented fallback for unknown keys") {
+    val dlt = SetupBundle.pipelineExample("dlt", Seq("data_quality"),
+      hints = Map("dlt_pipeline_name" -> "nightly_curation"))
+    assert(dlt.file("ExampleMain.scala").get.content.contains("DltExpectations"))
+    assert(dlt.file("README.md").get.content.contains("nightly_curation"))
+    val other = SetupBundle.pipelineExample("flink", Seq("contracts"))
+      .file("ExampleMain.scala").get.content
+    assert(other.contains("no dedicated stub for integration 'flink'"))
+    assert(other.contains("reviewContractVersions"), "backends still wire on fallback")
+    // a hostile integration key cannot close the generated comment block
+    val hostile = SetupBundle.pipelineExample("*/ evil", Seq("contracts"))
+      .file("ExampleMain.scala").get.content
+    assert(!hostile.contains("*/ evil"))
+  }
+
   test("a host binding flows bundle -> config -> bootstrap -> bound server") {
     val root = tmp()
     SetupBundle.service(s"$root/data", host = Some("127.0.0.1"), port = Some(0))
