@@ -379,14 +379,16 @@ object Bench {
     (drifting, persistent)
   }
 
-  /** The drift report's cross-run memory file: the previous run's
-    * per-query ratios, written by [[writePriorRatios]] at the end of
-    * every bench run and committed with the round — so the committed
-    * state IS the previous round's settled close. (The driver's own
-    * BENCH_r*.json files truncate the metric line and cannot serve.)
-    * Intra-round re-runs shift the comparison to "the previous run",
-    * which only makes persistence MORE sensitive — a drift that holds
-    * across two settled runs is the same signal. */
+  /** The drift report's cross-run memory file: the previous run's DRIFT
+    * SET (the [[pinDriftReport]] output — contention-normalized,
+    * jitter-floored, so a round run under uniform contention or short-pin
+    * noise never poisons the next round's persistence check), written at
+    * the end of every bench run and committed with the round — the
+    * committed state IS the previous round's settled close. (The
+    * driver's own BENCH_r*.json files truncate the metric line and
+    * cannot serve.) Intra-round re-runs shift the comparison to "the
+    * previous run", which only makes persistence MORE sensitive — a
+    * drift that holds across two settled runs is the same signal. */
   val PriorRatiosFile = "BENCH_PRIOR.json"
 
   /** Previous run's per-query ratios — empty when absent/unparseable:
@@ -406,12 +408,20 @@ object Bench {
       }
     }.getOrElse(Map.empty)
 
-  /** Persist this run's ratios for the next run's drift comparison —
-    * best-effort (a read-only checkout must not fail the bench). */
+  /** Locale-pinned 3dp formatting: the `f` interpolator renders through
+    * the DEFAULT locale, and a comma-decimal locale would emit invalid
+    * JSON that [[priorRatios]]' Try then silently swallows forever —
+    * the persistence feature dead with no error. */
+  private def num3(r: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))
+
+  /** Persist this run's DRIFT SET for the next run's persistence
+    * comparison — best-effort (a read-only checkout must not fail the
+    * bench). */
   def writePriorRatios(ratios: Seq[(String, Double)], dir: String = "."): Unit =
     scala.util.Try {
       val json = ratios.sortBy(_._1)
-        .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }
+        .map { case (k, r) => "\"" + k + "\":" + num3(r) }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         new java.io.File(dir, PriorRatiosFile).toPath, json.getBytes("UTF-8"))
@@ -547,7 +557,7 @@ object Bench {
     // previous committed round's BENCH json
     val (drifting, persistent) = pinDriftReport(results, runPinFactor, priorRatios())
     val driftJson = drifting
-      .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }.mkString("{", ",", "}")
+      .map { case (k, r) => "\"" + k + "\":" + num3(r) }.mkString("{", ",", "}")
     val persistentJson = persistent.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""vs_baseline_queries":$ratioJson,""" +
@@ -556,7 +566,10 @@ object Bench {
       f""""pin_factor":$runPinFactor%.2f,"sf":"$sfDir"}""")
     persistent.foreach(q => System.err.println(s"[bench] PIN DRIFT (2 rounds): $q — " +
       "fix the regression or re-base the pin with evidence (Bench.pinnedSecs policy)"))
-    writePriorRatios(perQueryRatios(results))
+    // persist the normalized DRIFT SET, not raw ratios: a round run
+    // under uniform contention (or short-pin jitter the floor absorbs)
+    // must not read as drift in the next round's persistence check
+    writePriorRatios(drifting)
     breaches.foreach(b => System.err.println(s"[bench] BUDGET BREACH: $b " +
       "(budgets are wall-clock numbers from the round driver's machine; " +
       "set SPARK_GRAFT_BENCH_BUDGETS=off on other hardware)"))

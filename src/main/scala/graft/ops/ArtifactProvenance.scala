@@ -88,8 +88,11 @@ object ArtifactProvenance {
 
   /** The stamped provenance, `None` for artifacts that predate stamping
     * (additive — nothing refuses to load on a missing stamp; staleness
-    * guards use [[requireFresh]] explicitly). */
-  def read(spark: SparkSession, dir: String): Option[Provenance] = {
+    * guards use [[requireFresh]] explicitly). A corrupt or
+    * partially-written stamp (a kill between create and close) also
+    * reads `None` rather than poisoning every subsequent load with a
+    * parse exception — re-stamp to repair. */
+  def read(spark: SparkSession, dir: String): Option[Provenance] = scala.util.Try {
     val path = new org.apache.hadoop.fs.Path(metaPath(dir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
@@ -111,7 +114,7 @@ object ArtifactProvenance {
         case _ => None
       }
     }
-  }
+  }.toOption.flatten
 
   /** [[stamp]] plus the corpus content snapshot the staleness check
     * diffs against: one `(doc_id, fingerprint)` row per corpus document
@@ -123,6 +126,12 @@ object ArtifactProvenance {
                         governance: Option[GovernanceBackend] = None,
                         idCol: String = "doc_id", textCol: String = "text",
                         numFiles: Int = 8): Provenance = {
+    // validate BEFORE the distributed snapshot job: a rejected stamp
+    // must not burn a corpus pass and leave an orphaned snapshot a
+    // later staleCount would happily read as stamped
+    require(artifactKind.nonEmpty && datasetId.nonEmpty && datasetVersion.nonEmpty,
+      "artifactKind, datasetId and datasetVersion are all required — a blank " +
+        "stamp is exactly the undetectable-staleness gap provenance closes")
     corpus.select(col(idCol).as("doc_id"),
         TextOps.fingerprintCol(col(textCol)).as("fingerprint"))
       .repartition(numFiles)

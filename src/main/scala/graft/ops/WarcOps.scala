@@ -98,7 +98,11 @@ object WarcOps {
     val statusLine = new String(block, 0, eol, "UTF-8")
     if (!statusLine.startsWith("HTTP/")) return None
     val parts = statusLine.split(" ", 3)
-    if (parts.length < 2 || !parts(1).forall(_.isDigit) || parts(1).isEmpty)
+    // status is 3 digits per RFC 9112; tolerate a few more but bound the
+    // run so a hostile all-digit blob cannot overflow toLong into a
+    // throw (total-on-garbage holds even inside the http sub-parse)
+    if (parts.length < 2 || !parts(1).forall(_.isDigit) ||
+        parts(1).isEmpty || parts(1).length > 9)
       return None
     parseHeaders(block, eol + 2).map { case (hs, bodyAt) =>
       val ct = hs.get("content-type").map(_.split(";")(0).trim.toLowerCase)
@@ -133,8 +137,10 @@ object WarcOps {
         else parseHeaders(b, eol + 2) match {
           case None => ok = false
           case Some((hs, blockAt)) =>
+            // 18 digits < Long.MaxValue: a longer run is damage, not a
+            // length — filtering it keeps toLong total (no throw)
             val len = hs.get("content-length").filter(s =>
-              s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+              s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)).map(_.toLong)
             len match {
               case Some(n) if blockAt + n <= b.length =>
                 val block = java.util.Arrays.copyOfRange(b, blockAt, blockAt + n.toInt)

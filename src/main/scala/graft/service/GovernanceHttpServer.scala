@@ -673,16 +673,22 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
         outcome match {
           case Right(location) => redirect(ex, location)
           case Left(err) =>
+            // no product service = the resource does not exist: 404 like
+            // the GET route (not a 200 error re-render — scripts read
+            // the status)
             val html =
               if (path == "/ui/new-contract")
-                ui.newContractPage(Some(submitted), Some(err))
+                Some(ui.newContractPage(Some(submitted), Some(err)))
               else ui.newProductPage(Some(submitted), Some(err))
-                .getOrElse("""{"error":"not found"}""")
-            val bytes = html.getBytes(StandardCharsets.UTF_8)
-            ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-            ex.sendResponseHeaders(200, bytes.length)
-            ex.getResponseBody.write(bytes)
-            ex.close()
+            html match {
+              case None => respond(ex, 404, """{"error":"not found"}""")
+              case Some(h) =>
+                val bytes = h.getBytes(StandardCharsets.UTF_8)
+                ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+                ex.sendResponseHeaders(200, bytes.length)
+                ex.getResponseBody.write(bytes)
+                ex.close()
+            }
         }
       } else ui.render(ex.getRequestURI.getPath, p) match {
         case Some(html) =>

@@ -361,6 +361,15 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     products.map(_ => authoringForm("New data product", "/ui/new-product",
       prefill.getOrElse(productSkeleton), error))
 
+  /** Serializes the duplicate check against its put: the facade serves
+    * forms from a thread pool, and two simultaneous creates of the same
+    * (id, version) would both pass a bare check-then-put — the second
+    * silently overwriting the first, exactly what "creation never
+    * overwrites" forbids. One UI instance is the facade's only form
+    * entry, so an instance lock suffices (the GovernanceBackend
+    * reviewDraft/updateDraft precedent). */
+  private val createLock = new Object
+
   /** Create a contract from submitted ODCS JSON — the reference's
     * `_validate_contract_payload(editing=False)` + put: id and version
     * required, version must parse as semver, an already-stored
@@ -375,9 +384,11 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         else if (c.version.trim.isEmpty) Left("version is required")
         else if (graft.contracts.SemVer.tryParse(c.version).isEmpty)
           Left(s"not a semantic version: ${c.version}")
-        else if (contracts.get(c.id, c.version).nonEmpty)
-          Left(s"contract ${c.id} already has a version ${c.version}")
-        else { contracts.put(c); Right(c) }
+        else createLock.synchronized {
+          if (contracts.get(c.id, c.version).nonEmpty)
+            Left(s"contract ${c.id} already has a version ${c.version}")
+          else { contracts.put(c); Right(c) }
+        }
       }
 
   /** Create a data product from submitted ODPS JSON — same contract as
@@ -393,9 +404,11 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
           else if (ver.isEmpty) Left("version is required")
           else if (graft.contracts.SemVer.tryParse(ver).isEmpty)
             Left(s"not a semantic version: $ver")
-          else if (pb.get(p.id, ver).nonEmpty)
-            Left(s"data product ${p.id} already has a version $ver")
-          else { pb.put(p); Right(p) }
+          else createLock.synchronized {
+            if (pb.get(p.id, ver).nonEmpty)
+              Left(s"data product ${p.id} already has a version $ver")
+            else { pb.put(p); Right(p) }
+          }
         }
     }
 

@@ -72,6 +72,16 @@ class ArtifactProvenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ArtifactProvenance.stamp(spark, s"$root/minhash", "", "corpus.docs", "v1")
     }
+
+    // a corrupt/partially-written stamp degrades to None (a kill between
+    // create and close must not poison every later load with a parse
+    // exception) — and a re-stamp repairs it
+    val corruptDir = s"$root/minhash"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$corruptDir/provenance.json"), "{trunc".getBytes)
+    assert(ArtifactProvenance.read(spark, corruptDir).isEmpty)
+    ArtifactProvenance.stamp(spark, corruptDir, "minhash", "corpus.docs", "2026-08-15")
+    assert(ArtifactProvenance.read(spark, corruptDir).nonEmpty)
   }
 
   test("snapshot staleness: fresh corpus passes, any drift counts and guards loudly") {
@@ -109,5 +119,16 @@ class ArtifactProvenanceSpec extends SparkSpec {
       ArtifactProvenance.staleCount(spark, bare, corpus)
     }
     assert(e2.getMessage.contains("no provenance snapshot"))
+
+    // a rejected stampWithSnapshot validates BEFORE the corpus pass: no
+    // orphaned snapshot is left for staleCount to read as stamped
+    val rejected = tmpDir("graft_prov_reject")
+    intercept[IllegalArgumentException] {
+      ArtifactProvenance.stampWithSnapshot(spark, rejected, "", "corpus.docs",
+        "v1", corpus)
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactProvenance.staleCount(spark, rejected, corpus) // still unstamped
+    }
   }
 }

@@ -51,6 +51,20 @@ class WarcOpsSpec extends SparkSpec {
     val lied = ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 99999\r\n\r\nshort"
       ).getBytes("UTF-8")
     assert(WarcOps.parseFile(9L, lied).isEmpty)
+    // an all-digit length that would overflow toLong is damage, not a
+    // length — total, no NumberFormatException out of the partition
+    val overflow = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 99999999999999999999\r\n\r\nx").getBytes("UTF-8")
+    assert(WarcOps.parseFile(9L, overflow).isEmpty)
+    // same for an overflowing HTTP status: the record surfaces with the
+    // raw block and null http fields instead of throwing
+    val badStatus = "HTTP/1.1 99999999999999999999 X\r\n\r\nbody".getBytes("UTF-8")
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${badStatus.length}\r\n\r\n").getBytes("UTF-8") ++
+      badStatus ++ "\r\n\r\n".getBytes("UTF-8")
+    val rows = WarcOps.parseFile(9L, rec)
+    assert(rows.length == 1 && rows.head.get(5) == null)
   }
 
   test("spec tolerances: header case, line folding, non-http blocks, unparseable http") {

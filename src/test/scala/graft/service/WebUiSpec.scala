@@ -350,5 +350,19 @@ class WebUiSpec extends AnyFunSuite {
       val pok = postForm("/ui/new-product", Map("json" -> odps))
       assert(pok.statusCode() == 303 && pb.get("dp.events", "0.1.0").nonEmpty)
     } finally server.stop()
+
+    // with NO product service, the product form POST is a 404 (the
+    // resource does not exist), matching the GET route — never a 200
+    // with an error body a script would read as success
+    val bare = new GovernanceHttpServer(store, gov, products = None)
+    val p2 = bare.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/ui/new-product"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString("json=%7B%7D")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 404)
+    } finally bare.stop()
   }
 }
