@@ -785,10 +785,12 @@ object SparkEntry {
           graft.ops.WarcOps.warcPayloads(s, ids))
         .filter(col("warc_type") === "response")
         // the file's warcinfo record holds ordinal 0; rec_index here is
-        // the RESPONSE ordinal the fixture formulas run on
+        // the RESPONSE ordinal the fixture formulas run on. payload_text
+        // is the parser's DECLARED-charset decode (the latin-1 class
+        // reads back its 0xE9 byte as the intended character — a UTF-8
+        // cast would mangle it to the replacement char)
         .withColumn("rec_index", col("rec_index") - 1)
         .withColumn("rid", col("doc_id") * 10 + col("rec_index"))
-        .withColumn("payload_text", col("payload").cast("string"))
       val links = graft.ops.UrlOps.extractLinks(
           recs.select(col("rid"), col("payload_text")),
           textCol = "payload_text", idCol = "rid")
@@ -798,7 +800,7 @@ object SparkEntry {
         .join(links, Seq("rid"), "left")
         .select(col("doc_id"), col("rec_index"), col("target_uri"),
           col("warc_date"), col("http_status"), col("content_type"),
-          col("host"), col("path"), col("payload_text"),
+          col("charset"), col("host"), col("path"), col("payload_text"),
           coalesce(col("n_links"), lit(0L)).as("n_links"), col("first_href"))
     }),
     // REAL pixel/sample decode: payloads synthesized from a closed-form
@@ -3906,8 +3908,14 @@ object SparkEntry {
         |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS warc_date,
         |  CAST(CASE WHEN (doc_id + rec_index) % 5 = 0 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
         |  CASE WHEN rec_index % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS content_type,
+        |  CASE rec_index % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |       ELSE NULL END AS charset,
         |  'site' || (doc_id % 7) || '.example' AS host,
         |  '/page/' || doc_id || '/' || rec_index AS path,
+        |  -- chr(233) = the e-acute the latin-1 class stores as byte 0xE9:
+        |  -- only a DECLARED-charset decode reads it back (a UTF-8 cast
+        |  -- would yield the replacement character and hash-mismatch)
+        |  (CASE WHEN rec_index % 3 = 1 THEN 'caf' || chr(233) || ' ' ELSE '' END) ||
         |  CASE WHEN rec_index % 2 = 0
         |       THEN '<p>doc ' || doc_id || ' rec ' || rec_index || '</p> <a href="http://ref'
         |            || ((doc_id + rec_index) % 5) || '.example/x">link</a>'

@@ -33,7 +33,15 @@ object WarcOps {
 
   /** One parsed record. HTTP fields are null for non-`application/http`
     * blocks (warcinfo, metadata, resource records); `payload` is the
-    * HTTP message body for http blocks, the raw block otherwise. */
+    * HTTP message body BYTES for http blocks, the raw block otherwise;
+    * `charset` is the Content-Type's declared charset parameter
+    * (lowercased, null when absent); `payload_text` is the body decoded
+    * under that charset (UTF-8 when absent/unknown/unsupported,
+    * malformed sequences replaced — decode is TOTAL like the rest of
+    * the parse). The decode seam matters: a crawl corpus is full of
+    * latin-1/cp1252 pages, and decoding them as UTF-8 is exactly the
+    * mojibake [[TextOps.fixMojibake]] exists to repair — honoring the
+    * declared charset up front keeps repair for the pages that LIED. */
   val Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("rec_index", LongType, nullable = false),
@@ -42,7 +50,22 @@ object WarcOps {
     StructField("warc_date", StringType, nullable = true),
     StructField("http_status", LongType, nullable = true),
     StructField("content_type", StringType, nullable = true),
-    StructField("payload", BinaryType, nullable = true)))
+    StructField("charset", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("payload_text", StringType, nullable = true)))
+
+  /** Declared charset → JDK charset, total: absent, unknown, or
+    * JVM-unsupported names all fall back to UTF-8 (whose String decode
+    * replaces malformed input rather than throwing). */
+  private[ops] def resolveCharset(declared: Option[String]): java.nio.charset.Charset =
+    declared.flatMap { name =>
+      try {
+        val n = name.trim
+        if (n.nonEmpty && java.nio.charset.Charset.isSupported(n))
+          Some(java.nio.charset.Charset.forName(n))
+        else None
+      } catch { case _: Exception => None } // illegal charset NAME syntax
+    }.getOrElse(java.nio.charset.StandardCharsets.UTF_8)
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
@@ -88,11 +111,11 @@ object WarcOps {
   }
 
   /** Parse the HTTP response envelope inside an `application/http`
-    * block: (status, content-type-sans-parameters, body). None when the
-    * block is not a parseable HTTP message — the record still surfaces,
-    * with the raw block as payload. */
+    * block: (status, content-type-sans-parameters, declared charset,
+    * body). None when the block is not a parseable HTTP message — the
+    * record still surfaces, with the raw block as payload. */
   private def parseHttp(block: Array[Byte])
-      : Option[(Long, Option[String], Array[Byte])] = {
+      : Option[(Long, Option[String], Option[String], Array[Byte])] = {
     val eol = findCrlf(block, 0)
     if (eol < 0) return None
     val statusLine = new String(block, 0, eol, "UTF-8")
@@ -105,8 +128,16 @@ object WarcOps {
         parts(1).isEmpty || parts(1).length > 9)
       return None
     parseHeaders(block, eol + 2).map { case (hs, bodyAt) =>
-      val ct = hs.get("content-type").map(_.split(";")(0).trim.toLowerCase)
-      (parts(1).toLong, ct, java.util.Arrays.copyOfRange(block, bodyAt, block.length))
+      val ctRaw = hs.get("content-type")
+      val ct = ctRaw.map(_.split(";")(0).trim.toLowerCase)
+      // charset parameter (RFC 9110 §8.3): `; charset=utf-8`, name
+      // case-insensitive, optional quotes around the value
+      val cs = ctRaw.flatMap(_.split(";").drop(1)
+        .map(_.trim).find(_.toLowerCase.startsWith("charset="))
+        .map(_.substring("charset=".length).trim.stripPrefix("\"")
+          .stripSuffix("\"").toLowerCase).filter(_.nonEmpty))
+      (parts(1).toLong, ct, cs,
+        java.util.Arrays.copyOfRange(block, bodyAt, block.length))
     }
   }
 
@@ -147,13 +178,17 @@ object WarcOps {
                 val isHttp = hs.get("content-type")
                   .exists(_.toLowerCase.startsWith("application/http"))
                 val http = if (isHttp) parseHttp(block) else None
+                val charset = http.flatMap(_._3)
+                val body = http.map(_._4).getOrElse(block)
                 out += Row(docId, idx,
                   hs.get("warc-type").map(_.toLowerCase).orNull,
                   hs.get("warc-target-uri").orNull,
                   hs.get("warc-date").orNull,
                   http.map(_._1).map(Long.box).orNull,
                   http.flatMap(_._2).orNull,
-                  http.map(_._3).getOrElse(block))
+                  charset.orNull,
+                  body,
+                  new String(body, resolveCharset(charset)))
                 idx += 1
                 pos = blockAt + n.toInt
               case _ => ok = false // missing/invalid length or truncated block
@@ -190,10 +225,21 @@ object WarcOps {
   private[ops] def fixtureStatus(doc: Long, i: Long): Long =
     if ((doc + i) % 5 == 0) 404L else 200L
   private[ops] def fixtureHtml(doc: Long, i: Long): Boolean = i % 2 == 0
-  private[ops] def fixtureBody(doc: Long, i: Long): String =
+  /** Declared charset class per response ordinal: utf-8 / iso-8859-1 /
+    * undeclared — the latin-1 class carries a non-ASCII byte (0xE9,
+    * 'e'-acute) the decode must map through the DECLARED charset, not
+    * UTF-8 (where the lone byte is malformed). */
+  private[ops] def fixtureCharset(i: Long): Option[String] = i % 3 match {
+    case 0 => Some("utf-8")
+    case 1 => Some("iso-8859-1")
+    case _ => None
+  }
+  private[ops] def fixtureBody(doc: Long, i: Long): String = {
+    val accent = if (i % 3 == 1) "caf" + 0xE9.toChar + " " else ""
     if (fixtureHtml(doc, i))
-      s"""<p>doc $doc rec $i</p> <a href="http://ref${(doc + i) % 5}.example/x">link</a>"""
-    else s"plain payload doc $doc rec $i"
+      s"""$accent<p>doc $doc rec $i</p> <a href="http://ref${(doc + i) % 5}.example/x">link</a>"""
+    else s"${accent}plain payload doc $doc rec $i"
+  }
 
   private def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
     val head = (Seq("WARC/1.0") ++
@@ -220,9 +266,14 @@ object WarcOps {
       "Content-Type" -> "application/warc-fields"),
       s"software: graft-fixture/$doc\r\n".getBytes("UTF-8"))
     val responses = (0L to doc % 3).map { i =>
-      val body = fixtureBody(doc, i).getBytes("UTF-8")
+      // body BYTES are encoded under the declared charset — the latin-1
+      // class writes 0xE9, which only the declared-charset decode reads
+      // back as the intended character
+      val cs = fixtureCharset(i)
+      val body = fixtureBody(doc, i).getBytes(cs.getOrElse("utf-8"))
+      val ctParam = cs.fold("")(c => s"; charset=$c")
       val http = (s"HTTP/1.1 ${fixtureStatus(doc, i)} X\r\n" +
-        s"Content-Type: ${if (fixtureHtml(doc, i)) "text/html" else "text/plain"}; charset=utf-8\r\n" +
+        s"Content-Type: ${if (fixtureHtml(doc, i)) "text/html" else "text/plain"}$ctParam\r\n" +
         s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
       record(Seq(
         "WARC-Type" -> "response",

@@ -27,8 +27,18 @@ class WarcOpsSpec extends SparkSpec {
         assert(r.getAs[Long]("http_status") == WarcOps.fixtureStatus(doc, i))
         assert(r.getAs[String]("content_type") ==
           (if (WarcOps.fixtureHtml(doc, i)) "text/html" else "text/plain"))
-        assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") ==
-          WarcOps.fixtureBody(doc, i), s"payload doc $doc rec $i")
+        assert(Option(r.getAs[String]("charset")) == WarcOps.fixtureCharset(i))
+        // the DECODE honors the declared charset: the latin-1 class's
+        // 0xE9 byte reads back as the intended character, which a UTF-8
+        // decode of the same bytes would mangle to the replacement char
+        assert(r.getAs[String]("payload_text") == WarcOps.fixtureBody(doc, i),
+          s"payload_text doc $doc rec $i")
+        if (i % 3 == 1) {
+          assert(r.getAs[String]("payload_text").contains("caf" + 0xE9.toChar))
+          assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") !=
+            WarcOps.fixtureBody(doc, i),
+            "the latin-1 fixture must actually be non-UTF-8 (non-vacuous)")
+        }
       }
     }
   }
@@ -84,8 +94,9 @@ class WarcOpsSpec extends SparkSpec {
     assert(rows.head.getString(2) == "resource") // warc_type, lowercased
     assert(rows.head.getString(3) == "http://a.example/ folded-tail")
     assert(rows.head.get(5) == null) // http_status
-    assert(new String(rows.head.get(7).asInstanceOf[Array[Byte]], "UTF-8") ==
+    assert(new String(rows.head.get(8).asInstanceOf[Array[Byte]], "UTF-8") ==
       "raw resource bytes")
+    assert(rows.head.getString(9) == "raw resource bytes") // UTF-8 text twin
     // an application/http record whose block is NOT parseable http:
     // surfaces with null http fields and the raw block as payload
     val junkHttp = "totally not http".getBytes("UTF-8")
@@ -97,15 +108,27 @@ class WarcOpsSpec extends SparkSpec {
     val rows2 = WarcOps.parseFile(8L, rec2)
     assert(rows2.length == 1)
     assert(rows2.head.get(5) == null) // http_status: envelope unparseable
-    assert(new String(rows2.head.get(7).asInstanceOf[Array[Byte]], "UTF-8") ==
+    assert(new String(rows2.head.get(8).asInstanceOf[Array[Byte]], "UTF-8") ==
       "totally not http")
+    // an unknown/illegal declared charset falls back to UTF-8, total:
+    // the decode never throws and the charset column keeps the claim
+    val weird = "body bytes here".getBytes("UTF-8")
+    val http3 = ("HTTP/1.1 200 X\r\n" +
+      "Content-Type: text/plain; charset=\"no such cs!\"\r\n\r\n").getBytes("US-ASCII") ++ weird
+    val rec3 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http3.length}\r\n\r\n").getBytes("UTF-8") ++
+      http3 ++ "\r\n\r\n".getBytes("UTF-8")
+    val rows3 = WarcOps.parseFile(8L, rec3)
+    assert(rows3.length == 1)
+    assert(rows3.head.getString(7) == "no such cs!") // charset as declared
+    assert(rows3.head.getString(9) == "body bytes here") // UTF-8 fallback decode
   }
 
   test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
     val ids = Seq(2L, 5L).toDF("doc_id")
     val recs = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, ids))
       .filter(col("warc_type") === "response")
-      .withColumn("payload_text", col("payload").cast("string"))
     val hosts = UrlOps.parseUrls(recs.withColumn("url", col("target_uri")))
       .select(col("doc_id"), col("host")).distinct()
       .as[(Long, String)].collect().toSet
