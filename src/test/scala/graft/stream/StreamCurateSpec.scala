@@ -91,6 +91,37 @@ class StreamCurateSpec extends SparkSpec {
     assert(out(13L).getAs[Long]("n_tail_dropped") == 0L)
   }
 
+  test("crawl-container to curated shard: parseWarc feeds the chain end to end") {
+    // the full production ingest: WARC files in, curated+flagged rows
+    // out — one WARC record per arriving page, the record's
+    // charset-decoded payload_text is exactly the chain's input column
+    import graft.ops.WarcOps
+    def record(uri: String, body: String): Array[Byte] = {
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n")
+        .getBytes("US-ASCII") ++ body.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val warc = record("http://a.example/good", s"<p>$goodBody</p>\n$footer\n$block") ++
+      record("http://a.example/junk", "xxxx yyyy zzzz qqqq")
+    val files = Seq((1L, warc)).toDF("doc_id", "warc")
+    val pages = WarcOps.parseWarc(spark, files)
+      .filter(col("warc_type") === "response")
+      .select((col("doc_id") * 100 + col("rec_index")).as("doc_id"),
+        col("payload_text").as("text"))
+    val out = StreamCurate.curate(pages, artifacts)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 2)
+    val good = out(100L)
+    assert(good.getAs[Boolean]("keep"))
+    assert(good.getAs[String]("text").contains("[CARD]"),
+      "the PAN inside the WARC payload must be scrubbed")
+    assert(!good.getAs[String]("text").contains(footer))
+    assert(good.getAs[Long]("n_dup_sentences") == 3L)
+    assert(!out(101L).getAs[Boolean]("keep"), "junk page drops on quality flags")
+  }
+
   test("batch and stream produce identical rows (the stateless contract)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val batch = StreamCurate.curate(arrivals, artifacts)
