@@ -373,22 +373,30 @@ object Bench {
           v > b * PinDriftThreshold * factor + PinJitterFloor) =>
         k -> v / pinnedSecs(k)
     }
+    // prior holds the PREVIOUS run's drift set: membership IS the
+    // "drifted last round" fact (its qualification was already
+    // contention-normalized there) — re-testing the stored raw ratio
+    // against the threshold would silently drop drifters that qualified
+    // under a fast-machine factor < 1
     val persistent = drifting.collect {
-      case (k, _) if prior.get(k).exists(_ > PinDriftThreshold) => k
+      case (k, _) if prior.contains(k) => k
     }
     (drifting, persistent)
   }
 
   /** The drift report's cross-run memory file: the previous run's DRIFT
-    * SET (the [[pinDriftReport]] output — contention-normalized,
-    * jitter-floored, so a round run under uniform contention or short-pin
-    * noise never poisons the next round's persistence check), written at
-    * the end of every bench run and committed with the round — the
-    * committed state IS the previous round's settled close. (The
-    * driver's own BENCH_r*.json files truncate the metric line and
-    * cannot serve.) Intra-round re-runs shift the comparison to "the
-    * previous run", which only makes persistence MORE sensitive — a
-    * drift that holds across two settled runs is the same signal. */
+    * SET — the [[pinDriftReport]] output, whose QUALIFICATION was
+    * contention-normalized and jitter-floored (so a round run under
+    * uniform contention or short-pin noise never poisons the next
+    * round's persistence check); stored VALUES are the raw secs/pin
+    * ratios for human reading, and membership alone carries the
+    * drifted-last-round fact. Written at the end of every bench run and
+    * committed with the round — the committed state IS the previous
+    * round's settled close. (The driver's own BENCH_r*.json files
+    * truncate the metric line and cannot serve.) Intra-round re-runs
+    * shift the comparison to "the previous run", which only makes
+    * persistence MORE sensitive — a drift that holds across two settled
+    * runs is the same signal. */
   val PriorRatiosFile = "BENCH_PRIOR.json"
 
   /** Previous run's per-query ratios — empty when absent/unparseable:
@@ -551,7 +559,7 @@ object Bench {
     // per-query ratios in the emitted JSON: the r9 lesson is that an
     // aggregate can absorb a 2x outlier — the per-query view cannot
     val ratioJson = perQueryRatios(results)
-      .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }.mkString("{", ",", "}")
+      .map { case (k, r) => "\"" + k + "\":" + num3(r) }.mkString("{", ",", "}")
     // soft pin-rot report (never gates — see the pinnedSecs policy
     // note): current drifters + the subset also over threshold in the
     // previous committed round's BENCH json
@@ -562,8 +570,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""vs_baseline_queries":$ratioJson,""" +
       s""""pin_drift":$driftJson,"pin_drift_persistent":$persistentJson,""" +
-      f""""vs_baseline":$vsBaseline%.3f,"run_factor":$runFactor%.2f,""" +
-      f""""pin_factor":$runPinFactor%.2f,"sf":"$sfDir"}""")
+      s""""vs_baseline":${num3(vsBaseline)},"run_factor":${num3(runFactor)},""" +
+      s""""pin_factor":${num3(runPinFactor)},"sf":"$sfDir"}""")
     persistent.foreach(q => System.err.println(s"[bench] PIN DRIFT (2 rounds): $q — " +
       "fix the regression or re-base the pin with evidence (Bench.pinnedSecs policy)"))
     // persist the normalized DRIFT SET, not raw ratios: a round run

@@ -91,15 +91,23 @@ object ArtifactProvenance {
     * guards use [[requireFresh]] explicitly). A corrupt or
     * partially-written stamp (a kill between create and close) also
     * reads `None` rather than poisoning every subsequent load with a
-    * parse exception — re-stamp to repair. */
-  def read(spark: SparkSession, dir: String): Option[Provenance] = scala.util.Try {
+    * parse exception — re-stamp to repair. Filesystem failures
+    * (DFS outage, permission denied) still PROPAGATE: an infrastructure
+    * error must not read as "no provenance recorded". */
+  def read(spark: SparkSession, dir: String): Option[Provenance] = {
     val path = new org.apache.hadoop.fs.Path(metaPath(dir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
     else {
-      val in = fs.open(path)
-      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      JsonMethods.parse(json) match {
+      // content CORRUPTION (a torn write fails the filesystem's checksum
+      // before we ever see bytes) degrades like a parse failure; other
+      // I/O errors (outage, permission) throw through
+      val json =
+        try {
+          val in = fs.open(path)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: org.apache.hadoop.fs.ChecksumException => "" }
+      scala.util.Try(JsonMethods.parse(json)).toOption.flatMap {
         case JObject(fields) =>
           val m = fields.toMap
           def str(k: String) = m.get(k).collect { case JString(s) => s }
@@ -114,7 +122,7 @@ object ArtifactProvenance {
         case _ => None
       }
     }
-  }.toOption.flatten
+  }
 
   /** [[stamp]] plus the corpus content snapshot the staleness check
     * diffs against: one `(doc_id, fingerprint)` row per corpus document

@@ -38,7 +38,11 @@ object WarcOps {
     * (lowercased, null when absent); `payload_text` is the body decoded
     * under that charset (UTF-8 when absent/unknown/unsupported,
     * malformed sequences replaced — decode is TOTAL like the rest of
-    * the parse). The decode seam matters: a crawl corpus is full of
+    * the parse) for TEXT-SHAPED content types only (the `text/` prefix,
+    * json/xml/javascript families, and spec-text non-http blocks) —
+    * image/video/binary bodies keep `payload_text` null rather than
+    * carrying a payload-sized replacement-char String through every
+    * downstream exchange. The decode seam matters: a crawl corpus is full of
     * latin-1/cp1252 pages, and decoding them as UTF-8 is exactly the
     * mojibake [[TextOps.fixMojibake]] exists to repair — honoring the
     * declared charset up front keeps repair for the pages that LIED. */
@@ -130,12 +134,22 @@ object WarcOps {
     parseHeaders(block, eol + 2).map { case (hs, bodyAt) =>
       val ctRaw = hs.get("content-type")
       val ct = ctRaw.map(_.split(";")(0).trim.toLowerCase)
-      // charset parameter (RFC 9110 §8.3): `; charset=utf-8`, name
-      // case-insensitive, optional quotes around the value
+      // charset parameter (RFC 9110 §8.3): `; charset=utf-8` — name
+      // case-insensitive, and the legacy-server forms the crawl actually
+      // contains are tolerated: whitespace around '=', single OR double
+      // quotes around the value (a missed parse here silently decodes
+      // latin-1 pages as UTF-8 mojibake, the exact failure this closes)
       val cs = ctRaw.flatMap(_.split(";").drop(1)
-        .map(_.trim).find(_.toLowerCase.startsWith("charset="))
-        .map(_.substring("charset=".length).trim.stripPrefix("\"")
-          .stripSuffix("\"").toLowerCase).filter(_.nonEmpty))
+        .map(_.split("=", 2)).collectFirst {
+          case Array(k, v) if k.trim.equalsIgnoreCase("charset") =>
+            val t = v.trim
+            val unq =
+              if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+                  (t.head == '\'' && t.last == '\'')))
+                t.substring(1, t.length - 1)
+              else t
+            unq.trim.toLowerCase
+        }.filter(_.nonEmpty))
       (parts(1).toLong, ct, cs,
         java.util.Arrays.copyOfRange(block, bodyAt, block.length))
     }
@@ -180,6 +194,21 @@ object WarcOps {
                 val http = if (isHttp) parseHttp(block) else None
                 val charset = http.flatMap(_._3)
                 val body = http.map(_._4).getOrElse(block)
+                // decode ONLY text-shaped payloads: a real crawl shard
+                // is majority image/video bodies, and an unconditional
+                // decode would carry a replacement-char String as large
+                // as the payload through every downstream exchange —
+                // binary content types keep payload_text null (the bytes
+                // stay in `payload` for the media operators). Non-http
+                // records (warcinfo/metadata warc-fields) are text by
+                // spec and decode as UTF-8.
+                val textish = http match {
+                  case None => true
+                  case Some(h) => h._2.exists(ct => ct.startsWith("text/") ||
+                    ct == "application/json" || ct == "application/xml" ||
+                    ct == "application/javascript" || ct == "application/xhtml+xml" ||
+                    ct.endsWith("+json") || ct.endsWith("+xml"))
+                }
                 out += Row(docId, idx,
                   hs.get("warc-type").map(_.toLowerCase).orNull,
                   hs.get("warc-target-uri").orNull,
@@ -188,7 +217,7 @@ object WarcOps {
                   http.flatMap(_._2).orNull,
                   charset.orNull,
                   body,
-                  new String(body, resolveCharset(charset)))
+                  if (textish) new String(body, resolveCharset(charset)) else null)
                 idx += 1
                 pos = blockAt + n.toInt
               case _ => ok = false // missing/invalid length or truncated block

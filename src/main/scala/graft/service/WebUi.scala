@@ -365,9 +365,12 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     * forms from a thread pool, and two simultaneous creates of the same
     * (id, version) would both pass a bare check-then-put — the second
     * silently overwriting the first, exactly what "creation never
-    * overwrites" forbids. One UI instance is the facade's only form
-    * entry, so an instance lock suffices (the GovernanceBackend
-    * reviewDraft/updateDraft precedent). */
+    * overwrites" forbids. SCOPE: this guards the FORM path of one
+    * facade (the GovernanceBackend reviewDraft/updateDraft precedent) —
+    * a concurrent direct `/contracts/put` (last-write-wins by design,
+    * the reference's `put_contract` too) or a second facade over the
+    * same store is governed by the store's own semantics, not this
+    * lock. */
   private val createLock = new Object
 
   /** Create a contract from submitted ODCS JSON — the reference's

@@ -118,6 +118,10 @@ object ScaleBudget {
       math.min(once(), once())
     }
 
+    // locale-pinned numbers: the f interpolator renders through the
+    // DEFAULT locale, and comma decimals would break the JSON line
+    def n(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     var breaches = List.empty[String]
     val parts = Bands.map { case (q, band) =>
       val t1 = time(q, srcDir)
@@ -125,7 +129,7 @@ object ScaleBudget {
       val ratio = t10 / t1
       if (ratio > band)
         breaches ::= f"$q ${ratio}%.1fx > ${band}%.1fx band"
-      f""""$q":{"t1":$t1%.3f,"t10":$t10%.3f,"ratio":$ratio%.2f,"band":$band%.1f}"""
+      s""""$q":{"t1":${n(t1)},"t10":${n(t10)},"ratio":${n(ratio)},"band":${n(band)}}"""
     }
     println(s"""{"metric":"scale10","replicas":10,""" +
       s""""queries":{${parts.mkString(",")}},"sf":"$srcDir"}""")

@@ -125,6 +125,39 @@ class WarcOpsSpec extends SparkSpec {
     assert(rows3.head.getString(9) == "body bytes here") // UTF-8 fallback decode
   }
 
+  test("charset forms legacy servers emit; binary payloads skip the text decode") {
+    def respRec(contentType: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n\r\n")
+        .getBytes("US-ASCII") ++ body
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val latin = ("caf" + 0xE9.toChar).getBytes("ISO-8859-1")
+    // whitespace around '=' and single quotes — both ubiquitous on
+    // legacy servers; missing them silently decodes latin-1 as mojibake
+    for (ct <- Seq("text/html; charset = iso-8859-1",
+                   "text/html; CHARSET='ISO-8859-1'",
+                   "text/html; charset=\"iso-8859-1\"")) {
+      val r = WarcOps.parseFile(1L, respRec(ct, latin)).head
+      assert(r.getString(7) == "iso-8859-1", s"charset from: $ct")
+      assert(r.getString(9) == "caf" + 0xE9.toChar, s"decode under: $ct")
+    }
+    // a binary content type keeps its bytes but skips the text decode —
+    // a jpeg body must not ride every exchange twice as replacement-char
+    // garbage (payload_text null, the media operators read `payload`)
+    val fakeJpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 7, 9)
+    val img = WarcOps.parseFile(2L, respRec("image/jpeg", fakeJpeg)).head
+    assert(img.getString(6) == "image/jpeg")
+    assert(java.util.Arrays.equals(img.get(8).asInstanceOf[Array[Byte]], fakeJpeg))
+    assert(img.getString(9) == null, "binary payloads carry no payload_text")
+    // json stays text-shaped
+    val js = WarcOps.parseFile(3L,
+      respRec("application/json", "{\"k\":1}".getBytes("UTF-8"))).head
+    assert(js.getString(9) == "{\"k\":1}")
+  }
+
   test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
     val ids = Seq(2L, 5L).toDF("doc_id")
     val recs = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, ids))
