@@ -657,6 +657,24 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       } else if (ex.getRequestMethod == "POST" && path == "/ui/draft-review") {
         gov.reviewDraft(p("id"), p("version"), p("approve").toBoolean)
         redirect(ex, "/ui/drafts")
+      } else if (ex.getRequestMethod == "POST" && path == "/ui/edit-contract") {
+        // edit-as-new-version (reference POST /contracts/{cid}/{ver}/edit):
+        // same error-round-trip shape as the create forms
+        val submitted = formBody(ex)("json")
+        ui.editContract(p("id"), p("version"), submitted) match {
+          case Right(c) => redirect(ex,
+            s"/ui/contract?id=${urlEnc(c.id)}&version=${urlEnc(c.version)}")
+          case Left(err) =>
+            ui.editContractPage(p("id"), p("version"), Some(submitted), Some(err)) match {
+              case None => respond(ex, 404, """{"error":"not found"}""")
+              case Some(h) =>
+                val bytes = h.getBytes(StandardCharsets.UTF_8)
+                ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+                ex.sendResponseHeaders(200, bytes.length)
+                ex.getResponseBody.write(bytes)
+                ex.close()
+            }
+        }
       } else if (ex.getRequestMethod == "POST" &&
           (path == "/ui/new-contract" || path == "/ui/new-product")) {
         // authoring create flows (reference POST /contracts/new and

@@ -222,7 +222,14 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     val verdicts =
       if (linked.isEmpty) ""
       else "<h2>recorded verdicts</h2>" + statusTable(linked)
-    page(s"Contract ${c.id}:${c.version}", meta + schema + servers + verdicts)
+    // released revisions edit into a NEW version; drafts edit in place
+    // through the review workspace
+    val editLink =
+      if (c.status.map(_.toLowerCase).contains("draft"))
+        s"""<p><a href="/ui/draft-edit?id=${enc(c.id)}&version=${enc(c.version)}">edit / review draft</a></p>"""
+      else
+        s"""<p><a href="/ui/edit-contract?id=${enc(c.id)}&version=${enc(c.version)}">edit as new version</a></p>"""
+    page(s"Contract ${c.id}:${c.version}", meta + schema + servers + verdicts + editLink)
   }
 
   private def statusTable(sts: Seq[DatasetStatus]): String =
@@ -394,6 +401,57 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         }
       }
 
+  /** The edit form's version seed — the reference's `_next_version`
+    * (`server.py:8269`): patch bump of the base (pre-release suffix
+    * tolerated and stripped by the bump); strings that are not semver
+    * at all pass through unchanged so bespoke schemes keep a working
+    * form. */
+  private def nextVersion(v: String): String =
+    graft.contracts.SemVer.tryParse(v).map(_.bump("patch").toString).getOrElse(v)
+
+  /** EDIT-as-new-version form (reference
+    * `GET /contracts/{cid}/{ver}/edit`, `server.py:9430-9448`):
+    * pre-filled with the stored revision's ODCS JSON, version seeded to
+    * the next patch — an edit of a RELEASED contract always mints a new
+    * version (draft revisions are edited in place through the
+    * draft workspace instead). `None` (→ 404) for an unknown base. */
+  def editContractPage(id: String, version: String,
+                       prefill: Option[String] = None,
+                       error: Option[String] = None): Option[String] =
+    contracts.get(id, version).map { base =>
+      val seed = prefill.getOrElse(graft.contracts.ContractJson.toJson(
+        base.copy(version = nextVersion(version))))
+      authoringForm(s"Edit contract $id (new version from $version)",
+        s"/ui/edit-contract?id=${enc(id)}&version=${enc(version)}", seed, error)
+    }
+
+  /** Apply an edit of `baseId:baseVersion` as a NEW version — the
+    * reference's `_validate_contract_payload(editing=True)` +
+    * put (`server.py:9081-9099`): the contract id cannot change while
+    * editing, the new version must parse, be STRICTLY greater than the
+    * base's release core, and not already be stored. Same
+    * error-round-trip shape as [[createContract]]. */
+  def editContract(baseId: String, baseVersion: String,
+                   json: String): Either[String, Contract] =
+    scala.util.Try(graft.contracts.ContractJson.fromJson(json)).toEither
+      .left.map(e => s"invalid contract JSON: ${e.getMessage}")
+      .flatMap { c =>
+        val base = graft.contracts.SemVer.tryParse(baseVersion)
+        val next = graft.contracts.SemVer.tryParse(c.version)
+        if (c.id != baseId) Left("contract id cannot be changed while editing")
+        else if (c.version.trim.isEmpty) Left("version is required")
+        else if (next.isEmpty) Left(s"not a semantic version: ${c.version}")
+        else if (base.exists(b => next.exists(n =>
+            Ordering[(Int, Int, Int)].compare(
+              (n.major, n.minor, n.patch), (b.major, b.minor, b.patch)) <= 0)))
+          Left(s"version ${c.version} must be greater than $baseVersion")
+        else createLock.synchronized {
+          if (contracts.get(c.id, c.version).nonEmpty)
+            Left(s"version ${c.version} is already stored for contract ${c.id}")
+          else { contracts.put(c); Right(c) }
+        }
+      }
+
   /** Create a data product from submitted ODPS JSON — same contract as
     * [[createContract]] over the product service; requires the service
     * (reference 503s without one). */
@@ -515,6 +573,11 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
       case "/ui/contracts" => Some(contractsPage())
       case "/ui/new-contract" => Some(newContractPage())
       case "/ui/new-product" => newProductPage()
+      case "/ui/edit-contract" =>
+        (params.get("id"), params.get("version")) match {
+          case (Some(id), Some(v)) => editContractPage(id, v)
+          case _ => None
+        }
       case "/ui/drafts" => Some(draftsPage())
       case "/ui/draft-edit" =>
         (params.get("id"), params.get("version")) match {

@@ -314,6 +314,46 @@ class WebUiSpec extends AnyFunSuite {
     assert(noProducts.createProduct(odps).left.exists(_.contains("no data-product")))
   }
 
+  test("edit-as-new-version: released contracts edit forward, never in place") {
+    val (store, gov, pb) = fixture() // sales.orders 1.0.0 active + 1.1.0-draft
+    val ui = new WebUi(store, gov, Some(pb))
+
+    // the detail page routes released revisions to the edit form and
+    // drafts to the workspace
+    assert(ui.contractPage("sales.orders", Some("1.0.0")).get
+      .contains("/ui/edit-contract?id=sales.orders&version=1.0.0"))
+    assert(ui.contractPage("sales.orders", Some("1.1.0-draft")).get
+      .contains("/ui/draft-edit?id=sales.orders"))
+
+    // the form pre-fills the stored revision with the NEXT patch version
+    val form = ui.editContractPage("sales.orders", "1.0.0").get
+    assert(form.contains("1.0.1") && form.contains("o_orderkey"))
+    assert(ui.editContractPage("nope", "1.0.0").isEmpty)
+
+    // a valid edit mints the new version; the base stays untouched
+    val edited = graft.contracts.ContractJson.toJson(
+      contract.copy(version = "1.0.1", description = Some("edited forward")))
+    assert(ui.editContract("sales.orders", "1.0.0", edited).isRight)
+    assert(store.get("sales.orders", "1.0.1").exists(
+      _.description.contains("edited forward")))
+    assert(store.get("sales.orders", "1.0.0").exists(
+      _.description != Some("edited forward")), "the base revision is immutable")
+
+    // the reference's editing=True gates: id pinned, version strictly
+    // greater than the base, no overwrite of a stored version
+    assert(ui.editContract("sales.orders", "1.0.0",
+      edited.replace("sales.orders", "evil.id"))
+      .left.exists(_.contains("cannot be changed")))
+    assert(ui.editContract("sales.orders", "1.0.0",
+      graft.contracts.ContractJson.toJson(contract.copy(version = "1.0.0")))
+      .left.exists(_.contains("must be greater")))
+    assert(ui.editContract("sales.orders", "1.0.0",
+      graft.contracts.ContractJson.toJson(contract.copy(version = "0.9.0")))
+      .left.exists(_.contains("must be greater")))
+    assert(ui.editContract("sales.orders", "1.0.0", edited)
+      .left.exists(_.contains("already stored")))
+  }
+
   test("authoring form routes over the facade: 303 on success, error re-render keeps the text") {
     val (store, gov, pb) = fixture()
     val client = HttpClient.newHttpClient()
@@ -344,6 +384,16 @@ class WebUiSpec extends AnyFunSuite {
       assert(dup.statusCode() == 200)
       assert(dup.body().contains("already has a version"))
       assert(dup.body().contains("ops.events"), "the operator's text must survive")
+      // edit-as-new-version over the wire: 303 to the minted revision
+      val forward = postForm("/ui/edit-contract?id=ops.events&version=1.0.0",
+        Map("json" -> odcs.replace("\"1.0.0\"", "\"1.0.1\"")))
+      assert(forward.statusCode() == 303 &&
+        store.get("ops.events", "1.0.1").nonEmpty)
+      // an in-place overwrite attempt re-renders with the gate message
+      val inPlace = postForm("/ui/edit-contract?id=ops.events&version=1.0.0",
+        Map("json" -> odcs))
+      assert(inPlace.statusCode() == 200 &&
+        inPlace.body().contains("must be greater"))
       // product create over the wire
       val odps = graft.products.DataProductJson.toJson(
         graft.products.DataProduct(id = "dp.events", version = Some("0.1.0")))
