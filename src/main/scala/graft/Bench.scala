@@ -420,7 +420,7 @@ object Bench {
     * the DEFAULT locale, and a comma-decimal locale would emit invalid
     * JSON that [[priorRatios]]' Try then silently swallows forever —
     * the persistence feature dead with no error. */
-  private def num3(r: Double): String =
+  private[graft] def num3(r: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))
 
   /** Persist this run's DRIFT SET for the next run's persistence

@@ -100,13 +100,18 @@ object ArtifactProvenance {
     if (!fs.exists(path)) None
     else {
       // content CORRUPTION (a torn write fails the filesystem's checksum
-      // before we ever see bytes) degrades like a parse failure; other
-      // I/O errors (outage, permission) throw through
+      // before we ever see bytes) degrades like a parse failure, and a
+      // file deleted between exists and open (a concurrent re-stamp's
+      // delete-then-create window) is by definition "no provenance
+      // recorded"; other I/O errors (outage, permission) throw through
       val json =
         try {
           val in = fs.open(path)
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        } catch { case _: org.apache.hadoop.fs.ChecksumException => "" }
+        } catch {
+          case _: org.apache.hadoop.fs.ChecksumException => ""
+          case _: java.io.FileNotFoundException => ""
+        }
       scala.util.Try(JsonMethods.parse(json)).toOption.flatMap {
         case JObject(fields) =>
           val m = fields.toMap

@@ -199,16 +199,20 @@ object WarcOps {
                 // decode would carry a replacement-char String as large
                 // as the payload through every downstream exchange —
                 // binary content types keep payload_text null (the bytes
-                // stay in `payload` for the media operators). Non-http
-                // records (warcinfo/metadata warc-fields) are text by
-                // spec and decode as UTF-8.
-                val textish = http match {
-                  case None => true
-                  case Some(h) => h._2.exists(ct => ct.startsWith("text/") ||
-                    ct == "application/json" || ct == "application/xml" ||
-                    ct == "application/javascript" || ct == "application/xhtml+xml" ||
-                    ct.endsWith("+json") || ct.endsWith("+xml"))
-                }
+                // stay in `payload` for the media operators). An ABSENT
+                // type reads as text (legacy servers omit Content-Type
+                // on html constantly; wget's resource records omit it on
+                // text too) — only a POSITIVE binary claim or a damaged
+                // http envelope (type unknowable) skips the decode.
+                def textType(ct: Option[String]): Boolean = ct.forall(c =>
+                  c.startsWith("text/") || c == "application/warc-fields" ||
+                    c == "application/json" || c == "application/xml" ||
+                    c == "application/javascript" || c == "application/xhtml+xml" ||
+                    c.endsWith("+json") || c.endsWith("+xml"))
+                val textish =
+                  if (isHttp) http.exists(h => textType(h._2))
+                  else textType(hs.get("content-type")
+                    .map(_.split(";")(0).trim.toLowerCase))
                 out += Row(docId, idx,
                   hs.get("warc-type").map(_.toLowerCase).orNull,
                   hs.get("warc-target-uri").orNull,

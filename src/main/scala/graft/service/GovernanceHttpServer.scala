@@ -154,6 +154,14 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     ex.close()
   }
 
+  private def respondHtml(ex: HttpExchange, html: String): Unit = {
+    val bytes = html.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
@@ -667,12 +675,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           case Left(err) =>
             ui.editContractPage(p("id"), p("version"), Some(submitted), Some(err)) match {
               case None => respond(ex, 404, """{"error":"not found"}""")
-              case Some(h) =>
-                val bytes = h.getBytes(StandardCharsets.UTF_8)
-                ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-                ex.sendResponseHeaders(200, bytes.length)
-                ex.getResponseBody.write(bytes)
-                ex.close()
+              case Some(h) => respondHtml(ex, h)
             }
         }
       } else if (ex.getRequestMethod == "POST" &&
@@ -700,21 +703,11 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
               else ui.newProductPage(Some(submitted), Some(err))
             html match {
               case None => respond(ex, 404, """{"error":"not found"}""")
-              case Some(h) =>
-                val bytes = h.getBytes(StandardCharsets.UTF_8)
-                ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-                ex.sendResponseHeaders(200, bytes.length)
-                ex.getResponseBody.write(bytes)
-                ex.close()
+              case Some(h) => respondHtml(ex, h)
             }
         }
       } else ui.render(ex.getRequestURI.getPath, p) match {
-        case Some(html) =>
-          val bytes = html.getBytes(StandardCharsets.UTF_8)
-          ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-          ex.sendResponseHeaders(200, bytes.length)
-          ex.getResponseBody.write(bytes)
-          ex.close()
+        case Some(html) => respondHtml(ex, html)
         case None => respond(ex, 404, """{"error":"not found"}""")
       }
     })

@@ -386,20 +386,26 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     * (id, version) is refused (creation never overwrites — edits go
     * through the draft workspace). `Left(message)` for the form to
     * re-render; `Right(contract)` after the store accepted it. */
+  /** The validation tail every contract-authoring path shares (id
+    * present, version present and semver, no overwrite of a stored
+    * (id, version), put under [[createLock]]) — ONE copy, so a gate
+    * added here reaches create and edit alike. */
+  private def validateAndStore(c: Contract,
+                               duplicateMsg: Contract => String): Either[String, Contract] =
+    if (c.id.trim.isEmpty) Left("contract id is required")
+    else if (c.version.trim.isEmpty) Left("version is required")
+    else if (graft.contracts.SemVer.tryParse(c.version).isEmpty)
+      Left(s"not a semantic version: ${c.version}")
+    else createLock.synchronized {
+      if (contracts.get(c.id, c.version).nonEmpty) Left(duplicateMsg(c))
+      else { contracts.put(c); Right(c) }
+    }
+
   def createContract(json: String): Either[String, Contract] =
     scala.util.Try(graft.contracts.ContractJson.fromJson(json)).toEither
       .left.map(e => s"invalid contract JSON: ${e.getMessage}")
-      .flatMap { c =>
-        if (c.id.trim.isEmpty) Left("contract id is required")
-        else if (c.version.trim.isEmpty) Left("version is required")
-        else if (graft.contracts.SemVer.tryParse(c.version).isEmpty)
-          Left(s"not a semantic version: ${c.version}")
-        else createLock.synchronized {
-          if (contracts.get(c.id, c.version).nonEmpty)
-            Left(s"contract ${c.id} already has a version ${c.version}")
-          else { contracts.put(c); Right(c) }
-        }
-      }
+      .flatMap(validateAndStore(_,
+        c => s"contract ${c.id} already has a version ${c.version}"))
 
   /** The edit form's version seed — the reference's `_next_version`
     * (`server.py:8269`): patch bump of the base (pre-release suffix
@@ -433,24 +439,27 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     * error-round-trip shape as [[createContract]]. */
   def editContract(baseId: String, baseVersion: String,
                    json: String): Either[String, Contract] =
-    scala.util.Try(graft.contracts.ContractJson.fromJson(json)).toEither
-      .left.map(e => s"invalid contract JSON: ${e.getMessage}")
-      .flatMap { c =>
-        val base = graft.contracts.SemVer.tryParse(baseVersion)
-        val next = graft.contracts.SemVer.tryParse(c.version)
-        if (c.id != baseId) Left("contract id cannot be changed while editing")
-        else if (c.version.trim.isEmpty) Left("version is required")
-        else if (next.isEmpty) Left(s"not a semantic version: ${c.version}")
-        else if (base.exists(b => next.exists(n =>
-            Ordering[(Int, Int, Int)].compare(
-              (n.major, n.minor, n.patch), (b.major, b.minor, b.patch)) <= 0)))
-          Left(s"version ${c.version} must be greater than $baseVersion")
-        else createLock.synchronized {
-          if (contracts.get(c.id, c.version).nonEmpty)
-            Left(s"version ${c.version} is already stored for contract ${c.id}")
-          else { contracts.put(c); Right(c) }
-        }
-      }
+    contracts.get(baseId, baseVersion) match {
+      case None => Left(s"unknown base revision $baseId:$baseVersion")
+      // a draft has a review workflow of its own — minting a released
+      // revision from an unapproved draft would bypass it
+      case Some(b) if b.status.map(_.toLowerCase).contains("draft") =>
+        Left("draft revisions are edited in place through the draft workspace")
+      case Some(_) =>
+        scala.util.Try(graft.contracts.ContractJson.fromJson(json)).toEither
+          .left.map(e => s"invalid contract JSON: ${e.getMessage}")
+          .flatMap { c =>
+            val base = graft.contracts.SemVer.tryParse(baseVersion)
+            val next = graft.contracts.SemVer.tryParse(c.version)
+            if (c.id != baseId) Left("contract id cannot be changed while editing")
+            // FULL semver order (release > pre-release), not just the
+            // release core: promoting 2.0.0-rc.1 to 2.0.0 is a legal edit
+            else if (base.exists(b => next.exists(_ <= b)))
+              Left(s"version ${c.version} must be greater than $baseVersion")
+            else validateAndStore(c,
+              c2 => s"version ${c2.version} is already stored for contract ${c2.id}")
+          }
+    }
 
   /** Create a data product from submitted ODPS JSON — same contract as
     * [[createContract]] over the product service; requires the service

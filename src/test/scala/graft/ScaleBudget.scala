@@ -118,10 +118,10 @@ object ScaleBudget {
       math.min(once(), once())
     }
 
-    // locale-pinned numbers: the f interpolator renders through the
-    // DEFAULT locale, and comma decimals would break the JSON line
-    def n(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // locale-pinned numbers (Bench owns the one formatter — the f
+    // interpolator renders through the DEFAULT locale and comma
+    // decimals would break the JSON line)
+    def n(v: Double): String = Bench.num3(v)
     var breaches = List.empty[String]
     val parts = Bands.map { case (q, band) =>
       val t1 = time(q, srcDir)

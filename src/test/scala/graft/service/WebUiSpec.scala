@@ -352,6 +352,27 @@ class WebUiSpec extends AnyFunSuite {
       .left.exists(_.contains("must be greater")))
     assert(ui.editContract("sales.orders", "1.0.0", edited)
       .left.exists(_.contains("already stored")))
+
+    // the base must EXIST, and a draft base is routed to its own
+    // workflow (minting a released revision from an unapproved draft
+    // would bypass review)
+    assert(ui.editContract("nope", "1.0.0", edited)
+      .left.exists(_.contains("unknown base revision")))
+    assert(ui.editContract("sales.orders", "1.1.0-draft",
+      graft.contracts.ContractJson.toJson(contract.copy(version = "1.2.0")))
+      .left.exists(_.contains("draft workspace")))
+    // a blank id cannot sneak through the edit path either (the shared
+    // validation tail carries createContract's gate)
+    assert(ui.editContract(" ", "1.0.0", edited) // base " " doesn't exist
+      .left.exists(_.contains("unknown base revision")))
+
+    // FULL semver order: promoting a pre-release base to its release
+    // version is a legal edit (release > pre-release), and the release
+    // number is not skipped
+    store.put(contract.copy(version = "2.0.0-rc.1", status = Some("active")))
+    assert(ui.editContract("sales.orders", "2.0.0-rc.1",
+      graft.contracts.ContractJson.toJson(contract.copy(version = "2.0.0"))).isRight)
+    assert(store.get("sales.orders", "2.0.0").nonEmpty)
   }
 
   test("authoring form routes over the facade: 303 on success, error re-render keeps the text") {
