@@ -32,7 +32,17 @@ class ArtifactProvenanceSpec extends SparkSpec {
       "lm" -> (d => LmIndex.build(corpus, d, minCount = 1)),
       "bm25" -> (d => BmIndex.build(corpus, d)),
       "kmv" -> (d => SketchIndex.buildKmv(corpus, "source", "text", d)),
-      "bpe" -> (d => BpeIndex.build(corpus, d, nMerges = 4)))
+      "bpe" -> (d => BpeIndex.build(corpus, d, nMerges = 4)),
+      // the persisted Hamming index is a banded parquet frame rather
+      // than an object with a build method — the stamp is
+      // directory-shaped, so it rides along identically
+      "hamming" -> { d =>
+        import org.apache.spark.sql.functions._
+        NearDup.hammingIndex(
+          corpus.select(col("doc_id"), xxhash64(col("text")).as("h")),
+          maxHamming = 3, hashCol = "h")
+          .write.mode("overwrite").parquet(s"$d/data")
+      })
     builds.foreach { case (kind, build) =>
       val dir = s"$root/$kind"
       build(dir)
