@@ -73,6 +73,14 @@ object WarcOps {
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
+  /** Media type sans parameters, total: `"; charset=x"` and the damaged
+    * `";"` both yield their (possibly empty) main type — Java's
+    * `";".split(";")` returns an EMPTY array (trailing empties
+    * stripped), so a bare `(0)` index would crash the parse on one
+    * damaged header. */
+  private def mainType(ct: String): String =
+    ct.takeWhile(_ != ';').trim.toLowerCase
+
   /** Index of the next CRLF at or after `from`, or -1. */
   private def findCrlf(b: Array[Byte], from: Int): Int = {
     var i = from
@@ -133,7 +141,7 @@ object WarcOps {
       return None
     parseHeaders(block, eol + 2).map { case (hs, bodyAt) =>
       val ctRaw = hs.get("content-type")
-      val ct = ctRaw.map(_.split(";")(0).trim.toLowerCase)
+      val ct = ctRaw.map(mainType)
       // charset parameter (RFC 9110 §8.3): `; charset=utf-8` — name
       // case-insensitive, and the legacy-server forms the crawl actually
       // contains are tolerated: whitespace around '=', single OR double
@@ -211,8 +219,7 @@ object WarcOps {
                     c.endsWith("+json") || c.endsWith("+xml"))
                 val textish =
                   if (isHttp) http.exists(h => textType(h._2))
-                  else textType(hs.get("content-type")
-                    .map(_.split(";")(0).trim.toLowerCase))
+                  else textType(hs.get("content-type").map(mainType))
                 out += Row(docId, idx,
                   hs.get("warc-type").map(_.toLowerCase).orNull,
                   hs.get("warc-target-uri").orNull,

@@ -346,13 +346,14 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
       |}""".stripMargin
 
   private def authoringForm(title: String, action: String, prefill: String,
-                            error: Option[String]): String =
+                            error: Option[String],
+                            button: String = "Create"): String =
     page(title,
       error.fold("")(e => s"""<p class="block">${esc(e)}</p>\n""") +
         "<form method=\"post\" action=\"" + action + "\">\n" +
         "<textarea name=\"json\" rows=\"24\" cols=\"100\">" + esc(prefill) +
         "</textarea><br>\n" +
-        "<button type=\"submit\">Create</button>\n</form>")
+        "<button type=\"submit\">" + esc(button) + "</button>\n</form>")
 
   /** The new-contract form; re-rendered with the operator's text and the
     * validation error on a failed submit. */
@@ -410,8 +411,10 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
   /** The edit form's version seed — the reference's `_next_version`
     * (`server.py:8269`): patch bump of the base (pre-release suffix
     * tolerated and stripped by the bump); strings that are not semver
-    * at all pass through unchanged so bespoke schemes keep a working
-    * form. */
+    * at all pass through unchanged — the FORM still renders for a
+    * bespoke-versioned base, but storing requires the operator to pick
+    * a semver (the create/edit gates are semver-only, like the
+    * reference's). */
   private def nextVersion(v: String): String =
     graft.contracts.SemVer.tryParse(v).map(_.bump("patch").toString).getOrElse(v)
 
@@ -424,12 +427,18 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
   def editContractPage(id: String, version: String,
                        prefill: Option[String] = None,
                        error: Option[String] = None): Option[String] =
-    contracts.get(id, version).map { base =>
-      val seed = prefill.getOrElse(graft.contracts.ContractJson.toJson(
-        base.copy(version = nextVersion(version))))
-      authoringForm(s"Edit contract $id (new version from $version)",
-        s"/ui/edit-contract?id=${enc(id)}&version=${enc(version)}", seed, error)
-    }
+    contracts.get(id, version)
+      // drafts edit in place through the review workspace — rendering a
+      // form here would be a dead end (editContract refuses every
+      // submit), so the draft base 404s like an unknown one
+      .filterNot(_.status.map(_.toLowerCase).contains("draft"))
+      .map { base =>
+        val seed = prefill.getOrElse(graft.contracts.ContractJson.toJson(
+          base.copy(version = nextVersion(version))))
+        authoringForm(s"Edit contract $id (new version from $version)",
+          s"/ui/edit-contract?id=${enc(id)}&version=${enc(version)}", seed, error,
+          button = "Create new version")
+      }
 
   /** Apply an edit of `baseId:baseVersion` as a NEW version — the
     * reference's `_validate_contract_payload(editing=True)` +

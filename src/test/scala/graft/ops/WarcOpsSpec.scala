@@ -57,6 +57,19 @@ class WarcOpsSpec extends SparkSpec {
     val truncated = WarcOps.parseFile(3L, whole.take(whole.length - 30))
     assert(truncated.length < full.length, "the truncated record must not surface")
     assert(truncated.map(_.get(2)) == full.take(truncated.length).map(_.get(2)))
+    // a semicolon-only Content-Type (Java's ";".split(";") is an EMPTY
+    // array) must not crash the type normalization on either path
+    val semiBlock = "some bytes".getBytes("UTF-8")
+    val semiRec = ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Type: ;\r\n" +
+      s"Content-Length: ${semiBlock.length}\r\n\r\n").getBytes("UTF-8") ++
+      semiBlock ++ "\r\n\r\n".getBytes("UTF-8")
+    assert(WarcOps.parseFile(5L, semiRec).length == 1)
+    val semiHttp = ("HTTP/1.1 200 X\r\nContent-Type: ;\r\n\r\nbody").getBytes("US-ASCII")
+    val semiRec2 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${semiHttp.length}\r\n\r\n").getBytes("UTF-8") ++
+      semiHttp ++ "\r\n\r\n".getBytes("UTF-8")
+    assert(WarcOps.parseFile(5L, semiRec2).length == 1)
     // a declared Content-Length past EOF stops cleanly too
     val lied = ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 99999\r\n\r\nshort"
       ).getBytes("UTF-8")

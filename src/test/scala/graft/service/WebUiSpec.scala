@@ -328,7 +328,11 @@ class WebUiSpec extends AnyFunSuite {
     // the form pre-fills the stored revision with the NEXT patch version
     val form = ui.editContractPage("sales.orders", "1.0.0").get
     assert(form.contains("1.0.1") && form.contains("o_orderkey"))
+    assert(form.contains("Create new version"), "the edit form's action is labeled")
     assert(ui.editContractPage("nope", "1.0.0").isEmpty)
+    // a draft base 404s here too — rendering a form every submit refuses
+    // would be a dead end; drafts edit through the review workspace
+    assert(ui.editContractPage("sales.orders", "1.1.0-draft").isEmpty)
 
     // a valid edit mints the new version; the base stays untouched
     val edited = graft.contracts.ContractJson.toJson(
