@@ -163,16 +163,35 @@ object WarcOps {
     }
   }
 
+  /** Decompress as much of a (possibly multi-member) gzip stream as the
+    * bytes support: chunks decoded BEFORE an `IOException` (truncation
+    * mid-member, a corrupt later member) are kept, so a damaged
+    * `.warc.gz` degrades exactly like a damaged plain file — the records
+    * from intact earlier gzip members still surface, instead of the
+    * whole shard vanishing because the tail was cut. `readAllBytes()`
+    * would throw away its partial buffer on that same exception. */
+  private[ops] def gunzipPrefix(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 3))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () } // damaged tail: keep the decoded prefix
+    out.toByteArray
+  }
+
   /** All records of one WARC file (plain or gzip — sniffed on the
     * 0x1f8b magic), in file order. Total: damage yields the records
-    * parsed before the damage point. */
+    * parsed before the damage point, on BOTH the plain and gzip paths
+    * (a truncated gzip member keeps earlier members' records via
+    * [[gunzipPrefix]]). */
   private[ops] def parseFile(docId: Long, bytes: Array[Byte]): Seq[Row] = {
     if (bytes == null || bytes.length == 0) return Nil
     val b =
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
-        try new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes)).readAllBytes()
-        catch { case _: java.io.IOException => return Nil } // corrupt gzip: total
+        gunzipPrefix(bytes)
       else bytes
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var pos = 0

@@ -260,6 +260,24 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     }
   }
 
+  /** [[handler]] variant for state-changing routes: any method but POST
+    * is answered 405 before the route body runs. The [[sameOrigin]] CSRF
+    * guard only ever sees browser provenance headers on non-GET requests
+    * — a cross-site `<img>`/`<a>` GET carries NO `Origin` header at all —
+    * so a mutator reachable via GET would bypass the guard entirely
+    * (e.g. `<img src=".../governance/review-draft?...&approve=true">`
+    * approving a draft from a foreign page). Requiring POST closes that
+    * hole and matches the documented route contracts ("POST
+    * /governance/review-draft", "POST /products/review"). */
+  private def mutator(f: (HttpExchange, Map[String, String]) => Unit)
+      : com.sun.net.httpserver.HttpHandler = handler { (ex, p) =>
+    if (ex.getRequestMethod != "POST") {
+      ex.getResponseHeaders.set("Allow", "POST")
+      respond(ex, 405,
+        """{"error":"method not allowed: state-changing route requires POST"}""")
+    } else f(ex, p)
+  }
+
   /** Bind and start; returns the bound port (an ephemeral one for
     * `port = 0`, the spec-friendly default). */
   def start(): Int = synchronized {
@@ -283,7 +301,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
         case None => respond(ex, 404, """{"error":"not found"}""")
       }
     })
-    s.createContext("/contracts/put", handler { (ex, _) =>
+    s.createContext("/contracts/put", mutator { (ex, _) =>
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       contracts.put(ContractJson.fromJson(body))
       respond(ex, 204, "")
@@ -409,7 +427,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     // RECORDED against the (dataset, version), and a draft contract
     // proposed from the feedback when the outcome warrants one — all
     // from one request, no data movement
-    s.createContext("/governance/evaluate", handler { (ex, p) =>
+    s.createContext("/governance/evaluate", mutator { (ex, p) =>
       val fields = jsonBody(ex)
       val eval = gov.evaluateAndRecord(p("dataset"), p("version"),
         decodeContract(fields), decodeSchema(fields), decodeMetrics(fields))
@@ -422,7 +440,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
       respond(ex, 200, jsonIds("versions",
         gov.listDrafts(p("contractId")).map(_.version)))
     })
-    s.createContext("/governance/review-draft", handler { (ex, p) =>
+    s.createContext("/governance/review-draft", mutator { (ex, p) =>
       val reviewed = gov.reviewDraft(p("contractId"), p("version"),
         p("approve").toBoolean)
       respond(ex, 200, ContractJson.toJson(reviewed))
@@ -497,7 +515,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
     // draft EDITING (reference contracts-app draft workspace): body is
     // the edited ODCS JSON; id/version/status are pinned server-side —
     // see GovernanceService.updateDraft
-    s.createContext("/governance/update-draft", handler { (ex, p) =>
+    s.createContext("/governance/update-draft", mutator { (ex, p) =>
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val stored = gov.updateDraft(p("contractId"), p("version"),
         ContractJson.fromJson(body))
@@ -569,7 +587,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           case None => respond(ex, 404, """{"error":"not found"}""")
         }
       })
-      s.createContext("/products/put", handler { (ex, _) =>
+      s.createContext("/products/put", mutator { (ex, _) =>
         pb.put(DataProductJson.fromJson(body(ex)))
         respond(ex, 204, "")
       })
@@ -599,7 +617,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
             (m("port"), props)
           case other => (other, Map.empty)
         }
-      s.createContext("/products/register-input", handler { (ex, p) =>
+      s.createContext("/products/register-input", mutator { (ex, p) =>
         val (portJson, props) = portBody(ex)
         val r = pb.registerInputPort(p("id"),
           DataProductJson.inputPortFromJValue(portJson),
@@ -609,7 +627,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           sourceOutputPort = p.get("sourceOutputPort"))
         respond(ex, 200, registrationJson(r))
       })
-      s.createContext("/products/register-output", handler { (ex, p) =>
+      s.createContext("/products/register-output", mutator { (ex, p) =>
         val (portJson, props) = portBody(ex)
         val r = pb.registerOutputPort(p("id"),
           DataProductJson.outputPortFromJValue(portJson),
@@ -617,7 +635,7 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           customProperties = props)
         respond(ex, 200, registrationJson(r))
       })
-      s.createContext("/products/review", handler { (ex, p) =>
+      s.createContext("/products/review", mutator { (ex, p) =>
         val reviewed = pb.reviewDraft(p("id"), p("version"), p("approve").toBoolean)
         respond(ex, 200, DataProductJson.toJson(reviewed))
       })

@@ -90,6 +90,25 @@ class WarcOpsSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.get(5) == null)
   }
 
+  test("gzip truncation keeps records from intact earlier members (totality parity with plain)") {
+    // doc 2: gzipped one-member-per-record, 1 + 2%3 = 3 responses + warcinfo
+    val whole = WarcOps.syntheticWarc(2L)
+    val full = WarcOps.parseFile(2L, whole)
+    assert(full.length == 4)
+    // EVERY truncation point yields a clean record PREFIX — the same
+    // totality contract the plain path sweeps — and the sweep must pass
+    // through intermediate counts: cuts inside a later member keep the
+    // intact earlier members' records (readAllBytes discarded everything)
+    val counts = (1 until whole.length).map { cut =>
+      val rows = WarcOps.parseFile(2L, whole.take(cut))
+      assert(rows.map(_.get(3)) == full.take(rows.length).map(_.get(3)), s"cut=$cut")
+      rows.length
+    }
+    for (k <- 1 until full.length)
+      assert(counts.contains(k),
+        s"some cut must keep exactly $k intact-member records")
+  }
+
   test("spec tolerances: header case, line folding, non-http blocks, unparseable http") {
     // lowercased header names, a folded WARC header value, and a
     // resource (non-http) record whose payload is the raw block

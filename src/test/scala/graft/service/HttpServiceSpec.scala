@@ -150,6 +150,47 @@ class HttpServiceSpec extends SparkSpec {
     }
   }
 
+  test("state-changing routes refuse non-POST (405): a cross-site GET cannot mutate") {
+    // the CSRF guard never sees a provenance header on a cross-site
+    // <img>/<a> GET (browsers attach Origin only to non-GET requests), so
+    // a mutator reachable via GET would bypass it entirely — the server
+    // must 405 the method before the route body runs
+    val root = tmpDir("graft_http_405")
+    val store = new FsContractStore(s"$root/contracts")
+    val gov = new GovernanceBackend(s"$root/governance", Some(store))
+    val pb = new graft.products.DataProductBackend(s"$root/products")
+    val server = new GovernanceHttpServer(store, gov, products = Some(pb))
+    val port = server.start()
+    val url = s"http://127.0.0.1:$port"
+    try {
+      // seed a draft so an approve-by-GET would have something to approve
+      val draft = DemoContracts.lineitem.copy(version = "1.3.0-draft")
+      store.put(draft)
+      val (sc, body) = getJson(s"$url/governance/review-draft" +
+        s"?contractId=${DemoContracts.lineitem.id}&version=1.3.0-draft&approve=true")
+      assert(sc == 405 && body.contains("requires POST"), s"$sc $body")
+      // the draft is untouched: not promoted, still listed as a draft
+      assert(store.get(draft.id, "1.3.0-draft").nonEmpty)
+      assert(store.get(draft.id, "1.3.0").isEmpty, "GET must not approve")
+
+      val (pc, _) = post(s"$url/products/register-output?id=dp.g",
+        """{"name":"gold","version":"1.0.0","contractId":"sales.orders"}""")
+      assert(pc == 200)
+      assert(getJson(s"$url/products/review?id=dp.g&version=0.1.0-draft&approve=true")._1 == 405)
+      assert(getJson(s"$url/products/get?id=dp.g&version=0.1.0-draft")._1 == 200,
+        "GET review must not consume/promote the draft")
+
+      // body-carrying mutators refuse GET too
+      for (path <- Seq("/contracts/put", "/governance/update-draft?contractId=x&version=y",
+          "/governance/evaluate?dataset=d&version=v", "/products/put",
+          "/products/register-input?id=dp.g", "/products/register-output?id=dp.g"))
+        assert(getJson(s"$url$path")._1 == 405, path)
+      // read routes still answer GET
+      assert(getJson(s"$url/contracts")._1 == 200)
+      assert(getJson(s"$url/governance/link?dataset=none")._1 == 404) // read side of link
+    } finally server.stop()
+  }
+
   test("data-product family served over HTTP: register, review, resolve, page") {
     val root = tmpDir("graft_http_products")
     val store = new FsContractStore(s"$root/contracts")
