@@ -41,6 +41,59 @@ object ArtifactProvenance {
                               datasetVersion: String, operation: String,
                               builtAt: Long)
 
+  /** Opt-in provenance directive a builder threads to its save path —
+    * the production wiring of [[stamp]]/[[stampWithSnapshot]]: which
+    * corpus dataset/version the artifact is built from, the governance
+    * backend the activity event lands in, and (when `snapshot` is set)
+    * the corpus frame whose per-document fingerprints enable probe-time
+    * [[requireFresh]] checks. `idCol`/`textCol` name the snapshot
+    * frame's identity and content columns — probe-side `freshAgainst`
+    * frames must present the SAME columns (the fingerprints must be
+    * computed over the same content on both sides). */
+  final case class Target(datasetId: String, datasetVersion: String,
+                          governance: Option[GovernanceBackend] = None,
+                          snapshot: Option[DataFrame] = None,
+                          idCol: String = "doc_id", textCol: String = "text")
+
+  /** The single hook artifact builders call after their data write: a
+    * `None` target is a no-op (provenance stays opt-in and additive), a
+    * `Some` stamps `provenance.json` + the governance activity event,
+    * plus the staleness snapshot when the target carries one. */
+  def stampArtifact(spark: SparkSession, dir: String, artifactKind: String,
+                    operation: String, target: Option[Target]): Unit =
+    target.foreach { t =>
+      t.snapshot match {
+        case Some(c) =>
+          stampWithSnapshot(spark, dir, artifactKind, t.datasetId,
+            t.datasetVersion, c, operation, t.governance, t.idCol, t.textCol)
+        case None =>
+          stamp(spark, dir, artifactKind, t.datasetId, t.datasetVersion,
+            operation, t.governance)
+      }
+      ()
+    }
+
+  /** Probe-side hook: when a probe entry point is given a `freshAgainst`
+    * corpus, require the artifact's stamped snapshot to match it exactly
+    * ([[requireFresh]] with zero tolerance — callers wanting a drift
+    * budget call `requireFresh` directly). `None` keeps probes on their
+    * historical no-check behavior. The frame must be shaped like the
+    * snapshot the artifact was stamped with (same `idCol`/`textCol`). */
+  def checkFresh(spark: SparkSession, dir: String,
+                 freshAgainst: Option[DataFrame],
+                 idCol: String = "doc_id", textCol: String = "text"): Unit =
+    freshAgainst.foreach(c => requireFresh(spark, dir, c, 0, idCol, textCol))
+
+  /** A `(doc_id, text)`-shaped snapshot frame for VECTOR corpora: each
+    * embedding rendered as a stable string, so the same text-fingerprint
+    * staleness semantics cover the non-text artifacts ([[IvfIndex]]).
+    * Use the SAME rendering at stamp time (`Target.snapshot`) and probe
+    * time (`freshAgainst`). */
+  def embeddingSnapshot(embeddings: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol).as("doc_id"),
+      concat_ws(",", col(vecCol).cast("array<string>")).as("text"))
+
   private def metaPath(dir: String) = s"$dir/provenance.json"
   private def snapshotPath(dir: String) = s"$dir/provenance_snapshot"
 

@@ -32,14 +32,19 @@ import org.apache.spark.sql.types._
 object BmIndex {
 
   /** Count corpus stats on `docs` and persist under `dir`. */
-  def build(docs: DataFrame, dir: String, numFiles: Int = 4): Unit =
+  def build(docs: DataFrame, dir: String, numFiles: Int = 4,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     writeStats(docs.sparkSession, dfOf(docs), lenStatsOf(docs), dir, numFiles)
+    ArtifactProvenance.stampArtifact(docs.sparkSession, dir, "bm-index",
+      "build", provenance)
+  }
 
   /** Fold `newDocs` (disjoint doc set) into the artifact at `dir`,
     * writing the combined stats to `outDir` — exact: df, nDocs and
     * sumDl are all additive over disjoint corpora. */
   def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
-            outDir: String, numFiles: Int = 4): Unit = {
+            outDir: String, numFiles: Int = 4,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     ArtifactPaths.requireDistinct(spark, dir, outDir)
     val old = readMeta(spark, dir)
     val combined = spark.read.parquet(s"$dir/df")
@@ -48,6 +53,8 @@ object BmIndex {
     val newStats = lenStatsOf(newDocs)
     writeStats(spark, combined,
       (old._1 + newStats._1, old._2 + newStats._2), dir = outDir, numFiles)
+    ArtifactProvenance.stampArtifact(spark, outDir, "bm-index", "merge",
+      provenance)
   }
 
   /** The artifact's recorded `(nDocs, sumDl, nTerms)`. */
@@ -69,7 +76,9 @@ object BmIndex {
     * the standard convention for out-of-corpus query terms). */
   def score(spark: SparkSession, dir: String, docs: DataFrame,
             queryTerms: Seq[String], k1: Double = 1.2,
-            b: Double = 0.75): DataFrame = {
+            b: Double = 0.75,
+            freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     require(queryTerms.nonEmpty, "queryTerms must not be empty")
     val terms = queryTerms.map(_.trim.toLowerCase)
     require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),

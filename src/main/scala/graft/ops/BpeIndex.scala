@@ -31,9 +31,12 @@ object BpeIndex {
   /** Learn `nMerges` merges from `docs` and persist the artifact under
     * `dir`. */
   def build(docs: DataFrame, dir: String, nMerges: Int,
-            textCol: String = "text", numFiles: Int = 2): Unit = {
+            textCol: String = "text", numFiles: Int = 2,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     val vocab = Bpe.wordVocab(docs, textCol)
     writeArtifact(docs.sparkSession, vocab, dir, nMerges, numFiles)
+    ArtifactProvenance.stampArtifact(docs.sparkSession, dir, "bpe-index",
+      "build", provenance)
   }
 
   /** Fold `newDocs` into the artifact at `dir`, writing the combined
@@ -45,13 +48,16 @@ object BpeIndex {
     * is the correct answer on the combined corpus, not drift). */
   def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
             outDir: String, textCol: String = "text",
-            numFiles: Int = 2): Unit = {
+            numFiles: Int = 2,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     ArtifactPaths.requireDistinct(spark, dir, outDir)
     val m = readMeta(spark, dir)
     val combined = spark.read.parquet(s"$dir/vocab")
       .unionByName(Bpe.wordVocab(newDocs, textCol))
       .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
     writeArtifact(spark, combined, outDir, m.nMerges, numFiles)
+    ArtifactProvenance.stampArtifact(spark, outDir, "bpe-index", "merge",
+      provenance)
   }
 
   /** Continue training from the stored vocabulary and merge state:
@@ -82,16 +88,22 @@ object BpeIndex {
     * counts, batch or stream (stateless projection + aggregation). */
   def segmentCounts(spark: SparkSession, dir: String, docs: DataFrame,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text",
+                    freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     Bpe.segmentCounts(docs, loadMerges(spark, dir), idCol, textCol)
+  }
 
   /** Ordered token sequences against the frozen artifact — the
     * zero-shuffle [[Bpe.segmentTokens]] projection with merges loaded
     * once at plan time; batch or stream. */
   def segmentTokens(spark: SparkSession, dir: String, docs: DataFrame,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text",
+                    freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     Bpe.segmentTokens(docs, loadMerges(spark, dir), idCol, textCol)
+  }
 
   def readMeta(spark: SparkSession, dir: String): Meta = {
     implicit val fmts: Formats = DefaultFormats

@@ -29,7 +29,8 @@ object IvfIndex {
             kmeansIters: Int = 0,
             literalMax: Int = VectorOps.CentroidLiteralMax,
             maxRowsPerPartition: Long = 0L,
-            spreadSeed: Boolean = false): Unit = {
+            spreadSeed: Boolean = false,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     val e = VectorOps.prepared(embeddings)
     // spreadSeed: farthest-point seeding bounds hot-cluster occupancy by
     // construction (probe cost capped by design); the sub-sharding below
@@ -91,6 +92,9 @@ object IvfIndex {
     val fs = path.getFileSystem(embeddings.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    // vector corpora snapshot through ArtifactProvenance.embeddingSnapshot
+    ArtifactProvenance.stampArtifact(embeddings.sparkSession, dir, "ivf-index",
+      "build", provenance)
   }
 
   private def loadCentroids(spark: SparkSession, dir: String): Seq[Centroid] = {
@@ -125,7 +129,11 @@ object IvfIndex {
     * probed cluster directories are ever opened. Scoring + bounded top-k
     * as in [[VectorOps.annBrute]]; output schema matches. */
   def search(spark: SparkSession, dir: String, probes: DataFrame,
-             nProbeClusters: Int = 2, topK: Int = 5): DataFrame =
+             nProbeClusters: Int = 2, topK: Int = 5,
+             freshAgainst: Option[DataFrame] = None): DataFrame = {
+    // opt-in staleness guard (frame shaped by
+    // ArtifactProvenance.embeddingSnapshot, matching the build stamp)
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     scoredCandidates(spark, dir, probes, nProbeClusters) match {
       case None =>
         spark.range(0).select(col("id").as("probe_id"), col("id").as("neighbor_id"),
@@ -135,6 +143,7 @@ object IvfIndex {
           .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"),
             col("cosine"))
     }
+  }
 
   /** Radius search over the index: every vector within cosine ≥
     * `threshold` of each probe, reading only the probed cluster
@@ -143,7 +152,9 @@ object IvfIndex {
     * qualifying neighbors outside the probed clusters are missed). No
     * ranking state; the threshold is fused into the scoring projection. */
   def searchRadius(spark: SparkSession, dir: String, probes: DataFrame,
-                   threshold: Double = 0.3, nProbeClusters: Int = 2): DataFrame =
+                   threshold: Double = 0.3, nProbeClusters: Int = 2,
+                   freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     scoredCandidates(spark, dir, probes, nProbeClusters) match {
       case None =>
         spark.range(0).select(col("id").as("probe_id"), col("id").as("neighbor_id"),
@@ -154,6 +165,7 @@ object IvfIndex {
         scored.filter(col("cosine") >= threshold && !isnan(col("cosine")))
           .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
     }
+  }
 
   /** SemDeDup over the physical layout: near-duplicate pairs within each
     * coarse cluster, read straight from the `cid`-partitioned data — the
@@ -189,7 +201,8 @@ object IvfIndex {
     * PRECONDITION: arriving vec_ids must be new to the index — an
     * appended duplicate id would surface twice in search results. */
   def append(spark: SparkSession, dir: String,
-             newEmbeddings: DataFrame): Unit = {
+             newEmbeddings: DataFrame,
+             provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, "index has no centroids")
     require(cents.length <= VectorOps.CentroidLiteralMax,
@@ -209,6 +222,8 @@ object IvfIndex {
       .withColumn("cid", cidExpr)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/data")
+    ArtifactProvenance.stampArtifact(spark, dir, "ivf-index", "append",
+      provenance)
   }
 
   /** Arrivals-vs-corpus semantic near-dup pairs over the persisted
@@ -229,7 +244,9 @@ object IvfIndex {
     * here uses); larger coarse quantizers should dedup on the logical
     * path where the broadcast-join argmax is available. */
   def probePairs(spark: SparkSession, dir: String, newEmbeddings: DataFrame,
-                 threshold: Double = 0.9): DataFrame = {
+                 threshold: Double = 0.9,
+                 freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, "index has no centroids")
     require(cents.length <= VectorOps.CentroidLiteralMax,

@@ -37,9 +37,13 @@ object LmIndex {
     * artifact's file count (vocabulary-sized data — a handful of sorted
     * files beats one file per shuffle partition). */
   def build(docs: DataFrame, dir: String, minCount: Long = 5,
-            numFiles: Int = 4): Unit =
+            numFiles: Int = 4,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     writeCounts(docs.sparkSession, TextOps.bigramCounts(docs), dir,
       minCount, numFiles)
+    ArtifactProvenance.stampArtifact(docs.sparkSession, dir, "lm-index",
+      "build", provenance)
+  }
 
   /** Fold `newDocs` into the artifact at `dir`, writing the combined
     * model to `outDir` — an EXACT incremental retrain (spec-pinned equal
@@ -48,7 +52,8 @@ object LmIndex {
     * counts. Recorded cut points do NOT carry over (the score
     * distribution changed — run [[recordCuts]] again on `outDir`). */
   def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
-            outDir: String, numFiles: Int = 4): Unit = {
+            outDir: String, numFiles: Int = 4,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     // an in-place merge (outDir == dir) would overwrite-delete the input
     // counts before the lazy union plan reads them, losing the artifact
     ArtifactPaths.requireDistinct(spark, dir, outDir)
@@ -57,6 +62,8 @@ object LmIndex {
       .unionByName(TextOps.bigramCounts(newDocs))
       .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
     writeCounts(spark, combined, outDir, minCount, numFiles)
+    ArtifactProvenance.stampArtifact(spark, outDir, "lm-index", "merge",
+      provenance)
   }
 
   /** The model stats frame `(w1, w2, n, p_cond)` derived from the
@@ -91,8 +98,11 @@ object LmIndex {
     * see lmScoreWith's streaming contract). */
   def score(spark: SparkSession, dir: String, docs: DataFrame,
             unkLogP: Double = -10.0,
-            broadcastMaxRows: Long = 4L << 20): DataFrame =
+            broadcastMaxRows: Long = 4L << 20,
+            freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     TextOps.lmScoreWith(docs, load(spark, dir, broadcastMaxRows), unkLogP)
+  }
 
   /** The artifact's recorded `(minCount, nBigrams)`. */
   def meta(spark: SparkSession, dir: String): (Long, Long) = {

@@ -38,9 +38,11 @@ import org.apache.spark.sql.types._
 object MinhashIndex {
 
   /** Signature the corpus once and persist. `numFiles` bounds the
-    * artifact's file count. */
+    * artifact's file count; `provenance` (opt-in) stamps who built it —
+    * see [[ArtifactProvenance.Target]]. */
   def build(docs: DataFrame, dir: String, k: Int = 3,
-            mode: HashMode = HashMode.Default, numFiles: Int = 32): Unit = {
+            mode: HashMode = HashMode.Default, numFiles: Int = 32,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     val rows = NearDup.MinHashK / NearDup.MinHashBands
     val sig = NearDup.minhashSignatures(docs, k, mode)
@@ -53,6 +55,8 @@ object MinhashIndex {
       .sortWithinPartitions(col("band"), col("band_hash"))
       .write.mode("overwrite").parquet(s"$dir/data")
     writeMeta(docs.sparkSession, dir, k, mode)
+    ArtifactProvenance.stampArtifact(docs.sparkSession, dir, "minhash-index",
+      "build", provenance)
   }
 
   /** The artifact's pinned `(k, mode)`. */
@@ -72,7 +76,8 @@ object MinhashIndex {
     * (batch signatures aggregate one row set per doc). Dedup re-ingests
     * upstream (e.g. [[Curate.snapshotDiff]] `added` rows only). */
   def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
-            outDir: String, numFiles: Int = 32): Unit = {
+            outDir: String, numFiles: Int = 32,
+            provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     // an in-place merge (outDir == dir) would overwrite-delete the input
     // signatures before the lazy union plan reads them, losing the index
@@ -86,6 +91,8 @@ object MinhashIndex {
       .sortWithinPartitions(col("band"), col("band_hash"))
       .write.mode("overwrite").parquet(s"$outDir/data")
     writeMeta(spark, outDir, k, mode)
+    ArtifactProvenance.stampArtifact(spark, outDir, "minhash-index",
+      "merge", provenance)
   }
 
   /** Candidate near-dup pairs between `newDocs` and the INDEXED corpus:
@@ -96,7 +103,11 @@ object MinhashIndex {
     * see the object doc). Batch probes come deduped; streaming probes may
     * repeat. Verify with [[probeVerified]]. */
   def probe(spark: SparkSession, dir: String, newDocs: DataFrame,
-            threshold: Double = 0.7): DataFrame = {
+            threshold: Double = 0.7,
+            freshAgainst: Option[DataFrame] = None): DataFrame = {
+    // opt-in staleness guard: probing yesterday's index against an
+    // edited corpus silently under-dedups — fail loudly instead
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     val (k, mode) = readMeta(spark, dir)
     val stored = spark.read.parquet(s"$dir/data")
       .select(col("doc_id").as("_ix_id"), col("nsh").as("_ix_nsh"),
@@ -116,10 +127,11 @@ object MinhashIndex {
     * stateless, stream-safe). Output matches [[NearDup.minhashPairs]] on
     * the new×corpus pair subset. */
   def probeVerified(spark: SparkSession, dir: String, newDocs: DataFrame,
-                    docStore: DataFrame, threshold: Double = 0.7): DataFrame = {
+                    docStore: DataFrame, threshold: Double = 0.7,
+                    freshAgainst: Option[DataFrame] = None): DataFrame = {
     val (k, _) = readMeta(spark, dir)
-    StreamNearDup.verified(probe(spark, dir, newDocs, threshold), docStore,
-      k, threshold)
+    StreamNearDup.verified(probe(spark, dir, newDocs, threshold, freshAgainst),
+      docStore, k, threshold)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, k: Int,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -661,6 +661,34 @@ object NearDup {
         s"${ta.getOrElse("no layout tag")} vs ${tb.getOrElse("no layout tag")} — " +
         "only indexes built under the same (bits, maxHamming) layout can merge")
     a.unionByName(b)
+  }
+
+  /** Persist a banded Hamming index ([[hammingIndex]] /
+    * [[hammingAppend]] / [[hammingMerge]] output) under `dir/data`,
+    * range-laid-out on the probe join key. The layout tag rides in the
+    * `band` column metadata (parquet round-trips field metadata), so a
+    * [[hammingLoad]]ed index still refuses mismatched probes. `operation`
+    * names what produced the frame (build/append/merge) in the optional
+    * provenance stamp. */
+  def hammingSave(index: DataFrame, dir: String, numFiles: Int = 8,
+                  provenance: Option[ArtifactProvenance.Target] = None,
+                  operation: String = "build"): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    index
+      .repartitionByRange(numFiles, col("band"), col("band_val"))
+      .sortWithinPartitions(col("band"), col("band_val"))
+      .write.mode("overwrite").parquet(s"$dir/data")
+    ArtifactProvenance.stampArtifact(index.sparkSession, dir, "hamming-index",
+      operation, provenance)
+  }
+
+  /** Load a [[hammingSave]]d index for probing/appending; `freshAgainst`
+    * (opt-in) requires the stamped corpus snapshot to match the given
+    * frame — the stale-index guard. */
+  def hammingLoad(spark: SparkSession, dir: String,
+                  freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
+    spark.read.parquet(s"$dir/data")
   }
 
   /** Probe arrivals against a banded Hamming index ([[hammingIndex]],

@@ -35,13 +35,16 @@ object SketchIndex {
     * longs regardless of input size. */
   def buildKmv(df: DataFrame, groupCol: String, valueCol: String, dir: String,
                k: Int = 64, salt: String = "kmv",
-               mode: HashMode = HashMode.Portable, numFiles: Int = 1): Unit = {
+               mode: HashMode = HashMode.Portable, numFiles: Int = 1,
+               provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     Sketch.kmvSketch(df, groupCol, valueCol, k, salt, mode)
       .repartition(numFiles)
       .write.mode("overwrite").parquet(s"$dir/data")
     writeMeta(df.sparkSession, dir, "kmv", Map("k" -> k.toString, "salt" -> salt,
       "mode" -> modeName(mode)))
+    ArtifactProvenance.stampArtifact(df.sparkSession, dir, "sketch-kmv",
+      "build", provenance)
   }
 
   /** Fold new raw rows into a KMV artifact: only `df` is hashed (the
@@ -51,7 +54,8 @@ object SketchIndex {
     * plan still reads `dir` when `outDir` is written. */
   def appendKmv(spark: SparkSession, dir: String, df: DataFrame,
                 groupCol: String, valueCol: String, outDir: String,
-                numFiles: Int = 1): Unit = {
+                numFiles: Int = 1,
+                provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     ArtifactPaths.requireDistinct(spark, dir, outDir)
     val m = readMeta(spark, dir, "kmv")
     val k = m("k").toInt
@@ -60,12 +64,15 @@ object SketchIndex {
     writeMerged(spark, Seq(spark.read.parquet(s"$dir/data"), fresh), k,
       outDir, numFiles)
     writeMeta(spark, outDir, "kmv", m)
+    ArtifactProvenance.stampArtifact(spark, outDir, "sketch-kmv", "append",
+      provenance)
   }
 
   /** Merge two KMV artifacts (same k/salt/mode — verified from both
     * metadata files) into `outDir`. */
   def mergeKmv(spark: SparkSession, dirA: String, dirB: String,
-               outDir: String, numFiles: Int = 1): Unit = {
+               outDir: String, numFiles: Int = 1,
+               provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     ArtifactPaths.requireDistinct(spark, dirA, outDir)
     ArtifactPaths.requireDistinct(spark, dirB, outDir)
     val a = readMeta(spark, dirA, "kmv")
@@ -74,6 +81,8 @@ object SketchIndex {
     writeMerged(spark, Seq(spark.read.parquet(s"$dirA/data"),
       spark.read.parquet(s"$dirB/data")), a("k").toInt, outDir, numFiles)
     writeMeta(spark, outDir, "kmv", a)
+    ArtifactProvenance.stampArtifact(spark, outDir, "sketch-kmv", "merge",
+      provenance)
   }
 
   /** Distinct-count estimates from a KMV artifact: `(group,
@@ -108,13 +117,16 @@ object SketchIndex {
   def buildQuantile(df: DataFrame, groupCol: String, keyCol: String,
                     valueCol: String, dir: String, k: Int = 64,
                     salt: String = "qs", mode: HashMode = HashMode.Portable,
-                    numFiles: Int = 1): Unit = {
+                    numFiles: Int = 1,
+                    provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     Sketch.quantileSketch(df, groupCol, keyCol, valueCol, k, salt, mode)
       .repartition(numFiles)
       .write.mode("overwrite").parquet(s"$dir/data")
     writeMeta(df.sparkSession, dir, "quantile", Map("k" -> k.toString,
       "salt" -> salt, "mode" -> modeName(mode)))
+    ArtifactProvenance.stampArtifact(df.sparkSession, dir, "sketch-quantile",
+      "build", provenance)
   }
 
   /** Fold new raw rows (DISJOINT from the artifact's — rows have
@@ -124,7 +136,8 @@ object SketchIndex {
     * over the concatenated stream. */
   def appendQuantile(spark: SparkSession, dir: String, df: DataFrame,
                      groupCol: String, keyCol: String, valueCol: String,
-                     outDir: String, numFiles: Int = 1): Unit = {
+                     outDir: String, numFiles: Int = 1,
+                     provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     ArtifactPaths.requireDistinct(spark, dir, outDir)
     val m = readMeta(spark, dir, "quantile")
     val k = m("k").toInt
@@ -133,12 +146,15 @@ object SketchIndex {
     writeMergedQuantile(spark, Seq(spark.read.parquet(s"$dir/data"), fresh),
       k, outDir, numFiles)
     writeMeta(spark, outDir, "quantile", m)
+    ArtifactProvenance.stampArtifact(spark, outDir, "sketch-quantile",
+      "append", provenance)
   }
 
   /** Merge two quantile artifacts over disjoint row sets (same
     * k/salt/mode — verified from both metadata files). */
   def mergeQuantile(spark: SparkSession, dirA: String, dirB: String,
-                    outDir: String, numFiles: Int = 1): Unit = {
+                    outDir: String, numFiles: Int = 1,
+                    provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     ArtifactPaths.requireDistinct(spark, dirA, outDir)
     ArtifactPaths.requireDistinct(spark, dirB, outDir)
     val a = readMeta(spark, dirA, "quantile")
@@ -147,6 +163,8 @@ object SketchIndex {
     writeMergedQuantile(spark, Seq(spark.read.parquet(s"$dirA/data"),
       spark.read.parquet(s"$dirB/data")), a("k").toInt, outDir, numFiles)
     writeMeta(spark, outDir, "quantile", a)
+    ArtifactProvenance.stampArtifact(spark, outDir, "sketch-quantile",
+      "merge", provenance)
   }
 
   /** Nearest-rank quantile estimates from a quantile artifact via
@@ -178,19 +196,23 @@ object SketchIndex {
     * ([[Sketch.countMin]]): ≤ d × w counter rows. */
   def buildCm(df: DataFrame, valueCol: String, dir: String,
               d: Int = 4, w: Int = 1 << 16, salt: String = "cm",
-              mode: HashMode = HashMode.Portable, numFiles: Int = 1): Unit = {
+              mode: HashMode = HashMode.Portable, numFiles: Int = 1,
+              provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     Sketch.countMin(df, valueCol, d, w, salt, mode)
       .repartition(numFiles)
       .write.mode("overwrite").parquet(s"$dir/data")
     writeMeta(df.sparkSession, dir, "cm", Map("d" -> d.toString,
       "w" -> w.toString, "salt" -> salt, "mode" -> modeName(mode)))
+    ArtifactProvenance.stampArtifact(df.sparkSession, dir, "sketch-cm",
+      "build", provenance)
   }
 
   /** Fold new raw rows into a count-min artifact (elementwise counter
     * addition — exact). */
   def appendCm(spark: SparkSession, dir: String, df: DataFrame,
-               valueCol: String, outDir: String, numFiles: Int = 1): Unit = {
+               valueCol: String, outDir: String, numFiles: Int = 1,
+               provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     ArtifactPaths.requireDistinct(spark, dir, outDir)
     require(numFiles > 0, "numFiles must be positive")
     val m = readMeta(spark, dir, "cm")
@@ -202,6 +224,8 @@ object SketchIndex {
       .repartition(numFiles)
       .write.mode("overwrite").parquet(s"$outDir/data")
     writeMeta(spark, outDir, "cm", m)
+    ArtifactProvenance.stampArtifact(spark, outDir, "sketch-cm", "append",
+      provenance)
   }
 
   /** Frequency estimates for `probes` against a count-min artifact:

@@ -141,4 +141,114 @@ class ArtifactProvenanceSpec extends SparkSpec {
       ArtifactProvenance.staleCount(spark, rejected, corpus) // still unstamped
     }
   }
+
+  test("every builder stamps through its provenance parameter: one event per build/merge/append") {
+    val gov = new GovernanceBackend(tmpDir("graft_provwire_gov"))
+    val root = tmpDir("graft_provwire")
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def tgt(snapshot: Option[org.apache.spark.sql.DataFrame] = None) =
+      Some(ArtifactProvenance.Target("corpus.docs", "v1", Some(gov), snapshot))
+
+    // the full build-once/probe-many family, each through its own opt-in
+    // save-path hook — no caller-side stamp calls anywhere below
+    MinhashIndex.build(corpus, s"$root/minhash", provenance = tgt(Some(corpus)))
+    IvfIndex.build(e, s"$root/ivf", nCentroids = 8,
+      provenance = tgt(Some(ArtifactProvenance.embeddingSnapshot(e))))
+    LmIndex.build(corpus, s"$root/lm", minCount = 1, provenance = tgt())
+    BmIndex.build(corpus, s"$root/bm", provenance = tgt())
+    SketchIndex.buildKmv(corpus, "source", "text", s"$root/kmv", provenance = tgt())
+    SketchIndex.buildQuantile(corpus, "source", "doc_id", "doc_id",
+      s"$root/qs", provenance = tgt())
+    SketchIndex.buildCm(corpus, "source", s"$root/cm", provenance = tgt())
+    BpeIndex.build(corpus, s"$root/bpe", nMerges = 4, provenance = tgt())
+    NearDup.hammingSave(
+      NearDup.hammingIndex(
+        corpus.select(col("doc_id"), xxhash64(col("text")).as("h")),
+        maxHamming = 3, hashCol = "h"),
+      s"$root/hamming", provenance = tgt(Some(corpus)))
+
+    val kinds = Map("minhash" -> "minhash-index", "ivf" -> "ivf-index",
+      "lm" -> "lm-index", "bm" -> "bm-index", "kmv" -> "sketch-kmv",
+      "qs" -> "sketch-quantile", "cm" -> "sketch-cm", "bpe" -> "bpe-index",
+      "hamming" -> "hamming-index")
+    kinds.foreach { case (d, kind) =>
+      val p = ArtifactProvenance.read(spark, s"$root/$d")
+      assert(p.exists(x => x.artifactKind == kind && x.operation == "build" &&
+        x.datasetId == "corpus.docs"), s"$d: $p")
+    }
+    val builds = gov.pipelineActivity("corpus.docs", Some("v1"))
+      .map(_._1).filter(a =>
+        a.pipeline == ArtifactProvenance.ActivityPipeline &&
+          a.operation.startsWith("build:"))
+    assert(builds.map(_.operation).toSet == kinds.values.map("build:" + _).toSet,
+      s"one build event per artifact, got ${builds.map(_.operation)}")
+
+    // incremental entry points stamp their own operation
+    val fresh = Seq((9L, "fresh arrival words here", "src0"))
+      .toDF("doc_id", "text", "source")
+    MinhashIndex.merge(spark, s"$root/minhash", fresh, s"$root/minhash_v2",
+      provenance = Some(ArtifactProvenance.Target("corpus.docs", "v2", Some(gov))))
+    SketchIndex.appendKmv(spark, s"$root/kmv", fresh, "source", "text",
+      s"$root/kmv_v2",
+      provenance = Some(ArtifactProvenance.Target("corpus.docs", "v2", Some(gov))))
+    assert(ArtifactProvenance.read(spark, s"$root/minhash_v2").get.operation == "merge")
+    assert(ArtifactProvenance.read(spark, s"$root/kmv_v2").get.operation == "append")
+    val v2ops = gov.pipelineActivity("corpus.docs", Some("v2")).map(_._1.operation).toSet
+    assert(v2ops == Set("merge:minhash-index", "append:sketch-kmv"))
+  }
+
+  test("freshAgainst on probe entry points: fresh passes, an edited corpus fails loudly") {
+    val root = tmpDir("graft_provfresh")
+    val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val tgtDocs = Some(ArtifactProvenance.Target("c.docs", "v1",
+      snapshot = Some(corpus)))
+
+    MinhashIndex.build(corpus, s"$root/minhash", provenance = tgtDocs)
+    LmIndex.build(corpus, s"$root/lm", minCount = 1, provenance = tgtDocs)
+    IvfIndex.build(e, s"$root/ivf", nCentroids = 8,
+      provenance = Some(ArtifactProvenance.Target("c.emb", "v1",
+        snapshot = Some(ArtifactProvenance.embeddingSnapshot(e)))))
+    NearDup.hammingSave(
+      NearDup.hammingIndex(
+        corpus.select(col("doc_id"), xxhash64(col("text")).as("h")),
+        maxHamming = 3, hashCol = "h"),
+      s"$root/hamming", provenance = tgtDocs)
+
+    val arrivals = Seq((7L, "alpha beta gamma delta epsilon words flow here"))
+      .toDF("doc_id", "text")
+    // fresh: the guarded probes run and return
+    assert(MinhashIndex.probe(spark, s"$root/minhash", arrivals,
+      freshAgainst = Some(corpus)).count() >= 0)
+    assert(LmIndex.score(spark, s"$root/lm", arrivals,
+      freshAgainst = Some(corpus)).count() == 1)
+    val probes = VectorOps.prepared(e.limit(2))
+      .select(col("vec_id").as("probe_id"), col("v"), col("nrm"))
+    assert(IvfIndex.search(spark, s"$root/ivf", probes,
+      freshAgainst = Some(ArtifactProvenance.embeddingSnapshot(e))).count() > 0)
+    assert(NearDup.hammingLoad(spark, s"$root/hamming",
+      freshAgainst = Some(corpus)).count() > 0)
+
+    // the corpus moves: every guarded probe fails loudly
+    val edited = corpus.withColumn("text",
+      when(col("doc_id") === 2L, lit("rewritten")).otherwise(col("text")))
+    def stale(body: => Any): Unit = {
+      val ex = intercept[IllegalArgumentException](body)
+      assert(ex.getMessage.contains("stale artifact"), ex.getMessage)
+    }
+    stale(MinhashIndex.probe(spark, s"$root/minhash", arrivals,
+      freshAgainst = Some(edited)))
+    stale(MinhashIndex.probeVerified(spark, s"$root/minhash", arrivals, corpus,
+      freshAgainst = Some(edited)))
+    stale(LmIndex.score(spark, s"$root/lm", arrivals, freshAgainst = Some(edited)))
+    stale(NearDup.hammingLoad(spark, s"$root/hamming", freshAgainst = Some(edited)))
+    val eMoved = ArtifactProvenance.embeddingSnapshot(e)
+      .withColumn("text", when(col("doc_id") === col("doc_id") * 0 + 1L,
+        lit("moved")).otherwise(col("text")))
+    stale(IvfIndex.search(spark, s"$root/ivf", probes, freshAgainst = Some(eMoved)))
+    stale(IvfIndex.searchRadius(spark, s"$root/ivf", probes,
+      freshAgainst = Some(eMoved)))
+
+    // probes stay check-free by default (provenance is additive)
+    assert(MinhashIndex.probe(spark, s"$root/minhash", arrivals).count() >= 0)
+  }
 }
