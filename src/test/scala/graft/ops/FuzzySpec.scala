@@ -82,4 +82,60 @@ class FuzzySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  // one degenerate block ("the"-initial titles, one length band) next to
+  // a cold block — the natural hot-key shape a 100 TB catalog produces
+  private def skewed = {
+    val hot = (0L until 60L).map(i => (i, f"the title $i%02d", "the"))
+    val cold = Seq((1000L, "unique text", "uni"), (1001L, "unique texx", "uni"))
+    (hot ++ cold).toDF("doc_id", "text", "tok0")
+  }
+
+  test("hot-block guard (salt): output identical to the unguarded join on a degenerate block") {
+    val base = Fuzzy.fuzzyDedupPairs(skewed, "text", maxDist = 2,
+        blockCols = Seq("tok0"))
+      .select("a_doc_id", "b_doc_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(base.nonEmpty && base.exists(_._1 < 60L), "fixture must have hot-block pairs")
+    assert(base.contains((1000L, 1001L, 1L)), "and a cold-block pair")
+    // 60×60 candidates in the hot key >> 500: the guard salts it
+    val salted = Fuzzy.fuzzyDedupPairs(skewed, "text", maxDist = 2,
+        blockCols = Seq("tok0"), maxPairsPerBlock = 500L)
+      .select("a_doc_id", "b_doc_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(salted == base, "salting must not change the result set")
+    // the two-sided form under the guard too
+    val ref = skewed.limit(30).toDF("doc_id", "text", "tok0")
+    val twoBase = Fuzzy.fuzzyJoin(skewed, ref, "text", maxDist = 2,
+        blockCols = Seq("tok0"))
+      .select("a_doc_id", "b_doc_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    val twoSalted = Fuzzy.fuzzyJoin(skewed, ref, "text", maxDist = 2,
+        blockCols = Seq("tok0"), maxPairsPerBlock = 200L)
+      .select("a_doc_id", "b_doc_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(twoSalted == twoBase && twoBase.nonEmpty)
+    // a bound no block exceeds leaves everything untouched (still equal)
+    val loose = Fuzzy.fuzzyDedupPairs(skewed, "text", maxDist = 2,
+        blockCols = Seq("tok0"), maxPairsPerBlock = 1000000L)
+      .select("a_doc_id", "b_doc_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(loose == base)
+  }
+
+  test("hot-block guard (fail): loud on the degenerate block, silent when blocks are bounded") {
+    val e = intercept[IllegalArgumentException] {
+      Fuzzy.fuzzyDedupPairs(skewed, "text", maxDist = 2,
+        blockCols = Seq("tok0"), maxPairsPerBlock = 500L, onHotBlock = "fail")
+    }
+    assert(e.getMessage.contains("degenerate block") &&
+      e.getMessage.contains("maxPairsPerBlock=500") &&
+      e.getMessage.contains("the"), e.getMessage) // names the hot key
+    // bounded blocks pass the gate and compute normally
+    val cold = Seq((1000L, "unique text", "uni"), (1001L, "unique texx", "uni"))
+      .toDF("doc_id", "text", "tok0")
+    assert(Fuzzy.fuzzyDedupPairs(cold, "text", maxDist = 2,
+      blockCols = Seq("tok0"), maxPairsPerBlock = 500L,
+      onHotBlock = "fail").count() == 1L)
+  }
 }
