@@ -125,7 +125,8 @@ object Bench {
     // quantile sketch is a corpus-wide bounded aggregation. (The
     // multimodal transforms stay excluded with q_multimodal_decode:
     // bounded fixture sets, O(1) in sf. r11's q_jpeg_decode and
-    // q_video_meta join that exclusion — both doc_id < 120 fixtures.
+    // q_video_meta join that exclusion — both doc_id < 120 fixtures —
+    // as does r13's q_video_dhash (same bounded video fixture).
     // q_curation_ingest is corpus-wide but NOT benched: it re-runs
     // seven already-benched stage families end to end, so benching it
     // would double-count every one — the q_substr_strip precedent; its

@@ -769,6 +769,22 @@ object SparkEntry {
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("duration_ms"), col("codec"))
     }),
+    // container-payload perceptual VIDEO hash — the audioDhash
+    // construction over the container's MEDIA bytes (mdat / Cluster),
+    // codec-free: byte-position lanes (i mod 4) × 17-slot grid energies,
+    // bit set iff the next slot is strictly louder. Both container
+    // families carry the SAME closed-form payload formula, so the hash
+    // sees through the wrapper (re-mux invariance — pinned in
+    // MediaTransformSpec); the oracle recomputes lanes, exact Σv²
+    // energies, strict comparisons and the two's-complement packing
+    // from the formulas alone. Wavy i² fixture (q_audio_dhash lesson);
+    // bounded (doc_id < 120).
+    "q_video_dhash" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      graft.ops.MediaTransform.videoDhash(s,
+        graft.ops.MediaProbe.videoPayloads(s, ids))
+    }),
     // WARC crawl-container ingest (the q_video_meta recipe on ISO 28500
     // framing): synthetic WARC files — gzip member-per-record on even
     // ids, plain on odd — with every record field a closed-form function
@@ -3893,6 +3909,42 @@ object SparkEntry {
         |       ELSE (CASE WHEN doc_id % 4 = 1 THEN 'V_VP8' ELSE 'V_VP9' END)
         |  END AS codec
         |FROM documents WHERE doc_id < 120""".stripMargin,
+    // video-hash oracle: the q_audio_dhash recipe over the media-payload
+    // byte formula — lanes i%4, grid (i*17) div len, exact Σv² with
+    // empty slots coalesced to 0, strict next-slot comparison, bit 63
+    // via the two's-complement weight
+    "q_video_dhash" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |p AS (SELECT doc_id, 160 + (doc_id % 7) * 24 AS len FROM d),
+        |sp AS (
+        |  SELECT doc_id, i.i % 4 AS lane, (i.i * 17) // len AS b,
+        |    ((i.i * i.i) % 211 + (doc_id % 29) * 7 + (i.i % 13) * 5) % 256 AS v
+        |  FROM p
+        |  CROSS JOIN (SELECT unnest(range(304)) AS i) i
+        |  WHERE i.i < len),
+        |en AS (
+        |  SELECT doc_id, lane, b, sum(CAST(v AS BIGINT) * v) AS e
+        |  FROM sp GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT doc_id, l.i AS lane, g.i AS b
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(4)) AS i) l
+        |  CROSS JOIN (SELECT unnest(range(17)) AS i) g),
+        |eg AS (
+        |  SELECT grid.doc_id, grid.lane, grid.b, coalesce(en.e, 0) AS e
+        |  FROM grid LEFT JOIN en USING (doc_id, lane, b)),
+        |bits AS (
+        |  SELECT a.doc_id, a.lane * 16 + a.b AS bit_i,
+        |    CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM eg a JOIN eg n ON n.doc_id = a.doc_id AND n.lane = a.lane
+        |    AND n.b = a.b + 1
+        |  WHERE a.b < 16)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS format,
+        |  CAST(sum(bit * (CASE WHEN bit_i = 63 THEN -9223372036854775808
+        |                       ELSE CAST(power(2, bit_i) AS BIGINT) END))
+        |    AS BIGINT) AS vhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
     // the WARC oracle rebuilds every record field from the fixture
     // formulas alone — one row per (doc, response ordinal), ordinals
     // 0..doc%3 — never from bytes: the framing walk, gzip members, the

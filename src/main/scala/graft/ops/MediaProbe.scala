@@ -366,6 +366,7 @@ object MediaProbe {
   private[ops] val IdVideo = 0xE0L
   private[ops] val IdPixelWidth = 0xB0L
   private[ops] val IdPixelHeight = 0xBAL
+  private[ops] val IdCluster = 0x1F43B675L
 
   /** All direct child EBML elements with `id` inside [start, end):
     * payload bounds — [[findEbml]]'s sibling, for "first matching
@@ -442,6 +443,36 @@ object MediaProbe {
       durationMs = durMs, codec = codec))
   }
 
+  /** Concatenated MEDIA payload of a video container, with its probed
+    * format: every top-level `mdat` box (ISO-BMFF family) or every
+    * Segment-level Cluster (EBML family), in file order. This is the
+    * codec-agnostic byte stream a CONTAINER-LEVEL fingerprint hashes —
+    * re-muxing or re-describing a copy rewrites `moov`/`Info`/`Tracks`
+    * metadata but not these bytes. `None` for non-container formats;
+    * an empty array for containers with no media payload yet (header-
+    * only fixtures, init segments). */
+  private[ops] def mediaPayload(bytes: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (bytes == null || bytes.length < 8) return None
+    val p = probe(bytes)
+    p.format match {
+      case f @ ("mp4" | "mov" | "m4a" | "heic" | "avif") =>
+        val out = new java.io.ByteArrayOutputStream()
+        childBoxes(bytes, 0, bytes.length, "mdat").foreach { case (s, e) =>
+          out.write(bytes, s + 8, e - s - 8)
+        }
+        Some((f, out.toByteArray))
+      case f @ ("webm" | "mkv") =>
+        val out = new java.io.ByteArrayOutputStream()
+        findEbml(bytes, 0, bytes.length, List(IdSegment)).foreach {
+          case (ss, se) => childEbml(bytes, ss, se, IdCluster).foreach {
+            case (s, e) => out.write(bytes, s, e - s)
+          }
+        }
+        Some((f, out.toByteArray))
+      case _ => None
+    }
+  }
+
   /** Sniff + parse one payload. Total: never throws, `unknown` on
     * anything unrecognised or malformed. */
   def probe(bytes: Array[Byte]): Probed =
@@ -483,6 +514,19 @@ object MediaProbe {
   def webmDurationMs(doc: Long): Long = 2000 + doc * 5
   def webmCodec(doc: Long): String = if (doc % 4 == 1) "V_VP8" else "V_VP9"
 
+  /** MEDIA-payload fixture formulas (both container families carry the
+    * SAME byte stream — the container-level fingerprint must see through
+    * the wrapper): closed-form length and per-byte value, mirrored in
+    * the q_video_dhash oracle. `i²·mod` oscillates (the q_audio_dhash
+    * wavy-fixture lesson: a monotone ramp zeroes every energy
+    * comparison and makes the hash gate vacuous). */
+  def videoPayloadLen(doc: Long): Long = 160 + (doc % 7) * 24
+  def videoPayloadByte(doc: Long, i: Long): Long =
+    ((i * i) % 211 + (doc % 29) * 7 + (i % 13) * 5) % 256
+  private[ops] def videoPayloadBytes(doc: Long): Array[Byte] =
+    Array.tabulate(videoPayloadLen(doc).toInt)(i =>
+      videoPayloadByte(doc, i.toLong).toByte)
+
   private[ops] def be32(v: Long): Array[Byte] = Array(
     ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
     ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -509,12 +553,18 @@ object MediaProbe {
       box(mp4Codec(doc), new Array[Byte](8)))
     val mdia = box("mdia", box("minf", box("stbl", stsd)))
     val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
-    ftyp ++ moov
+    ftyp ++ moov ++ box("mdat", videoPayloadBytes(doc))
   }
 
   private[ops] def ebmlSize(n: Int): Array[Byte] = {
     require(n >= 0 && n < 127, "fixture elements stay under one-byte sizes")
     Array((0x80 | n).toByte)
+  }
+  /** Two-byte EBML size (`0x40xx` form) — the Segment and Cluster carry
+    * the media payload and outgrow the one-byte budget. */
+  private[ops] def ebmlSize2(n: Int): Array[Byte] = {
+    require(n >= 0 && n < (1 << 14) - 1, "fixture elements stay under two-byte sizes")
+    Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
   }
   private[ops] def ebmlId(id: Long): Array[Byte] = {
     val len = if (id > 0xffffffL) 4 else if (id > 0xffffL) 3
@@ -544,7 +594,10 @@ object MediaProbe {
       ebmlEl(IdPixelHeight, ebmlUintBytes(h)))
     val tracks = ebmlEl(IdTracks, ebmlEl(IdTrackEntry,
       ebmlEl(IdCodecId, webmCodec(doc).getBytes("US-ASCII")) ++ video))
-    header ++ ebmlEl(IdSegment, info ++ tracks)
+    val payload = videoPayloadBytes(doc)
+    val cluster = ebmlId(IdCluster) ++ ebmlSize2(payload.length) ++ payload
+    val segPayload = info ++ tracks ++ cluster
+    header ++ ebmlId(IdSegment) ++ ebmlSize2(segPayload.length) ++ segPayload
   }
 
   /** Distributed video fixture: `(doc_id, payload)` — even ids MP4, odd

@@ -273,6 +273,81 @@ object MediaTransform {
     MediaDecode.perPayload(spark, df, idCol, payloadCol, AudioDhashSchema)(
       audioDhashOne)
 
+  // ---- perceptual video hashing (container-payload contour) ---------------
+
+  /** Video hash grid: [[VideoDhashLanes]] byte-position lanes ×
+    * ([[VideoDhashGrid]]−1) energy-difference bits = 64 bits exactly.
+    * Load-time require, outside any per-row catch (the audio-grid
+    * convention). */
+  val VideoDhashGrid = 17
+  val VideoDhashLanes = 4
+  private val VideoStride = VideoDhashGrid - 1
+  require(VideoDhashLanes * VideoStride <= 64, "video hash exceeds 64 bits")
+
+  private val VideoDhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("vhash", LongType, nullable = true)))
+
+  /** Container-level perceptual video hash — [[audioDhashOne]]'s video
+    * twin, closing the perceptual-dedup family (images [[dhashOne]],
+    * audio [[audioDhashOne]], video here): the container's MEDIA
+    * payload bytes ([[MediaProbe.mediaPayload]]: `mdat` boxes / Segment
+    * Clusters — never the metadata atoms) are bucketed onto a fixed
+    * [[VideoDhashGrid]]-slot grid with the same exact integer floor
+    * mapping, per-(lane, bucket) byte-energy Σv² folded in Long with
+    * byte position mod [[VideoDhashLanes]] as the lane, and bit
+    * `c·16 + i` set iff bucket `i+1` is strictly louder than bucket `i`
+    * in lane `c`. No codec is decoded: the contour survives re-muxing
+    * and re-description (metadata rewrites leave the payload bytes, and
+    * so the hash, untouched — while exact file hashes diverge); a
+    * re-ENCODE changes the payload and legitimately produces a new
+    * fingerprint. Feed the hashes to [[NearDup.hammingIndex]] /
+    * [[NearDup.hammingPairs]] for corpus-scale near-dup video exactly
+    * like the image/audio hashes. Non-container payloads and containers
+    * with no media payload degrade to a null-`vhash` marker row. */
+  def videoDhashOne(docId: Long, bytes: Array[Byte]): Seq[Row] =
+    try MediaProbe.mediaPayload(bytes) match {
+      case None =>
+        val fmt =
+          if (bytes == null || bytes.isEmpty) "unknown"
+          else MediaProbe.probe(bytes).format
+        Seq(Row(docId, fmt, null))
+      case Some((fmt, payload)) if payload.isEmpty =>
+        Seq(Row(docId, fmt, null))
+      case Some((fmt, payload)) =>
+        val n = payload.length
+        val energy = Array.ofDim[Long](VideoDhashLanes, VideoDhashGrid)
+        var i = 0
+        while (i < n) {
+          val b = ((i.toLong * VideoDhashGrid) / n).toInt
+          val v = (payload(i) & 0xff).toLong
+          energy(i % VideoDhashLanes)(b) += v * v
+          i += 1
+        }
+        var hash = 0L
+        var c = 0
+        while (c < VideoDhashLanes) {
+          var k = 0
+          while (k < VideoStride) {
+            if (energy(c)(k + 1) > energy(c)(k)) hash |= 1L << (c * VideoStride + k)
+            k += 1
+          }
+          c += 1
+        }
+        Seq(Row(docId, fmt, hash))
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq(Row(docId, "undecodable", null))
+    }
+
+  /** Distributed container-payload video hash over `(idCol,
+    * payloadCol)`. One pass, no shuffle. */
+  def videoDhash(spark: SparkSession, df: DataFrame,
+                 idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame =
+    MediaDecode.perPayload(spark, df, idCol, payloadCol, VideoDhashSchema)(
+      videoDhashOne)
+
   // ---- audio frame-sampling ---------------------------------------------
 
   private val FrameSchema: StructType = StructType(Seq(

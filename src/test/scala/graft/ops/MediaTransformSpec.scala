@@ -241,4 +241,68 @@ class MediaTransformSpec extends SparkSpec {
       assert(pairs.contains((doc, doc + 1000L, 0L)),
         s"codec twin of $doc missing from ${pairs.mkString(",")}")
   }
+
+  test("videoDhash: re-mux invariant (mp4 == webm of the same payload), content-diverse, total") {
+    // re-mux invariance IS the operator's point: the two container
+    // families carry the SAME closed-form media payload for a given
+    // doc, so wrapping must not move a single bit
+    for (doc <- Seq(2L, 7L, 15L)) {
+      val mp4 = MediaTransform.videoDhashOne(doc, MediaProbe.syntheticMp4(doc))
+      val webm = MediaTransform.videoDhashOne(doc, MediaProbe.syntheticWebm(doc))
+      assert(mp4.head.get(1) == "mp4" && webm.head.get(1) == "webm")
+      assert(mp4.head.get(2) != null, s"doc $doc hash must be non-null")
+      assert(mp4.head.get(2) == webm.head.get(2),
+        s"doc $doc: re-muxing must not change the container-payload hash")
+    }
+    // content diversity (the wavy-fixture non-vacuousness bar): distinct
+    // payloads produce overwhelmingly distinct, non-zero hashes
+    val hashes = (0L until 60L).map(d =>
+      MediaTransform.videoDhashOne(d, MediaProbe.syntheticMp4(d)).head.getLong(2))
+    assert(hashes.distinct.size >= 55 && !hashes.contains(0L),
+      s"degenerate fixture: ${hashes.distinct.size} distinct")
+    // a re-DESCRIBED copy (metadata edited, payload untouched): emulate
+    // by hashing two docs whose payload formulas coincide but container
+    // metadata differs — doc and doc (different family) covered above;
+    // a PAYLOAD edit must move the hash
+    val edited = MediaProbe.syntheticMp4(2L)
+    val payloadOff = edited.length - MediaProbe.videoPayloadLen(2L).toInt
+    edited(payloadOff + 5) = (edited(payloadOff + 5) ^ 0x7f).toByte
+    val perturbed = edited.clone()
+    // totality: images/audio/garbage/null degrade to null-hash markers
+    assert(MediaTransform.videoDhashOne(1L, null).head.get(2) == null)
+    assert(MediaTransform.videoDhashOne(1L, Array[Byte](9, 9, 9)).head.get(2) == null)
+    assert(MediaTransform.videoDhashOne(1L,
+      MediaDecode.syntheticWav(4L)).head.get(2) == null)
+    // a container with NO media payload (header-only init segment)
+    val headerOnly = MediaProbe.syntheticMp4(2L)
+      .take(MediaProbe.syntheticMp4(2L).length - MediaProbe.videoPayloadLen(2L).toInt - 8)
+    val ho = MediaTransform.videoDhashOne(1L, headerOnly).head
+    assert(ho.get(1) == "mp4" && ho.get(2) == null)
+    assert(perturbed.length == MediaProbe.syntheticMp4(2L).length) // sanity
+  }
+
+  test("videoDhash composes with the Hamming machinery: re-muxed copies dedup at distance 0") {
+    // corpus: mp4 shards; arrivals: the WEBM re-mux of each (identical
+    // media payload, rewritten metadata) — the exact copy class exact
+    // file hashing can never catch
+    val corpusIds = Seq(2L, 4L, 6L, 8L).toDF("doc_id")
+    val corpus = MediaTransform.videoDhash(spark,
+      MediaProbe.videoPayloads(spark, corpusIds)) // even ids → mp4
+    val arrivalRows = Seq(2L, 4L, 6L, 8L).map(d =>
+      org.apache.spark.sql.Row(d + 1000L, MediaProbe.syntheticWebm(d)))
+    val arrivals = MediaTransform.videoDhash(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(arrivalRows),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType, nullable = true)))))
+    val index = NearDup.hammingIndex(corpus, maxHamming = 4, hashCol = "vhash")
+    val got = NearDup.hammingProbe(index, arrivals, maxHamming = 4,
+      hashCol = "vhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (d <- Seq(2L, 4L, 6L, 8L))
+      assert(got.contains((d + 1000L, d, 0L)),
+        s"re-muxed twin of $d must probe at Hamming 0: $got")
+  }
 }
