@@ -119,6 +119,16 @@ final class GovernanceBackend(store: GovernanceStore, contracts: Option[Contract
       "warnings" -> JArray(record.warnings.toList.map(JString(_))),
       "metrics" -> JObject(record.metrics.toList.map { case (k, v) => k -> (JDouble(v): JValue) }),
       "metricsRaw" -> JObject(metricsRaw),
+      // the OBSERVED schema snapshot rides along (additive — older
+      // records simply lack the key): it is what lets the UI's
+      // validate/preview action re-evaluate this dataset version against
+      // a DIFFERENT contract revision later, schema checks included
+      "schemaRaw" -> JObject(validation.schema.toList.sortBy(_._1).map {
+        case (k, fs) => k -> (JObject(
+          "backendType" -> JString(fs.backendType),
+          "odcsType" -> JString(fs.odcsType),
+          "nullable" -> JBool(fs.nullable)): JValue)
+      }),
       "recordedAt" -> JLong(record.recordedAt))
     store.putStatus(datasetId, datasetVersion,
       JsonMethods.pretty(JsonMethods.render(json)))
@@ -181,6 +191,51 @@ final class GovernanceBackend(store: GovernanceStore, contracts: Option[Contract
         str("contractVersion"), str("status"), strs("errors"), strs("warnings"), metrics, at))
     }
   }
+
+  /** The last recorded OBSERVATIONS for a dataset version — the schema
+    * snapshot and the metric payload a governed run shipped — in the
+    * exact shape [[graft.quality.Evaluator.evaluate]] consumes, so they
+    * re-evaluate against ANY contract revision (the UI validate/preview
+    * action: "would this dataset, as last observed, pass that draft?").
+    * Metrics prefer the numeric hint and fall back to the stored text
+    * (nothing recorded is dropped). Records predating schema
+    * persistence return an EMPTY schema map — callers surface that
+    * rather than fabricating a snapshot. `None` when the version has no
+    * recorded observations at all. */
+  def observedSnapshot(datasetId: String, datasetVersion: String)
+      : Option[(Map[String, graft.quality.FieldSnapshot], Map[String, Any])] =
+    store.statusesFor(datasetId).flatMap { doc =>
+      val parsed = JsonMethods.parse(doc)
+      parseStatusJson(parsed).filter(st => st.datasetId == datasetId &&
+        st.datasetVersion == datasetVersion).map { st =>
+        val fields = parsed match {
+          case JObject(fs) => fs.toMap
+          case _ => Map.empty[String, JValue]
+        }
+        val schema = fields.get("schemaRaw") match {
+          case Some(JObject(cols)) => cols.collect { case (name, JObject(p)) =>
+            val m = p.toMap
+            def str(k: String) = m.get(k).collect { case JString(v) => v }.getOrElse("")
+            name -> graft.quality.FieldSnapshot(str("backendType"), str("odcsType"),
+              m.get("nullable").collect { case JBool(b) => b }.getOrElse(true))
+          }.toMap
+          case _ => Map.empty[String, graft.quality.FieldSnapshot]
+        }
+        val metrics: Map[String, Any] = fields.get("metricsRaw") match {
+          case Some(JObject(ms)) => ms.collect { case (k, JObject(payload)) =>
+            val p = payload.toMap
+            val num = p.get("numeric").collect {
+              case JDouble(v) => v
+              case JInt(v) => v.toDouble
+            }
+            k -> num.map(v => v: Any).getOrElse(
+              p.get("text").collect { case JString(v) => v }.getOrElse(""): Any)
+          }.toMap
+          case _ => st.metrics
+        }
+        (schema, metrics, st.recordedAt)
+      }
+    }.sortBy(-_._3).headOption.map(t => (t._1, t._2))
 
   def getStatus(datasetId: String, datasetVersion: String): Option[DatasetStatus] =
     store.getStatus(datasetId, datasetVersion).flatMap(parseStatus)

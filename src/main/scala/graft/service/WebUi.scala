@@ -229,8 +229,97 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         s"""<p><a href="/ui/draft-edit?id=${enc(c.id)}&version=${enc(c.version)}">edit / review draft</a></p>"""
       else
         s"""<p><a href="/ui/edit-contract?id=${enc(c.id)}&version=${enc(c.version)}">edit as new version</a></p>"""
-    page(s"Contract ${c.id}:${c.version}", meta + schema + servers + verdicts + editLink)
+    // validate/preview action (reference /contracts/{cid}/{ver}/validate):
+    // re-evaluate a dataset's recorded observations against THIS revision
+    // — GET, read-only, nothing recorded. Datasets with any recorded
+    // observation get one-click links; the form takes arbitrary ids.
+    val knownDatasets = gov.statusMatrix()
+      .map(st => (st.datasetId, st.datasetVersion)).distinct.take(12)
+    val quickLinks =
+      if (knownDatasets.isEmpty) ""
+      else "<p>" + knownDatasets.map { case (ds, dv) =>
+        s"""<a href="/ui/validate-contract?id=${enc(c.id)}&version=${enc(c.version)}""" +
+          s"""&dataset=${enc(ds)}&datasetVersion=${enc(dv)}">${esc(ds)}:${esc(dv)}</a>"""
+      }.mkString(" ") + "</p>"
+    val validateForm =
+      "<h2>validate a dataset against this revision</h2>" +
+        s"""<form method="get" action="/ui/validate-contract">""" +
+        s"""<input type="hidden" name="id" value="${esc(c.id)}">""" +
+        s"""<input type="hidden" name="version" value="${esc(c.version)}">""" +
+        """<label>dataset <input name="dataset"></label> """ +
+        """<label>dataset version <input name="datasetVersion"></label> """ +
+        """<button type="submit">validate</button></form>""" + quickLinks
+    page(s"Contract ${c.id}:${c.version}",
+      meta + schema + servers + verdicts + validateForm + editLink)
   }
+
+  /** Validate/preview (reference `/contracts/{cid}/{ver}/validate` +
+    * `/api/contracts/{cid}/{ver}/preview`): re-run the SAME evaluation
+    * the governance backend runs ([[graft.quality.Evaluator.evaluate]] —
+    * transports must not drift) over the dataset version's last recorded
+    * observations, against this contract revision — answering "would
+    * this dataset, as last observed, pass?" BEFORE an operator approves
+    * a draft or moves a link. Renders the verdict, every error/warning
+    * row, and the expected-vs-observed schema diff. Read-only: nothing
+    * is recorded, no draft is proposed (the governed pipeline owns
+    * that); `None` when the contract revision does not exist. */
+  def validatePage(id: String, version: String, dataset: String,
+                   datasetVersion: String): Option[String] =
+    contracts.get(id, version).map { c =>
+      val title = s"Validate ${c.id}:${c.version}"
+      val subject = s"<p>dataset <code>${esc(dataset)}</code> version " +
+        s"<code>${esc(datasetVersion)}</code> vs " +
+        contractLink(c.id, c.version) + "</p>"
+      gov.observedSnapshot(dataset, datasetVersion) match {
+        case None =>
+          page(title, subject + "<p>No recorded observations for this " +
+            "dataset version — run a governed pipeline against it first.</p>")
+        case Some((schema, metrics)) =>
+          val res = graft.quality.Evaluator.evaluate(c, schema, metrics)
+          val verdict = s"<h2>verdict</h2><p>${statusCell(res.recordStatus)}</p>" +
+            (if (res.errors.isEmpty) ""
+             else "<h3>errors</h3><ul>" +
+               res.errors.map(e => s"<li>${esc(e)}</li>").mkString + "</ul>") +
+            (if (res.warnings.isEmpty) ""
+             else "<h3>warnings</h3><ul>" +
+               res.warnings.map(w => s"<li>${esc(w)}</li>").mkString + "</ul>")
+          // expected-vs-observed schema diff (the preview half): contract
+          // columns joined to the snapshot, plus observed-only extras
+          val contractProps = c.schema.flatMap(_.properties)
+          val diffRows = contractProps.map { f =>
+            val obs = schema.get(f.name)
+            val state = obs match {
+              case None => """<span class="block">missing</span>"""
+              case Some(s) if s.odcsType != f.odcsType =>
+                s"""<span class="warn">type ${esc(s.odcsType)} ≠ ${esc(f.odcsType)}</span>"""
+              case Some(s) if f.required && s.nullable =>
+                """<span class="warn">nullable but required</span>"""
+              case Some(_) => """<span class="ok">ok</span>"""
+            }
+            Seq(s"<code>${esc(f.name)}</code>", esc(f.odcsType),
+              obs.map(s => esc(s.odcsType)).getOrElse("""<span class="muted">—</span>"""),
+              state)
+          }
+          val extras = schema.keys.toSeq.sorted
+            .filterNot(contractProps.map(_.name).toSet)
+            .map(n => Seq(s"<code>${esc(n)}</code>",
+              """<span class="muted">—</span>""",
+              esc(schema(n).odcsType),
+              """<span class="muted">extra</span>"""))
+          val diff =
+            if (schema.isEmpty)
+              "<h2>schema diff</h2><p>This observation predates schema " +
+                "snapshots — only metric expectations were evaluated.</p>"
+            else "<h2>schema diff</h2>" + table(
+              Seq("column", "expected", "observed", "state"), diffRows ++ extras)
+          val obsMetrics =
+            if (metrics.isEmpty) ""
+            else "<h2>observed metrics</h2>" + table(Seq("metric", "value"),
+              metrics.toSeq.sortBy(_._1).map { case (k, v) =>
+                Seq(s"<code>${esc(k)}</code>", esc(String.valueOf(v))) })
+          page(title, subject + verdict + diff + obsMetrics)
+      }
+    }
 
   private def statusTable(sts: Seq[DatasetStatus]): String =
     table(Seq("dataset", "version", "contract", "status", "errors", "warnings"),
@@ -604,6 +693,13 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         }
       case "/ui/contract" =>
         params.get("id").flatMap(id => contractPage(id, params.get("version")))
+      case "/ui/validate-contract" =>
+        (params.get("id"), params.get("version"), params.get("dataset"),
+          params.get("datasetVersion")) match {
+          case (Some(id), Some(v), Some(ds), Some(dv)) =>
+            validatePage(id, v, ds, dv)
+          case _ => None
+        }
       case "/ui/datasets" => Some(datasetsPage())
       case "/ui/dataset" => params.get("dataset").flatMap(datasetPage)
       case "/ui/products" => productsPage()

@@ -93,6 +93,58 @@ class WebUiSpec extends AnyFunSuite {
     assert(ui.productPage("nope").isEmpty)
   }
 
+  test("validate/preview action: recorded observations re-evaluate against any revision") {
+    val (store, gov, pb) = fixture()
+    val ui = new WebUi(store, gov, Some(pb))
+
+    // the detail page carries the validate form and a one-click link to
+    // the recorded dataset version
+    val detail = ui.contractPage("sales.orders", Some("1.0.0")).get
+    assert(detail.contains("/ui/validate-contract"))
+    assert(detail.contains("dataset=ds.orders") && detail.contains("datasetVersion=2024-01"))
+
+    // clean: the snapshot matches the revision it was recorded under —
+    // the page renders the SAME verdict the evaluator computes, every
+    // schema row ok, no missing rows
+    val snapshot = Map(
+      "o_orderkey" -> FieldSnapshot("bigint", "bigint", nullable = false),
+      "o_totalprice" -> FieldSnapshot("decimal", "decimal", nullable = true),
+      "o_status" -> FieldSnapshot("string", "string", nullable = true))
+    val clean = ui.validatePage("sales.orders", "1.0.0", "ds.orders", "2024-01").get
+    val expected = Evaluator.evaluate(contract, snapshot, Map("row_count" -> 100.0))
+    assert(clean.contains(s""">${expected.recordStatus}</span>"""))
+    assert(clean.contains("""<span class="ok">ok</span>"""), "schema rows render ok")
+    assert(!clean.contains("""<span class="block">missing</span>"""),
+      "no missing-column row on the matching snapshot")
+    assert(clean.contains("row_count")) // observed metrics table
+
+    // violated: a DRAFT revision demanding a column the observed
+    // snapshot lacks — the preview answers "this draft would block"
+    // BEFORE anyone approves it
+    val breaking = contract.copy(version = "2.0.0-draft", status = Some("draft"),
+      schema = Seq(SchemaObjectDef("orders",
+        contract.schema.head.properties :+
+          FieldDef("o_clerk", physicalType = Some("string"), required = true))))
+    store.put(breaking)
+    val bad = ui.validatePage("sales.orders", "2.0.0-draft", "ds.orders", "2024-01").get
+    val expectedBad = Evaluator.evaluate(breaking, snapshot, Map("row_count" -> 100.0))
+    assert(!expectedBad.ok, "fixture must actually violate")
+    assert(bad.contains(s""">${expectedBad.recordStatus}</span>"""))
+    assert(bad.contains("<h3>errors</h3>"), "error rows render")
+    assert(bad.contains("""<span class="block">missing</span>""") &&
+      bad.contains("o_clerk"), "the schema diff names the missing column")
+
+    // nothing recorded for that version: a clear message, not a throw
+    val none = ui.validatePage("sales.orders", "1.0.0", "ds.orders", "2099-01").get
+    assert(none.contains("No recorded observations"))
+    // unknown contract revision: 404 semantics
+    assert(ui.validatePage("sales.orders", "9.9.9", "ds.orders", "2024-01").isEmpty)
+    // the route rides the facade dispatcher
+    assert(ui.render("/ui/validate-contract", Map("id" -> "sales.orders",
+      "version" -> "1.0.0", "dataset" -> "ds.orders",
+      "datasetVersion" -> "2024-01")).isDefined)
+  }
+
   test("listing-unsupported product backends degrade, never 500") {
     // a catalog-backed facade throws UnsupportedOperationException from
     // listDataProducts (vendor catalogs page by asset query, not id
