@@ -18,7 +18,7 @@ object ContractJson {
 
   // --- encode ---
 
-  private def contractToJValue(c: Contract): JValue = {
+  private[contracts] def contractToJValue(c: Contract): JValue = {
     val base: List[(String, JValue)] = List(
       "id" -> JString(c.id),
       "version" -> JString(c.version),
@@ -106,7 +106,7 @@ object ContractJson {
     case _           => None
   }
 
-  private def jvalueToContract(j: JValue): Contract = {
+  private[contracts] def jvalueToContract(j: JValue): Contract = {
     val fields = j match { case JObject(fs) => fs.toMap; case _ => Map.empty[String, JValue] }
     Contract(
       id = fields.get("id").flatMap(str).getOrElse(""),
