@@ -244,10 +244,10 @@ final class HttpCatalogContractAdapter(baseUrl: String,
   private def parseTimestamp(s: String): Option[java.time.Instant] = {
     val t = s.trim
     if (t.isEmpty) None
-    else scala.util.Try(java.time.Instant.parse(if (t.endsWith("Z")) t else t))
-      .orElse(scala.util.Try(
+    else scala.util.Try(java.time.Instant.parse(t)) // `...Z` form
+      .orElse(scala.util.Try( // explicit-offset form (+02:00)
         java.time.OffsetDateTime.parse(t).toInstant))
-      .orElse(scala.util.Try(
+      .orElse(scala.util.Try( // bare date-time: read as UTC
         java.time.LocalDateTime.parse(t)
           .atOffset(java.time.ZoneOffset.UTC).toInstant))
       .toOption

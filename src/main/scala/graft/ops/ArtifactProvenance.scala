@@ -56,22 +56,40 @@ object ArtifactProvenance {
                           idCol: String = "doc_id", textCol: String = "text")
 
   /** The single hook artifact builders call after their data write: a
-    * `None` target is a no-op (provenance stays opt-in and additive), a
-    * `Some` stamps `provenance.json` + the governance activity event,
-    * plus the staleness snapshot when the target carries one. */
+    * `Some` target stamps `provenance.json` + the governance activity
+    * event, plus the staleness snapshot when the target carries one. A
+    * `None` target DELETES any previous stamp under `dir` — a rebuild
+    * that opts out of provenance must not leave the PREVIOUS build's
+    * stamp/snapshot lying around for a later `requireFresh` to trust
+    * (the stale stamp would describe a corpus the on-disk data was no
+    * longer built from, defeating the guard exactly when it matters). */
   def stampArtifact(spark: SparkSession, dir: String, artifactKind: String,
                     operation: String, target: Option[Target]): Unit =
-    target.foreach { t =>
-      t.snapshot match {
-        case Some(c) =>
-          stampWithSnapshot(spark, dir, artifactKind, t.datasetId,
-            t.datasetVersion, c, operation, t.governance, t.idCol, t.textCol)
-        case None =>
-          stamp(spark, dir, artifactKind, t.datasetId, t.datasetVersion,
-            operation, t.governance)
-      }
-      ()
+    target match {
+      case Some(t) =>
+        t.snapshot match {
+          case Some(c) =>
+            stampWithSnapshot(spark, dir, artifactKind, t.datasetId,
+              t.datasetVersion, c, operation, t.governance, t.idCol, t.textCol)
+          case None =>
+            stamp(spark, dir, artifactKind, t.datasetId, t.datasetVersion,
+              operation, t.governance)
+        }
+        ()
+      case None => clearStamp(spark, dir)
     }
+
+  /** Remove a stamp (and its snapshot) from an artifact directory —
+    * idempotent, nothing to do when none exists. */
+  def clearStamp(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = new org.apache.hadoop.fs.Path(metaPath(dir))
+    val snap = new org.apache.hadoop.fs.Path(snapshotPath(dir))
+    val fs = meta.getFileSystem(conf)
+    if (fs.exists(meta)) fs.delete(meta, false)
+    if (fs.exists(snap)) fs.delete(snap, true)
+    ()
+  }
 
   /** Probe-side hook: when a probe entry point is given a `freshAgainst`
     * corpus, require the artifact's stamped snapshot to match it exactly

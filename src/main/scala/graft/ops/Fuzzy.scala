@@ -102,19 +102,25 @@ object Fuzzy {
               col(n).as(s"_fz_k$i") }: _*)
             .agg(count(lit(1)).as(cnt))
         val kCols = aKeyNames.indices.map(i => s"_fz_k$i")
+        // DOUBLE product for the threshold: two Long counts can each be
+        // billions at the scale this guard polices, and a wrapped Long
+        // product would read negative and silently disable the guard on
+        // exactly the most degenerate key (precision loss at 2^53 pairs
+        // is irrelevant against any sane bound)
+        val pairsCol = col("_fz_an").cast("double") * col("_fz_bn").cast("double")
         val hot = counted(a0, aKeyNames, "_fz_an")
           .join(counted(b0, bKeyNames, "_fz_bn"), kCols.toSeq)
-          .filter(col("_fz_an") * col("_fz_bn") > maxPairsPerBlock)
+          .filter(pairsCol > maxPairsPerBlock.toDouble)
         if (onHotBlock == "fail") {
           // hot keys are driver-bounded by construction: each carries >
           // maxPairsPerBlock candidates, so at most total/max of them
-          val offenders = hot.orderBy((col("_fz_an") * col("_fz_bn")).desc)
+          val offenders = hot.orderBy(pairsCol.desc)
             .limit(3).collect()
           require(offenders.isEmpty, {
             val shown = offenders.map { r =>
               val key = kCols.indices.map(i => String.valueOf(r.get(i))).mkString("/")
-              val pairs = r.getAs[Long]("_fz_an") * r.getAs[Long]("_fz_bn")
-              s"$key (~$pairs candidate pairs)"
+              val pairs = r.getAs[Long]("_fz_an").toDouble * r.getAs[Long]("_fz_bn")
+              s"$key (~${pairs.toLong} candidate pairs)"
             }.mkString(", ")
             s"fuzzyJoin degenerate block(s) exceed maxPairsPerBlock=" +
               s"$maxPairsPerBlock: $shown — add a stronger blocking key " +
@@ -124,7 +130,7 @@ object Fuzzy {
         } else {
           val lanes = broadcast(hot.select(kCols.map(col) :+
             least(lit(hotBlockSalts.toLong),
-              ceil(col("_fz_an") * col("_fz_bn") / maxPairsPerBlock.toDouble)
+              ceil(pairsCol / maxPairsPerBlock.toDouble)
                 .cast(LongType)).as("_fz_salt_n"): _*))
           def joinLanes(df: DataFrame, names: Seq[String]) =
             df.join(lanes, names.zip(kCols).map { case (n, k) =>

@@ -456,9 +456,38 @@ object MediaProbe {
     val p = probe(bytes)
     p.format match {
       case f @ ("mp4" | "mov" | "m4a" | "heic" | "avif") =>
+        // dedicated top-level walk rather than childBoxes: `mdat` is the
+        // one box that legally uses size==0 (extends to EOF — common as
+        // the final box of a straight-to-disk recording) and size==1
+        // (64-bit largesize header, 16-byte preamble); childBoxes'
+        // size>=8 guard treats both as damage and would drop the whole
+        // payload, so those files would silently escape perceptual dedup
         val out = new java.io.ByteArrayOutputStream()
-        childBoxes(bytes, 0, bytes.length, "mdat").foreach { case (s, e) =>
-          out.write(bytes, s + 8, e - s - 8)
+        val end = bytes.length
+        var i = 0
+        var ok = true
+        var guard = 0
+        while (ok && i + 8 <= end && guard < 10000) {
+          guard += 1
+          val size32 = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+            ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+          val isMdat = bytes(i + 4) == 'm' && bytes(i + 5) == 'd' &&
+            bytes(i + 6) == 'a' && bytes(i + 7) == 't'
+          val (payloadAt, boxEnd): (Long, Long) =
+            if (size32 == 0L) (i + 8L, end.toLong) // to end of file
+            else if (size32 == 1L && i + 16 <= end) { // 64-bit largesize
+              var big = 0L
+              var k = 0
+              while (k < 8) { big = (big << 8) | (bytes(i + 8 + k) & 0xffL); k += 1 }
+              if (big < 16L) (0L, -1L) else (i + 16L, math.min(i + big, end.toLong))
+            } else if (size32 >= 8L) (i + 8L, math.min(i + size32, end.toLong))
+            else (0L, -1L)
+          if (boxEnd <= i) ok = false // damaged size: stop, keep what we have
+          else {
+            if (isMdat && payloadAt < boxEnd)
+              out.write(bytes, payloadAt.toInt, (boxEnd - payloadAt).toInt)
+            i = boxEnd.toInt
+          }
         }
         Some((f, out.toByteArray))
       case f @ ("webm" | "mkv") =>

@@ -383,6 +383,28 @@ object WarcOps {
     bos.toByteArray
   }
 
+  /** Pack `(doc_id, text)` rows into ONE gzipped member-per-record WARC
+    * shard (the `.warc.gz` convention [[readWarc]] consumes): one
+    * `response` record per document with a text/plain HTTP envelope —
+    * the load-generation twin of the file readers, used by the scale
+    * harness to materialize corpus-sized crawl shards. */
+  private[graft] def warcShard(rows: Iterator[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    rows.foreach { case (id, text) =>
+      val body = (if (text == null) "" else text).getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+      val rec = record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://corpus.example/doc/$id",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"), http)
+      bos.write(gzipMember(rec))
+    }
+    bos.toByteArray
+  }
+
   /** One synthetic WARC file for `doc`: a leading warcinfo record, then
     * `1 + doc % 3` HTTP response records with every field closed-form.
     * Even ids are gzipped one-member-per-record (the `.warc.gz`

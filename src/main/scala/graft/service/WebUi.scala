@@ -217,7 +217,11 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         c.servers.map(sv => Seq(
           sv.server.map(esc).getOrElse("—"), sv.serverType.map(esc).getOrElse("—"),
           sv.path.map(esc).getOrElse("—"), sv.format.map(esc).getOrElse("—"))))
-    val linked = gov.statusMatrix()
+    // ONE matrix read serves both the verdict table and the validate
+    // quick links: statusMatrix parses every recorded status document,
+    // so a second call would double the detail page's I/O
+    val matrix = gov.statusMatrix()
+    val linked = matrix
       .filter(st => st.contractId == c.id && st.contractVersion == c.version)
     val verdicts =
       if (linked.isEmpty) ""
@@ -233,7 +237,7 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     // re-evaluate a dataset's recorded observations against THIS revision
     // — GET, read-only, nothing recorded. Datasets with any recorded
     // observation get one-click links; the form takes arbitrary ids.
-    val knownDatasets = gov.statusMatrix()
+    val knownDatasets = matrix
       .map(st => (st.datasetId, st.datasetVersion)).distinct.take(12)
     val quickLinks =
       if (knownDatasets.isEmpty) ""
@@ -275,7 +279,18 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
           page(title, subject + "<p>No recorded observations for this " +
             "dataset version — run a governed pipeline against it first.</p>")
         case Some((schema, metrics)) =>
-          val res = graft.quality.Evaluator.evaluate(c, schema, metrics)
+          // records predating schema persistence carry NO snapshot: the
+          // schema half must go vacuous (evaluate against the contract's
+          // own shape), NOT read as every-column-missing — a false
+          // "block" verdict naming phantom missing columns would send an
+          // operator chasing a failure that never happened
+          val contractProps = c.schema.flatMap(_.properties)
+          val effSchema =
+            if (schema.nonEmpty) schema
+            else contractProps.map(f => f.name ->
+              graft.quality.FieldSnapshot(f.odcsType, f.odcsType,
+                nullable = !f.required)).toMap
+          val res = graft.quality.Evaluator.evaluate(c, effSchema, metrics)
           val verdict = s"<h2>verdict</h2><p>${statusCell(res.recordStatus)}</p>" +
             (if (res.errors.isEmpty) ""
              else "<h3>errors</h3><ul>" +
@@ -285,7 +300,6 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
                res.warnings.map(w => s"<li>${esc(w)}</li>").mkString + "</ul>")
           // expected-vs-observed schema diff (the preview half): contract
           // columns joined to the snapshot, plus observed-only extras
-          val contractProps = c.schema.flatMap(_.properties)
           val diffRows = contractProps.map { f =>
             val obs = schema.get(f.name)
             val state = obs match {

@@ -66,7 +66,17 @@ object ScaleBudget {
     "q_curation_ingest" -> 3.2,
     "q_fuzzy_join" -> 3.0,
     "fuzzy_probe" -> 4.0,
-    "hamming_r8" -> 8.1)
+    "hamming_r8" -> 8.1,
+    // r13 addition: the crawl FILE ingest seam (readWarc over real
+    // .warc.gz shards packed from the corpus at a fixed ~2048 docs per
+    // shard, so the FILE COUNT scales with the corpus — the Common
+    // Crawl shape). Per-shard cost is constant (one file's records
+    // materialize per input row), so growth should track corpus size
+    // until the 32 cores saturate; above the band means the parse seam
+    // itself went superlinear. Measured r13 calibration: 2.0x at 10x
+    // (29 → 290 shards absorbed by idle cores; band = measured + 2, the
+    // short-ratio floor).
+    "warc_ingest" -> 4.0)
 
   /** Gated dataflows that are not SparkEntry queries keyed by name:
     * timed through the same harness. hamming_r8 exercises the band-PAIR
@@ -94,6 +104,39 @@ object ScaleBudget {
           .withColumn("tok0", expr("split_part(title, ' ', 1)"))
         graft.ops.Fuzzy.fuzzyJoin(titles, titles.filter(col("doc_id") < 200),
           "title", maxDist = 2, blockCols = Seq("tok0"))
+      }),
+      // crawl file ingest: the documents corpus packed into real
+      // .warc.gz shards (~2048 docs each — shard COUNT is corpus-linear,
+      // shard size constant, the production crawl shape), materialized
+      // once per scale dir; the timed body is readWarc's files→records
+      // parse + the response projection. The warm-up run pays the
+      // one-time shard build; min-of-2 measures the parse seam.
+      "warc_ingest" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out = s"/tmp/graft_warcshards_${math.abs(dir.hashCode)}"
+        val done = new java.io.File(s"$out/_SHARDS_DONE")
+        if (!done.exists()) {
+          new java.io.File(out).mkdirs()
+          val docs = T.load(s, dir, "documents")
+            .select(col("doc_id").cast("long"), col("text"))
+          val nShards = math.max(4, (docs.count() / 2048).toInt)
+          docs.repartition(nShards).foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              if (it.hasNext) {
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                val bytes = graft.ops.WarcOps.warcShard(
+                  it.map(r => (r.getLong(0), r.getString(1))))
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(s"$out/shard_$pid.warc.gz"), bytes)
+                ()
+              }
+          }
+          done.createNewFile()
+        }
+        graft.ops.WarcOps.readWarc(s, out)
+          .filter(col("warc_type") === "response")
+          .select(col("doc_id"), col("target_uri"),
+            length(col("payload_text")).as("n_chars"))
       }))
 
   def main(args: Array[String]): Unit = {

@@ -197,6 +197,30 @@ class ArtifactProvenanceSpec extends SparkSpec {
     assert(v2ops == Set("merge:minhash-index", "append:sketch-kmv"))
   }
 
+  test("a provenance-less rebuild CLEARS the previous stamp — no orphaned snapshot to trust") {
+    val dir = tmpDir("graft_prov_clear")
+    val v1 = corpus
+    MinhashIndex.build(v1, dir, provenance = Some(
+      ArtifactProvenance.Target("c.docs", "v1", snapshot = Some(v1))))
+    assert(ArtifactProvenance.read(spark, dir).nonEmpty)
+
+    // the corpus moves and someone rebuilds WITHOUT provenance: the v1
+    // stamp/snapshot must not survive to vouch for data it no longer
+    // describes — a probe with freshAgainst=v1 would otherwise PASS the
+    // zero-tolerance guard against an index built from v2
+    val v2 = corpus.withColumn("text",
+      when(col("doc_id") === 1L, lit("rewritten v2")).otherwise(col("text")))
+    MinhashIndex.build(v2, dir)
+    assert(ArtifactProvenance.read(spark, dir).isEmpty,
+      "the stale stamp must be cleared by the unstamped rebuild")
+    intercept[IllegalArgumentException] {
+      // no snapshot on disk -> staleCount is loud, not silently fresh
+      ArtifactProvenance.staleCount(spark, dir, v1)
+    }
+    // clearStamp is idempotent
+    ArtifactProvenance.clearStamp(spark, dir)
+  }
+
   test("freshAgainst on probe entry points: fresh passes, an edited corpus fails loudly") {
     val root = tmpDir("graft_provfresh")
     val e = graft.T.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -260,25 +260,42 @@ class MediaTransformSpec extends SparkSpec {
       MediaTransform.videoDhashOne(d, MediaProbe.syntheticMp4(d)).head.getLong(2))
     assert(hashes.distinct.size >= 55 && !hashes.contains(0L),
       s"degenerate fixture: ${hashes.distinct.size} distinct")
-    // a re-DESCRIBED copy (metadata edited, payload untouched): emulate
-    // by hashing two docs whose payload formulas coincide but container
-    // metadata differs — doc and doc (different family) covered above;
-    // a PAYLOAD edit must move the hash
-    val edited = MediaProbe.syntheticMp4(2L)
+    // a re-ENCODE (payload bytes change) must move the hash: zero the
+    // first half of the media payload — the early buckets' energies
+    // collapse in every lane, flipping contour bits (verified against
+    // the closed form: all three docs' hashes move)
+    val original = MediaProbe.syntheticMp4(2L)
+    val edited = original.clone()
     val payloadOff = edited.length - MediaProbe.videoPayloadLen(2L).toInt
-    edited(payloadOff + 5) = (edited(payloadOff + 5) ^ 0x7f).toByte
-    val perturbed = edited.clone()
+    for (k <- 0 until MediaProbe.videoPayloadLen(2L).toInt / 2)
+      edited(payloadOff + k) = 0
+    val origHash = MediaTransform.videoDhashOne(2L, original).head.getLong(2)
+    val editHash = MediaTransform.videoDhashOne(2L, edited).head.getLong(2)
+    assert(origHash != editHash,
+      "a payload re-encode must re-fingerprint (metadata-only edits must not)")
     // totality: images/audio/garbage/null degrade to null-hash markers
     assert(MediaTransform.videoDhashOne(1L, null).head.get(2) == null)
     assert(MediaTransform.videoDhashOne(1L, Array[Byte](9, 9, 9)).head.get(2) == null)
     assert(MediaTransform.videoDhashOne(1L,
       MediaDecode.syntheticWav(4L)).head.get(2) == null)
     // a container with NO media payload (header-only init segment)
-    val headerOnly = MediaProbe.syntheticMp4(2L)
-      .take(MediaProbe.syntheticMp4(2L).length - MediaProbe.videoPayloadLen(2L).toInt - 8)
+    val headerOnly = original.take(
+      original.length - MediaProbe.videoPayloadLen(2L).toInt - 8)
     val ho = MediaTransform.videoDhashOne(1L, headerOnly).head
     assert(ho.get(1) == "mp4" && ho.get(2) == null)
-    assert(perturbed.length == MediaProbe.syntheticMp4(2L).length) // sanity
+    // ISO-BMFF size variants the walk must honor: a final mdat with the
+    // legal size==0 (extends to EOF) and the size==1 64-bit largesize
+    // header both hash identically to the plain-size container
+    val header = original.take(payloadOff - 8)
+    val payload = original.drop(payloadOff)
+    val mdatEof = header ++ MediaProbe.be32(0L) ++
+      "mdat".getBytes("US-ASCII") ++ payload
+    val large = header ++ MediaProbe.be32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      MediaProbe.be32(0L) ++ MediaProbe.be32(16L + payload.length) ++ payload
+    assert(MediaTransform.videoDhashOne(2L, mdatEof).head.getLong(2) == origHash,
+      "size==0 (to-EOF) mdat must hash like the sized box")
+    assert(MediaTransform.videoDhashOne(2L, large).head.getLong(2) == origHash,
+      "size==1 (largesize) mdat must hash like the sized box")
   }
 
   test("videoDhash composes with the Hamming machinery: re-muxed copies dedup at distance 0") {

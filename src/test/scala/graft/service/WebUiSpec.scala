@@ -134,6 +134,19 @@ class WebUiSpec extends AnyFunSuite {
     assert(bad.contains("""<span class="block">missing</span>""") &&
       bad.contains("o_clerk"), "the schema diff names the missing column")
 
+    // a record with NO schema snapshot (pre-persistence vintage): the
+    // schema half goes vacuous — the page must NOT fabricate a block
+    // verdict naming every column as missing
+    gov.recordValidation("ds.orders", "2023-12", contract,
+      graft.quality.ValidationResult(ok = true, Nil, Nil,
+        Map("row_count" -> 50L), Map.empty))
+    val vintage = ui.validatePage("sales.orders", "1.0.0", "ds.orders", "2023-12").get
+    assert(vintage.contains("predates schema snapshots"))
+    assert(!vintage.contains("""<span class="block">missing</span>"""),
+      "no phantom missing-column rows without a snapshot")
+    assert(!vintage.contains("<h3>errors</h3>"),
+      "no fabricated schema errors without a snapshot")
+
     // nothing recorded for that version: a clear message, not a throw
     val none = ui.validatePage("sales.orders", "1.0.0", "ds.orders", "2099-01").get
     assert(none.contains("No recorded observations"))
