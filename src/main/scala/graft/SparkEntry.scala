@@ -109,6 +109,27 @@ object SparkEntry {
         concat(lit("?ref="), (col("doc_id") % 3).cast("string")))
         .otherwise(lit(""))))
 
+  /** Closed-form robots.txt fixture shared by q_robots_rules and
+    * q_robots_filter: a comment, an ORPHAN rule before any group
+    * (ignored per RFC 9309), the `*` group (key case varies by doc — a
+    * case-insensitivity probe the oracle need not branch on), a two-ua
+    * RUN sharing one group (`bot<doc%4>` + `helper`), a crawl-delay,
+    * and a colon-carrying sitemap record. Every value is a formula the
+    * oracle re-derives. */
+  private def robotsFixtureText: org.apache.spark.sql.Column = concat(
+    lit("# policy\n"),
+    when(col("doc_id") % 3 === 0, lit("Disallow: /orphan\n")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, lit("USER-AGENT: *\n"))
+      .otherwise(lit("user-agent: *\n")),
+    lit("Disallow: /private"), (col("doc_id") % 5).cast("string"), lit("/\n"),
+    lit("Allow: /private"), (col("doc_id") % 5).cast("string"), lit("/public\n"),
+    lit("User-agent: bot"), (col("doc_id") % 4).cast("string"), lit("\n"),
+    lit("User-agent: helper\n"),
+    lit("Crawl-delay: "), (col("doc_id") % 7 + 1).cast("string"), lit("\n"),
+    lit("Disallow: /\n"),
+    lit("Sitemap: http://site"), (col("doc_id") % 7).cast("string"),
+    lit(".example/sitemap.xml\n"))
+
   /** One per-JVM scratch root for gate-internal artifacts (the z-order
     * write of q_skipping_scan, the minhash index of q_decontaminate_near):
     * repeated query invocations REUSE the same subdirectory (every
@@ -1016,6 +1037,38 @@ object SparkEntry {
       UrlOps.parseUrls(UrlOps.extractLinks(docsWithAnchors(s, d)), "href")
         .select(col("doc_id"), col("link_pos"), col("href"),
           col("host"), col("domain"))),
+    // robots.txt ingestion (RFC 9309): closed-form robots documents —
+    // comment lines, an orphan rule before any group (ignored per
+    // spec), key case varying by doc, a two-ua RUN sharing one group,
+    // colon-carrying sitemap values — parsed to directive rows. The
+    // oracle enumerates the expected rows from the formulas (group
+    // numbers KNOWN by construction), never re-parsing text.
+    "q_robots_rules" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      UrlOps.parseRobots(ids.select(col("doc_id"), robotsFixtureText.as("text")))
+    }),
+    // the permission join over the parsed rules: agent "bot1" owns a
+    // group on doc_id%4==1 hosts (deny-all there — own group outranks
+    // *), every other host falls to the * group where the longest
+    // prefix decides (/privateK/ blocks, the longer /privateK/public
+    // allow overrides, unmatched paths pass).
+    "q_robots_filter" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val rules = UrlOps.parseRobots(
+        ids.select(col("doc_id"), robotsFixtureText.as("text")))
+      val k = (col("doc_id") % 5).cast("string")
+      val urls = ids
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"))
+        .select(col("doc_id"), (col("doc_id") * 4 + col("j")).as("url_id"),
+          when(col("j") === 0, concat(lit("/private"), k, lit("/x")))
+            .when(col("j") === 1, concat(lit("/private"), k, lit("/public/y")))
+            .when(col("j") === 2, lit("/other"))
+            .otherwise(lit("/")).as("path"))
+      UrlOps.robotsAllowed(rules, urls, agent = "bot1")
+        .select(col("doc_id"), col("url_id"), col("path"), col("allowed"))
+    }),
     // the COMPOSED crawl-graph pipeline, gated end to end: markup →
     // links (extractLinks) → URL layer (parseUrls registrable domains,
     // for the page url AND every link) → (page domain → link domain)
@@ -2818,6 +2871,49 @@ object SparkEntry {
       s"""WITH $linkCtes
         |SELECT doc_id, link_pos, href, host, $domainSql AS domain
         |FROM lnk""".stripMargin,
+    // robots oracle: the expected directive rows ENUMERATED from the
+    // fixture formulas (group numbers known by construction — the
+    // orphan rule, the comment and the case-varied keys never surface),
+    // not re-parsed from text
+    "q_robots_rules" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, CAST(rule_pos AS BIGINT) AS rule_pos,
+        |  CAST(grp AS BIGINT) AS grp, directive, value
+        |FROM (
+        |  SELECT doc_id, 0 AS rule_pos, 0 AS grp, 'user-agent' AS directive,
+        |    '*' AS value FROM d
+        |  UNION ALL SELECT doc_id, 1, 0, 'disallow',
+        |    '/private' || (doc_id % 5) || '/' FROM d
+        |  UNION ALL SELECT doc_id, 2, 0, 'allow',
+        |    '/private' || (doc_id % 5) || '/public' FROM d
+        |  UNION ALL SELECT doc_id, 3, 1, 'user-agent',
+        |    'bot' || (doc_id % 4) FROM d
+        |  UNION ALL SELECT doc_id, 4, 1, 'user-agent', 'helper' FROM d
+        |  UNION ALL SELECT doc_id, 5, 1, 'crawl-delay',
+        |    CAST(doc_id % 7 + 1 AS VARCHAR) FROM d
+        |  UNION ALL SELECT doc_id, 6, 1, 'disallow', '/' FROM d
+        |  UNION ALL SELECT doc_id, 7, -1, 'sitemap',
+        |    'http://site' || (doc_id % 7) || '.example/sitemap.xml' FROM d
+        |) rows""".stripMargin,
+    // permission oracle: doc_id%4==1 hosts own a bot1 group (deny-all —
+    // own group outranks *); everywhere else the * group's longest
+    // prefix decides: j=0 /privateK/x blocked by /privateK/, j=1 the
+    // longer allow overrides, j=2 and j=3 match nothing
+    "q_robots_filter" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |u AS (
+        |  SELECT doc_id, doc_id * 4 + j.i AS url_id, j.i AS j,
+        |    CASE j.i
+        |      WHEN 0 THEN '/private' || (doc_id % 5) || '/x'
+        |      WHEN 1 THEN '/private' || (doc_id % 5) || '/public/y'
+        |      WHEN 2 THEN '/other'
+        |      ELSE '/' END AS path
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) j)
+        |SELECT doc_id, url_id, path,
+        |  CASE WHEN doc_id % 4 = 1 THEN false
+        |       WHEN j = 0 THEN false
+        |       ELSE true END AS allowed
+        |FROM u""".stripMargin,
     // the COMPOSED crawl-graph oracle: anchors → hrefs → registrable
     // domains (the linkCtes chain), the synthetic per-page url's domain
     // (the urlCte derivation inlined as pgh/pgd), the distinct

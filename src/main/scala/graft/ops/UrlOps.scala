@@ -247,4 +247,126 @@ object UrlOps {
       .groupBy(col("url_canon"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("url_canon"))
+
+  // ---- robots.txt (RFC 9309 Robots Exclusion Protocol) --------------------
+
+  /** Parse robots.txt documents into directive rows — the crawl-
+    * pipeline permission primitive BEFORE any fetch enters the corpus
+    * (composes with [[parseUrls]]/[[capPerDomain]] and the WARC family;
+    * crawl corpora ship robots captures as ordinary records). One row
+    * per recognised directive, in file order:
+    * `(idCol, rule_pos, grp, directive, value)` where `grp` numbers the
+    * RFC group the directive belongs to and `-1` marks group-less
+    * records (`sitemap`).
+    *
+    * Grammar handled (RFC 9309 §2.2): `#` comments stripped; blank /
+    * colon-less lines ignored; keys case-insensitive; a RUN of
+    * consecutive `user-agent` lines opens ONE group (they share its
+    * rules); `allow` / `disallow` / `crawl-delay` attach to the current
+    * group — rules BEFORE any group are ignored per spec; `sitemap` is
+    * a standalone record (`grp` = -1); unknown keys are ignored and,
+    * like any non-user-agent line, end a user-agent run. Values keep
+    * everything after the FIRST colon (sitemap URLs carry colons).
+    *
+    * A zero-shuffle projection: the whole group-assignment pass is one
+    * `aggregate` fold over the line array inside the row (robots files
+    * are KB-sized — per-row state is bounded by the file), so the same
+    * call runs on a stream of arriving robots captures. */
+  def parseRobots(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    // SQL lambdas get no common-subexpression elimination (r11 lesson) —
+    // key/value re-derive per branch, bounded by robots-file line counts
+    def k(l: String) = s"lower(trim(substring($l, 1, instr($l, ':') - 1)))"
+    def v(l: String) = s"trim(substring($l, instr($l, ':') + 1))"
+    val acc = "named_struct('grp', %s, 'prevua', %s, 'out', %s)"
+    val entry = "named_struct('grp', %s, 'directive', %s, 'value', %s)"
+    val parsed = expr(s"""
+      aggregate(
+        transform(split(coalesce($textCol, ''), '\r?\n'),
+          l -> trim(regexp_replace(l, '#.*', ''))),
+        ${acc.format("cast(-1 as int)", "false",
+          "cast(array() as array<struct<grp: int, directive: string, value: string>>)")},
+        (acc, l) -> CASE
+          WHEN l = '' OR instr(l, ':') = 0
+            THEN ${acc.format("acc.grp", "false", "acc.out")}
+          WHEN ${k("l")} = 'user-agent'
+            THEN ${acc.format(
+              "if(acc.prevua, acc.grp, acc.grp + 1)", "true",
+              "array_append(acc.out, " + entry.format(
+                "if(acc.prevua, acc.grp, acc.grp + 1)", "'user-agent'", v("l")) + ")")}
+          WHEN ${k("l")} IN ('allow', 'disallow', 'crawl-delay') THEN
+            ${acc.format("acc.grp", "false",
+              "if(acc.grp >= 0, array_append(acc.out, " +
+                entry.format("acc.grp", k("l"), v("l")) + "), acc.out)")}
+          WHEN ${k("l")} = 'sitemap'
+            THEN ${acc.format("acc.grp", "false",
+              "array_append(acc.out, " +
+                entry.format("cast(-1 as int)", "'sitemap'", v("l")) + ")")}
+          ELSE ${acc.format("acc.grp", "false", "acc.out")}
+        END
+      ).out""")
+    docs
+      .select(col(idCol), posexplode(parsed).as(Seq("rule_pos", "_rb")))
+      .select(col(idCol), col("rule_pos").cast(LongType),
+        col("_rb.grp").cast(LongType).as("grp"),
+        col("_rb.directive").as("directive"), col("_rb.value").as("value"))
+  }
+
+  /** Which URLs may `agent` fetch, under [[parseRobots]] rules — RFC
+    * 9309 §2.2.2 matching: the agent's OWN group(s) when any user-agent
+    * line equals it (case-insensitive, exact product token — substring
+    * matching is out of scope, documented), else the `*` group(s); among
+    * the chosen groups' non-empty `allow`/`disallow` rules, the LONGEST
+    * rule matching the URL path as a prefix decides, `allow` winning
+    * ties; URLs matching no rule — or keys with no applicable group —
+    * are allowed. Empty-value rules are the RFC's explicit no-op.
+    * (`$`/`*` wildcard rules are not interpreted — they participate as
+    * literal prefixes; the standard marks wildcard support optional.)
+    *
+    * `rules` and `urls` join on `keyCol` (typically the HOST the robots
+    * file governs). Output: `urls` plus a boolean `allowed`. Scale
+    * shape: rules are robots-sized per key, so the join is hash-
+    * partitioned on the natural crawl key (or broadcast when the rule
+    * frame is small); per-URL work is bounded by that host's rule
+    * count; one aggregation keyed by the url row id. */
+  def robotsAllowed(rules: DataFrame, urls: DataFrame, agent: String,
+                    keyCol: String = "doc_id", pathCol: String = "path",
+                    urlIdCol: String = "url_id"): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val ua = rules
+      .filter(col("directive") === "user-agent")
+      .select(col(keyCol).as("_ra_key"), col("grp").as("_ra_grp"),
+        lower(col("value")).as("_ra_agent"))
+    // per key: the agent's own groups when any exist, else the * groups
+    val chosen = ua
+      .groupBy(col("_ra_key"), col("_ra_grp"))
+      .agg(max(when(col("_ra_agent") === agentLc, 1).otherwise(0)).as("_ra_own"),
+        max(when(col("_ra_agent") === "*", 1).otherwise(0)).as("_ra_star"))
+      .withColumn("_ra_any_own",
+        max(col("_ra_own")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_ra_key"))))
+      .filter((col("_ra_any_own") === 1 && col("_ra_own") === 1) ||
+        (col("_ra_any_own") === 0 && col("_ra_star") === 1))
+      .select(col("_ra_key"), col("_ra_grp"))
+    val active = rules
+      .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .select(col(keyCol).as("_ra_key"), col("grp").as("_ra_grp"),
+        col("directive").as("_ra_dir"), col("value").as("_ra_rule"))
+      .join(chosen, Seq("_ra_key", "_ra_grp"))
+    val matched = urls
+      .join(active,
+        urls(keyCol) === active("_ra_key") &&
+          urls(pathCol).startsWith(col("_ra_rule")),
+        "left")
+      .groupBy(urls(urlIdCol).as(urlIdCol))
+      .agg(
+        max(when(col("_ra_dir") === "allow", length(col("_ra_rule")))).as("_ra_la"),
+        max(when(col("_ra_dir") === "disallow", length(col("_ra_rule")))).as("_ra_ld"))
+      .withColumn("allowed",
+        col("_ra_ld").isNull ||
+          (col("_ra_la").isNotNull && col("_ra_la") >= col("_ra_ld")))
+      .select(col(urlIdCol), col("allowed"))
+    urls.join(matched, Seq(urlIdCol), "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
+  }
 }

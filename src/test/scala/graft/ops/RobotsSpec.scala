@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing (RFC 9309 grammar subset) and the URL permission
+  * join: grouping of user-agent runs, orphan-rule dropping, longest-
+  * prefix decisions with allow winning ties, own-group-over-star agent
+  * selection, and the total postures (no rules / no robots / null). */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val robots =
+    """# crawl policy
+      |Disallow: /orphan-rule-ignored
+      |User-Agent: *
+      |Disallow: /private/
+      |Allow: /private/public
+      |DISALLOW:
+      |User-agent: botA
+      |user-agent: botB
+      |Crawl-delay: 4
+      |Disallow: /
+      |Sitemap: http://site.example/sitemap.xml
+      |Weird-Key: ignored
+      |""".stripMargin.replace("\n", "\r\n") // CRLF endings must parse too
+
+  private def parsed = UrlOps.parseRobots(
+    Seq((1L, robots), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+
+  test("parseRobots: groups, comments, case, orphan rules, sitemap, CRLF") {
+    val rows = parsed.filter(col("doc_id") === 1L).orderBy("rule_pos")
+      .select("grp", "directive", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      (0L, "user-agent", "*"),
+      (0L, "disallow", "/private/"),
+      (0L, "allow", "/private/public"),
+      (0L, "disallow", ""), // empty value kept by the parse (no-op downstream)
+      (1L, "user-agent", "botA"),
+      (1L, "user-agent", "botB"), // the ua RUN shares one group
+      (1L, "crawl-delay", "4"),
+      (1L, "disallow", "/"),
+      (-1L, "sitemap", "http://site.example/sitemap.xml"))) // colon value intact
+    // the orphan rule before any group, the comment, the unknown key:
+    // all absent
+    assert(!rows.exists(_._3.contains("orphan")))
+    // null text is total: zero rows, no throw
+    assert(parsed.filter(col("doc_id") === 2L).count() == 0)
+  }
+
+  private def urls = Seq(
+    (1L, 10L, "/private/secret"),
+    (1L, 11L, "/private/public/page"),
+    (1L, 12L, "/open/page"),
+    (2L, 13L, "/private/secret") // host with NO robots: allowed
+  ).toDF("doc_id", "url_id", "path")
+
+  test("robotsAllowed: longest prefix decides, allow wins ties, no-rule URLs pass") {
+    val got = UrlOps.robotsAllowed(parsed, urls, agent = "someBot")
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(!got(10L), "/private/secret blocked by /private/")
+    assert(got(11L), "the longer allow rule overrides")
+    assert(got(12L), "no matching rule -> allowed")
+    assert(got(13L), "no robots for that key -> allowed")
+  }
+
+  test("robotsAllowed: an agent's own group outranks *, case-insensitive") {
+    val got = UrlOps.robotsAllowed(parsed, urls, agent = "BOTA")
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    // botA's group disallows everything — including the path * allows
+    assert(!got(10L) && !got(11L) && !got(12L))
+    assert(got(13L), "still no robots for key 2")
+  }
+
+  test("robotsAllowed: allow-tie and empty-value no-op semantics") {
+    val tie =
+      """User-agent: *
+        |Disallow: /a/
+        |Allow: /a/
+        |Disallow:
+        |""".stripMargin
+    val rules = UrlOps.parseRobots(Seq((1L, tie)).toDF("doc_id", "text"))
+    val got = UrlOps.robotsAllowed(rules,
+      Seq((1L, 1L, "/a/x"), (1L, 2L, "/b")).toDF("doc_id", "url_id", "path"),
+      agent = "any")
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "equal-length allow wins the tie")
+    assert(got(2L), "the empty disallow is the RFC no-op, not deny-all")
+  }
+}
