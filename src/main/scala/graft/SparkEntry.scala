@@ -130,6 +130,43 @@ object SparkEntry {
     lit("Sitemap: http://site"), (col("doc_id") % 7).cast("string"),
     lit(".example/sitemap.xml\n"))
 
+  /** Closed-form sitemap XML fixture for q_sitemap_urls: even docs are
+    * protocol-0.9 urlset files (entry 0 fully populated — spaces inside
+    * `<loc>`, an `&amp;` escape, case-varied changefreq, numeric
+    * priority; entry 1 loc-LESS, occupying a position but emitting no
+    * row; entry 2 minimal with a non-numeric priority), odd docs are
+    * sitemapindex files (entry 1 carrying an `&amp;` escape). Every
+    * value is a formula the oracle re-derives. */
+  private def sitemapFixtureText: org.apache.spark.sql.Column = {
+    val m7 = (col("doc_id") % 7).cast("string")
+    val m5 = (col("doc_id") % 5).cast("string")
+    val m3 = (col("doc_id") % 3).cast("string")
+    val m9 = (col("doc_id") % 9 + 1).cast("string")
+    val m10 = (col("doc_id") % 10).cast("string")
+    val m11 = (col("doc_id") % 11).cast("string")
+    val freq = when(col("doc_id") % 3 === 0, lit("DAILY"))
+      .when(col("doc_id") % 3 === 1, lit("Weekly")).otherwise(lit("monthly"))
+    when(col("doc_id") % 2 === 0, concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset " +
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n <url>\n" +
+        "  <loc> http://s"), m7, lit(".example/p"), m5,
+      lit("?a=1&amp;b="), m3,
+      lit(" </loc>\n  <lastmod>2024-0"), m9,
+      lit("-01</lastmod>\n  <changefreq>"), freq,
+      lit("</changefreq>\n  <priority>0."), m10,
+      lit("</priority>\n </url>\n <url><lastmod>2024-01-01</lastmod></url>\n" +
+        " <url>\n  <loc>http://s"), m7, lit(".example/q"), m11,
+      lit("</loc>\n  <priority>high</priority>\n </url>\n</urlset>\n")))
+      .otherwise(concat(
+        lit("<sitemapindex " +
+          "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "<sitemap><loc>http://site"), m7, lit(".example/maps/m"), m5,
+        lit(".xml.gz</loc>\n<lastmod>2024-02-0"), m9,
+        lit("</lastmod></sitemap>\n<sitemap>\n <loc>http://site"), m7,
+        lit(".example/&amp;"), m3,
+        lit(".xml</loc>\n</sitemap>\n</sitemapindex>\n")))
+  }
+
   /** One per-JVM scratch root for gate-internal artifacts (the z-order
     * write of q_skipping_scan, the minhash index of q_decontaminate_near):
     * repeated query invocations REUSE the same subdirectory (every
@@ -840,6 +877,22 @@ object SparkEntry {
           col("charset"), col("host"), col("path"), col("payload_text"),
           coalesce(col("n_links"), lit(0L)).as("n_links"), col("first_href"))
     }),
+    // the <meta> charset prescan (WHATWG precedence): three html
+    // response classes per file — meta-only iso-8859-1 (the 0xE9 byte
+    // only the SNIFFED decode reads back), header utf-8 vs a
+    // conflicting meta (the header must win or the two-byte é comes
+    // back as mojibake), and the http-equiv/content form declaring
+    // windows-1252 (0x93 → U+201C). The charset COLUMN stays the
+    // header declaration (null on the meta-only classes) — the oracle
+    // distinguishes declared from sniffed on every row.
+    "q_warc_meta_charset" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      graft.ops.WarcOps.parseWarc(s,
+          graft.ops.WarcOps.warcMetaPayloads(s, ids))
+        .select(col("doc_id"), col("rec_index"), col("charset"),
+          col("payload_text"))
+    }),
     // REAL pixel/sample decode: payloads synthesized from a closed-form
     // modular formula through the actual JDK codecs (PNG/BMP via
     // javax.imageio, PCM WAV via javax.sound), decoded back and reduced
@@ -1068,6 +1121,39 @@ object SparkEntry {
             .otherwise(lit("/")).as("path"))
       UrlOps.robotsAllowed(rules, urls, agent = "bot1")
         .select(col("doc_id"), col("url_id"), col("path"), col("allowed"))
+    }),
+    // sitemap XML ingestion (sitemaps.org 0.9): the frontier source the
+    // robots sitemap records point at — urlset AND sitemapindex shapes,
+    // loc trimming + entity unescape, optional-field nulls, loc-less
+    // entries holding their position, non-numeric priority degrading to
+    // null. The oracle enumerates the rows from the fixture formulas.
+    "q_sitemap_urls" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      UrlOps.parseSitemap(
+        ids.select(col("doc_id"), sitemapFixtureText.as("text")))
+    }),
+    // per-host politeness dispatch over the robots rules: slots in
+    // url_id order within each host, offset = slot × crawl-delay, the
+    // agent's own group's delay outranking * (doc%4==1 hosts carry a
+    // bot1 group with delay doc%7+1; everywhere else the * group has no
+    // delay line, so defaultDelay applies).
+    "q_crawl_schedule" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val rules = UrlOps.parseRobots(
+        ids.select(col("doc_id"), robotsFixtureText.as("text")))
+      val k = (col("doc_id") % 5).cast("string")
+      val urls = ids
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"))
+        .select(col("doc_id"), (col("doc_id") * 4 + col("j")).as("url_id"),
+          when(col("j") === 0, concat(lit("/private"), k, lit("/x")))
+            .when(col("j") === 1, concat(lit("/private"), k, lit("/public/y")))
+            .when(col("j") === 2, lit("/other"))
+            .otherwise(lit("/")).as("path"))
+      UrlOps.crawlSchedule(urls, rules, agent = "bot1")
+        .select(col("doc_id"), col("url_id"), col("path"),
+          col("slot"), col("delay_s"), col("offset_s"))
     }),
     // the COMPOSED crawl-graph pipeline, gated end to end: markup →
     // links (extractLinks) → URL layer (parseUrls registrable domains,
@@ -2914,6 +3000,61 @@ object SparkEntry {
         |       WHEN j = 0 THEN false
         |       ELSE true END AS allowed
         |FROM u""".stripMargin,
+    // sitemap oracle: the rows enumerated from the fixture formulas —
+    // even docs contribute urlset entries 0 and 2 (entry 1 is loc-less
+    // and provably absent, yet entry 2 keeps ordinal 2), odd docs the
+    // two sitemapindex entries; escapes pre-unescaped by construction
+    "q_sitemap_urls" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, CAST(entry_pos AS BIGINT) AS entry_pos, kind, loc,
+        |  lastmod, changefreq, priority
+        |FROM (
+        |  SELECT doc_id, 0 AS entry_pos, 'url' AS kind,
+        |    'http://s' || (doc_id % 7) || '.example/p' || (doc_id % 5) ||
+        |      '?a=1&b=' || (doc_id % 3) AS loc,
+        |    '2024-0' || (doc_id % 9 + 1) || '-01' AS lastmod,
+        |    CASE (doc_id % 3) WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+        |      ELSE 'monthly' END AS changefreq,
+        |    CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+        |  FROM d WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 'url',
+        |    'http://s' || (doc_id % 7) || '.example/q' || (doc_id % 11),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS DOUBLE)
+        |  FROM d WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 0, 'sitemap',
+        |    'http://site' || (doc_id % 7) || '.example/maps/m' ||
+        |      (doc_id % 5) || '.xml.gz',
+        |    '2024-02-0' || (doc_id % 9 + 1), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS DOUBLE)
+        |  FROM d WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id, 1, 'sitemap',
+        |    'http://site' || (doc_id % 7) || '.example/&' ||
+        |      (doc_id % 3) || '.xml',
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS DOUBLE)
+        |  FROM d WHERE doc_id % 2 = 1
+        |) rows""".stripMargin,
+    // schedule oracle: slot = the within-host url ordinal j by
+    // construction; delay = doc%7+1 on the bot1-owning hosts (their own
+    // group carries the crawl-delay line), defaultDelay 1.0 everywhere
+    // else (the * group has no delay); offset = slot × delay
+    "q_crawl_schedule" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |u AS (
+        |  SELECT doc_id, doc_id * 4 + j.i AS url_id, j.i AS j,
+        |    CASE j.i
+        |      WHEN 0 THEN '/private' || (doc_id % 5) || '/x'
+        |      WHEN 1 THEN '/private' || (doc_id % 5) || '/public/y'
+        |      WHEN 2 THEN '/other'
+        |      ELSE '/' END AS path
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) j)
+        |SELECT doc_id, url_id, path, j AS slot,
+        |  CASE WHEN doc_id % 4 = 1 THEN CAST(doc_id % 7 + 1 AS DOUBLE)
+        |       ELSE 1.0 END AS delay_s,
+        |  j * (CASE WHEN doc_id % 4 = 1 THEN CAST(doc_id % 7 + 1 AS DOUBLE)
+        |            ELSE 1.0 END) AS offset_s
+        |FROM u""".stripMargin,
     // the COMPOSED crawl-graph oracle: anchors → hrefs → registrable
     // domains (the linkCtes chain), the synthetic per-page url's domain
     // (the urlCte derivation inlined as pgh/pgd), the distinct
@@ -4046,6 +4187,28 @@ object SparkEntry {
     // 0..doc%3 — never from bytes: the framing walk, gzip members, the
     // HTTP envelope, URL parsing, and link extraction must all agree
     // with a plain arithmetic recompute
+    // meta-charset oracle: the three response classes enumerated with
+    // their intended characters — chr(233) é on the sniffed latin-1 and
+    // header-utf-8 rows, chr(8220) U+201C on the cp1252 http-equiv row;
+    // charset carries the HEADER declaration only (null when the page
+    // relied on its meta), so a sniff that leaked into the column — or
+    // a decode that ignored the sniff — hash-mismatches every row
+    "q_warc_meta_charset" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, CAST(rec_index AS BIGINT) AS rec_index, charset,
+        |  payload_text
+        |FROM (
+        |  SELECT doc_id, 0 AS rec_index, CAST(NULL AS VARCHAR) AS charset,
+        |    '<meta charset="iso-8859-1">caf' || chr(233) || ' doc ' || doc_id
+        |      AS payload_text FROM d
+        |  UNION ALL SELECT doc_id, 1, 'utf-8',
+        |    '<meta charset="iso-8859-1">caf' || chr(233) ||
+        |      ' header wins ' || doc_id FROM d
+        |  UNION ALL SELECT doc_id, 2, CAST(NULL AS VARCHAR),
+        |    '<meta http-equiv="Content-Type" ' ||
+        |      'content="text/html; charset=windows-1252">q' || chr(8220) ||
+        |      ' doc ' || doc_id FROM d
+        |) rows""".stripMargin,
     "q_warc_records" ->
       """WITH recs AS (
         |  SELECT doc_id,

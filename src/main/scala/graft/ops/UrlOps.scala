@@ -369,4 +369,128 @@ object UrlOps {
     urls.join(matched, Seq(urlIdCol), "left")
       .withColumn("allowed", coalesce(col("allowed"), lit(true)))
   }
+
+  // ---- sitemaps (sitemaps.org protocol 0.9) --------------------------------
+
+  /** `<url>` / `<sitemap>` entry blocks — lazy body so one pattern walks
+    * the whole file without backtracking blowups, and the element name
+    * anchored with `[ \t\n\f\r]*>` so `<url>` never half-matches
+    * `<urlset>`. RE2∩Java subset as the file header requires (lazy
+    * quantifiers are in both engines; no backrefs, so the close tag is
+    * matched by alternation — a malformed cross-closed pair truncates at
+    * the first close tag, the conservative extractor failure). */
+  val SitemapEntryPattern =
+    "(?is)<(?:url|sitemap)[ \\t\\n\\f\\r]*>.*?" +
+      "</[ \\t\\n\\f\\r]*(?:url|sitemap)[ \\t\\n\\f\\r]*>"
+
+  /** Text of child element `tag` inside an entry block: `[^<]*` keeps
+    * the capture inside the element (no nested markup in sitemap leaf
+    * tags per protocol), trimmed — the spec requires trimming
+    * surrounding whitespace inside value tags. */
+  private def sitemapChild(el: Column, tag: String): Column =
+    trim(regexp_extract(el,
+      s"(?is)<$tag[ \\t\\n\\f\\r]*>([^<]*)</", 1))
+
+  /** Undo the five XML predefined entities (sitemaps.org REQUIRES
+    * entity-escaping URLs in `<loc>`). `&amp;` is replaced LAST so a
+    * double-escaped `&amp;lt;` round-trips to the literal `&lt;` instead
+    * of collapsing to `<` — literal `replace` chains, zero regex. */
+  def xmlUnescape(text: Column): Column =
+    replace(replace(replace(replace(replace(text,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+      lit("&amp;"), lit("&"))
+
+  /** Parse sitemap XML documents (sitemaps.org protocol 0.9) into entry
+    * rows — the crawl-frontier SOURCE the robots.txt `sitemap` records
+    * (see [[parseRobots]]) point at: one row per `<url>` (urlset files)
+    * or `<sitemap>` (sitemapindex files) element carrying a `<loc>`,
+    * in file order:
+    * `(idCol, entry_pos, kind, loc, lastmod, changefreq, priority)`.
+    *
+    * Semantics pinned: `kind` is `url` / `sitemap` by element name;
+    * `entry_pos` is the 0-based ordinal of the entry ELEMENT in the
+    * document — a loc-less entry occupies a position but emits no row
+    * (the [[extractLinks]] numbering discipline, so editing a mangled
+    * entry never renumbers its neighbours); `<loc>` values are
+    * whitespace-trimmed and XML-entity-unescaped ([[xmlUnescape]] — the
+    * protocol requires escaping `&` in URLs); `lastmod` / `changefreq`
+    * are null when absent (`changefreq` lowercased — its vocabulary is
+    * an enumerated token set); `priority` is a double, null when absent
+    * or non-numeric (`try_cast` — dirty values degrade to null, never
+    * throw); non-XML garbage parses to zero rows, total by construction.
+    *
+    * Scale shape: one regexp extraction + posexplode + per-entry child
+    * extracts — zero shuffle, stream-admissible, memory bounded by one
+    * sitemap file (the protocol caps files at 50k entries / 50 MB). */
+  def parseSitemap(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol),
+          lit(SitemapEntryPattern), lit(0)))
+          .as(Seq("entry_pos", "_el")))
+      .select(col(idCol), col("entry_pos").cast(LongType),
+        when(col("_el").rlike("(?is)^<url[ \\t\\n\\f\\r]*>"), lit("url"))
+          .otherwise(lit("sitemap")).as("kind"),
+        nullif(xmlUnescape(sitemapChild(col("_el"), "loc")), lit(""))
+          .as("loc"),
+        nullif(sitemapChild(col("_el"), "lastmod"), lit("")).as("lastmod"),
+        nullif(lower(sitemapChild(col("_el"), "changefreq")), lit(""))
+          .as("changefreq"),
+        sitemapChild(col("_el"), "priority").as("_sm_prio"))
+      .withColumn("priority", expr("try_cast(_sm_prio AS double)"))
+      .drop("_sm_prio")
+      .filter(col("loc").isNotNull)
+
+  /** Per-host politeness schedule: assign each URL a fetch slot and a
+    * start offset honouring the host's `crawl-delay` (RFC 9309 extension
+    * key, parsed by [[parseRobots]]) — the dispatch step between the
+    * permission join ([[robotsAllowed]]) and the fetcher. URLs are
+    * slotted in `urlIdCol` order within their key (deterministic replay
+    * order); `offset_s` = slot × the host's effective delay, where the
+    * delay comes from the agent's own group when one exists, else the
+    * `*` group (the §2.2.2 precedence [[robotsAllowed]] applies to
+    * rules), else `defaultDelay`; several delay lines in scope take the
+    * MAX (the conservative read). Output: `urls` plus
+    * `(slot, delay_s, offset_s)`.
+    *
+    * Scale shape: one window partitioned by the host key — the natural
+    * crawl shuffle key, partitions bounded by per-host frontier size —
+    * plus a robots-sized delay lookup joined on the same key. */
+  def crawlSchedule(urls: DataFrame, rules: DataFrame, agent: String,
+                    defaultDelay: Double = 1.0, keyCol: String = "doc_id",
+                    urlIdCol: String = "url_id"): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val ua = rules
+      .filter(col("directive") === "user-agent")
+      .select(col(keyCol).as("_cs_key"), col("grp").as("_cs_grp"),
+        lower(col("value")).as("_cs_agent"))
+    val chosen = ua
+      .groupBy(col("_cs_key"), col("_cs_grp"))
+      .agg(max(when(col("_cs_agent") === agentLc, 1).otherwise(0)).as("_cs_own"),
+        max(when(col("_cs_agent") === "*", 1).otherwise(0)).as("_cs_star"))
+      .withColumn("_cs_any_own",
+        max(col("_cs_own")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_cs_key"))))
+      .filter((col("_cs_any_own") === 1 && col("_cs_own") === 1) ||
+        (col("_cs_any_own") === 0 && col("_cs_star") === 1))
+      .select(col("_cs_key"), col("_cs_grp"))
+    val delays = rules
+      .filter(col("directive") === "crawl-delay")
+      .select(col(keyCol).as("_cs_key"), col("grp").as("_cs_grp"),
+        expr("try_cast(value AS double)").as("_cs_delay"))
+      .join(chosen, Seq("_cs_key", "_cs_grp"))
+      .groupBy(col("_cs_key"))
+      .agg(max(col("_cs_delay")).as("_cs_delay"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(urls(keyCol)).orderBy(urls(urlIdCol))
+    urls
+      .join(delays, urls(keyCol) === delays("_cs_key"), "left")
+      .drop("_cs_key")
+      .withColumn("slot", row_number().over(w).cast(LongType) - 1)
+      .withColumn("delay_s", coalesce(col("_cs_delay"), lit(defaultDelay)))
+      .drop("_cs_delay")
+      .withColumn("offset_s", col("slot").cast("double") * col("delay_s"))
+  }
 }

@@ -163,6 +163,31 @@ object WarcOps {
     }
   }
 
+  /** `<meta charset=…>` / `<meta http-equiv … content="…; charset=…">`
+    * inside a `<meta` tag — one pattern catches both forms (the charset
+    * token of the content form sits inside the attribute value, still
+    * inside the tag). Group 1 is the charset name. */
+  private val MetaCharsetRe = java.util.regex.Pattern.compile(
+    "(?i)<meta[ \\t\\n\\f\\r/][^>]*charset[ \\t\\n\\f\\r]*=" +
+      "[ \\t\\n\\f\\r]*[\"']?([a-zA-Z0-9._:-]+)")
+
+  /** WHATWG-style encoding prescan, the subset a crawl decoder needs:
+    * scan the first 1024 bytes (the spec's prescan window) as
+    * ISO-8859-1 — byte-preserving, so the ASCII-superset markup reads
+    * regardless of the page's real encoding — for a `<meta>` charset
+    * declaration, either attribute form. Returns the lowercased name;
+    * None when absent. (BOM sniffing and the spec's utf-16→utf-8
+    * remapping are intentionally out of scope — headers and metas cover
+    * the crawl's mass; unsupported names fall back to UTF-8 in
+    * [[resolveCharset]] anyway.) */
+  private[ops] def sniffMetaCharset(body: Array[Byte]): Option[String] = {
+    if (body == null || body.length == 0) return None
+    val prefix = new String(body, 0, math.min(1024, body.length), "ISO-8859-1")
+    val m = MetaCharsetRe.matcher(prefix)
+    if (m.find()) Some(m.group(1).toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    else None
+  }
+
   /** Decompress as much of a (possibly multi-member) gzip stream as the
     * bytes support: chunks decoded BEFORE an `IOException` (truncation
     * mid-member, a corrupt later member) are kept, so a damaged
@@ -239,6 +264,15 @@ object WarcOps {
                 val textish =
                   if (isHttp) http.exists(h => textType(h._2))
                   else textType(hs.get("content-type").map(mainType))
+                // decode precedence (WHATWG): the HTTP header's declared
+                // charset, else — for positively-html payloads — the
+                // <meta> prescan, else UTF-8. The `charset` COLUMN keeps
+                // the header declaration only (null when the page relied
+                // on a meta), so consumers can tell the two apart.
+                val htmlish = http.exists(_._2.exists(c =>
+                  c == "text/html" || c == "application/xhtml+xml"))
+                val effCs = charset.orElse(
+                  if (htmlish && charset.isEmpty) sniffMetaCharset(body) else None)
                 out += Row(docId, idx,
                   hs.get("warc-type").map(_.toLowerCase).orNull,
                   hs.get("warc-target-uri").orNull,
@@ -247,7 +281,7 @@ object WarcOps {
                   http.flatMap(_._2).orNull,
                   charset.orNull,
                   body,
-                  if (textish) new String(body, resolveCharset(charset)) else null)
+                  if (textish) new String(body, resolveCharset(effCs)) else null)
                 idx += 1
                 pos = blockAt + n.toInt
               case _ => ok = false // missing/invalid length or truncated block
@@ -433,6 +467,49 @@ object WarcOps {
     }
     val recs = info +: responses
     if (doc % 2 == 0) recs.map(gzipMember).reduce(_ ++ _) else recs.reduce(_ ++ _)
+  }
+
+  /** One synthetic WARC file probing the `<meta>` charset prescan —
+    * three closed-form html responses: (0) NO header charset, a
+    * charset-attribute meta declaring iso-8859-1, body bytes carrying
+    * 0xE9 — only the sniffed decode reads the intended é; (1) header
+    * charset=utf-8 AND a CONFLICTING meta (iso-8859-1), body utf-8 — the
+    * header must win or the two-byte é comes back as mojibake; (2) NO
+    * header charset, the http-equiv/content meta form declaring
+    * windows-1252, body carrying 0x93 (the cp1252 left curly quote,
+    * U+201C). Even ids gzipped, odd plain — the [[syntheticWarc]]
+    * discipline. */
+  private[ops] def syntheticWarcMeta(doc: Long): Array[Byte] = {
+    def resp(i: Long, body: Array[Byte], ctParam: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 X\r\n" +
+        s"Content-Type: text/html$ctParam\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> fixtureUri(doc, i),
+        "WARC-Date" -> fixtureDate(doc),
+        "Content-Type" -> "application/http; msgtype=response"), http)
+    }
+    val b0 = (s"""<meta charset="iso-8859-1">caf${0xE9.toChar} doc $doc""")
+      .getBytes("ISO-8859-1")
+    val b1 = (s"""<meta charset="iso-8859-1">caf${0xE9.toChar} header wins $doc""")
+      .getBytes("UTF-8")
+    val b2 = ("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\">q" +
+      '\u201C' + s" doc $doc").getBytes("windows-1252")
+    val recs = Seq(resp(0, b0, ""), resp(1, b1, "; charset=utf-8"), resp(2, b2, ""))
+    if (doc % 2 == 0) recs.map(gzipMember).reduce(_ ++ _) else recs.reduce(_ ++ _)
+  }
+
+  /** Distributed meta-charset fixture frame `(doc_id, warc)`. */
+  def warcMetaPayloads(spark: SparkSession, ids: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val src = ids.select(col(idCol).cast(LongType))
+    val rdd = src.rdd.mapPartitions(_.map(r =>
+      Row(r.getLong(0), syntheticWarcMeta(r.getLong(0)))))
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false))))
   }
 
   /** Distributed fixture frame `(doc_id, warc)`, built per partition. */

@@ -190,6 +190,49 @@ class WarcOpsSpec extends SparkSpec {
     assert(js.getString(9) == "{\"k\":1}")
   }
 
+  test("meta-charset prescan: sniffed decode, header precedence, http-equiv form") {
+    def respRec(contentType: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n\r\n")
+        .getBytes("US-ASCII") ++ body
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val eAcute = 0xE9.toChar
+    // no header charset + a meta declaration: the sniff drives the decode
+    val metaOnly = WarcOps.parseFile(1L, respRec("text/html",
+      (s"""<meta charset="iso-8859-1">caf$eAcute""").getBytes("ISO-8859-1"))).head
+    assert(metaOnly.getString(7) == null, "charset column = HEADER declaration only")
+    assert(metaOnly.getString(9) == s"""<meta charset="iso-8859-1">caf$eAcute""")
+    // header charset beats a conflicting meta (WHATWG precedence)
+    val hdrWins = WarcOps.parseFile(2L, respRec("text/html; charset=utf-8",
+      (s"""<meta charset="iso-8859-1">caf$eAcute""").getBytes("UTF-8"))).head
+    assert(hdrWins.getString(7) == "utf-8")
+    assert(hdrWins.getString(9) == s"""<meta charset="iso-8859-1">caf$eAcute""",
+      "a meta-first decode would read the two utf-8 bytes as mojibake")
+    // the http-equiv/content form, a cp1252-only byte
+    val equiv = WarcOps.parseFile(3L, respRec("text/html",
+      ("<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=windows-1252\">q\u201C")
+        .getBytes("windows-1252"))).head
+    assert(equiv.getString(9).endsWith("q\u201C"))
+    // non-html text NEVER sniffs: a plain-text file QUOTING a meta tag
+    // keeps the UTF-8 default
+    val plain = WarcOps.parseFile(4L, respRec("text/plain",
+      ("say <meta charset=\"iso-8859-1\"> then caf\u00E9").getBytes("UTF-8"))).head
+    assert(plain.getString(9).endsWith("caf\u00E9"))
+    // unsupported sniffed name degrades to the UTF-8 fallback, total
+    val bogus = WarcOps.parseFile(5L, respRec("text/html",
+      "<meta charset=\"no-such-cs\">ok".getBytes("UTF-8"))).head
+    assert(bogus.getString(9).endsWith("ok"))
+    // the prescan window is 1024 bytes: a meta beyond it is not seen
+    val far = ("x" * 1100) + "<meta charset=\"iso-8859-1\">" + "caf\u00E9"
+    val farRow = WarcOps.parseFile(6L, respRec("text/html",
+      far.getBytes("UTF-8"))).head
+    assert(farRow.getString(9).endsWith("caf\u00E9"), "UTF-8 default past the window")
+  }
+
   test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
     val ids = Seq(2L, 5L).toDF("doc_id")
     val recs = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, ids))
