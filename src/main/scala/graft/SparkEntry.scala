@@ -877,14 +877,19 @@ object SparkEntry {
           col("charset"), col("host"), col("path"), col("payload_text"),
           coalesce(col("n_links"), lit(0L)).as("n_links"), col("first_href"))
     }),
-    // the <meta> charset prescan (WHATWG precedence): three html
+    // the <meta> charset prescan (WHATWG precedence): five html
     // response classes per file — meta-only iso-8859-1 (the 0xE9 byte
     // only the SNIFFED decode reads back), header utf-8 vs a
     // conflicting meta (the header must win or the two-byte é comes
-    // back as mojibake), and the http-equiv/content form declaring
-    // windows-1252 (0x93 → U+201C). The charset COLUMN stays the
-    // header declaration (null on the meta-only classes) — the oracle
-    // distinguishes declared from sniffed on every row.
+    // back as mojibake), the http-equiv/content form declaring
+    // windows-1252 (0x93 → U+201C), a DECOY charset= inside an og:url
+    // attribute value ahead of the real charset attribute (only the
+    // attribute-position scan picks iso-8859-1 over big5), and a
+    // response with NO Content-Type header at all (the legacy class
+    // that relies entirely on its meta — must still sniff). The
+    // charset COLUMN stays the header declaration (null on the
+    // meta-only classes) — the oracle distinguishes declared from
+    // sniffed on every row.
     "q_warc_meta_charset" -> ((s, d) => {
       val ids = t(s, d, "documents").filter(col("doc_id") < 120)
         .select(col("doc_id"))
@@ -4187,12 +4192,14 @@ object SparkEntry {
     // 0..doc%3 — never from bytes: the framing walk, gzip members, the
     // HTTP envelope, URL parsing, and link extraction must all agree
     // with a plain arithmetic recompute
-    // meta-charset oracle: the three response classes enumerated with
-    // their intended characters — chr(233) é on the sniffed latin-1 and
-    // header-utf-8 rows, chr(8220) U+201C on the cp1252 http-equiv row;
-    // charset carries the HEADER declaration only (null when the page
-    // relied on its meta), so a sniff that leaked into the column — or
-    // a decode that ignored the sniff — hash-mismatches every row
+    // meta-charset oracle: the five response classes enumerated with
+    // their intended characters — chr(233) é on the sniffed latin-1,
+    // header-utf-8, decoy and header-less rows, chr(8220) U+201C on the
+    // cp1252 http-equiv row; charset carries the HEADER declaration
+    // only (null when the page relied on its meta), so a sniff that
+    // leaked into the column, a decode that ignored the sniff, or a
+    // flat-regex scan that fell for the og:url decoy (big5) all
+    // hash-mismatch their rows
     "q_warc_meta_charset" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120)
         |SELECT doc_id, CAST(rec_index AS BIGINT) AS rec_index, charset,
@@ -4208,6 +4215,15 @@ object SparkEntry {
         |    '<meta http-equiv="Content-Type" ' ||
         |      'content="text/html; charset=windows-1252">q' || chr(8220) ||
         |      ' doc ' || doc_id FROM d
+        |  UNION ALL SELECT doc_id, 3, CAST(NULL AS VARCHAR),
+        |    '<meta property="og:url" ' ||
+        |      'content="http://x.example/?charset=big5">' ||
+        |      '<meta charset="iso-8859-1">og caf' || chr(233) ||
+        |      ' ' || doc_id FROM d
+        |  UNION ALL SELECT doc_id, 4, CAST(NULL AS VARCHAR),
+        |    '<meta http-equiv="Content-Type" ' ||
+        |      'content="text/html; charset=iso-8859-1">nt caf' || chr(233) ||
+        |      ' ' || doc_id FROM d
         |) rows""".stripMargin,
     "q_warc_records" ->
       """WITH recs AS (

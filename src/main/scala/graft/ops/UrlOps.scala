@@ -329,44 +329,56 @@ object UrlOps {
     * partitioned on the natural crawl key (or broadcast when the rule
     * frame is small); per-URL work is bounded by that host's rule
     * count; one aggregation keyed by the url row id. */
+  /** The RFC 9309 §2.2.2 group-selection shared by [[robotsAllowed]]
+    * and [[crawlSchedule]]: per key, the agent's OWN group(s) when any
+    * user-agent line equals it (case-insensitive, exact product token),
+    * else the `*` group(s). Output `(_rg_key, _rg_grp)`. */
+  private def chosenGroups(rules: DataFrame, agent: String,
+                           keyCol: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    rules
+      .filter(col("directive") === "user-agent")
+      .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
+        lower(col("value")).as("_rg_agent"))
+      .groupBy(col("_rg_key"), col("_rg_grp"))
+      .agg(max(when(col("_rg_agent") === agentLc, 1).otherwise(0)).as("_rg_own"),
+        max(when(col("_rg_agent") === "*", 1).otherwise(0)).as("_rg_star"))
+      .withColumn("_rg_any_own",
+        max(col("_rg_own")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_rg_key"))))
+      .filter((col("_rg_any_own") === 1 && col("_rg_own") === 1) ||
+        (col("_rg_any_own") === 0 && col("_rg_star") === 1))
+      .select(col("_rg_key"), col("_rg_grp"))
+  }
+
   def robotsAllowed(rules: DataFrame, urls: DataFrame, agent: String,
                     keyCol: String = "doc_id", pathCol: String = "path",
                     urlIdCol: String = "url_id"): DataFrame = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    val ua = rules
-      .filter(col("directive") === "user-agent")
-      .select(col(keyCol).as("_ra_key"), col("grp").as("_ra_grp"),
-        lower(col("value")).as("_ra_agent"))
-    // per key: the agent's own groups when any exist, else the * groups
-    val chosen = ua
-      .groupBy(col("_ra_key"), col("_ra_grp"))
-      .agg(max(when(col("_ra_agent") === agentLc, 1).otherwise(0)).as("_ra_own"),
-        max(when(col("_ra_agent") === "*", 1).otherwise(0)).as("_ra_star"))
-      .withColumn("_ra_any_own",
-        max(col("_ra_own")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_ra_key"))))
-      .filter((col("_ra_any_own") === 1 && col("_ra_own") === 1) ||
-        (col("_ra_any_own") === 0 && col("_ra_star") === 1))
-      .select(col("_ra_key"), col("_ra_grp"))
     val active = rules
       .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
-      .select(col(keyCol).as("_ra_key"), col("grp").as("_ra_grp"),
+      .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
         col("directive").as("_ra_dir"), col("value").as("_ra_rule"))
-      .join(chosen, Seq("_ra_key", "_ra_grp"))
+      .join(chosenGroups(rules, agent, keyCol), Seq("_rg_key", "_rg_grp"))
+    // verdicts key on (host key, url id) — url ids need only be unique
+    // WITHIN their host (the natural per-host frontier ordinal shape);
+    // an id-only group would merge rule matches across hosts
     val matched = urls
       .join(active,
-        urls(keyCol) === active("_ra_key") &&
+        urls(keyCol) === active("_rg_key") &&
           urls(pathCol).startsWith(col("_ra_rule")),
         "left")
-      .groupBy(urls(urlIdCol).as(urlIdCol))
+      .groupBy(urls(keyCol).as("_ra_ukey"), urls(urlIdCol).as("_ra_uid"))
       .agg(
         max(when(col("_ra_dir") === "allow", length(col("_ra_rule")))).as("_ra_la"),
         max(when(col("_ra_dir") === "disallow", length(col("_ra_rule")))).as("_ra_ld"))
       .withColumn("allowed",
         col("_ra_ld").isNull ||
           (col("_ra_la").isNotNull && col("_ra_la") >= col("_ra_ld")))
-      .select(col(urlIdCol), col("allowed"))
-    urls.join(matched, Seq(urlIdCol), "left")
+      .select(col("_ra_ukey"), col("_ra_uid"), col("allowed"))
+    urls.join(matched,
+        urls(keyCol) === matched("_ra_ukey") &&
+          urls(urlIdCol) === matched("_ra_uid"), "left")
+      .drop("_ra_ukey", "_ra_uid")
       .withColumn("allowed", coalesce(col("allowed"), lit(true)))
   }
 
@@ -461,33 +473,18 @@ object UrlOps {
   def crawlSchedule(urls: DataFrame, rules: DataFrame, agent: String,
                     defaultDelay: Double = 1.0, keyCol: String = "doc_id",
                     urlIdCol: String = "url_id"): DataFrame = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    val ua = rules
-      .filter(col("directive") === "user-agent")
-      .select(col(keyCol).as("_cs_key"), col("grp").as("_cs_grp"),
-        lower(col("value")).as("_cs_agent"))
-    val chosen = ua
-      .groupBy(col("_cs_key"), col("_cs_grp"))
-      .agg(max(when(col("_cs_agent") === agentLc, 1).otherwise(0)).as("_cs_own"),
-        max(when(col("_cs_agent") === "*", 1).otherwise(0)).as("_cs_star"))
-      .withColumn("_cs_any_own",
-        max(col("_cs_own")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_cs_key"))))
-      .filter((col("_cs_any_own") === 1 && col("_cs_own") === 1) ||
-        (col("_cs_any_own") === 0 && col("_cs_star") === 1))
-      .select(col("_cs_key"), col("_cs_grp"))
     val delays = rules
       .filter(col("directive") === "crawl-delay")
-      .select(col(keyCol).as("_cs_key"), col("grp").as("_cs_grp"),
+      .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
         expr("try_cast(value AS double)").as("_cs_delay"))
-      .join(chosen, Seq("_cs_key", "_cs_grp"))
-      .groupBy(col("_cs_key"))
+      .join(chosenGroups(rules, agent, keyCol), Seq("_rg_key", "_rg_grp"))
+      .groupBy(col("_rg_key"))
       .agg(max(col("_cs_delay")).as("_cs_delay"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(urls(keyCol)).orderBy(urls(urlIdCol))
     urls
-      .join(delays, urls(keyCol) === delays("_cs_key"), "left")
-      .drop("_cs_key")
+      .join(delays, urls(keyCol) === delays("_rg_key"), "left")
+      .drop("_rg_key")
       .withColumn("slot", row_number().over(w).cast(LongType) - 1)
       .withColumn("delay_s", coalesce(col("_cs_delay"), lit(defaultDelay)))
       .drop("_cs_delay")

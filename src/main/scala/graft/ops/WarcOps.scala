@@ -163,29 +163,86 @@ object WarcOps {
     }
   }
 
-  /** `<meta charset=…>` / `<meta http-equiv … content="…; charset=…">`
-    * inside a `<meta` tag — one pattern catches both forms (the charset
-    * token of the content form sits inside the attribute value, still
-    * inside the tag). Group 1 is the charset name. */
-  private val MetaCharsetRe = java.util.regex.Pattern.compile(
-    "(?i)<meta[ \\t\\n\\f\\r/][^>]*charset[ \\t\\n\\f\\r]*=" +
-      "[ \\t\\n\\f\\r]*[\"']?([a-zA-Z0-9._:-]+)")
+  private def isHtmlWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** Attributes of one tag body (the text between `<meta` and `>`), by
+    * a linear WHATWG-style scan — names lowercased, values unquoted;
+    * valueless attributes map to "". A scanner, not a regex, because
+    * attribute-NAME position is what distinguishes a real `charset`
+    * attribute from the string `charset=` INSIDE another attribute's
+    * value (og:url query strings, content descriptions) — the spurious
+    * match a flat pattern cannot avoid. First occurrence of a name
+    * wins, per the spec's duplicate-attribute rule. */
+  private def scanAttrs(tag: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    val n = tag.length
+    while (i < n) {
+      while (i < n && (isHtmlWs(tag(i)) || tag(i) == '/')) i += 1
+      val nameAt = i
+      while (i < n && !isHtmlWs(tag(i)) && tag(i) != '=' && tag(i) != '/') i += 1
+      val name = tag.substring(nameAt, i).toLowerCase(java.util.Locale.ROOT)
+      while (i < n && isHtmlWs(tag(i))) i += 1
+      var value = ""
+      if (i < n && tag(i) == '=') {
+        i += 1
+        while (i < n && isHtmlWs(tag(i))) i += 1
+        if (i < n && (tag(i) == '"' || tag(i) == '\'')) {
+          val q = tag(i); i += 1
+          val vAt = i
+          while (i < n && tag(i) != q) i += 1
+          value = tag.substring(vAt, i)
+          if (i < n) i += 1
+        } else {
+          val vAt = i
+          while (i < n && !isHtmlWs(tag(i))) i += 1
+          value = tag.substring(vAt, i)
+        }
+      }
+      if (name.nonEmpty && !out.contains(name)) out(name) = value
+    }
+    out.toMap
+  }
+
+  private val MetaTagRe = java.util.regex.Pattern.compile(
+    "(?i)<meta[ \\t\\n\\f\\r/]((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
+  private val CharsetInContentRe = java.util.regex.Pattern.compile(
+    "(?i)charset[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*[\"']?([a-zA-Z0-9._:-]+)")
 
   /** WHATWG-style encoding prescan, the subset a crawl decoder needs:
     * scan the first 1024 bytes (the spec's prescan window) as
     * ISO-8859-1 — byte-preserving, so the ASCII-superset markup reads
-    * regardless of the page's real encoding — for a `<meta>` charset
-    * declaration, either attribute form. Returns the lowercased name;
-    * None when absent. (BOM sniffing and the spec's utf-16→utf-8
-    * remapping are intentionally out of scope — headers and metas cover
-    * the crawl's mass; unsupported names fall back to UTF-8 in
-    * [[resolveCharset]] anyway.) */
+    * regardless of the page's real encoding — walking the `<meta>` tags
+    * in order: a tag's `charset` ATTRIBUTE wins; else a tag carrying
+    * `http-equiv="content-type"` contributes the `charset=` parameter
+    * of its `content` attribute. Attribute-position discipline per tag
+    * (see [[scanAttrs]]): a `charset=` inside some OTHER attribute's
+    * value — an og:url query string, a description — never matches,
+    * which is exactly where a flat regex goes wrong. Returns the
+    * lowercased name; None when absent. (BOM sniffing and the spec's
+    * utf-16→utf-8 remapping are intentionally out of scope — headers
+    * and metas cover the crawl's mass; unsupported names fall back to
+    * UTF-8 in [[resolveCharset]] anyway.) */
   private[ops] def sniffMetaCharset(body: Array[Byte]): Option[String] = {
     if (body == null || body.length == 0) return None
     val prefix = new String(body, 0, math.min(1024, body.length), "ISO-8859-1")
-    val m = MetaCharsetRe.matcher(prefix)
-    if (m.find()) Some(m.group(1).toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
-    else None
+    val m = MetaTagRe.matcher(prefix)
+    while (m.find()) {
+      val attrs = scanAttrs(m.group(1))
+      val fromAttr = attrs.get("charset").map(_.trim).filter(_.nonEmpty)
+      val fromEquiv =
+        if (attrs.get("http-equiv").exists(_.trim.equalsIgnoreCase("content-type")))
+          attrs.get("content").flatMap { c =>
+            val cm = CharsetInContentRe.matcher(c)
+            if (cm.find()) Some(cm.group(1)) else None
+          }
+        else None
+      val found = fromAttr.orElse(fromEquiv)
+      if (found.isDefined)
+        return found.map(_.toLowerCase(java.util.Locale.ROOT))
+    }
+    None
   }
 
   /** Decompress as much of a (possibly multi-member) gzip stream as the
@@ -265,14 +322,19 @@ object WarcOps {
                   if (isHttp) http.exists(h => textType(h._2))
                   else textType(hs.get("content-type").map(mainType))
                 // decode precedence (WHATWG): the HTTP header's declared
-                // charset, else — for positively-html payloads — the
-                // <meta> prescan, else UTF-8. The `charset` COLUMN keeps
-                // the header declaration only (null when the page relied
-                // on a meta), so consumers can tell the two apart.
-                val htmlish = http.exists(_._2.exists(c =>
+                // charset, else the <meta> prescan, else UTF-8. The
+                // prescan runs for html types AND for http responses
+                // with NO Content-Type at all — the legacy-server class
+                // that omits the header on html pages is exactly who
+                // relies on a meta (a positively NON-html type never
+                // sniffs: a text/plain file QUOTING a meta tag keeps
+                // UTF-8). The `charset` COLUMN keeps the header
+                // declaration only (null when the page relied on a
+                // meta), so consumers can tell the two apart.
+                val htmlish = http.exists(_._2.forall(c =>
                   c == "text/html" || c == "application/xhtml+xml"))
                 val effCs = charset.orElse(
-                  if (htmlish && charset.isEmpty) sniffMetaCharset(body) else None)
+                  if (htmlish) sniffMetaCharset(body) else None)
                 out += Row(docId, idx,
                   hs.get("warc-type").map(_.toLowerCase).orNull,
                   hs.get("warc-target-uri").orNull,
@@ -439,6 +501,36 @@ object WarcOps {
     bos.toByteArray
   }
 
+  /** Pack the `documents` table under `srcDir` into real `.warc.gz`
+    * shards at `outDir` (~`docsPerShard` docs each — shard COUNT is
+    * corpus-linear, shard size constant, the production crawl shape),
+    * once: a `_SHARDS_DONE` marker makes repeat calls no-ops, so the
+    * throughput tool and the scale harness measure the SAME fixture
+    * without rebuilding it. Delete the marker (or the dir) to force a
+    * rebuild after regenerating testdata under the same path. */
+  private[graft] def packShards(spark: SparkSession, srcDir: String,
+                                outDir: String,
+                                docsPerShard: Int = 2048): Unit = {
+    val done = new java.io.File(s"$outDir/_SHARDS_DONE")
+    if (done.exists()) return
+    new java.io.File(outDir).mkdirs()
+    val docs = graft.T.load(spark, srcDir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+    val nShards = math.max(4, (docs.count() / docsPerShard).toInt)
+    docs.repartition(nShards).foreachPartition {
+      (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val bytes = warcShard(it.map(r => (r.getLong(0), r.getString(1))))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/shard_$pid.warc.gz"), bytes)
+          ()
+        }
+    }
+    done.createNewFile()
+    ()
+  }
+
   /** One synthetic WARC file for `doc`: a leading warcinfo record, then
     * `1 + doc % 3` HTTP response records with every field closed-form.
     * Even ids are gzipped one-member-per-record (the `.warc.gz`
@@ -480,9 +572,9 @@ object WarcOps {
     * U+201C). Even ids gzipped, odd plain — the [[syntheticWarc]]
     * discipline. */
   private[ops] def syntheticWarcMeta(doc: Long): Array[Byte] = {
-    def resp(i: Long, body: Array[Byte], ctParam: String): Array[Byte] = {
+    def resp(i: Long, body: Array[Byte], ctHeader: Option[String]): Array[Byte] = {
       val http = (s"HTTP/1.1 200 X\r\n" +
-        s"Content-Type: text/html$ctParam\r\n" +
+        ctHeader.fold("")(ct => s"Content-Type: $ct\r\n") +
         s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
       record(Seq(
         "WARC-Type" -> "response",
@@ -497,7 +589,24 @@ object WarcOps {
     val b2 = ("<meta http-equiv=\"Content-Type\" " +
       "content=\"text/html; charset=windows-1252\">q" +
       '\u201C' + s" doc $doc").getBytes("windows-1252")
-    val recs = Seq(resp(0, b0, ""), resp(1, b1, "; charset=utf-8"), resp(2, b2, ""))
+    // (3) a DECOY: charset= inside another attribute's VALUE (an og:url
+    // query string) ahead of the real charset attribute \u2014 only an
+    // attribute-position scan picks iso-8859-1 over big5
+    val b3 = ("<meta property=\"og:url\" " +
+      "content=\"http://x.example/?charset=big5\">" +
+      s"""<meta charset="iso-8859-1">og caf${0xE9.toChar} $doc""")
+      .getBytes("ISO-8859-1")
+    // (4) NO Content-Type header at all \u2014 the legacy class that relies
+    // entirely on its meta; the absent type must still sniff
+    val b4 = ("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\">" +
+      s"nt caf${0xE9.toChar} $doc").getBytes("ISO-8859-1")
+    val recs = Seq(
+      resp(0, b0, Some("text/html")),
+      resp(1, b1, Some("text/html; charset=utf-8")),
+      resp(2, b2, Some("text/html")),
+      resp(3, b3, Some("text/html")),
+      resp(4, b4, None))
     if (doc % 2 == 0) recs.map(gzipMember).reduce(_ ++ _) else recs.reduce(_ ++ _)
   }
 

@@ -114,25 +114,7 @@ object ScaleBudget {
       "warc_ingest" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         val out = s"/tmp/graft_warcshards_${math.abs(dir.hashCode)}"
-        val done = new java.io.File(s"$out/_SHARDS_DONE")
-        if (!done.exists()) {
-          new java.io.File(out).mkdirs()
-          val docs = T.load(s, dir, "documents")
-            .select(col("doc_id").cast("long"), col("text"))
-          val nShards = math.max(4, (docs.count() / 2048).toInt)
-          docs.repartition(nShards).foreachPartition {
-            (it: Iterator[org.apache.spark.sql.Row]) =>
-              if (it.hasNext) {
-                val pid = org.apache.spark.TaskContext.getPartitionId()
-                val bytes = graft.ops.WarcOps.warcShard(
-                  it.map(r => (r.getLong(0), r.getString(1))))
-                java.nio.file.Files.write(
-                  java.nio.file.Paths.get(s"$out/shard_$pid.warc.gz"), bytes)
-                ()
-              }
-          }
-          done.createNewFile()
-        }
+        graft.ops.WarcOps.packShards(s, dir, out)
         graft.ops.WarcOps.readWarc(s, out)
           .filter(col("warc_type") === "response")
           .select(col("doc_id"), col("target_uri"),

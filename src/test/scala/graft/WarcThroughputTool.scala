@@ -24,25 +24,7 @@ object WarcThroughputTool {
     spark.sparkContext.setLogLevel("ERROR")
 
     val shardDir = s"/tmp/graft_warc_tp_${math.abs(srcDir.hashCode)}"
-    val done = new java.io.File(s"$shardDir/_SHARDS_DONE")
-    if (!done.exists()) {
-      new java.io.File(shardDir).mkdirs()
-      val docs = T.load(spark, srcDir, "documents")
-        .select(col("doc_id").cast("long"), col("text"))
-      val nShards = math.max(4, (docs.count() / 2048).toInt)
-      docs.repartition(nShards).foreachPartition {
-        (it: Iterator[org.apache.spark.sql.Row]) =>
-          if (it.hasNext) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val bytes = graft.ops.WarcOps.warcShard(
-              it.map(r => (r.getLong(0), r.getString(1))))
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(s"$shardDir/shard_$pid.warc.gz"), bytes)
-            ()
-          }
-      }
-      done.createNewFile()
-    }
+    graft.ops.WarcOps.packShards(spark, srcDir, shardDir)
     val files = new java.io.File(shardDir).listFiles().filter(_.getName.endsWith(".warc.gz"))
     val totalBytes = files.map(_.length()).sum
 

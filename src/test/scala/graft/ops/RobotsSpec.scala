@@ -73,6 +73,21 @@ class RobotsSpec extends SparkSpec {
     assert(got(13L), "still no robots for key 2")
   }
 
+  test("robotsAllowed: url ids only unique per host never merge across hosts") {
+    // host 1 disallows /x for everyone; host 2 has no robots at all.
+    // Both carry url_id=1 — the per-host frontier-ordinal shape. The
+    // verdicts must stay per (host, id): an id-only aggregation would
+    // stamp host 1's disallow onto host 2's row.
+    val rules = UrlOps.parseRobots(Seq(
+      (1L, "User-agent: *\nDisallow: /x")).toDF("doc_id", "text"))
+    val collide = Seq((1L, 1L, "/x"), (2L, 1L, "/x"))
+      .toDF("doc_id", "url_id", "path")
+    val got = UrlOps.robotsAllowed(rules, collide, agent = "any")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(!got(1L), "host 1 blocks /x")
+    assert(got(2L), "host 2 has no rules -> allowed, even with a shared url_id")
+  }
+
   test("robotsAllowed: allow-tie and empty-value no-op semantics") {
     val tie =
       """User-agent: *

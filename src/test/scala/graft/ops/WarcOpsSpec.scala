@@ -231,6 +231,33 @@ class WarcOpsSpec extends SparkSpec {
     val farRow = WarcOps.parseFile(6L, respRec("text/html",
       far.getBytes("UTF-8"))).head
     assert(farRow.getString(9).endsWith("caf\u00E9"), "UTF-8 default past the window")
+    // charset= inside ANOTHER attribute's value is a decoy, not a
+    // declaration: attribute-position discipline must skip the og:url
+    // query string and honor the later real charset attribute
+    val decoy = WarcOps.parseFile(7L, respRec("text/html",
+      ("<meta property=\"og:url\" content=\"http://x/?charset=big5\">" +
+        "<meta charset=\"iso-8859-1\">caf" + 0xE9.toChar)
+        .getBytes("ISO-8859-1"))).head
+    assert(decoy.getString(9).endsWith("caf" + 0xE9.toChar),
+      "a flat regex would decode as big5 here")
+    // a content attribute carrying charset= WITHOUT http-equiv=
+    // content-type is not a declaration either
+    val noEquiv = WarcOps.parseFile(8L, respRec("text/html",
+      ("<meta name=\"x\" content=\"text/html; charset=iso-8859-1\">caf\u00E9")
+        .getBytes("UTF-8"))).head
+    assert(noEquiv.getString(9).endsWith("caf\u00E9"),
+      "content= only counts on an http-equiv=content-type tag")
+    // NO Content-Type header at all: the legacy class that relies
+    // entirely on its meta \u2014 absent type must still sniff
+    val noCt = ("HTTP/1.1 200 OK\r\n\r\n").getBytes("US-ASCII") ++
+      ("<meta charset=\"iso-8859-1\">caf" + 0xE9.toChar).getBytes("ISO-8859-1")
+    val noCtRec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${noCt.length}\r\n\r\n").getBytes("UTF-8") ++
+      noCt ++ "\r\n\r\n".getBytes("UTF-8")
+    val noCtRow = WarcOps.parseFile(9L, noCtRec).head
+    assert(noCtRow.getString(9).endsWith("caf" + 0xE9.toChar),
+      "header-less html sniffs its meta")
   }
 
   test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
