@@ -76,7 +76,18 @@ object ScaleBudget {
     // itself went superlinear. Measured r13 calibration: 2.0x at 10x
     // (29 → 290 shards absorbed by idle cores; band = measured + 2, the
     // short-ratio floor).
-    "warc_ingest" -> 4.0)
+    "warc_ingest" -> 4.0,
+    // r13 addition: the RFC 9309 permission join at corpus scale — one
+    // synthetic robots file per host (rules robots-sized, host count
+    // corpus-linear) against a 4-URL-per-host frontier. Work is linear
+    // by design: the group-selection window partitions by host (tiny
+    // partitions), the rule join hash-partitions on the same key, and
+    // the verdict aggregation keys on (host, url). Measured r13
+    // calibration: 1.8x at 10x (fixed plan/shuffle overheads dominate
+    // the short absolute times); band = measured + 2 rounded down, the
+    // short-ratio floor. Above the band means per-host work stopped
+    // being bounded by that host's rule count.
+    "robots_filter" -> 3.5)
 
   /** Gated dataflows that are not SparkEntry queries keyed by name:
     * timed through the same harness. hamming_r8 exercises the band-PAIR
@@ -119,6 +130,27 @@ object ScaleBudget {
           .filter(col("warc_type") === "response")
           .select(col("doc_id"), col("target_uri"),
             length(col("payload_text")).as("n_chars"))
+      }),
+      // corpus-scaled permission join: a robots file per host (doc_id
+      // as the host key — host count grows with the corpus, rules stay
+      // robots-sized) against a 4-URL frontier per host
+      "robots_filter" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ids = T.load(s, dir, "documents").select(col("doc_id"))
+        val m5 = (col("doc_id") % 5).cast("string")
+        val text = concat(
+          lit("User-agent: *\nDisallow: /private"), m5,
+          lit("/\nAllow: /private"), m5, lit("/public\nUser-agent: bot"),
+          (col("doc_id") % 4).cast("string"), lit("\nDisallow: /\n"))
+        val rules = graft.ops.UrlOps.parseRobots(
+          ids.select(col("doc_id"), text.as("text")))
+        val urls = ids
+          .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"))
+          .select(col("doc_id"), (col("doc_id") * 4 + col("j")).as("url_id"),
+            concat(lit("/private"), m5,
+              when(col("j") === 1, lit("/public/y"))
+                .otherwise(lit("/x"))).as("path"))
+        graft.ops.UrlOps.robotsAllowed(rules, urls, agent = "bot1")
       }))
 
   def main(args: Array[String]): Unit = {

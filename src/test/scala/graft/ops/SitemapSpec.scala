@@ -109,6 +109,32 @@ class SitemapSpec extends SparkSpec {
     assert(got(21L) == ((1L, 1.0, 1.0)), "no robots -> defaultDelay")
   }
 
+  test("parseRobots and parseSitemap are stream-admissible: batch == stream rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // both parsers are pure per-row projections (one aggregate fold /
+    // one regexp extraction), so the SAME call must run unchanged on a
+    // stream of arriving captures and emit identical rows
+    val robotsDocs = Seq((1L, robots), (2L, "User-agent: *\nDisallow: /p\n"))
+    val sitemapDocs = Seq((1L, urlset), (2L, index), (3L, "garbage"))
+    def parity(name: String, docs: Seq[(Long, String)],
+               op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val batch = op(docs.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = op(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(docs: _*)
+        q.processAllAvailable()
+        val streamed = spark.table(name).collect().map(_.toSeq).toSet
+        assert(streamed == batch, s"$name: batch and stream rows identical")
+        assert(batch.nonEmpty)
+      } finally q.stop()
+    }
+    parity("robots_stream", robotsDocs, df => UrlOps.parseRobots(df))
+    parity("sitemap_stream", sitemapDocs, df => UrlOps.parseSitemap(df))
+  }
+
   test("crawlSchedule: the agent's own group outranks * for the delay too") {
     val got = UrlOps.crawlSchedule(urls, rules, agent = "FASTBOT")
       .select("url_id", "delay_s", "offset_s")
