@@ -877,6 +877,38 @@ object SparkEntry {
           col("charset"), col("host"), col("path"), col("payload_text"),
           coalesce(col("n_links"), lit(0L)).as("n_links"), col("first_href"))
     }),
+    // the FILE reader itself on the oracle hook: the synthetic WARC
+    // fixtures are written to gate scratch as real files (gzip members
+    // on even ids, plain on odd — same bytes as q_warc_records's
+    // in-memory frame), read back through the production binaryFile
+    // entry (readWarc: scan → per-file byte-walk), the doc id
+    // re-derived from the file PATH. Any divergence between the disk
+    // path and the in-memory path — glob, content sniff, per-file
+    // framing — mismatches rows the q_warc_records formulas pin.
+    "q_warc_files" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val dir = s"$gateScratch/warcfiles_${math.abs(d.hashCode)}"
+      new java.io.File(dir).mkdirs()
+      ids.repartition(8).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val doc = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$dir/doc_$doc.warc"),
+              graft.ops.WarcOps.syntheticWarc(doc))
+            ()
+          }
+      }
+      graft.ops.WarcOps.readWarc(s, dir)
+        .withColumn("doc_id",
+          regexp_extract(col("path"), "doc_([0-9]+)[.]warc", 1).cast("long"))
+        .filter(col("warc_type") === "response")
+        .withColumn("rec_index", col("rec_index") - 1)
+        .select(col("doc_id"), col("rec_index"), col("target_uri"),
+          col("warc_date"), col("http_status"), col("content_type"),
+          col("charset"))
+    }),
     // the <meta> charset prescan (WHATWG precedence): five html
     // response classes per file — meta-only iso-8859-1 (the 0xE9 byte
     // only the SNIFFED decode reads back), header utf-8 vs a
@@ -4192,6 +4224,22 @@ object SparkEntry {
     // 0..doc%3 — never from bytes: the framing walk, gzip members, the
     // HTTP envelope, URL parsing, and link extraction must all agree
     // with a plain arithmetic recompute
+    // file-reader oracle: the response-record formulas of
+    // q_warc_records (the same fixture bytes, now round-tripped through
+    // disk and the binaryFile scan), envelope fields only
+    "q_warc_files" ->
+      """WITH recs AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS rec_index
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, rec_index,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id || '/' || rec_index AS target_uri,
+        |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS warc_date,
+        |  CAST(CASE WHEN (doc_id + rec_index) % 5 = 0 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+        |  CASE WHEN rec_index % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS content_type,
+        |  CASE rec_index % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |       ELSE NULL END AS charset
+        |FROM recs""".stripMargin,
     // meta-charset oracle: the five response classes enumerated with
     // their intended characters — chr(233) é on the sniffed latin-1,
     // header-utf-8, decoy and header-less rows, chr(8220) U+201C on the

@@ -535,7 +535,7 @@ object WarcOps {
     * `1 + doc % 3` HTTP response records with every field closed-form.
     * Even ids are gzipped one-member-per-record (the `.warc.gz`
     * convention), odd ids plain — both must parse identically. */
-  private[ops] def syntheticWarc(doc: Long): Array[Byte] = {
+  private[graft] def syntheticWarc(doc: Long): Array[Byte] = {
     val info = record(Seq(
       "WARC-Type" -> "warcinfo",
       "WARC-Date" -> fixtureDate(doc),
