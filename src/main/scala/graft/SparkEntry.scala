@@ -909,6 +909,19 @@ object SparkEntry {
           col("warc_date"), col("http_status"), col("content_type"),
           col("charset"))
     }),
+    // revisit resolution (ISO 28500 §6.7.2 — the digest-keyed dedup
+    // mechanism Common-Crawl-style crawls ship): every doc's response
+    // record shares its WARC-Payload-Digest with the doc%10 residue
+    // class, so the canonical original is the LOWEST doc of the class;
+    // each file carries one resolvable revisit and one whose digest no
+    // response carries (orig nulls — the un-ingested-shard posture).
+    "q_warc_revisit" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      graft.ops.WarcOps.resolveRevisits(
+        graft.ops.WarcOps.parseWarc(s,
+          graft.ops.WarcOps.warcRevisitPayloads(s, ids)))
+    }),
     // the <meta> charset prescan (WHATWG precedence): five html
     // response classes per file — meta-only iso-8859-1 (the 0xE9 byte
     // only the SNIFFED decode reads back), header utf-8 vs a
@@ -4240,6 +4253,29 @@ object SparkEntry {
         |  CASE rec_index % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
         |       ELSE NULL END AS charset
         |FROM recs""".stripMargin,
+    // revisit oracle: the canonical original of each digest class is
+    // MIN(doc_id) over the doc%10 residue (computed relationally, not
+    // assumed from the id range); the missing-digest class resolves to
+    // nulls on both orig columns
+    "q_warc_revisit" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |origs AS (
+        |  SELECT doc_id % 10 AS res, MIN(doc_id) AS orig FROM d GROUP BY 1)
+        |SELECT doc_id, CAST(rec_index AS BIGINT) AS rec_index, target_uri,
+        |  payload_digest, orig_doc_id, orig_rec_index
+        |FROM (
+        |  SELECT d.doc_id, 1 AS rec_index,
+        |    'http://site' || (d.doc_id % 7) || '.example/page/' ||
+        |      d.doc_id || '/1' AS target_uri,
+        |    'sha1:R' || (d.doc_id % 10) AS payload_digest,
+        |    o.orig AS orig_doc_id, CAST(0 AS BIGINT) AS orig_rec_index
+        |  FROM d JOIN origs o ON d.doc_id % 10 = o.res
+        |  UNION ALL SELECT doc_id, 2,
+        |    'http://site' || (doc_id % 7) || '.example/page/' ||
+        |      doc_id || '/2',
+        |    'sha1:X' || doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM d
+        |) rows""".stripMargin,
     // meta-charset oracle: the five response classes enumerated with
     // their intended characters — chr(233) é on the sniffed latin-1,
     // header-utf-8, decoy and header-less rows, chr(8220) U+201C on the

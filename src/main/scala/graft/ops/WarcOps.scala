@@ -56,7 +56,8 @@ object WarcOps {
     StructField("content_type", StringType, nullable = true),
     StructField("charset", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
-    StructField("payload_text", StringType, nullable = true)))
+    StructField("payload_text", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true)))
 
   /** Declared charset → JDK charset, total: absent, unknown, or
     * JVM-unsupported names all fall back to UTF-8 (whose String decode
@@ -343,7 +344,12 @@ object WarcOps {
                   http.flatMap(_._2).orNull,
                   charset.orNull,
                   body,
-                  if (textish) new String(body, resolveCharset(effCs)) else null)
+                  if (textish) new String(body, resolveCharset(effCs)) else null,
+                  // the writer-declared payload digest (ISO 28500
+                  // §5.9, `sha1:BASE32` by convention) — the key
+                  // Common-Crawl-style crawls distribute dedup and
+                  // revisit identity by; verbatim, null when absent
+                  hs.get("warc-payload-digest").orNull)
                 idx += 1
                 pos = blockAt + n.toInt
               case _ => ok = false // missing/invalid length or truncated block
@@ -404,6 +410,40 @@ object WarcOps {
           if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
         .map(rec => Row.fromSeq(p +: rec.toSeq))
     })(org.apache.spark.sql.Encoders.row(FileSchema))
+  }
+
+  /** Resolve WARC `revisit` records to the response that CARRIES the
+    * payload they reference — the ISO 28500 §6.7.2 dedup mechanism
+    * Common-Crawl-style crawls use: a revisit record marks "content
+    * unchanged since an earlier capture", identified by its
+    * `WARC-Payload-Digest`, and carries no body of its own. One row per
+    * digest-bearing revisit record:
+    * `(payload_digest, doc_id, rec_index, target_uri, orig_doc_id,
+    * orig_rec_index)` where the original is the canonical RESPONSE
+    * record with that digest — lowest `(doc_id, rec_index)`, the
+    * family's deterministic survivor rule — or nulls when no captured
+    * response carries the digest (the shard with the body wasn't
+    * ingested; the caller decides whether to drop or re-fetch).
+    *
+    * Scale shape: one digest-keyed aggregation over responses (output
+    * is digest-cardinality-sized, i.e. unique-content-sized) and one
+    * hash join of the revisit stream against it — the digest is the
+    * natural shuffle key; nothing corpus-sized crosses the driver. */
+  def resolveRevisits(records: DataFrame): DataFrame = {
+    val originals = records
+      .filter(col("warc_type") === "response" && col("payload_digest").isNotNull)
+      .groupBy(col("payload_digest"))
+      .agg(min(struct(col("doc_id"), col("rec_index"))).as("_rr_orig"))
+      .select(col("payload_digest"),
+        col("_rr_orig.doc_id").as("orig_doc_id"),
+        col("_rr_orig.rec_index").as("orig_rec_index"))
+    records
+      .filter(col("warc_type") === "revisit" && col("payload_digest").isNotNull)
+      .select(col("doc_id"), col("rec_index"), col("target_uri"),
+        col("payload_digest"))
+      .join(originals, Seq("payload_digest"), "left")
+      .select(col("doc_id"), col("rec_index"), col("target_uri"),
+        col("payload_digest"), col("orig_doc_id"), col("orig_rec_index"))
   }
 
   /** Records of every `.warc`/`.warc.gz` file under `path` — the batch
@@ -608,6 +648,45 @@ object WarcOps {
       resp(3, b3, Some("text/html")),
       resp(4, b4, None))
     if (doc % 2 == 0) recs.map(gzipMember).reduce(_ ++ _) else recs.reduce(_ ++ _)
+  }
+
+  /** One synthetic WARC file probing revisit resolution — three
+    * closed-form records: (0) a response whose `WARC-Payload-Digest` is
+    * shared across every doc with the same `doc % 10` residue (the
+    * lowest such doc is the canonical original); (1) a revisit record
+    * carrying that digest and NO body (the ISO 28500 §6.7.2 shape);
+    * (2) a revisit whose digest no captured response carries — the
+    * unresolved class. Even ids gzipped, odd plain. */
+  private[graft] def syntheticWarcRevisit(doc: Long): Array[Byte] = {
+    val body = s"orig $doc".getBytes("UTF-8")
+    val http = (s"HTTP/1.1 200 X\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+    val resp = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> fixtureUri(doc, 0),
+      "WARC-Date" -> fixtureDate(doc),
+      "WARC-Payload-Digest" -> s"sha1:R${doc % 10}",
+      "Content-Type" -> "application/http; msgtype=response"), http)
+    def revisit(i: Long, digest: String): Array[Byte] = record(Seq(
+      "WARC-Type" -> "revisit",
+      "WARC-Target-URI" -> fixtureUri(doc, i),
+      "WARC-Date" -> fixtureDate(doc),
+      "WARC-Payload-Digest" -> digest), Array.empty[Byte])
+    val recs = Seq(resp,
+      revisit(1, s"sha1:R${doc % 10}"),
+      revisit(2, s"sha1:X$doc"))
+    if (doc % 2 == 0) recs.map(gzipMember).reduce(_ ++ _) else recs.reduce(_ ++ _)
+  }
+
+  /** Distributed revisit fixture frame `(doc_id, warc)`. */
+  def warcRevisitPayloads(spark: SparkSession, ids: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val src = ids.select(col(idCol).cast(LongType))
+    val rdd = src.rdd.mapPartitions(_.map(r =>
+      Row(r.getLong(0), syntheticWarcRevisit(r.getLong(0)))))
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false))))
   }
 
   /** Distributed meta-charset fixture frame `(doc_id, warc)`. */

@@ -260,6 +260,28 @@ class WarcOpsSpec extends SparkSpec {
       "header-less html sniffs its meta")
   }
 
+  test("payload digest surfaces verbatim; revisits resolve to the canonical original") {
+    val ids = Seq(3L, 13L, 23L, 4L).toDF("doc_id") // 3/13/23 share residue 3
+    val recs = WarcOps.parseWarc(spark, WarcOps.warcRevisitPayloads(spark, ids))
+    // the digest header reads back verbatim on responses AND revisits
+    val digests = recs.filter(col("doc_id") === 3L).orderBy("rec_index")
+      .select("payload_digest").as[String].collect().toSeq
+    assert(digests == Seq("sha1:R3", "sha1:R3", "sha1:X3"))
+    val resolved = WarcOps.resolveRevisits(recs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    // all three residue-3 revisits point at doc 3's response (lowest id)
+    for (doc <- Seq(3L, 13L, 23L))
+      assert(resolved((doc, 1L)) == ((Some(3L), Some(0L))), s"doc $doc")
+    assert(resolved((4L, 1L)) == ((Some(4L), Some(0L))), "own residue class")
+    // the digest no response carries resolves to nulls, row kept
+    assert(resolved((3L, 2L)) == ((None, None)), "unresolved revisit")
+    // a record WITHOUT the digest header keeps the column null
+    val plain = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, Seq(2L).toDF("doc_id")))
+    assert(plain.filter(col("payload_digest").isNotNull).count() == 0)
+  }
+
   test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
     val ids = Seq(2L, 5L).toDF("doc_id")
     val recs = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, ids))
