@@ -909,6 +909,20 @@ object SparkEntry {
           col("warc_date"), col("http_status"), col("content_type"),
           col("charset"))
     }),
+    // the CDX lookup projection (web-archive index rows): SURT urlkey
+    // over the fixture URIs — host labels reversed, the prefix-scan
+    // property — plus capture time, status and the random-access
+    // anchor columns; the oracle recomputes urlkey/date/status from
+    // the fixture formulas (rec_offset is spec-pinned byte arithmetic,
+    // deliberately outside the SQL oracle).
+    "q_warc_cdx" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      graft.ops.WarcOps.cdx(
+        graft.ops.WarcOps.parseWarc(s, graft.ops.WarcOps.warcPayloads(s, ids)))
+        .select(col("doc_id"), col("rec_index"), col("urlkey"),
+          col("warc_date"), col("http_status"), col("payload_digest"))
+    }),
     // revisit resolution (ISO 28500 §6.7.2 — the digest-keyed dedup
     // mechanism Common-Crawl-style crawls ship): every doc's response
     // record shares its WARC-Payload-Digest with the doc%10 residue
@@ -4252,6 +4266,24 @@ object SparkEntry {
         |  CASE WHEN rec_index % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS content_type,
         |  CASE rec_index % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
         |       ELSE NULL END AS charset
+        |FROM recs""".stripMargin,
+    // CDX oracle: the SURT key from the fixture URI formulas —
+    // site{K}.example reverses to example,site{K} — responses only
+    // (the warcinfo record carries no URI), rec_index offset by the
+    // leading warcinfo record
+    "q_warc_cdx" ->
+      """WITH recs AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS i
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, i + 1 AS rec_index,
+        |  'example,site' || (doc_id % 7) || ')/page/' || doc_id || '/' || i
+        |    AS urlkey,
+        |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+        |    'T00:00:00Z' AS warc_date,
+        |  CAST(CASE WHEN (doc_id + i) % 5 = 0 THEN 404 ELSE 200 END AS BIGINT)
+        |    AS http_status,
+        |  CAST(NULL AS VARCHAR) AS payload_digest
         |FROM recs""".stripMargin,
     // revisit oracle: the canonical original of each digest class is
     // MIN(doc_id) over the doc%10 residue (computed relationally, not

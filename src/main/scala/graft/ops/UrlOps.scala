@@ -248,6 +248,25 @@ object UrlOps {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("url_canon"))
 
+  /** SURT-ordered URL key (Sort-friendly URI Reordering Transform —
+    * the key web-archive CDX indexes sort and range-scan by): host
+    * labels REVERSED and comma-joined (`site.example.com` →
+    * `com,example,site`), then `)` and the path (empty → `/`), then
+    * `?query` when present. Scheme and port are dropped (the lookup
+    * identity ignores both), host lowercased by [[host]]. Reversing the
+    * labels puts every subdomain of a registrable domain in one
+    * contiguous key range — the property that makes prefix scans over
+    * an archive index work. A pure codegen'd projection. */
+  def surtKey(url: Column): Column = {
+    val h = host(url)
+    val p = path(url)
+    val q = query(url)
+    concat(
+      array_join(reverse(split(h, "[.]")), ","), lit(")"),
+      when(p === "", lit("/")).otherwise(p),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
   // ---- robots.txt (RFC 9309 Robots Exclusion Protocol) --------------------
 
   /** Parse robots.txt documents into directive rows — the crawl-

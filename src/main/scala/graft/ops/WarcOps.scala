@@ -57,7 +57,8 @@ object WarcOps {
     StructField("charset", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("payload_text", StringType, nullable = true),
-    StructField("payload_digest", StringType, nullable = true)))
+    StructField("payload_digest", StringType, nullable = true),
+    StructField("rec_offset", LongType, nullable = false)))
 
   /** Declared charset → JDK charset, total: absent, unknown, or
     * JVM-unsupported names all fall back to UTF-8 (whose String decode
@@ -286,6 +287,10 @@ object WarcOps {
       while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
       if (pos >= b.length) ok = false
       else {
+        // byte offset of this record's version line in the PARSED
+        // stream (the file for plain .warc, the decompressed member
+        // concatenation for .warc.gz) — the CDX random-access anchor
+        val recAt = pos.toLong
         val eol = findCrlf(b, pos)
         val version = if (eol < 0) "" else new String(b, pos, eol - pos, "US-ASCII")
         if (!version.startsWith("WARC/")) ok = false
@@ -349,7 +354,8 @@ object WarcOps {
                   // §5.9, `sha1:BASE32` by convention) — the key
                   // Common-Crawl-style crawls distribute dedup and
                   // revisit identity by; verbatim, null when absent
-                  hs.get("warc-payload-digest").orNull)
+                  hs.get("warc-payload-digest").orNull,
+                  recAt)
                 idx += 1
                 pos = blockAt + n.toInt
               case _ => ok = false // missing/invalid length or truncated block
@@ -445,6 +451,27 @@ object WarcOps {
       .select(col("doc_id"), col("rec_index"), col("target_uri"),
         col("payload_digest"), col("orig_doc_id"), col("orig_rec_index"))
   }
+
+  /** CDX-style lookup projection over parsed records — the index row
+    * web archives answer "which capture of URL X, when, where in which
+    * shard" from: one row per URI-bearing record,
+    * `(urlkey, warc_date, target_uri, warc_type, http_status,
+    * content_type, payload_digest, doc_id, rec_index, rec_offset)`
+    * where `urlkey` is the SURT key ([[UrlOps.surtKey]] — subdomains of
+    * a domain share a contiguous key range, the prefix-scan property)
+    * and `rec_offset` anchors random access into the shard (decompressed
+    * stream offset for `.warc.gz` — see [[Schema]]). A pure projection:
+    * sort/partition by `urlkey` at WRITE time (`Layout.zorderWrite` or
+    * a plain `repartitionByRange`) to get the range-scannable index
+    * layout; the projection itself moves nothing. */
+  def cdx(records: DataFrame): DataFrame =
+    records
+      .filter(col("target_uri").isNotNull)
+      .select(
+        UrlOps.surtKey(col("target_uri")).as("urlkey"),
+        col("warc_date"), col("target_uri"), col("warc_type"),
+        col("http_status"), col("content_type"), col("payload_digest"),
+        col("doc_id"), col("rec_index"), col("rec_offset"))
 
   /** Records of every `.warc`/`.warc.gz` file under `path` — the batch
     * entry from real crawl shards on disk/object storage:

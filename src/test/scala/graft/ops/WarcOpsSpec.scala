@@ -282,6 +282,39 @@ class WarcOpsSpec extends SparkSpec {
     assert(plain.filter(col("payload_digest").isNotNull).count() == 0)
   }
 
+  test("rec_offset anchors every record's version line; cdx surt keys range-group") {
+    // plain file (odd doc): offsets index the file bytes directly
+    val plainBytes = WarcOps.syntheticWarc(5L)
+    WarcOps.parseFile(5L, plainBytes).foreach { r =>
+      val off = r.getLong(11)
+      assert(new String(plainBytes, off.toInt, 5, "US-ASCII") == "WARC/",
+        s"plain offset $off")
+    }
+    // gzip file (even doc): offsets index the DECOMPRESSED member
+    // concatenation, the documented anchor space
+    val gzBytes = WarcOps.syntheticWarc(4L)
+    val inflated = WarcOps.gunzipPrefix(gzBytes)
+    WarcOps.parseFile(4L, gzBytes).foreach { r =>
+      val off = r.getLong(11)
+      assert(new String(inflated, off.toInt, 5, "US-ASCII") == "WARC/",
+        s"gz offset $off")
+    }
+    // surt keys: reversed host labels put subdomains in one key range,
+    // query kept, port and scheme dropped
+    val urls = Seq(
+      (1L, "https://a.site.example.com:8443/p/q?x=1"),
+      (2L, "http://site.example.com/"),
+      (3L, "http://other.net"))
+      .toDF("doc_id", "url")
+    val keys = urls.select(col("doc_id"), UrlOps.surtKey(col("url")).as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(keys(1L) == "com,example,site,a)/p/q?x=1")
+    assert(keys(2L) == "com,example,site)/")
+    assert(keys(3L) == "net,other)/", "empty path -> /")
+    assert(keys(1L).startsWith(keys(2L).stripSuffix(")/")),
+      "subdomain keys share the domain prefix")
+  }
+
   test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
     val ids = Seq(2L, 5L).toDF("doc_id")
     val recs = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, ids))
