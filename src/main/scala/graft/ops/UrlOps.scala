@@ -261,10 +261,14 @@ object UrlOps {
     val h = host(url)
     val p = path(url)
     val q = query(url)
-    concat(
+    // non-hierarchical URIs (dns:example.com, urn:…, filedesc:… — all
+    // present in real crawl WARCs) have no `scheme://authority`, so the
+    // key is NULL rather than a colliding `)/` garbage bucket; index
+    // writers coalesce to the raw URI when they want those rows keyed
+    when(h === "", lit(null).cast("string")).otherwise(concat(
       array_join(reverse(split(h, "[.]")), ","), lit(")"),
       when(p === "", lit("/")).otherwise(p),
-      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+      when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
   // ---- robots.txt (RFC 9309 Robots Exclusion Protocol) --------------------
@@ -331,23 +335,6 @@ object UrlOps {
         col("_rb.directive").as("directive"), col("_rb.value").as("value"))
   }
 
-  /** Which URLs may `agent` fetch, under [[parseRobots]] rules — RFC
-    * 9309 §2.2.2 matching: the agent's OWN group(s) when any user-agent
-    * line equals it (case-insensitive, exact product token — substring
-    * matching is out of scope, documented), else the `*` group(s); among
-    * the chosen groups' non-empty `allow`/`disallow` rules, the LONGEST
-    * rule matching the URL path as a prefix decides, `allow` winning
-    * ties; URLs matching no rule — or keys with no applicable group —
-    * are allowed. Empty-value rules are the RFC's explicit no-op.
-    * (`$`/`*` wildcard rules are not interpreted — they participate as
-    * literal prefixes; the standard marks wildcard support optional.)
-    *
-    * `rules` and `urls` join on `keyCol` (typically the HOST the robots
-    * file governs). Output: `urls` plus a boolean `allowed`. Scale
-    * shape: rules are robots-sized per key, so the join is hash-
-    * partitioned on the natural crawl key (or broadcast when the rule
-    * frame is small); per-URL work is bounded by that host's rule
-    * count; one aggregation keyed by the url row id. */
   /** The RFC 9309 §2.2.2 group-selection shared by [[robotsAllowed]]
     * and [[crawlSchedule]]: per key, the agent's OWN group(s) when any
     * user-agent line equals it (case-insensitive, exact product token),
@@ -370,6 +357,23 @@ object UrlOps {
       .select(col("_rg_key"), col("_rg_grp"))
   }
 
+  /** Which URLs may `agent` fetch, under [[parseRobots]] rules — RFC
+    * 9309 §2.2.2 matching: the agent's OWN group(s) when any user-agent
+    * line equals it (case-insensitive, exact product token — substring
+    * matching is out of scope, documented), else the `*` group(s); among
+    * the chosen groups' non-empty `allow`/`disallow` rules, the LONGEST
+    * rule matching the URL path as a prefix decides, `allow` winning
+    * ties; URLs matching no rule — or keys with no applicable group —
+    * are allowed. Empty-value rules are the RFC's explicit no-op.
+    * (`$`/`*` wildcard rules are not interpreted — they participate as
+    * literal prefixes; the standard marks wildcard support optional.)
+    *
+    * `rules` and `urls` join on `keyCol` (typically the HOST the robots
+    * file governs). Output: `urls` plus a boolean `allowed`. Scale
+    * shape: rules are robots-sized per key, so the join is hash-
+    * partitioned on the natural crawl key (or broadcast when the rule
+    * frame is small); per-URL work is bounded by that host's rule
+    * count; one aggregation keyed by the url row id. */
   def robotsAllowed(rules: DataFrame, urls: DataFrame, agent: String,
                     keyCol: String = "doc_id", pathCol: String = "path",
                     urlIdCol: String = "url_id"): DataFrame = {

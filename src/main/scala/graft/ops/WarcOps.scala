@@ -207,8 +207,15 @@ object WarcOps {
     out.toMap
   }
 
+  /** Strict tag pattern: quoted runs may carry `>` (HTML permits it).
+    * Its failure mode — a tag with an UNBALANCED quote never matches —
+    * is covered by the loose fallback below, whose own failure mode (a
+    * quoted `>` truncates the tag) the strict pass covers: between
+    * them every real-world meta tag is scanned by at least one. */
   private val MetaTagRe = java.util.regex.Pattern.compile(
     "(?i)<meta[ \\t\\n\\f\\r/]((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
+  private val MetaTagLooseRe = java.util.regex.Pattern.compile(
+    "(?i)<meta[ \\t\\n\\f\\r/]([^>]*)>")
   private val CharsetInContentRe = java.util.regex.Pattern.compile(
     "(?i)charset[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*[\"']?([a-zA-Z0-9._:-]+)")
 
@@ -229,54 +236,124 @@ object WarcOps {
   private[ops] def sniffMetaCharset(body: Array[Byte]): Option[String] = {
     if (body == null || body.length == 0) return None
     val prefix = new String(body, 0, math.min(1024, body.length), "ISO-8859-1")
-    val m = MetaTagRe.matcher(prefix)
-    while (m.find()) {
-      val attrs = scanAttrs(m.group(1))
-      val fromAttr = attrs.get("charset").map(_.trim).filter(_.nonEmpty)
-      val fromEquiv =
-        if (attrs.get("http-equiv").exists(_.trim.equalsIgnoreCase("content-type")))
-          attrs.get("content").flatMap { c =>
-            val cm = CharsetInContentRe.matcher(c)
-            if (cm.find()) Some(cm.group(1)) else None
-          }
-        else None
-      val found = fromAttr.orElse(fromEquiv)
-      if (found.isDefined)
-        return found.map(_.toLowerCase(java.util.Locale.ROOT))
+    def scan(pattern: java.util.regex.Pattern): Option[String] = {
+      val m = pattern.matcher(prefix)
+      while (m.find()) {
+        val attrs = scanAttrs(m.group(1))
+        val fromAttr = attrs.get("charset").map(_.trim).filter(_.nonEmpty)
+        val fromEquiv =
+          if (attrs.get("http-equiv").exists(_.trim.equalsIgnoreCase("content-type")))
+            attrs.get("content").flatMap { c =>
+              val cm = CharsetInContentRe.matcher(c)
+              if (cm.find()) Some(cm.group(1)) else None
+            }
+          else None
+        val found = fromAttr.orElse(fromEquiv)
+        if (found.isDefined)
+          return found.map(_.toLowerCase(java.util.Locale.ROOT))
+      }
+      None
     }
-    None
+    // strict pass first (quoted `>` survives), loose pass second (an
+    // unbalanced quote in some attribute no longer hides the tag)
+    scan(MetaTagRe).orElse(scan(MetaTagLooseRe))
   }
 
-  /** Decompress as much of a (possibly multi-member) gzip stream as the
-    * bytes support: chunks decoded BEFORE an `IOException` (truncation
-    * mid-member, a corrupt later member) are kept, so a damaged
-    * `.warc.gz` degrades exactly like a damaged plain file — the records
-    * from intact earlier gzip members still surface, instead of the
-    * whole shard vanishing because the tail was cut. `readAllBytes()`
-    * would throw away its partial buffer on that same exception. */
-  private[ops] def gunzipPrefix(bytes: Array[Byte]): Array[Byte] = {
+  /** Decompress a (possibly multi-member) gzip stream by an explicit
+    * RFC 1952 member walk, tracking where each member STARTS in the
+    * compressed file: returns `(decompressed bytes, member table)` where
+    * each table entry is `(decompressedStart, compressedStart)`. The
+    * compressed starts are what make [[Schema]]'s `rec_offset` a real
+    * random-access anchor for `.warc.gz` shards (seek/range-request the
+    * member, inflate just it) — a `GZIPInputStream` loop hides them
+    * behind its read-ahead buffering.
+    *
+    * Total like the stream it replaces: members decoded BEFORE damage
+    * (truncation mid-member, corrupt deflate data, a garbage trailer)
+    * are kept, so a damaged shard degrades exactly like a damaged plain
+    * file. Header parse per RFC 1952: magic, CM=8, FLG bits FEXTRA
+    * (XLEN little-endian) / FNAME / FCOMMENT (zero-terminated) / FHCRC
+    * (2 bytes) skipped; deflate length read back from the Inflater's
+    * `getBytesRead`; 8-byte CRC32+ISIZE trailer. */
+  private[ops] def gunzipMembers(bytes: Array[Byte])
+      : (Array[Byte], Seq[(Long, Long)]) = {
     val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 3))
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case _: java.io.IOException => () } // damaged tail: keep the decoded prefix
-    out.toByteArray
+    val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var pos = 0
+    var ok = true
+    while (ok && pos + 10 <= bytes.length) {
+      val memberAt = pos
+      if ((bytes(pos) & 0xFF) != 0x1F || (bytes(pos + 1) & 0xFF) != 0x8B ||
+          (bytes(pos + 2) & 0xFF) != 8) { ok = false }
+      else {
+        val flg = bytes(pos + 3) & 0xFF
+        var p = pos + 10
+        try {
+          if ((flg & 4) != 0) { // FEXTRA
+            val xlen = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+            p += 2 + xlen
+          }
+          if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
+          if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+          if ((flg & 2) != 0) p += 2 // FHCRC
+          if (p >= bytes.length) throw new java.io.EOFException
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(bytes, p, bytes.length - p)
+          val buf = new Array[Byte](64 * 1024)
+          val chunk = new java.io.ByteArrayOutputStream(64 * 1024)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n > 0) chunk.write(buf, 0, n)
+            else if (!inf.finished())
+              throw new java.io.EOFException // truncated deflate data
+          }
+          val deflateLen = inf.getBytesRead.toInt
+          inf.end()
+          if (p + deflateLen + 8 > bytes.length)
+            throw new java.io.EOFException // trailer cut off
+          members += ((out.size().toLong, memberAt.toLong))
+          chunk.writeTo(out)
+          pos = p + deflateLen + 8
+        } catch {
+          // damage inside this member: keep everything decoded before it
+          case _: Exception => ok = false
+        }
+      }
+    }
+    (out.toByteArray, members.toSeq)
   }
+
+  /** Decompressed bytes only — the callers that never need member
+    * offsets (throughput paths, tests asserting decompressed content). */
+  private[ops] def gunzipPrefix(bytes: Array[Byte]): Array[Byte] =
+    gunzipMembers(bytes)._1
 
   /** All records of one WARC file (plain or gzip — sniffed on the
     * 0x1f8b magic), in file order. Total: damage yields the records
     * parsed before the damage point, on BOTH the plain and gzip paths
     * (a truncated gzip member keeps earlier members' records via
-    * [[gunzipPrefix]]). */
+    * [[gunzipMembers]]). */
   private[ops] def parseFile(docId: Long, bytes: Array[Byte]): Seq[Row] = {
     if (bytes == null || bytes.length == 0) return Nil
-    val b =
-      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
-        gunzipPrefix(bytes)
-      else bytes
+    val isGz =
+      bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
+    val (b, memberTable) =
+      if (isGz) gunzipMembers(bytes) else (bytes, Seq.empty[(Long, Long)])
+    // a record's FILE offset: its own position for plain files; for
+    // gzip, the compressed start of the member containing it (the CDX
+    // offset convention — seek there and inflate one member)
+    def fileOffset(decompPos: Long): Long =
+      if (!isGz) decompPos
+      else {
+        // members are sorted by decompressedStart; take the last ≤ pos
+        var lo = 0; var hi = memberTable.length - 1; var ans = 0L
+        while (lo <= hi) {
+          val mid = (lo + hi) / 2
+          if (memberTable(mid)._1 <= decompPos) { ans = memberTable(mid)._2; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        ans
+      }
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var pos = 0
     var idx = 0L
@@ -287,10 +364,11 @@ object WarcOps {
       while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
       if (pos >= b.length) ok = false
       else {
-        // byte offset of this record's version line in the PARSED
-        // stream (the file for plain .warc, the decompressed member
-        // concatenation for .warc.gz) — the CDX random-access anchor
-        val recAt = pos.toLong
+        // byte offset of this record IN THE FILE: the version line's
+        // position for plain .warc; the compressed start of the gzip
+        // member containing it for .warc.gz — the CDX random-access
+        // anchor (seek there, inflate one member)
+        val recAt = fileOffset(pos.toLong)
         val eol = findCrlf(b, pos)
         val version = if (eol < 0) "" else new String(b, pos, eol - pos, "US-ASCII")
         if (!version.startsWith("WARC/")) ok = false
@@ -459,8 +537,10 @@ object WarcOps {
     * content_type, payload_digest, doc_id, rec_index, rec_offset)`
     * where `urlkey` is the SURT key ([[UrlOps.surtKey]] — subdomains of
     * a domain share a contiguous key range, the prefix-scan property)
-    * and `rec_offset` anchors random access into the shard (decompressed
-    * stream offset for `.warc.gz` — see [[Schema]]). A pure projection:
+    * and `rec_offset` anchors random access into the shard: the
+    * record's own file position for plain `.warc`, the COMPRESSED start
+    * of the gzip member containing it for `.warc.gz` (seek there,
+    * inflate one member — the CDX offset convention). A pure projection:
     * sort/partition by `urlkey` at WRITE time (`Layout.zorderWrite` or
     * a plain `repartitionByRange`) to get the range-scannable index
     * layout; the projection itself moves nothing. */

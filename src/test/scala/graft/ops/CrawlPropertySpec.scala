@@ -21,6 +21,9 @@ class CrawlPropertySpec extends SparkSpec {
 
   // ---- totality over junk ---------------------------------------------
 
+  /** Junk MIXED with directive-producing lines, so the grammar
+    * assertions exercise real rows (junk alone parses to zero rows and
+    * proves only totality). */
   private val genJunkLine: Gen[String] = Gen.oneOf(
     Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString.take(60)),
     Gen.const("User-agent"),            // colon-less key
@@ -28,6 +31,9 @@ class CrawlPropertySpec extends SparkSpec {
     Gen.const("Disallow: /a: b: c"),    // colons in the value
     Gen.const("#"),
     Gen.const("\t \t"),
+    Gen.const("User-agent: *"),         // opens a real group
+    Gen.const("Allow: /x"),
+    Gen.const("Sitemap: http://s.example/m.xml"),
     Gen.listOf(Gen.choose(0.toChar, 255.toChar)).map(_.mkString.take(40)))
 
   test("parseRobots is total on junk and its output grammar always holds") {
@@ -35,6 +41,8 @@ class CrawlPropertySpec extends SparkSpec {
       .zipWithIndex
       .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
     val out = UrlOps.parseRobots(docs.toDF("doc_id", "text")).collect()
+    assert(out.nonEmpty, "the generator must produce SOME parsed rows " +
+      "or the grammar assertions are vacuous")
     out.foreach { r =>
       val grp = r.getLong(2)
       val directive = r.getString(3)
@@ -46,16 +54,24 @@ class CrawlPropertySpec extends SparkSpec {
     }
     // rule_pos is a contiguous 0-based ordinal within each doc
     out.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
-      val ps = rows.map(_.getLong(1)).sorted
-      assert(ps == (0L until ps.length.toLong), s"doc $doc positions")
+      val ps = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ps == (0L until ps.length.toLong).toSeq, s"doc $doc positions")
     }
   }
 
   test("parseSitemap is total on junk and loc is never null or empty") {
-    val docs = sample(Gen.listOfN(6, genJunkLine), 150, seed = 0x517E)
+    // junk interleaved with REAL entries (and loc-less ones) so the
+    // grammar assertions run against produced rows
+    val genPiece: Gen[String] = Gen.oneOf(
+      genJunkLine,
+      Gen.const("<url><loc>http://r.example/ok</loc></url>"),
+      Gen.const("<url><lastmod>2024-01-01</lastmod></url>"), // loc-less
+      Gen.const("<sitemap><loc>http://r.example/i.xml</loc></sitemap>"))
+    val docs = sample(Gen.listOfN(6, genPiece), 150, seed = 0x517E)
       .zipWithIndex
-      .map { case (ls, i) => (i.toLong, ls.mkString("<url>") ) }
+      .map { case (ls, i) => (i.toLong, ls.mkString("<url>")) }
     val out = UrlOps.parseSitemap(docs.toDF("doc_id", "text")).collect()
+    assert(out.nonEmpty, "vacuity guard: some entries must parse")
     out.foreach { r =>
       assert(Set("url", "sitemap").contains(r.getString(2)))
       assert(r.getString(3) != null && r.getString(3).nonEmpty)

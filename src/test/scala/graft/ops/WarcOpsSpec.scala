@@ -247,6 +247,14 @@ class WarcOpsSpec extends SparkSpec {
         .getBytes("UTF-8"))).head
     assert(noEquiv.getString(9).endsWith("caf\u00E9"),
       "content= only counts on an http-equiv=content-type tag")
+    // an UNBALANCED quote elsewhere in the tag must not hide a real
+    // charset declaration: the loose fallback pass catches what the
+    // strict quoted-run pattern cannot span
+    val unbalanced = WarcOps.parseFile(10L, respRec("text/html",
+      ("<meta charset=iso-8859-1 content=O'Brien>caf" + 0xE9.toChar)
+        .getBytes("ISO-8859-1"))).head
+    assert(unbalanced.getString(9).endsWith("caf" + 0xE9.toChar),
+      "stray apostrophe in another attribute must not kill the sniff")
     // NO Content-Type header at all: the legacy class that relies
     // entirely on its meta \u2014 absent type must still sniff
     val noCt = ("HTTP/1.1 200 OK\r\n\r\n").getBytes("US-ASCII") ++
@@ -290,15 +298,26 @@ class WarcOpsSpec extends SparkSpec {
       assert(new String(plainBytes, off.toInt, 5, "US-ASCII") == "WARC/",
         s"plain offset $off")
     }
-    // gzip file (even doc): offsets index the DECOMPRESSED member
-    // concatenation, the documented anchor space
+    // gzip file (even doc): offsets are the COMPRESSED starts of the
+    // member containing each record — seek there, inflate ONE member,
+    // and the record's version line is at its head (the CDX offset
+    // contract a range-request replay needs)
     val gzBytes = WarcOps.syntheticWarc(4L)
-    val inflated = WarcOps.gunzipPrefix(gzBytes)
     WarcOps.parseFile(4L, gzBytes).foreach { r =>
-      val off = r.getLong(11)
-      assert(new String(inflated, off.toInt, 5, "US-ASCII") == "WARC/",
-        s"gz offset $off")
+      val off = r.getLong(11).toInt
+      assert((gzBytes(off) & 0xFF) == 0x1F && (gzBytes(off + 1) & 0xFF) == 0x8B,
+        s"gz offset $off lands on a member header")
+      val one = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gzBytes, off, gzBytes.length - off))
+      val head = new Array[Byte](5)
+      var got = 0
+      while (got < 5) got += one.read(head, got, 5 - got)
+      assert(new String(head, "US-ASCII") == "WARC/",
+        s"member at $off inflates to a record head")
     }
+    // member-per-record layout: each record gets a DISTINCT member
+    assert(WarcOps.parseFile(4L, gzBytes).map(_.getLong(11)).distinct.size ==
+      WarcOps.parseFile(4L, gzBytes).size)
     // surt keys: reversed host labels put subdomains in one key range,
     // query kept, port and scheme dropped
     val urls = Seq(
@@ -313,6 +332,13 @@ class WarcOpsSpec extends SparkSpec {
     assert(keys(3L) == "net,other)/", "empty path -> /")
     assert(keys(1L).startsWith(keys(2L).stripSuffix(")/")),
       "subdomain keys share the domain prefix")
+    // non-hierarchical URIs (dns:/urn: records in real WARCs) key to
+    // NULL, never to a colliding ')/' garbage bucket
+    val nonH = Seq((1L, "dns:example.com"), (2L, "urn:uuid:abc"))
+      .toDF("doc_id", "url")
+      .select(col("doc_id"), UrlOps.surtKey(col("url")).as("k"))
+      .collect()
+    assert(nonH.forall(_.isNullAt(1)), "authority-less URIs -> null key")
   }
 
   test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
