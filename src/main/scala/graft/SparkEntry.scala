@@ -1186,6 +1186,32 @@ object SparkEntry {
       UrlOps.robotsAllowed(rules, urls, agent = "bot1")
         .select(col("doc_id"), col("url_id"), col("path"), col("allowed"))
     }),
+    // §2.2.3 wildcard matching (the optional-in-RFC, ubiquitous-in-
+    // practice rule syntax): `*` spans any sequence, trailing `$`
+    // anchors at the path end, longest rule still decides with allow
+    // winning ties. Verdicts are closed-form: j=0 hits the bare `/dK*`
+    // disallow, j=1 the longer `/dK*/keep` allow overrides, j=2 the
+    // `$`-anchored disallow, j=3 escapes the anchor by one char.
+    "q_robots_wildcard" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val k3 = (col("doc_id") % 3).cast("string")
+      val k5 = (col("doc_id") % 5).cast("string")
+      val text = concat(
+        lit("User-agent: *\nDisallow: /d"), k3,
+        lit("*\nAllow: /d"), k3, lit("*/keep\nDisallow: /end"), k5,
+        lit("$\n"))
+      val rules = UrlOps.parseRobots(ids.select(col("doc_id"), text.as("text")))
+      val urls = ids
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"))
+        .select(col("doc_id"), (col("doc_id") * 4 + col("j")).as("url_id"),
+          when(col("j") === 0, concat(lit("/d"), k3, lit("abc")))
+            .when(col("j") === 1, concat(lit("/d"), k3, lit("z/keep")))
+            .when(col("j") === 2, concat(lit("/end"), k5))
+            .otherwise(concat(lit("/end"), k5, lit("x"))).as("path"))
+      UrlOps.robotsAllowed(rules, urls, agent = "anybot", wildcards = true)
+        .select(col("doc_id"), col("url_id"), col("path"), col("allowed"))
+    }),
     // sitemap XML ingestion (sitemaps.org 0.9): the frontier source the
     // robots sitemap records point at — urlset AND sitemapindex shapes,
     // loc trimming + entity unescape, optional-field nulls, loc-less
@@ -3063,6 +3089,21 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 1 THEN false
         |       WHEN j = 0 THEN false
         |       ELSE true END AS allowed
+        |FROM u""".stripMargin,
+    // wildcard oracle: the four verdict classes by construction — only
+    // the longer-allow (j=1) and anchor-escaping (j=3) paths pass
+    "q_robots_wildcard" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |u AS (
+        |  SELECT doc_id, doc_id * 4 + j.i AS url_id, j.i AS j,
+        |    CASE j.i
+        |      WHEN 0 THEN '/d' || (doc_id % 3) || 'abc'
+        |      WHEN 1 THEN '/d' || (doc_id % 3) || 'z/keep'
+        |      WHEN 2 THEN '/end' || (doc_id % 5)
+        |      ELSE '/end' || (doc_id % 5) || 'x' END AS path
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) j)
+        |SELECT doc_id, url_id, path,
+        |  (j = 1 OR j = 3) AS allowed
         |FROM u""".stripMargin,
     // sitemap oracle: the rows enumerated from the fixture formulas —
     // even docs contribute urlset entries 0 and 2 (entry 1 is loc-less

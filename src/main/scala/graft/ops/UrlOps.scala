@@ -365,8 +365,17 @@ object UrlOps {
     * rule matching the URL path as a prefix decides, `allow` winning
     * ties; URLs matching no rule — or keys with no applicable group —
     * are allowed. Empty-value rules are the RFC's explicit no-op.
-    * (`$`/`*` wildcard rules are not interpreted — they participate as
-    * literal prefixes; the standard marks wildcard support optional.)
+    *
+    * With `wildcards = false` (the default), `$`/`*` in rules are NOT
+    * interpreted — they participate as literal prefix characters; the
+    * standard marks wildcard support optional. With `wildcards = true`
+    * the §2.2.3 special characters apply: `*` matches any character
+    * sequence, a TRAILING `$` anchors the match at the path's end, and
+    * the most-specific-rule precedence stays rule-string LENGTH (the
+    * published convention for wildcard rules); wildcard-free rules
+    * match identically under both modes, and every other regex
+    * metacharacter in a rule is escaped, so a hostile rule value can
+    * never inject a pattern or throw.
     *
     * `rules` and `urls` join on `keyCol` (typically the HOST the robots
     * file governs). Output: `urls` plus a boolean `allowed`. Scale
@@ -376,19 +385,33 @@ object UrlOps {
     * count; one aggregation keyed by the url row id. */
   def robotsAllowed(rules: DataFrame, urls: DataFrame, agent: String,
                     keyCol: String = "doc_id", pathCol: String = "path",
-                    urlIdCol: String = "url_id"): DataFrame = {
+                    urlIdCol: String = "url_id",
+                    wildcards: Boolean = false): DataFrame = {
     val active = rules
       .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
       .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
         col("directive").as("_ra_dir"), col("value").as("_ra_rule"))
       .join(chosenGroups(rules, agent, keyCol), Seq("_rg_key", "_rg_grp"))
+    // §2.2.3 wildcard rules compile to an anchored regex PER RULE ROW:
+    // every metacharacter escaped first (total on hostile values), the
+    // escaped `\*` then to `.*`, a trailing escaped `\$` to the real
+    // end anchor. Wildcard-free rules reduce to `^literal` — exactly
+    // the startsWith branch's semantics.
+    val ruleMatches =
+      if (!wildcards) urls(pathCol).startsWith(col("_ra_rule"))
+      else {
+        val esc = regexp_replace(col("_ra_rule"),
+          "([\\\\.\\[\\]{}()+?^$|*])", "\\\\$1")
+        val starred = replace(esc, lit("\\*"), lit(".*"))
+        val anchored = regexp_replace(starred, "\\\\\\$$", "\\$")
+        regexp_like(urls(pathCol), concat(lit("^"), anchored))
+      }
     // verdicts key on (host key, url id) — url ids need only be unique
     // WITHIN their host (the natural per-host frontier ordinal shape);
     // an id-only group would merge rule matches across hosts
     val matched = urls
       .join(active,
-        urls(keyCol) === active("_rg_key") &&
-          urls(pathCol).startsWith(col("_ra_rule")),
+        urls(keyCol) === active("_rg_key") && ruleMatches,
         "left")
       .groupBy(urls(keyCol).as("_ra_ukey"), urls(urlIdCol).as("_ra_uid"))
       .agg(

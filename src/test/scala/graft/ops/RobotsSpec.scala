@@ -88,6 +88,47 @@ class RobotsSpec extends SparkSpec {
     assert(got(2L), "host 2 has no rules -> allowed, even with a shared url_id")
   }
 
+  test("robotsAllowed wildcards: * spans, trailing $ anchors, metachars stay literal") {
+    val wc =
+      """User-agent: *
+        |Disallow: /a*/x
+        |Allow: /a*/x/pub
+        |Disallow: /exact$
+        |Disallow: /q(b
+        |""".stripMargin
+    val rules = UrlOps.parseRobots(Seq((1L, wc)).toDF("doc_id", "text"))
+    val urls = Seq(
+      (1L, 1L, "/a123/x"),        // * spans -> blocked
+      (1L, 2L, "/a123/x/pub/y"),  // longer allow overrides
+      (1L, 3L, "/exact"),         // $ anchor -> blocked
+      (1L, 4L, "/exactx"),        // one char past the anchor -> allowed
+      (1L, 5L, "/q(b/z"),         // '(' is escaped, matches literally
+      (1L, 6L, "/b"))             // nothing matches
+      .toDF("doc_id", "url_id", "path")
+    val got = UrlOps.robotsAllowed(rules, urls, agent = "any", wildcards = true)
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(!got(1L) && got(2L) && !got(3L) && got(4L) && !got(5L) && got(6L))
+    // wildcard-free rules behave identically under both modes
+    val plain = UrlOps.parseRobots(Seq(
+      (1L, "User-agent: *\nDisallow: /p/\nAllow: /p/ok")).toDF("doc_id", "text"))
+    val us = Seq((1L, 1L, "/p/x"), (1L, 2L, "/p/ok/y"), (1L, 3L, "/z"))
+      .toDF("doc_id", "url_id", "path")
+    val a = UrlOps.robotsAllowed(plain, us, agent = "any", wildcards = false)
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    val b = UrlOps.robotsAllowed(plain, us, agent = "any", wildcards = true)
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(a == b, "prefix rules are mode-invariant")
+    // a mid-rule $ is literal (only the TRAILING $ anchors)
+    val midDollar = UrlOps.parseRobots(Seq(
+      (1L, "User-agent: *\nDisallow: /m$n")).toDF("doc_id", "text"))
+    val gotMid = UrlOps.robotsAllowed(midDollar,
+      Seq((1L, 1L, "/m$n/t"), (1L, 2L, "/mn")).toDF("doc_id", "url_id", "path"),
+      agent = "any", wildcards = true)
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(!gotMid(1L), "literal $ inside the rule matches a literal $ path")
+    assert(gotMid(2L), "it does not behave as an anchor or wildcard")
+  }
+
   test("robotsAllowed: allow-tie and empty-value no-op semantics") {
     val tie =
       """User-agent: *
