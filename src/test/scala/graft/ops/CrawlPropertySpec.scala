@@ -213,6 +213,70 @@ class CrawlPropertySpec extends SparkSpec {
     }
   }
 
+  /** Wildcard twin of [[refAllowed]]: rules may carry `*` (spans any
+    * sequence) and a trailing `$` (end anchor) — implemented here by
+    * direct recursive glob matching, sharing nothing with the Spark
+    * regex translation it checks. */
+  private def refGlob(rule: String, path: String): Boolean = {
+    val (body, anchored) =
+      if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
+    def m(r: Int, p: Int): Boolean =
+      if (r == body.length) if (anchored) p == path.length else true
+      else if (body(r) == '*')
+        (p to path.length).exists(k => m(r + 1, k))
+      else p < path.length && path(p) == body(r) && m(r + 1, p + 1)
+    m(0, 0)
+  }
+
+  private def refAllowedWc(groups: Seq[Grp], agent: String,
+                           path: String): Boolean = {
+    val own = groups.filter(_.agents.exists(_.equalsIgnoreCase(agent)))
+    val chosen = if (own.nonEmpty) own else groups.filter(_.agents.contains("*"))
+    val matching = chosen.flatMap(_.rules)
+      .filter { case (d, v) =>
+        (d == "allow" || d == "disallow") && v.nonEmpty && refGlob(v, path)
+      }
+    if (matching.isEmpty) true
+    else {
+      val la = matching.collect { case ("allow", v) => v.length }
+      val ld = matching.collect { case ("disallow", v) => v.length }
+      ld.isEmpty || (la.nonEmpty && la.max >= ld.max)
+    }
+  }
+
+  test("wildcard robotsAllowed agrees with a direct glob-matching reference") {
+    val agent = "botx"
+    // rules drawn from a pool rich in wildcard/anchor/metachar shapes
+    val rulePool = Seq("/a", "/a*", "/a*/b", "/*b", "/a$", "/a/b$",
+      "/a(x", "/*$", "/a*c$", "/")
+    val genHost: Gen[Seq[Grp]] = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, for {
+        nA <- Gen.chooseNum(1, 2)
+        agents <- Gen.listOfN(nA, Gen.oneOf("*", "botx", "boty"))
+        nR <- Gen.chooseNum(1, 3)
+        rules <- Gen.listOfN(nR, for {
+          d <- Gen.oneOf("allow", "disallow")
+          v <- Gen.oneOf(rulePool)
+        } yield (d, v))
+      } yield Grp(agents.distinct, rules)))
+    val hosts = sample(genHost, 60, seed = 0xDECAF)
+    val paths = Seq("/a", "/a/b", "/axc", "/ab", "/a(x/y", "/zb", "/")
+    val rules = UrlOps.parseRobots(hosts.zipWithIndex.map { case (gs, h) =>
+      (h.toLong, robotsText(gs, Nil, varyCase = false))
+    }.toDF("doc_id", "text"))
+    val urls = hosts.indices.flatMap(h => paths.zipWithIndex.map { case (p, j) =>
+      (h.toLong, h.toLong * 10 + j, p)
+    }).toDF("doc_id", "url_id", "path")
+    val got = UrlOps.robotsAllowed(rules, urls, agent = agent, wildcards = true)
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    hosts.zipWithIndex.foreach { case (gs, h) =>
+      paths.zipWithIndex.foreach { case (p, j) =>
+        assert(got(h.toLong * 10 + j) == refAllowedWc(gs, agent, p),
+          s"host $h path $p groups $gs")
+      }
+    }
+  }
+
   test("robotsAllowed agrees with the brute-force RFC 9309 reference") {
     val agent = "botx"
     val genHost: Gen[Seq[Grp]] = Gen.chooseNum(1, 3).flatMap(n =>
