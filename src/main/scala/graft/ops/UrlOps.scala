@@ -370,12 +370,18 @@ object UrlOps {
     * interpreted — they participate as literal prefix characters; the
     * standard marks wildcard support optional. With `wildcards = true`
     * the §2.2.3 special characters apply: `*` matches any character
-    * sequence, a TRAILING `$` anchors the match at the path's end, and
-    * the most-specific-rule precedence stays rule-string LENGTH (the
-    * published convention for wildcard rules); wildcard-free rules
-    * match identically under both modes, and every other regex
-    * metacharacter in a rule is escaped, so a hostile rule value can
-    * never inject a pattern or throw.
+    * sequence (including newlines — every non-wildcard character is
+    * LITERAL, there is no regex engine underneath), a TRAILING `$`
+    * anchors the match at the path's end, and the most-specific-rule
+    * precedence stays rule-string LENGTH (the published convention for
+    * wildcard rules); wildcard-free rules match identically under both
+    * modes. Matching is the greedy LINEAR glob algorithm (split on `*`,
+    * prefix-check the first segment, leftmost-locate each middle
+    * segment, suffix-check the last when anchored) expressed as a SQL
+    * lambda fold — a hostile rule value can never inject a pattern,
+    * throw, or trigger the exponential backtracking a `.*`-chain regex
+    * translation invites (robots.txt is attacker-controlled input by
+    * definition; a dozen `*`s must stay O(path), not wedge a task).
     *
     * `rules` and `urls` join on `keyCol` (typically the HOST the robots
     * file governs). Output: `urls` plus a boolean `allowed`. Scale
@@ -383,29 +389,64 @@ object UrlOps {
     * partitioned on the natural crawl key (or broadcast when the rule
     * frame is small); per-URL work is bounded by that host's rule
     * count; one aggregation keyed by the url row id. */
+  /** Greedy linear glob match of `path` against pre-split rule
+    * segments (`segs` = the rule body split on `*`, empties KEPT so
+    * leading/trailing stars read back; `anch` = the rule carried a
+    * trailing `$`): the first segment must be a prefix, each middle
+    * segment is consumed at its LEFTMOST occurrence after the current
+    * position (the classic optimal strategy for `*`-globs), and when
+    * anchored the last segment must be a suffix starting at or after
+    * the position the middles reached. O(|path|·segments), no regex —
+    * see [[robotsAllowed]]'s wildcard contract. */
+  private def globMatches(path: Column, segs: Column, anch: Column): Column = {
+    val n = size(segs)
+    val first = element_at(segs, 1)
+    val last = element_at(segs, -1)
+    val startOk = path.startsWith(first)
+    val init = when(startOk, length(first) + lit(1)).otherwise(lit(-1))
+    // middles: segments 2..n-1 when anchored (the last is the suffix),
+    // 2..n otherwise; empty segments (consecutive stars) are no-ops
+    val midLen = when(anch, greatest(n - lit(2), lit(0))).otherwise(n - lit(1))
+    val middles = filter(slice(segs, lit(2), midLen), s => s =!= "")
+    val acc = aggregate(middles, init, (a, seg) =>
+      when(a < 0, a).otherwise {
+        val p = call_function("locate", seg, path, a)
+        when(p > 0, p + length(seg)).otherwise(lit(-1))
+      })
+    val generic = when(anch,
+      acc >= 0 && path.endsWith(last) &&
+        (length(path) - length(last) + lit(1) >= acc))
+      .otherwise(acc >= 0)
+    // a star-less rule has one segment that is BOTH first and last:
+    // anchored means exact equality, unanchored plain prefix
+    when(n === 1, when(anch, path === first).otherwise(startOk))
+      .otherwise(generic)
+  }
+
   def robotsAllowed(rules: DataFrame, urls: DataFrame, agent: String,
                     keyCol: String = "doc_id", pathCol: String = "path",
                     urlIdCol: String = "url_id",
                     wildcards: Boolean = false): DataFrame = {
-    val active = rules
+    val activePlain = rules
       .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
       .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
         col("directive").as("_ra_dir"), col("value").as("_ra_rule"))
       .join(chosenGroups(rules, agent, keyCol), Seq("_rg_key", "_rg_grp"))
-    // §2.2.3 wildcard rules compile to an anchored regex PER RULE ROW:
-    // every metacharacter escaped first (total on hostile values), the
-    // escaped `\*` then to `.*`, a trailing escaped `\$` to the real
-    // end anchor. Wildcard-free rules reduce to `^literal` — exactly
-    // the startsWith branch's semantics.
+    // wildcard prep is PER RULE ROW, before the join fans rules out
+    // over the frontier: anchor flag + star-split segments computed
+    // once per rule, so the per-(url, rule) work is just the fold
+    val active =
+      if (!wildcards) activePlain
+      else activePlain
+        .withColumn("_ra_anch", col("_ra_rule").endsWith("$"))
+        .withColumn("_ra_segs", split(
+          when(col("_ra_anch"),
+            expr("substring(_ra_rule, 1, length(_ra_rule) - 1)"))
+            .otherwise(col("_ra_rule")),
+          "[*]", -1))
     val ruleMatches =
       if (!wildcards) urls(pathCol).startsWith(col("_ra_rule"))
-      else {
-        val esc = regexp_replace(col("_ra_rule"),
-          "([\\\\.\\[\\]{}()+?^$|*])", "\\\\$1")
-        val starred = replace(esc, lit("\\*"), lit(".*"))
-        val anchored = regexp_replace(starred, "\\\\\\$$", "\\$")
-        regexp_like(urls(pathCol), concat(lit("^"), anchored))
-      }
+      else globMatches(urls(pathCol), col("_ra_segs"), col("_ra_anch"))
     // verdicts key on (host key, url id) — url ids need only be unique
     // WITHIN their host (the natural per-host frontier ordinal shape);
     // an id-only group would merge rule matches across hosts

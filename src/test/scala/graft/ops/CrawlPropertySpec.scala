@@ -196,14 +196,17 @@ class CrawlPropertySpec extends SparkSpec {
   /** Brute-force RFC 9309 §2.2.2: own groups over `*` groups, longest
     * matching non-empty rule wins, allow wins ties, no match → allowed —
     * written directly from the spec text, sharing no code with the
-    * Spark implementation. */
-  private def refAllowed(groups: Seq[Grp], agent: String,
-                         path: String): Boolean = {
+    * Spark implementation. The rule-match PREDICATE is the parameter
+    * (prefix for the default mode, [[refGlob]] for wildcards): the
+    * precedence machinery is one copy, checked under both matchers. */
+  private def refAllowed(groups: Seq[Grp], agent: String, path: String,
+                         matches: (String, String) => Boolean =
+                           (rule, p) => p.startsWith(rule)): Boolean = {
     val own = groups.filter(_.agents.exists(_.equalsIgnoreCase(agent)))
     val chosen = if (own.nonEmpty) own else groups.filter(_.agents.contains("*"))
     val matching = chosen.flatMap(_.rules)
       .filter { case (d, v) =>
-        (d == "allow" || d == "disallow") && v.nonEmpty && path.startsWith(v)
+        (d == "allow" || d == "disallow") && v.nonEmpty && matches(v, path)
       }
     if (matching.isEmpty) true
     else {
@@ -229,20 +232,8 @@ class CrawlPropertySpec extends SparkSpec {
   }
 
   private def refAllowedWc(groups: Seq[Grp], agent: String,
-                           path: String): Boolean = {
-    val own = groups.filter(_.agents.exists(_.equalsIgnoreCase(agent)))
-    val chosen = if (own.nonEmpty) own else groups.filter(_.agents.contains("*"))
-    val matching = chosen.flatMap(_.rules)
-      .filter { case (d, v) =>
-        (d == "allow" || d == "disallow") && v.nonEmpty && refGlob(v, path)
-      }
-    if (matching.isEmpty) true
-    else {
-      val la = matching.collect { case ("allow", v) => v.length }
-      val ld = matching.collect { case ("disallow", v) => v.length }
-      ld.isEmpty || (la.nonEmpty && la.max >= ld.max)
-    }
-  }
+                           path: String): Boolean =
+    refAllowed(groups, agent, path, refGlob)
 
   test("wildcard robotsAllowed agrees with a direct glob-matching reference") {
     val agent = "botx"

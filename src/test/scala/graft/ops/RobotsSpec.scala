@@ -118,6 +118,35 @@ class RobotsSpec extends SparkSpec {
     val b = UrlOps.robotsAllowed(plain, us, agent = "any", wildcards = true)
       .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
     assert(a == b, "prefix rules are mode-invariant")
+    // a dozen-star hostile rule must match in linear time — robots.txt
+    // is attacker-controlled input; a backtracking regex translation
+    // hangs for minutes on exactly this shape (empirically verified)
+    val hostile = UrlOps.parseRobots(Seq(
+      (1L, "User-agent: *\nDisallow: /*a*a*a*a*a*a*a*a*a*a*a*a$"))
+      .toDF("doc_id", "text"))
+    val longPath = "/" + ("a" * 59) + "b" // 61 chars, non-matching
+    val t0 = System.nanoTime()
+    val gotHostile = UrlOps.robotsAllowed(hostile,
+      Seq((1L, 1L, longPath), (1L, 2L, "/" + "a" * 12))
+        .toDF("doc_id", "url_id", "path"),
+      agent = "any", wildcards = true)
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    val elapsedS = (System.nanoTime() - t0) / 1e9
+    assert(gotHostile(1L), "trailing b escapes the $-anchored all-a rule")
+    assert(!gotHostile(2L), "the all-a path is caught")
+    assert(elapsedS < 30.0, s"linear matching, not backtracking ($elapsedS s)")
+    // * spans NEWLINES too (chars are literal — no regex '.' semantics),
+    // and the $ anchor means the true end of the path, not line ends
+    val nl = UrlOps.parseRobots(Seq(
+      (1L, "User-agent: *\nDisallow: /n*b\nDisallow: /exact$"))
+      .toDF("doc_id", "text"))
+    val gotNl = UrlOps.robotsAllowed(nl,
+      Seq((1L, 1L, "/n\nb"), (1L, 2L, "/exact\n"))
+        .toDF("doc_id", "url_id", "path"),
+      agent = "any", wildcards = true)
+      .select("url_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(!gotNl(1L), "* spans a newline (a %0A path cannot dodge a rule)")
+    assert(gotNl(2L), "$ anchors at the true end, not before a final newline")
     // a mid-rule $ is literal (only the TRAILING $ anchors)
     val midDollar = UrlOps.parseRobots(Seq(
       (1L, "User-agent: *\nDisallow: /m$n")).toDF("doc_id", "text"))
