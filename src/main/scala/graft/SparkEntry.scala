@@ -1186,6 +1186,40 @@ object SparkEntry {
       UrlOps.robotsAllowed(rules, urls, agent = "bot1")
         .select(col("doc_id"), col("url_id"), col("path"), col("allowed"))
     }),
+    // the COMPOSED crawl-frontier pipeline, gated end to end: markup →
+    // links (extractLinks) → canonical-URL dedup (dedupUrls — the org/
+    // net link classes collide across pages, the lowest link id
+    // survives) → URL layer (parseUrls on the canonical) → per-HOST
+    // robots permission join (org hosts disallow /q; net hosts carry a
+    // crawl-delay; com hosts have no robots at all — the no-rules
+    // default) → politeness schedule over the allowed survivors. The
+    // oracle recomputes every stage relationally from the anchor
+    // fixture formulas: href extraction, canonicalization, min-id
+    // survivorship, the permission verdicts, and the slot arithmetic.
+    "q_crawl_frontier" -> ((s, d) => {
+      val links = UrlOps.extractLinks(docsWithAnchors(s, d))
+        .withColumn("url_id", col("doc_id") * 10 + col("link_pos"))
+      val surv = UrlOps.parseUrls(
+        UrlOps.dedupUrls(links, urlCol = "href", idCol = "url_id"),
+        "url_canon")
+        .select(col("host"), col("url_id"), col("path"))
+      val robots = surv.select(col("host")).distinct()
+        .select(col("host"),
+          when(col("host").endsWith(".org"),
+            lit("User-agent: *\nDisallow: /q\n"))
+            .when(col("host").endsWith(".net"),
+              lit("User-agent: *\nCrawl-delay: 2\nDisallow: /private\n"))
+            .otherwise(lit(null)).as("text"))
+        .filter(col("text").isNotNull)
+      val rules = UrlOps.parseRobots(robots, idCol = "host")
+      val allowed = UrlOps.robotsAllowed(rules, surv,
+        agent = "graftbot", keyCol = "host")
+        .filter(col("allowed"))
+      UrlOps.crawlSchedule(allowed, rules, agent = "graftbot",
+        keyCol = "host")
+        .select(col("host"), col("url_id"), col("path"),
+          col("slot"), col("delay_s"), col("offset_s"))
+    }),
     // §2.2.3 wildcard matching (the optional-in-RFC, ubiquitous-in-
     // practice rule syntax): `*` spans any sequence, trailing `$`
     // anchors at the path end, longest rule still decides with allow
@@ -3090,6 +3124,38 @@ object SparkEntry {
         |       WHEN j = 0 THEN false
         |       ELSE true END AS allowed
         |FROM u""".stripMargin,
+    // frontier oracle: the linkCtes href chain → canonical (scheme +
+    // host + query-stripped path) → min-id survivorship per canonical →
+    // the org class blocked by its /q disallow, com (no robots) and net
+    // (delay 2) pass → slots by url order within host
+    "q_crawl_frontier" ->
+      s"""WITH $linkCtes,
+        |canon AS (
+        |  SELECT doc_id * 10 + link_pos AS url_id, host,
+        |    CASE WHEN p = '' THEN '/'
+        |         ELSE regexp_replace(p, '(.)/$$', '\\1') END AS path,
+        |    regexp_extract(href, '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
+        |      host ||
+        |      CASE WHEN p = '' THEN '/'
+        |           ELSE regexp_replace(p, '(.)/$$', '\\1') END AS url_canon
+        |  FROM (
+        |    SELECT *, regexp_extract(href,
+        |      '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p
+        |    FROM lnk)),
+        |surv AS (
+        |  SELECT min(url_id) AS url_id FROM canon GROUP BY url_canon),
+        |rows AS (
+        |  SELECT c.host, c.url_id, c.path
+        |  FROM canon c JOIN surv s ON c.url_id = s.url_id),
+        |allowed AS (
+        |  SELECT * FROM rows WHERE host NOT LIKE '%.org')
+        |SELECT host, url_id, path,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY url_id) - 1
+        |    AS BIGINT) AS slot,
+        |  CASE WHEN host LIKE '%.net' THEN 2.0 ELSE 1.0 END AS delay_s,
+        |  (row_number() OVER (PARTITION BY host ORDER BY url_id) - 1) *
+        |    CASE WHEN host LIKE '%.net' THEN 2.0 ELSE 1.0 END AS offset_s
+        |FROM allowed""".stripMargin,
     // wildcard oracle: the four verdict classes by construction — only
     // the longer-allow (j=1) and anchor-escaping (j=3) paths pass
     "q_robots_wildcard" ->
