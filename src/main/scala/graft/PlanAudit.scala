@@ -29,8 +29,8 @@ object PlanAudit {
         "q_substr_strip_flag", "q_dsir", "q_dsir_sample", "q_nb_classify",
         "q_cluster_sample", "q_epoch_order", "q_psi", "q_snapshot_diff",
         "q_robots_rules", "q_robots_filter", "q_robots_wildcard",
-        "q_crawl_schedule", "q_sitemap_urls", "q_warc_cdx",
-        "q_warc_revisit")) {
+        "q_crawl_schedule", "q_crawl_frontier", "q_sitemap_urls",
+        "q_warc_cdx", "q_warc_revisit")) {
       println(s"\n================ $q ================")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
