@@ -218,8 +218,10 @@ class CrawlPropertySpec extends SparkSpec {
 
   /** Wildcard twin of [[refAllowed]]: rules may carry `*` (spans any
     * sequence) and a trailing `$` (end anchor) — implemented here by
-    * direct recursive glob matching, sharing nothing with the Spark
-    * regex translation it checks. */
+    * direct RECURSIVE backtracking glob matching, sharing nothing with
+    * the greedy leftmost-locate fold the production matcher
+    * ([[UrlOps]] globMatches) uses — two independent algorithms that
+    * must agree. */
   private def refGlob(rule: String, path: String): Boolean = {
     val (body, anchored) =
       if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
@@ -239,7 +241,11 @@ class CrawlPropertySpec extends SparkSpec {
     val agent = "botx"
     // rules drawn from a pool rich in wildcard/anchor/metachar shapes
     val rulePool = Seq("/a", "/a*", "/a*/b", "/*b", "/a$", "/a/b$",
-      "/a(x", "/*$", "/a*c$", "/")
+      "/a(x", "/*$", "/a*c$", "/",
+      // anchored WITH non-empty middles — the leftmost-locate fold
+      // interacting with the suffix position check, the trickiest
+      // branch of the linear matcher
+      "/a*b*c$", "/a*a*a$", "/*a*b$")
     val genHost: Gen[Seq[Grp]] = Gen.chooseNum(1, 3).flatMap(n =>
       Gen.listOfN(n, for {
         nA <- Gen.chooseNum(1, 2)

@@ -134,7 +134,11 @@ class RobotsSpec extends SparkSpec {
     val elapsedS = (System.nanoTime() - t0) / 1e9
     assert(gotHostile(1L), "trailing b escapes the $-anchored all-a rule")
     assert(!gotHostile(2L), "the all-a path is caught")
-    assert(elapsedS < 30.0, s"linear matching, not backtracking ($elapsedS s)")
+    // a generous tripwire, not a benchmark: the pre-fix backtracking
+    // translation ran MINUTES-to-unbounded on this exact shape, so any
+    // sub-2-minute completion separates linear from exponential even
+    // on a throttled box
+    assert(elapsedS < 120.0, s"linear matching, not backtracking ($elapsedS s)")
     // * spans NEWLINES too (chars are literal — no regex '.' semantics),
     // and the $ anchor means the true end of the path, not line ends
     val nl = UrlOps.parseRobots(Seq(
