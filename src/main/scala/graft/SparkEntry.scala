@@ -1257,6 +1257,31 @@ object SparkEntry {
       UrlOps.parseSitemap(
         ids.select(col("doc_id"), sitemapFixtureText.as("text")))
     }),
+    // the robots→sitemap DISCOVERY seam: the sitemap records parseRobots
+    // emits are consumed — each pointer "fetched" (one synthetic urlset
+    // per distinct sitemap URL, its entries closed-form functions of
+    // the URL's site ordinal), parsed by parseSitemap keyed on the URL
+    // string, and joined back to the pointing documents. The oracle
+    // enumerates every (doc, pointer, entry) row from the formulas.
+    "q_sitemap_frontier" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val rules = UrlOps.parseRobots(
+        ids.select(col("doc_id"), robotsFixtureText.as("text")))
+      val pointers = rules.filter(col("directive") === "sitemap")
+        .select(col("doc_id"), col("value").as("sitemap_url"))
+      val k = regexp_extract(col("sitemap_url"), "site([0-9]+)", 1)
+      val fetched = pointers.select(col("sitemap_url")).distinct()
+        .select(col("sitemap_url"), concat(
+          lit("<urlset>\n<url><loc>http://site"), k, lit(".example/p"), k,
+          lit("</loc></url>\n<url><loc>http://site"), k, lit(".example/q"), k,
+          lit("</loc></url>\n</urlset>")).as("text"))
+      val entries = UrlOps.parseSitemap(fetched, idCol = "sitemap_url")
+        .select(col("sitemap_url"), col("entry_pos"), col("loc"))
+      pointers.join(entries, Seq("sitemap_url"))
+        .select(col("doc_id"), col("sitemap_url"), col("entry_pos"),
+          col("loc"))
+    }),
     // per-host politeness dispatch over the robots rules: slots in
     // url_id order within each host, offset = slot × crawl-delay, the
     // agent's own group's delay outranking * (doc%4==1 hosts carry a
@@ -3206,6 +3231,19 @@ object SparkEntry {
         |    CAST(NULL AS DOUBLE)
         |  FROM d WHERE doc_id % 2 = 1
         |) rows""".stripMargin,
+    // discovery oracle: every doc points at the site{doc%7} sitemap,
+    // whose two urlset entries are p{K}/q{K} formulas of the same
+    // ordinal — enumerated directly, never re-parsing XML
+    "q_sitemap_frontier" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |e AS (SELECT unnest(range(2)) AS i)
+        |SELECT doc_id,
+        |  'http://site' || (doc_id % 7) || '.example/sitemap.xml'
+        |    AS sitemap_url,
+        |  CAST(e.i AS BIGINT) AS entry_pos,
+        |  'http://site' || (doc_id % 7) || '.example/' ||
+        |    (CASE e.i WHEN 0 THEN 'p' ELSE 'q' END) || (doc_id % 7) AS loc
+        |FROM d CROSS JOIN e""".stripMargin,
     // schedule oracle: slot = the within-host url ordinal j by
     // construction; delay = doc%7+1 on the bot1-owning hosts (their own
     // group carries the crawl-delay line), defaultDelay 1.0 everywhere
