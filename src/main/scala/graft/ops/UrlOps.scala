@@ -473,13 +473,21 @@ object UrlOps {
 
   /** `<url>` / `<sitemap>` entry blocks — lazy body so one pattern walks
     * the whole file without backtracking blowups, and the element name
-    * anchored with `[ \t\n\f\r]*>` so `<url>` never half-matches
-    * `<urlset>`. RE2∩Java subset as the file header requires (lazy
-    * quantifiers are in both engines; no backrefs, so the close tag is
+    * anchored with `(?:[ \t\n\f\r][^>]*)?>` so `<url>` never
+    * half-matches `<urlset>` (after the tag name only whitespace-then-
+    * attribute-tail or the closing `>` may follow) while an entry
+    * element CARRYING attributes — `<url xhtml:dummy="x">`, common in
+    * image/video extension sitemaps — still parses instead of silently
+    * dropping to zero rows. Namespace-PREFIXED tags (`<sm:url>`) remain
+    * out of scope: the protocol's own examples bind the sitemap schema
+    * as the default namespace, and a prefix rebind would have to thread
+    * through every child extract too — documented contract, not a gap.
+    * RE2∩Java subset as the file header requires (lazy quantifiers are
+    * in both engines; no lookarounds, no backrefs, so the close tag is
     * matched by alternation — a malformed cross-closed pair truncates at
     * the first close tag, the conservative extractor failure). */
   val SitemapEntryPattern =
-    "(?is)<(?:url|sitemap)[ \\t\\n\\f\\r]*>.*?" +
+    "(?is)<(?:url|sitemap)(?:[ \\t\\n\\f\\r][^>]*)?>.*?" +
       "</[ \\t\\n\\f\\r]*(?:url|sitemap)[ \\t\\n\\f\\r]*>"
 
   /** Text of child element `tag` inside an entry block: `[^<]*` keeps
@@ -488,7 +496,7 @@ object UrlOps {
     * surrounding whitespace inside value tags. */
   private def sitemapChild(el: Column, tag: String): Column =
     trim(regexp_extract(el,
-      s"(?is)<$tag[ \\t\\n\\f\\r]*>([^<]*)</", 1))
+      s"(?is)<$tag(?:[ \\t\\n\\f\\r][^>]*)?>([^<]*)</", 1))
 
   /** Undo the five XML predefined entities (sitemaps.org REQUIRES
     * entity-escaping URLs in `<loc>`). `&amp;` is replaced LAST so a
@@ -530,7 +538,7 @@ object UrlOps {
           lit(SitemapEntryPattern), lit(0)))
           .as(Seq("entry_pos", "_el")))
       .select(col(idCol), col("entry_pos").cast(LongType),
-        when(col("_el").rlike("(?is)^<url[ \\t\\n\\f\\r]*>"), lit("url"))
+        when(col("_el").rlike("(?is)^<url(?:[ \\t\\n\\f\\r][^>]*)?>"), lit("url"))
           .otherwise(lit("sitemap")).as("kind"),
         nullif(xmlUnescape(sitemapChild(col("_el"), "loc")), lit(""))
           .as("loc"),
@@ -553,6 +561,17 @@ object UrlOps {
     * rules), else `defaultDelay`; several delay lines in scope take the
     * MAX (the conservative read). Output: `urls` plus
     * `(slot, delay_s, offset_s)`.
+    *
+    * DELIBERATE precedence corner (test-pinned): when the agent's OWN
+    * group exists but carries no `crawl-delay` while the `*` group does,
+    * the own group wins group selection (§2.2.2 — exactly as
+    * [[robotsAllowed]] selects rules) and `defaultDelay` applies; the
+    * `*` group's delay is NOT consulted. Group selection is all-or-
+    * nothing per the RFC — a site that names an agent explicitly has
+    * replaced the generic policy for it wholesale, and cherry-picking
+    * the `*` delay back in would make the two operators disagree about
+    * which group governs the same agent. Operators wanting the more
+    * conservative read set `defaultDelay` to their fleet-wide floor.
     *
     * Scale shape: one window partitioned by the host key — the natural
     * crawl shuffle key, partitions bounded by per-host frontier size —

@@ -270,8 +270,14 @@ object WarcOps {
     *
     * Total like the stream it replaces: members decoded BEFORE damage
     * (truncation mid-member, corrupt deflate data, a garbage trailer)
-    * are kept, so a damaged shard degrades exactly like a damaged plain
-    * file. Header parse per RFC 1952: magic, CM=8, FLG bits FEXTRA
+    * are kept, AND the damaged member's own partially-inflated prefix is
+    * kept too — so a damaged shard degrades exactly like a damaged plain
+    * file on BOTH gzip layouts (member-per-record and the single-member
+    * `gzip file.warc` whole-file layout, where dropping the partial
+    * chunk would discard every record decoded before the cut). The
+    * record parser downstream is total, so a trailing half-record in the
+    * partial bytes is dropped there, never surfaced as garbage.
+    * Header parse per RFC 1952: magic, CM=8, FLG bits FEXTRA
     * (XLEN little-endian) / FNAME / FCOMMENT (zero-terminated) / FHCRC
     * (2 bytes) skipped; deflate length read back from the Inflater's
     * `getBytesRead`; 8-byte CRC32+ISIZE trailer. */
@@ -288,6 +294,8 @@ object WarcOps {
       else {
         val flg = bytes(pos + 3) & 0xFF
         var p = pos + 10
+        // header walk first (its index arithmetic can run off a
+        // truncated buffer before any Inflater exists)
         try {
           if ((flg & 4) != 0) { // FEXTRA
             val xlen = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
@@ -297,26 +305,41 @@ object WarcOps {
           if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
           if ((flg & 2) != 0) p += 2 // FHCRC
           if (p >= bytes.length) throw new java.io.EOFException
-          val inf = new java.util.zip.Inflater(true)
-          inf.setInput(bytes, p, bytes.length - p)
-          val buf = new Array[Byte](64 * 1024)
-          val chunk = new java.io.ByteArrayOutputStream(64 * 1024)
-          while (!inf.finished()) {
-            val n = inf.inflate(buf)
-            if (n > 0) chunk.write(buf, 0, n)
-            else if (!inf.finished())
-              throw new java.io.EOFException // truncated deflate data
-          }
-          val deflateLen = inf.getBytesRead.toInt
-          inf.end()
-          if (p + deflateLen + 8 > bytes.length)
-            throw new java.io.EOFException // trailer cut off
-          members += ((out.size().toLong, memberAt.toLong))
-          chunk.writeTo(out)
-          pos = p + deflateLen + 8
         } catch {
-          // damage inside this member: keep everything decoded before it
           case _: Exception => ok = false
+        }
+        if (ok) {
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(bytes, p, bytes.length - p)
+            val buf = new Array[Byte](64 * 1024)
+            val chunk = new java.io.ByteArrayOutputStream(64 * 1024)
+            try {
+              while (!inf.finished()) {
+                val n = inf.inflate(buf)
+                if (n > 0) chunk.write(buf, 0, n)
+                else if (!inf.finished())
+                  throw new java.io.EOFException // truncated deflate data
+              }
+              val deflateLen = inf.getBytesRead.toInt
+              if (p + deflateLen + 8 > bytes.length)
+                throw new java.io.EOFException // trailer cut off
+              members += ((out.size().toLong, memberAt.toLong))
+              chunk.writeTo(out)
+              pos = p + deflateLen + 8
+            } catch {
+              // damage inside this member: keep everything decoded before
+              // it AND this member's own partial prefix (see class doc —
+              // a truncated single-member .warc.gz must keep its earlier
+              // records, not drop the whole file)
+              case _: Exception =>
+                if (chunk.size() > 0) {
+                  members += ((out.size().toLong, memberAt.toLong))
+                  chunk.writeTo(out)
+                }
+                ok = false
+            }
+          } finally inf.end() // native memory back now, not at GC time
         }
       }
     }

@@ -142,4 +142,36 @@ class SitemapSpec extends SparkSpec {
     assert(got(11L) == ((0.5, 0.5)), "own group's 0.5 wins over *'s 2")
     assert(got(12L) == ((0.5, 1.0)))
   }
+
+  test("entry elements carrying attributes still parse; <urlset> still never half-matches") {
+    // image/video extension sitemaps attach attributes (and extension
+    // children) to <url>/<sitemap> — pre-r14 these silently parsed to
+    // zero rows instead of degrading per-field
+    val attributed =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        |        xmlns:xhtml="http://www.w3.org/1999/xhtml">
+        |  <url data-extra="1">
+        |    <loc>http://example.com/a</loc>
+        |    <xhtml:link rel="alternate" href="http://example.com/de/a"/>
+        |  </url>
+        |  <url
+        |     class="wide"><loc>http://example.com/b</loc>
+        |     <priority percent="yes">0.4</priority></url>
+        |</urlset>""".stripMargin
+    val rows = UrlOps.parseSitemap(Seq((9L, attributed)).toDF("doc_id", "text"))
+      .orderBy("entry_pos")
+      .select("entry_pos", "kind", "loc", "priority")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("http://example.com/a", "http://example.com/b"))
+    assert(rows.forall(_.getString(1) == "url"),
+      "kind detection must see through the attribute tail")
+    assert(rows(1).getDouble(3) == 0.4,
+      "child extracts must see through an attribute tail too")
+    // the <urlset ...> wrapper itself must not have matched as an entry:
+    // two entry ordinals only, starting at 0
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+  }
 }

@@ -354,4 +354,30 @@ class WarcOpsSpec extends SparkSpec {
     // html payloads (even response ordinal) carry exactly one link each
     assert(links.nonEmpty && links.forall(_._3.startsWith("http://ref")))
   }
+
+  test("single-member multi-record .warc.gz: truncation keeps records decoded before the cut") {
+    // the `gzip file.warc` layout: the WHOLE multi-record file is ONE
+    // gzip member — here the damaged member's partially-inflated prefix
+    // is the only carrier of the earlier records, so dropping it (the
+    // pre-r14 catch) turned every mid-stream cut into zero records
+    val plain = WarcOps.syntheticWarc(5L) // odd → plain fixture bytes
+    val full = WarcOps.parseFile(5L, plain)
+    assert(full.length == 4, "fixture: warcinfo + 3 responses")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    val whole = bos.toByteArray
+    assert(WarcOps.parseFile(5L, whole).map(_.get(3)) == full.map(_.get(3)),
+      "the intact single-member file parses identically to plain")
+    // EVERY truncation point yields a clean record prefix, and the sweep
+    // passes through intermediate counts — the plain path's totality
+    // contract, now holding on this layout too
+    val counts = (1 until whole.length).map { cut =>
+      val rows = WarcOps.parseFile(5L, whole.take(cut))
+      assert(rows.map(_.get(3)) == full.take(rows.length).map(_.get(3)), s"cut=$cut")
+      rows.length
+    }
+    assert(counts.exists(k => k > 0 && k < full.length),
+      "some cut must surface a strict prefix of the records (non-vacuous)")
+  }
 }
