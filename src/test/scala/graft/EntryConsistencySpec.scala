@@ -20,6 +20,27 @@ class EntryConsistencySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
 
+  test("README/SURVEY/PERF quote the registry's one query count (no stale docs)") {
+    // the r13 verdict caught README quoting a two-round-old count while
+    // SURVEY/PERF/the correctness JSON agreed — this pins all three
+    // prose sources to SparkEntry.queries.size, so a gate added without
+    // updating the docs fails the suite in the same commit
+    val n = SparkEntry.queries.size
+    // whitespace-normalized so markdown line wraps can't hide a match
+    def text(p: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      .replaceAll("\\s+", " ")
+    assert(text("README.md").contains(s"all $n registered queries"),
+      s"README.md must quote 'all $n registered queries'")
+    assert(text("SURVEY.md").contains(s"$n gated queries"),
+      s"SURVEY.md must quote '$n gated queries'")
+    val gateCounts = "count (\\d+) gates".r
+      .findAllMatchIn(text("PERF.md")).toSeq
+    assert(gateCounts.nonEmpty && gateCounts.last.group(1).toInt == n,
+      s"PERF.md's latest close section must quote 'count $n gates' " +
+        s"(found: ${gateCounts.map(_.group(1)).mkString(", ")})")
+  }
+
   test("oracles are non-empty SQL and reference only driver-provided tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
