@@ -654,6 +654,11 @@ object SparkEntry {
         TextOps.GopherThresholds(minWords = 30, minMeanWordLen = 4.0,
           minStopwords = 1))),
     "q_bigram_lm" -> ((s, d) => TextOps.bigramLm(t(s, d, "documents"))),
+    // order-3 LM layer: trigram stats at the family-default prune, and
+    // stupid-backoff document scoring (trigram hit → α-discounted
+    // bigram → unk penalty) at the operator defaults
+    "q_trigram_lm" -> ((s, d) => TextOps.trigramLm(t(s, d, "documents"))),
+    "q_lm_score3" -> ((s, d) => TextOps.lmScore3(t(s, d, "documents"))),
     "q_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d, "documents"))),
     "q_lm_score" -> ((s, d) => TextOps.lmScore(t(s, d, "documents"))),
     // DSIR importance scoring: target model = the src0 slice (minCount 2 —
@@ -2565,6 +2570,64 @@ object SparkEntry {
     // per-term ln rounded to 9 dp then decimal-summed (the q_entropy
     // determinism contract); pruned bigrams take the fixed -10 penalty
     "q_lm_score" -> lmScoreSql,
+    // trigram stats: context denominators over ALL (w1,w2) continuations
+    // BEFORE the minCount prune, exactly like the bigram oracle
+    "q_trigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b3 AS (
+        |  SELECT a.tok AS w1, c.tok AS w2, d.tok AS w3
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+        |           JOIN e d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2),
+        |tc AS (SELECT w1, w2, w3, count(*) AS n FROM b3 GROUP BY 1, 2, 3),
+        |ct AS (SELECT w1, w2, sum(n) AS tot FROM tc GROUP BY 1, 2)
+        |SELECT w1, w2, w3, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS p_cond
+        |FROM tc JOIN ct USING (w1, w2) WHERE n >= 5""".stripMargin,
+    // stupid backoff: ln(p3) when the trigram survives its prune
+    // (minCount 3), else ln(0.4 · p2) from the bigram model (minCount
+    // 5, oldest context word dropped), else the fixed -10 penalty —
+    // each term rounded 9 dp then decimal-summed (the lm-score
+    // contract); the backoff bigram keys on the trigram's (w2, w3)
+    "q_lm_score3" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b3 AS (
+        |  SELECT a.doc_id, a.tok AS w1, c.tok AS w2, d.tok AS w3
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+        |           JOIN e d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2),
+        |tc AS (SELECT w1, w2, w3, count(*) AS n FROM b3 GROUP BY 1, 2, 3),
+        |ct AS (SELECT w1, w2, sum(n) AS tot FROM tc GROUP BY 1, 2),
+        |st3 AS (
+        |  SELECT w1, w2, w3, round(CAST(n AS DOUBLE) / tot, 6) AS p3
+        |  FROM tc JOIN ct USING (w1, w2) WHERE n >= 3),
+        |b2 AS (
+        |  SELECT a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
+        |wt AS (SELECT w1, sum(n) AS tot FROM bc GROUP BY 1),
+        |st2 AS (
+        |  SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p2
+        |  FROM bc JOIN wt USING (w1) WHERE n >= 5),
+        |terms AS (
+        |  SELECT b3.doc_id,
+        |    coalesce(round(ln(st3.p3), 9), round(ln(0.4 * st2.p2), 9), -10.0) AS lp
+        |  FROM b3
+        |  LEFT JOIN st3 ON st3.w1 = b3.w1 AND st3.w2 = b3.w2 AND st3.w3 = b3.w3
+        |  LEFT JOIN st2 ON st2.w1 = b3.w2 AND st2.w2 = b3.w3),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS nt, sum(CAST(lp AS DECIMAL(28,9))) AS s
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(nt, 0) AS BIGINT) AS n_trigrams,
+        |  CASE WHEN coalesce(nt, 0) > 0 THEN round(CAST(s AS DOUBLE) / nt, 6)
+        |       ELSE 0.0 END AS avg_logp3
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
     // DSIR: one shared bigram stream scored under the src0-trained target
     // model (minCount 2) and the whole-corpus raw model (minCount 5);
     // decimal sums, ratio from the rounded means

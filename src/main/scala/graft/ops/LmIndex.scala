@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   * Because [[score]] is a stream-static join for streaming inputs, the
   * artifact is exactly what `lmScoreWith`'s streaming contract wants: a
   * static reference the ingest pipeline probes micro-batch by micro-batch.
+  *
+  * FORMAT VERSIONS. v1 (`meta.json` without a `version` field): the
+  * bigram layer only — every pre-r14 artifact. v2
+  * ([[buildWithTrigrams]]): adds `dir/counts3/…parquet`
+  * (w1, w2, w3, n — unpruned and additive like the bigram layer, same
+  * range-partitioned sorted layout) plus `minCount3`/`nTrigrams`
+  * metadata, serving stupid-backoff scoring ([[score3]] →
+  * [[TextOps.lmScore3With]]: trigram hit, else α-discounted bigram,
+  * else unk — CCNet-lineage filtering in production scores under
+  * higher-order KenLM models). Readers are version-tolerant both ways:
+  * v1 artifacts keep loading/scoring/merging exactly as before (the
+  * trigram entry points fail loudly on them), and [[merge]] preserves
+  * whichever layout its input has — a v2 merge re-counts the new
+  * corpus's bigrams AND trigrams in ONE shared tokenisation pass.
   */
 object LmIndex {
 
@@ -39,11 +53,62 @@ object LmIndex {
   def build(docs: DataFrame, dir: String, minCount: Long = 5,
             numFiles: Int = 4,
             provenance: Option[ArtifactProvenance.Target] = None): Unit = {
-    writeCounts(docs.sparkSession, TextOps.bigramCounts(docs), dir,
-      minCount, numFiles)
-    ArtifactProvenance.stampArtifact(docs.sparkSession, dir, "lm-index",
-      "build", provenance)
+    val spark = docs.sparkSession
+    writeCountsData(TextOps.bigramCounts(docs), dir, numFiles)
+    writeMeta(spark, dir, metaFromDisk(spark, dir, minCount, None))
+    ArtifactProvenance.stampArtifact(spark, dir, "lm-index", "build",
+      provenance)
   }
+
+  /** [[build]] plus the v2 trigram layer, from ONE corpus tokenisation:
+    * the pass emits each document's bigram AND trigram shingles into a
+    * single (k, gram)-keyed count (map-side combined — the shuffle
+    * carries one row per distinct gram per partition), which then splits
+    * into the two persisted layers. At 100 TB the corpus scan dominates
+    * an artifact build; paying it once for both orders is the point of
+    * building them together. */
+  def buildWithTrigrams(docs: DataFrame, dir: String, minCount: Long = 5,
+                        minCount3: Long = 3, numFiles: Int = 4,
+                        provenance: Option[ArtifactProvenance.Target] = None): Unit = {
+    val spark = docs.sparkSession
+    val kg = ngramCountsShared(docs)
+    // gram-vocabulary-sized, feeds two writes — cache so the corpus
+    // aggregation runs once, not once per layer
+    Caching.ensureCached(kg)
+    writeCountsData(biOf(kg), dir, numFiles)
+    writeCounts3Data(triOf(kg), dir, numFiles)
+    writeMeta(spark, dir, metaFromDisk(spark, dir, minCount, Some(minCount3)))
+    ArtifactProvenance.stampArtifact(spark, dir, "lm-index", "build",
+      provenance)
+  }
+
+  /** Both orders' unpruned counts from one tokenisation: `(k, gram, n)`
+    * with k ∈ {2, 3} — [[TextOps.bigramCounts]]'s shuffle shape, the
+    * gram key widened by the order discriminator. */
+  private def ngramCountsShared(docs: DataFrame): DataFrame = {
+    val bi = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    val tri = NearDup.shinglesOf(col("toks"), k = 3,
+      distinct = false, wholeDocFallback = false)
+    docs
+      .select(explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
+      .select(explode(concat(
+        transform(bi, g => struct(lit(2).as("k"), g.as("gram"))),
+        transform(tri, g => struct(lit(3).as("k"), g.as("gram"))))).as("kg"))
+      .select(col("kg.k").as("k"), col("kg.gram").as("gram"))
+      .groupBy(col("k"), col("gram")).agg(count(lit(1)).as("n"))
+  }
+
+  private def biOf(kg: DataFrame): DataFrame =
+    kg.filter(col("k") === 2)
+      .select(element_at(split(col("gram"), " "), 1).as("w1"),
+        element_at(split(col("gram"), " "), 2).as("w2"), col("n"))
+
+  private def triOf(kg: DataFrame): DataFrame =
+    kg.filter(col("k") === 3)
+      .select(element_at(split(col("gram"), " "), 1).as("w1"),
+        element_at(split(col("gram"), " "), 2).as("w2"),
+        element_at(split(col("gram"), " "), 3).as("w3"), col("n"))
 
   /** Fold `newDocs` into the artifact at `dir`, writing the combined
     * model to `outDir` — an EXACT incremental retrain (spec-pinned equal
@@ -57,11 +122,28 @@ object LmIndex {
     // an in-place merge (outDir == dir) would overwrite-delete the input
     // counts before the lazy union plan reads them, losing the artifact
     ArtifactPaths.requireDistinct(spark, dir, outDir)
-    val minCount = readMeta(spark, dir).minCount
-    val combined = spark.read.parquet(s"$dir/counts")
-      .unionByName(TextOps.bigramCounts(newDocs))
-      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
-    writeCounts(spark, combined, outDir, minCount, numFiles)
+    val m = readMeta(spark, dir)
+    m.minCount3 match {
+      case None =>
+        val combined = spark.read.parquet(s"$dir/counts")
+          .unionByName(TextOps.bigramCounts(newDocs))
+          .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
+        writeCountsData(combined, outDir, numFiles)
+      case Some(_) =>
+        // v2: the new corpus pays ONE tokenisation for both layers,
+        // exactly like buildWithTrigrams
+        val kg = ngramCountsShared(newDocs)
+        Caching.ensureCached(kg)
+        writeCountsData(spark.read.parquet(s"$dir/counts")
+          .unionByName(biOf(kg))
+          .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n")),
+          outDir, numFiles)
+        writeCounts3Data(spark.read.parquet(s"$dir/counts3")
+          .unionByName(triOf(kg))
+          .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("n")),
+          outDir, numFiles)
+    }
+    writeMeta(spark, outDir, metaFromDisk(spark, outDir, m.minCount, m.minCount3))
     ArtifactProvenance.stampArtifact(spark, outDir, "lm-index", "merge",
       provenance)
   }
@@ -78,18 +160,69 @@ object LmIndex {
     if (m.nBigrams <= broadcastMaxRows) broadcast(df) else df
   }
 
-  private def writeCounts(spark: SparkSession, counts: DataFrame, dir: String,
-                          minCount: Long, numFiles: Int): Unit = {
+  /** The trigram stats frame `(w1, w2, w3, n, p_cond)` from a v2
+    * artifact, broadcast-hinted from the recorded pruned count exactly
+    * like [[load]]. Loud on v1 artifacts — a silently-empty trigram
+    * layer would back every document off to the bigram floor. */
+  def load3(spark: SparkSession, dir: String,
+            broadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val m = readMeta(spark, dir)
+    require(m.minCount3.isDefined,
+      s"$dir has no trigram layer (v1 artifact) — rebuild with " +
+        "buildWithTrigrams to enable backoff scoring")
+    val df = TextOps.trigramStatsFromCounts(
+      spark.read.parquet(s"$dir/counts3"), m.minCount3.get)
+    if (m.nTrigrams.getOrElse(Long.MaxValue) <= broadcastMaxRows)
+      broadcast(df)
+    else df
+  }
+
+  /** Stupid-backoff scoring against the persisted v2 model —
+    * [[TextOps.lmScore3With]] over [[load3]]+[[load]]; stream-safe the
+    * same way [[score]] is. */
+  def score3(spark: SparkSession, dir: String, docs: DataFrame,
+             alpha: Double = 0.4, unkLogP: Double = -10.0,
+             broadcastMaxRows: Long = 4L << 20,
+             freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
+    TextOps.lmScore3With(docs, load3(spark, dir, broadcastMaxRows),
+      load(spark, dir, broadcastMaxRows), alpha, unkLogP)
+  }
+
+  /** The v2 layer's recorded `(minCount3, nTrigrams)`, `None` on v1. */
+  def meta3(spark: SparkSession, dir: String): Option[(Long, Long)] = {
+    val m = readMeta(spark, dir)
+    for (mc <- m.minCount3; n <- m.nTrigrams) yield (mc, n)
+  }
+
+  private def writeCountsData(counts: DataFrame, dir: String,
+                              numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     counts
       .repartitionByRange(numFiles, col("w1"), col("w2"))
       .sortWithinPartitions(col("w1"), col("w2"))
       .write.mode("overwrite").parquet(s"$dir/counts")
-    // pruned row count — the broadcast decision is about the frame the
-    // scoring join actually sees (one vocabulary-sized job at build time)
+  }
+
+  private def writeCounts3Data(counts: DataFrame, dir: String,
+                               numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    counts
+      .repartitionByRange(numFiles, col("w1"), col("w2"), col("w3"))
+      .sortWithinPartitions(col("w1"), col("w2"), col("w3"))
+      .write.mode("overwrite").parquet(s"$dir/counts3")
+  }
+
+  /** Pruned row counts read back from the just-written layers — the
+    * broadcast decision is about the frames the scoring joins actually
+    * see (one vocabulary-sized job per layer, at build time only). */
+  private def metaFromDisk(spark: SparkSession, dir: String, minCount: Long,
+                           minCount3: Option[Long]): Meta = {
     val n = TextOps.statsFromCounts(
       spark.read.parquet(s"$dir/counts"), minCount).count()
-    writeMeta(spark, dir, minCount, n)
+    val n3 = minCount3.map(mc => TextOps.trigramStatsFromCounts(
+      spark.read.parquet(s"$dir/counts3"), mc).count())
+    Meta(minCount, n, None, minCount3, n3)
   }
 
   /** Score documents against the persisted reference model —
@@ -128,8 +261,8 @@ object LmIndex {
       .collect()(0)
     require(!row.isNullAt(0), "calibration corpus produced no scorable document")
     val m = readMeta(spark, dir)
-    writeMeta(spark, dir, m.minCount, m.nBigrams,
-      Some((row.getDouble(0), row.getDouble(1))))
+    writeMeta(spark, dir,
+      m.copy(cuts = Some((row.getDouble(0), row.getDouble(1)))))
   }
 
   /** The recorded `(p25, p75)` cut points, if [[recordCuts]] ran. */
@@ -158,16 +291,23 @@ object LmIndex {
   }
 
   private case class Meta(minCount: Long, nBigrams: Long,
-                          cuts: Option[(Double, Double)])
+                          cuts: Option[(Double, Double)],
+                          minCount3: Option[Long] = None,
+                          nTrigrams: Option[Long] = None)
 
-  private def writeMeta(spark: SparkSession, dir: String, minCount: Long,
-                        n: Long, cuts: Option[(Double, Double)] = None): Unit = {
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     import org.json4s.JsonAST._
     val base = List(
-      "minCount" -> (JInt(BigInt(minCount)): JValue),
-      "nBigrams" -> (JInt(BigInt(n)): JValue))
-    val withCuts = base ++ cuts.toList.flatMap { case (p25, p75) =>
+      "minCount" -> (JInt(BigInt(m.minCount)): JValue),
+      "nBigrams" -> (JInt(BigInt(m.nBigrams)): JValue))
+    val withCuts = base ++ m.cuts.toList.flatMap { case (p25, p75) =>
       List("p25" -> (JDouble(p25): JValue), "p75" -> (JDouble(p75): JValue))
+    } ++ m.minCount3.toList.flatMap { mc =>
+      // the version field is the v2 marker readers key on; minCount3 /
+      // nTrigrams travel with it (absent on v1 artifacts)
+      List("version" -> (JInt(BigInt(2)): JValue),
+        "minCount3" -> (JInt(BigInt(mc)): JValue),
+        "nTrigrams" -> (JInt(BigInt(m.nTrigrams.getOrElse(0L))): JValue))
     }
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(JObject(withCuts: _*)))
@@ -194,8 +334,12 @@ object LmIndex {
           case Some(org.json4s.JsonAST.JInt(v)) => Some(v.toDouble)
           case _ => None
         }
+        def optLong(k: String): Option[Long] = m.get(k).collect {
+          case org.json4s.JsonAST.JInt(v) => v.toLong
+        }
         Meta(longOf("minCount"), longOf("nBigrams"),
-          for (a <- dblOf("p25"); b <- dblOf("p75")) yield (a, b))
+          for (a <- dblOf("p25"); b <- dblOf("p75")) yield (a, b),
+          optLong("minCount3"), optLong("nTrigrams"))
       case _ => Meta(0L, 0L, None)
     }
   }

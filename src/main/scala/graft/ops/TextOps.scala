@@ -746,6 +746,132 @@ object TextOps {
         element_at(split(col("bigram"), " "), 2).as("w2"))
   }
 
+  /** The UNPRUNED trigram count frame `(w1, w2, w3, n)` — the order-3
+    * layer of the corpus LM family. Like [[bigramCounts]], counts are
+    * ADDITIVE (two corpora's frames union+sum to the concatenated
+    * corpus's counts exactly), which is what lets [[LmIndex]]'s trigram
+    * layer merge incrementally instead of re-scanning 100 TB per
+    * refresh. Scale shape: one tokenisation pass into a trigram-keyed
+    * count with map-side combine — the shuffle carries one row per
+    * distinct trigram per partition, never the corpus. */
+  def trigramCounts(docs: DataFrame): DataFrame = {
+    val trigrams = NearDup.shinglesOf(col("toks"), k = 3,
+      distinct = false, wholeDocFallback = false)
+    docs
+      .select(explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(explode(array(trigrams)).as("tgs"))
+      .select(explode(col("tgs")).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      .select(element_at(split(col("trigram"), " "), 1).as("w1"),
+        element_at(split(col("trigram"), " "), 2).as("w2"),
+        element_at(split(col("trigram"), " "), 3).as("w3"), col("n"))
+  }
+
+  /** [[trigramLm]]'s stats tail over an existing count frame: context
+    * denominators `Σ_w c(w1 w2 w)` over ALL continuations, THEN the
+    * `minCount` prune — probabilities stay normalised per (w1, w2)
+    * context exactly as [[statsFromCounts]] normalises per w1. The
+    * context aggregation runs over the already-aggregated trigram
+    * frame (vocabulary-sized, never the corpus). */
+  def trigramStatsFromCounts(counts: DataFrame, minCount: Long = 5): DataFrame = {
+    val ctx = counts.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("_tot"))
+    counts.join(ctx, Seq("w1", "w2"))
+      .filter(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("w3"), col("n"),
+        round(col("n").cast(DoubleType) / col("_tot"), 6).as("p_cond"))
+  }
+
+  /** Corpus trigram language-model statistics: count and conditional
+    * probability `P(w3 | w1 w2)` for every trigram occurring at least
+    * `minCount` times — the order-3 extension of [[bigramLm]]
+    * (production CCNet-lineage filtering scores under higher-order
+    * KenLM models; bigrams saturate on short-range structure). Same
+    * caching contract as bigramLm: the count frame feeds both the
+    * output join and the denominator aggregation, cached at
+    * trigram-vocabulary size. */
+  def trigramLm(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val counts = trigramCounts(docs)
+    Caching.ensureCached(counts)
+    trigramStatsFromCounts(counts, minCount)
+  }
+
+  /** The per-document trigram stream `(doc_id, w1, w2, w3)` —
+    * [[docBigrams]]'s order-3 twin; one tokenisation, one shingle pass,
+    * no aggregation. */
+  private def docTrigrams(docs: DataFrame): DataFrame = {
+    val trigrams = NearDup.shinglesOf(col("toks"), k = 3,
+      distinct = false, wholeDocFallback = false)
+    docs
+      .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(col("doc_id"), explode(array(trigrams)).as("tgs"))
+      .select(col("doc_id"), explode(col("tgs")).as("trigram"))
+      .select(col("doc_id"),
+        element_at(split(col("trigram"), " "), 1).as("w1"),
+        element_at(split(col("trigram"), " "), 2).as("w2"),
+        element_at(split(col("trigram"), " "), 3).as("w3"))
+  }
+
+  /** Stupid-backoff trigram scoring against EXTERNAL reference models
+    * (Brants et al. 2007 — the scheme production web-scale LMs use
+    * precisely because its scores need no discounting renormalisation,
+    * so the whole chain stays replayable in exact SQL): each document
+    * trigram scores `ln P(w3|w1 w2)` when the trigram survives the
+    * reference model's prune, else backs off to `ln(α·P(w3|w2))` from
+    * the bigram model (the oldest context word dropped), else the fixed
+    * `unkLogP` penalty. Per-term values round to 9 dp and sum as exact
+    * decimals ([[lmScoreWith]]'s determinism contract); the mean rounds
+    * to 6 dp. Output `(doc_id, n_trigrams, avg_logp3)`; documents with
+    * < 3 tokens score 0 over 0 trigrams.
+    *
+    * `triStats` is a `(w1, w2, w3, p_cond)` frame ([[trigramLm]]);
+    * `biStats` a `(w1, w2, p_cond)` frame ([[bigramLm]]) — typically
+    * both from one [[LmIndex]] artifact, so the two reference joins are
+    * vocabulary-sized (broadcast when small — the corpus trigram stream
+    * never shuffles). Streaming: stream-static joins + one stateful
+    * aggregation; the batch join-back that surfaces sub-trigram
+    * documents as 0-score rows is skipped, exactly like lmScoreWith. */
+  def lmScore3With(docs: DataFrame, triStats: DataFrame, biStats: DataFrame,
+                   alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(math.abs(unkLogP * 1e9 - math.round(unkLogP * 1e9)) < 1e-6,
+      "unkLogP must have at most 9 decimal places (decimal-exact term)")
+    val agg = docTrigrams(docs)
+      .join(triStats.select(col("w1"), col("w2"), col("w3"),
+        col("p_cond").as("_p3")), Seq("w1", "w2", "w3"), "left")
+      .join(biStats.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("p_cond").as("_p2")), Seq("w2", "w3"), "left")
+      .select(col("doc_id"),
+        coalesce(round(log(col("_p3")), 9),
+          round(log(lit(alpha) * col("_p2")), 9),
+          lit(unkLogP)).cast(DecimalType(28, 9)).as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_lp")).as("_s"))
+    if (docs.isStreaming)
+      agg.select(col("doc_id"), col("n_trigrams"),
+        round(col("_s").cast(DoubleType) / col("n_trigrams"), 6).as("avg_logp3"))
+    else
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+          when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+            round(col("_s").cast(DoubleType) / col("n_trigrams"), 6))
+            .otherwise(lit(0.0)).as("avg_logp3"))
+  }
+
+  /** Self-scored convenience wrapper: train both backoff models on the
+    * corpus being scored ([[lmScore]]'s posture at order 3). The
+    * trigram prune is LOWER than the bigram's by default (trigram
+    * counts thin out an order of magnitude faster — minCount 5 at both
+    * orders would back nearly everything off). Production scoring goes
+    * through [[LmIndex.score3]] against a persisted reference model —
+    * this wrapper re-trains per call and tokenises the corpus twice
+    * (the artifact build shares one pass; see
+    * [[LmIndex.buildWithTrigrams]]). */
+  def lmScore3(docs: DataFrame, minCountTri: Long = 3, minCountBi: Long = 5,
+               alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame =
+    lmScore3With(docs, trigramLm(docs, minCountTri), bigramLm(docs, minCountBi),
+      alpha, unkLogP)
+
   /** Both DSIR models from ONE corpus tokenisation: bigram counts keyed
     * by a group predicate (`true` = target member), persisted at
     * bigram-vocabulary size, then split into the target model (grouped

@@ -118,4 +118,72 @@ class LmIndexSpec extends SparkSpec {
       assert(out == Set((100L, 2L, -0.077075), (101L, 2L, -10.0)))
     } finally q.stop()
   }
+
+  test("v2 trigram layer: build/score3, merge equals fresh concatenated build, v1 loud") {
+    val oldDocs = (1L to 5L).map(i => (i, "the cat sat on mats"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((7L, "the cat sat for hours"),
+      (8L, "zz unseen junk")).toDF("doc_id", "text")
+    val all = oldDocs.unionByName(newDocs)
+    val dirOld = tmpDir("lm3_old"); val dirMerged = tmpDir("lm3_out")
+    val dirFull = tmpDir("lm3_full")
+    LmIndex.buildWithTrigrams(oldDocs, dirOld, minCount = 5, minCount3 = 3)
+    LmIndex.merge(spark, dirOld, newDocs, dirMerged)
+    LmIndex.buildWithTrigrams(all, dirFull, minCount = 5, minCount3 = 3)
+    // both layers' metadata and stats agree merge vs fresh build
+    assert(LmIndex.meta(spark, dirMerged) == LmIndex.meta(spark, dirFull))
+    assert(LmIndex.meta3(spark, dirMerged) == LmIndex.meta3(spark, dirFull))
+    assert(LmIndex.meta3(spark, dirMerged).exists(_._2 > 0),
+      "fixture must carry surviving trigrams (non-vacuous)")
+    assert(LmIndex.load3(spark, dirMerged)
+      .as[(String, String, String, Long, Double)].collect().toSet ==
+      LmIndex.load3(spark, dirFull)
+        .as[(String, String, String, Long, Double)].collect().toSet)
+    assert(LmIndex.load(spark, dirMerged)
+      .as[(String, String, Long, Double)].collect().toSet ==
+      LmIndex.load(spark, dirFull)
+        .as[(String, String, Long, Double)].collect().toSet)
+    // score3 against the artifact equals the in-memory backoff scorer
+    // over the same reference stats — all three term classes exercised:
+    // trigram hit, bigram backoff, unk
+    val probes = Seq((100L, "the cat sat on mats"), // trigram hits
+      (101L, "hours the cat"),                      // "the cat" bigram backoff
+      (102L, "zz qq ww"),                           // unk
+      (103L, "x y")).toDF("doc_id", "text")         // sub-trigram → 0 over 0
+    val fromIndex = LmIndex.score3(spark, dirMerged, probes)
+      .as[(Long, Long, Double)].collect().toSet
+    val inMemory = TextOps.lmScore3With(probes,
+      TextOps.trigramLm(all, minCount = 3), TextOps.bigramLm(all, minCount = 5))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == inMemory)
+    assert(fromIndex.exists(r => r._1 == 100L && r._3 > -1.0),
+      "trigram hits must score near ln(1)")
+    val backoff = fromIndex.find(_._1 == 101L).get
+    assert(backoff._3 < -0.5 && backoff._3 > -10.0,
+      s"bigram backoff must carry the ln(0.4·p2) discount, got $backoff")
+    assert(fromIndex.contains((102L, 1L, -10.0)), "unk trigram takes the penalty")
+    assert(fromIndex.contains((103L, 0L, 0.0)), "sub-trigram doc is a 0-score row")
+    // the v2 scoring joins stay vocabulary-sized broadcasts
+    val plan = LmIndex.score3(spark, dirMerged, probes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab-sized v2 stats must broadcast:\n$plan")
+    // recordCuts must preserve the trigram metadata it rewrites around
+    LmIndex.recordCuts(spark, dirMerged, all)
+    assert(LmIndex.meta3(spark, dirMerged) == LmIndex.meta3(spark, dirFull),
+      "recordCuts must not drop the v2 layer")
+    // v1 artifacts: score keeps working, the trigram entry points are loud
+    val dirV1 = tmpDir("lm3_v1")
+    LmIndex.build(oldDocs, dirV1, minCount = 5)
+    assert(LmIndex.meta3(spark, dirV1).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      LmIndex.load3(spark, dirV1)
+    }
+    assert(e.getMessage.contains("no trigram layer"))
+    // and a v1 merge stays v1 (no half-built trigram layer appears)
+    val dirV1m = tmpDir("lm3_v1m")
+    LmIndex.merge(spark, dirV1, newDocs, dirV1m)
+    assert(LmIndex.meta3(spark, dirV1m).isEmpty)
+    assert(LmIndex.score(spark, dirV1m, probes).count() == 4)
+  }
 }
