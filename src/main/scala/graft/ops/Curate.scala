@@ -172,6 +172,19 @@ object Curate {
   def frequentLines(docs: DataFrame, minDocs: Int = 2, idCol: String = "doc_id",
                     textCol: String = "text", sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2 (1 would strip every line)")
+    lineCounts(docs, idCol, textCol, sep).filter(col("line_df") >= minDocs)
+  }
+
+  /** [[frequentLines]]'s UNPRUNED counting stage: the document frequency
+    * of EVERY line, no threshold — what [[LineIndex]] persists, because
+    * unpruned per-document counts are additive across corpora with
+    * DISJOINT doc ids (a line seen once in each of two halves is
+    * frequent in the union but in neither pruned part — the exactness
+    * gap pruning-before-persisting opens). The ONE counting
+    * implementation under both, so the artifact and the one-shot
+    * operator can never disagree about what a line's frequency IS. */
+  def lineCounts(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
     docs
       .select(col(idCol),
@@ -182,7 +195,6 @@ object Curate {
         element_at(col("_hh"), 2).as("h2"))
       .groupBy(col("h1"), col("h2"))
       .agg(count_distinct(col(idCol)).as("line_df"))
-      .filter(col("line_df") >= minDocs)
   }
 
   /** Stateless boilerplate-line stripping: removes every line whose digest

@@ -126,8 +126,17 @@ object ExactSubstr {
   def frequentWindows(docs: DataFrame, l: Int = 20, minOccurrences: Long = 2,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    require(l >= 2, "window length must be at least 2 tokens")
     require(minOccurrences >= 2, "minOccurrences must be at least 2")
+    windowCounts(docs, l, idCol, textCol).filter(col("win_df") >= minOccurrences)
+  }
+
+  /** [[frequentWindows]]'s UNPRUNED counting stage: every window's
+    * occurrence count, no threshold — the [[Curate.lineCounts]] posture
+    * at window granularity, persisted by [[LineIndex]] because
+    * per-occurrence counts union+sum exactly across corpora. */
+  def windowCounts(docs: DataFrame, l: Int = 20, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(l >= 2, "window length must be at least 2 tokens")
     docs
       .select(col(idCol),
         explode(array(split(TextOps.normText(col(textCol)), " "))).as("_toks"))
@@ -144,7 +153,6 @@ object ExactSubstr {
         element_at(col("_hh"), 2).as("h2"))
       .groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("win_df"))
-      .filter(col("win_df") >= minOccurrences)
   }
 
   /** Stateless ingest-time duplicated-substring stripping: a token is
@@ -307,8 +315,17 @@ object ExactSubstr {
   def frequentShingles(docs: DataFrame, n: Int = 3, minOccurrences: Long = 2,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    require(n >= 2, "span length must be at least 2 sentences")
     require(minOccurrences >= 2, "minOccurrences must be at least 2")
+    shingleCounts(docs, n, idCol, textCol).filter(col("n_occ") >= minOccurrences)
+  }
+
+  /** [[frequentShingles]]'s UNPRUNED counting stage: every sentence
+    * shingle's occurrence count, no threshold — what [[LineIndex]]
+    * persists for the span-dedup family (per-occurrence counts
+    * union+sum exactly across corpora). */
+  def shingleCounts(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span length must be at least 2 sentences")
     val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
     shingleHashes(docs, sentsOf, n, idCol,
       digest = c => call_function("graft_md5hh", c.cast(BinaryType)))
@@ -316,7 +333,6 @@ object ExactSubstr {
         element_at(col("wh"), 2).as("h2"))
       .groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= minOccurrences)
   }
 
   /** Stateless sentence-span dedup for INGEST — the

@@ -1,7 +1,7 @@
 package graft.stream
 
-import graft.ops.{Curate, ExactSubstr, TextOps}
-import org.apache.spark.sql.DataFrame
+import graft.ops.{Curate, ExactSubstr, LineIndex, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed STATELESS ingest-curation chain — the production shape a
@@ -71,6 +71,26 @@ object StreamCurate {
   final case class Artifacts(frequentLines: DataFrame,
                              frequentShingles: DataFrame,
                              evalDocs: DataFrame)
+
+  /** [[Artifacts]] from PERSISTED [[LineIndex]] artifacts — the
+    * production wiring the in-memory constructor only approximates: the
+    * periodic batch pass `build`s (then `merge`s, incrementally and
+    * exactly) the line and shingle indexes offline, and the online
+    * chain loads thresholded views at startup without touching the
+    * corpus. Kind-checked — handing the chain a windows artifact, or
+    * swapping lines for shingles, fails loudly instead of silently
+    * mis-cleaning every arriving document. Thresholds apply at load
+    * (the indexes store unpruned counts), pinned here to the chain's
+    * stage defaults. */
+  def loadArtifacts(spark: SparkSession, linesDir: String,
+                    shinglesDir: String, evalDocs: DataFrame,
+                    minDocs: Long = 2, minOccurrences: Long = 2): Artifacts =
+    Artifacts(
+      LineIndex.load(spark, linesDir, minDocs,
+        expectKind = Some(LineIndex.Kind.Lines())),
+      LineIndex.load(spark, shinglesDir, minOccurrences,
+        expectKind = Some(LineIndex.Kind.Shingles())),
+      evalDocs)
 
   /** Generate barrier: materialise `c` once so project collapse cannot
     * inline its (deep, 7-stage) expression tree into every downstream
