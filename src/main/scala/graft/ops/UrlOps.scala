@@ -398,7 +398,7 @@ object UrlOps {
     * anchored the last segment must be a suffix starting at or after
     * the position the middles reached. O(|path|·segments), no regex —
     * see [[robotsAllowed]]'s wildcard contract. */
-  private def globMatches(path: Column, segs: Column, anch: Column): Column = {
+  private[graft] def globMatches(path: Column, segs: Column, anch: Column): Column = {
     val n = size(segs)
     val first = element_at(segs, 1)
     val last = element_at(segs, -1)
@@ -467,6 +467,63 @@ object UrlOps {
           urls(urlIdCol) === matched("_ra_uid"), "left")
       .drop("_ra_ukey", "_ra_uid")
       .withColumn("allowed", coalesce(col("allowed"), lit(true)))
+  }
+
+  /** Per-key COMPILED robots verdict tables — the STATIC side of the
+    * streaming permission join ([[graft.stream.StreamFrontier]]), and a
+    * reusable batch artifact: the RFC 9309 §2.2.2 chosen groups' active
+    * `allow`/`disallow` rules collected into ONE array per key (robots
+    * files are KB-sized, so the array is bounded by that host's rule
+    * count) plus the effective `crawl-delay` (chosen-group precedence,
+    * MAX over lines in scope — [[crawlSchedule]]'s exact lookup). With
+    * `wildcards = true` the per-rule glob prep (trailing-`$` anchor
+    * flag, star-split segments) is computed here ONCE per rule — never
+    * per (url, rule) after the join fans out.
+    *
+    * Output: `(keyCol, rules array<struct<dir, rule, segs, anch>>,
+    * delay_s)` — `rules` empty (not null) for keys that only carry a
+    * delay; keys with neither emit no row (arrivals left-join to the
+    * RFC's allow-by-default). Against this frame a per-URL verdict is a
+    * per-row fold ([[graft.stream.StreamFrontier.permit]] — longest
+    * matching rule per direction, allow wins ties), so the arrival side
+    * needs NO aggregation: the stream-admissible reformulation of
+    * [[robotsAllowed]], spec-pinned verdict-identical to it. */
+  def compiledRobots(rules: DataFrame, agent: String,
+                     keyCol: String = "doc_id",
+                     wildcards: Boolean = false): DataFrame = {
+    val activePlain = rules
+      .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
+        col("directive").as("dir"), col("value").as("rule"))
+      .join(chosenGroups(rules, agent, keyCol), Seq("_rg_key", "_rg_grp"))
+    val active =
+      if (!wildcards) activePlain
+        .withColumn("anch", lit(false))
+        .withColumn("segs", array(col("rule")))
+      else activePlain
+        .withColumn("anch", col("rule").endsWith("$"))
+        .withColumn("segs", split(
+          when(col("anch"),
+            expr("substring(rule, 1, length(rule) - 1)"))
+            .otherwise(col("rule")),
+          "[*]", -1))
+    val ruleTables = active
+      .groupBy(col("_rg_key"))
+      .agg(collect_list(struct(col("dir"), col("rule"), col("segs"),
+        col("anch"))).as("rules"))
+    val delays = rules
+      .filter(col("directive") === "crawl-delay")
+      .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
+        expr("try_cast(value AS double)").as("_cr_delay"))
+      .join(chosenGroups(rules, agent, keyCol), Seq("_rg_key", "_rg_grp"))
+      .groupBy(col("_rg_key"))
+      .agg(max(col("_cr_delay")).as("delay_s"))
+    ruleTables.join(delays, Seq("_rg_key"), "full_outer")
+      .select(col("_rg_key").as(keyCol),
+        coalesce(col("rules"),
+          array().cast("array<struct<dir:string,rule:string," +
+            "segs:array<string>,anch:boolean>>")).as("rules"),
+        col("delay_s"))
   }
 
   // ---- sitemaps (sitemaps.org protocol 0.9) --------------------------------
