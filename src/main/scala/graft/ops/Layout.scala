@@ -198,7 +198,26 @@ object Layout {
     * with z-order: tight stats make the selected set small). */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
                  bounds: Seq[(String, Long, Long)],
-                 manifest: Option[DataFrame] = None): DataFrame = {
+                 manifest: Option[DataFrame] = None): DataFrame =
+    prunedReadCols(spark, path,
+      bounds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) }, manifest)
+
+  /** [[prunedRead]] with STRING interval bounds — the variant ordered
+    * key layouts over text keys need: a SURT-prefix range over the CDX
+    * index ("all captures under `com,example,`" =
+    * `[prefix, prefix + U+FFFF)`) prunes on the same per-file min/max
+    * intervals, string-ordered. Same correctness contract: a file whose
+    * interval misses a bound provably holds no matching row. */
+  def prunedReadStrings(spark: org.apache.spark.sql.SparkSession, path: String,
+                        bounds: Seq[(String, String, String)],
+                        manifest: Option[DataFrame] = None): DataFrame =
+    prunedReadCols(spark, path,
+      bounds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) }, manifest)
+
+  private def prunedReadCols(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             bounds: Seq[(String, Column, Column)],
+                             manifest: Option[DataFrame]): DataFrame = {
     require(bounds.nonEmpty, "bounds must not be empty")
     val m = manifest.getOrElse(spark.read.parquet(manifestPath(path)))
     val keep = bounds.foldLeft(m) { case (acc, (c, lo, hi)) =>

@@ -576,6 +576,41 @@ object WarcOps {
         col("http_status"), col("content_type"), col("payload_digest"),
         col("doc_id"), col("rec_index"), col("rec_offset"))
 
+  /** Materialise the CDX RANGE LAYOUT [[cdx]]'s scaladoc prescribes —
+    * the index rows range-partitioned AND sorted by `(urlkey,
+    * warc_date)`, with a [[Layout.writeManifest]] per-file min/max
+    * stats manifest on the urlkey — so the SURT prefix-scan property
+    * actually holds ON DISK: every capture under one domain (and all
+    * its subdomains) lives in a contiguous key range touching a
+    * minority of files, and [[readCdxPrefix]] opens only those.
+    * Null-urlkey rows (non-hierarchical URIs, [[UrlOps.surtKey]]'s
+    * documented null) are KEPT — they sort into the first range — but
+    * no prefix scan ever selects them. At 100 TB the index is
+    * captures-sized (one row per record): `numFiles` sizes the layout;
+    * the write is the one shuffle this index ever pays. */
+  def writeCdx(cdxRows: DataFrame, path: String, numFiles: Int = 16): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    cdxRows
+      .repartitionByRange(numFiles, col("urlkey"), col("warc_date"))
+      .sortWithinPartitions(col("urlkey"), col("warc_date"))
+      .write.mode("overwrite").parquet(path)
+    Layout.writeManifest(cdxRows.sparkSession, path, Seq("urlkey"))
+  }
+
+  /** Archive-index prefix lookup over a [[writeCdx]] layout: "all
+    * captures under `com,example,`" as a manifest-pruned range scan —
+    * `[prefix, prefix + U+FFFF)` selects exactly the files whose urlkey
+    * interval can hold the prefix ([[Layout.prunedReadStrings]]), then
+    * the row filter applies on the survivors (spec-pinned ≡ a full
+    * scan + the same filter, with a minority of files opened). */
+  def readCdxPrefix(spark: SparkSession, path: String,
+                    prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "prefix must not be empty")
+    Layout.prunedReadStrings(spark, path,
+      Seq(("urlkey", prefix, prefix + "\uffff")))
+      .filter(col("urlkey").startsWith(prefix))
+  }
+
   /** Records of every `.warc`/`.warc.gz` file under `path` — the batch
     * entry from real crawl shards on disk/object storage:
     * `binaryFile` scan → [[parseFile]] per file. One file's records
