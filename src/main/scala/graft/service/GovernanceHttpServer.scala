@@ -696,6 +696,42 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
               case Some(h) => respondHtml(ex, h)
             }
         }
+      } else if (ex.getRequestMethod == "POST" && path == "/ui/edit-product") {
+        // product edit-as-new-version (reference
+        // POST /data-products/{id}/{version}/edit): the contract-edit
+        // error-round-trip shape over the product service
+        val submitted = formBody(ex)("json")
+        ui.editProduct(p("id"), p("version"), submitted) match {
+          case Right(pr) => redirect(ex, s"/ui/product?id=${urlEnc(pr.id)}")
+          case Left(err) =>
+            ui.editProductPage(p("id"), p("version"), Some(submitted), Some(err)) match {
+              case None => respond(ex, 404, """{"error":"not found"}""")
+              case Some(h) => respondHtml(ex, h)
+            }
+        }
+      } else if (ex.getRequestMethod == "POST" && path == "/ui/setup") {
+        // wizard review (reference POST /setup): selections are
+        // stateless — errors re-render the form with the operator's
+        // values, success renders the review page with the export link
+        val form = formBody(ex)
+        ui.setupReview(form) match {
+          case Right(html) => respondHtml(ex, html)
+          case Left(err) => respondHtml(ex, ui.setupPage(form, Some(err)))
+        }
+      } else if (ex.getRequestMethod == "GET" && path == "/ui/setup/export") {
+        // the bundle zip (reference GET /setup/export streams the same)
+        ui.setupExport(p) match {
+          case Right(bytes) =>
+            ex.getResponseHeaders.set("Content-Type", "application/zip")
+            ex.getResponseHeaders.set("Content-Disposition",
+              "attachment; filename=\"graft-setup-bundle.zip\"")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          case Left(err) =>
+            respond(ex, 422, JsonMethods.compact(JsonMethods.render(
+              JObject("error" -> JString(err)))))
+        }
       } else if (ex.getRequestMethod == "POST" &&
           (path == "/ui/new-contract" || path == "/ui/new-product")) {
         // authoring create flows (reference POST /contracts/new and

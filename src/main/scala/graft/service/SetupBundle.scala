@@ -356,9 +356,44 @@ object SetupBundle {
     * wizard captured. `integration` picks the bootstrap block: `spark`
     * (session init), `dlt` (expectation export + local harness shapes),
     * anything else falls back with a note. */
+  /** Sanitize an id headed into generated SOURCE text: ids are
+    * untrusted wizard/browser input, and a quote or backslash could
+    * escape the string literal the stub embeds it in. The kept
+    * alphabet covers every id shape the stores mint (`team.dataset`,
+    * `dp.analytics-gold`, semvers). */
+  private def safeId(v: String): String =
+    v.replaceAll("[^A-Za-z0-9._:-]", "")
+
+  /** A bundle set as one ZIP archive — the reference wizard's export
+    * payload (`GET /setup/export` streams a zip of the generated
+    * project). Entries are `root/path`, bundle order preserved, with a
+    * FIXED epoch timestamp so the same selections export byte-identical
+    * archives (testable, cache-friendly). */
+  def zipOf(bundles: Seq[Bundle]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    try bundles.foreach { b =>
+      b.files.foreach { f =>
+        val e = new java.util.zip.ZipEntry(s"${b.root}/${f.path}")
+        e.setTime(0L)
+        zip.putNextEntry(e)
+        zip.write(f.content.getBytes("UTF-8"))
+        zip.closeEntry()
+      }
+    } finally zip.close()
+    bos.toByteArray
+  }
+
+  /** `ids` (all optional) pre-fill the stub's placeholder constants —
+    * the integration-helper flow (reference
+    * `POST /api/integration-helper/stub`: pick a contract/product in
+    * the browser, get the stub with ids inline): keys `contract_id`,
+    * `contract_version`, `data_product_id`, `output_dataset_id`;
+    * values are [[safeId]]-sanitized before entering source text. */
   def pipelineExample(integration: String,
                       modules: Seq[String],
-                      hints: Map[String, String] = Map.empty): Bundle = {
+                      hints: Map[String, String] = Map.empty,
+                      ids: Map[String, String] = Map.empty): Bundle = {
     val unknown = modules.filterNot(ExampleModules.contains)
     require(unknown.isEmpty,
       s"unknown module(s): ${unknown.mkString(", ")} " +
@@ -453,10 +488,17 @@ object SetupBundle {
          |object ExampleMain {
          |
          |  // -- replace these before running -------------------------------
-         |  val ContractId      = "replace-with-contract-id"
-         |  val ContractVersion = "1.0.0"
-         |  val DataProductId   = "replace-with-data-product-id"
-         |  val OutputDatasetId = "replace-with-output-dataset-id"
+         |  val ContractId      = "${ids.get("contract_id").map(safeId)
+                                      .filter(_.nonEmpty)
+                                      .getOrElse("replace-with-contract-id")}"
+         |  val ContractVersion = "${ids.get("contract_version").map(safeId)
+                                      .filter(_.nonEmpty).getOrElse("1.0.0")}"
+         |  val DataProductId   = "${ids.get("data_product_id").map(safeId)
+                                      .filter(_.nonEmpty)
+                                      .getOrElse("replace-with-data-product-id")}"
+         |  val OutputDatasetId = "${ids.get("output_dataset_id").map(safeId)
+                                      .filter(_.nonEmpty)
+                                      .getOrElse("replace-with-output-dataset-id")}"
          |  // ---------------------------------------------------------------
          |
          |${helperDefs.mkString("\n\n")}

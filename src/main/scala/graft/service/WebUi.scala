@@ -86,6 +86,8 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
       "<nav><a href=\"/ui\">Home</a><a href=\"/ui/contracts\">Contracts</a>\n" +
       "<a href=\"/ui/drafts\">Drafts</a><a href=\"/ui/datasets\">Datasets</a>" +
       (if (listingProducts.isDefined) "<a href=\"/ui/products\">Data products</a>" else "") +
+      "<a href=\"/ui/setup\">Setup</a>" +
+      "<a href=\"/ui/integration-helper\">Integration helper</a>" +
       "</nav>\n" +
       s"<h1>${esc(title)}</h1>\n" +
       body +
@@ -674,14 +676,246 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
           p.outputPorts.map(op => Seq(s"<code>${esc(op.name)}</code>",
             contractLink(op.contractId, op.version),
             op.portType.map(esc).getOrElse("—"))))
-      val versions = "<h2>versions</h2>" + table(Seq("version", "status"),
+      val versions = "<h2>versions</h2>" + table(Seq("version", "status", ""),
         pb.listVersions(id).map { v =>
           val d = pb.get(id, v)
-          Seq(esc(v), d.map(x => statusCell(x.status)).getOrElse("—"))
+          Seq(esc(v), d.map(x => statusCell(x.status)).getOrElse("—"),
+            s"""<a href="/ui/edit-product?id=${enc(id)}&version=${enc(v)}">edit as new version</a>""")
         })
       page(s"Data product $id", meta + inputs + outputs + versions)
     }
   }
+
+  // ------------------------------------------------------------------
+  // setup wizard + integration helper (reference `GET/POST /setup`,
+  // `GET /setup/export`, `GET /integration-helper` +
+  // `/api/integration-helper/*`, server.py:7897-8112 +
+  // templates/setup.html / integration_helper.html)
+  // ------------------------------------------------------------------
+
+  /** The wizard's normalized selections. STATELESS by design — a
+    * documented deviation from the reference, which persists wizard
+    * state in `work_dir/setup_state.json` across steps: here the
+    * selections travel in the form fields and ride the export link as
+    * query parameters, so the facade stays a pure function of its
+    * stores and two operators can walk the wizard concurrently without
+    * clobbering each other's half-finished state. */
+  private final case class SetupSelections(runtime: String, master: String,
+                                           dataRoot: String,
+                                           token: Option[String],
+                                           modules: Seq[String])
+
+  private val SetupRuntimes = Seq("spark", "streaming")
+
+  private def setupSelections(p: Map[String, String]): SetupSelections = {
+    val boxed = SetupBundle.ExampleModules.filter(m =>
+      p.get(s"module__$m").exists(_.nonEmpty))
+    val listed = p.getOrElse("modules", "").split(",").map(_.trim)
+      .filter(SetupBundle.ExampleModules.contains).toSeq
+    SetupSelections(
+      runtime = p.getOrElse("runtime", "spark").trim,
+      master = p.getOrElse("master", "").trim,
+      dataRoot = p.getOrElse("data_root", "./graft-data").trim,
+      token = p.get("token").map(_.trim).filter(_.nonEmpty),
+      modules = SetupBundle.ExampleModules.filter(m =>
+        boxed.contains(m) || listed.contains(m)))
+  }
+
+  private def setupValidate(s: SetupSelections): Option[String] =
+    if (!SetupRuntimes.contains(s.runtime))
+      Some(s"unknown pipeline runtime '${s.runtime}' " +
+        s"(supported: ${SetupRuntimes.mkString(", ")})")
+    else if (s.dataRoot.isEmpty) Some("service data root is required")
+    else None
+
+  private def setupBundles(s: SetupSelections): Seq[Bundle] = {
+    val hints = Map("spark_master" -> s.master).filter(_._2.nonEmpty)
+    Seq(SetupBundle.pipeline(s.runtime, hints).get,
+      SetupBundle.service(s.dataRoot, s.token)) ++
+      (if (s.modules.isEmpty) Nil
+       else Seq(SetupBundle.pipelineExample("spark", s.modules, hints)))
+  }
+
+  private def setupQuery(s: SetupSelections): String =
+    s"runtime=${enc(s.runtime)}&master=${enc(s.master)}" +
+      s"&data_root=${enc(s.dataRoot)}" +
+      s.token.fold("")(t => s"&token=${enc(t)}") +
+      (if (s.modules.isEmpty) "" else s"&modules=${enc(s.modules.mkString(","))}")
+
+  /** The setup wizard form (reference `GET /setup` / `setup.html`):
+    * pick the pipeline runtime, runtime hints, the service data root,
+    * and the optional module-aware example. Re-rendered with the
+    * operator's values and the validation error on a failed submit. */
+  def setupPage(p: Map[String, String] = Map.empty,
+                error: Option[String] = None): String = {
+    val s = setupSelections(p)
+    def opt(v: String, cur: String) =
+      s"""<option${if (v == cur) " selected" else ""}>${esc(v)}</option>"""
+    val body =
+      error.fold("")(e => s"""<p class="block">${esc(e)}</p>\n""") +
+        "<p>Generate a starter deployment: a governed pipeline project, " +
+        "the service facade config, and (optionally) a module-aware " +
+        "integration example. Review lists the files; export downloads " +
+        "the bundle.</p>\n" +
+        "<form method=\"post\" action=\"/ui/setup\">\n<table>\n" +
+        "<tr><th>pipeline runtime</th><td><select name=\"runtime\">" +
+        SetupRuntimes.map(opt(_, s.runtime)).mkString + "</select></td></tr>\n" +
+        "<tr><th>spark master (hint)</th><td><input name=\"master\" value=\"" +
+        esc(s.master) + "\"></td></tr>\n" +
+        "<tr><th>service data root</th><td><input name=\"data_root\" value=\"" +
+        esc(s.dataRoot) + "\"></td></tr>\n" +
+        "<tr><th>API token (optional)</th><td><input name=\"token\" value=\"" +
+        esc(s.token.getOrElse("")) + "\"></td></tr>\n" +
+        "<tr><th>example modules</th><td>" +
+        SetupBundle.ExampleModules.map(m =>
+          s"""<label><input type="checkbox" name="module__${esc(m)}"${
+            if (s.modules.contains(m)) " checked" else ""}> ${esc(m)}</label> """)
+          .mkString +
+        "</td></tr>\n</table>\n" +
+        "<button type=\"submit\">Review bundle</button>\n</form>"
+    page("Setup", body)
+  }
+
+  /** The wizard's review step (the reference's final wizard page):
+    * validates the selections, lists every file the export will
+    * contain, and links the zip download with the selections encoded in
+    * the URL. `Left(error)` re-renders the form. */
+  def setupReview(p: Map[String, String]): Either[String, String] = {
+    val s = setupSelections(p)
+    setupValidate(s).toLeft {
+      val sections = setupBundles(s).map { b =>
+        s"<h2>${esc(b.root)}/ <span class=\"muted\">(entrypoint ${esc(b.entrypoint)})</span></h2>" +
+          table(Seq("file", "bytes"),
+            b.files.map(f => Seq(s"<code>${esc(b.root)}/${esc(f.path)}</code>",
+              f.content.getBytes("UTF-8").length.toString)))
+      }.mkString("\n")
+      page("Setup — review",
+        sections +
+          s"""<p><a href="/ui/setup/export?${setupQuery(s)}">Download bundle.zip</a>""" +
+          """ — <a href="/ui/setup">back to the wizard</a></p>""")
+    }
+  }
+
+  /** `GET /setup/export` — the zip archive of the selected bundles
+    * (the reference streams exactly this from the wizard state). */
+  def setupExport(p: Map[String, String]): Either[String, Array[Byte]] = {
+    val s = setupSelections(p)
+    setupValidate(s).toLeft(SetupBundle.zipOf(setupBundles(s)))
+  }
+
+  /** The integration helper (reference `GET /integration-helper` +
+    * `POST /api/integration-helper/stub`): pick a stored contract (and
+    * optionally a data product) in the browser, get the module-aware
+    * pipeline stub with the ids FILLED IN, ready to paste. Selection is
+    * a GET form — stub generation is pure, so the picked ids ride the
+    * query string and the result page is linkable. Unknown selections
+    * re-render the picker with the error. */
+  def integrationHelperPage(p: Map[String, String] = Map.empty): String = {
+    val contractOpts = contracts.listContractIds().flatMap(id =>
+      contracts.listVersions(id).map(v => s"$id:$v"))
+    val productOpts = listingProducts.toSeq.flatMap(pb =>
+      pb.listDataProducts().items.flatMap(id =>
+        pb.listVersions(id).map(v => s"$id:$v")))
+    val selContract = p.getOrElse("contract", "")
+    val selProduct = p.getOrElse("product", "")
+    val selIntegration = p.getOrElse("integration", "spark")
+    val s = setupSelections(p)
+    val selModules =
+      if (s.modules.nonEmpty) s.modules else SetupBundle.ExampleModules
+    def options(vals: Seq[String], cur: String, none: Boolean) =
+      (if (none) s"""<option value=""${if (cur.isEmpty) " selected" else ""}>—</option>"""
+       else "") +
+        vals.map(v => s"""<option${if (v == cur) " selected" else ""}>${esc(v)}</option>""")
+          .mkString
+    val form =
+      "<form method=\"get\" action=\"/ui/integration-helper\">\n<table>\n" +
+        "<tr><th>contract</th><td><select name=\"contract\">" +
+        options(contractOpts, selContract, none = true) + "</select></td></tr>\n" +
+        (if (productOpts.nonEmpty)
+          "<tr><th>data product</th><td><select name=\"product\">" +
+            options(productOpts, selProduct, none = true) + "</select></td></tr>\n"
+         else "") +
+        "<tr><th>integration</th><td><select name=\"integration\">" +
+        options(Seq("spark", "dlt"), selIntegration, none = false) +
+        "</select></td></tr>\n" +
+        "<tr><th>modules</th><td>" +
+        SetupBundle.ExampleModules.map(m =>
+          s"""<label><input type="checkbox" name="module__${esc(m)}"${
+            if (selModules.contains(m)) " checked" else ""}> ${esc(m)}</label> """)
+          .mkString +
+        "</td></tr>\n</table>\n" +
+        "<button type=\"submit\">Generate stub</button>\n</form>"
+    def split(sel: String): Option[(String, String)] = {
+      val i = sel.lastIndexOf(':')
+      if (i <= 0 || i == sel.length - 1) None
+      else Some((sel.substring(0, i), sel.substring(i + 1)))
+    }
+    val rendered: String =
+      if (selContract.isEmpty) ""
+      else split(selContract) match {
+        case Some((cid, cver)) if contracts.get(cid, cver).nonEmpty =>
+          val productIds = Option(selProduct).filter(_.nonEmpty)
+            .flatMap(split).map { case (pid, _) => Map("data_product_id" -> pid) }
+            .getOrElse(Map.empty)
+          val stub = SetupBundle.pipelineExample(selIntegration, selModules,
+            ids = Map("contract_id" -> cid, "contract_version" -> cver) ++
+              productIds)
+          s"<h2>Generated stub for ${esc(cid)}:${esc(cver)}</h2>" +
+            s"<pre>${esc(stub.file("ExampleMain.scala").get.content)}</pre>"
+        case _ =>
+          s"""<p class="block">unknown contract revision ${esc(selContract)}</p>"""
+      }
+    page("Integration helper", form + rendered)
+  }
+
+  /** EDIT-as-new-version form for a data product (reference
+    * `GET /data-products/{id}/{version}/edit`, the product-side twin of
+    * [[editContractPage]]): pre-filled with the stored revision's ODPS
+    * JSON, version seeded to the next patch. `None` (→ 404) without a
+    * product service or for an unknown base. */
+  def editProductPage(id: String, version: String,
+                      prefill: Option[String] = None,
+                      error: Option[String] = None): Option[String] =
+    products.flatMap(_.get(id, version)).map { base =>
+      val seed = prefill.getOrElse(graft.products.DataProductJson.toJson(
+        base.copy(version = Some(nextVersion(version)))))
+      authoringForm(s"Edit data product $id (new version from $version)",
+        s"/ui/edit-product?id=${enc(id)}&version=${enc(version)}", seed, error,
+        button = "Create new version")
+    }
+
+  /** Apply a product edit as a NEW version — [[editContract]]'s gates
+    * over the product service (reference
+    * `POST /data-products/{id}/{version}/edit`): id unchanged, semver,
+    * strictly greater than the base, never overwriting a stored
+    * version. Products have no draft workspace, so any stored base is
+    * editable. */
+  def editProduct(baseId: String, baseVersion: String,
+                  json: String): Either[String, graft.products.DataProduct] =
+    products.toRight("no data-product service attached").flatMap { pb =>
+      pb.get(baseId, baseVersion) match {
+        case None => Left(s"unknown base revision $baseId:$baseVersion")
+        case Some(_) =>
+          scala.util.Try(graft.products.DataProductJson.fromJson(json)).toEither
+            .left.map(e => s"invalid data-product JSON: ${e.getMessage}")
+            .flatMap { pr =>
+              val ver = pr.version.map(_.trim).getOrElse("")
+              val base = graft.contracts.SemVer.tryParse(baseVersion)
+              val next = graft.contracts.SemVer.tryParse(ver)
+              if (pr.id != baseId)
+                Left("data product id cannot be changed while editing")
+              else if (ver.isEmpty) Left("version is required")
+              else if (next.isEmpty) Left(s"not a semantic version: $ver")
+              else if (base.exists(b => next.exists(_ <= b)))
+                Left(s"version $ver must be greater than $baseVersion")
+              else createLock.synchronized {
+                if (pb.get(pr.id, ver).nonEmpty)
+                  Left(s"data product ${pr.id} already has a version $ver")
+                else { pb.put(pr); Right(pr) }
+              }
+            }
+      }
+    }
 
   // ------------------------------------------------------------------
   // dispatch
@@ -718,6 +952,13 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
       case "/ui/dataset" => params.get("dataset").flatMap(datasetPage)
       case "/ui/products" => productsPage()
       case "/ui/product" => params.get("id").flatMap(productPage)
+      case "/ui/setup" => Some(setupPage(params))
+      case "/ui/integration-helper" => Some(integrationHelperPage(params))
+      case "/ui/edit-product" =>
+        (params.get("id"), params.get("version")) match {
+          case (Some(id), Some(v)) => editProductPage(id, v)
+          case _ => None
+        }
       case _ => None
     }
 }

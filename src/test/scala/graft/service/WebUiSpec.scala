@@ -505,4 +505,141 @@ class WebUiSpec extends AnyFunSuite {
       assert(r.statusCode() == 404)
     } finally bare.stop()
   }
+
+  test("setup wizard round trip: form -> review -> zip export of the reviewed files") {
+    val (store, gov, pb) = fixture()
+    val client = HttpClient.newHttpClient()
+    val server = new GovernanceHttpServer(store, gov, products = Some(pb))
+    val port = server.start()
+    def postForm(path: String, fields: Map[String, String]): HttpResponse[String] = {
+      val body = fields.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      val form = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ui/setup"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(form.statusCode() == 200 && form.body().contains("pipeline runtime"))
+      // review lists the generated files and carries the export link
+      val review = postForm("/ui/setup", Map(
+        "runtime" -> "streaming", "data_root" -> "/srv/graft",
+        "module__contracts" -> "on", "module__data_quality" -> "on"))
+      assert(review.statusCode() == 200)
+      assert(review.body().contains("StreamMain.scala"), "streaming entrypoint listed")
+      assert(review.body().contains("config.toml"))
+      assert(review.body().contains("/ui/setup/export?"))
+      val href = """/ui/setup/export\?[^"]*""".r
+        .findFirstIn(review.body()).get.replace("&amp;", "&")
+      // the export IS the reviewed selection, as a zip
+      val zip = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$href"))
+          .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+      assert(zip.statusCode() == 200)
+      assert(zip.headers().firstValue("Content-Type").orElse("") == "application/zip")
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(zip.body()))
+      var entries = Map.empty[String, String]
+      var e = zin.getNextEntry
+      while (e != null) {
+        entries += e.getName -> new String(zin.readAllBytes(), "UTF-8")
+        e = zin.getNextEntry
+      }
+      assert(entries.keySet.exists(_.endsWith("StreamMain.scala")))
+      assert(entries.exists { case (n, c) =>
+        n.endsWith("config.toml") && c.contains("/srv/graft") },
+        "the service config must carry the chosen data root")
+      assert(entries.keySet.exists(_.endsWith("ExampleMain.scala")),
+        "ticked modules must export the example")
+      assert(entries("pipeline_example/ExampleMain.scala").contains("contracts"))
+      // a bad runtime re-renders the form with the error, and the
+      // export route answers 422, never a half-built zip
+      val bad = postForm("/ui/setup", Map("runtime" -> "flink"))
+      assert(bad.statusCode() == 200 &&
+        bad.body().contains("unknown pipeline runtime"))
+      val badExport = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/ui/setup/export?runtime=flink"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(badExport.statusCode() == 422)
+    } finally server.stop()
+  }
+
+  test("integration helper renders the stub with the chosen ids inline") {
+    val (store, gov, pb) = fixture()
+    val ui = new WebUi(store, gov, Some(pb))
+    // picker alone: form options from the stores, no stub yet
+    val picker = ui.integrationHelperPage()
+    assert(picker.contains("sales.orders:1.0.0") && !picker.contains("<pre>"))
+    val productVersion = pb.listVersions("dp.orders").head
+    val rendered = ui.integrationHelperPage(Map(
+      "contract" -> "sales.orders:1.0.0",
+      "product" -> s"dp.orders:$productVersion",
+      "integration" -> "spark",
+      "module__contracts" -> "on", "module__products" -> "on"))
+    assert(rendered.contains("val ContractId      = &quot;sales.orders&quot;"),
+      "the chosen contract id must be INLINE in the stub")
+    assert(rendered.contains("val ContractVersion = &quot;1.0.0&quot;"))
+    assert(rendered.contains("val DataProductId   = &quot;dp.orders&quot;"))
+    assert(rendered.contains("reviewContractVersions"),
+      "ticked modules select the helper bodies")
+    assert(!rendered.contains("runQualityChecks"),
+      "unticked modules stay out")
+    // unknown revision: loud, no stub
+    val unknown = ui.integrationHelperPage(Map("contract" -> "sales.orders:9.9.9"))
+    assert(unknown.contains("unknown contract revision") && !unknown.contains("<pre>"))
+  }
+
+  test("product edit-as-new-version: create -> edit -> review round trip with semver gates") {
+    val (store, gov, pb) = fixture()
+    val ui = new WebUi(store, gov, Some(pb))
+    val base = graft.products.DataProduct(id = "dp.edit", version = Some("1.0.0"))
+    assert(ui.createProduct(graft.products.DataProductJson.toJson(base)).isRight)
+    // the form pre-fills the stored JSON with the next patch seeded
+    val form = ui.editProductPage("dp.edit", "1.0.0").get
+    assert(form.contains("1.0.1") && form.contains("Create new version"))
+    assert(ui.editProductPage("dp.edit", "9.9.9").isEmpty, "unknown base 404s")
+    // gates: id pinned, semver only, strictly forward, never overwrite
+    def json(id: String, v: String) = graft.products.DataProductJson.toJson(
+      graft.products.DataProduct(id = id, version = Some(v)))
+    assert(ui.editProduct("dp.edit", "1.0.0", json("dp.other", "1.0.1"))
+      .swap.exists(_.contains("cannot be changed")))
+    assert(ui.editProduct("dp.edit", "1.0.0", json("dp.edit", "not-a-version"))
+      .swap.exists(_.contains("not a semantic version")))
+    assert(ui.editProduct("dp.edit", "1.0.0", json("dp.edit", "1.0.0"))
+      .swap.exists(_.contains("must be greater")))
+    val minted = ui.editProduct("dp.edit", "1.0.0", json("dp.edit", "1.1.0"))
+    assert(minted.isRight && pb.get("dp.edit", "1.1.0").nonEmpty)
+    assert(ui.editProduct("dp.edit", "1.0.0", json("dp.edit", "1.1.0"))
+      .swap.exists(_.contains("already has a version")))
+    // the detail page links every version's edit form (the review step)
+    val detail = ui.productPage("dp.edit").get
+    assert(detail.contains("/ui/edit-product?id=dp.edit&version=1.0.0"))
+    assert(detail.contains("1.1.0"))
+    // and over the wire: 303 to the product page, error re-render keeps text
+    val client = HttpClient.newHttpClient()
+    val server = new GovernanceHttpServer(store, gov, products = Some(pb))
+    val port = server.start()
+    def postForm(path: String, fields: Map[String, String]): HttpResponse[String] = {
+      val body = fields.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      val ok = postForm("/ui/edit-product?id=dp.edit&version=1.1.0",
+        Map("json" -> json("dp.edit", "1.2.0")))
+      assert(ok.statusCode() == 303 &&
+        ok.headers().firstValue("Location").orElse("") == "/ui/product?id=dp.edit")
+      assert(pb.get("dp.edit", "1.2.0").nonEmpty)
+      val gate = postForm("/ui/edit-product?id=dp.edit&version=1.1.0",
+        Map("json" -> json("dp.edit", "1.0.5")))
+      assert(gate.statusCode() == 200 && gate.body().contains("must be greater"))
+    } finally server.stop()
+  }
 }
