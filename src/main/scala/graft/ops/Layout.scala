@@ -203,16 +203,33 @@ object Layout {
       bounds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) }, manifest)
 
   /** [[prunedRead]] with STRING interval bounds — the variant ordered
-    * key layouts over text keys need: a SURT-prefix range over the CDX
-    * index ("all captures under `com,example,`" =
-    * `[prefix, prefix + U+FFFF)`) prunes on the same per-file min/max
-    * intervals, string-ordered. Same correctness contract: a file whose
-    * interval misses a bound provably holds no matching row. */
+    * key layouts over text keys need. Same correctness contract: a file
+    * whose interval misses a bound provably holds no matching row. */
   def prunedReadStrings(spark: org.apache.spark.sql.SparkSession, path: String,
                         bounds: Seq[(String, String, String)],
                         manifest: Option[DataFrame] = None): DataFrame =
     prunedReadCols(spark, path,
       bounds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) }, manifest)
+
+  /** PREFIX pruning over a string-keyed layout: only the files whose
+    * `[min, max]` interval can hold a key starting with `prefix` — the
+    * SURT-prefix scan over the CDX index ("all captures under
+    * `com,example,`"). The interval test is EXACT without successor
+    * arithmetic: the prefix's key set is `[prefix, successor(prefix))`,
+    * and `min < successor(prefix)` ⟺ `min ≤ prefix ∨ min.startsWith
+    * (prefix)` — deliberately NOT spelled `min ≤ prefix + "￿"`,
+    * which silently drops files whose min carries a supplementary
+    * (non-BMP) character: those sort ABOVE U+FFFF in the UTF-8 byte
+    * order Spark compares strings by, and real crawl urlkeys contain
+    * them (IRI paths with emoji/CJK-extension codepoints). */
+  def prunedReadPrefix(spark: org.apache.spark.sql.SparkSession, path: String,
+                       c: String, prefix: String,
+                       manifest: Option[DataFrame] = None): DataFrame = {
+    require(prefix.nonEmpty, "prefix must not be empty")
+    val m = manifest.getOrElse(spark.read.parquet(manifestPath(path)))
+    readKept(spark, path, m.filter(col(s"max_$c") >= prefix &&
+      (col(s"min_$c") <= prefix || col(s"min_$c").startsWith(prefix))))
+  }
 
   private def prunedReadCols(spark: org.apache.spark.sql.SparkSession,
                              path: String,
@@ -223,6 +240,11 @@ object Layout {
     val keep = bounds.foldLeft(m) { case (acc, (c, lo, hi)) =>
       acc.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
     }
+    readKept(spark, path, keep)
+  }
+
+  private def readKept(spark: org.apache.spark.sql.SparkSession, path: String,
+                       keep: DataFrame): DataFrame = {
     val files = keep.select(col("file")).collect().map(_.getString(0))
     if (files.isEmpty)
       // schema-preserving empty frame: footer-only read, no data scan

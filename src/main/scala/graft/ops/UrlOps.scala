@@ -491,11 +491,16 @@ object UrlOps {
   def compiledRobots(rules: DataFrame, agent: String,
                      keyCol: String = "doc_id",
                      wildcards: Boolean = false): DataFrame = {
+    // built ONCE and shared by the rules join and the delay join —
+    // inlining it twice would scan + window-aggregate the rules frame
+    // twice per evaluation (and a streaming consumer re-evaluates the
+    // static side every micro-batch)
+    val chosen = chosenGroups(rules, agent, keyCol)
     val activePlain = rules
       .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
       .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
         col("directive").as("dir"), col("value").as("rule"))
-      .join(chosenGroups(rules, agent, keyCol), Seq("_rg_key", "_rg_grp"))
+      .join(chosen, Seq("_rg_key", "_rg_grp"))
     val active =
       if (!wildcards) activePlain
         .withColumn("anch", lit(false))
@@ -515,7 +520,7 @@ object UrlOps {
       .filter(col("directive") === "crawl-delay")
       .select(col(keyCol).as("_rg_key"), col("grp").as("_rg_grp"),
         expr("try_cast(value AS double)").as("_cr_delay"))
-      .join(chosenGroups(rules, agent, keyCol), Seq("_rg_key", "_rg_grp"))
+      .join(chosen, Seq("_rg_key", "_rg_grp"))
       .groupBy(col("_rg_key"))
       .agg(max(col("_cr_delay")).as("delay_s"))
     ruleTables.join(delays, Seq("_rg_key"), "full_outer")

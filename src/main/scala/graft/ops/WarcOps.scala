@@ -598,18 +598,16 @@ object WarcOps {
   }
 
   /** Archive-index prefix lookup over a [[writeCdx]] layout: "all
-    * captures under `com,example,`" as a manifest-pruned range scan —
-    * `[prefix, prefix + U+FFFF)` selects exactly the files whose urlkey
-    * interval can hold the prefix ([[Layout.prunedReadStrings]]), then
-    * the row filter applies on the survivors (spec-pinned ≡ a full
-    * scan + the same filter, with a minority of files opened). */
+    * captures under `com,example,`" as a manifest-pruned PREFIX scan
+    * ([[Layout.prunedReadPrefix]] — an exact interval test, safe on
+    * urlkeys carrying supplementary characters, which a naive
+    * `prefix + U+FFFF` upper bound silently drops), then the row
+    * filter applies on the surviving files (spec-pinned ≡ a full scan
+    * + the same filter, with a minority of files opened). */
   def readCdxPrefix(spark: SparkSession, path: String,
-                    prefix: String): DataFrame = {
-    require(prefix.nonEmpty, "prefix must not be empty")
-    Layout.prunedReadStrings(spark, path,
-      Seq(("urlkey", prefix, prefix + "\uffff")))
+                    prefix: String): DataFrame =
+    Layout.prunedReadPrefix(spark, path, "urlkey", prefix)
       .filter(col("urlkey").startsWith(prefix))
-  }
 
   /** Records of every `.warc`/`.warc.gz` file under `path` — the batch
     * entry from real crawl shards on disk/object storage:

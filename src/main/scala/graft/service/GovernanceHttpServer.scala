@@ -718,9 +718,11 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           case Right(html) => respondHtml(ex, html)
           case Left(err) => respondHtml(ex, ui.setupPage(form, Some(err)))
         }
-      } else if (ex.getRequestMethod == "GET" && path == "/ui/setup/export") {
-        // the bundle zip (reference GET /setup/export streams the same)
-        ui.setupExport(p) match {
+      } else if (ex.getRequestMethod == "POST" && path == "/ui/setup/export") {
+        // the bundle zip (reference GET /setup/export streams the same;
+        // POST here so the optional API token travels in the body, not
+        // a loggable URL)
+        ui.setupExport(formBody(ex)) match {
           case Right(bytes) =>
             ex.getResponseHeaders.set("Content-Type", "application/zip")
             ex.getResponseHeaders.set("Content-Disposition",

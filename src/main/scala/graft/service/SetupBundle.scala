@@ -368,18 +368,36 @@ object SetupBundle {
     * payload (`GET /setup/export` streams a zip of the generated
     * project). Entries are `root/path`, bundle order preserved, with a
     * FIXED epoch timestamp so the same selections export byte-identical
-    * archives (testable, cache-friendly). */
+    * archives (testable, cache-friendly).
+    *
+    * EXECUTABLE-BIT caveat: `Bundle.write` sets POSIX 755 on
+    * executables, but `java.util.zip` cannot record unix modes (they
+    * live in central-directory external attributes the JDK API does
+    * not expose), so unzipped scripts land 644. Rather than silently
+    * shipping a launcher that answers "Permission denied", the archive
+    * carries a generated `UNPACK.txt` whose `chmod +x` line restores
+    * every executable — one paste for the operator, and the gap is
+    * DOCUMENTED in the artifact itself. */
   def zipOf(bundles: Seq[Bundle]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val zip = new java.util.zip.ZipOutputStream(bos)
-    try bundles.foreach { b =>
-      b.files.foreach { f =>
-        val e = new java.util.zip.ZipEntry(s"${b.root}/${f.path}")
-        e.setTime(0L)
-        zip.putNextEntry(e)
-        zip.write(f.content.getBytes("UTF-8"))
-        zip.closeEntry()
-      }
+    def put(name: String, content: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(0L)
+      zip.putNextEntry(e)
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    val executables = bundles.flatMap(b =>
+      b.files.filter(_.executable).map(f => s"${b.root}/${f.path}"))
+    try {
+      if (executables.nonEmpty)
+        put("UNPACK.txt",
+          "Zip archives cannot carry the POSIX executable bit.\n" +
+            "After unpacking, restore it with:\n\n" +
+            s"  chmod +x ${executables.mkString(" ")}\n")
+      bundles.foreach(b =>
+        b.files.foreach(f => put(s"${b.root}/${f.path}", f.content)))
     } finally zip.close()
     bos.toByteArray
   }

@@ -736,11 +736,20 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
        else Seq(SetupBundle.pipelineExample("spark", s.modules, hints)))
   }
 
-  private def setupQuery(s: SetupSelections): String =
-    s"runtime=${enc(s.runtime)}&master=${enc(s.master)}" +
-      s"&data_root=${enc(s.dataRoot)}" +
-      s.token.fold("")(t => s"&token=${enc(t)}") +
-      (if (s.modules.isEmpty) "" else s"&modules=${enc(s.modules.mkString(","))}")
+  /** The export control is a POST form of hidden fields, NOT a GET
+    * link: the selections include the optional API token, and a token
+    * riding a URL leaks into access logs, browser history and Referer
+    * headers — a POST body does not. */
+  private def setupExportForm(s: SetupSelections): String = {
+    def hidden(k: String, v: String) =
+      s"""<input type="hidden" name="${esc(k)}" value="${esc(v)}">"""
+    "<form method=\"post\" action=\"/ui/setup/export\">" +
+      hidden("runtime", s.runtime) + hidden("master", s.master) +
+      hidden("data_root", s.dataRoot) +
+      s.token.fold("")(hidden("token", _)) +
+      (if (s.modules.isEmpty) "" else hidden("modules", s.modules.mkString(","))) +
+      "<button type=\"submit\">Download bundle.zip</button></form>"
+  }
 
   /** The setup wizard form (reference `GET /setup` / `setup.html`):
     * pick the pipeline runtime, runtime hints, the service data root,
@@ -790,14 +799,15 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
               f.content.getBytes("UTF-8").length.toString)))
       }.mkString("\n")
       page("Setup — review",
-        sections +
-          s"""<p><a href="/ui/setup/export?${setupQuery(s)}">Download bundle.zip</a>""" +
-          """ — <a href="/ui/setup">back to the wizard</a></p>""")
+        sections + setupExportForm(s) +
+          """<p><a href="/ui/setup">back to the wizard</a></p>""")
     }
   }
 
-  /** `GET /setup/export` — the zip archive of the selected bundles
-    * (the reference streams exactly this from the wizard state). */
+  /** `POST /ui/setup/export` — the zip archive of the selected bundles
+    * (the reference streams exactly this from the wizard state; POST,
+    * not GET, so the token never rides a URL — see
+    * [[setupExportForm]]). */
   def setupExport(p: Map[String, String]): Either[String, Array[Byte]] = {
     val s = setupSelections(p)
     setupValidate(s).toLeft(SetupBundle.zipOf(setupBundles(s)))
@@ -819,9 +829,15 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
     val selContract = p.getOrElse("contract", "")
     val selProduct = p.getOrElse("product", "")
     val selIntegration = p.getOrElse("integration", "spark")
+    // `picked=1` (a hidden field) marks a real submission: unchecked
+    // boxes send no parameters, so without the marker an intentional
+    // all-unticked selection would be indistinguishable from the first
+    // visit and silently upgrade to every module
     val s = setupSelections(p)
     val selModules =
-      if (s.modules.nonEmpty) s.modules else SetupBundle.ExampleModules
+      if (p.contains("picked")) s.modules
+      else if (s.modules.nonEmpty) s.modules
+      else SetupBundle.ExampleModules
     def options(vals: Seq[String], cur: String, none: Boolean) =
       (if (none) s"""<option value=""${if (cur.isEmpty) " selected" else ""}>—</option>"""
        else "") +
@@ -844,6 +860,7 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
             if (selModules.contains(m)) " checked" else ""}> ${esc(m)}</label> """)
           .mkString +
         "</td></tr>\n</table>\n" +
+        "<input type=\"hidden\" name=\"picked\" value=\"1\">\n" +
         "<button type=\"submit\">Generate stub</button>\n</form>"
     def split(sel: String): Option[(String, String)] = {
       val i = sel.lastIndexOf(':')

@@ -53,6 +53,11 @@ object StreamFrontier {
     * `robotsAllowed`). */
   def permit(urls: DataFrame, compiled: DataFrame,
              keyCol: String = "doc_id", pathCol: String = "path"): DataFrame = {
+    // a stream-static join re-evaluates the static plan every
+    // micro-batch; the compiled frame is (hosts × rules)-sized, so pin
+    // it in the cache once rather than re-running the robots parse +
+    // group selection per trigger for the stream's life
+    if (urls.isStreaming) graft.ops.Caching.ensureCached(compiled)
     val c = compiled.select(col(keyCol).as("_sf_key"),
       col("rules").as("_sf_rules"), col("delay_s"))
     val path = urls(pathCol)
@@ -98,8 +103,12 @@ object StreamFrontier {
         (_: String, rows: Iterator[Row], state: GroupState[Long]) => {
           val start = state.getOption.getOrElse(0L)
           // buffered to sort by url id: bounded by the host's per-batch
-          // frontier (the batch window's own partition bound)
-          val sorted = rows.toIndexedSeq.sortBy(_.getLong(uidIdx))
+          // frontier (the batch window's own partition bound). NULL ids
+          // sort FIRST — crawlSchedule's asc_nulls_first window order —
+          // so a join-missed or uncastable id mis-slots one URL instead
+          // of a getLong NPE killing the whole streaming query
+          val sorted = rows.toIndexedSeq.sortBy(r =>
+            (!r.isNullAt(uidIdx), if (r.isNullAt(uidIdx)) 0L else r.getLong(uidIdx)))
           val out = sorted.zipWithIndex.map { case (r, i) =>
             val slot = start + i
             Row.fromSeq(r.toSeq :+ slot :+ slot * r.getDouble(delayIdx))

@@ -87,7 +87,34 @@ object ScaleBudget {
     // the short absolute times); band = measured + 2 rounded down, the
     // short-ratio floor. Above the band means per-host work stopped
     // being bounded by that host's rule count.
-    "robots_filter" -> 3.5)
+    "robots_filter" -> 3.5,
+    // r14 additions (bands calibrated from the r14 measurement run,
+    // same formula — measured × 1.5, floor measured + 2):
+    //  - trigram_counts: the order-3 count is one tokenisation into a
+    //    trigram-keyed map-side-combined aggregation — the shuffle
+    //    carries distinct-trigram rows, which grow sublinearly in the
+    //    replicated corpus (replicas repeat content). Timed UNCACHED
+    //    (TextOps.trigramCounts directly): the q_trigram_lm registry
+    //    entry would measure its ensureCached frame's cache hit on the
+    //    second run, saying nothing about corpus scaling. Above the
+    //    band means the count shuffle stopped being
+    //    distinct-trigram-sized
+    //  - line_counts: LineIndex's persisted counting stage (lines +
+    //    sentence shingles, the two StreamCurate artifact shapes) —
+    //    gram-keyed aggregations whose shuffle rows are
+    //    distinct-gram-counted; the artifact build/merge cost at
+    //    100 TB IS this stage, so its growth is the artifact family's
+    //    scale claim
+    //  - frontier_permit: the compiled per-host rule-array fold
+    //    (StreamFrontier.permit over compiledRobots) on the
+    //    robots_filter fixture — same linear-by-design contract as the
+    //    batch join, but through the stream-admissible plan (static
+    //    side aggregated ONCE per host, per-URL work a bounded fold);
+    //    above the band means the compiled arrays stopped being
+    //    robots-sized
+    "trigram_counts" -> 3.5,
+    "line_counts" -> 3.6,
+    "frontier_permit" -> 4.3)
 
   /** Gated dataflows that are not SparkEntry queries keyed by name:
     * timed through the same harness. hamming_r8 exercises the band-PAIR
@@ -151,6 +178,39 @@ object ScaleBudget {
               when(col("j") === 1, lit("/public/y"))
                 .otherwise(lit("/x"))).as("path"))
         graft.ops.UrlOps.robotsAllowed(rules, urls, agent = "bot1")
+      }),
+      // the order-3 LM counting pass, uncached (see the band comment)
+      "trigram_counts" -> ((s, dir) =>
+        graft.ops.TextOps.trigramCounts(T.load(s, dir, "documents"))),
+      // the LineIndex counting stage at corpus scale: both StreamCurate
+      // artifact shapes (boilerplate lines + 3-sentence shingles) from
+      // one run — the union is what a nightly artifact refresh computes
+      "line_counts" -> ((s, dir) => {
+        val docs = T.load(s, dir, "documents")
+        graft.ops.Curate.lineCounts(docs)
+          .unionByName(graft.ops.ExactSubstr.shingleCounts(docs)
+            .withColumnRenamed("n_occ", "line_df"))
+      }),
+      // the stream-admissible permission join on the robots_filter
+      // fixture: compile per-host rule arrays once, fold per URL
+      "frontier_permit" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ids = T.load(s, dir, "documents").select(col("doc_id"))
+        val m5 = (col("doc_id") % 5).cast("string")
+        val text = concat(
+          lit("User-agent: *\nDisallow: /private"), m5,
+          lit("/\nAllow: /private"), m5, lit("/public\nUser-agent: bot"),
+          (col("doc_id") % 4).cast("string"), lit("\nDisallow: /\n"))
+        val rules = graft.ops.UrlOps.parseRobots(
+          ids.select(col("doc_id"), text.as("text")))
+        val urls = ids
+          .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"))
+          .select(col("doc_id"), (col("doc_id") * 4 + col("j")).as("url_id"),
+            concat(lit("/private"), m5,
+              when(col("j") === 1, lit("/public/y"))
+                .otherwise(lit("/x"))).as("path"))
+        graft.stream.StreamFrontier.permit(urls,
+          graft.ops.UrlOps.compiledRobots(rules, agent = "bot1"))
       }))
 
   def main(args: Array[String]): Unit = {

@@ -39,7 +39,8 @@ class CdxLayoutSpec extends SparkSpec {
     val total = manifest.count()
     val selected = manifest
       .filter(col("max_urlkey") >= prefix &&
-        col("min_urlkey") <= prefix + "￿").count()
+        (col("min_urlkey") <= prefix ||
+          col("min_urlkey").startsWith(prefix))).count()
     assert(total == 4, s"layout must land in 4 files, got $total")
     assert(selected >= 1 && selected <= 2,
       s"a one-host range must touch 1-2 of 4 sorted files, touched $selected")
@@ -56,5 +57,38 @@ class CdxLayoutSpec extends SparkSpec {
     val inRange = spark.read.parquet(dir)
       .filter(col("urlkey").startsWith(hostPrefix))
     assert(key(WarcOps.readCdxPrefix(spark, dir, hostPrefix)) == key(inRange))
+  }
+
+  test("prefix pruning keeps files whose keys carry supplementary characters") {
+    // IRI crawl urlkeys can carry non-BMP codepoints, which sort ABOVE
+    // U+FFFF in Spark's UTF-8 byte order — a `prefix + U+FFFF` upper
+    // bound (the naive spelling) prunes the file holding them and
+    // silently loses matching rows; the exact interval test must not
+    val dir = tmpDir("cdx_supp")
+    val emoji = new String(Character.toChars(0x1F600)) // U+1F600, F0-lead UTF-8
+    val prefix = "com,example)/"
+    // three single-file appends pin the file split: the middle file's
+    // min_urlkey starts "com,example)/😀…", which is GREATER than
+    // prefix + U+FFFF in UTF-8 byte order — the naive bound drops it
+    Seq(("com,apple)/a", 1L)).toDF("urlkey", "doc_id")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((s"$prefix${emoji}page", 2L), (s"$prefix${emoji}z", 3L))
+      .toDF("urlkey", "doc_id").coalesce(1).write.mode("append").parquet(dir)
+    Seq(("com,zebra)/x", 4L)).toDF("urlkey", "doc_id")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("urlkey"))
+    // non-vacuous: the fixture really is above the naive bound
+    val naiveKept = spark.read.parquet(Layout.manifestPath(dir))
+      .filter(col("max_urlkey") >= prefix &&
+        col("min_urlkey") <= prefix + "￿").count()
+    assert(naiveKept == 0, s"naive bound must drop the emoji file, kept $naiveKept")
+    val pruned = Layout.prunedReadPrefix(spark, dir, "urlkey", prefix)
+      .filter(col("urlkey").startsWith(prefix))
+      .as[(String, Long)].collect().toSet
+    val full = spark.read.parquet(dir)
+      .filter(col("urlkey").startsWith(prefix))
+      .as[(String, Long)].collect().toSet
+    assert(pruned == full && full.map(_._2) == Set(2L, 3L),
+      "supplementary-character keys must survive the manifest pruning")
   }
 }

@@ -524,20 +524,33 @@ class WebUiSpec extends AnyFunSuite {
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ui/setup"))
           .GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(form.statusCode() == 200 && form.body().contains("pipeline runtime"))
-      // review lists the generated files and carries the export link
-      val review = postForm("/ui/setup", Map(
+      // review lists the generated files and carries the export FORM —
+      // a POST of hidden fields, so the API token never rides a URL
+      val fields = Map(
         "runtime" -> "streaming", "data_root" -> "/srv/graft",
-        "module__contracts" -> "on", "module__data_quality" -> "on"))
+        "token" -> "s3cr3t-tok",
+        "module__contracts" -> "on", "module__data_quality" -> "on")
+      val review = postForm("/ui/setup", fields)
       assert(review.statusCode() == 200)
       assert(review.body().contains("StreamMain.scala"), "streaming entrypoint listed")
       assert(review.body().contains("config.toml"))
-      assert(review.body().contains("/ui/setup/export?"))
-      val href = """/ui/setup/export\?[^"]*""".r
-        .findFirstIn(review.body()).get.replace("&amp;", "&")
+      assert(review.body().contains("action=\"/ui/setup/export\""))
+      assert(!review.body().contains("/ui/setup/export?"),
+        "no GET export link — selections (incl. the token) must POST")
+      assert(!review.body().contains("s3cr3t-tok") ||
+        review.body().contains("type=\"hidden\" name=\"token\""),
+        "the token may appear only as a hidden form field")
       // the export IS the reviewed selection, as a zip
+      val exportFields = Map("runtime" -> "streaming",
+        "data_root" -> "/srv/graft", "token" -> "s3cr3t-tok",
+        "modules" -> "contracts,data_quality")
+      val body = exportFields.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
       val zip = client.send(
-        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$href"))
-          .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ui/setup/export"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
       assert(zip.statusCode() == 200)
       assert(zip.headers().firstValue("Content-Type").orElse("") == "application/zip")
       val zin = new java.util.zip.ZipInputStream(
@@ -555,15 +568,20 @@ class WebUiSpec extends AnyFunSuite {
       assert(entries.keySet.exists(_.endsWith("ExampleMain.scala")),
         "ticked modules must export the example")
       assert(entries("pipeline_example/ExampleMain.scala").contains("contracts"))
+      // the zip documents its own executable-bit gap: UNPACK.txt names
+      // every launcher the JDK zip writer had to flatten to 644
+      assert(entries.get("UNPACK.txt").exists(c =>
+        c.contains("chmod +x") && c.contains(".sh")),
+        s"UNPACK.txt must restore the executable bits, entries: ${entries.keySet}")
+      assert(entries.exists { case (n, c) =>
+        c.contains("s3cr3t-tok") && n.endsWith("config.toml") },
+        "the token must reach the exported service config")
       // a bad runtime re-renders the form with the error, and the
       // export route answers 422, never a half-built zip
       val bad = postForm("/ui/setup", Map("runtime" -> "flink"))
       assert(bad.statusCode() == 200 &&
         bad.body().contains("unknown pipeline runtime"))
-      val badExport = client.send(
-        HttpRequest.newBuilder(
-          URI.create(s"http://127.0.0.1:$port/ui/setup/export?runtime=flink"))
-          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      val badExport = postForm("/ui/setup/export", Map("runtime" -> "flink"))
       assert(badExport.statusCode() == 422)
     } finally server.stop()
   }
@@ -591,6 +609,14 @@ class WebUiSpec extends AnyFunSuite {
     // unknown revision: loud, no stub
     val unknown = ui.integrationHelperPage(Map("contract" -> "sales.orders:9.9.9"))
     assert(unknown.contains("unknown contract revision") && !unknown.contains("<pre>"))
+    // a deliberate all-unticked submission (hidden `picked` marker sent,
+    // no module boxes) renders a helper-free stub — NOT the every-module
+    // default the first visit shows
+    val none = ui.integrationHelperPage(Map(
+      "contract" -> "sales.orders:1.0.0", "picked" -> "1"))
+    assert(none.contains("<pre>") && !none.contains("reviewContractVersions") &&
+      !none.contains("runQualityChecks"),
+      "unticking every module must not silently select all of them")
   }
 
   test("product edit-as-new-version: create -> edit -> review round trip with semver gates") {

@@ -114,6 +114,31 @@ class StreamFrontierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a null url_id mis-slots one URL (nulls first), never kills the query") {
+    // batch twin's contract: crawlSchedule's window orders
+    // asc_nulls_first; a getLong on the null would instead NPE the
+    // whole streaming query from inside flatMapGroupsWithState
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("b.example", null, "/a", null),
+        org.apache.spark.sql.Row("b.example", java.lang.Long.valueOf(7L), "/b",
+          java.lang.Double.valueOf(2.0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("host",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("url_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("delay_s",
+          org.apache.spark.sql.types.DoubleType))))
+    val got = StreamFrontier.schedule(rows, keyCol = "host")
+      .select("url_id", "slot", "delay_s")
+      .as[(Option[Long], Long, Double)].collect().toSet
+    assert(got == Set((None, 0L, 1.0), (Some(7L), 1L, 2.0)),
+      "null id slots first on the default delay; the real id follows")
+  }
+
   test("host counters survive a checkpointed restart") {
     val base = tmpDir("sf_recov")
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
