@@ -131,7 +131,13 @@ object Bench {
     // seven already-benched stage families end to end, so benching it
     // would double-count every one — the q_substr_strip precedent; its
     // cost profile lives in CiProfileTool + PERF.md r11.)
-    "q_redact_cards", "q_extract_links", "q_quantile_sketch")
+    "q_redact_cards", "q_extract_links", "q_quantile_sketch",
+    // r14: stupid-backoff scoring — trains BOTH reference models and
+    // scores the corpus trigram stream, so it is the order-3 family's
+    // cost driver (q_trigram_lm is NOT benched: its counting pass runs
+    // INSIDE q_lm_score3 — the q_substr_strip precedent; its corpus
+    // growth is ScaleBudget's trigram_counts band instead)
+    "q_lm_score3")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -251,7 +257,10 @@ object Bench {
     // r10 continuation: Luhn card scrub (0.395 warmed × 1.3), link
     // extraction (0.360 × 1.3), min-k quantile sketch (0.494 × 1.3)
     "q_redact_cards" -> 0.51, "q_extract_links" -> 0.47,
-    "q_quantile_sketch" -> 0.64
+    "q_quantile_sketch" -> 0.64,
+    // r14: stupid-backoff scoring — trains both reference models and
+    // scores the trigram stream (1.976 warmed × 1.3)
+    "q_lm_score3" -> 2.57
     // slack shrunk r11 (0.3 -> 0.1 flat): the r10 driver run showed an
     // event-analytics cluster riding 2-3x over its r9 numbers with
     // rc=0 — for a 0.3-0.5 s query the flat 0.3 s was ~2-3x of

@@ -1517,6 +1517,27 @@ object SparkEntry {
         t(s, d, "documents")
           .withColumn("text", regexp_replace(col("text"), " the ", "\n")),
         minDocs = 3)),
+    // the LineIndex counting stages on the oracle hook: the persisted
+    // artifact's exact (h1, h2, count) frames — digest halves replayed
+    // in DuckDB via the composable md5 spelling (Md5Hash60's contract),
+    // fixtures lined like q_line_dedup / duplicated like
+    // q_dedup_sentences so each frequency class is non-empty
+    "q_frequent_lines" -> ((s, d) =>
+      Curate.frequentLines(
+        t(s, d, "documents")
+          .withColumn("text", regexp_replace(col("text"), " the ", "\n")),
+        minDocs = 3)),
+    "q_frequent_windows" -> ((s, d) =>
+      graft.ops.ExactSubstr.frequentWindows(t(s, d, "documents"))),
+    "q_frequent_shingles" -> ((s, d) => {
+      val dirty = t(s, d, "documents").select(col("doc_id"), concat(
+        lit("Doc "), col("doc_id").cast("string"), lit(" says "), col("text"), lit("."),
+        when(col("doc_id") % 4 === 0,
+          lit(" Shared sentence one. Shared sentence two. Shared sentence three."))
+          .otherwise(lit("")),
+        lit(" Doc "), col("doc_id").cast("string"), lit(" closes now.")).as("text"))
+      graft.ops.ExactSubstr.frequentShingles(dirty)
+    }),
     "q_redact" -> ((s, d) =>
       // blocklist terms chosen to actually fire on this corpus; the op's
       // default patterns are the classic PII scrubs (no digits/emails in
@@ -2492,6 +2513,56 @@ object SparkEntry {
         |  CAST(len(string_split(d.text, chr(10))) - count(k.line) AS BIGINT) AS n_removed
         |FROM lined d LEFT JOIN kept k USING (doc_id)
         |GROUP BY d.doc_id, d.text""".stripMargin,
+    // the LineIndex counting stages: digest halves via the composable
+    // md5 spelling (h1 = hex chars 1-15, h2 = 17-29 — Md5Hash60's
+    // bit-identity contract), counts per the kind's semantics
+    // (distinct docs for lines, occurrences for windows/shingles)
+    "q_frequent_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+        |  FROM lined)
+        |SELECT
+        |  CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(line), 17, 13)) AS BIGINT) AS h2,
+        |  count(DISTINCT doc_id) AS line_df
+        |FROM l GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+    "q_frequent_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, len(toks) - 19)) AS pos FROM t),
+        |w AS (SELECT md5(array_to_string(toks[pos:pos+19], ' ')) AS m FROM u)
+        |SELECT
+        |  CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(m, 17, 13)) AS BIGINT) AS h2,
+        |  count(*) AS win_df
+        |FROM w GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q_frequent_shingles" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    'Doc ' || doc_id || ' says ' || text || '.' ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' Shared sentence one. Shared sentence two. Shared sentence three.'
+        |      ELSE '' END ||
+        |    ' Doc ' || doc_id || ' closes now.' AS t2
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_extract_all(coalesce(t2, ''), '[^.!?]*[.!?]'),
+        |      s -> regexp_replace(s, '^\s+|\s+$', '')), s -> s != '') AS sents
+        |  FROM dirty),
+        |u AS (SELECT doc_id, sents,
+        |  unnest(generate_series(1, len(sents) - 2)) AS pos FROM t),
+        |w AS (SELECT md5(array_to_string(sents[pos:pos+2], ' ')) AS m FROM u)
+        |SELECT
+        |  CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(m, 17, 13)) AS BIGINT) AS h2,
+        |  count(*) AS n_occ
+        |FROM w GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // sequential-Poisson priority: EXACT integer arithmetic end to end —
     // DuckDB `//` is floor division, Spark `div` truncates, identical for
     // the non-negative Portable hash
