@@ -82,33 +82,15 @@ object LmIndex {
       provenance)
   }
 
-  /** Both orders' unpruned counts from one tokenisation: `(k, gram, n)`
-    * with k ∈ {2, 3} — [[TextOps.bigramCounts]]'s shuffle shape, the
-    * gram key widened by the order discriminator. */
-  private def ngramCountsShared(docs: DataFrame): DataFrame = {
-    val bi = NearDup.shinglesOf(col("toks"), k = 2,
-      distinct = false, wholeDocFallback = false)
-    val tri = NearDup.shinglesOf(col("toks"), k = 3,
-      distinct = false, wholeDocFallback = false)
-    docs
-      .select(explode(array(split(TextOps.normText(col("text")), " "))).as("toks"))
-      .select(explode(concat(
-        transform(bi, g => struct(lit(2).as("k"), g.as("gram"))),
-        transform(tri, g => struct(lit(3).as("k"), g.as("gram"))))).as("kg"))
-      .select(col("kg.k").as("k"), col("kg.gram").as("gram"))
-      .groupBy(col("k"), col("gram")).agg(count(lit(1)).as("n"))
-  }
+  // the shared two-order counting pass lives in TextOps
+  // ([[TextOps.ngramCounts23]]) — one definition under the artifact
+  // build, the merge, and the self-scored lmScore3
+  private def ngramCountsShared(docs: DataFrame): DataFrame =
+    TextOps.ngramCounts23(docs)
 
-  private def biOf(kg: DataFrame): DataFrame =
-    kg.filter(col("k") === 2)
-      .select(element_at(split(col("gram"), " "), 1).as("w1"),
-        element_at(split(col("gram"), " "), 2).as("w2"), col("n"))
+  private def biOf(kg: DataFrame): DataFrame = TextOps.bigramCountsOf(kg)
 
-  private def triOf(kg: DataFrame): DataFrame =
-    kg.filter(col("k") === 3)
-      .select(element_at(split(col("gram"), " "), 1).as("w1"),
-        element_at(split(col("gram"), " "), 2).as("w2"),
-        element_at(split(col("gram"), " "), 3).as("w3"), col("n"))
+  private def triOf(kg: DataFrame): DataFrame = TextOps.trigramCountsOf(kg)
 
   /** Fold `newDocs` into the artifact at `dir`, writing the combined
     * model to `outDir` — an EXACT incremental retrain (spec-pinned equal

@@ -858,19 +858,66 @@ object TextOps {
             .otherwise(lit(0.0)).as("avg_logp3"))
   }
 
+  /** Both orders' UNPRUNED counts from ONE corpus tokenisation:
+    * `(k, gram, n)` with k ∈ {2, 3} — [[bigramCounts]]'s shuffle shape,
+    * the gram key widened by the order discriminator. Shared by the
+    * [[LmIndex]] v2 build/merge and the self-scored [[lmScore3]], so a
+    * two-order training pass costs one corpus scan, not two. */
+  def ngramCounts23(docs: DataFrame): DataFrame = {
+    val bi = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    val tri = NearDup.shinglesOf(col("toks"), k = 3,
+      distinct = false, wholeDocFallback = false)
+    docs
+      .select(explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(explode(concat(
+        transform(bi, g => struct(lit(2).as("k"), g.as("gram"))),
+        transform(tri, g => struct(lit(3).as("k"), g.as("gram"))))).as("kg"))
+      .select(col("kg.k").as("k"), col("kg.gram").as("gram"))
+      .groupBy(col("k"), col("gram")).agg(count(lit(1)).as("n"))
+  }
+
+  /** The order-2 slice of [[ngramCounts23]], in [[bigramCounts]]'s
+    * `(w1, w2, n)` shape. */
+  def bigramCountsOf(kg: DataFrame): DataFrame =
+    kg.filter(col("k") === 2)
+      .select(element_at(split(col("gram"), " "), 1).as("w1"),
+        element_at(split(col("gram"), " "), 2).as("w2"), col("n"))
+
+  /** The order-3 slice of [[ngramCounts23]], in [[trigramCounts]]'s
+    * `(w1, w2, w3, n)` shape. */
+  def trigramCountsOf(kg: DataFrame): DataFrame =
+    kg.filter(col("k") === 3)
+      .select(element_at(split(col("gram"), " "), 1).as("w1"),
+        element_at(split(col("gram"), " "), 2).as("w2"),
+        element_at(split(col("gram"), " "), 3).as("w3"), col("n"))
+
   /** Self-scored convenience wrapper: train both backoff models on the
     * corpus being scored ([[lmScore]]'s posture at order 3). The
     * trigram prune is LOWER than the bigram's by default (trigram
     * counts thin out an order of magnitude faster — minCount 5 at both
     * orders would back nearly everything off). Production scoring goes
     * through [[LmIndex.score3]] against a persisted reference model —
-    * this wrapper re-trains per call and tokenises the corpus twice
-    * (the artifact build shares one pass; see
-    * [[LmIndex.buildWithTrigrams]]). */
+    * this wrapper re-trains per call, but both models come from ONE
+    * shared tokenisation ([[ngramCounts23]], cached gram-vocabulary-
+    * sized), so the corpus is scanned twice total (train + the scoring
+    * trigram stream), not three times. */
   def lmScore3(docs: DataFrame, minCountTri: Long = 3, minCountBi: Long = 5,
-               alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame =
-    lmScore3With(docs, trigramLm(docs, minCountTri), bigramLm(docs, minCountBi),
+               alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame = {
+    val kg = ngramCounts23(docs)
+    // three vocabulary-sized caches: kg bridges the two slice builds
+    // (without it each slice re-scans the corpus), and the cached
+    // SLICES keep repeat scoring from re-filtering the combined frame
+    Caching.ensureCached(kg)
+    val tri = trigramCountsOf(kg)
+    val bi = bigramCountsOf(kg)
+    Caching.ensureCached(tri)
+    Caching.ensureCached(bi)
+    lmScore3With(docs,
+      trigramStatsFromCounts(tri, minCountTri),
+      statsFromCounts(bi, minCountBi),
       alpha, unkLogP)
+  }
 
   /** Both DSIR models from ONE corpus tokenisation: bigram counts keyed
     * by a group predicate (`true` = target member), persisted at
