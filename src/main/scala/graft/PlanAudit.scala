@@ -30,7 +30,9 @@ object PlanAudit {
         "q_cluster_sample", "q_epoch_order", "q_psi", "q_snapshot_diff",
         "q_robots_rules", "q_robots_filter", "q_robots_wildcard",
         "q_crawl_schedule", "q_crawl_frontier", "q_sitemap_urls",
-        "q_warc_cdx", "q_warc_revisit")) {
+        "q_warc_cdx", "q_warc_revisit",
+        "q_trigram_lm", "q_frequent_lines", "q_frequent_windows",
+        "q_frequent_shingles")) {
       println(s"\n================ $q ================")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

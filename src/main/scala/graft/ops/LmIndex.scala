@@ -251,6 +251,48 @@ object LmIndex {
   def cuts(spark: SparkSession, dir: String): Option[(Double, Double)] =
     readMeta(spark, dir).cuts
 
+  /** [[recordCuts]] for the ORDER-3 score distribution: quartile cuts
+    * of [[score3]] over a calibration corpus, stored as a separate
+    * `(p25_3, p75_3)` pair — backoff scores live on a different scale
+    * than bigram scores (trigram hits score near ln 1, backed-off terms
+    * carry the α discount), so sharing one cut pair would misbucket
+    * both. Requires the v2 trigram layer ([[load3]]'s loud contract);
+    * preserves every other metadata field, including the bigram cuts. */
+  def recordCuts3(spark: SparkSession, dir: String, calibration: DataFrame,
+                  alpha: Double = 0.4, unkLogP: Double = -10.0): Unit = {
+    val row = score3(spark, dir, calibration, alpha, unkLogP)
+      .filter(col("n_trigrams") > 0)
+      .agg(round(percentile(col("avg_logp3"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("avg_logp3"), lit(0.75)), 6).as("p75"))
+      .collect()(0)
+    require(!row.isNullAt(0), "calibration corpus produced no scorable document")
+    val m = readMeta(spark, dir)
+    writeMeta(spark, dir,
+      m.copy(cuts3 = Some((row.getDouble(0), row.getDouble(1)))))
+  }
+
+  /** The recorded order-3 cut points, if [[recordCuts3]] ran. */
+  def cuts3(spark: SparkSession, dir: String): Option[(Double, Double)] =
+    readMeta(spark, dir).cuts3
+
+  /** [[bucket]] under the ORDER-3 cuts: head/middle/tail by the
+    * stupid-backoff score against [[recordCuts3]]'s frozen quartiles —
+    * a pure post-scoring projection, stream-safe like [[score3]];
+    * documents with fewer than 3 tokens bucket `unscored`. */
+  def bucket3(spark: SparkSession, dir: String, docs: DataFrame,
+              alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame = {
+    val (p25, p75) = cuts3(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no recorded order-3 cuts — run recordCuts3 first"))
+    score3(spark, dir, docs, alpha, unkLogP)
+      .withColumn("bucket",
+        when(col("n_trigrams") === 0, lit("unscored"))
+          .when(col("avg_logp3") >= p75, lit("head"))
+          .when(col("avg_logp3") >= p25, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_trigrams"), col("avg_logp3"), col("bucket"))
+  }
+
   /** Head/middle/tail bucketing against the artifact's RECORDED cuts —
     * [[TextOps.perplexityBuckets]]'s output contract without its corpus
     * percentile aggregation, so it is a pure post-scoring projection and
@@ -275,7 +317,8 @@ object LmIndex {
   private case class Meta(minCount: Long, nBigrams: Long,
                           cuts: Option[(Double, Double)],
                           minCount3: Option[Long] = None,
-                          nTrigrams: Option[Long] = None)
+                          nTrigrams: Option[Long] = None,
+                          cuts3: Option[(Double, Double)] = None)
 
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     import org.json4s.JsonAST._
@@ -284,6 +327,8 @@ object LmIndex {
       "nBigrams" -> (JInt(BigInt(m.nBigrams)): JValue))
     val withCuts = base ++ m.cuts.toList.flatMap { case (p25, p75) =>
       List("p25" -> (JDouble(p25): JValue), "p75" -> (JDouble(p75): JValue))
+    } ++ m.cuts3.toList.flatMap { case (p25, p75) =>
+      List("p25_3" -> (JDouble(p25): JValue), "p75_3" -> (JDouble(p75): JValue))
     } ++ m.minCount3.toList.flatMap { mc =>
       // the version field is the v2 marker readers key on; minCount3 /
       // nTrigrams travel with it (absent on v1 artifacts)
@@ -321,7 +366,8 @@ object LmIndex {
         }
         Meta(longOf("minCount"), longOf("nBigrams"),
           for (a <- dblOf("p25"); b <- dblOf("p75")) yield (a, b),
-          optLong("minCount3"), optLong("nTrigrams"))
+          optLong("minCount3"), optLong("nTrigrams"),
+          for (a <- dblOf("p25_3"); b <- dblOf("p75_3")) yield (a, b))
       case _ => Meta(0L, 0L, None)
     }
   }

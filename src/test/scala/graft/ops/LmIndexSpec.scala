@@ -186,4 +186,51 @@ class LmIndexSpec extends SparkSpec {
     assert(LmIndex.meta3(spark, dirV1m).isEmpty)
     assert(LmIndex.score(spark, dirV1m, probes).count() == 4)
   }
+
+  test("order-3 cuts: recordCuts3/bucket3 freeze the backoff distribution; both cut pairs coexist") {
+    val corpus = ((1L to 5L).map(i => (i, "the cat sat on mats")) ++ Seq(
+      (7L, "the cat sat for hours and hours on end"),
+      (8L, "zz qq totally unseen words here"),
+      (9L, "x"))).toDF("doc_id", "text")
+    val dir = tmpDir("lm3_cuts")
+    LmIndex.buildWithTrigrams(corpus, dir, minCount = 5, minCount3 = 3)
+    LmIndex.recordCuts3(spark, dir, corpus)
+    val (p25, p75) = LmIndex.cuts3(spark, dir).get
+    // self-calibrated bucketing matches quartiles computed directly on
+    // the same score frame
+    val scored = LmIndex.score3(spark, dir, corpus)
+      .as[(Long, Long, Double)].collect()
+    val want = scored.map { case (id, nt, s) =>
+      (id, if (nt == 0) "unscored"
+      else if (s >= p75) "head" else if (s >= p25) "middle" else "tail")
+    }.toSet
+    val got = LmIndex.bucket3(spark, dir, corpus)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._2 == "unscored") && got.exists(_._2 == "tail"),
+      "non-vacuous: the fixture spans bucket classes")
+    // cuts FROZEN for new data, and the order-2 pair is untouched
+    val junk = Seq((100L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val b = LmIndex.bucket3(spark, dir, junk)
+      .as[(Long, Long, Double, String)].collect().head
+    assert(b._4 == "tail" && b._3 == -10.0)
+    LmIndex.recordCuts(spark, dir, corpus)
+    assert(LmIndex.cuts3(spark, dir).contains((p25, p75)),
+      "recording the order-2 cuts must preserve the order-3 pair")
+    assert(LmIndex.cuts(spark, dir).nonEmpty)
+    LmIndex.recordCuts3(spark, dir, corpus)
+    assert(LmIndex.cuts(spark, dir).nonEmpty,
+      "recording the order-3 cuts must preserve the order-2 pair")
+    // bucket3 without recorded cuts, and on a v1 artifact, are loud
+    val dirNoCuts = tmpDir("lm3_nocuts")
+    LmIndex.buildWithTrigrams(corpus, dirNoCuts, minCount = 5, minCount3 = 3)
+    intercept[IllegalStateException] {
+      LmIndex.bucket3(spark, dirNoCuts, corpus)
+    }
+    val dirV1 = tmpDir("lm3_cuts_v1")
+    LmIndex.build(corpus, dirV1, minCount = 5)
+    intercept[IllegalArgumentException] {
+      LmIndex.recordCuts3(spark, dirV1, corpus)
+    }
+  }
 }

@@ -139,6 +139,45 @@ class StreamFrontierSpec extends SparkSpec {
       "null id slots first on the default delay; the real id follows")
   }
 
+  test("discovery to dispatch on one stream: sitemap entries flow parse -> permit -> schedule") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the arrival-side crawl loop end to end: sitemap XML lands on the
+    // stream, parseSitemap (stateless generate) yields entries,
+    // parseUrls (pure projection) keys them by host, and the frontier
+    // chain admits + slots them — all in ONE streaming query
+    val compiled = UrlOps.compiledRobots(rules, agent, keyCol = "host")
+    val mem = MemoryStream[(Long, String)](spark)
+    val entries = UrlOps.parseSitemap(mem.toDF().toDF("doc_id", "text"))
+      .select(col("doc_id"), col("entry_pos"), col("loc").as("url"))
+    val urls = UrlOps.parseUrls(entries)
+      .select(col("host"), (col("doc_id") * 100 + col("entry_pos")).as("url_id"),
+        col("path"))
+    val q = StreamFrontier.frontier(urls, compiled, keyCol = "host")
+      .writeStream.format("memory").queryName("sf_discovery")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L,
+        """<urlset><url><loc>http://b.example/ok</loc></url>
+          |<url><loc>http://b.example/tmp/blocked</loc></url>
+          |<url><loc>http://c.example/fresh</loc></url></urlset>""".stripMargin))
+      q.processAllAvailable()
+      mem.addData((2L,
+        "<urlset><url><loc>http://b.example/ok2</loc></url></urlset>"))
+      q.processAllAvailable()
+      val out = spark.table("sf_discovery")
+        .select("host", "url_id", "slot", "delay_s", "offset_s")
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+      assert(out == Set(
+        ("b.example", 100L, 0L, 2.0, 0.0),  // batch 1, slot 0
+        ("c.example", 102L, 0L, 1.0, 0.0),  // no robots -> default delay
+        ("b.example", 200L, 1L, 2.0, 2.0)), // batch 2 continues b's counter
+        s"got $out")
+      // the disallowed /tmp entry (url_id 101) was parsed, permitted
+      // FALSE, and never scheduled
+      assert(!out.exists(_._2 == 101L))
+    } finally q.stop()
+  }
+
   test("host counters survive a checkpointed restart") {
     val base = tmpDir("sf_recov")
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
