@@ -332,7 +332,11 @@ object Bench {
     // (3.156 -> idle TimeTool 1.194; full-bench and TimeTool contexts
     // agreed within 1% for this query pre-change)
     "q_labelprop" -> 1.20, "q_line_dedup" -> 0.463,
-    "q_lm_score" -> 0.915, "q_mode" -> 0.183, "q_mojibake" -> 0.185,
+    "q_lm_score" -> 0.915,
+    // r14: pinned from the round's first settled full-harness run
+    // (sf0.1, idle box, the only context pins are comparable in)
+    "q_lm_score3" -> 1.849,
+    "q_mode" -> 0.183, "q_mojibake" -> 0.185,
     "q_moving_avg" -> 0.380, "q_nb_classify" -> 0.667,
     "q_outliers" -> 0.542, "q_pack_tokens" -> 0.939,
     "q_pagerank" -> 0.579, "q_pivot" -> 0.276, "q_pmi" -> 0.412,
