@@ -688,6 +688,7 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("dsir_w"))
     }),
     "q_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(t(s, d, "documents"))),
+    "q_ppl_buckets3" -> ((s, d) => TextOps.perplexityBuckets3(t(s, d, "documents"))),
     "q_vocab_drift" -> ((s, d) => TextOps.vocabDrift(t(s, d, "documents"))),
     // PSI of each source's length profile against the corpus (bin = 50 chars)
     "q_psi" -> ((s, d) =>
@@ -2663,42 +2664,21 @@ object SparkEntry {
     // 5, oldest context word dropped), else the fixed -10 penalty —
     // each term rounded 9 dp then decimal-summed (the lm-score
     // contract); the backoff bigram keys on the trigram's (w2, w3)
-    "q_lm_score3" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
-        |  FROM documents),
-        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
-        |b3 AS (
-        |  SELECT a.doc_id, a.tok AS w1, c.tok AS w2, d.tok AS w3
-        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
-        |           JOIN e d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2),
-        |tc AS (SELECT w1, w2, w3, count(*) AS n FROM b3 GROUP BY 1, 2, 3),
-        |ct AS (SELECT w1, w2, sum(n) AS tot FROM tc GROUP BY 1, 2),
-        |st3 AS (
-        |  SELECT w1, w2, w3, round(CAST(n AS DOUBLE) / tot, 6) AS p3
-        |  FROM tc JOIN ct USING (w1, w2) WHERE n >= 3),
-        |b2 AS (
-        |  SELECT a.tok AS w1, c.tok AS w2
-        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
-        |bc AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
-        |wt AS (SELECT w1, sum(n) AS tot FROM bc GROUP BY 1),
-        |st2 AS (
-        |  SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p2
-        |  FROM bc JOIN wt USING (w1) WHERE n >= 5),
-        |terms AS (
-        |  SELECT b3.doc_id,
-        |    coalesce(round(ln(st3.p3), 9), round(ln(0.4 * st2.p2), 9), -10.0) AS lp
-        |  FROM b3
-        |  LEFT JOIN st3 ON st3.w1 = b3.w1 AND st3.w2 = b3.w2 AND st3.w3 = b3.w3
-        |  LEFT JOIN st2 ON st2.w1 = b3.w2 AND st2.w2 = b3.w3),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS nt, sum(CAST(lp AS DECIMAL(28,9))) AS s
-        |  FROM terms GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(nt, 0) AS BIGINT) AS n_trigrams,
-        |  CASE WHEN coalesce(nt, 0) > 0 THEN round(CAST(s AS DOUBLE) / nt, 6)
-        |       ELSE 0.0 END AS avg_logp3
-        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+    "q_lm_score3" -> lmScore3Sql,
+    // order-3 buckets: quartile cuts via quantile_cont over the backoff
+    // scores (the q_ppl_buckets recipe at order 3)
+    "q_ppl_buckets3" ->
+      s"""WITH sc AS (SELECT * FROM ($lmScore3Sql) s0),
+        |cuts AS (
+        |  SELECT round(quantile_cont(avg_logp3, 0.25), 6) AS p25,
+        |    round(quantile_cont(avg_logp3, 0.75), 6) AS p75
+        |  FROM sc WHERE n_trigrams > 0)
+        |SELECT doc_id, n_trigrams, avg_logp3,
+        |  CASE WHEN n_trigrams = 0 THEN 'unscored'
+        |       WHEN avg_logp3 >= p75 THEN 'head'
+        |       WHEN avg_logp3 >= p25 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN cuts""".stripMargin,
     // DSIR: one shared bigram stream scored under the src0-trained target
     // model (minCount 2) and the whole-corpus raw model (minCount 5);
     // decimal sums, ratio from the rounded means
@@ -5111,6 +5091,44 @@ object SparkEntry {
       |    ' ' ORDER BY doc_id ASC) AS packed,
       |  CAST(sum(n_tokens) + count(*) AS BIGINT) AS n_tokens_packed
       |FROM chunked GROUP BY 1, 2""".stripMargin
+
+  /** The q_lm_score3 oracle, reused as a subquery by q_ppl_buckets3. */
+  private def lmScore3Sql: String =
+    """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b3 AS (
+        |  SELECT a.doc_id, a.tok AS w1, c.tok AS w2, d.tok AS w3
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+        |           JOIN e d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2),
+        |tc AS (SELECT w1, w2, w3, count(*) AS n FROM b3 GROUP BY 1, 2, 3),
+        |ct AS (SELECT w1, w2, sum(n) AS tot FROM tc GROUP BY 1, 2),
+        |st3 AS (
+        |  SELECT w1, w2, w3, round(CAST(n AS DOUBLE) / tot, 6) AS p3
+        |  FROM tc JOIN ct USING (w1, w2) WHERE n >= 3),
+        |b2 AS (
+        |  SELECT a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
+        |wt AS (SELECT w1, sum(n) AS tot FROM bc GROUP BY 1),
+        |st2 AS (
+        |  SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p2
+        |  FROM bc JOIN wt USING (w1) WHERE n >= 5),
+        |terms AS (
+        |  SELECT b3.doc_id,
+        |    coalesce(round(ln(st3.p3), 9), round(ln(0.4 * st2.p2), 9), -10.0) AS lp
+        |  FROM b3
+        |  LEFT JOIN st3 ON st3.w1 = b3.w1 AND st3.w2 = b3.w2 AND st3.w3 = b3.w3
+        |  LEFT JOIN st2 ON st2.w1 = b3.w2 AND st2.w2 = b3.w3),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS nt, sum(CAST(lp AS DECIMAL(28,9))) AS s
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(nt, 0) AS BIGINT) AS n_trigrams,
+        |  CASE WHEN coalesce(nt, 0) > 0 THEN round(CAST(s AS DOUBLE) / nt, 6)
+        |       ELSE 0.0 END AS avg_logp3
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
 
   /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */
   private def lmScoreSql: String =

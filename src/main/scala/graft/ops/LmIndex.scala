@@ -71,26 +71,16 @@ object LmIndex {
                         minCount3: Long = 3, numFiles: Int = 4,
                         provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     val spark = docs.sparkSession
-    val kg = ngramCountsShared(docs)
+    val kg = TextOps.ngramCounts23(docs)
     // gram-vocabulary-sized, feeds two writes — cache so the corpus
     // aggregation runs once, not once per layer
     Caching.ensureCached(kg)
-    writeCountsData(biOf(kg), dir, numFiles)
-    writeCounts3Data(triOf(kg), dir, numFiles)
+    writeCountsData(TextOps.bigramCountsOf(kg), dir, numFiles)
+    writeCounts3Data(TextOps.trigramCountsOf(kg), dir, numFiles)
     writeMeta(spark, dir, metaFromDisk(spark, dir, minCount, Some(minCount3)))
     ArtifactProvenance.stampArtifact(spark, dir, "lm-index", "build",
       provenance)
   }
-
-  // the shared two-order counting pass lives in TextOps
-  // ([[TextOps.ngramCounts23]]) — one definition under the artifact
-  // build, the merge, and the self-scored lmScore3
-  private def ngramCountsShared(docs: DataFrame): DataFrame =
-    TextOps.ngramCounts23(docs)
-
-  private def biOf(kg: DataFrame): DataFrame = TextOps.bigramCountsOf(kg)
-
-  private def triOf(kg: DataFrame): DataFrame = TextOps.trigramCountsOf(kg)
 
   /** Fold `newDocs` into the artifact at `dir`, writing the combined
     * model to `outDir` — an EXACT incremental retrain (spec-pinned equal
@@ -114,14 +104,14 @@ object LmIndex {
       case Some(_) =>
         // v2: the new corpus pays ONE tokenisation for both layers,
         // exactly like buildWithTrigrams
-        val kg = ngramCountsShared(newDocs)
+        val kg = TextOps.ngramCounts23(newDocs)
         Caching.ensureCached(kg)
         writeCountsData(spark.read.parquet(s"$dir/counts")
-          .unionByName(biOf(kg))
+          .unionByName(TextOps.bigramCountsOf(kg))
           .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n")),
           outDir, numFiles)
         writeCounts3Data(spark.read.parquet(s"$dir/counts3")
-          .unionByName(triOf(kg))
+          .unionByName(TextOps.trigramCountsOf(kg))
           .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("n")),
           outDir, numFiles)
     }

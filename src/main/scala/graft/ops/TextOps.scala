@@ -1043,6 +1043,29 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("bucket"))
   }
 
+  /** [[perplexityBuckets]] under the ORDER-3 backoff score: quartile
+    * cuts of [[lmScore3]] (computed on scorable documents only, rounds
+    * to 6 dp — the engine-exact quarter-fraction contract), then
+    * head/middle/tail per document; sub-trigram documents bucket
+    * `unscored`. The self-calibrated batch twin of
+    * [[LmIndex.bucket3]] (spec-pinned equal when the artifact is
+    * trained and calibrated on the same corpus at the same prunes). */
+  def perplexityBuckets3(docs: DataFrame, minCountTri: Long = 3,
+                         minCountBi: Long = 5, alpha: Double = 0.4,
+                         unkLogP: Double = -10.0): DataFrame = {
+    val scores = lmScore3(docs, minCountTri, minCountBi, alpha, unkLogP)
+    val cuts = scores.filter(col("n_trigrams") > 0)
+      .agg(round(percentile(col("avg_logp3"), lit(0.25)), 6).as("_p25"),
+        round(percentile(col("avg_logp3"), lit(0.75)), 6).as("_p75"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("n_trigrams") === 0, lit("unscored"))
+          .when(col("avg_logp3") >= col("_p75"), lit("head"))
+          .when(col("avg_logp3") >= col("_p25"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_trigrams"), col("avg_logp3"), col("bucket"))
+  }
+
   /** Per-document unigram token entropy in bits (`H = log2 n − Σ c·ln c /
     * (n·ln 2)`) plus token counts — low entropy flags repetitive/templated
     * text, high entropy flags noise; a standard quality-filter signal.

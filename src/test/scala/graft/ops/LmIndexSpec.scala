@@ -209,6 +209,12 @@ class LmIndexSpec extends SparkSpec {
     assert(got == want)
     assert(got.exists(_._2 == "unscored") && got.exists(_._2 == "tail"),
       "non-vacuous: the fixture spans bucket classes")
+    // the perplexityBuckets precedent at order 3: a self-calibrated
+    // artifact reproduces the batch operator row for row
+    val direct = TextOps.perplexityBuckets3(corpus, minCountTri = 3,
+      minCountBi = 5).as[(Long, Long, Double, String)].collect().toSet
+    assert(LmIndex.bucket3(spark, dir, corpus)
+      .as[(Long, Long, Double, String)].collect().toSet == direct)
     // cuts FROZEN for new data, and the order-2 pair is untouched
     val junk = Seq((100L, "aa bb cc dd ee")).toDF("doc_id", "text")
     val b = LmIndex.bucket3(spark, dir, junk)
