@@ -114,7 +114,15 @@ object ScaleBudget {
     //    robots-sized
     "trigram_counts" -> 3.5,
     "line_counts" -> 3.6,
-    "frontier_permit" -> 4.3)
+    "frontier_permit" -> 4.3,
+    //  - frontier_schedule: the permit fixture's allowed URLs through
+    //    StreamFrontier.schedule (batch-mode flatMapGroupsWithState) —
+    //    host count is corpus-linear, per-host work is a bounded sort
+    //    + one counter, so growth must track the host count; above the
+    //    band means per-host state or buffering stopped being bounded
+    //    by the host's own frontier. Measured r14 calibration: 1.56×
+    //    at 10× (band = measured + 2, the short-ratio floor)
+    "frontier_schedule" -> 3.6)
 
   /** Gated dataflows that are not SparkEntry queries keyed by name:
     * timed through the same harness. hamming_r8 exercises the band-PAIR
@@ -210,6 +218,27 @@ object ScaleBudget {
               when(col("j") === 1, lit("/public/y"))
                 .otherwise(lit("/x"))).as("path"))
         graft.stream.StreamFrontier.permit(urls,
+          graft.ops.UrlOps.compiledRobots(rules, agent = "bot1"))
+      }),
+      // the slotting half of the streaming frontier on the same
+      // fixture: admitted URLs through the per-host monotone counter
+      "frontier_schedule" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ids = T.load(s, dir, "documents").select(col("doc_id"))
+        val m5 = (col("doc_id") % 5).cast("string")
+        val text = concat(
+          lit("User-agent: *\nDisallow: /private"), m5,
+          lit("/\nAllow: /private"), m5, lit("/public\nUser-agent: bot"),
+          (col("doc_id") % 4).cast("string"), lit("\nDisallow: /\n"))
+        val rules = graft.ops.UrlOps.parseRobots(
+          ids.select(col("doc_id"), text.as("text")))
+        val urls = ids
+          .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"))
+          .select(col("doc_id"), (col("doc_id") * 4 + col("j")).as("url_id"),
+            concat(lit("/private"), m5,
+              when(col("j") === 1, lit("/public/y"))
+                .otherwise(lit("/x"))).as("path"))
+        graft.stream.StreamFrontier.frontier(urls,
           graft.ops.UrlOps.compiledRobots(rules, agent = "bot1"))
       }))
 
