@@ -483,6 +483,85 @@ object Bench {
     else math.min(3.0, math.max(1.0, ratios(ratios.size / 2)))
   }
 
+  /** Contention estimate for the BUDGET gate: run-wide median of
+    * secs/budget clamped the same way (budgets carry ~2x slack, so this
+    * median reads ~0.5 idle and only scales the gate when the whole run
+    * is genuinely hot). */
+  def budgetFactor(results: Seq[(String, Double)]): Double = {
+    val ratios = results.collect {
+      case (k, v) if v >= 0 && budgetSecs.contains(k) => v / budgetSecs(k)
+    }.sorted
+    if (ratios.isEmpty) 1.0
+    else math.min(3.0, math.max(1.0, ratios(ratios.size / 2)))
+  }
+
+  /** One query's budget verdict under a contention factor. */
+  def budgetOver(name: String, secs: Double, factor: Double): Boolean =
+    secs >= 0 && budgetSecs.get(name).exists(b => secs > b * factor)
+
+  /** One query's pinned-2x verdict under a contention factor. */
+  def pinOver(name: String, secs: Double, factor: Double): Boolean =
+    secs >= 0 && pinnedSecs.get(name).exists(b =>
+      secs > b * MaxVsBaseline * factor + PinJitterFloor)
+
+  /** How many breach-retry rounds a run gets: round 0 is the existing
+    * immediate end-of-suite retry; round 1 is the r14 hardening — an
+    * IDLE-SPACED second retry reserved for queries still breaching after
+    * round 0. BENCH_r14 proved one immediate retry is not enough: a
+    * ~1.2x-hot driver run caught q_chi2 (0.28 s pin) inside a 2.4x
+    * relative burst and the immediate retry re-measured it still inside
+    * the SAME burst — rc=1 on an engine whose five flagged queries all
+    * read 0.86-1.11x vs pin minutes later on an idle box. A burst that
+    * survives [[RetrySpacingMs]] of imposed idle is a regression, not
+    * contention. */
+  val MaxRetryRounds = 2
+
+  /** Idle spacing before the second retry round (milliseconds): long
+    * enough for a scheduler-level contention burst (GC storm, driver-box
+    * cron, page-cache eviction) to move on, short enough to keep the
+    * bench inside its harness window. */
+  val RetrySpacingMs = 15000L
+
+  /** Re-measure breaching queries until none remain or the retry rounds
+    * are exhausted, keeping per-query minima (a retry can only improve a
+    * reported time — the r7 contract). Breach sets are recomputed per
+    * round from the UPDATED results so a query cleared in round 0 is
+    * never re-run in round 1; `spacer` runs before every round after the
+    * first (the idle gap). Pure given injected `remeasure`/`spacer` so
+    * BenchGateSpec can prove the false-positive/true-regression split
+    * without a bench run. */
+  def resolveBreaches(firstPass: Seq[(String, Double)],
+                      remeasure: String => Double,
+                      spacer: Int => Unit,
+                      maxRounds: Int = MaxRetryRounds): Seq[(String, Double)] = {
+    var results = firstPass
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val bf = budgetFactor(results)
+      val pf = pinFactor(results)
+      val breaching = results.collect {
+        case (n, s) if budgetOver(n, s, bf) || pinOver(n, s, pf) => n
+      }.toSet
+      if (breaching.isEmpty) done = true
+      else {
+        if (round > 0) spacer(round)
+        results = results.map {
+          case (n, s) if breaching(n) =>
+            val retry = try math.min(s, remeasure(n))
+                        catch { case _: Throwable => s }
+            if (retry < s)
+              System.err.println(f"[bench] $n retry round $round: ${s}%.2f -> " +
+                f"${retry}%.2f (earlier sample discarded as a contention burst)")
+            n -> retry
+          case kv => kv
+        }
+      }
+      round += 1
+    }
+    results
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -523,43 +602,34 @@ object Bench {
     // SPARK_GRAFT_BENCH_BUDGETS=off keeps the timings but drops the gate
     // when running on different hardware
     val budgetsOn = !sys.env.get("SPARK_GRAFT_BENCH_BUDGETS").exists(_.equalsIgnoreCase("off"))
-    // Contention normalization: the run-wide MEDIAN of secs/budget is a
-    // contention estimate no single query can drag (a real regression
-    // moves one ratio, not the median); budgets scale by it when it
-    // exceeds 1, clamped at 3× so a uniform genuine slowdown (an
-    // engine-wide regression) still breaches. Emitted in the JSON so a
-    // scaled gate is visible, not silent.
-    def medianFactor(rs: Seq[(String, Double)]): Double = {
-      val ratios = rs.collect {
-        case (name, secs) if secs >= 0 && budgetSecs.contains(name) => secs / budgetSecs(name)
-      }.sorted
-      if (ratios.isEmpty) 1.0
-      else math.min(3.0, math.max(1.0, ratios(ratios.size / 2)))
-    }
-    def over(name: String, secs: Double, factor: Double): Boolean =
-      secs >= 0 && budgetSecs.get(name).exists(b => secs > b * factor)
-    def baselineOver(name: String, secs: Double, factor: Double): Boolean =
-      secs >= 0 && pinnedSecs.get(name).exists(b =>
-        secs > b * MaxVsBaseline * factor + PinJitterFloor)
-    val runFactor = medianFactor(firstPass)
-    val runPinFactor = pinFactor(firstPass)
-    // breach retry: re-measure (best-of-2) any budget OR per-query
-    // baseline breach once the rest of the suite has run — a contention
-    // burst has moved on by then; a regression repeats. Keep the min so
-    // the retry can only improve a query's reported time.
-    val results = firstPass.map {
-      case (name, secs) if budgetsOn &&
-          (over(name, secs, runFactor) || baselineOver(name, secs, runPinFactor)) =>
-        val retry = try math.min(secs, math.min(runOnce(name), runOnce(name)))
-                    catch { case _: Throwable => secs }
-        if (retry < secs)
-          System.err.println(f"[bench] $name retry ${secs}%.2f -> ${retry}%.2f " +
-            "(first-pass sample discarded as a contention burst)")
-        name -> retry
-      case kv => kv
-    }
+    // Contention normalization: the run-wide MEDIAN of secs/budget
+    // ([[budgetFactor]]) is a contention estimate no single query can
+    // drag (a real regression moves one ratio, not the median); budgets
+    // scale by it when it exceeds 1, clamped at 3× so a uniform genuine
+    // slowdown (an engine-wide regression) still breaches. Emitted in
+    // the JSON so a scaled gate is visible, not silent.
+    // Breach retries ([[resolveBreaches]]): round 0 re-measures any
+    // budget OR pinned-2x breach once the rest of the suite has run
+    // (a contention burst has usually moved on by then; a regression
+    // repeats); round 1 — the r14 hardening — imposes RetrySpacingMs of
+    // idle and re-measures whatever STILL breaches (BENCH_r14's q_chi2
+    // burst outlived the immediate retry; it would not outlive an
+    // imposed idle gap). Minima are kept throughout, so retries can only
+    // improve a query's reported time. Factors for the final verdict are
+    // recomputed from the post-retry results.
+    val results =
+      if (!budgetsOn) firstPass
+      else resolveBreaches(firstPass,
+        name => math.min(runOnce(name), runOnce(name)),
+        round => {
+          System.err.println(s"[bench] breach retry round $round: idling " +
+            s"${RetrySpacingMs / 1000}s so a machine-wide burst can move on")
+          Thread.sleep(RetrySpacingMs)
+        })
+    val runFactor = budgetFactor(results)
+    val runPinFactor = pinFactor(results)
     val breaches = if (!budgetsOn) Nil else results.collect {
-      case (name, secs) if over(name, secs, runFactor) =>
+      case (name, secs) if budgetOver(name, secs, runFactor) =>
         f"$name ${secs}%.2f>${budgetSecs(name) * runFactor}%.2f"
     }
     val blBreaches = if (!budgetsOn) Nil else baselineBreaches(results, runPinFactor)

@@ -2179,6 +2179,11 @@ object SparkEntry {
         |  CAST(doc_freq AS BIGINT) AS doc_freq,
         |  CAST(term_freq AS DOUBLE) / (SELECT CAST(sum(term_freq) AS DOUBLE) FROM c) AS corpus_share
         |FROM c""".stripMargin,
+    // cum_share is the EXACT integer prefix frequency over the scalar
+    // total (one double division at the end): the engine computes it
+    // through a bounded top-K + triangular join (no window), the oracle
+    // through DuckDB's ordered window — independent mechanisms, same
+    // closed form, and no double-sum ordering ambiguity on either side
     "q_vocab_coverage" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2187,14 +2192,15 @@ object SparkEntry {
         |c AS (SELECT tok AS token, count(*) AS term_freq FROM t GROUP BY 1),
         |tot AS (SELECT CAST(sum(term_freq) AS DOUBLE) AS tot FROM c)
         |SELECT CAST(rank AS BIGINT) AS "rank", token,
-        |  CAST(term_freq AS BIGINT) AS term_freq, round(cum_share, 6) AS cum_share
+        |  CAST(term_freq AS BIGINT) AS term_freq,
+        |  round(CAST(cum_f AS DOUBLE) / tot, 6) AS cum_share
         |FROM (
         |  SELECT token, term_freq,
         |    row_number() OVER (ORDER BY term_freq DESC, token ASC) AS rank,
-        |    sum(CAST(term_freq AS DOUBLE) / tot) OVER (
+        |    sum(term_freq) OVER (
         |      ORDER BY term_freq DESC, token ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_share
-        |  FROM c CROSS JOIN tot)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_f
+        |  FROM c) CROSS JOIN tot
         |WHERE rank <= 20""".stripMargin,
     "q_range_join" ->
       """WITH p AS (

@@ -608,19 +608,43 @@ object TextOps {
 
   /** Vocabulary coverage curve: the `topK` most frequent tokens with
     * their cumulative corpus share — the "how big must the tokenizer
-    * vocab be to cover X% of tokens" signal. The ranking window runs
-    * over the VOCABULARY frame (one row per distinct token — never the
-    * corpus), so the full-sort window is fine here; ties break on the
-    * token string for an engine-stable curve. */
+    * vocab be to cover X% of tokens" signal. Ties break on the token
+    * string for an engine-stable curve.
+    *
+    * Scale shape (r15 — this was the one single-partition global window
+    * left in main): the top-K frame comes from `orderBy().limit(topK)`
+    * (TakeOrderedAndProject — a bounded K-row heap per partition, never
+    * one task owning the whole vocabulary; a 100 TB web corpus has 1e9+
+    * distinct tokens under dirty text). Rank and the cumulative
+    * frequency are then a K²-row broadcast triangular self-join INSIDE
+    * the K-sized frame — no WindowExec anywhere in the plan
+    * (spec-asserted) — and `cum_share` divides the EXACT integer prefix
+    * frequency by one broadcast scalar total, so no double-sum ordering
+    * can flip the 6 dp rounding. */
   def vocabCoverage(docs: DataFrame, topK: Int = 20): DataFrame = {
-    val w = Window.orderBy(col("term_freq").desc, col("token").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vocabulary(docs)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("term_freq").desc, col("token").asc)).cast(LongType))
-      .withColumn("cum_share", round(sum(col("corpus_share")).over(w), 6))
-      .filter(col("rank") <= topK)
-      .select(col("rank"), col("token"), col("term_freq"), col("cum_share"))
+    require(topK > 0, "topK must be positive")
+    val vocab = vocabulary(docs)
+    // corpus token total: one scalar aggregation over the cached
+    // vocabulary-sized counts frame, broadcast back
+    val total = vocab.agg(sum(col("term_freq")).as("_vc_total"))
+    val top = vocab
+      .orderBy(col("term_freq").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("term_freq"))
+    val peers = top.select(col("token").as("_vc_t"), col("term_freq").as("_vc_f"))
+    // each row pairs with every row at-or-before it in the (freq desc,
+    // token asc) total order: rank = predecessor count, cumulative
+    // frequency = predecessor sum — the top-K set is prefix-closed under
+    // this order, so staying inside the K frame loses nothing
+    top.join(broadcast(peers),
+        col("_vc_f") > col("term_freq") ||
+          (col("_vc_f") === col("term_freq") && col("_vc_t") <= col("token")))
+      .groupBy(col("token"), col("term_freq"))
+      .agg(count(lit(1)).as("rank"), sum(col("_vc_f")).as("_vc_cumf"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("term_freq"),
+        round(col("_vc_cumf").cast(DoubleType) / col("_vc_total"), 6)
+          .as("cum_share"))
   }
 
   /** Corpus bigram language-model statistics: count and conditional

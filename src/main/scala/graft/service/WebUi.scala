@@ -743,10 +743,17 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
   private def setupExportForm(s: SetupSelections): String = {
     def hidden(k: String, v: String) =
       s"""<input type="hidden" name="${esc(k)}" value="${esc(v)}">"""
+    // the token round-trips as a password-typed field with autofill off:
+    // a plain text/hidden input sits readable in the DOM and gets
+    // captured by browser form autofill/history even though the POST
+    // design keeps it out of URLs
+    def secret(k: String, v: String) =
+      s"""<input type="password" style="display:none" name="${esc(k)}" """ +
+        s"""value="${esc(v)}" autocomplete="off" aria-hidden="true">"""
     "<form method=\"post\" action=\"/ui/setup/export\">" +
       hidden("runtime", s.runtime) + hidden("master", s.master) +
       hidden("data_root", s.dataRoot) +
-      s.token.fold("")(hidden("token", _)) +
+      s.token.fold("")(secret("token", _)) +
       (if (s.modules.isEmpty) "" else hidden("modules", s.modules.mkString(","))) +
       "<button type=\"submit\">Download bundle.zip</button></form>"
   }
@@ -773,7 +780,8 @@ final class WebUi(contracts: ContractStore, gov: GovernanceBackend,
         esc(s.master) + "\"></td></tr>\n" +
         "<tr><th>service data root</th><td><input name=\"data_root\" value=\"" +
         esc(s.dataRoot) + "\"></td></tr>\n" +
-        "<tr><th>API token (optional)</th><td><input name=\"token\" value=\"" +
+        "<tr><th>API token (optional)</th><td>" +
+        "<input type=\"password\" autocomplete=\"off\" name=\"token\" value=\"" +
         esc(s.token.getOrElse("")) + "\"></td></tr>\n" +
         "<tr><th>example modules</th><td>" +
         SetupBundle.ExampleModules.map(m =>

@@ -86,6 +86,15 @@ object StreamFrontier {
   def schedule(permitted: DataFrame, keyCol: String = "doc_id",
                urlIdCol: String = "url_id",
                defaultDelay: Double = 1.0): DataFrame = {
+    // the working columns are APPENDED (withColumn replaces in place when
+    // the name already exists, which would silently shift keyIdx/uidIdx
+    // onto the wrong positions), and slot/offset_s are about to be added
+    // to the output schema — reject collisions loudly instead
+    val reserved = Seq("_sf_skey", "_sf_uid", "slot", "offset_s")
+      .filter(permitted.columns.contains)
+    require(reserved.isEmpty,
+      s"schedule reserves column names ${reserved.mkString(", ")} — rename " +
+        "them on the input frame first")
     val keyed = permitted
       .withColumn("delay_s",
         coalesce(col("delay_s").cast(DoubleType), lit(defaultDelay)))

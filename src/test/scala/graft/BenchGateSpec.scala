@@ -123,6 +123,72 @@ class BenchGateSpec extends AnyFunSuite {
     assert(d5.isEmpty)
   }
 
+  test("r14 hot-run profile: a contention burst on a short-pin query is " +
+    "cleared by the retry ladder instead of red-flagging an unchanged engine") {
+    // the BENCH_r14 shape: the whole 91-query run ~1.2x hot, and q_chi2
+    // (0.28 s pin) caught a 2.84x relative burst that the IMMEDIATE
+    // retry re-measured still inside the same burst. With the idle-
+    // spaced second round the burst has moved on (the adjudication run
+    // read 1.067x) — rc must be 0.
+    val hot = Bench.pinnedSecs.toSeq.map { case (k, v) =>
+      if (k == "q_chi2") k -> v * 2.84 else k -> v * 1.2 }
+    var spaced = 0
+    var calls = 0
+    val resolved = Bench.resolveBreaches(hot,
+      remeasure = { name =>
+        assert(name == "q_chi2", "only the breaching query is re-measured")
+        calls += 1
+        // round 0 lands inside the same burst; round 1 (idle-spaced) clears
+        if (calls == 1) Bench.pinnedSecs(name) * 2.8
+        else Bench.pinnedSecs(name) * 1.07
+      },
+      spacer = _ => spaced += 1)
+    assert(spaced == 1, "the second retry must be idle-spaced exactly once")
+    assert(Bench.baselineBreaches(resolved, Bench.pinFactor(resolved)).isEmpty,
+      "a burst that clears after imposed idle must not breach")
+  }
+
+  test("a genuine 3x single-query regression still breaches through both retries") {
+    val hot = Bench.pinnedSecs.toSeq.map { case (k, v) =>
+      if (k == "q_chi2") k -> v * 3.0 else k -> v * 1.0 }
+    val resolved = Bench.resolveBreaches(hot,
+      remeasure = name => Bench.pinnedSecs(name) * 3.0, // repeats: real
+      spacer = _ => ())
+    val breaches = Bench.baselineBreaches(resolved, Bench.pinFactor(resolved))
+    assert(breaches.nonEmpty && breaches.head.startsWith("q_chi2"),
+      "retries must never absorb a reproducible regression")
+  }
+
+  test("resolveBreaches keeps minima, skips cleared queries, and survives " +
+    "a throwing remeasure") {
+    val pin = Bench.pinnedSecs("q_funnel")
+    // idle background so the contention median reads 1.0, not the
+    // breaching query's own ratio
+    def profile = Bench.pinnedSecs.toSeq.map { case (k, v) =>
+      if (k == "q_funnel") k -> v * 2.5 else k -> v }
+    def timeOf(rs: Seq[(String, Double)]) = rs.toMap.apply("q_funnel")
+    // a retry that comes back WORSE is discarded (min-keeping)
+    val worse = Bench.resolveBreaches(profile,
+      remeasure = _ => pin * 9.9, spacer = _ => ())
+    assert(timeOf(worse) == pin * 2.5)
+    // a query cleared in round 0 is not re-run in round 1
+    var calls = 0
+    val cleared = Bench.resolveBreaches(profile,
+      remeasure = { _ => calls += 1; pin }, spacer = _ => ())
+    assert(calls == 1 && timeOf(cleared) == pin)
+    // a throwing remeasure keeps the original sample instead of failing
+    val thrown = Bench.resolveBreaches(profile,
+      remeasure = _ => sys.error("boom"), spacer = _ => ())
+    assert(timeOf(thrown) == pin * 2.5)
+    // an idle profile never re-measures or spaces
+    var touched = false
+    val idle = Bench.pinnedSecs.toSeq
+    val out = Bench.resolveBreaches(idle,
+      remeasure = { _ => touched = true; 0.0 },
+      spacer = _ => touched = true)
+    assert(out == idle && !touched)
+  }
+
   test("priorRatios round-trips through the state file; total on absence/garbage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prior").toString
     // absence degrades to empty, never throws

@@ -185,6 +185,28 @@ class ClustersVocabSpec extends SparkSpec {
     assert(math.abs(v.values.map(_._3).sum - 1.0) < 1e-12)
   }
 
+  test("vocabCoverage: closed-form ranks/shares, and NO window in the plan " +
+    "(the r14 verdict's single-partition WindowExec hazard)") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "b d")).toDF("doc_id", "text")
+    // freqs: a=3, b=3, c=1, d=1 over 8 tokens; ties break token-asc
+    val out = TextOps.vocabCoverage(docs, topK = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ("a", 3L, 0.375))
+    assert(out(2L) == ("b", 3L, 0.75))
+    assert(out(3L) == ("c", 1L, 0.875))
+    assert(out.size == 3, "topK bounds the curve")
+    // a 100 TB vocabulary must never funnel through one window task: the
+    // plan is TakeOrderedAndProject (bounded heap) + broadcast joins —
+    // no WindowExec node anywhere
+    val plan = TextOps.vocabCoverage(docs, topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"vocabCoverage plan must not contain a window operator:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must rank through a bounded heap:\n$plan")
+  }
+
   test("tfidf ranks per-doc terms by tf x ln(N/df), ties on token asc") {
     val docs = Seq(
       (1L, "apple banana apple"),

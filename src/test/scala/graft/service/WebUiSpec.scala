@@ -538,8 +538,12 @@ class WebUiSpec extends AnyFunSuite {
       assert(!review.body().contains("/ui/setup/export?"),
         "no GET export link — selections (incl. the token) must POST")
       assert(!review.body().contains("s3cr3t-tok") ||
-        review.body().contains("type=\"hidden\" name=\"token\""),
-        "the token may appear only as a hidden form field")
+        review.body().contains("type=\"password\""),
+        "the token may round-trip only as a password-typed form field")
+      assert(!review.body().contains("type=\"hidden\" name=\"token\""),
+        "a hidden-typed token sits autofill/history-readable in the DOM")
+      // the wizard's own token input is password-typed with autofill off
+      assert(form.body().contains("type=\"password\" autocomplete=\"off\" name=\"token\""))
       // the export IS the reviewed selection, as a zip
       val exportFields = Map("runtime" -> "streaming",
         "data_root" -> "/srv/graft", "token" -> "s3cr3t-tok",

@@ -114,6 +114,20 @@ class StreamFrontierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("schedule rejects inputs already carrying its reserved column names") {
+    // withColumn REPLACES an existing column in place, which would
+    // silently shift the positional key/uid reads onto the wrong
+    // columns (r14 advice) — the guard fails loudly instead
+    val base = urls.withColumn("delay_s", lit(1.0))
+    for (bad <- Seq("_sf_skey", "_sf_uid", "slot", "offset_s")) {
+      val e = intercept[IllegalArgumentException] {
+        StreamFrontier.schedule(base.withColumn(bad, lit(0L)),
+          keyCol = "host")
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
+
   test("a null url_id mis-slots one URL (nulls first), never kills the query") {
     // batch twin's contract: crawlSchedule's window orders
     // asc_nulls_first; a getLong on the null would instead NPE the
