@@ -37,22 +37,40 @@ object SchemaSnapshot {
 }
 
 /** Outcome of evaluating observations against a contract.
-  * Mirrors dc43 `ValidationResult`. */
+  * Mirrors dc43 `ValidationResult` (dc43-service-clients
+  * `data_quality/models.py:24-90`): the reference carries an explicit
+  * four-value status (`ok | warn | block | unknown`) alongside the
+  * error/warning lists because EXTERNAL engines (Great Expectations /
+  * Soda adapters) emit a verdict directly instead of deriving it —
+  * `statusOverride` is that channel, `None` for the native engine whose
+  * status derives from the lists exactly as before. `reason` is the
+  * reference's free-text verdict explanation (models.py `reason`),
+  * populated by the metrics-driven engines. */
 final case class ValidationResult(
     ok: Boolean,
     errors: Seq[String],
     warnings: Seq[String],
     metrics: Map[String, Any],
-    schema: Map[String, FieldSnapshot]
+    schema: Map[String, FieldSnapshot],
+    statusOverride: Option[String] = None,
+    reason: Option[String] = None
 ) {
   /** The reference's record-status vocabulary (`governance/backend/
-    * local.py:68`): errors block, warnings warn, clean is ok. THE
-    * canonical mapping — governance records and telemetry spans both
-    * delegate here so the vocabularies cannot drift. */
+    * local.py:68`): errors block, warnings warn, clean is ok — unless an
+    * external engine pronounced its own verdict (models.py clamps
+    * unknown spellings to `unknown`; the adapters only construct known
+    * ones). THE canonical mapping — governance records and telemetry
+    * spans both delegate here so the vocabularies cannot drift. */
   def recordStatus: String =
-    if (errors.nonEmpty) "block"
-    else if (warnings.nonEmpty) "warn"
-    else "ok"
+    statusOverride.filter(ValidationResult.KnownStatuses.contains).getOrElse(
+      if (errors.nonEmpty) "block"
+      else if (warnings.nonEmpty) "warn"
+      else "ok")
+}
+
+object ValidationResult {
+  /** models.py `_KNOWN_STATUSES`. */
+  val KnownStatuses: Set[String] = Set("ok", "warn", "block", "unknown")
 }
 
 /** Contract evaluation over collected observations — the engine-independent

@@ -61,11 +61,18 @@ object BearerAuth {
   *  - `GET  /contracts/latest?id=`              → ODCS JSON | 404
   *  - `POST /contracts/put` (body ODCS JSON)    → 204
   *  - `POST /data-quality/evaluate` (body `{"contract":ODCS,"schema":{col:{odcsType,nullable[,backendType]}},"metrics":{k:n}}`)
-  *      → `{"ok":,"status":,"errors":[...],"warnings":[...]}` — the
-  *      reference's observation-payload evaluation
+  *      → `{"ok":,"status":,"errors":[...],"warnings":[...][,"reason":]}`
+  *      — the reference's observation-payload evaluation
   *      (`server.py:368` `/data-quality/evaluate`): a remote pipeline
   *      ships its OBSERVATIONS (one-pass metrics + schema snapshot),
-  *      never its data, and the verdict comes back over the wire
+  *      never its data, and the verdict comes back over the wire.
+  *      Evaluation dispatches through [[graft.quality.DataQualityManager]]
+  *      (r15): a contract naming an external engine (`quality_engine`
+  *      custom property or a quality rule's `engine` attribute —
+  *      reference manager.py:49-75) has its verdict interpreted from
+  *      the metrics' nested run summary (e.g. a `great_expectations`
+  *      object value) instead of recomputed natively; unknown engine
+  *      names are a 400, not a silent native fallback
   *  - `POST /data-quality/expectations` (body `{"contract":ODCS}`)
   *      → `{"expectations":[{key,rule,column,optional,predicate},...]}`
   *      (`server.py:375` — the contract's expectation descriptors with
@@ -120,7 +127,14 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
                                    * REMOTE pipelines sets "0.0.0.0" or the
                                    * interface address — `[server] host` in the
                                    * [[ServiceBootstrap]] config. */
-                                 host: String = "127.0.0.1") {
+                                 host: String = "127.0.0.1",
+                                 /** Per-contract DQ engine dispatch for
+                                   * `/data-quality/evaluate` — the default
+                                   * registry (native + the GE/Soda
+                                   * metrics-driven adapters); deployments
+                                   * register custom engines here. */
+                                 dqManager: graft.quality.DataQualityManager =
+                                   new graft.quality.DataQualityManager()) {
 
   private var server: Option[HttpServer] = None
 
@@ -358,26 +372,47 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           // which the drafting enum-extension path reads as Seq[String]
           case (k, JArray(vs)) if vs.forall(_.isInstanceOf[JString]) =>
             k -> (vs.collect { case JString(v) => v }: Any)
+          // object values are EXTERNAL run summaries (a Great
+          // Expectations / Soda result riding the payload under its
+          // engine's metrics key — reference engines.py:128-133); the
+          // metrics-driven engines read them as nested maps
+          case (k, JObject(inner)) => k -> (plainValue(JObject(inner)): Any)
           // dropping an unsupported value silently would evaluate as if
           // the observation was never shipped — a green verdict for a
           // payload that actually reported a violation; reject instead
           case (k, other) => throw new IllegalArgumentException(
             s"metrics.$k: unsupported value type ${other.getClass.getSimpleName} " +
-              "(number, string, or string array)")
+              "(number, string, string array, or summary object)")
         }
         case Some(_) => throw new IllegalArgumentException("'metrics' must be an object")
         case None => Map.empty
       }
+    def plainValue(v: JValue): Any = v match {
+      case JString(s) => s
+      case JBool(b) => b
+      case JInt(i) => i.longValue
+      case JLong(l) => l
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case JArray(xs) => xs.map(plainValue)
+      case JObject(fs) => fs.map { case (k, x) => k -> plainValue(x) }.toMap
+      case _ => null
+    }
 
     s.createContext("/data-quality/evaluate", handler { (ex, _) =>
       val fields = jsonBody(ex)
-      val res = graft.quality.Evaluator.evaluate(
-        decodeContract(fields), decodeSchema(fields), decodeMetrics(fields))
-      respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-        "ok" -> JBool(res.ok),
-        "status" -> JString(res.recordStatus),
-        "errors" -> JArray(res.errors.toList.map(JString(_))),
-        "warnings" -> JArray(res.warnings.toList.map(JString(_)))))))
+      // per-contract engine resolution (manager.py:90-96): native unless
+      // the contract names an external engine, whose run summary rides
+      // the metrics as a nested object
+      val res = dqManager.evaluate(decodeContract(fields),
+        graft.quality.ObservationPayload(
+          decodeMetrics(fields), decodeSchema(fields)))
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(List(
+        "ok" -> (JBool(res.ok): JValue),
+        "status" -> (JString(res.recordStatus): JValue),
+        "errors" -> (JArray(res.errors.toList.map(JString(_))): JValue),
+        "warnings" -> (JArray(res.warnings.toList.map(JString(_))): JValue)) ++
+        res.reason.map(r => "reason" -> (JString(r): JValue)).toList))))
     })
     s.createContext("/data-quality/expectations", handler { (ex, _) =>
       val body = JsonMethods.parse(

@@ -200,6 +200,29 @@ class AuthBootstrapSpec extends SparkSpec {
       // malformed body is a 400, not a 500
       assert(post("/data-quality/evaluate", "[]")._1 == 400)
       assert(post("/data-quality/expectations", "{}")._1 == 400)
+      // r15: a contract naming an external engine has its verdict
+      // INTERPRETED from the shipped run summary (manager.py engine
+      // resolution + the GE adapter) instead of recomputed natively
+      val geJson = graft.contracts.ContractJson.toJson(
+        DemoContracts.lineitem.copy(customProperties =
+          Map("quality_engine" -> "great_expectations")))
+      val geBlock = post("/data-quality/evaluate",
+        s"""{"contract":$geJson,"schema":$schema,
+           |"metrics":{"great_expectations":{"success":false,
+           |"exception_info":{"exception_message":"suite exploded"}}}}""".stripMargin)
+      assert(geBlock._1 == 200 && geBlock._2.contains("\"status\":\"block\""),
+        geBlock._2)
+      assert(geBlock._2.contains("suite exploded"), geBlock._2)
+      val geMissing = post("/data-quality/evaluate",
+        s"""{"contract":$geJson,"schema":$schema,"metrics":{}}""")
+      assert(geMissing._2.contains("\"status\":\"unknown\"") &&
+        geMissing._2.contains("missing-great-expectations-summary"), geMissing._2)
+      // an unknown engine name is a 400, never a silent native verdict
+      val badEngine = graft.contracts.ContractJson.toJson(
+        DemoContracts.lineitem.copy(customProperties =
+          Map("quality_engine" -> "nonsuch")))
+      assert(post("/data-quality/evaluate",
+        s"""{"contract":$badEngine,"schema":$schema,"metrics":{}}""")._1 == 400)
     }
   }
 
