@@ -633,6 +633,21 @@ object SparkEntry {
         Seq("source"), "n_tokens", Seq(0.25, 0.5, 0.75))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    // TRAINED language ID (r15): multi-class hashed-char-trigram Naive
+    // Bayes trained on the corpus's own labels in one pass, scored as
+    // exact integer-micro per-class logits, argmax with ties to the
+    // first class in sorted order — training AND inference replayed
+    // bit-for-bit by the oracle (the q_nb_classify precedent)
+    "q_lang_id_trained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = TextOps.trainLangNb(docs, col("lang"), buckets = 64,
+        nGram = 3, mode = HashMode.Portable)
+      TextOps.langIdNb(docs, model, mode = HashMode.Portable)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("predicted_lang"),
+          (col("predicted_lang") === col("lang")).as("correct"),
+          col("n_feats"), col("score_micro"))
+    }),
     "q_text_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "q_classifier_score" -> ((s, d) =>
       TextOps.scoreLinear(t(s, d, "documents"), ClassifierWeights,
@@ -659,6 +674,11 @@ object SparkEntry {
     // bigram → unk penalty) at the operator defaults
     "q_trigram_lm" -> ((s, d) => TextOps.trigramLm(t(s, d, "documents"))),
     "q_lm_score3" -> ((s, d) => TextOps.lmScore3(t(s, d, "documents"))),
+    // order-5 LM (r15 — the KenLM production order): all four backoff
+    // models from ONE shared tokenisation, stupid backoff 5→4→3→2 with
+    // the α discount compounding per hop (α^j nested right so the
+    // double arithmetic is engine-replayable)
+    "q_lm_score5" -> ((s, d) => TextOps.lmScore5(t(s, d, "documents"))),
     "q_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d, "documents"))),
     "q_lm_score" -> ((s, d) => TextOps.lmScore(t(s, d, "documents"))),
     // DSIR importance scoring: target model = the src0 slice (minCount 2 —
@@ -687,8 +707,35 @@ object SparkEntry {
         mode = HashMode.Portable)
         .select(col("doc_id"), col("source"), col("dsir_w"))
     }),
+    // DSIR under the order-3 backoff model (r15): all four models (target
+    // tri/bi at prune 2, raw tri/bi at the 3/5 family defaults) from ONE
+    // grouped tokenisation; each side backs off trigram → α·bigram → unk
+    "q_dsir3" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (tt, tb, rt, rb) = TextOps.dsirModels3(docs, col("source") === "src0")
+      TextOps.dsirScore3(docs, tt, tb, rt, rb)
+    }),
+    // the order-3 DSIR pipeline composed end to end (the q_dsir_sample
+    // recipe over the backoff score): scorable docs weighted by the
+    // shifted 6dp log-ratio, then sequential-Poisson weighted sampling
+    "q_dsir3_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (tt, tb, rt, rb) = TextOps.dsirModels3(docs, col("source") === "src0")
+      val scored = TextOps.dsirScore3(docs, tt, tb, rt, rb)
+      val weighted = docs.join(
+        scored.filter(col("n_trigrams") > 0)
+          .select(col("doc_id"),
+            greatest(lit(1L),
+              round((col("log_ratio") + lit(10.0)) * 1000, 0).cast("long"))
+              .as("dsir_w")),
+        Seq("doc_id"))
+      Curate.weightedSample(weighted, k = 25, weightCol = "dsir_w",
+        mode = HashMode.Portable)
+        .select(col("doc_id"), col("source"), col("dsir_w"))
+    }),
     "q_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(t(s, d, "documents"))),
     "q_ppl_buckets3" -> ((s, d) => TextOps.perplexityBuckets3(t(s, d, "documents"))),
+    "q_ppl_buckets5" -> ((s, d) => TextOps.perplexityBuckets5(t(s, d, "documents"))),
     "q_vocab_drift" -> ((s, d) => TextOps.vocabDrift(t(s, d, "documents"))),
     // PSI of each source's length profile against the corpus (bin = 50 chars)
     "q_psi" -> ((s, d) =>
@@ -962,6 +1009,29 @@ object SparkEntry {
           graft.ops.WarcOps.warcMetaPayloads(s, ids))
         .select(col("doc_id"), col("rec_index"), col("charset"),
           col("payload_text"))
+    }),
+    // WET companion format (r15): conversion records over the SAME
+    // ISO 28500 byte-walk — synthetic WET files (gzip member-per-record
+    // on even ids, plain on odd) with every field closed-form; the
+    // projection is the exact (doc_id, text) shape the cleaning chain
+    // consumes. rec_index re-based to the conversion ordinal (the
+    // warcinfo record holds ordinal 0 — the q_warc_records discipline).
+    "q_wet_records" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      graft.ops.WetOps.parseWet(
+        graft.ops.WarcOps.parseWarc(s, graft.ops.WetOps.wetPayloads(s, ids)))
+        .withColumn("rec_index", col("rec_index") - 1)
+    }),
+    // WAT companion format (r15): metadata records' JSON envelopes
+    // through the declared schema — title/link extraction on the hook,
+    // plus the malformed-envelope class pinned to null fields
+    "q_wat_records" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      graft.ops.WetOps.parseWat(
+        graft.ops.WarcOps.parseWarc(s, graft.ops.WetOps.watPayloads(s, ids)))
+        .withColumn("rec_index", col("rec_index") - 1)
     }),
     // REAL pixel/sample decode: payloads synthesized from a closed-form
     // modular formula through the actual JDK codecs (PNG/BMP via
@@ -2671,6 +2741,26 @@ object SparkEntry {
     // each term rounded 9 dp then decimal-summed (the lm-score
     // contract); the backoff bigram keys on the trigram's (w2, w3)
     "q_lm_score3" -> lmScore3Sql,
+    // order-5 stupid backoff: ln(p5) when the 5-gram survives its prune
+    // (minCount 2), else the α^j-discounted 4/3/2-gram chain (prunes
+    // 2/3/5, oldest context word dropped per hop, α products nested
+    // right), else the fixed -10 penalty — the q_lm_score3 contract at
+    // the production order
+    "q_lm_score5" -> lmScore5Sql,
+    // order-5 buckets: quartile cuts via quantile_cont over the order-5
+    // backoff scores (the q_ppl_buckets3 recipe one order up)
+    "q_ppl_buckets5" ->
+      s"""WITH sc AS (SELECT * FROM ($lmScore5Sql) s0),
+        |cuts AS (
+        |  SELECT round(quantile_cont(avg_logp5, 0.25), 6) AS p25,
+        |    round(quantile_cont(avg_logp5, 0.75), 6) AS p75
+        |  FROM sc WHERE n_5grams > 0)
+        |SELECT doc_id, n_5grams, avg_logp5,
+        |  CASE WHEN n_5grams = 0 THEN 'unscored'
+        |       WHEN avg_logp5 >= p75 THEN 'head'
+        |       WHEN avg_logp5 >= p25 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN cuts""".stripMargin,
     // order-3 buckets: quartile cuts via quantile_cont over the backoff
     // scores (the q_ppl_buckets recipe at order 3)
     "q_ppl_buckets3" ->
@@ -2700,6 +2790,41 @@ object SparkEntry {
         |      - CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(sr AS DOUBLE) / nb, 6)
         |             ELSE 0.0 END, 6) AS log_ratio
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+    // order-3 DSIR: the shared trigram stream scored under four models
+    // (src0-trained target tri/bi at prunes 2/2, whole-corpus raw at
+    // 3/5), each side the stupid-backoff coalesce; decimal sums, ratio
+    // from the rounded means — the q_dsir contract one order up
+    "q_dsir3" ->
+      s"""$dsir3Ctes
+        |SELECT d.doc_id, CAST(coalesce(nt, 0) AS BIGINT) AS n_trigrams,
+        |  CASE WHEN coalesce(nt, 0) > 0 THEN round(CAST(st AS DOUBLE) / nt, 6)
+        |       ELSE 0.0 END AS avg_logp_target,
+        |  CASE WHEN coalesce(nt, 0) > 0 THEN round(CAST(sr AS DOUBLE) / nt, 6)
+        |       ELSE 0.0 END AS avg_logp_raw,
+        |  round(CASE WHEN coalesce(nt, 0) > 0 THEN round(CAST(st AS DOUBLE) / nt, 6)
+        |             ELSE 0.0 END
+        |      - CASE WHEN coalesce(nt, 0) > 0 THEN round(CAST(sr AS DOUBLE) / nt, 6)
+        |             ELSE 0.0 END, 6) AS log_ratio
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+    // the order-3 DSIR pipeline end to end: the q_dsir_sample
+    // weight/priority tail over the backoff log-ratio
+    "q_dsir3_sample" ->
+      s"""$dsir3Ctes,
+        |sc AS (SELECT doc_id,
+        |    round(round(CAST(st AS DOUBLE) / nt, 6)
+        |        - round(CAST(sr AS DOUBLE) / nt, 6), 6) AS log_ratio
+        |  FROM agg),
+        |w AS (SELECT doc_id,
+        |    greatest(1, CAST(round((log_ratio + 10.0) * 1000, 0) AS BIGINT)) AS dsir_w
+        |  FROM sc),
+        |kk AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ${h60("'wsamp:' || CAST(doc_id AS VARCHAR)")} // dsir_w AS pri
+        |    FROM w)
+        |  ORDER BY pri ASC, doc_id ASC LIMIT 25)
+        |SELECT d.doc_id, d.source, w.dsir_w
+        |FROM documents d JOIN w USING (doc_id) JOIN kk USING (doc_id)""".stripMargin,
     // the complete DSIR pipeline: scorable docs weighted by the shifted
     // 6dp log-ratio (monotone integer map, no transcendental exp in the
     // gate), then sequential-Poisson weighted sampling — q_weighted_sample's
@@ -3962,6 +4087,53 @@ object SparkEntry {
         |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une|des|que|pour)\b')) AS fr,
         |      len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|un|una|que|por|para)\b')) AS es
         |    FROM documents))""".stripMargin,
+    // multi-class NB training replicated in SQL (the q_nb_classify
+    // recipe, one log-likelihood table per class instead of one
+    // log-odds vector): char-trigram features off the normText twin,
+    // per-(lang, bucket) counts -> 6dp per-class log-likelihood ->
+    // micro-int weights + priors -> the scoring join, argmax via the
+    // (total DESC, lang ASC) window — the engine's struct-max tie order
+    "q_lang_id_trained" ->
+      s"""WITH nt AS (
+         |  SELECT doc_id, lang,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+         |  FROM documents),
+         |gi AS (SELECT doc_id, lang, s,
+         |  unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i FROM nt),
+         |f AS (SELECT doc_id, lang,
+         |  CAST(${h60("substr(s, CAST(i AS INT), 3)")} % 64 AS INT) AS bkt FROM gi),
+         |langs AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+         |dc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS d
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |dt AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM documents
+         |  WHERE lang IS NOT NULL),
+         |cnt AS (SELECT lang, bkt, count(*) AS n FROM f GROUP BY 1, 2),
+         |tc AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+         |wts AS (SELECT l.lang, gs.bkt,
+         |  CAST(round(round(ln((coalesce(n, 0) + 1.0) / (coalesce(t, 0) + 64.0)), 6)
+         |    * 1000000, 0) AS BIGINT) AS wt
+         |  FROM langs l
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bkt) gs
+         |  LEFT JOIN tc ON tc.lang = l.lang
+         |  LEFT JOIN cnt ON cnt.lang = l.lang AND cnt.bkt = gs.bkt),
+         |pri AS (SELECT dc.lang,
+         |  CAST(round(round(ln(d / tot), 6) * 1000000, 0) AS BIGINT) AS pm
+         |  FROM dc, dt),
+         |sc AS (SELECT f.doc_id, w.lang, sum(w.wt) AS sm
+         |  FROM f JOIN wts w ON w.bkt = f.bkt GROUP BY 1, 2),
+         |tot AS (SELECT d.doc_id, p.lang AS cls, coalesce(sm, 0) + pm AS total
+         |  FROM documents d CROSS JOIN pri p
+         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = p.lang),
+         |best AS (SELECT doc_id, cls AS predicted_lang, total FROM tot
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY total DESC, cls ASC) = 1),
+         |nf AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1)
+         |SELECT d.doc_id, d.lang, b.predicted_lang,
+         |  b.predicted_lang = d.lang AS correct,
+         |  CAST(coalesce(nf.n, 0) AS BIGINT) AS n_feats,
+         |  CAST(b.total AS BIGINT) AS score_micro
+         |FROM documents d JOIN best b USING (doc_id)
+         |LEFT JOIN nf USING (doc_id)""".stripMargin,
     "q_text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -4606,6 +4778,49 @@ object SparkEntry {
         |      'content="text/html; charset=iso-8859-1">nt caf' || chr(233) ||
         |      ' ' || doc_id FROM d
         |) rows""".stripMargin,
+    // WET oracle: every conversion-record field recomputed from the
+    // closed-form formulas (URI/date reuse the WARC fixture spellings;
+    // the (doc+j)%4=3 class is the empty extraction) — the framing, the
+    // gzip walk and the UTF-8 decode are what the engine must get right
+    "q_wet_records" ->
+      """WITH recs AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS j
+        |  FROM documents WHERE doc_id < 120),
+        |rows AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN (doc_id + j) % 4 = 3 THEN ''
+        |         ELSE 'wet doc ' || doc_id || ' rec ' || j ||
+        |           ' token' || ((doc_id + j) % 5) || ' end' END AS text
+        |  FROM recs)
+        |SELECT doc_id, CAST(j AS BIGINT) AS rec_index,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id || '/' || j AS target_uri,
+        |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS warc_date,
+        |  text, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM rows""".stripMargin,
+    // WAT oracle: the extracted envelope fields recomputed from the
+    // formulas — title T{doc}-{j}, (doc+j)%3 links with l0 first, and
+    // the (doc+j)%5=3 DAMAGED-JSON class pinned to null fields/0 links
+    // (the malformed-total contract on the hook, never a throw)
+    "q_wat_records" ->
+      """WITH recs AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS j
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, CAST(j AS BIGINT) AS rec_index,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id || '/' || j AS target_uri,
+        |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS warc_date,
+        |  CASE WHEN (doc_id + j) % 5 = 3 THEN CAST(NULL AS VARCHAR)
+        |       ELSE 'http://site' || (doc_id % 7) || '.example/page/' || doc_id || '/' || j
+        |       END AS wat_uri,
+        |  CASE WHEN (doc_id + j) % 5 = 3 THEN CAST(NULL AS VARCHAR)
+        |       ELSE 'T' || doc_id || '-' || j END AS title,
+        |  CAST(CASE WHEN (doc_id + j) % 5 = 3 THEN 0
+        |       ELSE (doc_id + j) % 3 END AS BIGINT) AS n_links,
+        |  CASE WHEN (doc_id + j) % 5 <> 3 AND (doc_id + j) % 3 > 0
+        |       THEN 'http://l0.example/' || doc_id || '/' || j
+        |       ELSE CAST(NULL AS VARCHAR) END AS first_link
+        |FROM recs""".stripMargin,
     "q_warc_records" ->
       """WITH recs AS (
         |  SELECT doc_id,
@@ -5136,6 +5351,78 @@ object SparkEntry {
         |       ELSE 0.0 END AS avg_logp3
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
 
+  /** The q_lm_score5 oracle, reused as a subquery by q_ppl_buckets5 —
+    * the q_lm_score3 recipe at the production order: count/stats CTEs
+    * for orders 5 (prune 2), 4 (prune 2), 3 (prune 3) and 2 (prune 5),
+    * then the stupid-backoff chain with the α discount compounding once
+    * per hop, NESTED RIGHT (`0.4 * (0.4 * p)`) so every double
+    * multiplication replays the engine's association bit for bit. */
+  private def lmScore5Sql: String =
+    """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |b5 AS (
+        |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2, c.tok AS w3, d.tok AS w4, f.tok AS w5
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |           JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |           JOIN e d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        |           JOIN e f ON f.doc_id = a.doc_id AND f.pos = a.pos + 4),
+        |c5 AS (SELECT w1, w2, w3, w4, w5, count(*) AS n FROM b5 GROUP BY 1, 2, 3, 4, 5),
+        |x5 AS (SELECT w1, w2, w3, w4, sum(n) AS tot FROM c5 GROUP BY 1, 2, 3, 4),
+        |st5 AS (
+        |  SELECT w1, w2, w3, w4, w5, round(CAST(n AS DOUBLE) / tot, 6) AS p5
+        |  FROM c5 JOIN x5 USING (w1, w2, w3, w4) WHERE n >= 2),
+        |b4 AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, c.tok AS w3, d.tok AS w4
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |           JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |           JOIN e d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
+        |c4 AS (SELECT w1, w2, w3, w4, count(*) AS n FROM b4 GROUP BY 1, 2, 3, 4),
+        |x4 AS (SELECT w1, w2, w3, sum(n) AS tot FROM c4 GROUP BY 1, 2, 3),
+        |st4 AS (
+        |  SELECT w1, w2, w3, w4, round(CAST(n AS DOUBLE) / tot, 6) AS p4
+        |  FROM c4 JOIN x4 USING (w1, w2, w3) WHERE n >= 2),
+        |b3 AS (
+        |  SELECT a.tok AS w1, c.tok AS w2, d.tok AS w3
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+        |           JOIN e d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS n FROM b3 GROUP BY 1, 2, 3),
+        |x3 AS (SELECT w1, w2, sum(n) AS tot FROM c3 GROUP BY 1, 2),
+        |st3 AS (
+        |  SELECT w1, w2, w3, round(CAST(n AS DOUBLE) / tot, 6) AS p3
+        |  FROM c3 JOIN x3 USING (w1, w2) WHERE n >= 3),
+        |b2 AS (
+        |  SELECT a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |c2 AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
+        |x2 AS (SELECT w1, sum(n) AS tot FROM c2 GROUP BY 1),
+        |st2 AS (
+        |  SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p2
+        |  FROM c2 JOIN x2 USING (w1) WHERE n >= 5),
+        |terms AS (
+        |  SELECT b5.doc_id,
+        |    coalesce(round(ln(st5.p5), 9),
+        |      round(ln(0.4 * st4.p4), 9),
+        |      round(ln(0.4 * (0.4 * st3.p3)), 9),
+        |      round(ln(0.4 * (0.4 * (0.4 * st2.p2))), 9),
+        |      -10.0) AS lp
+        |  FROM b5
+        |  LEFT JOIN st5 ON st5.w1 = b5.w1 AND st5.w2 = b5.w2 AND st5.w3 = b5.w3
+        |    AND st5.w4 = b5.w4 AND st5.w5 = b5.w5
+        |  LEFT JOIN st4 ON st4.w1 = b5.w2 AND st4.w2 = b5.w3 AND st4.w3 = b5.w4
+        |    AND st4.w4 = b5.w5
+        |  LEFT JOIN st3 ON st3.w1 = b5.w3 AND st3.w2 = b5.w4 AND st3.w3 = b5.w5
+        |  LEFT JOIN st2 ON st2.w1 = b5.w4 AND st2.w2 = b5.w5),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS ng, sum(CAST(lp AS DECIMAL(28,9))) AS s
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(ng, 0) AS BIGINT) AS n_5grams,
+        |  CASE WHEN coalesce(ng, 0) > 0 THEN round(CAST(s AS DOUBLE) / ng, 6)
+        |       ELSE 0.0 END AS avg_logp5
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
+
   /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */
   private def lmScoreSql: String =
     """WITH t AS (
@@ -5229,6 +5516,54 @@ object SparkEntry {
       |  FROM b2 LEFT JOIN smt ON smt.w1 = b2.w1 AND smt.w2 = b2.w2
       |          LEFT JOIN smr ON smr.w1 = b2.w1 AND smr.w2 = b2.w2),
       |agg AS (SELECT doc_id, count(*) AS nb,
+      |  sum(CAST(lt AS DECIMAL(28,9))) AS st, sum(CAST(lr AS DECIMAL(28,9))) AS sr
+      |  FROM terms GROUP BY 1)""".stripMargin
+
+  /** Shared ORDER-3 DSIR CTE chain (through per-doc decimal sums `agg`):
+    * one shared trigram/bigram stream over `documents`, src0-trained
+    * target models (tri/bi prunes 2/2), whole-corpus raw models (3/5),
+    * each side's term the stupid-backoff coalesce of the q_lm_score3
+    * recipe. */
+  private def dsir3Ctes: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
+      |  FROM documents),
+      |e AS (SELECT doc_id, source, unnest(toks) AS tok,
+      |  generate_subscripts(toks, 1) AS pos FROM t),
+      |b3 AS (
+      |  SELECT a.doc_id, a.source, a.tok AS w1, b.tok AS w2, c.tok AS w3
+      |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |           JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |b2 AS (
+      |  SELECT a.doc_id, a.source, a.tok AS w1, b.tok AS w2
+      |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      |tc3t AS (SELECT w1, w2, w3, count(*) AS n FROM b3 WHERE source = 'src0' GROUP BY 1, 2, 3),
+      |cx3t AS (SELECT w1, w2, sum(n) AS tot FROM tc3t GROUP BY 1, 2),
+      |st3t AS (SELECT w1, w2, w3, round(CAST(n AS DOUBLE) / tot, 6) AS p
+      |  FROM tc3t JOIN cx3t USING (w1, w2) WHERE n >= 2),
+      |tc2t AS (SELECT w1, w2, count(*) AS n FROM b2 WHERE source = 'src0' GROUP BY 1, 2),
+      |cx2t AS (SELECT w1, sum(n) AS tot FROM tc2t GROUP BY 1),
+      |st2t AS (SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+      |  FROM tc2t JOIN cx2t USING (w1) WHERE n >= 2),
+      |tc3r AS (SELECT w1, w2, w3, count(*) AS n FROM b3 GROUP BY 1, 2, 3),
+      |cx3r AS (SELECT w1, w2, sum(n) AS tot FROM tc3r GROUP BY 1, 2),
+      |st3r AS (SELECT w1, w2, w3, round(CAST(n AS DOUBLE) / tot, 6) AS p
+      |  FROM tc3r JOIN cx3r USING (w1, w2) WHERE n >= 3),
+      |tc2r AS (SELECT w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2),
+      |cx2r AS (SELECT w1, sum(n) AS tot FROM tc2r GROUP BY 1),
+      |st2r AS (SELECT w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+      |  FROM tc2r JOIN cx2r USING (w1) WHERE n >= 5),
+      |terms AS (
+      |  SELECT b3.doc_id,
+      |    coalesce(round(ln(st3t.p), 9), round(ln(0.4 * st2t.p), 9), -10.0) AS lt,
+      |    coalesce(round(ln(st3r.p), 9), round(ln(0.4 * st2r.p), 9), -10.0) AS lr
+      |  FROM b3
+      |  LEFT JOIN st3t ON st3t.w1 = b3.w1 AND st3t.w2 = b3.w2 AND st3t.w3 = b3.w3
+      |  LEFT JOIN st2t ON st2t.w1 = b3.w2 AND st2t.w2 = b3.w3
+      |  LEFT JOIN st3r ON st3r.w1 = b3.w1 AND st3r.w2 = b3.w2 AND st3r.w3 = b3.w3
+      |  LEFT JOIN st2r ON st2r.w1 = b3.w2 AND st2r.w2 = b3.w3),
+      |agg AS (SELECT doc_id, count(*) AS nt,
       |  sum(CAST(lt AS DECIMAL(28,9))) AS st, sum(CAST(lr AS DECIMAL(28,9))) AS sr
       |  FROM terms GROUP BY 1)""".stripMargin
 

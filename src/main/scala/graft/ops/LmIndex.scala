@@ -33,14 +33,25 @@ import org.apache.spark.sql.functions._
   * range-partitioned sorted layout) plus `minCount3`/`nTrigrams`
   * metadata, serving stupid-backoff scoring ([[score3]] →
   * [[TextOps.lmScore3With]]: trigram hit, else α-discounted bigram,
-  * else unk — CCNet-lineage filtering in production scores under
-  * higher-order KenLM models). Readers are version-tolerant both ways:
-  * v1 artifacts keep loading/scoring/merging exactly as before (the
-  * trigram entry points fail loudly on them), and [[merge]] preserves
-  * whichever layout its input has — a v2 merge re-counts the new
-  * corpus's bigrams AND trigrams in ONE shared tokenisation pass.
+  * else unk). v3 ([[buildWithOrders]], r15): adds `dir/counts4` and
+  * `dir/counts5` (per-order UNPRUNED additive counts, same layout
+  * discipline) plus `minCount4`/`n4grams`/`minCount5`/`n5grams`,
+  * serving the PRODUCTION backoff order ([[score5]] →
+  * [[TextOps.lmScore5With]]: 5-gram hit, else α^j-discounted lower
+  * orders 4→3→2, else unk — KenLM's default and the CCNet-lineage
+  * filtering order is 5). Readers are version-tolerant downward: v1/v2
+  * artifacts keep loading/scoring/merging exactly as before (higher-
+  * order entry points fail loudly on them), [[merge]] preserves
+  * whichever layout its input has — a v2/v3 merge re-counts ALL the
+  * new corpus's orders in ONE shared tokenisation pass — and
+  * [[readMeta]] REJECTS artifacts stamped with a version above what
+  * this reader knows (a future v4 must fail loudly, not load silently
+  * under v3 semantics).
   */
 object LmIndex {
+
+  /** Highest artifact format version this reader understands. */
+  val MaxVersion = 3L
 
   /** Train on `docs` and persist under `dir`. The artifact stores the
     * UNPRUNED count frame ([[TextOps.bigramCounts]]) — counts are
@@ -82,12 +93,41 @@ object LmIndex {
       provenance)
   }
 
+  /** [[buildWithTrigrams]] extended to the v3 ORDER-5 layout: all four
+    * backoff layers (2, 3, 4, 5) from ONE corpus tokenisation
+    * ([[TextOps.ngramCountsUpTo]] — the pass emits every order's
+    * shingles into a single (k, gram)-keyed map-side-combined count),
+    * each layer persisted unpruned so [[merge]] stays an exact
+    * incremental retrain at every order. */
+  def buildWithOrders(docs: DataFrame, dir: String, minCount: Long = 5,
+                      minCount3: Long = 3, minCount4: Long = 2,
+                      minCount5: Long = 2, numFiles: Int = 4,
+                      provenance: Option[ArtifactProvenance.Target] = None): Unit = {
+    val spark = docs.sparkSession
+    val kg = TextOps.ngramCountsUpTo(docs, 5)
+    // gram-vocabulary-sized, feeds four writes — cache so the corpus
+    // aggregation runs once, not once per layer
+    Caching.ensureCached(kg)
+    writeCountsData(TextOps.bigramCountsOf(kg), dir, numFiles)
+    (3 to 5).foreach(k =>
+      writeCountsKData(TextOps.ngramCountsOf(kg, k), dir, k, numFiles))
+    writeMeta(spark, dir, metaFromDisk(spark, dir, minCount,
+      Some(minCount3), Some(minCount4), Some(minCount5)))
+    ArtifactProvenance.stampArtifact(spark, dir, "lm-index", "build",
+      provenance)
+  }
+
   /** Fold `newDocs` into the artifact at `dir`, writing the combined
     * model to `outDir` — an EXACT incremental retrain (spec-pinned equal
     * to building on the concatenated corpus): only the new documents are
-    * tokenised; the old corpus contributes its persisted vocabulary-sized
-    * counts. Recorded cut points do NOT carry over (the score
-    * distribution changed — run [[recordCuts]] again on `outDir`). */
+    * tokenised (ONE pass for every layer the artifact carries); the old
+    * corpus contributes its persisted vocabulary-sized counts.
+    *
+    * Recorded cut points (`cuts`/`cuts3`/`cuts5`) are INTENTIONALLY
+    * DISCARDED — the merged model's score distribution is not the input
+    * model's, so carried-over quartiles would misbucket silently;
+    * [[bucket]]/[[bucket3]]/[[bucket5]] fail loudly until the matching
+    * `recordCuts*` recalibrates on `outDir`. */
   def merge(spark: SparkSession, dir: String, newDocs: DataFrame,
             outDir: String, numFiles: Int = 4,
             provenance: Option[ArtifactProvenance.Target] = None): Unit = {
@@ -95,27 +135,31 @@ object LmIndex {
     // counts before the lazy union plan reads them, losing the artifact
     ArtifactPaths.requireDistinct(spark, dir, outDir)
     val m = readMeta(spark, dir)
-    m.minCount3 match {
-      case None =>
-        val combined = spark.read.parquet(s"$dir/counts")
-          .unionByName(TextOps.bigramCounts(newDocs))
-          .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
-        writeCountsData(combined, outDir, numFiles)
-      case Some(_) =>
-        // v2: the new corpus pays ONE tokenisation for both layers,
-        // exactly like buildWithTrigrams
-        val kg = TextOps.ngramCounts23(newDocs)
-        Caching.ensureCached(kg)
-        writeCountsData(spark.read.parquet(s"$dir/counts")
-          .unionByName(TextOps.bigramCountsOf(kg))
-          .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n")),
-          outDir, numFiles)
-        writeCounts3Data(spark.read.parquet(s"$dir/counts3")
-          .unionByName(TextOps.trigramCountsOf(kg))
-          .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("n")),
-          outDir, numFiles)
+    val maxOrder =
+      if (m.minCount5.isDefined) 5 else if (m.minCount3.isDefined) 3 else 2
+    def mergeLayer(path: String, fresh: DataFrame, k: Int): DataFrame = {
+      val keys = (1 to k).map(i => col(s"w$i"))
+      spark.read.parquet(path).unionByName(fresh)
+        .groupBy(keys: _*).agg(sum(col("n")).as("n"))
     }
-    writeMeta(spark, outDir, metaFromDisk(spark, outDir, m.minCount, m.minCount3))
+    if (maxOrder == 2)
+      writeCountsData(
+        mergeLayer(s"$dir/counts", TextOps.bigramCounts(newDocs), 2),
+        outDir, numFiles)
+    else {
+      // v2/v3: the new corpus pays ONE tokenisation for every layer,
+      // exactly like the multi-order builds
+      val kg = TextOps.ngramCountsUpTo(newDocs, maxOrder)
+      Caching.ensureCached(kg)
+      writeCountsData(
+        mergeLayer(s"$dir/counts", TextOps.bigramCountsOf(kg), 2),
+        outDir, numFiles)
+      (3 to maxOrder).foreach(k => writeCountsKData(
+        mergeLayer(countsPath(dir, k), TextOps.ngramCountsOf(kg, k), k),
+        outDir, k, numFiles))
+    }
+    writeMeta(spark, outDir, metaFromDisk(spark, outDir, m.minCount,
+      m.minCount3, m.minCount4, m.minCount5))
     ArtifactProvenance.stampArtifact(spark, outDir, "lm-index", "merge",
       provenance)
   }
@@ -161,11 +205,65 @@ object LmIndex {
       load(spark, dir, broadcastMaxRows), alpha, unkLogP)
   }
 
+  /** The order-4 stats frame `(w1..w4, n, p_cond)` from a v3 artifact —
+    * [[load3]]'s contract one order up; loud below v3. */
+  def load4(spark: SparkSession, dir: String,
+            broadcastMaxRows: Long = 4L << 20): DataFrame =
+    loadK(spark, dir, 4, broadcastMaxRows)
+
+  /** The order-5 stats frame `(w1..w5, n, p_cond)` from a v3 artifact;
+    * loud below v3. */
+  def load5(spark: SparkSession, dir: String,
+            broadcastMaxRows: Long = 4L << 20): DataFrame =
+    loadK(spark, dir, 5, broadcastMaxRows)
+
+  private def loadK(spark: SparkSession, dir: String, k: Int,
+                    broadcastMaxRows: Long): DataFrame = {
+    val m = readMeta(spark, dir)
+    val (mc, n) = k match {
+      case 4 => (m.minCount4, m.n4grams)
+      case _ => (m.minCount5, m.n5grams)
+    }
+    require(mc.isDefined,
+      s"$dir has no order-$k layer (pre-v3 artifact) — rebuild with " +
+        "buildWithOrders to enable order-5 backoff scoring")
+    val df = TextOps.ngramStatsFromCounts(
+      spark.read.parquet(countsPath(dir, k)), k, mc.get)
+    if (n.getOrElse(Long.MaxValue) <= broadcastMaxRows) broadcast(df) else df
+  }
+
+  /** Order-5 stupid-backoff scoring against the persisted v3 model —
+    * [[TextOps.lmScore5With]] over all four layers, each broadcast-
+    * decided at PLAN time from its own recorded pruned count (a
+    * web-scale 5-gram layer falls back to a shuffle join while the
+    * bigram layer still broadcasts); stream-safe like [[score]]. */
+  def score5(spark: SparkSession, dir: String, docs: DataFrame,
+             alpha: Double = 0.4, unkLogP: Double = -10.0,
+             broadcastMaxRows: Long = 4L << 20,
+             freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
+    TextOps.lmScore5With(docs,
+      load5(spark, dir, broadcastMaxRows), load4(spark, dir, broadcastMaxRows),
+      load3(spark, dir, broadcastMaxRows), load(spark, dir, broadcastMaxRows),
+      alpha, unkLogP)
+  }
+
   /** The v2 layer's recorded `(minCount3, nTrigrams)`, `None` on v1. */
   def meta3(spark: SparkSession, dir: String): Option[(Long, Long)] = {
     val m = readMeta(spark, dir)
     for (mc <- m.minCount3; n <- m.nTrigrams) yield (mc, n)
   }
+
+  /** The v3 layers' recorded `(minCount4, n4grams, minCount5, n5grams)`,
+    * `None` below v3. */
+  def meta5(spark: SparkSession, dir: String): Option[(Long, Long, Long, Long)] = {
+    val m = readMeta(spark, dir)
+    for (m4 <- m.minCount4; n4 <- m.n4grams; m5 <- m.minCount5; n5 <- m.n5grams)
+      yield (m4, n4, m5, n5)
+  }
+
+  private def countsPath(dir: String, k: Int): String =
+    if (k == 2) s"$dir/counts" else s"$dir/counts$k"
 
   private def writeCountsData(counts: DataFrame, dir: String,
                               numFiles: Int): Unit = {
@@ -176,25 +274,38 @@ object LmIndex {
       .write.mode("overwrite").parquet(s"$dir/counts")
   }
 
-  private def writeCounts3Data(counts: DataFrame, dir: String,
+  /** One order-`k` layer under the family layout discipline:
+    * range-partitioned and sorted on the full gram key (sorted runs
+    * compress well; parquet min/max prunes point lookups). */
+  private def writeCountsKData(counts: DataFrame, dir: String, k: Int,
                                numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    val keys = (1 to k).map(i => col(s"w$i"))
     counts
-      .repartitionByRange(numFiles, col("w1"), col("w2"), col("w3"))
-      .sortWithinPartitions(col("w1"), col("w2"), col("w3"))
-      .write.mode("overwrite").parquet(s"$dir/counts3")
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(countsPath(dir, k))
   }
+
+  private def writeCounts3Data(counts: DataFrame, dir: String,
+                               numFiles: Int): Unit =
+    writeCountsKData(counts, dir, 3, numFiles)
 
   /** Pruned row counts read back from the just-written layers — the
     * broadcast decision is about the frames the scoring joins actually
     * see (one vocabulary-sized job per layer, at build time only). */
   private def metaFromDisk(spark: SparkSession, dir: String, minCount: Long,
-                           minCount3: Option[Long]): Meta = {
+                           minCount3: Option[Long],
+                           minCount4: Option[Long] = None,
+                           minCount5: Option[Long] = None): Meta = {
     val n = TextOps.statsFromCounts(
       spark.read.parquet(s"$dir/counts"), minCount).count()
-    val n3 = minCount3.map(mc => TextOps.trigramStatsFromCounts(
-      spark.read.parquet(s"$dir/counts3"), mc).count())
-    Meta(minCount, n, None, minCount3, n3)
+    def prunedCount(k: Int, mc: Option[Long]): Option[Long] =
+      mc.map(m => TextOps.ngramStatsFromCounts(
+        spark.read.parquet(countsPath(dir, k)), k, m).count())
+    Meta(minCount, n, None, minCount3, prunedCount(3, minCount3),
+      minCount4 = minCount4, n4grams = prunedCount(4, minCount4),
+      minCount5 = minCount5, n5grams = prunedCount(5, minCount5))
   }
 
   /** Score documents against the persisted reference model —
@@ -265,6 +376,45 @@ object LmIndex {
   def cuts3(spark: SparkSession, dir: String): Option[(Double, Double)] =
     readMeta(spark, dir).cuts3
 
+  /** [[recordCuts3]] at order 5: quartile cuts of [[score5]] over a
+    * calibration corpus, stored as their own `(p25_5, p75_5)` pair —
+    * each order's backoff scores live on their own scale. Requires the
+    * v3 layers; preserves every other metadata field. */
+  def recordCuts5(spark: SparkSession, dir: String, calibration: DataFrame,
+                  alpha: Double = 0.4, unkLogP: Double = -10.0): Unit = {
+    val row = score5(spark, dir, calibration, alpha, unkLogP)
+      .filter(col("n_5grams") > 0)
+      .agg(round(percentile(col("avg_logp5"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("avg_logp5"), lit(0.75)), 6).as("p75"))
+      .collect()(0)
+    require(!row.isNullAt(0), "calibration corpus produced no scorable document")
+    val m = readMeta(spark, dir)
+    writeMeta(spark, dir,
+      m.copy(cuts5 = Some((row.getDouble(0), row.getDouble(1)))))
+  }
+
+  /** The recorded order-5 cut points, if [[recordCuts5]] ran. */
+  def cuts5(spark: SparkSession, dir: String): Option[(Double, Double)] =
+    readMeta(spark, dir).cuts5
+
+  /** [[bucket3]] at order 5 — the CCNet head/middle/tail split under
+    * the production model order, against [[recordCuts5]]'s frozen
+    * quartiles: a pure post-scoring projection, stream-safe like
+    * [[score5]]; documents with fewer than 5 tokens bucket `unscored`. */
+  def bucket5(spark: SparkSession, dir: String, docs: DataFrame,
+              alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame = {
+    val (p25, p75) = cuts5(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no recorded order-5 cuts — run recordCuts5 first"))
+    score5(spark, dir, docs, alpha, unkLogP)
+      .withColumn("bucket",
+        when(col("n_5grams") === 0, lit("unscored"))
+          .when(col("avg_logp5") >= p75, lit("head"))
+          .when(col("avg_logp5") >= p25, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_5grams"), col("avg_logp5"), col("bucket"))
+  }
+
   /** [[bucket]] under the ORDER-3 cuts: head/middle/tail by the
     * stupid-backoff score against [[recordCuts3]]'s frozen quartiles —
     * a pure post-scoring projection, stream-safe like [[score3]];
@@ -308,24 +458,42 @@ object LmIndex {
                           cuts: Option[(Double, Double)],
                           minCount3: Option[Long] = None,
                           nTrigrams: Option[Long] = None,
-                          cuts3: Option[(Double, Double)] = None)
+                          cuts3: Option[(Double, Double)] = None,
+                          minCount4: Option[Long] = None,
+                          n4grams: Option[Long] = None,
+                          minCount5: Option[Long] = None,
+                          n5grams: Option[Long] = None,
+                          cuts5: Option[(Double, Double)] = None)
 
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     import org.json4s.JsonAST._
     val base = List(
       "minCount" -> (JInt(BigInt(m.minCount)): JValue),
       "nBigrams" -> (JInt(BigInt(m.nBigrams)): JValue))
-    val withCuts = base ++ m.cuts.toList.flatMap { case (p25, p75) =>
-      List("p25" -> (JDouble(p25): JValue), "p75" -> (JDouble(p75): JValue))
-    } ++ m.cuts3.toList.flatMap { case (p25, p75) =>
-      List("p25_3" -> (JDouble(p25): JValue), "p75_3" -> (JDouble(p75): JValue))
-    } ++ m.minCount3.toList.flatMap { mc =>
-      // the version field is the v2 marker readers key on; minCount3 /
-      // nTrigrams travel with it (absent on v1 artifacts)
-      List("version" -> (JInt(BigInt(2)): JValue),
-        "minCount3" -> (JInt(BigInt(mc)): JValue),
-        "nTrigrams" -> (JInt(BigInt(m.nTrigrams.getOrElse(0L))): JValue))
-    }
+    def cutsOf(key: String, c: Option[(Double, Double)]) =
+      c.toList.flatMap { case (p25, p75) =>
+        List(s"p25$key" -> (JDouble(p25): JValue),
+          s"p75$key" -> (JDouble(p75): JValue))
+      }
+    // the version stamp travels with the highest layer present (absent
+    // on v1 artifacts); per-layer minCount/pruned-count pairs ride
+    // their own keys so partial reads can't misattribute an order
+    val version: Long =
+      if (m.minCount5.isDefined) 3L else if (m.minCount3.isDefined) 2L else 1L
+    val layerFields =
+      (if (version >= 2)
+        List("version" -> (JInt(BigInt(version)): JValue),
+          "minCount3" -> (JInt(BigInt(m.minCount3.getOrElse(0L))): JValue),
+          "nTrigrams" -> (JInt(BigInt(m.nTrigrams.getOrElse(0L))): JValue))
+      else Nil) ++
+      (if (version >= 3)
+        List("minCount4" -> (JInt(BigInt(m.minCount4.getOrElse(0L))): JValue),
+          "n4grams" -> (JInt(BigInt(m.n4grams.getOrElse(0L))): JValue),
+          "minCount5" -> (JInt(BigInt(m.minCount5.getOrElse(0L))): JValue),
+          "n5grams" -> (JInt(BigInt(m.n5grams.getOrElse(0L))): JValue))
+      else Nil)
+    val withCuts = base ++ cutsOf("", m.cuts) ++ cutsOf("_3", m.cuts3) ++
+      cutsOf("_5", m.cuts5) ++ layerFields
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(JObject(withCuts: _*)))
     val path = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
@@ -354,10 +522,23 @@ object LmIndex {
         def optLong(k: String): Option[Long] = m.get(k).collect {
           case org.json4s.JsonAST.JInt(v) => v.toLong
         }
-        Meta(longOf("minCount"), longOf("nBigrams"),
-          for (a <- dblOf("p25"); b <- dblOf("p75")) yield (a, b),
-          optLong("minCount3"), optLong("nTrigrams"),
-          for (a <- dblOf("p25_3"); b <- dblOf("p75_3")) yield (a, b))
+        def cutsOf(key: String): Option[(Double, Double)] =
+          for (a <- dblOf(s"p25$key"); b <- dblOf(s"p75$key")) yield (a, b)
+        // the explicit version stamp gates forward compatibility: a
+        // future v4 artifact must fail HERE, loudly, instead of loading
+        // silently under v3 semantics (layer presence alone cannot tell
+        // — v4 would carry every v3 key too)
+        val version = optLong("version").getOrElse(1L)
+        require(version <= MaxVersion,
+          s"$dir is an LmIndex format v$version artifact; this reader " +
+            s"understands up to v$MaxVersion — upgrade before loading")
+        // layer presence = key presence (the writers emit a layer's keys
+        // iff the layer exists), so a legitimate minCount of 0 still
+        // reads back as a present layer
+        Meta(longOf("minCount"), longOf("nBigrams"), cutsOf(""),
+          optLong("minCount3"), optLong("nTrigrams"), cutsOf("_3"),
+          optLong("minCount4"), optLong("n4grams"),
+          optLong("minCount5"), optLong("n5grams"), cutsOf("_5"))
       case _ => Meta(0L, 0L, None)
     }
   }

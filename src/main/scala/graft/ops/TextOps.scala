@@ -288,6 +288,120 @@ object TextOps {
       (predicted === col("lang")).as("correct"))
   }
 
+  /** TRAINED multi-class language-ID model ([[trainLangNb]]): per-class
+    * hashed-char-n-gram multinomial Naive Bayes — `classes` sorted
+    * ascending (the deterministic tie order), `priors(c)` =
+    * ln(D_c/D_total) and `weights(c)(b)` = ln((n_cb+α)/(N_c+αB)), both
+    * rounded 6 dp (the family's transcendental-parity contract) so a
+    * DuckDB oracle replays training bit for bit. Driver-sized by
+    * construction: classes × buckets doubles. */
+  final case class NbLangModel(classes: Seq[String], priors: Seq[Double],
+                               weights: Seq[Seq[Double]], buckets: Int,
+                               nGram: Int)
+
+  /** The hashed char-n-gram feature array both [[trainLangNb]] and
+    * [[langIdNb]] consume: overlapping `n`-char windows of the
+    * normalised text (the fastText/CCNet language-ID feature class —
+    * scripts without word boundaries get features too, which is exactly
+    * where token features go blind). Sub-n texts yield an empty array. */
+  private def charNgrams(textCol: Column, n: Int): Column = {
+    val nt = normText(coalesce(textCol, lit("")))
+    // the short-text branch must be explicit: sequence(1, 0) DESCENDS
+    // in Spark (yielding [1, 0] — two phantom empty-string features),
+    // it is not an empty range
+    when(length(nt) >= n,
+      transform(sequence(lit(1), length(nt) - (n - 1)),
+        i => nt.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** One-pass multi-class Naive Bayes TRAINING for [[langIdNb]] — the
+    * trained replacement for the [[langId]] heuristic (production
+    * pipelines run fastText lid.176-style trained classifiers; CCNet's
+    * pipeline language-splits before anything else). Multinomial NB
+    * over hashed char-`nGram` features: per class c and bucket b,
+    * `w_cb = ln((n_cb+α)/(N_c+αB))`, prior `ln(D_c/D_total)`, all 6 dp.
+    *
+    * Scale shape: ONE corpus pass — features hash to `buckets`
+    * map-side, the shuffle carries ≤ classes×buckets partial counts,
+    * plus one classes-sized doc-count aggregation; the model is
+    * driver-sized by the same contract as [[scoreLinear]]'s weights.
+    * Null labels are excluded (unlabeled rows train nothing); every
+    * surviving class must be non-empty. */
+  def trainLangNb(docs: DataFrame, labelCol: Column, buckets: Int = 64,
+                  nGram: Int = 3, alpha: Double = 1.0,
+                  mode: HashMode = HashMode.Default): NbLangModel = {
+    require(buckets > 0, "buckets must be positive")
+    require(nGram >= 1, "nGram must be positive")
+    require(alpha > 0, "alpha must be positive")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val labeled = docs.filter(labelCol.isNotNull)
+    val counts = labeled
+      .select(labelCol.cast(StringType).as("_lang"),
+        explode(charNgrams(col("text"), nGram)).as("_g"))
+      .select(col("_lang"),
+        pmod(mode.hash(col("_g")), lit(buckets.toLong)).cast(IntegerType).as("_b"))
+      .groupBy(col("_lang"), col("_b")).agg(count(lit(1)).as("n"))
+      .collect()
+    val docCounts = labeled
+      .groupBy(labelCol.cast(StringType).as("_lang"))
+      .agg(count(lit(1)).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(docCounts.nonEmpty, "no labeled documents to train on")
+    val classes = docCounts.keys.toSeq.sorted
+    val dTotal = docCounts.values.sum.toDouble
+    val byClass = counts.groupBy(_.getString(0))
+    val priors = classes.map(c => r6(math.log(docCounts(c) / dTotal)))
+    val weights = classes.map { c =>
+      val rows = byClass.getOrElse(c, Array.empty)
+      val byB = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      val tC = rows.map(_.getLong(2)).sum.toDouble
+      (0 until buckets).map(b =>
+        r6(math.log((byB.getOrElse(b, 0L) + alpha) / (tC + alpha * buckets))))
+    }
+    NbLangModel(classes, priors, weights, buckets, nGram)
+  }
+
+  /** Trained language-ID INFERENCE under an [[NbLangModel]]: per class
+    * the exact integer-micro logit `micro(prior) + Σ micro(w_cb)` (the
+    * [[scoreLinear]] determinism contract — order-independent LONG
+    * folds, engine-identical), argmax class with ties to the first
+    * class in sorted order. Output `(doc_id, n_feats, predicted_lang,
+    * score_micro)`; featureless documents argmax the priors alone.
+    *
+    * Zero shuffle: feature extraction, hashing, the per-class folds and
+    * the argmax are one projection behind a Generate barrier — runs
+    * unchanged on a streaming frame (spec-pinned), which is where
+    * language ID actually sits in an ingest pipeline. */
+  def langIdNb(docs: DataFrame, model: NbLangModel,
+               mode: HashMode = HashMode.Default): DataFrame = {
+    require(model.classes.nonEmpty, "model must carry at least one class")
+    def micro(x: Double): Long = math.round(x * 1e6)
+    val b = model.buckets
+    val feats = charNgrams(col("text"), model.nGram)
+    val scored = model.classes.zipWithIndex.map { case (c, i) =>
+      val wLit = array(model.weights(i).map(w => lit(micro(w))): _*)
+      struct(
+        aggregate(col("_lf"), lit(micro(model.priors(i))),
+          (acc, g) => acc + element_at(wLit,
+            pmod(mode.hash(g), lit(b.toLong)).cast(IntegerType) + 1))
+          .as("score_micro"),
+        // ties break to the FIRST class in sorted order: the struct max
+        // compares score first, then this negated index
+        lit(-i).as("nidx"),
+        lit(c).as("lang"))
+    }
+    docs
+      .select(col("doc_id"), explode(array(feats)).as("_lf"))
+      .select(col("doc_id"),
+        size(col("_lf")).cast(LongType).as("n_feats"),
+        array_max(array(scored: _*)).as("_best"))
+      .select(col("doc_id"), col("n_feats"),
+        col("_best.lang").as("predicted_lang"),
+        col("_best.score_micro").as("score_micro"))
+  }
+
   /** Corpus vocabulary: term frequency, document frequency, and corpus
     * coverage share per token. One explode + one groupBy (map-side
     * combined); at 100 TB the shuffle carries one row per distinct token
@@ -882,39 +996,193 @@ object TextOps {
             .otherwise(lit(0.0)).as("avg_logp3"))
   }
 
-  /** Both orders' UNPRUNED counts from ONE corpus tokenisation:
-    * `(k, gram, n)` with k ∈ {2, 3} — [[bigramCounts]]'s shuffle shape,
-    * the gram key widened by the order discriminator. Shared by the
-    * [[LmIndex]] v2 build/merge and the self-scored [[lmScore3]], so a
-    * two-order training pass costs one corpus scan, not two. */
-  def ngramCounts23(docs: DataFrame): DataFrame = {
-    val bi = NearDup.shinglesOf(col("toks"), k = 2,
-      distinct = false, wholeDocFallback = false)
-    val tri = NearDup.shinglesOf(col("toks"), k = 3,
-      distinct = false, wholeDocFallback = false)
+  /** EVERY order's UNPRUNED counts from ONE corpus tokenisation:
+    * `(k, gram, n)` with k ∈ {2..maxOrder} — [[bigramCounts]]'s shuffle
+    * shape, the gram key widened by the order discriminator. Shared by
+    * the [[LmIndex]] v2/v3 builds and merges and the self-scored
+    * [[lmScore3]]/[[lmScore5]], so a multi-order training pass costs
+    * one corpus scan, not one per order — at 100 TB the corpus scan
+    * dominates an artifact build, and production KenLM-style models are
+    * order 5 (Brants et al. 2007 train orders together for the same
+    * reason). The shuffle still carries one row per distinct (k, gram)
+    * per partition after map-side combine, never the corpus token
+    * stream per order. */
+  def ngramCountsUpTo(docs: DataFrame, maxOrder: Int): DataFrame = {
+    require(maxOrder >= 2 && maxOrder <= 8,
+      s"maxOrder must be in [2, 8], got $maxOrder")
+    val slices = (2 to maxOrder).map { k =>
+      val grams = NearDup.shinglesOf(col("toks"), k = k,
+        distinct = false, wholeDocFallback = false)
+      transform(grams, g => struct(lit(k).as("k"), g.as("gram")))
+    }
     docs
       .select(explode(array(split(normText(col("text")), " "))).as("toks"))
-      .select(explode(concat(
-        transform(bi, g => struct(lit(2).as("k"), g.as("gram"))),
-        transform(tri, g => struct(lit(3).as("k"), g.as("gram"))))).as("kg"))
+      .select(explode(concat(slices: _*)).as("kg"))
       .select(col("kg.k").as("k"), col("kg.gram").as("gram"))
       .groupBy(col("k"), col("gram")).agg(count(lit(1)).as("n"))
   }
 
+  /** Both orders' counts from one tokenisation — [[ngramCountsUpTo]] at
+    * order 3, kept for the v2 [[LmIndex]] layer's call sites. */
+  def ngramCounts23(docs: DataFrame): DataFrame = ngramCountsUpTo(docs, 3)
+
+  /** The order-`k` slice of an [[ngramCountsUpTo]] frame, split into
+    * word columns `(w1..wk, n)` — [[bigramCounts]]'s shape generalised. */
+  def ngramCountsOf(kg: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"order must be at least 2, got $k")
+    val words = (1 to k).map(i =>
+      element_at(split(col("gram"), " "), i).as(s"w$i"))
+    kg.filter(col("k") === k).select(words :+ col("n"): _*)
+  }
+
   /** The order-2 slice of [[ngramCounts23]], in [[bigramCounts]]'s
     * `(w1, w2, n)` shape. */
-  def bigramCountsOf(kg: DataFrame): DataFrame =
-    kg.filter(col("k") === 2)
-      .select(element_at(split(col("gram"), " "), 1).as("w1"),
-        element_at(split(col("gram"), " "), 2).as("w2"), col("n"))
+  def bigramCountsOf(kg: DataFrame): DataFrame = ngramCountsOf(kg, 2)
 
   /** The order-3 slice of [[ngramCounts23]], in [[trigramCounts]]'s
     * `(w1, w2, w3, n)` shape. */
-  def trigramCountsOf(kg: DataFrame): DataFrame =
-    kg.filter(col("k") === 3)
-      .select(element_at(split(col("gram"), " "), 1).as("w1"),
-        element_at(split(col("gram"), " "), 2).as("w2"),
-        element_at(split(col("gram"), " "), 3).as("w3"), col("n"))
+  def trigramCountsOf(kg: DataFrame): DataFrame = ngramCountsOf(kg, 3)
+
+  /** [[statsFromCounts]]/[[trigramStatsFromCounts]] generalised to any
+    * order: context denominators `Σ_w c(w1..w_{k-1} w)` over ALL
+    * continuations, THEN the `minCount` prune — probabilities stay
+    * normalised per context. The context aggregation runs over the
+    * already-aggregated count frame (gram-vocabulary-sized, never the
+    * corpus). */
+  def ngramStatsFromCounts(counts: DataFrame, k: Int,
+                           minCount: Long): DataFrame = {
+    require(k >= 2, s"order must be at least 2, got $k")
+    val ctxCols = (1 until k).map(i => col(s"w$i"))
+    val ctx = counts.groupBy(ctxCols: _*).agg(sum(col("n")).as("_tot"))
+    counts.join(ctx, (1 until k).map(i => s"w$i"))
+      .filter(col("n") >= minCount)
+      .select((1 to k).map(i => col(s"w$i")) ++ Seq(col("n"),
+        round(col("n").cast(DoubleType) / col("_tot"), 6).as("p_cond")): _*)
+  }
+
+  /** The per-document order-`k` gram stream `(doc_id, w1..wk)` —
+    * [[docBigrams]] generalised; one tokenisation, one shingle pass, no
+    * aggregation. */
+  private def docNgrams(docs: DataFrame, k: Int): DataFrame = {
+    val grams = NearDup.shinglesOf(col("toks"), k = k,
+      distinct = false, wholeDocFallback = false)
+    docs
+      .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(col("doc_id"), explode(array(grams)).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("gram"))
+      .select(col("doc_id") +:
+        (1 to k).map(i => element_at(split(col("gram"), " "), i).as(s"w$i")): _*)
+  }
+
+  /** Stupid-backoff order-5 scoring against EXTERNAL reference models —
+    * [[lmScore3With]]'s scheme at the order production web-scale LMs
+    * actually run (KenLM's default and the CCNet filtering order is 5):
+    * each document 5-gram scores `ln P(w5|w1..w4)` when the 5-gram
+    * survives its model's prune, else backs off through the 4-gram,
+    * trigram and bigram models, each hop multiplying the α discount
+    * once (Brants et al. 2007: S(w|ctx) = α^j · P_{k-j}, the oldest
+    * context word dropped per hop), else the fixed `unkLogP` penalty.
+    * α products NEST right (`α·(α·p)`) so the double arithmetic is
+    * engine-replayable term for term; per-term values round to 9 dp
+    * and sum as exact decimals, the mean rounds to 6 dp. Output
+    * `(doc_id, n_5grams, avg_logp5)`; documents with < 5 tokens score
+    * 0 over 0 grams.
+    *
+    * `stats4`/`stats5` come from [[ngramStatsFromCounts]] (typically an
+    * [[LmIndex]] v3 artifact): every reference join is
+    * gram-vocabulary-sized and broadcasts when small — the corpus
+    * 5-gram stream never shuffles; only the per-doc aggregation and the
+    * batch join-back exchange on doc_id. Streaming: stream-static joins
+    * + one stateful aggregation, sub-5-gram documents absent, exactly
+    * like [[lmScoreWith]]. */
+  def lmScore5With(docs: DataFrame, stats5: DataFrame, stats4: DataFrame,
+                   triStats: DataFrame, biStats: DataFrame,
+                   alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(math.abs(unkLogP * 1e9 - math.round(unkLogP * 1e9)) < 1e-6,
+      "unkLogP must have at most 9 decimal places (decimal-exact term)")
+    val a = lit(alpha)
+    val agg = docNgrams(docs, 5)
+      .join(stats5.select(col("w1"), col("w2"), col("w3"), col("w4"),
+        col("w5"), col("p_cond").as("_p5")),
+        Seq("w1", "w2", "w3", "w4", "w5"), "left")
+      .join(stats4.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("w3").as("w4"), col("w4").as("w5"), col("p_cond").as("_p4")),
+        Seq("w2", "w3", "w4", "w5"), "left")
+      .join(triStats.select(col("w1").as("w3"), col("w2").as("w4"),
+        col("w3").as("w5"), col("p_cond").as("_p3")),
+        Seq("w3", "w4", "w5"), "left")
+      .join(biStats.select(col("w1").as("w4"), col("w2").as("w5"),
+        col("p_cond").as("_p2")), Seq("w4", "w5"), "left")
+      .select(col("doc_id"),
+        coalesce(round(log(col("_p5")), 9),
+          round(log(a * col("_p4")), 9),
+          round(log(a * (a * col("_p3"))), 9),
+          round(log(a * (a * (a * col("_p2")))), 9),
+          lit(unkLogP)).cast(DecimalType(28, 9)).as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_5grams"), sum(col("_lp")).as("_s"))
+    if (docs.isStreaming)
+      agg.select(col("doc_id"), col("n_5grams"),
+        round(col("_s").cast(DoubleType) / col("n_5grams"), 6).as("avg_logp5"))
+    else
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_5grams"), lit(0L)).as("n_5grams"),
+          when(coalesce(col("n_5grams"), lit(0L)) > 0,
+            round(col("_s").cast(DoubleType) / col("n_5grams"), 6))
+            .otherwise(lit(0.0)).as("avg_logp5"))
+  }
+
+  /** Self-scored order-5 wrapper ([[lmScore3]]'s posture at order 5):
+    * all four backoff models train on the corpus being scored, from ONE
+    * shared tokenisation ([[ngramCountsUpTo]], cached gram-vocabulary-
+    * sized) — the corpus is scanned twice total (train + the scoring
+    * 5-gram stream), not five times. Default prunes thin with order
+    * (5/4-gram counts are an order of magnitude sparser per step);
+    * production scoring goes through [[LmIndex.score5]] against a
+    * persisted reference model. */
+  def lmScore5(docs: DataFrame, minCount5: Long = 2, minCount4: Long = 2,
+               minCountTri: Long = 3, minCountBi: Long = 5,
+               alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame = {
+    val kg = ngramCountsUpTo(docs, 5)
+    // the cached combined frame bridges the four slice builds (without
+    // it each slice re-scans the corpus); the cached SLICES keep the
+    // stats joins from re-filtering the combined frame per consumer
+    Caching.ensureCached(kg)
+    val slices = (2 to 5).map(k => k -> ngramCountsOf(kg, k)).toMap
+    slices.values.foreach(Caching.ensureCached(_))
+    lmScore5With(docs,
+      ngramStatsFromCounts(slices(5), 5, minCount5),
+      ngramStatsFromCounts(slices(4), 4, minCount4),
+      ngramStatsFromCounts(slices(3), 3, minCountTri),
+      ngramStatsFromCounts(slices(2), 2, minCountBi),
+      alpha, unkLogP)
+  }
+
+  /** [[perplexityBuckets3]] under the ORDER-5 backoff score — the CCNet
+    * head/middle/tail split at the production model order: quartile
+    * cuts of [[lmScore5]] over scorable documents (one scalar
+    * aggregation broadcast back — no sort, no corpus window), then the
+    * bucket projection; sub-5-gram documents bucket `unscored`. The
+    * self-calibrated batch twin of [[LmIndex.bucket5]]. */
+  def perplexityBuckets5(docs: DataFrame, minCount5: Long = 2,
+                         minCount4: Long = 2, minCountTri: Long = 3,
+                         minCountBi: Long = 5, alpha: Double = 0.4,
+                         unkLogP: Double = -10.0): DataFrame = {
+    val scores = lmScore5(docs, minCount5, minCount4, minCountTri,
+      minCountBi, alpha, unkLogP)
+    val cuts = scores.filter(col("n_5grams") > 0)
+      .agg(round(percentile(col("avg_logp5"), lit(0.25)), 6).as("_p25"),
+        round(percentile(col("avg_logp5"), lit(0.75)), 6).as("_p75"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("n_5grams") === 0, lit("unscored"))
+          .when(col("avg_logp5") >= col("_p75"), lit("head"))
+          .when(col("avg_logp5") >= col("_p25"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_5grams"), col("avg_logp5"), col("bucket"))
+  }
 
   /** Self-scored convenience wrapper: train both backoff models on the
     * corpus being scored ([[lmScore]]'s posture at order 3). The
@@ -1035,6 +1303,107 @@ object TextOps {
           .otherwise(lit(0.0))
       withRatio(docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"), n.as("n_bigrams"),
+          mean(col("_st")).as("avg_logp_target"),
+          mean(col("_sr")).as("avg_logp_raw")))
+    }
+  }
+
+  /** All four DSIR order-3 models from ONE corpus tokenisation —
+    * [[dsirModels]] lifted to the backoff pair: per group (target =
+    * rows where `targetPred` holds, raw = the whole corpus, i.e. counts
+    * summed over both groups) a trigram AND a bigram model, so
+    * [[dsirScore3]] can stupid-backoff under each side. The pass emits
+    * both orders' shingles into a single (group, k, gram)-keyed
+    * map-side-combined count (the [[ngramCountsUpTo]] shape with the
+    * group key prepended); everything downstream is gram-vocabulary-
+    * sized. Identical stats to training the four models separately;
+    * one quarter of the corpus passes. */
+  def dsirModels3(docs: DataFrame, targetPred: Column,
+                  minCountTriTarget: Long = 2, minCountBiTarget: Long = 2,
+                  minCountTriRaw: Long = 3, minCountBiRaw: Long = 5)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val bi = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    val tri = NearDup.shinglesOf(col("toks"), k = 3,
+      distinct = false, wholeDocFallback = false)
+    val grouped = docs
+      .select(targetPred.as("_tgt"),
+        explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(col("_tgt"), explode(concat(
+        transform(bi, g => struct(lit(2).as("k"), g.as("gram"))),
+        transform(tri, g => struct(lit(3).as("k"), g.as("gram"))))).as("kg"))
+      .select(col("_tgt"), col("kg.k").as("k"), col("kg.gram").as("gram"))
+      .groupBy(col("_tgt"), col("k"), col("gram")).agg(count(lit(1)).as("n"))
+    // same persist rationale as dsirModels: four consumers, vocab-sized
+    Caching.ensureCached(grouped)
+    def slice(k: Int, targetOnly: Boolean): DataFrame = {
+      val base =
+        if (targetOnly) grouped.filter(col("_tgt"))
+          .select(col("k"), col("gram"), col("n"))
+        else grouped.groupBy(col("k"), col("gram")).agg(sum(col("n")).as("n"))
+      ngramCountsOf(base, k)
+    }
+    (ngramStatsFromCounts(slice(3, targetOnly = true), 3, minCountTriTarget),
+      ngramStatsFromCounts(slice(2, targetOnly = true), 2, minCountBiTarget),
+      ngramStatsFromCounts(slice(3, targetOnly = false), 3, minCountTriRaw),
+      ngramStatsFromCounts(slice(2, targetOnly = false), 2, minCountBiRaw))
+  }
+
+  /** [[dsirScore]] under the ORDER-3 backoff score — the higher-order
+    * importance signal the r14 trigram layer makes one composition
+    * away: every document's mean stupid-backoff log-likelihood under
+    * the TARGET models minus its mean under the RAW models, each side
+    * backing off trigram → α-discounted bigram → that side's `unkLogP`
+    * ([[lmScore3With]]'s term discipline: 9 dp per-term rounding, exact
+    * decimal sums, 6 dp means, ratio = difference of the rounded means
+    * re-rounded — see [[dsirScore]]'s inline note for why).
+    *
+    * One tokenisation pass: the shared trigram stream left-joins all
+    * FOUR vocab-sized stats frames before a single per-doc aggregation
+    * — two map-side joins over [[dsirScore]]'s shape, never a second
+    * corpus scan. Streaming: stream-static joins + one update/complete
+    * aggregation; sub-trigram documents absent (batch surfaces them as
+    * 0-score rows). Output `(doc_id, n_trigrams, avg_logp_target,
+    * avg_logp_raw, log_ratio)`. */
+  def dsirScore3(docs: DataFrame, targetTri: DataFrame, targetBi: DataFrame,
+                 rawTri: DataFrame, rawBi: DataFrame,
+                 alpha: Double = 0.4, unkLogP: Double = -10.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(math.abs(unkLogP * 1e9 - math.round(unkLogP * 1e9)) < 1e-6,
+      "unkLogP must have at most 9 decimal places (decimal-exact term)")
+    val a = lit(alpha)
+    val agg = docTrigrams(docs)
+      .join(targetTri.select(col("w1"), col("w2"), col("w3"),
+        col("p_cond").as("_p3t")), Seq("w1", "w2", "w3"), "left")
+      .join(targetBi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("p_cond").as("_p2t")), Seq("w2", "w3"), "left")
+      .join(rawTri.select(col("w1"), col("w2"), col("w3"),
+        col("p_cond").as("_p3r")), Seq("w1", "w2", "w3"), "left")
+      .join(rawBi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("p_cond").as("_p2r")), Seq("w2", "w3"), "left")
+      .select(col("doc_id"),
+        coalesce(round(log(col("_p3t")), 9), round(log(a * col("_p2t")), 9),
+          lit(unkLogP)).cast(DecimalType(28, 9)).as("_lt"),
+        coalesce(round(log(col("_p3r")), 9), round(log(a * col("_p2r")), 9),
+          lit(unkLogP)).cast(DecimalType(28, 9)).as("_lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("_lt")).as("_st"), sum(col("_lr")).as("_sr"))
+    def withRatio(base: DataFrame): DataFrame = base.withColumn("log_ratio",
+      round(col("avg_logp_target") - col("avg_logp_raw"), 6))
+    if (docs.isStreaming)
+      withRatio(agg.select(col("doc_id"), col("n_trigrams"),
+        round(col("_st").cast(DoubleType) / col("n_trigrams"), 6)
+          .as("avg_logp_target"),
+        round(col("_sr").cast(DoubleType) / col("n_trigrams"), 6)
+          .as("avg_logp_raw")))
+    else {
+      val n = coalesce(col("n_trigrams"), lit(0L))
+      def mean(s: Column): Column =
+        when(n > 0, round(s.cast(DoubleType) / col("n_trigrams"), 6))
+          .otherwise(lit(0.0))
+      withRatio(docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), n.as("n_trigrams"),
           mean(col("_st")).as("avg_logp_target"),
           mean(col("_sr")).as("avg_logp_raw")))
     }

@@ -668,14 +668,17 @@ object WarcOps {
     else s"${accent}plain payload doc $doc rec $i"
   }
 
-  private def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+  // private[ops]: WetOps builds its WET/WAT fixtures over the SAME
+  // ISO 28500 record framing — the point is that one byte-walk parses
+  // every member of the format family
+  private[ops] def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
     val head = (Seq("WARC/1.0") ++
       headers.map { case (k, v) => s"$k: $v" } ++
       Seq(s"Content-Length: ${block.length}", "", "")).mkString("\r\n")
     head.getBytes("UTF-8") ++ block ++ Crlf ++ Crlf
   }
 
-  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+  private[ops] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(bytes); gz.finish(); gz.close()

@@ -187,6 +187,136 @@ class LmIndexSpec extends SparkSpec {
     assert(LmIndex.score(spark, dirV1m, probes).count() == 4)
   }
 
+  test("v3 order-5 layers: build/score5, merge equals fresh concatenated build, pre-v3 loud") {
+    val oldDocs = (1L to 5L).map(i => (i, "the cat sat on mats"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((7L, "the cat sat on rugs today"),
+      (8L, "zz unseen junk")).toDF("doc_id", "text")
+    val all = oldDocs.unionByName(newDocs)
+    val dirOld = tmpDir("lm5_old"); val dirMerged = tmpDir("lm5_out")
+    val dirFull = tmpDir("lm5_full")
+    LmIndex.buildWithOrders(oldDocs, dirOld)
+    LmIndex.merge(spark, dirOld, newDocs, dirMerged)
+    LmIndex.buildWithOrders(all, dirFull)
+    // every layer's metadata and stats agree merge vs fresh build
+    assert(LmIndex.meta(spark, dirMerged) == LmIndex.meta(spark, dirFull))
+    assert(LmIndex.meta3(spark, dirMerged) == LmIndex.meta3(spark, dirFull))
+    assert(LmIndex.meta5(spark, dirMerged) == LmIndex.meta5(spark, dirFull))
+    assert(LmIndex.meta5(spark, dirMerged).exists(_._4 > 0),
+      "fixture must carry surviving 5-grams (non-vacuous)")
+    for (k <- Seq(4, 5)) {
+      def rows(dir: String) = (if (k == 4) LmIndex.load4(spark, dir)
+        else LmIndex.load5(spark, dir)).collect()
+        .map(_.toSeq).toSet
+      assert(rows(dirMerged) == rows(dirFull), s"order-$k stats must agree")
+    }
+    // score5 against the artifact equals the self-scored operator over
+    // the same corpus at the same prunes — every term class exercised:
+    // 5-gram hit, 4/3/2-gram backoff hops, unk, sub-5-gram
+    val probes = Seq((100L, "the cat sat on mats"), // 5-gram hit (p5 = 5/6)
+      (101L, "big the cat sat on"),                 // 4-gram hop: α·1.0
+      (102L, "aa bb cat sat on"),                   // 3-gram hop: α²·1.0
+      (103L, "aa bb cc sat on"),                    // 2-gram hop: α³·1.0
+      (104L, "zz qq ww yy xx"),                     // unk
+      (105L, "x y z w")).toDF("doc_id", "text")     // sub-5-gram → 0 over 0
+    val fromIndex = LmIndex.score5(spark, dirMerged, probes)
+      .as[(Long, Long, Double)].collect().toSet
+    val inMemory = TextOps.lmScore5With(probes,
+      LmIndex.load5(spark, dirFull), LmIndex.load4(spark, dirFull),
+      LmIndex.load3(spark, dirFull), LmIndex.load(spark, dirFull))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == inMemory)
+    def r9ln(x: Double) = math.round(math.log(x) * 1e9) / 1e9
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(fromIndex.contains((100L, 1L, r6(r9ln(5.0 / 6)))),
+      "the surviving 5-gram must score ln(5/6)")
+    assert(fromIndex.contains((101L, 1L, r6(r9ln(0.4)))),
+      "one backoff hop on a p=1 4-gram must score exactly ln(α·1)")
+    assert(fromIndex.contains((102L, 1L, r6(r9ln(0.4 * (0.4 * 1.0))))),
+      "two hops must compound the discount (α·(α·p3))")
+    assert(fromIndex.contains((103L, 1L, r6(r9ln(0.4 * (0.4 * (0.4 * 1.0)))))),
+      "three hops must reach the bigram floor (α·(α·(α·p2)))")
+    assert(fromIndex.contains((104L, 1L, -10.0)), "unk takes the penalty")
+    assert(fromIndex.contains((105L, 0L, 0.0)), "sub-5-gram doc is a 0-score row")
+    // vocab-sized v3 layers broadcast; the cap-0 path stays unhinted
+    val plan = LmIndex.score5(spark, dirMerged, probes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab-sized v3 stats must broadcast:\n$plan")
+    // pre-v3 artifacts: the order-5 entry points are loud, merge stays v2
+    val dirV2 = tmpDir("lm5_v2")
+    LmIndex.buildWithTrigrams(oldDocs, dirV2, minCount = 5, minCount3 = 3)
+    assert(LmIndex.meta5(spark, dirV2).isEmpty)
+    val e = intercept[IllegalArgumentException] { LmIndex.load5(spark, dirV2) }
+    assert(e.getMessage.contains("no order-5 layer"))
+    val dirV2m = tmpDir("lm5_v2m")
+    LmIndex.merge(spark, dirV2, newDocs, dirV2m)
+    assert(LmIndex.meta5(spark, dirV2m).isEmpty &&
+      LmIndex.meta3(spark, dirV2m).nonEmpty,
+      "a v2 merge must stay exactly v2")
+  }
+
+  test("a future-version artifact is rejected loudly, never read under v3 semantics") {
+    val dir = tmpDir("lm_v9")
+    LmIndex.build(reference, dir, minCount = 5)
+    val metaPath = java.nio.file.Paths.get(dir, "meta.json")
+    val json = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    java.nio.file.Files.write(metaPath,
+      json.replaceFirst("\\{", """{"version":9,""").getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar the out-of-band edit invalidated
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".meta.json.crc"))
+    val e = intercept[IllegalArgumentException] { LmIndex.meta(spark, dir) }
+    assert(e.getMessage.contains("v9") && e.getMessage.contains("v3"))
+  }
+
+  test("order-5 cuts: recordCuts5/bucket5 freeze the distribution; all three cut pairs coexist") {
+    val corpus = ((1L to 5L).map(i => (i, "the cat sat on mats")) ++ Seq(
+      (7L, "the cat sat on mats for hours and hours on end"),
+      (8L, "zz qq totally unseen words here today friend"),
+      (9L, "x y"))).toDF("doc_id", "text")
+    val dir = tmpDir("lm5_cuts")
+    LmIndex.buildWithOrders(corpus, dir)
+    intercept[IllegalStateException] { LmIndex.bucket5(spark, dir, corpus) }
+    LmIndex.recordCuts5(spark, dir, corpus)
+    val (p25, p75) = LmIndex.cuts5(spark, dir).get
+    val scored = LmIndex.score5(spark, dir, corpus)
+      .as[(Long, Long, Double)].collect()
+    val want = scored.map { case (id, ng, s) =>
+      (id, if (ng == 0) "unscored"
+      else if (s >= p75) "head" else if (s >= p25) "middle" else "tail")
+    }.toSet
+    val got = LmIndex.bucket5(spark, dir, corpus)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._2 == "unscored") && got.exists(_._2 == "tail"),
+      "non-vacuous: the fixture spans bucket classes")
+    // self-calibrated artifact == the batch operator, row for row
+    val direct = TextOps.perplexityBuckets5(corpus)
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(LmIndex.bucket5(spark, dir, corpus)
+      .as[(Long, Long, Double, String)].collect().toSet == direct)
+    // cuts frozen for new data; the other two pairs survive recording
+    val junk = Seq((100L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val b = LmIndex.bucket5(spark, dir, junk)
+      .as[(Long, Long, Double, String)].collect().head
+    assert(b._4 == "tail" && b._3 == -10.0)
+    LmIndex.recordCuts(spark, dir, corpus)
+    LmIndex.recordCuts3(spark, dir, corpus)
+    assert(LmIndex.cuts5(spark, dir).contains((p25, p75)),
+      "recording lower-order cuts must preserve the order-5 pair")
+    assert(LmIndex.cuts(spark, dir).nonEmpty && LmIndex.cuts3(spark, dir).nonEmpty)
+    LmIndex.recordCuts5(spark, dir, corpus)
+    assert(LmIndex.cuts(spark, dir).nonEmpty && LmIndex.cuts3(spark, dir).nonEmpty,
+      "recording the order-5 cuts must preserve the other pairs")
+    // below v3 the order-5 calibration is loud
+    val dirV2 = tmpDir("lm5_cuts_v2")
+    LmIndex.buildWithTrigrams(corpus, dirV2, minCount = 5, minCount3 = 3)
+    intercept[IllegalArgumentException] {
+      LmIndex.recordCuts5(spark, dirV2, corpus)
+    }
+  }
+
   test("order-3 cuts: recordCuts3/bucket3 freeze the backoff distribution; both cut pairs coexist") {
     val corpus = ((1L to 5L).map(i => (i, "the cat sat on mats")) ++ Seq(
       (7L, "the cat sat for hours and hours on end"),
