@@ -137,7 +137,24 @@ object Bench {
     // cost driver (q_trigram_lm is NOT benched: its counting pass runs
     // INSIDE q_lm_score3 — the q_substr_strip precedent; its corpus
     // growth is ScaleBudget's trigram_counts band instead)
-    "q_lm_score3")
+    "q_lm_score3",
+    // r15: the order-5 family's cost driver — trains all FOUR backoff
+    // models from one tokenisation and scores the 5-gram stream
+    // (q_ppl_buckets5 is NOT benched: it is q_lm_score5 plus one scalar
+    // quartile aggregation — the double-count precedent; the counting
+    // stage's corpus growth is ScaleBudget's ngram5_counts band)
+    "q_lm_score5",
+    // r15: order-3 DSIR — four models from one grouped tokenisation plus
+    // the doubly-joined trigram scoring stream (q_dsir3_sample is NOT
+    // benched: it is q_dsir3 plus the already-benched weighted-sample
+    // tail). q_wet_records/q_wat_records are NOT benched: bounded
+    // fixtures (doc_id < 120), O(1) in sf — the q_multimodal_decode
+    // exclusion class; the companion formats' byte-walk throughput is
+    // WARC's, already carried by ScaleBudget's warc_ingest band.
+    "q_dsir3",
+    // r15: trained language ID — the char-trigram training pass + the
+    // integer-micro argmax inference, both corpus-wide projections
+    "q_lang_id_trained")
 
   /** Round-over-round regression budgets, calibrated against the round
     * driver's OWN machine: the BENCH_r04 per-query seconds (a contended
@@ -260,7 +277,13 @@ object Bench {
     "q_quantile_sketch" -> 0.64,
     // r14: stupid-backoff scoring — trains both reference models and
     // scores the trigram stream (1.976 warmed × 1.3)
-    "q_lm_score3" -> 2.57
+    "q_lm_score3" -> 2.57,
+    // r15: local warmed best-of-3 (2.779 / 2.978 / 3.530) × 1.3.
+    // q_lang_id_trained's base already carries the r15 char-array
+    // rewrite (substr's per-window UTF-8 boundary scan was O(len²) per
+    // document — 32.6 s → 3.53 s at sf0.1): the budget pins the fixed
+    // shape so the quadratic cannot quietly return
+    "q_lm_score5" -> 3.61, "q_dsir3" -> 3.87, "q_lang_id_trained" -> 4.59
     // slack shrunk r11 (0.3 -> 0.1 flat): the r10 driver run showed an
     // event-analytics cluster riding 2-3x over its r9 numbers with
     // rc=0 — for a 0.3-0.5 s query the flat 0.3 s was ~2-3x of
@@ -336,6 +359,10 @@ object Bench {
     // r14: pinned from the round's first settled full-harness run
     // (sf0.1, idle box, the only context pins are comparable in)
     "q_lm_score3" -> 1.849,
+    // r15: pinned from this round's first settled full-harness run
+    // (rc=0, vs_baseline 0.950, run_factor/pin_factor both 1.000)
+    "q_lm_score5" -> 2.496, "q_dsir3" -> 2.794,
+    "q_lang_id_trained" -> 3.714,
     "q_mode" -> 0.183, "q_mojibake" -> 0.185,
     "q_moving_avg" -> 0.380, "q_nb_classify" -> 0.667,
     "q_outliers" -> 0.542, "q_pack_tokens" -> 0.939,

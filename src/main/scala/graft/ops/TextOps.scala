@@ -299,21 +299,32 @@ object TextOps {
                                weights: Seq[Seq[Double]], buckets: Int,
                                nGram: Int)
 
-  /** The hashed char-n-gram feature array both [[trainLangNb]] and
-    * [[langIdNb]] consume: overlapping `n`-char windows of the
-    * normalised text (the fastText/CCNet language-ID feature class —
-    * scripts without word boundaries get features too, which is exactly
-    * where token features go blind). Sub-n texts yield an empty array. */
-  private def charNgrams(textCol: Column, n: Int): Column = {
-    val nt = normText(coalesce(textCol, lit("")))
+  /** The normalised text as a single-character array — the base both
+    * char-n-gram call sites materialise ONCE (behind a Generate
+    * barrier) before windowing: `substr(text, i, n)` per position walks
+    * the UTF-8 bytes from the string's start every call (multi-byte
+    * boundary scan — O(len) per window, O(len²) per document; measured
+    * 10× on the sf0.1 corpus), whereas `element_at` on the
+    * materialised array is O(1). Split is per UTF-16 unit: BMP text
+    * (every practical language-ID script) windows per character;
+    * supplementary-plane code points contribute their surrogate halves
+    * as window positions — a consistent feature space either way, the
+    * hash does not care that a "character" was half a code point. */
+  private def charsOf(textCol: Column): Column =
+    split(normText(coalesce(textCol, lit(""))), "")
+
+  /** Overlapping `n`-char windows over a (materialised) [[charsOf]]
+    * array (the fastText/CCNet language-ID feature class — scripts
+    * without word boundaries get features too, which is exactly where
+    * token features go blind). Sub-n texts yield an empty array. */
+  private def charNgramsOf(chars: Column, n: Int): Column =
     // the short-text branch must be explicit: sequence(1, 0) DESCENDS
     // in Spark (yielding [1, 0] — two phantom empty-string features),
     // it is not an empty range
-    when(length(nt) >= n,
-      transform(sequence(lit(1), length(nt) - (n - 1)),
-        i => nt.substr(i, lit(n))))
+    when(size(chars) >= n,
+      transform(sequence(lit(1), size(chars) - (n - 1)),
+        i => concat((0 until n).map(j => element_at(chars, i + j)): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
 
   /** One-pass multi-class Naive Bayes TRAINING for [[langIdNb]] — the
     * trained replacement for the [[langId]] heuristic (production
@@ -339,7 +350,10 @@ object TextOps {
     val labeled = docs.filter(labelCol.isNotNull)
     val counts = labeled
       .select(labelCol.cast(StringType).as("_lang"),
-        explode(charNgrams(col("text"), nGram)).as("_g"))
+        // char array materialised once per row (Generate barrier) so
+        // the window transform reads it O(1) per element — see charsOf
+        explode(array(charsOf(col("text")))).as("_ch"))
+      .select(col("_lang"), explode(charNgramsOf(col("_ch"), nGram)).as("_g"))
       .select(col("_lang"),
         pmod(mode.hash(col("_g")), lit(buckets.toLong)).cast(IntegerType).as("_b"))
       .groupBy(col("_lang"), col("_b")).agg(count(lit(1)).as("n"))
@@ -379,23 +393,29 @@ object TextOps {
     require(model.classes.nonEmpty, "model must carry at least one class")
     def micro(x: Double): Long = math.round(x * 1e6)
     val b = model.buckets
-    val feats = charNgrams(col("text"), model.nGram)
+    val feats = charNgramsOf(col("_lc"), model.nGram)
+    // hash each feature ONCE into its bucket, materialized behind its
+    // own Generate barrier — without this every per-class fold re-hashes
+    // every feature (K classes × features md5 calls), and at 100 TB the
+    // hash IS the inference cost
+    val buckets = transform(col("_lf"),
+      g => pmod(mode.hash(g), lit(b.toLong)).cast(IntegerType))
     val scored = model.classes.zipWithIndex.map { case (c, i) =>
       val wLit = array(model.weights(i).map(w => lit(micro(w))): _*)
       struct(
-        aggregate(col("_lf"), lit(micro(model.priors(i))),
-          (acc, g) => acc + element_at(wLit,
-            pmod(mode.hash(g), lit(b.toLong)).cast(IntegerType) + 1))
-          .as("score_micro"),
+        aggregate(col("_lb"), lit(micro(model.priors(i))),
+          (acc, bk) => acc + element_at(wLit, bk + 1)).as("score_micro"),
         // ties break to the FIRST class in sorted order: the struct max
         // compares score first, then this negated index
         lit(-i).as("nidx"),
         lit(c).as("lang"))
     }
     docs
+      .select(col("doc_id"), explode(array(charsOf(col("text")))).as("_lc"))
       .select(col("doc_id"), explode(array(feats)).as("_lf"))
-      .select(col("doc_id"),
-        size(col("_lf")).cast(LongType).as("n_feats"),
+      .select(col("doc_id"), size(col("_lf")).cast(LongType).as("n_feats"),
+        explode(array(buckets)).as("_lb"))
+      .select(col("doc_id"), col("n_feats"),
         array_max(array(scored: _*)).as("_best"))
       .select(col("doc_id"), col("n_feats"),
         col("_best.lang").as("predicted_lang"),

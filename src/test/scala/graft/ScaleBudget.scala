@@ -122,7 +122,18 @@ object ScaleBudget {
     //    band means per-host state or buffering stopped being bounded
     //    by the host's own frontier. Measured r14 calibration: 1.56×
     //    at 10× (band = measured + 2, the short-ratio floor)
-    "frontier_schedule" -> 3.6)
+    "frontier_schedule" -> 3.6,
+    // r15 addition: the v3 LmIndex build's counting stage — ALL orders
+    // 2..5 from one tokenisation (ngramCountsUpTo), timed UNCACHED like
+    // trigram_counts (the registry queries cache their count frames; a
+    // cache hit says nothing about corpus scaling). The shuffle carries
+    // distinct (k, gram) rows — sublinear growth in the replicated
+    // corpus (replicas repeat content, so the distinct-gram vocabulary
+    // grows far slower than the token stream). Above the band means
+    // the multi-order count shuffle stopped being
+    // distinct-gram-vocabulary-sized. Band from the r15 calibration run
+    // (measured + 2, the short-ratio floor — see PERF.md r15).
+    "ngram5_counts" -> 3.6)
 
   /** Gated dataflows that are not SparkEntry queries keyed by name:
     * timed through the same harness. hamming_r8 exercises the band-PAIR
@@ -190,6 +201,9 @@ object ScaleBudget {
       // the order-3 LM counting pass, uncached (see the band comment)
       "trigram_counts" -> ((s, dir) =>
         graft.ops.TextOps.trigramCounts(T.load(s, dir, "documents"))),
+      // the v3 multi-order counting pass (orders 2..5), uncached
+      "ngram5_counts" -> ((s, dir) =>
+        graft.ops.TextOps.ngramCountsUpTo(T.load(s, dir, "documents"), 5)),
       // the LineIndex counting stage at corpus scale: both StreamCurate
       // artifact shapes (boilerplate lines + 3-sentence shingles) from
       // one run — the union is what a nightly artifact refresh computes
