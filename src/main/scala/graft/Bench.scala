@@ -551,22 +551,30 @@ object Bench {
 
   /** Re-measure breaching queries until none remain or the retry rounds
     * are exhausted, keeping per-query minima (a retry can only improve a
-    * reported time — the r7 contract). Breach sets are recomputed per
-    * round from the UPDATED results so a query cleared in round 0 is
-    * never re-run in round 1; `spacer` runs before every round after the
-    * first (the idle gap). Pure given injected `remeasure`/`spacer` so
-    * BenchGateSpec can prove the false-positive/true-regression split
-    * without a bench run. */
+    * reported time — the r7 contract). Contention factors are computed
+    * ONCE from the first pass and used for every round AND the caller's
+    * final verdict (returned alongside the results): retries only lower
+    * times, so per-round or post-retry factor recomputation could only
+    * SHRINK the thresholds — flagging a query that was never offered a
+    * retry, the exact false-positive class this ladder exists to
+    * eliminate. Fixed factors guarantee every reported breach was
+    * re-measured in every round it stayed breaching. Breach sets are
+    * recomputed per round from the UPDATED results so a query cleared
+    * in round 0 is never re-run in round 1; `spacer` runs before every
+    * round after the first (the idle gap). Pure given injected
+    * `remeasure`/`spacer` so BenchGateSpec can prove the
+    * false-positive/true-regression split without a bench run. */
   def resolveBreaches(firstPass: Seq[(String, Double)],
                       remeasure: String => Double,
                       spacer: Int => Unit,
-                      maxRounds: Int = MaxRetryRounds): Seq[(String, Double)] = {
+                      maxRounds: Int = MaxRetryRounds)
+      : (Seq[(String, Double)], Double, Double) = {
+    val bf = budgetFactor(firstPass)
+    val pf = pinFactor(firstPass)
     var results = firstPass
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val bf = budgetFactor(results)
-      val pf = pinFactor(results)
       val breaching = results.collect {
         case (n, s) if budgetOver(n, s, bf) || pinOver(n, s, pf) => n
       }.toSet
@@ -586,7 +594,7 @@ object Bench {
       }
       round += 1
     }
-    results
+    (results, bf, pf)
   }
 
   def main(args: Array[String]): Unit = {
@@ -642,10 +650,12 @@ object Bench {
     // idle and re-measures whatever STILL breaches (BENCH_r14's q_chi2
     // burst outlived the immediate retry; it would not outlive an
     // imposed idle gap). Minima are kept throughout, so retries can only
-    // improve a query's reported time. Factors for the final verdict are
-    // recomputed from the post-retry results.
-    val results =
-      if (!budgetsOn) firstPass
+    // improve a query's reported time. The FIRST-PASS factors govern
+    // retry decisions AND the final verdict: recomputing them from
+    // post-retry results could only shrink the thresholds (retries only
+    // lower times), flagging a query that never got a retry.
+    val (results, runFactor, runPinFactor) =
+      if (!budgetsOn) (firstPass, budgetFactor(firstPass), pinFactor(firstPass))
       else resolveBreaches(firstPass,
         name => math.min(runOnce(name), runOnce(name)),
         round => {
@@ -653,8 +663,6 @@ object Bench {
             s"${RetrySpacingMs / 1000}s so a machine-wide burst can move on")
           Thread.sleep(RetrySpacingMs)
         })
-    val runFactor = budgetFactor(results)
-    val runPinFactor = pinFactor(results)
     val breaches = if (!budgetsOn) Nil else results.collect {
       case (name, secs) if budgetOver(name, secs, runFactor) =>
         f"$name ${secs}%.2f>${budgetSecs(name) * runFactor}%.2f"

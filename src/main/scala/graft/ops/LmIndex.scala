@@ -476,22 +476,23 @@ object LmIndex {
           s"p75$key" -> (JDouble(p75): JValue))
       }
     // the version stamp travels with the highest layer present (absent
-    // on v1 artifacts); per-layer minCount/pruned-count pairs ride
-    // their own keys so partial reads can't misattribute an order
+    // on v1 artifacts); each layer's minCount/pruned-count pair is
+    // emitted IFF that layer exists — readMeta's "layer presence = key
+    // presence" invariant, so a hypothetical order-5-without-order-3
+    // meta can never write a phantom zero-valued layer
     val version: Long =
       if (m.minCount5.isDefined) 3L else if (m.minCount3.isDefined) 2L else 1L
+    def layer(mcKey: String, mc: Option[Long],
+              nKey: String, nv: Option[Long]): List[(String, JValue)] =
+      mc.toList.flatMap(v =>
+        List(mcKey -> (JInt(BigInt(v)): JValue),
+          nKey -> (JInt(BigInt(nv.getOrElse(0L))): JValue)))
     val layerFields =
-      (if (version >= 2)
-        List("version" -> (JInt(BigInt(version)): JValue),
-          "minCount3" -> (JInt(BigInt(m.minCount3.getOrElse(0L))): JValue),
-          "nTrigrams" -> (JInt(BigInt(m.nTrigrams.getOrElse(0L))): JValue))
-      else Nil) ++
-      (if (version >= 3)
-        List("minCount4" -> (JInt(BigInt(m.minCount4.getOrElse(0L))): JValue),
-          "n4grams" -> (JInt(BigInt(m.n4grams.getOrElse(0L))): JValue),
-          "minCount5" -> (JInt(BigInt(m.minCount5.getOrElse(0L))): JValue),
-          "n5grams" -> (JInt(BigInt(m.n5grams.getOrElse(0L))): JValue))
-      else Nil)
+      (if (version >= 2) List("version" -> (JInt(BigInt(version)): JValue))
+       else Nil) ++
+      layer("minCount3", m.minCount3, "nTrigrams", m.nTrigrams) ++
+      layer("minCount4", m.minCount4, "n4grams", m.n4grams) ++
+      layer("minCount5", m.minCount5, "n5grams", m.n5grams)
     val withCuts = base ++ cutsOf("", m.cuts) ++ cutsOf("_3", m.cuts3) ++
       cutsOf("_5", m.cuts5) ++ layerFields
     val json = org.json4s.jackson.JsonMethods.compact(

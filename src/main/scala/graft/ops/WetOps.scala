@@ -84,11 +84,15 @@ object WetOps {
     val html = env.getField("Envelope").getField("Payload-Metadata")
       .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
     val links = html.getField("Links")
+    // shard-path lineage preserved exactly like parseWet — tracing a
+    // damaged envelope back to its shard needs the path
+    val lineage =
+      if (records.columns.contains("path")) Seq(col("path")) else Nil
     records
       .filter(col("warc_type") === "metadata")
       .withColumn("_wat_links", links)
-      .select(col("doc_id"), col("rec_index"), col("target_uri"),
-        col("warc_date"),
+      .select(lineage ++ Seq(col("doc_id"), col("rec_index"),
+        col("target_uri"), col("warc_date"),
         env.getField("Envelope").getField("WARC-Header-Metadata")
           .getField("WARC-Target-URI").as("wat_uri"),
         html.getField("Head").getField("Title").as("title"),
@@ -97,7 +101,7 @@ object WetOps {
         // try_element_at: a zero-link page has an EMPTY array, which
         // plain element_at rejects under ANSI semantics
         try_element_at(col("_wat_links"), lit(1)).getField("url")
-          .as("first_link"))
+          .as("first_link")): _*)
   }
 
   /** Records of every WET shard under `path` (`*.warc.wet*` — Common
@@ -116,6 +120,19 @@ object WetOps {
                     globFilter: String = "*.warc.wet*",
                     maxFilesPerTrigger: Option[Int] = None): DataFrame =
     parseWet(WarcOps.readWarcStream(spark, path, globFilter, maxFilesPerTrigger))
+
+  /** Metadata rows of every WAT shard under `path` (`*.warc.wat*`) —
+    * [[readWet]]'s envelope-format sibling, shard path kept for
+    * lineage. */
+  def readWat(spark: SparkSession, path: String,
+              globFilter: String = "*.warc.wat*"): DataFrame =
+    parseWat(WarcOps.readWarc(spark, path, globFilter))
+
+  /** Streaming twin of [[readWat]]. */
+  def readWatStream(spark: SparkSession, path: String,
+                    globFilter: String = "*.warc.wat*",
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    parseWat(WarcOps.readWarcStream(spark, path, globFilter, maxFilesPerTrigger))
 
   // ------------------------------------------------------------------
   // closed-form synthetic fixtures (the WarcOps.syntheticWarc recipe on

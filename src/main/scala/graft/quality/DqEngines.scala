@@ -191,8 +191,14 @@ final class GreatExpectationsEngine(
 
 /** Soda scan-outcome adapter (engines.py:181-212): `status` else
   * `outcome` else warn; an out-of-vocabulary spelling maps
-  * passed/pass→ok, anything else→block; reason from `reason` else
-  * `error`. */
+  * passed/pass→ok (case-folded), anything else→block; reason from
+  * `reason` else `error`.
+  *
+  * Deliberate deviation from the reference: its fallback re-reads the
+  * `status` KEY (engines.py:206), so a pass verdict delivered under
+  * Soda's own `outcome` key — the spelling the line exists to accept —
+  * maps to block. The fallback here tests the RESOLVED value,
+  * whichever key carried it. */
 final class SodaEngine(
     metricsKey: String = "soda",
     checksPath: Option[String] = None)
@@ -207,9 +213,7 @@ final class SodaEngine(
       .getOrElse("warn")
     val status =
       if (ValidationResult.KnownStatuses.contains(raw)) raw
-      else if (Set("passed", "pass").contains(
-        summary.get("status").collect { case s: String => s }
-          .getOrElse("").toLowerCase)) "ok"
+      else if (Set("passed", "pass").contains(raw.toLowerCase)) "ok"
       else "block"
     val reason = summary.get("reason").collect { case s: String => s }
       .orElse(summary.get("error").collect { case s: String => s })

@@ -375,8 +375,17 @@ final class GovernanceHttpServer(contracts: ContractStore, gov: GovernanceBacken
           // object values are EXTERNAL run summaries (a Great
           // Expectations / Soda result riding the payload under its
           // engine's metrics key — reference engines.py:128-133); the
-          // metrics-driven engines read them as nested maps
-          case (k, JObject(inner)) => k -> (plainValue(JObject(inner)): Any)
+          // metrics-driven engines read them as nested maps. The NATIVE
+          // namespace stays scalar-only: an object under violations.* /
+          // observed.* / row_count is a malformed count, and letting it
+          // through would evaluate as a warn-grade "unexpected metric
+          // type" — a soft verdict for a payload that actually reported
+          // violations (the exact failure the reject-instead comment
+          // below exists for)
+          case (k, JObject(inner))
+              if !k.startsWith("violations.") && !k.startsWith("observed.") &&
+                k != "row_count" =>
+            k -> (plainValue(JObject(inner)): Any)
           // dropping an unsupported value silently would evaluate as if
           // the observation was never shipped — a green verdict for a
           // payload that actually reported a violation; reject instead

@@ -53,6 +53,15 @@ object StreamFrontier {
     * `robotsAllowed`). */
   def permit(urls: DataFrame, compiled: DataFrame,
              keyCol: String = "doc_id", pathCol: String = "path"): DataFrame = {
+    // the same collision contract as schedule(): the working columns
+    // and the outputs about to be added must not already exist on the
+    // input — withColumn would replace them in place and the trailing
+    // drop would silently delete the caller's column
+    val reserved = Seq("_sf_key", "_sf_rules", "_sf_la", "_sf_ld",
+      "allowed", "delay_s").filter(urls.columns.contains)
+    require(reserved.isEmpty,
+      s"permit reserves column names ${reserved.mkString(", ")} — rename " +
+        "them on the input frame first")
     // a stream-static join re-evaluates the static plan every
     // micro-batch; the compiled frame is (hosts × rules)-sized, so pin
     // it in the cache once rather than re-running the robots parse +

@@ -134,7 +134,7 @@ class BenchGateSpec extends AnyFunSuite {
       if (k == "q_chi2") k -> v * 2.84 else k -> v * 1.2 }
     var spaced = 0
     var calls = 0
-    val resolved = Bench.resolveBreaches(hot,
+    val (resolved, _, pf) = Bench.resolveBreaches(hot,
       remeasure = { name =>
         assert(name == "q_chi2", "only the breaching query is re-measured")
         calls += 1
@@ -144,17 +144,20 @@ class BenchGateSpec extends AnyFunSuite {
       },
       spacer = _ => spaced += 1)
     assert(spaced == 1, "the second retry must be idle-spaced exactly once")
-    assert(Bench.baselineBreaches(resolved, Bench.pinFactor(resolved)).isEmpty,
+    // the verdict uses the FIRST-PASS factor the retries were decided
+    // under — a post-retry recompute could only shrink the threshold
+    assert(math.abs(pf - 1.2) < 1e-9)
+    assert(Bench.baselineBreaches(resolved, pf).isEmpty,
       "a burst that clears after imposed idle must not breach")
   }
 
   test("a genuine 3x single-query regression still breaches through both retries") {
     val hot = Bench.pinnedSecs.toSeq.map { case (k, v) =>
       if (k == "q_chi2") k -> v * 3.0 else k -> v * 1.0 }
-    val resolved = Bench.resolveBreaches(hot,
+    val (resolved, _, pf) = Bench.resolveBreaches(hot,
       remeasure = name => Bench.pinnedSecs(name) * 3.0, // repeats: real
       spacer = _ => ())
-    val breaches = Bench.baselineBreaches(resolved, Bench.pinFactor(resolved))
+    val breaches = Bench.baselineBreaches(resolved, pf)
     assert(breaches.nonEmpty && breaches.head.startsWith("q_chi2"),
       "retries must never absorb a reproducible regression")
   }
@@ -169,23 +172,23 @@ class BenchGateSpec extends AnyFunSuite {
     def timeOf(rs: Seq[(String, Double)]) = rs.toMap.apply("q_funnel")
     // a retry that comes back WORSE is discarded (min-keeping)
     val worse = Bench.resolveBreaches(profile,
-      remeasure = _ => pin * 9.9, spacer = _ => ())
+      remeasure = _ => pin * 9.9, spacer = _ => ())._1
     assert(timeOf(worse) == pin * 2.5)
     // a query cleared in round 0 is not re-run in round 1
     var calls = 0
     val cleared = Bench.resolveBreaches(profile,
-      remeasure = { _ => calls += 1; pin }, spacer = _ => ())
+      remeasure = { _ => calls += 1; pin }, spacer = _ => ())._1
     assert(calls == 1 && timeOf(cleared) == pin)
     // a throwing remeasure keeps the original sample instead of failing
     val thrown = Bench.resolveBreaches(profile,
-      remeasure = _ => sys.error("boom"), spacer = _ => ())
+      remeasure = _ => sys.error("boom"), spacer = _ => ())._1
     assert(timeOf(thrown) == pin * 2.5)
     // an idle profile never re-measures or spaces
     var touched = false
     val idle = Bench.pinnedSecs.toSeq
     val out = Bench.resolveBreaches(idle,
       remeasure = { _ => touched = true; 0.0 },
-      spacer = _ => touched = true)
+      spacer = _ => touched = true)._1
     assert(out == idle && !touched)
   }
 

@@ -256,6 +256,23 @@ class LmIndexSpec extends SparkSpec {
       "a v2 merge must stay exactly v2")
   }
 
+  test("meta emits a layer's keys iff the layer exists (no phantom zero-valued layers)") {
+    def metaText(dir: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "meta.json")),
+      "UTF-8")
+    val v1 = tmpDir("lm_meta_v1"); val v2 = tmpDir("lm_meta_v2")
+    val v3 = tmpDir("lm_meta_v3")
+    LmIndex.build(reference, v1, minCount = 5)
+    LmIndex.buildWithTrigrams(reference, v2, minCount = 5, minCount3 = 3)
+    LmIndex.buildWithOrders(reference, v3)
+    assert(!metaText(v1).contains("version") && !metaText(v1).contains("minCount3"))
+    assert(metaText(v2).contains("\"version\":2") &&
+      metaText(v2).contains("minCount3") && !metaText(v2).contains("minCount4"),
+      "a v2 artifact must not carry zero-valued order-4/5 keys")
+    assert(metaText(v3).contains("\"version\":3") &&
+      metaText(v3).contains("minCount4") && metaText(v3).contains("minCount5"))
+  }
+
   test("a future-version artifact is rejected loudly, never read under v3 semantics") {
     val dir = tmpDir("lm_v9")
     LmIndex.build(reference, dir, minCount = 5)

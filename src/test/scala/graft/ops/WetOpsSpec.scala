@@ -106,6 +106,32 @@ class WetOpsSpec extends SparkSpec {
     assert(fromFiles.nonEmpty)
   }
 
+  test("readWat: file entry with shard-path lineage, parity with the in-memory parse") {
+    val dir = tmpDir("wat_files")
+    for (doc <- 0L until 8L) {
+      val name = if (doc % 2 == 0) s"doc_$doc.warc.wat.gz" else s"doc_$doc.warc.wat"
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        WetOps.syntheticWat(doc))
+    }
+    val fromFiles = WetOps.readWat(spark, dir)
+    // r15 review fix: parseWat preserves the path column exactly like
+    // parseWet — tracing a damaged envelope back to its shard needs it
+    assert(fromFiles.columns.head == "path")
+    assert(fromFiles.filter(col("path").isNull).count() == 0)
+    val rows = fromFiles
+      .withColumn("doc", regexp_extract(col("path"), "doc_([0-9]+)[.]warc", 1)
+        .cast("long"))
+      .select(col("doc"), col("rec_index"), col("wat_uri"), col("title"),
+        col("n_links"), col("first_link"))
+      .collect().map(_.toSeq).toSet
+    val inMemory = WetOps.parseWat(
+      WarcOps.parseWarc(spark, WetOps.watPayloads(spark, ids(8))))
+      .select(col("doc_id"), col("rec_index"), col("wat_uri"), col("title"),
+        col("n_links"), col("first_link"))
+      .collect().map(_.toSeq).toSet
+    assert(rows == inMemory && rows.nonEmpty)
+  }
+
   test("WET shards feed StreamCurate with no adapter: stream ≡ batch through the chain") {
     // offline artifacts from a tiny corpus (the StreamCurateSpec recipe)
     val corpus = Seq((1L, "Corpus doc body here.\nsubscribe now"),

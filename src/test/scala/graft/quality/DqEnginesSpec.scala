@@ -139,6 +139,13 @@ class DqEnginesSpec extends AnyFunSuite {
     // out-of-vocabulary status: passed/pass -> ok, anything else -> block
     assert(eval(Map("status" -> "PASSED")).recordStatus == "ok")
     assert(eval(Map("status" -> "failed")).recordStatus == "block")
+    // r15 review fix: the pass special-case reads the RESOLVED value —
+    // a pass verdict under Soda's own `outcome` key (no `status` key at
+    // all) must map ok, not block (the reference's fallback re-reads
+    // the status key and gets this wrong)
+    assert(eval(Map("outcome" -> "pass")).recordStatus == "ok")
+    assert(eval(Map("outcome" -> "PASSED", "checks" -> 3L)).recordStatus == "ok")
+    assert(eval(Map("outcome" -> "failed")).recordStatus == "block")
     // no status/outcome at all -> warn (the reference default)
     assert(eval(Map("checks" -> 5L)).recordStatus == "warn")
     // reason falls back from reason to error

@@ -223,6 +223,14 @@ class AuthBootstrapSpec extends SparkSpec {
           Map("quality_engine" -> "nonsuch")))
       assert(post("/data-quality/evaluate",
         s"""{"contract":$badEngine,"schema":$schema,"metrics":{}}""")._1 == 400)
+      // r15 review fix: object values are accepted ONLY outside the
+      // native metric namespace — a violations.* count wrapped in an
+      // object is a malformed payload and must 400, not evaluate to a
+      // soft warn verdict (the pre-r15 loud-reject contract)
+      assert(post("/data-quality/evaluate",
+        s"""{"contract":$contractJson,"schema":$schema,
+           |"metrics":{"violations.not_null_l_orderkey":{"count":3}}}""".stripMargin)
+        ._1 == 400)
     }
   }
 

@@ -126,6 +126,18 @@ class StreamFrontierSpec extends SparkSpec {
       }
       assert(e.getMessage.contains(bad))
     }
+    // permit has the same contract on ITS working/output names (r15
+    // review: a frame already carrying `allowed` would have its column
+    // silently consumed and dropped)
+    val compiled = UrlOps.compiledRobots(rules, agent, keyCol = "host")
+    for (bad <- Seq("_sf_key", "_sf_rules", "_sf_la", "_sf_ld",
+        "allowed", "delay_s")) {
+      val e = intercept[IllegalArgumentException] {
+        StreamFrontier.permit(urls.withColumn(bad, lit(true)), compiled,
+          keyCol = "host")
+      }
+      assert(e.getMessage.contains(bad))
+    }
   }
 
   test("a null url_id mis-slots one URL (nulls first), never kills the query") {
