@@ -736,6 +736,36 @@ object SparkEntry {
     "q_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(t(s, d, "documents"))),
     "q_ppl_buckets3" -> ((s, d) => TextOps.perplexityBuckets3(t(s, d, "documents"))),
     "q_ppl_buckets5" -> ((s, d) => TextOps.perplexityBuckets5(t(s, d, "documents"))),
+    // the CCNet pipeline composed end to end (r15): trained language ID
+    // splits the corpus, the per-language LM trains ON THE SLICE, the
+    // quartile split buckets it — language-split-then-score is CCNet's
+    // actual architecture, and every stage is an already-gated
+    // operator; the gate is the SEAMS
+    "q_ccnet_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = TextOps.trainLangNb(docs, col("lang"), buckets = 64,
+        nGram = 3, mode = HashMode.Portable)
+      val en = docs.join(
+        TextOps.langIdNb(docs, model, mode = HashMode.Portable)
+          .filter(col("predicted_lang") === "en")
+          .select(col("doc_id")),
+        Seq("doc_id"))
+      TextOps.perplexityBuckets(en)
+    }),
+    // the WAT link-graph seam (r15): envelope outlinks exploded
+    // (WetOps.watLinks), hosts parsed by the gated URL decomposition,
+    // per-target-host in-link degree — how real pipelines build the
+    // web graph without parsing HTML
+    "q_wat_links" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val links = graft.ops.WetOps.watLinks(
+        graft.ops.WarcOps.parseWarc(s, graft.ops.WetOps.watPayloads(s, ids)))
+      graft.ops.UrlOps.parseUrls(links.withColumn("url", col("link")))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
     "q_vocab_drift" -> ((s, d) => TextOps.vocabDrift(t(s, d, "documents"))),
     // PSI of each source's length profile against the corpus (bin = 50 chars)
     "q_psi" -> ((s, d) =>
@@ -4093,47 +4123,46 @@ object SparkEntry {
     // per-(lang, bucket) counts -> 6dp per-class log-likelihood ->
     // micro-int weights + priors -> the scoring join, argmax via the
     // (total DESC, lang ASC) window — the engine's struct-max tie order
-    "q_lang_id_trained" ->
-      s"""WITH nt AS (
-         |  SELECT doc_id, lang,
-         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-         |  FROM documents),
-         |gi AS (SELECT doc_id, lang, s,
-         |  unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i FROM nt),
-         |f AS (SELECT doc_id, lang,
-         |  CAST(${h60("substr(s, CAST(i AS INT), 3)")} % 64 AS INT) AS bkt FROM gi),
-         |langs AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
-         |dc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS d
-         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
-         |dt AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM documents
-         |  WHERE lang IS NOT NULL),
-         |cnt AS (SELECT lang, bkt, count(*) AS n FROM f GROUP BY 1, 2),
-         |tc AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1),
-         |wts AS (SELECT l.lang, gs.bkt,
-         |  CAST(round(round(ln((coalesce(n, 0) + 1.0) / (coalesce(t, 0) + 64.0)), 6)
-         |    * 1000000, 0) AS BIGINT) AS wt
-         |  FROM langs l
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bkt) gs
-         |  LEFT JOIN tc ON tc.lang = l.lang
-         |  LEFT JOIN cnt ON cnt.lang = l.lang AND cnt.bkt = gs.bkt),
-         |pri AS (SELECT dc.lang,
-         |  CAST(round(round(ln(d / tot), 6) * 1000000, 0) AS BIGINT) AS pm
-         |  FROM dc, dt),
-         |sc AS (SELECT f.doc_id, w.lang, sum(w.wt) AS sm
-         |  FROM f JOIN wts w ON w.bkt = f.bkt GROUP BY 1, 2),
-         |tot AS (SELECT d.doc_id, p.lang AS cls, coalesce(sm, 0) + pm AS total
-         |  FROM documents d CROSS JOIN pri p
-         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = p.lang),
-         |best AS (SELECT doc_id, cls AS predicted_lang, total FROM tot
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY total DESC, cls ASC) = 1),
-         |nf AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1)
-         |SELECT d.doc_id, d.lang, b.predicted_lang,
-         |  b.predicted_lang = d.lang AS correct,
-         |  CAST(coalesce(nf.n, 0) AS BIGINT) AS n_feats,
-         |  CAST(b.total AS BIGINT) AS score_micro
-         |FROM documents d JOIN best b USING (doc_id)
-         |LEFT JOIN nf USING (doc_id)""".stripMargin,
+    "q_lang_id_trained" -> langIdTrainedSql,
+    // the CCNet pipeline composed end to end: the trained-language-ID
+    // oracle picks the predicted-en slice, the LM oracle trains/scores
+    // ON THAT SLICE, the quartile bucket wrapper splits it — every
+    // stage an already-gated recipe, the gate is the SEAMS
+    "q_ccnet_pipeline" ->
+      s"""WITH pred AS (
+        |  SELECT doc_id, predicted_lang FROM ($langIdTrainedSql) p),
+        |en AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN pred ON pred.doc_id = d.doc_id
+        |  WHERE pred.predicted_lang = 'en'),
+        |${lmScoreCtesFrom("en")},
+        |sc AS (${lmScoreSelectFrom("en")}),
+        |cuts AS (
+        |  SELECT round(quantile_cont(avg_logp, 0.25), 6) AS p25,
+        |    round(quantile_cont(avg_logp, 0.75), 6) AS p75
+        |  FROM sc WHERE n_bigrams > 0)
+        |SELECT doc_id, n_bigrams, avg_logp,
+        |  CASE WHEN n_bigrams = 0 THEN 'unscored'
+        |       WHEN avg_logp >= p75 THEN 'head'
+        |       WHEN avg_logp >= p25 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN cuts""".stripMargin,
+    // the WAT link-graph seam: per-target-host in-link degree
+    // recomputed relationally from the fixture formulas (k <
+    // (doc+j)%3 links per well-formed envelope, target host
+    // l{k}.example; the (doc+j)%5=3 damaged class contributes nothing)
+    "q_wat_links" ->
+      """WITH recs AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS j
+        |  FROM documents WHERE doc_id < 120),
+        |lk AS (
+        |  SELECT doc_id, j,
+        |    UNNEST(generate_series(0, CAST((doc_id + j) % 3 AS BIGINT) - 1)) AS k
+        |  FROM recs WHERE (doc_id + j) % 5 <> 3)
+        |SELECT 'l' || k || '.example' AS host,
+        |  CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM lk GROUP BY 1""".stripMargin,
     "q_text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -5423,12 +5452,15 @@ object SparkEntry {
         |       ELSE 0.0 END AS avg_logp5
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
 
-  /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */
-  private def lmScoreSql: String =
-    """WITH t AS (
+  /** The q_lm_score CTE chain over an arbitrary `(doc_id, text)` source
+    * relation — parametrized (r15) so the CCNet composition gate can
+    * train/score the LM on a predicted-language SLICE instead of the
+    * whole table; `lmScoreSql` below is the whole-table instantiation. */
+  private def lmScoreCtesFrom(src: String): String =
+    s"""t AS (
         |  SELECT doc_id,
-        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS toks
-        |  FROM documents),
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') AS toks
+        |  FROM $src),
         |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
         |b2 AS (
         |  SELECT a.doc_id, a.tok AS w1, c.tok AS w2
@@ -5443,11 +5475,66 @@ object SparkEntry {
         |  FROM b2 LEFT JOIN st ON st.w1 = b2.w1 AND st.w2 = b2.w2),
         |agg AS (
         |  SELECT doc_id, count(*) AS nb, sum(CAST(lp AS DECIMAL(28,9))) AS s
-        |  FROM terms GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  FROM terms GROUP BY 1)""".stripMargin
+
+  /** The lmScore final select over [[lmScoreCtesFrom]]' `agg`. */
+  private def lmScoreSelectFrom(src: String): String =
+    s"""SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
         |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(s AS DOUBLE) / nb, 6)
         |       ELSE 0.0 END AS avg_logp
-        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
+        |FROM $src d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
+
+  /** The q_lm_score oracle, reused as a subquery by q_ppl_buckets. */
+  private def lmScoreSql: String =
+    s"WITH ${lmScoreCtesFrom("documents")}\n${lmScoreSelectFrom("documents")}"
+
+  /** The q_lang_id_trained oracle (training replayed bit for bit —
+    * char-trigram extraction, h60%64 buckets, per-(lang, bucket) counts
+    * → 6 dp per-class log-likelihood → micro-int weights + priors →
+    * scoring join, argmax via the (total DESC, lang ASC) window); also
+    * embedded by the q_ccnet_pipeline composition as its
+    * language-split stage. */
+  private def langIdTrainedSql: String =
+    s"""WITH nt AS (
+       |  SELECT doc_id, lang,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |  FROM documents),
+       |gi AS (SELECT doc_id, lang, s,
+       |  unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i FROM nt),
+       |f AS (SELECT doc_id, lang,
+       |  CAST(${h60("substr(s, CAST(i AS INT), 3)")} % 64 AS INT) AS bkt FROM gi),
+       |langs AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+       |dc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS d
+       |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+       |dt AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM documents
+       |  WHERE lang IS NOT NULL),
+       |cnt AS (SELECT lang, bkt, count(*) AS n FROM f GROUP BY 1, 2),
+       |tc AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+       |wts AS (SELECT l.lang, gs.bkt,
+       |  CAST(round(round(ln((coalesce(n, 0) + 1.0) / (coalesce(t, 0) + 64.0)), 6)
+       |    * 1000000, 0) AS BIGINT) AS wt
+       |  FROM langs l
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bkt) gs
+       |  LEFT JOIN tc ON tc.lang = l.lang
+       |  LEFT JOIN cnt ON cnt.lang = l.lang AND cnt.bkt = gs.bkt),
+       |pri AS (SELECT dc.lang,
+       |  CAST(round(round(ln(d / tot), 6) * 1000000, 0) AS BIGINT) AS pm
+       |  FROM dc, dt),
+       |sc AS (SELECT f.doc_id, w.lang, sum(w.wt) AS sm
+       |  FROM f JOIN wts w ON w.bkt = f.bkt GROUP BY 1, 2),
+       |tot AS (SELECT d.doc_id, p.lang AS cls, coalesce(sm, 0) + pm AS total
+       |  FROM documents d CROSS JOIN pri p
+       |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = p.lang),
+       |best AS (SELECT doc_id, cls AS predicted_lang, total FROM tot
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY total DESC, cls ASC) = 1),
+       |nf AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1)
+       |SELECT d.doc_id, d.lang, b.predicted_lang,
+       |  b.predicted_lang = d.lang AS correct,
+       |  CAST(coalesce(nf.n, 0) AS BIGINT) AS n_feats,
+       |  CAST(b.total AS BIGINT) AS score_micro
+       |FROM documents d JOIN best b USING (doc_id)
+       |LEFT JOIN nf USING (doc_id)""".stripMargin
 
   /** Shared CTE chain for the ExactSubstr gates (l = 20): duplicated
     * window detection + per-doc island merge; `selectSpans` picks the

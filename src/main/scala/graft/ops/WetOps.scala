@@ -104,6 +104,26 @@ object WetOps {
           .as("first_link")): _*)
   }
 
+  /** The WAT outlink stream `(doc_id, rec_index, link)` — one row per
+    * link in a well-formed envelope (malformed or link-less records
+    * contribute nothing: explode skips null and empty arrays). This is
+    * the seam that builds a crawl's link graph WITHOUT parsing HTML —
+    * real pipelines derive their web graph from WAT precisely because
+    * the extraction pass is already paid; compose with
+    * [[UrlOps.parseUrls]] → [[Graph.pageRank]] exactly like the
+    * extractLinks chain. Stateless projection, stream-admissible. */
+  def watLinks(records: DataFrame): DataFrame = {
+    val env = from_json(col("payload_text"), WatEnvelopeSchema)
+    val links = env.getField("Envelope").getField("Payload-Metadata")
+      .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+      .getField("Links")
+    records
+      .filter(col("warc_type") === "metadata")
+      .withColumn("_wl", explode(links))
+      .select(col("doc_id"), col("rec_index"),
+        col("_wl").getField("url").as("link"))
+  }
+
   /** Records of every WET shard under `path` (`*.warc.wet*` — Common
     * Crawl's naming), already projected to text rows. The reader IS
     * [[WarcOps.readWarc]]: one binaryFile scan, one per-file byte-walk,

@@ -106,6 +106,22 @@ class WetOpsSpec extends SparkSpec {
     assert(fromFiles.nonEmpty)
   }
 
+  test("watLinks: one row per well-formed outlink; malformed and link-less " +
+    "records contribute nothing") {
+    val links = WetOps.watLinks(
+      WarcOps.parseWarc(spark, WetOps.watPayloads(spark, ids(12))))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rec_index") - 1,
+        r.getAs[String]("link")))
+    val expected = for {
+      doc <- 0L until 12L
+      j <- 0L to doc % 3
+      if !WetOps.watMalformed(doc, j)
+      k <- 0L until WetOps.watLinkCount(doc, j)
+    } yield (doc, j, s"http://l$k.example/$doc/$j")
+    assert(links.toSet == expected.toSet && links.length == expected.length,
+      "exactly the well-formed envelopes' links, one row each")
+  }
+
   test("readWat: file entry with shard-path lineage, parity with the in-memory parse") {
     val dir = tmpDir("wat_files")
     for (doc <- 0L until 8L) {
