@@ -18,6 +18,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     T.load(s, dir, name)
 
+  /** The trained-language-ID prediction frame both gates that consume
+    * it share (q_lang_id_trained, q_ccnet_pipeline's split stage) — ONE
+    * train/infer invocation with the gate parameters, so the Spark side
+    * stays in lockstep with the single `langIdTrainedSql` the oracle
+    * side embeds for both. */
+  private def trainedLangPredictions(docs: DataFrame): DataFrame = {
+    val model = TextOps.trainLangNb(docs, col("lang"), buckets = 64,
+      nGram = 3, mode = HashMode.Portable)
+    TextOps.langIdNb(docs, model, mode = HashMode.Portable)
+  }
+
   // q_curation_ingest fixture constants — spliced VERBATIM into both the
   // Spark construction and the oracle SQL (single definition, the
   // pattern-constant convention). Footer carries no terminal mark (a
@@ -640,9 +651,7 @@ object SparkEntry {
     // bit-for-bit by the oracle (the q_nb_classify precedent)
     "q_lang_id_trained" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val model = TextOps.trainLangNb(docs, col("lang"), buckets = 64,
-        nGram = 3, mode = HashMode.Portable)
-      TextOps.langIdNb(docs, model, mode = HashMode.Portable)
+      trainedLangPredictions(docs)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("predicted_lang"),
           (col("predicted_lang") === col("lang")).as("correct"),
@@ -743,10 +752,8 @@ object SparkEntry {
     // operator; the gate is the SEAMS
     "q_ccnet_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val model = TextOps.trainLangNb(docs, col("lang"), buckets = 64,
-        nGram = 3, mode = HashMode.Portable)
       val en = docs.join(
-        TextOps.langIdNb(docs, model, mode = HashMode.Portable)
+        trainedLangPredictions(docs)
           .filter(col("predicted_lang") === "en")
           .select(col("doc_id")),
         Seq("doc_id"))

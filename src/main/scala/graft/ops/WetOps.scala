@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,10 +79,17 @@ object WetOps {
     * alongside so a mismatched envelope is visible, not masked).
     * Malformed JSON yields null envelope fields and 0 links — the
     * malformed-total contract. */
-  def parseWat(records: DataFrame): DataFrame = {
-    val env = from_json(col("payload_text"), WatEnvelopeSchema)
-    val html = env.getField("Envelope").getField("Payload-Metadata")
+  /** The parsed envelope and its HTML-metadata subtree — ONE extraction
+    * expression shared by every WAT projection, so a schema-path change
+    * cannot desynchronize them. */
+  private def watEnvelope: Column = from_json(col("payload_text"), WatEnvelopeSchema)
+  private def watHtmlMeta: Column =
+    watEnvelope.getField("Envelope").getField("Payload-Metadata")
       .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+
+  def parseWat(records: DataFrame): DataFrame = {
+    val env = watEnvelope
+    val html = watHtmlMeta
     val links = html.getField("Links")
     // shard-path lineage preserved exactly like parseWet — tracing a
     // damaged envelope back to its shard needs the path
@@ -112,17 +119,12 @@ object WetOps {
     * the extraction pass is already paid; compose with
     * [[UrlOps.parseUrls]] → [[Graph.pageRank]] exactly like the
     * extractLinks chain. Stateless projection, stream-admissible. */
-  def watLinks(records: DataFrame): DataFrame = {
-    val env = from_json(col("payload_text"), WatEnvelopeSchema)
-    val links = env.getField("Envelope").getField("Payload-Metadata")
-      .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
-      .getField("Links")
+  def watLinks(records: DataFrame): DataFrame =
     records
       .filter(col("warc_type") === "metadata")
-      .withColumn("_wl", explode(links))
+      .withColumn("_wl", explode(watHtmlMeta.getField("Links")))
       .select(col("doc_id"), col("rec_index"),
         col("_wl").getField("url").as("link"))
-  }
 
   /** Records of every WET shard under `path` (`*.warc.wet*` — Common
     * Crawl's naming), already projected to text rows. The reader IS
