@@ -26,7 +26,8 @@ object SparkEntry {
   private def trainedLangPredictions(docs: DataFrame): DataFrame = {
     val model = TextOps.trainLangNb(docs, col("lang"), buckets = 64,
       nGram = 3, mode = HashMode.Portable)
-    TextOps.langIdNb(docs, model, mode = HashMode.Portable)
+    // inference hashes under the model's own recorded mode (Portable)
+    TextOps.langIdNb(docs, model)
   }
 
   // q_curation_ingest fixture constants — spliced VERBATIM into both the

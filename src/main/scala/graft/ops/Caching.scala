@@ -100,10 +100,31 @@ object Caching {
     * checkpointed RDD and unpersists it directly; reliable-checkpoint
     * files are left to the cleaner config documented on [[materialize]].
     * Best-effort: an unrecognised plan shape is a no-op (the
-    * ContextCleaner still reclaims blocks on GC), never an error. */
+    * ContextCleaner still reclaims blocks on GC), never an error.
+    *
+    * `RDD.unpersist` WARNs when the target was locally checkpointed
+    * ("lineage has been truncated... can no longer be recomputed") —
+    * accurate in general, but here it describes exactly the intended
+    * operation: the released round is SUPERSEDED by a later checkpoint
+    * and is never recomputed, so a full Verify sweep would otherwise
+    * print the warning once per checkpoint-window rotation per
+    * iterative gate (pure noise burying real warnings). The specific
+    * logger is capped at ERROR once, on first release: `unpersist` is
+    * the only code path logging through the concrete RDD class's
+    * logger that this library triggers, and the cluster-mode reliable-
+    * checkpoint path never takes it. */
+  private lazy val silenceLocalCheckpointUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case scala.util.control.NonFatal(_) => () }
+
   def releaseMaterialized(df: DataFrame): Unit =
     try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        // unconditional: RDD.isLocallyCheckpointed is private[rdd], and
+        // capping the logger is harmless on the reliable-checkpoint path
+        silenceLocalCheckpointUnpersistWarn
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -294,10 +294,14 @@ object TextOps {
     * ln(D_c/D_total) and `weights(c)(b)` = ln((n_cb+α)/(N_c+αB)), both
     * rounded 6 dp (the family's transcendental-parity contract) so a
     * DuckDB oracle replays training bit for bit. Driver-sized by
-    * construction: classes × buckets doubles. */
+    * construction: classes × buckets doubles. The model RECORDS the
+    * [[HashMode]] it was trained under — inference hashes with the
+    * model's own mode, so a train/score mode mismatch (which would
+    * silently bucket features wrong and misclassify with no error)
+    * cannot be expressed. */
   final case class NbLangModel(classes: Seq[String], priors: Seq[Double],
                                weights: Seq[Seq[Double]], buckets: Int,
-                               nGram: Int)
+                               nGram: Int, mode: HashMode)
 
   /** The normalised text as a single-character array — the base both
     * char-n-gram call sites materialise ONCE (behind a Generate
@@ -320,8 +324,12 @@ object TextOps {
   private def charNgramsOf(chars: Column, n: Int): Column =
     // the short-text branch must be explicit: sequence(1, 0) DESCENDS
     // in Spark (yielding [1, 0] — two phantom empty-string features),
-    // it is not an empty range
-    when(size(chars) >= n,
+    // it is not an empty range. The first-element emptiness test closes
+    // the n = 1 hole: split("", "") is [""] (size 1), which passes the
+    // size guard at n = 1 and would emit one phantom EMPTY-STRING
+    // feature per empty/null document; a non-empty text never contains
+    // an empty element, so checking position 1 is exact
+    when(size(chars) >= n && length(element_at(chars, 1)) > 0,
       transform(sequence(lit(1), size(chars) - (n - 1)),
         i => concat((0 until n).map(j => element_at(chars, i + j)): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
@@ -374,7 +382,7 @@ object TextOps {
       (0 until buckets).map(b =>
         r6(math.log((byB.getOrElse(b, 0L) + alpha) / (tC + alpha * buckets))))
     }
-    NbLangModel(classes, priors, weights, buckets, nGram)
+    NbLangModel(classes, priors, weights, buckets, nGram, mode)
   }
 
   /** Trained language-ID INFERENCE under an [[NbLangModel]]: per class
@@ -387,9 +395,10 @@ object TextOps {
     * Zero shuffle: feature extraction, hashing, the per-class folds and
     * the argmax are one projection behind a Generate barrier — runs
     * unchanged on a streaming frame (spec-pinned), which is where
-    * language ID actually sits in an ingest pipeline. */
-  def langIdNb(docs: DataFrame, model: NbLangModel,
-               mode: HashMode = HashMode.Default): DataFrame = {
+    * language ID actually sits in an ingest pipeline. Features hash
+    * under the MODEL'S recorded [[HashMode]] — the mode is part of the
+    * learned artifact, not a per-call knob. */
+  def langIdNb(docs: DataFrame, model: NbLangModel): DataFrame = {
     require(model.classes.nonEmpty, "model must carry at least one class")
     def micro(x: Double): Long = math.round(x * 1e6)
     val b = model.buckets
@@ -399,7 +408,7 @@ object TextOps {
     // every feature (K classes × features md5 calls), and at 100 TB the
     // hash IS the inference cost
     val buckets = transform(col("_lf"),
-      g => pmod(mode.hash(g), lit(b.toLong)).cast(IntegerType))
+      g => pmod(model.mode.hash(g), lit(b.toLong)).cast(IntegerType))
     val scored = model.classes.zipWithIndex.map { case (c, i) =>
       val wLit = array(model.weights(i).map(w => lit(micro(w))): _*)
       struct(

@@ -98,4 +98,44 @@ class LangNbSpec extends SparkSpec {
       assert(streamed == batch, "inference must be a pure projection: stream ≡ batch")
     } finally q.stop()
   }
+
+  test("the hash mode is part of the model: inference hashes under the trained mode") {
+    // train the same corpus under both modes — the models must RECORD
+    // their mode, and each model's inference must reproduce the
+    // training-time bucketing (pre-fix, langIdNb took an independent
+    // mode parameter: a Portable-trained model scored under Default
+    // hashed features into wrong buckets with no error)
+    val mp = TextOps.trainLangNb(corpus, col("lang"), buckets = 256,
+      mode = HashMode.Portable)
+    val md = TextOps.trainLangNb(corpus, col("lang"), buckets = 256)
+    assert(mp.mode == HashMode.Portable && md.mode == HashMode.Default)
+    // different hash functions bucket differently, so the learned
+    // weight tables cannot coincide — a mode mix-up would be visible
+    assert(mp.weights != md.weights,
+      "portable and default training must produce distinct weight tables")
+    // both self-consistent models classify the separable fixture right
+    for (m <- Seq(mp, md)) {
+      val correct = TextOps.langIdNb(corpus, m)
+        .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(col("predicted_lang") === col("lang")).count()
+      assert(correct == corpus.count(),
+        s"mode ${m.mode} model must classify its own training fixture")
+    }
+  }
+
+  test("nGram = 1 emits no phantom feature for empty/null text") {
+    // split("", "") is [""] (size 1): at nGram = 1 the size guard alone
+    // passed and produced one EMPTY-STRING feature per empty document —
+    // both the trained counts and n_feats were off by one there
+    val model = TextOps.trainLangNb(corpus, col("lang"), buckets = 64,
+      nGram = 1)
+    val out = TextOps.langIdNb(
+      Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "a"))
+        .toDF("doc_id", "text"), model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_feats"))
+      .toMap
+    assert(out(1L) == 0L, "empty text has zero unigram features")
+    assert(out(2L) == 0L, "null text has zero unigram features")
+    assert(out(3L) == 1L, "a 1-char text has exactly one unigram feature")
+  }
 }
