@@ -19,7 +19,14 @@ final case class GovernedIO(
     store: ContractStore,
     locator: DatasetLocator,
     products: Option[graft.products.DataProductService] = None,
-    governance: Option[graft.governance.GovernanceService] = None) {
+    governance: Option[graft.governance.GovernanceService] = None,
+    // publication seam: every governed write records its metric set +
+    // verdict here — select the sink from deployment config via
+    // PublicationMode.resolve(...).sink(...) (legacy structured log /
+    // OpenLineage events / OTel spans), the reference's
+    // publication-mode switch applied to batch IO exactly as
+    // ContractStream applies it per micro-batch
+    sink: graft.obs.ObservationSink = graft.obs.LogObservationSink) {
 
   /** Whether the recorded status of (datasetId, datasetVersion) blocks
     * consumption — the reference's dq-status gate on reads. */
@@ -136,6 +143,9 @@ final case class GovernedIO(
       g.linkDatasetContract(datasetId, contract.id, contract.version,
         datasetVersion.getOrElse(contract.version))
     }
+    // publish the observation through the configured sink (batch writes
+    // carry no micro-batch id — the streaming path supplies one)
+    sink.record(datasetId, None, result.validation.metrics, result.validation)
     result
   }
 }

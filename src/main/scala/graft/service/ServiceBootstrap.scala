@@ -98,7 +98,8 @@ object ServiceBootstrap {
       s"[$section] requires '$key' for type '${sec.getOrElse("type", "filesystem")}'"))
 
   private val KnownSections = Set(
-    "contract_store", "governance_store", "data_product", "auth", "server")
+    "contract_store", "governance_store", "data_product", "auth", "server",
+    "governance")
 
   /** Keys each section may carry — a typo'd KEY must fail as loudly as a
     * typo'd section, or `prot = 8080` silently binds an ephemeral port
@@ -108,7 +109,8 @@ object ServiceBootstrap {
     "governance_store" -> Set("type", "root", "dsn", "prefix"),
     "data_product" -> Set("root"),
     "auth" -> Set("token"),
-    "server" -> Set("port", "host"))
+    "server" -> Set("port", "host"),
+    "governance" -> Set("publication_mode"))
 
   private def requireKnownKeys(config: Map[String, Map[String, String]]): Unit =
     for ((section, kvs) <- config; known <- KnownKeys.get(section)) {
@@ -192,7 +194,26 @@ object ServiceBootstrap {
       products: Option[graft.products.DataProductService])
 
   private val ClientKnownSections = Set(
-    "remote", "contract_store", "governance_store", "data_product")
+    "remote", "contract_store", "governance_store", "data_product",
+    "governance")
+
+  /** Resolve the governance publication mode from a parsed config — the
+    * reference's `resolve_publication_mode` over the deployment file:
+    * the `[governance] publication_mode` key feeds
+    * [[graft.governance.PublicationMode.resolve]] as its config
+    * candidate (environment still wins, unknown candidates skip, the
+    * default is legacy). Exposed for BOTH bootstrap paths: a pipeline
+    * resolves the mode alongside `clientsFromToml` and builds its
+    * [[graft.obs.ObservationSink]] via `PublicationMode.sink`, so
+    * flipping telemetry on is a config edit, not a code change. */
+  def publicationMode(config: Map[String, Map[String, String]],
+                      env: Map[String, String] = sys.env)
+      : graft.governance.PublicationMode =
+    graft.governance.PublicationMode.resolve(
+      config = config.get("governance").flatMap(_.get("publication_mode"))
+        .map(v => Map(graft.governance.PublicationMode.ConfigKeys.head -> v))
+        .getOrElse(Map.empty),
+      env = env)
 
   /** Build the pipeline-side clients from a TOML config — the
     * reference's `load_service_clients` (`bootstrap.py:44`: remote
@@ -219,9 +240,11 @@ object ServiceBootstrap {
         s"(supported: ${ClientKnownSections.toSeq.sorted.mkString(", ")})")
     config.get("remote") match {
       case Some(sec) =>
-        require(config.size == 1,
+        // [governance] (publication mode) is orthogonal to transport —
+        // it may accompany either mode; only STORE sections conflict
+        require((config.keySet - "remote" - "governance").isEmpty,
           "[remote] routes every family at the facade; drop the store sections " +
-            s"(found: ${(config.keySet - "remote").toSeq.sorted.mkString(", ")})")
+            s"(found: ${(config.keySet - "remote" - "governance").toSeq.sorted.mkString(", ")})")
         val extraKeys = sec.keySet.diff(Set("base_url", "token"))
         require(extraKeys.isEmpty,
           s"[remote] unknown key(s): ${extraKeys.toSeq.sorted.mkString(", ")} " +
