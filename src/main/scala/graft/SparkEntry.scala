@@ -1125,13 +1125,16 @@ object SparkEntry {
         MediaTransform.dhash(s, MediaDecode.perceptualPayloads(s, ids)),
         maxHamming = 8, hashCol = "dhash")
     }),
-    // the INCREMENTAL perceptual-dedup path: the corpus is dHashed and
-    // banded ONCE (hammingIndex); later arrivals — each the bmp
-    // re-encode of a corpus image, the cross-codec duplicate arriving
-    // after the fact — probe the index without the corpus being
-    // re-hashed or re-banded. Each arrival doc_id maps to corpus doc
-    // (doc_id - 60), so every arrival must surface its twin at
-    // Hamming 0 (plus whatever formula-determined near pairs exist).
+    // the INCREMENTAL perceptual-dedup path, gated through the PERSISTED
+    // artifact (r16): the corpus is dHashed, banded, and WRITTEN once
+    // (HammingIndex.build — data + pinned kind/bits/maxHamming
+    // metadata); later arrivals — each the bmp re-encode of a corpus
+    // image, the cross-codec duplicate arriving after the fact — probe
+    // the stored bands (HammingIndex.probe reads the radius FROM the
+    // metadata) without the corpus being re-hashed or re-banded. Each
+    // arrival doc_id maps to corpus doc (doc_id - 60), so every arrival
+    // must surface its twin at Hamming 0 (plus whatever
+    // formula-determined near pairs exist).
     "q_dedup_perceptual_probe" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val corpusIds = docs
@@ -1145,10 +1148,11 @@ object SparkEntry {
         .select(col("doc_id"))
       val arrivals = MediaDecode.syntheticPayloads(s, arrivalIds,
         img = (doc, _) => MediaDecode.syntheticImageWavy(doc - 60, "bmp"))
-      val index = NearDup.hammingIndex(
-        MediaTransform.dhash(s, corpus), maxHamming = 8, hashCol = "dhash")
-      NearDup.hammingProbe(index, MediaTransform.dhash(s, arrivals),
-        maxHamming = 8, hashCol = "dhash")
+      val dir = s"$gateScratch/hammingix_${math.abs(d.hashCode)}"
+      graft.ops.HammingIndex.build(MediaTransform.dhash(s, corpus), dir,
+        maxHamming = 8, kind = "image-dhash", hashCol = "dhash")
+      graft.ops.HammingIndex.probe(s, dir, MediaTransform.dhash(s, arrivals),
+        expectedKind = "image-dhash", hashCol = "dhash")
     }),
     // JPEG RUNTIME decode, gated by INVARIANTS: JPEG pixel values are
     // IDCT-implementation-dependent, so no value-exact cross-engine
