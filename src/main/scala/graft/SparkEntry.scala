@@ -187,6 +187,27 @@ object SparkEntry {
   private lazy val gateScratch: String =
     java.nio.file.Files.createTempDirectory("graft_gate").toString
 
+  /** The on-disk WARC fixture shards shared by q_warc_files and
+    * q_warc_fetch: one `doc_<id>.warc` per fixture doc (gzip members on
+    * even ids, plain on odd — WarcOps.syntheticWarc), written
+    * idempotently so the gates stay order-independent. */
+  private def warcFixtureDir(s: SparkSession, d: String,
+                             ids: DataFrame): String = {
+    val dir = s"$gateScratch/warcfiles_${math.abs(d.hashCode)}"
+    new java.io.File(dir).mkdirs()
+    ids.repartition(8).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val doc = r.getLong(0)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/doc_$doc.warc"),
+            graft.ops.WarcOps.syntheticWarc(doc))
+          ()
+        }
+    }
+    dir
+  }
+
   /** Anchor-injected documents shared by q_extract_links and
     * q_link_rank: on doc_id % 9 == 0 (the corpus carries no '<') —
     * a double-quoted href, a single-quoted href on a decorated tag, an
@@ -979,19 +1000,7 @@ object SparkEntry {
     "q_warc_files" -> ((s, d) => {
       val ids = t(s, d, "documents").filter(col("doc_id") < 120)
         .select(col("doc_id"))
-      val dir = s"$gateScratch/warcfiles_${math.abs(d.hashCode)}"
-      new java.io.File(dir).mkdirs()
-      ids.repartition(8).foreachPartition {
-        (it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach { r =>
-            val doc = r.getLong(0)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(s"$dir/doc_$doc.warc"),
-              graft.ops.WarcOps.syntheticWarc(doc))
-            ()
-          }
-      }
-      graft.ops.WarcOps.readWarc(s, dir)
+      graft.ops.WarcOps.readWarc(s, warcFixtureDir(s, d, ids))
         .withColumn("doc_id",
           regexp_extract(col("path"), "doc_([0-9]+)[.]warc", 1).cast("long"))
         .filter(col("warc_type") === "response")
@@ -999,6 +1008,36 @@ object SparkEntry {
         .select(col("doc_id"), col("rec_index"), col("target_uri"),
           col("warc_date"), col("http_status"), col("content_type"),
           col("charset"))
+    }),
+    // the rec_offset CONSUMER (r16) — CDX-driven random access, composed
+    // end to end: the same on-disk fixture shards are indexed (cdx →
+    // writeCdx's range layout), a SURT PREFIX lookup selects one host
+    // class (doc_id % 7 == 3 — manifest-pruned readCdxPrefix), and each
+    // hit is fetched INDIVIDUALLY by its (path, rec_offset) anchor —
+    // a bounded range read + one-record parse (fetchRecords), never a
+    // shard rescan. Offsets land on version lines for plain files and
+    // on gzip member starts for .warc.gz (both classes in the fixture:
+    // even ids gzipped, odd plain), and the fetched records' envelope
+    // AND declared-charset body decode must match the closed-form
+    // formulas — any drift in offset bookkeeping, the member seek, or
+    // the one-record parse mismatches rows the oracle recomputes.
+    "q_warc_fetch" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"))
+      val dir = warcFixtureDir(s, d, ids)
+      val cdxDir = s"$gateScratch/warcfetch_cdx_${math.abs(d.hashCode)}"
+      graft.ops.WarcOps.writeCdx(
+        graft.ops.WarcOps.cdx(graft.ops.WarcOps.readWarc(s, dir)), cdxDir)
+      val hits = graft.ops.WarcOps.readCdxPrefix(s, cdxDir, "example,site3)")
+      graft.ops.WarcOps.fetchRecords(s,
+          hits.select(col("path"), col("rec_offset")))
+        .select(
+          regexp_extract(col("target_uri"), "/page/([0-9]+)/[0-9]+$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("target_uri"), "/page/[0-9]+/([0-9]+)$", 1)
+            .cast("long").as("rec_index"),
+          col("target_uri"), col("warc_date"), col("http_status"),
+          col("payload_text"))
     }),
     // the CDX lookup projection (web-archive index rows): SURT urlkey
     // over the fixture URIs — host labels reversed, the prefix-scan
@@ -4744,6 +4783,27 @@ object SparkEntry {
         |  CASE WHEN rec_index % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS content_type,
         |  CASE rec_index % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
         |       ELSE NULL END AS charset
+        |FROM recs""".stripMargin,
+    // random-access fetch oracle: the prefix lookup selects exactly the
+    // doc_id % 7 == 3 host class, and each fetched record's envelope +
+    // declared-charset body must equal the q_warc_records formulas for
+    // that class — the offsets, member seeks, and one-record parses are
+    // all on the hook because ANY mis-anchored fetch parses a different
+    // (or no) record
+    "q_warc_fetch" ->
+      """WITH recs AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS rec_index
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 7 = 3)
+        |SELECT doc_id, CAST(rec_index AS BIGINT) AS rec_index,
+        |  'http://site3.example/page/' || doc_id || '/' || rec_index AS target_uri,
+        |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS warc_date,
+        |  CAST(CASE WHEN (doc_id + rec_index) % 5 = 0 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+        |  (CASE WHEN rec_index % 3 = 1 THEN 'caf' || chr(233) || ' ' ELSE '' END) ||
+        |  CASE WHEN rec_index % 2 = 0
+        |       THEN '<p>doc ' || doc_id || ' rec ' || rec_index || '</p> <a href="http://ref'
+        |            || ((doc_id + rec_index) % 5) || '.example/x">link</a>'
+        |       ELSE 'plain payload doc ' || doc_id || ' rec ' || rec_index END AS payload_text
         |FROM recs""".stripMargin,
     // CDX oracle: the SURT key from the fixture URI formulas —
     // site{K}.example reverses to example,site{K} — responses only

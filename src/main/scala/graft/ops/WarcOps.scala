@@ -574,7 +574,14 @@ object WarcOps {
         UrlOps.surtKey(col("target_uri")).as("urlkey"),
         col("warc_date"), col("target_uri"), col("warc_type"),
         col("http_status"), col("content_type"), col("payload_digest"),
-        col("doc_id"), col("rec_index"), col("rec_offset"))
+        col("doc_id"), col("rec_index"), col("rec_offset"),
+        // the shard LOCATOR: real CDX lines carry the WARC filename next
+        // to the offset — "fetch THIS capture" needs (path, rec_offset),
+        // which is exactly what [[fetchRecords]] consumes. Present (null)
+        // on frames parsed from in-memory payloads, carried through from
+        // the file readers ([[FileSchema]]).
+        (if (records.columns.contains("path")) col("path")
+         else lit(null).cast(StringType)).as("path"))
 
   /** Materialise the CDX RANGE LAYOUT [[cdx]]'s scaladoc prescribes —
     * the index rows range-partitioned AND sorted by `(urlkey,
@@ -608,6 +615,98 @@ object WarcOps {
                     prefix: String): DataFrame =
     Layout.prunedReadPrefix(spark, path, "urlkey", prefix)
       .filter(col("urlkey").startsWith(prefix))
+
+  /** Fetch ONE record by its CDX anchor — the random-access consumer of
+    * [[Schema]]'s `rec_offset`, which is the whole point of a CDX index:
+    * "give me THIS capture" without rescanning the shard. `offset` is a
+    * [[cdx]]/[[parseFile]] offset: the record's own byte position in a
+    * plain `.warc`, the compressed start of the gzip member containing
+    * it in a `.warc.gz`. The read is a bounded RANGE READ — seek to
+    * `offset`, read at most `maxBytes` (the HTTP-Range-request shape an
+    * object-store deployment uses) — and the slice goes through the
+    * same total [[parseFile]] byte-walk as a full scan (gzip sniffed on
+    * the member magic, headers, HTTP envelope, charset decode), keeping
+    * the FIRST record only. Loud on a non-boundary offset and on a
+    * record larger than `maxBytes` (raise the cap — real CDX files also
+    * carry a length column for exactly this reason).
+    *
+    * Returned row: [[Schema]] shape with `rec_index` = 0 (the record's
+    * index within the FETCH — the shard ordinal lives in the CDX row
+    * that supplied the offset) and `rec_offset` = the requested offset. */
+  private[ops] def recordAt(conf: org.apache.hadoop.conf.Configuration,
+                            path: String, offset: Long,
+                            maxBytes: Int): Row = {
+    require(maxBytes > 0, "maxBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    require(offset >= 0 && offset < fileLen,
+      s"offset $offset out of range for $path (length $fileLen)")
+    val n = math.min(maxBytes.toLong, fileLen - offset).toInt
+    val buf = new Array[Byte](n)
+    val in = fs.open(p)
+    try { in.seek(offset); in.readFully(buf, 0, n) } finally in.close()
+    val rows = parseFile(pathDocId(path), buf)
+    val rec = rows.headOption.getOrElse(throw new IllegalArgumentException(
+      if (n == maxBytes)
+        s"record at $path:$offset does not fit in maxBytes = $maxBytes — " +
+          "raise the cap (real CDX rows carry a record length for this)"
+      else s"no WARC record parses at $path:$offset — not a record boundary"))
+    // the slice-relative anchors are meaningless to the caller: pin the
+    // offset actually fetched, zero the within-fetch index
+    Row.fromSeq(rec.toSeq.updated(1, 0L)
+      .updated(Schema.fieldIndex("rec_offset"), offset))
+  }
+
+  /** Driver-side single fetch: the record at `(path, offset)` as a
+    * one-row [[FileSchema]] frame. */
+  def readRecordAt(spark: SparkSession, path: String, offset: Long,
+                   maxBytes: Int = 8 << 20): DataFrame = {
+    val row = recordAt(spark.sparkContext.hadoopConfiguration, path, offset,
+      maxBytes)
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(path +: row.toSeq)), FileSchema)
+  }
+
+  /** Distributed CDX-driven fetch: one [[recordAt]] range read per
+    * `(pathCol, offsetCol)` row of `refs` — compose with
+    * [[readCdxPrefix]] (`SELECT path, rec_offset FROM <prefix hits>`) to
+    * materialise exactly the captures an index lookup selected, reading
+    * `maxBytes` per capture instead of any shard end to end. A
+    * stateless per-partition projection (the [[parseWarc]] discipline:
+    * typed mapPartitions, no `.rdd` hop), so a streaming frame of
+    * lookup hits fetches per micro-batch unchanged. Output is
+    * [[FileSchema]] (`path` + the fetched record per the [[recordAt]]
+    * row contract), in `refs` order within each partition.
+    *
+    * The Hadoop configuration is rebuilt on executors from the driver
+    * session's entries (Configuration itself is not serializable), so
+    * object-store credentials/endpoints configured on the session reach
+    * the range reads. */
+  def fetchRecords(spark: SparkSession, refs: DataFrame,
+                   pathCol: String = "path", offsetCol: String = "rec_offset",
+                   maxBytes: Int = 8 << 20): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val confEntries: Seq[(String, String)] =
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toVector
+    val src = refs.select(col(pathCol).cast(StringType),
+      col(offsetCol).cast(LongType))
+    src.mapPartitions { it =>
+      lazy val conf = {
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      it.map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "fetchRecords needs non-null (path, offset) on every row — " +
+            "CDX rows from in-memory parses carry no shard path")
+        val rec = recordAt(conf, r.getString(0), r.getLong(1), maxBytes)
+        Row.fromSeq(r.getString(0) +: rec.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(FileSchema))
+  }
 
   /** Records of every `.warc`/`.warc.gz` file under `path` — the batch
     * entry from real crawl shards on disk/object storage:

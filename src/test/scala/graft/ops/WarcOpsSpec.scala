@@ -341,6 +341,62 @@ class WarcOpsSpec extends SparkSpec {
     assert(nonH.forall(_.isNullAt(1)), "authority-less URIs -> null key")
   }
 
+  test("readRecordAt/fetchRecords: every cdx offset fetches exactly its record") {
+    // real files on disk, both physical classes: even doc gzipped
+    // member-per-record, odd plain
+    val dir = tmpDir("graft_warc_fetch")
+    for (doc <- Seq(4L, 5L))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/doc_$doc.warc"),
+        WarcOps.syntheticWarc(doc))
+    val full = WarcOps.readWarc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(12), r.toSeq)).toSeq
+    assert(full.size == 3 + 4,
+      "fixture: warcinfo + (1 + doc % 3) responses per file")
+    // driver-side single fetch: each (path, offset) returns ITS record —
+    // same fields as the full scan's row at that anchor, with the
+    // fetch-contract anchors (rec_index 0, rec_offset = the offset)
+    for ((path, off, expected) <- full) {
+      val got = WarcOps.readRecordAt(spark, path, off).collect()
+      assert(got.length == 1)
+      val g = got.head.toSeq
+      // columns: path, doc_id, rec_index, then the envelope/payload
+      // fields, rec_offset last
+      assert(g.head == path && g(2) == 0L && g.last == off)
+      // payload bytes are an Array (reference equality) — compare by value
+      def norm(s: Seq[Any]): Seq[Any] =
+        s.map { case a: Array[Byte] => a.toSeq; case x => x }
+      assert(norm(g.slice(3, g.size - 1)) ==
+          norm(expected.slice(3, expected.size - 1)),
+        s"fetched record at $path:$off must equal the scanned record")
+    }
+    // distributed fetch over the cdx projection (responses only), which
+    // now carries the shard path locator
+    val cdx = WarcOps.cdx(WarcOps.readWarc(spark, dir))
+    val fetched = WarcOps.fetchRecords(spark,
+      cdx.select(col("path"), col("rec_offset")))
+    assert(fetched.count() == 2 + 3, "2 + 3 responses, both physical classes")
+    val uris = fetched.select(col("target_uri")).as[String].collect().toSet
+    assert(uris == (for (doc <- Seq(4L, 5L); i <- 0L to doc % 3)
+      yield s"http://site${doc % 7}.example/page/$doc/$i").toSet)
+    // the declared-charset decode happens on the fetch path too: the
+    // latin-1 ordinal (i % 3 == 1) reads back its 0xE9 byte
+    val caf = fetched.filter(col("target_uri").endsWith("/1"))
+      .select(col("payload_text")).as[String].collect()
+    assert(caf.nonEmpty && caf.forall(_.startsWith("café ")))
+    // loud contracts: a non-boundary offset, an out-of-range offset, and
+    // an over-cap record all fail by name instead of returning garbage
+    val (p5, off5) = (s"$dir/doc_5.warc",
+      full.collect { case (p, o, _) if p.endsWith("doc_5.warc") => o }.max)
+    intercept[IllegalArgumentException](
+      WarcOps.readRecordAt(spark, p5, off5 + 3).collect())
+    intercept[IllegalArgumentException](
+      WarcOps.readRecordAt(spark, p5, 1L << 40).collect())
+    val e = intercept[IllegalArgumentException](
+      WarcOps.readRecordAt(spark, p5, 0L, maxBytes = 16).collect())
+    assert(e.getMessage.contains("maxBytes"))
+  }
+
   test("parseWarc composes with parseUrls/extractLinks (the crawl pipeline's next steps)") {
     val ids = Seq(2L, 5L).toDF("doc_id")
     val recs = WarcOps.parseWarc(spark, WarcOps.warcPayloads(spark, ids))
