@@ -781,6 +781,26 @@ object SparkEntry {
         Seq("doc_id"))
       TextOps.perplexityBuckets(en)
     }),
+    // the per-language LM DISPATCH (r16) — q_ccnet_pipeline generalised
+    // from one slice to CCNet's actual deployment shape: one persisted
+    // LmIndex PER predicted language (buildPerLang — every model from
+    // ONE keyed tokenisation pass, never a filtered scan per language),
+    // then every document scored against ITS OWN language's model
+    // through one (lang, w1, w2) join (scoreByLang — one corpus pass +
+    // one join + one aggregation for any number of languages). The gate
+    // is the dispatch seams: slice-local training, lang-keyed model
+    // selection, per-language prune — the oracle recomputes all five
+    // models as lang-keyed aggregations and must match every row.
+    "q_ccnet_dispatch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labeled = docs.join(
+        trainedLangPredictions(docs)
+          .select(col("doc_id"), col("predicted_lang")),
+        Seq("doc_id"))
+      val dir = s"$gateScratch/ccnetlm_${math.abs(d.hashCode)}"
+      graft.ops.LmIndex.buildPerLang(labeled, dir)
+      graft.ops.LmIndex.scoreByLang(s, dir, labeled)
+    }),
     // the WAT link-graph seam (r15): envelope outlinks exploded
     // (WetOps.watLinks), hosts parsed by the gated URL decomposition,
     // per-target-host in-link degree — how real pipelines build the
@@ -923,6 +943,23 @@ object SparkEntry {
     // IVF coarse pruning composed with the same PQ scoring tail
     "q_ann_ivfpq" -> ((s, d) =>
       PQ.annIvfPq(t(s, d, "embeddings"), m = 8, k = 16, iterations = 1)),
+    // the PERSISTED PQ artifact (r16): codebooks trained once and frozen,
+    // the corpus stored as m-byte codes + exact norms (never raw
+    // vectors), searches scanning codes with per-probe lookup tables and
+    // exactly re-ranking only the topK×rerank survivors against the raw
+    // corpus. Same parameters as q_ann_pq, so the gate pins
+    // build→search ≡ the self-contained annPq — the determinism claim
+    // that makes a build-once artifact trustworthy — and the oracle is
+    // the SAME replayed SQL (annPqSql), shared not duplicated.
+    "q_ann_pq_index" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"$gateScratch/pqindex_${math.abs(d.hashCode)}"
+      graft.ops.PqIndex.build(emb, dir, m = 8, k = 16, iterations = 1)
+      val probes = VectorOps.prepared(emb).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v"), col("nrm"))
+      graft.ops.PqIndex.search(s, dir, probes, topK = 5, rerank = 4,
+        exactFrom = Some(emb))
+    }),
     "q_multimodal_meta" -> ((s, d) => Multimodal.extractMeta(t(s, d, "documents"))),
     // VIDEO container probing (MP4/ISO-BMFF + WebM/Matroska): header-only
     // — box/EBML walks are fully-specified byte arithmetic, so dims,
@@ -1544,6 +1581,24 @@ object SparkEntry {
     "q_bpe_segment" -> ((s, d) => {
       val docs = t(s, d, "documents")
       graft.ops.Bpe.segmentCounts(docs, collectedMerges(docs, 5))
+    }),
+    // Unigram-LM (SentencePiece, Kudo 2018) tokenizer induction — the
+    // OTHER production tokenizer (r16): substring seed vocabulary, hard
+    // (Viterbi) EM over the word types with integer-micro log-probs,
+    // char-floored M-step, deterministic prune to the target size.
+    // Same architecture as q_bpe_train64 (ONE distributed word-type
+    // aggregation, exact driver-side loop), and the oracle replays the
+    // ENTIRE training — seed counts, both EM passes' unrolled Viterbi
+    // DP, the prune, the renormalisation — in generated SQL CTEs
+    "q_unigram_train" -> ((s, d) =>
+      graft.ops.Unigram.piecesDf(s,
+        graft.ops.Unigram.train(t(s, d, "documents")))),
+    // the fitted model applied: per-doc Viterbi piece counts + total
+    // score through the broadcast word→segmentation table (the
+    // SentencePiece word cache as the primary path)
+    "q_unigram_segment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Unigram.segmentCounts(docs, graft.ops.Unigram.train(docs))
     }),
     // the ORDERED token stream (what a packer consumes, where
     // q_bpe_segment only sizes it): one zero-shuffle array-lambda
@@ -2463,6 +2518,14 @@ object SparkEntry {
     // different algorithms agreeing on the same total-ordered spec
     "q_bpe_train64" -> (bpeCtes(64) + bpeMergesSelect(64)),
     "q_bpe_segment" -> bpeSegmentSql,
+    // the unigram trainer replayed end to end in generated CTEs (seed,
+    // two unrolled hard-EM passes, prune, renormalise) — any drift in
+    // the Viterbi total order, the char floor, or the prune order
+    // mismatches the whole vocabulary
+    "q_unigram_train" -> unigramTrainSql,
+    // the fitted model applied: one more unrolled Viterbi pass under
+    // the final vocabulary, summed per document
+    "q_unigram_segment" -> unigramSegmentSql,
     // ordered token stream: subscript-sorted string_agg vs Spark's
     // order-by-construction lambdas — order itself is what's gated
     "q_bpe_tokenize" -> bpeTokenizeSql,
@@ -4197,6 +4260,43 @@ object SparkEntry {
         |       WHEN avg_logp >= p25 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM sc CROSS JOIN cuts""".stripMargin,
+    // the per-language dispatch: every language's model recomputed as a
+    // lang-keyed aggregation (counts, totals, prune, p_cond — the
+    // q_lm_score recipe with plang threaded through every CTE), then
+    // each document's bigrams scored against ITS language's rows — a
+    // mis-dispatched document (scored under another language's model)
+    // mismatches, which is the seam this gate exists for
+    "q_ccnet_dispatch" ->
+      s"""WITH pred AS (
+        |  SELECT doc_id, predicted_lang FROM ($langIdTrainedSql) p),
+        |src AS (SELECT d.doc_id, d.text, pred.predicted_lang AS plang
+        |  FROM documents d JOIN pred ON pred.doc_id = d.doc_id),
+        |t AS (
+        |  SELECT doc_id, plang,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\S+') AS toks
+        |  FROM src),
+        |e AS (SELECT doc_id, plang, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS pos FROM t),
+        |b2 AS (
+        |  SELECT a.doc_id, a.plang, a.tok AS w1, c.tok AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+        |bc AS (SELECT plang, w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2, 3),
+        |wt AS (SELECT plang, w1, sum(n) AS tot FROM bc GROUP BY 1, 2),
+        |st AS (
+        |  SELECT plang, w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |  FROM bc JOIN wt USING (plang, w1) WHERE n >= 5),
+        |terms AS (
+        |  SELECT b2.doc_id, b2.plang, coalesce(round(ln(st.p), 9), -10.0) AS lp
+        |  FROM b2 LEFT JOIN st ON st.plang = b2.plang
+        |    AND st.w1 = b2.w1 AND st.w2 = b2.w2),
+        |agg AS (
+        |  SELECT doc_id, plang, count(*) AS nb, sum(CAST(lp AS DECIMAL(28,9))) AS s
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT d.doc_id, d.plang AS predicted_lang,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(s AS DOUBLE) / nb, 6)
+        |       ELSE 0.0 END AS avg_logp
+        |FROM src d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
     // the WAT link-graph seam: per-target-host in-link degree
     // recomputed relationally from the fixture formulas (k <
     // (doc+j)%3 links per well-formed envelope, target host
@@ -4635,30 +4735,12 @@ object SparkEntry {
         |FROM m2 JOIN keep USING (cid)""".stripMargin,
     // PQ trained+encoded in SQL (see pqCtes), brute approx scoring over
     // the whole corpus, pool of topK×rerank, exact cosine re-rank
-    "q_ann_pq" ->
-      s"""WITH $pqCtes,
-        |apn AS (
-        |  SELECT tt.probe_id, a1.vec_id,
-        |    list_aggregate(list(tt.t ORDER BY tt.block ASC), 'sum') AS num
-        |  FROM a1 JOIN tt ON tt.block = a1.block AND tt.code = a1.code
-        |  GROUP BY 1, 2),
-        |ap AS (
-        |  SELECT probe_id, vec_id, round(num / (pn * nrm), 6) AS approx
-        |  FROM apn JOIN p USING (probe_id) JOIN n USING (vec_id)
-        |  WHERE vec_id <> probe_id),
-        |cand AS (
-        |  SELECT probe_id, vec_id FROM ap
-        |  QUALIFY row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY approx DESC, vec_id ASC) <= 20),
-        |s AS (
-        |  SELECT probe_id, vec_id AS neighbor_id,
-        |    round(list_dot_product(pv, v) / (pn * nrm), 6) AS cosine
-        |  FROM cand JOIN p USING (probe_id) JOIN n USING (vec_id))
-        |SELECT probe_id, neighbor_id,
-        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS "rank",
-        |  cosine
-        |FROM s
-        |QUALIFY "rank" <= 5""".stripMargin,
+    "q_ann_pq" -> annPqSql,
+    // the persisted-artifact twin: PqIndex.build + search under the same
+    // parameters IS annPq (frozen-codebook determinism, spec-pinned), so
+    // the ORACLE is shared — the gate puts the persist→reload→search
+    // seam on the same replayed-SQL hook, never an engine echo
+    "q_ann_pq_index" -> annPqSql,
     // same PQ tail, but candidates pruned to the probes' top-2 coarse
     // clusters first (the q_ann_ivf assignment, verbatim)
     "q_ann_ivfpq" ->
@@ -5165,6 +5247,36 @@ object SparkEntry {
     * (`p`), and per-(probe,block,code) lookup tables (`tt`). The approx
     * numerator is summed in ascending block order downstream
     * (`list(t ORDER BY block)`) to mirror Spark's sequential reduce. */
+  /** The q_ann_pq result replayed end to end in SQL — also the
+    * q_ann_pq_index oracle: the persisted artifact's build→search is
+    * spec-pinned identical to the self-contained annPq under the same
+    * parameters, so both gates share ONE recomputed oracle (never an
+    * engine echo). */
+  private lazy val annPqSql: String =
+    s"""WITH $pqCtes,
+      |apn AS (
+      |  SELECT tt.probe_id, a1.vec_id,
+      |    list_aggregate(list(tt.t ORDER BY tt.block ASC), 'sum') AS num
+      |  FROM a1 JOIN tt ON tt.block = a1.block AND tt.code = a1.code
+      |  GROUP BY 1, 2),
+      |ap AS (
+      |  SELECT probe_id, vec_id, round(num / (pn * nrm), 6) AS approx
+      |  FROM apn JOIN p USING (probe_id) JOIN n USING (vec_id)
+      |  WHERE vec_id <> probe_id),
+      |cand AS (
+      |  SELECT probe_id, vec_id FROM ap
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY approx DESC, vec_id ASC) <= 20),
+      |s AS (
+      |  SELECT probe_id, vec_id AS neighbor_id,
+      |    round(list_dot_product(pv, v) / (pn * nrm), 6) AS cosine
+      |  FROM cand JOIN p USING (probe_id) JOIN n USING (vec_id))
+      |SELECT probe_id, neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS "rank",
+      |  cosine
+      |FROM s
+      |QUALIFY "rank" <= 5""".stripMargin
+
   private def pqCtes: String =
     """n AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -5340,6 +5452,120 @@ object SparkEntry {
       (1 to n).map(i =>
         s"SELECT $i AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM top$i")
         .mkString("\n  UNION ALL ") + ")"
+
+  /** One unrolled Viterbi DP pass for the unigram oracle: dp{p}_0 ..
+    * dp{p}_{maxW} over the `words` CTE under the `(piece, wt)` vocab CTE
+    * `vcte`, ending in `seg$p(word, cnt, sc, np, seg)` — each step picks
+    * the best split of word[0, i) by (score DESC, piece-count ASC,
+    * segmentation ASC), the trainer's exact total order. Steps guard
+    * `len(word) >= i` so a short word can never match a beyond-the-end
+    * substr. MATERIALIZED like [[bpeCtes]] (chained-CTE inlining would
+    * blow up the 8-step × 4-lookback plan). */
+  private def unigramDp(p: Int, vcte: String, maxW: Int, maxL: Int): String = {
+    def step(i: Int): String = {
+      val blocks = (math.max(0, i - maxL) until i).map { j =>
+        s"""SELECT d.word, d.cnt, d.sc + v.wt AS sc, d.np + 1 AS np,
+           |      CASE WHEN d.seg = '' THEN v.piece ELSE d.seg || ' ' || v.piece END AS seg
+           |    FROM dp${p}_$j d JOIN $vcte v
+           |      ON len(d.word) >= $i AND v.piece = substr(d.word, ${j + 1}, ${i - j})""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      s"""dp${p}_$i AS MATERIALIZED (
+         |  SELECT word, cnt, sc, np, seg FROM (
+         |    $blocks)
+         |  QUALIFY row_number() OVER (PARTITION BY word
+         |    ORDER BY sc DESC, np ASC, seg ASC) = 1)""".stripMargin
+    }
+    val segUnion = (1 to maxW).map(i =>
+      s"SELECT word, cnt, sc, np, seg FROM dp${p}_$i WHERE len(word) = $i")
+      .mkString("\n    UNION ALL ")
+    s"""dp${p}_0 AS (SELECT word, cnt, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seg FROM words),
+       |  ${(1 to maxW).map(step).mkString(",\n  ")},
+       |  seg$p AS MATERIALIZED (
+       |    $segUnion)""".stripMargin
+  }
+
+  /** The unigram trainer replayed end to end: substring seed (all
+    * single chars + the top 4·V multis by (freq DESC, piece ASC)),
+    * integer-micro log-probs (`round(round(ln(f/tot),6)*1e6)` — the
+    * lang-ID weight discipline), two hard-EM passes (unrolled Viterbi
+    * DP → piece counts weighted by word frequency → char-floored
+    * re-estimation), deterministic prune to V with renormalisation.
+    * Ends with `vw(piece, f, wt)` — the fitted vocabulary. maxW = 8 is
+    * the fixture's pinned max word length (TestdataInvariantSpec). */
+  private def unigramCtes(v: Int = 48, maxL: Int = 4, maxW: Int = 8): String = {
+    def em(p: Int, vcte: String): String =
+      s"""${unigramDp(p, vcte, maxW, maxL)},
+         |  ec$p AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS f FROM (
+         |      SELECT unnest(string_split(seg, ' ')) AS piece, cnt FROM seg$p)
+         |    GROUP BY 1),
+         |  v${p}f AS MATERIALIZED (
+         |    SELECT c.piece, greatest(coalesce(e.f, 0), 1) AS f
+         |    FROM (SELECT piece FROM v0f WHERE len(piece) = 1) c
+         |    LEFT JOIN ec$p e USING (piece)
+         |    UNION ALL SELECT piece, f FROM ec$p WHERE len(piece) > 1)""".stripMargin
+    s"""WITH words AS MATERIALIZED (
+       |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |      SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+       |      FROM documents)
+       |    GROUP BY 1),
+       |  pos AS (SELECT word, cnt,
+       |      unnest(generate_series(1, len(word))) AS i FROM words),
+       |  sub AS (
+       |    SELECT substr(p.word, CAST(p.i AS INT), CAST(ls.l AS INT)) AS piece,
+       |      CAST(sum(p.cnt) AS BIGINT) AS f
+       |    FROM pos p CROSS JOIN (
+       |      SELECT unnest(generate_series(1, $maxL)) AS l) ls
+       |    WHERE p.i + ls.l - 1 <= len(p.word) GROUP BY 1),
+       |  seedm AS (SELECT piece, f FROM sub WHERE len(piece) > 1
+       |    QUALIFY row_number() OVER (ORDER BY f DESC, piece ASC) <= ${4 * v}),
+       |  v0f AS MATERIALIZED (
+       |    SELECT piece, f FROM sub WHERE len(piece) = 1
+       |    UNION ALL SELECT piece, f FROM seedm),
+       |  v1 AS MATERIALIZED (SELECT piece,
+       |      CAST(round(round(ln(CAST(f AS DOUBLE) / (SELECT sum(f) FROM v0f)), 6)
+       |        * 1000000, 0) AS BIGINT) AS wt
+       |    FROM v0f),
+       |  ${em(1, "v1")},
+       |  v2 AS MATERIALIZED (SELECT piece,
+       |      CAST(round(round(ln(CAST(f AS DOUBLE) / (SELECT sum(f) FROM v1f)), 6)
+       |        * 1000000, 0) AS BIGINT) AS wt
+       |    FROM v1f),
+       |  ${em(2, "v2")},
+       |  nch AS (SELECT count(*) AS n FROM v2f WHERE len(piece) = 1),
+       |  keepm AS (SELECT piece, f FROM v2f WHERE len(piece) > 1
+       |    QUALIFY row_number() OVER (ORDER BY f DESC, piece ASC)
+       |      <= greatest($v - (SELECT n FROM nch), 0)),
+       |  vf AS MATERIALIZED (
+       |    SELECT piece, f FROM v2f WHERE len(piece) = 1
+       |    UNION ALL SELECT piece, f FROM keepm),
+       |  vw AS MATERIALIZED (SELECT piece, f,
+       |      CAST(round(round(ln(CAST(f AS DOUBLE) / (SELECT sum(f) FROM vf)), 6)
+       |        * 1000000, 0) AS BIGINT) AS wt
+       |    FROM vf)""".stripMargin
+  }
+
+  /** The q_unigram_train oracle: the fitted vocabulary. */
+  private def unigramTrainSql: String =
+    s"""${unigramCtes()}
+       |SELECT piece, CAST(f AS BIGINT) AS freq, wt AS logp_micro FROM vw""".stripMargin
+
+  /** The q_unigram_segment oracle: the final Viterbi pass under the
+    * fitted vocabulary gives every word type its (piece count, score);
+    * documents sum their words', empty docs keep a (0, 0) row. */
+  private def unigramSegmentSql: String =
+    s"""${unigramCtes()},
+       |  ${unigramDp(3, "vw", 8, 4)},
+       |  docw AS (SELECT doc_id,
+       |      unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+       |    FROM documents),
+       |  perword AS (
+       |    SELECT docw.doc_id, s.np, s.sc
+       |    FROM docw JOIN seg3 s ON s.word = docw.word)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sum(p.np), 0) AS BIGINT) AS n_pieces,
+       |  CAST(coalesce(sum(p.sc), 0) AS BIGINT) AS score_micro
+       |FROM documents d LEFT JOIN perword p ON p.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
 
   /** The q_bpe_segment oracle: the training CTEs, then the 5 merges
     * folded (in step order) over every document word and the subword

@@ -117,6 +117,111 @@ object LmIndex {
       provenance)
   }
 
+  /** One persisted LM PER LANGUAGE — CCNet's deployment shape: the
+    * corpus arrives with a language prediction (the trained-ID
+    * projection), each predicted-language slice trains ITS OWN
+    * reference model, and scoring dispatches every document to its
+    * language's model. Layout: `dir/lang=<code>/` is a full [[build]]
+    * artifact per language (individually loadable, mergeable,
+    * recalibratable), plus `dir/langs.json` recording the language set.
+    * Language codes must be path-safe tokens (`[A-Za-z0-9_-]+`) —
+    * anything else is refused loudly rather than written into a
+    * directory name; null-language rows train nothing. The one
+    * top-level provenance stamp covers the whole family (the sub-builds
+    * share a corpus). */
+  def buildPerLang(docs: DataFrame, dir: String,
+                   langCol: String = "predicted_lang", minCount: Long = 5,
+                   numFiles: Int = 4,
+                   provenance: Option[ArtifactProvenance.Target] = None): Unit = {
+    val spark = docs.sparkSession
+    // ONE corpus tokenisation for every language's counts (the
+    // buildWithOrders discipline — at 100 TB the corpus scan dominates;
+    // a per-language filtered build would pay it once per language).
+    // The keyed count frame is (lang, gram)-vocabulary-sized — cache it
+    // so the per-language writes split a materialised frame.
+    val counts = TextOps.bigramCountsByKey(docs, langCol)
+    Caching.ensureCached(counts)
+    val langs = counts.select(col(langCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(langs.nonEmpty, "no non-null language labels to train on")
+    langs.foreach { l =>
+      require(l.matches("[A-Za-z0-9_-]+"),
+        s"language '$l' is not a path-safe token — refusing to write it " +
+          "into an artifact directory name")
+      val sub = s"$dir/lang=$l"
+      writeCountsData(counts.filter(col(langCol) === l).drop(langCol),
+        sub, numFiles)
+      writeMeta(spark, sub, metaFromDisk(spark, sub, minCount, None))
+    }
+    writeLangsMeta(spark, dir, langs)
+    ArtifactProvenance.stampArtifact(spark, dir, "lm-index-perlang", "build",
+      provenance)
+  }
+
+  /** The language set a [[buildPerLang]] artifact carries. */
+  def langs(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/langs.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path),
+      s"$dir has no langs.json — not a per-language LmIndex artifact")
+    val in = fs.open(path)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case org.json4s.JsonAST.JArray(items) => items.map {
+        case org.json4s.JsonAST.JString(s) => s
+        case _ => throw new IllegalArgumentException(
+          s"$dir/langs.json must be a string array")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$dir/langs.json must be a string array")
+    }
+  }
+
+  /** Language-dispatched scoring against the persisted per-language
+    * family: the per-language stats frames (each derived under ITS OWN
+    * recorded prune) are tagged with their language and unioned into
+    * one lang-keyed model — vocabulary-sized per language, broadcast
+    * when the recorded pruned counts sum small — and the corpus joins
+    * it ONCE on `(lang, w1, w2)` ([[TextOps.lmScoreByKeyWith]]). One
+    * corpus pass + one join + one aggregation for ANY number of
+    * languages (never a per-model corpus scan — and, unlike a union of
+    * per-model scorings, still a single streaming aggregation, so a
+    * streaming `docs` frame dispatches per micro-batch). Documents
+    * whose `langCol` names no stored model (or is null) score all-unk
+    * (`avg_logp == unkLogP`) — visible, never dropped. Output
+    * `(doc_id, langCol, n_bigrams, avg_logp)`. */
+  def scoreByLang(spark: SparkSession, dir: String, docs: DataFrame,
+                  langCol: String = "predicted_lang",
+                  unkLogP: Double = -10.0,
+                  broadcastMaxRows: Long = 4L << 20,
+                  freshAgainst: Option[DataFrame] = None): DataFrame = {
+    ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
+    val ls = langs(spark, dir)
+    val stats = ls.map { l =>
+      val sub = s"$dir/lang=$l"
+      val m = readMeta(spark, sub)
+      TextOps.statsFromCounts(spark.read.parquet(s"$sub/counts"), m.minCount)
+        .select(lit(l).as(langCol), col("w1"), col("w2"), col("p_cond"))
+    }.reduce(_.unionByName(_))
+    // broadcast decision from the RECORDED pruned counts (zero jobs),
+    // summed across languages — the union is what the join ships
+    val total = ls.map(l => readMeta(spark, s"$dir/lang=$l").nBigrams).sum
+    val hinted = if (total <= broadcastMaxRows) broadcast(stats) else stats
+    TextOps.lmScoreByKeyWith(docs, hinted, langCol, unkLogP)
+  }
+
+  private def writeLangsMeta(spark: SparkSession, dir: String,
+                             langs: Seq[String]): Unit = {
+    import org.json4s.JsonAST._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        JArray(langs.toList.map(JString(_)))))
+    val path = new org.apache.hadoop.fs.Path(s"$dir/langs.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Fold `newDocs` into the artifact at `dir`, writing the combined
     * model to `outDir` — an EXACT incremental retrain (spec-pinned equal
     * to building on the concatenated corpus): only the new documents are

@@ -148,20 +148,20 @@ object PQ {
   /** Empty result in [[VectorOps.annBrute]]'s output schema — the graceful
     * degenerate for no-probe / no-centroid corpora (a zero-element literal
     * would fail analysis instead). */
-  private def emptyAnnResult(e: DataFrame): DataFrame =
+  private[ops] def emptyAnnResult(e: DataFrame): DataFrame =
     e.limit(0).select(col("vec_id").as("probe_id"), col("vec_id").as("neighbor_id"),
       col("vec_id").as("rank"), col("nrm").as("cosine"))
 
   /** Collected probe rows (vec_id, v, nrm), id-sorted. */
-  private def collectProbes(e: DataFrame, nProbes: Int): Array[org.apache.spark.sql.Row] =
+  private[ops] def collectProbes(e: DataFrame, nProbes: Int): Array[org.apache.spark.sql.Row] =
     e.filter(col("vec_id") < nProbes)
       .select(col("vec_id"), col("v"), col("nrm")).collect().sortBy(_.getLong(0))
 
   /** `T[p][m][k]` lookup-table literal: dot of probe p's block m with
     * codebook entry k (the trained codebook may be smaller than the
     * requested k on small corpora). */
-  private def probeTablesLit(probeRows: Array[org.apache.spark.sql.Row],
-                             books: Array[Array[Array[Double]]]): Column = {
+  private[ops] def probeTablesLit(probeRows: Array[org.apache.spark.sql.Row],
+                                  books: Array[Array[Array[Double]]]): Column = {
     val dsub = books.head.head.length
     val kEff = books.head.length
     val tables = probeRows.map { pr =>
@@ -176,7 +176,7 @@ object PQ {
 
   /** Approximate dot of the row's `codes` against table `tP` — M
     * element_at lookups + adds. */
-  private def approxDot(tP: Column, m: Int): Column =
+  private[ops] def approxDot(tP: Column, m: Int): Column =
     (0 until m).map { b =>
       element_at(element_at(tP, b + 1), element_at(col("codes"), b + 1) + 1)
     }.reduce(_ + _)
@@ -187,9 +187,18 @@ object PQ {
     * today's bounded pools, but it keeps the one-task-per-probe window
     * pattern out of the codebase entirely. */
   private def exactRerank(cands: DataFrame, e: DataFrame,
-                          nProbes: Int, topK: Int): DataFrame = {
-    val probes = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+                          nProbes: Int, topK: Int): DataFrame =
+    exactRerankWith(cands, e,
+      e.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn")),
+      topK)
+
+  /** [[exactRerank]] generalised to an EXTERNAL probe frame
+    * `(probe_id, pv, pn)` — what [[PqIndex.search]] needs, where probes
+    * are arrivals rather than a corpus-id prefix. */
+  private[ops] def exactRerankWith(cands: DataFrame, e: DataFrame,
+                                   probes: DataFrame, topK: Int): DataFrame = {
     val rescored = cands.withColumnRenamed("vec_id", "neighbor_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))

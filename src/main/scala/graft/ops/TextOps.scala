@@ -833,6 +833,27 @@ object TextOps {
         element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
   }
 
+  /** [[bigramCounts]] keyed by a dispatch column (e.g. a language
+    * prediction): one tokenisation pass into a `(key, bigram)`-keyed
+    * map-side-combined count — the shuffle carries one row per distinct
+    * (key, gram) per partition, never the corpus. This is what lets
+    * [[LmIndex.buildPerLang]] train EVERY language's model from a single
+    * corpus scan instead of one filtered scan per language. Null keys
+    * train nothing (dropped here, not downstream). */
+  def bigramCountsByKey(docs: DataFrame, keyCol: String): DataFrame = {
+    val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
+      distinct = false, wholeDocFallback = false)
+    docs.filter(col(keyCol).isNotNull)
+      .select(col(keyCol),
+        explode(array(split(normText(col("text")), " "))).as("toks"))
+      .select(col(keyCol), explode(array(bigrams)).as("bgs"))
+      .select(col(keyCol), explode(col("bgs")).as("bigram"))
+      .groupBy(col(keyCol), col("bigram")).agg(count(lit(1)).as("n"))
+      .select(col(keyCol),
+        element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
+  }
+
   /** [[bigramLm]]'s stats tail over an existing count frame: denominators
     * over ALL continuations, THEN the `minCount` prune — probabilities
     * stay normalised exactly as in the one-shot path. */
@@ -899,18 +920,67 @@ object TextOps {
             .otherwise(lit(0.0)).as("avg_logp"))
   }
 
-  /** The per-document bigram stream `(doc_id, w1, w2)` every LM scorer
-    * consumes — one tokenisation, one shingle pass, no aggregation. */
-  private def docBigrams(docs: DataFrame): DataFrame = {
+  /** The per-document bigram stream `(doc_id[, keep…], w1, w2)` every LM
+    * scorer consumes — one tokenisation, one shingle pass, no
+    * aggregation. `keep` columns (e.g. a language key) ride the
+    * projection instead of being re-joined on afterwards, which would
+    * cost a corpus-sized doc_id exchange. */
+  private def docBigrams(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
       distinct = false, wholeDocFallback = false)
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
-      .select(col("doc_id"), explode(array(bigrams)).as("bgs"))
-      .select(col("doc_id"), explode(col("bgs")).as("bigram"))
-      .select(col("doc_id"),
-        element_at(split(col("bigram"), " "), 1).as("w1"),
-        element_at(split(col("bigram"), " "), 2).as("w2"))
+      .select(col("doc_id") +: kept :+
+        explode(array(split(normText(col("text")), " "))).as("toks"): _*)
+      .select(col("doc_id") +: kept :+ explode(array(bigrams)).as("bgs"): _*)
+      .select(col("doc_id") +: kept :+ explode(col("bgs")).as("bigram"): _*)
+      .select(col("doc_id") +: kept :+
+        element_at(split(col("bigram"), " "), 1).as("w1") :+
+        element_at(split(col("bigram"), " "), 2).as("w2"): _*)
+  }
+
+  /** KEY-DISPATCHED LM scoring — [[lmScoreWith]] where `stats` carries
+    * one model PER KEY (`(keyCol, w1, w2, p_cond)` — e.g. one bigram LM
+    * per language, [[LmIndex.scoreByLang]]'s engine): each document's
+    * bigrams join THEIR OWN model on `(key, w1, w2)`, so the whole
+    * multi-model dispatch is ONE corpus pass + ONE join + ONE
+    * aggregation — never a per-model corpus scan, and (unlike a union
+    * of per-model scorings) still a single streaming aggregation, so a
+    * streaming `docs` frame scores per micro-batch under the
+    * [[lmScoreWith]] contract. Documents whose key has no model rows
+    * (an unmodeled language, or a null key) score all-unk — the loudest
+    * value an LM can emit, and visible as `avg_logp == unkLogP`.
+    * Output `(doc_id, keyCol, n_bigrams, avg_logp)`; the batch branch
+    * keeps bigram-less documents with `(0, 0.0)` like [[lmScoreWith]]. */
+  def lmScoreByKeyWith(docs: DataFrame, stats: DataFrame, keyCol: String,
+                       unkLogP: Double = -10.0): DataFrame = {
+    require(math.abs(unkLogP * 1e9 - math.round(unkLogP * 1e9)) < 1e-6,
+      "unkLogP must have at most 9 decimal places (decimal-exact term)")
+    val agg = docBigrams(docs, Seq(keyCol))
+      .join(stats.select(col(keyCol), col("w1"), col("w2"), col("p_cond")),
+        Seq(keyCol, "w1", "w2"), "left")
+      .select(col("doc_id"), col(keyCol),
+        coalesce(round(log(col("p_cond")), 9), lit(unkLogP))
+          .cast(DecimalType(28, 9)).as("_lp"))
+      .groupBy(col("doc_id"), col(keyCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_s"))
+    if (docs.isStreaming)
+      agg.select(col("doc_id"), col(keyCol), col("n_bigrams"),
+        round(col("_s").cast(DoubleType) / col("n_bigrams"), 6).as("avg_logp"))
+    else {
+      // null-SAFE key equality: a null-key document's all-unk aggregate
+      // row must rejoin its input row, not silently drop to (0, 0.0)
+      val a = agg.withColumnRenamed("doc_id", "_a_id")
+        .withColumnRenamed(keyCol, "_a_key")
+      docs.select(col("doc_id"), col(keyCol))
+        .join(a, col("doc_id") === col("_a_id") &&
+          col(keyCol) <=> col("_a_key"), "left")
+        .select(col("doc_id"), col(keyCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+            round(col("_s").cast(DoubleType) / col("n_bigrams"), 6))
+            .otherwise(lit(0.0)).as("avg_logp"))
+    }
   }
 
   /** The UNPRUNED trigram count frame `(w1, w2, w3, n)` — the order-3

@@ -133,15 +133,38 @@ object ScaleBudget {
     // the multi-order count shuffle stopped being
     // distinct-gram-vocabulary-sized. Band from the r15 calibration run
     // (measured + 2, the short-ratio floor — see PERF.md r15).
-    "ngram5_counts" -> 3.6)
+    "ngram5_counts" -> 3.6,
+    // r16: the PqIndex ENCODE stage — the corpus-scan half of a PQ
+    // artifact build (codebooks are trained once in the warm-up and
+    // cached driver-side, so the timed body is the frozen-codebook
+    // argmin projection + the noop sink, the work that actually scales
+    // with the corpus). Pure projection, zero shuffle: growth is
+    // scan-linear until the 32 cores absorb it. PROVISIONAL band for
+    // the r16 calibration run (pin to measured × 1.5, floor +2, after).
+    "pq_encode" -> 20.0)
 
   /** Gated dataflows that are not SparkEntry queries keyed by name:
     * timed through the same harness. hamming_r8 exercises the band-PAIR
     * blocking cutover ([[graft.ops.NearDup.MinSingleBandBits]]) on
     * content-diverse 64-bit fingerprints of the real corpus — the one
     * layout whose scale behavior OpsSpec can only sample. */
+  /** Frozen codebooks per scale dir for the pq_encode runner: training
+    * happens ONCE (in the warm-up pass) and is driver-cached, so the
+    * timed runs measure the encode projection — the corpus-scaled stage
+    * the band is about — not a re-train. The cache holds k×dim scalars
+    * per dir, driver-sized by construction. */
+  private val pqBooks =
+    scala.collection.mutable.Map.empty[String, Array[Array[Array[Double]]]]
+
   val CustomRunners: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map(
+      // the PqIndex build's corpus-scan half: frozen-codebook encode of
+      // every vector (see pqBooks — training is paid in the warm-up)
+      "pq_encode" -> ((s, dir) => {
+        val books = pqBooks.getOrElseUpdate(dir, graft.ops.PQ.train(
+          T.load(s, dir, "embeddings"), m = 8, k = 16, iterations = 1))
+        graft.ops.PQ.encode(T.load(s, dir, "embeddings"), books)
+      }),
       "hamming_r8" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         val hashes = T.load(s, dir, "documents")

@@ -40,4 +40,21 @@ class TestdataInvariantSpec extends SparkSpec {
           "point while charsOf windows per UTF-16 unit; normalize the " +
           "fixture or the operators before trusting those gates")
     }
+
+  for (sf <- Seq("sf0.001", "sf0.01"))
+    test(s"documents.text word length at $sf is <= 8 (the unigram-oracle DP unroll bound)") {
+      // the q_unigram_train/q_unigram_segment oracles unroll the Viterbi
+      // DP to exactly 8 positions (unigramDp maxW) — a longer word would
+      // silently vanish from the oracle's word table while the engine
+      // still segments it, mismatching every downstream row
+      val over = docsAt(sf)
+        .filter(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 8)
+        .count()
+      assert(over == 0L,
+        s"$sf documents.text carries words longer than 8 chars — raise " +
+          "the unigram oracles' maxW (SparkEntry.unigramCtes) to the new " +
+          "max word length before trusting those gates")
+    }
 }

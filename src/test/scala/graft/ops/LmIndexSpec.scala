@@ -386,4 +386,84 @@ class LmIndexSpec extends SparkSpec {
       LmIndex.recordCuts3(spark, dirV1, corpus)
     }
   }
+
+  // two languages with disjoint phrase distributions: a doc scored under
+  // the WRONG language's model reads all-unk, so any mis-dispatch is
+  // loudly visible in the scores
+  private def perLangDocs =
+    ((1L to 6L).map(i => (i, "the cat sat on mats", "aa")) ++
+      (11L to 16L).map(i => (i, "dogs run fast at dawn", "bb")))
+      .toDF("doc_id", "text", "lang")
+
+  test("buildPerLang/scoreByLang ≡ one per-slice build+score per language") {
+    val dir = tmpDir("lm_perlang")
+    LmIndex.buildPerLang(perLangDocs, dir, langCol = "lang")
+    assert(LmIndex.langs(spark, dir) == Seq("aa", "bb"))
+    // each sub-dir is a full standalone artifact
+    assert(LmIndex.meta(spark, s"$dir/lang=aa")._2 > 0)
+    val dispatched = LmIndex.scoreByLang(spark, dir, perLangDocs,
+      langCol = "lang").as[(Long, String, Long, Double)].collect().toSet
+    val perSlice = Seq("aa", "bb").map { l =>
+      val slice = perLangDocs.filter(col("lang") === l)
+      val d2 = tmpDir(s"lm_perlang_$l")
+      LmIndex.build(slice.select(col("doc_id"), col("text")), d2)
+      LmIndex.score(spark, d2, slice)
+        .select(col("doc_id"), lit(l).as("lang"), col("n_bigrams"),
+          col("avg_logp"))
+    }.reduce(_.unionByName(_)).as[(Long, String, Long, Double)]
+      .collect().toSet
+    assert(dispatched == perSlice,
+      "lang-keyed dispatch must equal per-slice scoring exactly")
+    // the dispatch is non-vacuous: in-language docs score above unk
+    assert(dispatched.forall(_._4 > -10.0))
+  }
+
+  test("scoreByLang: unmodeled and null languages score all-unk, never drop") {
+    val dir = tmpDir("lm_perlang_u")
+    LmIndex.buildPerLang(perLangDocs, dir, langCol = "lang")
+    val odd = Seq((100L, "the cat sat on mats", "zz"),
+      (101L, "the cat sat on mats", null.asInstanceOf[String]),
+      (102L, "x", "aa")).toDF("doc_id", "text", "lang")
+    val got = LmIndex.scoreByLang(spark, dir, odd, langCol = "lang")
+      .as[(Long, String, Long, Double)].collect().toSet
+    // 100/101 carry bigrams but no model -> every term unk; 102 has no
+    // bigrams -> the (0, 0.0) batch row, not a dropped doc
+    assert(got == Set((100L, "zz", 4L, -10.0), (101L, null, 4L, -10.0),
+      (102L, "aa", 0L, 0.0)))
+  }
+
+  test("buildPerLang refuses path-unsafe language tokens") {
+    val dir = tmpDir("lm_perlang_bad")
+    val bad = Seq((1L, "the cat sat", "a/b")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException](
+      LmIndex.buildPerLang(bad, dir, langCol = "lang"))
+    assert(e.getMessage.contains("path-safe"))
+  }
+
+  test("scoreByLang dispatches a STREAM (single stream-static join + one aggregation)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir("lm_perlang_s")
+    LmIndex.buildPerLang(perLangDocs, dir, langCol = "lang")
+    val rows = Seq((100L, "the cat sat", "aa"), (101L, "the cat sat", "bb"),
+      (102L, "dogs run fast", "bb"))
+    val batch = LmIndex.scoreByLang(spark, dir,
+      rows.toDF("doc_id", "text", "lang"), langCol = "lang")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = LmIndex.scoreByLang(spark, dir,
+      mem.toDF().toDF("doc_id", "text", "lang"), langCol = "lang")
+      .writeStream.format("memory").queryName("lm_perlang_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lm_perlang_stream")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch, "streaming dispatch ≡ batch dispatch")
+      // the same text scores DIFFERENTLY under each language's model —
+      // the dispatch is doing real per-language selection
+      val by = streamed.map(t => (t._1, t._4)).toMap
+      assert(by(100L) > -10.0 && by(101L) == -10.0)
+    } finally q.stop()
+  }
 }
