@@ -1600,6 +1600,17 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       graft.ops.Unigram.segmentCounts(docs, graft.ops.Unigram.train(docs))
     }),
+    // the PERSISTED unigram artifact (UnigramIndex — the BpeIndex
+    // discipline: additive word-type vocabulary + frozen pieces + the
+    // persisted Viterbi word cache): build → reload → segment must
+    // reproduce the self-trained q_unigram_segment exactly, putting the
+    // persist/reload seam on the same replayed-SQL oracle hook
+    "q_unigram_index" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = s"$gateScratch/ugindex_${math.abs(d.hashCode)}"
+      graft.ops.UnigramIndex.build(docs, dir)
+      graft.ops.UnigramIndex.segmentCounts(s, dir, docs)
+    }),
     // the ORDERED token stream (what a packer consumes, where
     // q_bpe_segment only sizes it): one zero-shuffle array-lambda
     // projection, document order preserved by construction — gated on
@@ -2526,6 +2537,11 @@ object SparkEntry {
     // the fitted model applied: one more unrolled Viterbi pass under
     // the final vocabulary, summed per document
     "q_unigram_segment" -> unigramSegmentSql,
+    // the persisted artifact's build→reload→segment is spec-pinned ≡
+    // the in-memory model, so the oracle is SHARED with
+    // q_unigram_segment (one replayed SQL, two gates — the
+    // q_ann_pq_index precedent)
+    "q_unigram_index" -> unigramSegmentSql,
     // ordered token stream: subscript-sorted string_agg vs Spark's
     // order-by-construction lambdas — order itself is what's gated
     "q_bpe_tokenize" -> bpeTokenizeSql,
@@ -4282,8 +4298,12 @@ object SparkEntry {
         |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
         |bc AS (SELECT plang, w1, w2, count(*) AS n FROM b2 GROUP BY 1, 2, 3),
         |wt AS (SELECT plang, w1, sum(n) AS tot FROM bc GROUP BY 1, 2),
+        |-- p in EXACT INTEGER MICROS (statsFromCountsExact): totals like
+        |-- 640 = 2^7*5 put odd counts exactly on the .5e-6 boundary,
+        |-- where engine round()s disagree
         |st AS (
-        |  SELECT plang, w1, w2, round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |  SELECT plang, w1, w2,
+        |    CAST((n * 2000000 + tot) // (tot * 2) AS DOUBLE) / 1000000.0 AS p
         |  FROM bc JOIN wt USING (plang, w1) WHERE n >= 5),
         |terms AS (
         |  SELECT b2.doc_id, b2.plang, coalesce(round(ln(st.p), 9), -10.0) AS lp
@@ -4291,12 +4311,22 @@ object SparkEntry {
         |    AND st.w1 = b2.w1 AND st.w2 = b2.w2),
         |agg AS (
         |  SELECT doc_id, plang, count(*) AS nb, sum(CAST(lp AS DECIMAL(28,9))) AS s
-        |  FROM terms GROUP BY 1, 2)
+        |  FROM terms GROUP BY 1, 2),
+        |-- the 6dp mean in EXACT INTEGER MICROS (half away from zero):
+        |-- per-language sums hit exact .5e-6 quotient boundaries, where a
+        |-- double round(s/n, 6) split the engines at sf0.1
+        |ni AS (
+        |  SELECT doc_id, plang, nb,
+        |    CAST(s * 1000000000 AS BIGINT) AS sn, nb * 1000 AS dd
+        |  FROM agg)
         |SELECT d.doc_id, d.plang AS predicted_lang,
         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
-        |  CASE WHEN coalesce(nb, 0) > 0 THEN round(CAST(s AS DOUBLE) / nb, 6)
-        |       ELSE 0.0 END AS avg_logp
-        |FROM src d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+        |  CASE WHEN coalesce(nb, 0) > 0 THEN
+        |    CAST(CASE WHEN sn >= 0 THEN (sn * 2 + dd) // (dd * 2)
+        |              ELSE -(((0 - sn) * 2 + dd) // (dd * 2)) END AS DOUBLE)
+        |      / 1000000.0
+        |  ELSE 0.0 END AS avg_logp
+        |FROM src d LEFT JOIN ni ON ni.doc_id = d.doc_id""".stripMargin,
     // the WAT link-graph seam: per-target-host in-link degree
     // recomputed relationally from the fixture formulas (k <
     // (doc+j)%3 links per well-formed envelope, target host

@@ -153,13 +153,58 @@ object LmIndex {
         sub, numFiles)
       writeMeta(spark, sub, metaFromDisk(spark, sub, minCount, None))
     }
-    writeLangsMeta(spark, dir, langs)
+    writeLangsMeta(spark, dir, langs, minCount)
     ArtifactProvenance.stampArtifact(spark, dir, "lm-index-perlang", "build",
       provenance)
   }
 
+  /** Fold `newDocs` (language-labelled like [[buildPerLang]]'s input)
+    * into the per-language family at `dir`, writing the combined family
+    * to `outDir` — the [[merge]] contract per language, from ONE keyed
+    * tokenisation of the new documents: existing languages union their
+    * persisted counts with the new slice's (exact — counts are
+    * additive), languages NEW to the family get a fresh layer under the
+    * family's pinned minCount, and languages absent from the new corpus
+    * carry over unchanged. Spec-pinned equal to [[buildPerLang]] on the
+    * concatenated corpus. */
+  def mergePerLang(spark: SparkSession, dir: String, newDocs: DataFrame,
+                   outDir: String, langCol: String = "predicted_lang",
+                   numFiles: Int = 4,
+                   provenance: Option[ArtifactProvenance.Target] = None): Unit = {
+    ArtifactPaths.requireDistinct(spark, dir, outDir)
+    val (stored, minCount) = readLangsMeta(spark, dir)
+    val fresh = TextOps.bigramCountsByKey(newDocs, langCol)
+    Caching.ensureCached(fresh)
+    val newLangs = fresh.select(col(langCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val all = (stored ++ newLangs).distinct.sorted
+    all.foreach { l =>
+      require(l.matches("[A-Za-z0-9_-]+"),
+        s"language '$l' is not a path-safe token — refusing to write it " +
+          "into an artifact directory name")
+      val freshSlice = fresh.filter(col(langCol) === l).drop(langCol)
+      val combined =
+        if (!stored.contains(l)) freshSlice
+        else if (!newLangs.contains(l)) spark.read.parquet(s"$dir/lang=$l/counts")
+        else spark.read.parquet(s"$dir/lang=$l/counts")
+          .unionByName(freshSlice)
+          .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
+      val sub = s"$outDir/lang=$l"
+      writeCountsData(combined, sub, numFiles)
+      writeMeta(spark, sub, metaFromDisk(spark, sub, minCount, None))
+    }
+    writeLangsMeta(spark, outDir, all, minCount)
+    ArtifactProvenance.stampArtifact(spark, outDir, "lm-index-perlang",
+      "merge", provenance)
+  }
+
   /** The language set a [[buildPerLang]] artifact carries. */
-  def langs(spark: SparkSession, dir: String): Seq[String] = {
+  def langs(spark: SparkSession, dir: String): Seq[String] =
+    readLangsMeta(spark, dir)._1
+
+  /** The family metadata: (languages, the pinned minCount every layer
+    * was — and every merged-in layer will be — pruned under). */
+  private def readLangsMeta(spark: SparkSession, dir: String): (Seq[String], Long) = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/langs.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path),
@@ -167,13 +212,25 @@ object LmIndex {
     val in = fs.open(path)
     val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     org.json4s.jackson.JsonMethods.parse(json) match {
-      case org.json4s.JsonAST.JArray(items) => items.map {
-        case org.json4s.JsonAST.JString(s) => s
-        case _ => throw new IllegalArgumentException(
-          s"$dir/langs.json must be a string array")
-      }
+      case org.json4s.JsonAST.JObject(fields) =>
+        val m = fields.toMap
+        val ls = m.get("langs") match {
+          case Some(org.json4s.JsonAST.JArray(items)) => items.map {
+            case org.json4s.JsonAST.JString(s) => s
+            case _ => throw new IllegalArgumentException(
+              s"$dir/langs.json langs must be strings")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"$dir/langs.json carries no langs array")
+        }
+        val mc = m.get("minCount") match {
+          case Some(org.json4s.JsonAST.JInt(v)) => v.toLong
+          case _ => throw new IllegalArgumentException(
+            s"$dir/langs.json carries no minCount")
+        }
+        (ls, mc)
       case _ => throw new IllegalArgumentException(
-        s"$dir/langs.json must be a string array")
+        s"$dir/langs.json is not a JSON object")
     }
   }
 
@@ -200,7 +257,10 @@ object LmIndex {
     val stats = ls.map { l =>
       val sub = s"$dir/lang=$l"
       val m = readMeta(spark, sub)
-      TextOps.statsFromCounts(spark.read.parquet(s"$sub/counts"), m.minCount)
+      // Exact variant: per-language continuation totals land on .5e-6
+      // probability boundaries routinely (see statsFromCountsExact)
+      TextOps.statsFromCountsExact(spark.read.parquet(s"$sub/counts"),
+          m.minCount)
         .select(lit(l).as(langCol), col("w1"), col("w2"), col("p_cond"))
     }.reduce(_.unionByName(_))
     // broadcast decision from the RECORDED pruned counts (zero jobs),
@@ -211,11 +271,12 @@ object LmIndex {
   }
 
   private def writeLangsMeta(spark: SparkSession, dir: String,
-                             langs: Seq[String]): Unit = {
+                             langs: Seq[String], minCount: Long): Unit = {
     import org.json4s.JsonAST._
     val json = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(
-        JArray(langs.toList.map(JString(_)))))
+      org.json4s.jackson.JsonMethods.render(JObject(
+        "langs" -> JArray(langs.toList.map(JString(_))),
+        "minCount" -> JInt(BigInt(minCount)))))
     val path = new org.apache.hadoop.fs.Path(s"$dir/langs.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)

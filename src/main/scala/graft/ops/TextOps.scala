@@ -854,6 +854,28 @@ object TextOps {
         element_at(split(col("bigram"), " "), 2).as("w2"), col("n"))
   }
 
+  /** [[statsFromCounts]] with the 6 dp conditional probability rounded
+    * in EXACT INTEGER MICROS: `p_micro = (2n·10⁶ + tot) div 2tot` (half
+    * away from zero in pure Long arithmetic), then ONE division of
+    * identical values into a double. The double path hits real
+    * boundaries: a continuation total of 640 = 2⁷·5 puts every
+    * odd-count bigram's n/640 exactly on the .5e-6 round boundary,
+    * where Spark (shortest-decimal BigDecimal HALF_UP) and DuckDB
+    * resolve differently — observed splitting q_ccnet_dispatch's `es`
+    * model at sf0.1. The per-language dispatch uses this variant; the
+    * single-model [[statsFromCounts]] path keeps its 15-round-green
+    * double behavior (no boundary value has ever appeared in its
+    * distribution, and switching it would churn the whole LM family's
+    * gates for no observed defect). */
+  def statsFromCountsExact(counts: DataFrame, minCount: Long = 5): DataFrame = {
+    val w1tot = counts.groupBy(col("w1")).agg(sum(col("n")).as("_tot"))
+    counts.join(w1tot, Seq("w1"))
+      .filter(col("n") >= minCount)
+      .withColumn("_pm", expr("(n * 2000000 + _tot) div (_tot * 2)"))
+      .select(col("w1"), col("w2"), col("n"),
+        (col("_pm").cast(DoubleType) / lit(1000000.0)).as("p_cond"))
+  }
+
   /** [[bigramLm]]'s stats tail over an existing count frame: denominators
     * over ALL continuations, THEN the `minCount` prune — probabilities
     * stay normalised exactly as in the one-shot path. */
@@ -964,9 +986,23 @@ object TextOps {
           .cast(DecimalType(28, 9)).as("_lp"))
       .groupBy(col("doc_id"), col(keyCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_s"))
+      // the 6 dp mean is rounded in EXACT INTEGER MICROS, not through a
+      // double division: `_s` is an exact multiple of 1e-9, and the
+      // per-language sums land on exact .5e-6 quotient boundaries
+      // routinely (small neat models) — where a double `round(s/n, 6)`
+      // resolves by the engine's libm luck and DID split Spark from
+      // DuckDB at sf0.1. `(2a + d) div 2d` is half-away-from-zero in
+      // pure Long arithmetic, identical everywhere; the final /1e6 is
+      // one IEEE division of identical inputs.
+      .withColumn("_sn", (col("_s") * lit(1000000000L)).cast(LongType))
+      .withColumn("_d", col("n_bigrams") * lit(1000L))
+      .withColumn("avg_logp",
+        when(col("_sn") >= 0,
+          expr("(_sn * 2 + _d) div (_d * 2)"))
+          .otherwise(-expr("((0 - _sn) * 2 + _d) div (_d * 2)"))
+          .cast(DoubleType) / lit(1000000.0))
     if (docs.isStreaming)
-      agg.select(col("doc_id"), col(keyCol), col("n_bigrams"),
-        round(col("_s").cast(DoubleType) / col("n_bigrams"), 6).as("avg_logp"))
+      agg.select(col("doc_id"), col(keyCol), col("n_bigrams"), col("avg_logp"))
     else {
       // null-SAFE key equality: a null-key document's all-unk aggregate
       // row must rejoin its input row, not silently drop to (0, 0.0)
@@ -977,8 +1013,7 @@ object TextOps {
           col(keyCol) <=> col("_a_key"), "left")
         .select(col("doc_id"), col(keyCol),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          when(coalesce(col("n_bigrams"), lit(0L)) > 0,
-            round(col("_s").cast(DoubleType) / col("n_bigrams"), 6))
+          when(coalesce(col("n_bigrams"), lit(0L)) > 0, col("avg_logp"))
             .otherwise(lit(0.0)).as("avg_logp"))
     }
   }

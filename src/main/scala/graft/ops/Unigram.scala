@@ -216,12 +216,24 @@ object Unigram {
                     unkMicro: Long = -20000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val segDf = broadcast(
-      model.wordSegs.toSeq.map { case (w, (np, sc)) => (w, np.toLong, sc) }
-        .toDF("word", "_np", "_sc"))
+    segmentCountsWith(docs,
+      broadcast(
+        model.wordSegs.toSeq.map { case (w, (np, sc)) => (w, np.toLong, sc) }
+          .toDF("word", "_np", "_sc")),
+      model.charWts, idCol, textCol, unkMicro)
+  }
+
+  /** The segmenter core over an EXPLICIT word→segmentation frame
+    * `(word, _np, _sc)` — what [[UnigramIndex]] feeds from its persisted
+    * cache (broadcast-decided there from recorded metadata) and
+    * [[segmentCounts]] feeds from the in-memory model. */
+  private[ops] def segmentCountsWith(docs: DataFrame, segDf: DataFrame,
+                                     charWts: Map[String, Long],
+                                     idCol: String, textCol: String,
+                                     unkMicro: Long): DataFrame = {
     val charMap: org.apache.spark.sql.Column =
-      if (model.charWts.isEmpty) map()
-      else map(model.charWts.toSeq.sortBy(_._1)
+      if (charWts.isEmpty) map()
+      else map(charWts.toSeq.sortBy(_._1)
         .flatMap { case (c, w) => Seq(lit(c), lit(w)) }: _*)
     val fallbackScore = aggregate(split(col("word"), ""),
       lit(0L), (acc, ch) => acc +

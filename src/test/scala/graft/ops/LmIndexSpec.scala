@@ -432,6 +432,54 @@ class LmIndexSpec extends SparkSpec {
       (102L, "aa", 0L, 0.0)))
   }
 
+  test("mergePerLang ≡ a fresh buildPerLang on the concatenated corpus") {
+    val base = tmpDir("lm_perlang_m")
+    // the new corpus carries an existing language (aa), a language NEW
+    // to the family (cc), and leaves bb untouched — all three merge
+    // classes in one fixture
+    val newDocs = ((21L to 26L).map(i => (i, "the cat sat on mats", "aa")) ++
+      (31L to 36L).map(i => (i, "elephants march slowly home", "cc")))
+      .toDF("doc_id", "text", "lang")
+    LmIndex.buildPerLang(perLangDocs, s"$base/a", langCol = "lang")
+    LmIndex.mergePerLang(spark, s"$base/a", newDocs, s"$base/merged",
+      langCol = "lang")
+    LmIndex.buildPerLang(perLangDocs.unionByName(newDocs), s"$base/fresh",
+      langCol = "lang")
+    assert(LmIndex.langs(spark, s"$base/merged") == Seq("aa", "bb", "cc"))
+    assert(LmIndex.langs(spark, s"$base/merged") ==
+      LmIndex.langs(spark, s"$base/fresh"))
+    for (l <- Seq("aa", "bb", "cc")) {
+      assert(LmIndex.meta(spark, s"$base/merged/lang=$l") ==
+        LmIndex.meta(spark, s"$base/fresh/lang=$l"), s"meta for $l")
+      assert(spark.read.parquet(s"$base/merged/lang=$l/counts")
+        .as[(String, String, Long)].collect().toSet ==
+        spark.read.parquet(s"$base/fresh/lang=$l/counts")
+          .as[(String, String, Long)].collect().toSet, s"counts for $l")
+    }
+    // dispatch over the merged family ≡ over the fresh family
+    val all = perLangDocs.unionByName(newDocs)
+    assert(LmIndex.scoreByLang(spark, s"$base/merged", all, langCol = "lang")
+      .as[(Long, String, Long, Double)].collect().toSet ==
+      LmIndex.scoreByLang(spark, s"$base/fresh", all, langCol = "lang")
+        .as[(Long, String, Long, Double)].collect().toSet)
+    // in-place merge is refused
+    intercept[IllegalArgumentException](
+      LmIndex.mergePerLang(spark, s"$base/a", newDocs, s"$base/a",
+        langCol = "lang"))
+  }
+
+  test("statsFromCountsExact: .5e-6 probability boundaries round half away from zero") {
+    // 27/640 = 0.0421875 exactly — the boundary class that split the
+    // engines at sf0.1 (640 = 2^7·5 terminates at 7 decimals): the
+    // micro-integer path must round half UP deterministically
+    val counts = Seq(("the", "spark", 27L), ("the", "rest", 613L))
+      .toDF("w1", "w2", "n")
+    val ps = TextOps.statsFromCountsExact(counts, minCount = 5)
+      .select(col("w2"), col("p_cond")).as[(String, Double)].collect().toMap
+    assert(ps("spark") == 0.042188, s"27/640 must round half UP: $ps")
+    assert(ps("rest") == 0.957813, s"613/640 = 0.9578125 rounds UP: $ps")
+  }
+
   test("buildPerLang refuses path-unsafe language tokens") {
     val dir = tmpDir("lm_perlang_bad")
     val bad = Seq((1L, "the cat sat", "a/b")).toDF("doc_id", "text", "lang")
