@@ -72,14 +72,18 @@ object PublicationMode {
 
   /** Normalise a raw value into a mode: trim, lowercase, dashes fold to
     * underscores (`"Open-Data-Lineage"` resolves like
-    * `"open_data_lineage"`). Null/empty yields `default`; an unknown
-    * value FAILS LOUDLY — the reference's ValueError contract, so a
-    * typo'd explicit override can never silently fall back to legacy. */
+    * `"open_data_lineage"`). ONLY null yields `default`; any non-null
+    * value that normalises to nothing known — including whitespace-only
+    * strings — FAILS LOUDLY, the reference's exact `from_value`
+    * contract (`publication.py`: None → default, every other
+    * unmatched string → ValueError). The distinction matters in
+    * [[resolve]]: a whitespace env candidate must be SKIPPED (throw →
+    * try the config keys), not resolve to the default and mask a valid
+    * config value. */
   def fromValue(value: String,
                 default: PublicationMode = Legacy): PublicationMode = {
     if (value == null) return default
     val candidate = value.trim.toLowerCase.replace('-', '_')
-    if (candidate.isEmpty) return default
     All.find(_.value == candidate).getOrElse(
       throw new IllegalArgumentException(
         s"Unknown governance publication mode: $value " +
@@ -88,11 +92,15 @@ object PublicationMode {
 
   /** Resolve the configured mode. `explicit` (a caller override) wins
     * and is STRICT — an unknown explicit value throws. Otherwise the
-    * environment value, then each config key in [[ConfigKeys]] order,
-    * are tried; a candidate that fails normalisation is SKIPPED (the
-    * reference's try/continue loop — a stale env var set by another
-    * tool must not break every pipeline that merely has it in scope),
-    * and `default` covers the no-hint case. */
+    * candidates are the environment value (when non-empty) and the
+    * FIRST present config key's value in [[ConfigKeys]] order (the
+    * reference's `_lookup_configuration` takes exactly one config
+    * candidate — later keys do NOT rescue a typo'd earlier one); a
+    * candidate that fails normalisation — unknown mode OR
+    * whitespace-only — is SKIPPED (the reference's try/continue loop:
+    * a stale env var set by another tool must not break, or mask the
+    * config for, every pipeline that merely has it in scope), and
+    * `default` covers the no-hint case. */
   def resolve(explicit: Option[String] = None,
               config: Map[String, String] = Map.empty,
               env: Map[String, String] = sys.env,

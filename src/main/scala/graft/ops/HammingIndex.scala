@@ -67,13 +67,22 @@ object HammingIndex {
     * must be new to the index — a re-ingested id with a DIFFERENT
     * fingerprint would leave both hash rows under one id. */
   def merge(spark: SparkSession, dir: String, newHashes: DataFrame,
-            outDir: String, hashCol: String = "simhash",
+            outDir: String, expectedKind: String,
+            hashCol: String = "simhash",
             idCol: String = "doc_id", numFiles: Int = 8,
             provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     // an in-place merge (outDir == dir) would overwrite-delete the input
     // bands before the lazy union plan reads them, losing the index
     ArtifactPaths.requireDistinct(spark, dir, outDir)
     val (kind, bits, maxHamming) = readMeta(spark, dir)
+    // the same cross-family guard probe carries: folding audio contours
+    // into an image index would succeed silently and poison every later
+    // probe that passes the kind check — the caller must state which
+    // family the arriving fingerprints belong to
+    require(kind == expectedKind,
+      s"hamming index kind mismatch: $dir holds '$kind' fingerprints, " +
+        s"merge arrivals claim '$expectedKind' — a cross-kind merge would " +
+        "contaminate the index with meaningless 64-bit neighbors")
     val combined = NearDup.hammingAppend(
       loadData(spark, dir), newHashes, maxHamming, hashCol, idCol, bits)
     NearDup.hammingSave(combined, outDir, numFiles, provenance,

@@ -83,13 +83,21 @@ object PqIndex {
   def encodeWith(spark: SparkSession, dir: String,
                  embeddings: DataFrame): DataFrame = {
     val (_, _, dim, books) = readMeta(spark, dir)
-    if (!embeddings.isStreaming) {
-      val first = embeddings.select(size(col("embedding"))).limit(1).collect()
-      first.foreach(r => require(r.getInt(0) == dim,
-        s"dim mismatch: $dir pins dim $dim, arrivals carry ${r.getInt(0)} — " +
-          "codes from a mis-sliced vector would be silently meaningless"))
-    }
-    PQ.encode(embeddings, books)
+    // PER-ROW dim guard fused into the projection (raise_error fires
+    // only on offending rows — free on the happy path, and it works on
+    // streaming frames too): a first-row-only sample would let a
+    // mixed-width frame (two embedding models unioned) encode
+    // silently-meaningless codes, since slice() neither errors on a
+    // long vector nor on a short one
+    val guarded = embeddings.withColumn("embedding",
+      when(size(col("embedding")) === dim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"dim mismatch: $dir pins dim $dim, arrival vec_id "),
+          col("vec_id").cast("string"),
+          lit(" carries "), size(col("embedding")).cast("string"),
+          lit(" — codes from a mis-sliced vector would be silently " +
+            "meaningless")))))
+    PQ.encode(guarded, books)
   }
 
   /** Append new vectors to the index IN PLACE through the frozen
@@ -123,11 +131,18 @@ object PqIndex {
     * approximate score (the codes-only deployment, where raw vectors
     * live in cold storage). Output schema matches
     * [[VectorOps.annBrute]]; the score column is the approx cosine when
-    * `exactFrom` is None. */
+    * `exactFrom` is None.
+    *
+    * `dropSelfIds` (default true — the [[PQ.annPq]] convention, where
+    * probes ARE corpus rows) excludes corpus rows whose vec_id equals
+    * the probe's probe_id. Pass FALSE when probe ids live in their own
+    * id space (external arrivals): with the default, an accidental id
+    * collision would silently suppress a true nearest neighbor. */
   def search(spark: SparkSession, dir: String, probes: DataFrame,
              topK: Int = 5, rerank: Int = 4,
              exactFrom: Option[DataFrame] = None,
-             freshAgainst: Option[DataFrame] = None): DataFrame = {
+             freshAgainst: Option[DataFrame] = None,
+             dropSelfIds: Boolean = true): DataFrame = {
     ArtifactProvenance.checkFresh(spark, dir, freshAgainst)
     val (m, _, dim, books) = readMeta(spark, dir)
     val probeRows = probes
@@ -149,12 +164,13 @@ object PqIndex {
         round(PQ.approxDot(element_at(tLit, i + 1), m) /
           (lit(pr.getDouble(2)) * col("nrm")), 6).as("approx"))
     }: _*)
-    val scored = data
+    val scoredAll = data
       .select(col("vec_id"), col("codes"), col("nrm"))
       .select(col("vec_id"), explode(perProbe).as("s"))
       .select(col("s.probe_id").as("probe_id"), col("vec_id"),
         col("s.approx").as("approx"))
-      .filter(col("vec_id") =!= col("probe_id"))
+    val scored = if (dropSelfIds)
+      scoredAll.filter(col("vec_id") =!= col("probe_id")) else scoredAll
     exactFrom match {
       case Some(raw) =>
         val cands = TopK.topKPerKey(scored, "probe_id", "vec_id", "approx",
@@ -194,7 +210,10 @@ object PqIndex {
         s"${r.getSeq[Double](1).length}"))
     val enc = encodeWith(spark, dir, arrivals)
     if (probeRows.isEmpty)
-      return enc.limit(0).select(col("vec_id").as("probe_id"),
+      // filter(false), not limit(0): limit is unsupported on streaming
+      // frames, and an alerting pipeline whose standing-query set is
+      // momentarily empty must idle, not crash at query start
+      return enc.filter(lit(false)).select(col("vec_id").as("probe_id"),
         col("vec_id"), col("nrm").as("approx"))
     val tLit = PQ.probeTablesLit(probeRows, books)
     val perProbe = array(probeRows.zipWithIndex.map { case (pr, i) =>

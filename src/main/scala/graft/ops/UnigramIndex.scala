@@ -28,16 +28,23 @@ import org.json4s.jackson.JsonMethods
 object UnigramIndex {
 
   final case class Meta(vocabSize: Int, maxPieceLen: Int, emIters: Int,
-                        nWordTypes: Long)
+                        maxTypes: Int, nWordTypes: Long)
 
-  /** Fit on `docs` and persist under `dir`. */
+  /** Fit on `docs` and persist under `dir`. `maxTypes` caps the word
+    * types the trainer COLLECTS at the most frequent ((cnt DESC, word
+    * ASC) — [[Unigram.trainFromVocab]]'s lever, the standard
+    * frequency-floor practice); 0 collects everything, which is only
+    * safe when the word-type vocabulary fits the driver — a web-scale
+    * build MUST cap. The cap is pinned in the metadata so [[merge]]'s
+    * re-fit trains under the same budget. The UNPRUNED vocabulary is
+    * persisted either way (the additive-merge substrate). */
   def build(docs: DataFrame, dir: String, vocabSize: Int = 48,
-            maxPieceLen: Int = 4, emIters: Int = 2,
+            maxPieceLen: Int = 4, emIters: Int = 2, maxTypes: Int = 0,
             textCol: String = "text", numFiles: Int = 2,
             provenance: Option[ArtifactProvenance.Target] = None): Unit = {
     val vocab = Bpe.wordVocab(docs, textCol)
     writeArtifact(docs.sparkSession, vocab, dir, vocabSize, maxPieceLen,
-      emIters, numFiles)
+      emIters, maxTypes, numFiles)
     ArtifactProvenance.stampArtifact(docs.sparkSession, dir, "unigram-index",
       "build", provenance)
   }
@@ -58,7 +65,7 @@ object UnigramIndex {
       .unionByName(Bpe.wordVocab(newDocs, textCol))
       .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
     writeArtifact(spark, combined, outDir, m.vocabSize, m.maxPieceLen,
-      m.emIters, numFiles)
+      m.emIters, m.maxTypes, numFiles)
     ArtifactProvenance.stampArtifact(spark, outDir, "unigram-index", "merge",
       provenance)
   }
@@ -104,10 +111,12 @@ object UnigramIndex {
 
   private def writeArtifact(spark: SparkSession, vocab: DataFrame,
                             dir: String, vocabSize: Int, maxPieceLen: Int,
-                            emIters: Int, numFiles: Int): Unit = {
+                            emIters: Int, maxTypes: Int,
+                            numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     val cached = Caching.ensureCachedLazy(vocab)
-    val model = Unigram.trainFromVocab(cached, vocabSize, maxPieceLen, emIters)
+    val model = Unigram.trainFromVocab(cached, vocabSize, maxPieceLen,
+      emIters, maxTypes)
     cached
       .repartitionByRange(numFiles, col("word"))
       .sortWithinPartitions(col("word"))
@@ -120,14 +129,15 @@ object UnigramIndex {
       .repartitionByRange(numFiles, col("word"))
       .sortWithinPartitions(col("word"))
       .write.mode("overwrite").parquet(s"$dir/wordsegs")
-    writeMeta(spark, dir, Meta(vocabSize, maxPieceLen, emIters,
+    writeMeta(spark, dir, Meta(vocabSize, maxPieceLen, emIters, maxTypes,
       cached.count()))
   }
 
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     val json = JsonMethods.compact(JsonMethods.render(JObject(
       "vocabSize" -> JInt(m.vocabSize), "maxPieceLen" -> JInt(m.maxPieceLen),
-      "emIters" -> JInt(m.emIters), "nWordTypes" -> JLong(m.nWordTypes))))
+      "emIters" -> JInt(m.emIters), "maxTypes" -> JInt(m.maxTypes),
+      "nWordTypes" -> JLong(m.nWordTypes))))
     val path = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)

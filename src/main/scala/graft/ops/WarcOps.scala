@@ -626,9 +626,14 @@ object WarcOps {
     * object-store deployment uses) — and the slice goes through the
     * same total [[parseFile]] byte-walk as a full scan (gzip sniffed on
     * the member magic, headers, HTTP envelope, charset decode), keeping
-    * the FIRST record only. Loud on a non-boundary offset and on a
-    * record larger than `maxBytes` (raise the cap — real CDX files also
-    * carry a length column for exactly this reason).
+    * the FIRST record only. Loud on a non-boundary offset, on a record
+    * larger than `maxBytes` (raise the cap — real CDX files also carry
+    * a length column for exactly this reason), and on an offset that
+    * anchors a MULTI-RECORD gzip member (the whole-file single-member
+    * layout [[parseFile]] tolerates on the scan path): every record in
+    * such a member shares the member-start offset, so no offset names
+    * ONE of them — that layout is scan-only; repack record-per-member
+    * for random access.
     *
     * Returned row: [[Schema]] shape with `rec_index` = 0 (the record's
     * index within the FETCH — the shard ordinal lives in the CDX row
@@ -652,6 +657,18 @@ object WarcOps {
         s"record at $path:$offset does not fit in maxBytes = $maxBytes — " +
           "raise the cap (real CDX rows carry a record length for this)"
       else s"no WARC record parses at $path:$offset — not a record boundary"))
+    // AMBIGUITY GUARD: in a single-member multi-record .warc.gz (a
+    // layout parseFile tolerates on the scan path), every record in the
+    // member shares the member-start offset — "the record at this
+    // offset" names N records, and silently returning the first would
+    // be wrong data for the other N-1 CDX rows. Slice-relative offsets
+    // make this detectable: exactly one record may anchor at 0.
+    val offIdx = Schema.fieldIndex("rec_offset")
+    val anchored = rows.count(_.getLong(offIdx) == 0L)
+    require(anchored <= 1,
+      s"offset $path:$offset anchors a gzip member holding $anchored " +
+        "records — a member-start offset cannot name ONE of them; repack " +
+        "the shard record-per-member (the packShards layout) for random access")
     // the slice-relative anchors are meaningless to the caller: pin the
     // offset actually fetched, zero the within-fetch index
     Row.fromSeq(rec.toSeq.updated(1, 0L)

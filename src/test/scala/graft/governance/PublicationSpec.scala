@@ -23,10 +23,14 @@ class PublicationSpec extends AnyFunSuite {
       PublicationMode.OpenTelemetry)
   }
 
-  test("fromValue: null/empty yield the default, unknown values fail loudly") {
+  test("fromValue: ONLY null yields the default; empty and unknown fail loudly") {
     assert(PublicationMode.fromValue(null) == PublicationMode.Legacy)
-    assert(PublicationMode.fromValue("",
-      default = PublicationMode.OpenTelemetry) == PublicationMode.OpenTelemetry)
+    // the reference's from_value: None -> default, but "" and "  " hit
+    // the ValueError path (no mode matches the empty candidate) — the
+    // distinction is what lets resolve() SKIP a whitespace env var
+    // instead of resolving to the default and masking a valid config
+    intercept[IllegalArgumentException](PublicationMode.fromValue(""))
+    intercept[IllegalArgumentException](PublicationMode.fromValue("   "))
     val e = intercept[IllegalArgumentException](
       PublicationMode.fromValue("carrier_pigeon"))
     assert(e.getMessage.contains("carrier_pigeon"))
@@ -55,6 +59,11 @@ class PublicationSpec extends AnyFunSuite {
       config = Map(PublicationMode.ConfigKeys.head -> "garbage"),
       env = Map(PublicationMode.EnvKey -> "garbage")) ==
       PublicationMode.Legacy)
+    // a WHITESPACE env var is skipped like any invalid candidate — the
+    // config value must still win, not be masked by the default
+    assert(PublicationMode.resolve(config = cfg,
+      env = Map(PublicationMode.EnvKey -> "   ")) ==
+      PublicationMode.OpenDataLineage)
     // no hints at all -> default
     assert(PublicationMode.resolve(env = Map.empty) == PublicationMode.Legacy)
   }

@@ -45,7 +45,8 @@ class HammingIndexSpec extends SparkSpec {
       corpusHashes.filter(col("doc_id") >= 20))
     HammingIndex.build(a, s"$dir/a", maxHamming = 3, kind = "test-fp",
       hashCol = "fp")
-    HammingIndex.merge(spark, s"$dir/a", b, s"$dir/merged", hashCol = "fp")
+    HammingIndex.merge(spark, s"$dir/a", b, s"$dir/merged",
+      expectedKind = "test-fp", hashCol = "fp")
     HammingIndex.build(corpusHashes, s"$dir/fresh", maxHamming = 3,
       kind = "test-fp", hashCol = "fp")
     def probeAll(d: String) = HammingIndex.probe(spark, d, arrivalHashes,
@@ -59,7 +60,16 @@ class HammingIndexSpec extends SparkSpec {
     assert(rows(s"$dir/merged") == rows(s"$dir/fresh"))
     // in-place merge is refused (it would delete the input mid-plan)
     intercept[IllegalArgumentException](
-      HammingIndex.merge(spark, s"$dir/a", b, s"$dir/a", hashCol = "fp"))
+      HammingIndex.merge(spark, s"$dir/a", b, s"$dir/a",
+        expectedKind = "test-fp", hashCol = "fp"))
+    // a cross-kind merge is refused like a cross-kind probe: folding
+    // audio contours into an image index would contaminate every later
+    // probe that passes the kind check
+    val e = intercept[IllegalArgumentException](
+      HammingIndex.merge(spark, s"$dir/a", b, s"$dir/merged2",
+        expectedKind = "audio-dhash", hashCol = "fp"))
+    assert(e.getMessage.contains("test-fp") &&
+      e.getMessage.contains("audio-dhash"))
   }
 
   test("kind and layout mismatches are refused loudly") {

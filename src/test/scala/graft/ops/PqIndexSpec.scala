@@ -65,7 +65,7 @@ class PqIndexSpec extends SparkSpec {
     assert(hits.exists(_ >= 20), "appended vectors must be searchable")
   }
 
-  test("metadata refusals: bare dir, probe dim, arrival dim") {
+  test("metadata refusals: bare dir, probe dim, per-row arrival dim") {
     val dir = tmpDir("graft_pqix_r")
     PqIndex.build(corpus, dir, m = 4, k = 4, iterations = 1)
     // a bare directory is not an artifact
@@ -79,10 +79,53 @@ class PqIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       PqIndex.search(spark, dir, probesOf(narrow, 3)))
     assert(e.getMessage.contains("dim mismatch"))
-    // wrong-dimension arrivals refused at encode time (batch check)
-    val e2 = intercept[IllegalArgumentException](
-      PqIndex.encodeWith(spark, dir, narrow))
-    assert(e2.getMessage.contains("dim mismatch"))
+    // the arrival guard is PER ROW (raise_error in the projection): a
+    // mixed-width frame whose FIRST row is fine must still refuse —
+    // a first-row sample would let the 16-wide tail encode garbage
+    val mixed = (embRows(0 until 2) ++ embRows(2 until 4)
+      .map { case (i, l, v) => (i, l, v ++ v) })
+      .toDF("vec_id", "label", "embedding")
+    val e2 = intercept[Exception](
+      PqIndex.encodeWith(spark, dir, mixed).collect())
+    assert(e2.getMessage != null && e2.getMessage.contains("dim mismatch"),
+      s"per-row guard must fire on the mixed tail: ${e2.getMessage}")
+  }
+
+  test("search with external-id probes: dropSelfIds=false keeps colliding corpus ids") {
+    val dir = tmpDir("graft_pqix_x")
+    PqIndex.build(corpus, dir, m = 4, k = 4, iterations = 1)
+    // probe reuses corpus id 7 but is an EXTERNAL query vector: with the
+    // default, corpus vector 7 is silently suppressed from its results;
+    // with dropSelfIds=false it competes like any neighbor
+    val probes = probesOf(corpus, 8).filter(col("probe_id") === 7L)
+    val dropped = PqIndex.search(spark, dir, probes, topK = 30)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    val kept = PqIndex.search(spark, dir, probes, topK = 30,
+      dropSelfIds = false)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(!dropped.contains(7L))
+    assert(kept.contains(7L),
+      "external-id searches must be able to keep colliding corpus ids")
+    assert(kept -- dropped == Set(7L))
+  }
+
+  test("scoreArrivals with an empty probe set idles on a stream (no limit(0) crash)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir("graft_pqix_e")
+    PqIndex.build(corpus, dir, m = 4, k = 4, iterations = 1)
+    val noProbes = probesOf(corpus, 0)
+    val mem = MemoryStream[(Long, String, Array[Double])](spark)
+    val q = PqIndex.scoreArrivals(spark, dir,
+      mem.toDF().toDF("vec_id", "label", "embedding"), noProbes,
+      minApprox = -1.0)
+      .writeStream.format("memory").queryName("pqix_empty_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(embRows(50 until 55): _*)
+      q.processAllAvailable()
+      assert(spark.table("pqix_empty_stream").count() == 0,
+        "an empty standing-query set idles, emitting nothing")
+    } finally q.stop()
   }
 
   test("freshAgainst refuses a stale index (the provenance guard)") {

@@ -22,7 +22,7 @@ class UnigramIndexSpec extends SparkSpec {
     val dir = tmpDir("graft_ugix")
     UnigramIndex.build(docs, dir, vocabSize = 8, maxPieceLen = 3, emIters = 2)
     assert(UnigramIndex.readMeta(spark, dir) ==
-      UnigramIndex.Meta(8, 3, 2, 6))
+      UnigramIndex.Meta(8, 3, 2, 0, 6))
     val m = Unigram.train(docs, vocabSize = 8, maxPieceLen = 3, emIters = 2)
     val fromIndex = UnigramIndex.segmentCounts(spark, dir, docs)
       .as[(Long, Long, Long)].collect().toSet

@@ -435,5 +435,15 @@ class WarcOpsSpec extends SparkSpec {
     }
     assert(counts.exists(k => k > 0 && k < full.length),
       "some cut must surface a strict prefix of the records (non-vacuous)")
+    // RANDOM ACCESS into this layout is refused, not silently wrong:
+    // every record shares the member-start offset, so "the record at
+    // offset 0" names four records — returning the first would be wrong
+    // data for the other three CDX rows
+    val dir = tmpDir("graft_warc_onemember")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/whole.warc.gz"), whole)
+    val e = intercept[IllegalArgumentException](
+      WarcOps.readRecordAt(spark, s"$dir/whole.warc.gz", 0L).collect())
+    assert(e.getMessage.contains("member holding 4 records"), e.getMessage)
   }
 }
