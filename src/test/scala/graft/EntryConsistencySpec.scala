@@ -46,8 +46,13 @@ class EntryConsistencySpec extends AnyFunSuite {
       "orders", "lineitem", "events", "documents", "embeddings")
     // (?<!distinct ) keeps "x IS DISTINCT FROM y" from reading as a scan
     val tableRe = "(?i)\\b(?:(?<!distinct )from|join)\\s+([a-z_][a-z0-9_]*)".r
-    SparkEntry.oracleSql.foreach { case (k, sql) =>
-      assert(sql.trim.nonEmpty, s"$k has an empty oracle")
+    SparkEntry.oracleSql.foreach { case (k, rawSql) =>
+      assert(rawSql.trim.nonEmpty, s"$k has an empty oracle")
+      // strip `--` line comments BEFORE scanning: a commented oracle
+      // (good practice) otherwise hides CTE declarations from cteRe
+      // (comment between the comma and the name) and leaks false table
+      // refs from prose ("half away from zero" reads as FROM zero)
+      val sql = rawSql.replaceAll("(?m)--.*$", "")
       val refs = tableRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // CTE names are declared in the same statement — subtract them
       val cteRe = "(?i)(?:with(?:\\s+recursive)?|,)\\s*([a-z_][a-z0-9_]*)\\s+as\\s*(?:(?:not\\s+)?materialized\\s+)?\\(".r
