@@ -37,7 +37,10 @@ object Analytics {
   def q1Pricing(lineitem: DataFrame): DataFrame = {
     val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
     val charge    = discPrice * (lit(1) + col("l_tax"))
-    lineitem
+    // fanned (r16): seven exact-decimal aggregates per row are
+    // compute-bound map work; the filter still pushes to the scan below
+    // the (size-gated) repartition
+    graft.ops.Parallel.fan(lineitem)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(

@@ -37,7 +37,8 @@ object Bpe {
   /** Word-type vocabulary: lowercase, whitespace-split, with corpus
     * frequencies. One corpus pass, vocabulary-sized output. */
   def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+    Parallel.fan(docs)
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
@@ -280,8 +281,9 @@ object Bpe {
     // keepCols ride the same projection — a downstream packer needs e.g.
     // `source` alongside the tokens, and re-joining it back onto this
     // output would cost a corpus-sized doc_id shuffle the pass-through
-    // makes unnecessary
-    docs.select(col(idCol) +: keepCols.map(col) :+
+    // makes unnecessary. Fanned (r16): the per-word merge fold is
+    // nMerges string replaces per word — compute-bound map work.
+    Parallel.fan(docs).select(col(idCol) +: keepCols.map(col) :+
       coalesce(flatten(transform(
           filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0),
           w => split(foldWord(w), " "))),

@@ -25,6 +25,24 @@ object Caching {
     df
   }
 
+  /** Cache EVERY frame and materialise them all in ONE job: each frame
+    * is persist()-marked, then a union of constant projections over the
+    * marked frames is counted — scanning an InMemoryTableScan builds its
+    * full cached batches regardless of requested columns, so one action
+    * populates every cache. N separate `ensureCached` calls pay N job
+    * submissions (~0.2 s each at bench scale) for the same result; the
+    * union's branches may also run concurrently where sequential jobs
+    * cannot. Frames whose inputs are themselves lazily cached should NOT
+    * go through here (concurrent branches would race to compute the
+    * shared input) — materialise shared inputs first ([[ensureCached]]). */
+  def ensureCachedAll(dfs: Seq[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val fresh = dfs.filter(_.storageLevel == StorageLevel.NONE)
+    if (fresh.isEmpty) return
+    fresh.foreach(_.persist())
+    fresh.map(_.select(lit(1).as("_m"))).reduce(_ union _).count()
+  }
+
   /** Per-round materialisation for iterative operators: reliable
     * checkpoint when the session has a checkpoint dir configured
     * (recomputable across executor loss — the right mode on a real

@@ -786,7 +786,8 @@ object Curate {
     * fallback: a doc shorter than k tokens has no k-grams). Reuses
     * [[NearDup.explodedShingles]]' Generate-barrier tokenisation. */
   private def kgrams(docs: DataFrame, k: Int): DataFrame =
-    NearDup.explodedShingles(docs, k, distinct = true, wholeDocFallback = false)
+    NearDup.explodedShingles(docs, k, distinct = true, wholeDocFallback = false,
+      fanOut = false)
       .select(col("doc_id"), col("shingle").as("gram"))
 
   /** Eval-set decontamination (the 13-gram overlap rule of GPT-3-style

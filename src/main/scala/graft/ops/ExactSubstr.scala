@@ -237,8 +237,14 @@ object ExactSubstr {
     * nothing. */
   private def shingleHashes(docs: DataFrame, unitsOf: Column, n: Int,
                             idCol: String,
-                            digest: Column => Column = c => md5(c.cast(BinaryType))): DataFrame =
-    docs
+                            digest: Column => Column = c => md5(c.cast(BinaryType)),
+                            fanOut: Boolean = true): DataFrame =
+    // fanOut: the TOKEN-window path digests ~one md5 per corpus token
+    // (compute-bound — fanning measured 25% faster end to end at sf0.1);
+    // the SENTENCE-shingle path emits a handful of units per document
+    // (shuffle-bound — fanning measured 65% slower), so its call sites
+    // opt out
+    (if (fanOut) Parallel.fan(docs) else docs)
       .select(col(idCol), explode(array(unitsOf)).as("_units"))
       .select(col(idCol),
         when(size(col("_units")) >= n,
@@ -276,7 +282,7 @@ object ExactSubstr {
     require(minOccurrences >= 2, "minOccurrences must be at least 2")
     val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
     val bySh = Window.partitionBy(col("sh")).orderBy(col(idCol), col("pos"))
-    val ranked = shingleHashes(docs, sentsOf, n, idCol)
+    val ranked = shingleHashes(docs, sentsOf, n, idCol, fanOut = false)
       .withColumnRenamed("wh", "sh")
       .withColumn("_rk", row_number().over(bySh))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("sh"))))
@@ -328,7 +334,8 @@ object ExactSubstr {
     require(n >= 2, "span length must be at least 2 sentences")
     val sentsOf = sentencesCol(coalesce(col(textCol), lit("")))
     shingleHashes(docs, sentsOf, n, idCol,
-      digest = c => call_function("graft_md5hh", c.cast(BinaryType)))
+      digest = c => call_function("graft_md5hh", c.cast(BinaryType)),
+      fanOut = false)
       .select(element_at(col("wh"), 1).as("h1"),
         element_at(col("wh"), 2).as("h2"))
       .groupBy(col("h1"), col("h2"))

@@ -34,8 +34,12 @@ object JsonOps {
     * a MAP-typed probe would reject non-object JSON. Two parses of the
     * same string in one projection — both inside the same codegen
     * stage, and the JSON parse is the row's dominant cost either way. */
-  def extractProps(events: DataFrame): DataFrame =
-    events
+  def extractProps(events: DataFrame, fanOut: Boolean = true): DataFrame =
+    // fanOut (r16): two JSON parses per row is compute-bound map work
+    // over a small events scan (see Parallel.fan) — 30% faster fanned as
+    // a standalone projection; [[propsStats]] opts out (its aggregation
+    // already shuffles, and the extra exchange measured net-negative)
+    (if (fanOut) Parallel.fan(events) else events)
       .select(col("event_id"), col("event_type"),
         from_json(col("props"), PropsSchema).as("_p"),
         try_parse_json(col("props")).isNotNull.as("valid_json"))
@@ -50,7 +54,7 @@ object JsonOps {
     * most). */
   def propsStats(events: DataFrame, bucketWidth: Long = 10L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    extractProps(events)
+    extractProps(events, fanOut = false)
       .filter(col("k").isNotNull)
       .groupBy(col("event_type"),
         expr(s"k div ${bucketWidth}L").as("k_bucket"))

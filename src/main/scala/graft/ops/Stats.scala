@@ -530,7 +530,9 @@ object Stats {
     val f = math.pow(10, decimals).toLong
     def fix(c: String) = expr(s"CAST(round(`$c` * $f) AS DECIMAL(38,0))")
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // fanned: six DECIMAL(38,0) products per row is compute-bound map
+    // work, and the small-sf lineitem scan arrives row-group-bound
+    Parallel.fan(df).filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(groupCol).as("_grp"), fix(xCol).as("_x"), fix(yCol).as("_y"))
       .groupBy(col("_grp"))
       .agg(count(lit(1)).cast(d38).as("_n"),

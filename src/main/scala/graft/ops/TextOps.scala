@@ -252,7 +252,7 @@ object TextOps {
       lit(0.4) * least(nTokens / lit(100.0), lit(1.0)) +
       lit(0.3) * (lit(1.0) - punctRatio) +
       lit(0.3) * least(stopRatio * lit(5.0), lit(1.0))
-    docs.select(
+    Parallel.fan(docs).select(
       col("doc_id"),
       nTokens.as("n_tokens"),
       stopRatio.as("stop_ratio"),
@@ -355,8 +355,10 @@ object TextOps {
     require(alpha > 0, "alpha must be positive")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val labeled = docs.filter(labelCol.isNotNull)
-    val counts = labeled
+    // fanned: the char-window pass is compute-bound, and a small corpus
+    // arrives as one unsplittable scan task (see Parallel.fan)
+    val labeled = Parallel.fan(docs).filter(labelCol.isNotNull)
+    val bucketCounts = labeled
       .select(labelCol.cast(StringType).as("_lang"),
         // char array materialised once per row (Generate barrier) so
         // the window transform reads it O(1) per element — see charsOf
@@ -365,11 +367,17 @@ object TextOps {
       .select(col("_lang"),
         pmod(mode.hash(col("_g")), lit(buckets.toLong)).cast(IntegerType).as("_b"))
       .groupBy(col("_lang"), col("_b")).agg(count(lit(1)).as("n"))
-      .collect()
-    val docCounts = labeled
+    // ONE collect job for both model aggregates: the class doc counts
+    // ride along as `_b = -1` rows (a bucket index pmod can never emit),
+    // and ReuseExchange dedups the shared fanned-scan subtree — two
+    // separate collects paid two job submissions for one corpus pass
+    val docCountRows = labeled
       .groupBy(labelCol.cast(StringType).as("_lang"))
-      .agg(count(lit(1)).as("d")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .agg(count(lit(1)).as("n"))
+      .select(col("_lang"), lit(-1).as("_b"), col("n"))
+    val all = bucketCounts.union(docCountRows).collect()
+    val (docRows, counts) = all.partition(_.getInt(1) == -1)
+    val docCounts = docRows.map(r => r.getString(0) -> r.getLong(2)).toMap
     require(docCounts.nonEmpty, "no labeled documents to train on")
     val classes = docCounts.keys.toSeq.sorted
     val dTotal = docCounts.values.sum.toDouble
@@ -419,7 +427,10 @@ object TextOps {
         lit(-i).as("nidx"),
         lit(c).as("lang"))
     }
-    docs
+    // fanned (batch only — a streaming frame passes through untouched,
+    // keeping the zero-shuffle streaming contract): the per-feature
+    // hash + per-class fold is compute-bound map work
+    Parallel.fan(docs)
       .select(col("doc_id"), explode(array(charsOf(col("text")))).as("_lc"))
       .select(col("doc_id"), explode(array(feats)).as("_lf"))
       .select(col("doc_id"), size(col("_lf")).cast(LongType).as("n_feats"),
@@ -525,7 +536,7 @@ object TextOps {
     val nStop = GopherStopwords
       .map(w => when(lower(txt).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
       .reduce(_ + _)
-    docs.select((col("doc_id") +: passThrough.map(col)) ++ Seq(
+    Parallel.fan(docs).select((col("doc_id") +: passThrough.map(col)) ++ Seq(
       nWords.as("n_words"),
       meanLen.as("mean_word_len"),
       (symbols.cast(DoubleType) / wordsFloor).as("symbol_ratio"),
@@ -603,7 +614,7 @@ object TextOps {
       if (t.badWords.isEmpty) lit(true)
       else !lower(txt).rlike(t.badWords.map(w => s"\\b${w.toLowerCase}\\b")
         .mkString("(", "|", ")"))
-    docs.select((col("doc_id") +: passThrough.map(col)) ++ Seq(
+    Parallel.fan(docs).select((col("doc_id") +: passThrough.map(col)) ++ Seq(
       array_join(kept, "\n").as("clean_text"),
       size(lines).cast(LongType).as("n_lines"),
       size(kept).cast(LongType).as("n_kept_lines"),
@@ -649,7 +660,7 @@ object TextOps {
       .otherwise(array().cast(ArrayType(StringType)))
     val feats =
       if (wordNgrams == 2) concat(col("_toks"), bigrams) else col("_toks")
-    docs
+    Parallel.fan(docs)
       .select(col("doc_id"), explode(array(toks)).as("_toks"))
       .select(col("doc_id"), explode(array(feats)).as("_feats"))
       .select(col("doc_id"),
@@ -824,7 +835,7 @@ object TextOps {
   def bigramCounts(docs: DataFrame): DataFrame = {
     val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
       distinct = false, wholeDocFallback = false)
-    docs
+    Parallel.fan(docs)
       .select(explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(explode(array(bigrams)).as("bgs"))
       .select(explode(col("bgs")).as("bigram"))
@@ -843,7 +854,7 @@ object TextOps {
   def bigramCountsByKey(docs: DataFrame, keyCol: String): DataFrame = {
     val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
       distinct = false, wholeDocFallback = false)
-    docs.filter(col(keyCol).isNotNull)
+    Parallel.fan(docs).filter(col(keyCol).isNotNull)
       .select(col(keyCol),
         explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(col(keyCol), explode(array(bigrams)).as("bgs"))
@@ -951,7 +962,7 @@ object TextOps {
     val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
       distinct = false, wholeDocFallback = false)
     val kept = keep.map(col)
-    docs
+    Parallel.fan(docs)
       .select(col("doc_id") +: kept :+
         explode(array(split(normText(col("text")), " "))).as("toks"): _*)
       .select(col("doc_id") +: kept :+ explode(array(bigrams)).as("bgs"): _*)
@@ -1029,7 +1040,7 @@ object TextOps {
   def trigramCounts(docs: DataFrame): DataFrame = {
     val trigrams = NearDup.shinglesOf(col("toks"), k = 3,
       distinct = false, wholeDocFallback = false)
-    docs
+    Parallel.fan(docs)
       .select(explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(explode(array(trigrams)).as("tgs"))
       .select(explode(col("tgs")).as("trigram"))
@@ -1073,7 +1084,7 @@ object TextOps {
   private def docTrigrams(docs: DataFrame): DataFrame = {
     val trigrams = NearDup.shinglesOf(col("toks"), k = 3,
       distinct = false, wholeDocFallback = false)
-    docs
+    Parallel.fan(docs)
       .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(col("doc_id"), explode(array(trigrams)).as("tgs"))
       .select(col("doc_id"), explode(col("tgs")).as("trigram"))
@@ -1149,7 +1160,7 @@ object TextOps {
         distinct = false, wholeDocFallback = false)
       transform(grams, g => struct(lit(k).as("k"), g.as("gram")))
     }
-    docs
+    Parallel.fan(docs)
       .select(explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(explode(concat(slices: _*)).as("kg"))
       .select(col("kg.k").as("k"), col("kg.gram").as("gram"))
@@ -1200,7 +1211,7 @@ object TextOps {
   private def docNgrams(docs: DataFrame, k: Int): DataFrame = {
     val grams = NearDup.shinglesOf(col("toks"), k = k,
       distinct = false, wholeDocFallback = false)
-    docs
+    Parallel.fan(docs)
       .select(col("doc_id"), explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(col("doc_id"), explode(array(grams)).as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("gram"))
@@ -1283,9 +1294,17 @@ object TextOps {
     // the cached combined frame bridges the four slice builds (without
     // it each slice re-scans the corpus); the cached SLICES keep the
     // stats joins from re-filtering the combined frame per consumer
+    // (r16 note: removing the slice caches was A/B-measured 0.5 s
+    // SLOWER — the four broadcast stats builds then re-derive their
+    // slice twice each from kg, and that repeated filter+split work
+    // exceeds the four one-off count() materialisation jobs)
     Caching.ensureCached(kg)
     val slices = (2 to 5).map(k => k -> ngramCountsOf(kg, k)).toMap
-    slices.values.foreach(Caching.ensureCached(_))
+    // one materialisation job for all four slice caches (r16) — four
+    // sequential count() jobs paid ~0.2 s of submission each for work
+    // that is one union away (kg is already materialised, so the
+    // concurrent branches race on nothing)
+    Caching.ensureCachedAll(slices.values.toSeq)
     lmScore5With(docs,
       ngramStatsFromCounts(slices(5), 5, minCount5),
       ngramStatsFromCounts(slices(4), 4, minCount4),
@@ -1337,8 +1356,8 @@ object TextOps {
     Caching.ensureCached(kg)
     val tri = trigramCountsOf(kg)
     val bi = bigramCountsOf(kg)
-    Caching.ensureCached(tri)
-    Caching.ensureCached(bi)
+    // one materialisation job for both slice caches (r16, see lmScore5)
+    Caching.ensureCachedAll(Seq(tri, bi))
     lmScore3With(docs,
       trigramStatsFromCounts(tri, minCountTri),
       statsFromCounts(bi, minCountBi),
@@ -1357,7 +1376,7 @@ object TextOps {
                  minCountRaw: Long = 5): (DataFrame, DataFrame) = {
     val bigrams = NearDup.shinglesOf(col("toks"), k = 2,
       distinct = false, wholeDocFallback = false)
-    val grouped = docs
+    val grouped = Parallel.fan(docs)
       .select(targetPred.as("_tgt"),
         explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(col("_tgt"), explode(array(bigrams)).as("bgs"))
@@ -1460,7 +1479,7 @@ object TextOps {
       distinct = false, wholeDocFallback = false)
     val tri = NearDup.shinglesOf(col("toks"), k = 3,
       distinct = false, wholeDocFallback = false)
-    val grouped = docs
+    val grouped = Parallel.fan(docs)
       .select(targetPred.as("_tgt"),
         explode(array(split(normText(col("text")), " "))).as("toks"))
       .select(col("_tgt"), explode(concat(
@@ -1602,6 +1621,8 @@ object TextOps {
     * varies with partition merge order and would make a hash gate flaky.
     * ln 2 is a literal constant so engines can't disagree on it. */
   def tokenEntropy(docs: DataFrame): DataFrame = {
+    // NOT fanned (r16): tokenise-then-aggregate is shuffle-bound, not
+    // map-bound — an interleaved A/B read the fanned shape 46% slower
     val toks = docs.select(col("doc_id"),
       explode(split(normText(col("text")), " ")).as("token"))
       .filter(length(col("token")) > 0)

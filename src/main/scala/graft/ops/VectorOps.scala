@@ -56,8 +56,14 @@ object VectorOps {
     * that inlining more than doubled q_dedup_semantic (1.2 s → 2.8 s);
     * behind the barrier the norm is one dot product per row and the
     * guard is a CASE WHEN over a materialised attribute. */
-  def prepared(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+  def prepared(embeddings: DataFrame, fanOut: Boolean = false): DataFrame =
+    // fanOut (r16): the all-pairs grid miners downstream of SemDeDup's
+    // cluster blocking are compute-bound per row and measured 42% faster
+    // fanned; the literal-centroid scan paths (annBrute/IVF/k-means) are
+    // already one cheap projection where the extra exchange measured
+    // 30-60% SLOWER — so fanning is per-call-site, not blanket
+    (if (fanOut) Parallel.fan(embeddings) else embeddings)
+      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
       .select(col("vec_id"), col("label"), col("v"),
         explode(array(l2norm(col("v")))).as("_nrm_raw"))
       .select(col("vec_id"), col("label"), col("v"),
@@ -119,7 +125,8 @@ object VectorOps {
     * pair space instead of just bounding the tasks. */
   def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.35,
                      targetBlock: Int = 4096): DataFrame =
-    gridPairs(prepared(embeddings), "label", threshold, targetBlock)
+    gridPairs(prepared(embeddings, fanOut = true), "label", threshold,
+      targetBlock)
 
   /** The triangle-grid all-pairs join over an arbitrary blocking column
     * (see [[embeddingPairs]] for the cell math) — shared by label-blocked
@@ -204,6 +211,9 @@ object VectorOps {
                     literalMax: Int = CentroidLiteralMax,
                     targetBlock: Int = 4096,
                     spreadSeed: Boolean = false): DataFrame = {
+    // NOT fanned: single-probe blocking keeps the grid light enough that
+    // the extra exchange measured net-negative (unlike the multi-probe
+    // variant below, whose replicated pair work is compute-bound)
     val e = prepared(embeddings)
     assignCids(e, nCentroids, kmeansIters, literalMax, spreadSeed) match {
       case None => e.limit(0)
@@ -252,7 +262,7 @@ object VectorOps {
                               probeMargin: Double = 2.0): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
     require(probeMargin >= 0, "probeMargin must be non-negative")
-    val e = prepared(embeddings)
+    val e = prepared(embeddings, fanOut = true)
     assignCidsMulti(e, nCentroids, probes, kmeansIters, literalMax, spreadSeed,
         probeMargin) match {
       case None => e.limit(0)
