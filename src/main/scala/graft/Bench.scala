@@ -668,14 +668,25 @@ object Bench {
         f"$name ${secs}%.2f>${budgetSecs(name) * runFactor}%.2f"
     }
     val blBreaches = if (!budgetsOn) Nil else baselineBreaches(results, runPinFactor)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // the driver captures only the last ~2 KB of output, and through r16
+    // its per-query parse never succeeded ("parsed": null in every
+    // BENCH_r*.json) because this line had outgrown that window — so the
+    // stdout line is kept COMPACT (3-decimal seconds; the ratio and
+    // drift MAPS move to BENCH_FULL.json, stdout keeps their counts)
+    // while the full-precision payload with every map goes to the
+    // BENCH_FULL.json side file. Measurement methodology is unchanged:
+    // same queries, same warm-up, same best-of-3, same retries.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num3(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // ratio vs the pinned baseline over the queries both runs cover
     val shared = results.filter { case (k, v) => v >= 0 && baselineSecs.contains(k) }
     val vsBaseline =
       if (shared.isEmpty) -1.0
       else shared.map(_._2).sum / shared.map(r => baselineSecs(r._1)).sum
-    // per-query ratios in the emitted JSON: the r9 lesson is that an
+    // per-query ratios (side file): the r9 lesson is that an
     // aggregate can absorb a 2x outlier — the per-query view cannot
     val ratioJson = perQueryRatios(results)
       .map { case (k, r) => "\"" + k + "\":" + num3(r) }.mkString("{", ",", "}")
@@ -686,11 +697,16 @@ object Bench {
     val driftJson = drifting
       .map { case (k, r) => "\"" + k + "\":" + num3(r) }.mkString("{", ",", "}")
     val persistentJson = persistent.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""vs_baseline_queries":$ratioJson,""" +
-      s""""pin_drift":$driftJson,"pin_drift_persistent":$persistentJson,""" +
+    val scalars =
       s""""vs_baseline":${num3(vsBaseline)},"run_factor":${num3(runFactor)},""" +
-      s""""pin_factor":${num3(runPinFactor)},"sf":"$sfDir"}""")
+      s""""pin_factor":${num3(runPinFactor)},"n_pin_drift":${drifting.size},""" +
+      s""""pin_drift_persistent":$persistentJson,"sf":"$sfDir""""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+        s""""vs_baseline_queries":$ratioJson,"pin_drift":$driftJson,""" +
+        s"$scalars}\n").getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec",""" +
+      s""""queries":$qs,$scalars}""")
     persistent.foreach(q => System.err.println(s"[bench] PIN DRIFT (2 rounds): $q — " +
       "fix the regression or re-base the pin with evidence (Bench.pinnedSecs policy)"))
     // persist the normalized DRIFT SET, not raw ratios: a round run

@@ -261,7 +261,8 @@ object Bpe {
 
   /** The ORDERED subword token sequence per document — what a sequence
     * packer or training-shard writer actually consumes ([[segmentCounts]]
-    * only sizes it). ZERO shuffle and no explode/regroup round-trip:
+    * only sizes it). No shuffle beyond [[Parallel.fan]]'s size-gated
+    * round-robin micro-shuffle, and no explode/regroup round-trip:
     * the whole segmentation is one array-lambda projection
     * (`transform` over the split word array, merges folded as literal
     * `replace`s inside the lambda, `flatten` back) so document order is

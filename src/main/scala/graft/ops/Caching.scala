@@ -37,7 +37,14 @@ object Caching {
     * shared input) — materialise shared inputs first ([[ensureCached]]). */
   def ensureCachedAll(dfs: Seq[DataFrame]): Unit = {
     import org.apache.spark.sql.functions.lit
-    val fresh = dfs.filter(_.storageLevel == StorageLevel.NONE)
+    // dedupe by canonicalized plan: two equivalent frames in `dfs` both
+    // read storageLevel NONE here (neither is persisted yet), and
+    // persisting the second would hit CacheManager's "already cached"
+    // warning the header of this file exists to avoid
+    val seen = scala.collection.mutable.HashSet
+      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    val fresh = dfs.filter(df => df.storageLevel == StorageLevel.NONE &&
+      seen.add(df.queryExecution.analyzed.canonicalized))
     if (fresh.isEmpty) return
     fresh.foreach(_.persist())
     fresh.map(_.select(lit(1).as("_m"))).reduce(_ union _).count()

@@ -39,14 +39,30 @@ object Parallel {
   val DefaultMaxInputBytes: Long = 256L * 1024 * 1024
 
   /** Fan `df` across the cluster when it is provably small (optimizer
-    * size estimate ≤ the ceiling); identity otherwise. */
+    * size estimate ≤ the ceiling); identity otherwise.
+    *
+    * A ceiling ≤ 0 disables fanning outright (the kill-switch the
+    * profiling harness uses) — previously a frame whose size estimate
+    * was itself 0 would still have fanned under `ceiling = 0`. The
+    * estimate-trust assumption: the gate reads the OPTIMIZED plan's
+    * `sizeInBytes`, which for a bare scan is the file size; a derived
+    * plan's basic (non-CBO) estimate can under-count after selective
+    * filters, but a >256 MiB frame mis-estimated under the ceiling costs
+    * one bounded round-robin pass, and `graft.fan.maxInputBytes = 0`
+    * turns the mechanism off everywhere if that ever bites. */
   def fan(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     if (p <= 1) return df
-    val ceiling = spark.conf.getOption(MaxInputBytesKey).map(_.toLong)
-      .getOrElse(DefaultMaxInputBytes)
+    val ceiling = spark.conf.getOption(MaxInputBytesKey).map { s =>
+      try s.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxInputBytesKey must be a long byte count, got '$s'")
+      }
+    }.getOrElse(DefaultMaxInputBytes)
+    if (ceiling <= 0) return df
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes <= ceiling) df.repartition(p) else df
   }

@@ -592,7 +592,8 @@ object TextOps {
     * (word-boundary match on the raw page, like the reference pipeline
     * — a page is dropped even when the offending line would have been).
     *
-    * One zero-shuffle projection: the line array materialises once per
+    * One projection (plus [[Parallel.fan]]'s size-gated round-robin
+    * micro-shuffle): the line array materialises once per
     * row, lambdas filter it in place (no explode), every count is an
     * exact integer — DuckDB-gateable bit-for-bit, stream-admissible as
     * is. Null text yields an empty page that fails the sentence floor.

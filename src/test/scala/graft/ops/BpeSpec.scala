@@ -162,9 +162,13 @@ class BpeSpec extends SparkSpec {
     val counts = Bpe.segmentCounts(docs, m).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.filter(_._3 > 0).forall(o => counts(o._1) == o._3))
-    // the projection plans with no exchange: tokenisation is shuffle-free
+    // tokenisation stays shuffle-free apart from the size-gated fan-out:
+    // the ONLY Exchange allowed is Parallel.fan's RoundRobinPartitioning
+    // micro-shuffle (r16); any hash/range exchange is a real regression
     val plan = Bpe.segmentTokens(docs, m).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("RoundRobinPartitioning")) &&
+      exchanges.size <= 1, s"unexpected shuffle:\n$plan")
   }
 
   test("trainMergesLocal maxTypes cap is deterministic and drains gracefully") {

@@ -84,8 +84,13 @@ class C4RulesSpec extends SparkSpec {
         concat(lit("A good long sentence number "), col("id").cast("string"),
           lit(".\nshort.")).as("text"))
     val out = TextOps.c4Rules(df, TextOps.C4Thresholds(minSentences = 1))
+    // the size-gated fan-out (r16) adds one RoundRobinPartitioning
+    // micro-shuffle; anything else (a hash/range exchange) would mean
+    // the projection regressed into a real shuffle
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("RoundRobinPartitioning")) &&
+      exchanges.size <= 1, s"unexpected shuffle:\n$plan")
     assert(out.collect().forall(_.getAs[Boolean]("c4_keep")))
   }
 
